@@ -1,0 +1,585 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** A named query with an optional DuckDB oracle (driver contract).
+  *
+  * Oracle-match conventions (hash-compare is exact, so arithmetic must be
+  * bit-identical across Spark and DuckDB):
+  *   - Monetary math is done in exact DECIMAL (inputs are 2-dp doubles),
+  *     rounded to 2 dp, and emitted as DOUBLE — both engines then convert the
+  *     same exact decimal to the same IEEE double.
+  *   - Averages/ratios are a single double division of exact operands.
+  *   - Integral sums go through BIGINT casts (DuckDB sum(int) is hugeint).
+  *   - Every result has a total ORDER BY so row order is deterministic.
+  */
+final case class Q(name: String, oracle: Option[String])(
+    val run: (SparkSession, String) => DataFrame)
+
+object Qdsl {
+  /** 1.00 as decimal(4,2) — keeps decimal widths small enough that the
+    * 3-factor product price*(1-disc)*(1+tax) stays exact (<38 digits) in both
+    * Spark and DuckDB. */
+  val one: Column = lit(1).cast(DecimalType(4, 2))
+  def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
+  def pct(c: Column): Column = c.cast(DecimalType(4, 2))
+  /** Exact decimal -> 2dp -> double (exactly representable: |x|*100 < 2^53). */
+  def money(c: Column): Column = round(c, 2).cast("double")
+  def ts(s: String): Column = lit(s).cast("timestamp")
+  /** revenue item: extendedprice * (1 - discount), exact decimal */
+  val discPrice: Column = dec2(col("l_extendedprice")) * (one - pct(col("l_discount")))
+}
+
+/** TPC-H queries 1-22 adapted to the driver's synthetic star schema
+  * (TESTDATA.md: no partsupp, no comment/phone/shipmode columns — those
+  * predicates are re-targeted at existing columns, keeping each query's
+  * operator shape: q2/q17 correlated scalar subqueries, q4/q21 EXISTS /
+  * NOT EXISTS, q13 left join distribution, q18 IN over HAVING, q19
+  * OR-of-ANDs, q22 anti join + scalar subquery).
+  *
+  * Reference workload: /root/reference/benchmark/query-templates/{1..22}.sql,
+  * executed by BemiDB via DuckDB (/root/reference/src/server/query_handler.go:75-91).
+  * Here each is declared with the DataFrame API so Catalyst plans scans with
+  * pushed filters/pruned columns and AQE picks join strategies; small
+  * dimensions are broadcast explicitly.
+  */
+object TpchQueries {
+  import Qdsl._
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.df(s, dir, n)
+
+  val defs: Seq[Q] = Seq(
+    Q("q01_pricing_summary", Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))),2) AS DOUBLE) AS sum_base_price,
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))),2) AS DOUBLE) AS sum_disc_price,
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))),2) AS DOUBLE) AS sum_charge,
+        CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty,
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))),2) AS DOUBLE) / count(*) AS avg_price,
+        CAST(round(sum(CAST(l_discount AS DECIMAL(4,2))),2) AS DOUBLE) / count(*) AS avg_disc,
+        count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")) { (s, dir) =>
+      val charge = discPrice * (one + pct(col("l_tax")))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= ts("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          money(sum(dec2(col("l_extendedprice")))).as("sum_base_price"),
+          money(sum(discPrice)).as("sum_disc_price"),
+          money(sum(charge)).as("sum_charge"),
+          (sum(col("l_quantity").cast("long")).cast("double") / count(lit(1))).as("avg_qty"),
+          (money(sum(dec2(col("l_extendedprice")))) / count(lit(1))).as("avg_price"),
+          (money(sum(pct(col("l_discount")))) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // q2 shape: correlated scalar subquery picking the best supplier per group
+    Q("q02_top_supplier_per_nation", Some("""
+      SELECT s_name, s_acctbal, n_name
+      FROM supplier, nation, region
+      WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'EUROPE'
+        AND s_acctbal = (SELECT max(s2.s_acctbal) FROM supplier s2
+                         WHERE s2.s_nationkey = supplier.s_nationkey)
+      ORDER BY s_name""")) { (s, dir) =>
+      val sup = t(s, dir, "supplier")
+      val maxBal = sup.groupBy(col("s_nationkey").as("mb_nationkey"))
+        .agg(max("s_acctbal").as("max_bal"))
+      sup
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "EUROPE")
+        .join(broadcast(maxBal),
+          col("s_nationkey") === col("mb_nationkey") && col("s_acctbal") === col("max_bal"))
+        .select("s_name", "s_acctbal", "n_name")
+        .orderBy("s_name")
+    },
+
+    Q("q03_shipping_priority", Some("""
+      SELECT l_orderkey,
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))),2) AS DOUBLE) AS revenue,
+        o_orderdate
+      FROM customer, orders, lineitem
+      WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY revenue DESC, o_orderdate, l_orderkey
+      LIMIT 10""")) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > ts("1998-03-15"))
+        .join(t(s, dir, "orders").filter(col("o_orderdate") < ts("1998-03-15")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(money(sum(discPrice)).as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    },
+
+    // q4 shape: EXISTS with a correlated extra predicate -> left-semi join
+    Q("q04_order_priority", Some("""
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")) { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= ts("1997-01-01") && col("o_orderdate") < ts("1997-04-01"))
+      o.join(t(s, dir, "lineitem"),
+          col("l_orderkey") === col("o_orderkey") && col("l_shipdate") > col("o_orderdate"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    Q("q05_local_supplier_volume", Some("""
+      SELECT n_name,
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))),2) AS DOUBLE) AS revenue
+      FROM customer, orders, lineitem, supplier, nation, region
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+        AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name""")) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1997-01-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(money(sum(discPrice)).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    Q("q06_forecast_revenue", Some("""
+      SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))),2) AS DOUBLE) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""")) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01")
+          && col("l_discount").between(0.02, 0.06) && col("l_quantity") < 24)
+        .agg(money(sum(dec2(col("l_extendedprice")) * pct(col("l_discount")))).as("revenue"))
+    },
+
+    Q("q07_volume_shipping", Some("""
+      SELECT supp_nation, cust_nation, l_year,
+        CAST(round(sum(volume),2) AS DOUBLE) AS revenue
+      FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+              CAST(extract(year FROM l_shipdate) AS INT) AS l_year,
+              CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS volume
+            FROM supplier, lineitem, orders, customer, nation n1, nation n2
+            WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey AND c_custkey = o_custkey
+              AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00'
+           ) shipping
+      GROUP BY supp_nation, cust_nation, l_year
+      ORDER BY supp_nation, cust_nation, l_year""")) { (s, dir) =>
+      val n1 = t(s, dir, "nation").select(
+        col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation").select(
+        col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate").between(ts("1996-01-01"), ts("1997-12-31")))
+        .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, dir, "supplier")), col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(t(s, dir, "customer")), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+        .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2")
+          || (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .withColumn("l_year", year(col("l_shipdate")))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(money(sum(discPrice)).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    // q8 shape: conditional aggregation ratio (market share)
+    Q("q08_market_share", Some("""
+      SELECT o_year,
+        CAST(round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE CAST(0 AS DECIMAL(18,4)) END),2) AS DOUBLE)
+          / CAST(round(sum(volume),2) AS DOUBLE) AS mkt_share
+      FROM (SELECT CAST(extract(year FROM o_orderdate) AS INT) AS o_year,
+              CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS volume,
+              n2.n_name AS nation
+            FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+            WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey AND l_orderkey = o_orderkey
+              AND o_custkey = c_custkey AND c_nationkey = n1.n_nationkey
+              AND n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+              AND s_nationkey = n2.n_nationkey
+              AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00'
+              AND p_type = 'ECONOMY') all_nations
+      GROUP BY o_year
+      ORDER BY o_year""")) { (s, dir) =>
+      val n1 = t(s, dir, "nation").select(
+        col("n_nationkey").as("n1_key"), col("n_regionkey").as("n1_region"))
+      val n2 = t(s, dir, "nation").select(
+        col("n_nationkey").as("n2_key"), col("n_name").as("nation"))
+      val vol = discPrice.as("volume")
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").filter(col("p_type") === "ECONOMY")),
+          col("p_partkey") === col("l_partkey"))
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderdate").between(ts("1996-01-01"), ts("1997-12-31"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "supplier")), col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("n1_key"))
+        .join(broadcast(t(s, dir, "region")), col("n1_region") === col("r_regionkey"))
+        .filter(col("r_name") === "AMERICA")
+        .join(broadcast(n2), col("s_nationkey") === col("n2_key"))
+        .select(year(col("o_orderdate")).as("o_year"), vol, col("nation"))
+        .groupBy("o_year")
+        .agg((money(sum(when(col("nation") === "NATION_5", col("volume"))
+            .otherwise(lit(0).cast(DecimalType(18, 4)))))
+          / money(sum(col("volume")))).as("mkt_share"))
+        .orderBy("o_year")
+    },
+
+    // q9 shape: profit per nation/year; supply cost proxied by p_retailprice
+    Q("q09_product_profit", Some("""
+      SELECT nation, o_year, CAST(round(sum(amount),2) AS DOUBLE) AS sum_profit
+      FROM (SELECT n_name AS nation, CAST(extract(year FROM o_orderdate) AS INT) AS o_year,
+              CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS amount
+            FROM part, supplier, lineitem, orders, nation
+            WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey AND o_orderkey = l_orderkey
+              AND s_nationkey = n_nationkey AND p_name LIKE '%widget%') profit
+      GROUP BY nation, o_year
+      ORDER BY nation, o_year DESC""")) { (s, dir) =>
+      val amount = discPrice - dec2(col("p_retailprice")) * col("l_quantity").cast(DecimalType(12, 2))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").filter(col("p_name").like("%widget%"))),
+          col("p_partkey") === col("l_partkey"))
+        .join(broadcast(t(s, dir, "supplier")), col("s_suppkey") === col("l_suppkey"))
+        .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"), amount.as("amount"))
+        .groupBy("nation", "o_year")
+        .agg(money(sum(col("amount"))).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+
+    Q("q10_returned_items", Some("""
+      SELECT c_custkey, c_name,
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))),2) AS DOUBLE) AS revenue,
+        c_acctbal, n_name
+      FROM customer, orders, lineitem, nation
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 20""")) { (s, dir) =>
+      t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderdate") >= ts("1997-01-01") && col("o_orderdate") < ts("1997-04-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(money(sum(discPrice)).as("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    // q11 shape: HAVING against a scalar subquery over the same aggregate
+    Q("q11_important_parts", Some("""
+      WITH pv AS (
+        SELECT l_partkey,
+          round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))),2) AS value
+        FROM lineitem GROUP BY l_partkey)
+      SELECT l_partkey, CAST(value AS DOUBLE) AS value
+      FROM pv
+      WHERE CAST(value AS DOUBLE) > (SELECT CAST(round(sum(value),2) AS DOUBLE) * 0.001 FROM pv)
+      ORDER BY value DESC, l_partkey""")) { (s, dir) =>
+      val pv = t(s, dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(round(sum(discPrice), 2).as("value"))
+      val threshold = pv.agg((money(sum(col("value"))) * 0.001).as("thr"))
+      pv.join(broadcast(threshold))
+        .filter(col("value").cast("double") > col("thr"))
+        .select(col("l_partkey"), col("value").cast("double").as("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    },
+
+    // q12 shape: two conditional sums (shipmode re-targeted at linestatus)
+    Q("q12_priority_by_linestatus", Some("""
+      SELECT l_linestatus,
+        CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      FROM orders, lineitem
+      WHERE o_orderkey = l_orderkey
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_linestatus
+      ORDER BY l_linestatus""")) { (s, dir) =>
+      val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01"))
+        .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+          sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!isHigh, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    },
+
+    // q13 shape: left outer join + distribution of counts
+    Q("q13_customer_distribution", Some("""
+      SELECT c_count, count(*) AS custdist
+      FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey) c_orders
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC""")) { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    Q("q14_promo_revenue", Some("""
+      SELECT CAST(round(sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                 ELSE CAST(0 AS DECIMAL(18,4)) END),2) AS DOUBLE) * 100.0
+           / CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))),2) AS DOUBLE)
+           AS promo_revenue
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey
+        AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""")) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-03-01") && col("l_shipdate") < ts("1996-04-01"))
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .agg(((money(sum(when(col("p_type") === "PROMO", discPrice)
+            .otherwise(lit(0).cast(DecimalType(18, 4))))) * 100.0)
+          / money(sum(discPrice))).as("promo_revenue"))
+    },
+
+    // q15 shape: CTE + scalar-subquery max
+    Q("q15_top_supplier", Some("""
+      WITH revenue0 AS (
+        SELECT l_suppkey AS supplier_no,
+          CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))),2) AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, total_revenue
+      FROM supplier, revenue0
+      WHERE s_suppkey = supplier_no
+        AND total_revenue = (SELECT max(total_revenue) FROM revenue0)
+      ORDER BY s_suppkey""")) { (s, dir) =>
+      val revenue0 = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1996-04-01"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(money(sum(discPrice)).as("total_revenue"))
+      val maxRev = revenue0.agg(max("total_revenue").as("max_rev"))
+      t(s, dir, "supplier")
+        .join(revenue0, col("s_suppkey") === col("supplier_no"))
+        .join(broadcast(maxRev))
+        .filter(col("total_revenue") === col("max_rev"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    },
+
+    // q16 shape: NOT IN subquery + count(distinct)
+    Q("q16_supplier_part_counts", Some("""
+      SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      FROM lineitem, part
+      WHERE p_partkey = l_partkey
+        AND p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        AND p_size IN (1,5,10,15,20,25,30,35)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      GROUP BY p_brand, p_type, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")) { (s, dir) =>
+      val badSupp = t(s, dir, "supplier").filter(col("s_acctbal") < 0).select("s_suppkey")
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+            .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO"
+              && col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))),
+          col("p_partkey") === col("l_partkey"))
+        .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    },
+
+    // q17 shape: correlated scalar subquery with aggregate (avg per part)
+    Q("q17_small_quantity_revenue", Some("""
+      SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))),2) AS DOUBLE) / 7.0 AS avg_yearly
+      FROM lineitem, part
+      WHERE p_partkey = l_partkey AND p_brand = 'Brand#3'
+        AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                          WHERE l2.l_partkey = part.p_partkey)""")) { (s, dir) =>
+      // avg(l_quantity) is exact: integral doubles sum exactly in any order
+      val avgQty = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("aq_partkey"))
+        .agg((lit(0.2) * avg(col("l_quantity"))).as("qty_thr"))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").filter(col("p_brand") === "Brand#3")),
+          col("p_partkey") === col("l_partkey"))
+        .join(avgQty, col("l_partkey") === col("aq_partkey"))
+        .filter(col("l_quantity") < col("qty_thr"))
+        .agg((money(sum(dec2(col("l_extendedprice")))) / 7.0).as("avg_yearly"))
+    },
+
+    // q18 shape: IN over a HAVING subquery
+    Q("q18_large_volume_customers", Some("""
+      SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      FROM customer, orders, lineitem
+      WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey
+                           HAVING sum(CAST(l_quantity AS BIGINT)) > 170)
+        AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+      GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+      LIMIT 100""")) { (s, dir) =>
+      val bigOrders = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("bo_orderkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("bo_qty"))
+        .filter(col("bo_qty") > 170)
+        .select("bo_orderkey")
+      t(s, dir, "orders")
+        .join(bigOrders, col("o_orderkey") === col("bo_orderkey"), "left_semi")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("c_custkey") === col("o_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+        .limit(100)
+    },
+
+    // q19 shape: OR-of-ANDs multi-predicate join
+    Q("q19_discounted_revenue", Some("""
+      SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))),2) AS DOUBLE) AS revenue
+      FROM lineitem, part
+      WHERE p_partkey = l_partkey AND (
+           (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+        OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+        OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40))""")) { (s, dir) =>
+      val pred =
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) && col("l_quantity").between(1, 21)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) && col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) && col("l_quantity").between(20, 40))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("p_partkey") === col("l_partkey"))
+        .filter(pred)
+        .agg(money(sum(discPrice)).as("revenue"))
+    },
+
+    // q20 shape: IN-subquery (semi join) over a join with value predicate
+    Q("q20_potential_promotion", Some("""
+      SELECT s_name, s_acctbal
+      FROM supplier, nation
+      WHERE s_nationkey = n_nationkey AND n_name = 'NATION_3'
+        AND s_suppkey IN (SELECT l_suppkey FROM lineitem, part
+                          WHERE p_partkey = l_partkey AND p_name LIKE '%bolt%'
+                            AND l_quantity > 30)
+      ORDER BY s_name""")) { (s, dir) =>
+      val shippers = t(s, dir, "lineitem").filter(col("l_quantity") > 30)
+        .join(broadcast(t(s, dir, "part").filter(col("p_name").like("%bolt%"))),
+          col("p_partkey") === col("l_partkey"))
+        .select("l_suppkey")
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(shippers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    },
+
+    // q21 shape: EXISTS + NOT EXISTS with inequality correlation
+    Q("q21_waiting_supplier", Some("""
+      SELECT s_name, count(*) AS numwait
+      FROM supplier, lineitem l1, orders, nation
+      WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_returnflag = 'R')
+        AND s_nationkey = n_nationkey AND n_name = 'NATION_1'
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name""")) { (s, dir) =>
+      val l1 = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("l1_orderkey"), col("l_suppkey").as("l1_suppkey"))
+      val l2 = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("l2_orderkey"), col("l_suppkey").as("l2_suppkey"))
+      val l3 = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("l3_orderkey"), col("l_suppkey").as("l3_suppkey"))
+      l1
+        .join(l2, col("l2_orderkey") === col("l1_orderkey")
+          && col("l2_suppkey") =!= col("l1_suppkey"), "left_semi")
+        .join(l3, col("l3_orderkey") === col("l1_orderkey")
+          && col("l3_suppkey") =!= col("l1_suppkey"), "left_anti")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+          col("o_orderkey") === col("l1_orderkey"))
+        .join(broadcast(t(s, dir, "supplier")), col("s_suppkey") === col("l1_suppkey"))
+        .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_1")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+    },
+
+    // q22 shape: anti join + uncorrelated scalar subquery threshold
+    Q("q22_global_sales_opportunity", Some("""
+      SELECT cntrycode, count(*) AS numcust,
+        CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))),2) AS DOUBLE) AS totacctbal
+      FROM (SELECT CAST(c_nationkey % 5 AS INT) AS cntrycode, c_acctbal, c_custkey
+            FROM customer
+            WHERE c_nationkey % 5 IN (0, 1, 2)
+              AND c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+                               FROM customer WHERE c_acctbal > 0.0)) custsale
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY cntrycode
+      ORDER BY cntrycode""")) { (s, dir) =>
+      val cust = t(s, dir, "customer")
+      val avgBal = cust.filter(col("c_acctbal") > 0.0)
+        .agg((sum(dec2(col("c_acctbal"))).cast("double") / count(lit(1))).as("avg_bal"))
+      cust
+        .filter((col("c_nationkey") % 5).isin(0, 1, 2))
+        .join(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(t(s, dir, "orders"), col("o_custkey") === col("c_custkey"), "left_anti")
+        .select((col("c_nationkey") % 5).cast("int").as("cntrycode"), col("c_acctbal"))
+        .groupBy("cntrycode")
+        .agg(count(lit(1)).as("numcust"), money(sum(dec2(col("c_acctbal")))).as("totacctbal"))
+        .orderBy("cntrycode")
+    }
+  )
+}
