@@ -42,9 +42,27 @@ def norm(v):
         return v
     return v
 
+def to_list(v):
+    import numpy as np
+    if isinstance(v, np.ndarray): return [to_list(x) for x in v]
+    if isinstance(v, (list, tuple)): return [to_list(x) for x in v]
+    return v
+
 def cmp_cell(a, b):
+    import numpy as np
+    if isinstance(a, (list, np.ndarray)) or isinstance(b, (list, np.ndarray)):
+        la, lb = to_list(a), to_list(b)
+        if not isinstance(la, list) or not isinstance(lb, list) or len(la) != len(lb):
+            return False
+        return all(cmp_cell(x, y) for x, y in zip(la, lb))
+    try:
+        if a is None and b is None: return True
+        import pandas as pd
+        if pd.isna(a) and pd.isna(b): return True
+        if pd.isna(a) != pd.isna(b): return False
+    except (TypeError, ValueError):
+        pass
     a, b = norm(a), norm(b)
-    if a is None and b is None: return True
     if isinstance(a, float) and isinstance(b, float):
         return a == b or (abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b)))
     return a == b
@@ -75,8 +93,13 @@ def main():
             fails.append((name, f"cols: spark={list(got.columns)} duck={list(want.columns)}")); continue
         if len(got) != len(want):
             fails.append((name, f"rows: spark={len(got)} duck={len(want)}")); continue
-        g = got.sort_values(by=list(got.columns), na_position='first').reset_index(drop=True)
-        w = want.sort_values(by=list(want.columns), na_position='first').reset_index(drop=True)
+        # sort rows by scalar (hashable) columns only; list columns break sort
+        scalar_cols = [c for c in got.columns
+                       if not len(got) or not isinstance(to_list(got[c][0]), list)]
+        g = (got.sort_values(by=scalar_cols, na_position='first').reset_index(drop=True)
+             if scalar_cols else got)
+        w = (want.sort_values(by=scalar_cols, na_position='first').reset_index(drop=True)
+             if scalar_cols else want)
         bad = None
         for c in got.columns:
             for i in range(len(g)):
