@@ -13,7 +13,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   /** All query modules, in display order. */
-  def all: Seq[Q] = TpchQueries.defs ++ RelationalOps.defs
+  def all: Seq[Q] = TpchQueries.defs ++ RelationalOps.defs ++ FnQueries.defs
 
   /** Names of the headline queries Bench times (the TPC-H-adapted sweep). */
   def benchNames: Seq[String] = TpchQueries.defs.map(_.name)

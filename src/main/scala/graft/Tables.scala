@@ -40,6 +40,8 @@ object Tables {
     if (registeredDir != dir) {
       names.foreach(n => df(spark, dir, n).createOrReplaceTempView(n))
       PgFunctions.register(spark)
+      PgCatalog.noteDir(dir)
+      PgCatalog.register(spark)
       registeredDir = dir
     }
   }

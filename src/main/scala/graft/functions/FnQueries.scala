@@ -1,0 +1,324 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Queries exercising the PG-compat function shim layer (SURVEY.md §2.C) and
+  * the pg_catalog / information_schema emulation (§2.B), each against a
+  * DuckDB oracle. SQL form on the Spark side wherever the shim itself is
+  * SQL-facing (that is the surface BemiDB clients hit).
+  */
+object FnQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.df(s, dir, n)
+
+  val defs: Seq[Q] = Seq(
+
+    // ---- constant/stub shims -------------------------------------------
+    Q("fn_pg_shims", Some("""
+      SELECT 'PostgreSQL 17.0, compiled by graft-spark' AS v, '17.0' AS sv,
+             12345 AS pid, false AS in_recovery, 'graft' AS owner,
+             true AS can_connect, 'pg_catalog,public' AS schemas
+      """)) { (s, dir) =>
+      s.sql("""
+        SELECT version() AS v, current_setting('server_version') AS sv,
+               pg_backend_pid() AS pid, pg_is_in_recovery() AS in_recovery,
+               pg_get_userbyid(10) AS owner,
+               has_database_privilege('graft', 'graft', 'CONNECT') AS can_connect,
+               array_join(current_schemas(true), ',') AS schemas""")
+    },
+
+    Q("fn_quote_ident", Some("""
+      SELECT '"' || replace(n_name, '"', '""') || '"' AS qname FROM nation ORDER BY qname""")) { (s, dir) =>
+      s.sql("SELECT quote_ident(n_name) AS qname FROM nation ORDER BY qname")
+    },
+
+    Q("fn_format", Some("""
+      SELECT printf('%s has key %d', r_name, r_regionkey) AS msg,
+             printf('%2$s-%1$s', r_name, CAST(r_regionkey AS VARCHAR)) AS positional
+      FROM region ORDER BY msg""")) { (s, dir) =>
+      s.sql("""
+        SELECT pg_format('%s has key %d', r_name, r_regionkey) AS msg,
+               pg_format('%2$s-%1$s', r_name, CAST(r_regionkey AS STRING)) AS positional
+        FROM region ORDER BY msg""")
+    },
+
+    Q("fn_to_char", Some("""
+      SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS iso_day,
+             strftime(o_orderdate, '%d %b %Y %H:%M:%S') AS pretty
+      FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""")) { (s, dir) =>
+      s.sql("""
+        SELECT o_orderkey, to_char(o_orderdate, 'YYYY-MM-DD') AS iso_day,
+               to_char(o_orderdate, 'DD Mon YYYY HH24:MI:SS') AS pretty
+        FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""")
+    },
+
+    // encode(sha256(x),'hex') -> sha2(x,256) (reference AST rewrite,
+    // parser_function.go:111-137); md5 passthrough
+    Q("fn_hash", Some("""
+      SELECT c_custkey, sha256(c_name) AS name_sha, md5(c_name) AS name_md5
+      FROM customer WHERE c_custkey < 100 ORDER BY c_custkey""")) { (s, dir) =>
+      t(s, dir, "customer").filter(col("c_custkey") < 100)
+        .select(col("c_custkey"), sha2(col("c_name"), 256).as("name_sha"),
+          md5(col("c_name")).as("name_md5"))
+        .orderBy("c_custkey")
+    },
+
+    // ---- JSON operator mapping (parser_a_expr.go:29-77) -----------------
+    Q("fn_json_ops", Some("""
+      SELECT event_id, json_extract_string(props, '$.k') AS k_text,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+             json_extract(props, '$.k') IS NOT NULL AS has_k
+      FROM events WHERE event_id < 500 ORDER BY event_id""")) { (s, dir) =>
+      t(s, dir, "events").filter(col("event_id") < 500)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_text"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_int"),
+          get_json_object(col("props"), "$.k").isNotNull.as("has_k"))
+        .orderBy("event_id")
+    },
+
+    Q("fn_json_path_text", Some("""
+      SELECT event_id, json_extract_string(props, '$.k') AS k
+      FROM events WHERE event_id < 200 ORDER BY event_id""")) { (s, dir) =>
+      s.sql("""
+        SELECT event_id, jsonb_extract_path_text(props, 'k') AS k
+        FROM events WHERE event_id < 200 ORDER BY event_id""")
+    },
+
+    Q("fn_jsonb_agg", Some("""
+      SELECT event_type,
+        to_json(list(CAST(json_extract_string(props, '$.k') AS INT) ORDER BY CAST(json_extract_string(props, '$.k') AS INT), event_id)) AS ks
+      FROM events GROUP BY event_type ORDER BY event_type""")) { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(to_json(expr("transform(array_sort(collect_list(struct(k, event_id))), x -> x.k)")).as("ks"))
+        .orderBy("event_type")
+    },
+
+    Q("fn_jsonb_object_agg", Some("""
+      SELECT to_json(map(list(event_type ORDER BY event_type), list(n ORDER BY event_type))) AS by_type
+      FROM (SELECT event_type, count(*) AS n FROM events GROUP BY event_type) t""")) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .agg(to_json(map_from_entries(sort_array(collect_list(struct(col("event_type"), col("n"))))))
+          .as("by_type"))
+    },
+
+    // row_to_json(record) -> to_json(struct) (macro at
+    // query_remapper_function.go:34)
+    Q("fn_row_to_json", Some("""
+      SELECT to_json({'r_regionkey': r_regionkey, 'r_name': r_name}) AS row_json
+      FROM region ORDER BY row_json""")) { (s, dir) =>
+      s.sql("""
+        SELECT row_to_json(struct(r_regionkey, r_name)) AS row_json
+        FROM region ORDER BY row_json""")
+    },
+
+    // ---- strings --------------------------------------------------------
+    Q("fn_string_suite", Some("""
+      SELECT c_custkey, upper(c_name) AS uname, lower(c_name) AS lname,
+        substr(c_name, 10, 5) AS mid, length(c_name) AS len,
+        replace(c_name, 'Customer', 'C') AS repl,
+        lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS padded,
+        left(c_name, 8) AS l8, right(c_name, 3) AS r3, reverse(c_name) AS rev,
+        concat_ws('|', c_name, c_mktsegment) AS joined,
+        CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+        split_part(c_name, '#', 2) AS num_part,
+        trim(BOTH '0' FROM split_part(c_name, '#', 2)) AS trimmed
+      FROM customer WHERE c_custkey < 300 ORDER BY c_custkey""")) { (s, dir) =>
+      t(s, dir, "customer").filter(col("c_custkey") < 300)
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("uname"), lower(col("c_name")).as("lname"),
+          substring(col("c_name"), 10, 5).as("mid"), length(col("c_name")).as("len"),
+          regexp_replace(col("c_name"), "Customer", "C").as("repl"),
+          lpad(col("c_custkey").cast("string"), 6, "0").as("padded"),
+          expr("left(c_name, 8)").as("l8"), expr("right(c_name, 3)").as("r3"),
+          reverse(col("c_name")).as("rev"),
+          concat_ws("|", col("c_name"), col("c_mktsegment")).as("joined"),
+          instr(col("c_name"), "#").cast("long").as("hash_pos"),
+          expr("split_part(c_name, '#', 2)").as("num_part"),
+          expr("trim(BOTH '0' FROM split_part(c_name, '#', 2))").as("trimmed"))
+        .orderBy("c_custkey")
+    },
+
+    // PG ~ operator (passthrough in reference, parser_a_expr.go:156-167)
+    Q("fn_regexp_suite", Some("""
+      SELECT n_name, regexp_matches(n_name, '^NATION_[0-9]+$') AS is_match,
+        regexp_replace(n_name, '[0-9]', '#', 'g') AS masked,
+        regexp_extract(n_name, 'NATION_([0-9]+)', 1) AS num
+      FROM nation ORDER BY n_name""")) { (s, dir) =>
+      t(s, dir, "nation")
+        .select(col("n_name"),
+          col("n_name").rlike("^NATION_[0-9]+$").as("is_match"),
+          regexp_replace(col("n_name"), "[0-9]", "#").as("masked"),
+          regexp_extract(col("n_name"), "NATION_([0-9]+)", 1).as("num"))
+        .orderBy("n_name")
+    },
+
+    // ---- date/time ------------------------------------------------------
+    Q("fn_date_suite", Some("""
+      SELECT o_orderkey,
+        CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        CAST(date_trunc('year', o_orderdate) AS TIMESTAMP) AS year_start,
+        CAST(extract(year FROM o_orderdate) AS INT) AS yr,
+        CAST(extract(month FROM o_orderdate) AS INT) AS mon,
+        CAST(extract(day FROM o_orderdate) AS INT) AS dom,
+        CAST(extract(dow FROM o_orderdate) AS INT) AS dow,
+        CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+        o_orderdate + INTERVAL 30 DAY AS plus_30d,
+        CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT) AS days_since
+      FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey""")) { (s, dir) =>
+      t(s, dir, "orders").filter(col("o_orderkey") < 300)
+        .select(col("o_orderkey"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          date_trunc("year", col("o_orderdate")).as("year_start"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mon"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          expr("pg_dow(o_orderdate)").as("dow"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("plus_30d"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp")).as("days_since"))
+        .orderBy("o_orderkey")
+    },
+
+    // separate query: DuckDB's constant folding treats INTERVAL 1 MONTH and
+    // INTERVAL 30 DAY literals as equal (its interval comparator considers
+    // 1 mon == 30 days), silently merging them via CSE when both appear in
+    // one SELECT — so month arithmetic gets its own query.
+    Q("fn_month_add", Some("""
+      SELECT o_orderkey, o_orderdate + INTERVAL 1 MONTH AS plus_1mo
+      FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey""")) { (s, dir) =>
+      t(s, dir, "orders").filter(col("o_orderkey") < 300)
+        .select(col("o_orderkey"),
+          (col("o_orderdate") + expr("INTERVAL 1 MONTH")).as("plus_1mo"))
+        .orderBy("o_orderkey")
+    },
+
+    // ---- math -----------------------------------------------------------
+    Q("fn_math_suite", Some("""
+      SELECT c_custkey, abs(c_acctbal) AS abs_bal,
+        CAST(ceil(c_acctbal) AS BIGINT) AS ceil_bal,
+        CAST(floor(c_acctbal) AS BIGINT) AS floor_bal,
+        CAST(c_custkey % 7 AS BIGINT) AS mod7,
+        sqrt(abs(c_acctbal)) AS sqrt_bal,
+        round(c_acctbal, 1) AS bal_1dp,
+        CAST(sign(c_acctbal) AS DOUBLE) AS sgn,
+        power(2.0, 10.0) AS p2
+      FROM customer WHERE c_custkey < 300 ORDER BY c_custkey""")) { (s, dir) =>
+      t(s, dir, "customer").filter(col("c_custkey") < 300)
+        .select(col("c_custkey"), abs(col("c_acctbal")).as("abs_bal"),
+          ceil(col("c_acctbal")).as("ceil_bal"),
+          floor(col("c_acctbal")).as("floor_bal"),
+          (col("c_custkey") % 7).as("mod7"),
+          sqrt(abs(col("c_acctbal"))).as("sqrt_bal"),
+          round(col("c_acctbal"), 1).as("bal_1dp"),
+          signum(col("c_acctbal")).as("sgn"),
+          pow(lit(2.0), lit(10.0)).as("p2"))
+        .orderBy("c_custkey")
+    },
+
+    Q("fn_least_greatest", Some("""
+      SELECT c_custkey, least(c_acctbal, 5000.0) AS capped,
+             greatest(c_acctbal, 0.0) AS floored,
+             coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg
+      FROM customer ORDER BY c_custkey""")) { (s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          least(col("c_acctbal"), lit(5000.0)).as("capped"),
+          greatest(col("c_acctbal"), lit(0.0)).as("floored"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg"))
+        .orderBy("c_custkey")
+    },
+
+    // ---- arrays (SURVEY §2.B array ops row) -----------------------------
+    Q("fn_array_ops", Some("""
+      SELECT vec_id, list_contains(embedding, embedding[1]) AS has_first,
+        len(embedding) AS n_dims,
+        CAST(list_position(embedding, embedding[1]) AS BIGINT) AS first_pos,
+        embedding[1] AS first_val,
+        list_slice(embedding, 1, 3) AS head3
+      FROM embeddings WHERE vec_id < 5 ORDER BY vec_id""")) { (s, dir) =>
+      t(s, dir, "embeddings").filter(col("vec_id") < 5)
+        .select(col("vec_id"),
+          array_contains(col("embedding"), element_at(col("embedding"), 1)).as("has_first"),
+          size(col("embedding")).as("n_dims"),
+          array_position(col("embedding"), element_at(col("embedding"), 1)).as("first_pos"),
+          element_at(col("embedding"), 1).as("first_val"),
+          slice(col("embedding"), 1, 3).as("head3"))
+        .orderBy("vec_id")
+    },
+
+    // array_upper -> size shim (macro at query_remapper_function.go:53-57)
+    Q("fn_array_upper", Some("""
+      SELECT vec_id, len(embedding) AS upper_bound
+      FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""")) { (s, dir) =>
+      s.sql("""
+        SELECT vec_id, array_upper(embedding, 1) AS upper_bound
+        FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""")
+    },
+
+    // ---- pg_catalog emulation ------------------------------------------
+    Q("cat_pg_namespace", Some("""
+      SELECT CAST(oid AS BIGINT) AS oid, nspname
+      FROM (VALUES (11, 'pg_catalog'), (2200, 'public'), (13000, 'information_schema')) t(oid, nspname)
+      ORDER BY oid""")) { (s, dir) =>
+      s.sql("SELECT oid, nspname FROM pg_namespace ORDER BY oid")
+    },
+
+    Q("cat_pg_type", Some("""
+      SELECT CAST(oid AS BIGINT) AS oid, typname
+      FROM (VALUES (16, 'bool'), (23, 'int4'), (25, 'text'), (114, 'json'),
+                   (701, 'float8'), (1184, 'timestamptz'), (3802, 'jsonb')) t(oid, typname)
+      ORDER BY oid""")) { (s, dir) =>
+      s.sql("""SELECT oid, typname FROM pg_type
+               WHERE typname IN ('bool','int4','text','json','float8','timestamptz','jsonb')
+               ORDER BY oid""")
+    },
+
+    Q("cat_pg_class", Some("""
+      SELECT relname, relkind
+      FROM (VALUES ('customer'), ('documents'), ('embeddings'), ('events'),
+                   ('lineitem'), ('nation'), ('orders'), ('part'), ('region'),
+                   ('supplier')) t(relname), (SELECT 'r' AS relkind) k
+      ORDER BY relname""")) { (s, dir) =>
+      s.sql("SELECT relname, relkind FROM pg_class ORDER BY relname")
+    },
+
+    Q("cat_information_schema_columns", Some("""
+      SELECT * FROM (VALUES
+        ('nation', 'n_nationkey', 1, 'integer'),
+        ('nation', 'n_name', 2, 'text'),
+        ('nation', 'n_regionkey', 3, 'integer'))
+        t(table_name, column_name, ordinal_position, data_type)
+      ORDER BY ordinal_position""")) { (s, dir) =>
+      s.sql("""
+        SELECT table_name, column_name, ordinal_position, data_type
+        FROM information_schema_columns WHERE table_name = 'nation'
+        ORDER BY ordinal_position""")
+    },
+
+    Q("cat_information_schema_tables", Some("""
+      SELECT table_name, 'BASE TABLE' AS table_type
+      FROM (VALUES ('customer'), ('documents'), ('embeddings'), ('events'),
+                   ('lineitem'), ('nation'), ('orders'), ('part'), ('region'),
+                   ('supplier')) t(table_name)
+      ORDER BY table_name""")) { (s, dir) =>
+      s.sql("""SELECT table_name, table_type FROM information_schema_tables
+               ORDER BY table_name""")
+    },
+
+    Q("cat_pg_settings", Some("""
+      SELECT name, setting FROM (VALUES
+        ('client_encoding', 'UTF8'), ('datestyle', 'ISO, MDY'),
+        ('max_connections', '100'), ('search_path', '"$user", public'),
+        ('server_encoding', 'UTF8'), ('server_version', '17.0'),
+        ('standard_conforming_strings', 'on'), ('timezone', 'UTC')) t(name, setting)
+      ORDER BY name""")) { (s, dir) =>
+      s.sql("SELECT name, setting FROM pg_settings ORDER BY name")
+    }
+  )
+}

@@ -1,13 +1,45 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.CollectList
+import org.apache.spark.sql.types._
 
-/** Postgres-compat scalar/aggregate function shims (SURVEY.md §2.C; reference:
-  * /root/reference/src/server/query_remapper_function.go — ~40 DuckDB macros).
-  * Re-expressed as Spark SQL temp functions / UDF registrations so Spark SQL
-  * accepts the same call surface BemiDB exposes to clients.
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+import scala.collection.concurrent.TrieMap
+
+/** Session settings registry — the analog of the reference's
+  * `duckdb_settings()` surface plus its SET/SHOW no-op handling
+  * (/root/reference/src/server/query_remapper.go:19-32,131-140,
+  * parser_show.go:19-91). SET statements from the dialect layer land here.
+  */
+object SessionSettings {
+  val defaults: Map[String, String] = Map(
+    "server_version" -> "17.0",
+    "server_encoding" -> "UTF8",
+    "client_encoding" -> "UTF8",
+    "timezone" -> "UTC",
+    "datestyle" -> "ISO, MDY",
+    "search_path" -> "\"$user\", public",
+    "max_connections" -> "100",
+    "standard_conforming_strings" -> "on")
+  private val overrides = TrieMap[String, String]()
+  def get(name: String): Option[String] =
+    overrides.get(name.toLowerCase).orElse(defaults.get(name.toLowerCase))
+  def set(name: String, value: String): Unit = overrides.put(name.toLowerCase, value)
+}
+
+/** Postgres-compat scalar/aggregate function shims (SURVEY.md §2.C; the
+  * reference implements these as ~40 DuckDB CREATE MACROs + 4 AST rewrites in
+  * /root/reference/src/server/query_remapper_function.go).
   *
-  * Filled in incrementally; `register` is idempotent per session.
+  * Re-expressed Spark-first: constant shims register as Catalyst `Literal`
+  * builders in the session FunctionRegistry (arity-agnostic, codegen'd,
+  * no UDF boxing); structural shims (row_to_json, jsonb_agg,
+  * jsonb_extract_path_text, format) build native Catalyst expression trees;
+  * only to_char (per-row pattern translation) is a Scala UDF.
   */
 object PgFunctions {
   private val registered =
@@ -17,10 +49,112 @@ object PgFunctions {
     if (registered.add(spark)) registerAll(spark)
   }
 
+  private def fn(spark: SparkSession, name: String)(builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  private def const(spark: SparkSession, name: String, value: Any, dt: DataType): Unit =
+    fn(spark, name)(_ => Literal.create(value, dt))
+
   private def registerAll(spark: SparkSession): Unit = {
-    // version() analog: reference reports a fixed PG banner
-    // (query_remapper_function.go:36). Named pg_version to avoid clashing
-    // with Spark's built-in version().
-    spark.udf.register("pg_version", () => "PostgreSQL 17.0, compiled by graft-spark")
+    // --- constant / stub shims (query_remapper_function.go:17-38) ---------
+    const(spark, "version", "PostgreSQL 17.0, compiled by graft-spark", StringType)
+    const(spark, "pg_backend_pid", 12345, IntegerType)
+    const(spark, "pg_is_in_recovery", false, BooleanType)
+    const(spark, "pg_encoding_to_char", "UTF8", StringType)
+    const(spark, "pg_get_userbyid", "graft", StringType)
+    const(spark, "pg_cancel_backend", false, BooleanType)
+    const(spark, "pg_table_size", 0L, LongType)
+    const(spark, "pg_indexes_size", 0L, LongType)
+    const(spark, "pg_total_relation_size", 0L, LongType)
+    const(spark, "pg_tablespace_location", "", StringType)
+    const(spark, "pg_get_viewdef", "", StringType)
+    const(spark, "pg_get_expr", "", StringType)
+    const(spark, "pg_get_indexdef", "", StringType)
+    const(spark, "pg_get_partkeydef", "", StringType)
+    const(spark, "pg_get_function_identity_arguments", "", StringType)
+    const(spark, "pg_get_statisticsobjdef_columns", "", StringType)
+    const(spark, "pg_relation_is_publishable", true, BooleanType)
+    const(spark, "has_database_privilege", true, BooleanType)
+    const(spark, "has_schema_privilege", true, BooleanType)
+    const(spark, "has_table_privilege", true, BooleanType)
+    const(spark, "aclexplode", null, StringType)
+    const(spark, "current_schemas", Seq("pg_catalog", "public"), ArrayType(StringType))
+
+    // --- settings -------------------------------------------------------
+    spark.udf.register("current_setting",
+      (name: String) => SessionSettings.get(name).orNull)
+    spark.udf.register("set_config", (name: String, value: String, _: Boolean) => {
+      SessionSettings.set(name, value); value
+    })
+
+    // --- string shims ---------------------------------------------------
+    // quote_ident (macro at query_remapper_function.go:33) with PG's
+    // embedded-quote doubling
+    spark.udf.register("quote_ident",
+      (s: String) => if (s == null) null else "\"" + s.replace("\"", "\"\"") + "\"")
+
+    // format('%s …') -> native FormatString (reference rewrites to printf,
+    // parser_function.go:100-109). Java's Formatter already accepts the
+    // %N$s positional forms PG emits.
+    fn(spark, "pg_format") { exprs => FormatString(exprs: _*) }
+
+    // --- JSON shims (query_remapper_function.go:39-52) -------------------
+    fn(spark, "row_to_json") { exprs => StructsToJson(Map.empty, exprs.head) }
+    fn(spark, "jsonb_extract_path_text") { exprs =>
+      val path = Concat(Literal("$") +: exprs.tail.flatMap(e => Seq(Literal("."), e)))
+      GetJsonObject(exprs.head, path)
+    }
+    fn(spark, "json_extract_path_text") { exprs =>
+      val path = Concat(Literal("$") +: exprs.tail.flatMap(e => Seq(Literal("."), e)))
+      GetJsonObject(exprs.head, path)
+    }
+    fn(spark, "jsonb_array_length") { exprs => LengthOfJsonArray(exprs.head) }
+    fn(spark, "json_array_length") { exprs => LengthOfJsonArray(exprs.head) }
+    // jsonb_agg(x) -> to_json(collect_list(x)) (reference AST rewrite at
+    // query_remapper_function.go:168-172)
+    fn(spark, "jsonb_agg") { exprs =>
+      StructsToJson(Map.empty, CollectList(exprs.head).toAggregateExpression())
+    }
+    fn(spark, "json_agg") { exprs =>
+      StructsToJson(Map.empty, CollectList(exprs.head).toAggregateExpression())
+    }
+
+    // --- array shims ----------------------------------------------------
+    // array_upper(a, 1) -> size(a) (macro at query_remapper_function.go:53-57)
+    fn(spark, "array_upper") { exprs => Size(exprs.head) }
+
+    // --- date/time: to_char with PG pattern translation ------------------
+    // (macro table at query_remapper_function.go:58-69)
+    spark.udf.register("to_char", (ts: java.sql.Timestamp, fmt: String) => {
+      if (ts == null || fmt == null) null
+      else DateTimeFormatter.ofPattern(translateToCharPattern(fmt), java.util.Locale.ENGLISH)
+        .format(Instant.ofEpochMilli(ts.getTime).atZone(ZoneOffset.UTC))
+    })
+
+    // PG dow: Sunday=0 (Spark's dayofweek is Sunday=1)
+    fn(spark, "pg_dow") { exprs => Subtract(DayOfWeek(exprs.head), Literal(1)) }
+  }
+
+  private val toCharTokens: Seq[(String, String)] = Seq(
+    "HH24" -> "HH", "HH12" -> "hh", "YYYY" -> "yyyy", "YY" -> "yy",
+    "Month" -> "MMMM", "Mon" -> "MMM", "Day" -> "EEEE", "Dy" -> "EEE",
+    "DDD" -> "DDD", "DD" -> "dd", "MM" -> "MM", "MI" -> "mm", "SS" -> "ss",
+    "MS" -> "SSS", "US" -> "SSSSSS", "AM" -> "a", "PM" -> "a", "TZ" -> "z")
+
+  /** Translate a PG to_char pattern to a java.time pattern, longest token
+    * first, leaving unknown characters quoted where needed. */
+  def translateToCharPattern(fmt: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      toCharTokens.find { case (pg, _) => fmt.startsWith(pg, i) } match {
+        case Some((pg, java)) => sb.append(java); i += pg.length
+        case None =>
+          val c = fmt.charAt(i)
+          if (c.isLetter) sb.append('\'').append(c).append('\'') else sb.append(c)
+          i += 1
+      }
+    }
+    sb.toString
   }
 }

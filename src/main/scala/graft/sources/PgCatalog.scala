@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** pg_catalog / information_schema emulation (SURVEY.md §2.B "Scan:
+  * pg_catalog" row; reference builds these as static rowsets + views over the
+  * DuckDB catalog in /root/reference/src/server/query_remapper_table.go:
+  * 41-110,275-775 and pg_constants.go:27-144).
+  *
+  * Spark-first: static tables are literal DataFrames registered as temp
+  * views at session boot; dynamic views (pg_class, pg_attribute,
+  * information_schema_*) derive from `spark.catalog` metadata so they stay
+  * in sync with whatever tables are registered — the same pattern the
+  * reference uses against DuckDB's catalog, minus the shell-table dance
+  * (Spark's catalog is already visible to SQL).
+  *
+  * Temp views cannot contain '.', so `information_schema.columns` surfaces
+  * as `information_schema_columns`; the dialect front end rewrites the
+  * qualified names (same trick the reference uses for pg_catalog prefixes).
+  */
+object PgCatalog {
+
+  /** PG type OIDs for Spark types — mirrors the reference's DuckDB-type ->
+    * OID switch (/root/reference/src/server/response_handler.go:28-113). */
+  def pgTypeOf(dt: DataType): (Int, String) = dt match {
+    case BooleanType => (16, "boolean")
+    case ByteType | ShortType => (21, "smallint")
+    case IntegerType => (23, "integer")
+    case LongType => (20, "bigint")
+    case FloatType => (700, "real")
+    case DoubleType => (701, "double precision")
+    case _: DecimalType => (1700, "numeric")
+    case StringType => (25, "text")
+    case BinaryType => (17, "bytea")
+    case DateType => (1082, "date")
+    case TimestampType => (1184, "timestamp with time zone")
+    case TimestampNTZType => (1114, "timestamp without time zone")
+    case _: ArrayType => (2277, "ARRAY")
+    case _ => (25, "text")
+  }
+
+  private val registered =
+    java.util.Collections.newSetFromMap(new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  def register(spark: SparkSession): Unit = synchronized {
+    if (registered.add(spark)) registerAll(spark)
+  }
+
+  private def registerAll(spark: SparkSession): Unit = {
+    import spark.implicits._
+
+    // static 1-row / small views (query_remapper_table.go:275-712)
+    Seq((11L, "pg_catalog"), (2200L, "public"), (13000L, "information_schema"))
+      .toDF("oid", "nspname").createOrReplaceTempView("pg_namespace")
+    Seq((1L, "graft", true)).toDF("oid", "datname", "datallowconn")
+      .createOrReplaceTempView("pg_database")
+    Seq((10L, "graft", true, false)).toDF("oid", "rolname", "rolsuper", "rolreplication")
+      .createOrReplaceTempView("pg_roles")
+    Seq((10L, "graft")).toDF("usesysid", "usename").createOrReplaceTempView("pg_user")
+    spark.emptyDataFrame.withColumn("oid", lit(0L)).withColumn("extname", lit(""))
+      .limit(0).createOrReplaceTempView("pg_extension")
+    SessionSettings.defaults.toSeq.sorted.toDF("name", "setting")
+      .createOrReplaceTempView("pg_settings")
+
+    // pg_type: the common subset of the reference's static ~150-row rowset
+    // (pg_constants.go / query_remapper_table.go pg_type UNION ALL)
+    Seq(
+      (16L, "bool"), (17L, "bytea"), (18L, "char"), (20L, "int8"),
+      (21L, "int2"), (23L, "int4"), (25L, "text"), (26L, "oid"),
+      (114L, "json"), (700L, "float4"), (701L, "float8"), (1042L, "bpchar"),
+      (1043L, "varchar"), (1082L, "date"), (1083L, "time"), (1114L, "timestamp"),
+      (1184L, "timestamptz"), (1186L, "interval"), (1266L, "timetz"),
+      (1700L, "numeric"), (2950L, "uuid"), (3802L, "jsonb"))
+      .toDF("oid", "typname").createOrReplaceTempView("pg_type")
+
+    // dynamic: pg_class / pg_attribute / information_schema over the
+    // registered user tables (Tables.names is our "catalog")
+    val cols: Seq[(String, String, Int, String, Int)] = Tables.names.flatMap { tbl =>
+      val schema = Tables.df(spark, lastDir(spark), tbl).schema
+      schema.fields.zipWithIndex.map { case (f, i) =>
+        val (oid, pgName) = pgTypeOf(f.dataType)
+        (tbl, f.name, i + 1, pgName, oid)
+      }
+    }
+    val classDf = Tables.names.zipWithIndex
+      .map { case (n, i) => (16384L + i, n, 2200L, "r") }
+      .toDF("oid", "relname", "relnamespace", "relkind")
+    classDf.createOrReplaceTempView("pg_class")
+    cols.toDF("table_name", "attname", "attnum", "data_type", "atttypid")
+      .createOrReplaceTempView("pg_attribute_view")
+
+    cols.map { case (t, c, i, dt, _) => ("graft", "public", t, c, i, dt) }
+      .toDF("table_catalog", "table_schema", "table_name", "column_name",
+        "ordinal_position", "data_type")
+      .createOrReplaceTempView("information_schema_columns")
+    Tables.names.map(n => ("graft", "public", n, "BASE TABLE"))
+      .toDF("table_catalog", "table_schema", "table_name", "table_type")
+      .createOrReplaceTempView("information_schema_tables")
+  }
+
+  // the sf dir last registered by Tables — used to introspect schemas
+  @volatile private var dir: String = "/root/testdata/sf0.001"
+  def noteDir(d: String): Unit = dir = d
+  private def lastDir(spark: SparkSession): String = dir
+}
