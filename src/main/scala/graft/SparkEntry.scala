@@ -13,7 +13,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   /** All query modules, in display order. */
-  def all: Seq[Q] = TpchQueries.defs ++ RelationalOps.defs ++ FnQueries.defs
+  def all: Seq[Q] = TpchQueries.defs ++ RelationalOps.defs ++ FnQueries.defs ++
+    TextAnalysis.defs ++ Dedup.defs ++ Similarity.defs ++ Multimodal.defs
 
   /** Names of the headline queries Bench times (the TPC-H-adapted sweep). */
   def benchNames: Seq[String] = TpchQueries.defs.map(_.name)

@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline (builder brief):
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard. Designed for 100 TB:
+  *
+  *  - Signatures (minhash/simhash/fingerprints) are computed scan-side with
+  *    higher-order array expressions — one pass, no shuffle, codegen'd.
+  *  - Candidate generation shuffles only (band, bucket) keys or shingles,
+  *    never full documents; the verify step joins candidates back by key.
+  *  - The shingle self-join (exact Jaccard) is the O(pairs-sharing-a-shingle)
+  *    classic; at scale you cap ultra-frequent shingles (stop-shingle
+  *    removal) to control skew — the LSH path is the primary at 100 TB, the
+  *    exact path is the auditor on samples.
+  */
+object Dedup {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.df(s, dir, n)
+
+  /** docs with distinct word-3-gram shingles (docs with >=3 tokens). */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(0, size(toks)-3), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))").as("sh"))
+
+  private val jaccardOracle = """
+      WITH d AS (SELECT doc_id,
+          list_distinct(list_transform(range(0, len(toks)-2),
+            i -> toks[i+1] || chr(32) || toks[i+2] || chr(32) || toks[i+3])) AS sh
+        FROM (SELECT doc_id, string_split(text, chr(32)) AS toks FROM documents) t
+        WHERE len(toks) >= 3)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.9
+      ORDER BY id_a, id_b"""
+
+  /** Exact pairwise Jaccard >= tau via distributed shingle self-join:
+    * explode shingles -> co-group by shingle -> per-pair intersection counts
+    * -> join back per-doc set sizes. This is the scalable formulation (the
+    * DuckDB oracle does the same math with list ops + all-pairs join, which
+    * only works at oracle scale). */
+  private def jaccardPairs(s: SparkSession, dir: String, tau: Double): DataFrame = {
+    val d = shingled(s, dir).cache()
+    val sizes = d.select(col("doc_id"), size(col("sh")).as("n"))
+    val sh = d.select(col("doc_id"), explode(col("sh")).as("s"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    val j = col("inter").cast("double") /
+      (col("na") + col("nb") - col("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .filter(j >= tau)
+      .select(col("id_a"), col("id_b"), round(j, 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  // MinHash parameters: K independent hashes via seeded xxhash64; 16 bands
+  // of 2 rows -> P(candidate | j=0.9) ~ 1 - (1-0.81)^16 ≈ 1-2e-12.
+  private val K = 32
+  private val BANDS = 16
+  private val R = K / BANDS
+
+  /** Per-doc MinHash signature, computed scan-side (no shuffle): for each of
+    * K seeds, min over shingles of xxhash64(seed || shingle). */
+  private def signatureCol: Column = expr(
+    s"transform(sequence(0, ${K - 1}), " +
+      "k -> array_min(transform(sh, s -> xxhash64(concat(cast(k as string), ':', s)))))")
+
+  val defs: Seq[Q] = Seq(
+
+    // exact dedup: hash-groupBy on a canonical fingerprint (prefix-80 canon
+    // catches the boilerplate-prefix family in this corpus)
+    Q("dd_exact_groups", Some("""
+      SELECT md5(substr(text, 1, 80)) AS fp, count(*) AS n, min(doc_id) AS keeper
+      FROM documents GROUP BY 1 HAVING count(*) > 1
+      ORDER BY fp""")) { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(md5(substring(col("text"), 1, 80)).as("fp"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
+        .filter(col("n") > 1)
+        .orderBy("fp")
+    },
+
+    Q("dd_exact_dedup", Some("""
+      SELECT min(doc_id) AS doc_id
+      FROM documents GROUP BY md5(substr(text, 1, 80))
+      ORDER BY doc_id""")) { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(md5(substring(col("text"), 1, 80)).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
+    // exact n-gram Jaccard (distributed shingle join vs list-op oracle)
+    Q("dd_ngram_jaccard", Some(jaccardOracle)) { (s, dir) =>
+      jaccardPairs(s, dir, 0.9)
+    },
+
+    // MinHash + LSH banding + exact verify. Same oracle as the exact query:
+    // at j>=0.9 with 16 bands of 2 the miss probability is ~2e-12, and the
+    // verify step removes false candidates, so LSH output == exact output.
+    Q("dd_minhash_lsh", Some(jaccardOracle)) { (s, dir) =>
+      val d = shingled(s, dir).cache()
+      val sig = d.select(col("doc_id"), col("sh"), signatureCol.as("sig"))
+      val bands = sig.select(col("doc_id"),
+          posexplode(expr(s"transform(sequence(0, ${BANDS - 1}), " +
+            s"b -> hash(slice(sig, b * $R + 1, $R)))")).as(Seq("band", "bucket")))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .distinct()
+      // verify candidates with exact Jaccard (join sets back by key)
+      val withSets = cand
+        .join(d.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(d.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+      val j = inter / (size(col("sh_a")) + size(col("sh_b")) - inter)
+      withSets.filter(j >= 0.9)
+        .select(col("id_a"), col("id_b"), round(j, 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // SimHash: 64-bit signature from shingle-hash bit votes (shingles, not
+    // bare tokens: the corpus vocabulary is tiny, so token-set simhash
+    // cannot discriminate), candidates via 8-bit chunk banding (pigeonhole:
+    // any hamming<=7 pair shares at least one of 8 chunks), verified with
+    // bit_count(xor) <= 12. No oracle (xxhash64-based) — invariants in
+    // PipelineSpec.
+    Q("dd_simhash", None) { (s, dir) =>
+      val d = shingled(s, dir)
+        .withColumn("hashes", expr("transform(sh, t -> xxhash64(t))"))
+      val votesSql =
+        "aggregate(hashes, array_repeat(0L, 64), (acc, h) -> " +
+          "zip_with(acc, sequence(0, 63), (a, j) -> " +
+          "a + IF((shiftright(h, cast(j AS INT)) & 1) = 1, 1L, -1L)))"
+      val sim = d.select(col("doc_id"), expr(
+        s"aggregate(zip_with($votesSql, sequence(0, 63), " +
+          "(v, j) -> IF(v > 0, shiftleft(1L, cast(j AS INT)), 0L)), 0L, (acc, x) -> acc | x)")
+        .as("simhash"))
+      val chunks = sim.select(col("doc_id"), col("simhash"),
+        posexplode(expr("transform(sequence(0, 7), " +
+          "c -> shiftright(simhash, cast(c * 8 AS INT)) & 255)")).as(Seq("chunk", "cval")))
+      chunks.as("x").join(chunks.as("y"),
+          col("x.chunk") === col("y.chunk") && col("x.cval") === col("y.cval")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 12)
+        .orderBy("id_a", "id_b")
+    },
+
+    // embedding-space near-dup: normalized cosine over double-cast vectors;
+    // identical left-fold dot products on both engines
+    Q("dd_embedding_cosine", Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        round(list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+      ORDER BY id_a, id_b""")) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"))
+      val dot = expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+      val norm = (side: String) => expr(
+        s"sqrt(aggregate(zip_with($side.v, $side.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x))")
+      val cos = dot / (norm("a") * norm("b"))
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), cos.as("cos"))
+        .filter(col("cos") >= 0.4)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy("id_a", "id_b")
+    }
+  )
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (builder brief): treat media as opaque binary
+  * columns + typed metadata. The decode step is STUBBED (no image/audio libs
+  * in this container) with a deterministic fake, but the Spark-side plumbing
+  * is real: binary columns, schema, partition-wise batch processing via
+  * `mapPartitions`, and an explode-style frame sampler.
+  *
+  * At 100 TB: binary payloads stay columnar in parquet; metadata extraction
+  * is scan-side; decode batches amortize model/codec setup per partition
+  * (the mapPartitions shape below is exactly where a real decoder or an
+  * Arrow-batched Python worker would slot in).
+  */
+object Multimodal {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.df(s, dir, n)
+
+  val defs: Seq[Q] = Seq(
+
+    // binary column + scan-side metadata (real: bytes, hash; fake: w/h
+    // derived deterministically, standing in for a header parse)
+    Q("mm_binary_meta", Some("""
+      SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+        sha256(text) AS payload_sha,
+        CAST(octet_length(CAST(text AS BLOB)) % 640 + 16 AS INT) AS fake_width,
+        CAST(length(text) % 480 + 16 AS INT) AS fake_height
+      FROM documents ORDER BY doc_id""")) { (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("payload", col("text").cast("binary"))
+        .select(col("doc_id"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          sha2(col("payload"), 256).as("payload_sha"),
+          (length(col("payload")) % 640 + 16).cast("int").as("fake_width"),
+          (length(col("text")) % 480 + 16).cast("int").as("fake_height"))
+        .orderBy("doc_id")
+    },
+
+    // partition-wise batch "decode": mapPartitions over binary payloads,
+    // deterministic stub features (head/tail bytes + 8-byte checksum). A
+    // real decoder replaces `decodeStub` only; schema/batching are final.
+    Q("mm_decode_stub", Some("""
+      SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+        unicode(substr(text, 1, 1)) AS head_byte,
+        unicode(substr(text, length(text), 1)) AS tail_byte,
+        CAST(list_sum(list_transform(range(1, 9), i -> unicode(substr(text, i, 1)))) AS BIGINT) AS checksum8
+      FROM documents ORDER BY doc_id""")) { (s, dir) =>
+      val src = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      val outSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("n_bytes", LongType),
+        StructField("head_byte", IntegerType), StructField("tail_byte", IntegerType),
+        StructField("checksum8", LongType)))
+      val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      src.mapPartitions { rows =>
+        // per-partition setup happens once (where a real codec would init)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          Row(id, bytes.length.toLong,
+            bytes.head & 0xff, bytes.last & 0xff,
+            bytes.take(8).map(b => (b & 0xffL)).sum)
+        }
+      }(enc).orderBy("doc_id")
+    },
+
+    // frame sampling: every 10th token as a "frame" (the explode shape a
+    // video frame-sampler produces: one row per sampled frame)
+    Q("mm_frame_sample", Some("""
+      SELECT doc_id, CAST((ord - 1) / 10 AS INT) AS frame_no, tok
+      FROM (SELECT doc_id, unnest(string_split(text, chr(32))) AS tok,
+              generate_subscripts(string_split(text, chr(32)), 1) AS ord
+            FROM documents) f
+      WHERE (ord - 1) % 10 = 0
+      ORDER BY doc_id, frame_no""")) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .filter(col("pos") % 10 === 0)
+        .select(col("doc_id"), (col("pos") / 10).cast("int").as("frame_no"), col("tok"))
+        .orderBy("doc_id", "frame_no")
+    }
+  )
+}

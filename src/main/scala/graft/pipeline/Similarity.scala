@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the embedding column (builder
+  * brief). Two paths:
+  *
+  *  - `sim_cosine_topk`: brute-force cosine top-k — the correctness baseline.
+  *    Fine for a handful of query vectors at any corpus size (one pass over
+  *    the corpus per batch of queries, map-side only after the broadcast of
+  *    the query set), but O(Q * N) overall.
+  *  - `sim_ann_lsh`: random-hyperplane LSH — the 100 TB path. Signatures are
+  *    scan-side; the candidate join shuffles only (bucket) keys, so cost
+  *    scales with bucket occupancy, not N^2. Recall vs brute force is pinned
+  *    by SimilaritySpec.
+  */
+object Similarity {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.df(s, dir, n)
+
+  private val queryIds = Seq(0L, 1L, 2L, 3L, 4L)
+  private val TOPK = 10
+
+  private def asDouble(c: Column): Column =
+    transform(c, x => x.cast("double"))
+
+  private val dotSql =
+    "aggregate(zip_with(qv, nv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+  private val cosSql =
+    s"$dotSql / (sqrt(aggregate(zip_with(qv, qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x))" +
+      " * sqrt(aggregate(zip_with(nv, nv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)))"
+
+  /** 8 hash tables x 4 deterministic hyperplanes (fixed seed), dim 64.
+    * Few planes per table keeps per-bucket recall high for the moderate
+    * cosines in this corpus; multiple tables union the candidates
+    * (recall ≈ 1-(1-(1-θ/π)^4)^8 ≈ 0.8 at θ=60°). At 100 TB, tables/planes
+    * are the knobs traded against bucket occupancy. */
+  val TABLES = 8
+  val PLANES_PER_TABLE = 4
+  val planes: Seq[Seq[Seq[Double]]] = {
+    val rng = new scala.util.Random(42)
+    Seq.fill(TABLES)(Seq.fill(PLANES_PER_TABLE)(Seq.fill(64)(rng.nextGaussian())))
+  }
+
+  val defs: Seq[Q] = Seq(
+
+    Q("sim_cosine_topk", Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+          list_dot_product(q.v, n.v)
+            / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))) AS cos
+        FROM e q JOIN e n ON n.vec_id <> q.vec_id
+        WHERE q.vec_id IN (0, 1, 2, 3, 4)),
+      ranked AS (
+        SELECT query_id, neighbor_id, cos,
+          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+        FROM scored)
+      SELECT query_id, neighbor_id, CAST(rn AS INT) AS rnk, round(cos, 6) AS cos
+      FROM ranked WHERE rn <= 10
+      ORDER BY query_id, rnk""")) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val q = e.filter(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val scored = broadcast(q).join(
+          e.select(col("vec_id").as("neighbor_id"), col("v").as("nv")),
+          col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"), expr(cosSql).as("cos"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= TOPK)
+        .select(col("query_id"), col("neighbor_id"), col("rn").as("rnk"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("query_id", "rnk")
+    },
+
+    // random-hyperplane LSH: 16-bit signature -> same-bucket candidates ->
+    // exact cosine within bucket -> top-k. Recall measured in SimilaritySpec.
+    Q("sim_ann_lsh", None) { (s, dir) =>
+      val planesCol = typedLit(planes)
+      val sigSql =
+        s"transform(planes, tbl -> aggregate(zip_with(tbl, sequence(0, ${PLANES_PER_TABLE - 1}), " +
+          "(p, i) -> IF(aggregate(zip_with(p, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x) > 0, " +
+          "shiftleft(1, cast(i AS INT)), 0)), 0, (acc, x) -> acc | x))"
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("planes", planesCol)
+        .withColumn("sigs", expr(sigSql))
+        .drop("planes")
+        .select(col("vec_id"), col("v"),
+          posexplode(col("sigs")).as(Seq("tbl", "bucket")))
+      val q = e.filter(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("tbl").as("qtbl"), col("bucket").as("qbucket"))
+      val cand = broadcast(q).join(
+          e.select(col("vec_id").as("neighbor_id"), col("v").as("nv"),
+            col("tbl"), col("bucket")),
+          col("tbl") === col("qtbl") && col("bucket") === col("qbucket")
+            && col("neighbor_id") =!= col("query_id"))
+        .select("query_id", "qv", "neighbor_id", "nv").distinct()
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      cand.select(col("query_id"), col("neighbor_id"), expr(cosSql).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= TOPK)
+        .select(col("query_id"), col("neighbor_id"), col("rn").as("rnk"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("query_id", "rnk")
+    }
+  )
+}

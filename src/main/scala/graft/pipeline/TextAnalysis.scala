@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline (builder brief +
+  * SURVEY §7.5): token counting, quality scoring, language-ID heuristic,
+  * document fingerprinting.
+  *
+  * All per-document features are pure scan-side expressions (whole-stage
+  * codegen, no shuffle, no UDF except lang-ID) — at 100 TB these run at
+  * parquet-scan speed and parallelize trivially across executors.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of the (already single-spaced) document text. */
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** Word n-gram shingles (distinct), for Jaccard/MinHash dedup. */
+  val shingleSql: String =
+    "array_distinct(transform(sequence(0, size(split(text,' ')) - 3), " +
+      "i -> concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1], split(text,' ')[i+2])))"
+
+  private val stopwords = Seq("the", "a")
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.df(s, dir, n)
+
+  /** Stopword-profile language-ID heuristic. The honest classic approach
+    * (n-gram/stopword profiles, argmax over languages, deterministic
+    * tie-break); registered as a UDF because the profile lookup is genuinely
+    * per-row imperative. */
+  val langProfiles: Seq[(String, Set[String])] = Seq(
+    "en" -> Set("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Set("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Set("el", "la", "de", "y", "en", "que"),
+    "fr" -> Set("le", "la", "de", "et", "les", "un"),
+    "zh" -> Set("的", "是", "了", "在", "和"))
+
+  def langId(text: String): String = {
+    if (text == null) return null
+    val toks = text.split(' ')
+    val scores = langProfiles.map { case (lang, words) =>
+      (lang, toks.count(words.contains)) }
+    scores.maxBy(_._2)._1 // Seq order breaks ties deterministically (en first)
+  }
+
+  def registerUdfs(spark: SparkSession): Unit =
+    spark.udf.register("lang_id", (s: String) => langId(s))
+
+  val defs: Seq[Q] = Seq(
+
+    Q("txt_token_count", Some("""
+      SELECT doc_id, length(text) AS n_chars_actual,
+        len(string_split(text, chr(32))) AS n_tokens,
+        len(list_distinct(string_split(text, chr(32)))) AS n_unique
+      FROM documents ORDER BY doc_id""")) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).as("n_chars_actual"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"),
+          size(array_distinct(tokens(col("text")))).cast("long").as("n_unique"))
+        .orderBy("doc_id")
+    },
+
+    // quality score: identical arithmetic on both sides (ratios of exact
+    // ints -> single double ops in a fixed order)
+    Q("txt_quality_score", Some("""
+      SELECT doc_id,
+        CAST(len(list_filter(toks, x -> list_contains(['the','a'], x))) AS DOUBLE) / len(toks) AS stop_ratio,
+        CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio,
+        CAST(length(text) - len(toks) + 1 AS DOUBLE) / len(toks) AS avg_word_len,
+        round(0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+            + 0.3 * (1.0 - CAST(len(list_filter(toks, x -> list_contains(['the','a'], x))) AS DOUBLE) / len(toks))
+            + 0.3 * least((CAST(length(text) - len(toks) + 1 AS DOUBLE) / len(toks)) / 8.0, 1.0), 6) AS quality
+      FROM (SELECT doc_id, text, string_split(text, chr(32)) AS toks FROM documents) d
+      ORDER BY doc_id""")) { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      val stopArr = array(stopwords.map(lit): _*)
+      val nTok = size(col("toks"))
+      val stopRatio = size(filter(col("toks"), x => array_contains(stopArr, x)))
+        .cast("double") / nTok
+      val uniqRatio = size(array_distinct(col("toks"))).cast("double") / nTok
+      val avgLen = (length(col("text")) - nTok + 1).cast("double") / nTok
+      d.select(col("doc_id"),
+          stopRatio.as("stop_ratio"), uniqRatio.as("uniq_ratio"),
+          avgLen.as("avg_word_len"),
+          round(lit(0.4) * uniqRatio + lit(0.3) * (lit(1.0) - stopRatio)
+            + lit(0.3) * least(avgLen / 8.0, lit(1.0)), 6).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // heuristic lang-ID: no SQL oracle (the profile table lives in Scala);
+    // driver records rows-only, invariants in LangIdSpec
+    Q("txt_lang_id", None) { (s, dir) =>
+      registerUdfs(s)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          expr("lang_id(text)").as("predicted"),
+          (col("lang") === expr("lang_id(text)")).as("agrees"))
+        .orderBy("doc_id")
+    },
+
+    Q("txt_fingerprint", Some("""
+      SELECT doc_id, md5(text) AS fp,
+             md5(substr(text, 1, 80)) AS fp_prefix80
+      FROM documents ORDER BY doc_id""")) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("fp"),
+          md5(substring(col("text"), 1, 80)).as("fp_prefix80"))
+        .orderBy("doc_id")
+    },
+
+    // codegen'd rolling-hash fingerprint (custom Catalyst Expression) — no
+    // DuckDB equivalent, covered by ExpressionsSpec
+    Q("txt_fingerprint_rolling", None) { (s, dir) =>
+      GraftExpressions.register(s)
+      t(s, dir, "documents")
+        .select(col("doc_id"), expr("rolling_hash(text)").as("fp64"),
+          expr("rolling_hash(substring(text, 1, 80))").as("fp64_prefix"))
+        .orderBy("doc_id")
+    }
+  )
+}

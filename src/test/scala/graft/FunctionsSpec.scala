@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit tests for the pure parts of the PG-compat shim layer. */
+class FunctionsSpec extends AnyFunSuite {
+
+  test("to_char pattern translation") {
+    assert(PgFunctions.translateToCharPattern("YYYY-MM-DD") == "yyyy-MM-dd")
+    assert(PgFunctions.translateToCharPattern("HH24:MI:SS") == "HH:mm:ss")
+    assert(PgFunctions.translateToCharPattern("DD Mon YYYY") == "dd MMM yyyy")
+    assert(PgFunctions.translateToCharPattern("HH12 PM") == "hh a")
+    // unknown letters are quoted, punctuation passes through
+    assert(PgFunctions.translateToCharPattern("T") == "'T'")
+  }
+
+  test("session settings registry") {
+    assert(SessionSettings.get("server_version").contains("17.0"))
+    assert(SessionSettings.get("SEARCH_PATH").contains("\"$user\", public"))
+    SessionSettings.set("my_knob", "42")
+    assert(SessionSettings.get("my_knob").contains("42"))
+    assert(SessionSettings.get("missing").isEmpty)
+  }
+
+  test("pg type oids mirror the reference mapping") {
+    assert(PgCatalog.pgTypeOf(IntegerType) == (23, "integer"))
+    assert(PgCatalog.pgTypeOf(LongType) == (20, "bigint"))
+    assert(PgCatalog.pgTypeOf(DoubleType) == (701, "double precision"))
+    assert(PgCatalog.pgTypeOf(StringType) == (25, "text"))
+    assert(PgCatalog.pgTypeOf(TimestampType)._1 == 1184)
+    assert(PgCatalog.pgTypeOf(ArrayType(FloatType))._1 == 2277)
+    assert(PgCatalog.pgTypeOf(DecimalType(12, 2)) == (1700, "numeric"))
+  }
+}
+
+/** SQL-surface behavior of registered shims. */
+class FunctionsSqlSpec extends SparkSpecBase {
+
+  test("shims visible from SQL after registration") {
+    Tables.registerAll(spark, sfDir)
+    val r = spark.sql(
+      "SELECT version() AS v, quote_ident('we\"ird') AS q, pg_format('%s=%d', 'x', 7) AS f")
+      .collect()(0)
+    assert(r.getString(0).startsWith("PostgreSQL 17.0"))
+    assert(r.getString(1) == "\"we\"\"ird\"")
+    assert(r.getString(2) == "x=7")
+  }
+
+  test("set_config round-trips through current_setting") {
+    Tables.registerAll(spark, sfDir)
+    val v = spark.sql("SELECT set_config('app.name', 'graft', false) AS v")
+      .collect()(0).getString(0)
+    assert(v == "graft")
+    val got = spark.sql("SELECT current_setting('app.name') AS v")
+      .collect()(0).getString(0)
+    assert(got == "graft")
+  }
+}

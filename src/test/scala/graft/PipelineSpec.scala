@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Invariants for the no-oracle pipeline operators (LSH, simhash, lang-id,
+  * rolling hash) — these are the checks the DuckDB gate can't express. */
+class PipelineSpec extends SparkSpecBase {
+
+  private def pairSet(name: String): Set[(Long, Long)] =
+    run(name).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash LSH pairs equal exact jaccard pairs at this scale") {
+    assert(pairSet("dd_minhash_lsh") == pairSet("dd_ngram_jaccard"))
+  }
+
+  test("simhash near-dup pairs cover the strongest jaccard dups") {
+    val strong = run("dd_ngram_jaccard")
+      .filter(col("jaccard") >= 0.97)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = pairSet("dd_simhash")
+    assert(strong.nonEmpty)
+    assert(strong.subsetOf(sim),
+      s"missing from simhash: ${strong.diff(sim)}")
+  }
+
+  test("ANN LSH recall@10 vs brute force >= 0.5") {
+    def topk(name: String): Map[Long, Set[Long]] =
+      run(name).select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) =>
+          q -> rs.map(_.getLong(1)).toSet
+        }
+    val exact = topk("sim_cosine_topk")
+    val ann = topk("sim_ann_lsh")
+    val recalls = exact.map { case (q, ex) =>
+      ann.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean recall $mean")
+  }
+
+  test("exact dedup keeps one doc per fingerprint group") {
+    val total = Tables.df(spark, sfDir, "documents").count()
+    val groups = run("dd_exact_groups")
+      .agg(sum(col("n")).as("dup_docs"), count(lit(1)).as("ngroups"))
+      .collect()(0)
+    val kept = run("dd_exact_dedup").count()
+    assert(kept == total - (groups.getLong(0) - groups.getLong(1)))
+  }
+
+  test("lang_id is deterministic and follows stopword profiles") {
+    assert(TextAnalysis.langId("the a the cat") == "en")
+    assert(TextAnalysis.langId("der und die das") == "de")
+    assert(TextAnalysis.langId("le et les un") == "fr")
+    assert(TextAnalysis.langId("xyzzy") == "en") // tie -> first profile
+    val out1 = run("txt_lang_id").collect().toSeq
+    val out2 = run("txt_lang_id").collect().toSeq
+    assert(out1 == out2)
+  }
+
+  test("rolling_hash matches reference implementation, codegen and eval") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => h * 1000003L + (b & 0xffL))
+    assert(RollingHashUtil.hash(UTF8String.fromString("abc")) == ref("abc"))
+    GraftExpressions.register(spark)
+    val got = spark.sql("SELECT rolling_hash('hello world') AS h").collect()(0).getLong(0)
+    assert(got == ref("hello world"))
+    // stability across rows via the query path
+    val rows = run("txt_fingerprint_rolling").limit(5).collect()
+    val docs = Tables.df(spark, sfDir, "documents").orderBy("doc_id").limit(5).collect()
+    rows.zip(docs).foreach { case (r, d) =>
+      assert(r.getLong(1) == ref(d.getAs[String]("text")))
+    }
+  }
+
+  test("quality score stays in [0,1] and penalizes stopword soup") {
+    val rows = run("txt_quality_score").select("quality").collect().map(_.getDouble(0))
+    assert(rows.forall(q => q >= 0.0 && q <= 1.0))
+  }
+}
