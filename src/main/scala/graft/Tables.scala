@@ -20,7 +20,10 @@ object Tables {
   val broadcastable: Set[String] =
     Set("region", "nation", "supplier", "part", "customer")
 
-  def df(spark: SparkSession, dir: String, name: String): DataFrame = {
+  def df(spark: SparkSession, dir: String, name: String): DataFrame =
+    primed.getOrElse((dir, name), load(spark, dir, name))
+
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
     // rejects; read it as long nanos and surface a proper µs timestamp.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -30,6 +33,36 @@ object Tables {
         org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
     else raw
+  }
+
+  /** Partitioning keys for the hot-cache layout: fact tables hash-cluster on
+    * their join key so joins and groupBys over that key reuse the cached
+    * partitioning (Exchange elided). Cluster-scale analog: bucketed tables /
+    * Iceberg hidden partitioning + storage-partitioned joins. */
+  private val clusterKey: Map[String, String] = Map(
+    "lineitem" -> "l_orderkey", "orders" -> "o_orderkey",
+    "customer" -> "c_custkey", "events" -> "user_id")
+
+  @volatile private var primed: Map[(String, String), DataFrame] = Map.empty
+
+  /** Pin all tables in the in-memory columnar cache, fact tables
+    * repartitioned by join key (parallel cached scans; the driver data is
+    * one parquet file per table = single-partition cold scans otherwise).
+    * The long-running server calls this once at boot; queries then hit the
+    * cache transparently via [[df]]. */
+  def prime(spark: SparkSession, dir: String, parts: Int): Unit = synchronized {
+    import org.apache.spark.storage.StorageLevel
+    names.foreach { n =>
+      val base = load(spark, dir, n)
+      val laid = clusterKey.get(n) match {
+        case Some(k) => base.repartition(parts, org.apache.spark.sql.functions.col(k))
+        case None if broadcastable(n) => base.coalesce(1)
+        case None => base.repartition(parts)
+      }
+      val cached = laid.persist(StorageLevel.MEMORY_ONLY)
+      cached.count()
+      primed += (dir, n) -> cached
+    }
   }
 
   // Registration is idempotent and cheap, but skip re-registration for the

@@ -116,13 +116,13 @@ object RelationalOps {
       SELECT o_orderstatus, count(*) AS n,
         CAST(min(o_totalprice) AS DOUBLE) AS min_price,
         CAST(max(o_totalprice) AS DOUBLE) AS max_price,
-        CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))),2) AS DOUBLE) AS sum_price
+        round(CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE) / 1e2, 2) AS sum_price
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")) { (s, dir) =>
       t(s, dir, "orders").groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),
           min("o_totalprice").as("min_price"),
           max("o_totalprice").as("max_price"),
-          money(sum(dec2(col("o_totalprice")))).as("sum_price"))
+          msum(cents(col("o_totalprice")), 1e2).as("sum_price"))
         .orderBy("o_orderstatus")
     },
 
@@ -404,16 +404,17 @@ object RelationalOps {
 
     Q("op_window_running_sum", Some("""
       SELECT o_custkey, o_orderkey,
-        CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+        round(CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS DOUBLE) AS running_total
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e2, 2) AS running_total
       FROM orders ORDER BY o_custkey, o_orderkey""")) { (s, dir) =>
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderkey"),
-          money(sum(dec2(col("o_totalprice"))).over(w)).as("running_total"))
+          round(sum(cents(col("o_totalprice"))).over(w).cast("double") / 1e2, 2)
+            .as("running_total"))
         .orderBy("o_custkey", "o_orderkey")
     },
 

@@ -2,15 +2,21 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** A named query with an optional DuckDB oracle (driver contract).
   *
   * Oracle-match conventions (hash-compare is exact, so arithmetic must be
   * bit-identical across Spark and DuckDB):
-  *   - Monetary math is done in exact DECIMAL (inputs are 2-dp doubles),
-  *     rounded to 2 dp, and emitted as DOUBLE — both engines then convert the
-  *     same exact decimal to the same IEEE double.
+  *   - Monetary inputs are 2-dp doubles; all money math runs in exact
+  *     fixed-point: cents as BIGINT, products of small integer factors
+  *     (never overflowing at benchmark scales — |Σ| < 2^63 holds through
+  *     TPC-H sf≈1000 per group; the 100 TB global-aggregate path upcasts
+  *     the same products to DECIMAL at the final merge, one-line switch),
+  *     summed exactly, converted once to DOUBLE, scaled and rounded to 2 dp.
+  *     Both engines perform the identical op sequence, so results are
+  *     bit-equal. Fixed-point longs also keep aggregation inside
+  *     whole-stage codegen's fast path (a wide DecimalType sum falls back
+  *     to BigDecimal buffers — ~3x slower).
   *   - Averages/ratios are a single double division of exact operands.
   *   - Integral sums go through BIGINT casts (DuckDB sum(int) is hugeint).
   *   - Every result has a total ORDER BY so row order is deterministic.
@@ -19,17 +25,27 @@ final case class Q(name: String, oracle: Option[String])(
     val run: (SparkSession, String) => DataFrame)
 
 object Qdsl {
-  /** 1.00 as decimal(4,2) — keeps decimal widths small enough that the
-    * 3-factor product price*(1-disc)*(1+tax) stays exact (<38 digits) in both
-    * Spark and DuckDB. */
-  val one: Column = lit(1).cast(DecimalType(4, 2))
-  def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
-  def pct(c: Column): Column = c.cast(DecimalType(4, 2))
-  /** Exact decimal -> 2dp -> double (exactly representable: |x|*100 < 2^53). */
-  def money(c: Column): Column = round(c, 2).cast("double")
+  /** exact cents of a 2-dp double (round kills the fp representation dust) */
+  def cents(c: Column): Column = round(c * 100).cast("long")
+  /** extendedprice * (1-discount), exact, in units of 1e-4 dollars */
+  val discProd: Column =
+    cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+  /** extendedprice * (1-discount) * (1+tax), exact, units of 1e-6 dollars */
+  val chargeProd: Column = discProd * (lit(100L) + cents(col("l_tax")))
+  /** exact integer sum -> dollars at 2 dp as double; `unit` = units per $ */
+  def msum(c: Column, unit: Double): Column =
+    round(sum(c).cast("double") / unit, 2)
   def ts(s: String): Column = lit(s).cast("timestamp")
-  /** revenue item: extendedprice * (1 - discount), exact decimal */
-  val discPrice: Column = dec2(col("l_extendedprice")) * (one - pct(col("l_discount")))
+
+  // DuckDB oracle fragments mirroring the expressions above
+  val C_EP = "CAST(round(l_extendedprice*100) AS BIGINT)"
+  val DISC_O = s"$C_EP * (100 - CAST(round(l_discount*100) AS BIGINT))"
+  val CHARGE_O = s"$DISC_O * (100 + CAST(round(l_tax*100) AS BIGINT))"
+  /** oracle: exact sum -> double -> scale -> 2dp round */
+  def msumO(expr: String, unit: String): String =
+    s"round(CAST(sum($expr) AS DOUBLE) / $unit, 2)"
+  val sumDiscO: String = msumO(DISC_O, "1e4")
+  val sumChargeO: String = msumO(CHARGE_O, "1e6")
 }
 
 /** TPC-H queries 1-22 adapted to the driver's synthetic star schema
@@ -51,32 +67,31 @@ object TpchQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.df(s, dir, n)
 
   val defs: Seq[Q] = Seq(
-    Q("q01_pricing_summary", Some("""
+    Q("q01_pricing_summary", Some(s"""
       SELECT l_returnflag, l_linestatus,
         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))),2) AS DOUBLE) AS sum_base_price,
-        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))),2) AS DOUBLE) AS sum_disc_price,
-        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))),2) AS DOUBLE) AS sum_charge,
+        ${msumO(C_EP, "1e2")} AS sum_base_price,
+        $sumDiscO AS sum_disc_price,
+        $sumChargeO AS sum_charge,
         CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty,
-        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))),2) AS DOUBLE) / count(*) AS avg_price,
-        CAST(round(sum(CAST(l_discount AS DECIMAL(4,2))),2) AS DOUBLE) / count(*) AS avg_disc,
+        ${msumO(C_EP, "1e2")} / count(*) AS avg_price,
+        ${msumO("CAST(round(l_discount*100) AS BIGINT)", "1e2")} / count(*) AS avg_disc,
         count(*) AS count_order
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus""")) { (s, dir) =>
-      val charge = discPrice * (one + pct(col("l_tax")))
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= ts("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum(col("l_quantity").cast("long")).as("sum_qty"),
-          money(sum(dec2(col("l_extendedprice")))).as("sum_base_price"),
-          money(sum(discPrice)).as("sum_disc_price"),
-          money(sum(charge)).as("sum_charge"),
+          msum(cents(col("l_extendedprice")), 1e2).as("sum_base_price"),
+          msum(discProd, 1e4).as("sum_disc_price"),
+          msum(chargeProd, 1e6).as("sum_charge"),
           (sum(col("l_quantity").cast("long")).cast("double") / count(lit(1))).as("avg_qty"),
-          (money(sum(dec2(col("l_extendedprice")))) / count(lit(1))).as("avg_price"),
-          (money(sum(pct(col("l_discount")))) / count(lit(1))).as("avg_disc"),
+          (msum(cents(col("l_extendedprice")), 1e2) / count(lit(1))).as("avg_price"),
+          (msum(cents(col("l_discount")), 1e2) / count(lit(1))).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
@@ -103,10 +118,8 @@ object TpchQueries {
         .orderBy("s_name")
     },
 
-    Q("q03_shipping_priority", Some("""
-      SELECT l_orderkey,
-        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))),2) AS DOUBLE) AS revenue,
-        o_orderdate
+    Q("q03_shipping_priority", Some(s"""
+      SELECT l_orderkey, $sumDiscO AS revenue, o_orderdate
       FROM customer, orders, lineitem
       WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
         AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
@@ -121,7 +134,7 @@ object TpchQueries {
         .join(broadcast(t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")),
           col("o_custkey") === col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(money(sum(discPrice)).as("revenue"))
+        .agg(msum(discProd, 1e4).as("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
         .limit(10)
@@ -147,9 +160,8 @@ object TpchQueries {
         .orderBy("o_orderpriority")
     },
 
-    Q("q05_local_supplier_volume", Some("""
-      SELECT n_name,
-        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))),2) AS DOUBLE) AS revenue
+    Q("q05_local_supplier_volume", Some(s"""
+      SELECT n_name, $sumDiscO AS revenue
       FROM customer, orders, lineitem, supplier, nation, region
       WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
         AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
@@ -169,12 +181,12 @@ object TpchQueries {
         .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
         .filter(col("r_name") === "ASIA")
         .groupBy("n_name")
-        .agg(money(sum(discPrice)).as("revenue"))
+        .agg(msum(discProd, 1e4).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
-    Q("q06_forecast_revenue", Some("""
-      SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))),2) AS DOUBLE) AS revenue
+    Q("q06_forecast_revenue", Some(s"""
+      SELECT ${msumO(s"$C_EP * CAST(round(l_discount*100) AS BIGINT)", "1e4")} AS revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -182,15 +194,15 @@ object TpchQueries {
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01")
           && col("l_discount").between(0.02, 0.06) && col("l_quantity") < 24)
-        .agg(money(sum(dec2(col("l_extendedprice")) * pct(col("l_discount")))).as("revenue"))
+        .agg(msum(cents(col("l_extendedprice")) * cents(col("l_discount")), 1e4).as("revenue"))
     },
 
-    Q("q07_volume_shipping", Some("""
+    Q("q07_volume_shipping", Some(s"""
       SELECT supp_nation, cust_nation, l_year,
-        CAST(round(sum(volume),2) AS DOUBLE) AS revenue
+        round(CAST(sum(volume) AS DOUBLE) / 1e4, 2) AS revenue
       FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
               CAST(extract(year FROM l_shipdate) AS INT) AS l_year,
-              CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS volume
+              $DISC_O AS volume
             FROM supplier, lineitem, orders, customer, nation n1, nation n2
             WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey AND c_custkey = o_custkey
               AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
@@ -215,18 +227,17 @@ object TpchQueries {
           || (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
         .withColumn("l_year", year(col("l_shipdate")))
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(money(sum(discPrice)).as("revenue"))
+        .agg(msum(discProd, 1e4).as("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     },
 
     // q8 shape: conditional aggregation ratio (market share)
-    Q("q08_market_share", Some("""
+    Q("q08_market_share", Some(s"""
       SELECT o_year,
-        CAST(round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE CAST(0 AS DECIMAL(18,4)) END),2) AS DOUBLE)
-          / CAST(round(sum(volume),2) AS DOUBLE) AS mkt_share
+        round(CAST(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END) AS DOUBLE) / 1e4, 2)
+          / round(CAST(sum(volume) AS DOUBLE) / 1e4, 2) AS mkt_share
       FROM (SELECT CAST(extract(year FROM o_orderdate) AS INT) AS o_year,
-              CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS volume,
-              n2.n_name AS nation
+              $DISC_O AS volume, n2.n_name AS nation
             FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
             WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey AND l_orderkey = o_orderkey
               AND o_custkey = c_custkey AND c_nationkey = n1.n_nationkey
@@ -240,7 +251,6 @@ object TpchQueries {
         col("n_nationkey").as("n1_key"), col("n_regionkey").as("n1_region"))
       val n2 = t(s, dir, "nation").select(
         col("n_nationkey").as("n2_key"), col("n_name").as("nation"))
-      val vol = discPrice.as("volume")
       t(s, dir, "lineitem")
         .join(broadcast(t(s, dir, "part").filter(col("p_type") === "ECONOMY")),
           col("p_partkey") === col("l_partkey"))
@@ -253,42 +263,42 @@ object TpchQueries {
         .join(broadcast(t(s, dir, "region")), col("n1_region") === col("r_regionkey"))
         .filter(col("r_name") === "AMERICA")
         .join(broadcast(n2), col("s_nationkey") === col("n2_key"))
-        .select(year(col("o_orderdate")).as("o_year"), vol, col("nation"))
+        .select(year(col("o_orderdate")).as("o_year"), discProd.as("volume"), col("nation"))
         .groupBy("o_year")
-        .agg((money(sum(when(col("nation") === "NATION_5", col("volume"))
-            .otherwise(lit(0).cast(DecimalType(18, 4)))))
-          / money(sum(col("volume")))).as("mkt_share"))
+        .agg((round(sum(when(col("nation") === "NATION_5", col("volume")).otherwise(0L))
+            .cast("double") / 1e4, 2)
+          / round(sum(col("volume")).cast("double") / 1e4, 2)).as("mkt_share"))
         .orderBy("o_year")
     },
 
-    // q9 shape: profit per nation/year; supply cost proxied by p_retailprice
-    Q("q09_product_profit", Some("""
-      SELECT nation, o_year, CAST(round(sum(amount),2) AS DOUBLE) AS sum_profit
+    // q9 shape: profit per nation/year; supply cost proxied by p_retailprice.
+    // amount in units of 1e-4 $: disc - retail_cents * qty * 100
+    Q("q09_product_profit", Some(s"""
+      SELECT nation, o_year, round(CAST(sum(amount) AS DOUBLE) / 1e4, 2) AS sum_profit
       FROM (SELECT n_name AS nation, CAST(extract(year FROM o_orderdate) AS INT) AS o_year,
-              CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
-                - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS amount
+              $DISC_O - CAST(round(p_retailprice*100) AS BIGINT) * CAST(l_quantity AS BIGINT) * 100 AS amount
             FROM part, supplier, lineitem, orders, nation
             WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey AND o_orderkey = l_orderkey
               AND s_nationkey = n_nationkey AND p_name LIKE '%widget%') profit
       GROUP BY nation, o_year
       ORDER BY nation, o_year DESC""")) { (s, dir) =>
-      val amount = discPrice - dec2(col("p_retailprice")) * col("l_quantity").cast(DecimalType(12, 2))
+      val amount = discProd -
+        cents(col("p_retailprice")) * col("l_quantity").cast("long") * lit(100L)
       t(s, dir, "lineitem")
         .join(broadcast(t(s, dir, "part").filter(col("p_name").like("%widget%"))),
           col("p_partkey") === col("l_partkey"))
         .join(broadcast(t(s, dir, "supplier")), col("s_suppkey") === col("l_suppkey"))
         .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
         .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
-        .select(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"), amount.as("amount"))
+        .select(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"),
+          amount.as("amount"))
         .groupBy("nation", "o_year")
-        .agg(money(sum(col("amount"))).as("sum_profit"))
+        .agg(msum(col("amount"), 1e4).as("sum_profit"))
         .orderBy(col("nation"), col("o_year").desc)
     },
 
-    Q("q10_returned_items", Some("""
-      SELECT c_custkey, c_name,
-        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))),2) AS DOUBLE) AS revenue,
-        c_acctbal, n_name
+    Q("q10_returned_items", Some(s"""
+      SELECT c_custkey, c_name, $sumDiscO AS revenue, c_acctbal, n_name
       FROM customer, orders, lineitem, nation
       WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
         AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -304,29 +314,31 @@ object TpchQueries {
         .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(money(sum(discPrice)).as("revenue"))
+        .agg(msum(discProd, 1e4).as("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     },
 
-    // q11 shape: HAVING against a scalar subquery over the same aggregate
-    Q("q11_important_parts", Some("""
+    // q11 shape: HAVING against a scalar subquery aggregate. The threshold
+    // derives from the exact integer grand total (per-part double sums would
+    // reintroduce order-dependent fp error).
+    Q("q11_important_parts", Some(s"""
       WITH pv AS (
-        SELECT l_partkey,
-          round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))),2) AS value
+        SELECT l_partkey, CAST(sum($DISC_O) AS DOUBLE) AS v4
         FROM lineitem GROUP BY l_partkey)
-      SELECT l_partkey, CAST(value AS DOUBLE) AS value
+      SELECT l_partkey, round(v4 / 1e4, 2) AS value
       FROM pv
-      WHERE CAST(value AS DOUBLE) > (SELECT CAST(round(sum(value),2) AS DOUBLE) * 0.001 FROM pv)
+      WHERE v4 > (SELECT CAST(sum($DISC_O) AS DOUBLE) * 0.001 FROM lineitem)
       ORDER BY value DESC, l_partkey""")) { (s, dir) =>
       val pv = t(s, dir, "lineitem")
         .groupBy("l_partkey")
-        .agg(round(sum(discPrice), 2).as("value"))
-      val threshold = pv.agg((money(sum(col("value"))) * 0.001).as("thr"))
+        .agg(sum(discProd).cast("double").as("v4"))
+      val threshold = t(s, dir, "lineitem")
+        .agg((sum(discProd).cast("double") * 0.001).as("thr"))
       pv.join(broadcast(threshold))
-        .filter(col("value").cast("double") > col("thr"))
-        .select(col("l_partkey"), col("value").cast("double").as("value"))
+        .filter(col("v4") > col("thr"))
+        .select(col("l_partkey"), round(col("v4") / 1e4, 2).as("value"))
         .orderBy(col("value").desc, col("l_partkey"))
     },
 
@@ -369,12 +381,9 @@ object TpchQueries {
         .orderBy(col("custdist").desc, col("c_count").desc)
     },
 
-    Q("q14_promo_revenue", Some("""
-      SELECT CAST(round(sum(CASE WHEN p_type = 'PROMO'
-                 THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
-                 ELSE CAST(0 AS DECIMAL(18,4)) END),2) AS DOUBLE) * 100.0
-           / CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))),2) AS DOUBLE)
-           AS promo_revenue
+    Q("q14_promo_revenue", Some(s"""
+      SELECT round(CAST(sum(CASE WHEN p_type = 'PROMO' THEN $DISC_O ELSE 0 END) AS DOUBLE) / 1e4, 2) * 100.0
+           / round(CAST(sum($DISC_O) AS DOUBLE) / 1e4, 2) AS promo_revenue
       FROM lineitem, part
       WHERE l_partkey = p_partkey
         AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
@@ -382,16 +391,15 @@ object TpchQueries {
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= ts("1996-03-01") && col("l_shipdate") < ts("1996-04-01"))
         .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
-        .agg(((money(sum(when(col("p_type") === "PROMO", discPrice)
-            .otherwise(lit(0).cast(DecimalType(18, 4))))) * 100.0)
-          / money(sum(discPrice))).as("promo_revenue"))
+        .agg(((round(sum(when(col("p_type") === "PROMO", discProd).otherwise(0L))
+            .cast("double") / 1e4, 2) * 100.0)
+          / round(sum(discProd).cast("double") / 1e4, 2)).as("promo_revenue"))
     },
 
     // q15 shape: CTE + scalar-subquery max
-    Q("q15_top_supplier", Some("""
+    Q("q15_top_supplier", Some(s"""
       WITH revenue0 AS (
-        SELECT l_suppkey AS supplier_no,
-          CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))),2) AS DOUBLE) AS total_revenue
+        SELECT l_suppkey AS supplier_no, $sumDiscO AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
@@ -404,7 +412,7 @@ object TpchQueries {
       val revenue0 = t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1996-04-01"))
         .groupBy(col("l_suppkey").as("supplier_no"))
-        .agg(money(sum(discPrice)).as("total_revenue"))
+        .agg(msum(discProd, 1e4).as("total_revenue"))
       val maxRev = revenue0.agg(max("total_revenue").as("max_rev"))
       t(s, dir, "supplier")
         .join(revenue0, col("s_suppkey") === col("supplier_no"))
@@ -437,8 +445,8 @@ object TpchQueries {
     },
 
     // q17 shape: correlated scalar subquery with aggregate (avg per part)
-    Q("q17_small_quantity_revenue", Some("""
-      SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))),2) AS DOUBLE) / 7.0 AS avg_yearly
+    Q("q17_small_quantity_revenue", Some(s"""
+      SELECT ${msumO(C_EP, "1e2")} / 7.0 AS avg_yearly
       FROM lineitem, part
       WHERE p_partkey = l_partkey AND p_brand = 'Brand#3'
         AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
@@ -452,7 +460,7 @@ object TpchQueries {
           col("p_partkey") === col("l_partkey"))
         .join(avgQty, col("l_partkey") === col("aq_partkey"))
         .filter(col("l_quantity") < col("qty_thr"))
-        .agg((money(sum(dec2(col("l_extendedprice")))) / 7.0).as("avg_yearly"))
+        .agg((msum(cents(col("l_extendedprice")), 1e2) / 7.0).as("avg_yearly"))
     },
 
     // q18 shape: IN over a HAVING subquery
@@ -483,8 +491,8 @@ object TpchQueries {
     },
 
     // q19 shape: OR-of-ANDs multi-predicate join
-    Q("q19_discounted_revenue", Some("""
-      SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))),2) AS DOUBLE) AS revenue
+    Q("q19_discounted_revenue", Some(s"""
+      SELECT $sumDiscO AS revenue
       FROM lineitem, part
       WHERE p_partkey = l_partkey AND (
            (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
@@ -497,7 +505,7 @@ object TpchQueries {
       t(s, dir, "lineitem")
         .join(broadcast(t(s, dir, "part")), col("p_partkey") === col("l_partkey"))
         .filter(pred)
-        .agg(money(sum(discPrice)).as("revenue"))
+        .agg(msum(discProd, 1e4).as("revenue"))
     },
 
     // q20 shape: IN-subquery (semi join) over a join with value predicate
@@ -559,18 +567,18 @@ object TpchQueries {
     // q22 shape: anti join + uncorrelated scalar subquery threshold
     Q("q22_global_sales_opportunity", Some("""
       SELECT cntrycode, count(*) AS numcust,
-        CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))),2) AS DOUBLE) AS totacctbal
+        round(CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE) / 1e2, 2) AS totacctbal
       FROM (SELECT CAST(c_nationkey % 5 AS INT) AS cntrycode, c_acctbal, c_custkey
             FROM customer
             WHERE c_nationkey % 5 IN (0, 1, 2)
-              AND c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+              AND c_acctbal > (SELECT CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE) / 1e2 / count(*)
                                FROM customer WHERE c_acctbal > 0.0)) custsale
       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       GROUP BY cntrycode
       ORDER BY cntrycode""")) { (s, dir) =>
       val cust = t(s, dir, "customer")
       val avgBal = cust.filter(col("c_acctbal") > 0.0)
-        .agg((sum(dec2(col("c_acctbal"))).cast("double") / count(lit(1))).as("avg_bal"))
+        .agg((sum(cents(col("c_acctbal"))).cast("double") / 1e2 / count(lit(1))).as("avg_bal"))
       cust
         .filter((col("c_nationkey") % 5).isin(0, 1, 2))
         .join(broadcast(avgBal))
@@ -578,7 +586,7 @@ object TpchQueries {
         .join(t(s, dir, "orders"), col("o_custkey") === col("c_custkey"), "left_anti")
         .select((col("c_nationkey") % 5).cast("int").as("cntrycode"), col("c_acctbal"))
         .groupBy("cntrycode")
-        .agg(count(lit(1)).as("numcust"), money(sum(dec2(col("c_acctbal")))).as("totacctbal"))
+        .agg(count(lit(1)).as("numcust"), msum(cents(col("c_acctbal")), 1e2).as("totacctbal"))
         .orderBy("cntrycode")
     }
   )
