@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Write-path semantics (SURVEY §2.E) as pure, oracle-checkable
+  * transformations: each query computes the post-write table state the
+  * Store produces for the same inputs (the stateful Store itself — atomic
+  * replace, version dirs, matview catalog — is exercised by StoreSpec).
+  */
+object StoreOps {
+  import Qdsl._
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.df(s, dir, n)
+
+  val defs: Seq[Q] = Seq(
+
+    // upsert-by-unique-key: incoming rows win over existing rows
+    // (iceberg_table_writer.go:304-378)
+    Q("st_upsert_by_key", Some("""
+      WITH base AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+                    WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'),
+      incoming AS (SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice,
+                          'U' AS o_orderstatus
+                   FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM incoming
+      UNION ALL
+      SELECT b.o_orderkey, b.o_totalprice, b.o_orderstatus FROM base b
+      WHERE NOT EXISTS (SELECT 1 FROM incoming i WHERE i.o_orderkey = b.o_orderkey)
+      ORDER BY o_orderkey""")) { (s, dir) =>
+      val base = t(s, dir, "orders")
+        .filter(col("o_orderdate") < ts("1999-01-01"))
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val incoming = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= ts("1998-01-01"))
+        .select(col("o_orderkey"), (col("o_totalprice") + 1000.0).as("o_totalprice"),
+          lit("U").as("o_orderstatus"))
+      base.join(incoming.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+        .unionByName(incoming)
+        .orderBy("o_orderkey")
+    },
+
+    // delete-by-unique-key (iceberg_table_writer.go:380-452)
+    Q("st_delete_by_key", Some("""
+      SELECT o_orderkey, o_orderstatus FROM orders
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'P')
+      ORDER BY o_orderkey""")) { (s, dir) =>
+      val base = t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+      val doomed = base.filter(col("o_orderstatus") === "P").select("o_orderkey")
+      base.join(doomed, Seq("o_orderkey"), "left_anti")
+        .orderBy("o_orderkey")
+    },
+
+    // cursor-based incremental append with overlap trim: existing = events
+    // in the first half-year; incoming batch overlaps the cursor hour;
+    // appended = incoming at/after max(cursor) whose key is not present
+    // (iceberg_table.go:93-117)
+    Q("st_cursor_append", Some("""
+      WITH existing AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+                        WHERE event_id % 3 <> 0),
+      cur AS (SELECT max(ts) AS c FROM existing),
+      incoming AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      appended AS (
+        SELECT i.event_id, i.ts FROM incoming i, cur
+        WHERE i.ts >= cur.c
+          AND NOT EXISTS (SELECT 1 FROM existing e WHERE e.event_id = i.event_id))
+      SELECT event_id, ts FROM existing
+      UNION ALL
+      SELECT event_id, ts FROM appended
+      ORDER BY event_id""")) { (s, dir) =>
+      val all = t(s, dir, "events").select("event_id", "ts")
+      val existing = all.filter(col("event_id") % 3 =!= 0)
+      val cur = existing.agg(max("ts").as("c"))
+      val appended = all.join(broadcast(cur), col("ts") >= col("c"))
+        .select("event_id", "ts")
+        .join(existing.select("event_id"), Seq("event_id"), "left_anti")
+      existing.unionByName(appended).orderBy("event_id")
+    },
+
+    // full-refresh / matview definition result (query_remapper.go:146-152):
+    // the content an MV over "revenue per nation" holds after REFRESH
+    Q("st_matview_content", Some(s"""
+      SELECT n_name, $sumDiscO AS revenue
+      FROM lineitem, supplier, nation
+      WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      GROUP BY n_name
+      ORDER BY n_name""")) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(msum(discProd, 1e4).as("revenue"))
+        .orderBy("n_name")
+    },
+
+    // hourly tumbling-window aggregation over the event stream's batch view
+    // (the Structured Streaming pipeline in StreamingSpec computes the same
+    // result incrementally with a watermark)
+    Q("st_window_hourly", Some("""
+      SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+        event_type, count(*) AS n,
+        round(CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 1e2, 2) AS total_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY window_start, event_type""")) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(cents(col("value"))).cast("double") / 1e2, 2).as("total_value"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"),
+          col("total_value"))
+        .orderBy("window_start", "event_type")
+    }
+  )
+}

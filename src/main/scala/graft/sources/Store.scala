@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Path, Paths}
+import scala.collection.concurrent.TrieMap
+
+/** Table store + materialized-view lifecycle (SURVEY §2.A matview rows,
+  * §2.E write path; reference: /root/reference/src/server/query_remapper.go:
+  * 146-169,566-711 + /root/reference/src/common/iceberg_writer.go:23-74).
+  *
+  * The reference swaps Iceberg tables through a `-syncing`/`-deleting`
+  * rename dance; with a snapshot directory layout we get the same atomicity
+  * by writing a new version directory and flipping an in-memory/on-disk
+  * pointer (at cluster scale this is exactly an Iceberg `replace()` snapshot
+  * commit — no Iceberg runtime ships in this container, so the layout is
+  * parquet version dirs + a catalog map).
+  *
+  * Write-path semantics reproduced from the reference:
+  *  - full refresh  = atomic replace (iceberg_table.go:46-70)
+  *  - upsert        = per-key overwrite: old rows ∉ incoming keys ∪ incoming
+  *                    (iceberg_table_writer.go:304-378)
+  *  - delete by key = old rows ∉ keys (iceberg_table_writer.go:380-452)
+  *  - cursor append = append rows with cursor >= max(cursor) of existing,
+  *                    dropping overlap rows already present
+  *                    (iceberg_table.go:93-117, syncer-amplitude/lib/syncer.go:43-72)
+  */
+class Store(spark: SparkSession, warehouse: String) {
+  Files.createDirectories(Paths.get(warehouse))
+
+  private val versions = TrieMap[String, Int]()
+  private val matviewDefs = TrieMap[String, String]()
+
+  private def versionDir(name: String, v: Int): String = s"$warehouse/$name/v$v"
+
+  def exists(name: String): Boolean = versions.contains(name)
+
+  def read(name: String): DataFrame =
+    spark.read.parquet(versionDir(name, versions(name)))
+
+  /** Atomic replace: write v(n+1), then flip the pointer. */
+  def replace(name: String, df: DataFrame): Unit = {
+    val next = versions.getOrElse(name, 0) + 1
+    df.write.mode(SaveMode.Overwrite).parquet(versionDir(name, next))
+    versions(name) = next
+  }
+
+  def append(name: String, df: DataFrame): Unit =
+    if (!exists(name)) replace(name, df)
+    else replace(name, read(name).unionByName(df))
+
+  /** MERGE-by-unique-key: incoming wins on key collision. */
+  def upsert(name: String, incoming: DataFrame, key: String): Unit = {
+    val kept = read(name).join(incoming.select(key), Seq(key), "left_anti")
+    replace(name, kept.unionByName(incoming))
+  }
+
+  def deleteByKey(name: String, keys: DataFrame, key: String): Unit =
+    replace(name, read(name).join(keys.select(key), Seq(key), "left_anti"))
+
+  /** Cursor-based incremental append with overlap trim: rows of `incoming`
+    * at/after the stored max(cursor) are appended unless their unique key is
+    * already present (the reference's OverrideRows handling). */
+  def cursorAppend(name: String, incoming: DataFrame, cursorCol: String, key: String): Unit = {
+    val cursor = read(name).agg(max(col(cursorCol))).collect()(0).get(0)
+    val fresh = incoming.filter(col(cursorCol) >= lit(cursor))
+      .join(read(name).select(key), Seq(key), "left_anti")
+    append(name, fresh)
+  }
+
+  // ---- materialized views (definition catalog + backing table) ----------
+  def createMatview(name: String, defn: String, withData: Boolean = true): Unit = {
+    matviewDefs(name) = defn
+    if (withData) replace(name, spark.sql(defn))
+    else replace(name, spark.sql(defn).limit(0))
+  }
+
+  def refreshMatview(name: String): Unit =
+    replace(name, spark.sql(matviewDefs(name)))
+
+  def dropMatview(name: String): Unit = {
+    matviewDefs.remove(name)
+    drop(name)
+  }
+
+  def renameMatview(from: String, to: String): Unit = {
+    matviewDefs.get(from).foreach { d => matviewDefs(to) = d; matviewDefs.remove(from) }
+    versions.get(from).foreach { v =>
+      Files.move(Paths.get(s"$warehouse/$from"), Paths.get(s"$warehouse/$to"))
+      versions(to) = v
+      versions.remove(from)
+    }
+  }
+
+  def matviewDefinition(name: String): Option[String] = matviewDefs.get(name)
+
+  def drop(name: String): Unit = {
+    versions.remove(name)
+    def rm(p: Path): Unit = {
+      if (Files.isDirectory(p)) Files.list(p).forEach(rm)
+      Files.deleteIfExists(p)
+    }
+    rm(Paths.get(s"$warehouse/$name"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Exercises the stateful Store: atomic replace, upsert/delete by key,
+  * cursor append, and the full matview lifecycle
+  * (CREATE/REFRESH/DROP/RENAME). */
+class StoreSpec extends SparkSpecBase {
+
+  private def freshStore(): Store = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-store").toString
+    new Store(spark, dir)
+  }
+
+  test("replace is versioned and atomic-by-pointer") {
+    val st = freshStore()
+    val o = Tables.df(spark, sfDir, "orders")
+    st.replace("t", o.limit(10))
+    assert(st.read("t").count() == 10)
+    st.replace("t", o.limit(25))
+    assert(st.read("t").count() == 25)
+  }
+
+  test("upsert by key: incoming wins, new keys appended") {
+    val st = freshStore()
+    import spark.implicits._
+    st.replace("t", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    st.upsert("t", Seq((2L, "B"), (3L, "c")).toDF("k", "v"), "k")
+    val got = st.read("t").orderBy("k").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a"), (2L, "B"), (3L, "c")))
+  }
+
+  test("delete by key") {
+    val st = freshStore()
+    import spark.implicits._
+    st.replace("t", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    st.deleteByKey("t", Seq(Tuple1(2L)).toDF("k"), "k")
+    assert(st.read("t").orderBy("k").as[(Long, String)].collect().toSeq
+      == Seq((1L, "a"), (3L, "c")))
+  }
+
+  test("cursor append trims overlap by key") {
+    val st = freshStore()
+    import spark.implicits._
+    val tsd = (s: String) => java.sql.Timestamp.valueOf(s)
+    st.replace("t", Seq((1L, tsd("2024-01-01 10:00:00")), (2L, tsd("2024-01-01 11:00:00")))
+      .toDF("k", "ts"))
+    // incoming re-delivers key 2 at the cursor hour plus a new key 3
+    st.cursorAppend("t", Seq(
+      (2L, tsd("2024-01-01 11:00:00")),
+      (3L, tsd("2024-01-01 12:00:00")),
+      (0L, tsd("2024-01-01 09:00:00"))).toDF("k", "ts"), "ts", "k")
+    assert(st.read("t").select("k").orderBy("k").as[Long].collect().toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("matview lifecycle: create, refresh picks up new data, rename, drop") {
+    val st = freshStore()
+    Tables.registerAll(spark, sfDir)
+    spark.sql("SELECT * FROM nation").limit(5).createOrReplaceTempView("mv_src")
+    st.createMatview("mv1", "SELECT count(*) AS n FROM mv_src")
+    assert(st.read("mv1").collect()(0).getLong(0) == 5)
+    spark.sql("SELECT * FROM nation").limit(7).createOrReplaceTempView("mv_src")
+    assert(st.read("mv1").collect()(0).getLong(0) == 5) // stale until refresh
+    st.refreshMatview("mv1")
+    assert(st.read("mv1").collect()(0).getLong(0) == 7)
+    st.renameMatview("mv1", "mv2")
+    assert(st.matviewDefinition("mv2").isDefined && st.matviewDefinition("mv1").isEmpty)
+    assert(st.read("mv2").collect()(0).getLong(0) == 7)
+    st.dropMatview("mv2")
+    assert(!st.exists("mv2"))
+  }
+
+  test("create matview WITH NO DATA is empty until refresh") {
+    val st = freshStore()
+    Tables.registerAll(spark, sfDir)
+    st.createMatview("mvnd", "SELECT r_regionkey FROM region", withData = false)
+    assert(st.read("mvnd").count() == 0)
+    st.refreshMatview("mvnd")
+    assert(st.read("mvnd").count() == 5)
+  }
+}
