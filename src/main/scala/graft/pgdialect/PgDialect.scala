@@ -1,0 +1,287 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Postgres-dialect front end (SURVEY §2.A statement surface + §2.B
+  * rewrites; reference: /root/reference/src/server/query_remapper.go:107-188
+  * and the parser_* rewriters). Statement-level dispatch plus a focused
+  * textual SELECT translator — the reference's remapper is likewise a
+  * rewrite layer; relational semantics stay Catalyst's job.
+  *
+  * Scope ("what a BemiDB client sends"): SELECT/WITH/VALUES with PG-isms
+  * (::casts, -> / ->> JSON ops, = ANY / <> ALL over array literals, ~ regex
+  * ops, pg_catalog./information_schema. qualification, COLLATE, DISTINCT
+  * ON), SET/SHOW/BEGIN/COMMIT/DISCARD no-ops, matview DDL routed to
+  * [[Store]], explicit "unsupported query type" for writes (mirroring
+  * query_remapper.go:180-184), multi-statement split.
+  */
+object PgDialect {
+
+  sealed trait PgResult
+  final case class Rows(df: DataFrame, tag: String) extends PgResult
+  final case class Command(tag: String) extends PgResult
+  case object Empty extends PgResult
+
+  final case class UnsupportedQuery(msg: String) extends RuntimeException(msg)
+
+  /** Simple-protocol entry: split a multi-statement string and run each
+    * (query_handler.go:75-107). */
+  def executeAll(spark: SparkSession, store: Store, sql: String): Seq[PgResult] =
+    splitStatements(sql).map(execute(spark, store, _))
+
+  def execute(spark: SparkSession, store: Store, statement: String): PgResult = {
+    val stmt = stripComments(statement).trim
+    if (stmt.isEmpty) return Empty
+    val upper = stmt.toUpperCase
+    if (upper.startsWith("SET ")) return executeSet(spark, stmt)
+    if (upper.startsWith("SHOW ")) return executeShow(spark, stmt)
+    if (upper.matches("(?s)(BEGIN|COMMIT|END|ROLLBACK)\\b.*"))
+      return Command(upper.split("\\s+")(0) match {
+        case "END" => "COMMIT"
+        case t => t
+      })
+    if (upper.startsWith("DISCARD")) return Command("DISCARD ALL")
+
+    val mvCreate =
+      "(?is)CREATE\\s+MATERIALIZED\\s+VIEW\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.\"]+)\\s+AS\\s+(.*?)(\\s+WITH\\s+(NO\\s+)?DATA)?\\s*$".r
+    stmt match {
+      case mvCreate(ifNotExists, name, defn, _, noData) =>
+        val mv = unquoteName(name)
+        if (store.matviewDefinition(mv).isDefined && ifNotExists != null)
+          return Command("CREATE MATERIALIZED VIEW")
+        store.createMatview(mv, translateSelect(defn), withData = noData == null)
+        return Command("CREATE MATERIALIZED VIEW")
+      case _ =>
+    }
+    val mvRefresh = "(?is)REFRESH\\s+MATERIALIZED\\s+VIEW\\s+(CONCURRENTLY\\s+)?([\\w.\"]+)\\s*".r
+    stmt match {
+      case mvRefresh(_, name) =>
+        store.refreshMatview(unquoteName(name))
+        return Command("REFRESH MATERIALIZED VIEW")
+      case _ =>
+    }
+    val mvDrop = "(?is)DROP\\s+MATERIALIZED\\s+VIEW\\s+(IF\\s+EXISTS\\s+)?([\\w.\"]+)\\s*".r
+    stmt match {
+      case mvDrop(ifExists, name) =>
+        val mv = unquoteName(name)
+        if (store.matviewDefinition(mv).isEmpty && ifExists != null)
+          return Command("DROP MATERIALIZED VIEW")
+        store.dropMatview(mv)
+        return Command("DROP MATERIALIZED VIEW")
+      case _ =>
+    }
+    val mvRename =
+      "(?is)ALTER\\s+(MATERIALIZED\\s+VIEW|TABLE)\\s+([\\w.\"]+)\\s+RENAME\\s+TO\\s+([\\w.\"]+)\\s*".r
+    stmt match {
+      case mvRename(_, from, to) =>
+        store.renameMatview(unquoteName(from), unquoteName(to))
+        return Command("ALTER")
+      case _ =>
+    }
+
+    if (upper.startsWith("SELECT") || upper.startsWith("WITH") ||
+        upper.startsWith("VALUES") || upper.startsWith("TABLE ")) {
+      val translated = translateSelect(stmt)
+      return Rows(spark.sql(translated), "SELECT")
+    }
+    // everything else (INSERT/UPDATE/DELETE/DDL/COPY…) mirrors
+    // query_remapper.go:180-184
+    throw UnsupportedQuery("unsupported query type: " + stmt.split("\\s+")(0))
+  }
+
+  // ---- SET / SHOW ------------------------------------------------------
+  private def executeSet(spark: SparkSession, stmt: String): PgResult = {
+    val m = "(?is)SET\\s+(?:SESSION\\s+|LOCAL\\s+)?([\\w.]+)\\s*(?:=|TO)\\s*(.+)".r
+    stmt match {
+      case m(name, rawValue) =>
+        val value = rawValue.trim.stripPrefix("'").stripSuffix("'")
+        SessionSettings.set(name, value)
+        if (name.equalsIgnoreCase("timezone"))
+          spark.conf.set("spark.sql.session.timeZone", value)
+        Command("SET")
+      case _ => Command("SET")
+    }
+  }
+
+  private def executeShow(spark: SparkSession, stmt: String): PgResult = {
+    import spark.implicits._
+    val name = stmt.split("\\s+")(1).toLowerCase.stripSuffix(";")
+    // search_path is prefixed with "$user" like the reference
+    // (parser_show.go:19-91)
+    val value = SessionSettings.get(name).getOrElse("")
+    Rows(Seq(value).toDF(name), "SHOW")
+  }
+
+  // ---- SELECT translation ---------------------------------------------
+  def translateSelect(sql: String): String = {
+    var s = sql.trim.stripSuffix(";")
+    s = rewriteDistinctOn(s)
+    s = s.replaceAll("(?i)\\bpg_catalog\\s*\\.\\s*", "")
+    s = s.replaceAll("(?i)\\binformation_schema\\s*\\.\\s*(tables|columns)\\b",
+      "information_schema_$1")
+    s = s.replaceAll("(?i)\\s+COLLATE\\s+(\"[^\"]+\"|[\\w.]+)", "")
+    s = s.replaceAll("(?i)OPERATOR\\s*\\(\\s*~\\s*\\)", "RLIKE")
+    s = rewriteAnyAll(s)
+    s = rewriteJsonArrows(s)
+    s = rewriteCasts(s)
+    // regex match operators (PG ~ family) — after arrows so ->> is gone
+    s = s.replaceAll("!~~\\*", " NOT ILIKE ")
+    s = s.replaceAll("!~~", " NOT LIKE ")
+    s = s.replaceAll("~~\\*", " ILIKE ")
+    s = s.replaceAll("~~", " LIKE ")
+    s = s.replaceAll("!~", " NOT RLIKE ")
+    s = s.replaceAll("(?<![!<>=~])~(?![~=])", " RLIKE ")
+    s
+  }
+
+  /** SELECT DISTINCT ON (k…) cols FROM … ORDER BY k…, tie… ->
+    * row_number window (Spark has no DISTINCT ON; SURVEY §2.B). */
+  private def rewriteDistinctOn(sql: String): String = {
+    val re = "(?is)^SELECT\\s+DISTINCT\\s+ON\\s*\\(([^)]*)\\)\\s+(.*?)\\s+FROM\\s+(.*?)(?:\\s+ORDER\\s+BY\\s+(.*))?$".r
+    sql match {
+      case re(keys, cols, from, order) =>
+        val ord = Option(order).map(_.trim).filter(_.nonEmpty).getOrElse(keys)
+        s"SELECT $cols FROM (SELECT $cols, row_number() OVER (PARTITION BY $keys ORDER BY $ord) AS __rn FROM $from) WHERE __rn = 1"
+      case _ => sql
+    }
+  }
+
+  /** `lhs = ANY('{a,b}')` -> IN list; `lhs = ANY(col)` -> array_contains;
+    * `lhs <> ALL('{a,b}')` -> NOT IN (parser_a_expr.go:103-154). */
+  private def rewriteAnyAll(sql: String): String = {
+    val anyLit = "(?is)(\\S+)\\s*=\\s*ANY\\s*\\(\\s*'\\{([^}]*)\\}'(?:::[\\w\\[\\]]+)?\\s*\\)".r
+    val allLit = "(?is)(\\S+)\\s*<>\\s*ALL\\s*\\(\\s*'\\{([^}]*)\\}'(?:::[\\w\\[\\]]+)?\\s*\\)".r
+    val anyCol = "(?is)(\\S+)\\s*=\\s*ANY\\s*\\(\\s*([\\w.]+)\\s*\\)".r
+    var s = sql
+    s = anyLit.replaceAllIn(s, m =>
+      m.group(1) + " IN (" + splitArrayLiteral(m.group(2)) + ")")
+    s = allLit.replaceAllIn(s, m =>
+      m.group(1) + " NOT IN (" + splitArrayLiteral(m.group(2)) + ")")
+    s = anyCol.replaceAllIn(s, m =>
+      "array_contains(" + m.group(2) + ", " + m.group(1) + ")")
+    s
+  }
+
+  private def splitArrayLiteral(body: String): String =
+    body.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      .map(v => s"'$v'").mkString(", ")
+
+  /** `expr -> 'k'` / `expr ->> 'k'` / `expr -> 0` -> get_json_object chains
+    * (parser_a_expr.go:29-77). Left-associative, iterated until fixpoint. */
+  private def rewriteJsonArrows(sql: String): String = {
+    val arrow = "(?s)(.*?)(\\)|'[^']*'|[\\w.]+)\\s*->(>?)\\s*('([^']*)'|\\d+)(.*)".r
+    var s = sql
+    var changed = true
+    while (changed) {
+      s match {
+        case arrow(pre, lhsEnd, _, rhs, key, post) =>
+          val lhsStart =
+            if (lhsEnd == ")") {
+              // scan back to the balanced open paren (with function name)
+              var depth = 1; var i = pre.length - 1
+              while (i >= 0 && depth > 0) {
+                if (pre.charAt(i) == ')') depth += 1
+                else if (pre.charAt(i) == '(') depth -= 1
+                i -= 1
+              }
+              while (i >= 0 && (pre.charAt(i).isLetterOrDigit || "._".contains(pre.charAt(i)))) i -= 1
+              i + 1
+            } else pre.length
+          val lhs = pre.substring(lhsStart) + lhsEnd
+          val path = if (key != null) "'$." + key + "'" else "'$[" + rhs + "]'"
+          s = pre.substring(0, lhsStart) + "get_json_object(" + lhs + ", " + path + ")" + post
+        case _ => changed = false
+      }
+    }
+    s
+  }
+
+  private val pgTypeToSpark: Map[String, String] = Map(
+    "int2" -> "SMALLINT", "int4" -> "INT", "int" -> "INT", "integer" -> "INT",
+    "int8" -> "BIGINT", "bigint" -> "BIGINT", "oid" -> "BIGINT",
+    "float4" -> "FLOAT", "float8" -> "DOUBLE", "real" -> "FLOAT",
+    "numeric" -> "DECIMAL(38,6)", "bool" -> "BOOLEAN", "boolean" -> "BOOLEAN",
+    "text" -> "STRING", "varchar" -> "STRING", "char" -> "STRING",
+    "bpchar" -> "STRING", "name" -> "STRING", "json" -> "STRING",
+    "jsonb" -> "STRING", "uuid" -> "STRING", "regclass" -> "STRING",
+    "regproc" -> "STRING", "date" -> "DATE", "timestamp" -> "TIMESTAMP",
+    "timestamptz" -> "TIMESTAMP", "time" -> "STRING", "interval" -> "STRING")
+
+  /** `operand::type` (optionally `[]`) -> CAST(operand AS sparkType),
+    * left-to-right, operand = literal, number, dotted ident, or balanced
+    * parenthesized expression (parser_type_cast.go). */
+  private def rewriteCasts(sql: String): String = {
+    var s = sql
+    var idx = s.indexOf("::")
+    while (idx >= 0) {
+      // operand end = idx; find operand start
+      var start = idx
+      if (idx > 0 && s.charAt(idx - 1) == ')') {
+        var depth = 1; var i = idx - 2
+        while (i >= 0 && depth > 0) {
+          if (s.charAt(i) == ')') depth += 1
+          else if (s.charAt(i) == '(') depth -= 1
+          i -= 1
+        }
+        while (i >= 0 && (s.charAt(i).isLetterOrDigit || "._".contains(s.charAt(i)))) i -= 1
+        start = i + 1
+      } else if (idx > 0 && s.charAt(idx - 1) == '\'') {
+        var i = idx - 2
+        while (i >= 0 && s.charAt(i) != '\'') i -= 1
+        start = i
+      } else {
+        var i = idx - 1
+        while (i >= 0 && (s.charAt(i).isLetterOrDigit || "._".contains(s.charAt(i)))) i -= 1
+        start = i + 1
+      }
+      // type name after ::
+      var e = idx + 2
+      while (e < s.length && (s.charAt(e).isLetterOrDigit || s.charAt(e) == '_')) e += 1
+      val pgType = s.substring(idx + 2, e).toLowerCase
+      // optional (precision[,scale]) suffix
+      var args: Option[String] = None
+      if (e < s.length && s.charAt(e) == '(') {
+        val close = s.indexOf(')', e)
+        if (close > 0 && s.substring(e + 1, close).matches("[\\d,\\s]*")) {
+          args = Some(s.substring(e + 1, close))
+          e = close + 1
+        }
+      }
+      val isArray = e + 1 < s.length && s.charAt(e) == '[' && s.charAt(e + 1) == ']'
+      val sparkType0 = (pgType, args) match {
+        case ("numeric" | "decimal", Some(a)) => s"DECIMAL($a)"
+        case _ => pgTypeToSpark.getOrElse(pgType, pgType.toUpperCase)
+      }
+      val sparkType = if (isArray) s"ARRAY<$sparkType0>" else sparkType0
+      val typeEnd = if (isArray) e + 2 else e
+      val operand = s.substring(start, idx)
+      s = s.substring(0, start) + s"CAST($operand AS $sparkType)" + s.substring(typeEnd)
+      idx = s.indexOf("::")
+    }
+    s
+  }
+
+  // ---- utilities -------------------------------------------------------
+  private[graft] def splitStatements(sql: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inStr = false; var inId = false
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'' && !inId) inStr = !inStr
+      else if (c == '"' && !inStr) inId = !inId
+      if (c == ';' && !inStr && !inId) { out += cur.toString; cur.clear() }
+      else cur.append(c)
+      i += 1
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def stripComments(sql: String): String =
+    sql.replaceAll("(?s)/\\*.*?\\*/", " ").replaceAll("--[^\n]*", " ")
+
+  private def unquoteName(n: String): String =
+    n.replace("\"", "").split('.').last
+}

@@ -1,0 +1,138 @@
+package graft
+
+import graft.PgDialect._
+
+/** Golden statements for the PG-dialect front end, modeled on the
+  * reference's server test corpus
+  * (/root/reference/src/server/query_handler_test.go). */
+class PgDialectSpec extends SparkSpecBase {
+
+  private lazy val store: Store =
+    new Store(spark, java.nio.file.Files.createTempDirectory("graft-pgd").toString)
+
+  private def rows(sql: String): Seq[org.apache.spark.sql.Row] = {
+    Tables.registerAll(spark, sfDir)
+    PgDialect.execute(spark, store, sql) match {
+      case Rows(df, _) => df.collect().toSeq
+      case other => fail(s"expected rows, got $other")
+    }
+  }
+
+  // ---- translation unit tests -----------------------------------------
+  test("cast translation") {
+    assert(translateSelect("SELECT '123'::int4 AS i")
+      == "SELECT CAST('123' AS INT) AS i")
+    assert(translateSelect("SELECT 1::text")
+      == "SELECT CAST(1 AS STRING)")
+    assert(translateSelect("SELECT (1 + 2)::text")
+      == "SELECT CAST((1 + 2) AS STRING)")
+    assert(translateSelect("SELECT x::numeric(10,2) FROM t")
+      == "SELECT CAST(x AS DECIMAL(10,2)) FROM t")
+    assert(translateSelect("SELECT '{a,b}'::text[]")
+      == "SELECT CAST('{a,b}' AS ARRAY<STRING>)")
+    assert(translateSelect("SELECT a.b::int8 FROM t a")
+      == "SELECT CAST(a.b AS BIGINT) FROM t a")
+  }
+
+  test("json arrow translation") {
+    assert(translateSelect("SELECT props ->> 'k' FROM events")
+      == "SELECT get_json_object(props, '$.k') FROM events")
+    assert(translateSelect("SELECT props -> 'a' ->> 'b' FROM events")
+      == "SELECT get_json_object(get_json_object(props, '$.a'), '$.b') FROM events")
+    assert(translateSelect("SELECT j -> 0 FROM t")
+      == "SELECT get_json_object(j, '$[0]') FROM t")
+  }
+
+  test("ANY/ALL translation") {
+    assert(translateSelect("SELECT * FROM t WHERE x = ANY('{a,b}')")
+      == "SELECT * FROM t WHERE x IN ('a', 'b')")
+    assert(translateSelect("SELECT * FROM t WHERE x <> ALL('{a,b}'::text[])")
+      == "SELECT * FROM t WHERE x NOT IN ('a', 'b')")
+    assert(translateSelect("SELECT * FROM t WHERE 'one' = ANY(arr)")
+      == "SELECT * FROM t WHERE array_contains(arr, 'one')")
+  }
+
+  test("operator and qualification translation") {
+    assert(translateSelect("SELECT * FROM t WHERE n ~ 'x.*'")
+      == "SELECT * FROM t WHERE n  RLIKE  'x.*'")
+    assert(translateSelect("SELECT * FROM t WHERE n !~ 'x'")
+      == "SELECT * FROM t WHERE n  NOT RLIKE  'x'")
+    assert(translateSelect("SELECT pg_catalog.version()") == "SELECT version()")
+    assert(translateSelect("SELECT * FROM pg_catalog.pg_class")
+      == "SELECT * FROM pg_class")
+    assert(translateSelect("SELECT * FROM information_schema.columns")
+      == "SELECT * FROM information_schema_columns")
+    assert(translateSelect("SELECT x COLLATE \"C\" FROM t") == "SELECT x FROM t")
+  }
+
+  // ---- end-to-end through Spark ---------------------------------------
+  test("simple select and multi-statement") {
+    val r = rows("SELECT 1 AS one")
+    assert(r.head.getInt(0) == 1)
+    val all = PgDialect.executeAll(spark, store, "SELECT 1 AS a; SELECT 2 AS b")
+    assert(all.size == 2)
+  }
+
+  test("SET / SHOW / BEGIN / DISCARD behave like the reference") {
+    assert(PgDialect.execute(spark, store, "SET statement_timeout = '30s'") == Command("SET"))
+    assert(PgDialect.execute(spark, store, "BEGIN") == Command("BEGIN"))
+    assert(PgDialect.execute(spark, store, "COMMIT") == Command("COMMIT"))
+    assert(PgDialect.execute(spark, store, "DISCARD ALL") == Command("DISCARD ALL"))
+    val Rows(df, tag) = PgDialect.execute(spark, store, "SHOW server_version"): @unchecked
+    assert(tag == "SHOW")
+    assert(df.columns.toSeq == Seq("server_version"))
+    assert(df.collect()(0).getString(0) == "17.0")
+    val Rows(sp, _) = PgDialect.execute(spark, store, "SHOW search_path"): @unchecked
+    assert(sp.collect()(0).getString(0) == "\"$user\", public")
+  }
+
+  test("unsupported statements error like the reference") {
+    val e = intercept[UnsupportedQuery] {
+      PgDialect.execute(spark, store, "INSERT INTO t VALUES (1)")
+    }
+    assert(e.getMessage.contains("unsupported query type"))
+    intercept[UnsupportedQuery] { PgDialect.execute(spark, store, "UPDATE t SET x = 1") }
+    intercept[UnsupportedQuery] { PgDialect.execute(spark, store, "DELETE FROM t") }
+  }
+
+  test("empty query and comment-only query") {
+    assert(PgDialect.execute(spark, store, "") == Empty)
+    assert(PgDialect.execute(spark, store, "-- nothing") == Empty)
+    assert(PgDialect.execute(spark, store, "/* nothing */") == Empty)
+  }
+
+  test("matview lifecycle through the dialect layer") {
+    Tables.registerAll(spark, sfDir)
+    assert(PgDialect.execute(spark, store,
+      "CREATE MATERIALIZED VIEW rev AS SELECT count(*) AS n FROM nation")
+      == Command("CREATE MATERIALIZED VIEW"))
+    assert(store.read("rev").collect()(0).getLong(0) == 25)
+    assert(PgDialect.execute(spark, store, "REFRESH MATERIALIZED VIEW rev")
+      == Command("REFRESH MATERIALIZED VIEW"))
+    assert(PgDialect.execute(spark, store, "ALTER MATERIALIZED VIEW rev RENAME TO rev2")
+      == Command("ALTER"))
+    assert(store.matviewDefinition("rev2").isDefined)
+    assert(PgDialect.execute(spark, store, "DROP MATERIALIZED VIEW rev2")
+      == Command("DROP MATERIALIZED VIEW"))
+    assert(store.matviewDefinition("rev2").isEmpty)
+    // IF NOT EXISTS / IF EXISTS forms are no-ops where applicable
+    PgDialect.execute(spark, store, "CREATE MATERIALIZED VIEW m AS SELECT 1 AS x")
+    assert(PgDialect.execute(spark, store,
+      "CREATE MATERIALIZED VIEW IF NOT EXISTS m AS SELECT 2 AS x")
+      == Command("CREATE MATERIALIZED VIEW"))
+    assert(store.read("m").collect()(0).getInt(0) == 1)
+    PgDialect.execute(spark, store, "DROP MATERIALIZED VIEW IF EXISTS m")
+    assert(PgDialect.execute(spark, store, "DROP MATERIALIZED VIEW IF EXISTS m")
+      == Command("DROP MATERIALIZED VIEW"))
+  }
+
+  test("pg-flavored query end-to-end: casts + json ops + ANY") {
+    val r = rows("""
+      SELECT event_id, (props ->> 'k')::int4 AS k
+      FROM events
+      WHERE event_type = ANY('{click,view}') AND (props ->> 'k')::int4 > 90
+      ORDER BY event_id""")
+    assert(r.nonEmpty)
+    assert(r.forall(_.getInt(1) > 90))
+  }
+}
