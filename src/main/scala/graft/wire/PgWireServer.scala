@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.{ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.time.format.DateTimeFormatter
+
+/** Postgres v3 wire protocol server, simple-query flavor (SURVEY §3.1;
+  * reference: /root/reference/src/server/postgres_server.go:74-247 +
+  * response_handler.go). One thread per connection, shared SparkSession —
+  * the same concurrency shape as the reference (goroutine per connection,
+  * singleton engine).
+  *
+  * Round-1 scope: startup (SSL refused with 'N', AuthenticationOk,
+  * ParameterStatus, BackendKeyData), simple Query with multi-statement
+  * support, text-format encoding (bools as t/f, PG timestamp format, arrays
+  * as {a,b,c}), CommandComplete tags, ErrorResponse for unsupported
+  * statements, Terminate. Extended protocol (Parse/Bind/Describe) is the
+  * documented next increment.
+  */
+class PgWireServer(spark: SparkSession, store: Store, port: Int) {
+  @volatile private var running = true
+  private var server: ServerSocket = _
+
+  def start(): Int = {
+    server = new ServerSocket(port)
+    val t = new Thread(() => {
+      while (running) {
+        try {
+          val sock = server.accept()
+          val h = new Thread(() => handle(sock))
+          h.setDaemon(true)
+          h.start()
+        } catch { case _: Throwable => () }
+      }
+    })
+    t.setDaemon(true)
+    t.start()
+    server.getLocalPort
+  }
+
+  def stop(): Unit = { running = false; if (server != null) server.close() }
+
+  private def handle(sock: Socket): Unit = {
+    val in = new DataInputStream(sock.getInputStream)
+    val out = new DataOutputStream(sock.getOutputStream)
+    try {
+      if (!startup(in, out)) return
+      var open = true
+      while (open) {
+        val tpe = in.read()
+        if (tpe < 0) open = false
+        else {
+          val len = in.readInt()
+          val body = new Array[Byte](len - 4)
+          in.readFully(body)
+          tpe.toChar match {
+            case 'Q' =>
+              val sql = new String(body, 0, body.length - 1, UTF_8) // NUL-terminated
+              runQuery(out, sql)
+              readyForQuery(out)
+            case 'X' => open = false
+            case _ => // ignore (Flush/Sync outside extended flow)
+          }
+        }
+      }
+    } catch { case _: Throwable => () }
+    finally sock.close()
+  }
+
+  // ---- startup ---------------------------------------------------------
+  private def startup(in: DataInputStream, out: DataOutputStream): Boolean = {
+    var len = in.readInt()
+    var proto = in.readInt()
+    if (proto == 80877103) { // SSLRequest -> refuse like the reference
+      out.write('N'); out.flush()
+      len = in.readInt(); proto = in.readInt()
+    }
+    if (proto != 196608) return false
+    val params = new Array[Byte](len - 8)
+    in.readFully(params)
+    msg(out, 'R') { b => b.writeInt(0) } // AuthenticationOk
+    Seq("server_version" -> "17.0", "server_encoding" -> "UTF8",
+      "client_encoding" -> "UTF8", "DateStyle" -> "ISO") // ParameterStatus
+      .foreach { case (k, v) =>
+        msg(out, 'S') { b => cstr(b, k); cstr(b, v) }
+      }
+    msg(out, 'K') { b => b.writeInt(12345); b.writeInt(67890) } // BackendKeyData
+    readyForQuery(out)
+    true
+  }
+
+  private def readyForQuery(out: DataOutputStream): Unit = {
+    msg(out, 'Z') { b => b.writeByte('I') }
+    out.flush()
+  }
+
+  // ---- query execution -------------------------------------------------
+  private def runQuery(out: DataOutputStream, sql: String): Unit =
+    try {
+      val results = PgDialect.executeAll(spark, store, sql)
+      if (results.isEmpty) msg(out, 'I') { _ => } // EmptyQueryResponse
+      else results.foreach {
+        case PgDialect.Rows(df, _) => sendRows(out, df)
+        case PgDialect.Command(tag) => commandComplete(out, tag)
+        case PgDialect.Empty => msg(out, 'I') { _ => }
+      }
+    } catch {
+      case e: Throwable =>
+        msg(out, 'E') { b =>
+          b.writeByte('S'); cstr(b, "ERROR")
+          b.writeByte('C'); cstr(b, "42601")
+          b.writeByte('M'); cstr(b, Option(e.getMessage).getOrElse(e.toString).take(500))
+          b.writeByte(0)
+        }
+    }
+
+  private def sendRows(out: DataOutputStream, df: DataFrame): Unit = {
+    val schema = df.schema
+    msg(out, 'T') { b => // RowDescription
+      b.writeShort(schema.fields.length)
+      schema.fields.foreach { f =>
+        cstr(b, f.name)
+        b.writeInt(0); b.writeShort(0)
+        b.writeInt(PgCatalog.pgTypeOf(f.dataType)._1)
+        b.writeShort(-1); b.writeInt(-1); b.writeShort(0) // text format
+      }
+    }
+    var n = 0
+    df.toLocalIterator().forEachRemaining { row =>
+      msg(out, 'D') { b =>
+        b.writeShort(schema.fields.length)
+        schema.fields.zipWithIndex.foreach { case (f, i) =>
+          if (row.isNullAt(i)) b.writeInt(-1)
+          else {
+            val bytes = textEncode(row, i, f.dataType).getBytes(UTF_8)
+            b.writeInt(bytes.length); b.write(bytes)
+          }
+        }
+      }
+      n += 1
+    }
+    commandComplete(out, s"SELECT $n")
+  }
+
+  private val tsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  /** PG text-format value encoding (response_handler.go:148-233). */
+  private def textEncode(row: Row, i: Int, dt: DataType): String = dt match {
+    case BooleanType => if (row.getBoolean(i)) "t" else "f"
+    case TimestampType =>
+      val inst = row.getAs[java.sql.Timestamp](i).toInstant
+      tsFmt.format(inst.atZone(java.time.ZoneOffset.UTC))
+        .replaceAll("\\.?0+$", "") // trim trailing zero micros like PG
+    case TimestampNTZType => // surfaces as LocalDateTime, not Timestamp
+      tsFmt.format(row.getAs[java.time.LocalDateTime](i))
+        .replaceAll("\\.?0+$", "")
+    case DateType => row.getAs[java.sql.Date](i).toString
+    case _: ArrayType =>
+      row.getSeq[Any](i).map {
+        case null => "NULL"
+        case b: Boolean => if (b) "t" else "f"
+        case s: String if s.contains(",") || s.contains(" ") => "\"" + s + "\""
+        case v => v.toString
+      }.mkString("{", ",", "}")
+    case BinaryType =>
+      "\\x" + row.getAs[Array[Byte]](i).map("%02x".format(_)).mkString
+    case _ => row.get(i).toString
+  }
+
+  private def commandComplete(out: DataOutputStream, tag: String): Unit =
+    msg(out, 'C') { b => cstr(b, tag) }
+
+  // ---- framing ---------------------------------------------------------
+  private def msg(out: DataOutputStream, tpe: Char)(body: DataOutputStream => Unit): Unit = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val b = new DataOutputStream(buf)
+    body(b)
+    out.writeByte(tpe)
+    out.writeInt(buf.size() + 4)
+    buf.writeTo(out)
+  }
+
+  private def cstr(b: DataOutputStream, s: String): Unit = {
+    b.write(s.getBytes(UTF_8)); b.writeByte(0)
+  }
+}
