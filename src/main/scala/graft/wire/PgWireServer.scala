@@ -47,6 +47,12 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int) {
   private def handle(sock: Socket): Unit = {
     val in = new DataInputStream(sock.getInputStream)
     val out = new DataOutputStream(sock.getOutputStream)
+    // extended-protocol state (query_handler.go:112-238): prepared
+    // statements (translated SQL + $N params) and bound portals
+    val statements = scala.collection.mutable.Map[String, String]()
+    val portals = scala.collection.mutable.Map[String, DataFrame]()
+    var errorSkip = false // error in extended flow: skip until Sync
+
     try {
       if (!startup(in, out)) return
       var open = true
@@ -57,18 +63,98 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int) {
           val len = in.readInt()
           val body = new Array[Byte](len - 4)
           in.readFully(body)
+          val b = new DataInputStream(new java.io.ByteArrayInputStream(body))
+          def readCStr(): String = {
+            val sb = new StringBuilder
+            var c = b.read()
+            while (c > 0) { sb.append(c.toChar); c = b.read() }
+            sb.toString
+          }
           tpe.toChar match {
             case 'Q' =>
               val sql = new String(body, 0, body.length - 1, UTF_8) // NUL-terminated
               runQuery(out, sql)
               readyForQuery(out)
+            case 'P' if !errorSkip => // Parse
+              try {
+                val name = readCStr()
+                val query = readCStr()
+                if (PgDialect.splitStatements(query).size > 1)
+                  throw PgDialect.UnsupportedQuery("cannot insert multiple commands into a prepared statement")
+                statements(name) = query
+                msg(out, '1') { _ => } // ParseComplete
+              } catch { case e: Throwable => sendError(out, e); errorSkip = true }
+            case 'B' if !errorSkip => // Bind
+              try {
+                val portal = readCStr()
+                val stmt = readCStr()
+                val nFmt = b.readShort()
+                val fmts = (0 until nFmt).map(_ => b.readShort())
+                val nParams = b.readShort()
+                val args = (0 until nParams).map { pi =>
+                  val plen = b.readInt()
+                  if (plen < 0) null
+                  else {
+                    val pb = new Array[Byte](plen); b.readFully(pb)
+                    val fmt = if (fmts.isEmpty) 0 else fmts(pi min (fmts.size - 1))
+                    decodeParam(pb, fmt)
+                  }
+                }
+                val sql = substituteParams(statements(stmt), args)
+                portals(portal) = spark.sql(PgDialect.translateSelect(sql))
+                msg(out, '2') { _ => } // BindComplete
+              } catch { case e: Throwable => sendError(out, e); errorSkip = true }
+            case 'D' if !errorSkip => // Describe
+              try {
+                val kind = b.read().toChar
+                val name = readCStr()
+                val df = if (kind == 'P') portals(name)
+                  else spark.sql(PgDialect.translateSelect(statements(name)))
+                if (kind == 'S') msg(out, 't') { bb => bb.writeShort(0) }
+                rowDescription(out, df.schema)
+              } catch { case e: Throwable => sendError(out, e); errorSkip = true }
+            case 'E' if !errorSkip => // Execute
+              try {
+                val portal = readCStr()
+                sendDataRows(out, portals(portal))
+              } catch { case e: Throwable => sendError(out, e); errorSkip = true }
+            case 'C' if !errorSkip => // Close
+              b.read(); readCStr()
+              msg(out, '3') { _ => } // CloseComplete
+            case 'S' => // Sync clears the error state (postgres_server.go:161-173)
+              errorSkip = false
+              readyForQuery(out)
+            case 'H' => out.flush()
             case 'X' => open = false
-            case _ => // ignore (Flush/Sync outside extended flow)
+            case _ => // P/B/D/E while errorSkip, or unknown: ignored
           }
         }
       }
     } catch { case _: Throwable => () }
     finally sock.close()
+  }
+
+  /** Text params pass through; binary int4/int8 decoded by length, the same
+    * heuristic the reference applies (query_handler.go:143-184). */
+  private def decodeParam(bytes: Array[Byte], fmt: Int): String =
+    if (fmt == 0) new String(bytes, UTF_8)
+    else bytes.length match {
+      case 4 => java.nio.ByteBuffer.wrap(bytes).getInt.toString
+      case 8 => java.nio.ByteBuffer.wrap(bytes).getLong.toString
+      case _ => new String(bytes, UTF_8)
+    }
+
+  /** $N placeholders -> SQL literals (quoted unless numeric). */
+  private def substituteParams(sql: String, args: Seq[String]): String = {
+    var s = sql
+    args.zipWithIndex.reverse.foreach { case (v, i) => // $10 before $1
+      val lit =
+        if (v == null) "NULL"
+        else if (v.matches("-?\\d+(\\.\\d+)?")) v
+        else "'" + v.replace("'", "''") + "'"
+      s = s.replace("$" + (i + 1), lit)
+    }
+    s
   }
 
   // ---- startup ---------------------------------------------------------
@@ -108,18 +194,22 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int) {
         case PgDialect.Command(tag) => commandComplete(out, tag)
         case PgDialect.Empty => msg(out, 'I') { _ => }
       }
-    } catch {
-      case e: Throwable =>
-        msg(out, 'E') { b =>
-          b.writeByte('S'); cstr(b, "ERROR")
-          b.writeByte('C'); cstr(b, "42601")
-          b.writeByte('M'); cstr(b, Option(e.getMessage).getOrElse(e.toString).take(500))
-          b.writeByte(0)
-        }
+    } catch { case e: Throwable => sendError(out, e) }
+
+  private def sendError(out: DataOutputStream, e: Throwable): Unit =
+    msg(out, 'E') { b =>
+      b.writeByte('S'); cstr(b, "ERROR")
+      b.writeByte('C'); cstr(b, "42601")
+      b.writeByte('M'); cstr(b, Option(e.getMessage).getOrElse(e.toString).take(500))
+      b.writeByte(0)
     }
 
   private def sendRows(out: DataOutputStream, df: DataFrame): Unit = {
-    val schema = df.schema
+    rowDescription(out, df.schema)
+    sendDataRows(out, df)
+  }
+
+  private def rowDescription(out: DataOutputStream, schema: StructType): Unit =
     msg(out, 'T') { b => // RowDescription
       b.writeShort(schema.fields.length)
       schema.fields.foreach { f =>
@@ -129,6 +219,9 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int) {
         b.writeShort(-1); b.writeInt(-1); b.writeShort(0) // text format
       }
     }
+
+  private def sendDataRows(out: DataOutputStream, df: DataFrame): Unit = {
+    val schema = df.schema
     var n = 0
     df.toLocalIterator().forEachRemaining { row =>
       msg(out, 'D') { b =>
