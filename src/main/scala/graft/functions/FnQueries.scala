@@ -261,6 +261,17 @@ object FnQueries {
         FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""")
     },
 
+    // overflow-safe 128-bit fixed-point sum (custom DeclarativeAggregate);
+    // equals the plain BIGINT sum at this scale, keeps working past 2^63
+    Q("fn_sum128", Some(s"""
+      SELECT l_returnflag, CAST(sum(${Qdsl.CHARGE_O}) AS DOUBLE) AS total_micros
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(call_function("sum128", Qdsl.chargeProd).cast("double").as("total_micros"))
+        .orderBy("l_returnflag")
+    },
+
     // ---- pg_catalog emulation ------------------------------------------
     Q("cat_pg_namespace", Some("""
       SELECT CAST(oid AS BIGINT) AS oid, nspname

@@ -133,6 +133,10 @@ object PgFunctions {
 
     // PG dow: Sunday=0 (Spark's dayofweek is Sunday=1)
     fn(spark, "pg_dow") { exprs => Subtract(DayOfWeek(exprs.head), Literal(1)) }
+
+    // engine extensions
+    Sum128.register(spark)
+    GraftExpressions.register(spark)
   }
 
   private val toCharTokens: Seq[(String, String)] = Seq(

@@ -506,6 +506,32 @@ object RelationalOps {
         .orderBy("vec_id", "pos")
     },
 
+    // skew mitigation: salted replication of a hot-key build side. The
+    // per-flag keys are maximally skewed (3 values across all of lineitem);
+    // salting fans each hot key across SALT partitions and the replicated
+    // dimension restores correctness — the 100 TB recipe for skewed joins
+    // (AQE skew-join handles sort-merge cases; salting covers broadcast-free
+    // hash joins and groupBys).
+    Q("op_join_salted", Some("""
+      SELECT l_returnflag, label, count(*) AS n,
+        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem
+      JOIN (VALUES ('A', 'returned'), ('N', 'normal'), ('R', 'refused')) f(flag, label)
+        ON f.flag = l_returnflag
+      GROUP BY l_returnflag, label ORDER BY l_returnflag""")) { (s, dir) =>
+      val SALT = 8
+      import s.implicits._
+      val dim = Seq(("A", "returned"), ("N", "normal"), ("R", "refused"))
+        .toDF("flag", "label")
+        .withColumn("d_salt", explode(sequence(lit(0), lit(SALT - 1))))
+      t(s, dir, "lineitem")
+        .withColumn("salt", pmod(hash(col("l_orderkey")), lit(SALT)))
+        .join(dim, col("flag") === col("l_returnflag") && col("salt") === col("d_salt"))
+        .groupBy("l_returnflag", "label")
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+
     // ---- pivot (conditional aggregation at the oracle) ------------------
     Q("op_pivot", Some("""
       SELECT c_nationkey,

@@ -47,6 +47,33 @@ class FunctionsSqlSpec extends SparkSpecBase {
     assert(r.getString(2) == "x=7")
   }
 
+  test("sum128 survives long overflow and matches plain sum below it") {
+    Tables.registerAll(spark, sfDir)
+    import spark.implicits._
+    // 4 * 2^62 = 2^64 overflows a long sum (wraps to 0); sum128 is exact
+    val big = Seq.fill(4)(Long.MaxValue / 2 + 1).toDF("x")
+    big.createOrReplaceTempView("big_vals")
+    val exact = spark.sql("SELECT CAST(sum128(x) AS STRING) AS s FROM big_vals")
+      .collect()(0).getString(0)
+    assert(exact == BigInt("18446744073709551616").toString)
+    // the failure mode sum128 exists to avoid: builtin sum overflows (ANSI)
+    intercept[Exception] {
+      spark.sql("SELECT sum(x) AS s FROM big_vals").collect()
+    }
+    // negative mix + null handling
+    Seq(Some(5L), None, Some(-7L), Some(100L)).toDF("x")
+      .createOrReplaceTempView("mix_vals")
+    val mixed = spark.sql("SELECT CAST(sum128(x) AS STRING) FROM mix_vals")
+      .collect()(0).getString(0)
+    assert(mixed == "98")
+    // agrees with the builtin on in-range data
+    val both = spark.sql("""
+      SELECT CAST(sum128(CAST(l_quantity AS BIGINT)) AS STRING) AS a,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS STRING) AS b
+      FROM lineitem""").collect()(0)
+    assert(both.getString(0) == both.getString(1))
+  }
+
   test("set_config round-trips through current_setting") {
     Tables.registerAll(spark, sfDir)
     val v = spark.sql("SELECT set_config('app.name', 'graft', false) AS v")
