@@ -107,6 +107,43 @@ object FnQueries {
           .as("by_type"))
     },
 
+    Q("fn_json_build_object", Some("""
+      SELECT to_json({'name': n_name, 'key': CAST(n_nationkey AS VARCHAR)}) AS obj
+      FROM nation ORDER BY obj""")) { (s, dir) =>
+      s.sql("""
+        SELECT json_build_object('name', n_name, 'key', CAST(n_nationkey AS STRING)) AS obj
+        FROM nation ORDER BY obj""")
+    },
+
+    Q("fn_json_array_elements", Some("""
+      SELECT event_type, unnest(CAST(json_extract(js, '$[*]') AS VARCHAR[])) AS elem
+      FROM (SELECT event_type,
+              to_json(list(CAST(json_extract_string(props, '$.k') AS INT)
+                ORDER BY CAST(json_extract_string(props, '$.k') AS INT), event_id)) AS js
+            FROM events GROUP BY event_type) t
+      ORDER BY event_type, elem""")) { (s, dir) =>
+      s.sql("""
+        SELECT event_type, json_array_elements(js) AS elem
+        FROM (SELECT event_type,
+                to_json(transform(array_sort(collect_list(struct(
+                  CAST(get_json_object(props, '$.k') AS INT) AS k, event_id))),
+                  x -> x.k)) AS js
+              FROM events GROUP BY event_type) t
+        ORDER BY event_type, elem""")
+    },
+
+    // approximate sketches (HLL count-distinct, quantile sketch): engine
+    // implementations differ across engines, so no value oracle — bounds
+    // are pinned in FunctionsSqlSpec
+    Q("fn_approx_sketches", None) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          expr("approx_percentile(l_extendedprice, 0.5)").as("p50_price"),
+          expr("approx_percentile(l_extendedprice, array(0.9, 0.99))").as("p_tail"))
+    },
+
     // row_to_json(record) -> to_json(struct) (macro at
     // query_remapper_function.go:34)
     Q("fn_row_to_json", Some("""
@@ -320,6 +357,30 @@ object FnQueries {
       ORDER BY table_name""")) { (s, dir) =>
       s.sql("""SELECT table_name, table_type FROM information_schema_tables
                ORDER BY table_name""")
+    },
+
+    Q("cat_pg_attribute_join", Some("""
+      SELECT relname, attname, attnum FROM (VALUES
+        ('region', 'r_regionkey', 1), ('region', 'r_name', 2)) t(relname, attname, attnum)
+      ORDER BY attnum""")) { (s, dir) =>
+      s.sql("""
+        SELECT relname, attname, attnum
+        FROM pg_class c JOIN pg_attribute a ON a.attrelid = c.oid
+        WHERE relname = 'region' ORDER BY attnum""")
+    },
+
+    Q("cat_pg_stat_user_tables", Some("""
+      SELECT relname, CAST(0 AS BIGINT) AS n_live_tup
+      FROM (VALUES ('customer'), ('documents'), ('embeddings'), ('events'),
+                   ('lineitem'), ('nation'), ('orders'), ('part'), ('region'),
+                   ('supplier')) t(relname)
+      ORDER BY relname""")) { (s, dir) =>
+      s.sql("SELECT relname, n_live_tup FROM pg_stat_user_tables ORDER BY relname")
+    },
+
+    Q("cat_pg_matviews_empty", Some("""
+      SELECT CAST(NULL AS VARCHAR) AS matviewname WHERE 1 = 0""")) { (s, dir) =>
+      s.sql("SELECT matviewname FROM pg_matviews")
     },
 
     Q("cat_pg_settings", Some("""

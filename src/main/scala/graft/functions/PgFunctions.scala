@@ -110,6 +110,18 @@ object PgFunctions {
     }
     fn(spark, "jsonb_array_length") { exprs => LengthOfJsonArray(exprs.head) }
     fn(spark, "json_array_length") { exprs => LengthOfJsonArray(exprs.head) }
+    // json_build_object(k1, v1, ...) -> to_json(map(...)) (macro at
+    // query_remapper_function.go:45-52); args must share a value type
+    fn(spark, "json_build_object") { exprs => StructsToJson(Map.empty, CreateMap(exprs)) }
+    fn(spark, "jsonb_build_object") { exprs => StructsToJson(Map.empty, CreateMap(exprs)) }
+    // json[b]_array_elements table function -> explode over a parsed array
+    // (query_remapper_table.go:113-134: unnest(json_extract(x,'$[*]')))
+    fn(spark, "json_array_elements") { exprs =>
+      Explode(JsonToStructs(ArrayType(StringType), Map.empty, exprs.head))
+    }
+    fn(spark, "jsonb_array_elements") { exprs =>
+      Explode(JsonToStructs(ArrayType(StringType), Map.empty, exprs.head))
+    }
     // jsonb_agg(x) -> to_json(collect_list(x)) (reference AST rewrite at
     // query_remapper_function.go:168-172)
     fn(spark, "jsonb_agg") { exprs =>

@@ -88,8 +88,21 @@ object PgCatalog {
       .map { case (n, i) => (16384L + i, n, 2200L, "r") }
       .toDF("oid", "relname", "relnamespace", "relkind")
     classDf.createOrReplaceTempView("pg_class")
-    cols.toDF("table_name", "attname", "attnum", "data_type", "atttypid")
-      .createOrReplaceTempView("pg_attribute_view")
+    val relOid = Tables.names.zipWithIndex.map { case (n, i) => n -> (16384L + i) }.toMap
+    cols.map { case (t, c, i, dt, oid) => (relOid(t), c, i, oid.toLong, dt) }
+      .toDF("attrelid", "attname", "attnum", "atttypid", "data_type")
+      .createOrReplaceTempView("pg_attribute")
+
+    // matview / stats / index emulation (query_remapper_table.go:136-250):
+    // fresh sessions have no matviews or indexes; stat rows are faked per
+    // table like the reference's pg_stat_user_tables handling
+    Seq.empty[(String, String, String)].toDF("schemaname", "matviewname", "definition")
+      .createOrReplaceTempView("pg_matviews")
+    Tables.names.map(n => ("public", n, 0L))
+      .toDF("schemaname", "relname", "n_live_tup")
+      .createOrReplaceTempView("pg_stat_user_tables")
+    Seq.empty[(Long, Long, Boolean)].toDF("indexrelid", "indrelid", "indisunique")
+      .createOrReplaceTempView("pg_index")
 
     cols.map { case (t, c, i, dt, _) => ("graft", "public", t, c, i, dt) }
       .toDF("table_catalog", "table_schema", "table_name", "column_name",

@@ -46,6 +46,18 @@ class Store(spark: SparkSession, warehouse: String) {
     versions(name) = next
   }
 
+  /** Replace with hive-style partition directories on `partitionCols` —
+    * scans with a partition-key predicate prune whole directories
+    * (PartitionFilters in the physical plan). Cluster-scale analog of
+    * Iceberg hidden partitioning; the reference leaves tables unpartitioned
+    * (roadmap item), so this is a beyond-parity scale feature. */
+  def replacePartitioned(name: String, df: DataFrame, partitionCols: String*): Unit = {
+    val next = versions.getOrElse(name, 0) + 1
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*)
+      .parquet(versionDir(name, next))
+    versions(name) = next
+  }
+
   def append(name: String, df: DataFrame): Unit =
     if (!exists(name)) replace(name, df)
     else replace(name, read(name).unionByName(df))

@@ -74,6 +74,18 @@ class FunctionsSqlSpec extends SparkSpecBase {
     assert(both.getString(0) == both.getString(1))
   }
 
+  test("approx sketches land within tolerance of exact answers") {
+    Tables.registerAll(spark, sfDir)
+    val row = run("fn_approx_sketches").collect()(0)
+    val exactParts = Tables.df(spark, sfDir, "lineitem")
+      .select("l_partkey").distinct().count()
+    val approx = row.getLong(0)
+    assert(math.abs(approx - exactParts).toDouble / exactParts < 0.1,
+      s"approx $approx vs exact $exactParts")
+    val p50 = row.getDouble(2)
+    assert(p50 > 0)
+  }
+
   test("set_config round-trips through current_setting") {
     Tables.registerAll(spark, sfDir)
     val v = spark.sql("SELECT set_config('app.name', 'graft', false) AS v")

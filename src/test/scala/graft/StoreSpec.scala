@@ -70,6 +70,18 @@ class StoreSpec extends SparkSpecBase {
     assert(!st.exists("mv2"))
   }
 
+  test("partitioned replace prunes partitions on key predicates") {
+    val st = freshStore()
+    val li = Tables.df(spark, sfDir, "lineitem")
+      .withColumn("ship_year", year(col("l_shipdate")))
+    st.replacePartitioned("li_part", li, "ship_year")
+    val q = st.read("li_part").filter(col("ship_year") === 1997)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("ship_year"),
+      s"no partition pruning in plan:\n$plan")
+    assert(q.count() == li.filter(col("ship_year") === 1997).count())
+  }
+
   test("create matview WITH NO DATA is empty until refresh") {
     val st = freshStore()
     Tables.registerAll(spark, sfDir)
