@@ -93,6 +93,40 @@ object StoreOps {
         .orderBy("n_name")
     },
 
+    // gap-based sessionization (30-min inactivity): lag -> new-session flag
+    // -> running sum as session id. The per-user window partitioning is the
+    // scale story: state never leaves a user's partition.
+    Q("st_sessionize", Some("""
+      WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      flagged AS (
+        SELECT user_id, event_id, ts,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sessions AS (
+        SELECT user_id, event_id, ts,
+          CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM flagged)
+      SELECT user_id, session_id, count(*) AS n_events, min(ts) AS session_start
+      FROM sessions GROUP BY user_id, session_id
+      ORDER BY user_id, session_id""")) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val flagged = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("new_sess",
+          when(lag(col("ts"), 1).over(w).isNull
+            || unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)) > 1800, 1)
+            .otherwise(0))
+      flagged
+        .withColumn("session_id",
+          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"))
+        .orderBy("user_id", "session_id")
+    },
+
     // hourly tumbling-window aggregation over the event stream's batch view
     // (the Structured Streaming pipeline in StreamingSpec computes the same
     // result incrementally with a watermark)
