@@ -495,6 +495,17 @@ object RelationalOps {
       s.range(1).select(explode(sequence(lit(1L), lit(100L))).as("s")).orderBy("s")
     },
 
+    // correlated table function in FROM (LATERAL VIEW) — generate_series
+    // driven by an outer column (query_remapper_table.go:113-134 family)
+    Q("op_lateral_series", Some("""
+      SELECT r_name, CAST(unnest(generate_series(0, r_regionkey)) AS INT) AS nk
+      FROM region ORDER BY r_name, nk""")) { (s, dir) =>
+      s.sql("""
+        SELECT r_name, nk FROM region
+        LATERAL VIEW explode(sequence(0, r_regionkey)) t AS nk
+        ORDER BY r_name, nk""")
+    },
+
     // unnest / explode of a real array column with position
     Q("op_explode_array", Some("""
       SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
