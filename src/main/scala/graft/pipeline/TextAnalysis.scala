@@ -110,6 +110,37 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // corpus statistics: top-5 word bigrams per language (count desc,
+    // bigram asc tie-break) — the explode/aggregate/window shape of corpus
+    // frequency analysis; shuffles only (lang, bigram) keys
+    Q("txt_top_bigrams", Some("""
+      WITH bg AS (
+        SELECT lang, unnest(list_transform(range(0, len(toks) - 1),
+                 i -> toks[i+1] || chr(32) || toks[i+2])) AS bigram
+        FROM (SELECT lang, string_split(text, chr(32)) AS toks FROM documents) t
+        WHERE len(toks) >= 2),
+      counted AS (
+        SELECT lang, bigram, count(*) AS n FROM bg GROUP BY lang, bigram),
+      ranked AS (
+        SELECT lang, bigram, n,
+          row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rk
+        FROM counted)
+      SELECT lang, bigram, n, CAST(rk AS INT) AS rk
+      FROM ranked WHERE rk <= 5 ORDER BY lang, rk""")) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val bg = t(s, dir, "documents")
+        .withColumn("toks", tokens(col("text")))
+        .filter(size(col("toks")) >= 2)
+        .select(col("lang"), explode(expr(
+          "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', toks[i], toks[i+1]))"))
+          .as("bigram"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bigram"))
+      bg.groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .orderBy("lang", "rk")
+    },
+
     // codegen'd rolling-hash fingerprint (custom Catalyst Expression) — no
     // DuckDB equivalent, covered by ExpressionsSpec
     Q("txt_fingerprint_rolling", None) { (s, dir) =>
