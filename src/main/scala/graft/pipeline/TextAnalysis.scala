@@ -141,6 +141,45 @@ object TextAnalysis {
         .orderBy("lang", "rk")
     },
 
+    // end-to-end corpus curation: quality gate -> prefix-fingerprint dedup
+    // (keep lowest doc_id) -> language filter -> per-source corpus stats.
+    // The composition a training-data pipeline actually runs; every stage is
+    // scan-side or a hash-groupBy, so the whole thing is two shuffles.
+    Q("txt_corpus_curation", Some("""
+      WITH scored AS (
+        SELECT doc_id, lang, source, text,
+          CAST(len(list_distinct(string_split(text, chr(32)))) AS DOUBLE)
+            / len(string_split(text, chr(32))) AS uniq_ratio,
+          len(string_split(text, chr(32))) AS n_tok
+        FROM documents),
+      deduped AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(substr(text, 1, 80))),
+      kept AS (
+        SELECT s.* FROM scored s JOIN deduped d ON s.doc_id = d.doc_id
+        WHERE s.uniq_ratio >= 0.3 AND s.lang IN ('en', 'fr'))
+      SELECT source, lang, count(*) AS n_docs,
+        CAST(sum(CAST(n_tok AS BIGINT)) AS BIGINT) AS total_tokens,
+        CAST(sum(CAST(n_tok AS BIGINT)) AS DOUBLE) / count(*) AS avg_tokens
+      FROM kept GROUP BY source, lang
+      ORDER BY source, lang""")) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val scored = docs.select(col("doc_id"), col("lang"), col("source"),
+        (size(array_distinct(tokens(col("text")))).cast("double")
+          / size(tokens(col("text")))).as("uniq_ratio"),
+        size(tokens(col("text"))).as("n_tok"))
+      val deduped = docs
+        .groupBy(md5(substring(col("text"), 1, 80)))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      scored.join(deduped, Seq("doc_id"))
+        .filter(col("uniq_ratio") >= 0.3 && col("lang").isin("en", "fr"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok").cast("long")).as("total_tokens"),
+          (sum(col("n_tok").cast("long")).cast("double") / count(lit(1))).as("avg_tokens"))
+        .orderBy("source", "lang")
+    },
+
     // codegen'd rolling-hash fingerprint (custom Catalyst Expression) — no
     // DuckDB equivalent, covered by ExpressionsSpec
     Q("txt_fingerprint_rolling", None) { (s, dir) =>
