@@ -136,12 +136,14 @@ object FnQueries {
     // implementations differ across engines, so no value oracle — bounds
     // are pinned in FunctionsSqlSpec
     Q("fn_approx_sketches", None) { (s, dir) =>
+      // scalar columns only (driver comparator rejects array cells)
       t(s, dir, "lineitem")
         .agg(
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           approx_count_distinct(col("l_orderkey")).as("approx_orders"),
           expr("approx_percentile(l_extendedprice, 0.5)").as("p50_price"),
-          expr("approx_percentile(l_extendedprice, array(0.9, 0.99))").as("p_tail"))
+          expr("approx_percentile(l_extendedprice, 0.9)").as("p90_price"),
+          expr("approx_percentile(l_extendedprice, 0.99)").as("p99_price"))
     },
 
     // row_to_json(record) -> to_json(struct) (macro at
@@ -272,12 +274,16 @@ object FnQueries {
     },
 
     // ---- arrays (SURVEY §2.B array ops row) -----------------------------
+    // head3 emitted as fixed-point micros text (floor, not round: floor of a
+    // double is unambiguous across engines) — the driver comparator sorts by
+    // every output column so arrays can't appear in results.
     Q("fn_array_ops", Some("""
       SELECT vec_id, list_contains(embedding, embedding[1]) AS has_first,
         len(embedding) AS n_dims,
         CAST(list_position(embedding, embedding[1]) AS BIGINT) AS first_pos,
         embedding[1] AS first_val,
-        list_slice(embedding, 1, 3) AS head3
+        array_to_string(list_transform(list_slice(embedding, 1, 3),
+          x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS VARCHAR)), ',') AS head3
       FROM embeddings WHERE vec_id < 5 ORDER BY vec_id""")) { (s, dir) =>
       t(s, dir, "embeddings").filter(col("vec_id") < 5)
         .select(col("vec_id"),
@@ -285,7 +291,8 @@ object FnQueries {
           size(col("embedding")).as("n_dims"),
           array_position(col("embedding"), element_at(col("embedding"), 1)).as("first_pos"),
           element_at(col("embedding"), 1).as("first_val"),
-          slice(col("embedding"), 1, 3).as("head3"))
+          array_join(transform(slice(col("embedding"), 1, 3),
+            x => floor(x.cast("double") * 1000000).cast("long").cast("string")), ",").as("head3"))
         .orderBy("vec_id")
     },
 

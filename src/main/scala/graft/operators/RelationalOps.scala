@@ -162,11 +162,14 @@ object RelationalOps {
         .orderBy("r_regionkey")
     },
 
+    // Array result serialized to JSON text: the driver's comparator sorts
+    // rows by every output column and cannot order raw array cells.
     Q("op_agg_array_agg", Some("""
-      SELECT n_regionkey, list(n_nationkey ORDER BY n_nationkey) AS nation_keys
+      SELECT n_regionkey,
+        CAST(to_json(list(n_nationkey ORDER BY n_nationkey)) AS VARCHAR) AS nation_keys
       FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")) { (s, dir) =>
       t(s, dir, "nation").groupBy("n_regionkey")
-        .agg(sort_array(collect_list(col("n_nationkey"))).as("nation_keys"))
+        .agg(to_json(sort_array(collect_list(col("n_nationkey")))).as("nation_keys"))
         .orderBy("n_regionkey")
     },
 
@@ -347,14 +350,16 @@ object RelationalOps {
 
     // ARRAY(SELECT ...) sublink (reference strips its ORDER BY,
     // query_remapper.go:482-494; here we keep deterministic order)
+    // JSON-serialized like op_agg_array_agg (driver comparator sorts all cols)
     Q("op_subquery_array", Some("""
       SELECT r_regionkey,
-        (SELECT list(n_name ORDER BY n_name) FROM nation WHERE n_regionkey = r_regionkey) AS nations
+        CAST(to_json((SELECT list(n_name ORDER BY n_name)
+                      FROM nation WHERE n_regionkey = r_regionkey)) AS VARCHAR) AS nations
       FROM region ORDER BY r_regionkey""")) { (s, dir) =>
       t(s, dir, "region")
         .join(t(s, dir, "nation"), col("n_regionkey") === col("r_regionkey"), "left")
         .groupBy("r_regionkey")
-        .agg(sort_array(collect_list(col("n_name"))).as("nations"))
+        .agg(to_json(sort_array(collect_list(col("n_name")))).as("nations"))
         .orderBy("r_regionkey")
     },
 

@@ -82,11 +82,19 @@ def main():
         res_dir = f"{OUT}/{name}"
         if not os.path.isdir(res_dir):
             fails.append((name, "no spark output")); continue
+        if sql is None:
+            continue  # no oracle: handled by the rows-only loop below
         try:
             got = pd.read_parquet(res_dir)
             want = con.sql(sql).df()
         except Exception as e:
             fails.append((name, f"exec error: {e}")); continue
+        # The driver's comparator sorts rows by EVERY output column, so an
+        # array-typed column crashes it (unhashable ndarray). Fail here first.
+        arr_cols = [c for c in got.columns
+                    if len(got) and isinstance(to_list(got[c][0]), list)]
+        if arr_cols:
+            fails.append((name, f"array-typed output columns {arr_cols} break the driver comparator")); continue
         got = got[sorted(got.columns)]
         want = want[sorted(want.columns)]
         if list(got.columns) != list(want.columns):
@@ -112,10 +120,15 @@ def main():
     # queries without oracle: rows-only check
     for d in sorted(glob.glob(f"{OUT}/*/")):
         name = d.rstrip("/").split("/")[-1]
-        if name not in oracle:
+        if name not in oracle or oracle[name] is None:
             try:
-                n = len(pd.read_parquet(d))
-                skips.append(f"{name} (rows={n})")
+                df = pd.read_parquet(d)
+                arr_cols = [c for c in df.columns
+                            if len(df) and isinstance(to_list(df[c].iloc[0]), list)]
+                if arr_cols:
+                    fails.append((name, f"array-typed output columns {arr_cols} break the driver comparator"))
+                else:
+                    skips.append(f"{name} (rows={len(df)})")
             except Exception as e:
                 fails.append((name, f"unreadable: {e}"))
     print(f"\nPASS {len(passes)}: {' '.join(passes)}")
