@@ -9,17 +9,21 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Runtime helper for [[RollingHash]] — called from generated code, so it
   * must be a stable public object method. */
 object RollingHashUtil {
-  /** Polynomial rolling hash over UTF-8 bytes (base 1000003, wrapping i64).
-    * Used for document fingerprinting: content-defined, order-sensitive,
-    * cheap enough to run inline in a scan at 100 TB (no shuffle, no UDF
-    * boxing — this is a codegen'd Catalyst expression). */
+  /** Polynomial rolling hash over Unicode code points (base 1000003,
+    * wrapping i64). Used for document fingerprinting: content-defined,
+    * order-sensitive, cheap enough to run inline in a scan at 100 TB (no
+    * shuffle, no UDF boxing — this is a codegen'd Catalyst expression).
+    * Code points, not UTF-8 bytes, so any engine with a codepoint split can
+    * reproduce it exactly (the DuckDB oracle folds the same sequence through
+    * HUGEINT arithmetic mod 2^64). */
   def hash(s: UTF8String): Long = {
-    val bytes = s.getBytes
+    val str = s.toString
     var h = 0L
     var i = 0
-    while (i < bytes.length) {
-      h = h * 1000003L + (bytes(i) & 0xffL)
-      i += 1
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = h * 1000003L + cp
+      i += Character.charCount(cp)
     }
     h
   }

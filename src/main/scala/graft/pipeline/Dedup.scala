@@ -133,21 +133,46 @@ object Dedup {
         .orderBy("id_a", "id_b")
     },
 
-    // SimHash: 64-bit signature from shingle-hash bit votes (shingles, not
+    // SimHash: 60-bit signature from shingle-hash bit votes (shingles, not
     // bare tokens: the corpus vocabulary is tiny, so token-set simhash
     // cannot discriminate), candidates via 8-bit chunk banding (pigeonhole:
     // any hamming<=7 pair shares at least one of 8 chunks), verified with
-    // bit_count(xor) <= 12. No oracle (xxhash64-based) — invariants in
-    // PipelineSpec.
-    Q("dd_simhash", None) { (s, dir) =>
+    // bit_count(xor) <= 12. The shingle hash is the top 60 bits of md5 (not
+    // xxhash64) so the DuckDB oracle can reproduce the signature bit-for-bit;
+    // 60 bits also keeps every shift inside signed-i64 range on both engines.
+    Q("dd_simhash", Some("""
+      WITH d AS (SELECT doc_id,
+          list_distinct(list_transform(range(0, len(toks)-2),
+            i -> toks[i+1] || chr(32) || toks[i+2] || chr(32) || toks[i+3])) AS sh
+        FROM (SELECT doc_id, string_split(text, chr(32)) AS toks FROM documents) t
+        WHERE len(toks) >= 3),
+      h AS (SELECT doc_id,
+          list_transform(sh, t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hashes
+        FROM d),
+      s AS (SELECT doc_id,
+          CAST(list_sum(list_transform(range(0, 60), j ->
+            CASE WHEN 2 * list_sum(list_transform(hashes, h -> (h >> CAST(j AS INT)) & 1))
+                      > len(hashes)
+                 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END))
+            AS BIGINT) AS simhash
+        FROM h),
+      c AS (SELECT doc_id, simhash, CAST(r.range AS INT) AS chunk,
+          (simhash >> CAST(r.range * 8 AS INT)) & 255 AS cval
+        FROM s, range(0, 8) r)
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+        CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+      FROM c x JOIN c y ON x.chunk = y.chunk AND x.cval = y.cval AND x.doc_id < y.doc_id
+      WHERE bit_count(xor(x.simhash, y.simhash)) <= 12
+      ORDER BY id_a, id_b""")) { (s, dir) =>
       val d = shingled(s, dir)
-        .withColumn("hashes", expr("transform(sh, t -> xxhash64(t))"))
+        .withColumn("hashes",
+          expr("transform(sh, t -> cast(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT))"))
       val votesSql =
-        "aggregate(hashes, array_repeat(0L, 64), (acc, h) -> " +
-          "zip_with(acc, sequence(0, 63), (a, j) -> " +
+        "aggregate(hashes, array_repeat(0L, 60), (acc, h) -> " +
+          "zip_with(acc, sequence(0, 59), (a, j) -> " +
           "a + IF((shiftright(h, cast(j AS INT)) & 1) = 1, 1L, -1L)))"
       val sim = d.select(col("doc_id"), expr(
-        s"aggregate(zip_with($votesSql, sequence(0, 63), " +
+        s"aggregate(zip_with($votesSql, sequence(0, 59), " +
           "(v, j) -> IF(v > 0, shiftleft(1L, cast(j AS INT)), 0L)), 0L, (acc, x) -> acc | x)")
         .as("simhash"))
       val chunks = sim.select(col("doc_id"), col("simhash"),

@@ -44,6 +44,40 @@ object Similarity {
     Seq.fill(TABLES)(Seq.fill(PLANES_PER_TABLE)(Seq.fill(64)(rng.nextGaussian())))
   }
 
+  /** The deterministic hyperplanes as a DuckDB DOUBLE[][][] literal —
+    * Double.toString round-trips exactly, so the oracle signs the very same
+    * dot products. */
+  private def planesSqlLiteral: String =
+    planes.map(tbl => tbl.map(p => p.mkString("[", ", ", "]"))
+        .mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]") + "::DOUBLE[][][]"
+
+  /** Sequential left-fold dot product (list_reduce) — bit-identical to
+    * Spark's `aggregate(zip_with(...), 0D, +)`. */
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip($a, $b), s -> s[1] * s[2])), (x, y) -> x + y)"
+
+  private def annOracleSql: String = s"""
+      WITH pl AS (SELECT $planesSqlLiteral AS p),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      sig AS (SELECT vec_id, v, CAST(t.range AS INT) AS tbl,
+          CAST(list_sum(list_transform(range(0, $PLANES_PER_TABLE), i ->
+            CASE WHEN ${duckDot("p[t.range + 1][i + 1]", "v")} > 0
+                 THEN (1 << CAST(i AS INT)) ELSE 0 END)) AS INT) AS bucket
+        FROM e, pl, range(0, $TABLES) t),
+      q AS (SELECT vec_id AS query_id, v AS qv, tbl, bucket
+        FROM sig WHERE vec_id IN (${queryIds.mkString(", ")})),
+      cand AS (SELECT DISTINCT q.query_id, q.qv, n.vec_id AS neighbor_id, n.v AS nv
+        FROM q JOIN sig n ON n.tbl = q.tbl AND n.bucket = q.bucket AND n.vec_id <> q.query_id),
+      scored AS (SELECT query_id, neighbor_id,
+          ${duckDot("qv", "nv")} / (sqrt(${duckDot("qv", "qv")}) * sqrt(${duckDot("nv", "nv")})) AS cos
+        FROM cand),
+      ranked AS (SELECT query_id, neighbor_id, cos,
+          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+        FROM scored)
+      SELECT query_id, neighbor_id, CAST(rn AS INT) AS rnk, round(cos, 6) AS cos
+      FROM ranked WHERE rn <= $TOPK ORDER BY query_id, rnk"""
+
   val defs: Seq[Q] = Seq(
 
     Q("sim_cosine_topk", Some("""
@@ -79,8 +113,10 @@ object Similarity {
     },
 
     // random-hyperplane LSH: 16-bit signature -> same-bucket candidates ->
-    // exact cosine within bucket -> top-k. Recall measured in SimilaritySpec.
-    Q("sim_ann_lsh", None) { (s, dir) =>
+    // exact cosine within bucket -> top-k. Recall measured in SimilaritySpec;
+    // the DuckDB oracle carries the same hyperplanes as a literal and folds
+    // the same dot products, reproducing buckets and ranks exactly.
+    Q("sim_ann_lsh", Some(annOracleSql)) { (s, dir) =>
       val planesCol = typedLit(planes)
       val sigSql =
         s"transform(planes, tbl -> aggregate(zip_with(tbl, sequence(0, ${PLANES_PER_TABLE - 1}), " +

@@ -47,6 +47,46 @@ object TextAnalysis {
   def registerUdfs(spark: SparkSession): Unit =
     spark.udf.register("lang_id", (s: String) => langId(s))
 
+  /** Expression form of [[langId]]: per-profile stopword hit count, argmax
+    * with Seq-order tie-break (a chain of >= comparisons picks the first
+    * maximum, exactly like maxBy). Requires a `toks` column. */
+  def langIdCol: Column = {
+    val scores = langProfiles.map { case (lang, words) =>
+      val profile = array(words.toSeq.sorted.map(lit): _*)
+      lang -> size(filter(col("toks"), x => array_contains(profile, x)))
+    }
+    val cases = scores.zipWithIndex.init.map { case ((lang, s), i) =>
+      val rest = scores.drop(i + 1).map(_._2)
+      (rest.map(s >= _).reduce(_ && _), lit(lang))
+    }
+    cases.foldRight(lit(scores.last._1): Column) { case ((cond, v), acc) =>
+      when(cond, v).otherwise(acc)
+    }
+  }
+
+  /** DuckDB replica of [[langIdCol]], generated from the same profiles. */
+  def langIdOracleSql: String = {
+    val scoreSel = langProfiles.map { case (lang, words) =>
+      val arr = words.toSeq.sorted.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(toks, x -> list_contains($arr, x))) AS s_$lang"
+    }.mkString(",\n          ")
+    val langs = langProfiles.map(_._1)
+    val cases = langs.zipWithIndex.init.map { case (lang, i) =>
+      val rest = langs.drop(i + 1).map(o => s"s_$lang >= s_$o").mkString(" AND ")
+      s"WHEN $rest THEN '$lang'"
+    }.mkString(" ")
+    s"""
+      WITH d AS (SELECT doc_id, lang, string_split(text, chr(32)) AS toks FROM documents),
+      s AS (SELECT doc_id, lang,
+          $scoreSel
+        FROM d),
+      p AS (SELECT doc_id, lang,
+          CASE $cases ELSE '${langs.last}' END AS predicted
+        FROM s)
+      SELECT doc_id, lang, predicted, lang = predicted AS agrees
+      FROM p ORDER BY doc_id"""
+  }
+
   val defs: Seq[Q] = Seq(
 
     Q("txt_token_count", Some("""
@@ -89,14 +129,17 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
-    // heuristic lang-ID: no SQL oracle (the profile table lives in Scala);
-    // driver records rows-only, invariants in LangIdSpec
-    Q("txt_lang_id", None) { (s, dir) =>
-      registerUdfs(s)
+    // heuristic lang-ID: stopword-profile argmax with first-profile
+    // tie-break, expressed as native array expressions (scan-side codegen —
+    // at 100 TB this runs at parquet-scan speed, unlike the boxed UDF form
+    // kept in registerUdfs for API parity). The oracle mirrors the same
+    // profiles via list_filter; both sides are generated from langProfiles.
+    Q("txt_lang_id", Some(langIdOracleSql)) { (s, dir) =>
       t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          expr("lang_id(text)").as("predicted"),
-          (col("lang") === expr("lang_id(text)")).as("agrees"))
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("predicted", langIdCol)
+        .select(col("doc_id"), col("lang"), col("predicted"),
+          (col("lang") === col("predicted")).as("agrees"))
         .orderBy("doc_id")
     },
 
@@ -180,9 +223,26 @@ object TextAnalysis {
         .orderBy("source", "lang")
     },
 
-    // codegen'd rolling-hash fingerprint (custom Catalyst Expression) — no
-    // DuckDB equivalent, covered by ExpressionsSpec
-    Q("txt_fingerprint_rolling", None) { (s, dir) =>
+    // codegen'd rolling-hash fingerprint (custom Catalyst Expression). The
+    // DuckDB oracle folds the same codepoint sequence through HUGEINT
+    // arithmetic mod 2^64 and maps back to signed i64 — bit-identical to the
+    // wrapping-long loop in RollingHashUtil.
+    Q("txt_fingerprint_rolling", Some("""
+      WITH f AS (
+        SELECT doc_id,
+          list_reduce(list_prepend(0::HUGEINT,
+            list_transform(string_split_regex(text, ''), c -> CAST(unicode(c) AS HUGEINT))),
+            (acc, c) -> (acc * 1000003 + c) % 18446744073709551616::HUGEINT) AS r,
+          list_reduce(list_prepend(0::HUGEINT,
+            list_transform(string_split_regex(substr(text, 1, 80), ''), c -> CAST(unicode(c) AS HUGEINT))),
+            (acc, c) -> (acc * 1000003 + c) % 18446744073709551616::HUGEINT) AS rp
+        FROM documents)
+      SELECT doc_id,
+        CAST(CASE WHEN r >= 9223372036854775808::HUGEINT
+             THEN r - 18446744073709551616::HUGEINT ELSE r END AS BIGINT) AS fp64,
+        CAST(CASE WHEN rp >= 9223372036854775808::HUGEINT
+             THEN rp - 18446744073709551616::HUGEINT ELSE rp END AS BIGINT) AS fp64_prefix
+      FROM f ORDER BY doc_id""")) { (s, dir) =>
       GraftExpressions.register(s)
       t(s, dir, "documents")
         .select(col("doc_id"), expr("rolling_hash(text)").as("fp64"),

@@ -63,7 +63,7 @@ class PipelineSpec extends SparkSpecBase {
   test("rolling_hash matches reference implementation, codegen and eval") {
     import org.apache.spark.unsafe.types.UTF8String
     def ref(s: String): Long =
-      s.getBytes("UTF-8").foldLeft(0L)((h, b) => h * 1000003L + (b & 0xffL))
+      s.codePoints().toArray.foldLeft(0L)((h, cp) => h * 1000003L + cp)
     assert(RollingHashUtil.hash(UTF8String.fromString("abc")) == ref("abc"))
     GraftExpressions.register(spark)
     val got = spark.sql("SELECT rolling_hash('hello world') AS h").collect()(0).getLong(0)
