@@ -28,12 +28,21 @@ object Dedup {
         "array_distinct(transform(sequence(0, size(toks)-3), " +
           "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))").as("sh"))
 
-  private val jaccardOracle = """
-      WITH d AS (SELECT doc_id,
+  private val shingleSetSql = """SELECT doc_id,
           list_distinct(list_transform(range(0, len(toks)-2),
             i -> toks[i+1] || chr(32) || toks[i+2] || chr(32) || toks[i+3])) AS sh
         FROM (SELECT doc_id, string_split(text, chr(32)) AS toks FROM documents) t
-        WHERE len(toks) >= 3)
+        WHERE len(toks) >= 3"""
+
+  /** DuckDB: the >=0.9-Jaccard pair list (id_a < id_b), as a CTE body. */
+  private val jaccardPairsCte = s"""
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ($shingleSetSql) a JOIN ($shingleSetSql) b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.9"""
+
+  private val jaccardOracle = s"""
+      WITH d AS ($shingleSetSql)
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
@@ -186,6 +195,49 @@ object Dedup {
         .distinct()
         .filter(col("hamming") <= 12)
         .orderBy("id_a", "id_b")
+    },
+
+    // Near-dup CLUSTERS: connected components over the >=0.9-Jaccard pair
+    // graph (the step after pair mining in a dedup pipeline: each cluster
+    // keeps one representative). Spark: iterative min-label propagation —
+    // each round is one join + one aggregate, both map-side-combinable;
+    // rounds = graph diameter (dup clusters are shallow). At 100 TB this is
+    // the standard alternating large-star/small-star shape. Oracle: DuckDB
+    // recursive CTE computing min reachable id.
+    Q("dd_cluster_cc", Some(s"""
+      WITH RECURSIVE pairs AS (${jaccardPairsCte}),
+      edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+      nodes AS (SELECT DISTINCT doc_id FROM documents),
+      reach(src, node) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node)
+      SELECT src AS doc_id, min(node) AS cluster_id
+      FROM reach GROUP BY src ORDER BY doc_id""")) { (s, dir) =>
+      val edges = jaccardPairs(s, dir, 0.9).select("id_a", "id_b")
+      val bidir = edges.select(col("id_a").as("a"), col("id_b").as("b"))
+        .unionByName(edges.select(col("id_b").as("a"), col("id_a").as("b")))
+        .cache()
+      var labels = t(s, dir, "documents")
+        .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      var changed = 1L
+      while (changed > 0) {
+        // candidate label for each node: min over self and neighbors' labels
+        val viaNeighbors = bidir
+          .join(labels.withColumnRenamed("doc_id", "a"), "a")
+          .groupBy(col("b").as("doc_id"))
+          .agg(min(col("cluster_id")).as("n_label"))
+        val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("n_label"), col("cluster_id"))).as("cluster_id"))
+          .cache()
+        changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+          .filter(col("cluster_id") =!= col("old")).count()
+        labels = next
+      }
+      labels.orderBy("doc_id")
     },
 
     // embedding-space near-dup: normalized cosine over double-cast vectors;

@@ -26,11 +26,12 @@ object Similarity {
   private def asDouble(c: Column): Column =
     transform(c, x => x.cast("double"))
 
-  private val dotSql =
-    "aggregate(zip_with(qv, nv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
-  private val cosSql =
-    s"$dotSql / (sqrt(aggregate(zip_with(qv, qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x))" +
-      " * sqrt(aggregate(zip_with(nv, nv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)))"
+  private def sparkDot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+  private def sparkCos(a: String, b: String): String =
+    s"${sparkDot(a, b)} / (sqrt(${sparkDot(a, a)}) * sqrt(${sparkDot(b, b)}))"
+  private val dotSql = sparkDot("qv", "nv")
+  private val cosSql = sparkCos("qv", "nv")
 
   /** 8 hash tables x 4 deterministic hyperplanes (fixed seed), dim 64.
     * Few planes per table keeps per-bucket recall high for the moderate
@@ -56,6 +57,37 @@ object Similarity {
     * Spark's `aggregate(zip_with(...), 0D, +)`. */
   private def duckDot(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip($a, $b), s -> s[1] * s[2])), (x, y) -> x + y)"
+
+  /** IVF cell count / seeds: deterministic "centroids" = the embeddings of
+    * these vec_ids (a k-means iteration would drift per-engine; fixed seeds
+    * keep the operator exactly reproducible while exercising the same
+    * assign/probe/rerank plan). */
+  val centroidIds: Seq[Long] = Seq(7L, 23L, 41L, 59L, 77L, 95L, 113L, 131L)
+  val PROBES = 2
+
+  private def duckCos(a: String, b: String): String =
+    s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
+
+  private def ivfOracleSql: String = s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      c AS (SELECT vec_id AS cid, v AS cv FROM e
+            WHERE vec_id IN (${centroidIds.mkString(", ")})),
+      sc AS (SELECT e.vec_id, e.v, c.cid,
+          ${duckCos("e.v", "c.cv")} AS ccos,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY ${duckCos("e.v", "c.cv")} DESC, c.cid) AS rn
+        FROM e CROSS JOIN c),
+      assign AS (SELECT vec_id AS neighbor_id, v AS nv, cid FROM sc WHERE rn = 1),
+      probes AS (SELECT vec_id AS query_id, v AS qv, cid FROM sc
+        WHERE vec_id IN (${queryIds.mkString(", ")}) AND rn <= $PROBES),
+      cand AS (SELECT DISTINCT p.query_id, p.qv, a.neighbor_id, a.nv
+        FROM probes p JOIN assign a ON a.cid = p.cid AND a.neighbor_id <> p.query_id),
+      scored AS (SELECT query_id, neighbor_id, ${duckCos("qv", "nv")} AS cos FROM cand),
+      ranked AS (SELECT query_id, neighbor_id, cos,
+          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+        FROM scored)
+      SELECT query_id, neighbor_id, CAST(rn AS INT) AS rnk, round(cos, 6) AS cos
+      FROM ranked WHERE rn <= $TOPK ORDER BY query_id, rnk"""
 
   private def annOracleSql: String = s"""
       WITH pl AS (SELECT $planesSqlLiteral AS p),
@@ -137,6 +169,39 @@ object Similarity {
             col("tbl"), col("bucket")),
           col("tbl") === col("qtbl") && col("bucket") === col("qbucket")
             && col("neighbor_id") =!= col("query_id"))
+        .select("query_id", "qv", "neighbor_id", "nv").distinct()
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      cand.select(col("query_id"), col("neighbor_id"), expr(cosSql).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= TOPK)
+        .select(col("query_id"), col("neighbor_id"), col("rn").as("rnk"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("query_id", "rnk")
+    },
+
+    // IVF (inverted-file) ANN: deterministic seed centroids -> every vector
+    // assigned to its best centroid (one broadcast join against the tiny
+    // centroid set) -> queries probe their 2 best cells -> exact rerank
+    // inside the probed cells. The 100 TB shape: the corpus shuffles once by
+    // cell id, queries touch only probed cells. Oracle reproduces the
+    // assignment and rerank with the identical fold arithmetic.
+    Q("sim_ivf", Some(ivfOracleSql)) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val cents = e.filter(col("vec_id").isin(centroidIds: _*))
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val scoredAll = e.crossJoin(broadcast(cents))
+        .withColumn("ccos", expr(sparkCos("v", "cv")))
+      val wCell = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cid"))
+      val ranked = scoredAll.withColumn("rn", row_number().over(wCell))
+      val assign = ranked.filter(col("rn") === 1)
+        .select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("cid"))
+      val probes = ranked.filter(col("vec_id").isin(queryIds: _*) && col("rn") <= PROBES)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cid"))
+      val cand = probes.join(assign, Seq("cid"))
+        .filter(col("neighbor_id") =!= col("query_id"))
         .select("query_id", "qv", "neighbor_id", "nv").distinct()
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("neighbor_id"))

@@ -223,6 +223,70 @@ object TextAnalysis {
         .orderBy("source", "lang")
     },
 
+    // TF-IDF-style term salience: top-3 terms per document by
+    // tf * (N/df), rank ties broken by term. The idf factor is the
+    // RATIONAL form N/df rather than ln(N/df): both engines then compute
+    // the score with two correctly-rounded IEEE ops (divide, multiply),
+    // which hash-match exactly — libm log is not required to be
+    // correctly rounded and can differ by 1 ulp across engines. Shape:
+    // explode -> two hash aggregates (term df, doc tf) -> broadcast-join
+    // df -> per-doc top-k window. At 100 TB the df side is a compact
+    // term dictionary, broadcast or bucket-joined.
+    Q("txt_tfidf", Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, chr(32))) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+      df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+          tf.tf * (CAST(n.n_docs AS DOUBLE) / df.df) AS score
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+      ranked AS (
+        SELECT doc_id, term, tf, df, score,
+          row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+        FROM scored)
+      SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        score, CAST(rk AS INT) AS rk
+      FROM ranked WHERE rk <= 3 AND doc_id < 100
+      ORDER BY doc_id, rk""")) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = toks.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      val nDocs = t(s, dir, "documents").count()
+      val scored = tf.join(broadcast(df), "term")
+        .withColumn("score", col("tf") * (lit(nDocs.toDouble) / col("df")))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3 && col("doc_id") < 100)
+        .select("doc_id", "term", "tf", "df", "score", "rk")
+        .orderBy("doc_id", "rk")
+    },
+
+    // deterministic stratified sampling: per-language rates keyed on an
+    // md5-derived uniform hash of the doc id — no RNG state, no shuffle,
+    // reproducible on any engine/partitioning (the property that matters
+    // when sampling a 100 TB corpus: the sample is a pure function of the
+    // row, so re-runs and audits agree)
+    Q("txt_sample_stratified", Some("""
+      SELECT doc_id, lang,
+        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) AS bucket
+      FROM documents
+      WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT)
+          < CASE WHEN lang = 'en' THEN 19661 WHEN lang = 'zh' THEN 3277 ELSE 6554 END
+      ORDER BY doc_id""")) { (s, dir) =>
+      val bucket = expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS INT)")
+      t(s, dir, "documents")
+        .withColumn("bucket", bucket)
+        .filter(col("bucket") < when(col("lang") === "en", 19661)
+          .when(col("lang") === "zh", 3277).otherwise(6554))
+        .select("doc_id", "lang", "bucket")
+        .orderBy("doc_id")
+    },
+
     // codegen'd rolling-hash fingerprint (custom Catalyst Expression). The
     // DuckDB oracle folds the same codepoint sequence through HUGEINT
     // arithmetic mod 2^64 and maps back to signed i64 — bit-identical to the
