@@ -121,7 +121,9 @@ object PgDialect {
       "information_schema_$1")
     s = s.replaceAll("(?i)\\s+COLLATE\\s+(\"[^\"]+\"|[\\w.]+)", "")
     s = s.replaceAll("(?i)OPERATOR\\s*\\(\\s*~\\s*\\)", "RLIKE")
+    s = rewriteRegclass(s)
     s = rewriteAnyAll(s)
+    s = rewriteLateral(s)
     s = rewriteJsonArrows(s)
     s = rewriteCasts(s)
     // regex match operators (PG ~ family) — after arrows so ->> is gone
@@ -146,19 +148,106 @@ object PgDialect {
     }
   }
 
-  /** `lhs = ANY('{a,b}')` -> IN list; `lhs = ANY(col)` -> array_contains;
-    * `lhs <> ALL('{a,b}')` -> NOT IN (parser_a_expr.go:103-154). */
+  /** `lhs = ANY('{a,b}')` -> IN list; `lhs = ANY(SELECT …)` -> IN subquery;
+    * `lhs = ANY(col)` -> array_contains; `lhs <> ALL('{a,b}')` /
+    * `<> ALL(SELECT …)` -> NOT IN (parser_a_expr.go:103-154). */
   private def rewriteAnyAll(sql: String): String = {
     val anyLit = "(?is)(\\S+)\\s*=\\s*ANY\\s*\\(\\s*'\\{([^}]*)\\}'(?:::[\\w\\[\\]]+)?\\s*\\)".r
     val allLit = "(?is)(\\S+)\\s*<>\\s*ALL\\s*\\(\\s*'\\{([^}]*)\\}'(?:::[\\w\\[\\]]+)?\\s*\\)".r
     val anyCol = "(?is)(\\S+)\\s*=\\s*ANY\\s*\\(\\s*([\\w.]+)\\s*\\)".r
-    var s = sql
+    var s = rewriteAnySubquery(sql)
     s = anyLit.replaceAllIn(s, m =>
       m.group(1) + " IN (" + splitArrayLiteral(m.group(2)) + ")")
     s = allLit.replaceAllIn(s, m =>
       m.group(1) + " NOT IN (" + splitArrayLiteral(m.group(2)) + ")")
     s = anyCol.replaceAllIn(s, m =>
       "array_contains(" + m.group(2) + ", " + m.group(1) + ")")
+    s
+  }
+
+  /** Correlated/subquery ANY: `x = ANY(SELECT …)` -> `x IN (SELECT …)` and
+    * `x <> ALL(SELECT …)` -> `x NOT IN (SELECT …)` — balanced-paren scan so
+    * nested parens inside the subquery survive. */
+  private def rewriteAnySubquery(sql: String): String = {
+    var s = sql
+    val pat = java.util.regex.Pattern.compile("(?i)(=\\s*ANY|<>\\s*ALL)\\s*\\(")
+    var restart = true
+    while (restart) {
+      restart = false
+      val m = pat.matcher(s)
+      var search = 0
+      while (!restart && m.find(search)) {
+        val open = m.end() - 1
+        val inner = s.substring(open + 1).dropWhile(_.isWhitespace)
+        if (inner.toUpperCase.startsWith("SELECT")) {
+          val close = matchParen(s, open)
+          val sub = s.substring(open + 1, close)
+          val pre0 = s.substring(0, m.start())
+          val pre = if (pre0.isEmpty || pre0.last.isWhitespace) pre0 else pre0 + " "
+          val op = if (m.group(1).trim.startsWith("=")) "IN " else "NOT IN "
+          s = pre + op + "(" + sub + ")" + s.substring(close + 1)
+          restart = true
+        } else search = m.end()
+      }
+    }
+    s
+  }
+
+  /** Index of the ')' matching the '(' at `open` (skips quoted strings). */
+  private def matchParen(s: String, open: Int): Int = {
+    var depth = 0; var i = open; var inStr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') inStr = !inStr
+      else if (!inStr && c == '(') depth += 1
+      else if (!inStr && c == ')') { depth -= 1; if (depth == 0) return i }
+      i += 1
+    }
+    s.length - 1
+  }
+
+  /** `'tbl'::regclass[::oid]` -> oid-lookup scalar subquery over
+    * pg_class (⋈ pg_namespace when schema-qualified) — the reference does
+    * the same rewrite (parser_type_cast.go:90-206). `'f'::regproc` -> the
+    * function-name string. */
+  private def rewriteRegclass(sql: String): String = {
+    import java.util.regex.Matcher.quoteReplacement
+    val regclass = "(?i)'([\\w.]+)'\\s*::\\s*regclass(\\s*::\\s*oid)?".r
+    var s = regclass.replaceAllIn(sql, m => quoteReplacement {
+      m.group(1).split('.') match {
+        case Array(sch, tbl) =>
+          s"(SELECT c.oid FROM pg_class c JOIN pg_namespace n ON c.relnamespace = n.oid " +
+            s"WHERE n.nspname = '$sch' AND c.relname = '$tbl')"
+        case Array(tbl) =>
+          s"(SELECT oid FROM pg_class WHERE relname = '$tbl')"
+        case _ => m.group(0)
+      }
+    })
+    s = "(?i)'([\\w.]+)'\\s*::\\s*regproc(\\s*::\\s*text)?".r
+      .replaceAllIn(s, m => quoteReplacement(s"'${m.group(1)}'"))
+    s
+  }
+
+  /** LATERAL table functions -> Spark LATERAL VIEW:
+    *  - `, LATERAL generate_series(a,b) [AS] g(n)` and
+    *  - `[LEFT] JOIN LATERAL generate_series(a,b) [AS] g(n) ON true`
+    * become `LATERAL VIEW [OUTER] explode(sequence(a,b)) g AS n`; a bare
+    * `FROM generate_series(a,b) [AS] g(n)` becomes a one-column subquery.
+    * `LATERAL (SELECT …)` passes through — Catalyst supports correlated
+    * lateral subqueries natively (the reference's DuckDB does not, SURVEY
+    * §2.B joins row). */
+  private def rewriteLateral(sql: String): String = {
+    import java.util.regex.Matcher.quoteReplacement
+    var s = sql
+    val comma = "(?is),\\s*LATERAL\\s+generate_series\\s*\\(([^)]*)\\)\\s*(?:AS\\s+)?(\\w+)\\s*\\(\\s*(\\w+)\\s*\\)".r
+    s = comma.replaceAllIn(s, m => quoteReplacement(
+      s" LATERAL VIEW explode(sequence(${m.group(1)})) ${m.group(2)} AS ${m.group(3)}"))
+    val join = "(?is)(LEFT\\s+)?JOIN\\s+LATERAL\\s+generate_series\\s*\\(([^)]*)\\)\\s*(?:AS\\s+)?(\\w+)\\s*\\(\\s*(\\w+)\\s*\\)\\s*ON\\s+true".r
+    s = join.replaceAllIn(s, m => quoteReplacement(
+      s" LATERAL VIEW ${if (m.group(1) != null) "OUTER " else ""}explode(sequence(${m.group(2)})) ${m.group(3)} AS ${m.group(4)}"))
+    val from = "(?is)\\bFROM\\s+generate_series\\s*\\(([^)]*)\\)\\s*(?:AS\\s+)?(\\w+)\\s*\\(\\s*(\\w+)\\s*\\)".r
+    s = from.replaceAllIn(s, m => quoteReplacement(
+      s"FROM (SELECT explode(sequence(${m.group(1)})) AS ${m.group(3)}) ${m.group(2)}"))
     s
   }
 

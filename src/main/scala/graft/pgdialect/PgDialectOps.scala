@@ -57,6 +57,38 @@ object PgDialectOps {
         SELECT oid, typname FROM pg_catalog.pg_type
         WHERE typname = ANY('{bool,jsonb}')
         ORDER BY oid""")
+    },
+
+    // correlated ANY subquery (query_remapper.go sublink traversal; DuckDB
+    // needed the reference's =ANY->IN hack, Catalyst handles IN-subqueries)
+    Q("pd_any_subquery", Some("""
+      SELECT n_name FROM nation
+      WHERE n_nationkey IN (SELECT c_nationkey FROM customer WHERE c_acctbal > 9000)
+      ORDER BY n_name""")) { (s, dir) =>
+      run(s, """
+        SELECT n_name FROM nation
+        WHERE n_nationkey = ANY(SELECT c_nationkey FROM customer WHERE c_acctbal > 9000)
+        ORDER BY n_name""")
+    },
+
+    // LATERAL generate_series -> LATERAL VIEW explode(sequence(...))
+    // (oracle uses scalar generate_series + unnest: DuckDB's table-function
+    // form rejects lateral column arguments)
+    Q("pd_lateral_series", Some("""
+      SELECT r_name, CAST(unnest(generate_series(1, r_regionkey + 1)) AS BIGINT) AS n
+      FROM region ORDER BY r_name, n""")) { (s, dir) =>
+      run(s, """
+        SELECT r_name, g.n FROM region, LATERAL generate_series(1, r_regionkey + 1) AS g(n)
+        ORDER BY r_name, n""")
+    },
+
+    // ::regclass -> oid-lookup subselect over the emulated pg_class
+    // (deterministic oids: 16384 + position in the table registry)
+    Q("pd_regclass", Some("""
+      SELECT CAST(16390 AS BIGINT) AS li_oid, CAST(16389 AS BIGINT) AS ord_oid""")) { (s, dir) =>
+      run(s, """
+        SELECT 'lineitem'::regclass::oid AS li_oid,
+               'public.orders'::regclass AS ord_oid""")
     }
   )
 }

@@ -52,6 +52,22 @@ class PgDialectSpec extends SparkSpecBase {
       == "SELECT * FROM t WHERE array_contains(arr, 'one')")
   }
 
+  test("ANY subquery, regclass, and LATERAL translation") {
+    assert(translateSelect("SELECT * FROM t WHERE x = ANY(SELECT y FROM u WHERE y > (1 + 2))")
+      == "SELECT * FROM t WHERE x IN (SELECT y FROM u WHERE y > (1 + 2))")
+    assert(translateSelect("SELECT * FROM t WHERE x <> ALL(SELECT y FROM u)")
+      == "SELECT * FROM t WHERE x NOT IN (SELECT y FROM u)")
+    assert(translateSelect("SELECT 'orders'::regclass")
+      == "SELECT (SELECT oid FROM pg_class WHERE relname = 'orders')")
+    assert(translateSelect("SELECT 'public.orders'::regclass::oid")
+      == "SELECT (SELECT c.oid FROM pg_class c JOIN pg_namespace n ON c.relnamespace = n.oid WHERE n.nspname = 'public' AND c.relname = 'orders')")
+    assert(translateSelect("SELECT 'lower'::regproc") == "SELECT 'lower'")
+    assert(translateSelect("SELECT r_name, n FROM region, LATERAL generate_series(1, r_regionkey) AS g(n)")
+      == "SELECT r_name, n FROM region LATERAL VIEW explode(sequence(1, r_regionkey)) g AS n")
+    assert(translateSelect("SELECT n FROM generate_series(1, 5) AS g(n)")
+      == "SELECT n FROM (SELECT explode(sequence(1, 5)) AS n) g")
+  }
+
   test("operator and qualification translation") {
     assert(translateSelect("SELECT * FROM t WHERE n ~ 'x.*'")
       == "SELECT * FROM t WHERE n  RLIKE  'x.*'")
