@@ -9,21 +9,35 @@ import org.apache.spark.sql.streaming.Trigger
   */
 class StreamingSpec extends SparkSpecBase {
 
-  test("streaming hourly window agg equals batch result") {
-    val batchDf = Tables.df(spark, sfDir, "events")
+  /** Events as a file-stream source (ts surfaced as a proper timestamp). */
+  private def eventStream = {
     val schema = spark.read
       .parquet(s"$sfDir/events.parquet").schema // ts as long nanos
-
-    // the file-stream source wants a directory of files
     val srcDir = java.nio.file.Files.createTempDirectory("graft-stream")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       srcDir.resolve("events.parquet"))
-
-    val stream = spark.readStream
+    spark.readStream
       .schema(schema)
       .parquet(srcDir.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private def runToTable(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String = "append"): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    spark.table(name)
+  }
+
+  test("streaming hourly window agg equals batch result") {
+    val batchDf = Tables.df(spark, sfDir, "events")
+    val stream = eventStream
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -48,5 +62,45 @@ class StreamingSpec extends SparkSpecBase {
       .collect().toSeq
     assert(streamed.nonEmpty)
     assert(streamed == batch)
+  }
+
+  test("flatMapGroupsWithState sessionization equals the batch operator") {
+    Tables.registerAll(spark, sfDir)
+    val streamed = runToTable(
+        Streams.sessionize(eventStream).toDF(), "sessions_stream")
+      .orderBy("user_id", "session_id")
+      .collect().toSeq
+    val batch = SparkEntry.queries("st_sessionize")(spark, sfDir)
+      .select("user_id", "session_id", "n_events", "session_start")
+      .orderBy("user_id", "session_id")
+      .collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
+  test("watermarked dedup drops duplicate event ids with bounded state") {
+    // duplicate the stream source file => every event arrives twice
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-dup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      srcDir.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      srcDir.resolve("b.parquet"))
+    val doubled = spark.readStream.schema(schema).parquet(srcDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val streamed = runToTable(Streams.dedup(doubled), "dedup_stream")
+    val exact = Tables.df(spark, sfDir, "events").count()
+    assert(streamed.count() == exact)
+  }
+
+  test("stream-static join enriches events against the customer dim") {
+    val customer = Tables.df(spark, sfDir, "customer")
+    val streamed = runToTable(
+      Streams.enrich(eventStream, customer), "enrich_stream")
+    val batch = Streams.enrich(Tables.df(spark, sfDir, "events"), customer)
+    assert(streamed.count() == batch.count())
+    assert(streamed.count() > 0)
   }
 }
