@@ -229,10 +229,13 @@ object Dedup {
           .join(labels.withColumnRenamed("doc_id", "a"), "a")
           .groupBy(col("b").as("doc_id"))
           .agg(min(col("cluster_id")).as("n_label"))
+        // localCheckpoint truncates the per-iteration lineage — without it
+        // the plan (and task closures) grow linearly with rounds, which is
+        // what kills long iterative jobs at scale
         val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
           .select(col("doc_id"),
             least(col("cluster_id"), coalesce(col("n_label"), col("cluster_id"))).as("cluster_id"))
-          .cache()
+          .localCheckpoint()
         changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
           .filter(col("cluster_id") =!= col("old")).count()
         labels = next

@@ -200,12 +200,15 @@ object Similarity {
         .select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("cid"))
       val probes = ranked.filter(col("vec_id").isin(queryIds: _*) && col("rn") <= PROBES)
         .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cid"))
-      val cand = probes.join(assign, Seq("cid"))
+      // broadcast the tiny probe set (queries x probed cells); score before
+      // deduping so the dedup shuffles only (query, neighbor, cos) scalars,
+      // never the embedding arrays
+      val cand = broadcast(probes).join(assign, Seq("cid"))
         .filter(col("neighbor_id") =!= col("query_id"))
-        .select("query_id", "qv", "neighbor_id", "nv").distinct()
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("neighbor_id"))
       cand.select(col("query_id"), col("neighbor_id"), expr(cosSql).as("cos"))
+        .groupBy("query_id", "neighbor_id").agg(max(col("cos")).as("cos"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= TOPK)
         .select(col("query_id"), col("neighbor_id"), col("rn").as("rnk"),
