@@ -21,7 +21,15 @@ import java.time.format.DateTimeFormatter
   * statements, Terminate. Extended protocol (Parse/Bind/Describe) is the
   * documented next increment.
   */
+object PgWireServer {
+  private val pidCounter = new java.util.concurrent.atomic.AtomicInteger(1000)
+  /** backend pid -> (secret, Spark job group) for CancelRequest routing */
+  private val backends =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Int, String)]()
+}
+
 class PgWireServer(spark: SparkSession, store: Store, port: Int) {
+  import PgWireServer._
   @volatile private var running = true
   private var server: ServerSocket = _
 
@@ -53,8 +61,16 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int) {
     val portals = scala.collection.mutable.Map[String, DataFrame]()
     var errorSkip = false // error in extended flow: skip until Sync
 
+    // one backend key per connection; queries run in this connection's job
+    // group so CancelRequest can abort exactly this backend's Spark jobs
+    val pid = pidCounter.incrementAndGet()
+    val secret = pid * 7919 + 13
+    val jobGroup = s"pgwire-$pid"
+    backends.put(pid, (secret, jobGroup))
     try {
-      if (!startup(in, out)) return
+      if (!startup(in, out, pid, secret)) return
+      spark.sparkContext.setJobGroup(jobGroup, s"pgwire backend $pid",
+        interruptOnCancel = true)
       var open = true
       while (open) {
         val tpe = in.read()
@@ -109,8 +125,14 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int) {
                 val kind = b.read().toChar
                 val name = readCStr()
                 val df = if (kind == 'P') portals(name)
-                  else spark.sql(PgDialect.translateSelect(statements(name)))
-                if (kind == 'S') msg(out, 't') { bb => bb.writeShort(0) }
+                  else spark.sql(PgDialect.translateSelect(
+                    substituteParams(statements(name),
+                      Seq.fill(countParams(statements(name)))(null))))
+                if (kind == 'S') msg(out, 't') { bb => // ParameterDescription
+                  val n = countParams(statements(name))
+                  bb.writeShort(n)
+                  (0 until n).foreach(_ => bb.writeInt(25)) // text OID
+                }
                 rowDescription(out, df.schema)
               } catch { case e: Throwable => sendError(out, e); errorSkip = true }
             case 'E' if !errorSkip => // Execute
@@ -131,7 +153,7 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int) {
         }
       }
     } catch { case _: Throwable => () }
-    finally sock.close()
+    finally { backends.remove(pid); sock.close() }
   }
 
   /** Text params pass through; binary int4/int8 decoded by length, the same
@@ -143,6 +165,11 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int) {
       case 8 => java.nio.ByteBuffer.wrap(bytes).getLong.toString
       case _ => new String(bytes, UTF_8)
     }
+
+  /** Highest $N placeholder in a prepared statement. */
+  private def countParams(sql: String): Int =
+    "\\$(\\d+)".r.findAllMatchIn(sql).map(_.group(1).toInt)
+      .foldLeft(0)(math.max)
 
   /** $N placeholders -> SQL literals (quoted unless numeric). */
   private def substituteParams(sql: String, args: Seq[String]): String = {
@@ -158,12 +185,21 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int) {
   }
 
   // ---- startup ---------------------------------------------------------
-  private def startup(in: DataInputStream, out: DataOutputStream): Boolean = {
+  private def startup(in: DataInputStream, out: DataOutputStream,
+      pid: Int, secret: Int): Boolean = {
     var len = in.readInt()
     var proto = in.readInt()
     if (proto == 80877103) { // SSLRequest -> refuse like the reference
       out.write('N'); out.flush()
       len = in.readInt(); proto = in.readInt()
+    }
+    if (proto == 80877102) { // CancelRequest: pid + secret, then close
+      val cpid = in.readInt()
+      val csecret = in.readInt()
+      Option(backends.get(cpid)).foreach { case (s, group) =>
+        if (s == csecret) spark.sparkContext.cancelJobGroup(group)
+      }
+      return false
     }
     if (proto != 196608) return false
     val params = new Array[Byte](len - 8)
@@ -174,7 +210,7 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int) {
       .foreach { case (k, v) =>
         msg(out, 'S') { b => cstr(b, k); cstr(b, v) }
       }
-    msg(out, 'K') { b => b.writeInt(12345); b.writeInt(67890) } // BackendKeyData
+    msg(out, 'K') { b => b.writeInt(pid); b.writeInt(secret) } // BackendKeyData
     readyForQuery(out)
     true
   }

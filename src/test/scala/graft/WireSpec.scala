@@ -182,6 +182,49 @@ class WireSpec extends SparkSpecBase {
     c.close()
   }
 
+  test("describe statement reports parameter OIDs and row description") {
+    val c = new Client(server._2); c.startup()
+    def send(tpe: Char, body: Array[Byte]): Unit = {
+      c.out.writeByte(tpe); c.out.writeInt(4 + body.length); c.out.write(body)
+    }
+    def cstr(s: String) = (s + "\u0000").getBytes(UTF_8)
+    def i16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+    send('P', cstr("dsc") ++
+      cstr("SELECT n_name FROM nation WHERE n_name = $1 OR n_nationkey = $2") ++ i16(0))
+    send('D', Array('S'.toByte) ++ cstr("dsc"))
+    send('S', Array.emptyByteArray)
+    c.out.flush()
+    val msgs = c.drainUntilReady()
+    val pd = msgs.find(_._1 == 't').get._2
+    val pin = new DataInputStream(new java.io.ByteArrayInputStream(pd))
+    assert(pin.readShort() == 2)
+    assert(pin.readInt() == 25 && pin.readInt() == 25)
+    assert(msgs.exists(_._1 == 'T'))
+    c.close()
+  }
+
+  test("cancel request with the backend key leaves the session usable") {
+    val c = new Client(server._2); c.startup()
+    // harvest pid/secret from BackendKeyData
+    val c2 = new Client(server._2)
+    val params = "user\u0000graft\u0000database\u0000graft\u0000\u0000".getBytes(UTF_8)
+    c2.out.writeInt(8 + params.length); c2.out.writeInt(196608); c2.out.write(params); c2.out.flush()
+    val k = c2.drainUntilReady().find(_._1 == 'K').get._2
+    val kin = new DataInputStream(new java.io.ByteArrayInputStream(k))
+    val (pid, secret) = (kin.readInt(), kin.readInt())
+    // CancelRequest arrives on a NEW connection, then that socket closes
+    val cs = new Socket("127.0.0.1", server._2)
+    val cout = new DataOutputStream(cs.getOutputStream)
+    cout.writeInt(16); cout.writeInt(80877102); cout.writeInt(pid); cout.writeInt(secret)
+    cout.flush()
+    assert(cs.getInputStream.read() == -1) // server closes without reply
+    cs.close()
+    // the cancelled backend and other sessions keep working afterwards
+    val again = c2.query("SELECT 5 AS five")
+    assert(dataRowValues(again.find(_._1 == 'D').get._2) == Seq("5"))
+    c2.close(); c.close()
+  }
+
   test("ntz timestamps from real parquet tables encode in PG format") {
     val c = new Client(server._2); c.startup()
     val msgs = c.query("SELECT min(o_orderdate) AS d FROM orders")
