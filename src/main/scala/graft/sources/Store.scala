@@ -71,6 +71,39 @@ class Store(spark: SparkSession, warehouse: String) {
   def deleteByKey(name: String, keys: DataFrame, key: String): Unit =
     replace(name, read(name).join(keys.select(key), Seq(key), "left_anti"))
 
+  /** Type-2 slowly-changing-dimension upsert: incoming (key, attrs,
+    * effective ts) closes the open history row of each changed key
+    * (valid_to = ts, is_current = false) and opens a new current row.
+    * Unchanged keys keep their open row. The reference only replaces or
+    * upserts in place (iceberg_table_writer.go:304-378); history tracking
+    * is the warehouse-side extension. On Iceberg this is a single MERGE;
+    * here: one anti/semi split + union, all hash joins on the key. */
+  def scd2Upsert(name: String, incoming: DataFrame, key: String, tsCol: String): Unit = {
+    if (!exists(name)) {
+      replace(name, incoming
+        .withColumn("valid_from", col(tsCol)).drop(tsCol)
+        .withColumn("valid_to", lit(null).cast("timestamp"))
+        .withColumn("is_current", lit(true)))
+      return
+    }
+    val hist = read(name)
+    val incomingKeys = incoming.select(col(key))
+    val untouched = hist.join(incomingKeys, Seq(key), "left_anti")
+    val closedAt = incoming.select(col(key), col(tsCol).as("__close_ts"))
+    val closed = hist.filter(col("is_current"))
+      .join(closedAt, Seq(key))
+      .withColumn("valid_to", col("__close_ts")).drop("__close_ts")
+      .withColumn("is_current", lit(false))
+    val priorHistory = hist.filter(!col("is_current"))
+      .join(incomingKeys, Seq(key), "left_semi")
+    val opened = incoming
+      .withColumn("valid_from", col(tsCol)).drop(tsCol)
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+      .withColumn("is_current", lit(true))
+    replace(name, untouched.unionByName(priorHistory).unionByName(closed)
+      .unionByName(opened))
+  }
+
   /** Cursor-based incremental append with overlap trim: rows of `incoming`
     * at/after the stored max(cursor) are appended unless their unique key is
     * already present (the reference's OverrideRows handling). */

@@ -1,0 +1,68 @@
+package graft
+
+/** Physical-plan shape assertions for scale-critical operators: what the
+  * oracle gate cannot see (it checks values) and what decides 100 TB
+  * behavior — shuffle counts, broadcast choices, filter pushdown. A plan
+  * regression here means a query that still returns the right rows but
+  * would fall over at cluster scale. */
+class PlanSpec extends SparkSpecBase {
+
+  private def plan(name: String): String = {
+    Tables.registerAll(spark, sfDir)
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+  }
+
+  private def countOf(pattern: String, s: String): Int =
+    pattern.r.findAllIn(s).length
+
+  test("as-of join is one hash shuffle plus a window, no join node at all") {
+    val p = plan("op_join_asof")
+    assert(countOf("Exchange hashpartitioning", p) == 1, p)
+    assert(p.contains("Window") || p.contains("RunningWindowFunction"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("range join is a broadcast equi-join on buckets, not a nested loop") {
+    val p = plan("op_join_range")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    // cache-less direct read so the scan node is visible
+    val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(org.apache.spark.sql.functions.col("l_orderkey") < 100)
+      .select("l_orderkey", "l_quantity")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), LessThan(l_orderkey,100)]"), p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), p)
+  }
+
+  test("stratified sample is scan-side: no exchange before the sort") {
+    val p = plan("txt_sample_stratified")
+    assert(countOf("Exchange hashpartitioning", p) == 0, p)
+  }
+
+  test("tfidf broadcasts the term dictionary") {
+    val p = plan("txt_tfidf")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("ivf dedups on scalars, never shuffles embedding arrays") {
+    val p = plan("sim_ivf")
+    // every hash exchange must partition on scalar cols only (no `v#` /
+    // `qv#` / `nv#` array columns in the partitioning expressions)
+    val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      assert(!e.contains("v#") && !e.contains("qv#") && !e.contains("nv#"),
+        s"array column shuffled: $e")
+    }
+  }
+
+  test("tpch q3 uses broadcast joins for the dimension side") {
+    val p = plan("q03_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+}

@@ -30,6 +30,37 @@ class StoreSpec extends SparkSpecBase {
     assert(got == Seq((1L, "a"), (2L, "B"), (3L, "c")))
   }
 
+  test("scd2 upsert tracks history: closes changed rows, keeps unchanged open") {
+    val st = freshStore()
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // initial load at t1: keys 1, 2
+    st.scd2Upsert("dim",
+      Seq((1L, "a", ts("2024-01-01 00:00:00")), (2L, "b", ts("2024-01-01 00:00:00")))
+        .toDF("k", "v", "ts"), "k", "ts")
+    // t2: key 2 changes, key 3 arrives
+    st.scd2Upsert("dim",
+      Seq((2L, "B", ts("2024-02-01 00:00:00")), (3L, "c", ts("2024-02-01 00:00:00")))
+        .toDF("k", "v", "ts"), "k", "ts")
+    // t3: key 2 changes again
+    st.scd2Upsert("dim",
+      Seq((2L, "BB", ts("2024-03-01 00:00:00"))).toDF("k", "v", "ts"), "k", "ts")
+
+    val rows = st.read("dim")
+      .orderBy("k", "valid_from")
+      .select("k", "v", "is_current")
+      .as[(Long, String, Boolean)].collect().toSeq
+    assert(rows == Seq(
+      (1L, "a", true),                       // never changed: still open
+      (2L, "b", false), (2L, "B", false), (2L, "BB", true), // full history
+      (3L, "c", true)))
+    // exactly one open row per key, closed rows have valid_to set
+    val open = st.read("dim").filter(col("is_current"))
+    assert(open.count() == 3 && open.filter(col("valid_to").isNotNull).count() == 0)
+    val closed = st.read("dim").filter(!col("is_current"))
+    assert(closed.filter(col("valid_to").isNull).count() == 0)
+  }
+
   test("delete by key") {
     val st = freshStore()
     import spark.implicits._
