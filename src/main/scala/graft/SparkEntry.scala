@@ -14,8 +14,8 @@ object SparkEntry {
 
   /** All query modules, in display order. */
   def all: Seq[Q] = TpchQueries.defs ++ RelationalOps.defs ++ TemporalOps.defs ++
-    FnQueries.defs ++ TextAnalysis.defs ++ Dedup.defs ++ Similarity.defs ++
-    Multimodal.defs ++ StoreOps.defs ++ PgDialectOps.defs
+    EventOps.defs ++ FnQueries.defs ++ TextAnalysis.defs ++ Dedup.defs ++
+    Similarity.defs ++ Multimodal.defs ++ StoreOps.defs ++ PgDialectOps.defs
 
   /** Names of the headline queries Bench times (the TPC-H-adapted sweep). */
   def benchNames: Seq[String] = TpchQueries.defs.map(_.name)

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-analytics operators over the events stream (the reference syncs
+  * Amplitude event exports — these are the queries that data serves;
+  * SURVEY §3.3 Amplitude syncer, §7.5 beyond-parity).
+  *
+  * Scale shapes: funnel and retention are per-user conditional aggregates —
+  * one shuffle by user_id each phase, map-side combinable, no self-joins
+  * over the raw event log. The hopping window expands each event into its
+  * covering windows scan-side (explode of a generated sequence), then one
+  * hash aggregate — the batch formulation of a sliding-window stream agg.
+  */
+object EventOps {
+  import Qdsl._
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.df(s, dir, n)
+
+  val defs: Seq[Q] = Seq(
+
+    // ordered funnel: signup -> click -> purchase, each stage's timestamp =
+    // first qualifying event at/after the prior stage. Three conditional
+    // min-aggregates chained by key joins (all on the same user_id
+    // partitioning), never an event-log self-join.
+    Q("ev_funnel", Some("""
+      WITH s1 AS (
+        SELECT user_id, min(ts) AS t_signup FROM events
+        WHERE event_type = 'signup' GROUP BY user_id),
+      s2 AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts >= s1.t_signup
+        GROUP BY e.user_id),
+      s3 AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= s2.t_click
+        GROUP BY e.user_id)
+      SELECT s1.user_id, s1.t_signup, s2.t_click, s3.t_purchase,
+        CASE WHEN s3.t_purchase IS NOT NULL THEN 3
+             WHEN s2.t_click IS NOT NULL THEN 2 ELSE 1 END AS stage
+      FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+              LEFT JOIN s3 ON s1.user_id = s3.user_id
+      ORDER BY s1.user_id""")) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("t_signup"))
+      val s2 = ev.filter(col("event_type") === "click").as("e")
+        .join(s1, "user_id")
+        .filter(col("e.ts") >= col("t_signup"))
+        .groupBy("user_id").agg(min(col("e.ts")).as("t_click"))
+      val s3 = ev.filter(col("event_type") === "purchase").as("e")
+        .join(s2, "user_id")
+        .filter(col("e.ts") >= col("t_click"))
+        .groupBy("user_id").agg(min(col("e.ts")).as("t_purchase"))
+      s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+        .withColumn("stage",
+          when(col("t_purchase").isNotNull, 3)
+            .when(col("t_click").isNotNull, 2).otherwise(1))
+        .select("user_id", "t_signup", "t_click", "t_purchase", "stage")
+        .orderBy("user_id")
+    },
+
+    // weekly retention cohorts: users bucketed by first-seen week, counted
+    // in each later week they were active. Two aggregates (first-seen, then
+    // cohort x week), both hash aggregates over compact keys.
+    Q("ev_retention", Some("""
+      WITH first_seen AS (
+        SELECT user_id, CAST(floor(min(epoch(ts)) / 604800) AS BIGINT) AS cohort_week
+        FROM events GROUP BY user_id),
+      active AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+          CAST(floor(epoch(e.ts) / 604800) AS BIGINT) AS active_week
+        FROM events e JOIN first_seen f ON e.user_id = f.user_id)
+      SELECT cohort_week, active_week - cohort_week AS week_offset,
+        count(*) AS n_users
+      FROM active GROUP BY cohort_week, week_offset
+      ORDER BY cohort_week, week_offset""")) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val firstSeen = ev.groupBy("user_id")
+        .agg((floor(min(unix_timestamp(col("ts"))) / 604800L)).cast("long").as("cohort_week"))
+      val active = ev.join(firstSeen, "user_id")
+        .select(col("user_id"), col("cohort_week"),
+          floor(unix_timestamp(col("ts")) / 604800L).cast("long").as("active_week"))
+        .distinct()
+      active
+        .groupBy(col("cohort_week"), (col("active_week") - col("cohort_week")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    },
+
+    // hopping (sliding) window aggregate: 1-hour windows every 15 minutes —
+    // each event lands in 4 windows, generated scan-side and exploded, then
+    // one hash aggregate (the batch form of Spark's window(ts, '1 hour',
+    // '15 minutes') streaming aggregation)
+    Q("ev_hopping_window", Some("""
+      WITH expanded AS (
+        SELECT e.event_type, CAST(round(e.value * 100) AS BIGINT) AS cents,
+          CAST(to_timestamp(CAST(floor(epoch(e.ts) / 900) AS BIGINT) * 900 - g.off) AS TIMESTAMP) AS w_start
+        FROM events e,
+          (SELECT unnest([0, 900, 1800, 2700]) AS off) g
+        WHERE epoch(e.ts) >= CAST(floor(epoch(e.ts) / 900) AS BIGINT) * 900 - g.off
+          AND epoch(e.ts) < CAST(floor(epoch(e.ts) / 900) AS BIGINT) * 900 - g.off + 3600)
+      SELECT w_start, event_type, count(*) AS n,
+        round(CAST(sum(cents) AS DOUBLE) / 100, 2) AS total_value
+      FROM expanded
+      WHERE w_start >= TIMESTAMP '2024-01-05 00:00:00'
+        AND w_start < TIMESTAMP '2024-01-06 00:00:00'
+      GROUP BY w_start, event_type
+      ORDER BY w_start, event_type""")) { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .withColumn("cents", cents(col("value")))
+        .withColumn("base", (floor(unix_timestamp(col("ts")) / 900L) * 900).cast("long"))
+        .withColumn("off", explode(typedLit(Seq(0L, 900L, 1800L, 2700L))))
+        .withColumn("w_start_s", col("base") - col("off"))
+        .filter(unix_timestamp(col("ts")) >= col("w_start_s")
+          && unix_timestamp(col("ts")) < col("w_start_s") + 3600)
+        .withColumn("w_start", to_timestamp(col("w_start_s")))
+      ev.filter(col("w_start") >= lit("2024-01-05 00:00:00").cast("timestamp")
+          && col("w_start") < lit("2024-01-06 00:00:00").cast("timestamp"))
+        .groupBy("w_start", "event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("cents")).cast("double") / 100, 2).as("total_value"))
+        .orderBy("w_start", "event_type")
+    }
+  )
+}
