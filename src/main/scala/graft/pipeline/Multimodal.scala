@@ -67,6 +67,41 @@ object Multimodal {
       }(enc).orderBy("doc_id")
     },
 
+    // batched "inference": rows are grouped into fixed-size batches inside
+    // each partition (grouped(64)), the stub "model" scores the whole batch
+    // at once, and results stream back out row-aligned — the exact shape of
+    // Arrow-batched Pandas-UDF inference (mapInPandas) or a JVM ONNX
+    // session, where batch setup cost amortizes across the batch. The stub
+    // score is deterministic (mean of the first 16 codepoints).
+    Q("mm_batch_infer", Some("""
+      SELECT doc_id,
+        CAST(list_sum(list_transform(range(1, least(length(text), 16) + 1),
+          i -> unicode(substr(text, i, 1)))) AS BIGINT) AS feat_sum,
+        round(CAST(list_sum(list_transform(range(1, least(length(text), 16) + 1),
+          i -> unicode(substr(text, i, 1)))) AS DOUBLE)
+          / least(length(text), 16), 6) AS score
+      FROM documents ORDER BY doc_id""")) { (s, dir) =>
+      val src = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val outSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("feat_sum", LongType),
+        StructField("score", DoubleType)))
+      val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      src.mapPartitions { rows =>
+        // "model session" init happens here, once per partition
+        rows.grouped(64).flatMap { batch =>
+          // one "forward pass" per batch of 64
+          batch.map { r =>
+            val id = r.getLong(0)
+            val cps = r.getString(1).codePoints().limit(16).toArray
+            val sum = cps.map(_.toLong).sum
+            Row(id, sum,
+              BigDecimal(sum.toDouble / cps.length)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+        }
+      }(enc).orderBy("doc_id")
+    },
+
     // frame sampling: every 10th token as a "frame" (the explode shape a
     // video frame-sampler produces: one row per sampled frame)
     Q("mm_frame_sample", Some("""

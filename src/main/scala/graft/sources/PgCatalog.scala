@@ -38,6 +38,7 @@ object PgCatalog {
     case TimestampType => (1184, "timestamp with time zone")
     case TimestampNTZType => (1114, "timestamp without time zone")
     case _: ArrayType => (2277, "ARRAY")
+    case _: DayTimeIntervalType | _: YearMonthIntervalType => (1186, "interval")
     case _ => (25, "text")
   }
 

@@ -297,6 +297,26 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int) {
       }.mkString("{", ",", "}")
     case BinaryType =>
       "\\x" + row.getAs[Array[Byte]](i).map("%02x".format(_)).mkString
+    case _: DayTimeIntervalType => // PG style: "[d days] [-]HH:MM:SS[.ffffff]"
+      val d = row.getAs[java.time.Duration](i)
+      val neg = d.isNegative
+      val abs = d.abs
+      val days = abs.toDays
+      val h = abs.toHours % 24; val m = abs.toMinutes % 60; val sec = abs.getSeconds % 60
+      val micros = abs.getNano / 1000
+      val sign = if (neg) "-" else ""
+      val dayPart = if (days != 0) s"$sign$days days " else ""
+      val frac = if (micros != 0) f".$micros%06d".replaceAll("0+$", "") else ""
+      f"$dayPart$sign$h%02d:$m%02d:$sec%02d$frac"
+    case _: YearMonthIntervalType => // PG style: "X years Y mons"
+      val p = row.getAs[java.time.Period](i)
+      val months = p.toTotalMonths
+      val y = months / 12; val mo = months % 12
+      val parts = Seq(
+        if (y != 0) Some(s"$y year" + (if (math.abs(y) != 1) "s" else "")) else None,
+        if (mo != 0) Some(s"$mo mon" + (if (math.abs(mo) != 1) "s" else "")) else None)
+        .flatten
+      if (parts.isEmpty) "00:00:00" else parts.mkString(" ")
     case _ => row.get(i).toString
   }
 

@@ -225,6 +225,16 @@ class WireSpec extends SparkSpecBase {
     c2.close(); c.close()
   }
 
+  test("interval values encode in PG text style") {
+    val c = new Client(server._2); c.startup()
+    val msgs = c.query(
+      "SELECT INTERVAL '2' DAY + INTERVAL '3' HOUR AS dt, INTERVAL '14' MONTH AS ym")
+    val row = dataRowValues(msgs.find(_._1 == 'D').get._2)
+    assert(row(0) == "2 days 03:00:00", row(0))
+    assert(row(1) == "1 year 2 mons", row(1))
+    c.close()
+  }
+
   test("ntz timestamps from real parquet tables encode in PG format") {
     val c = new Client(server._2); c.startup()
     val msgs = c.query("SELECT min(o_orderdate) AS d FROM orders")
