@@ -91,6 +91,51 @@ object EventOps {
         .orderBy("cohort_week", "week_offset")
     },
 
+    // time-series gap fill with LOCF (last observation carried forward):
+    // build the dense (user x day) grid — the grid is generated scan-side
+    // and the small dimension broadcast — left-join sparse observations,
+    // then one window pass carries values forward. The standard resample
+    // shape for ML feature tables.
+    Q("ev_gap_fill", Some("""
+      WITH obs AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+        FROM events WHERE event_type = 'purchase' AND user_id < 10
+        GROUP BY user_id, day),
+      days AS (
+        SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+          INTERVAL 1 DAY)) AS DATE) AS day),
+      grid AS (SELECT u.user_id, d.day
+        FROM (SELECT DISTINCT user_id FROM obs) u CROSS JOIN days d),
+      joined AS (
+        SELECT g.user_id, g.day, o.day_cents FROM grid g
+        LEFT JOIN obs o ON o.user_id = g.user_id AND o.day = g.day),
+      filled AS (
+        SELECT user_id, day, day_cents,
+          last_value(day_cents IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_cents
+        FROM joined)
+      SELECT user_id, CAST(day AS VARCHAR) AS day, day_cents IS NOT NULL AS observed,
+        round(CAST(coalesce(locf_cents, 0) AS DOUBLE) / 100, 2) AS value_locf
+      FROM filled ORDER BY user_id, day""")) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val obs = t(s, dir, "events")
+        .filter(col("event_type") === "purchase" && col("user_id") < 10)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(sum(cents(col("value"))).as("day_cents"))
+      val days = s.range(1).select(explode(expr(
+        "sequence(to_date('2024-01-01'), to_date('2024-01-30'), interval 1 day)")).as("day"))
+      val grid = obs.select("user_id").distinct().crossJoin(broadcast(days))
+      val w = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(obs, Seq("user_id", "day"), "left")
+        .withColumn("locf_cents", last(col("day_cents"), ignoreNulls = true).over(w))
+        .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("day_cents").isNotNull.as("observed"),
+          round(coalesce(col("locf_cents"), lit(0L)).cast("double") / 100, 2).as("value_locf"))
+        .orderBy("user_id", "day")
+    },
+
     // hopping (sliding) window aggregate: 1-hour windows every 15 minutes —
     // each event lands in 4 windows, generated scan-side and exploded, then
     // one hash aggregate (the batch form of Spark's window(ts, '1 hour',

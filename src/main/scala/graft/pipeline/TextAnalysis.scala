@@ -223,6 +223,49 @@ object TextAnalysis {
         .orderBy("source", "lang")
     },
 
+    // percentile-threshold quality gate: keep each language's top half by
+    // quality score, rank-based (percent_rank needs no interpolation, so
+    // there is no cross-engine float risk) — the "filter corpus to quality
+    // >= per-language median" curation step. Aggregated quality uses exact
+    // micros so the average is order-independent.
+    Q("txt_quality_gate", Some("""
+      WITH scored AS (
+        SELECT doc_id, lang,
+          CAST(round(round(0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+            + 0.3 * (1.0 - CAST(len(list_filter(toks, x -> list_contains(['the','a'], x))) AS DOUBLE) / len(toks))
+            + 0.3 * least((CAST(length(text) - len(toks) + 1 AS DOUBLE) / len(toks)) / 8.0, 1.0), 6) * 1000000)
+            AS BIGINT) AS q_micros
+        FROM (SELECT doc_id, lang, text, string_split(text, chr(32)) AS toks FROM documents) d),
+      ranked AS (
+        SELECT doc_id, lang, q_micros,
+          percent_rank() OVER (PARTITION BY lang ORDER BY q_micros, doc_id) AS pr
+        FROM scored)
+      SELECT lang, count(*) AS n_kept,
+        round(CAST(sum(q_micros) AS DOUBLE) / count(*) / 1000000, 6) AS avg_quality
+      FROM ranked WHERE pr >= 0.5
+      GROUP BY lang ORDER BY lang""")) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"), tokens(col("text")).as("toks"))
+      val stopArr = array(stopwords.map(lit): _*)
+      val nTok = size(col("toks"))
+      val stopRatio = size(filter(col("toks"), x => array_contains(stopArr, x)))
+        .cast("double") / nTok
+      val uniqRatio = size(array_distinct(col("toks"))).cast("double") / nTok
+      val avgLen = (length(col("text")) - nTok + 1).cast("double") / nTok
+      val quality = round(lit(0.4) * uniqRatio + lit(0.3) * (lit(1.0) - stopRatio)
+        + lit(0.3) * least(avgLen / 8.0, lit(1.0)), 6)
+      val scored = d.select(col("doc_id"), col("lang"),
+        round(quality * 1000000).cast("long").as("q_micros"))
+      val wq = Window.partitionBy("lang").orderBy(col("q_micros"), col("doc_id"))
+      scored.withColumn("pr", percent_rank().over(wq))
+        .filter(col("pr") >= 0.5)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          round(sum(col("q_micros")).cast("double") / count(lit(1)) / 1000000, 6).as("avg_quality"))
+        .orderBy("lang")
+    },
+
     // TF-IDF-style term salience: top-3 terms per document by
     // tf * (N/df), rank ties broken by term. The idf factor is the
     // RATIONAL form N/df rather than ln(N/df): both engines then compute

@@ -62,6 +62,14 @@ class Store(spark: SparkSession, warehouse: String) {
     if (!exists(name)) replace(name, df)
     else replace(name, read(name).unionByName(df))
 
+  /** Append tolerating schema evolution: columns new to either side are
+    * null-filled (the incremental-sync reality — upstream tables grow
+    * columns; the reference re-introspects and rewrites whole tables,
+    * Iceberg handles it as metadata-only evolution). */
+  def appendEvolving(name: String, df: DataFrame): Unit =
+    if (!exists(name)) replace(name, df)
+    else replace(name, read(name).unionByName(df, allowMissingColumns = true))
+
   /** MERGE-by-unique-key: incoming wins on key collision. */
   def upsert(name: String, incoming: DataFrame, key: String): Unit = {
     val kept = read(name).join(incoming.select(key), Seq(key), "left_anti")

@@ -61,6 +61,18 @@ class StoreSpec extends SparkSpecBase {
     assert(closed.filter(col("valid_to").isNull).count() == 0)
   }
 
+  test("append with schema evolution null-fills new and missing columns") {
+    val st = freshStore()
+    import spark.implicits._
+    st.replace("t", Seq((1L, "a")).toDF("k", "v"))
+    // incoming batch grew a column
+    st.appendEvolving("t", Seq((2L, "b", 7.5)).toDF("k", "v", "score"))
+    val got = st.read("t").orderBy("k")
+      .select("k", "v", "score")
+      .collect().map(r => (r.getLong(0), r.getString(1), Option(r.get(2)))).toSeq
+    assert(got == Seq((1L, "a", None), (2L, "b", Some(7.5))))
+  }
+
   test("delete by key") {
     val st = freshStore()
     import spark.implicits._
