@@ -124,6 +124,7 @@ object PgDialect {
     s = rewriteRegclass(s)
     s = rewriteAnyAll(s)
     s = rewriteLateral(s)
+    s = rewriteJsonExists(s)
     s = rewriteJsonArrows(s)
     s = rewriteCasts(s)
     // regex match operators (PG ~ family) — after arrows so ->> is gone
@@ -254,6 +255,17 @@ object PgDialect {
   private def splitArrayLiteral(body: String): String =
     body.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
       .map(v => s"'$v'").mkString(", ")
+
+  /** JSON existence `col ? 'key'` -> `get_json_object(col, '$.key') IS NOT
+    * NULL` (reference maps `?` to json_exists in function form to dodge a
+    * DuckDB precedence bug, parser_a_expr.go:29-77; Catalyst has no
+    * precedence issue). Runs before the arrow rewrite so `->`-chains on the
+    * left survive. */
+  private def rewriteJsonExists(sql: String): String = {
+    val q = "(?s)([\\w.]+|\\))\\s*\\?\\s*'([^']*)'".r
+    q.replaceAllIn(sql, m => java.util.regex.Matcher.quoteReplacement(
+      s"get_json_object(${m.group(1)}, '$$.${m.group(2)}') IS NOT NULL"))
+  }
 
   /** `expr -> 'k'` / `expr ->> 'k'` / `expr -> 0` -> get_json_object chains
     * (parser_a_expr.go:29-77). Left-associative, iterated until fixpoint. */

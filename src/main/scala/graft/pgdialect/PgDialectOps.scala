@@ -82,6 +82,28 @@ object PgDialectOps {
         ORDER BY r_name, n""")
     },
 
+    // the psql \d-style catalog probe (pg_class ⋈ pg_namespace with a ~
+    // anchor regex and pg_catalog prefixes), straight through the translator
+    Q("pd_psql_describe", Some("""
+      SELECT 'public' AS nspname, 'orders' AS relname, 'r' AS relkind""")) { (s, dir) =>
+      run(s, """
+        SELECT n.nspname, c.relname, c.relkind
+        FROM pg_catalog.pg_class c
+        LEFT JOIN pg_catalog.pg_namespace n ON n.oid = c.relnamespace
+        WHERE c.relname ~ '^(orders)$' ORDER BY 1, 2""")
+    },
+
+    // JSON existence operator ? -> get_json_object IS NOT NULL
+    Q("pd_json_exists", Some("""
+      SELECT event_id FROM events
+      WHERE json_extract_string(props, '$.k') IS NOT NULL AND event_id < 100
+      ORDER BY event_id""")) { (s, dir) =>
+      run(s, """
+        SELECT event_id FROM events
+        WHERE props ? 'k' AND event_id < 100
+        ORDER BY event_id""")
+    },
+
     // ::regclass -> oid-lookup subselect over the emulated pg_class
     // (deterministic oids: 16384 + position in the table registry)
     Q("pd_regclass", Some("""
