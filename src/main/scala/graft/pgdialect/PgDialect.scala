@@ -30,6 +30,10 @@ object PgDialect {
     splitStatements(sql).map(execute(spark, store, _))
 
   def execute(spark: SparkSession, store: Store, statement: String): PgResult = {
+    // permissions comment (query_remapper.go:70-77, parser_table.go:53-106):
+    // /*BEMIDB_PERMISSIONS {"public.tbl": ["col", …]} BEMIDB_PERMISSIONS*/
+    // restricts visible tables/columns for this statement
+    val perms = parsePermissions(statement)
     val stmt = stripComments(statement).trim
     if (stmt.isEmpty) return Empty
     val upper = stmt.toUpperCase
@@ -81,7 +85,7 @@ object PgDialect {
 
     if (upper.startsWith("SELECT") || upper.startsWith("WITH") ||
         upper.startsWith("VALUES") || upper.startsWith("TABLE ")) {
-      val translated = translateSelect(stmt)
+      val translated = applyPermissions(translateSelect(stmt), perms)
       return Rows(spark.sql(translated), "SELECT")
     }
     // everything else (INSERT/UPDATE/DELETE/DDL/COPY…) mirrors
@@ -122,6 +126,14 @@ object PgDialect {
     s = s.replaceAll("(?i)\\s+COLLATE\\s+(\"[^\"]+\"|[\\w.]+)", "")
     s = s.replaceAll("(?i)OPERATOR\\s*\\(\\s*~\\s*\\)", "RLIKE")
     s = rewriteRegclass(s)
+    // pg table functions over the settings/keywords views
+    // (query_remapper_function.go:75-100)
+    s = s.replaceAll("(?i)\\bpg_show_all_settings\\s*\\(\\s*\\)", "pg_settings")
+    s = s.replaceAll("(?i)\\bpg_get_keywords\\s*\\(\\s*\\)", "pg_keywords")
+    // _pg_expandarray(a) -> array<struct<x, n>> (explode at the call site);
+    // reference macro: STRUCT_PACK(x := unnest(a), n := generate_series…)
+    s = s.replaceAll("(?i)\\b_pg_expandarray\\s*\\(([^()]*)\\)",
+      "transform($1, (__x, __i) -> struct(__x AS x, __i + 1 AS n))")
     s = rewriteAnyAll(s)
     s = rewriteLateral(s)
     s = rewriteJsonExists(s)
@@ -361,6 +373,38 @@ object PgDialect {
     }
     s
   }
+
+  // ---- permissions (reference parser_table.go:53-106) ------------------
+  /** `Some(map)` when the statement carries a permissions comment; table
+    * keys are stored schema-less (`public.orders` -> `orders`). */
+  private[graft] def parsePermissions(statement: String): Option[Map[String, Seq[String]]] = {
+    val block = "(?s)/\\*BEMIDB_PERMISSIONS\\s*\\{(.*?)\\}\\s*BEMIDB_PERMISSIONS\\*/".r
+    block.findFirstMatchIn(statement).map { m =>
+      val entry = "\"([\\w.]+)\"\\s*:\\s*\\[([^\\]]*)\\]".r
+      entry.findAllMatchIn(m.group(1)).map { e =>
+        val tbl = e.group(1).split('.').last
+        val cols = "\"([^\"]+)\"".r.findAllMatchIn(e.group(2)).map(_.group(1)).toSeq
+        tbl -> cols
+      }.toMap
+    }
+  }
+
+  /** With permissions active, a permitted table scan becomes a projection of
+    * its permitted columns; any other known table becomes an empty relation
+    * (`SELECT NULL WHERE FALSE`), exactly like the reference. */
+  private def applyPermissions(sql: String, perms: Option[Map[String, Seq[String]]]): String =
+    perms match {
+      case None => sql
+      case Some(p) =>
+        Tables.names.foldLeft(sql) { (s, tbl) =>
+          val sub = p.get(tbl) match {
+            case Some(cols) => s"(SELECT ${cols.mkString(", ")} FROM $tbl) $tbl"
+            case None => s"(SELECT NULL AS __denied WHERE FALSE) $tbl"
+          }
+          s.replaceAll(s"(?i)\\b(FROM|JOIN)\\s+$tbl\\b",
+            "$1 " + java.util.regex.Matcher.quoteReplacement(sub))
+        }
+    }
 
   // ---- utilities -------------------------------------------------------
   private[graft] def splitStatements(sql: String): Seq[String] = {

@@ -82,6 +82,15 @@ object PgDialectOps {
         ORDER BY r_name, n""")
     },
 
+    // pg_get_keywords() table function over the keywords rowset
+    Q("pd_keywords", Some("""
+      SELECT word FROM (VALUES ('select'), ('where'), ('group')) t(word)
+      ORDER BY word""")) { (s, dir) =>
+      run(s, """
+        SELECT word FROM pg_get_keywords()
+        WHERE word IN ('select', 'where', 'group') ORDER BY word""")
+    },
+
     // the psql \d-style catalog probe (pg_class ⋈ pg_namespace with a ~
     // anchor regex and pg_catalog prefixes), straight through the translator
     Q("pd_psql_describe", Some("""

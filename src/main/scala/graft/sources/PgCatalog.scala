@@ -64,6 +64,17 @@ object PgCatalog {
       .limit(0).createOrReplaceTempView("pg_extension")
     SessionSettings.defaults.toSeq.sorted.toDF("name", "setting")
       .createOrReplaceTempView("pg_settings")
+    // pg_get_keywords() rowset (reference delegates to duckdb_keywords(),
+    // query_remapper_function.go:75-100); catcode R=reserved, U=unreserved
+    Seq(("all", "R"), ("and", "R"), ("any", "R"), ("as", "R"), ("asc", "R"),
+      ("between", "U"), ("by", "U"), ("case", "R"), ("cast", "R"),
+      ("distinct", "R"), ("else", "R"), ("end", "R"), ("false", "R"),
+      ("from", "R"), ("group", "R"), ("having", "R"), ("in", "R"),
+      ("join", "U"), ("limit", "R"), ("not", "R"), ("null", "R"),
+      ("on", "R"), ("or", "R"), ("order", "R"), ("select", "R"),
+      ("table", "R"), ("then", "R"), ("true", "R"), ("union", "R"),
+      ("where", "R"), ("window", "R"), ("with", "R"))
+      .toDF("word", "catcode").createOrReplaceTempView("pg_keywords")
 
     // pg_type: the common subset of the reference's static ~150-row rowset
     // (pg_constants.go / query_remapper_table.go pg_type UNION ALL)

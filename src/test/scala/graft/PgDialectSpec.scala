@@ -70,6 +70,40 @@ class PgDialectSpec extends SparkSpecBase {
       == "SELECT n FROM (SELECT explode(sequence(1, 5)) AS n) g")
   }
 
+  test("table functions and _pg_expandarray translate") {
+    assert(translateSelect("SELECT * FROM pg_show_all_settings()")
+      == "SELECT * FROM pg_settings")
+    assert(translateSelect("SELECT word FROM pg_get_keywords()")
+      == "SELECT word FROM pg_keywords")
+    assert(translateSelect("SELECT _pg_expandarray(arr) FROM t")
+      == "SELECT transform(arr, (__x, __i) -> struct(__x AS x, __i + 1 AS n)) FROM t")
+  }
+
+  test("permissions comment restricts tables and columns like the reference") {
+    val p = PgDialect.parsePermissions(
+      """/*BEMIDB_PERMISSIONS {"public.nation": ["n_name"], "public.region": ["r_name", "r_regionkey"]} BEMIDB_PERMISSIONS*/ SELECT 1""")
+    assert(p == Some(Map("nation" -> Seq("n_name"), "region" -> Seq("r_name", "r_regionkey"))))
+
+    // permitted column resolves; row count unchanged
+    val ok = rows(
+      """/*BEMIDB_PERMISSIONS {"public.nation": ["n_name"]} BEMIDB_PERMISSIONS*/
+         SELECT n_name FROM nation ORDER BY n_name""")
+    assert(ok.size == 25)
+    // non-permitted column fails to resolve
+    intercept[Throwable] {
+      rows(
+        """/*BEMIDB_PERMISSIONS {"public.nation": ["n_name"]} BEMIDB_PERMISSIONS*/
+           SELECT n_nationkey FROM nation""")
+    }
+    // table absent from the permission map scans as empty
+    val denied = rows(
+      """/*BEMIDB_PERMISSIONS {"public.nation": ["n_name"]} BEMIDB_PERMISSIONS*/
+         SELECT * FROM region""")
+    assert(denied.isEmpty)
+    // no permissions comment: unrestricted
+    assert(rows("SELECT n_nationkey FROM nation WHERE n_nationkey = 3").size == 1)
+  }
+
   test("operator and qualification translation") {
     assert(translateSelect("SELECT * FROM t WHERE n ~ 'x.*'")
       == "SELECT * FROM t WHERE n  RLIKE  'x.*'")

@@ -4,6 +4,26 @@ import org.apache.spark.sql.functions._
 
 class SyncSpec extends SparkSpecBase {
 
+  test("pg type mapping follows the reference's table (SURVEY 1.4)") {
+    import org.apache.spark.sql.types._
+    def dt(pg: String, p: Int = 0, s: Int = 0) = PgTypes.toSpark(pg, p, s).dataType
+    assert(dt("bool") == BooleanType)
+    assert(dt("int4") == IntegerType)
+    assert(dt("xid") == LongType)
+    assert(dt("int8") == DecimalType(38, 0))   // unsigned-range safety
+    assert(dt("interval") == DecimalType(38, 6))
+    assert(dt("float4") == FloatType && dt("float8") == DoubleType)
+    assert(dt("numeric", 10, 2) == DecimalType(10, 2))
+    assert(dt("numeric", 99, 2) == DecimalType(38, 6))  // clamp like reference
+    assert(dt("numeric") == DecimalType(38, 6))
+    assert(dt("timestamp") == TimestampNTZType && dt("timestamptz") == TimestampType)
+    assert(dt("jsonb") == StringType && dt("uuid") == StringType)
+    assert(dt("bytea") == BinaryType)
+    assert(dt("_int4") == ArrayType(IntegerType)) // PG arrays: single-level list
+    assert(dt("custom_enum") == StringType)
+    assert(PgTypes.toSpark("jsonb").metadata.getString(PgTypes.LogicalKey) == "jsonb")
+  }
+
   private def freshStore(): Store =
     new Store(spark, java.nio.file.Files.createTempDirectory("graft-sync").toString)
 
