@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// pass the forked main's stdout straight through, unprefixed — the bench
+// driver parses the ONE JSON line Bench prints, and sbt's default
+// LoggedOutput would tag it "[info] " (round-1 BENCH json had parsed:null)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
