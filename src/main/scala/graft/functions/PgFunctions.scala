@@ -137,11 +137,7 @@ object PgFunctions {
 
     // --- date/time: to_char with PG pattern translation ------------------
     // (macro table at query_remapper_function.go:58-69)
-    spark.udf.register("to_char", (ts: java.sql.Timestamp, fmt: String) => {
-      if (ts == null || fmt == null) null
-      else DateTimeFormatter.ofPattern(translateToCharPattern(fmt), java.util.Locale.ENGLISH)
-        .format(Instant.ofEpochMilli(ts.getTime).atZone(ZoneOffset.UTC))
-    })
+    spark.udf.register("to_char", (ts: java.sql.Timestamp, fmt: String) => formatTs(ts, fmt))
 
     // PG dow: Sunday=0 (Spark's dayofweek is Sunday=1)
     fn(spark, "pg_dow") { exprs => Subtract(DayOfWeek(exprs.head), Literal(1)) }
@@ -150,6 +146,16 @@ object PgFunctions {
     Sum128.register(spark)
     GraftExpressions.register(spark)
   }
+
+  /** to_char body: null (never an exception) on a pattern java.time cannot
+    * express — e.g. PG's SSSS seconds-past-midnight, or pathological token
+    * repetitions like 'SSSS' parsing as ss+ss. */
+  def formatTs(ts: java.sql.Timestamp, fmt: String): String =
+    if (ts == null || fmt == null) null
+    else try
+      DateTimeFormatter.ofPattern(translateToCharPattern(fmt), java.util.Locale.ENGLISH)
+        .format(Instant.ofEpochMilli(ts.getTime).atZone(ZoneOffset.UTC))
+    catch { case _: IllegalArgumentException => null }
 
   private val toCharTokens: Seq[(String, String)] = Seq(
     "HH24" -> "HH", "HH12" -> "hh", "YYYY" -> "yyyy", "YY" -> "yy",

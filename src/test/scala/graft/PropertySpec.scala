@@ -1,0 +1,80 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based checks for the pure translation/hashing layers (no
+  * SparkSession needed — these run in milliseconds and pin invariants the
+  * golden tests can't enumerate). Generators are driven from a fixed seed so
+  * failures reproduce. */
+class PropertySpec extends AnyFunSuite {
+
+  /** 200 deterministic samples of `gen`. */
+  private def samples[A](gen: Gen[A]): Seq[A] = {
+    var seed = Seed(42L)
+    (1 to 200).flatMap { _ =>
+      val v = gen.apply(Gen.Parameters.default, seed)
+      seed = seed.next
+      v
+    }
+  }
+
+  private val ident: Gen[String] =
+    for {
+      h <- Gen.alphaChar
+      t <- Gen.alphaNumStr
+    } yield (h +: t.take(11)).mkString
+
+  test("splitStatements preserves content and never splits inside quotes") {
+    val stmt = for {
+      tbl <- ident
+      lit <- Gen.alphaNumStr.map(_.take(8))
+    } yield s"SELECT '$lit;x' FROM $tbl"
+    samples(Gen.listOfN(3, stmt)).foreach { stmts =>
+      val joined = stmts.mkString("; ")
+      val split = PgDialect.splitStatements(joined)
+      assert(split.size == stmts.size)
+      split.zip(stmts).foreach { case (got, want) => assert(got == want.trim) }
+    }
+  }
+
+  test("rolling hash equals the wrapping-fold reference on arbitrary strings") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val cpGen = Gen.listOf(Gen.frequency(
+      8 -> Gen.choose(1, 0x7f),          // ascii
+      2 -> Gen.choose(0x80, 0xD7FF),     // BMP below surrogates
+      1 -> Gen.choose(0x10000, 0x10FFFF) // astral
+    ))
+    samples(cpGen).foreach { cps =>
+      val chars = cps.toArray.flatMap(Character.toChars)
+      val s = new String(chars)
+      val want = cps.foldLeft(0L)((h, cp) => h * 1000003L + cp)
+      assert(RollingHashUtil.hash(UTF8String.fromString(s)) == want)
+    }
+  }
+
+  test("to_char never throws, and renders every well-formed pattern") {
+    val ts = java.sql.Timestamp.valueOf("2024-03-05 07:08:09")
+    val fmtGen = Gen.listOf(Gen.oneOf(
+      "YYYY", "MM", "DD", "HH24", "MI", "SS", "Mon", "Day",
+      "-", " ", ":", "/", "T", "Q")).map(_.mkString)
+    samples(fmtGen).foreach { fmt =>
+      PgFunctions.formatTs(ts, fmt) // totality: null on inexpressible, no throw
+    }
+    assert(PgFunctions.formatTs(ts, "YYYY-MM-DD HH24:MI:SS") == "2024-03-05 07:08:09")
+    assert(PgFunctions.formatTs(ts, "SSSS") == null) // PG seconds-past-midnight: inexpressible
+  }
+
+  test("cast rewrite always produces balanced parentheses and a CAST") {
+    val castGen = for {
+      id <- ident
+      tpe <- Gen.oneOf("int4", "int8", "text", "numeric(10,2)", "bool", "float8")
+    } yield s"SELECT $id::$tpe FROM t"
+    samples(castGen).foreach { sql =>
+      val out = PgDialect.translateSelect(sql)
+      assert(out.count(_ == '(') == out.count(_ == ')'), out)
+      assert(out.contains("CAST("), out)
+    }
+  }
+}
