@@ -180,6 +180,46 @@ object Similarity {
         .orderBy("query_id", "rnk")
     },
 
+    // per-label embedding centroids on the integer micros lattice:
+    // posexplode -> one hash aggregate per (label, dim) -> reassemble the
+    // ordered vector. Elementwise integer sums are exact at any parallelism
+    // (summing raw floats would be partition-order-dependent), and
+    // floor(sum/n) is cross-engine-safe: IEEE division of integers < 2^53
+    // can't straddle an integer boundary. This is the aggregation step of
+    // k-means/IVF training, shaped for 100 TB (shuffle carries (label, dim,
+    // partial-sum) triples, never whole vectors).
+    Q("sim_centroids", Some("""
+      WITH ex AS (
+        SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS micros
+        FROM embeddings),
+      sums AS (
+        SELECT label, dim, CAST(sum(micros) AS BIGINT) AS s, count(*) AS n
+        FROM ex GROUP BY label, dim),
+      vecs AS (
+        SELECT label, max(n) AS n_vectors,
+          CAST(to_json(list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY dim))
+            AS VARCHAR) AS centroid_micros
+        FROM sums GROUP BY label)
+      SELECT CAST(label AS INT) AS label, CAST(n_vectors AS BIGINT) AS n_vectors,
+        centroid_micros
+      FROM vecs ORDER BY label""")) { (s, dir) =>
+      val ex = t(s, dir, "embeddings")
+        .select(col("label"),
+          posexplode(expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"))
+            .as(Seq("dim", "micros")))
+      ex.groupBy("label", "dim")
+        .agg(sum(col("micros")).as("s"), count(lit(1)).as("n"))
+        .groupBy("label")
+        .agg(max(col("n")).as("n_vectors"),
+          to_json(transform(
+            array_sort(collect_list(struct(col("dim"),
+              floor(col("s").cast("double") / col("n")).cast("long").as("c")))),
+            x => x.getField("c"))).as("centroid_micros"))
+        .select(col("label").cast("int").as("label"), col("n_vectors"), col("centroid_micros"))
+        .orderBy("label")
+    },
+
     // IVF (inverted-file) ANN: deterministic seed centroids -> every vector
     // assigned to its best centroid (one broadcast join against the tiny
     // centroid set) -> queries probe their 2 best cells -> exact rerank
