@@ -220,6 +220,57 @@ object Similarity {
         .orderBy("label")
     },
 
+    // one Lloyd (k-means) iteration, exactly reproducible end-to-end:
+    // cosine-assign every vector to its best seed centroid (deterministic
+    // fold arithmetic + centroid-id tie-break), then recompute each cell's
+    // centroid on the exact micros lattice. Composes the sim_ivf assignment
+    // with the sim_centroids aggregation — the full training loop is this
+    // operator iterated, with each round one broadcast join + one hash
+    // aggregate over (cell, dim, partial-sum) triples.
+    Q("sim_kmeans_iter", Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      c AS (SELECT vec_id AS cid, v AS cv FROM e
+            WHERE vec_id IN (${centroidIds.mkString(", ")})),
+      sc AS (SELECT e.vec_id, e.v, c.cid,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY ${duckCos("e.v", "c.cv")} DESC, c.cid) AS rn
+        FROM e CROSS JOIN c),
+      assign AS (SELECT vec_id, v, cid FROM sc WHERE rn = 1),
+      ex AS (SELECT cid, generate_subscripts(v, 1) - 1 AS dim,
+          CAST(floor(CAST(unnest(v) AS DOUBLE) * 1000000) AS BIGINT) AS micros
+        FROM assign),
+      sums AS (SELECT cid, dim, CAST(sum(micros) AS BIGINT) AS s, count(*) AS n
+        FROM ex GROUP BY cid, dim)
+      SELECT cid, CAST(max(n) AS BIGINT) AS cell_size,
+        CAST(to_json(list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY dim))
+          AS VARCHAR) AS new_centroid_micros
+      FROM sums GROUP BY cid ORDER BY cid""")) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val cents = e.filter(col("vec_id").isin(centroidIds: _*))
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val wCell = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cid"))
+      val assign = e.crossJoin(broadcast(cents))
+        .withColumn("ccos", expr(sparkCos("v", "cv")))
+        .withColumn("rn", row_number().over(wCell))
+        .filter(col("rn") === 1)
+        .select(col("cid"), col("v"))
+      assign
+        .select(col("cid"),
+          posexplode(expr("transform(v, x -> CAST(floor(x * 1000000) AS BIGINT))"))
+            .as(Seq("dim", "micros")))
+        .groupBy("cid", "dim")
+        .agg(sum(col("micros")).as("s"), count(lit(1)).as("n"))
+        .groupBy("cid")
+        .agg(max(col("n")).as("cell_size"),
+          to_json(transform(
+            array_sort(collect_list(struct(col("dim"),
+              floor(col("s").cast("double") / col("n")).cast("long").as("c")))),
+            x => x.getField("c"))).as("new_centroid_micros"))
+        .orderBy("cid")
+    },
+
     // IVF (inverted-file) ANN: deterministic seed centroids -> every vector
     // assigned to its best centroid (one broadcast join against the tiny
     // centroid set) -> queries probe their 2 best cells -> exact rerank
