@@ -79,6 +79,16 @@ object PgFunctions {
     const(spark, "has_table_privilege", true, BooleanType)
     const(spark, "aclexplode", null, StringType)
     const(spark, "current_schemas", Seq("pg_catalog", "public"), ArrayType(StringType))
+    // visibility probes psql's \d sends (query_remapper.go:519-564 strips
+    // them for DuckDB; Catalyst just needs them to exist and say yes)
+    const(spark, "pg_table_is_visible", true, BooleanType)
+    const(spark, "pg_function_is_visible", true, BooleanType)
+    const(spark, "pg_type_is_visible", true, BooleanType)
+    // identity probes BI tools issue on connect
+    const(spark, "current_database", "graft", StringType)
+    const(spark, "current_schema", "public", StringType)
+    const(spark, "session_user", "graft", StringType)
+    const(spark, "pg_current_user", "graft", StringType)
 
     // --- settings -------------------------------------------------------
     spark.udf.register("current_setting",

@@ -82,6 +82,14 @@ object PgDialectOps {
         ORDER BY r_name, n""")
     },
 
+    // identity + visibility probes BI tools issue right after connecting
+    Q("pd_identity", Some("""
+      SELECT 'graft' AS db, 'public' AS sch, true AS vis""")) { (s, dir) =>
+      run(s, """
+        SELECT current_database() AS db, current_schema() AS sch,
+               pg_catalog.pg_table_is_visible(16390) AS vis""")
+    },
+
     // pg_get_keywords() table function over the keywords rowset
     Q("pd_keywords", Some("""
       SELECT word FROM (VALUES ('select'), ('where'), ('group')) t(word)
