@@ -29,6 +29,8 @@ object SessionSettings {
   def get(name: String): Option[String] =
     overrides.get(name.toLowerCase).orElse(defaults.get(name.toLowerCase))
   def set(name: String, value: String): Unit = overrides.put(name.toLowerCase, value)
+  /** defaults merged with session overrides (SHOW ALL). */
+  def all: Map[String, String] = defaults ++ overrides
 }
 
 /** Postgres-compat scalar/aggregate function shims (SURVEY.md §2.C; the

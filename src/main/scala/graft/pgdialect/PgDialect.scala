@@ -109,11 +109,20 @@ object PgDialect {
 
   private def executeShow(spark: SparkSession, stmt: String): PgResult = {
     import spark.implicits._
-    val name = stmt.split("\\s+")(1).toLowerCase.stripSuffix(";")
-    // search_path is prefixed with "$user" like the reference
-    // (parser_show.go:19-91)
-    val value = SessionSettings.get(name).getOrElse("")
-    Rows(Seq(value).toDF(name), "SHOW")
+    val rest = stmt.split("\\s+").drop(1).map(_.toLowerCase.stripSuffix(";"))
+    val name = rest.toSeq match {
+      case Seq("time", "zone", _*) => "timezone" // psql's two-word spelling
+      case Seq(n, _*) => n
+      case _ => ""
+    }
+    if (name == "all") // SHOW ALL: the full settings table (name asc)
+      Rows(SessionSettings.all.toSeq.sorted.toDF("name", "setting"), "SHOW")
+    else {
+      // search_path is prefixed with "$user" like the reference
+      // (parser_show.go:19-91)
+      val value = SessionSettings.get(name).getOrElse("")
+      Rows(Seq(value).toDF(name), "SHOW")
+    }
   }
 
   // ---- SELECT translation ---------------------------------------------

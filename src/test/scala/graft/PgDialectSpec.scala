@@ -138,6 +138,15 @@ class PgDialectSpec extends SparkSpecBase {
     assert(sp.collect()(0).getString(0) == "\"$user\", public")
   }
 
+  test("SHOW ALL and SHOW TIME ZONE") {
+    val all = rows("SHOW ALL")
+    assert(all.size >= 8)
+    assert(all.exists(r => r.getString(0) == "server_version" && r.getString(1) == "17.0"))
+    PgDialect.execute(spark, store, "SET timezone = 'UTC'")
+    val tz = rows("SHOW TIME ZONE")
+    assert(tz.head.getString(0) == "UTC")
+  }
+
   test("unsupported statements error like the reference") {
     val e = intercept[UnsupportedQuery] {
       PgDialect.execute(spark, store, "INSERT INTO t VALUES (1)")
