@@ -232,10 +232,26 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int) {
       }
     } catch { case e: Throwable => sendError(out, e) }
 
+  /** Map Spark error conditions to the SQLSTATEs PG clients branch on
+    * (42P01 undefined_table, 42703 undefined_column; reference returns
+    * real PG codes via DuckDB the same way). */
+  private def sqlState(e: Throwable): String = e match {
+    case se: org.apache.spark.SparkThrowable if se.getCondition != null =>
+      val c = se.getCondition
+      if (c.startsWith("TABLE_OR_VIEW_NOT_FOUND")) "42P01"
+      else if (c.startsWith("UNRESOLVED_COLUMN") || c.startsWith("UNRESOLVED_FIELD")) "42703"
+      else if (c.startsWith("UNRESOLVED_ROUTINE")) "42883"
+      else if (c.startsWith("PARSE_SYNTAX_ERROR")) "42601"
+      else if (c.startsWith("DIVIDE_BY_ZERO")) "22012"
+      else if (c.startsWith("CAST_INVALID_INPUT") || c.startsWith("NUMERIC_VALUE_OUT_OF_RANGE")) "22P02"
+      else Option(se.getSqlState).getOrElse("42601")
+    case _ => "42601"
+  }
+
   private def sendError(out: DataOutputStream, e: Throwable): Unit =
     msg(out, 'E') { b =>
       b.writeByte('S'); cstr(b, "ERROR")
-      b.writeByte('C'); cstr(b, "42601")
+      b.writeByte('C'); cstr(b, sqlState(e))
       b.writeByte('M'); cstr(b, Option(e.getMessage).getOrElse(e.toString).take(500))
       b.writeByte(0)
     }

@@ -3,6 +3,7 @@ package graft
 import java.io.{DataInputStream, DataOutputStream}
 import java.net.Socket
 import java.nio.charset.StandardCharsets.UTF_8
+import scala.jdk.CollectionConverters._
 
 /** Drives the PG wire server over a real socket with a minimal v3-protocol
   * client (the same dance psql's simple-query path performs). */
@@ -233,6 +234,39 @@ class WireSpec extends SparkSpecBase {
     assert(row(0) == "2 days 03:00:00", row(0))
     assert(row(1) == "1 year 2 mons", row(1))
     c.close()
+  }
+
+  test("errors carry PG SQLSTATEs clients branch on") {
+    val c = new Client(server._2); c.startup()
+    def code(msgs: Seq[(Char, Array[Byte])]): String = {
+      val body = msgs.find(_._1 == 'E').get._2
+      // fields: 'S' cstr, 'C' cstr, ...
+      val s = new String(body, UTF_8)
+      val i = s.indexOf('C', s.indexOf(0.toChar))
+      s.substring(i + 1, s.indexOf(0.toChar, i))
+    }
+    assert(code(c.query("SELECT * FROM no_such_table")) == "42P01")
+    assert(code(c.query("SELECT no_such_col FROM nation")) == "42703")
+    c.close()
+  }
+
+  test("concurrent clients interleave without corrupting each other") {
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]()
+    val threads = (1 to 4).map { t =>
+      new Thread(() => {
+        try {
+          val c = new Client(server._2); c.startup()
+          (1 to 8).foreach { i =>
+            val msgs = c.query(s"SELECT ${t * 100 + i} AS v")
+            val row = dataRowValues(msgs.find(_._1 == 'D').get._2)
+            results.add(row == Seq((t * 100 + i).toString))
+          }
+          c.close()
+        } catch { case _: Throwable => results.add(false) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(results.size == 32 && results.asScala.forall(identity))
   }
 
   test("ntz timestamps from real parquet tables encode in PG format") {
