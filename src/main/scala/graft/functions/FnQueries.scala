@@ -156,6 +156,30 @@ object FnQueries {
         FROM region ORDER BY row_json""")
     },
 
+    // datetime constructors (PG make_date/make_timestamp; both engines
+    // build identical instants from integer fields)
+    Q("fn_make_datetime", Some("""
+      SELECT o_orderkey,
+        CAST(make_date(CAST(extract(year FROM o_orderdate) AS INT),
+                  CAST(extract(month FROM o_orderdate) AS INT), 1) AS VARCHAR) AS month_start,
+        CAST(make_timestamp(CAST(extract(year FROM o_orderdate) AS BIGINT),
+                  CAST(extract(month FROM o_orderdate) AS BIGINT), 15, 12, 0, 0.0)
+             AS TIMESTAMP) AS mid_month_noon,
+        CAST(date_diff('day', make_date(CAST(extract(year FROM o_orderdate) AS INT),
+                  CAST(extract(month FROM o_orderdate) AS INT), 1),
+             CAST(o_orderdate AS DATE)) AS INT) AS day_offset
+      FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""")) { (s, dir) =>
+      t(s, dir, "orders").filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"),
+          expr("CAST(make_date(year(o_orderdate), month(o_orderdate), 1) AS STRING)")
+            .as("month_start"),
+          expr("make_timestamp_ntz(year(o_orderdate), month(o_orderdate), 15, 12, 0, 0)")
+            .as("mid_month_noon"),
+          datediff(to_date(col("o_orderdate")),
+            expr("make_date(year(o_orderdate), month(o_orderdate), 1)")).as("day_offset"))
+        .orderBy("o_orderkey")
+    },
+
     // ---- strings --------------------------------------------------------
     Q("fn_string_suite", Some("""
       SELECT c_custkey, upper(c_name) AS uname, lower(c_name) AS lname,
