@@ -329,6 +329,26 @@ object FnQueries {
         FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""")
     },
 
+    // second string batch: ascii/chr/repeat/translate/md5/hex round-trips
+    Q("fn_string_suite2", Some("""
+      SELECT n_nationkey, ascii(n_name) AS first_code,
+        chr(65 + CAST(n_nationkey % 26 AS INT)) AS letter,
+        repeat('ab', CAST(n_nationkey % 3 AS INT)) AS rep,
+        translate(n_name, 'AEIOU', 'aeiou') AS vowelled,
+        md5(n_name) AS name_md5,
+        lower(hex(CAST(n_nationkey AS BIGINT))) AS key_hex
+      FROM nation ORDER BY n_nationkey""")) { (s, dir) =>
+      t(s, dir, "nation")
+        .select(col("n_nationkey"),
+          ascii(col("n_name")).as("first_code"),
+          expr("chr(65 + CAST(n_nationkey % 26 AS INT))").as("letter"),
+          expr("repeat('ab', CAST(n_nationkey % 3 AS INT))").as("rep"),
+          translate(col("n_name"), "AEIOU", "aeiou").as("vowelled"),
+          md5(col("n_name")).as("name_md5"),
+          lower(hex(col("n_nationkey").cast("long"))).as("key_hex"))
+        .orderBy("n_nationkey")
+    },
+
     // overflow-safe 128-bit fixed-point sum (custom DeclarativeAggregate);
     // equals the plain BIGINT sum at this scale, keeps working past 2^63
     Q("fn_sum128", Some(s"""

@@ -382,6 +382,20 @@ object RelationalOps {
         .orderBy("r_regionkey")
     },
 
+    // row-value IN subquery: (a, b) IN (SELECT x, y ...) — multi-column
+    // membership, decorrelated by Catalyst into a semi join on both columns
+    Q("op_subquery_row_in", Some("""
+      SELECT o_orderkey FROM orders
+      WHERE EXISTS (SELECT 1 FROM customer
+        WHERE c_acctbal > 9500 AND c_custkey = o_custkey AND o_orderstatus = 'F')
+      ORDER BY o_orderkey""")) { (s, dir) =>
+      s.sql("""
+        SELECT o_orderkey FROM orders
+        WHERE (o_custkey, o_orderstatus) IN
+          (SELECT c_custkey, 'F' FROM customer WHERE c_acctbal > 9500)
+        ORDER BY o_orderkey""")
+    },
+
     // ---- VALUES ---------------------------------------------------------
     Q("op_values", Some("""
       SELECT v.k, v.label, r_name

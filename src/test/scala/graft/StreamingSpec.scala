@@ -95,6 +95,36 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.count() == exact)
   }
 
+  test("checkpointed restart resumes incrementally, no reprocessing") {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-ckpt-src")
+    val outDir = java.nio.file.Files.createTempDirectory("graft-ckpt-out")
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(srcDir.toString)
+        .select("event_id", "user_id")
+        .writeStream
+        .format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckptDir.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    val total = Tables.df(spark, sfDir, "events").count()
+    // batch 1: file A
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"), srcDir.resolve("a.parquet"))
+    runOnce()
+    assert(spark.read.parquet(outDir.toString).count() == total)
+    // restart with file A STILL PRESENT plus new file B: the checkpoint's
+    // file log must skip A entirely and process only B
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"), srcDir.resolve("b.parquet"))
+    runOnce()
+    assert(spark.read.parquet(outDir.toString).count() == 2 * total) // not 3x
+  }
+
   test("stream-static join enriches events against the customer dim") {
     val customer = Tables.df(spark, sfDir, "customer")
     val streamed = runToTable(
