@@ -320,6 +320,55 @@ object FnQueries {
         .orderBy("vec_id")
     },
 
+    // second array batch: append/prepend/flatten/remove/reverse/dedup-sort,
+    // all serialized to JSON text for the comparator
+    Q("fn_array_ops2", Some("""
+      SELECT n_nationkey,
+        CAST(to_json(list_append([n_nationkey, n_regionkey], 99)) AS VARCHAR) AS appended,
+        CAST(to_json(list_prepend(-1, [n_nationkey, n_regionkey])) AS VARCHAR) AS prepended,
+        CAST(to_json(flatten([[n_nationkey], [n_regionkey, n_regionkey]])) AS VARCHAR) AS flat,
+        CAST(to_json(list_filter([n_nationkey, n_regionkey, n_nationkey],
+          x -> x <> n_regionkey)) AS VARCHAR) AS removed,
+        CAST(to_json(list_reverse([n_nationkey, n_regionkey, 7])) AS VARCHAR) AS rev,
+        CAST(to_json(list_sort(list_distinct([n_regionkey, n_nationkey, n_regionkey])))
+          AS VARCHAR) AS uniq_sorted
+      FROM nation ORDER BY n_nationkey""")) { (s, dir) =>
+      t(s, dir, "nation").select(col("n_nationkey"),
+          to_json(expr("array_append(array(n_nationkey, n_regionkey), 99)")).as("appended"),
+          to_json(expr("array_prepend(array(n_nationkey, n_regionkey), -1)")).as("prepended"),
+          to_json(flatten(expr("array(array(n_nationkey), array(n_regionkey, n_regionkey))"))).as("flat"),
+          to_json(expr("filter(array(n_nationkey, n_regionkey, n_nationkey), x -> x != n_regionkey)")).as("removed"),
+          to_json(reverse(expr("array(n_nationkey, n_regionkey, 7)"))).as("rev"),
+          to_json(array_sort(array_distinct(expr("array(n_regionkey, n_nationkey, n_regionkey)")))).as("uniq_sorted"))
+        .orderBy("n_nationkey")
+    },
+
+    // map construction + JSON serialization (same text format both engines)
+    Q("fn_map_ops", Some("""
+      SELECT r_regionkey,
+        CAST(to_json(MAP {'key': r_regionkey, 'double': r_regionkey * 2}) AS VARCHAR) AS m
+      FROM region ORDER BY r_regionkey""")) { (s, dir) =>
+      t(s, dir, "region")
+        .select(col("r_regionkey"),
+          to_json(map(lit("key"), col("r_regionkey"),
+            lit("double"), col("r_regionkey") * 2)).as("m"))
+        .orderBy("r_regionkey")
+    },
+
+    // second regex batch: capture-group extraction and match counting
+    Q("fn_regexp_suite2", Some("""
+      SELECT n_nationkey,
+        regexp_extract(n_name, 'NATION_(\d+)', 1) AS num_part,
+        CAST(len(regexp_extract_all(n_name, '[AEIOU]')) AS INT) AS n_vowels,
+        regexp_replace(n_name, '(\d)', '<\1>', 'g') AS marked
+      FROM nation ORDER BY n_nationkey""")) { (s, dir) =>
+      t(s, dir, "nation").select(col("n_nationkey"),
+          regexp_extract(col("n_name"), "NATION_(\\d+)", 1).as("num_part"),
+          expr("regexp_count(n_name, '[AEIOU]')").cast("int").as("n_vowels"),
+          regexp_replace(col("n_name"), "(\\d)", "<$1>").as("marked"))
+        .orderBy("n_nationkey")
+    },
+
     // array_upper -> size shim (macro at query_remapper_function.go:53-57)
     Q("fn_array_upper", Some("""
       SELECT vec_id, len(embedding) AS upper_bound
