@@ -34,8 +34,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", {
-      // metadata-only count (parquet footers), no full scan
-      val rows = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+      // metadata-only count (parquet footers), no full scan; fall back to a
+      // safe middle value if the probe file is absent
+      val rows = scala.util.Try(
+        spark.read.parquet(s"$sfDir/lineitem.parquet").count()).getOrElse(8000000L)
       math.max(1L, math.min(200L, rows / 1000000L)).toString
     }).toString
     spark.conf.set("spark.sql.shuffle.partitions", parts)
