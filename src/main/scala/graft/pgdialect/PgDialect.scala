@@ -146,6 +146,7 @@ object PgDialect {
     s = rewriteAnyAll(s)
     s = rewriteLateral(s)
     s = rewriteJsonExists(s)
+    s = rewriteJsonPath(s)
     s = rewriteJsonArrows(s)
     s = rewriteCasts(s)
     // regex match operators (PG ~ family) — after arrows so ->> is gone
@@ -276,6 +277,17 @@ object PgDialect {
   private def splitArrayLiteral(body: String): String =
     body.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
       .map(v => s"'$v'").mkString(", ")
+
+  /** JSON path operators `col #> '{a,b}'` / `col #>> '{a,b}'` ->
+    * `get_json_object(col, '$.a.b')` (PG path-array form; runs before the
+    * arrow rewrite). */
+  private def rewriteJsonPath(sql: String): String = {
+    val p = "(?s)([\\w.]+)\\s*#>>?\\s*'\\{([^}]*)\\}'".r
+    p.replaceAllIn(sql, m => java.util.regex.Matcher.quoteReplacement {
+      val path = m.group(2).split(',').map(_.trim).mkString(".")
+      s"get_json_object(${m.group(1)}, '$$.$path')"
+    })
+  }
 
   /** JSON existence `col ? 'key'` -> `get_json_object(col, '$.key') IS NOT
     * NULL` (reference maps `?` to json_exists in function form to dodge a
