@@ -123,18 +123,29 @@ class Store(spark: SparkSession, warehouse: String) {
   }
 
   // ---- materialized views (definition catalog + backing table) ----------
+  // Matviews are queryable tables: each create/refresh/rename registers the
+  // backing data as a session temp view so `SELECT ... FROM mv` resolves
+  // through spark.sql (the reference registers every catalog table as a
+  // DuckDB shell table the same way, query_remapper_table.go:141-178).
+  private def publish(name: String): Unit =
+    read(name).createOrReplaceTempView(name)
+
   def createMatview(name: String, defn: String, withData: Boolean = true): Unit = {
     matviewDefs(name) = defn
     if (withData) replace(name, spark.sql(defn))
     else replace(name, spark.sql(defn).limit(0))
+    publish(name)
   }
 
-  def refreshMatview(name: String): Unit =
+  def refreshMatview(name: String): Unit = {
     replace(name, spark.sql(matviewDefs(name)))
+    publish(name)
+  }
 
   def dropMatview(name: String): Unit = {
     matviewDefs.remove(name)
     drop(name)
+    spark.catalog.dropTempView(name)
   }
 
   def renameMatview(from: String, to: String): Unit = {
@@ -143,6 +154,8 @@ class Store(spark: SparkSession, warehouse: String) {
       Files.move(Paths.get(s"$warehouse/$from"), Paths.get(s"$warehouse/$to"))
       versions(to) = v
       versions.remove(from)
+      spark.catalog.dropTempView(from)
+      publish(to)
     }
   }
 

@@ -269,6 +269,27 @@ class WireSpec extends SparkSpecBase {
     assert(results.size == 32 && results.asScala.forall(identity))
   }
 
+  test("end-to-end session: SET, matview lifecycle, query, refresh, drop") {
+    val c = new Client(server._2); c.startup()
+    def tag(msgs: Seq[(Char, Array[Byte])]): String =
+      new String(msgs.find(_._1 == 'C').get._2, UTF_8).takeWhile(_ != 0.toChar)
+    assert(tag(c.query("SET statement_timeout = '30s'")) == "SET")
+    assert(tag(c.query(
+      "CREATE MATERIALIZED VIEW nation_counts AS " +
+        "SELECT n_regionkey, count(*) AS n FROM nation GROUP BY n_regionkey"))
+      == "CREATE MATERIALIZED VIEW")
+    val rows1 = c.query("SELECT sum(n)::int8 AS total FROM nation_counts")
+      .filter(_._1 == 'D').map(m => dataRowValues(m._2))
+    assert(rows1 == Seq(Seq("25")))
+    assert(tag(c.query("REFRESH MATERIALIZED VIEW nation_counts"))
+      == "REFRESH MATERIALIZED VIEW")
+    assert(tag(c.query("DROP MATERIALIZED VIEW nation_counts"))
+      == "DROP MATERIALIZED VIEW")
+    val err = c.query("SELECT * FROM nation_counts")
+    assert(err.exists(_._1 == 'E'))
+    c.close()
+  }
+
   test("ntz timestamps from real parquet tables encode in PG format") {
     val c = new Client(server._2); c.startup()
     val msgs = c.query("SELECT min(o_orderdate) AS d FROM orders")
