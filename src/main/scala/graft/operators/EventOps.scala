@@ -91,6 +91,21 @@ object EventOps {
         .orderBy("cohort_week", "week_offset")
     },
 
+    // fixed-width value histogram: bucket index computed scan-side on exact
+    // cents (one hash aggregate; the shape of every distribution dashboard)
+    Q("ev_histogram", Some("""
+      SELECT event_type,
+        CAST(floor(CAST(round(value * 100) AS BIGINT) / 200) AS BIGINT) AS bucket,
+        count(*) AS n
+      FROM events GROUP BY event_type, bucket
+      ORDER BY event_type, bucket""")) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"),
+          floor(cents(col("value")) / 200).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "bucket")
+    },
+
     // time-series gap fill with LOCF (last observation carried forward):
     // build the dense (user x day) grid — the grid is generated scan-side
     // and the small dimension broadcast — left-join sparse observations,

@@ -382,6 +382,31 @@ object RelationalOps {
         .orderBy("r_regionkey")
     },
 
+    // bag-semantics set ops: duplicates preserved (ALL variants)
+    Q("op_intersect_all", Some("""
+      SELECT l_suppkey AS k FROM lineitem WHERE l_orderkey < 300
+      INTERSECT ALL
+      SELECT l_suppkey FROM lineitem WHERE l_orderkey >= 150 AND l_orderkey < 450
+      ORDER BY k""")) { (s, dir) =>
+      s.sql("""
+        SELECT l_suppkey AS k FROM lineitem WHERE l_orderkey < 300
+        INTERSECT ALL
+        SELECT l_suppkey FROM lineitem WHERE l_orderkey >= 150 AND l_orderkey < 450
+        ORDER BY k""")
+    },
+
+    Q("op_except_all", Some("""
+      SELECT l_suppkey AS k FROM lineitem WHERE l_orderkey < 300
+      EXCEPT ALL
+      SELECT l_suppkey FROM lineitem WHERE l_orderkey >= 150 AND l_orderkey < 450
+      ORDER BY k""")) { (s, dir) =>
+      s.sql("""
+        SELECT l_suppkey AS k FROM lineitem WHERE l_orderkey < 300
+        EXCEPT ALL
+        SELECT l_suppkey FROM lineitem WHERE l_orderkey >= 150 AND l_orderkey < 450
+        ORDER BY k""")
+    },
+
     // row-value IN subquery: (a, b) IN (SELECT x, y ...) — multi-column
     // membership, decorrelated by Catalyst into a semi join on both columns
     Q("op_subquery_row_in", Some("""

@@ -140,8 +140,10 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int) {
                 val portal = readCStr()
                 sendDataRows(out, portals(portal))
               } catch { case e: Throwable => sendError(out, e); errorSkip = true }
-            case 'C' if !errorSkip => // Close
-              b.read(); readCStr()
+            case 'C' if !errorSkip => // Close: drop the named statement/portal
+              val kind = b.read().toChar
+              val name = readCStr()
+              if (kind == 'S') statements.remove(name) else portals.remove(name)
               msg(out, '3') { _ => } // CloseComplete
             case 'S' => // Sync clears the error state (postgres_server.go:161-173)
               errorSkip = false
