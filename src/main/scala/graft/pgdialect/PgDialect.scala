@@ -145,6 +145,7 @@ object PgDialect {
       "transform($1, (__x, __i) -> struct(__x AS x, __i + 1 AS n))")
     s = rewriteAnyAll(s)
     s = rewriteLateral(s)
+    s = rewriteContainment(s)
     s = rewriteJsonExists(s)
     s = rewriteJsonPath(s)
     s = rewriteJsonArrows(s)
@@ -287,6 +288,34 @@ object PgDialect {
       val path = m.group(2).split(',').map(_.trim).mkString(".")
       s"get_json_object(${m.group(1)}, '$$.$path')"
     })
+  }
+
+  /** Flat JSON containment `col @> '{"k": v, ...}'` -> a conjunction of
+    * get_json_object equality checks (covers the common filter form; nested
+    * containment would need a structural walk). Array overlap `a && b` ->
+    * arrays_overlap. */
+  private def rewriteContainment(sql: String): String = {
+    import java.util.regex.Matcher.quoteReplacement
+    val json = "(?s)([\\w.]+)\\s*@>\\s*'(\\{[^']*\\})'".r
+    var s = json.replaceAllIn(sql, m => quoteReplacement {
+      val obj = m.group(2)
+      val pair = "\"([^\"]+)\"\\s*:\\s*(\"([^\"]*)\"|[-\\d.eE]+|true|false)".r
+      val conds = pair.findAllMatchIn(obj).map { p =>
+        val key = p.group(1)
+        val want = if (p.group(3) != null) p.group(3) else p.group(2)
+        s"get_json_object(${m.group(1)}, '$$.$key') = '$want'"
+      }.toSeq
+      if (conds.isEmpty) "TRUE" else conds.mkString("(", " AND ", ")")
+    })
+    val overlap = "(?s)([\\w.]+)\\s*&&\\s*(ARRAY\\[[^\\]]*\\]|[\\w.]+)".r
+    s = overlap.replaceAllIn(s, m => quoteReplacement {
+      val rhs = m.group(2).replaceFirst("(?i)^ARRAY\\[", "array(").stripSuffix("]") match {
+        case r if r.startsWith("array(") => r + ")"
+        case r => r
+      }
+      s"arrays_overlap(${m.group(1)}, $rhs)"
+    })
+    s
   }
 
   /** JSON existence `col ? 'key'` -> `get_json_object(col, '$.key') IS NOT

@@ -110,6 +110,17 @@ object PgDialectOps {
         WHERE c.relname ~ '^(orders)$' ORDER BY 1, 2""")
     },
 
+    // flat JSON containment @> -> conjunction of path equality checks
+    Q("pd_json_contains", Some("""
+      SELECT event_id FROM events
+      WHERE json_extract_string(props, '$.k') = '69'
+      ORDER BY event_id""")) { (s, dir) =>
+      run(s, """
+        SELECT event_id FROM events
+        WHERE props @> '{"k": 69}'
+        ORDER BY event_id""")
+    },
+
     // JSON existence operator ? -> get_json_object IS NOT NULL
     Q("pd_json_exists", Some("""
       SELECT event_id FROM events

@@ -66,6 +66,10 @@ class PgDialectSpec extends SparkSpecBase {
       == "SELECT * FROM t WHERE get_json_object(props, '$.k') IS NOT NULL")
     assert(translateSelect("SELECT props #>> '{a,b}' FROM t")
       == "SELECT get_json_object(props, '$.a.b') FROM t")
+    assert(translateSelect("""SELECT * FROM t WHERE props @> '{"k": 69}'""")
+      == "SELECT * FROM t WHERE (get_json_object(props, '$.k') = '69')")
+    assert(translateSelect("SELECT * FROM t WHERE tags && ARRAY['a','b']")
+      == "SELECT * FROM t WHERE arrays_overlap(tags, array('a','b'))")
     assert(translateSelect("SELECT r_name, n FROM region, LATERAL generate_series(1, r_regionkey) AS g(n)")
       == "SELECT r_name, n FROM region LATERAL VIEW explode(sequence(1, r_regionkey)) g AS n")
     assert(translateSelect("SELECT n FROM generate_series(1, 5) AS g(n)")
