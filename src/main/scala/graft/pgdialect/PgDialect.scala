@@ -150,6 +150,7 @@ object PgDialect {
     s = rewriteJsonPath(s)
     s = rewriteJsonArrows(s)
     s = rewriteCasts(s)
+    s = injectPgNullOrdering(s)
     // regex match operators (PG ~ family) — after arrows so ->> is gone
     s = s.replaceAll("!~~\\*", " NOT ILIKE ")
     s = s.replaceAll("!~~", " NOT LIKE ")
@@ -455,6 +456,60 @@ object PgDialect {
             "$1 " + java.util.regex.Matcher.quoteReplacement(sub))
         }
     }
+
+  /** PG and Spark disagree on default NULL ordering (PG: NULLS LAST for
+    * ASC, NULLS FIRST for DESC; Spark: the opposite) — silently different
+    * row order for any nullable sort key. Make PG's defaults explicit on
+    * every ORDER BY key (top-level and inside OVER windows) that doesn't
+    * already spell a NULLS clause. */
+  private[graft] def injectPgNullOrdering(sql: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    val upper = sql.toUpperCase
+    while (i < sql.length) {
+      val at = upper.indexOf("ORDER BY", i)
+      if (at < 0) { sb.append(sql.substring(i)); i = sql.length }
+      else {
+        sb.append(sql.substring(i, at)).append(sql.substring(at, at + 8))
+        var j = at + 8
+        // scan sort keys until a top-level terminator
+        var depth = 0; var inStr = false
+        var keyStart = j
+        def flushKey(end: Int): Unit = {
+          val key = sql.substring(keyStart, end)
+          val k = key.trim
+          if (k.isEmpty || k.toUpperCase.contains("NULLS")) sb.append(key)
+          else {
+            val trailing = key.substring(key.lastIndexOf(k) + k.length)
+            val lead = key.substring(0, key.indexOf(k.head))
+            val suffix =
+              if (k.toUpperCase.endsWith(" DESC")) " NULLS FIRST" else " NULLS LAST"
+            sb.append(lead).append(k).append(suffix).append(trailing)
+          }
+        }
+        var done = false
+        while (!done && j < sql.length) {
+          val c = sql.charAt(j)
+          if (c == '\'') inStr = !inStr
+          else if (!inStr && c == '(') depth += 1
+          else if (!inStr && c == ')') {
+            if (depth == 0) { flushKey(j); done = true } else depth -= 1
+          } else if (!inStr && c == ',' && depth == 0) {
+            flushKey(j); sb.append(','); keyStart = j + 1
+          } else if (!inStr && depth == 0 &&
+              "(?i)^(LIMIT|OFFSET|FETCH|FOR)\\b".r
+                .findFirstIn(upper.substring(j)).isDefined &&
+              (j == 0 || sql.charAt(j - 1).isWhitespace)) {
+            flushKey(j); done = true
+          }
+          if (!done) j += 1
+        }
+        if (!done) flushKey(sql.length)
+        i = j
+      }
+    }
+    sb.toString
+  }
 
   // ---- utilities -------------------------------------------------------
   private[graft] def splitStatements(sql: String): Seq[String] = {

@@ -110,6 +110,17 @@ object PgDialectOps {
         WHERE c.relname ~ '^(orders)$' ORDER BY 1, 2""")
     },
 
+    // PG null-ordering defaults: NULLS LAST for ASC, FIRST for DESC — the
+    // dialect injects them (Spark's defaults are the opposite); DuckDB's
+    // defaults already match PG, so the oracle is the bare ORDER BY
+    Q("pd_order_nulls", Some("""
+      SELECT n_nationkey, nullif(n_regionkey, 2) AS maybe_null FROM nation
+      ORDER BY maybe_null, n_nationkey DESC""")) { (s, dir) =>
+      run(s, """
+        SELECT n_nationkey, nullif(n_regionkey, 2) AS maybe_null FROM nation
+        ORDER BY maybe_null, n_nationkey DESC""")
+    },
+
     // flat JSON containment @> -> conjunction of path equality checks
     Q("pd_json_contains", Some("""
       SELECT event_id FROM events

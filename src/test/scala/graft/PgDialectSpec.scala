@@ -110,6 +110,19 @@ class PgDialectSpec extends SparkSpecBase {
     assert(rows("SELECT n_nationkey FROM nation WHERE n_nationkey = 3").size == 1)
   }
 
+  test("PG null-ordering defaults injected on ORDER BY keys") {
+    assert(translateSelect("SELECT a FROM t ORDER BY a")
+      == "SELECT a FROM t ORDER BY a NULLS LAST")
+    assert(translateSelect("SELECT a FROM t ORDER BY a DESC, b LIMIT 3")
+      == "SELECT a FROM t ORDER BY a DESC NULLS FIRST, b NULLS LAST LIMIT 3")
+    assert(translateSelect("SELECT a FROM t ORDER BY a NULLS FIRST")
+      == "SELECT a FROM t ORDER BY a NULLS FIRST")
+    assert(translateSelect("SELECT a FROM t ORDER BY coalesce(a, b), c")
+      == "SELECT a FROM t ORDER BY coalesce(a, b) NULLS LAST, c NULLS LAST")
+    assert(translateSelect("SELECT row_number() OVER (ORDER BY x DESC) FROM t")
+      == "SELECT row_number() OVER (ORDER BY x DESC NULLS FIRST) FROM t")
+  }
+
   test("operator and qualification translation") {
     assert(translateSelect("SELECT * FROM t WHERE n ~ 'x.*'")
       == "SELECT * FROM t WHERE n  RLIKE  'x.*'")
