@@ -232,6 +232,12 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int) {
         case PgDialect.Command(tag) => commandComplete(out, tag)
         case PgDialect.Empty => msg(out, 'I') { _ => }
       }
+      // TimeZone has GUC_REPORT: PG pushes a ParameterStatus after SET
+      if ("(?is).*\\bSET\\s+(SESSION\\s+|LOCAL\\s+)?time\\s*zone\\b.*".r.matches(sql)
+          || "(?is).*\\bSET\\s+(SESSION\\s+|LOCAL\\s+)?timezone\\b.*".r.matches(sql))
+        SessionSettings.get("timezone").foreach { tz =>
+          msg(out, 'S') { b => cstr(b, "TimeZone"); cstr(b, tz) }
+        }
     } catch { case e: Throwable => sendError(out, e) }
 
   /** Map Spark error conditions to the SQLSTATEs PG clients branch on

@@ -109,6 +109,9 @@ class WireSpec extends SparkSpecBase {
     val tags = msgs.filter(_._1 == 'C')
       .map(m => new String(m._2, UTF_8).stripSuffix("\u0000"))
     assert(tags.head == "SET")
+    // TimeZone is GUC_REPORT: the SET must push a ParameterStatus
+    assert(msgs.exists(m => m._1 == 'S' &&
+      new String(m._2, UTF_8).startsWith("TimeZone")))
     val row = dataRowValues(msgs.find(_._1 == 'D').get._2)
     assert(row == Seq("17.0"))
 
