@@ -184,6 +184,33 @@ object TextAnalysis {
         .orderBy("lang", "rk")
     },
 
+    // character-trigram profiles per language (what statistical lang-ID
+    // actually trains on): explode char 3-grams scan-side, one hash
+    // aggregate, top-5 per language window
+    Q("txt_char_ngrams", Some("""
+      WITH grams AS (
+        SELECT lang, unnest(list_transform(range(1, length(text) - 1),
+          i -> substr(text, CAST(i AS INT), 3))) AS gram
+        FROM documents WHERE length(text) >= 3),
+      counted AS (SELECT lang, gram, count(*) AS n FROM grams GROUP BY lang, gram),
+      ranked AS (SELECT lang, gram, n,
+          row_number() OVER (PARTITION BY lang ORDER BY n DESC, gram) AS rk
+        FROM counted)
+      SELECT lang, gram, n, CAST(rk AS INT) AS rk
+      FROM ranked WHERE rk <= 5 ORDER BY lang, rk""")) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val grams = t(s, dir, "documents")
+        .filter(length(col("text")) >= 3)
+        .select(col("lang"), explode(expr(
+          "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+          .as("gram"))
+      val w = Window.partitionBy("lang").orderBy(col("n").desc, col("gram"))
+      grams.groupBy("lang", "gram").agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .orderBy("lang", "rk")
+    },
+
     // end-to-end corpus curation: quality gate -> prefix-fingerprint dedup
     // (keep lowest doc_id) -> language filter -> per-source corpus stats.
     // The composition a training-data pipeline actually runs; every stage is
