@@ -112,6 +112,34 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // exact dedup keeping the BEST doc per group (not the first): rank by
+    // quality micros (unique-ratio proxy) with doc_id tie-break — what a
+    // curation pipeline actually keeps. One window over the fingerprint key.
+    Q("dd_exact_keep_best", Some("""
+      WITH scored AS (
+        SELECT doc_id, md5(substr(text, 1, 80)) AS fp,
+          CAST(round(round(CAST(len(list_distinct(string_split(text, chr(32)))) AS DOUBLE)
+            / len(string_split(text, chr(32))), 6) * 1000000) AS BIGINT) AS q_micros
+        FROM documents),
+      ranked AS (
+        SELECT doc_id, fp, q_micros,
+          row_number() OVER (PARTITION BY fp ORDER BY q_micros DESC, doc_id) AS rk
+        FROM scored)
+      SELECT doc_id, fp, q_micros FROM ranked WHERE rk = 1
+      ORDER BY doc_id""")) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = split(col("text"), " ")
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), md5(substring(col("text"), 1, 80)).as("fp"),
+          round(round(size(array_distinct(toks)).cast("double") / size(toks), 6)
+            * 1000000).cast("long").as("q_micros"))
+      val w = Window.partitionBy("fp").orderBy(col("q_micros").desc, col("doc_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select("doc_id", "fp", "q_micros")
+        .orderBy("doc_id")
+    },
+
     // exact n-gram Jaccard (distributed shingle join vs list-op oracle)
     Q("dd_ngram_jaccard", Some(jaccardOracle)) { (s, dir) =>
       jaccardPairs(s, dir, 0.9)
