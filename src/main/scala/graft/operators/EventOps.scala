@@ -91,6 +91,33 @@ object EventOps {
         .orderBy("cohort_week", "week_offset")
     },
 
+    // DAU/WAU engagement: daily and weekly active counts plus the
+    // stickiness ratio — exact integer counts, one division at the end
+    Q("ev_dau_wau", Some("""
+      WITH dau AS (
+        SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS dau
+        FROM events GROUP BY day),
+      wau AS (
+        SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 604800) AS BIGINT) AS week,
+          count(DISTINCT user_id) AS wau
+        FROM events GROUP BY week)
+      SELECT CAST(d.day AS VARCHAR) AS day, d.dau, w.wau,
+        round(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+      FROM dau d
+      JOIN wau w ON CAST(floor(epoch(CAST(d.day AS TIMESTAMP)) / 604800) AS BIGINT) = w.week
+      ORDER BY day""")) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val dau = ev.groupBy(to_date(col("ts")).as("day"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val wau = ev.groupBy(floor(unix_timestamp(col("ts")) / 604800L).cast("long").as("week"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau,
+          floor(unix_timestamp(col("day").cast("timestamp")) / 604800L).cast("long") === col("week"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("dau"), col("wau"),
+          round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+        .orderBy("day")
+    },
+
     // fixed-width value histogram: bucket index computed scan-side on exact
     // cents (one hash aggregate; the shape of every distribution dashboard)
     Q("ev_histogram", Some("""
