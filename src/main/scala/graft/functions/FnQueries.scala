@@ -297,6 +297,78 @@ object FnQueries {
         .orderBy("c_custkey")
     },
 
+    // width_bucket over the acctbal distribution — oracle replicates Spark's
+    // exact op order (n*(x-lo) then /(hi-lo), trunc) so doubles bit-match
+    Q("fn_width_bucket", Some("""
+      SELECT c_custkey,
+        CASE WHEN c_acctbal < CAST(-1000.0 AS DOUBLE) THEN 0
+             WHEN c_acctbal >= CAST(10000.0 AS DOUBLE) THEN 12
+             ELSE CAST(trunc(CAST(11 AS DOUBLE) * (c_acctbal - CAST(-1000.0 AS DOUBLE))
+                  / (CAST(10000.0 AS DOUBLE) - CAST(-1000.0 AS DOUBLE))) AS BIGINT) + 1
+        END AS wb
+      FROM customer ORDER BY c_custkey""")) { (s, dir) =>
+      s.sql("""
+        SELECT c_custkey, width_bucket(c_acctbal, -1000.0D, 10000.0D, 11) AS wb
+        FROM customer ORDER BY c_custkey""")
+    },
+
+    // ANSI OVERLAY ... PLACING (PG string splice) — Spark parses the PG form
+    Q("fn_overlay", Some("""
+      SELECT p_partkey,
+        substr(p_name, 1, 2) || '###' || substr(p_name, 5) AS spliced,
+        substr(p_name, 1, 3) || '[' || p_brand || ']' || substr(p_name, 4) AS inserted
+      FROM part WHERE p_partkey <= 50 ORDER BY p_partkey""")) { (s, dir) =>
+      s.sql("""
+        SELECT p_partkey,
+          overlay(p_name PLACING '###' FROM 3 FOR 2) AS spliced,
+          overlay(p_name PLACING '[' || p_brand || ']' FROM 4 FOR 0) AS inserted
+        FROM part WHERE p_partkey <= 50 ORDER BY p_partkey""")
+    },
+
+    // date_bin (PG 14) origin-anchored buckets == DuckDB time_bucket; origin
+    // predates the data so truncating division equals flooring on both sides
+    Q("fn_date_bin", Some("""
+      SELECT CAST(time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP),
+               TIMESTAMP '2000-01-01 00:00:00') AS VARCHAR) AS bucket,
+        CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY bucket ORDER BY bucket""")) { (s, dir) =>
+      s.sql("""
+        SELECT CAST(date_bin(INTERVAL '15' MINUTE, ts,
+                 TIMESTAMP '2000-01-01 00:00:00') AS STRING) AS bucket,
+          count(*) AS n
+        FROM events GROUP BY bucket ORDER BY bucket""")
+    },
+
+    // num_nulls / num_nonnulls variadic null counters (nulls synthesized
+    // deterministically with nullif)
+    Q("fn_num_nulls", Some("""
+      SELECT event_id,
+        (CASE WHEN nullif(event_type, 'click') IS NULL THEN 1 ELSE 0 END
+         + CASE WHEN nullif(user_id, 0) IS NULL THEN 1 ELSE 0 END
+         + CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS nn,
+        (CASE WHEN nullif(event_type, 'click') IS NOT NULL THEN 1 ELSE 0 END
+         + CASE WHEN props IS NOT NULL THEN 1 ELSE 0 END) AS nnn
+      FROM events WHERE event_id < 500 ORDER BY event_id""")) { (s, dir) =>
+      s.sql("""
+        SELECT event_id,
+          num_nulls(nullif(event_type, 'click'), nullif(user_id, 0), props) AS nn,
+          num_nonnulls(nullif(event_type, 'click'), props) AS nnn
+        FROM events WHERE event_id < 500 ORDER BY event_id""")
+    },
+
+    // IS [NOT] DISTINCT FROM null-safe comparison (both engines native)
+    Q("fn_null_safe", Some("""
+      SELECT event_id,
+        nullif(event_type, 'click') IS DISTINCT FROM nullif(event_type, 'view') AS d,
+        nullif(event_type, 'click') IS NOT DISTINCT FROM NULL AS was_click
+      FROM events WHERE event_id < 500 ORDER BY event_id""")) { (s, dir) =>
+      s.sql("""
+        SELECT event_id,
+          nullif(event_type, 'click') IS DISTINCT FROM nullif(event_type, 'view') AS d,
+          nullif(event_type, 'click') IS NOT DISTINCT FROM NULL AS was_click
+        FROM events WHERE event_id < 500 ORDER BY event_id""")
+    },
+
     // ---- arrays (SURVEY §2.B array ops row) -----------------------------
     // head3 emitted as fixed-point micros text (floor, not round: floor of a
     // double is unambiguous across engines) — the driver comparator sorts by

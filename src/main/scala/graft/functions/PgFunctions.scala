@@ -154,6 +154,33 @@ object PgFunctions {
     // PG dow: Sunday=0 (Spark's dayofweek is Sunday=1)
     fn(spark, "pg_dow") { exprs => Subtract(DayOfWeek(exprs.head), Literal(1)) }
 
+    // num_nulls / num_nonnulls (PG variadic null counters) as codegen'd
+    // conditional sums — no UDF boxing
+    fn(spark, "num_nulls") { exprs =>
+      exprs.map(e => If(IsNull(e), Literal(1), Literal(0)): Expression)
+        .reduce(Add(_, _))
+    }
+    fn(spark, "num_nonnulls") { exprs =>
+      exprs.map(e => If(IsNotNull(e), Literal(1), Literal(0)): Expression)
+        .reduce(Add(_, _))
+    }
+
+    // date_bin(stride, ts, origin) (PG 14): origin-anchored bucket via exact
+    // integer micros arithmetic; interval literal lowered to micros at
+    // resolution time so the hot path is pure long math
+    fn(spark, "date_bin") { exprs =>
+      val stride: Expression = exprs.head match {
+        case Literal(v: Long, _: DayTimeIntervalType) => Literal(v)
+        case Literal(ci: org.apache.spark.unsafe.types.CalendarInterval, CalendarIntervalType) =>
+          Literal(ci.days * 86400000000L + ci.microseconds)
+        case other => other // already integral micros
+      }
+      val ts = UnixMicros(Cast(exprs(1), TimestampType))
+      val origin = UnixMicros(Cast(exprs(2), TimestampType))
+      val bucket = Multiply(IntegralDivide(Subtract(ts, origin), stride), stride)
+      MicrosToTimestamp(Add(origin, bucket))
+    }
+
     // engine extensions
     Sum128.register(spark)
     GraftExpressions.register(spark)

@@ -151,6 +151,12 @@ object PgDialect {
     s = rewriteJsonArrows(s)
     s = rewriteCasts(s)
     s = injectPgNullOrdering(s)
+    // ANSI FETCH FIRST/NEXT (PG accepts both) -> LIMIT; Spark has LIMIT only
+    s = s.replaceAll("(?i)\\bFETCH\\s+(?:FIRST|NEXT)\\s+(\\d+)\\s+ROWS?\\s+ONLY", "LIMIT $1")
+    s = s.replaceAll("(?i)\\bFETCH\\s+(?:FIRST|NEXT)\\s+ROWS?\\s+ONLY", "LIMIT 1")
+    // BETWEEN SYMMETRIC swaps bounds when reversed (PG); Spark lacks it
+    s = s.replaceAll("(?i)\\bBETWEEN\\s+SYMMETRIC\\s+(\\S+)\\s+AND\\s+(\\S+)",
+      "BETWEEN least($1, $2) AND greatest($1, $2)")
     // regex match operators (PG ~ family) — after arrows so ->> is gone
     s = s.replaceAll("!~~\\*", " NOT ILIKE ")
     s = s.replaceAll("!~~", " NOT LIKE ")

@@ -41,6 +41,25 @@ object PgDialectOps {
       run(s, "SELECT n_name FROM nation WHERE n_name ~ 'NATION_1[0-9]' ORDER BY n_name")
     },
 
+    // ANSI FETCH FIRST (PG's second LIMIT spelling) -> LIMIT
+    Q("pd_fetch_first", Some("""
+      SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""")) { (s, dir) =>
+      run(s, """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        FETCH FIRST 15 ROWS ONLY""")
+    },
+
+    // BETWEEN SYMMETRIC reverses its bounds (PG); translated to least/greatest
+    Q("pd_between_symmetric", Some("""
+      SELECT n_nationkey, n_name FROM nation
+      WHERE n_nationkey BETWEEN 3 AND 12 ORDER BY n_nationkey""")) { (s, dir) =>
+      run(s, """
+        SELECT n_nationkey, n_name FROM nation
+        WHERE n_nationkey BETWEEN SYMMETRIC 12 AND 3 ORDER BY n_nationkey""")
+    },
+
     Q("pd_distinct_on", Some("""
       SELECT DISTINCT ON (user_id) user_id, event_id
       FROM events ORDER BY user_id, event_id DESC""")) { (s, dir) =>

@@ -89,6 +89,42 @@ object TextAnalysis {
 
   val defs: Seq[Q] = Seq(
 
+    // Gopher-style repetition/diversity signals: type-token ratio, most-
+    // common-word fraction, mean word length. Explode + two hash aggregates
+    // (the scale path: no per-doc quadratic higher-order funcs); exact
+    // integer counts, one division per ratio at the end.
+    Q("txt_repetition", Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      grp AS (
+        SELECT doc_id, w, count(*) AS cnt FROM tok GROUP BY doc_id, w),
+      per AS (
+        SELECT doc_id,
+          CAST(sum(cnt) AS BIGINT) AS n_words,
+          CAST(count(*) AS BIGINT) AS n_distinct,
+          CAST(max(cnt) AS BIGINT) AS top_cnt,
+          CAST(sum(cnt * length(w)) AS BIGINT) AS n_letters
+        FROM grp GROUP BY doc_id)
+      SELECT doc_id, n_words, n_distinct, top_cnt,
+        round(CAST(n_distinct AS DOUBLE) / n_words, 6) AS ttr,
+        round(CAST(top_cnt AS DOUBLE) / n_words, 6) AS top_frac,
+        round(CAST(n_letters AS DOUBLE) / n_words, 6) AS mean_wlen
+      FROM per ORDER BY doc_id""")) { (s, dir) =>
+      val grp = t(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      grp.groupBy("doc_id").agg(
+          sum(col("cnt")).as("n_words"),
+          count(lit(1)).as("n_distinct"),
+          max(col("cnt")).as("top_cnt"),
+          sum(col("cnt") * length(col("w"))).as("n_letters"))
+        .select(col("doc_id"), col("n_words"), col("n_distinct"), col("top_cnt"),
+          round(col("n_distinct").cast("double") / col("n_words"), 6).as("ttr"),
+          round(col("top_cnt").cast("double") / col("n_words"), 6).as("top_frac"),
+          round(col("n_letters").cast("double") / col("n_words"), 6).as("mean_wlen"))
+        .orderBy("doc_id")
+    },
+
     Q("txt_token_count", Some("""
       SELECT doc_id, length(text) AS n_chars_actual,
         len(string_split(text, chr(32))) AS n_tokens,
