@@ -241,15 +241,41 @@ object PgDialect {
     * pg_class (⋈ pg_namespace when schema-qualified) — the reference does
     * the same rewrite (parser_type_cast.go:90-206). `'f'::regproc` -> the
     * function-name string. */
+  /** Split a possibly-quoted qualified name, applying PG case folding:
+    * unquoted segments lowercase, `"Quoted Names"` keep case (embedded `""`
+    * unescapes to `"`). */
+  private def splitQualified(q: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val sb = new StringBuilder
+    var quoted = false // whether the current segment was ever quoted
+    var inQ = false
+    var i = 0
+    def flush(): Unit = {
+      out += (if (quoted) sb.toString else sb.toString.toLowerCase)
+      sb.clear(); quoted = false
+    }
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (c == '"') {
+        if (inQ && i + 1 < q.length && q.charAt(i + 1) == '"') { sb += '"'; i += 1 }
+        else { inQ = !inQ; quoted = true }
+      } else if (c == '.' && !inQ) flush()
+      else sb += c
+      i += 1
+    }
+    flush()
+    out.toSeq
+  }
+
   private def rewriteRegclass(sql: String): String = {
     import java.util.regex.Matcher.quoteReplacement
-    val regclass = "(?i)'([\\w.]+)'\\s*::\\s*regclass(\\s*::\\s*oid)?".r
+    val regclass = "(?i)'((?:\"[^\"]*\"|[\\w.])+)'\\s*::\\s*regclass(\\s*::\\s*oid)?".r
     var s = regclass.replaceAllIn(sql, m => quoteReplacement {
-      m.group(1).split('.') match {
-        case Array(sch, tbl) =>
+      splitQualified(m.group(1)) match {
+        case Seq(sch, tbl) =>
           s"(SELECT c.oid FROM pg_class c JOIN pg_namespace n ON c.relnamespace = n.oid " +
             s"WHERE n.nspname = '$sch' AND c.relname = '$tbl')"
-        case Array(tbl) =>
+        case Seq(tbl) =>
           s"(SELECT oid FROM pg_class WHERE relname = '$tbl')"
         case _ => m.group(0)
       }

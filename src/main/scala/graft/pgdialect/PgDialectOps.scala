@@ -169,6 +169,15 @@ object PgDialectOps {
       run(s, """
         SELECT 'lineitem'::regclass::oid AS li_oid,
                'public.orders'::regclass AS ord_oid""")
+    },
+
+    // quoted/mixed-case regclass names: unquoted folds to lowercase (PG
+    // case-folding), "quoted" segments keep their exact spelling
+    Q("pd_regclass_quoted", Some("""
+      SELECT CAST(16390 AS BIGINT) AS li_oid, CAST(16389 AS BIGINT) AS ord_oid""")) { (s, dir) =>
+      run(s, """
+        SELECT '"lineitem"'::regclass::oid AS li_oid,
+               'PUBLIC."orders"'::regclass AS ord_oid""")
     }
   )
 }

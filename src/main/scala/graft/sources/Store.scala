@@ -58,6 +58,23 @@ class Store(spark: SparkSession, warehouse: String) {
     versions(name) = next
   }
 
+  /** Bucketed replace: pays one hash shuffle at write time to pin a fixed
+    * bucket layout on `key`, so every later join or aggregation on `key`
+    * between same-bucketed tables runs with ZERO exchanges — the 100 TB
+    * pattern for fact tables that are repeatedly joined on the same key
+    * (Iceberg bucket-transform partitioning / storage-partitioned joins are
+    * the cluster-side equivalent). Registers in the session catalog because
+    * bucket metadata lives there, not in the files. */
+  def replaceBucketed(name: String, df: DataFrame, key: String, numBuckets: Int): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val next = versions.getOrElse(name, 0) + 1
+    df.write.mode(SaveMode.Overwrite)
+      .option("path", versionDir(name, next))
+      .bucketBy(numBuckets, key).sortBy(key)
+      .saveAsTable(name)
+    versions(name) = next
+  }
+
   def append(name: String, df: DataFrame): Unit =
     if (!exists(name)) replace(name, df)
     else replace(name, read(name).unionByName(df))

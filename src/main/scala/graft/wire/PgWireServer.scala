@@ -58,6 +58,7 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int) {
     // extended-protocol state (query_handler.go:112-238): prepared
     // statements (translated SQL + $N params) and bound portals
     val statements = scala.collection.mutable.Map[String, String]()
+    val declaredParamOids = scala.collection.mutable.Map[String, Seq[Int]]()
     val portals = scala.collection.mutable.Map[String, DataFrame]()
     var errorSkip = false // error in extended flow: skip until Sync
 
@@ -98,6 +99,10 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int) {
                 if (PgDialect.splitStatements(query).size > 1)
                   throw PgDialect.UnsupportedQuery("cannot insert multiple commands into a prepared statement")
                 statements(name) = query
+                // optional client-declared parameter type OIDs (0 = unknown)
+                declaredParamOids(name) =
+                  try { val n = b.readShort(); (0 until n).map(_ => b.readInt()) }
+                  catch { case _: java.io.IOException => Nil }
                 msg(out, '1') { _ => } // ParseComplete
               } catch { case e: Throwable => sendError(out, e); errorSkip = true }
             case 'B' if !errorSkip => // Bind
@@ -130,8 +135,14 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int) {
                       Seq.fill(countParams(statements(name)))(null))))
                 if (kind == 'S') msg(out, 't') { bb => // ParameterDescription
                   val n = countParams(statements(name))
+                  val declared = declaredParamOids.getOrElse(name, Nil)
                   bb.writeShort(n)
-                  (0 until n).foreach(_ => bb.writeInt(25)) // text OID
+                  (1 to n).foreach { i =>
+                    val oid =
+                      if (i <= declared.size && declared(i - 1) != 0) declared(i - 1)
+                      else inferParamOid(statements(name), i)
+                    bb.writeInt(oid)
+                  }
                 }
                 rowDescription(out, df.schema)
               } catch { case e: Throwable => sendError(out, e); errorSkip = true }
@@ -143,7 +154,8 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int) {
             case 'C' if !errorSkip => // Close: drop the named statement/portal
               val kind = b.read().toChar
               val name = readCStr()
-              if (kind == 'S') statements.remove(name) else portals.remove(name)
+              if (kind == 'S') { statements.remove(name); declaredParamOids.remove(name) }
+              else portals.remove(name)
               msg(out, '3') { _ => } // CloseComplete
             case 'S' => // Sync clears the error state (postgres_server.go:161-173)
               errorSkip = false
@@ -167,6 +179,20 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int) {
       case 8 => java.nio.ByteBuffer.wrap(bytes).getLong.toString
       case _ => new String(bytes, UTF_8)
     }
+
+  /** Parameter type from a `$N::type` cast context in the statement, text
+    * (25) otherwise — PG itself infers from full analysis; the cast form is
+    * what drivers actually emit when they care about the type. */
+  private val castOids = Map(
+    "bool" -> 16, "boolean" -> 16, "int2" -> 21, "smallint" -> 21,
+    "int4" -> 23, "int" -> 23, "integer" -> 23, "int8" -> 20, "bigint" -> 20,
+    "float4" -> 700, "real" -> 700, "float8" -> 701, "numeric" -> 1700,
+    "text" -> 25, "varchar" -> 1043, "date" -> 1082, "timestamp" -> 1114,
+    "timestamptz" -> 1184, "json" -> 114, "jsonb" -> 3802, "uuid" -> 2950)
+
+  private def inferParamOid(sql: String, i: Int): Int =
+    ("\\$" + i + "\\s*::\\s*([a-zA-Z0-9_]+)").r.findFirstMatchIn(sql)
+      .flatMap(m => castOids.get(m.group(1).toLowerCase)).getOrElse(25)
 
   /** Highest $N placeholder in a prepared statement. */
   private def countParams(sql: String): Int =

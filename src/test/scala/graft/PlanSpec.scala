@@ -61,6 +61,26 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("same-bucketed tables join and aggregate on the key with zero exchanges") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    val store = new Store(spark, dir)
+    store.replaceBucketed("b_orders",
+      spark.read.parquet(s"$sfDir/orders.parquet"), "o_custkey", 4)
+    store.replaceBucketed("b_customer",
+      spark.read.parquet(s"$sfDir/customer.parquet"), "c_custkey", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy("o_custkey").agg(sum("o_totalprice").as("spend"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), p) // bucket layout replaces both shuffles
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("tpch q3 uses broadcast joins for the dimension side") {
     val p = plan("q03_shipping_priority")
     assert(p.contains("BroadcastHashJoin"), p)

@@ -207,6 +207,31 @@ class WireSpec extends SparkSpecBase {
     c.close()
   }
 
+  test("describe honors client-declared param OIDs and $n::type casts") {
+    val c = new Client(server._2); c.startup()
+    def send(tpe: Char, body: Array[Byte]): Unit = {
+      c.out.writeByte(tpe); c.out.writeInt(4 + body.length); c.out.write(body)
+    }
+    def cstr(s: String) = (s + " ").getBytes(UTF_8)
+    def i16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+    def i32(v: Int) = java.nio.ByteBuffer.allocate(4).putInt(v).array()
+    // $1 declared int8 by the client; $2 undeclared (0) but cast to date;
+    // $3 neither -> text fallback
+    send('P', cstr("typed") ++
+      cstr("SELECT o_orderkey FROM orders WHERE o_orderkey = $1 " +
+        "OR o_orderdate < $2::date OR o_orderstatus = $3") ++
+      i16(2) ++ i32(20) ++ i32(0))
+    send('D', Array('S'.toByte) ++ cstr("typed"))
+    send('S', Array.emptyByteArray)
+    c.out.flush()
+    val msgs = c.drainUntilReady()
+    val pd = msgs.find(_._1 == 't').get._2
+    val pin = new DataInputStream(new java.io.ByteArrayInputStream(pd))
+    assert(pin.readShort() == 3)
+    assert(pin.readInt() == 20 && pin.readInt() == 1082 && pin.readInt() == 25)
+    c.close()
+  }
+
   test("cancel request with the backend key leaves the session usable") {
     val c = new Client(server._2); c.startup()
     // harvest pid/secret from BackendKeyData
