@@ -297,6 +297,22 @@ object FnQueries {
         .orderBy("c_custkey")
     },
 
+    // arg-extrema aggregates: Spark max_by/min_by == DuckDB arg_max/arg_min;
+    // the ordering key (event_id) is unique so ties cannot occur
+    Q("fn_arg_minmax", Some("""
+      SELECT event_type,
+        arg_max(CAST(round(value * 100) AS BIGINT), event_id) AS last_cents,
+        arg_min(CAST(round(value * 100) AS BIGINT), event_id) AS first_cents,
+        arg_max(user_id, event_id) AS last_user
+      FROM events GROUP BY event_type ORDER BY event_type""")) { (s, dir) =>
+      s.sql("""
+        SELECT event_type,
+          max_by(CAST(round(value * 100) AS BIGINT), event_id) AS last_cents,
+          min_by(CAST(round(value * 100) AS BIGINT), event_id) AS first_cents,
+          max_by(user_id, event_id) AS last_user
+        FROM events GROUP BY event_type ORDER BY event_type""")
+    },
+
     // width_bucket over the acctbal distribution — oracle replicates Spark's
     // exact op order (n*(x-lo) then /(hi-lo), trunc) so doubles bit-match
     Q("fn_width_bucket", Some("""

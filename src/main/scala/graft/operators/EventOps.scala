@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-analytics operators over the events stream (the reference syncs
@@ -116,6 +117,62 @@ object EventOps {
         .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("dau"), col("wau"),
           round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
         .orderBy("day")
+    },
+
+    // top user journeys: 3-step event-type paths via two leads over the
+    // per-user total order — one shuffle on user_id, then a hash aggregate
+    Q("ev_user_paths", Some("""
+      WITH ordered AS (
+        SELECT user_id, event_type,
+          lead(event_type, 1) OVER w AS e2,
+          lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT event_type || ' > ' || e2 || ' > ' || e3 AS path,
+        CAST(count(*) AS BIGINT) AS n
+      FROM ordered WHERE e3 IS NOT NULL
+      GROUP BY path ORDER BY n DESC, path LIMIT 10""")) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_type"),
+          lead(col("event_type"), 1).over(w).as("e2"),
+          lead(col("event_type"), 2).over(w).as("e3"))
+        .filter(col("e3").isNotNull)
+        .select(concat_ws(" > ", col("event_type"), col("e2"), col("e3")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path")).limit(10)
+    },
+
+    // time-weighted average value per user (LOCF integral): exact
+    // cents x micros products summed as BIGINT, one division at the end
+    Q("ev_time_weighted_avg", Some("""
+      WITH seq AS (
+        SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+          lead(epoch_us(CAST(ts AS TIMESTAMP)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t_next
+        FROM events)
+      SELECT user_id,
+        CAST(sum(cents * (t_next - t)) AS BIGINT) AS weighted,
+        CAST(max(t) - min(t) AS BIGINT) AS span_us,
+        round(CAST(sum(cents * (t_next - t)) AS DOUBLE)
+          / (max(t) - min(t)) / 100, 6) AS twa
+      FROM seq GROUP BY user_id HAVING count(*) > 1
+      ORDER BY user_id""")) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"),
+          unix_micros(col("ts")).as("t"))
+        .withColumn("t_next", lead(col("t"), 1).over(w))
+        .groupBy("user_id")
+        .agg(sum(col("cents") * (col("t_next") - col("t"))).as("weighted"),
+          (max(col("t")) - min(col("t"))).as("span_us"),
+          count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 1)
+        .select(col("user_id"), col("weighted"), col("span_us"),
+          round(col("weighted").cast("double") / col("span_us") / 100, 6).as("twa"))
+        .orderBy("user_id")
     },
 
     // fixed-width value histogram: bucket index computed scan-side on exact

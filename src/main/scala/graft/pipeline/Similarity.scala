@@ -307,4 +307,54 @@ object Similarity {
         .orderBy("query_id", "rnk")
     }
   )
+
+  /** Multi-iteration Lloyd's k-means on the exact micros lattice: vectors
+    * and centroids both live on the floor(x*1e6) integer grid, so distances
+    * and inertia are exact BIGINT sums — every run is bit-reproducible with
+    * no float-order sensitivity. Per iteration: one broadcast of the k
+    * centroids, one scan-side assignment, one hash aggregate over
+    * (cell, dim) partial sums; the k x dims update collapses to the driver
+    * (tiny). That is the 100 TB shape — corpus never shuffles, per-round
+    * traffic is O(k * dims * partitions). Deterministic init: the k lowest
+    * vec_ids. Empty cells keep their previous centroid.
+    *
+    * Returns (final centroids, inertia per iteration) — inertia is the
+    * exact integer sum of squared micros distances. */
+  def kmeansTrain(e: DataFrame, k: Int, iters: Int): (Seq[Seq[Long]], Seq[Long]) = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val vm = e.select(col("vec_id"),
+        expr("transform(v, x -> CAST(floor(x * 1000000) AS BIGINT))").as("vm"))
+      .persist()
+    var centroids: Map[Int, Seq[Long]] = vm.orderBy("vec_id").limit(k).collect()
+      .zipWithIndex.map { case (r, i) => i -> r.getSeq[Long](1) }.toMap
+    val inertias = Seq.newBuilder[Long]
+    (1 to iters).foreach { _ =>
+      val cdf = centroids.toSeq.sortBy(_._1).toDF("cid", "cm")
+      val assigned = vm.crossJoin(broadcast(cdf))
+        .withColumn("dist2", expr(
+          "aggregate(zip_with(vm, cm, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist2"), col("cid"), col("vm"))).as("best"))
+        .select(col("best.dist2").as("dist2"), col("best.cid").as("cid"),
+          col("best.vm").as("vm"))
+        .persist()
+      inertias += assigned.agg(sum(col("dist2"))).head().getLong(0)
+      val sums = assigned
+        .select(col("cid"), posexplode(col("vm")).as(Seq("dim", "m")))
+        .groupBy("cid", "dim")
+        .agg(sum(col("m")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      assigned.unpersist()
+      val updated = sums.groupBy(_.getInt(0)).map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getInt(1))
+          .map(r => Math.floorDiv(r.getLong(2), r.getLong(3))).toSeq
+      }
+      centroids = centroids.map { case (cid, old) =>
+        cid -> updated.getOrElse(cid, old)
+      }
+    }
+    vm.unpersist()
+    (centroids.toSeq.sortBy(_._1).map(_._2), inertias.result())
+  }
 }

@@ -11,6 +11,18 @@ class PipelineSpec extends SparkSpecBase {
     run(name).select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("multi-iteration kmeans is bit-reproducible with monotone inertia") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val (c1, in1) = Similarity.kmeansTrain(e, 5, 4)
+    val (c2, in2) = Similarity.kmeansTrain(e, 5, 4)
+    assert(c1 == c2 && in1 == in2) // exact lattice arithmetic: identical runs
+    assert(c1.size == 5 && c1.forall(_.size == 64))
+    // Lloyd's decreases exact inertia; the floor-lattice centroid rounding
+    // can add at most dims * (2*|coord| + 1) per point ≈ 1.3e11 total here
+    in1.zip(in1.tail).foreach { case (a, b) => assert(b <= a + 150000000000L, in1) }
+  }
+
   test("minhash LSH pairs equal exact jaccard pairs at this scale") {
     assert(pairSet("dd_minhash_lsh") == pairSet("dd_ngram_jaccard"))
   }
