@@ -297,6 +297,22 @@ object FnQueries {
         .orderBy("c_custkey")
     },
 
+    // second to_char batch: quarter, "quoted literals", FM no-pad day
+    // names, 12-hour clock with meridiem
+    Q("fn_to_char2", Some("""
+      SELECT o_orderkey,
+        strftime(o_orderdate, '%Y ') || 'Q' || CAST(quarter(o_orderdate) AS VARCHAR) AS yq,
+        strftime(o_orderdate, '%A') AS dayname,
+        strftime(o_orderdate, '%I:%M %p') AS clock12
+      FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""")) { (s, dir) =>
+      s.sql("""
+        SELECT o_orderkey,
+          to_char(o_orderdate, 'YYYY "Q"Q') AS yq,
+          to_char(o_orderdate, 'FMDay') AS dayname,
+          to_char(o_orderdate, 'HH:MI AM') AS clock12
+        FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""")
+    },
+
     // arg-extrema aggregates: Spark max_by/min_by == DuckDB arg_max/arg_min;
     // the ordering key (event_id) is unique so ties cannot occur
     Q("fn_arg_minmax", Some("""

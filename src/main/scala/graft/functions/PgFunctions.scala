@@ -197,10 +197,13 @@ object PgFunctions {
     catch { case _: IllegalArgumentException => null }
 
   private val toCharTokens: Seq[(String, String)] = Seq(
-    "HH24" -> "HH", "HH12" -> "hh", "YYYY" -> "yyyy", "YY" -> "yy",
-    "Month" -> "MMMM", "Mon" -> "MMM", "Day" -> "EEEE", "Dy" -> "EEE",
-    "DDD" -> "DDD", "DD" -> "dd", "MM" -> "MM", "MI" -> "mm", "SS" -> "ss",
-    "MS" -> "SSS", "US" -> "SSSSSS", "AM" -> "a", "PM" -> "a", "TZ" -> "z")
+    "HH24" -> "HH", "HH12" -> "hh", "HH" -> "hh", "YYYY" -> "yyyy",
+    "YY" -> "yy", "Month" -> "MMMM", "Mon" -> "MMM", "Day" -> "EEEE",
+    "Dy" -> "EEE", "DDD" -> "DDD", "DD" -> "dd", "MM" -> "MM", "MI" -> "mm",
+    "SS" -> "ss", "MS" -> "SSS", "US" -> "SSSSSS", "AM" -> "a", "PM" -> "a",
+    "TZ" -> "z", "Q" -> "Q",
+    // FM suppresses padding; java.time text fields are unpadded already
+    "FM" -> "")
 
   /** Translate a PG to_char pattern to a java.time pattern, longest token
     * first, leaving unknown characters quoted where needed. */
@@ -208,7 +211,12 @@ object PgFunctions {
     val sb = new StringBuilder
     var i = 0
     while (i < fmt.length) {
-      toCharTokens.find { case (pg, _) => fmt.startsWith(pg, i) } match {
+      if (fmt.charAt(i) == '"') { // PG "quoted literal" -> java 'literal'
+        val end = fmt.indexOf('"', i + 1)
+        val lit = if (end < 0) fmt.substring(i + 1) else fmt.substring(i + 1, end)
+        if (lit.nonEmpty) sb.append('\'').append(lit.replace("'", "''")).append('\'')
+        i = if (end < 0) fmt.length else end + 1
+      } else toCharTokens.find { case (pg, _) => fmt.startsWith(pg, i) } match {
         case Some((pg, java)) => sb.append(java); i += pg.length
         case None =>
           val c = fmt.charAt(i)

@@ -88,6 +88,19 @@ object PgDialect {
       val translated = applyPermissions(translateSelect(stmt), perms)
       return Rows(spark.sql(translated), "SELECT")
     }
+    // EXPLAIN [ANALYZE|VERBOSE|(opts)] SELECT … -> Spark's formatted plan as
+    // PG-style "QUERY PLAN" text rows (the reference delegates to DuckDB's
+    // EXPLAIN; here Catalyst's plan IS the engine plan)
+    val explain = "(?is)EXPLAIN\\s+(?:ANALYZE\\s+|VERBOSE\\s+|\\([^)]*\\)\\s*)*(.+)".r
+    stmt match {
+      case explain(inner) if inner.trim.nonEmpty =>
+        import spark.implicits._
+        val plan = spark.sql(applyPermissions(translateSelect(inner.trim), perms))
+          .queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        return Rows(plan.split("\n").toSeq.toDF("QUERY PLAN"), "EXPLAIN")
+      case _ =>
+    }
     // everything else (INSERT/UPDATE/DELETE/DDL/COPY…) mirrors
     // query_remapper.go:180-184
     throw UnsupportedQuery("unsupported query type: " + stmt.split("\\s+")(0))

@@ -42,7 +42,8 @@ class Store(spark: SparkSession, warehouse: String) {
   /** Atomic replace: write v(n+1), then flip the pointer. */
   def replace(name: String, df: DataFrame): Unit = {
     val next = versions.getOrElse(name, 0) + 1
-    df.write.mode(SaveMode.Overwrite).parquet(versionDir(name, next))
+    df.write.mode(SaveMode.Overwrite).option("compression", "zstd")
+      .parquet(versionDir(name, next))
     versions(name) = next
   }
 
@@ -53,7 +54,8 @@ class Store(spark: SparkSession, warehouse: String) {
     * (roadmap item), so this is a beyond-parity scale feature. */
   def replacePartitioned(name: String, df: DataFrame, partitionCols: String*): Unit = {
     val next = versions.getOrElse(name, 0) + 1
-    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*)
+    df.write.mode(SaveMode.Overwrite).option("compression", "zstd")
+      .partitionBy(partitionCols: _*)
       .parquet(versionDir(name, next))
     versions(name) = next
   }
@@ -69,6 +71,7 @@ class Store(spark: SparkSession, warehouse: String) {
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
     val next = versions.getOrElse(name, 0) + 1
     df.write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
       .option("path", versionDir(name, next))
       .bucketBy(numBuckets, key).sortBy(key)
       .saveAsTable(name)

@@ -18,6 +18,19 @@ class PgDialectSpec extends SparkSpecBase {
     }
   }
 
+  test("EXPLAIN returns QUERY PLAN text rows") {
+    Tables.registerAll(spark, sfDir)
+    PgDialect.execute(spark, store,
+      "EXPLAIN SELECT n_name FROM nation WHERE n_nationkey = 1") match {
+      case Rows(df, tag) =>
+        assert(tag == "EXPLAIN")
+        assert(df.columns.sameElements(Array("QUERY PLAN")))
+        val text = df.collect().map(_.getString(0)).mkString("\n")
+        assert(text.contains("Scan parquet") || text.contains("(1)"), text)
+      case other => fail(s"expected rows, got $other")
+    }
+  }
+
   // ---- translation unit tests -----------------------------------------
   test("cast translation") {
     assert(translateSelect("SELECT '123'::int4 AS i")
