@@ -104,6 +104,36 @@ object TemporalOps {
     // The frame order must be TOTAL within each partition (event_id is
     // unique) — a non-unique ORDER BY makes ROWS-frame contents engine-
     // dependent. Sums are over exact integer cents.
+    // IGNORE NULLS window navigation: LOCF (last non-null so far) and
+    // back-fill (next non-null) in one window pass each
+    Q("op_window_ignore_nulls", Some("""
+      WITH e AS (
+        SELECT event_id, user_id,
+          CASE WHEN event_type = 'view'
+               THEN CAST(round(value * 100) AS BIGINT) END AS v,
+          ts FROM events)
+      SELECT event_id, user_id, v,
+        last_value(v IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf,
+        first_value(v IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS backfill
+      FROM e ORDER BY event_id""")) { (s, dir) =>
+      val wUp = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wDown = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("event_type") === "view",
+            round(col("value") * 100).cast("long")).as("v"))
+        .select(col("event_id"), col("user_id"), col("v"),
+          last(col("v"), ignoreNulls = true).over(wUp).as("locf"),
+          first(col("v"), ignoreNulls = true).over(wDown).as("backfill"))
+        .orderBy("event_id")
+    },
+
     Q("op_window_frames", Some("""
       SELECT event_id, event_type,
         sum(CAST(round(value * 100) AS BIGINT)) OVER w4 AS mov_sum_cents,

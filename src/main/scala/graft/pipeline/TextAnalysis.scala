@@ -89,6 +89,55 @@ object TextAnalysis {
 
   val defs: Seq[Q] = Seq(
 
+    // fixed-size token chunking with stride (the window every training
+    // pipeline cuts documents into): chunk starts are a scan-side sequence
+    // explode, the slice/join is per-row — no shuffle at all
+    Q("txt_chunking", Some("""
+      WITH d AS (SELECT doc_id, string_split(text, chr(32)) AS toks FROM documents),
+      starts AS (
+        SELECT doc_id, toks, unnest(range(0, len(toks), 20)) AS start FROM d)
+      SELECT doc_id, CAST(start / 20 AS BIGINT) AS chunk_idx,
+        CAST(least(30, len(toks) - start) AS BIGINT) AS n_tokens,
+        array_to_string(list_slice(toks, start + 1, start + 30), chr(32)) AS chunk
+      FROM starts ORDER BY doc_id, chunk_idx""")) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(expr("sequence(0, size(toks) - 1, 20)")).as("start"))
+        .select(col("doc_id"),
+          (col("start") / 20).cast("long").as("chunk_idx"),
+          least(lit(30), size(col("toks")) - col("start")).cast("long").as("n_tokens"),
+          array_join(expr("slice(toks, start + 1, 30)"), " ").as("chunk"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // benchmark decontamination: count distinct probe 3-gram shingles (from
+    // a held-out probe set, here docs 0-2) appearing in each corpus doc.
+    // Probe set broadcasts; the corpus only shuffles (doc_id, shingle) hits.
+    Q("txt_decontaminate", Some("""
+      WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(range(0, len(toks)-2),
+          i -> toks[i+1] || chr(32) || toks[i+2] || chr(32) || toks[i+3]))) AS sh
+        FROM (SELECT doc_id, string_split(text, chr(32)) AS toks FROM documents) t
+        WHERE len(toks) >= 3),
+      probes AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 3)
+      SELECT s.doc_id, CAST(count(DISTINCT s.sh) AS BIGINT) AS hits
+      FROM sh s JOIN probes p USING (sh)
+      WHERE s.doc_id >= 3
+      GROUP BY s.doc_id ORDER BY doc_id""")) { (s, dir) =>
+      val sh = t(s, dir, "documents")
+        .withColumn("toks", tokens(col("text")))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(0, size(toks)-3), " +
+            "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))")).as("sh"))
+      val probes = sh.filter(col("doc_id") < 3).select("sh").distinct()
+      sh.filter(col("doc_id") >= 3)
+        .join(broadcast(probes), Seq("sh"))
+        .groupBy("doc_id").agg(countDistinct(col("sh")).as("hits"))
+        .orderBy("doc_id")
+    },
+
     // Gopher-style repetition/diversity signals: type-token ratio, most-
     // common-word fraction, mean word length. Explode + two hash aggregates
     // (the scale path: no per-doc quadratic higher-order funcs); exact
