@@ -74,7 +74,7 @@ object Bench {
     // size); a warm analytics server runs a query *batch* with the
     // scheduler saturating all cores across queries, which is also how the
     // 1000-executor deployment processes a workload.
-    val conc = sys.env.getOrElse("SPARK_GRAFT_CONC", "12").toInt
+    val conc = sys.env.getOrElse("SPARK_GRAFT_CONC", "16").toInt
     val pool = java.util.concurrent.Executors.newFixedThreadPool(conc)
     val t0 = System.nanoTime()
     val futures = queries.map { case (_, df) =>
