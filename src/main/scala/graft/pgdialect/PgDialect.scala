@@ -20,6 +20,8 @@ object PgDialect {
   sealed trait PgResult
   final case class Rows(df: DataFrame, tag: String) extends PgResult
   final case class Command(tag: String) extends PgResult
+  /** COPY … TO STDOUT: rows stream through the COPY-out subprotocol. */
+  final case class CopyOut(df: DataFrame, csv: Boolean, header: Boolean) extends PgResult
   case object Empty extends PgResult
 
   final case class UnsupportedQuery(msg: String) extends RuntimeException(msg)
@@ -101,7 +103,21 @@ object PgDialect {
         return Rows(plan.split("\n").toSeq.toDF("QUERY PLAN"), "EXPLAIN")
       case _ =>
     }
-    // everything else (INSERT/UPDATE/DELETE/DDL/COPY…) mirrors
+    // COPY (query)|table TO STDOUT [WITH (FORMAT CSV[, HEADER])] — the
+    // psql \copy export path (beyond the reference, which errors on COPY);
+    // COPY … FROM stays unsupported like every other write
+    val copyOut = "(?is)COPY\\s+(\\(.*\\)|[\\w.\"]+)\\s+TO\\s+STDOUT\\s*(.*)".r
+    stmt match {
+      case copyOut(src, opts) =>
+        val inner =
+          if (src.startsWith("(")) src.substring(1, src.length - 1)
+          else s"SELECT * FROM $src"
+        val df = spark.sql(applyPermissions(translateSelect(inner), perms))
+        val o = opts.toUpperCase
+        return CopyOut(df, csv = o.contains("CSV"), header = o.contains("HEADER"))
+      case _ =>
+    }
+    // everything else (INSERT/UPDATE/DELETE/DDL/COPY FROM…) mirrors
     // query_remapper.go:180-184
     throw UnsupportedQuery("unsupported query type: " + stmt.split("\\s+")(0))
   }

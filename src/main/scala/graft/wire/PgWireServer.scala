@@ -255,6 +255,7 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int) {
       if (results.isEmpty) msg(out, 'I') { _ => } // EmptyQueryResponse
       else results.foreach {
         case PgDialect.Rows(df, _) => sendRows(out, df)
+        case PgDialect.CopyOut(df, csv, header) => sendCopyOut(out, df, csv, header)
         case PgDialect.Command(tag) => commandComplete(out, tag)
         case PgDialect.Empty => msg(out, 'I') { _ => }
       }
@@ -305,6 +306,43 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int) {
         b.writeShort(-1); b.writeInt(-1); b.writeShort(0) // text format
       }
     }
+
+  /** COPY-out subprotocol: CopyOutResponse, one CopyData per line (PG text
+    * format: tab-delimited with \N nulls and backslash escapes; or CSV with
+    * RFC quoting + optional header), CopyDone, CommandComplete "COPY n". */
+  private def sendCopyOut(out: DataOutputStream, df: DataFrame,
+      csv: Boolean, header: Boolean): Unit = {
+    val schema = df.schema
+    msg(out, 'H') { b =>
+      b.writeByte(0) // overall text format
+      b.writeShort(schema.fields.length)
+      schema.fields.foreach(_ => b.writeShort(0))
+    }
+    def csvQuote(s: String): String =
+      if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+        "\"" + s.replace("\"", "\"\"") + "\""
+      else s
+    def line(s: String): Unit =
+      msg(out, 'd') { b => b.write((s + "\n").getBytes(UTF_8)) }
+    if (csv && header) line(schema.fieldNames.map(csvQuote).mkString(","))
+    val delim = if (csv) "," else "\t"
+    var n = 0
+    df.toLocalIterator().forEachRemaining { row =>
+      val cells = schema.fields.zipWithIndex.map { case (f, i) =>
+        if (row.isNullAt(i)) { if (csv) "" else "\\N" }
+        else {
+          val v = textEncode(row, i, f.dataType)
+          if (csv) csvQuote(v)
+          else v.replace("\\", "\\\\").replace("\t", "\\t")
+            .replace("\n", "\\n").replace("\r", "\\r")
+        }
+      }
+      line(cells.mkString(delim))
+      n += 1
+    }
+    msg(out, 'c') { _ => }
+    commandComplete(out, s"COPY $n")
+  }
 
   private def sendDataRows(out: DataOutputStream, df: DataFrame): Unit = {
     val schema = df.schema

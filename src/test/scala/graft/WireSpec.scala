@@ -232,6 +232,31 @@ class WireSpec extends SparkSpecBase {
     c.close()
   }
 
+  test("COPY (query) TO STDOUT streams the copy-out subprotocol") {
+    val c = new Client(server._2); c.startup()
+    val msgs = c.query(
+      "COPY (SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey LIMIT 2) " +
+        "TO STDOUT WITH (FORMAT CSV, HEADER)")
+    assert(msgs.exists(_._1 == 'H')) // CopyOutResponse
+    val lines = msgs.filter(_._1 == 'd').map(m => new String(m._2, UTF_8))
+    assert(lines == Seq("n_nationkey,n_name\n", "0,NATION_0\n", "1,NATION_1\n"), lines)
+    assert(msgs.exists(_._1 == 'c')) // CopyDone
+    val tag = new String(msgs.find(_._1 == 'C').get._2, UTF_8).stripSuffix(" ")
+    assert(tag == "COPY 2")
+
+    // PG default text format: tab delimiter, \N nulls, no header
+    val txt = c.query(
+      "COPY (SELECT n_nationkey, nullif(n_name, 'NATION_0') FROM nation " +
+        "ORDER BY n_nationkey LIMIT 1) TO STDOUT")
+    val tl = txt.filter(_._1 == 'd').map(m => new String(m._2, UTF_8))
+    assert(tl == Seq("0\t\\N\n"), tl)
+
+    // COPY FROM stays an unsupported write
+    val err = c.query("COPY nation FROM STDIN")
+    assert(err.exists(_._1 == 'E'))
+    c.close()
+  }
+
   test("cancel request with the backend key leaves the session usable") {
     val c = new Client(server._2); c.startup()
     // harvest pid/secret from BackendKeyData
