@@ -175,6 +175,39 @@ object EventOps {
         .orderBy("user_id")
     },
 
+    // z-score anomaly flagging per event type, decided entirely in integer
+    // arithmetic: |x-mu| > 2*sigma_pop <=> (n*x - sx)^2 > 4*(n*sxx - sx^2)
+    // on exact cents — no float compare, so the flag set is engine-invariant.
+    // (Integer headroom: |n*x| < 2^63 up to ~1e5 rows/group at these value
+    // ranges; beyond that the power sums upcast to sum128/DECIMAL.)
+    Q("ev_anomaly", Some("""
+      WITH c AS (
+        SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events),
+      m AS (
+        SELECT event_type, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sx,
+          CAST(sum(cents * cents) AS BIGINT) AS sxx
+        FROM c GROUP BY event_type)
+      SELECT c.event_id, c.event_type, c.cents,
+        round(CAST(m.sx AS DOUBLE) / m.n / 100, 6) AS mean_val
+      FROM c JOIN m USING (event_type)
+      WHERE (m.n * c.cents - m.sx) * (m.n * c.cents - m.sx)
+          > 4 * (m.n * m.sxx - m.sx * m.sx)
+      ORDER BY c.event_id""")) { (s, dir) =>
+      val c = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val m = c.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sx"),
+          sum(col("cents") * col("cents")).as("sxx"))
+      val dev = col("n") * col("cents") - col("sx")
+      c.join(broadcast(m), Seq("event_type"))
+        .filter(dev * dev > lit(4) * (col("n") * col("sxx") - col("sx") * col("sx")))
+        .select(col("event_id"), col("event_type"), col("cents"),
+          round(col("sx").cast("double") / col("n") / 100, 6).as("mean_val"))
+        .orderBy("event_id")
+    },
+
     // fixed-width value histogram: bucket index computed scan-side on exact
     // cents (one hash aggregate; the shape of every distribution dashboard)
     Q("ev_histogram", Some("""

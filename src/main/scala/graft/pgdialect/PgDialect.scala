@@ -180,6 +180,10 @@ object PgDialect {
     s = rewriteJsonArrows(s)
     s = rewriteCasts(s)
     s = injectPgNullOrdering(s)
+    // row-locking clauses are meaningless on a read-only OLAP engine — PG
+    // ORMs still emit them; strip like the reference strips psql noise
+    s = s.replaceAll("(?is)\\s+FOR\\s+(UPDATE|NO\\s+KEY\\s+UPDATE|SHARE|KEY\\s+SHARE)" +
+      "(\\s+OF\\s+[\\w.\\s,\"]+?)?(\\s+NOWAIT|\\s+SKIP\\s+LOCKED)?\\s*$", "")
     // ANSI FETCH FIRST/NEXT (PG accepts both) -> LIMIT; Spark has LIMIT only
     s = s.replaceAll("(?i)\\bFETCH\\s+(?:FIRST|NEXT)\\s+(\\d+)\\s+ROWS?\\s+ONLY", "LIMIT $1")
     s = s.replaceAll("(?i)\\bFETCH\\s+(?:FIRST|NEXT)\\s+ROWS?\\s+ONLY", "LIMIT 1")

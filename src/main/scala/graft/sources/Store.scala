@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import java.nio.file.{Files, Path, Paths}
 import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
 
 /** Table store + materialized-view lifecycle (SURVEY §2.A matview rows,
   * §2.E write path; reference: /root/reference/src/server/query_remapper.go:
@@ -81,6 +82,41 @@ class Store(spark: SparkSession, warehouse: String) {
   def append(name: String, df: DataFrame): Unit =
     if (!exists(name)) replace(name, df)
     else replace(name, read(name).unionByName(df))
+
+  /** Append with small-file compaction (iceberg_table_writer.go:231-302):
+    * data files already at/above `maxFileBytes` are carried into the new
+    * version untouched (a metadata-only move on an object store); the small
+    * tail files are read back and rewritten TOGETHER with the incoming rows.
+    * Steady-state incremental syncs therefore keep O(total/maxFileBytes)
+    * files instead of one sliver per batch — at 100 TB this is the
+    * difference between thousands and millions of manifest entries. */
+  def appendCompacting(name: String, df: DataFrame, maxFileBytes: Long = 100L << 20): Unit = {
+    if (!exists(name)) { replace(name, df); return }
+    val cur = Paths.get(versionDir(name, versions(name)))
+    val files = Files.list(cur).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    val (full, small) = files.partition(Files.size(_) >= maxFileBytes)
+    val next = versions.getOrElse(name, 0) + 1
+    val dir = Paths.get(versionDir(name, next))
+    Files.createDirectories(dir)
+    full.foreach(f => Files.copy(f, dir.resolve(f.getFileName)))
+    val tail =
+      if (small.isEmpty) df
+      else spark.read.schema(df.schema)
+        .parquet(small.map(_.toString): _*).unionByName(df)
+    // rewritten tail lands beside the carried files as one compacted file set
+    val tmp = s"$warehouse/$name/.compact-$next"
+    tail.coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd").parquet(tmp)
+    Files.list(Paths.get(tmp)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .zipWithIndex.foreach { case (f, i) =>
+        Files.move(f, dir.resolve(s"compacted-$next-$i.parquet"))
+      }
+    Files.list(Paths.get(tmp)).iterator().asScala.foreach(Files.delete)
+    Files.delete(Paths.get(tmp))
+    versions(name) = next
+  }
 
   /** Append tolerating schema evolution: columns new to either side are
     * null-filled (the incremental-sync reality — upstream tables grow

@@ -31,6 +31,15 @@ class PgDialectSpec extends SparkSpecBase {
     }
   }
 
+  test("locking clauses are stripped") {
+    assert(translateSelect("SELECT * FROM t WHERE id = 1 FOR UPDATE")
+      == "SELECT * FROM t WHERE id = 1")
+    assert(translateSelect("SELECT * FROM t FOR NO KEY UPDATE OF t NOWAIT")
+      == "SELECT * FROM t")
+    assert(translateSelect("SELECT * FROM t FOR SHARE SKIP LOCKED")
+      == "SELECT * FROM t")
+  }
+
   // ---- translation unit tests -----------------------------------------
   test("cast translation") {
     assert(translateSelect("SELECT '123'::int4 AS i")

@@ -21,6 +21,29 @@ class StoreSpec extends SparkSpecBase {
     assert(st.read("t").count() == 25)
   }
 
+  test("appendCompacting rewrites small tail files, carries full ones") {
+    import spark.implicits._
+    val st = freshStore()
+    st.replace("t", (1 to 100).toDF("n"))
+    // five sliver appends: with a high byte threshold every file is "small",
+    // so each append compacts the whole tail into ONE file
+    (1 to 5).foreach { b =>
+      st.appendCompacting("t", Seq(100 + b).toDF("n"), maxFileBytes = 1L << 30)
+    }
+    assert(st.read("t").count() == 105)
+    assert(st.read("t").agg(sum($"n")).head.getLong(0)
+      == (1 to 105).map(_.toLong).sum)
+    val dir = java.nio.file.Paths.get(
+      st.read("t").inputFiles.head).getParent
+    val parquets = st.read("t").inputFiles.length
+    assert(parquets == 1, s"expected one compacted file, got $parquets in $dir")
+    // with threshold 0 every existing file counts as full: carried untouched,
+    // the new batch lands as its own file
+    st.appendCompacting("t", Seq(999).toDF("n"), maxFileBytes = 0L)
+    assert(st.read("t").count() == 106)
+    assert(st.read("t").inputFiles.length == 2)
+  }
+
   test("upsert by key: incoming wins, new keys appended") {
     val st = freshStore()
     import spark.implicits._
