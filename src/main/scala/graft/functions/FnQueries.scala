@@ -540,6 +540,40 @@ object FnQueries {
       s.sql("SELECT relname, relkind FROM pg_class ORDER BY relname")
     },
 
+    Q("cat_pg_tables", Some("""
+      SELECT 'public' AS schemaname, t AS tablename, 'graft' AS tableowner
+      FROM (VALUES ('customer'), ('documents'), ('embeddings'), ('events'),
+                   ('lineitem'), ('nation'), ('orders'), ('part'), ('region'),
+                   ('supplier')) x(t)
+      ORDER BY tablename""")) { (s, dir) =>
+      s.sql("""SELECT schemaname, tablename, tableowner
+               FROM pg_tables ORDER BY tablename""")
+    },
+
+    // the static shells BI tools probe on connect: each resolves and has
+    // the documented shape (one UNION-ALL count probe over all of them)
+    Q("cat_static_shells", Some("""
+      SELECT 'pg_am' AS rel, CAST(1 AS BIGINT) AS n UNION ALL
+      SELECT 'pg_collation', 1 UNION ALL
+      SELECT 'pg_constraint', 0 UNION ALL
+      SELECT 'pg_description', 0 UNION ALL
+      SELECT 'pg_inherits', 0 UNION ALL
+      SELECT 'pg_proc', 0 UNION ALL
+      SELECT 'pg_shadow', 1 UNION ALL
+      SELECT 'pg_views', 0
+      ORDER BY rel""")) { (s, dir) =>
+      s.sql("""
+        SELECT 'pg_am' AS rel, count(*) AS n FROM pg_am UNION ALL
+        SELECT 'pg_collation', count(*) FROM pg_collation UNION ALL
+        SELECT 'pg_constraint', count(*) FROM pg_constraint UNION ALL
+        SELECT 'pg_description', count(*) FROM pg_description UNION ALL
+        SELECT 'pg_inherits', count(*) FROM pg_inherits UNION ALL
+        SELECT 'pg_proc', count(*) FROM pg_proc UNION ALL
+        SELECT 'pg_shadow', count(*) FROM pg_shadow UNION ALL
+        SELECT 'pg_views', count(*) FROM pg_views
+        ORDER BY rel""")
+    },
+
     Q("cat_information_schema_columns", Some("""
       SELECT * FROM (VALUES
         ('nation', 'n_nationkey', 1, 'integer'),

@@ -105,6 +105,28 @@ object PgCatalog {
       .toDF("attrelid", "attname", "attnum", "atttypid", "data_type")
       .createOrReplaceTempView("pg_attribute")
 
+    // remaining static probes BI tools and ORMs issue (the reference ships
+    // these as empty shells or 1-row views, query_remapper_table.go:275-712
+    // + pg_constants.go PG_SYSTEM_TABLES/VIEWS)
+    Tables.names.map(n => ("public", n, "graft", false))
+      .toDF("schemaname", "tablename", "tableowner", "hasindexes")
+      .createOrReplaceTempView("pg_tables")
+    Seq.empty[(String, String, String)].toDF("schemaname", "viewname", "definition")
+      .createOrReplaceTempView("pg_views")
+    Seq.empty[(Long, String, Long)].toDF("oid", "proname", "pronamespace")
+      .createOrReplaceTempView("pg_proc")
+    Seq.empty[(Long, String, String, Long)].toDF("oid", "conname", "contype", "conrelid")
+      .createOrReplaceTempView("pg_constraint")
+    Seq.empty[(Long, Long, String)].toDF("objoid", "objsubid", "description")
+      .createOrReplaceTempView("pg_description")
+    Seq((10L, "graft")).toDF("usesysid", "usename").createOrReplaceTempView("pg_shadow")
+    Seq((2L, "heap", "t")).toDF("oid", "amname", "amtype")
+      .createOrReplaceTempView("pg_am")
+    Seq.empty[(Long, Long, Int)].toDF("inhrelid", "inhparent", "inhseqno")
+      .createOrReplaceTempView("pg_inherits")
+    Seq((100L, "default", 11L)).toDF("oid", "collname", "collnamespace")
+      .createOrReplaceTempView("pg_collation")
+
     // matview / stats / index emulation (query_remapper_table.go:136-250):
     // fresh sessions have no matviews or indexes; stat rows are faked per
     // table like the reference's pg_stat_user_tables handling
