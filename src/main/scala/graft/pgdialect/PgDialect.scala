@@ -184,6 +184,8 @@ object PgDialect {
     // ORMs still emit them; strip like the reference strips psql noise
     s = s.replaceAll("(?is)\\s+FOR\\s+(UPDATE|NO\\s+KEY\\s+UPDATE|SHARE|KEY\\s+SHARE)" +
       "(\\s+OF\\s+[\\w.\\s,\"]+?)?(\\s+NOWAIT|\\s+SKIP\\s+LOCKED)?\\s*$", "")
+    // FETCH FIRST n ROWS WITH TIES -> rank() window (Spark has no WITH TIES)
+    s = rewriteFetchTies(s)
     // ANSI FETCH FIRST/NEXT (PG accepts both) -> LIMIT; Spark has LIMIT only
     s = s.replaceAll("(?i)\\bFETCH\\s+(?:FIRST|NEXT)\\s+(\\d+)\\s+ROWS?\\s+ONLY", "LIMIT $1")
     s = s.replaceAll("(?i)\\bFETCH\\s+(?:FIRST|NEXT)\\s+ROWS?\\s+ONLY", "LIMIT 1")
@@ -198,6 +200,19 @@ object PgDialect {
     s = s.replaceAll("!~", " NOT RLIKE ")
     s = s.replaceAll("(?<![!<>=~])~(?![~=])", " RLIKE ")
     s
+  }
+
+  /** `SELECT cols FROM … ORDER BY keys FETCH FIRST n ROWS WITH TIES` ->
+    * rank() window over the same keys (Spark's LIMIT cannot keep ties). */
+  private def rewriteFetchTies(sql: String): String = {
+    val re = ("(?is)^SELECT\\s+(.*?)\\s+FROM\\s+(.*?)\\s+ORDER\\s+BY\\s+(.*?)" +
+      "\\s+FETCH\\s+(?:FIRST|NEXT)\\s+(\\d+)\\s+ROWS?\\s+WITH\\s+TIES\\s*$").r
+    sql match {
+      case re(cols, from, keys, n) =>
+        s"SELECT * EXCEPT(__rk) FROM (SELECT *, rank() OVER (ORDER BY $keys) AS __rk " +
+          s"FROM (SELECT $cols FROM $from)) WHERE __rk <= $n ORDER BY $keys"
+      case _ => sql
+    }
   }
 
   /** SELECT DISTINCT ON (k…) cols FROM … ORDER BY k…, tie… ->

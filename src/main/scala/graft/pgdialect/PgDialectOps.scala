@@ -51,6 +51,18 @@ object PgDialectOps {
         FETCH FIRST 15 ROWS ONLY""")
     },
 
+    // FETCH FIRST n ROWS WITH TIES -> rank() window keeps the tied tail
+    Q("pd_fetch_ties", Some("""
+      SELECT o_orderkey, d FROM (
+        SELECT o_orderkey, CAST(o_orderdate AS VARCHAR) AS d,
+          rank() OVER (ORDER BY CAST(o_orderdate AS VARCHAR)) AS rk
+        FROM orders) t
+      WHERE rk <= 5 ORDER BY d, o_orderkey""")) { (s, dir) =>
+      run(s, """
+        SELECT o_orderkey, o_orderdate::text AS d FROM orders
+        ORDER BY d FETCH FIRST 5 ROWS WITH TIES""")
+    },
+
     // BETWEEN SYMMETRIC reverses its bounds (PG); translated to least/greatest
     Q("pd_between_symmetric", Some("""
       SELECT n_nationkey, n_name FROM nation
