@@ -57,6 +57,45 @@ object Streams {
       }
   }
 
+  case class FunnelEvent(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, event_type: String)
+  case class FunnelOut(user_id: Long, t_signup: java.sql.Timestamp,
+      t_click: java.sql.Timestamp, t_purchase: java.sql.Timestamp, stage: Int)
+
+  /** Streaming ordered funnel (signup -> click -> purchase) with the exact
+    * chained-min semantics of the batch ev_funnel: t_click = min click ts at
+    * or after the first signup, t_purchase = min purchase ts at or after
+    * t_click. Events accumulate in per-user state; each micro-batch emits
+    * the user's current funnel snapshot (an always-on deployment would emit
+    * on event-time timeout instead — AvailableNow carries the full group,
+    * so the single emission is final). */
+  def funnel(events: DataFrame): Dataset[FunnelOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id", "event_id", "ts", "event_type").as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[FunnelEvent], FunnelOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[FunnelEvent], state: GroupState[List[FunnelEvent]]) =>
+          val evs = state.getOption.getOrElse(Nil) ++ it
+          state.update(evs)
+          def minTs(tpe: String, atOrAfter: Option[java.sql.Timestamp]) = {
+            val c = evs.filter(e => e.event_type == tpe &&
+              atOrAfter.forall(a => !e.ts.before(a))).map(_.ts)
+            if (c.isEmpty) None else Some(c.min(Ordering.by((t: java.sql.Timestamp) => t.getTime)))
+          }
+          minTs("signup", None) match {
+            case None => Iterator.empty // funnel starts at signup
+            case some @ Some(tSignup) =>
+              val tClick = minTs("click", some)
+              val tPurchase = tClick.flatMap(tc => minTs("purchase", Some(tc)))
+              val stage = if (tPurchase.isDefined) 3 else if (tClick.isDefined) 2 else 1
+              Iterator.single(FunnelOut(uid, tSignup,
+                tClick.orNull, tPurchase.orNull, stage))
+          }
+      }
+  }
+
   /** Exactly-once event-id dedup with bounded state: duplicates arriving
     * within the watermark horizon are dropped, state for old ids is
     * reclaimed as the watermark advances. */

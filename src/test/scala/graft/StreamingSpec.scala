@@ -78,6 +78,18 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == batch)
   }
 
+  test("streaming funnel equals the batch chained-min funnel") {
+    val streamed = runToTable(Streams.funnel(eventStream).toDF(), "funnel_stream")
+      .select("user_id", "t_signup", "t_click", "t_purchase", "stage")
+      .orderBy("user_id").collect().toSeq
+    val batch = run("ev_funnel")
+      .select(col("user_id"), col("t_signup"), col("t_click"),
+        col("t_purchase"), col("stage").cast("int"))
+      .orderBy("user_id").collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("watermarked dedup drops duplicate event ids with bounded state") {
     // duplicate the stream source file => every event arrives twice
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
