@@ -313,6 +313,21 @@ object FnQueries {
         FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""")
     },
 
+    // to_date/to_timestamp with PG patterns (round-trip through to_char)
+    Q("fn_to_date", Some("""
+      SELECT o_orderkey,
+        CAST(CAST(strptime(strftime(o_orderdate, '%d/%m/%Y'), '%d/%m/%Y') AS DATE)
+          AS VARCHAR) AS rt_day,
+        CAST(CAST(strptime('2024-01-15 10:30:00', '%Y-%m-%d %H:%M:%S') AS TIMESTAMP)
+          AS VARCHAR) AS fixed_ts
+      FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""")) { (s, dir) =>
+      s.sql("""
+        SELECT o_orderkey,
+          CAST(to_date(to_char(o_orderdate, 'DD/MM/YYYY'), 'DD/MM/YYYY') AS STRING) AS rt_day,
+          CAST(to_timestamp('2024-01-15 10:30:00', 'YYYY-MM-DD HH24:MI:SS') AS STRING) AS fixed_ts
+        FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""")
+    },
+
     // arg-extrema aggregates: Spark max_by/min_by == DuckDB arg_max/arg_min;
     // the ordering key (event_id) is unique so ties cannot occur
     Q("fn_arg_minmax", Some("""

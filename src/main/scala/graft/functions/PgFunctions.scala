@@ -154,6 +154,28 @@ object PgFunctions {
     // PG dow: Sunday=0 (Spark's dayofweek is Sunday=1)
     fn(spark, "pg_dow") { exprs => Subtract(DayOfWeek(exprs.head), Literal(1)) }
 
+    // to_date/to_timestamp with PG patterns: the format literal is
+    // translated to a java.time pattern at resolution time, then the native
+    // parse expressions run codegen'd; single-arg forms keep Spark behavior
+    fn(spark, "to_date") { exprs =>
+      exprs match {
+        case Seq(e) => new ParseToDate(e)
+        case Seq(e, Literal(f: org.apache.spark.unsafe.types.UTF8String, StringType)) =>
+          new ParseToDate(e, Literal(translateToCharPattern(f.toString)))
+        case Seq(e, f) => new ParseToDate(e, f)
+        case _ => throw new IllegalArgumentException("to_date(expr[, fmt])")
+      }
+    }
+    fn(spark, "to_timestamp") { exprs =>
+      exprs match {
+        case Seq(e) => new ParseToTimestamp(e)
+        case Seq(e, Literal(f: org.apache.spark.unsafe.types.UTF8String, StringType)) =>
+          new ParseToTimestamp(e, Literal(translateToCharPattern(f.toString)))
+        case Seq(e, f) => new ParseToTimestamp(e, f)
+        case _ => throw new IllegalArgumentException("to_timestamp(expr[, fmt])")
+      }
+    }
+
     // num_nulls / num_nonnulls (PG variadic null counters) as codegen'd
     // conditional sums — no UDF boxing
     fn(spark, "num_nulls") { exprs =>

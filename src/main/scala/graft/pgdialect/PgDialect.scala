@@ -180,6 +180,10 @@ object PgDialect {
     s = rewriteJsonArrows(s)
     s = rewriteCasts(s)
     s = injectPgNullOrdering(s)
+    // PG array subscripts are 1-based; Spark's [] is 0-based, so literal
+    // integer subscripts become element_at (types like text[] have no digits
+    // inside the brackets and pass through untouched)
+    s = s.replaceAll("\\b(\\w+)\\s*\\[\\s*(\\d+)\\s*\\]", "element_at($1, $2)")
     // row-locking clauses are meaningless on a read-only OLAP engine — PG
     // ORMs still emit them; strip like the reference strips psql noise
     s = s.replaceAll("(?is)\\s+FOR\\s+(UPDATE|NO\\s+KEY\\s+UPDATE|SHARE|KEY\\s+SHARE)" +

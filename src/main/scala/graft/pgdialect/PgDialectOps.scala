@@ -51,6 +51,27 @@ object PgDialectOps {
         FETCH FIRST 15 ROWS ONLY""")
     },
 
+    // PG 1-based array subscripts -> element_at
+    Q("pd_array_subscript", Some("""
+      SELECT vec_id, embedding[1] AS first_val, embedding[8] AS eighth
+      FROM embeddings WHERE vec_id < 5 ORDER BY vec_id""")) { (s, dir) =>
+      run(s, """
+        SELECT vec_id, embedding[1] AS first_val, embedding[8] AS eighth
+        FROM embeddings WHERE vec_id < 5 ORDER BY vec_id""")
+    },
+
+    // date-spine generate_series(date, date, interval) -> sequence explode
+    Q("pd_date_spine", Some("""
+      SELECT CAST(CAST(d AS DATE) AS VARCHAR) AS day
+      FROM (SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-07',
+            INTERVAL '1 day')) AS d) t
+      ORDER BY day""")) { (s, dir) =>
+      run(s, """
+        SELECT d::text AS day
+        FROM generate_series(DATE '2024-01-01', DATE '2024-01-07', INTERVAL '1 day') g(d)
+        ORDER BY day""")
+    },
+
     // FETCH FIRST n ROWS WITH TIES -> rank() window keeps the tied tail
     Q("pd_fetch_ties", Some("""
       SELECT o_orderkey, d FROM (
