@@ -59,7 +59,13 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int) {
     // statements (translated SQL + $N params) and bound portals
     val statements = scala.collection.mutable.Map[String, String]()
     val declaredParamOids = scala.collection.mutable.Map[String, Seq[Int]]()
-    val portals = scala.collection.mutable.Map[String, DataFrame]()
+    // a portal is a bound query plus its partially-drained row iterator
+    // (Execute carries a max-row count; a drained-to-limit portal suspends
+    // and resumes on the next Execute — JDBC fetchSize drives this)
+    final class Portal(val df: DataFrame) {
+      lazy val rows: java.util.Iterator[Row] = df.toLocalIterator()
+    }
+    val portals = scala.collection.mutable.Map[String, Portal]()
     var errorSkip = false // error in extended flow: skip until Sync
 
     // one backend key per connection; queries run in this connection's job
@@ -122,14 +128,14 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int) {
                   }
                 }
                 val sql = substituteParams(statements(stmt), args)
-                portals(portal) = spark.sql(PgDialect.translateSelect(sql))
+                portals(portal) = new Portal(spark.sql(PgDialect.translateSelect(sql)))
                 msg(out, '2') { _ => } // BindComplete
               } catch { case e: Throwable => sendError(out, e); errorSkip = true }
             case 'D' if !errorSkip => // Describe
               try {
                 val kind = b.read().toChar
                 val name = readCStr()
-                val df = if (kind == 'P') portals(name)
+                val df = if (kind == 'P') portals(name).df
                   else spark.sql(PgDialect.translateSelect(
                     substituteParams(statements(name),
                       Seq.fill(countParams(statements(name)))(null))))
@@ -146,10 +152,19 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int) {
                 }
                 rowDescription(out, df.schema)
               } catch { case e: Throwable => sendError(out, e); errorSkip = true }
-            case 'E' if !errorSkip => // Execute
+            case 'E' if !errorSkip => // Execute [maxRows]
               try {
                 val portal = readCStr()
-                sendDataRows(out, portals(portal))
+                val maxRows = try b.readInt() catch { case _: java.io.IOException => 0 }
+                val p = portals(portal)
+                val schema = p.df.schema
+                var n = 0
+                while (p.rows.hasNext && (maxRows <= 0 || n < maxRows)) {
+                  dataRow(out, p.rows.next(), schema)
+                  n += 1
+                }
+                if (p.rows.hasNext) msg(out, 's') { _ => } // PortalSuspended
+                else commandComplete(out, s"SELECT $n")
               } catch { case e: Throwable => sendError(out, e); errorSkip = true }
             case 'C' if !errorSkip => // Close: drop the named statement/portal
               val kind = b.read().toChar
@@ -344,20 +359,23 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int) {
     commandComplete(out, s"COPY $n")
   }
 
+  private def dataRow(out: DataOutputStream, row: Row, schema: StructType): Unit =
+    msg(out, 'D') { b =>
+      b.writeShort(schema.fields.length)
+      schema.fields.zipWithIndex.foreach { case (f, i) =>
+        if (row.isNullAt(i)) b.writeInt(-1)
+        else {
+          val bytes = textEncode(row, i, f.dataType).getBytes(UTF_8)
+          b.writeInt(bytes.length); b.write(bytes)
+        }
+      }
+    }
+
   private def sendDataRows(out: DataOutputStream, df: DataFrame): Unit = {
     val schema = df.schema
     var n = 0
     df.toLocalIterator().forEachRemaining { row =>
-      msg(out, 'D') { b =>
-        b.writeShort(schema.fields.length)
-        schema.fields.zipWithIndex.foreach { case (f, i) =>
-          if (row.isNullAt(i)) b.writeInt(-1)
-          else {
-            val bytes = textEncode(row, i, f.dataType).getBytes(UTF_8)
-            b.writeInt(bytes.length); b.write(bytes)
-          }
-        }
-      }
+      dataRow(out, row, schema)
       n += 1
     }
     commandComplete(out, s"SELECT $n")

@@ -232,6 +232,31 @@ class WireSpec extends SparkSpecBase {
     c.close()
   }
 
+  test("execute with a row limit suspends the portal and resumes") {
+    val c = new Client(server._2); c.startup()
+    def send(tpe: Char, body: Array[Byte]): Unit = {
+      c.out.writeByte(tpe); c.out.writeInt(4 + body.length); c.out.write(body)
+    }
+    def cstr(s: String) = (s + " ").getBytes(UTF_8)
+    def i16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+    def i32(v: Int) = java.nio.ByteBuffer.allocate(4).putInt(v).array()
+    send('P', cstr("sus") ++
+      cstr("SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 5") ++ i16(0))
+    send('B', cstr("ps") ++ cstr("sus") ++ i16(0) ++ i16(0) ++ i16(0))
+    send('E', cstr("ps") ++ i32(3)) // first portion: 3 rows, then suspend
+    send('E', cstr("ps") ++ i32(0)) // resume: drain the remaining 2
+    send('S', Array.emptyByteArray)
+    c.out.flush()
+    val msgs = c.drainUntilReady()
+    assert(msgs.count(_._1 == 'D') == 5)
+    assert(msgs.exists(_._1 == 's')) // PortalSuspended after the first portion
+    val vals = msgs.filter(_._1 == 'D').map(m => dataRowValues(m._2).head)
+    assert(vals == Seq("0", "1", "2", "3", "4"))
+    val tag = new String(msgs.find(_._1 == 'C').get._2, UTF_8).stripSuffix(" ")
+    assert(tag == "SELECT 2") // the completing Execute reports its portion
+    c.close()
+  }
+
   test("COPY (query) TO STDOUT streams the copy-out subprotocol") {
     val c = new Client(server._2); c.startup()
     val msgs = c.query(
