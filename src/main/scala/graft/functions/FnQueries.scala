@@ -589,6 +589,32 @@ object FnQueries {
         ORDER BY rel""")
     },
 
+    Q("cat_is_constraints", Some("""
+      SELECT 'key_column_usage' AS rel, CAST(0 AS BIGINT) AS n UNION ALL
+      SELECT 'referential_constraints', 0 UNION ALL
+      SELECT 'table_constraints', 0
+      ORDER BY rel""")) { (s, dir) =>
+      s.sql("""
+        SELECT 'key_column_usage' AS rel, count(*) AS n
+        FROM information_schema_key_column_usage UNION ALL
+        SELECT 'referential_constraints', count(*)
+        FROM information_schema_referential_constraints UNION ALL
+        SELECT 'table_constraints', count(*)
+        FROM information_schema_table_constraints
+        ORDER BY rel""")
+    },
+
+    // regexp_count (PG 15) == len(regexp_extract_all)
+    Q("fn_regexp_count", Some("""
+      SELECT doc_id, CAST(len(regexp_extract_all(text, 'the')) AS INT) AS n_the,
+        CAST(len(regexp_extract_all(text, '[aeiou]+')) AS INT) AS vowel_runs
+      FROM documents ORDER BY doc_id""")) { (s, dir) =>
+      s.sql("""
+        SELECT doc_id, regexp_count(text, 'the') AS n_the,
+          regexp_count(text, '[aeiou]+') AS vowel_runs
+        FROM documents ORDER BY doc_id""")
+    },
+
     Q("cat_information_schema_columns", Some("""
       SELECT * FROM (VALUES
         ('nation', 'n_nationkey', 1, 'integer'),

@@ -159,7 +159,8 @@ object PgDialect {
     var s = sql.trim.stripSuffix(";")
     s = rewriteDistinctOn(s)
     s = s.replaceAll("(?i)\\bpg_catalog\\s*\\.\\s*", "")
-    s = s.replaceAll("(?i)\\binformation_schema\\s*\\.\\s*(tables|columns)\\b",
+    s = s.replaceAll("(?i)\\binformation_schema\\s*\\.\\s*(tables|columns|" +
+      "table_constraints|key_column_usage|referential_constraints)\\b",
       "information_schema_$1")
     s = s.replaceAll("(?i)\\s+COLLATE\\s+(\"[^\"]+\"|[\\w.]+)", "")
     s = s.replaceAll("(?i)OPERATOR\\s*\\(\\s*~\\s*\\)", "RLIKE")
@@ -180,6 +181,14 @@ object PgDialect {
     s = rewriteJsonArrows(s)
     s = rewriteCasts(s)
     s = injectPgNullOrdering(s)
+    // FILTER (WHERE …) on WINDOW functions -> CASE argument (Spark supports
+    // FILTER on grouped aggregates natively but not over windows)
+    s = s.replaceAll(
+      "(?is)\\b(\\w+)\\s*\\(\\s*\\*\\s*\\)\\s+FILTER\\s*\\(\\s*WHERE\\s+([^()]+?)\\)\\s+(?=OVER\\b)",
+      "$1(CASE WHEN $2 THEN 1 END) ")
+    s = s.replaceAll(
+      "(?is)\\b(\\w+)\\s*\\(([^()]*)\\)\\s+FILTER\\s*\\(\\s*WHERE\\s+([^()]+?)\\)\\s+(?=OVER\\b)",
+      "$1(CASE WHEN $3 THEN $2 END) ")
     // PG array subscripts are 1-based; Spark's [] is 0-based, so literal
     // integer subscripts become element_at (types like text[] have no digits
     // inside the brackets and pass through untouched)
@@ -581,7 +590,7 @@ object PgDialect {
           } else if (!inStr && c == ',' && depth == 0) {
             flushKey(j); sb.append(','); keyStart = j + 1
           } else if (!inStr && depth == 0 &&
-              "(?i)^(LIMIT|OFFSET|FETCH|FOR)\\b".r
+              "(?i)^(LIMIT|OFFSET|FETCH|FOR|ROWS|RANGE|GROUPS)\\b".r
                 .findFirstIn(upper.substring(j)).isDefined &&
               (j == 0 || sql.charAt(j - 1).isWhitespace)) {
             flushKey(j); done = true

@@ -51,6 +51,21 @@ object PgDialectOps {
         FETCH FIRST 15 ROWS ONLY""")
     },
 
+    // FILTER over a window -> CASE argument
+    Q("pd_window_filter", Some("""
+      SELECT event_id, user_id,
+        count(CASE WHEN event_type = 'click' THEN 1 END) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS clicks_so_far
+      FROM events WHERE event_id < 2000 ORDER BY event_id""")) { (s, dir) =>
+      run(s, """
+        SELECT event_id, user_id,
+          count(*) FILTER (WHERE event_type = 'click') OVER
+            (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS clicks_so_far
+        FROM events WHERE event_id < 2000 ORDER BY event_id""")
+    },
+
     // PG 1-based array subscripts -> element_at
     Q("pd_array_subscript", Some("""
       SELECT vec_id, embedding[1] AS first_val, embedding[8] AS eighth

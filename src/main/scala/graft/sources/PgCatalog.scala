@@ -127,6 +127,18 @@ object PgCatalog {
     Seq((100L, "default", 11L)).toDF("oid", "collname", "collnamespace")
       .createOrReplaceTempView("pg_collation")
 
+    // information_schema constraint views: empty shells (the synthetic
+    // tables carry no declared constraints; ORMs still introspect them)
+    Seq.empty[(String, String, String, String)]
+      .toDF("constraint_name", "table_schema", "table_name", "constraint_type")
+      .createOrReplaceTempView("information_schema_table_constraints")
+    Seq.empty[(String, String, String, String, Int)]
+      .toDF("constraint_name", "table_schema", "table_name", "column_name", "ordinal_position")
+      .createOrReplaceTempView("information_schema_key_column_usage")
+    Seq.empty[(String, String)]
+      .toDF("constraint_name", "unique_constraint_name")
+      .createOrReplaceTempView("information_schema_referential_constraints")
+
     // matview / stats / index emulation (query_remapper_table.go:136-250):
     // fresh sessions have no matviews or indexes; stat rows are faked per
     // table like the reference's pg_stat_user_tables handling

@@ -31,6 +31,28 @@ class PgDialectSpec extends SparkSpecBase {
     }
   }
 
+  test("window FILTER translation") {
+    val out = translateSelect(
+      "SELECT count(*) FILTER (WHERE x = 1) OVER (PARTITION BY u) FROM t")
+    assert(out ==
+      "SELECT count(CASE WHEN x = 1 THEN 1 END) OVER (PARTITION BY u) FROM t", out)
+    val out2 = translateSelect(
+      "SELECT sum(v) FILTER (WHERE x = 1) OVER (PARTITION BY u) FROM t")
+    assert(out2 ==
+      "SELECT sum(CASE WHEN x = 1 THEN v END) OVER (PARTITION BY u) FROM t", out2)
+  }
+
+  test("null-ordering injection stops at window frame clauses") {
+    assert(injectPgNullOrdering("SELECT sum(v) OVER (ORDER BY ts " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) FROM t")
+      == "SELECT sum(v) OVER (ORDER BY ts NULLS LAST " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) FROM t")
+    assert(injectPgNullOrdering("SELECT first_value(v) OVER (ORDER BY ts DESC " +
+      "RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) FROM t")
+      == "SELECT first_value(v) OVER (ORDER BY ts DESC NULLS FIRST " +
+        "RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) FROM t")
+  }
+
   test("locking clauses are stripped") {
     assert(translateSelect("SELECT * FROM t WHERE id = 1 FOR UPDATE")
       == "SELECT * FROM t WHERE id = 1")
