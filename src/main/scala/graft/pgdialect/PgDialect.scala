@@ -181,6 +181,16 @@ object PgDialect {
     s = rewriteJsonArrows(s)
     s = rewriteCasts(s)
     s = injectPgNullOrdering(s)
+    // CTE materialization hints are planner advice PG 12 added; Catalyst
+    // decides reuse itself
+    s = s.replaceAll("(?i)\\bAS\\s+(NOT\\s+)?MATERIALIZED\\s*\\(", "AS (")
+    // LIMIT ALL = no limit; ANSI `OFFSET n ROWS` -> OFFSET n
+    s = s.replaceAll("(?i)\\s+LIMIT\\s+ALL\\b", "")
+    s = s.replaceAll("(?i)\\b(OFFSET\\s+\\d+)\\s+ROWS?\\b", "$1")
+    // set-returning unnest in the select list -> explode; string_to_array
+    // with a literal delimiter -> split (regex-safe for plain delimiters)
+    s = s.replaceAll("(?i)\\bunnest\\s*\\(", "explode(")
+    s = s.replaceAll("(?i)\\bstring_to_array\\s*\\(", "split(")
     // FILTER (WHERE …) on WINDOW functions -> CASE argument (Spark supports
     // FILTER on grouped aggregates natively but not over windows)
     s = s.replaceAll(

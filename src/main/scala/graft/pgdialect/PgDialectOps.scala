@@ -66,6 +66,28 @@ object PgDialectOps {
         FROM events WHERE event_id < 2000 ORDER BY event_id""")
     },
 
+    // set-returning unnest + string_to_array through the dialect
+    Q("pd_unnest", Some("""
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents WHERE doc_id < 3 ORDER BY doc_id, w""")) { (s, dir) =>
+      run(s, """
+        SELECT doc_id, unnest(string_to_array(text, ' ')) AS w
+        FROM documents WHERE doc_id < 3 ORDER BY doc_id, w""")
+    },
+
+    // CTE materialization hint + ANSI OFFSET n ROWS + LIMIT ALL
+    Q("pd_cte_hints", Some("""
+      WITH big AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 100000)
+      SELECT o_orderkey, o_totalprice FROM big
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 5""")) { (s, dir) =>
+      run(s, """
+        WITH big AS MATERIALIZED (
+          SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 100000)
+        SELECT o_orderkey, o_totalprice FROM big
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 5 ROWS""")
+    },
+
     // PG 1-based array subscripts -> element_at
     Q("pd_array_subscript", Some("""
       SELECT vec_id, embedding[1] AS first_val, embedding[8] AS eighth
