@@ -87,6 +87,11 @@ object PgDialect {
 
     if (upper.startsWith("SELECT") || upper.startsWith("WITH") ||
         upper.startsWith("VALUES") || upper.startsWith("TABLE ")) {
+      // catalog refresh trigger: these three relations reflect live DDL
+      // state (query_remapper_table.go:46-62)
+      if (upper.contains("PG_MATVIEWS") || upper.contains("PG_STAT_USER_TABLES")
+          || upper.contains("PG_CLASS"))
+        PgCatalog.refreshDynamic(spark, store)
       val translated = applyPermissions(translateSelect(stmt), perms)
       return Rows(spark.sql(translated), "SELECT")
     }

@@ -163,4 +163,23 @@ object PgCatalog {
   @volatile private var dir: String = "/root/testdata/sf0.001"
   def noteDir(d: String): Unit = dir = d
   private def lastDir(spark: SparkSession): String = dir
+
+  /** Catalog refresh trigger (query_remapper_table.go:46-62,136-250): a
+    * statement touching pg_class / pg_matviews / pg_stat_user_tables sees
+    * the CURRENT table + matview population, so psql \dm and BI refresh
+    * panes pick up DDL done in this session. */
+  def refreshDynamic(spark: SparkSession, store: Store): Unit = synchronized {
+    import spark.implicits._
+    val mvs = store.matviewNames
+    mvs.map(n => ("public", n, store.matviewDefinition(n).getOrElse("")))
+      .toDF("schemaname", "matviewname", "definition")
+      .createOrReplaceTempView("pg_matviews")
+    (Tables.names.map(n => ("public", n, 0L)) ++ mvs.map(n => ("public", n, 0L)))
+      .toDF("schemaname", "relname", "n_live_tup")
+      .createOrReplaceTempView("pg_stat_user_tables")
+    (Tables.names.zipWithIndex.map { case (n, i) => (16384L + i, n, 2200L, "r") } ++
+        mvs.zipWithIndex.map { case (n, i) => (20000L + i, n, 2200L, "m") })
+      .toDF("oid", "relname", "relnamespace", "relkind")
+      .createOrReplaceTempView("pg_class")
+  }
 }

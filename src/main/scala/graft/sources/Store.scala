@@ -217,6 +217,9 @@ class Store(spark: SparkSession, warehouse: String) {
 
   def matviewDefinition(name: String): Option[String] = matviewDefs.get(name)
 
+  /** Registered matview names (catalog listing order). */
+  def matviewNames: Seq[String] = matviewDefs.keys.toSeq.sorted
+
   def drop(name: String): Unit = {
     versions.remove(name)
     def rm(p: Path): Unit = {

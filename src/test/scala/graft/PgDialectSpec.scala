@@ -18,6 +18,23 @@ class PgDialectSpec extends SparkSpecBase {
     }
   }
 
+  test("pg_matviews and pg_class reflect live matview DDL on access") {
+    Tables.registerAll(spark, sfDir)
+    PgDialect.execute(spark, store,
+      "CREATE MATERIALIZED VIEW mv_cat_probe AS SELECT r_regionkey FROM region")
+    val listed = rows("SELECT matviewname FROM pg_matviews ORDER BY matviewname")
+      .map(_.getString(0))
+    assert(listed.contains("mv_cat_probe"))
+    val kinds = rows(
+      "SELECT relkind FROM pg_class WHERE relname = 'mv_cat_probe'")
+      .map(_.getString(0))
+    assert(kinds == Seq("m"))
+    PgDialect.execute(spark, store, "DROP MATERIALIZED VIEW mv_cat_probe")
+    val after = rows("SELECT matviewname FROM pg_matviews ORDER BY matviewname")
+      .map(_.getString(0))
+    assert(!after.contains("mv_cat_probe"))
+  }
+
   test("EXPLAIN returns QUERY PLAN text rows") {
     Tables.registerAll(spark, sfDir)
     PgDialect.execute(spark, store,
