@@ -62,8 +62,14 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int) {
     // a portal is a bound query plus its partially-drained row iterator
     // (Execute carries a max-row count; a drained-to-limit portal suspends
     // and resumes on the next Execute — JDBC fetchSize drives this)
-    final class Portal(val df: DataFrame) {
+    final class Portal(val df: DataFrame, val resultFormats: Seq[Short] = Nil) {
       lazy val rows: java.util.Iterator[Row] = df.toLocalIterator()
+      /** format code for column i: one code applies to all, else per-column */
+      def fmt(i: Int): Int = resultFormats match {
+        case Nil => 0
+        case Seq(one) => one
+        case many => if (i < many.size) many(i) else 0
+      }
     }
     val portals = scala.collection.mutable.Map[String, Portal]()
     var errorSkip = false // error in extended flow: skip until Sync
@@ -128,7 +134,12 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int) {
                   }
                 }
                 val sql = substituteParams(statements(stmt), args)
-                portals(portal) = new Portal(spark.sql(PgDialect.translateSelect(sql)))
+                // result-column format codes (0 text / 1 binary)
+                val resFmts =
+                  try { val n = b.readShort(); (0 until n).map(_ => b.readShort()) }
+                  catch { case _: java.io.IOException => Seq.empty[Short] }
+                portals(portal) = new Portal(
+                  spark.sql(PgDialect.translateSelect(sql)), resFmts)
                 msg(out, '2') { _ => } // BindComplete
               } catch { case e: Throwable => sendError(out, e); errorSkip = true }
             case 'D' if !errorSkip => // Describe
@@ -160,7 +171,7 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int) {
                 val schema = p.df.schema
                 var n = 0
                 while (p.rows.hasNext && (maxRows <= 0 || n < maxRows)) {
-                  dataRow(out, p.rows.next(), schema)
+                  dataRow(out, p.rows.next(), schema, p.fmt)
                   n += 1
                 }
                 if (p.rows.hasNext) msg(out, 's') { _ => } // PortalSuspended
@@ -359,17 +370,36 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int) {
     commandComplete(out, s"COPY $n")
   }
 
-  private def dataRow(out: DataOutputStream, row: Row, schema: StructType): Unit =
+  /** One DataRow; `fmt(i)` = 1 requests PG binary encoding for column i
+    * (ints/floats/bool supported — the types JDBC asks for in binary; all
+    * else falls back to text). */
+  private def dataRow(out: DataOutputStream, row: Row, schema: StructType,
+      fmt: Int => Int = _ => 0): Unit =
     msg(out, 'D') { b =>
       b.writeShort(schema.fields.length)
       schema.fields.zipWithIndex.foreach { case (f, i) =>
         if (row.isNullAt(i)) b.writeInt(-1)
+        else if (fmt(i) == 1) binaryEncode(b, row, i, f.dataType)
         else {
           val bytes = textEncode(row, i, f.dataType).getBytes(UTF_8)
           b.writeInt(bytes.length); b.write(bytes)
         }
       }
     }
+
+  /** PG binary-format value encodings (big-endian, length-prefixed). */
+  private def binaryEncode(b: DataOutputStream, row: Row, i: Int,
+      dt: DataType): Unit = dt match {
+    case ShortType => b.writeInt(2); b.writeShort(row.getShort(i))
+    case IntegerType => b.writeInt(4); b.writeInt(row.getInt(i))
+    case LongType => b.writeInt(8); b.writeLong(row.getLong(i))
+    case FloatType => b.writeInt(4); b.writeFloat(row.getFloat(i))
+    case DoubleType => b.writeInt(8); b.writeDouble(row.getDouble(i))
+    case BooleanType => b.writeInt(1); b.writeByte(if (row.getBoolean(i)) 1 else 0)
+    case other => // not binary-encodable: text payload
+      val bytes = textEncode(row, i, other).getBytes(UTF_8)
+      b.writeInt(bytes.length); b.write(bytes)
+  }
 
   private def sendDataRows(out: DataOutputStream, df: DataFrame): Unit = {
     val schema = df.schema

@@ -257,6 +257,30 @@ class WireSpec extends SparkSpecBase {
     c.close()
   }
 
+  test("binary result format codes yield big-endian binary DataRows") {
+    val c = new Client(server._2); c.startup()
+    def send(tpe: Char, body: Array[Byte]): Unit = {
+      c.out.writeByte(tpe); c.out.writeInt(4 + body.length); c.out.write(body)
+    }
+    def cstr(s: String) = (s + " ").getBytes(UTF_8)
+    def i16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+    def i32(v: Int) = java.nio.ByteBuffer.allocate(4).putInt(v).array()
+    send('P', cstr("bin") ++ cstr("SELECT 7::int4 AS a, 9::int8 AS b, 't'::bool AS c") ++ i16(0))
+    // no param formats, no params, ONE result format code = binary for all
+    send('B', cstr("pbin") ++ cstr("bin") ++ i16(0) ++ i16(0) ++ i16(1) ++ i16(1))
+    send('E', cstr("pbin") ++ i32(0))
+    send('S', Array.emptyByteArray)
+    c.out.flush()
+    val msgs = c.drainUntilReady()
+    val d = msgs.find(_._1 == 'D').get._2
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(d))
+    assert(in.readShort() == 3)
+    assert(in.readInt() == 4 && in.readInt() == 7)     // int4 binary
+    assert(in.readInt() == 8 && in.readLong() == 9L)   // int8 binary
+    assert(in.readInt() == 1 && in.readByte() == 1)    // bool binary
+    c.close()
+  }
+
   test("COPY (query) TO STDOUT streams the copy-out subprotocol") {
     val c = new Client(server._2); c.startup()
     val msgs = c.query(
