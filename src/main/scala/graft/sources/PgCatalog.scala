@@ -79,12 +79,25 @@ object PgCatalog {
     // pg_type: the common subset of the reference's static ~150-row rowset
     // (pg_constants.go / query_remapper_table.go pg_type UNION ALL)
     Seq(
-      (16L, "bool"), (17L, "bytea"), (18L, "char"), (20L, "int8"),
-      (21L, "int2"), (23L, "int4"), (25L, "text"), (26L, "oid"),
-      (114L, "json"), (700L, "float4"), (701L, "float8"), (1042L, "bpchar"),
-      (1043L, "varchar"), (1082L, "date"), (1083L, "time"), (1114L, "timestamp"),
-      (1184L, "timestamptz"), (1186L, "interval"), (1266L, "timetz"),
-      (1700L, "numeric"), (2950L, "uuid"), (3802L, "jsonb"))
+      (16L, "bool"), (17L, "bytea"), (18L, "char"), (19L, "name"),
+      (20L, "int8"), (21L, "int2"), (23L, "int4"), (24L, "regproc"),
+      (25L, "text"), (26L, "oid"), (28L, "xid"), (29L, "cid"),
+      (114L, "json"), (142L, "xml"), (600L, "point"), (601L, "lseg"),
+      (602L, "path"), (603L, "box"), (604L, "polygon"), (628L, "line"),
+      (650L, "cidr"), (700L, "float4"), (701L, "float8"), (705L, "unknown"),
+      (718L, "circle"), (790L, "money"), (829L, "macaddr"), (869L, "inet"),
+      (1042L, "bpchar"), (1043L, "varchar"), (1082L, "date"), (1083L, "time"),
+      (1114L, "timestamp"), (1184L, "timestamptz"), (1186L, "interval"),
+      (1266L, "timetz"), (1560L, "bit"), (1562L, "varbit"), (1700L, "numeric"),
+      (1790L, "refcursor"), (2205L, "regclass"), (2206L, "regtype"),
+      (2249L, "record"), (2278L, "void"), (2950L, "uuid"), (3802L, "jsonb"),
+      // array types (_elem), oids per PG's catalog
+      (199L, "_json"), (1000L, "_bool"), (1001L, "_bytea"), (1002L, "_char"),
+      (1005L, "_int2"), (1007L, "_int4"), (1009L, "_text"), (1014L, "_bpchar"),
+      (1015L, "_varchar"), (1016L, "_int8"), (1021L, "_float4"),
+      (1022L, "_float8"), (1115L, "_timestamp"), (1182L, "_date"),
+      (1183L, "_time"), (1231L, "_numeric"), (1270L, "_timetz"),
+      (2951L, "_uuid"), (3807L, "_jsonb"))
       .toDF("oid", "typname").createOrReplaceTempView("pg_type")
 
     // dynamic: pg_class / pg_attribute / information_schema over the
