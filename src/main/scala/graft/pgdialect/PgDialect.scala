@@ -220,6 +220,13 @@ object PgDialect {
     // BETWEEN SYMMETRIC swaps bounds when reversed (PG); Spark lacks it
     s = s.replaceAll("(?i)\\bBETWEEN\\s+SYMMETRIC\\s+(\\S+)\\s+AND\\s+(\\S+)",
       "BETWEEN least($1, $2) AND greatest($1, $2)")
+    // PG numeric/bit operators: `^` is POWER in PG but XOR in Spark, and
+    // `#` is PG's XOR — translate power FIRST so the emitted `^` survives;
+    // shifts become the shiftleft/shiftright functions. (`&`/`|` agree.)
+    s = s.replaceAll("([\\w.]+)\\s*\\^\\s*([\\w.]+)", "power($1, $2)")
+    s = s.replaceAll("([\\w.]+)\\s*#(?![>=])\\s*([\\w.]+)", "$1 ^ $2")
+    s = s.replaceAll("([\\w.]+)\\s*<<\\s*([\\w.]+)", "shiftleft($1, $2)")
+    s = s.replaceAll("([\\w.]+)\\s*>>\\s*([\\w.]+)", "shiftright($1, $2)")
     // regex match operators (PG ~ family) — after arrows so ->> is gone
     s = s.replaceAll("!~~\\*", " NOT ILIKE ")
     s = s.replaceAll("!~~", " NOT LIKE ")

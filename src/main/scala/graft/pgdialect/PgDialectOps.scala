@@ -66,6 +66,21 @@ object PgDialectOps {
         FROM events WHERE event_id < 2000 ORDER BY event_id""")
     },
 
+    // PG numeric/bit operator spellings: ^ power, # xor, shifts, & |
+    Q("pd_bit_ops", Some("""
+      SELECT n_nationkey, xor(n_nationkey, 3) AS bxor,
+        CAST(pow(n_nationkey, 2) AS DOUBLE) AS p2,
+        n_nationkey << 2 AS shl, n_nationkey >> 1 AS shr,
+        n_nationkey & 3 AS band, n_nationkey | 8 AS bor
+      FROM nation ORDER BY n_nationkey""")) { (s, dir) =>
+      run(s, """
+        SELECT n_nationkey, n_nationkey # 3 AS bxor,
+          n_nationkey ^ 2 AS p2,
+          n_nationkey << 2 AS shl, n_nationkey >> 1 AS shr,
+          n_nationkey & 3 AS band, n_nationkey | 8 AS bor
+        FROM nation ORDER BY n_nationkey""")
+    },
+
     // set-returning unnest + string_to_array through the dialect
     Q("pd_unnest", Some("""
       SELECT doc_id, unnest(string_split(text, ' ')) AS w
