@@ -138,6 +138,32 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // unigram commonness score — the exact-arithmetic analog of unigram-LM
+    // quality filtering: docs built of corpus-rare words (OCR noise, spam)
+    // score low. Corpus counts broadcast back onto the token stream; the
+    // score is an exact integer sum with one division at the end.
+    Q("txt_commonness", Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, chr(32))) AS w FROM documents),
+      vocab AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS cf FROM tok GROUP BY w)
+      SELECT t.doc_id,
+        CAST(count(*) AS BIGINT) AS n_words,
+        CAST(sum(v.cf) AS BIGINT) AS cf_sum,
+        round(CAST(sum(v.cf) AS DOUBLE) / count(*), 6) AS commonness
+      FROM tok t JOIN vocab v USING (w)
+      GROUP BY t.doc_id ORDER BY t.doc_id""")) { (s, dir) =>
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      val vocab = tok.groupBy("w").agg(count(lit(1)).as("cf"))
+      tok.join(broadcast(vocab), Seq("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum(col("cf")).as("cf_sum"))
+        .select(col("doc_id"), col("n_words"), col("cf_sum"),
+          round(col("cf_sum").cast("double") / col("n_words"), 6).as("commonness"))
+        .orderBy("doc_id")
+    },
+
     // Gopher-style repetition/diversity signals: type-token ratio, most-
     // common-word fraction, mean word length. Explode + two hash aggregates
     // (the scale path: no per-doc quadratic higher-order funcs); exact
