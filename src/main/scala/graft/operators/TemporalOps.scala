@@ -134,13 +134,23 @@ object TemporalOps {
         .orderBy("event_id")
     },
 
+    // Engine-drift hardening (round 3): DuckDB's windowed sum(BIGINT)
+    // returns HUGEINT whose pandas dtype is duckdb-version-dependent, so
+    // every windowed aggregate is wrapped in an outer CAST(.. AS BIGINT);
+    // nth_value is replaced by a row_number-based pick (nth_value frame/null
+    // semantics have drifted across engine versions).
     Q("op_window_frames", Some("""
+      WITH e AS (
+        SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS c,
+          row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+        FROM events WHERE event_id < 3000)
       SELECT event_id, event_type,
-        sum(CAST(round(value * 100) AS BIGINT)) OVER w4 AS mov_sum_cents,
-        first_value(CAST(round(value * 100) AS BIGINT)) OVER wall AS first_cents,
-        last_value(CAST(round(value * 100) AS BIGINT)) OVER wall AS last_cents,
-        nth_value(CAST(round(value * 100) AS BIGINT), 2) OVER wall AS second_cents
-      FROM events WHERE event_id < 3000
+        CAST(sum(c) OVER w4 AS BIGINT) AS mov_sum_cents,
+        CAST(first_value(c) OVER wall AS BIGINT) AS first_cents,
+        CAST(last_value(c) OVER wall AS BIGINT) AS last_cents,
+        CAST(max(CASE WHEN rn = 2 THEN c END)
+             OVER (PARTITION BY event_type) AS BIGINT) AS second_cents
+      FROM e
       WINDOW
         w4 AS (PARTITION BY event_type ORDER BY event_id
                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
@@ -150,13 +160,15 @@ object TemporalOps {
       val base = Window.partitionBy("event_type").orderBy("event_id")
       val w4 = base.rowsBetween(-3, Window.currentRow)
       val wall = base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      val c = cents(col("value"))
+      val wp = Window.partitionBy("event_type")
       t(s, dir, "events").filter(col("event_id") < 3000)
+        .select(col("event_id"), col("event_type"), cents(col("value")).as("c"),
+          row_number().over(base).as("rn"))
         .select(col("event_id"), col("event_type"),
-          sum(c).over(w4).as("mov_sum_cents"),
-          first(c).over(wall).as("first_cents"),
-          last(c).over(wall).as("last_cents"),
-          nth_value(c, 2).over(wall).as("second_cents"))
+          sum(col("c")).over(w4).cast("long").as("mov_sum_cents"),
+          first(col("c")).over(wall).cast("long").as("first_cents"),
+          last(col("c")).over(wall).cast("long").as("last_cents"),
+          max(when(col("rn") === 2, col("c"))).over(wp).cast("long").as("second_cents"))
         .orderBy("event_id")
     },
 
@@ -165,20 +177,21 @@ object TemporalOps {
     // duplicate ordering values
     Q("op_window_range_frame", Some("""
       SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents,
-        count(*) OVER wr AS n_in_band,
-        sum(CAST(round(value * 100) AS BIGINT)) OVER wr AS band_cents
+        CAST(count(*) OVER wr AS BIGINT) AS n_in_band,
+        CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER wr AS BIGINT) AS band_cents
       FROM events WHERE event_id < 1500
-      WINDOW wr AS (PARTITION BY event_type ORDER BY CAST(round(value * 100) AS BIGINT)
+      WINDOW wr AS (PARTITION BY event_type
+                    ORDER BY CAST(round(value * 100) AS BIGINT) ASC NULLS FIRST
                     RANGE BETWEEN 200 PRECEDING AND CURRENT ROW)
       ORDER BY event_id""")) { (s, dir) =>
       val wr = Window.partitionBy("event_type")
-        .orderBy(cents(col("value")))
+        .orderBy(cents(col("value")).asc_nulls_first)
         .rangeBetween(-200, Window.currentRow)
       t(s, dir, "events").filter(col("event_id") < 1500)
         .select(col("event_id"), col("event_type"),
           cents(col("value")).as("cents"),
-          count(lit(1)).over(wr).as("n_in_band"),
-          sum(cents(col("value"))).over(wr).as("band_cents"))
+          count(lit(1)).over(wr).cast("long").as("n_in_band"),
+          sum(cents(col("value"))).over(wr).cast("long").as("band_cents"))
         .orderBy("event_id")
     },
 

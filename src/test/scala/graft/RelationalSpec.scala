@@ -46,6 +46,45 @@ class RelationalSpec extends SparkSpecBase {
     assert(joined.count() == 0)
   }
 
+  test("window ROWS frame contents: mov_sum over 3 PRECEDING recomputed by self-join") {
+    // Independent recomputation of op_window_frames' moving sum: for each row,
+    // sum the cents of the ≤4 rows of the same event_type whose row_number is
+    // within [rn-3, rn]. Pins the frame semantics against engine drift.
+    val e = Tables.df(spark, sfDir, "events").filter(col("event_id") < 3000)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("c"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("event_id")))
+    val expected = e.as("a").join(e.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("b.rn").between(col("a.rn") - 3, col("a.rn")))
+      .groupBy(col("a.event_id").as("event_id"))
+      .agg(sum(col("b.c")).as("exp_sum"))
+    val got = run("op_window_frames").select("event_id", "mov_sum_cents")
+    val bad = got.join(expected, "event_id")
+      .filter(col("mov_sum_cents") =!= col("exp_sum"))
+    assert(bad.count() == 0)
+  }
+
+  test("window RANGE frame contents: band membership recomputed by self-join") {
+    // op_window_range_frame: n_in_band must equal the count of same-type rows
+    // whose cents lie in [cents-200, cents] (value-distance peers, not rows).
+    val e = Tables.df(spark, sfDir, "events").filter(col("event_id") < 1500)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("c"))
+    val expected = e.as("a").join(e.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("b.c").between(col("a.c") - 200, col("a.c")))
+      .groupBy(col("a.event_id").as("event_id"))
+      .agg(count(lit(1)).as("exp_n"), sum(col("b.c")).as("exp_cents"))
+    val got = run("op_window_range_frame")
+    val bad = got.join(expected, "event_id")
+      .filter(col("n_in_band") =!= col("exp_n") ||
+        col("band_cents") =!= col("exp_cents"))
+    assert(bad.count() == 0)
+  }
+
   test("entry smoke returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
