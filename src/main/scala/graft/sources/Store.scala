@@ -1,7 +1,12 @@
 package graft
 
+import org.apache.hadoop.fs.{Path => HadoopPath}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
 
 import java.nio.file.{Files, Path, Paths}
 import scala.collection.concurrent.TrieMap
@@ -99,23 +104,46 @@ class Store(spark: SparkSession, warehouse: String) {
     val next = versions.getOrElse(name, 0) + 1
     val dir = Paths.get(versionDir(name, next))
     Files.createDirectories(dir)
-    full.foreach(f => Files.copy(f, dir.resolve(f.getFileName)))
+    full.foreach(carryFile(_, dir))
     val tail =
       if (small.isEmpty) df
       else spark.read.schema(df.schema)
         .parquet(small.map(_.toString): _*).unionByName(df)
-    // rewritten tail lands beside the carried files as one compacted file set
-    val tmp = s"$warehouse/$name/.compact-$next"
-    tail.coalesce(1).write.mode(SaveMode.Overwrite)
-      .option("compression", "zstd").parquet(tmp)
+    // The compacted tail is sized to ~maxFileBytes output files, written by
+    // that many parallel tasks — a coalesce(1) here would funnel the whole
+    // tail + batch through one task (serial choke at the reference's 1 GB
+    // batch cap). Catalyst plan stats give the incoming byte estimate; an
+    // absurd estimate (stats unknown → 8 EiB default) falls back to one
+    // target file's worth.
+    val smallBytes = small.map(Files.size(_)).sum
+    val incomingBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val targetBytes = math.max(maxFileBytes, 1L << 20)
+    val est = smallBytes +
+      (if (incomingBytes > BigInt(1L << 40)) targetBytes else incomingBytes.toLong)
+    val nParts = math.max(1, math.ceil(est.toDouble / targetBytes).toInt)
+    writeInto(tail.repartition(nParts), name, dir, s"compacted-$next")
+    versions(name) = next
+  }
+
+  /** Carry a data file into a new version dir untouched: a hard link when
+    * the filesystem allows it (the local analog of an object-store
+    * metadata-only move / Iceberg manifest re-reference), copy otherwise. */
+  private def carryFile(f: Path, dir: Path): Unit =
+    try Files.createLink(dir.resolve(f.getFileName), f)
+    catch { case _: Exception => Files.copy(f, dir.resolve(f.getFileName)) }
+
+  /** Write `df` as parquet into `dir` beside any carried files, via a temp
+    * dir so partial writes never land in a published version. */
+  private def writeInto(df: DataFrame, name: String, dir: Path, prefix: String): Unit = {
+    val tmp = s"$warehouse/$name/.$prefix-tmp"
+    df.write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(tmp)
     Files.list(Paths.get(tmp)).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .zipWithIndex.foreach { case (f, i) =>
-        Files.move(f, dir.resolve(s"compacted-$next-$i.parquet"))
+        Files.move(f, dir.resolve(s"$prefix-$i.parquet"))
       }
     Files.list(Paths.get(tmp)).iterator().asScala.foreach(Files.delete)
     Files.delete(Paths.get(tmp))
-    versions(name) = next
   }
 
   /** Append tolerating schema evolution: columns new to either side are
@@ -126,14 +154,114 @@ class Store(spark: SparkSession, warehouse: String) {
     if (!exists(name)) replace(name, df)
     else replace(name, read(name).unionByName(df, allowMissingColumns = true))
 
-  /** MERGE-by-unique-key: incoming wins on key collision. */
-  def upsert(name: String, incoming: DataFrame, key: String): Unit = {
-    val kept = read(name).join(incoming.select(key), Seq(key), "left_anti")
-    replace(name, kept.unionByName(incoming))
+  /** MERGE-by-unique-key with file-level pruning (reference:
+    * iceberg_table_writer.go:304-378): only data files whose parquet-footer
+    * key range overlaps an incoming key are read back, anti-joined and
+    * rewritten; every other file is carried into the new version untouched
+    * (metadata-only at object-store scale). At 100 TB a small upsert batch
+    * therefore rewrites O(touched files), not the table. Driver memory is
+    * O(distinct incoming keys) — the same order as Iceberg's equality-delete
+    * key set. Returns (filesRewritten, filesTotal) for observability. */
+  def upsert(name: String, incoming: DataFrame, key: String): (Int, Int) = {
+    if (!exists(name)) { replace(name, incoming); return (0, 0) }
+    prunedRewrite(name, incoming, key, appendIncoming = true)
   }
 
-  def deleteByKey(name: String, keys: DataFrame, key: String): Unit =
-    replace(name, read(name).join(keys.select(key), Seq(key), "left_anti"))
+  /** Delete rows matching `keys`, rewriting only footer-overlapping files
+    * (iceberg_table_writer.go:380-452). Returns (filesRewritten, filesTotal). */
+  def deleteByKey(name: String, keys: DataFrame, key: String): (Int, Int) =
+    prunedRewrite(name, keys.select(col(key)), key, appendIncoming = false)
+
+  /** Shared engine for upsert/deleteByKey: partition the current version's
+    * data files into footer-overlap hits (rewritten without the incoming
+    * keys) and misses (hard-linked into the new version by name). Pruning
+    * runs only for integral/string keys with usable footer stats; anything
+    * else degrades to rewrite-everything, which is the old (correct)
+    * behavior. */
+  private def prunedRewrite(name: String, incoming: DataFrame, key: String,
+      appendIncoming: Boolean): (Int, Int) = {
+    val cur = Paths.get(versionDir(name, versions(name)))
+    val files = Files.list(cur).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+    val prunable = incoming.schema(key).dataType match {
+      case IntegerType | LongType | ShortType | ByteType | StringType => true
+      case _ => false
+    }
+    val inKeys: Array[Any] =
+      if (!prunable) Array.empty
+      else incoming.select(col(key)).distinct().collect()
+        .flatMap(r => Option(r.get(0))).map(normKey).sorted(keyOrdering)
+    def overlaps(range: Option[(Any, Any)]): Boolean = range match {
+      case None => true // no usable stats: must assume the file is hit
+      case Some((lo, hi)) =>
+        val i = lowerBound(inKeys, lo)
+        i < inKeys.length && keyOrdering.compare(inKeys(i), hi) <= 0
+    }
+    val (hit, carried) =
+      if (!prunable) (files, Seq.empty[Path])
+      else try files.partition(f => overlaps(footerKeyRange(f, key)))
+      catch { case _: ClassCastException => (files, Seq.empty[Path]) }
+    val next = versions(name) + 1
+    val dir = Paths.get(versionDir(name, next))
+    Files.createDirectories(dir)
+    carried.foreach(carryFile(_, dir))
+    val kept =
+      if (hit.isEmpty) None
+      else Some(spark.read.parquet(hit.map(_.toString): _*)
+        .join(incoming.select(col(key)).distinct(), Seq(key), "left_anti"))
+    val out =
+      if (appendIncoming) Some(kept.fold(incoming)(_.unionByName(incoming)))
+      else kept
+    out.foreach(writeInto(_, name, dir, s"rw-$next"))
+    versions(name) = next
+    (hit.length, files.length)
+  }
+
+  /** Combined (min, max) of `key` across all row groups of one parquet
+    * file's footer, or None when any row group lacks stats for the column. */
+  private def footerKeyRange(file: Path, key: String): Option[(Any, Any)] = {
+    val in = HadoopInputFile.fromPath(new HadoopPath(file.toString),
+      spark.sessionState.newHadoopConf())
+    val reader = ParquetFileReader.open(in)
+    try {
+      var lo: Any = null
+      var hi: Any = null
+      for (b <- reader.getFooter.getBlocks.asScala;
+           c <- b.getColumns.asScala if c.getPath.toDotString == key) {
+        val st = c.getStatistics
+        if (st == null || !st.hasNonNullValue) return None
+        val mn = normKey(st.genericGetMin)
+        val mx = normKey(st.genericGetMax)
+        if (lo == null || keyOrdering.compare(mn, lo) < 0) lo = mn
+        if (hi == null || keyOrdering.compare(mx, hi) > 0) hi = mx
+      }
+      if (lo == null) None else Some((lo, hi))
+    } finally reader.close()
+  }
+
+  /** Normalize footer-stat and DataFrame key values into one comparable
+    * family per type (all integrals → Long, parquet Binary → String). */
+  private def normKey(v: Any): Any = v match {
+    case b: Binary => b.toStringUsingUTF8
+    case i: java.lang.Integer => java.lang.Long.valueOf(i.longValue)
+    case s: java.lang.Short => java.lang.Long.valueOf(s.longValue)
+    case b: java.lang.Byte => java.lang.Long.valueOf(b.longValue)
+    case other => other
+  }
+
+  private val keyOrdering: Ordering[Any] =
+    (a: Any, b: Any) => a.asInstanceOf[Comparable[Any]].compareTo(b)
+
+  /** First index in sorted `a` whose value is >= x (a.length if none). */
+  private def lowerBound(a: Array[Any], x: Any): Int = {
+    var lo = 0
+    var hi = a.length
+    while (lo < hi) {
+      val m = (lo + hi) >>> 1
+      if (keyOrdering.compare(a(m), x) < 0) lo = m + 1 else hi = m
+    }
+    lo
+  }
 
   /** Type-2 slowly-changing-dimension upsert: incoming (key, attrs,
     * effective ts) closes the open history row of each changed key

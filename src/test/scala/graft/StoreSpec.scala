@@ -53,6 +53,37 @@ class StoreSpec extends SparkSpecBase {
     assert(got == Seq((1L, "a"), (2L, "B"), (3L, "c")))
   }
 
+  test("upsert rewrites only files whose key range overlaps incoming keys") {
+    val st = freshStore()
+    import spark.implicits._
+    // range-partition 1..4000 into 4 files with disjoint key ranges
+    st.replace("t", (1L to 4000L).map(k => (k, s"v$k")).toDF("k", "v")
+      .repartitionByRange(4, col("k")))
+    val before = st.read("t").inputFiles.map(f =>
+      java.nio.file.Paths.get(new java.net.URI(f).getPath)).toSeq
+    assert(before.length == 4)
+    // incoming keys all land in one file's range
+    val (rewritten, total) =
+      st.upsert("t", Seq((10L, "X"), (20L, "Y"), (4001L, "new")).toDF("k", "v"), "k")
+    assert(total == 4, s"expected 4 files, saw $total")
+    assert(rewritten == 1, s"expected 1 overlapping file rewritten, saw $rewritten")
+    // the three untouched files are carried into the new version BY NAME
+    val after = st.read("t").inputFiles.map(f =>
+      java.nio.file.Paths.get(new java.net.URI(f).getPath).getFileName.toString).toSet
+    val carried = before.map(_.getFileName.toString).filter(after.contains)
+    assert(carried.size == 3, s"expected 3 carried files, got $carried")
+    // and the merge semantics are intact
+    assert(st.read("t").count() == 4001)
+    assert(st.read("t").filter(col("k") === 10L).head.getString(1) == "X")
+    assert(st.read("t").filter(col("k") === 3000L).head.getString(1) == "v3000")
+
+    // delete prunes the same way
+    val (dRewritten, dTotal) = st.deleteByKey("t", Seq(Tuple1(2500L)).toDF("k"), "k")
+    assert(dRewritten < dTotal, s"delete rewrote all $dTotal files")
+    assert(st.read("t").count() == 4000)
+    assert(st.read("t").filter(col("k") === 2500L).count() == 0)
+  }
+
   test("scd2 upsert tracks history: closes changed rows, keeps unchanged open") {
     val st = freshStore()
     import spark.implicits._
