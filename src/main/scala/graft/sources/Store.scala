@@ -38,6 +38,36 @@ class Store(spark: SparkSession, warehouse: String) {
   private val versions = TrieMap[String, Int]()
   private val matviewDefs = TrieMap[String, String]()
 
+  // ---- catalog durability ------------------------------------------------
+  // The reference keeps its catalog (table pointers + matview definitions)
+  // in a PG JDBC database (iceberg_catalog.go); here the same durability is
+  // a JSON sidecar in the warehouse root, rewritten atomically after every
+  // mutation and reloaded on construction — a crashed or restarted process
+  // sees every table and matview again.
+  private val catalogFile = Paths.get(warehouse, "_catalog.json")
+
+  private def persistCatalog(): Unit = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    val vs = root.putObject("versions")
+    versions.toSeq.sortBy(_._1).foreach { case (k, v) => vs.put(k, v) }
+    val mv = root.putObject("matviews")
+    matviewDefs.toSeq.sortBy(_._1).foreach { case (k, d) => mv.put(k, d) }
+    val tmp = Paths.get(warehouse, "._catalog.json.tmp")
+    Files.write(tmp, om.writerWithDefaultPrettyPrinter.writeValueAsBytes(root))
+    Files.move(tmp, catalogFile,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  if (Files.exists(catalogFile)) {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(Files.readAllBytes(catalogFile))
+    root.get("versions").fields.asScala.foreach(e => versions(e.getKey) = e.getValue.asInt)
+    root.get("matviews").fields.asScala.foreach(e => matviewDefs(e.getKey) = e.getValue.asText)
+    matviewDefs.keys.foreach(n => read(n).createOrReplaceTempView(n))
+  }
+
   private def versionDir(name: String, v: Int): String = s"$warehouse/$name/v$v"
 
   def exists(name: String): Boolean = versions.contains(name)
@@ -51,6 +81,7 @@ class Store(spark: SparkSession, warehouse: String) {
     df.write.mode(SaveMode.Overwrite).option("compression", "zstd")
       .parquet(versionDir(name, next))
     versions(name) = next
+    persistCatalog()
   }
 
   /** Replace with hive-style partition directories on `partitionCols` —
@@ -64,6 +95,7 @@ class Store(spark: SparkSession, warehouse: String) {
       .partitionBy(partitionCols: _*)
       .parquet(versionDir(name, next))
     versions(name) = next
+    persistCatalog()
   }
 
   /** Bucketed replace: pays one hash shuffle at write time to pin a fixed
@@ -82,6 +114,7 @@ class Store(spark: SparkSession, warehouse: String) {
       .bucketBy(numBuckets, key).sortBy(key)
       .saveAsTable(name)
     versions(name) = next
+    persistCatalog()
   }
 
   def append(name: String, df: DataFrame): Unit =
@@ -123,6 +156,7 @@ class Store(spark: SparkSession, warehouse: String) {
     val nParts = math.max(1, math.ceil(est.toDouble / targetBytes).toInt)
     writeInto(tail.repartition(nParts), name, dir, s"compacted-$next")
     versions(name) = next
+    persistCatalog()
   }
 
   /** Carry a data file into a new version dir untouched: a hard link when
@@ -214,6 +248,7 @@ class Store(spark: SparkSession, warehouse: String) {
       else kept
     out.foreach(writeInto(_, name, dir, s"rw-$next"))
     versions(name) = next
+    persistCatalog()
     (hit.length, files.length)
   }
 
@@ -341,6 +376,7 @@ class Store(spark: SparkSession, warehouse: String) {
       spark.catalog.dropTempView(from)
       publish(to)
     }
+    persistCatalog()
   }
 
   def matviewDefinition(name: String): Option[String] = matviewDefs.get(name)
@@ -355,5 +391,6 @@ class Store(spark: SparkSession, warehouse: String) {
       Files.deleteIfExists(p)
     }
     rm(Paths.get(s"$warehouse/$name"))
+    persistCatalog()
   }
 }

@@ -179,6 +179,28 @@ class StoreSpec extends SparkSpecBase {
     assert(q.count() == li.filter(col("ship_year") === 1997).count())
   }
 
+  test("catalog survives restart: a new Store over the same warehouse sees everything") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-store").toString
+    val st = new Store(spark, dir)
+    import spark.implicits._
+    st.replace("t1", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    st.upsert("t1", Seq((3L, "c")).toDF("k", "v"), "k")
+    Tables.registerAll(spark, sfDir)
+    st.createMatview("mv_persist", "SELECT count(*) AS n FROM region")
+    // simulate a crash/restart: fresh Store instance, no in-memory state
+    val st2 = new Store(spark, dir)
+    assert(st2.exists("t1") && st2.read("t1").count() == 3)
+    assert(st2.matviewDefinition("mv_persist")
+      .contains("SELECT count(*) AS n FROM region"))
+    assert(st2.read("mv_persist").head.getLong(0) == 5)
+    // and the reloaded matview is queryable through spark.sql again
+    assert(spark.sql("SELECT n FROM mv_persist").head.getLong(0) == 5)
+    // mutations through the new instance persist too
+    st2.drop("t1")
+    val st3 = new Store(spark, dir)
+    assert(!st3.exists("t1") && st3.exists("mv_persist"))
+  }
+
   test("create matview WITH NO DATA is empty until refresh") {
     val st = freshStore()
     Tables.registerAll(spark, sfDir)
