@@ -568,7 +568,7 @@ object FnQueries {
     // the static shells BI tools probe on connect: each resolves and has
     // the documented shape (one UNION-ALL count probe over all of them)
     Q("cat_static_shells", Some("""
-      SELECT 'pg_am' AS rel, CAST(1 AS BIGINT) AS n UNION ALL
+      SELECT 'pg_am' AS rel, CAST(7 AS BIGINT) AS n UNION ALL
       SELECT 'pg_collation', 1 UNION ALL
       SELECT 'pg_constraint', 0 UNION ALL
       SELECT 'pg_description', 0 UNION ALL
@@ -670,6 +670,70 @@ object FnQueries {
         ('standard_conforming_strings', 'on'), ('timezone', 'UTC')) t(name, setting)
       ORDER BY name""")) { (s, dir) =>
       s.sql("SELECT name, setting FROM pg_settings ORDER BY name")
+    },
+
+    // full pg_type rowset with typed metadata columns (~180 rows, the
+    // reference's query_remapper_table.go:344-712 breadth); the oracle
+    // VALUES list is generated from the same PgCatalog.typeRows constant —
+    // the gate validates registration, column typing and ordering
+    Q("cat_pg_type_full", Some {
+      val rows = PgCatalog.typeRows.map { r =>
+        s"(${r.oid}, '${r.typname}', ${r.typlen}, ${r.typbyval}, " +
+          s"'${r.typtype}', '${r.typcategory}', ${r.typelem}, ${r.typarray})"
+      }.mkString(", ")
+      s"""
+      SELECT CAST(oid AS BIGINT) AS oid, typname,
+        CAST(typlen AS INTEGER) AS typlen, typbyval, typtype, typcategory,
+        CAST(typelem AS BIGINT) AS typelem, CAST(typarray AS BIGINT) AS typarray
+      FROM (VALUES $rows)
+        t(oid, typname, typlen, typbyval, typtype, typcategory, typelem, typarray)
+      ORDER BY oid"""
+    }) { (s, dir) =>
+      s.sql("""SELECT oid, typname, typlen, typbyval, typtype, typcategory,
+                      typelem, typarray
+               FROM pg_type ORDER BY oid""")
+    },
+
+    Q("cat_pg_am", Some("""
+      SELECT amname, amtype FROM (VALUES
+        ('brin', 'i'), ('btree', 'i'), ('gin', 'i'), ('gist', 'i'),
+        ('hash', 'i'), ('heap', 't'), ('spgist', 'i')) t(amname, amtype)
+      ORDER BY amname""")) { (s, dir) =>
+      s.sql("SELECT amname, amtype FROM pg_am ORDER BY amname")
+    },
+
+    // the round-3 catalog additions: pg_index/pg_attrdef/pg_depend/
+    // pg_sequence and the stat/statio view families all resolve with their
+    // documented shapes
+    Q("cat_catalog_breadth", Some("""
+      SELECT * FROM (VALUES
+        ('pg_attrdef', CAST(0 AS BIGINT)), ('pg_authid', 1), ('pg_cast', 0),
+        ('pg_depend', 0), ('pg_enum', 0), ('pg_index', 0), ('pg_language', 3),
+        ('pg_operator', 0), ('pg_publication', 0), ('pg_sequence', 0),
+        ('pg_stat_activity', 1), ('pg_stat_all_tables', 10),
+        ('pg_stat_database', 1), ('pg_stat_user_indexes', 0),
+        ('pg_statio_user_tables', 0), ('pg_tablespace', 2), ('pg_trigger', 0))
+        t(rel, n)
+      ORDER BY rel""")) { (s, dir) =>
+      s.sql("""
+        SELECT 'pg_attrdef' AS rel, count(*) AS n FROM pg_attrdef UNION ALL
+        SELECT 'pg_authid', count(*) FROM pg_authid UNION ALL
+        SELECT 'pg_cast', count(*) FROM pg_cast UNION ALL
+        SELECT 'pg_depend', count(*) FROM pg_depend UNION ALL
+        SELECT 'pg_enum', count(*) FROM pg_enum UNION ALL
+        SELECT 'pg_index', count(*) FROM pg_index UNION ALL
+        SELECT 'pg_language', count(*) FROM pg_language UNION ALL
+        SELECT 'pg_operator', count(*) FROM pg_operator UNION ALL
+        SELECT 'pg_publication', count(*) FROM pg_publication UNION ALL
+        SELECT 'pg_sequence', count(*) FROM pg_sequence UNION ALL
+        SELECT 'pg_stat_activity', count(*) FROM pg_stat_activity UNION ALL
+        SELECT 'pg_stat_all_tables', count(*) FROM pg_stat_all_tables UNION ALL
+        SELECT 'pg_stat_database', count(*) FROM pg_stat_database UNION ALL
+        SELECT 'pg_stat_user_indexes', count(*) FROM pg_stat_user_indexes UNION ALL
+        SELECT 'pg_statio_user_tables', count(*) FROM pg_statio_user_tables UNION ALL
+        SELECT 'pg_tablespace', count(*) FROM pg_tablespace UNION ALL
+        SELECT 'pg_trigger', count(*) FROM pg_trigger
+        ORDER BY rel""")
     }
   )
 }

@@ -263,6 +263,21 @@ object PgDialectOps {
       run(s, """
         SELECT '"lineitem"'::regclass::oid AS li_oid,
                'PUBLIC."orders"'::regclass AS ord_oid""")
+    },
+
+    // the psql \\di / \\ds probe shape: pg_class x pg_namespace x pg_index
+    // filtered to index/sequence relkinds — resolves through the widened
+    // catalog and returns the correct empty set (no indexes or sequences)
+    Q("pd_psql_indexes", Some("""
+      SELECT CAST(NULL AS VARCHAR) AS nspname, CAST(NULL AS VARCHAR) AS relname,
+             CAST(NULL AS VARCHAR) AS relkind WHERE 1 = 0""")) { (s, dir) =>
+      run(s, """
+        SELECT n.nspname, c.relname, c.relkind
+        FROM pg_catalog.pg_class c
+        LEFT JOIN pg_catalog.pg_namespace n ON n.oid = c.relnamespace
+        LEFT JOIN pg_catalog.pg_index i ON i.indexrelid = c.oid
+        WHERE c.relkind IN ('i', 'I', 'S', 's') AND n.nspname <> 'pg_catalog'
+        ORDER BY 1, 2""")
     }
   )
 }

@@ -42,6 +42,147 @@ object PgCatalog {
     case _ => (25, "text")
   }
 
+  /** One pg_type row with the metadata columns drivers and BI tools read. */
+  case class PgTypeRow(oid: Long, typname: String, typlen: Int,
+      typbyval: Boolean, typtype: String, typcategory: String,
+      typelem: Long, typarray: Long)
+
+  /** The full pg_type rowset (standard PostgreSQL catalog contents; the
+    * reference inlines the same set as ~180 UNION ALL rows,
+    * query_remapper_table.go:344-712). Base types are declared once with
+    * their array-type oid; `_name` array rows are derived mechanically. */
+  val typeRows: Seq[PgTypeRow] = {
+    // (oid, name, typlen, typbyval, typtype, typcategory, arrayOid)
+    val base: Seq[(Long, String, Int, Boolean, String, String, Long)] = Seq(
+      (16L, "bool", 1, true, "b", "B", 1000L),
+      (17L, "bytea", -1, false, "b", "U", 1001L),
+      (18L, "char", 1, true, "b", "Z", 1002L),
+      (19L, "name", 64, false, "b", "S", 1003L),
+      (20L, "int8", 8, true, "b", "N", 1016L),
+      (21L, "int2", 2, true, "b", "N", 1005L),
+      (22L, "int2vector", -1, false, "b", "A", 1006L),
+      (23L, "int4", 4, true, "b", "N", 1007L),
+      (24L, "regproc", 4, true, "b", "N", 1008L),
+      (25L, "text", -1, false, "b", "S", 1009L),
+      (26L, "oid", 4, true, "b", "N", 1028L),
+      (27L, "tid", 6, false, "b", "U", 1010L),
+      (28L, "xid", 4, true, "b", "U", 1011L),
+      (29L, "cid", 4, true, "b", "U", 1012L),
+      (30L, "oidvector", -1, false, "b", "A", 1013L),
+      (32L, "pg_ddl_command", 8, true, "p", "P", 0L),
+      (71L, "pg_type", -1, false, "c", "C", 210L),
+      (75L, "pg_attribute", -1, false, "c", "C", 270L),
+      (81L, "pg_proc", -1, false, "c", "C", 272L),
+      (83L, "pg_class", -1, false, "c", "C", 273L),
+      (114L, "json", -1, false, "b", "U", 199L),
+      (142L, "xml", -1, false, "b", "U", 143L),
+      (194L, "pg_node_tree", -1, false, "b", "Z", 0L),
+      (269L, "table_am_handler", 4, true, "p", "P", 0L),
+      (325L, "index_am_handler", 4, true, "p", "P", 0L),
+      (600L, "point", 16, false, "b", "G", 1017L),
+      (601L, "lseg", 32, false, "b", "G", 1018L),
+      (602L, "path", -1, false, "b", "G", 1019L),
+      (603L, "box", 32, false, "b", "G", 1020L),
+      (604L, "polygon", -1, false, "b", "G", 1027L),
+      (628L, "line", 24, false, "b", "G", 629L),
+      (650L, "cidr", -1, false, "b", "I", 651L),
+      (700L, "float4", 4, true, "b", "N", 1021L),
+      (701L, "float8", 8, true, "b", "N", 1022L),
+      (705L, "unknown", -2, false, "p", "X", 0L),
+      (718L, "circle", 24, false, "b", "G", 719L),
+      (774L, "macaddr8", 8, false, "b", "U", 775L),
+      (790L, "money", 8, true, "b", "N", 791L),
+      (829L, "macaddr", 6, false, "b", "U", 1040L),
+      (869L, "inet", -1, false, "b", "I", 1041L),
+      (1033L, "aclitem", 12, false, "b", "U", 1034L),
+      (1042L, "bpchar", -1, false, "b", "S", 1014L),
+      (1043L, "varchar", -1, false, "b", "S", 1015L),
+      (1082L, "date", 4, true, "b", "D", 1182L),
+      (1083L, "time", 8, true, "b", "D", 1183L),
+      (1114L, "timestamp", 8, true, "b", "D", 1115L),
+      (1184L, "timestamptz", 8, true, "b", "D", 1185L),
+      (1186L, "interval", 16, false, "b", "T", 1187L),
+      (1248L, "pg_database", -1, false, "c", "C", 0L),
+      (1266L, "timetz", 12, false, "b", "D", 1270L),
+      (1560L, "bit", -1, false, "b", "V", 1561L),
+      (1562L, "varbit", -1, false, "b", "V", 1563L),
+      (1700L, "numeric", -1, false, "b", "N", 1231L),
+      (1790L, "refcursor", -1, false, "b", "U", 2201L),
+      (2202L, "regprocedure", 4, true, "b", "N", 2207L),
+      (2203L, "regoper", 4, true, "b", "N", 2208L),
+      (2204L, "regoperator", 4, true, "b", "N", 2209L),
+      (2205L, "regclass", 4, true, "b", "N", 2210L),
+      (2206L, "regtype", 4, true, "b", "N", 2211L),
+      (2249L, "record", -1, false, "p", "P", 0L),
+      (2275L, "cstring", -2, false, "p", "P", 1263L),
+      (2276L, "any", 4, true, "p", "P", 0L),
+      (2277L, "anyarray", -1, false, "p", "P", 0L),
+      (2278L, "void", 4, true, "p", "P", 0L),
+      (2279L, "trigger", 4, true, "p", "P", 0L),
+      (2280L, "language_handler", 4, true, "p", "P", 0L),
+      (2281L, "internal", 8, true, "p", "P", 0L),
+      (2283L, "anyelement", 4, true, "p", "P", 0L),
+      (2776L, "anynonarray", 4, true, "p", "P", 0L),
+      (2950L, "uuid", 16, false, "b", "U", 2951L),
+      (2970L, "txid_snapshot", -1, false, "b", "U", 2949L),
+      (3115L, "fdw_handler", 4, true, "p", "P", 0L),
+      (3220L, "pg_lsn", 8, true, "b", "U", 3221L),
+      (3310L, "tsm_handler", 4, true, "p", "P", 0L),
+      (3361L, "pg_ndistinct", -1, false, "b", "Z", 0L),
+      (3402L, "pg_dependencies", -1, false, "b", "Z", 0L),
+      (3500L, "anyenum", 4, true, "p", "P", 0L),
+      (3614L, "tsvector", -1, false, "b", "U", 3643L),
+      (3615L, "tsquery", -1, false, "b", "U", 3645L),
+      (3642L, "gtsvector", -1, false, "b", "U", 3644L),
+      (3734L, "regconfig", 4, true, "b", "N", 3735L),
+      (3769L, "regdictionary", 4, true, "b", "N", 3770L),
+      (3802L, "jsonb", -1, false, "b", "U", 3807L),
+      (3831L, "anyrange", -1, false, "p", "P", 0L),
+      (3838L, "event_trigger", 4, true, "p", "P", 0L),
+      (3904L, "int4range", -1, false, "r", "R", 3905L),
+      (3906L, "numrange", -1, false, "r", "R", 3907L),
+      (3908L, "tsrange", -1, false, "r", "R", 3909L),
+      (3910L, "tstzrange", -1, false, "r", "R", 3911L),
+      (3912L, "daterange", -1, false, "r", "R", 3913L),
+      (3926L, "int8range", -1, false, "r", "R", 3927L),
+      (4066L, "pg_shseclabel", -1, false, "c", "C", 0L),
+      (4072L, "jsonpath", -1, false, "b", "U", 4073L),
+      (4089L, "regnamespace", 4, true, "b", "N", 4090L),
+      (4096L, "regrole", 4, true, "b", "N", 4097L),
+      (4191L, "regcollation", 4, true, "b", "N", 4192L),
+      (4451L, "int4multirange", -1, false, "m", "R", 6150L),
+      (4532L, "nummultirange", -1, false, "m", "R", 6151L),
+      (4533L, "tsmultirange", -1, false, "m", "R", 6152L),
+      (4534L, "tstzmultirange", -1, false, "m", "R", 6153L),
+      (4535L, "datemultirange", -1, false, "m", "R", 6155L),
+      (4536L, "int8multirange", -1, false, "m", "R", 6157L),
+      (4537L, "anymultirange", -1, false, "p", "P", 0L),
+      (4538L, "anycompatiblemultirange", -1, false, "p", "P", 0L),
+      (4600L, "pg_brin_bloom_summary", -1, false, "b", "Z", 0L),
+      (4601L, "pg_brin_minmax_multi_summary", -1, false, "b", "Z", 0L),
+      (5017L, "pg_mcv_list", -1, false, "b", "Z", 0L),
+      (5038L, "pg_snapshot", -1, false, "b", "U", 5039L),
+      (5069L, "xid8", 8, true, "b", "U", 271L),
+      (5077L, "anycompatible", 4, true, "p", "P", 0L),
+      (5078L, "anycompatiblearray", -1, false, "p", "P", 0L),
+      (5079L, "anycompatiblenonarray", 4, true, "p", "P", 0L),
+      (5080L, "anycompatiblerange", -1, false, "p", "P", 0L),
+      (6101L, "pg_subscription", -1, false, "c", "C", 0L))
+    val bases = base.map { case (o, n, l, bv, tt, cat, arr) =>
+      PgTypeRow(o, n, l, bv, tt, cat, 0L, arr)
+    }
+    val arrays = base.filter(_._7 != 0L).map { case (o, n, _, _, _, _, arr) =>
+      PgTypeRow(arr, "_" + n, -1, false, "b", "A", o, 0L)
+    }
+    // vector types are arrays in disguise: their element oids are real
+    val patched = bases.map {
+      case r if r.typname == "int2vector" => r.copy(typelem = 21L)
+      case r if r.typname == "oidvector" => r.copy(typelem = 26L)
+      case r => r
+    }
+    (patched ++ arrays).sortBy(_.oid)
+  }
+
   private val registered =
     java.util.Collections.newSetFromMap(new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
@@ -76,29 +217,22 @@ object PgCatalog {
       ("where", "R"), ("window", "R"), ("with", "R"))
       .toDF("word", "catcode").createOrReplaceTempView("pg_keywords")
 
-    // pg_type: the common subset of the reference's static ~150-row rowset
-    // (pg_constants.go / query_remapper_table.go pg_type UNION ALL)
-    Seq(
-      (16L, "bool"), (17L, "bytea"), (18L, "char"), (19L, "name"),
-      (20L, "int8"), (21L, "int2"), (23L, "int4"), (24L, "regproc"),
-      (25L, "text"), (26L, "oid"), (28L, "xid"), (29L, "cid"),
-      (114L, "json"), (142L, "xml"), (600L, "point"), (601L, "lseg"),
-      (602L, "path"), (603L, "box"), (604L, "polygon"), (628L, "line"),
-      (650L, "cidr"), (700L, "float4"), (701L, "float8"), (705L, "unknown"),
-      (718L, "circle"), (790L, "money"), (829L, "macaddr"), (869L, "inet"),
-      (1042L, "bpchar"), (1043L, "varchar"), (1082L, "date"), (1083L, "time"),
-      (1114L, "timestamp"), (1184L, "timestamptz"), (1186L, "interval"),
-      (1266L, "timetz"), (1560L, "bit"), (1562L, "varbit"), (1700L, "numeric"),
-      (1790L, "refcursor"), (2205L, "regclass"), (2206L, "regtype"),
-      (2249L, "record"), (2278L, "void"), (2950L, "uuid"), (3802L, "jsonb"),
-      // array types (_elem), oids per PG's catalog
-      (199L, "_json"), (1000L, "_bool"), (1001L, "_bytea"), (1002L, "_char"),
-      (1005L, "_int2"), (1007L, "_int4"), (1009L, "_text"), (1014L, "_bpchar"),
-      (1015L, "_varchar"), (1016L, "_int8"), (1021L, "_float4"),
-      (1022L, "_float8"), (1115L, "_timestamp"), (1182L, "_date"),
-      (1183L, "_time"), (1231L, "_numeric"), (1270L, "_timetz"),
-      (2951L, "_uuid"), (3807L, "_jsonb"))
-      .toDF("oid", "typname").createOrReplaceTempView("pg_type")
+    // pg_type: the full static rowset with typed metadata columns — see
+    // typeRows below (reference ships ~180 UNION ALL rows on top of DuckDB's
+    // catalog, query_remapper_table.go:344-712)
+    typeRows.map { r =>
+      val typalign = r.typlen match {
+        case 1 => "c"; case 2 => "s"; case 4 => "i"; case 8 => "d"; case _ => "i"
+      }
+      val typstorage = if (r.typlen < 0) "x" else "p"
+      (r.oid, r.typname, 11L, 10L, r.typlen, r.typbyval, r.typtype,
+        r.typcategory, false, true, ",", 0L, r.typelem, r.typarray,
+        typalign, typstorage, false, 0L, -1, 0, 0L)
+    }.toDF("oid", "typname", "typnamespace", "typowner", "typlen", "typbyval",
+        "typtype", "typcategory", "typispreferred", "typisdefined", "typdelim",
+        "typrelid", "typelem", "typarray", "typalign", "typstorage",
+        "typnotnull", "typbasetype", "typtypmod", "typndims", "typcollation")
+      .createOrReplaceTempView("pg_type")
 
     // dynamic: pg_class / pg_attribute / information_schema over the
     // registered user tables (Tables.names is our "catalog")
@@ -110,12 +244,15 @@ object PgCatalog {
       }
     }
     val classDf = Tables.names.zipWithIndex
-      .map { case (n, i) => (16384L + i, n, 2200L, "r") }
-      .toDF("oid", "relname", "relnamespace", "relkind")
+      .map { case (n, i) => (16384L + i, n, 2200L, "r", 10L, 2L, 0L, 0.0, false, "p", false, 0L) }
+      .toDF("oid", "relname", "relnamespace", "relkind", "relowner", "relam",
+        "relpages", "reltuples", "relhasindex", "relpersistence",
+        "relispartition", "reltablespace")
     classDf.createOrReplaceTempView("pg_class")
     val relOid = Tables.names.zipWithIndex.map { case (n, i) => n -> (16384L + i) }.toMap
-    cols.map { case (t, c, i, dt, oid) => (relOid(t), c, i, oid.toLong, dt) }
-      .toDF("attrelid", "attname", "attnum", "atttypid", "data_type")
+    cols.map { case (t, c, i, dt, oid) => (relOid(t), c, i, oid.toLong, dt, false, false, false) }
+      .toDF("attrelid", "attname", "attnum", "atttypid", "data_type",
+        "attnotnull", "atthasdef", "attisdropped")
       .createOrReplaceTempView("pg_attribute")
 
     // remaining static probes BI tools and ORMs issue (the reference ships
@@ -133,12 +270,152 @@ object PgCatalog {
     Seq.empty[(Long, Long, String)].toDF("objoid", "objsubid", "description")
       .createOrReplaceTempView("pg_description")
     Seq((10L, "graft")).toDF("usesysid", "usename").createOrReplaceTempView("pg_shadow")
-    Seq((2L, "heap", "t")).toDF("oid", "amname", "amtype")
-      .createOrReplaceTempView("pg_am")
+    // the real PG access-method rowset (\dA probes)
+    Seq((2L, "heap", "t"), (403L, "btree", "i"), (405L, "hash", "i"),
+      (783L, "gist", "i"), (2742L, "gin", "i"), (4000L, "spgist", "i"),
+      (3580L, "brin", "i"))
+      .toDF("oid", "amname", "amtype").createOrReplaceTempView("pg_am")
     Seq.empty[(Long, Long, Int)].toDF("inhrelid", "inhparent", "inhseqno")
       .createOrReplaceTempView("pg_inherits")
     Seq((100L, "default", 11L)).toDF("oid", "collname", "collnamespace")
       .createOrReplaceTempView("pg_collation")
+    Seq((1663L, "pg_default", 10L), (1664L, "pg_global", 10L))
+      .toDF("oid", "spcname", "spcowner").createOrReplaceTempView("pg_tablespace")
+    Seq((10L, "graft", true, true, true)).toDF("oid", "rolname", "rolsuper", "rolcanlogin", "rolinherit")
+      .createOrReplaceTempView("pg_authid")
+    Seq((12L, "internal", false), (13L, "c", false), (14L, "sql", true))
+      .toDF("oid", "lanname", "lanpltrusted").createOrReplaceTempView("pg_language")
+
+    // the remainder of the reference's PG_SYSTEM_TABLES set
+    // (pg_constants.go:27-98): empty rowsets with the columns drivers
+    // actually probe, so `SELECT <col> FROM pg_x WHERE ...` resolves
+    // instead of erroring
+    def shell(name: String, fields: (String, DataType)*): Unit =
+      spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          StructType(fields.map { case (n, t) => StructField(n, t) }))
+        .createOrReplaceTempView(name)
+    val L = LongType; val S = StringType; val I = IntegerType; val B = BooleanType
+    shell("pg_index", "indexrelid" -> L, "indrelid" -> L, "indnatts" -> I,
+      "indnkeyatts" -> I, "indisunique" -> B, "indnullsnotdistinct" -> B,
+      "indisprimary" -> B, "indisvalid" -> B, "indkey" -> S)
+    shell("pg_attrdef", "oid" -> L, "adrelid" -> L, "adnum" -> I, "adbin" -> S)
+    shell("pg_depend", "classid" -> L, "objid" -> L, "objsubid" -> I,
+      "refclassid" -> L, "refobjid" -> L, "refobjsubid" -> I, "deptype" -> S)
+    shell("pg_sequence", "seqrelid" -> L, "seqtypid" -> L, "seqstart" -> L,
+      "seqincrement" -> L, "seqmax" -> L, "seqmin" -> L, "seqcache" -> L, "seqcycle" -> B)
+    shell("pg_sequences", "schemaname" -> S, "sequencename" -> S,
+      "sequenceowner" -> S, "last_value" -> L)
+    shell("pg_enum", "oid" -> L, "enumtypid" -> L, "enumsortorder" -> DoubleType,
+      "enumlabel" -> S)
+    shell("pg_cast", "oid" -> L, "castsource" -> L, "casttarget" -> L,
+      "castfunc" -> L, "castcontext" -> S, "castmethod" -> S)
+    shell("pg_operator", "oid" -> L, "oprname" -> S, "oprnamespace" -> L,
+      "oprleft" -> L, "oprright" -> L, "oprresult" -> L)
+    shell("pg_opclass", "oid" -> L, "opcname" -> S, "opcmethod" -> L,
+      "opcintype" -> L, "opcdefault" -> B)
+    shell("pg_opfamily", "oid" -> L, "opfname" -> S, "opfmethod" -> L)
+    shell("pg_amop", "oid" -> L, "amopfamily" -> L, "amoplefttype" -> L,
+      "amoprighttype" -> L, "amopstrategy" -> I, "amopopr" -> L)
+    shell("pg_amproc", "oid" -> L, "amprocfamily" -> L, "amproclefttype" -> L,
+      "amprocrighttype" -> L, "amprocnum" -> I, "amproc" -> L)
+    shell("pg_aggregate", "aggfnoid" -> L, "aggkind" -> S, "aggnumdirectargs" -> I)
+    shell("pg_trigger", "oid" -> L, "tgrelid" -> L, "tgname" -> S,
+      "tgtype" -> I, "tgenabled" -> S, "tgisinternal" -> B)
+    shell("pg_rewrite", "oid" -> L, "rulename" -> S, "ev_class" -> L, "ev_type" -> S)
+    shell("pg_policy", "oid" -> L, "polname" -> S, "polrelid" -> L, "polcmd" -> S)
+    shell("pg_publication", "oid" -> L, "pubname" -> S, "puballtables" -> B)
+    shell("pg_publication_namespace", "oid" -> L, "pnpubid" -> L, "pnnspid" -> L)
+    shell("pg_publication_rel", "oid" -> L, "prpubid" -> L, "prrelid" -> L)
+    shell("pg_partitioned_table", "partrelid" -> L, "partstrat" -> S, "partnatts" -> I)
+    shell("pg_statistic", "starelid" -> L, "staattnum" -> I, "stainherit" -> B)
+    shell("pg_statistic_ext", "oid" -> L, "stxrelid" -> L, "stxname" -> S)
+    shell("pg_statistic_ext_data", "stxoid" -> L)
+    shell("pg_range", "rngtypid" -> L, "rngsubtype" -> L, "rngmultitypid" -> L)
+    shell("pg_conversion", "oid" -> L, "conname" -> S, "connamespace" -> L)
+    shell("pg_event_trigger", "oid" -> L, "evtname" -> S, "evtevent" -> S)
+    shell("pg_foreign_data_wrapper", "oid" -> L, "fdwname" -> S)
+    shell("pg_foreign_server", "oid" -> L, "srvname" -> S)
+    shell("pg_foreign_table", "ftrelid" -> L, "ftserver" -> L)
+    shell("pg_user_mapping", "oid" -> L, "umuser" -> L, "umserver" -> L)
+    shell("pg_ts_config", "oid" -> L, "cfgname" -> S)
+    shell("pg_ts_config_map", "mapcfg" -> L, "maptokentype" -> I)
+    shell("pg_ts_dict", "oid" -> L, "dictname" -> S)
+    shell("pg_ts_parser", "oid" -> L, "prsname" -> S)
+    shell("pg_ts_template", "oid" -> L, "tmplname" -> S)
+    shell("pg_transform", "oid" -> L, "trftype" -> L, "trflang" -> L)
+    shell("pg_auth_members", "roleid" -> L, "member" -> L, "grantor" -> L,
+      "admin_option" -> B)
+    shell("pg_db_role_setting", "setdatabase" -> L, "setrole" -> L)
+    shell("pg_default_acl", "oid" -> L, "defaclrole" -> L, "defaclobjtype" -> S)
+    shell("pg_init_privs", "objoid" -> L, "classoid" -> L, "objsubid" -> I)
+    shell("pg_largeobject", "loid" -> L, "pageno" -> I)
+    shell("pg_largeobject_metadata", "oid" -> L, "lomowner" -> L)
+    shell("pg_parameter_acl", "oid" -> L, "parname" -> S)
+    shell("pg_replication_origin", "roident" -> L, "roname" -> S)
+    shell("pg_replication_slots", "slot_name" -> S, "plugin" -> S,
+      "slot_type" -> S, "active" -> B)
+    shell("pg_seclabel", "objoid" -> L, "classoid" -> L, "objsubid" -> I,
+      "provider" -> S, "label" -> S)
+    shell("pg_shdepend", "dbid" -> L, "classid" -> L, "objid" -> L,
+      "refclassid" -> L, "refobjid" -> L, "deptype" -> S)
+    shell("pg_shdescription", "objoid" -> L, "classoid" -> L, "description" -> S)
+    shell("pg_shseclabel", "objoid" -> L, "classoid" -> L, "provider" -> S, "label" -> S)
+    shell("pg_subscription", "oid" -> L, "subname" -> S, "subenabled" -> B)
+    shell("pg_subscription_rel", "srsubid" -> L, "srrelid" -> L)
+
+    // the reference's PG_SYSTEM_VIEWS stat/statio set (pg_constants.go:
+    // 100-144): activity gets a live 1-row view, per-table stats views get
+    // the user-table rowset, the rest are typed empty shells
+    Seq((42, "graft", "graft", "graft", "active", "", ""))
+      .toDF("pid", "datname", "usename", "application_name", "state",
+        "query", "backend_type")
+      .createOrReplaceTempView("pg_stat_activity")
+    Seq((1L, "graft", 1, 0L, 0L)).toDF("datid", "datname", "numbackends",
+        "xact_commit", "xact_rollback")
+      .createOrReplaceTempView("pg_stat_database")
+    for (v <- Seq("pg_stat_all_tables", "pg_stat_sys_tables",
+        "pg_stat_xact_all_tables", "pg_stat_xact_sys_tables",
+        "pg_stat_xact_user_tables"))
+      Tables.names.map(n => ("public", n, 0L))
+        .toDF("schemaname", "relname", "n_live_tup").createOrReplaceTempView(v)
+    for (v <- Seq("pg_stat_all_indexes", "pg_stat_sys_indexes",
+        "pg_stat_user_indexes"))
+      shell(v, "relid" -> L, "indexrelid" -> L, "schemaname" -> S,
+        "relname" -> S, "indexrelname" -> S, "idx_scan" -> L)
+    for (v <- Seq("pg_statio_all_tables", "pg_statio_sys_tables",
+        "pg_statio_user_tables"))
+      shell(v, "relid" -> L, "schemaname" -> S, "relname" -> S,
+        "heap_blks_read" -> L, "heap_blks_hit" -> L)
+    for (v <- Seq("pg_statio_all_indexes", "pg_statio_sys_indexes",
+        "pg_statio_user_indexes"))
+      shell(v, "relid" -> L, "indexrelid" -> L, "schemaname" -> S,
+        "relname" -> S, "idx_blks_read" -> L, "idx_blks_hit" -> L)
+    for (v <- Seq("pg_statio_all_sequences", "pg_statio_sys_sequences",
+        "pg_statio_user_sequences"))
+      shell(v, "relid" -> L, "schemaname" -> S, "relname" -> S,
+        "blks_read" -> L, "blks_hit" -> L)
+    for (v <- Seq("pg_stat_user_functions", "pg_stat_xact_user_functions"))
+      shell(v, "funcid" -> L, "schemaname" -> S, "funcname" -> S, "calls" -> L)
+    shell("pg_stat_replication", "pid" -> I, "usename" -> S, "state" -> S)
+    shell("pg_stat_wal_receiver", "pid" -> I, "status" -> S)
+    shell("pg_stat_recovery_prefetch", "stats_reset" -> S)
+    shell("pg_stat_subscription", "subid" -> L, "subname" -> S)
+    shell("pg_stat_subscription_stats", "subid" -> L, "subname" -> S)
+    shell("pg_stat_ssl", "pid" -> I, "ssl" -> B)
+    shell("pg_stat_gssapi", "pid" -> I, "gss_authenticated" -> B)
+    for (v <- Seq("pg_stat_progress_analyze", "pg_stat_progress_create_index",
+        "pg_stat_progress_vacuum", "pg_stat_progress_cluster",
+        "pg_stat_progress_basebackup", "pg_stat_progress_copy"))
+      shell(v, "pid" -> I, "datid" -> L, "relid" -> L, "phase" -> S)
+    shell("pg_stat_archiver", "archived_count" -> L, "failed_count" -> L)
+    shell("pg_stat_bgwriter", "buffers_clean" -> L, "buffers_alloc" -> L)
+    shell("pg_stat_checkpointer", "num_timed" -> L, "num_requested" -> L)
+    shell("pg_stat_database_conflicts", "datid" -> L, "datname" -> S)
+    shell("pg_stat_io", "backend_type" -> S, "object" -> S, "context" -> S,
+      "reads" -> L, "writes" -> L)
+    shell("pg_stat_replication_slots", "slot_name" -> S)
+    shell("pg_stat_slru", "name" -> S, "blks_hit" -> L, "blks_read" -> L)
+    shell("pg_stat_wal", "wal_records" -> L, "wal_bytes" -> L)
 
     // information_schema constraint views: empty shells (the synthetic
     // tables carry no declared constraints; ORMs still introspect them)
@@ -160,8 +437,6 @@ object PgCatalog {
     Tables.names.map(n => ("public", n, 0L))
       .toDF("schemaname", "relname", "n_live_tup")
       .createOrReplaceTempView("pg_stat_user_tables")
-    Seq.empty[(Long, Long, Boolean)].toDF("indexrelid", "indrelid", "indisunique")
-      .createOrReplaceTempView("pg_index")
 
     cols.map { case (t, c, i, dt, _) => ("graft", "public", t, c, i, dt) }
       .toDF("table_catalog", "table_schema", "table_name", "column_name",
@@ -192,7 +467,12 @@ object PgCatalog {
       .createOrReplaceTempView("pg_stat_user_tables")
     (Tables.names.zipWithIndex.map { case (n, i) => (16384L + i, n, 2200L, "r") } ++
         mvs.zipWithIndex.map { case (n, i) => (20000L + i, n, 2200L, "m") })
-      .toDF("oid", "relname", "relnamespace", "relkind")
+      .map { case (oid, n, ns, kind) =>
+        (oid, n, ns, kind, 10L, 2L, 0L, 0.0, false, "p", false, 0L)
+      }
+      .toDF("oid", "relname", "relnamespace", "relkind", "relowner", "relam",
+        "relpages", "reltuples", "relhasindex", "relpersistence",
+        "relispartition", "reltablespace")
       .createOrReplaceTempView("pg_class")
   }
 }
