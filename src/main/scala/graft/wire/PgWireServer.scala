@@ -196,13 +196,16 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int) {
     finally { backends.remove(pid); sock.close() }
   }
 
-  /** Text params pass through; binary int4/int8 decoded by length, the same
-    * heuristic the reference applies (query_handler.go:143-184). */
+  /** Text params pass through; binary int4/int8/uuid decoded by length, the
+    * same heuristic the reference applies (query_handler.go:143-184). */
   private def decodeParam(bytes: Array[Byte], fmt: Int): String =
     if (fmt == 0) new String(bytes, UTF_8)
     else bytes.length match {
       case 4 => java.nio.ByteBuffer.wrap(bytes).getInt.toString
       case 8 => java.nio.ByteBuffer.wrap(bytes).getLong.toString
+      case 16 => // binary-format uuid -> canonical text form
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+        new java.util.UUID(bb.getLong, bb.getLong).toString
       case _ => new String(bytes, UTF_8)
     }
 
@@ -225,17 +228,69 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int) {
     "\\$(\\d+)".r.findAllMatchIn(sql).map(_.group(1).toInt)
       .foldLeft(0)(math.max)
 
-  /** $N placeholders -> SQL literals (quoted unless numeric). */
+  /** $N placeholders -> SQL literals (quoted unless numeric). Token-aware:
+    * a $N inside a string literal, quoted identifier, dollar-quoted string
+    * or comment is NOT a parameter and passes through untouched (a naive
+    * global replace corrupts `SELECT 'costs $1'`). */
   private def substituteParams(sql: String, args: Seq[String]): String = {
-    var s = sql
-    args.zipWithIndex.reverse.foreach { case (v, i) => // $10 before $1
-      val lit =
-        if (v == null) "NULL"
-        else if (v.matches("-?\\d+(\\.\\d+)?")) v
-        else "'" + v.replace("'", "''") + "'"
-      s = s.replace("$" + (i + 1), lit)
+    val sb = new StringBuilder(sql.length + 32)
+    val n = sql.length
+    var i = 0
+    def literal(num: Int): String = {
+      val v = args(num - 1)
+      if (v == null) "NULL"
+      else if (v.matches("-?\\d+(\\.\\d+)?")) v
+      else "'" + v.replace("'", "''") + "'"
     }
-    s
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'') { // string literal, '' escapes stay inside it
+        sb.append(c); i += 1
+        var done = false
+        while (i < n && !done) {
+          sb.append(sql.charAt(i))
+          if (sql.charAt(i) == '\'') {
+            if (i + 1 < n && sql.charAt(i + 1) == '\'') { sb.append('\''); i += 1 }
+            else done = true
+          }
+          i += 1
+        }
+      } else if (c == '"') { // quoted identifier
+        sb.append(c); i += 1
+        var done = false
+        while (i < n && !done) {
+          sb.append(sql.charAt(i))
+          if (sql.charAt(i) == '"') done = true
+          i += 1
+        }
+      } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        while (i < n && sql.charAt(i) != '\n') { sb.append(sql.charAt(i)); i += 1 }
+      } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+        sb.append("/*"); i += 2
+        while (i < n && !(sql.charAt(i) == '*' && i + 1 < n && sql.charAt(i + 1) == '/')) {
+          sb.append(sql.charAt(i)); i += 1
+        }
+        if (i < n) { sb.append("*/"); i += 2 }
+      } else if (c == '$' && i + 1 < n && sql.charAt(i + 1).isDigit) {
+        var j = i + 1
+        while (j < n && sql.charAt(j).isDigit) j += 1
+        val num = sql.substring(i + 1, j).toInt
+        if (num >= 1 && num <= args.length) { sb.append(literal(num)); i = j }
+        else { sb.append(c); i += 1 }
+      } else if (c == '$' && i + 1 < n &&
+          (sql.charAt(i + 1) == '$' || sql.charAt(i + 1).isLetter)) {
+        // dollar-quoted string $tag$ ... $tag$: copy through verbatim
+        val close = sql.indexOf('$', i + 1)
+        if (close < 0) { sb.append(c); i += 1 }
+        else {
+          val tag = sql.substring(i, close + 1)
+          val end = sql.indexOf(tag, close + 1)
+          if (end < 0) { sb.append(c); i += 1 }
+          else { sb.append(sql.substring(i, end + tag.length)); i = end + tag.length }
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   // ---- startup ---------------------------------------------------------

@@ -399,4 +399,57 @@ class WireSpec extends SparkSpecBase {
     assert(row(0).matches("\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}"))
     c.close()
   }
+
+  test("a $1 inside a string literal is not a parameter") {
+    val c = new Client(server._2); c.startup()
+    def send(tpe: Char, body: Array[Byte]): Unit = {
+      c.out.writeByte(tpe); c.out.writeInt(4 + body.length); c.out.write(body)
+    }
+    def bb(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
+    def cstr(str: String) = (str + "\u0000").getBytes(UTF_8)
+    def i16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+    def i32(v: Int) = java.nio.ByteBuffer.allocate(4).putInt(v).array()
+    send('P', bb(cstr(""),
+      cstr("SELECT 'costs $1' AS lit, n_name FROM nation WHERE n_name = $1"),
+      i16(0)))
+    send('B', bb(cstr(""), cstr(""),
+      i16(0), // no param format codes -> all text
+      i16(1), i32(8), "NATION_2".getBytes(UTF_8),
+      i16(0)))
+    send('D', bb(Array('P'.toByte), cstr("")))
+    send('E', bb(cstr(""), i32(0)))
+    send('S', Array.emptyByteArray)
+    c.out.flush()
+    val msgs = c.drainUntilReady()
+    val rows = msgs.filter(_._1 == 'D').map(m => dataRowValues(m._2))
+    assert(rows == Seq(Seq("costs $1", "NATION_2")), rows)
+    c.close()
+  }
+
+  test("binary-format uuid parameter decodes to canonical text") {
+    val c = new Client(server._2); c.startup()
+    def send(tpe: Char, body: Array[Byte]): Unit = {
+      c.out.writeByte(tpe); c.out.writeInt(4 + body.length); c.out.write(body)
+    }
+    def bb(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
+    def cstr(str: String) = (str + "\u0000").getBytes(UTF_8)
+    def i16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+    def i32(v: Int) = java.nio.ByteBuffer.allocate(4).putInt(v).array()
+    val uuid = java.util.UUID.fromString("a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11")
+    val ubytes = java.nio.ByteBuffer.allocate(16)
+      .putLong(uuid.getMostSignificantBits).putLong(uuid.getLeastSignificantBits).array()
+    send('P', bb(cstr(""), cstr("SELECT $1::uuid AS u"), i16(0)))
+    send('B', bb(cstr(""), cstr(""),
+      i16(1), i16(1), // one format code: binary
+      i16(1), i32(16), ubytes,
+      i16(0)))
+    send('D', bb(Array('P'.toByte), cstr("")))
+    send('E', bb(cstr(""), i32(0)))
+    send('S', Array.emptyByteArray)
+    c.out.flush()
+    val msgs = c.drainUntilReady()
+    val rows = msgs.filter(_._1 == 'D').map(m => dataRowValues(m._2))
+    assert(rows == Seq(Seq("a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11")), rows)
+    c.close()
+  }
 }
