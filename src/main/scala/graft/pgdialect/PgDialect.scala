@@ -61,9 +61,33 @@ object PgDialect {
     }
     val mvRefresh = "(?is)REFRESH\\s+MATERIALIZED\\s+VIEW\\s+(CONCURRENTLY\\s+)?([\\w.\"]+)\\s*".r
     stmt match {
-      case mvRefresh(_, name) =>
-        store.refreshMatview(unquoteName(name))
+      case mvRefresh(concurrently, name) =>
+        val mv = unquoteName(name)
+        if (concurrently != null) {
+          // async like the reference's goroutine (query_remapper.go:163-169):
+          // the command returns immediately and the old snapshot keeps being
+          // served until the background refresh flips the version pointer
+          scala.concurrent.Future(store.refreshMatview(mv))(
+            scala.concurrent.ExecutionContext.global)
+        } else store.refreshMatview(mv)
         return Command("REFRESH MATERIALIZED VIEW")
+      case _ =>
+    }
+    // DROP TABLE [IF EXISTS] name[, ...] (query_remapper.go:154-161)
+    val tblDrop = "(?is)DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?([\\w.\",\\s]+?)\\s*".r
+    stmt match {
+      case tblDrop(ifExists, names) =>
+        names.split(",").map(n => unquoteName(n.trim)).foreach { t =>
+          if (store.exists(t)) {
+            store.drop(t)
+            spark.catalog.dropTempView(t)
+          } else if (spark.catalog.tableExists(t)) {
+            spark.catalog.dropTempView(t)
+          } else if (ifExists == null) {
+            throw UnsupportedQuery(s"""table "$t" does not exist""")
+          }
+        }
+        return Command("DROP TABLE")
       case _ =>
     }
     val mvDrop = "(?is)DROP\\s+MATERIALIZED\\s+VIEW\\s+(IF\\s+EXISTS\\s+)?([\\w.\"]+)\\s*".r

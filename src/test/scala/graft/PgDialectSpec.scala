@@ -35,6 +35,50 @@ class PgDialectSpec extends SparkSpecBase {
     assert(!after.contains("mv_cat_probe"))
   }
 
+  test("DROP TABLE removes store tables and catalog visibility") {
+    import spark.implicits._
+    Tables.registerAll(spark, sfDir)
+    store.replace("droppable", Seq((1L, "a")).toDF("k", "v"))
+    store.read("droppable").createOrReplaceTempView("droppable")
+    assert(PgDialect.execute(spark, store, "DROP TABLE droppable")
+      == Command("DROP TABLE"))
+    assert(!store.exists("droppable"))
+    assert(!spark.catalog.tableExists("droppable"))
+    // IF EXISTS tolerates a missing table; bare DROP errors like PG
+    assert(PgDialect.execute(spark, store, "DROP TABLE IF EXISTS droppable")
+      == Command("DROP TABLE"))
+    intercept[UnsupportedQuery] {
+      PgDialect.execute(spark, store, "DROP TABLE droppable")
+    }
+  }
+
+  test("REFRESH CONCURRENTLY returns before the refresh completes") {
+    import spark.implicits._
+    Tables.registerAll(spark, sfDir)
+    // a source whose scan takes ~2s via a sleeping UDF
+    spark.udf.register("graft_slow_ident", (n: Long) => { Thread.sleep(400); n })
+    Seq(1L, 2L, 3L, 4L, 5L).toDF("n").createOrReplaceTempView("slow_src")
+    PgDialect.execute(spark, store,
+      "CREATE MATERIALIZED VIEW mv_async AS SELECT sum(graft_slow_ident(n)) AS s FROM slow_src")
+    assert(store.read("mv_async").head.getLong(0) == 15L)
+    // grow the source, then refresh concurrently: the call must return well
+    // under the ~2s the refresh scan takes, and old data stays served
+    Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("n").createOrReplaceTempView("slow_src")
+    val t0 = System.nanoTime()
+    assert(PgDialect.execute(spark, store,
+      "REFRESH MATERIALIZED VIEW CONCURRENTLY mv_async")
+      == Command("REFRESH MATERIALIZED VIEW"))
+    val elapsedMs = (System.nanoTime() - t0) / 1000000
+    assert(elapsedMs < 1500, s"CONCURRENTLY blocked for ${elapsedMs}ms")
+    assert(store.read("mv_async").head.getLong(0) == 15L) // old snapshot
+    // and the background refresh eventually lands
+    val deadline = System.currentTimeMillis() + 30000
+    while (store.read("mv_async").head.getLong(0) == 15L
+        && System.currentTimeMillis() < deadline) Thread.sleep(200)
+    assert(store.read("mv_async").head.getLong(0) == 21L)
+    PgDialect.execute(spark, store, "DROP MATERIALIZED VIEW mv_async")
+  }
+
   test("EXPLAIN returns QUERY PLAN text rows") {
     Tables.registerAll(spark, sfDir)
     PgDialect.execute(spark, store,
