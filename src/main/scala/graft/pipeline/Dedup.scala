@@ -20,13 +20,30 @@ object Dedup {
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.df(s, dir, n)
 
   /** docs with distinct word-3-gram shingles (docs with >=3 tokens). */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+  private[graft] def shingleSets(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), expr(
         "array_distinct(transform(sequence(0, size(toks)-3), " +
           "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))").as("sh"))
+
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    shingleSets(t(s, dir, "documents"))
+
+  /** Candidate (id_a, id_b) pairs sharing >=1 shingle whose document
+    * frequency is <= maxDf — the stop-shingle cap that keeps one hot
+    * boilerplate shingle from generating quadratic join rows on one key. */
+  private[graft] def candidatePairs(shingles: DataFrame, maxDf: Int): DataFrame = {
+    val sh = shingles.select(col("doc_id"), explode(col("sh")).as("s"))
+    val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("s")
+    val capped = sh.join(rare, "s")
+    capped.as("a").join(capped.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
 
   private val shingleSetSql = """SELECT doc_id,
           list_distinct(list_transform(range(0, len(toks)-2),
@@ -51,24 +68,26 @@ object Dedup {
           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.9
       ORDER BY id_a, id_b"""
 
-  /** Exact pairwise Jaccard >= tau via distributed shingle self-join:
-    * explode shingles -> co-group by shingle -> per-pair intersection counts
-    * -> join back per-doc set sizes. This is the scalable formulation (the
-    * DuckDB oracle does the same math with list ops + all-pairs join, which
-    * only works at oracle scale). */
-  private def jaccardPairs(s: SparkSession, dir: String, tau: Double): DataFrame = {
+  /** Exact pairwise Jaccard >= tau via distributed shingle self-join, with
+    * stop-shingle skew control: shingles whose document frequency exceeds
+    * `maxDf` are dropped from CANDIDATE GENERATION only (one boilerplate
+    * shingle shared by 1M docs would otherwise put 10^12 join rows on a
+    * single key). Candidates are then verified EXACTLY on the full shingle
+    * sets, so reported Jaccard values are unaffected by the cap; a true
+    * >=tau pair is missed only if every shared shingle is ultra-frequent,
+    * which near-identical documents (sharing almost all shingles) never hit
+    * in practice. The DuckDB oracle does the same math with list ops + an
+    * all-pairs join, which only works at oracle scale. */
+  private def jaccardPairs(s: SparkSession, dir: String, tau: Double,
+      maxDf: Int = 100): DataFrame = {
     val d = shingled(s, dir).cache()
-    val sizes = d.select(col("doc_id"), size(col("sh")).as("n"))
-    val sh = d.select(col("doc_id"), explode(col("sh")).as("s"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    val j = col("inter").cast("double") /
-      (col("na") + col("nb") - col("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+    val cand = candidatePairs(d, maxDf)
+    val inter = size(array_intersect(col("sha"), col("shb")))
+    val j = inter.cast("double") /
+      (size(col("sha")) + size(col("shb")) - inter)
+    cand
+      .join(d.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
+      .join(d.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
       .filter(j >= tau)
       .select(col("id_a"), col("id_b"), round(j, 6).as("jaccard"))
       .orderBy("id_a", "id_b")

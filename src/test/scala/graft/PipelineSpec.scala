@@ -92,4 +92,28 @@ class PipelineSpec extends SparkSpecBase {
     val rows = run("txt_quality_score").select("quality").collect().map(_.getDouble(0))
     assert(rows.forall(q => q >= 0.0 && q <= 1.0))
   }
+
+  test("stop-shingle cap bounds candidate pairs under boilerplate skew") {
+    import spark.implicits._
+    // 200 docs all sharing ONE boilerplate shingle, with unique tails: the
+    // uncapped self-join puts every pair on that key (quadratic blowup)
+    val docs = (1 to 200)
+      .map(i => (i.toLong, s"common boilerplate prefix u${i}a u${i}b u${i}c"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingleSets(docs)
+    val uncapped = Dedup.candidatePairs(sh, Int.MaxValue).count()
+    val capped = Dedup.candidatePairs(sh, 100).count()
+    assert(uncapped == 200L * 199 / 2, s"fixture not skewed: $uncapped")
+    assert(capped == 0, s"hot shingle survived the cap: $capped pairs")
+    // near-identical docs still become candidates under the cap: they share
+    // plenty of rare shingles besides the boilerplate
+    val nearDups = Seq(
+      (1001L, "common boilerplate prefix alpha beta gamma delta epsilon"),
+      (1002L, "common boilerplate prefix alpha beta gamma delta zeta"))
+      .toDF("doc_id", "text")
+    val cappedDups =
+      Dedup.candidatePairs(Dedup.shingleSets(docs.unionByName(nearDups)), 100)
+    assert(cappedDups.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((1001L, 1002L)))
+  }
 }
