@@ -132,18 +132,34 @@ object FnQueries {
         ORDER BY event_type, elem""")
     },
 
-    // approximate sketches (HLL count-distinct, quantile sketch): engine
-    // implementations differ across engines, so no value oracle — bounds
-    // are pinned in FunctionsSqlSpec
-    Q("fn_approx_sketches", None) { (s, dir) =>
-      // scalar columns only (driver comparator rejects array cells)
+    // approximate sketches (HLL count-distinct, quantile sketch): raw sketch
+    // values differ across engines, so the gated row carries the EXACT
+    // counts plus error-bound booleans — Spark computes |approx - exact| /
+    // exact < 5% and percentile-rank containment, the oracle expects true.
+    // The row hash-matches iff every sketch lands inside its bound.
+    Q("fn_approx_sketches", Some("""
+      SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+             CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+             true AS approx_parts_ok, true AS approx_orders_ok,
+             true AS p50_ok, true AS p90_ok, true AS p99_ok
+      FROM lineitem""")) { (s, dir) =>
       t(s, dir, "lineitem")
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          expr("approx_percentile(l_extendedprice, 0.5)").as("p50_price"),
-          expr("approx_percentile(l_extendedprice, 0.9)").as("p90_price"),
-          expr("approx_percentile(l_extendedprice, 0.99)").as("p99_price"))
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          (abs(approx_count_distinct(col("l_partkey")) - countDistinct(col("l_partkey")))
+            .cast("double") / countDistinct(col("l_partkey")) < 0.05).as("approx_parts_ok"),
+          (abs(approx_count_distinct(col("l_orderkey")) - countDistinct(col("l_orderkey")))
+            .cast("double") / countDistinct(col("l_orderkey")) < 0.05).as("approx_orders_ok"),
+          expr("approx_percentile(l_extendedprice, 0.5) BETWEEN " +
+            "percentile(l_extendedprice, 0.45) AND percentile(l_extendedprice, 0.55)")
+            .as("p50_ok"),
+          expr("approx_percentile(l_extendedprice, 0.9) BETWEEN " +
+            "percentile(l_extendedprice, 0.85) AND percentile(l_extendedprice, 0.95)")
+            .as("p90_ok"),
+          expr("approx_percentile(l_extendedprice, 0.99) BETWEEN " +
+            "percentile(l_extendedprice, 0.97) AND percentile(l_extendedprice, 1.0)")
+            .as("p99_ok"))
     },
 
     // row_to_json(record) -> to_json(struct) (macro at

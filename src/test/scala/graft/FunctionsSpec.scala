@@ -79,11 +79,10 @@ class FunctionsSqlSpec extends SparkSpecBase {
     val row = run("fn_approx_sketches").collect()(0)
     val exactParts = Tables.df(spark, sfDir, "lineitem")
       .select("l_partkey").distinct().count()
-    val approx = row.getLong(0)
-    assert(math.abs(approx - exactParts).toDouble / exactParts < 0.1,
-      s"approx $approx vs exact $exactParts")
-    val p50 = row.getDouble(2)
-    assert(p50 > 0)
+    assert(row.getLong(row.fieldIndex("exact_parts")) == exactParts)
+    // every sketch-vs-exact bound check must hold
+    for (c <- Seq("approx_parts_ok", "approx_orders_ok", "p50_ok", "p90_ok", "p99_ok"))
+      assert(row.getBoolean(row.fieldIndex(c)), s"$c is false")
   }
 
   test("set_config round-trips through current_setting") {
