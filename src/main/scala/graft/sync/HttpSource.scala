@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.net.{HttpURLConnection, URL}
+import java.time.LocalDateTime
+import java.time.format.DateTimeFormatter
+import java.util.zip.GZIPInputStream
+
+/** Pagination strategy for an HTTP JSON export API. */
+sealed trait HttpPaging
+
+/** Offset/limit pages until an empty page — the Attio full-refresh shape
+  * (reference: syncer-attio/lib/attio.go:41-90, ATTIO_API_LIMIT loop). */
+final case class OffsetPaging(limit: Int = 500) extends HttpPaging
+
+/** Fixed hourly export windows walked from `startHour` (format yyyyMMdd'T'HH)
+  * until a 404/empty window — the Amplitude incremental shape (reference:
+  * syncer-amplitude/lib/syncer.go:35-75 PAGINATION_TIME_INTERVAL walk,
+  * amplitude.go:33-60 start/end query params). */
+final case class HourlyWindowPaging(startHour: String, maxWindows: Int = 1000)
+  extends HttpPaging
+
+/** Paginated-HTTP JSON source (the Amplitude/Attio syncer shape re-expressed
+  * as a SyncSource). The driver walks pages — an export API is a single
+  * paginated stream, exactly as the reference's goroutine walks it — and
+  * collects raw NDJSON lines (gzip-encoded frames per the Amplitude export);
+  * the expensive part, JSON decoding into typed rows, is distributed via
+  * `spark.read.json` over a parallelized Dataset[String]. Per-table `flatten`
+  * transforms map nested typed-value payloads to flat columns (RestFlatten
+  * below carries the Attio extractors). Syncer handles the write side:
+  * fullRefresh -> Store.replace, incrementalSync -> Store.cursorAppend with
+  * overlap trim.
+  */
+class HttpJsonSource(
+    spark: SparkSession,
+    baseUrl: String,
+    tables: Seq[String],
+    keys: Map[String, String] = Map.empty,
+    cursors: Map[String, String] = Map.empty,
+    paging: HttpPaging = OffsetPaging(),
+    headers: Map[String, String] = Map.empty,
+    flatten: Map[String, DataFrame => DataFrame] = Map.empty) extends SyncSource {
+
+  def listTables(): Seq[String] = tables
+
+  def read(table: String): DataFrame = {
+    val lines: Seq[String] = paging match {
+      case OffsetPaging(limit) =>
+        Iterator.from(0)
+          .map(page => fetch(s"$baseUrl/$table?limit=$limit&offset=${page * limit}")
+            .getOrElse(Seq.empty))
+          .takeWhile(_.nonEmpty)
+          .flatten.toSeq
+      case HourlyWindowPaging(startHour, maxWindows) =>
+        val fmt = DateTimeFormatter.ofPattern("yyyyMMdd'T'HH")
+        val start = LocalDateTime.parse(startHour, fmt)
+        Iterator.range(0, maxWindows)
+          .map { i =>
+            val h = fmt.format(start.plusHours(i))
+            fetch(s"$baseUrl/$table?start=$h&end=$h")
+          }
+          .takeWhile(_.isDefined) // 404 = no more exported hours yet
+          .flatMap(_.get).toSeq
+    }
+    import spark.implicits._
+    val raw = spark.read.json(spark.createDataset(lines))
+    flatten.get(table).map(_(raw)).getOrElse(raw)
+  }
+
+  def uniqueKey(table: String): Option[String] = keys.get(table)
+  def cursorColumn(table: String): Option[String] = cursors.get(table)
+
+  /** GET one page; None on 404 (end of export), non-blank NDJSON lines
+    * otherwise. Transparent gzip per the Amplitude export encoding. */
+  private def fetch(url: String): Option[Seq[String]] = {
+    val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+    try {
+      conn.setRequestProperty("Accept-Encoding", "gzip")
+      headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+      if (conn.getResponseCode == 404) return None
+      if (conn.getResponseCode != 200)
+        throw new java.io.IOException(s"HTTP ${conn.getResponseCode} from $url")
+      val base = conn.getInputStream
+      val is =
+        if (conn.getContentEncoding == "gzip") new GZIPInputStream(base) else base
+      try Some(scala.io.Source.fromInputStream(is, "UTF-8").getLines()
+        .filter(_.trim.nonEmpty).toList)
+      finally is.close()
+    } finally conn.disconnect()
+  }
+}
+
+/** Typed value flattening for Attio-style records (reference:
+  * syncer-attio/lib/parser.go:1-193): every attribute arrives as an ARRAY of
+  * typed wrapper objects; syncing takes the first element's payload field.
+  * Columns are extracted scan-side (struct field access, codegen'd). */
+object RestFlatten {
+  // try_element_at: an EMPTY values array means "attribute unset" and must
+  // flatten to NULL (parser.go FirstValue nil branch), not an ANSI error
+  private def first(c: Column): Column = try_element_at(c, lit(1))
+  def firstValue(c: Column): Column = first(c)("value")
+  def firstDomain(c: Column): Column = first(c)("domain")
+  def firstSelect(c: Column): Column = first(c)("option")("title")
+  def firstStatus(c: Column): Column = first(c)("status")("title")
+  def firstCurrency(c: Column): Column = first(c)("currency_value")
+  def firstEmail(c: Column): Column = first(c)("email_address")
+  def firstPhone(c: Column): Column = first(c)("phone_number")
+  def firstName(c: Column): Column = first(c)("full_name")
+  def firstRelationship(c: Column): Column = first(c)("target_record_id")
+  def firstInteraction(c: Column): Column = first(c)("interacted_at")
+  def firstUser(c: Column): Column = first(c)("referenced_actor_id")
+}

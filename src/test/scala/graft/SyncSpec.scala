@@ -76,4 +76,103 @@ class SyncSpec extends SparkSpecBase {
     new Syncer(st, src).incrementalSync("events")
     assert(st.read("events").count() == src.read("events").count())
   }
+
+  // ---- HTTP sources against a local stub server -------------------------
+
+  /** A local HTTP server serving `handler(path, query)` -> (status, body,
+    * gzip). */
+  private def withStubServer(handler: (String, String) => (Int, String, Boolean))
+      (body: Int => Unit): Unit = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val (status, text, gz) = handler(ex.getRequestURI.getPath,
+        Option(ex.getRequestURI.getQuery).getOrElse(""))
+      val bytes =
+        if (!gz) text.getBytes("UTF-8")
+        else {
+          val bos = new java.io.ByteArrayOutputStream()
+          val g = new java.util.zip.GZIPOutputStream(bos)
+          g.write(text.getBytes("UTF-8")); g.close()
+          bos.toByteArray
+        }
+      if (gz) ex.getResponseHeaders.set("Content-Encoding", "gzip")
+      ex.sendResponseHeaders(status, if (bytes.isEmpty) -1 else bytes.length)
+      if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try body(server.getAddress.getPort)
+    finally server.stop(0)
+  }
+
+  test("hourly-window gzip HTTP source syncs incrementally with overlap trim") {
+    // mutable "export": hour -> NDJSON events; starts with hours 0-2
+    val hours = scala.collection.mutable.SortedMap(
+      "20240101T00" -> (1 to 3).map(i => s"""{"id": $i, "ts": "2024-01-01T00:0$i:00"}"""),
+      "20240101T01" -> (4 to 6).map(i => s"""{"id": $i, "ts": "2024-01-01T01:0${i - 3}:00"}"""),
+      "20240101T02" -> (7 to 9).map(i => s"""{"id": $i, "ts": "2024-01-01T02:0${i - 6}:00"}"""))
+    withStubServer { (_, query) =>
+      val hour = query.split("&").collectFirst {
+        case kv if kv.startsWith("start=") => kv.stripPrefix("start=")
+      }.getOrElse("")
+      hours.get(hour) match {
+        case Some(lines) => (200, lines.mkString("\n"), true) // gzip frames
+        case None => (404, "Raw data files were not found.", false)
+      }
+    } { port =>
+      val st = freshStore()
+      val src = new HttpJsonSource(spark, s"http://127.0.0.1:$port",
+        Seq("events"), keys = Map("events" -> "id"),
+        cursors = Map("events" -> "ts"),
+        paging = HourlyWindowPaging("20240101T00"))
+      val syncer = new Syncer(st, src)
+      syncer.incrementalSync("events") // first sync = full load
+      assert(st.read("events").count() == 9)
+      // hour 3 lands upstream AND hour 2 is re-delivered (the overlap the
+      // reference trims by cursor + key)
+      hours("20240101T03") = (10 to 12).map(i =>
+        s"""{"id": $i, "ts": "2024-01-01T03:0${i - 9}:00"}""")
+      syncer.incrementalSync("events")
+      assert(st.read("events").count() == 12)
+      assert(st.read("events").select("id").distinct().count() == 12)
+    }
+  }
+
+  test("offset-paginated REST source flattens typed values on full refresh") {
+    // Attio-shaped records: attributes are arrays of typed wrapper objects
+    val records = Seq(
+      """{"record_id": "r1", "values": {"name": [{"full_name": "Acme"}], "domains": [{"domain": "acme.com"}], "status": [{"status": {"title": "Open"}}], "revenue": [{"currency_value": 10.5}]}}""",
+      """{"record_id": "r2", "values": {"name": [{"full_name": "Globex"}], "domains": [{"domain": "globex.io"}], "status": [{"status": {"title": "Won"}}], "revenue": [{"currency_value": 99.0}]}}""",
+      """{"record_id": "r3", "values": {"name": [{"full_name": "Initech"}], "domains": [], "status": [{"status": {"title": "Lost"}}], "revenue": [{"currency_value": 1.25}]}}""")
+    withStubServer { (_, query) =>
+      val params = query.split("&").map(_.split("=", 2)).collect {
+        case Array(k, v) => k -> v
+      }.toMap
+      val off = params.getOrElse("offset", "0").toInt
+      val lim = params.getOrElse("limit", "500").toInt
+      (200, records.slice(off, off + lim).mkString("\n"), false)
+    } { port =>
+      val st = freshStore()
+      val flattenCompanies: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        df => df.select(
+          col("record_id"),
+          RestFlatten.firstName(col("values")("name")).as("name"),
+          RestFlatten.firstDomain(col("values")("domains")).as("domain"),
+          RestFlatten.firstStatus(col("values")("status")).as("status"),
+          RestFlatten.firstCurrency(col("values")("revenue")).as("revenue"))
+      val src = new HttpJsonSource(spark, s"http://127.0.0.1:$port",
+        Seq("companies"), keys = Map("companies" -> "record_id"),
+        paging = OffsetPaging(limit = 2), // forces 2 pages + empty third
+        flatten = Map("companies" -> flattenCompanies))
+      new Syncer(st, src).fullRefresh()
+      val got = st.read("companies").orderBy("record_id")
+        .collect().map(r => (r.getString(0), r.getString(1),
+          Option(r.getString(2)), r.getString(3), r.getDouble(4))).toSeq
+      assert(got == Seq(
+        ("r1", "Acme", Some("acme.com"), "Open", 10.5),
+        ("r2", "Globex", Some("globex.io"), "Won", 99.0),
+        ("r3", "Initech", None, "Lost", 1.25)))
+    }
+  }
 }
