@@ -312,6 +312,52 @@ object Dedup {
         .filter(col("cos") >= 0.4)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
         .orderBy("id_a", "id_b")
+    },
+
+    // the 100 TB embedding near-dup path: random-hyperplane LSH buckets for
+    // candidate generation (shuffles only (table, bucket) keys — cost scales
+    // with bucket occupancy, not N^2), exact cosine verify on candidates.
+    // dd_embedding_cosine above is the all-pairs auditor at oracle scale;
+    // recall of this bucketed variant against it is pinned in PipelineSpec.
+    // The oracle reproduces the same hyperplanes/buckets/folds in DuckDB.
+    Q("dd_embedding_lsh", Some(s"""
+      WITH pl AS (SELECT ${Similarity.planesSqlLiteral} AS p),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      sig AS (SELECT vec_id, v, CAST(t.range AS INT) AS tbl,
+          CAST(list_sum(list_transform(range(0, ${Similarity.PLANES_PER_TABLE}), i ->
+            CASE WHEN ${Similarity.duckDot("p[t.range + 1][i + 1]", "v")} > 0
+                 THEN (1 << CAST(i AS INT)) ELSE 0 END)) AS INT) AS bucket
+        FROM e, pl, range(0, ${Similarity.TABLES}) t),
+      cand AS (SELECT DISTINCT a.vec_id AS id_a, a.v AS va, b.vec_id AS id_b, b.v AS vb
+        FROM sig a JOIN sig b
+          ON b.tbl = a.tbl AND b.bucket = a.bucket AND a.vec_id < b.vec_id),
+      scored AS (SELECT id_a, id_b, ${Similarity.duckCos("va", "vb")} AS cos FROM cand)
+      SELECT id_a, id_b, round(cos, 6) AS cos FROM scored
+      WHERE cos >= 0.4 ORDER BY id_a, id_b""")) { (s, dir) =>
+      val sigSql =
+        s"transform(planes, tbl -> aggregate(zip_with(tbl, sequence(0, ${Similarity.PLANES_PER_TABLE - 1}), " +
+          "(p, i) -> IF(aggregate(zip_with(p, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x) > 0, " +
+          "shiftleft(1, cast(i AS INT)), 0)), 0, (acc, x) -> acc | x))"
+      val sig = t(s, dir, "embeddings")
+        .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"))
+        .withColumn("planes", typedLit(Similarity.planes))
+        .withColumn("sigs", expr(sigSql))
+        .drop("planes")
+        .select(col("vec_id"), col("v"),
+          posexplode(col("sigs")).as(Seq("tbl", "bucket")))
+      val cand = sig.as("a").join(sig.as("b"),
+          col("b.tbl") === col("a.tbl") && col("b.bucket") === col("a.bucket")
+            && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("a.v").as("va"),
+          col("b.vec_id").as("id_b"), col("b.v").as("vb"))
+        .distinct()
+      val dot = expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+      val na = expr("sqrt(aggregate(zip_with(va, va, (x, y) -> x * y), 0D, (acc, x) -> acc + x))")
+      val nb = expr("sqrt(aggregate(zip_with(vb, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x))")
+      cand.select(col("id_a"), col("id_b"), (dot / (na * nb)).as("cos"))
+        .filter(col("cos") >= 0.4)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy("id_a", "id_b")
     }
   )
 }

@@ -48,14 +48,14 @@ object Similarity {
   /** The deterministic hyperplanes as a DuckDB DOUBLE[][][] literal —
     * Double.toString round-trips exactly, so the oracle signs the very same
     * dot products. */
-  private def planesSqlLiteral: String =
+  private[graft] def planesSqlLiteral: String =
     planes.map(tbl => tbl.map(p => p.mkString("[", ", ", "]"))
         .mkString("[", ", ", "]"))
       .mkString("[", ", ", "]") + "::DOUBLE[][][]"
 
   /** Sequential left-fold dot product (list_reduce) — bit-identical to
     * Spark's `aggregate(zip_with(...), 0D, +)`. */
-  private def duckDot(a: String, b: String): String =
+  private[graft] def duckDot(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip($a, $b), s -> s[1] * s[2])), (x, y) -> x + y)"
 
   /** IVF cell count / seeds: deterministic "centroids" = the embeddings of
@@ -65,7 +65,7 @@ object Similarity {
   val centroidIds: Seq[Long] = Seq(7L, 23L, 41L, 59L, 77L, 95L, 113L, 131L)
   val PROBES = 2
 
-  private def duckCos(a: String, b: String): String =
+  private[graft] def duckCos(a: String, b: String): String =
     s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
 
   private def ivfOracleSql: String = s"""

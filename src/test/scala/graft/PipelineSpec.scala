@@ -93,6 +93,17 @@ class PipelineSpec extends SparkSpecBase {
     assert(rows.forall(q => q >= 0.0 && q <= 1.0))
   }
 
+  test("bucketed embedding near-dup recall vs the all-pairs auditor") {
+    val exact = run("dd_embedding_cosine").select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = run("dd_embedding_lsh").select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verified candidates are a subset of the true pair set (precision 1.0)
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall (${lsh.size}/${exact.size})")
+  }
+
   test("stop-shingle cap bounds candidate pairs under boilerplate skew") {
     import spark.implicits._
     // 200 docs all sharing ONE boilerplate shingle, with unique tails: the
