@@ -147,9 +147,11 @@ object FnQueries {
         .agg(
           countDistinct(col("l_partkey")).as("exact_parts"),
           countDistinct(col("l_orderkey")).as("exact_orders"),
-          (abs(approx_count_distinct(col("l_partkey")) - countDistinct(col("l_partkey")))
+          // rsd 0.01: the default 0.05 sketch leaves no headroom against a
+          // 5% assertion bound (observed 5.2% on l_orderkey at sf0.001)
+          (abs(approx_count_distinct(col("l_partkey"), 0.01) - countDistinct(col("l_partkey")))
             .cast("double") / countDistinct(col("l_partkey")) < 0.05).as("approx_parts_ok"),
-          (abs(approx_count_distinct(col("l_orderkey")) - countDistinct(col("l_orderkey")))
+          (abs(approx_count_distinct(col("l_orderkey"), 0.01) - countDistinct(col("l_orderkey")))
             .cast("double") / countDistinct(col("l_orderkey")) < 0.05).as("approx_orders_ok"),
           expr("approx_percentile(l_extendedprice, 0.5) BETWEEN " +
             "percentile(l_extendedprice, 0.45) AND percentile(l_extendedprice, 0.55)")

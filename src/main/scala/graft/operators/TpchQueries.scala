@@ -331,14 +331,17 @@ object TpchQueries {
       FROM pv
       WHERE v4 > (SELECT CAST(sum($DISC_O) AS DOUBLE) * 0.001 FROM lineitem)
       ORDER BY value DESC, l_partkey""")) { (s, dir) =>
+      // single scan: the threshold re-aggregates pv (sum of exact integer
+      // per-part sums == the grand total), so the groupBy subtrees are
+      // identical and Catalyst reuses one shuffle exchange instead of
+      // scanning lineitem twice
       val pv = t(s, dir, "lineitem")
         .groupBy("l_partkey")
-        .agg(sum(discProd).cast("double").as("v4"))
-      val threshold = t(s, dir, "lineitem")
-        .agg((sum(discProd).cast("double") * 0.001).as("thr"))
+        .agg(sum(discProd).as("v4i"))
+      val threshold = pv.agg((sum(col("v4i")).cast("double") * 0.001).as("thr"))
       pv.join(broadcast(threshold))
-        .filter(col("v4") > col("thr"))
-        .select(col("l_partkey"), round(col("v4") / 1e4, 2).as("value"))
+        .filter(col("v4i").cast("double") > col("thr"))
+        .select(col("l_partkey"), round(col("v4i").cast("double") / 1e4, 2).as("value"))
         .orderBy(col("value").desc, col("l_partkey"))
     },
 
@@ -475,17 +478,24 @@ object TpchQueries {
       GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
       ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
       LIMIT 100""")) { (s, dir) =>
-      val bigOrders = t(s, dir, "lineitem")
-        .groupBy(col("l_orderkey").as("bo_orderkey"))
-        .agg(sum(col("l_quantity").cast("long")).as("bo_qty"))
-        .filter(col("bo_qty") > 170)
-        .select("bo_orderkey")
-      t(s, dir, "orders")
-        .join(bigOrders, col("o_orderkey") === col("bo_orderkey"), "left_semi")
-        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(t(s, dir, "customer")), col("c_custkey") === col("o_custkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+      // single lineitem scan: the HAVING subquery and the outer sum are the
+      // same per-order aggregate (the outer GROUP BY keys are unique per
+      // order), so aggregate once and join — no second scan, no regroup
+      val perOrder = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
         .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+        .filter(col("total_qty") > 170)
+      t(s, dir, "orders")
+        .join(perOrder, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("c_custkey") === col("o_custkey"))
+        .select(
+          col("c_name"),
+          col("c_custkey"),
+          col("o_orderkey"),
+          col("o_orderdate"),
+          col("o_totalprice"),
+          col("total_qty")
+        )
         .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
         .limit(100)
     },
@@ -543,24 +553,38 @@ object TpchQueries {
         AND s_nationkey = n_nationkey AND n_name = 'NATION_1'
       GROUP BY s_name
       ORDER BY numwait DESC, s_name""")) { (s, dir) =>
-      val l1 = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
-        .select(col("l_orderkey").as("l1_orderkey"), col("l_suppkey").as("l1_suppkey"))
-      val l2 = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("l2_orderkey"), col("l_suppkey").as("l2_suppkey"))
-      val l3 = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
-        .select(col("l_orderkey").as("l3_orderkey"), col("l_suppkey").as("l3_suppkey"))
-      l1
-        .join(l2, col("l2_orderkey") === col("l1_orderkey")
-          && col("l2_suppkey") =!= col("l1_suppkey"), "left_semi")
-        .join(l3, col("l3_orderkey") === col("l1_orderkey")
-          && col("l3_suppkey") =!= col("l1_suppkey"), "left_anti")
-        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
-          col("o_orderkey") === col("l1_orderkey"))
-        .join(broadcast(t(s, dir, "supplier")), col("s_suppkey") === col("l1_suppkey"))
-        .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_1")),
-          col("s_nationkey") === col("n_nationkey"))
+      // single-scan formulation: the EXISTS pair is a per-order condition —
+      //   EXISTS l2 (other supplier in the order)      <=> nd_all > 1
+      //   NOT EXISTS l3 (other supplier also flagged R) <=> nd_r = 1
+      // and each qualifying order contributes its cnt_r R-rows (all by the
+      // same supplier) to numwait. One lineitem scan + one shuffle on
+      // l_orderkey replaces three scans and semi/anti self-joins.
+      // distinct-counts as min/max (no Expand, plain map-side-combining
+      // aggregates): >1 distinct suppliers <=> min != max; exactly one
+      // distinct R-supplier <=> cnt_r >= 1 and min_r = max_r
+      val perOrder = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(
+          min(col("l_suppkey")).as("mn_all"),
+          max(col("l_suppkey")).as("mx_all"),
+          min(when(col("l_returnflag") === "R", col("l_suppkey"))).as("r_supp"),
+          max(when(col("l_returnflag") === "R", col("l_suppkey"))).as("mx_r"),
+          count(when(col("l_returnflag") === "R", lit(1))).as("cnt_r")
+        )
+        .filter(col("mn_all") =!= col("mx_all") && col("cnt_r") > 0 && col("r_supp") === col("mx_r"))
+      perOrder
+        .join(
+          t(s, dir, "orders").filter(col("o_orderstatus") === "F").select("o_orderkey"),
+          col("o_orderkey") === col("l_orderkey"),
+          "left_semi"
+        )
+        .join(broadcast(t(s, dir, "supplier")), col("s_suppkey") === col("r_supp"))
+        .join(
+          broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_1")),
+          col("s_nationkey") === col("n_nationkey")
+        )
         .groupBy("s_name")
-        .agg(count(lit(1)).as("numwait"))
+        .agg(sum(col("cnt_r")).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
     },
 

@@ -186,6 +186,7 @@ object PgDialect {
   // ---- SELECT translation ---------------------------------------------
   def translateSelect(sql: String): String = {
     var s = sql.trim.stripSuffix(";")
+    s = autoAliasTargets(s)
     s = rewriteDistinctOn(s)
     s = s.replaceAll("(?i)\\bpg_catalog\\s*\\.\\s*", "")
     s = s.replaceAll("(?i)\\binformation_schema\\s*\\.\\s*(tables|columns|" +
@@ -259,6 +260,196 @@ object PgDialect {
     s = s.replaceAll("!~", " NOT RLIKE ")
     s = s.replaceAll("(?<![!<>=~])~(?![~=])", " RLIKE ")
     s
+  }
+
+  /** PG-style naming of unaliased targets in the OUTERMOST select list plus
+    * the alias-shadows-table rename, mirroring the reference remapper
+    * (query_remapper_select.go:25-86):
+    *   - `f(args…)` (with FILTER / WITHIN GROUP / OVER tails) -> `… AS f`
+    *   - `col -> 'k'` / `col ->> 'k'`                         -> `… AS col_k`
+    *   - `(expr).field`                                       -> `… AS field`
+    *   - `t.col AS t` -> `AS t_`, with bare GROUP BY / ORDER BY references
+    *     to the alias renamed to match (a bare `t` would otherwise resolve
+    *     to the relation, not the alias)
+    * Only the outermost list is touched — it alone names the wire columns. */
+  private[graft] def autoAliasTargets(sql: String): String = {
+    val n = sql.length
+    val depth = new Array[Int](n)
+    val masked = new Array[Boolean](n) // quote/comment bytes incl. delimiters
+    var d = 0; var state = 0; var i = 0
+    while (i < n) {
+      val c = sql.charAt(i)
+      state match {
+        case 0 =>
+          if (c == '\'') { state = 1; masked(i) = true }
+          else if (c == '"') { state = 2; masked(i) = true }
+          else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') { state = 3; masked(i) = true }
+          else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') { state = 4; masked(i) = true }
+          else if (c == '(') d += 1
+          else if (c == ')') d -= 1
+        case 1 =>
+          masked(i) = true
+          if (c == '\'') {
+            if (i + 1 < n && sql.charAt(i + 1) == '\'') { masked(i + 1) = true; i += 1 }
+            else state = 0
+          }
+        case 2 => masked(i) = true; if (c == '"') state = 0
+        case 3 => masked(i) = true; if (c == '\n') state = 0
+        case 4 =>
+          masked(i) = true
+          if (c == '*' && i + 1 < n && sql.charAt(i + 1) == '/') { masked(i + 1) = true; i += 1; state = 0 }
+      }
+      depth(i) = d
+      i += 1
+    }
+    def isWord(ch: Char) = ch.isLetterOrDigit || ch == '_'
+    // first unmasked depth-0 occurrence of a keyword at/after `from`
+    def findKw(kws: Seq[String], from: Int): Int = {
+      var j = from
+      while (j < n) {
+        if (!masked(j) && depth(j) == 0 && (j == 0 || !isWord(sql.charAt(j - 1))))
+          kws.foreach { kw =>
+            if (j + kw.length <= n &&
+                sql.regionMatches(true, j, kw, 0, kw.length) &&
+                (j + kw.length == n || !isWord(sql.charAt(j + kw.length))))
+              return j
+          }
+        j += 1
+      }
+      -1
+    }
+    val selStart = findKw(Seq("SELECT"), 0)
+    if (selStart < 0) return sql
+    var pos = selStart + 6
+    def skipWs(): Unit = while (pos < n && sql.charAt(pos).isWhitespace) pos += 1
+    def atWord(w: String): Boolean = {
+      skipWs()
+      pos + w.length <= n && sql.regionMatches(true, pos, w, 0, w.length) &&
+        (pos + w.length == n || !isWord(sql.charAt(pos + w.length)))
+    }
+    if (atWord("ALL")) pos += 3
+    else if (atWord("DISTINCT")) {
+      pos += 8
+      if (atWord("ON")) {
+        pos += 2; skipWs()
+        if (pos < n && sql.charAt(pos) == '(') {
+          val close = matchParen(sql, pos)
+          if (close < 0) return sql
+          pos = close + 1
+        }
+      }
+    }
+    skipWs()
+    val listStart = pos
+    val endKw = findKw(Seq("FROM", "WHERE", "GROUP", "HAVING", "WINDOW", "UNION",
+      "INTERSECT", "EXCEPT", "ORDER", "LIMIT", "OFFSET", "FETCH", "FOR", "INTO"), listStart)
+    val listEnd = if (endKw < 0) n else endKw
+    // split the target list on unmasked depth-0 commas
+    val spans = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    var a = listStart
+    var j = listStart
+    while (j < listEnd) {
+      if (sql.charAt(j) == ',' && !masked(j) && depth(j) == 0) { spans += ((a, j)); a = j + 1 }
+      j += 1
+    }
+    spans += ((a, listEnd))
+    val renames = scala.collection.mutable.Map[String, String]()
+    val newTargets = spans.map { case (s0, e0) =>
+      val raw = sql.substring(s0, e0)
+      val (aliased, ren) = aliasOneTarget(raw)
+      ren.foreach { case (o, nn) => renames(o.toLowerCase) = nn }
+      aliased
+    }
+    var out = sql.substring(0, listStart) + newTargets.mkString(",") + sql.substring(listEnd)
+    // propagate shadow renames into bare GROUP BY / ORDER BY items
+    if (renames.nonEmpty) {
+      val clause = "(?is)\\b(GROUP\\s+BY|ORDER\\s+BY)\\s+".r
+      out = clause.findAllMatchIn(out).toSeq.reverse.foldLeft(out) { (acc, m) =>
+        val start = m.end
+        // clause body runs to the next clause keyword at depth 0 (approx: regex)
+        val tail = acc.substring(start)
+        val bodyEnd = "(?is)\\b(HAVING|WINDOW|ORDER\\s+BY|LIMIT|OFFSET|FETCH|UNION|INTERSECT|EXCEPT|FOR)\\b".r
+          .findFirstMatchIn(tail).map(_.start).getOrElse(tail.length)
+        val body = tail.substring(0, bodyEnd)
+        val newBody = body.split(",", -1).map { item =>
+          val t = item.trim
+          val core = t.split("\\s+").headOption.getOrElse("")
+          renames.get(core.toLowerCase) match {
+            case Some(nn) if core.nonEmpty =>
+              item.replaceFirst("(?i)\\b" + java.util.regex.Pattern.quote(core) + "\\b", nn)
+            case _ => item
+          }
+        }.mkString(",")
+        acc.substring(0, start) + newBody + acc.substring(start + bodyEnd)
+      }
+    }
+    out
+  }
+
+  private val explicitAliasRe = "(?is)^(.*\\S)\\s+AS\\s+(\"[^\"]+\"|[A-Za-z_]\\w*)\\s*$".r
+  private val shadowAliasRe = "(?is)^([A-Za-z_]\\w*)\\.([A-Za-z_]\\w*)\\s+AS\\s+([A-Za-z_]\\w*)\\s*$".r
+  private val arrowTargetRe = "(?is)^([A-Za-z_]\\w*)\\s*->>?\\s*'(\\w+)'$".r
+  private val funcHeadRe = "(?is)^(?:[A-Za-z_]\\w*\\.)?([A-Za-z_]\\w*)\\s*\\(.*$".r
+
+  /** One select-list target: returns (rewritten text, optional alias rename). */
+  private def aliasOneTarget(raw: String): (String, Option[(String, String)]) = {
+    val t = raw.trim
+    if (t.isEmpty || t == "*" || t.endsWith(".*")) return (raw, None)
+    // append before any trailing whitespace so `… AS x` stays a token apart
+    // from the keyword that follows the list
+    val bodyEnd = raw.lastIndexWhere(!_.isWhitespace) + 1
+    def withAlias(alias: String): String =
+      raw.substring(0, bodyEnd) + " AS " + alias + raw.substring(bodyEnd)
+    t match {
+      case shadowAliasRe(tbl, col, alias) if tbl.equalsIgnoreCase(alias) =>
+        // `t.col AS t` -> `t.col AS t_` (reference RemapTargetName)
+        return (raw.replace(t, s"$tbl.$col AS ${alias}_"), Some(alias -> s"${alias}_"))
+      case explicitAliasRe(_, _) => return (raw, None) // already aliased
+      case _ =>
+    }
+    t match {
+      case arrowTargetRe(col, key) => (withAlias(s"${col}_$key"), None)
+      case funcHeadRe(fname) if !fname.equalsIgnoreCase("cast") =>
+        // pure function call (with optional FILTER/WITHIN GROUP/OVER tails)?
+        val open = t.indexOf('(')
+        val close = matchParen(t, open)
+        if (close < 0) (raw, None)
+        else {
+          var rest = t.substring(close + 1)
+          var again = true
+          while (again) {
+            again = false
+            val trimmedRest = rest.trim
+            val tails = Seq("(?is)^(FILTER|WITHIN\\s+GROUP|OVER)\\s*\\(".r,
+              "(?is)^(IGNORE|RESPECT)\\s+NULLS\\b".r, "(?is)^OVER\\s+[A-Za-z_]\\w*".r)
+            if (trimmedRest.nonEmpty) {
+              if (trimmedRest.charAt(0) == '(' ||
+                  tails.head.findFirstIn(trimmedRest).isDefined) {
+                val po = trimmedRest.indexOf('(')
+                if (po >= 0 && "(?is)^(FILTER|WITHIN\\s+GROUP|OVER)\\s*\\(.*".r.matches(trimmedRest)) {
+                  val pc = matchParen(trimmedRest, po)
+                  if (pc >= 0) { rest = trimmedRest.substring(pc + 1); again = true }
+                }
+              } else {
+                val m2 = "(?is)^((IGNORE|RESPECT)\\s+NULLS|OVER\\s+[A-Za-z_]\\w*)".r
+                  .findFirstMatchIn(trimmedRest)
+                if (m2.isDefined) { rest = trimmedRest.substring(m2.get.end); again = true }
+              }
+            }
+          }
+          if (rest.trim.isEmpty) (withAlias(fname.toLowerCase), None) else (raw, None)
+        }
+      case _ if t.startsWith("(") =>
+        // `(expr).field` -> AS field (reference IndirectionName)
+        val close = matchParen(t, 0)
+        if (close >= 0) {
+          "^\\.([A-Za-z_]\\w*)$".r.findFirstMatchIn(t.substring(close + 1)) match {
+            case Some(m) => (withAlias(m.group(1)), None)
+            case None => (raw, None)
+          }
+        } else (raw, None)
+      case _ => (raw, None)
+    }
   }
 
   /** `SELECT cols FROM … ORDER BY keys FETCH FIRST n ROWS WITH TIES` ->

@@ -278,6 +278,53 @@ object PgDialectOps {
         LEFT JOIN pg_catalog.pg_index i ON i.indexrelid = c.oid
         WHERE c.relkind IN ('i', 'I', 'S', 's') AND n.nspname <> 'pg_catalog'
         ORDER BY 1, 2""")
+    },
+
+    // projection auto-alias: unaliased `f(x)` is named after the function
+    // like PG / the reference remapper (query_remapper_select.go:51-76)
+    Q(
+      "pd_auto_alias",
+      Some("""
+      SELECT c_custkey, upper(c_name) AS upper, round(c_acctbal) AS round
+      FROM customer WHERE c_custkey <= 20 ORDER BY c_custkey""")
+    ) { (s, dir) =>
+      run(
+        s,
+        """
+        SELECT c_custkey, upper(c_name), round(c_acctbal)
+        FROM customer WHERE c_custkey <= 20 ORDER BY c_custkey"""
+      )
+    },
+
+    // unaliased `col ->> 'k'` is named col_k (query_remapper_select.go:57-66)
+    Q(
+      "pd_auto_alias_json",
+      Some("""
+      SELECT event_id, json_extract_string(props, '$.k') AS props_k
+      FROM events WHERE event_id <= 50 ORDER BY event_id""")
+    ) { (s, dir) =>
+      run(
+        s,
+        "SELECT event_id, props ->> 'k' FROM events WHERE event_id <= 50 ORDER BY event_id"
+      )
+    },
+
+    // `t.col AS t` alias shadows the relation name: renamed to `t_` and the
+    // rename follows into GROUP BY / ORDER BY (query_remapper_select.go:25-48)
+    Q(
+      "pd_alias_shadow",
+      Some("""
+      SELECT n.n_name AS n_, count(*) AS cnt
+      FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name ORDER BY n_""")
+    ) { (s, dir) =>
+      run(
+        s,
+        """
+        SELECT n.n_name AS n, count(*) AS cnt
+        FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+        GROUP BY n ORDER BY n"""
+      )
     }
   )
 }

@@ -92,15 +92,51 @@ class PgDialectSpec extends SparkSpecBase {
     }
   }
 
+  test("unaliased targets get PG auto-aliases like the reference remapper") {
+    // f(x) -> AS f (query_remapper_select.go:68-76)
+    assert(
+      translateSelect("SELECT upper(n_name) FROM nation")
+        == "SELECT upper(n_name) AS upper FROM nation"
+    )
+    // explicit alias and bare columns stay untouched
+    assert(
+      translateSelect("SELECT upper(n_name) AS u, n_name FROM nation")
+        == "SELECT upper(n_name) AS u, n_name FROM nation"
+    )
+    // FILTER tail still names after the function (PG: `count`)
+    assert(
+      translateSelect("SELECT count(*) FILTER (WHERE x > 1) FROM t")
+        == "SELECT count(*) FILTER (WHERE x > 1) AS count FROM t"
+    )
+    // only the OUTERMOST list is aliased; subquery targets stay Spark-named
+    assert(
+      translateSelect("SELECT x FROM (SELECT max(v) AS x FROM t) s")
+        == "SELECT x FROM (SELECT max(v) AS x FROM t) s"
+    )
+    // a SELECT keyword inside a string literal is not a target-list anchor
+    assert(
+      translateSelect("SELECT 'SELECT f(x)' AS s FROM t")
+        == "SELECT 'SELECT f(x)' AS s FROM t"
+    )
+    // t.col AS t -> AS t_, propagated into GROUP BY / ORDER BY
+    // (query_remapper_select.go:25-48)
+    assert(
+      translateSelect(
+        "SELECT n.n_name AS n, count(*) AS c FROM nation n GROUP BY n ORDER BY n"
+      )
+        == "SELECT n.n_name AS n_, count(*) AS c FROM nation n GROUP BY n_ ORDER BY n_ NULLS LAST"
+    )
+  }
+
   test("window FILTER translation") {
     val out = translateSelect(
       "SELECT count(*) FILTER (WHERE x = 1) OVER (PARTITION BY u) FROM t")
     assert(out ==
-      "SELECT count(CASE WHEN x = 1 THEN 1 END) OVER (PARTITION BY u) FROM t", out)
+      "SELECT count(CASE WHEN x = 1 THEN 1 END) OVER (PARTITION BY u) AS count FROM t", out)
     val out2 = translateSelect(
       "SELECT sum(v) FILTER (WHERE x = 1) OVER (PARTITION BY u) FROM t")
     assert(out2 ==
-      "SELECT sum(CASE WHEN x = 1 THEN v END) OVER (PARTITION BY u) FROM t", out2)
+      "SELECT sum(CASE WHEN x = 1 THEN v END) OVER (PARTITION BY u) AS sum FROM t", out2)
   }
 
   test("null-ordering injection stops at window frame clauses") {
@@ -141,7 +177,7 @@ class PgDialectSpec extends SparkSpecBase {
 
   test("json arrow translation") {
     assert(translateSelect("SELECT props ->> 'k' FROM events")
-      == "SELECT get_json_object(props, '$.k') FROM events")
+      == "SELECT get_json_object(props, '$.k') AS props_k FROM events")
     assert(translateSelect("SELECT props -> 'a' ->> 'b' FROM events")
       == "SELECT get_json_object(get_json_object(props, '$.a'), '$.b') FROM events")
     assert(translateSelect("SELECT j -> 0 FROM t")
@@ -187,7 +223,7 @@ class PgDialectSpec extends SparkSpecBase {
     assert(translateSelect("SELECT word FROM pg_get_keywords()")
       == "SELECT word FROM pg_keywords")
     assert(translateSelect("SELECT _pg_expandarray(arr) FROM t")
-      == "SELECT transform(arr, (__x, __i) -> struct(__x AS x, __i + 1 AS n)) FROM t")
+      == "SELECT transform(arr, (__x, __i) -> struct(__x AS x, __i + 1 AS n)) AS _pg_expandarray FROM t")
   }
 
   test("permissions comment restricts tables and columns like the reference") {
@@ -225,7 +261,7 @@ class PgDialectSpec extends SparkSpecBase {
     assert(translateSelect("SELECT a FROM t ORDER BY coalesce(a, b), c")
       == "SELECT a FROM t ORDER BY coalesce(a, b) NULLS LAST, c NULLS LAST")
     assert(translateSelect("SELECT row_number() OVER (ORDER BY x DESC) FROM t")
-      == "SELECT row_number() OVER (ORDER BY x DESC NULLS FIRST) FROM t")
+      == "SELECT row_number() OVER (ORDER BY x DESC NULLS FIRST) AS row_number FROM t")
   }
 
   test("operator and qualification translation") {
@@ -233,7 +269,7 @@ class PgDialectSpec extends SparkSpecBase {
       == "SELECT * FROM t WHERE n  RLIKE  'x.*'")
     assert(translateSelect("SELECT * FROM t WHERE n !~ 'x'")
       == "SELECT * FROM t WHERE n  NOT RLIKE  'x'")
-    assert(translateSelect("SELECT pg_catalog.version()") == "SELECT version()")
+    assert(translateSelect("SELECT pg_catalog.version()") == "SELECT version() AS version")
     assert(translateSelect("SELECT * FROM pg_catalog.pg_class")
       == "SELECT * FROM pg_class")
     assert(translateSelect("SELECT * FROM information_schema.columns")
