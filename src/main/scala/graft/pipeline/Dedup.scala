@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline (builder brief):
@@ -358,6 +359,73 @@ object Dedup {
         .filter(col("cos") >= 0.4)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
         .orderBy("id_a", "id_b")
+    },
+
+    // line-level exact dedup (the RefinedWeb/CCNet pre-pass): cut each doc
+    // into fixed 3-token lines, keep the globally first occurrence of every
+    // line (order: doc_id, line_no), report kept/removed per doc. One
+    // shuffle on the line text; the explode is scan-side. At 100 TB the
+    // shuffle key is the line hash — same shape as exact doc dedup.
+    Q("dd_line_dedup", Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, chr(32)) AS w FROM documents),
+      idx AS (SELECT doc_id, w,
+          unnest(range(0, CAST(ceil(len(w) / 3.0) AS BIGINT))) AS i
+        FROM toks),
+      lines AS (SELECT doc_id, CAST(i AS INT) AS line_no,
+          array_to_string(w[i * 3 + 1 : i * 3 + 3], chr(32)) AS line
+        FROM idx),
+      ranked AS (SELECT doc_id, line,
+          row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS occ
+        FROM lines)
+      SELECT doc_id,
+        CAST(count(*) AS BIGINT) AS n_lines,
+        CAST(sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+        CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS removed
+      FROM ranked GROUP BY doc_id ORDER BY doc_id""")) { (s, dir) =>
+      val lines = t(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"), posexplode(
+          expr("transform(sequence(0, cast(ceil(size(w) / 3.0) AS INT) - 1, 1), " +
+            "i -> concat_ws(' ', slice(w, i * 3 + 1, 3)))")).as(Seq("line_no", "line")))
+      val occ = row_number().over(
+        Window.partitionBy("line").orderBy("doc_id", "line_no"))
+      lines.withColumn("occ", occ)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("occ") === 1, 1).otherwise(0)).as("kept"),
+          sum(when(col("occ") > 1, 1).otherwise(0)).as("removed"))
+        .orderBy("doc_id")
+    },
+
+    // SemDeDup (semantic dedup): cluster-bounded pairwise cosine — a vector
+    // is dropped when a lower-id vector in the SAME cluster is closer than
+    // the threshold. Labels stand in for the k-means assignment here (the
+    // sim_ivf path is the 100 TB clusterer); the quadratic is bounded by
+    // cluster size, never all-pairs.
+    Q("dd_semdedup", Some(s"""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      dup AS (SELECT DISTINCT b.vec_id AS dropped
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ${Similarity.duckCos("a.v", "b.v")} >= 0.28)
+      SELECT e.vec_id, CAST(e.label AS INT) AS label,
+        e.vec_id NOT IN (SELECT dropped FROM dup) AS kept
+      FROM e ORDER BY e.vec_id""")) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"))
+      val dot = expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+      val na = expr("sqrt(aggregate(zip_with(va, va, (x, y) -> x * y), 0D, (acc, x) -> acc + x))")
+      val nb = expr("sqrt(aggregate(zip_with(vb, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x))")
+      val dropped = e.as("a").join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("b.vec_id").as("vec_id"), col("a.v").as("va"), col("b.v").as("vb"))
+        .filter(dot / (na * nb) >= 0.28)
+        .select("vec_id").distinct()
+        .withColumn("is_dup", lit(1))
+      e.join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("label").cast("int").as("label"),
+          col("is_dup").isNull.as("kept"))
+        .orderBy("vec_id")
     }
   )
 }

@@ -305,6 +305,59 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id"), col("rn").as("rnk"),
           round(col("cos"), 6).as("cos"))
         .orderBy("query_id", "rnk")
+    },
+
+    // int8 scalar quantization of the embedding column (the memory-/IO-
+    // compression step before ANN at scale): per-dim min/max over the
+    // corpus -> 255-step linear code -> dequantize -> per-vector max
+    // absolute error and cosine(original, dequantized). The min/max ranges
+    // are a tiny broadcast; codes are scan-side; floor(x + 0.5) avoids
+    // engine-specific round-half rules.
+    Q("sim_int8_quant", Some("""
+      WITH ex AS (SELECT generate_subscripts(embedding, 1) AS dim,
+          CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+      rng AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM ex GROUP BY dim),
+      arrs AS (SELECT list(lo ORDER BY dim) AS lo_a, list(hi ORDER BY dim) AS hi_a FROM rng),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT vec_id, v,
+          list_transform(range(1, len(v) + 1), i ->
+            CASE WHEN hi_a[i] = lo_a[i] THEN v[i]
+                 ELSE lo_a[i] + floor((v[i] - lo_a[i]) / ((hi_a[i] - lo_a[i]) / 255.0) + 0.5)
+                      * ((hi_a[i] - lo_a[i]) / 255.0) END) AS vq
+        FROM e, arrs)
+      SELECT vec_id,
+        round(list_max(list_transform(range(1, len(v) + 1), i -> abs(vq[i] - v[i]))), 6) AS max_abs_err,
+        round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip(v, vq), s -> s[1] * s[2])), (x, y) -> x + y)
+          / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip(v, v), s -> s[1] * s[2])), (x, y) -> x + y))
+             * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip(vq, vq), s -> s[1] * s[2])), (x, y) -> x + y))), 6) AS cos_orig_quant
+      FROM q ORDER BY vec_id""")) { (s, dir) =>
+      val rng = t(s, dir, "embeddings")
+        .select(posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+          .as(Seq("dim0", "x")))
+        .groupBy("dim0")
+        .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      val arrs = rng
+        .select(struct(col("dim0"), col("lo"), col("hi")).as("s"))
+        .agg(sort_array(collect_list(col("s"))).as("arr"))
+        .select(expr("transform(arr, s -> s.lo)").as("lo_a"),
+          expr("transform(arr, s -> s.hi)").as("hi_a"))
+      val quantized = t(s, dir, "embeddings")
+        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .crossJoin(broadcast(arrs))
+        .withColumn("vq", expr(
+          "transform(sequence(1, size(v)), i -> " +
+            "IF(element_at(hi_a, i) = element_at(lo_a, i), element_at(v, i), " +
+            "element_at(lo_a, i) + floor((element_at(v, i) - element_at(lo_a, i)) " +
+            "/ ((element_at(hi_a, i) - element_at(lo_a, i)) / 255.0) + 0.5) " +
+            "* ((element_at(hi_a, i) - element_at(lo_a, i)) / 255.0)))"))
+      val dot = expr("aggregate(zip_with(v, vq, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+      val nv = expr("sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x))")
+      val nq = expr("sqrt(aggregate(zip_with(vq, vq, (x, y) -> x * y), 0D, (acc, x) -> acc + x))")
+      quantized.select(col("vec_id"),
+        round(expr("array_max(transform(sequence(1, size(v)), i -> abs(element_at(vq, i) - element_at(v, i))))"), 6)
+          .as("max_abs_err"),
+        round(dot / (nv * nq), 6).as("cos_orig_quant"))
+        .orderBy("vec_id")
     }
   )
 

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline (builder brief +
@@ -22,6 +23,12 @@ object TextAnalysis {
       "i -> concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1], split(text,' ')[i+2])))"
 
   private val stopwords = Seq("the", "a")
+
+  // PII regexes shared verbatim between the Spark side and the DuckDB
+  // oracle (both engines speak the same basic-construct regex subset)
+  private val EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val IP_RE = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+  private val PHONE_RE = "\\+\\d{7,15}"
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.df(s, dir, n)
 
@@ -492,6 +499,97 @@ object TextAnalysis {
       t(s, dir, "documents")
         .select(col("doc_id"), expr("rolling_hash(text)").as("fp64"),
           expr("rolling_hash(substring(text, 1, 80))").as("fp64_prefix"))
+        .orderBy("doc_id")
+    },
+
+    // PII scrubbing: emails / IPv4s / phone numbers counted and redacted by
+    // shared regexes. The synthetic corpus has no PII, so deterministic
+    // fakes are appended first — the counts and the md5 of the scrubbed
+    // text then prove the redaction logic, not just the plumbing. Pure
+    // scan-side regex work: at 100 TB this runs at parquet-scan speed.
+    Q("txt_pii_redact", Some(s"""
+      WITH aug AS (SELECT doc_id,
+          text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+          '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+          '.7 call +1555' || CAST(1000000 + doc_id AS VARCHAR) AS t
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(t, '$EMAIL_RE')) AS BIGINT) AS n_email,
+        CAST(len(regexp_extract_all(t, '$IP_RE')) AS BIGINT) AS n_ip,
+        CAST(len(regexp_extract_all(t, '$PHONE_RE')) AS BIGINT) AS n_phone,
+        md5(regexp_replace(regexp_replace(regexp_replace(t,
+          '$EMAIL_RE', '<EMAIL>', 'g'), '$IP_RE', '<IP>', 'g'),
+          '$PHONE_RE', '<PHONE>', 'g')) AS redacted_md5
+      FROM aug ORDER BY doc_id""")) { (s, dir) =>
+      val aug = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com from 10.0."),
+        (col("doc_id") % 256).cast("string"), lit(".7 call +1555"),
+        (col("doc_id") + 1000000).cast("string"))
+      t(s, dir, "documents")
+        .withColumn("t", aug)
+        .select(col("doc_id"),
+          regexp_count(col("t"), lit(EMAIL_RE)).cast("long").as("n_email"),
+          regexp_count(col("t"), lit(IP_RE)).cast("long").as("n_ip"),
+          regexp_count(col("t"), lit(PHONE_RE)).cast("long").as("n_phone"),
+          md5(regexp_replace(regexp_replace(regexp_replace(col("t"),
+            EMAIL_RE, "<EMAIL>"), IP_RE, "<IP>"), PHONE_RE, "<PHONE>"))
+            .as("redacted_md5"))
+        .orderBy("doc_id")
+    },
+
+    // Gopher-style quality rules (word count, mean word length, fraction of
+    // all-alpha words, stopword fraction -> one pass/fail gate). All
+    // features are per-row array folds — scan-side, no shuffle.
+    Q("txt_gopher_rules", Some("""
+      WITH d AS (SELECT doc_id, string_split(text, chr(32)) AS toks FROM documents),
+      f AS (SELECT doc_id,
+          len(toks) AS n_words,
+          round(CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE)
+            / len(toks), 4) AS mean_word_len,
+          round(CAST(len(list_filter(toks, w ->
+            regexp_full_match(w, '[A-Za-z]+'))) AS DOUBLE) / len(toks), 4) AS alpha_frac,
+          round(CAST(len(list_filter(toks, w ->
+            list_contains(['the', 'a', 'of', 'and', 'to'], w))) AS DOUBLE)
+            / len(toks), 4) AS stop_frac
+        FROM d)
+      SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
+        alpha_frac, stop_frac,
+        n_words >= 20 AND n_words <= 100000 AND mean_word_len >= 2
+          AND mean_word_len <= 12 AND alpha_frac >= 0.8
+          AND stop_frac >= 0.01 AS gopher_pass
+      FROM f ORDER BY doc_id""")) { (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_words"),
+          round(expr("CAST(aggregate(transform(toks, w -> length(w)), 0L, (a, x) -> a + x) AS DOUBLE)")
+            / size(col("toks")), 4).as("mean_word_len"),
+          round(expr("CAST(size(filter(toks, w -> w RLIKE '^[A-Za-z]+$')) AS DOUBLE)")
+            / size(col("toks")), 4).as("alpha_frac"),
+          round(expr("CAST(size(filter(toks, w -> array_contains(array('the', 'a', 'of', 'and', 'to'), w))) AS DOUBLE)")
+            / size(col("toks")), 4).as("stop_frac"))
+        .withColumn("gopher_pass",
+          col("n_words").between(20, 100000) && col("mean_word_len").between(2, 12)
+            && col("alpha_frac") >= 0.8 && col("stop_frac") >= 0.01)
+        .orderBy("doc_id")
+    },
+
+    // domain (source) cap: keep at most K docs per source, chosen by a
+    // deterministic md5 shuffle — the anti-over-representation mix step of
+    // corpus curation. One shuffle on source; rank + filter.
+    Q("txt_domain_cap", Some("""
+      WITH r AS (SELECT doc_id, source,
+          row_number() OVER (PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents)
+      SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+      FROM r WHERE rk <= 15 ORDER BY doc_id""")) { (s, dir) =>
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 15)
+        .select("doc_id", "source", "rk")
         .orderBy("doc_id")
     }
   )

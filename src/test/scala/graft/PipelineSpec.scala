@@ -127,4 +127,35 @@ class PipelineSpec extends SparkSpecBase {
     assert(cappedDups.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       == Seq((1001L, 1002L)))
   }
+
+  test("int8 quantization preserves cosine within 1e-3 on every vector") {
+    val rows = SparkEntry.queries("sim_int8_quant")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("cos_orig_quant")) >= 0.999,
+        s"vec ${r.getLong(0)} cos ${r.getDouble(r.fieldIndex("cos_orig_quant"))}")
+      assert(r.getDouble(r.fieldIndex("max_abs_err")) <= 0.01)
+    }
+  }
+
+  test("line dedup partitions every line into kept or removed, keeps firsts") {
+    val rows = SparkEntry.queries("dd_line_dedup")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("kept")) + r.getLong(r.fieldIndex("removed"))
+        == r.getLong(r.fieldIndex("n_lines")))
+    }
+    // the globally first doc loses nothing (its lines are all first
+    // occurrences by the (doc_id, line_no) order)
+    val first = rows.minBy(_.getLong(0))
+    assert(first.getLong(first.fieldIndex("removed")) == 0L)
+  }
+
+  test("semdedup drops only vectors with a lower-id near neighbor in-cluster") {
+    val rows = SparkEntry.queries("dd_semdedup")(spark, sfDir).collect()
+    val dropped = rows.filter(!_.getBoolean(2)).map(_.getLong(0)).toSet
+    assert(dropped.nonEmpty, "threshold should drop some vectors at this SF")
+    // the lowest vec_id overall can never be dropped
+    assert(!dropped.contains(rows.map(_.getLong(0)).min))
+  }
 }
