@@ -144,6 +144,43 @@ object StoreOps {
         .select(col("w.start").as("window_start"), col("event_type"), col("n"),
           col("total_value"))
         .orderBy("window_start", "event_type")
+    },
+
+    // snapshot (time-travel) read through a REAL Store in a temp warehouse:
+    // publish v1, upsert on top of it (v2), then read the v1 snapshot —
+    // which must still equal the original load even though the live table
+    // changed. The oracle is just the v1 content.
+    Q("st_time_travel", Some("""
+      SELECT o_orderkey, o_orderstatus FROM orders
+      WHERE o_orderkey <= 1000 ORDER BY o_orderkey""")) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-tt").toString
+      val store = new Store(s, wh)
+      val v1 = t(s, dir, "orders")
+        .filter(col("o_orderkey") <= 1000)
+        .select("o_orderkey", "o_orderstatus")
+      store.replace("tt_orders", v1)
+      val snap = store.currentVersion("tt_orders")
+      store.upsert("tt_orders",
+        v1.limit(10).withColumn("o_orderstatus", lit("X")), "o_orderkey")
+      store.readVersion("tt_orders", snap).orderBy("o_orderkey")
+    },
+
+    // min/max file pruning through a REAL Store: four disjoint-range
+    // appends make four stats-disjoint file sets; a range read must both
+    // return exactly the filtered rows (oracle) and touch only the files
+    // whose footer range overlaps (asserted in StoreSpec).
+    Q("st_pruned_read", Some("""
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderkey BETWEEN 2000 AND 2999 ORDER BY o_orderkey""")) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-pr").toString
+      val store = new Store(s, wh)
+      val orders = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      for (b <- 0 until 4)
+        store.append("pr_orders",
+          orders.filter(col("o_orderkey") >= b * 2500 && col("o_orderkey") < (b + 1) * 2500)
+            .coalesce(1))
+      val (df, _, _) = store.readRange("pr_orders", "o_orderkey", 2000L, 2999L)
+      df.orderBy("o_orderkey")
     }
   )
 }

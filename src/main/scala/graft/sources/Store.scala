@@ -75,6 +75,43 @@ class Store(spark: SparkSession, warehouse: String) {
   def read(name: String): DataFrame =
     spark.read.parquet(versionDir(name, versions(name)))
 
+  def currentVersion(name: String): Int = versions(name)
+
+  /** Snapshot (time-travel) read: every publish writes a NEW version dir
+    * and old dirs stay immutable, so any prior version remains readable —
+    * the Iceberg snapshot-read analog (iceberg snapshots keep data files
+    * alive until expiry; here version dirs play that role). */
+  def readVersion(name: String, v: Int): DataFrame = {
+    require(Files.exists(Paths.get(versionDir(name, v))),
+      s"table $name has no version $v")
+    spark.read.parquet(versionDir(name, v))
+  }
+
+  /** Min/max-pruned range scan: parquet footer stats on `key` decide which
+    * data files can contain [lo, hi] before Spark ever lists them — the
+    * Iceberg manifest-pruning analog, same stats the upsert path uses.
+    * Returns (filtered frame, files scanned, files total); at 100 TB the
+    * win is skipping whole files, not just row groups. */
+  def readRange(name: String, key: String, lo: Any, hi: Any): (DataFrame, Int, Int) = {
+    val cur = Paths.get(versionDir(name, versions(name)))
+    val files = Files.list(cur).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+    val lon = normKey(lo)
+    val hin = normKey(hi)
+    def overlaps(range: Option[(Any, Any)]): Boolean = range match {
+      case None => true // no stats: must scan
+      case Some((flo, fhi)) =>
+        keyOrdering.compare(flo, hin) <= 0 && keyOrdering.compare(fhi, lon) >= 0
+    }
+    val hit =
+      try files.filter(f => overlaps(footerKeyRange(f, key)))
+      catch { case _: ClassCastException => files }
+    val base =
+      if (hit.isEmpty) read(name).limit(0)
+      else spark.read.parquet(hit.map(_.toString): _*)
+    (base.filter(col(key) >= lit(lo) && col(key) <= lit(hi)), hit.length, files.length)
+  }
+
   /** Atomic replace: write v(n+1), then flip the pointer. */
   def replace(name: String, df: DataFrame): Unit = {
     val next = versions.getOrElse(name, 0) + 1

@@ -209,4 +209,35 @@ class StoreSpec extends SparkSpecBase {
     st.refreshMatview("mvnd")
     assert(st.read("mvnd").count() == 5)
   }
+
+  test("readVersion is an immutable snapshot across later upserts") {
+    import spark.implicits._
+    val st = freshStore()
+    st.replace("t", (1 to 50).map(i => (i.toLong, "old")).toDF("k", "v"))
+    val snap = st.currentVersion("t")
+    st.upsert("t", Seq((1L, "new"), (99L, "new")).toDF("k", "v"), "k")
+    // live table sees the upsert; the snapshot does not
+    assert(st.read("t").filter(col("v") === "new").count() == 2)
+    assert(st.read("t").count() == 51)
+    val old = st.readVersion("t", snap)
+    assert(old.count() == 50)
+    assert(old.filter(col("v") === "new").count() == 0)
+    intercept[IllegalArgumentException](st.readVersion("t", 99))
+  }
+
+  test("readRange scans only files whose footer range overlaps") {
+    import spark.implicits._
+    val st = freshStore()
+    // four stats-disjoint files: keys [0,99], [100,199], [200,299], [300,399]
+    for (b <- 0 until 4)
+      st.append("t", (b * 100 until (b + 1) * 100).map(_.toLong).toDF("k").coalesce(1))
+    val (df, scanned, total) = st.readRange("t", "k", 150L, 249L)
+    assert(total == 4)
+    assert(scanned == 2, s"expected 2 overlapping files, scanned $scanned")
+    assert(df.count() == 100)
+    assert(df.agg(min(col("k")), max(col("k"))).collect()(0).toSeq == Seq(150L, 249L))
+    // an empty range prunes everything and still returns the right schema
+    val (none, s0, _) = st.readRange("t", "k", 1000L, 2000L)
+    assert(s0 == 0 && none.count() == 0 && none.columns.toSeq == Seq("k"))
+  }
 }
