@@ -18,14 +18,18 @@ object FnQueries {
     Q("fn_pg_shims", Some("""
       SELECT 'PostgreSQL 17.0, compiled by graft-spark' AS v, '17.0' AS sv,
              12345 AS pid, false AS in_recovery, 'graft' AS owner,
-             true AS can_connect, 'pg_catalog,public' AS schemas
+             true AS can_connect, 'pg_catalog,public' AS schemas,
+             '{' || chr(10) || '    "b": [' || chr(10) || '        1,'
+               || chr(10) || '        2' || chr(10) || '    ],' || chr(10)
+               || '    "a": "x"' || chr(10) || '}' AS pretty
       """)) { (s, dir) =>
       s.sql("""
         SELECT version() AS v, current_setting('server_version') AS sv,
                pg_backend_pid() AS pid, pg_is_in_recovery() AS in_recovery,
                pg_get_userbyid(10) AS owner,
                has_database_privilege('graft', 'graft', 'CONNECT') AS can_connect,
-               array_join(current_schemas(true), ',') AS schemas""")
+               array_join(current_schemas(true), ',') AS schemas,
+               jsonb_pretty('{"b":[1,2],"a":"x"}') AS pretty""")
     },
 
     Q("fn_quote_ident", Some("""

@@ -9,6 +9,7 @@ import org.apache.spark.sql.types._
 import java.time.format.DateTimeFormatter
 import java.time.{Instant, ZoneOffset}
 import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
 
 /** Session settings registry — the analog of the reference's
   * `duckdb_settings()` surface plus its SET/SHOW no-op handling
@@ -122,6 +123,9 @@ object PgFunctions {
     }
     fn(spark, "jsonb_array_length") { exprs => LengthOfJsonArray(exprs.head) }
     fn(spark, "json_array_length") { exprs => LengthOfJsonArray(exprs.head) }
+    // jsonb_pretty (macro at query_remapper_function.go:46): PG-style
+    // 4-space-indent rendering (`"key": value`, arrays expanded)
+    spark.udf.register("jsonb_pretty", (j: String) => prettyJson(j))
     // json_build_object(k1, v1, ...) -> to_json(map(...)) (macro at
     // query_remapper_function.go:45-52); args must share a value type
     fn(spark, "json_build_object") { exprs => StructsToJson(Map.empty, CreateMap(exprs)) }
@@ -246,6 +250,50 @@ object PgFunctions {
           i += 1
       }
     }
+    sb.toString
+  }
+
+  /** PG jsonb_pretty rendering: 4-space indent, `"key": value`, arrays and
+    * objects expanded one element per line, scalars in compact JSON form. */
+  private[graft] def prettyJson(j: String): String = {
+    if (j == null) return null
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(j)
+    val sb = new StringBuilder
+    def render(n: com.fasterxml.jackson.databind.JsonNode, ind: Int): Unit = {
+      val padIn = "    " * (ind + 1)
+      val pad = "    " * ind
+      if (n.isObject) {
+        val fields = n.fields.asScala.toSeq
+        if (fields.isEmpty) sb.append("{}")
+        else {
+          sb.append("{\n")
+          fields.zipWithIndex.foreach { case (e, i) =>
+            sb.append(padIn).append(om.writeValueAsString(
+              com.fasterxml.jackson.databind.node.TextNode.valueOf(e.getKey)))
+              .append(": ")
+            render(e.getValue, ind + 1)
+            if (i < fields.size - 1) sb.append(',')
+            sb.append('\n')
+          }
+          sb.append(pad).append('}')
+        }
+      } else if (n.isArray) {
+        val els = n.elements.asScala.toSeq
+        if (els.isEmpty) sb.append("[]")
+        else {
+          sb.append("[\n")
+          els.zipWithIndex.foreach { case (e, i) =>
+            sb.append(padIn)
+            render(e, ind + 1)
+            if (i < els.size - 1) sb.append(',')
+            sb.append('\n')
+          }
+          sb.append(pad).append(']')
+        }
+      } else sb.append(om.writeValueAsString(n))
+    }
+    render(root, 0)
     sb.toString
   }
 }
