@@ -100,11 +100,11 @@ object Dedup {
   private val BANDS = 16
   private val R = K / BANDS
 
-  /** Per-doc MinHash signature, computed scan-side (no shuffle): for each of
-    * K seeds, min over shingles of xxhash64(seed || shingle). */
-  private def signatureCol: Column = expr(
-    s"transform(sequence(0, ${K - 1}), " +
-      "k -> array_min(transform(sh, s -> xxhash64(concat(cast(k as string), ':', s)))))")
+  /** Per-doc MinHash signature, computed scan-side (no shuffle): K seeded
+    * XXH64 minima in one pass over the shingles via the codegen'd
+    * [[MinHashSigs]] expression (one array walk instead of K, no per-
+    * (seed, shingle) concat allocation — see MinHashUtil.sigs). */
+  private def signatureCol: Column = GraftExpressions.minhash_sigs(col("sh"), K)
 
   val defs: Seq[Q] = Seq(
 
@@ -169,6 +169,7 @@ object Dedup {
     // at j>=0.9 with 16 bands of 2 the miss probability is ~2e-12, and the
     // verify step removes false candidates, so LSH output == exact output.
     Q("dd_minhash_lsh", Some(jaccardOracle)) { (s, dir) =>
+      GraftExpressions.register(s)
       val d = shingled(s, dir).cache()
       val sig = d.select(col("doc_id"), col("sh"), signatureCol.as("sig"))
       val bands = sig.select(col("doc_id"),

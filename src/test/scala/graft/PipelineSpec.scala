@@ -88,6 +88,29 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("minhash_sigs equals per-seed xxhash64 minima, codegen and eval") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    GraftExpressions.register(spark)
+    // independent reference: hash each string's UTF-8 bytes with seed j
+    def ref(shingles: Seq[String], k: Int): Seq[Long] =
+      (0 until k).map { j =>
+        shingles.map { s =>
+          val u = UTF8String.fromString(s)
+          XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, j)
+        }.min
+      }
+    val sample = Seq("the quick fox", "jumps over", "the lazy dog")
+    val got = spark.sql(
+      s"SELECT minhash_sigs(array(${sample.map("'" + _ + "'").mkString(",")}), 8) AS s")
+      .collect()(0).getSeq[Long](0)
+    assert(got == ref(sample, 8))
+    // the expression is deterministic through the full distributed query
+    // path (signature -> banding) — two runs, identical buckets
+    val q = () => SparkEntry.queries("dd_minhash_lsh")(spark, sfDir).collect().toSeq
+    assert(q() == q())
+  }
+
   test("quality score stays in [0,1] and penalizes stopword soup") {
     val rows = run("txt_quality_score").select("quality").collect().map(_.getDouble(0))
     assert(rows.forall(q => q >= 0.0 && q <= 1.0))
