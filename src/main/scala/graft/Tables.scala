@@ -73,6 +73,7 @@ object Tables {
     if (registeredDir != dir) {
       names.foreach(n => df(spark, dir, n).createOrReplaceTempView(n))
       PgFunctions.register(spark)
+      GraftExpressions.register(spark)
       PgCatalog.noteDir(dir)
       PgCatalog.register(spark)
       registeredDir = dir

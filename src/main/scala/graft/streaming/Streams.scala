@@ -108,4 +108,33 @@ object Streams {
   def enrich(events: DataFrame, customer: DataFrame): DataFrame =
     events.join(broadcast(customer), col("user_id") === col("c_custkey"))
       .select(col("event_id"), col("user_id"), col("c_mktsegment"), col("value"))
+
+  /** CDC apply loop: a stream of keyed change rows
+    * `(op: upsert|delete, seq, key, payload…)` folded into a [[Store]]
+    * table once per micro-batch via foreachBatch — the reference's
+    * timer-driven incremental sync re-expressed as an always-on stream.
+    * Each batch is first compacted to the highest-seq change per key
+    * (the Debezium->MERGE shape), then applied through the same
+    * footer-pruned upsert/delete the batch write path uses, so a 1-row
+    * change never rewrites the table. Checkpointing gives exactly-once
+    * apply per batch id. */
+  def cdcApply(changes: DataFrame, store: Store, table: String, key: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.expressions.Window
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val w = Window.partitionBy(col(key)).orderBy(col("seq").desc)
+        val latest = batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val ups = latest.filter(col("op") === "upsert").drop("op", "seq")
+        val dels = latest.filter(col("op") === "delete").select(col(key))
+        // post-compaction the key sets are disjoint; apply order is free
+        if (!ups.isEmpty) store.upsert(table, ups, key)
+        if (!dels.isEmpty) store.deleteByKey(table, dels, key)
+        ()
+      }
+      .start()
+  }
 }

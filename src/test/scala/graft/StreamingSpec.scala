@@ -145,4 +145,29 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.count() == batch.count())
     assert(streamed.count() > 0)
   }
+
+  test("CDC apply stream folds keyed changes into the store") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val st = new Store(spark,
+      java.nio.file.Files.createTempDirectory("graft-cdc").toString)
+    st.replace("t", (1L to 20L).map(k => (k, "old")).toDF("k", "v"))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long, String)] // op, seq, k, v
+    val changes = mem.toDF.toDF("op", "seq", "k", "v")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdc-ck").toString
+    mem.addData(("upsert", 1L, 1L, "a"), ("delete", 2L, 2L, null),
+      ("upsert", 3L, 21L, "b"))
+    Streams.cdcApply(changes, st, "t", "k", ckpt).awaitTermination(120000)
+    assert(st.read("t").count() == 20) // +1 insert, -1 delete
+    // within-batch conflict on k=3: the later (higher-seq) upsert wins over
+    // the delete after batch compaction; k=2 comes back
+    mem.addData(("upsert", 4L, 2L, "back"), ("delete", 5L, 3L, null),
+      ("upsert", 6L, 3L, "win"))
+    Streams.cdcApply(changes, st, "t", "k", ckpt).awaitTermination(120000)
+    val out = st.read("t").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 21)
+    assert(out(1L) == "a" && out(2L) == "back" && out(3L) == "win"
+      && out(21L) == "b" && out(4L) == "old")
+  }
 }
