@@ -121,6 +121,22 @@ class Store(spark: SparkSession, warehouse: String) {
     persistCatalog()
   }
 
+  /** Range-partitioned, sorted-within-partition replace: every output file
+    * covers a tight, non-overlapping key range, which turns the footer
+    * min/max pruning in [[readRange]] / upsert into near-perfect file
+    * skipping (the Iceberg sort-order + manifest-stats combination). Use
+    * for tables whose hot filter is a range on `key` — at 100 TB a point
+    * or range query then touches O(range / file-span) files, not all. */
+  def replaceSorted(name: String, df: DataFrame, key: String, numFiles: Int): Unit = {
+    val next = versions.getOrElse(name, 0) + 1
+    df.repartitionByRange(numFiles, col(key))
+      .sortWithinPartitions(key)
+      .write.mode(SaveMode.Overwrite).option("compression", "zstd")
+      .parquet(versionDir(name, next))
+    versions(name) = next
+    persistCatalog()
+  }
+
   /** Replace with hive-style partition directories on `partitionCols` —
     * scans with a partition-key predicate prune whole directories
     * (PartitionFilters in the physical plan). Cluster-scale analog of

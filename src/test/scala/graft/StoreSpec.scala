@@ -240,4 +240,22 @@ class StoreSpec extends SparkSpecBase {
     val (none, s0, _) = st.readRange("t", "k", 1000L, 2000L)
     assert(s0 == 0 && none.count() == 0 && none.columns.toSeq == Seq("k"))
   }
+
+  test("replaceSorted makes range reads near-perfectly file-pruned") {
+    import spark.implicits._
+    val st = freshStore()
+    // unsorted input; the sorted range write lays it out in 8 disjoint files
+    val rnd = new scala.util.Random(7)
+    st.replaceSorted("t", rnd.shuffle((0L until 8000L).toList).toDF("k"), "k", 8)
+    val (df, scanned, total) = st.readRange("t", "k", 2500L, 3499L)
+    assert(total == 8)
+    assert(df.count() == 1000)
+    // a 1/8th-width range on a sorted layout touches at most 2 of 8 files
+    assert(scanned <= 2, s"sorted layout should prune to <=2 files, got $scanned")
+    // same range over a hash-layout table scans everything — the contrast
+    // that motivates the sorted write
+    st.replace("h", rnd.shuffle((0L until 8000L).toList).toDF("k").repartition(8))
+    val (_, scannedHash, totalHash) = st.readRange("h", "k", 2500L, 3499L)
+    assert(totalHash == 8 && scannedHash == 8)
+  }
 }
