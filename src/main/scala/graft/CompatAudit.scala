@@ -1,0 +1,201 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** Compatibility audit: replays the reference's own golden query corpus
+  * (extracted from /root/reference/src/server/query_handler_test.go into
+  * tools/golden_queries.json) through the dialect front end against a
+  * test_table built with the engine's own PG->Spark type mapping
+  * ([[PgTypes.toSpark]]) and the reference's two fixture rows
+  * (syncer-postgres/lib/init_test.go:11-388). Prints pass/fail counts and
+  * every failing query — the measure of "a reference user could switch".
+  *
+  * Usage: graft.CompatAudit [queriesJson]
+  */
+object CompatAudit {
+
+  /** (column, pg udt name, row1, row2) — BEMIDB_NULL_STRING -> null. */
+  private val cols: Seq[(String, String, String, String)] = Seq(
+    ("id", "int4", "1", "2"),
+    ("bit_column", "bit", "1", null),
+    ("bool_column", "bool", "t", "f"),
+    ("bpchar_column", "bpchar", "bpchar", ""),
+    ("varchar_column", "varchar", "varchar", null),
+    ("text_column", "text", "text", ""),
+    ("int2_column", "int2", "32767", "-32767"),
+    ("int4_column", "int4", "2147483647", null),
+    ("int8_column", "int8", "9223372036854775807", "-9223372036854775807"),
+    ("hugeint_column", "numeric", "10000000000000000000", null),
+    ("xid_column", "xid", "4294967295", null),
+    ("xid8_column", "xid8", "18446744073709551615", null),
+    ("float4_column", "float4", "3.14", "NaN"),
+    ("float8_column", "float8", "3.141592653589793", "-3.141592653589793"),
+    ("numeric_column", "numeric", "12345.67", "-12345.00"),
+    ("numeric_column_without_precision", "numeric", "12345.67", null),
+    ("date_column", "date", "2024-01-01", "20025-11-12"),
+    ("time_column", "time", "12:00:00.123456", "12:00:00.123"),
+    ("timeMsColumn", "time", "12:00:00.123", null),
+    ("timetz_column", "timetz", "12:00:00.123456-05", "12:00:00.12300+05"),
+    ("timetz_ms_column", "timetz", "12:00:00.123-05", "12:00:00.1+05"),
+    ("timestamp_column", "timestamp", "2024-01-01 12:00:00.123456", "2024-01-01 12:00:00"),
+    ("timestamp_ms_column", "timestamp", "2024-01-01 12:00:00.123", null),
+    ("timestamptz_column", "timestamptz", "2024-01-01 12:00:00.123456-05", "2024-01-01 12:00:00.000123+05:30"),
+    ("timestamptz_ms_column", "timestamptz", "2024-01-01 12:00:00.123-05", "2024-01-01 12:00:00.12+05"),
+    ("uuid_column", "uuid", "58a7c845-af77-44b2-8664-7ca613d92f04", null),
+    ("bytea_column", "bytea", "\\x48656c6c6f", null),
+    ("interval_column", "interval", "1 mon 2 days 01:00:01.000001", null),
+    ("tsvector_column", "tsvector", "'sampl':1 'text':2 'tsvector':4", null),
+    ("xml_column", "xml", "<root><child>text</child></root>", null),
+    ("pg_snapshot_column", "pg_snapshot", "1896:1896:", null),
+    ("point_column", "point", "(37.347301483154,45.002101898193)", null),
+    ("inet_column", "inet", "192.168.0.1", null),
+    ("json_column", "json", "{\"key\": \"value\"}", null),
+    ("jsonb_column", "jsonb",
+      "{\"key\": \"value\", \"nestedKey\": { \"key\": \"value\" }}", "{}"),
+    ("array_text_column", "_text", "{one,two,three}", null),
+    ("array_int_column", "_int4", "{1,2,3}", "{}"),
+    ("array_jsonb_column", "_jsonb",
+      "{\"{\\\"key\\\": \\\"value1\\\"}\",\"{\\\"key\\\": \\\"value2\\\"}\"}", null),
+    ("array_ltree_column", "_ltree", "{\"a.b\",\"c.d\"}", null),
+    ("user_defined_column", "custom_type", "(Toronto)", null))
+
+  /** One CSV cell -> the Spark value for its PgTypes-mapped field. */
+  private def cell(raw: String, f: StructField): Any = {
+    if (raw == null) return null
+    f.dataType match {
+      case ArrayType(et, _) =>
+        val body = raw.stripPrefix("{").stripSuffix("}")
+        if (body.isEmpty) Seq.empty[Any]
+        else splitPgArray(body).map(e => scalar(e, et))
+      case dt => scalar(raw, dt)
+    }
+  }
+
+  /** PG array-literal split honoring quoted elements with backslash escapes. */
+  private def splitPgArray(body: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (inQ) {
+        if (c == '\\' && i + 1 < body.length) { sb += body.charAt(i + 1); i += 1 }
+        else if (c == '"') inQ = false
+        else sb += c
+      } else if (c == '"') inQ = true
+      else if (c == ',') { out += sb.toString; sb.clear() }
+      else sb += c
+      i += 1
+    }
+    out += sb.toString
+    out.result()
+  }
+
+  private def scalar(raw: String, dt: DataType): Any = dt match {
+    case BooleanType => raw == "t" || raw == "true"
+    case IntegerType => raw.toInt
+    case LongType if raw.contains(":") => // time[tz]-of-day as micros
+      val local = raw.replaceAll("[+-]\\d{1,2}(:\\d{2})?$", "")
+      java.time.LocalTime.parse(local).toNanoOfDay / 1000
+    case LongType => raw.toLong
+    case FloatType => raw.toFloat
+    case DoubleType => raw.toDouble
+    case d: DecimalType =>
+      if (raw.startsWith("(")) null // unexpected
+      else Decimal(new java.math.BigDecimal(stripIntervalToMicros(raw)), d.precision, d.scale)
+    case DateType => // the fixture's year-20025 date clamps to Spark's max
+      val d = try java.time.LocalDate.parse(raw)
+        catch { case _: Exception => java.time.LocalDate.of(9999, 12, 31) }
+      java.sql.Date.valueOf(d.toString)
+    case TimestampNTZType => java.time.LocalDateTime.parse(raw.replace(' ', 'T'))
+    case TimestampType =>
+      java.time.OffsetDateTime.parse(normalizeOffset(raw).replace(' ', 'T')).toInstant
+    case BinaryType => // \x-prefixed hex
+      raw.stripPrefix("\\x").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    case StringType => raw
+    case _ => raw
+  }
+
+  /** interval text -> micros (reference stores micros; 1 mon = 30 days). */
+  private def stripIntervalToMicros(raw: String): String = {
+    val iv = "(?:(\\d+) mons? )?(?:(\\d+) days? )?(\\d+):(\\d+):(\\d+)(?:\\.(\\d+))?".r
+    raw match {
+      case iv(mon, day, h, m, s, frac) =>
+        val micros =
+          (Option(mon).map(_.toLong).getOrElse(0L) * 30 * 86400000000L) +
+            (Option(day).map(_.toLong).getOrElse(0L) * 86400000000L) +
+            h.toLong * 3600000000L + m.toLong * 60000000L + s.toLong * 1000000L +
+            Option(frac).map(f => (f + "0" * (6 - f.length)).take(6).toLong).getOrElse(0L)
+        micros.toString
+      case _ => raw
+    }
+  }
+
+  private def normalizeOffset(raw: String): String =
+    // +05 / -05 -> +05:00; +05:30 passes through
+    "([+-])(\\d{2})$".r.replaceAllIn(raw, m => m.group(1) + m.group(2) + ":00")
+
+  def buildTestTable(spark: SparkSession): DataFrame = {
+    val fields = cols.map { case (name, udt, _, _) =>
+      PgTypes.toSpark(udt).copy(name = name)
+    }
+    val schema = StructType(fields)
+    val rows = Seq(
+      Row.fromSeq(cols.zip(fields).map { case ((_, _, v1, _), f) => cell(v1, f) }),
+      Row.fromSeq(cols.zip(fields).map { case ((_, _, _, v2), f) => cell(v2, f) }))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val path = args.headOption.getOrElse("tools/golden_queries.json")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val store = new Store(spark,
+      java.nio.file.Files.createTempDirectory("graft-audit").toString)
+    PgFunctions.register(spark)
+    GraftExpressions.register(spark)
+    PgCatalog.register(spark)
+    buildTestTable(spark).createOrReplaceTempView("test_table")
+    spark.createDataFrame(java.util.Collections.emptyList[Row](),
+      StructType(Seq(StructField("id", IntegerType, nullable = false))))
+      .createOrReplaceTempView("test_empty_table")
+    // the golden corpus addresses the table as postgres.test_table
+    SessionSettings.set("graft.strip_schemas", "public,postgres,main")
+
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val queries = om.readTree(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path))).elements.asScala.map(_.asText).toSeq
+
+    var ok = 0
+    val failures = Seq.newBuilder[(String, String)]
+    queries.foreach { q =>
+      try {
+        PgDialect.executeAll(spark, store, q).foreach {
+          case PgDialect.Rows(df, _) => df.collect()
+          case _ =>
+        }
+        ok += 1
+      } catch {
+        case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          failures += q -> msg.linesIterator.filter(_.trim.nonEmpty)
+            .nextOption().getOrElse(e.getClass.getName).take(160)
+      }
+    }
+    val fails = failures.result()
+    println(s"golden corpus: ${queries.size} queries, $ok pass, ${fails.size} fail")
+    fails.foreach { case (q, e) =>
+      println("FAIL: " + q.linesIterator.mkString(" ").take(200))
+      println("      " + e)
+    }
+  }
+}

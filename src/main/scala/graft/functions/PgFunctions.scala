@@ -80,7 +80,12 @@ object PgFunctions {
     const(spark, "has_database_privilege", true, BooleanType)
     const(spark, "has_schema_privilege", true, BooleanType)
     const(spark, "has_table_privilege", true, BooleanType)
-    const(spark, "aclexplode", null, StringType)
+    // aclexplode returns a typed-null acl record so `(aclexplode(x)).grantee`
+    // style field access resolves (the reference stubs it to json null)
+    const(spark, "aclexplode", null, StructType(Seq(
+      StructField("grantor", LongType), StructField("grantee", LongType),
+      StructField("privilege_type", StringType),
+      StructField("is_grantable", BooleanType))))
     const(spark, "current_schemas", Seq("pg_catalog", "public"), ArrayType(StringType))
     // visibility probes psql's \d sends (query_remapper.go:519-564 strips
     // them for DuckDB; Catalyst just needs them to exist and say yes)
@@ -110,6 +115,28 @@ object PgFunctions {
     // parser_function.go:100-109). Java's Formatter already accepts the
     // %N$s positional forms PG emits.
     fn(spark, "pg_format") { exprs => FormatString(exprs: _*) }
+
+    // array_to_string / sha256 under their PG spellings (whitelisted
+    // builtins in the reference, query_remapper_function.go:114-117)
+    fn(spark, "array_to_string") { exprs =>
+      // accepts a real array (any element type) or a JSON-ish text form
+      // ('[1, 2, 3]'); children are resolved by the time the builder runs
+      val arr = exprs(0).dataType match {
+        case StringType => JsonToStructs(ArrayType(StringType), Map.empty, exprs(0))
+        case ArrayType(StringType, _) => exprs(0)
+        case _: ArrayType => Cast(exprs(0), ArrayType(StringType))
+        case _ => exprs(0)
+      }
+      ArrayJoin(arr, exprs(1), None)
+    }
+    fn(spark, "sha256") { exprs => Sha2(exprs.head, Literal(256)) }
+    // jsonb_object_agg(k, v) -> to_json(map(array_agg(k), array_agg(v)))
+    // (macro at query_remapper_function.go:44)
+    fn(spark, "jsonb_object_agg") { exprs =>
+      StructsToJson(Map.empty, MapFromArrays(
+        CollectList(exprs(0)).toAggregateExpression(),
+        CollectList(exprs(1)).toAggregateExpression()))
+    }
 
     // --- JSON shims (query_remapper_function.go:39-52) -------------------
     fn(spark, "row_to_json") { exprs => StructsToJson(Map.empty, exprs.head) }

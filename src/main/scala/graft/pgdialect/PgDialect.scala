@@ -116,6 +116,8 @@ object PgDialect {
       if (upper.contains("PG_MATVIEWS") || upper.contains("PG_STAT_USER_TABLES")
           || upper.contains("PG_CLASS"))
         PgCatalog.refreshDynamic(spark, store)
+      if (upper.contains("INFORMATION_SCHEMA"))
+        PgCatalog.refreshInfoSchema(spark)
       val translated = applyPermissions(translateSelect(stmt), perms)
       return Rows(spark.sql(translated), "SELECT")
     }
@@ -187,8 +189,19 @@ object PgDialect {
   def translateSelect(sql: String): String = {
     var s = sql.trim.stripSuffix(";")
     s = autoAliasTargets(s)
+    s = rewriteArraySubquery(s)
     s = rewriteDistinctOn(s)
     s = s.replaceAll("(?i)\\bpg_catalog\\s*\\.\\s*", "")
+    // user-schema qualification: the reference resolves schema.table for
+    // its synced schemas (query_remapper_table.go:93-110); our registered
+    // views are flat, so configured schema prefixes are stripped the same
+    // way pg_catalog. is. Default set: public; SET graft.strip_schemas
+    // extends it (e.g. the database-named schema BemiDB syncers emit).
+    SessionSettings.get("graft.strip_schemas").getOrElse("public,main").split(",")
+      .map(_.trim).filter(_.nonEmpty).foreach { sc =>
+        s = replaceOutsideStrings(s,
+          "(?i)\"?\\b" + java.util.regex.Pattern.quote(sc) + "\"?\\s*\\.\\s*", "")
+      }
     s = s.replaceAll("(?i)\\binformation_schema\\s*\\.\\s*(tables|columns|" +
       "table_constraints|key_column_usage|referential_constraints)\\b",
       "information_schema_$1")
@@ -197,18 +210,77 @@ object PgDialect {
     s = rewriteRegclass(s)
     // pg table functions over the settings/keywords views
     // (query_remapper_function.go:75-100)
-    s = s.replaceAll("(?i)\\bpg_show_all_settings\\s*\\(\\s*\\)", "pg_settings")
-    s = s.replaceAll("(?i)\\bpg_get_keywords\\s*\\(\\s*\\)", "pg_keywords")
+    // aliased call keeps the user alias; bare call gets the function name
+    // as its alias so `pg_get_keywords.word` style references resolve
+    val kwds = "(?i)\\b(pg_show_all_settings|pg_get_keywords)\\s*\\(\\s*\\)" +
+      "(\\s+(?:AS\\s+)?(?!WHERE\\b|LIMIT\\b|ORDER\\b|GROUP\\b|HAVING\\b|UNION\\b|" +
+      "INTERSECT\\b|EXCEPT\\b|JOIN\\b|ON\\b|USING\\b|LEFT\\b|RIGHT\\b|INNER\\b|" +
+      "CROSS\\b|FULL\\b|OFFSET\\b|FETCH\\b)[A-Za-z_]\\w*)?"
+    s = kwds.r.replaceAllIn(s, m => {
+      val view = if (m.group(1).equalsIgnoreCase("pg_get_keywords")) "pg_keywords" else "pg_settings"
+      val alias = Option(m.group(2)).getOrElse(" " + m.group(1).toLowerCase)
+      java.util.regex.Matcher.quoteReplacement(view + alias)
+    })
+    // psql's GSSAPI/SSL connect probe compares a faked boolean pid column
+    // to pg_backend_pid(); DuckDB coerces bool=int, Spark's ANSI mode does
+    // not — string-compare both sides (the probe's WHERE false makes the
+    // result empty either way)
+    s = s.replaceAll("(?i)\\bpid\\s*=\\s*pg_backend_pid\\s*\\(\\s*\\)",
+      "CAST(pid AS STRING) = CAST(pg_backend_pid() AS STRING)")
+    // zero-arg shim functions used as table sources (SELECT * FROM f())
+    s = s.replaceAll("(?i)\\bFROM\\s+(pg_is_in_recovery|version)\\s*\\(\\s*\\)",
+      "FROM (SELECT $1() AS $1)")
+    // row_to_json(rel) over a relation alias -> struct-star form
+    s = s.replaceAll("(?i)\\brow_to_json\\s*\\(\\s*([A-Za-z_]\\w*)\\s*\\)",
+      "to_json(struct($1.*))")
+    // the reference's pg_tablespace_location macro never evaluates its
+    // argument (query_remapper_function.go:31); inline the same laziness
+    s = s.replaceAll("(?i)\\bpg_tablespace_location\\s*\\(((?:[^()]|\\([^()]*\\))*)\\)", "''")
+    // json[b]_array_elements as a FROM-position table function: PG names
+    // the output column `value`, or the alias when one is given
+    val jae = ("(?i)\\bFROM\\s+(jsonb?_array_elements)\\s*\\(((?:[^()']|'[^']*'|\\([^()]*\\))*)\\)" +
+      "(?:\\s+(?:AS\\s+)?(?!WHERE\\b|LIMIT\\b|ORDER\\b|GROUP\\b|HAVING\\b|UNION\\b|" +
+      "JOIN\\b|ON\\b|OFFSET\\b|FETCH\\b)([A-Za-z_]\\w*))?").r
+    s = jae.replaceAllIn(s, m => {
+      val colName = Option(m.group(3)).getOrElse("value")
+      java.util.regex.Matcher.quoteReplacement(
+        s"FROM (SELECT explode(from_json(${m.group(2)}, 'array<string>')) AS $colName)")
+    })
     // _pg_expandarray(a) -> array<struct<x, n>> (explode at the call site);
     // reference macro: STRUCT_PACK(x := unnest(a), n := generate_series…)
-    s = s.replaceAll("(?i)\\b_pg_expandarray\\s*\\(([^()]*)\\)",
+    // `(_pg_expandarray(a)).x|.n` is a set-returning field access in PG:
+    // expand to explode() of the matching per-element array
+    s = s.replaceAll(
+      "(?i)\\(\\s*(?:information_schema\\s*\\.\\s*)?_pg_expandarray\\s*\\(([^()]*)\\)\\s*\\)\\s*\\.\\s*n\\b",
+      "explode(transform($1, (__x, __i) -> __i + 1))")
+    s = s.replaceAll(
+      "(?i)\\(\\s*(?:information_schema\\s*\\.\\s*)?_pg_expandarray\\s*\\(([^()]*)\\)\\s*\\)\\s*\\.\\s*x\\b",
+      "explode($1)")
+    s = s.replaceAll("(?i)(?:\\binformation_schema\\s*\\.\\s*)?\\b_pg_expandarray\\s*\\(([^()]*)\\)",
       "transform($1, (__x, __i) -> struct(__x AS x, __i + 1 AS n))")
+    // format() -> the FormatString shim (PG %N$s positional forms); the
+    // lookbehind keeps date_format/format_string intact
+    s = s.replaceAll("(?i)(?<![\\w.$])format\\s*\\(", "pg_format(")
+    // encode(sha256(x), 'hex'[::text]) -> sha2(x, 256)
+    // (parser_function.go:111-137)
+    s = s.replaceAll(
+      "(?i)\\bencode\\s*\\(\\s*sha256\\s*\\(([^()]*)\\)\\s*,\\s*'hex'(?:\\s*::\\s*text)?\\s*\\)",
+      "sha2($1, 256)")
+    // VARIADIC ARRAY[a, b, ...] argument splat -> a, b, ...
+    s = s.replaceAll("(?i)\\bVARIADIC\\s+ARRAY\\s*\\[([^\\]]*)\\]", "$1")
+    s = s.replaceAll("(?i)\\bVARIADIC\\s+array\\s*\\(([^()]*)\\)", "$1")
+    s = rewriteValuesRow(s)
     s = rewriteAnyAll(s)
     s = rewriteLateral(s)
     s = rewriteContainment(s)
+    // PG ARRAY[...] constructor -> array(...) (after the && overlap rule,
+    // which pattern-matches the bracket form; before subscript rewriting)
+    s = s.replaceAll("(?i)\\bARRAY\\s*\\[([^\\]]*)\\]", "array($1)")
     s = rewriteJsonExists(s)
     s = rewriteJsonPath(s)
     s = rewriteJsonArrows(s)
+    // 'X'::interval -> Spark calendar-interval literal
+    s = s.replaceAll("'([^']*)'\\s*::\\s*interval\\b", "INTERVAL '$1'")
     s = rewriteCasts(s)
     s = injectPgNullOrdering(s)
     // CTE materialization hints are planner advice PG 12 added; Catalyst
@@ -221,6 +293,12 @@ object PgDialect {
     // with a literal delimiter -> split (regex-safe for plain delimiters)
     s = s.replaceAll("(?i)\\bunnest\\s*\\(", "explode(")
     s = s.replaceAll("(?i)\\bstring_to_array\\s*\\(", "split(")
+    // FILTER on the registered json aggregate shims -> CASE argument (the
+    // shim expressions are not parser-level aggregates, so Spark's native
+    // FILTER clause cannot attach to them); collect_list drops the NULLs
+    s = s.replaceAll(
+      "(?is)\\b(jsonb?_agg)\\s*\\(((?:[^()]|\\([^()]*\\))*)\\)\\s+FILTER\\s*\\(\\s*WHERE\\s+((?:[^()]|\\([^()]*\\))*)\\)",
+      "$1(CASE WHEN $3 THEN $2 END)")
     // FILTER (WHERE …) on WINDOW functions -> CASE argument (Spark supports
     // FILTER on grouped aggregates natively but not over windows)
     s = s.replaceAll(
@@ -232,7 +310,7 @@ object PgDialect {
     // PG array subscripts are 1-based; Spark's [] is 0-based, so literal
     // integer subscripts become element_at (types like text[] have no digits
     // inside the brackets and pass through untouched)
-    s = s.replaceAll("\\b(\\w+)\\s*\\[\\s*(\\d+)\\s*\\]", "element_at($1, $2)")
+    s = s.replaceAll("\\b(\\w+)\\s*\\[\\s*([A-Za-z_]\\w*|\\d+)\\s*\\]", "element_at($1, $2)")
     // row-locking clauses are meaningless on a read-only OLAP engine — PG
     // ORMs still emit them; strip like the reference strips psql noise
     s = s.replaceAll("(?is)\\s+FOR\\s+(UPDATE|NO\\s+KEY\\s+UPDATE|SHARE|KEY\\s+SHARE)" +
@@ -259,7 +337,46 @@ object PgDialect {
     s = s.replaceAll("~~", " LIKE ")
     s = s.replaceAll("!~", " NOT RLIKE ")
     s = s.replaceAll("(?<![!<>=~])~(?![~=])", " RLIKE ")
+    // LAST: PG double-quoted identifiers -> Spark backticks ('' strings are
+    // untouched; "" inside an identifier unescapes). Every earlier pass
+    // matches against the PG-style quoting.
+    s = pgQuotedToBacktick(s)
     s
+  }
+
+  /** `"ident"` -> `` `ident` `` outside single-quoted strings — PG quotes
+    * identifiers with double quotes, Spark parses those as string literals. */
+  private[graft] def pgQuotedToBacktick(sql: String): String = {
+    val sb = new StringBuilder(sql.length)
+    val n = sql.length
+    var i = 0
+    var inStr = false
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (inStr) {
+        sb += c
+        if (c == '\'') {
+          if (i + 1 < n && sql.charAt(i + 1) == '\'') { sb += '\''; i += 1 }
+          else inStr = false
+        }
+      } else if (c == '\'') { inStr = true; sb += c }
+      else if (c == '"') {
+        val id = new StringBuilder
+        var j = i + 1
+        var closed = false
+        while (j < n && !closed) {
+          val d = sql.charAt(j)
+          if (d == '"') {
+            if (j + 1 < n && sql.charAt(j + 1) == '"') { id += '"'; j += 2 }
+            else { closed = true; j += 1 }
+          } else { id += d; j += 1 }
+        }
+        sb += '`'; sb ++= id.toString.replace("`", "``"); sb += '`'
+        i = j - 1
+      } else sb += c
+      i += 1
+    }
+    sb.toString
   }
 
   /** PG-style naming of unaliased targets in the OUTERMOST select list plus
@@ -452,6 +569,117 @@ object PgDialect {
     }
   }
 
+  /** `ARRAY(SELECT e FROM …)` sublink -> `(SELECT collect_list(e) FROM …)`
+    * with any trailing ORDER BY stripped, exactly like the reference
+    * (query_remapper.go:482-494: ARRAY sublink, ORDER BY removed). */
+  private def rewriteArraySubquery(sql: String): String = {
+    var s = sql
+    var continue = true
+    while (continue) {
+      continue = false
+      val m = "(?i)\\bARRAY\\s*\\(\\s*SELECT\\b".r.findFirstMatchIn(s)
+      m.foreach { mm =>
+        val open = s.indexOf('(', mm.start)
+        val close = matchParen(s, open)
+        if (close > 0) {
+          val inner = s.substring(open + 1, close).trim
+          // split SELECT <expr> FROM <rest> at the top-level FROM
+          val fromIdx = topLevelKeyword(inner, "FROM")
+          if (fromIdx > 0) {
+            val selExpr = inner.substring(6, fromIdx).trim // after SELECT
+            var rest = inner.substring(fromIdx)
+            val ord = topLevelKeyword(rest, "ORDER")
+            if (ord > 0) rest = rest.substring(0, ord).trim
+            s = s.substring(0, mm.start) +
+              s"(SELECT collect_list($selExpr) $rest)" + s.substring(close + 1)
+            continue = true
+          }
+        }
+      }
+    }
+    s
+  }
+
+  /** First depth-0, quote-free position of a keyword, or -1. */
+  private def topLevelKeyword(s: String, kw: String): Int = {
+    var depth = 0
+    var inQ = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) { if (c == '\'') inQ = false }
+      else if (c == '\'') inQ = true
+      else if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (depth == 0 && s.regionMatches(true, i, kw, 0, kw.length) &&
+          (i == 0 || !s.charAt(i - 1).isLetterOrDigit) &&
+          (i + kw.length >= s.length || !s.charAt(i + kw.length).isLetterOrDigit))
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  /** `(VALUES (a, b)) t(x, y)` single-row form -> `(SELECT a AS x, b AS y) t`
+    * — Spark cannot host scalar subqueries (e.g. a rewritten ::regclass)
+    * inside VALUES cells. Multi-row VALUES pass through untouched. */
+  private def rewriteValuesRow(sql: String): String = {
+    val re = ("(?is)\\(\\s*VALUES\\s*\\(((?:[^()]|\\([^()]*\\))*)\\)\\s*\\)\\s*" +
+      "(?:AS\\s+)?(\\w+)\\s*\\(([\\w\\s,]+)\\)").r
+    re.replaceAllIn(sql, m => {
+      val cells = splitTopLevel(m.group(1))
+      val names = m.group(3).split(",").map(_.trim)
+      if (cells.length != names.length) m.group(0).replace("$", "\\$")
+      else {
+        val sel = cells.zip(names).map { case (c, n) => s"${c.trim} AS $n" }
+          .mkString(", ")
+        java.util.regex.Matcher.quoteReplacement(s"(SELECT $sel) ${m.group(2)}")
+      }
+    })
+  }
+
+  /** Apply a regex replacement only OUTSIDE single-quoted string literals
+    * (a schema prefix inside '…'::regclass is data, not qualification). */
+  private def replaceOutsideStrings(s: String, regex: String, repl: String): String = {
+    val out = new StringBuilder(s.length)
+    val seg = new StringBuilder
+    var inQ = false
+    var i = 0
+    def flush(): Unit = { out.append(seg.toString.replaceAll(regex, repl)); seg.clear() }
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!inQ && c == '\'') { flush(); inQ = true; out += c }
+      else if (inQ) {
+        out += c
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') { out += '\''; i += 1 }
+          else inQ = false
+        }
+      } else seg += c
+      i += 1
+    }
+    flush()
+    out.toString
+  }
+
+  /** Split on depth-0 commas outside single quotes. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var depth = 0
+    var inQ = false
+    s.foreach { c =>
+      if (inQ) { sb += c; if (c == '\'') inQ = false }
+      else if (c == '\'') { sb += c; inQ = true }
+      else if (c == '(') { depth += 1; sb += c }
+      else if (c == ')') { depth -= 1; sb += c }
+      else if (c == ',' && depth == 0) { out += sb.toString; sb.clear() }
+      else sb += c
+    }
+    out += sb.toString
+    out.result()
+  }
+
   /** `SELECT cols FROM … ORDER BY keys FETCH FIRST n ROWS WITH TIES` ->
     * rank() window over the same keys (Spark's LIMIT cannot keep ties). */
   private def rewriteFetchTies(sql: String): String = {
@@ -468,11 +696,11 @@ object PgDialect {
   /** SELECT DISTINCT ON (k…) cols FROM … ORDER BY k…, tie… ->
     * row_number window (Spark has no DISTINCT ON; SURVEY §2.B). */
   private def rewriteDistinctOn(sql: String): String = {
-    val re = "(?is)^SELECT\\s+DISTINCT\\s+ON\\s*\\(([^)]*)\\)\\s+(.*?)\\s+FROM\\s+(.*?)(?:\\s+ORDER\\s+BY\\s+(.*))?$".r
+    val re = "(?is)^SELECT\\s+DISTINCT\\s+ON\\s*\\(([^)]*)\\)\\s+(.*?)\\s+FROM\\s+(.*?)(?:\\s+ORDER\\s+BY\\s+(.*?))?((?:\\s+(?:LIMIT|OFFSET|FETCH)\\b.*)?)$".r
     sql match {
-      case re(keys, cols, from, order) =>
+      case re(keys, cols, from, order, tail) =>
         val ord = Option(order).map(_.trim).filter(_.nonEmpty).getOrElse(keys)
-        s"SELECT $cols FROM (SELECT $cols, row_number() OVER (PARTITION BY $keys ORDER BY $ord) AS __rn FROM $from) WHERE __rn = 1"
+        s"SELECT $cols FROM (SELECT $cols, row_number() OVER (PARTITION BY $keys ORDER BY $ord) AS __rn FROM $from) WHERE __rn = 1$tail"
       case _ => sql
     }
   }
@@ -594,15 +822,27 @@ object PgDialect {
   private def rewriteLateral(sql: String): String = {
     import java.util.regex.Matcher.quoteReplacement
     var s = sql
-    val comma = "(?is),\\s*LATERAL\\s+generate_series\\s*\\(([^)]*)\\)\\s*(?:AS\\s+)?(\\w+)\\s*\\(\\s*(\\w+)\\s*\\)".r
+    val comma = "(?is),\\s*LATERAL\\s+generate_series\\s*\\(((?:[^()]|\\((?:[^()]|\\([^()]*\\))*\\))*)\\)\\s*(?:AS\\s+)?(\\w+)\\s*\\(\\s*(\\w+)\\s*\\)".r
     s = comma.replaceAllIn(s, m => quoteReplacement(
       s" LATERAL VIEW explode(sequence(${m.group(1)})) ${m.group(2)} AS ${m.group(3)}"))
-    val join = "(?is)(LEFT\\s+)?JOIN\\s+LATERAL\\s+generate_series\\s*\\(([^)]*)\\)\\s*(?:AS\\s+)?(\\w+)\\s*\\(\\s*(\\w+)\\s*\\)\\s*ON\\s+true".r
+    val join = "(?is)(LEFT\\s+)?JOIN\\s+LATERAL\\s+generate_series\\s*\\(((?:[^()]|\\((?:[^()]|\\([^()]*\\))*\\))*)\\)\\s*(?:AS\\s+)?(\\w+)\\s*\\(\\s*(\\w+)\\s*\\)\\s*ON\\s+true".r
     s = join.replaceAllIn(s, m => quoteReplacement(
       s" LATERAL VIEW ${if (m.group(1) != null) "OUTER " else ""}explode(sequence(${m.group(2)})) ${m.group(3)} AS ${m.group(4)}"))
-    val from = "(?is)\\bFROM\\s+generate_series\\s*\\(([^)]*)\\)\\s*(?:AS\\s+)?(\\w+)\\s*\\(\\s*(\\w+)\\s*\\)".r
+    val from = "(?is)\\bFROM\\s+generate_series\\s*\\(((?:[^()]|\\((?:[^()]|\\([^()]*\\))*\\))*)\\)\\s*(?:AS\\s+)?(\\w+)\\s*\\(\\s*(\\w+)\\s*\\)".r
     s = from.replaceAllIn(s, m => quoteReplacement(
       s"FROM (SELECT explode(sequence(${m.group(1)})) AS ${m.group(3)}) ${m.group(2)}"))
+    // `FROM generate_series(a, b) s` (bare alias): PG names the SRF's
+    // column after the alias
+    val aliased = ("(?is)\\bFROM\\s+generate_series\\s*\\(((?:[^()]|\\((?:[^()]|\\([^()]*\\))*\\))*)\\)\\s+" +
+      "(?:AS\\s+)?(?!WHERE\\b|LIMIT\\b|ORDER\\b|GROUP\\b|HAVING\\b|UNION\\b|JOIN\\b|ON\\b|" +
+      "OFFSET\\b|FETCH\\b|LEFT\\b|RIGHT\\b|INNER\\b|CROSS\\b|FULL\\b)([A-Za-z_]\\w*)(?!\\s*\\()").r
+    s = aliased.replaceAllIn(s, m => quoteReplacement(
+      s"FROM (SELECT explode(sequence(${m.group(1)})) AS ${m.group(2)}) ${m.group(2)}"))
+    // bare `FROM generate_series(a, b)` -> PG names the column after the
+    // function (query_remapper_table.go:113-134)
+    val bare = "(?is)\\bFROM\\s+generate_series\\s*\\(((?:[^()]|\\((?:[^()]|\\([^()]*\\))*\\))*)\\)(?!\\s*\\w|\\s*\\()".r
+    s = bare.replaceAllIn(s, m => quoteReplacement(
+      s"FROM (SELECT explode(sequence(${m.group(1)})) AS generate_series)"))
     s
   }
 
@@ -663,7 +903,7 @@ object PgDialect {
   /** `expr -> 'k'` / `expr ->> 'k'` / `expr -> 0` -> get_json_object chains
     * (parser_a_expr.go:29-77). Left-associative, iterated until fixpoint. */
   private def rewriteJsonArrows(sql: String): String = {
-    val arrow = "(?s)(.*?)(\\)|'[^']*'|[\\w.]+)\\s*->(>?)\\s*('([^']*)'|\\d+)(.*)".r
+    val arrow = "(?s)(.*?)(\\)|'[^']*'|[\\w.:]+)\\s*->(>?)\\s*('([^']*)'|\\d+)(.*)".r
     var s = sql
     var changed = true
     while (changed) {
@@ -678,7 +918,7 @@ object PgDialect {
                 else if (pre.charAt(i) == '(') depth -= 1
                 i -= 1
               }
-              while (i >= 0 && (pre.charAt(i).isLetterOrDigit || "._".contains(pre.charAt(i)))) i -= 1
+              while (i >= 0 && (pre.charAt(i).isLetterOrDigit || "._:".contains(pre.charAt(i)))) i -= 1
               i + 1
             } else pre.length
           val lhs = pre.substring(lhsStart) + lhsEnd
@@ -698,7 +938,8 @@ object PgDialect {
     "text" -> "STRING", "varchar" -> "STRING", "char" -> "STRING",
     "bpchar" -> "STRING", "name" -> "STRING", "json" -> "STRING",
     "jsonb" -> "STRING", "uuid" -> "STRING", "regclass" -> "STRING",
-    "regproc" -> "STRING", "date" -> "DATE", "timestamp" -> "TIMESTAMP",
+    "regproc" -> "STRING", "regtype" -> "STRING", "regnamespace" -> "STRING",
+    "date" -> "DATE", "timestamp" -> "TIMESTAMP",
     "timestamptz" -> "TIMESTAMP", "time" -> "STRING", "interval" -> "STRING")
 
   /** `operand::type` (optionally `[]`) -> CAST(operand AS sparkType),

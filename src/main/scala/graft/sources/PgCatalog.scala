@@ -196,9 +196,17 @@ object PgCatalog {
     // static 1-row / small views (query_remapper_table.go:275-712)
     Seq((11L, "pg_catalog"), (2200L, "public"), (13000L, "information_schema"))
       .toDF("oid", "nspname").createOrReplaceTempView("pg_namespace")
-    Seq((1L, "graft", true)).toDF("oid", "datname", "datallowconn")
+    Seq((1L, "graft", true, 10L, Option.empty[String], -1, false, 1663L))
+      .toDF("oid", "datname", "datallowconn", "datdba", "datacl",
+        "datconnlimit", "datistemplate", "dattablespace")
       .createOrReplaceTempView("pg_database")
-    Seq((10L, "graft", true, false)).toDF("oid", "rolname", "rolsuper", "rolreplication")
+    Seq((10L, "graft", true, false, true, true, true, true, false, -1))
+      .toDF("oid", "rolname", "rolsuper", "rolreplication", "rolinherit",
+        "rolcreaterole", "rolcreatedb", "rolcanlogin", "rolbypassrls", "rolconnlimit")
+      .withColumn("rolconfig",
+        org.apache.spark.sql.functions.lit(null).cast("array<string>"))
+      .withColumn("rolvaliduntil",
+        org.apache.spark.sql.functions.lit(null).cast("timestamp"))
       .createOrReplaceTempView("pg_roles")
     Seq((10L, "graft")).toDF("usesysid", "usename").createOrReplaceTempView("pg_user")
     spark.emptyDataFrame.withColumn("oid", lit(0L)).withColumn("extname", lit(""))
@@ -244,10 +252,12 @@ object PgCatalog {
       }
     }
     val classDf = Tables.names.zipWithIndex
-      .map { case (n, i) => (16384L + i, n, 2200L, "r", 10L, 2L, 0L, 0.0, false, "p", false, 0L) }
+      .map { case (n, i) => (16384L + i, n, 2200L, "r", 10L, 2L, 0L, 0.0, false,
+        "p", false, 0L, false, false, 0, Option.empty[String]) }
       .toDF("oid", "relname", "relnamespace", "relkind", "relowner", "relam",
         "relpages", "reltuples", "relhasindex", "relpersistence",
-        "relispartition", "reltablespace")
+        "relispartition", "reltablespace", "relforcerowsecurity", "relrowsecurity",
+        "relchecks", "relacl")
     classDf.createOrReplaceTempView("pg_class")
     val relOid = Tables.names.zipWithIndex.map { case (n, i) => n -> (16384L + i) }.toMap
     cols.map { case (t, c, i, dt, oid) => (relOid(t), c, i, oid.toLong, dt, false, false, false) }
@@ -263,13 +273,19 @@ object PgCatalog {
       .createOrReplaceTempView("pg_tables")
     Seq.empty[(String, String, String)].toDF("schemaname", "viewname", "definition")
       .createOrReplaceTempView("pg_views")
-    Seq.empty[(Long, String, Long)].toDF("oid", "proname", "pronamespace")
+    Seq.empty[(Long, String, Long, Long, String, Int, Long)]
+      .toDF("oid", "proname", "pronamespace", "proowner", "prokind",
+        "pronargs", "prorettype")
       .createOrReplaceTempView("pg_proc")
     Seq.empty[(Long, String, String, Long)].toDF("oid", "conname", "contype", "conrelid")
       .createOrReplaceTempView("pg_constraint")
-    Seq.empty[(Long, Long, String)].toDF("objoid", "objsubid", "description")
+    Seq.empty[(Long, Long, Long, String)]
+      .toDF("objoid", "classoid", "objsubid", "description")
       .createOrReplaceTempView("pg_description")
-    Seq((10L, "graft")).toDF("usesysid", "usename").createOrReplaceTempView("pg_shadow")
+    Seq((10L, "graft", Option.empty[String]))
+      .toDF("usesysid", "usename", "passwd").createOrReplaceTempView("pg_shadow")
+    // `SELECT * FROM user` works in PG (the user keyword-view)
+    Seq(Tuple1("graft")).toDF("user").createOrReplaceTempView("user")
     // the real PG access-method rowset (\dA probes)
     Seq((2L, "heap", "t"), (403L, "btree", "i"), (405L, "hash", "i"),
       (783L, "gist", "i"), (2742L, "gin", "i"), (4000L, "spgist", "i"),
@@ -297,8 +313,12 @@ object PgCatalog {
     val L = LongType; val S = StringType; val I = IntegerType; val B = BooleanType
     shell("pg_index", "indexrelid" -> L, "indrelid" -> L, "indnatts" -> I,
       "indnkeyatts" -> I, "indisunique" -> B, "indnullsnotdistinct" -> B,
-      "indisprimary" -> B, "indisvalid" -> B, "indkey" -> S)
-    shell("pg_attrdef", "oid" -> L, "adrelid" -> L, "adnum" -> I, "adbin" -> S)
+      "indisprimary" -> B, "indisvalid" -> B, "indkey" -> S,
+      "indclass" -> ArrayType(LongType), "indoption" -> S)
+    // drelid mirrors adrelid: the reference corpus probes pg_get_expr(adbin,
+    // drelid) with that spelling (query_handler_test.go)
+    shell("pg_attrdef", "oid" -> L, "adrelid" -> L, "drelid" -> L,
+      "adnum" -> I, "adbin" -> S)
     shell("pg_depend", "classid" -> L, "objid" -> L, "objsubid" -> I,
       "refclassid" -> L, "refobjid" -> L, "refobjsubid" -> I, "deptype" -> S)
     shell("pg_sequence", "seqrelid" -> L, "seqtypid" -> L, "seqstart" -> L,
@@ -325,10 +345,12 @@ object PgCatalog {
     shell("pg_policy", "oid" -> L, "polname" -> S, "polrelid" -> L, "polcmd" -> S)
     shell("pg_publication", "oid" -> L, "pubname" -> S, "puballtables" -> B)
     shell("pg_publication_namespace", "oid" -> L, "pnpubid" -> L, "pnnspid" -> L)
-    shell("pg_publication_rel", "oid" -> L, "prpubid" -> L, "prrelid" -> L)
+    shell("pg_publication_rel", "oid" -> L, "prpubid" -> L, "prrelid" -> L,
+      "prqual" -> S, "prattrs" -> ArrayType(ShortType))
     shell("pg_partitioned_table", "partrelid" -> L, "partstrat" -> S, "partnatts" -> I)
     shell("pg_statistic", "starelid" -> L, "staattnum" -> I, "stainherit" -> B)
-    shell("pg_statistic_ext", "oid" -> L, "stxrelid" -> L, "stxname" -> S)
+    shell("pg_statistic_ext", "oid" -> L, "stxrelid" -> L, "stxname" -> S,
+      "stxnamespace" -> L)
     shell("pg_statistic_ext_data", "stxoid" -> L)
     shell("pg_range", "rngtypid" -> L, "rngsubtype" -> L, "rngmultitypid" -> L)
     shell("pg_conversion", "oid" -> L, "conname" -> S, "connamespace" -> L)
@@ -343,7 +365,7 @@ object PgCatalog {
     shell("pg_ts_parser", "oid" -> L, "prsname" -> S)
     shell("pg_ts_template", "oid" -> L, "tmplname" -> S)
     shell("pg_transform", "oid" -> L, "trftype" -> L, "trflang" -> L)
-    shell("pg_auth_members", "roleid" -> L, "member" -> L, "grantor" -> L,
+    shell("pg_auth_members", "oid" -> L, "roleid" -> L, "member" -> L, "grantor" -> L,
       "admin_option" -> B)
     shell("pg_db_role_setting", "setdatabase" -> L, "setrole" -> L)
     shell("pg_default_acl", "oid" -> L, "defaclrole" -> L, "defaclobjtype" -> S)
@@ -369,6 +391,7 @@ object PgCatalog {
     Seq((42, "graft", "graft", "graft", "active", "", ""))
       .toDF("pid", "datname", "usename", "application_name", "state",
         "query", "backend_type")
+      .withColumn("datid", org.apache.spark.sql.functions.lit(1L))
       .createOrReplaceTempView("pg_stat_activity")
     Seq((1L, "graft", 1, 0L, 0L)).toDF("datid", "datname", "numbackends",
         "xact_commit", "xact_rollback")
@@ -438,11 +461,61 @@ object PgCatalog {
       .toDF("schemaname", "relname", "n_live_tup")
       .createOrReplaceTempView("pg_stat_user_tables")
 
-    cols.map { case (t, c, i, dt, _) => ("graft", "public", t, c, i, dt) }
-      .toDF("table_catalog", "table_schema", "table_name", "column_name",
-        "ordinal_position", "data_type")
+    refreshInfoSchema(spark)
+  }
+
+  /** Reverse Spark-type -> PG udt name, reporting the STORED type the way
+    * the reference does (int8/xid8 widen to DECIMAL -> `numeric`; the
+    * time-of-day micros Long keeps its `time`/`timetz` logical tag from
+    * [[PgTypes]] metadata). */
+  private def udtOf(f: StructField): String = {
+    val logical =
+      if (f.metadata.contains(PgTypes.LogicalKey))
+        f.metadata.getString(PgTypes.LogicalKey)
+      else ""
+    f.dataType match {
+      case LongType if logical == "time" || logical == "timetz" => logical
+      case BooleanType => "bool"
+      case ByteType | ShortType => "int2"
+      case IntegerType => "int4"
+      case LongType => "int8"
+      case FloatType => "float4"
+      case DoubleType => "float8"
+      case _: DecimalType => "numeric"
+      case BinaryType => "bytea"
+      case DateType => "date"
+      case TimestampNTZType => "timestamp"
+      case TimestampType => "timestamptz"
+      case ArrayType(e, _) => "_" + udtOf(StructField("", e))
+      case _ => "text"
+    }
+  }
+
+  /** information_schema.tables / .columns over every live relation in the
+    * session (registered tables, matviews, ad-hoc views) — the reference
+    * wraps DuckDB's information_schema with added udt_* columns
+    * (query_remapper_table.go:74-91,714-775); here the rows are built from
+    * the live Spark schemas on every catalog-refresh trigger. */
+  def refreshInfoSchema(spark: SparkSession): Unit = synchronized {
+    import spark.implicits._
+    val views = spark.catalog.listTables().collect().map(_.name)
+      .filter(n => !n.startsWith("pg_") && !n.startsWith("information_schema_"))
+      .sorted
+    val rows = views.toSeq.flatMap { t =>
+      val schema =
+        try spark.table(t).schema
+        catch { case _: Throwable => new StructType() }
+      schema.fields.zipWithIndex.map { case (f, i) =>
+        val (_, pgName) = pgTypeOf(f.dataType)
+        (("graft", "public", t, f.name, i + 1, pgName,
+          "graft", "pg_catalog", udtOf(f), if (f.nullable) "YES" else "NO"))
+      }
+    }
+    rows.toDF("table_catalog", "table_schema", "table_name", "column_name",
+      "ordinal_position", "data_type", "udt_catalog", "udt_schema", "udt_name",
+      "is_nullable")
       .createOrReplaceTempView("information_schema_columns")
-    Tables.names.map(n => ("graft", "public", n, "BASE TABLE"))
+    views.toSeq.map(t => ("graft", "public", t, "BASE TABLE"))
       .toDF("table_catalog", "table_schema", "table_name", "table_type")
       .createOrReplaceTempView("information_schema_tables")
   }
@@ -468,11 +541,13 @@ object PgCatalog {
     (Tables.names.zipWithIndex.map { case (n, i) => (16384L + i, n, 2200L, "r") } ++
         mvs.zipWithIndex.map { case (n, i) => (20000L + i, n, 2200L, "m") })
       .map { case (oid, n, ns, kind) =>
-        (oid, n, ns, kind, 10L, 2L, 0L, 0.0, false, "p", false, 0L)
+        (oid, n, ns, kind, 10L, 2L, 0L, 0.0, false, "p", false, 0L,
+          false, false, 0, Option.empty[String])
       }
       .toDF("oid", "relname", "relnamespace", "relkind", "relowner", "relam",
         "relpages", "reltuples", "relhasindex", "relpersistence",
-        "relispartition", "reltablespace")
+        "relispartition", "reltablespace", "relforcerowsecurity", "relrowsecurity",
+        "relchecks", "relacl")
       .createOrReplaceTempView("pg_class")
   }
 }

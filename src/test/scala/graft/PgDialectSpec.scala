@@ -219,9 +219,9 @@ class PgDialectSpec extends SparkSpecBase {
 
   test("table functions and _pg_expandarray translate") {
     assert(translateSelect("SELECT * FROM pg_show_all_settings()")
-      == "SELECT * FROM pg_settings")
+      == "SELECT * FROM pg_settings pg_show_all_settings")
     assert(translateSelect("SELECT word FROM pg_get_keywords()")
-      == "SELECT word FROM pg_keywords")
+      == "SELECT word FROM pg_keywords pg_get_keywords")
     assert(translateSelect("SELECT _pg_expandarray(arr) FROM t")
       == "SELECT transform(arr, (__x, __i) -> struct(__x AS x, __i + 1 AS n)) AS _pg_expandarray FROM t")
   }
