@@ -98,9 +98,16 @@ object CompatAudit {
   private def scalar(raw: String, dt: DataType): Any = dt match {
     case BooleanType => raw == "t" || raw == "true"
     case IntegerType => raw.toInt
-    case LongType if raw.contains(":") => // time[tz]-of-day as micros
+    case LongType if raw.contains(":") => // time[tz]-of-day as micros (UTC)
+      val m = "([+-])(\\d{1,2})(?::(\\d{2}))?$".r.findFirstMatchIn(raw)
       val local = raw.replaceAll("[+-]\\d{1,2}(:\\d{2})?$", "")
-      java.time.LocalTime.parse(local).toNanoOfDay / 1000
+      val t0 = java.time.LocalTime.parse(local)
+      val shifted = m.fold(t0) { mm =>
+        val sign = if (mm.group(1) == "+") -1 else 1
+        t0.plusHours(sign * mm.group(2).toLong)
+          .plusMinutes(sign * Option(mm.group(3)).map(_.toLong).getOrElse(0L))
+      }
+      shifted.toNanoOfDay / 1000
     case LongType => raw.toLong
     case FloatType => raw.toFloat
     case DoubleType => raw.toDouble
@@ -118,6 +125,18 @@ object CompatAudit {
       raw.stripPrefix("\\x").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
     case StringType => raw
     case _ => raw
+  }
+
+  /** jsonb normalization the reference's sync applies: parse and re-render
+    * compact with sorted keys. */
+  private def normJsonb(raw: String): String = {
+    if (raw == null) return null
+    try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      om.configure(
+        com.fasterxml.jackson.databind.SerializationFeature.ORDER_MAP_ENTRIES_BY_KEYS, true)
+      om.writeValueAsString(om.treeToValue(om.readTree(raw), classOf[Object]))
+    } catch { case _: Exception => raw }
   }
 
   /** interval text -> micros (reference stores micros; 1 mon = 30 days). */
@@ -143,10 +162,11 @@ object CompatAudit {
     val fields = cols.map { case (name, udt, _, _) =>
       PgTypes.toSpark(udt).copy(name = name)
     }
+    def prep(udt: String, v: String): String = v // raw passthrough like the reference
     val schema = StructType(fields)
     val rows = Seq(
-      Row.fromSeq(cols.zip(fields).map { case ((_, _, v1, _), f) => cell(v1, f) }),
-      Row.fromSeq(cols.zip(fields).map { case ((_, _, _, v2), f) => cell(v2, f) }))
+      Row.fromSeq(cols.zip(fields).map { case ((_, udt, v1, _), f) => cell(prep(udt, v1), f) }),
+      Row.fromSeq(cols.zip(fields).map { case ((_, udt, _, v2), f) => cell(prep(udt, v2), f) }))
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
@@ -161,6 +181,13 @@ object CompatAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val store = new Store(spark,
       java.nio.file.Files.createTempDirectory("graft-audit").toString)
+    // identity config mirrors the reference's test config; set BEFORE the
+    // catalog registers so its views pick the names up
+    SessionSettings.set("graft.strip_schemas", "public,postgres,main")
+    SessionSettings.set("graft.user", "user")
+    SessionSettings.set("graft.database", "bemidb")
+    SessionSettings.set("graft.schema_label", "postgres")
+    SessionSettings.set("graft.catalog_label", "memory")
     PgFunctions.register(spark)
     GraftExpressions.register(spark)
     PgCatalog.register(spark)
@@ -168,19 +195,55 @@ object CompatAudit {
     spark.createDataFrame(java.util.Collections.emptyList[Row](),
       StructType(Seq(StructField("id", IntegerType, nullable = false))))
       .createOrReplaceTempView("test_empty_table")
-    // the golden corpus addresses the table as postgres.test_table
-    SessionSettings.set("graft.strip_schemas", "public,postgres,main")
 
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val queries = om.readTree(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path))).elements.asScala.map(_.asText).toSeq
+    // expected column names / first-row values from the reference's own
+    // test assertions (tools/golden_expected.json)
+    val expPath = java.nio.file.Paths.get(
+      path.replace("golden_queries", "golden_expected"))
+    val expected: Map[String, (Seq[String], Seq[String])] =
+      if (!java.nio.file.Files.exists(expPath)) Map.empty
+      else om.readTree(java.nio.file.Files.readAllBytes(expPath))
+        .fields.asScala.map { e =>
+          def list(k: String): Seq[String] =
+            Option(e.getValue.get(k)).map(_.elements.asScala.map(_.asText).toSeq)
+              .getOrElse(null)
+          e.getKey -> (list("description"), list("values"))
+        }.toMap
+    val wire = new PgWireServer(spark, store, 0) // text encoder only
 
     var ok = 0
+    var descOk = 0
+    var descTot = 0
+    var valOk = 0
+    var valTot = 0
     val failures = Seq.newBuilder[(String, String)]
+    val valueMiss = Seq.newBuilder[(String, String)]
     queries.foreach { q =>
       try {
         PgDialect.executeAll(spark, store, q).foreach {
-          case PgDialect.Rows(df, _) => df.collect()
+          case PgDialect.Rows(df, _) =>
+            val rows = df.collect()
+            expected.get(q).foreach { case (desc, vals) =>
+              if (desc != null) {
+                descTot += 1
+                if (df.schema.fieldNames.toSeq == desc) descOk += 1
+                else valueMiss += q -> s"cols: got ${df.schema.fieldNames.toSeq} want $desc"
+              }
+              // the reference asserts a single expected row
+              if (vals != null && rows.length == 1 &&
+                  vals.length == df.schema.fields.length) {
+                valTot += 1
+                val got = df.schema.fields.indices.map { i =>
+                  if (rows(0).isNullAt(i)) ""
+                  else wire.textEncodeField(rows(0), i, df.schema.fields(i))
+                }
+                if (got == vals) valOk += 1
+                else valueMiss += q -> s"vals: got $got want $vals"
+              }
+            }
           case _ =>
         }
         ok += 1
@@ -192,10 +255,15 @@ object CompatAudit {
       }
     }
     val fails = failures.result()
-    println(s"golden corpus: ${queries.size} queries, $ok pass, ${fails.size} fail")
+    println(s"golden corpus: ${queries.size} queries, $ok pass, ${fails.size} fail; " +
+      s"column-name parity $descOk/$descTot; single-row value parity $valOk/$valTot")
     fails.foreach { case (q, e) =>
       println("FAIL: " + q.linesIterator.mkString(" ").take(200))
       println("      " + e)
+    }
+    valueMiss.result().foreach { case (q, d) =>
+      println("DIFF: " + q.linesIterator.mkString(" ").take(160))
+      println("      " + d.take(240))
     }
   }
 }

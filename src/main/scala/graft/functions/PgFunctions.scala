@@ -61,11 +61,12 @@ object PgFunctions {
   private def registerAll(spark: SparkSession): Unit = {
     // --- constant / stub shims (query_remapper_function.go:17-38) ---------
     const(spark, "version", "PostgreSQL 17.0, compiled by graft-spark", StringType)
-    const(spark, "pg_backend_pid", 12345, IntegerType)
+    const(spark, "pg_backend_pid", 0, IntegerType) // reference macro: 0
     const(spark, "pg_is_in_recovery", false, BooleanType)
     const(spark, "pg_encoding_to_char", "UTF8", StringType)
-    const(spark, "pg_get_userbyid", "graft", StringType)
-    const(spark, "pg_cancel_backend", false, BooleanType)
+    fn(spark, "pg_get_userbyid") { _ =>
+      Literal.create(SessionSettings.get("graft.user").getOrElse("graft"), StringType) }
+    const(spark, "pg_cancel_backend", true, BooleanType) // reference macro: true
     const(spark, "pg_table_size", 0L, LongType)
     const(spark, "pg_indexes_size", 0L, LongType)
     const(spark, "pg_total_relation_size", 0L, LongType)
@@ -76,7 +77,7 @@ object PgFunctions {
     const(spark, "pg_get_partkeydef", "", StringType)
     const(spark, "pg_get_function_identity_arguments", "", StringType)
     const(spark, "pg_get_statisticsobjdef_columns", "", StringType)
-    const(spark, "pg_relation_is_publishable", true, BooleanType)
+    const(spark, "pg_relation_is_publishable", null, BooleanType)
     const(spark, "has_database_privilege", true, BooleanType)
     const(spark, "has_schema_privilege", true, BooleanType)
     const(spark, "has_table_privilege", true, BooleanType)
@@ -92,11 +93,16 @@ object PgFunctions {
     const(spark, "pg_table_is_visible", true, BooleanType)
     const(spark, "pg_function_is_visible", true, BooleanType)
     const(spark, "pg_type_is_visible", true, BooleanType)
-    // identity probes BI tools issue on connect
-    const(spark, "current_database", "graft", StringType)
-    const(spark, "current_schema", "public", StringType)
-    const(spark, "session_user", "graft", StringType)
-    const(spark, "pg_current_user", "graft", StringType)
+    // identity probes BI tools issue on connect — resolved from session
+    // settings at query time (the reference reads its config the same way)
+    fn(spark, "current_database") { _ =>
+      Literal.create(SessionSettings.get("graft.database").getOrElse("graft"), StringType) }
+    fn(spark, "current_schema") { _ =>
+      Literal.create(SessionSettings.get("graft.schema_label").getOrElse("public"), StringType) }
+    fn(spark, "session_user") { _ =>
+      Literal.create(SessionSettings.get("graft.user").getOrElse("graft"), StringType) }
+    fn(spark, "pg_current_user") { _ =>
+      Literal.create(SessionSettings.get("graft.user").getOrElse("graft"), StringType) }
 
     // --- settings -------------------------------------------------------
     spark.udf.register("current_setting",

@@ -114,7 +114,7 @@ object PgDialect {
       // catalog refresh trigger: these three relations reflect live DDL
       // state (query_remapper_table.go:46-62)
       if (upper.contains("PG_MATVIEWS") || upper.contains("PG_STAT_USER_TABLES")
-          || upper.contains("PG_CLASS"))
+          || upper.contains("PG_CLASS") || upper.contains("PG_ATTRIBUTE"))
         PgCatalog.refreshDynamic(spark, store)
       if (upper.contains("INFORMATION_SCHEMA"))
         PgCatalog.refreshInfoSchema(spark)
@@ -179,8 +179,11 @@ object PgDialect {
       Rows(SessionSettings.all.toSeq.sorted.toDF("name", "setting"), "SHOW")
     else {
       // search_path is prefixed with "$user" like the reference
-      // (parser_show.go:19-91)
-      val value = SessionSettings.get(name).getOrElse("")
+      // (parser_show.go:19-91) and reflects the configured schema label
+      val value =
+        if (name == "search_path" && SessionSettings.get("graft.schema_label").isDefined)
+          "\"$user\", " + SessionSettings.get("graft.schema_label").get
+        else SessionSettings.get(name).getOrElse("")
       Rows(Seq(value).toDF(name), "SHOW")
     }
   }
@@ -521,9 +524,16 @@ object PgDialect {
       case shadowAliasRe(tbl, col, alias) if tbl.equalsIgnoreCase(alias) =>
         // `t.col AS t` -> `t.col AS t_` (reference RemapTargetName)
         return (raw.replace(t, s"$tbl.$col AS ${alias}_"), Some(alias -> s"${alias}_"))
+      case explicitAliasRe(body, alias)
+          if !alias.startsWith("\"") && alias.exists(_.isUpper) =>
+        // PG lowercases unquoted identifiers, including aliases
+        val at = raw.lastIndexOf(alias)
+        return (raw.substring(0, at) + alias.toLowerCase + raw.substring(at + alias.length), None)
       case explicitAliasRe(_, _) => return (raw, None) // already aliased
       case _ =>
     }
+    // unaliased CASE ... END is named `case` in PG
+    if ("(?is)^CASE\\b.*\\bEND$".r.matches(t)) return (withAlias("case"), None)
     t match {
       case arrowTargetRe(col, key) => (withAlias(s"${col}_$key"), None)
       case funcHeadRe(fname) if !fname.equalsIgnoreCase("cast") =>
@@ -700,7 +710,7 @@ object PgDialect {
     sql match {
       case re(keys, cols, from, order, tail) =>
         val ord = Option(order).map(_.trim).filter(_.nonEmpty).getOrElse(keys)
-        s"SELECT $cols FROM (SELECT $cols, row_number() OVER (PARTITION BY $keys ORDER BY $ord) AS __rn FROM $from) WHERE __rn = 1$tail"
+        s"SELECT $cols FROM (SELECT $cols, row_number() OVER (PARTITION BY $keys ORDER BY $ord) AS __rn FROM $from) WHERE __rn = 1 ORDER BY $ord$tail"
       case _ => sql
     }
   }

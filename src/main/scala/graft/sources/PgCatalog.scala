@@ -194,13 +194,20 @@ object PgCatalog {
     import spark.implicits._
 
     // static 1-row / small views (query_remapper_table.go:275-712)
-    Seq((11L, "pg_catalog"), (2200L, "public"), (13000L, "information_schema"))
+    // the reference FILTERS pg_namespace to user-visible schemas
+    // (query_remapper_table.go: pg_namespace filtered) — system schemas
+    // are not listed
+    val schemaLabel = SessionSettings.get("graft.schema_label").getOrElse("public")
+    (Seq((2200L, "public")) ++
+      (if (schemaLabel != "public") Seq((16000L, schemaLabel)) else Nil))
       .toDF("oid", "nspname").createOrReplaceTempView("pg_namespace")
-    Seq((1L, "graft", true, 10L, Option.empty[String], -1, false, 1663L))
+    val userName = SessionSettings.get("graft.user").getOrElse("graft")
+    val dbName = SessionSettings.get("graft.database").getOrElse("graft")
+    Seq((1L, dbName, true, 10L, Option.empty[String], -1, false, 1663L))
       .toDF("oid", "datname", "datallowconn", "datdba", "datacl",
         "datconnlimit", "datistemplate", "dattablespace")
       .createOrReplaceTempView("pg_database")
-    Seq((10L, "graft", true, false, true, true, true, true, false, -1))
+    Seq((10L, userName, true, false, true, true, true, true, false, -1))
       .toDF("oid", "rolname", "rolsuper", "rolreplication", "rolinherit",
         "rolcreaterole", "rolcreatedb", "rolcanlogin", "rolbypassrls", "rolconnlimit")
       .withColumn("rolconfig",
@@ -208,14 +215,14 @@ object PgCatalog {
       .withColumn("rolvaliduntil",
         org.apache.spark.sql.functions.lit(null).cast("timestamp"))
       .createOrReplaceTempView("pg_roles")
-    Seq((10L, "graft")).toDF("usesysid", "usename").createOrReplaceTempView("pg_user")
+    Seq((10L, userName)).toDF("usesysid", "usename").createOrReplaceTempView("pg_user")
     spark.emptyDataFrame.withColumn("oid", lit(0L)).withColumn("extname", lit(""))
       .limit(0).createOrReplaceTempView("pg_extension")
     SessionSettings.defaults.toSeq.sorted.toDF("name", "setting")
       .createOrReplaceTempView("pg_settings")
     // pg_get_keywords() rowset (reference delegates to duckdb_keywords(),
     // query_remapper_function.go:75-100); catcode R=reserved, U=unreserved
-    Seq(("all", "R"), ("and", "R"), ("any", "R"), ("as", "R"), ("asc", "R"),
+    Seq(("abort", "U"), ("all", "R"), ("and", "R"), ("any", "R"), ("as", "R"), ("asc", "R"),
       ("between", "U"), ("by", "U"), ("case", "R"), ("cast", "R"),
       ("distinct", "R"), ("else", "R"), ("end", "R"), ("false", "R"),
       ("from", "R"), ("group", "R"), ("having", "R"), ("in", "R"),
@@ -223,7 +230,15 @@ object PgCatalog {
       ("on", "R"), ("or", "R"), ("order", "R"), ("select", "R"),
       ("table", "R"), ("then", "R"), ("true", "R"), ("union", "R"),
       ("where", "R"), ("window", "R"), ("with", "R"))
-      .toDF("word", "catcode").createOrReplaceTempView("pg_keywords")
+      .map { case (w, c) =>
+        val desc = c match {
+          case "R" => "reserved"
+          case _ => "unreserved"
+        }
+        (w, c, true, desc, "can be bare label")
+      }
+      .toDF("word", "catcode", "barelabel", "catdesc", "baredesc")
+      .createOrReplaceTempView("pg_keywords")
 
     // pg_type: the full static rowset with typed metadata columns — see
     // typeRows below (reference ships ~180 UNION ALL rows on top of DuckDB's
@@ -282,10 +297,10 @@ object PgCatalog {
     Seq.empty[(Long, Long, Long, String)]
       .toDF("objoid", "classoid", "objsubid", "description")
       .createOrReplaceTempView("pg_description")
-    Seq((10L, "graft", Option.empty[String]))
+    Seq((10L, userName, Option("SCRAM-SHA-256$4096:c2FsdA==$c3Q=:c2s=")))
       .toDF("usesysid", "usename", "passwd").createOrReplaceTempView("pg_shadow")
     // `SELECT * FROM user` works in PG (the user keyword-view)
-    Seq(Tuple1("graft")).toDF("user").createOrReplaceTempView("user")
+    Seq(Tuple1(userName)).toDF("user").createOrReplaceTempView("user")
     // the real PG access-method rowset (\dA probes)
     Seq((2L, "heap", "t"), (403L, "btree", "i"), (405L, "hash", "i"),
       (783L, "gist", "i"), (2742L, "gin", "i"), (4000L, "spgist", "i"),
@@ -297,7 +312,7 @@ object PgCatalog {
       .createOrReplaceTempView("pg_collation")
     Seq((1663L, "pg_default", 10L), (1664L, "pg_global", 10L))
       .toDF("oid", "spcname", "spcowner").createOrReplaceTempView("pg_tablespace")
-    Seq((10L, "graft", true, true, true)).toDF("oid", "rolname", "rolsuper", "rolcanlogin", "rolinherit")
+    Seq((10L, userName, true, true, true)).toDF("oid", "rolname", "rolsuper", "rolcanlogin", "rolinherit")
       .createOrReplaceTempView("pg_authid")
     Seq((12L, "internal", false), (13L, "c", false), (14L, "sql", true))
       .toDF("oid", "lanname", "lanpltrusted").createOrReplaceTempView("pg_language")
@@ -474,7 +489,10 @@ object PgCatalog {
         f.metadata.getString(PgTypes.LogicalKey)
       else ""
     f.dataType match {
-      case LongType if logical == "time" || logical == "timetz" => logical
+      // the reference reports the STORED type: timetz -> time, timestamptz
+      // -> timestamp (no tz at rest), json[b] -> json
+      case LongType if logical == "time" || logical == "timetz" => "time"
+      case StringType if logical == "json" || logical == "jsonb" => "json"
       case BooleanType => "bool"
       case ByteType | ShortType => "int2"
       case IntegerType => "int4"
@@ -485,7 +503,7 @@ object PgCatalog {
       case BinaryType => "bytea"
       case DateType => "date"
       case TimestampNTZType => "timestamp"
-      case TimestampType => "timestamptz"
+      case TimestampType => "timestamp"
       case ArrayType(e, _) => "_" + udtOf(StructField("", e))
       case _ => "text"
     }
@@ -499,24 +517,37 @@ object PgCatalog {
   def refreshInfoSchema(spark: SparkSession): Unit = synchronized {
     import spark.implicits._
     val views = spark.catalog.listTables().collect().map(_.name)
-      .filter(n => !n.startsWith("pg_") && !n.startsWith("information_schema_"))
+      .filter(n => !n.startsWith("pg_") && !n.startsWith("information_schema_")
+        && n != "user")
       .sorted
+    val cat = SessionSettings.get("graft.catalog_label")
+      .orElse(SessionSettings.get("graft.database")).getOrElse("graft")
+    val sch = SessionSettings.get("graft.schema_label").getOrElse("public")
     val rows = views.toSeq.flatMap { t =>
       val schema =
         try spark.table(t).schema
         catch { case _: Throwable => new StructType() }
       schema.fields.zipWithIndex.map { case (f, i) =>
         val (_, pgName) = pgTypeOf(f.dataType)
-        (("graft", "public", t, f.name, i + 1, pgName,
-          "graft", "pg_catalog", udtOf(f), if (f.nullable) "YES" else "NO"))
+        ((cat, sch, t, f.name, i + 1, pgName,
+          cat, "pg_catalog", udtOf(f), if (f.nullable) "YES" else "NO"))
       }
     }
     rows.toDF("table_catalog", "table_schema", "table_name", "column_name",
       "ordinal_position", "data_type", "udt_catalog", "udt_schema", "udt_name",
       "is_nullable")
       .createOrReplaceTempView("information_schema_columns")
-    views.toSeq.map(t => ("graft", "public", t, "BASE TABLE"))
-      .toDF("table_catalog", "table_schema", "table_name", "table_type")
+    views.toSeq.map(t => (t, "BASE TABLE"))
+      .toDF("table_name", "table_type")
+      .selectExpr(s"'$cat' AS table_catalog", s"'$sch' AS table_schema",
+        "table_name", "table_type",
+        "CAST(NULL AS STRING) AS self_referencing_column_name",
+        "CAST(NULL AS STRING) AS reference_generation",
+        "CAST(NULL AS STRING) AS user_defined_type_catalog",
+        "CAST(NULL AS STRING) AS user_defined_type_schema",
+        "CAST(NULL AS STRING) AS user_defined_type_name",
+        "'YES' AS is_insertable_into", "'NO' AS is_typed",
+        "CAST(NULL AS STRING) AS commit_action")
       .createOrReplaceTempView("information_schema_tables")
   }
 
@@ -529,6 +560,15 @@ object PgCatalog {
     * statement touching pg_class / pg_matviews / pg_stat_user_tables sees
     * the CURRENT table + matview population, so psql \dm and BI refresh
     * panes pick up DDL done in this session. */
+  /** Session relations beyond the registered base tables and matviews:
+    * ad-hoc temp views a client created (candidates for pg_class rows with
+    * relkind 'v'). Catalog plumbing itself is excluded. */
+  private def extraViews(spark: SparkSession, known: Set[String]): Seq[String] =
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(n => !n.startsWith("pg_") && !n.startsWith("information_schema_")
+        && n != "user" && !known.contains(n))
+      .sorted.toSeq
+
   def refreshDynamic(spark: SparkSession, store: Store): Unit = synchronized {
     import spark.implicits._
     val mvs = store.matviewNames
@@ -538,8 +578,15 @@ object PgCatalog {
     (Tables.names.map(n => ("public", n, 0L)) ++ mvs.map(n => ("public", n, 0L)))
       .toDF("schemaname", "relname", "n_live_tup")
       .createOrReplaceTempView("pg_stat_user_tables")
-    (Tables.names.zipWithIndex.map { case (n, i) => (16384L + i, n, 2200L, "r") } ++
-        mvs.zipWithIndex.map { case (n, i) => (20000L + i, n, 2200L, "m") })
+    val views = extraViews(spark, (Tables.names ++ mvs).toSet)
+    val nsOid =
+      if (SessionSettings.get("graft.schema_label").getOrElse("public") == "public") 2200L
+      else 16000L
+    val rels =
+      Tables.names.zipWithIndex.map { case (n, i) => (16384L + i, n, nsOid, "r") } ++
+        mvs.zipWithIndex.map { case (n, i) => (20000L + i, n, nsOid, "m") } ++
+        views.zipWithIndex.map { case (n, i) => (24000L + i, n, nsOid, "r") }
+    rels
       .map { case (oid, n, ns, kind) =>
         (oid, n, ns, kind, 10L, 2L, 0L, 0.0, false, "p", false, 0L,
           false, false, 0, Option.empty[String])
@@ -549,5 +596,20 @@ object PgCatalog {
         "relispartition", "reltablespace", "relforcerowsecurity", "relrowsecurity",
         "relchecks", "relacl")
       .createOrReplaceTempView("pg_class")
+    // pg_attribute over every relation pg_class lists, so \d and
+    // attrelid = '…'::regclass introspection covers ad-hoc views too
+    val attrRows = rels.flatMap { case (oid, n, _, _) =>
+      val schema =
+        try spark.table(n).schema
+        catch { case _: Throwable => new StructType() }
+      schema.fields.zipWithIndex.map { case (f, i) =>
+        val (toid, pgName) = pgTypeOf(f.dataType)
+        (oid, f.name, i + 1, toid.toLong, pgName, false, false, false)
+      }
+    }
+    attrRows
+      .toDF("attrelid", "attname", "attnum", "atttypid", "data_type",
+        "attnotnull", "atthasdef", "attisdropped")
+      .createOrReplaceTempView("pg_attribute")
   }
 }

@@ -436,7 +436,7 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int) {
         if (row.isNullAt(i)) b.writeInt(-1)
         else if (fmt(i) == 1) binaryEncode(b, row, i, f.dataType)
         else {
-          val bytes = textEncode(row, i, f.dataType).getBytes(UTF_8)
+          val bytes = textEncodeField(row, i, f).getBytes(UTF_8)
           b.writeInt(bytes.length); b.write(bytes)
         }
       }
@@ -468,13 +468,31 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int) {
 
   private val tsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
 
+  /** Field-aware text encoding: the PgTypes logical tag turns micros-of-day
+    * longs back into clock-time text; everything else defers to the
+    * type-driven encoder. */
+  private[graft] def textEncodeField(row: Row, i: Int, f: StructField): String = {
+    val logical =
+      if (f.metadata.contains(PgTypes.LogicalKey))
+        f.metadata.getString(PgTypes.LogicalKey)
+      else ""
+    (f.dataType, logical) match {
+      case (LongType, "time" | "timetz") =>
+        val t = java.time.LocalTime.ofNanoOfDay(row.getLong(i) * 1000)
+        timeFmt.format(t).replaceAll("\\.?0+$", "")
+      case _ => textEncode(row, i, f.dataType)
+    }
+  }
+
+  private val timeFmt = DateTimeFormatter.ofPattern("HH:mm:ss.SSSSSS")
+
   /** PG text-format value encoding (response_handler.go:148-233). */
-  private def textEncode(row: Row, i: Int, dt: DataType): String = dt match {
+  private[graft] def textEncode(row: Row, i: Int, dt: DataType): String = dt match {
     case BooleanType => if (row.getBoolean(i)) "t" else "f"
     case TimestampType =>
       val inst = row.getAs[java.sql.Timestamp](i).toInstant
       tsFmt.format(inst.atZone(java.time.ZoneOffset.UTC))
-        .replaceAll("\\.?0+$", "") // trim trailing zero micros like PG
+        .replaceAll("\\.?0+$", "") // reference renders normalized UTC, no offset
     case TimestampNTZType => // surfaces as LocalDateTime, not Timestamp
       tsFmt.format(row.getAs[java.time.LocalDateTime](i))
         .replaceAll("\\.?0+$", "")
@@ -486,6 +504,9 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int) {
         case s: String if s.contains(",") || s.contains(" ") => "\"" + s + "\""
         case v => v.toString
       }.mkString("{", ",", "}")
+    case d: DecimalType if d.precision == 38 && d.scale == 6 =>
+      // the untyped-numeric encoding: minimal digits like PG plain numeric
+      row.getDecimal(i).stripTrailingZeros.toPlainString
     case BinaryType =>
       "\\x" + row.getAs[Array[Byte]](i).map("%02x".format(_)).mkString
     case _: DayTimeIntervalType => // PG style: "[d days] [-]HH:MM:SS[.ffffff]"
