@@ -383,10 +383,29 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int) {
       schema.fields.foreach { f =>
         cstr(b, f.name)
         b.writeInt(0); b.writeShort(0)
-        b.writeInt(PgCatalog.pgTypeOf(f.dataType)._1)
+        b.writeInt(fieldOid(f))
         b.writeShort(-1); b.writeInt(-1); b.writeShort(0) // text format
       }
     }
+
+  /** Column type OID honoring the PgTypes logical tag, so drivers see the
+    * PG type the column came from (time/timetz/json/jsonb/uuid), not just
+    * the Spark storage type. */
+  private def fieldOid(f: StructField): Int = {
+    val logical =
+      if (f.metadata.contains(PgTypes.LogicalKey))
+        f.metadata.getString(PgTypes.LogicalKey)
+      else ""
+    logical match {
+      case "time" => 1083
+      case "timetz" => 1266
+      case "json" => 114
+      case "jsonb" => 3802
+      case "uuid" => 2950
+      case "interval" => 1186
+      case _ => PgCatalog.pgTypeOf(f.dataType)._1
+    }
+  }
 
   /** COPY-out subprotocol: CopyOutResponse, one CopyData per line (PG text
     * format: tab-delimited with \N nulls and backslash escapes; or CSV with
