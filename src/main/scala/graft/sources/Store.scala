@@ -94,8 +94,7 @@ class Store(spark: SparkSession, warehouse: String) {
     * win is skipping whole files, not just row groups. */
   def readRange(name: String, key: String, lo: Any, hi: Any): (DataFrame, Int, Int) = {
     val cur = Paths.get(versionDir(name, versions(name)))
-    val files = Files.list(cur).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+    val stats = fileStats(cur, key)
     val lon = normKey(lo)
     val hin = normKey(hi)
     def overlaps(range: Option[(Any, Any)]): Boolean = range match {
@@ -104,12 +103,12 @@ class Store(spark: SparkSession, warehouse: String) {
         keyOrdering.compare(flo, hin) <= 0 && keyOrdering.compare(fhi, lon) >= 0
     }
     val hit =
-      try files.filter(f => overlaps(footerKeyRange(f, key)))
-      catch { case _: ClassCastException => files }
+      try stats.filter { case (_, r) => overlaps(r) }.map(_._1)
+      catch { case _: ClassCastException => stats.map(_._1) }
     val base =
       if (hit.isEmpty) read(name).limit(0)
       else spark.read.parquet(hit.map(_.toString): _*)
-    (base.filter(col(key) >= lit(lo) && col(key) <= lit(hi)), hit.length, files.length)
+    (base.filter(col(key) >= lit(lo) && col(key) <= lit(hi)), hit.length, stats.length)
   }
 
   /** Atomic replace: write v(n+1), then flip the pointer. */
@@ -286,8 +285,10 @@ class Store(spark: SparkSession, warehouse: String) {
     }
     val (hit, carried) =
       if (!prunable) (files, Seq.empty[Path])
-      else try files.partition(f => overlaps(footerKeyRange(f, key)))
-      catch { case _: ClassCastException => (files, Seq.empty[Path]) }
+      else try {
+        val stats = fileStats(cur, key).toMap
+        files.partition(f => overlaps(stats.getOrElse(f, None)))
+      } catch { case _: ClassCastException => (files, Seq.empty[Path]) }
     val next = versions(name) + 1
     val dir = Paths.get(versionDir(name, next))
     Files.createDirectories(dir)
@@ -303,6 +304,106 @@ class Store(spark: SparkSession, warehouse: String) {
     versions(name) = next
     persistCatalog()
     (hit.length, files.length)
+  }
+
+  /** Per-file min/max stats for every prunable column of a version dir,
+    * manifest-cached: the FIRST consultation scans each parquet footer once
+    * and writes `_manifest.json` beside the data; every later pruned read
+    * or upsert is one small JSON read instead of N footer opens — the
+    * Iceberg manifest role (manifests carry per-file column bounds so
+    * planning never touches data files). A stale manifest (file set
+    * changed) rebuilds automatically; Spark ignores `_`-prefixed files. */
+  private[graft] def fileStats(dir: Path, key: String): Seq[(Path, Option[(Any, Any)])] = {
+    val files = Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+    val mf = dir.resolve("_manifest.json")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def decode(node: com.fasterxml.jackson.databind.JsonNode): Option[(Any, Any)] =
+      Option(node).map { n =>
+        if (n.get("t").asText == "l") (n.get("lo").asLong, n.get("hi").asLong)
+        else (n.get("lo").asText, n.get("hi").asText)
+      }
+    if (Files.exists(mf)) {
+      val root = om.readTree(Files.readAllBytes(mf))
+      val known = root.fieldNames.asScala.toSet
+      if (files.map(_.getFileName.toString).toSet == known)
+        return files.map(f => f ->
+          decode(root.get(f.getFileName.toString).get(key)))
+    }
+    // build (or rebuild) the manifest from one footer pass
+    val perFile = files.map { f =>
+      f -> footerAllRanges(f)
+    }
+    val root = om.createObjectNode()
+    perFile.foreach { case (f, cols) =>
+      val fn = root.putObject(f.getFileName.toString)
+      cols.foreach { case (c, (lo, hi)) =>
+        val cn = fn.putObject(c)
+        (lo, hi) match {
+          case (l: java.lang.Long, h: java.lang.Long) =>
+            cn.put("t", "l"); cn.put("lo", l.longValue); cn.put("hi", h.longValue)
+          case _ =>
+            cn.put("t", "s"); cn.put("lo", lo.toString); cn.put("hi", hi.toString)
+        }
+      }
+    }
+    val tmp = dir.resolve("._manifest.json.tmp")
+    Files.write(tmp, om.writerWithDefaultPrettyPrinter.writeValueAsBytes(root))
+    Files.move(tmp, mf, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    perFile.map { case (f, cols) => f -> cols.get(key) }
+  }
+
+  /** (lo, hi) per prunable column of one file's footer (columns with any
+    * stats-free or null-only row group are omitted). */
+  private def footerAllRanges(file: Path): Map[String, (Any, Any)] = {
+    val in = HadoopInputFile.fromPath(new HadoopPath(file.toString),
+      spark.sessionState.newHadoopConf())
+    val reader = ParquetFileReader.open(in)
+    try {
+      val acc = scala.collection.mutable.Map[String, (Any, Any)]()
+      val bad = scala.collection.mutable.Set[String]()
+      for (b <- reader.getFooter.getBlocks.asScala; c <- b.getColumns.asScala) {
+        val name = c.getPath.toDotString
+        if (!bad(name)) {
+          val st = c.getStatistics
+          val usable = st != null && st.hasNonNullValue &&
+            (st.genericGetMin match {
+              case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+                   _: java.lang.Byte | _: Binary => true
+              case _ => false
+            })
+          if (!usable) { bad += name; acc.remove(name) }
+          else {
+            val mn = normKey(st.genericGetMin)
+            val mx = normKey(st.genericGetMax)
+            val cur = acc.get(name)
+            acc(name) = cur.fold((mn, mx)) { case (lo, hi) =>
+              (if (keyOrdering.compare(mn, lo) < 0) mn else lo,
+                if (keyOrdering.compare(mx, hi) > 0) mx else hi)
+            }
+          }
+        }
+      }
+      acc.toMap
+    } finally reader.close()
+  }
+
+  /** Iceberg expire_snapshots analog: delete all but the `keep` most recent
+    * version dirs (the current version always survives). Time travel to an
+    * expired version then fails; kept snapshots are untouched. Returns the
+    * expired version numbers. */
+  def expireVersions(name: String, keep: Int = 2): Seq[Int] = {
+    require(exists(name), s"unknown table $name")
+    val tableDir = Paths.get(s"$warehouse/$name")
+    val all = Files.list(tableDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.matches("v\\d+")).map(_.drop(1).toInt).toSeq.sorted
+    val doomed = all.filter(_ <= versions(name)).dropRight(math.max(keep, 1))
+    doomed.foreach { v =>
+      val d = Paths.get(versionDir(name, v))
+      Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    doomed
   }
 
   /** Combined (min, max) of `key` across all row groups of one parquet

@@ -241,6 +241,48 @@ class StoreSpec extends SparkSpecBase {
     assert(s0 == 0 && none.count() == 0 && none.columns.toSeq == Seq("k"))
   }
 
+  test("first pruned read writes a manifest; stale manifests rebuild") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-store").toString
+    val st = new Store(spark, dir)
+    for (b <- 0 until 3)
+      st.append("t", (b * 100 until (b + 1) * 100).map(_.toLong).toDF("k").coalesce(1))
+    val (_, s1, t1) = st.readRange("t", "k", 0L, 99L)
+    assert(s1 == 1 && t1 == 3)
+    // manifest now exists in the current version dir
+    val vdir = java.nio.file.Paths.get(s"$dir/t/v${st.currentVersion("t")}")
+    val mf = vdir.resolve("_manifest.json")
+    assert(java.nio.file.Files.exists(mf))
+    // consultations after the first come from the manifest, not footers:
+    // corrupt a footer-irrelevant byte check — instead prove the cached
+    // path by swapping the manifest's ranges and observing pruning follow it
+    val txt = new String(java.nio.file.Files.readAllBytes(mf), "UTF-8")
+      .replace("\"hi\" : 99", "\"hi\" : 9999")
+    java.nio.file.Files.write(mf, txt.getBytes("UTF-8"))
+    val (_, s2, _) = st.readRange("t", "k", 150L, 160L)
+    // the doctored first file (0..9999) now overlaps everything -> 2 files
+    assert(s2 == 2, s"manifest not consulted: scanned $s2")
+    // a new version (append) changes the file set -> manifest rebuilds
+    st.append("t", Seq(300L).toDF("k").coalesce(1))
+    val (_, s3, t3) = st.readRange("t", "k", 0L, 99L)
+    assert(t3 == 4 && s3 == 1, s"stale manifest survived: $s3/$t3")
+  }
+
+  test("expireVersions drops old snapshots, keeps recent and current") {
+    import spark.implicits._
+    val st = freshStore()
+    for (v <- 1 to 4) st.replace("t", Seq(v.toLong).toDF("n"))
+    assert(st.currentVersion("t") == 4)
+    val expired = st.expireVersions("t", keep = 2)
+    assert(expired == Seq(1, 2))
+    intercept[IllegalArgumentException](st.readVersion("t", 1))
+    assert(st.readVersion("t", 3).collect()(0).getLong(0) == 3L)
+    assert(st.read("t").collect()(0).getLong(0) == 4L)
+    // keep never drops the current version even when keep = 1
+    assert(st.expireVersions("t", keep = 1) == Seq(3))
+    assert(st.read("t").count() == 1)
+  }
+
   test("replaceSorted makes range reads near-perfectly file-pruned") {
     import spark.implicits._
     val st = freshStore()
