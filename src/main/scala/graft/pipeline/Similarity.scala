@@ -307,6 +307,74 @@ object Similarity {
         .orderBy("query_id", "rnk")
     },
 
+    // product quantization (the IVF+PQ stack's compression half): 4
+    // subspaces of 16 dims, 8 deterministic codewords per subspace (the
+    // seed vectors' sub-slices, same fixed-seed convention as sim_ivf), per
+    // subspace argmin by exact fold L2 — N x K x M candidate rows are
+    // scan-side compute, one window per (vector, subspace) picks the code.
+    // Output: the 4 codes plus the reconstruction cosine (ADC quality).
+    Q("sim_pq", Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      cb AS (SELECT vec_id AS cid, v AS cv FROM e
+             WHERE vec_id IN (${centroidIds.mkString(", ")})),
+      cand AS (
+        SELECT e.vec_id, m.range AS m,
+          CAST(list_position([${centroidIds.mkString(", ")}], cb.cid) - 1 AS INT) AS code,
+          cb.cv[CAST(m.range AS INT) * 16 + 1 : CAST(m.range AS INT) * 16 + 16] AS csub,
+          list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(list_zip(
+              e.v[CAST(m.range AS INT) * 16 + 1 : CAST(m.range AS INT) * 16 + 16],
+              cb.cv[CAST(m.range AS INT) * 16 + 1 : CAST(m.range AS INT) * 16 + 16]),
+              s -> (s[1] - s[2]) * (s[1] - s[2]))), (x, y) -> x + y) AS dist
+        FROM e, cb, range(0, 4) m),
+      best AS (
+        SELECT vec_id, m, code, csub,
+          row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rn
+        FROM cand),
+      codes AS (
+        SELECT vec_id,
+          max(CASE WHEN m = 0 THEN code END) AS c0,
+          max(CASE WHEN m = 1 THEN code END) AS c1,
+          max(CASE WHEN m = 2 THEN code END) AS c2,
+          max(CASE WHEN m = 3 THEN code END) AS c3,
+          flatten(list(csub ORDER BY m)) AS recon
+        FROM best WHERE rn = 1 GROUP BY vec_id)
+      SELECT c.vec_id, c0, c1, c2, c3,
+        round(${duckCos("e.v", "c.recon")}, 6) AS recon_cos
+      FROM codes c JOIN e ON e.vec_id = c.vec_id
+      ORDER BY c.vec_id""")) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val cb = e.filter(col("vec_id").isin(centroidIds: _*))
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val seedsArr = s"array(${centroidIds.mkString(", ")})"
+      val cand = e.crossJoin(broadcast(cb))
+        .select(col("vec_id"), col("v"), col("cv"),
+          expr(s"CAST(array_position($seedsArr, cid) - 1 AS INT)").as("code"),
+          explode(expr("sequence(0, 3)")).as("m"))
+        .select(col("vec_id"), col("v"), col("m"), col("code"),
+          expr("slice(cv, m * 16 + 1, 16)").as("csub"),
+          expr("aggregate(zip_with(slice(v, m * 16 + 1, 16), slice(cv, m * 16 + 1, 16), " +
+            "(x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)").as("dist"))
+      val w = Window.partitionBy("vec_id", "m").orderBy(col("dist"), col("code"))
+      val codes = cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy("vec_id")
+        .agg(
+          max(when(col("m") === 0, col("code"))).as("c0"),
+          max(when(col("m") === 1, col("code"))).as("c1"),
+          max(when(col("m") === 2, col("code"))).as("c2"),
+          max(when(col("m") === 3, col("code"))).as("c3"),
+          expr("flatten(transform(array_sort(collect_list(struct(m, csub))), x -> x.csub))")
+            .as("recon"))
+      val dot = expr("aggregate(zip_with(v, recon, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+      val nv = expr("sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x))")
+      val nr = expr("sqrt(aggregate(zip_with(recon, recon, (x, y) -> x * y), 0D, (acc, x) -> acc + x))")
+      codes.join(e, Seq("vec_id"))
+        .select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+          round(dot / (nv * nr), 6).as("recon_cos"))
+        .orderBy("vec_id")
+    },
+
     // int8 scalar quantization of the embedding column (the memory-/IO-
     // compression step before ANN at scale): per-dim min/max over the
     // corpus -> 255-step linear code -> dequantize -> per-vector max
