@@ -128,6 +128,22 @@ class PgDialectSpec extends SparkSpecBase {
     )
   }
 
+  test("PG double-quoted identifiers become backticks; strings untouched") {
+    assert(translateSelect("SELECT \"MixedCase\" FROM \"My Table\"")
+      == "SELECT `MixedCase` FROM `My Table`")
+    // double quotes inside a string literal are data
+    assert(translateSelect("SELECT 'a \"quoted\" word' AS s FROM t")
+      == "SELECT 'a \"quoted\" word' AS s FROM t")
+    // embedded "" unescapes to a single quote character in the identifier
+    assert(translateSelect("SELECT \"we\"\"ird\" FROM t")
+      == "SELECT `we\"ird` FROM t")
+    // schema strip: public./main. qualification drops outside strings only
+    assert(translateSelect("SELECT public.t.c FROM public.t")
+      == "SELECT t.c FROM t")
+    assert(translateSelect("SELECT 'public.t' AS s")
+      == "SELECT 'public.t' AS s")
+  }
+
   test("window FILTER translation") {
     val out = translateSelect(
       "SELECT count(*) FILTER (WHERE x = 1) OVER (PARTITION BY u) FROM t")
