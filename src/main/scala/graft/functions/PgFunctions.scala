@@ -156,6 +156,21 @@ object PgFunctions {
     }
     fn(spark, "jsonb_array_length") { exprs => LengthOfJsonArray(exprs.head) }
     fn(spark, "json_array_length") { exprs => LengthOfJsonArray(exprs.head) }
+    // PG `->` returns the JSON REPRESENTATION (strings keep their quotes,
+    // objects stay json) where get_json_object strips scalar quotes —
+    // single-step extract over Jackson, compact rendering like jsonb
+    spark.udf.register("pg_json_extract", (j: String, path: String) => {
+      if (j == null || path == null) null
+      else try {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = om.readTree(j)
+        val node =
+          if (path.startsWith("$[")) root.get(path.stripPrefix("$[").stripSuffix("]").toInt)
+          else root.get(path.stripPrefix("$."))
+        if (node == null || node.isMissingNode || node.isNull) null
+        else om.writeValueAsString(node)
+      } catch { case _: Exception => null }
+    })
     // jsonb_pretty (macro at query_remapper_function.go:46): PG-style
     // 4-space-indent rendering (`"key": value`, arrays expanded)
     spark.udf.register("jsonb_pretty", (j: String) => prettyJson(j))

@@ -918,7 +918,7 @@ object PgDialect {
     var changed = true
     while (changed) {
       s match {
-        case arrow(pre, lhsEnd, _, rhs, key, post) =>
+        case arrow(pre, lhsEnd, gt, rhs, key, post) =>
           val lhsStart =
             if (lhsEnd == ")") {
               // scan back to the balanced open paren (with function name)
@@ -933,7 +933,11 @@ object PgDialect {
             } else pre.length
           val lhs = pre.substring(lhsStart) + lhsEnd
           val path = if (key != null) "'$." + key + "'" else "'$[" + rhs + "]'"
-          s = pre.substring(0, lhsStart) + "get_json_object(" + lhs + ", " + path + ")" + post
+          // `->>` extracts text (quotes stripped); `->` keeps the JSON
+          // representation like PG (parser_a_expr.go:29-77: json_extract vs
+          // json_extract_string)
+          val fn = if (gt == ">") "get_json_object" else "pg_json_extract"
+          s = pre.substring(0, lhsStart) + fn + "(" + lhs + ", " + path + ")" + post
         case _ => changed = false
       }
     }

@@ -195,9 +195,10 @@ class PgDialectSpec extends SparkSpecBase {
     assert(translateSelect("SELECT props ->> 'k' FROM events")
       == "SELECT get_json_object(props, '$.k') AS props_k FROM events")
     assert(translateSelect("SELECT props -> 'a' ->> 'b' FROM events")
-      == "SELECT get_json_object(get_json_object(props, '$.a'), '$.b') FROM events")
+      == "SELECT get_json_object(pg_json_extract(props, '$.a'), '$.b') FROM events")
+    // final `->` keeps the JSON representation (PG: json_extract)
     assert(translateSelect("SELECT j -> 0 FROM t")
-      == "SELECT get_json_object(j, '$[0]') FROM t")
+      == "SELECT pg_json_extract(j, '$[0]') FROM t")
   }
 
   test("ANY/ALL translation") {
