@@ -215,7 +215,12 @@ object PgCatalog {
       .withColumn("rolvaliduntil",
         org.apache.spark.sql.functions.lit(null).cast("timestamp"))
       .createOrReplaceTempView("pg_roles")
-    Seq((10L, userName)).toDF("usesysid", "usename").createOrReplaceTempView("pg_user")
+    Seq((userName, 10L, true, true, false, false, Option.empty[String]))
+      .toDF("usename", "usesysid", "usecreatedb", "usesuper", "userepl",
+        "usebypassrls", "passwd")
+      .withColumn("valuntil", lit(null).cast("timestamp"))
+      .withColumn("useconfig", lit(null).cast("array<string>"))
+      .createOrReplaceTempView("pg_user")
     spark.emptyDataFrame.withColumn("oid", lit(0L)).withColumn("extname", lit(""))
       .limit(0).createOrReplaceTempView("pg_extension")
     SessionSettings.defaults.toSeq.sorted.toDF("name", "setting")
@@ -286,7 +291,8 @@ object PgCatalog {
     Tables.names.map(n => ("public", n, "graft", false))
       .toDF("schemaname", "tablename", "tableowner", "hasindexes")
       .createOrReplaceTempView("pg_tables")
-    Seq.empty[(String, String, String)].toDF("schemaname", "viewname", "definition")
+    Seq.empty[(String, String, String, String)]
+      .toDF("schemaname", "viewname", "viewowner", "definition")
       .createOrReplaceTempView("pg_views")
     Seq.empty[(Long, String, Long, Long, String, Int, Long)]
       .toDF("oid", "proname", "pronamespace", "proowner", "prokind",
@@ -306,7 +312,8 @@ object PgCatalog {
       (783L, "gist", "i"), (2742L, "gin", "i"), (4000L, "spgist", "i"),
       (3580L, "brin", "i"))
       .toDF("oid", "amname", "amtype").createOrReplaceTempView("pg_am")
-    Seq.empty[(Long, Long, Int)].toDF("inhrelid", "inhparent", "inhseqno")
+    Seq.empty[(Long, Long, Int, Boolean)]
+      .toDF("inhrelid", "inhparent", "inhseqno", "inhdetachpending")
       .createOrReplaceTempView("pg_inherits")
     Seq((100L, "default", 11L)).toDF("oid", "collname", "collnamespace")
       .createOrReplaceTempView("pg_collation")
@@ -346,8 +353,9 @@ object PgCatalog {
       "castfunc" -> L, "castcontext" -> S, "castmethod" -> S)
     shell("pg_operator", "oid" -> L, "oprname" -> S, "oprnamespace" -> L,
       "oprleft" -> L, "oprright" -> L, "oprresult" -> L)
-    shell("pg_opclass", "oid" -> L, "opcname" -> S, "opcmethod" -> L,
-      "opcintype" -> L, "opcdefault" -> B)
+    shell("pg_opclass", "oid" -> L, "opcmethod" -> L, "opcname" -> S,
+      "opcnamespace" -> L, "opcowner" -> L, "opcfamily" -> L,
+      "opcintype" -> L, "opcdefault" -> B, "opckeytype" -> L)
     shell("pg_opfamily", "oid" -> L, "opfname" -> S, "opfmethod" -> L)
     shell("pg_amop", "oid" -> L, "amopfamily" -> L, "amoplefttype" -> L,
       "amoprighttype" -> L, "amopstrategy" -> I, "amopopr" -> L)
@@ -356,16 +364,23 @@ object PgCatalog {
     shell("pg_aggregate", "aggfnoid" -> L, "aggkind" -> S, "aggnumdirectargs" -> I)
     shell("pg_trigger", "oid" -> L, "tgrelid" -> L, "tgname" -> S,
       "tgtype" -> I, "tgenabled" -> S, "tgisinternal" -> B)
-    shell("pg_rewrite", "oid" -> L, "rulename" -> S, "ev_class" -> L, "ev_type" -> S)
-    shell("pg_policy", "oid" -> L, "polname" -> S, "polrelid" -> L, "polcmd" -> S)
-    shell("pg_publication", "oid" -> L, "pubname" -> S, "puballtables" -> B)
+    shell("pg_rewrite", "oid" -> L, "rulename" -> S, "ev_class" -> L,
+      "ev_type" -> S, "ev_enabled" -> S, "is_instead" -> B,
+      "ev_qual" -> S, "ev_action" -> S)
+    shell("pg_policy", "oid" -> L, "polname" -> S, "polrelid" -> L, "polcmd" -> S,
+      "polpermissive" -> B, "polroles" -> ArrayType(LongType), "polqual" -> S,
+      "polwithcheck" -> S)
+    shell("pg_publication", "oid" -> L, "pubname" -> S, "pubowner" -> L,
+      "puballtables" -> B, "pubinsert" -> B, "pubupdate" -> B,
+      "pubdelete" -> B, "pubtruncate" -> B, "pubviaroot" -> B)
     shell("pg_publication_namespace", "oid" -> L, "pnpubid" -> L, "pnnspid" -> L)
     shell("pg_publication_rel", "oid" -> L, "prpubid" -> L, "prrelid" -> L,
       "prqual" -> S, "prattrs" -> ArrayType(ShortType))
     shell("pg_partitioned_table", "partrelid" -> L, "partstrat" -> S, "partnatts" -> I)
     shell("pg_statistic", "starelid" -> L, "staattnum" -> I, "stainherit" -> B)
     shell("pg_statistic_ext", "oid" -> L, "stxrelid" -> L, "stxname" -> S,
-      "stxnamespace" -> L)
+      "stxnamespace" -> L, "stxowner" -> L, "stxstattarget" -> I,
+      "stxkeys" -> S, "stxkind" -> ArrayType(StringType), "stxexprs" -> S)
     shell("pg_statistic_ext_data", "stxoid" -> L)
     shell("pg_range", "rngtypid" -> L, "rngsubtype" -> L, "rngmultitypid" -> L)
     shell("pg_conversion", "oid" -> L, "conname" -> S, "connamespace" -> L)
@@ -381,7 +396,7 @@ object PgCatalog {
     shell("pg_ts_template", "oid" -> L, "tmplname" -> S)
     shell("pg_transform", "oid" -> L, "trftype" -> L, "trflang" -> L)
     shell("pg_auth_members", "oid" -> L, "roleid" -> L, "member" -> L, "grantor" -> L,
-      "admin_option" -> B)
+      "admin_option" -> B, "inherit_option" -> B, "set_option" -> B)
     shell("pg_db_role_setting", "setdatabase" -> L, "setrole" -> L)
     shell("pg_default_acl", "oid" -> L, "defaclrole" -> L, "defaclobjtype" -> S)
     shell("pg_init_privs", "objoid" -> L, "classoid" -> L, "objsubid" -> I)
