@@ -52,6 +52,19 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int) {
 
   def stop(): Unit = { running = false; if (server != null) server.close() }
 
+  /** A portal/cursor: a bound query plus its partially-drained row iterator
+    * (Execute and FETCH carry row counts; a drained-to-limit portal suspends
+    * and resumes on the next Execute/FETCH — JDBC fetchSize drives this). */
+  private final class Portal(val df: DataFrame, val resultFormats: Seq[Short] = Nil) {
+    lazy val rows: java.util.Iterator[Row] = df.toLocalIterator()
+    /** format code for column i: one code applies to all, else per-column */
+    def fmt(i: Int): Int = resultFormats match {
+      case Nil => 0
+      case Seq(one) => one
+      case many => if (i < many.size) many(i) else 0
+    }
+  }
+
   private def handle(sock: Socket): Unit = {
     val in = new DataInputStream(sock.getInputStream)
     val out = new DataOutputStream(sock.getOutputStream)
@@ -59,19 +72,11 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int) {
     // statements (translated SQL + $N params) and bound portals
     val statements = scala.collection.mutable.Map[String, String]()
     val declaredParamOids = scala.collection.mutable.Map[String, Seq[Int]]()
-    // a portal is a bound query plus its partially-drained row iterator
-    // (Execute carries a max-row count; a drained-to-limit portal suspends
-    // and resumes on the next Execute — JDBC fetchSize drives this)
-    final class Portal(val df: DataFrame, val resultFormats: Seq[Short] = Nil) {
-      lazy val rows: java.util.Iterator[Row] = df.toLocalIterator()
-      /** format code for column i: one code applies to all, else per-column */
-      def fmt(i: Int): Int = resultFormats match {
-        case Nil => 0
-        case Seq(one) => one
-        case many => if (i < many.size) many(i) else 0
-      }
-    }
     val portals = scala.collection.mutable.Map[String, Portal]()
+    // DECLARE/FETCH/MOVE/CLOSE cursors (simple protocol; psql FETCH_COUNT
+    // and JDBC cursor-fetch drive these — beyond the reference, which
+    // errors on DECLARE)
+    val cursors = scala.collection.mutable.Map[String, Portal]()
     var errorSkip = false // error in extended flow: skip until Sync
 
     // one backend key per connection; queries run in this connection's job
@@ -102,7 +107,7 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int) {
           tpe.toChar match {
             case 'Q' =>
               val sql = new String(body, 0, body.length - 1, UTF_8) // NUL-terminated
-              runQuery(out, sql)
+              runQuery(out, sql, cursors)
               readyForQuery(out)
             case 'P' if !errorSkip => // Parse
               try {
@@ -330,15 +335,65 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int) {
   }
 
   // ---- query execution -------------------------------------------------
-  private def runQuery(out: DataOutputStream, sql: String): Unit =
+  private val declareRe =
+    ("(?is)^DECLARE\\s+(\"[^\"]+\"|[\\w$]+)\\s+(?:BINARY\\s+)?(?:INSENSITIVE\\s+)?" +
+      "(?:NO\\s+SCROLL\\s+|SCROLL\\s+)?CURSOR\\s+(?:WITH\\s+HOLD\\s+|WITHOUT\\s+HOLD\\s+)?FOR\\s+(.*)$").r
+  private val fetchRe =
+    "(?is)^(FETCH|MOVE)\\s+(?:FORWARD\\s+)?(ALL\\b|\\d+)?\\s*(?:FROM\\s+|IN\\s+)?(\"[^\"]+\"|[\\w$]+)$".r
+  private val closeRe = "(?is)^CLOSE\\s+(ALL\\b|\"[^\"]+\"|[\\w$]+)$".r
+
+  private def unq(n: String): String =
+    if (n.startsWith("\"")) n.stripPrefix("\"").stripSuffix("\"") else n.toLowerCase
+
+  /** DECLARE / FETCH / MOVE / CLOSE against the per-connection cursor map;
+    * None when the statement is not cursor syntax. */
+  private def cursorStatement(out: DataOutputStream, stmt: String,
+      cursors: scala.collection.mutable.Map[String, Portal]): Boolean = stmt.trim match {
+    case declareRe(name, query) =>
+      val df = spark.sql(PgDialect.translateSelect(query))
+      cursors(unq(name)) = new Portal(df)
+      commandComplete(out, "DECLARE CURSOR")
+      true
+    case fetchRe(verb, count, name) =>
+      val p = cursors.getOrElse(unq(name),
+        throw PgDialect.UnsupportedQuery(s"cursor \"${unq(name)}\" does not exist"))
+      val n = Option(count).map(_.trim) match {
+        case Some(c) if c.equalsIgnoreCase("ALL") => Int.MaxValue
+        case Some(c) => c.toInt
+        case None => 1
+      }
+      val move = verb.equalsIgnoreCase("MOVE")
+      if (!move) rowDescription(out, p.df.schema)
+      var sent = 0
+      while (p.rows.hasNext && sent < n) {
+        val r = p.rows.next()
+        if (!move) dataRow(out, r, p.df.schema, p.fmt)
+        sent += 1
+      }
+      commandComplete(out, s"${verb.toUpperCase} $sent")
+      true
+    case closeRe(name) =>
+      if (name.equalsIgnoreCase("ALL")) cursors.clear()
+      else cursors.remove(unq(name))
+      commandComplete(out, "CLOSE CURSOR")
+      true
+    case _ => false
+  }
+
+  private def runQuery(out: DataOutputStream, sql: String,
+      cursors: scala.collection.mutable.Map[String, Portal] =
+        scala.collection.mutable.Map.empty): Unit =
     try {
-      val results = PgDialect.executeAll(spark, store, sql)
-      if (results.isEmpty) msg(out, 'I') { _ => } // EmptyQueryResponse
-      else results.foreach {
-        case PgDialect.Rows(df, _) => sendRows(out, df)
-        case PgDialect.CopyOut(df, csv, header) => sendCopyOut(out, df, csv, header)
-        case PgDialect.Command(tag) => commandComplete(out, tag)
-        case PgDialect.Empty => msg(out, 'I') { _ => }
+      val stmts = PgDialect.splitStatements(sql)
+      if (stmts.isEmpty) msg(out, 'I') { _ => } // EmptyQueryResponse
+      else stmts.foreach { stmt =>
+        if (!cursorStatement(out, stmt, cursors))
+          PgDialect.execute(spark, store, stmt) match {
+            case PgDialect.Rows(df, _) => sendRows(out, df)
+            case PgDialect.CopyOut(df, csv, header) => sendCopyOut(out, df, csv, header)
+            case PgDialect.Command(tag) => commandComplete(out, tag)
+            case PgDialect.Empty => msg(out, 'I') { _ => }
+          }
       }
       // TimeZone has GUC_REPORT: PG pushes a ParameterStatus after SET
       if ("(?is).*\\bSET\\s+(SESSION\\s+|LOCAL\\s+)?time\\s*zone\\b.*".r.matches(sql)

@@ -452,4 +452,29 @@ class WireSpec extends SparkSpecBase {
     assert(rows == Seq(Seq("a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11")), rows)
     c.close()
   }
+
+  test("cursors: DECLARE / FETCH n / MOVE / FETCH ALL / CLOSE") {
+    val c = new Client(server._2); c.startup()
+    def tag(ms: Seq[(Char, Array[Byte])]): String =
+      new String(ms.find(_._1 == 'C').get._2, UTF_8).stripSuffix(" ")
+    assert(tag(c.query(
+      "DECLARE cur CURSOR FOR SELECT n_nationkey FROM nation ORDER BY n_nationkey"))
+      == "DECLARE CURSOR")
+    val f1 = c.query("FETCH 2 FROM cur")
+    assert(f1.map(_._1).containsSlice(Seq('T', 'D', 'D', 'C')))
+    assert(f1.filter(_._1 == 'D').map(m => dataRowValues(m._2))
+      == Seq(Seq("0"), Seq("1")))
+    assert(tag(f1) == "FETCH 2")
+    // MOVE advances without emitting rows
+    val mv = c.query("MOVE 1 FROM cur")
+    assert(mv.count(_._1 == 'D') == 0 && tag(mv) == "MOVE 1")
+    val rest = c.query("FETCH ALL FROM cur")
+    val vals = rest.filter(_._1 == 'D').map(m => dataRowValues(m._2).head)
+    // 25 nations: 0,1 fetched, 2 skipped by MOVE -> 3..24 remain
+    assert(vals.take(2) == Seq("3", "4") && vals.size == 22, vals)
+    assert(tag(c.query("CLOSE cur")) == "CLOSE CURSOR")
+    // fetching a closed cursor errors like PG
+    assert(c.query("FETCH 1 FROM cur").exists(_._1 == 'E'))
+    c.close()
+  }
 }
