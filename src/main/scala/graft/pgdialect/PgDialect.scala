@@ -124,14 +124,27 @@ object PgDialect {
     // EXPLAIN [ANALYZE|VERBOSE|(opts)] SELECT … -> Spark's formatted plan as
     // PG-style "QUERY PLAN" text rows (the reference delegates to DuckDB's
     // EXPLAIN; here Catalyst's plan IS the engine plan)
-    val explain = "(?is)EXPLAIN\\s+(?:ANALYZE\\s+|VERBOSE\\s+|\\([^)]*\\)\\s*)*(.+)".r
+    val explain = "(?is)EXPLAIN(\\s+ANALYZE|\\s+VERBOSE|\\s*\\([^)]*\\))*\\s+(.+)".r
     stmt match {
-      case explain(inner) if inner.trim.nonEmpty =>
+      case explain(_, inner) if inner != null && inner.trim.nonEmpty =>
         import spark.implicits._
-        val plan = spark.sql(applyPermissions(translateSelect(inner.trim), perms))
-          .queryExecution.explainString(
-            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-        return Rows(plan.split("\n").toSeq.toDF("QUERY PLAN"), "EXPLAIN")
+        val analyze =
+          "(?is)EXPLAIN\\s+(?:ANALYZE\\b|\\([^)]*\\bANALYZE\\b[^)]*\\))".r
+            .findFirstIn(stmt).isDefined
+        val df = spark.sql(applyPermissions(translateSelect(inner.trim), perms))
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        val lines =
+          if (!analyze) plan.split("\n").toSeq
+          else {
+            // ANALYZE executes like PG and appends actual totals
+            val t0 = System.nanoTime()
+            val n = df.count()
+            val ms = (System.nanoTime() - t0) / 1e6
+            plan.split("\n").toSeq ++
+              Seq(s"Actual Rows: $n", f"Execution Time: $ms%.3f ms")
+          }
+        return Rows(lines.toDF("QUERY PLAN"), "EXPLAIN")
       case _ =>
     }
     // COPY (query)|table TO STDOUT [WITH (FORMAT CSV[, HEADER])] — the

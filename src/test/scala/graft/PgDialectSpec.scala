@@ -92,6 +92,17 @@ class PgDialectSpec extends SparkSpecBase {
     }
   }
 
+  test("EXPLAIN ANALYZE executes and appends actual totals") {
+    Tables.registerAll(spark, sfDir)
+    val lines = rows("EXPLAIN ANALYZE SELECT count(*) AS n FROM region")
+      .map(_.getString(0))
+    assert(lines.exists(_.startsWith("Actual Rows: 1")), lines.takeRight(3))
+    assert(lines.exists(_.startsWith("Execution Time:")))
+    // plain EXPLAIN must NOT execute or append totals
+    val plain = rows("EXPLAIN SELECT count(*) AS n FROM region").map(_.getString(0))
+    assert(!plain.exists(_.startsWith("Actual Rows")))
+  }
+
   test("unaliased targets get PG auto-aliases like the reference remapper") {
     // f(x) -> AS f (query_remapper_select.go:68-76)
     assert(
