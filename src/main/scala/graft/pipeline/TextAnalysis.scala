@@ -574,6 +574,48 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // bigram language-model score (the CCNet-style perplexity proxy): the
+    // corpus trains add-one-smoothed bigram probabilities, every doc is
+    // scored by its mean log-likelihood. Counts aggregate map-side; the
+    // model (bigram + unigram counts) joins back broadcast-small — at
+    // 100 TB the model tables stay tiny relative to the corpus, exactly
+    // the shape of a real KenLM-filter stage.
+    Q("txt_lm_score", Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, chr(32)) AS w FROM documents),
+      bi AS (SELECT doc_id, w[CAST(i AS INT) + 1] AS w1, w[CAST(i AS INT) + 2] AS w2
+             FROM (SELECT doc_id, w, unnest(range(0, len(w) - 1)) AS i FROM toks)),
+      cb AS (SELECT w1, w2, count(*) AS cnt FROM bi GROUP BY w1, w2),
+      cu AS (SELECT w1, count(*) AS tot FROM bi GROUP BY w1),
+      v AS (SELECT count(DISTINCT x.u) AS vocab
+            FROM (SELECT unnest(w) AS u FROM toks) x),
+      scored AS (
+        SELECT b.doc_id,
+          ln(CAST(cb.cnt + 1 AS DOUBLE) / (cu.tot + v.vocab)) AS lp
+        FROM bi b JOIN cb ON cb.w1 = b.w1 AND cb.w2 = b.w2
+                  JOIN cu ON cu.w1 = b.w1, v)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        round(avg(lp), 4) AS lm_score
+      FROM scored GROUP BY doc_id ORDER BY doc_id""")) { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val bi = toks.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i + 1] AS w2))"))
+        .as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      val cu = bi.groupBy("w1").agg(count(lit(1)).as("tot"))
+      val v = toks.select(explode(col("w")).as("u"))
+        .agg(countDistinct(col("u")).as("vocab"))
+      bi.join(broadcast(cb), Seq("w1", "w2"))
+        .join(broadcast(cu), Seq("w1"))
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"),
+          log((col("cnt") + 1).cast("double") / (col("tot") + col("vocab"))).as("lp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 4).as("lm_score"))
+        .orderBy("doc_id")
+    },
+
     // domain (source) cap: keep at most K docs per source, chosen by a
     // deterministic md5 shuffle — the anti-over-representation mix step of
     // corpus curation. One shuffle on source; rank + filter.
