@@ -114,10 +114,9 @@ object CompatAudit {
     case d: DecimalType =>
       if (raw.startsWith("(")) null // unexpected
       else Decimal(new java.math.BigDecimal(stripIntervalToMicros(raw)), d.precision, d.scale)
-    case DateType => // the fixture's year-20025 date clamps to Spark's max
-      val d = try java.time.LocalDate.parse(raw)
-        catch { case _: Exception => java.time.LocalDate.of(9999, 12, 31) }
-      java.sql.Date.valueOf(d.toString)
+    case DateType => // 5-digit years (the fixture's 20025-11-12) are legal
+      val Array(y, mo, dy) = raw.split("-").map(_.toInt)
+      java.sql.Date.valueOf(java.time.LocalDate.of(y, mo, dy))
     case TimestampNTZType => java.time.LocalDateTime.parse(raw.replace(' ', 'T'))
     case TimestampType =>
       java.time.OffsetDateTime.parse(normalizeOffset(raw).replace(' ', 'T')).toInstant
@@ -139,13 +138,14 @@ object CompatAudit {
     } catch { case _: Exception => raw }
   }
 
-  /** interval text -> micros (reference stores micros; 1 mon = 30 days). */
+  /** interval text -> micros (reference stores micros; 1 mon = 30.4375 days,
+    * iceberg_schema_column.go:289-291). */
   private def stripIntervalToMicros(raw: String): String = {
     val iv = "(?:(\\d+) mons? )?(?:(\\d+) days? )?(\\d+):(\\d+):(\\d+)(?:\\.(\\d+))?".r
     raw match {
       case iv(mon, day, h, m, s, frac) =>
         val micros =
-          (Option(mon).map(_.toLong).getOrElse(0L) * 30 * 86400000000L) +
+          (Option(mon).map(_.toLong).getOrElse(0L) * 2629800000000L) +
             (Option(day).map(_.toLong).getOrElse(0L) * 86400000000L) +
             h.toLong * 3600000000L + m.toLong * 60000000L + s.toLong * 1000000L +
             Option(frac).map(f => (f + "0" * (6 - f.length)).take(6).toLong).getOrElse(0L)

@@ -89,6 +89,43 @@ case class MinHashSigs(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Runtime helper for [[JsonNormalize]]. */
+object JsonNormalizeUtil {
+  private val om = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.configure(
+      com.fasterxml.jackson.databind.SerializationFeature.ORDER_MAP_ENTRIES_BY_KEYS, true)
+    m
+  }
+
+  /** Re-render a JSON document compact with recursively sorted object keys —
+    * the reference's rendering for every COMPUTED json value: DuckDB JSON
+    * results are scanned into `interface{}` and emitted through Go's
+    * `json.Marshal`, which sorts map keys and strips whitespace
+    * (response_handler.go:317-327). Stored json/jsonb columns bypass this
+    * (they are VARCHAR passthrough). Invalid JSON passes through unchanged. */
+  def norm(s: UTF8String): UTF8String = {
+    if (s == null) return null
+    try {
+      val tree = om.readTree(s.toString)
+      UTF8String.fromString(
+        om.writeValueAsString(om.treeToValue(tree, classOf[Object])))
+    } catch { case _: Exception => s }
+  }
+}
+
+/** `jsonb_norm(x)` — Go-marshal-equivalent JSON normalization, applied by
+  * the dialect to `::json[b]` casts and json_build_object results. */
+case class JsonNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override protected def nullSafeEval(input: Any): Any =
+    JsonNormalizeUtil.norm(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.JsonNormalizeUtil.norm($c)")
+  override protected def withNewChildInternal(newChild: Expression): JsonNormalize =
+    copy(child = newChild)
+}
+
 object GraftExpressions {
   /** Column form; requires register(spark) to have run in the session. */
   def rolling_hash(c: Column): Column =
@@ -104,5 +141,7 @@ object GraftExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sigs", exprs => MinHashSigs(exprs.head,
         exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jsonb_norm", exprs => JsonNormalize(exprs.head), "scala_udf")
   }
 }

@@ -16,7 +16,7 @@ object FnQueries {
 
     // ---- constant/stub shims -------------------------------------------
     Q("fn_pg_shims", Some("""
-      SELECT 'PostgreSQL 17.0, compiled by graft-spark' AS v, '17.0' AS sv,
+      SELECT 'PostgreSQL 17.0, compiled by BemiDB' AS v, '17.0' AS sv,
              0 AS pid, false AS in_recovery, 'graft' AS owner,
              true AS can_connect, 'pg_catalog,public' AS schemas,
              '{' || chr(10) || '    "b": [' || chr(10) || '        1,'
@@ -112,8 +112,11 @@ object FnQueries {
     },
 
     Q("fn_json_build_object", Some("""
-      SELECT to_json({'name': n_name, 'key': CAST(n_nationkey AS VARCHAR)}) AS obj
+      SELECT to_json({'key': CAST(n_nationkey AS VARCHAR), 'name': n_name}) AS obj
       FROM nation ORDER BY obj""")) { (s, dir) =>
+      // json_build_object output is Go-marshal-normalized (sorted keys,
+      // like the reference's NullJson rendering), so the oracle struct is
+      // written in sorted key order
       s.sql("""
         SELECT json_build_object('name', n_name, 'key', CAST(n_nationkey AS STRING)) AS obj
         FROM nation ORDER BY obj""")
@@ -572,7 +575,9 @@ object FnQueries {
                    ('lineitem'), ('nation'), ('orders'), ('part'), ('region'),
                    ('supplier')) t(relname), (SELECT 'r' AS relkind) k
       ORDER BY relname""")) { (s, dir) =>
-      s.sql("SELECT relname, relkind FROM pg_class ORDER BY relname")
+      // user tables only: system catalog relations live at oid 1978+ with
+      // relkind 'v' (the reference's DuckDB-catalog rows)
+      s.sql("SELECT relname, relkind FROM pg_class WHERE relkind = 'r' AND oid >= 16384 ORDER BY relname")
     },
 
     Q("cat_pg_tables", Some("""

@@ -58,9 +58,29 @@ object PgFunctions {
   private def const(spark: SparkSession, name: String, value: Any, dt: DataType): Unit =
     fn(spark, name)(_ => Literal.create(value, dt))
 
+  /** Whether an expression statically yields a JSON document (a `->`
+    * extraction, json_build_object, ::jsonb normalization, row_to_json) —
+    * the DuckDB JSON-typed surface in the reference. Children may still be
+    * unresolved when a builder fires, so both shapes are matched. */
+  private val jsonProducers = Set(
+    "pg_json_extract", "jsonb_norm", "json_build_object", "jsonb_build_object",
+    "row_to_json", "to_json")
+  private def producesJson(e: Expression): Boolean = e match {
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+      jsonProducers.contains(u.nameParts.last.toLowerCase)
+    case u: ScalaUDF => u.udfName.exists(n => jsonProducers.contains(n.toLowerCase))
+    case _: JsonNormalize | _: StructsToJson => true
+    case a: Alias => producesJson(a.child)
+    // the dialect turns `agg(x) FILTER (WHERE c)` into `agg(CASE WHEN c
+    // THEN x END)` before parse — look through the CASE at its values
+    case c: CaseWhen =>
+      c.branches.exists(b => producesJson(b._2)) || c.elseValue.exists(producesJson)
+    case _ => false
+  }
+
   private def registerAll(spark: SparkSession): Unit = {
     // --- constant / stub shims (query_remapper_function.go:17-38) ---------
-    const(spark, "version", "PostgreSQL 17.0, compiled by graft-spark", StringType)
+    const(spark, "version", "PostgreSQL 17.0, compiled by BemiDB", StringType)
     const(spark, "pg_backend_pid", 0, IntegerType) // reference macro: 0
     const(spark, "pg_is_in_recovery", false, BooleanType)
     const(spark, "pg_encoding_to_char", "UTF8", StringType)
@@ -175,9 +195,13 @@ object PgFunctions {
     // 4-space-indent rendering (`"key": value`, arrays expanded)
     spark.udf.register("jsonb_pretty", (j: String) => prettyJson(j))
     // json_build_object(k1, v1, ...) -> to_json(map(...)) (macro at
-    // query_remapper_function.go:45-52); args must share a value type
-    fn(spark, "json_build_object") { exprs => StructsToJson(Map.empty, CreateMap(exprs)) }
-    fn(spark, "jsonb_build_object") { exprs => StructsToJson(Map.empty, CreateMap(exprs)) }
+    // query_remapper_function.go:45-52); args must share a value type.
+    // The result is a COMPUTED json value, which the reference emits through
+    // Go json.Marshal (sorted keys, compact) — JsonNormalize reproduces that.
+    fn(spark, "json_build_object") { exprs =>
+      JsonNormalize(StructsToJson(Map.empty, CreateMap(exprs))) }
+    fn(spark, "jsonb_build_object") { exprs =>
+      JsonNormalize(StructsToJson(Map.empty, CreateMap(exprs))) }
     // json[b]_array_elements table function -> explode over a parsed array
     // (query_remapper_table.go:113-134: unnest(json_extract(x,'$[*]')))
     fn(spark, "json_array_elements") { exprs =>
@@ -186,14 +210,19 @@ object PgFunctions {
     fn(spark, "jsonb_array_elements") { exprs =>
       Explode(JsonToStructs(ArrayType(StringType), Map.empty, exprs.head))
     }
-    // jsonb_agg(x) -> to_json(collect_list(x)) (reference AST rewrite at
-    // query_remapper_function.go:168-172)
-    fn(spark, "jsonb_agg") { exprs =>
-      StructsToJson(Map.empty, CollectList(exprs.head).toAggregateExpression())
-    }
-    fn(spark, "json_agg") { exprs =>
-      StructsToJson(Map.empty, CollectList(exprs.head).toAggregateExpression())
-    }
+    // jsonb_agg(x) -> to_json(array_agg(x)) (reference AST rewrite at
+    // query_remapper_function.go:168-172). When x is itself a JSON value
+    // (`->` extraction, json_build_object, ::jsonb), DuckDB's to_json embeds
+    // it RAW — `jsonb_agg(j->'k')` is `["value"]`, not `["\"value\""]` — so
+    // json-producing args are joined verbatim instead of re-quoted.
+    def jsonAgg(exprs: Seq[Expression]): Expression =
+      if (producesJson(exprs.head))
+        Concat(Seq(Literal("["),
+          new ArrayJoin(CollectList(exprs.head).toAggregateExpression(), Literal(",")),
+          Literal("]")))
+      else StructsToJson(Map.empty, CollectList(exprs.head).toAggregateExpression())
+    fn(spark, "jsonb_agg")(jsonAgg)
+    fn(spark, "json_agg")(jsonAgg)
 
     // --- array shims ----------------------------------------------------
     // array_upper(a, 1) -> size(a) (macro at query_remapper_function.go:53-57)

@@ -192,11 +192,11 @@ object PgDialect {
       Rows(SessionSettings.all.toSeq.sorted.toDF("name", "setting"), "SHOW")
     else {
       // search_path is prefixed with "$user" like the reference
-      // (parser_show.go:19-91) and reflects the configured schema label
+      // (parser_show.go:72, query_remapper_show.go:26: CONCAT('"$user", ', value))
+      val raw = SessionSettings.get(name).getOrElse("")
       val value =
-        if (name == "search_path" && SessionSettings.get("graft.schema_label").isDefined)
-          "\"$user\", " + SessionSettings.get("graft.schema_label").get
-        else SessionSettings.get(name).getOrElse("")
+        if (name == "search_path" && !raw.contains("$user")) "\"$user\", " + raw
+        else raw
       Rows(Seq(value).toDF(name), "SHOW")
     }
   }
@@ -296,7 +296,10 @@ object PgDialect {
     s = rewriteJsonPath(s)
     s = rewriteJsonArrows(s)
     // 'X'::interval -> Spark calendar-interval literal
-    s = s.replaceAll("'([^']*)'\\s*::\\s*interval\\b", "INTERVAL '$1'")
+    s = s.replaceAll("(?i)'([^']*)'\\s*::\\s*interval\\b", "INTERVAL '$1'")
+    // PG's TIMESTAMP 'x' literal is tz-less; Spark's defaults to session-tz
+    // (which the wire renders with a +00:00 suffix like live TIMESTAMPTZ)
+    s = s.replaceAll("(?i)\\bTIMESTAMP\\s+'", "TIMESTAMP_NTZ '")
     s = rewriteCasts(s)
     s = injectPgNullOrdering(s)
     // CTE materialization hints are planner advice PG 12 added; Catalyst
@@ -966,7 +969,9 @@ object PgDialect {
     "bpchar" -> "STRING", "name" -> "STRING", "json" -> "STRING",
     "jsonb" -> "STRING", "uuid" -> "STRING", "regclass" -> "STRING",
     "regproc" -> "STRING", "regtype" -> "STRING", "regnamespace" -> "STRING",
-    "date" -> "DATE", "timestamp" -> "TIMESTAMP",
+    // ::timestamp is tz-less (rendered without offset); ::timestamptz is the
+    // session-zone type the reference renders with a +00:00 suffix
+    "date" -> "DATE", "timestamp" -> "TIMESTAMP_NTZ",
     "timestamptz" -> "TIMESTAMP", "time" -> "STRING", "interval" -> "STRING")
 
   /** `operand::type` (optionally `[]`) -> CAST(operand AS sparkType),
@@ -1017,7 +1022,14 @@ object PgDialect {
       val sparkType = if (isArray) s"ARRAY<$sparkType0>" else sparkType0
       val typeEnd = if (isArray) e + 2 else e
       val operand = s.substring(start, idx)
-      s = s.substring(0, start) + s"CAST($operand AS $sparkType)" + s.substring(typeEnd)
+      // ::json[b] produces a COMPUTED json value -> Go-marshal normalization
+      // (compact, sorted keys), like DuckDB JSON through the reference's
+      // NullJson path (response_handler.go:317-327)
+      val replacement =
+        if (!isArray && (pgType == "json" || pgType == "jsonb"))
+          s"jsonb_norm($operand)"
+        else s"CAST($operand AS $sparkType)"
+      s = s.substring(0, start) + replacement + s.substring(typeEnd)
       idx = s.indexOf("::")
     }
     s

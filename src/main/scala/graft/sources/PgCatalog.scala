@@ -215,7 +215,7 @@ object PgCatalog {
       .withColumn("rolvaliduntil",
         org.apache.spark.sql.functions.lit(null).cast("timestamp"))
       .createOrReplaceTempView("pg_roles")
-    Seq((userName, 10L, true, true, false, false, Option.empty[String]))
+    Seq((userName, 10L, true, true, true, true, Option.empty[String]))
       .toDF("usename", "usesysid", "usecreatedb", "usesuper", "userepl",
         "usebypassrls", "passwd")
       .withColumn("valuntil", lit(null).cast("timestamp"))
@@ -455,7 +455,8 @@ object PgCatalog {
     shell("pg_stat_subscription", "subid" -> L, "subname" -> S)
     shell("pg_stat_subscription_stats", "subid" -> L, "subname" -> S)
     shell("pg_stat_ssl", "pid" -> I, "ssl" -> B)
-    shell("pg_stat_gssapi", "pid" -> I, "gss_authenticated" -> B)
+    shell("pg_stat_gssapi", "pid" -> I, "gss_authenticated" -> B, "principal" -> S,
+      "encrypted" -> B, "credentials_delegated" -> B)
     for (v <- Seq("pg_stat_progress_analyze", "pg_stat_progress_create_index",
         "pg_stat_progress_vacuum", "pg_stat_progress_cluster",
         "pg_stat_progress_basebackup", "pg_stat_progress_copy"))
@@ -492,7 +493,31 @@ object PgCatalog {
       .createOrReplaceTempView("pg_stat_user_tables")
 
     refreshInfoSchema(spark)
+
+    // with every system view registered, rebuild pg_class to list them too:
+    // the reference's pg_class carries the engine's own catalog relations
+    // with oids from 1978 (golden: min pg_class oid is 1978, not a user oid)
+    (systemRels(spark) ++ Tables.names.zipWithIndex.map { case (n, i) =>
+        (16384L + i, n, 2200L, "r") })
+      .map { case (oid, n, ns, kind) =>
+        (oid, n, ns, kind, 10L, 2L, 0L, 0.0, false, "p", false, 0L,
+          false, false, 0, Option.empty[String]) }
+      .toDF("oid", "relname", "relnamespace", "relkind", "relowner", "relam",
+        "relpages", "reltuples", "relhasindex", "relpersistence",
+        "relispartition", "reltablespace", "relforcerowsecurity", "relrowsecurity",
+        "relchecks", "relacl")
+      .createOrReplaceTempView("pg_class")
   }
+
+  /** The session's own catalog relations as pg_class rows, numbered from
+    * 1978 in name order (the reference surfaces DuckDB's system catalog in
+    * pg_class the same way; its lowest oid is 1978). */
+  private def systemRels(spark: SparkSession): Seq[(Long, String, Long, String)] =
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(n => n.startsWith("pg_") || n.startsWith("information_schema"))
+      .filterNot(Tables.names.toSet)
+      .sorted.toSeq
+      .zipWithIndex.map { case (n, i) => (1978L + i, n, 11L, "v") }
 
   /** Reverse Spark-type -> PG udt name, reporting the STORED type the way
     * the reference does (int8/xid8 widen to DECIMAL -> `numeric`; the
@@ -519,7 +544,7 @@ object PgCatalog {
       case DateType => "date"
       case TimestampNTZType => "timestamp"
       case TimestampType => "timestamp"
-      case ArrayType(e, _) => "_" + udtOf(StructField("", e))
+      case ArrayType(e, _) => "_" + udtOf(f.copy(dataType = e))
       case _ => "text"
     }
   }
@@ -601,7 +626,7 @@ object PgCatalog {
       Tables.names.zipWithIndex.map { case (n, i) => (16384L + i, n, nsOid, "r") } ++
         mvs.zipWithIndex.map { case (n, i) => (20000L + i, n, nsOid, "m") } ++
         views.zipWithIndex.map { case (n, i) => (24000L + i, n, nsOid, "r") }
-    rels
+    (systemRels(spark) ++ rels)
       .map { case (oid, n, ns, kind) =>
         (oid, n, ns, kind, 10L, 2L, 0L, 0.0, false, "p", false, 0L,
           false, false, 0, Option.empty[String])

@@ -554,6 +554,12 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int) {
       case (LongType, "time" | "timetz") =>
         val t = java.time.LocalTime.ofNanoOfDay(row.getLong(i) * 1000)
         timeFmt.format(t).replaceAll("\\.?0+$", "")
+      case (TimestampType, "timestamptz") =>
+        // STORED timestamptz is TIMESTAMP at rest (no offset on output,
+        // response_handler.go:192-195 formats stored cols as TIMESTAMP);
+        // only computed ::timestamptz values carry the +00:00 suffix
+        val inst = row.getAs[java.sql.Timestamp](i).toInstant
+        tsFmt.format(inst.atZone(java.time.ZoneOffset.UTC)).replaceAll("\\.?0+$", "")
       case _ => textEncode(row, i, f.dataType)
     }
   }
@@ -563,47 +569,104 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int) {
   /** PG text-format value encoding (response_handler.go:148-233). */
   private[graft] def textEncode(row: Row, i: Int, dt: DataType): String = dt match {
     case BooleanType => if (row.getBoolean(i)) "t" else "f"
+    case FloatType => goFloatF(row.getFloat(i))
+    case DoubleType => goFloat(row.getDouble(i))
     case TimestampType =>
+      // live TIMESTAMPTZ values render with the normalized-UTC offset
+      // (response_handler.go:196: "2006-01-02 15:04:05.999999-07:00")
       val inst = row.getAs[java.sql.Timestamp](i).toInstant
       tsFmt.format(inst.atZone(java.time.ZoneOffset.UTC))
-        .replaceAll("\\.?0+$", "") // reference renders normalized UTC, no offset
+        .replaceAll("\\.?0+$", "") + "+00:00"
     case TimestampNTZType => // surfaces as LocalDateTime, not Timestamp
       tsFmt.format(row.getAs[java.time.LocalDateTime](i))
         .replaceAll("\\.?0+$", "")
-    case DateType => row.getAs[java.sql.Date](i).toString
+    case DateType => // java.sql.Date.toString truncates 5-digit years
+      val ld = row.getAs[java.sql.Date](i).toLocalDate
+      f"${ld.getYear}%04d-${ld.getMonthValue}%02d-${ld.getDayOfMonth}%02d"
     case _: ArrayType =>
+      // the reference CSV-encodes array elements (response_handler.go:
+      // 348-369: Go encoding/csv — quote only on , " or newline, doubling
+      // inner quotes; elements themselves render through fmt "%v")
       row.getSeq[Any](i).map {
         case null => "NULL"
-        case b: Boolean => if (b) "t" else "f"
-        case s: String if s.contains(",") || s.contains(" ") => "\"" + s + "\""
+        case b: Boolean => b.toString
+        case d: java.math.BigDecimal => goFloat(d.doubleValue)
+        case d: org.apache.spark.sql.types.Decimal => goFloat(d.toDouble)
+        case d: Double => goFloat(d)
+        case f: Float => goFloatF(f)
         case v => v.toString
+      }.map { s =>
+        if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+          "\"" + s.replace("\"", "\"\"") + "\""
+        else s
       }.mkString("{", ",", "}")
-    case d: DecimalType if d.precision == 38 && d.scale == 6 =>
-      // the untyped-numeric encoding: minimal digits like PG plain numeric
-      row.getDecimal(i).stripTrailingZeros.toPlainString
+    case _: DecimalType =>
+      // the reference scans every DECIMAL as duckdb.Decimal and emits
+      // fmt.Sprintf("%v", value.Float64()) (response_handler.go:268-271) —
+      // Go shortest-float formatting, scientific once the exponent hits 6
+      goFloat(row.getDecimal(i).doubleValue)
     case BinaryType =>
       "\\x" + row.getAs[Array[Byte]](i).map("%02x".format(_)).mkString
-    case _: DayTimeIntervalType => // PG style: "[d days] [-]HH:MM:SS[.ffffff]"
+    // intervals render through the reference's NullInterval.String():
+    // "%d months %d days %d microseconds" (response_handler.go:293-298)
+    case _: DayTimeIntervalType =>
       val d = row.getAs[java.time.Duration](i)
-      val neg = d.isNegative
-      val abs = d.abs
-      val days = abs.toDays
-      val h = abs.toHours % 24; val m = abs.toMinutes % 60; val sec = abs.getSeconds % 60
-      val micros = abs.getNano / 1000
-      val sign = if (neg) "-" else ""
-      val dayPart = if (days != 0) s"$sign$days days " else ""
-      val frac = if (micros != 0) f".$micros%06d".replaceAll("0+$", "") else ""
-      f"$dayPart$sign$h%02d:$m%02d:$sec%02d$frac"
-    case _: YearMonthIntervalType => // PG style: "X years Y mons"
+      val days = d.toDays
+      val micros = (d.getSeconds - days * 86400L) * 1000000L + d.getNano / 1000
+      s"0 months $days days $micros microseconds"
+    case _: YearMonthIntervalType =>
       val p = row.getAs[java.time.Period](i)
-      val months = p.toTotalMonths
-      val y = months / 12; val mo = months % 12
-      val parts = Seq(
-        if (y != 0) Some(s"$y year" + (if (math.abs(y) != 1) "s" else "")) else None,
-        if (mo != 0) Some(s"$mo mon" + (if (math.abs(mo) != 1) "s" else "")) else None)
-        .flatten
-      if (parts.isEmpty) "00:00:00" else parts.mkString(" ")
+      s"${p.toTotalMonths} months 0 days 0 microseconds"
+    case CalendarIntervalType =>
+      val ci = row.get(i).asInstanceOf[org.apache.spark.unsafe.types.CalendarInterval]
+      s"${ci.months} months ${ci.days} days ${ci.microseconds} microseconds"
     case _ => row.get(i).toString
+  }
+
+  /** Go `fmt.Sprintf("%v", float64)` — shortest round-trip digits, switching
+    * to e-notation when the decimal exponent is < -4 or >= 6, two-digit
+    * exponent field (strconv 'g' with shortest precision). */
+  private[graft] def goFloat(d: Double): String = {
+    if (d.isNaN) return "NaN"
+    if (d == Double.PositiveInfinity) return "+Inf"
+    if (d == Double.NegativeInfinity) return "-Inf"
+    if (d == 0.0) return if (1 / d < 0) "-0" else "0"
+    val sign = if (d < 0) "-" else ""
+    sign + goDigits(java.lang.Double.toString(math.abs(d)))
+  }
+
+  /** Go "%v" of a float32: shortest digits for the FLOAT value (widening to
+    * double first would add garbage digits). */
+  private[graft] def goFloatF(f: Float): String = {
+    if (f.isNaN) return "NaN"
+    if (f == Float.PositiveInfinity) return "+Inf"
+    if (f == Float.NegativeInfinity) return "-Inf"
+    if (f == 0.0f) return if (1 / f < 0) "-0" else "0"
+    val sign = if (f < 0) "-" else ""
+    sign + goDigits(java.lang.Float.toString(math.abs(f)))
+  }
+
+  /** Shortest-digit Java float repr -> Go 'g' form (e-notation when the
+    * decimal exponent is < -4 or >= 6). */
+  private def goDigits(s: String): String = {
+    val (mant, exp10) = s.indexOf('E') match {
+      case -1 => (s, 0)
+      case p => (s.substring(0, p), s.substring(p + 1).toInt)
+    }
+    val point = mant.indexOf('.')
+    val digitsRaw = mant.replace(".", "")
+    val digits = digitsRaw.dropWhile(_ == '0')
+    val exp = (if (point < 0) mant.length else point) - 1 + exp10 -
+      (digitsRaw.length - digits.length)
+    val dd0 = digits.reverse.dropWhile(_ == '0').reverse
+    val dd = if (dd0.isEmpty) "0" else dd0
+    if (exp < -4 || exp >= 6) {
+      val m = if (dd.length == 1) dd else dd.head + "." + dd.tail
+      f"${m}e${if (exp < 0) "-" else "+"}${math.abs(exp)}%02d"
+    } else if (exp >= 0) {
+      if (dd.length > exp + 1) s"${dd.take(exp + 1)}.${dd.drop(exp + 1)}"
+      else dd + "0" * (exp + 1 - dd.length)
+    } else "0." + "0" * (-exp - 1) + dd
   }
 
   private def commandComplete(out: DataOutputStream, tag: String): Unit =

@@ -328,13 +328,15 @@ class WireSpec extends SparkSpecBase {
     c2.close(); c.close()
   }
 
-  test("interval values encode in PG text style") {
+  test("interval values encode in the reference's months/days/micros style") {
+    // NullInterval.String(): "%d months %d days %d microseconds"
+    // (response_handler.go:293-298)
     val c = new Client(server._2); c.startup()
     val msgs = c.query(
       "SELECT INTERVAL '2' DAY + INTERVAL '3' HOUR AS dt, INTERVAL '14' MONTH AS ym")
     val row = dataRowValues(msgs.find(_._1 == 'D').get._2)
-    assert(row(0) == "2 days 03:00:00", row(0))
-    assert(row(1) == "1 year 2 mons", row(1))
+    assert(row(0) == "0 months 2 days 10800000000 microseconds", row(0))
+    assert(row(1) == "14 months 0 days 0 microseconds", row(1))
     c.close()
   }
 

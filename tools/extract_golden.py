@@ -29,12 +29,17 @@ def parse_list(line: str):
     if m is None:
         return None
     items = []
-    for lit, call in re.findall(
-        r'"((?:[^"\\]|\\.)*)"|([A-Za-z][\w.()]*\([^()]*\))', m.group(1)
+    # entries are double-quoted Go strings, backquoted raw strings (which may
+    # contain commas and inner double quotes), or computed calls
+    for mo in re.finditer(
+        r'"((?:[^"\\]|\\.)*)"|`([^`]*)`|([A-Za-z][\w.()]*\([^()]*\))', m.group(1)
     ):
-        if call:
+        if mo.group(3):
             return None  # non-literal entry (e.g. uint32ToString(...))
-        items.append(un(lit))
+        if mo.group(2) is not None:
+            items.append(mo.group(2))
+        else:
+            items.append(un(mo.group(1)))
     return items
 
 
