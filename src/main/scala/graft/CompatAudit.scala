@@ -170,19 +170,17 @@ object CompatAudit {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
-  def main(args: Array[String]): Unit = {
-    val path = args.headOption.getOrElse("tools/golden_queries.json")
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    val store = new Store(spark,
-      java.nio.file.Files.createTempDirectory("graft-audit").toString)
-    // identity config mirrors the reference's test config; set BEFORE the
-    // catalog registers so its views pick the names up
+  /** Execution + parity counters from one full corpus replay. */
+  case class AuditResult(total: Int, executed: Int, failures: Seq[(String, String)],
+      descOk: Int, descTot: Int, valOk: Int, valTot: Int,
+      diffs: Seq[(String, String)])
+
+  /** Replay the golden corpus on `spark`, comparing column names and
+    * single-row values against the reference's own test assertions. Sets the
+    * reference test-config identity BEFORE registering the catalog so its
+    * views pick the names up. */
+  def runAudit(spark: SparkSession, store: Store,
+      path: String = "tools/golden_queries.json"): AuditResult = {
     SessionSettings.set("graft.strip_schemas", "public,postgres,main")
     SessionSettings.set("graft.user", "user")
     SessionSettings.set("graft.database", "bemidb")
@@ -254,14 +252,30 @@ object CompatAudit {
             .nextOption().getOrElse(e.getClass.getName).take(160)
       }
     }
-    val fails = failures.result()
-    println(s"golden corpus: ${queries.size} queries, $ok pass, ${fails.size} fail; " +
-      s"column-name parity $descOk/$descTot; single-row value parity $valOk/$valTot")
-    fails.foreach { case (q, e) =>
+    AuditResult(queries.size, ok, failures.result(), descOk, descTot,
+      valOk, valTot, valueMiss.result())
+  }
+
+  def main(args: Array[String]): Unit = {
+    val path = args.headOption.getOrElse("tools/golden_queries.json")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val store = new Store(spark,
+      java.nio.file.Files.createTempDirectory("graft-audit").toString)
+    val r = runAudit(spark, store, path)
+    println(s"golden corpus: ${r.total} queries, ${r.executed} pass, " +
+      s"${r.failures.size} fail; column-name parity ${r.descOk}/${r.descTot}; " +
+      s"single-row value parity ${r.valOk}/${r.valTot}")
+    r.failures.foreach { case (q, e) =>
       println("FAIL: " + q.linesIterator.mkString(" ").take(200))
       println("      " + e)
     }
-    valueMiss.result().foreach { case (q, d) =>
+    r.diffs.foreach { case (q, d) =>
       println("DIFF: " + q.linesIterator.mkString(" ").take(160))
       println("      " + d.take(240))
     }

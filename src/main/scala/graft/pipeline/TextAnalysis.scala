@@ -32,6 +32,36 @@ object TextAnalysis {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.df(s, dir, n)
 
+  /** GPT-style sequence packing: documents are concatenated in doc_id order
+    * and cut into fixed `window`-token contexts; each doc gets its global
+    * token offset, pack id, and the number of packs it spans.
+    *
+    * The global offset is a distributed prefix sum, NOT a single-partition
+    * window: range-partition by doc_id, per-partition token totals (one tiny
+    * collect of numPartitions longs), broadcast the cumulative bases back,
+    * then a per-partition window finishes the cumsum. At 100 TB this is one
+    * pass plus a numPartitions-row driver exchange — no global sort, no
+    * single-reducer window. The result is identical for ANY partition count
+    * (prefix sums are associative), which PipelineSpec asserts. */
+  def seqPack(docs: DataFrame, window: Long, parts: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val parted = docs.repartitionByRange(parts, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    parted.cache()
+    val psums = parted.groupBy("pid").agg(sum("len").as("psum")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val bases = psums.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) => (pid + 1, acc + n) }
+      .init.zip(psums).map { case ((_, base), (pid, _)) => (pid, base) }
+    val basesDf = spark.createDataFrame(bases.toSeq).toDF("pid", "base")
+    val w = Window.partitionBy("pid").orderBy("doc_id")
+    parted.join(broadcast(basesDf), "pid")
+      .withColumn("cum", sum("len").over(w))
+      .withColumn("start", col("base") + col("cum") - col("len"))
+      .withColumn("pack_id", expr(s"start div $window"))
+      .withColumn("spans", expr(s"((start + len - 1) div $window) - (start div $window) + 1"))
+      .select("doc_id", "len", "start", "pack_id", "spans")
+  }
+
   /** Stopword-profile language-ID heuristic. The honest classic approach
     * (n-gram/stopword profiles, argmax over languages, deterministic
     * tie-break); registered as a UDF because the profile lookup is genuinely
@@ -632,6 +662,57 @@ object TextAnalysis {
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 15)
         .select("doc_id", "source", "rk")
+        .orderBy("doc_id")
+    },
+
+    // sequence packing (concat-and-split into fixed 512-token contexts):
+    // global token offsets via the distributed prefix sum in [[seqPack]];
+    // the DuckDB oracle is the single-window cumsum formulation
+    Q("txt_seq_pack", Some("""
+      WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+                 FROM documents),
+           c AS (SELECT doc_id, len,
+                   CAST(sum(len) OVER (ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - len AS BIGINT) AS start
+                 FROM d)
+      SELECT doc_id, len, start,
+        CAST(start // 512 AS BIGINT) AS pack_id,
+        CAST((start + len - 1) // 512 - start // 512 + 1 AS BIGINT) AS spans
+      FROM c ORDER BY doc_id""")) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("len"))
+      seqPack(docs, 512L, 8).orderBy("doc_id")
+    },
+
+    // temperature-flattened domain mixture (the training-mix reweighting
+    // step: sample source s at rate ~ sqrt(n_s), so big domains are
+    // down-weighted). All-integer thresholds — floor-sqrt per domain, one
+    // tiny per-domain aggregate, md5 bucket accept — so Spark and DuckDB
+    // agree bit-for-bit with no float summation-order hazard. One agg
+    // shuffle on source + a broadcast join: scan-speed at 100 TB.
+    Q("txt_domain_mix", Some("""
+      WITH c AS (SELECT source, count(*) AS n,
+                   CAST(floor(sqrt(count(*))) AS BIGINT) AS fsqrt
+                 FROM documents GROUP BY source),
+           s AS (SELECT sum(fsqrt) AS sq FROM c),
+           r AS (SELECT source, CAST(least(65536, (65536 * 200 * fsqrt) // (sq * n))
+                   AS BIGINT) AS thr
+                 FROM c, s)
+      SELECT d.doc_id, d.source, r.thr
+      FROM documents d JOIN r USING (source)
+      WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS INT) < r.thr
+      ORDER BY d.doc_id""")) { (s, dir) =>
+      val docs = t(s, dir, "documents").select("doc_id", "source")
+      val counts = docs.groupBy("source")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("fsqrt", floor(sqrt(col("n"))).cast("long"))
+      val sq = counts.agg(sum("fsqrt")).first.getLong(0) // k domains -> 1 long
+      val rates = counts.withColumn("thr",
+        least(lit(65536L), expr(s"(65536L * 200 * fsqrt) div (${sq}L * n)")).cast("long"))
+      docs.join(broadcast(rates.select("source", "thr")), "source")
+        .filter(expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS INT)")
+          < col("thr"))
+        .select("doc_id", "source", "thr")
         .orderBy("doc_id")
     }
   )

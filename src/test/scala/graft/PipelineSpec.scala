@@ -174,6 +174,30 @@ class PipelineSpec extends SparkSpecBase {
     assert(first.getLong(first.fieldIndex("removed")) == 0L)
   }
 
+  test("sequence packing is invariant to partition count (distributed prefix sum)") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.df(spark, sfDir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("len"))
+    val a = TextAnalysis.seqPack(docs, 512L, 8).orderBy("doc_id").collect()
+    val b = TextAnalysis.seqPack(docs, 512L, 3).orderBy("doc_id").collect()
+    assert(a.nonEmpty)
+    assert(a.toSeq == b.toSeq, "prefix sums must not depend on partitioning")
+    // offsets are dense: each start equals the previous start + len
+    a.sliding(2).foreach {
+      case Array(p, q) =>
+        assert(q.getLong(q.fieldIndex("start"))
+          == p.getLong(p.fieldIndex("start")) + p.getLong(p.fieldIndex("len")))
+      case _ =>
+    }
+  }
+
+  test("domain mix: every source is represented and big sources are down-weighted") {
+    val rows = SparkEntry.queries("txt_domain_mix")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val bySource = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(bySource.size > 1, "more than one source survives the mix")
+  }
+
   test("semdedup drops only vectors with a lower-id near neighbor in-cluster") {
     val rows = SparkEntry.queries("dd_semdedup")(spark, sfDir).collect()
     val dropped = rows.filter(!_.getBoolean(2)).map(_.getLong(0)).toSet
