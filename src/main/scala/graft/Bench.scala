@@ -21,13 +21,10 @@ object Bench {
     // ACROSS queries instead (measured: 1 part beats 8 parts ~1.8x here).
     // The same rule at 100 TB yields thousands of partitions, so intra-query
     // parallelism returns exactly when the data needs it.
-    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
     val cache = sys.env.getOrElse("SPARK_GRAFT_CACHE", "true").toBoolean
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
-      .config("spark.sql.adaptive.enabled", aqe)
-      .config("spark.sql.adaptive.coalescePartitions.enabled", aqe)
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -41,6 +38,14 @@ object Bench {
       math.max(1L, math.min(200L, rows / 1000000L)).toString
     }).toString
     spark.conf.set("spark.sql.shuffle.partitions", parts)
+    // AQE follows the same data-volume rule as the partition count: with a
+    // single shuffle partition there is nothing for it to adapt (no skew, no
+    // partition coalescing, no join re-plan) and its per-stage re-optimization
+    // is pure overhead (~14% of sequential wall here); once the volume rule
+    // yields >1 partition — i.e. at any real scale — AQE is on.
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", (parts.toInt > 1).toString)
+    spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", aqe)
 
     // Warm the table cache: a long-running analytics server keeps its hot
     // working set in memory (Spark's columnar cache), fact tables clustered

@@ -181,6 +181,43 @@ object StoreOps {
             .coalesce(1))
       val (df, _, _) = store.readRange("pr_orders", "o_orderkey", 2000L, 2999L)
       df.orderBy("o_orderkey")
+    },
+
+    // REAL Iceberg v2 round-trip: publish the store table as a
+    // spec-conformant Iceberg snapshot (metadata.json + Avro manifest tree,
+    // sources/Iceberg.scala), then read it back planning the scan purely
+    // from that metadata — the file list comes from manifests, never a
+    // directory listing (reference format: storage_utils.go:162-494).
+    Q("st_iceberg_roundtrip", Some("""
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+      WHERE o_orderkey <= 5000 ORDER BY o_orderkey""")) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-ice").toString
+      val store = new Store(s, wh)
+      val content = t(s, dir, "orders")
+        .filter(col("o_orderkey") <= 5000)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      store.replace("ice_orders", content)
+      store.publishIceberg("ice_orders")
+      store.readIceberg("ice_orders").orderBy("o_orderkey")
+    },
+
+    // Iceberg manifest-bound pruning: a sorted layout gives each data file
+    // a tight key range in its manifest entry; the range scan plans from
+    // manifest lower/upper bounds alone (no parquet footers touched) and
+    // must return exactly the filtered rows. File-skipping itself is
+    // asserted in IcebergSpec.
+    Q("st_iceberg_prune", Some("""
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderkey BETWEEN 3000 AND 5999 ORDER BY o_orderkey""")) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-icp").toString
+      val store = new Store(s, wh)
+      val orders = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      store.replaceSorted("icp_orders", orders, "o_orderkey", numFiles = 8)
+      store.publishIceberg("icp_orders")
+      val (df, _, _) = Iceberg.readRangePruned(s,
+        java.nio.file.Paths.get(wh, "icp_orders"), orders.schema,
+        "o_orderkey", 3000L, 5999L)
+      df.orderBy("o_orderkey")
     }
   )
 }

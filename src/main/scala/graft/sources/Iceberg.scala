@@ -1,0 +1,547 @@
+package graft
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.{Path => HadoopPath}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Apache Iceberg v2 table metadata: a real, spec-conformant writer + reader
+  * for the three-layer metadata tree (vN.metadata.json → manifest-list Avro →
+  * manifest Avro → data files), with per-column stats harvested from parquet
+  * footers — the same layout the reference hand-writes in Go
+  * (/root/reference/src/common/storage_utils.go:162-494: WriteManifestFile,
+  * WriteManifestListFile, WriteMetadataFile; Avro schemas at :570-900).
+  *
+  * No Iceberg runtime ships in this container, so this module implements the
+  * FORMAT directly from the public Iceberg v2 spec using the Avro + parquet
+  * jars Spark bundles. Scope matches the reference: unpartitioned tables,
+  * parquet data files, full-snapshot commits (every commit's manifest lists
+  * the complete file set — the reference writes the same shape: one new
+  * manifest per sync listing all files).
+  *
+  * Scale notes (100 TB): planning reads O(manifests) small Avro files, never
+  * data; [[planFiles]] prunes on manifest-entry lower/upper bounds before
+  * Spark lists a single parquet footer — the mechanism that lets a
+  * 1000-executor cluster open only the files a predicate can touch.
+  */
+object Iceberg {
+
+  /** Parquet field-id offset for list element fields — the reference's
+    * PARQUET_NESTED_FIELD_ID_PREFIX (iceberg_schema_column.go:44). */
+  val NestedFieldIdPrefix = 1000
+
+  // ---- Iceberg schema JSON (metadata.json "schemas" entry) ---------------
+
+  /** Iceberg type string for a Spark type (reverse of the SURVEY §1.4 map). */
+  def icebergType(dt: DataType): String = dt match {
+    case BooleanType => "boolean"
+    case ByteType | ShortType | IntegerType => "int"
+    case LongType => "long"
+    case FloatType => "float"
+    case DoubleType => "double"
+    case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+    case DateType => "date"
+    case TimestampType => "timestamptz"
+    case TimestampNTZType => "timestamp"
+    case StringType => "string"
+    case BinaryType => "binary"
+    case other => throw new IllegalArgumentException(s"no iceberg mapping for $other")
+  }
+
+  private def om = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Iceberg struct-schema JSON with position-based field ids (1-based; list
+    * elements at 1000+position, like the reference). */
+  def schemaJson(schema: StructType): com.fasterxml.jackson.databind.node.ObjectNode = {
+    val mapper = om
+    val root = mapper.createObjectNode()
+    root.put("type", "struct")
+    root.put("schema-id", 0)
+    val fields = root.putArray("fields")
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      val id = i + 1
+      val fn = fields.addObject()
+      fn.put("id", id)
+      fn.put("name", f.name)
+      fn.put("required", false)
+      f.dataType match {
+        case ArrayType(elem, containsNull) =>
+          val t = fn.putObject("type")
+          t.put("type", "list")
+          t.put("element-id", NestedFieldIdPrefix + id)
+          t.put("element", icebergType(elem))
+          t.put("element-required", !containsNull)
+        case dt => fn.put("type", icebergType(dt))
+      }
+    }
+    root.putArray("identifier-field-ids")
+    root
+  }
+
+  // ---- per-file stats from parquet footers -------------------------------
+
+  /** One data file's manifest stats. Bounds are kept only for types whose
+    * parquet plain-encoded min/max bytes coincide with Iceberg's single-value
+    * serialization (int32/int64/float/double little-endian, UTF-8 strings) —
+    * exactly the set the reference harvests (storage_utils.go:93-160); other
+    * columns legally omit bounds. */
+  case class FileStats(path: String, fileSize: Long, recordCount: Long,
+      columnSizes: Map[Int, Long], valueCounts: Map[Int, Long],
+      nullCounts: Map[Int, Long], lowerBounds: Map[Int, Array[Byte]],
+      upperBounds: Map[Int, Array[Byte]], splitOffsets: Seq[Long])
+
+  def parquetStats(spark: SparkSession, file: Path, schema: StructType): FileStats = {
+    val fieldIdByName = schema.fields.zipWithIndex.map { case (f, i) =>
+      f.name.toLowerCase -> (f.dataType match {
+        case _: ArrayType => NestedFieldIdPrefix + i + 1
+        case _ => i + 1
+      })
+    }.toMap
+    val stringCols = schema.fields.collect {
+      case f if f.dataType == StringType => f.name.toLowerCase
+    }.toSet
+    val boundEligible = schema.fields.collect {
+      case f if Set[DataType](IntegerType, LongType, FloatType, DoubleType,
+        StringType, DateType, TimestampType, TimestampNTZType).contains(f.dataType) =>
+        f.name.toLowerCase
+    }.toSet
+    val in = HadoopInputFile.fromPath(new HadoopPath(file.toString),
+      spark.sessionState.newHadoopConf())
+    val reader = ParquetFileReader.open(in)
+    try {
+      val colSizes = scala.collection.mutable.Map[Int, Long]().withDefaultValue(0L)
+      val valCounts = scala.collection.mutable.Map[Int, Long]().withDefaultValue(0L)
+      val nullCounts = scala.collection.mutable.Map[Int, Long]().withDefaultValue(0L)
+      val lower = scala.collection.mutable.Map[Int, Array[Byte]]()
+      val upper = scala.collection.mutable.Map[Int, Array[Byte]]()
+      val splits = scala.collection.mutable.ArrayBuffer[Long]()
+      var records = 0L
+      for (b <- reader.getFooter.getBlocks.asScala) {
+        records += b.getRowCount
+        splits += b.getStartingPos
+        for (c <- b.getColumns.asScala) {
+          val name = c.getPath.toDotString.split("\\.")(0).toLowerCase
+          fieldIdByName.get(name).foreach { fid =>
+            colSizes(fid) += c.getTotalSize
+            valCounts(fid) += c.getValueCount
+            val st = c.getStatistics
+            if (st != null && !st.isEmpty) nullCounts(fid) += st.getNumNulls
+            if (st != null && st.hasNonNullValue && boundEligible(name)) {
+              val mn = st.getMinBytes
+              val mx = st.getMaxBytes
+              // byte-compare like the reference only works for strings;
+              // numerics need typed compare, so keep first/extend via the
+              // typed comparator the footer statistics already implement
+              if ((stringCols(name) || mn.nonEmpty) &&
+                  (!lower.contains(fid) || boundLt(mn, lower(fid), stringCols(name))))
+                lower(fid) = mn
+              if ((stringCols(name) || mx.nonEmpty) &&
+                  (!upper.contains(fid) || boundLt(upper(fid), mx, stringCols(name))))
+                upper(fid) = mx
+            }
+          }
+        }
+      }
+      FileStats(file.toString, Files.size(file), records, colSizes.toMap,
+        valCounts.toMap, nullCounts.toMap, lower.toMap, upper.toMap, splits.toSeq)
+    } finally reader.close()
+  }
+
+  /** Bound ordering: lexicographic bytes for strings (UTF-8 sorts like code
+    * points), little-endian numeric decode otherwise. */
+  private def boundLt(a: Array[Byte], b: Array[Byte], isString: Boolean): Boolean =
+    if (isString) {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      a.length < b.length
+    } else if (a.length == 8 && b.length == 8) leLong(a) < leLong(b)
+    else if (a.length == 4 && b.length == 4) leInt(a) < leInt(b)
+    else false
+
+  private def leLong(a: Array[Byte]): Long =
+    ByteBuffer.wrap(a).order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+  private def leInt(a: Array[Byte]): Int =
+    ByteBuffer.wrap(a).order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+
+  // ---- Avro schemas (Iceberg v2 spec, field-ids as avro props) -----------
+
+  private def kvArray(name: String, keyId: Int, valId: Int, valType: String) =
+    s"""{"type": "array", "items": {"type": "record", "name": "$name", "fields": [
+       |  {"name": "key", "type": "int", "field-id": $keyId},
+       |  {"name": "value", "type": "$valType", "field-id": $valId}
+       |]}}""".stripMargin
+
+  /** manifest_entry (v2) — field ids per the Iceberg spec's Appendix;
+    * identical structure to the reference's MANIFEST_SCHEMA
+    * (storage_utils.go:570-800). */
+  private[graft] val manifestSchemaJson: String =
+    s"""{"type": "record", "name": "manifest_entry", "fields": [
+       | {"name": "status", "type": "int", "field-id": 0},
+       | {"name": "snapshot_id", "type": ["null", "long"], "default": null, "field-id": 1},
+       | {"name": "sequence_number", "type": ["null", "long"], "default": null, "field-id": 3},
+       | {"name": "file_sequence_number", "type": ["null", "long"], "default": null, "field-id": 4},
+       | {"name": "data_file", "field-id": 2, "type": {"type": "record", "name": "r2", "fields": [
+       |   {"name": "content", "type": "int", "doc": "Contents of the file: 0=data, 1=position deletes, 2=equality deletes", "field-id": 134},
+       |   {"name": "file_path", "type": "string", "doc": "Location URI with FS scheme", "field-id": 100},
+       |   {"name": "file_format", "type": "string", "doc": "File format name: avro, orc, or parquet", "field-id": 101},
+       |   {"name": "partition", "field-id": 102, "type": {"type": "record", "name": "r102", "fields": []}},
+       |   {"name": "record_count", "type": "long", "field-id": 103},
+       |   {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+       |   {"name": "column_sizes", "type": ["null", ${kvArray("k117_v118", 117, 118, "long")}], "default": null, "field-id": 108},
+       |   {"name": "value_counts", "type": ["null", ${kvArray("k119_v120", 119, 120, "long")}], "default": null, "field-id": 109},
+       |   {"name": "null_value_counts", "type": ["null", ${kvArray("k121_v122", 121, 122, "long")}], "default": null, "field-id": 110},
+       |   {"name": "nan_value_counts", "type": ["null", ${kvArray("k138_v139", 138, 139, "long")}], "default": null, "field-id": 137},
+       |   {"name": "lower_bounds", "type": ["null", ${kvArray("k126_v127", 126, 127, "bytes")}], "default": null, "field-id": 125},
+       |   {"name": "upper_bounds", "type": ["null", ${kvArray("k129_v130", 129, 130, "bytes")}], "default": null, "field-id": 128},
+       |   {"name": "key_metadata", "type": ["null", "bytes"], "default": null, "field-id": 131},
+       |   {"name": "split_offsets", "type": ["null", {"type": "array", "items": "long"}], "default": null, "field-id": 132},
+       |   {"name": "equality_ids", "type": ["null", {"type": "array", "items": "int"}], "default": null, "field-id": 135},
+       |   {"name": "sort_order_id", "type": ["null", "int"], "default": null, "field-id": 140}
+       | ]}}
+       |]}""".stripMargin
+
+  /** manifest_file (v2 manifest list) — spec field-ids 500-519. */
+  private[graft] val manifestListSchemaJson: String =
+    """{"type": "record", "name": "manifest_file", "fields": [
+      | {"name": "manifest_path", "type": "string", "field-id": 500},
+      | {"name": "manifest_length", "type": "long", "field-id": 501},
+      | {"name": "partition_spec_id", "type": "int", "field-id": 502},
+      | {"name": "content", "type": "int", "field-id": 517},
+      | {"name": "sequence_number", "type": "long", "field-id": 515},
+      | {"name": "min_sequence_number", "type": "long", "field-id": 516},
+      | {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+      | {"name": "added_files_count", "type": "int", "field-id": 504},
+      | {"name": "existing_files_count", "type": "int", "field-id": 505},
+      | {"name": "deleted_files_count", "type": "int", "field-id": 506},
+      | {"name": "added_rows_count", "type": "long", "field-id": 512},
+      | {"name": "existing_rows_count", "type": "long", "field-id": 513},
+      | {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+      | {"name": "partitions", "type": ["null", {"type": "array", "items": {
+      |   "type": "record", "name": "r508", "fields": [
+      |     {"name": "contains_null", "type": "boolean", "field-id": 509},
+      |     {"name": "contains_nan", "type": ["null", "boolean"], "default": null, "field-id": 518},
+      |     {"name": "lower_bound", "type": ["null", "bytes"], "default": null, "field-id": 510},
+      |     {"name": "upper_bound", "type": ["null", "bytes"], "default": null, "field-id": 511}
+      |   ]}}], "default": null, "field-id": 507},
+      | {"name": "key_metadata", "type": ["null", "bytes"], "default": null, "field-id": 519}
+      |]}""".stripMargin
+
+  private lazy val manifestSchema = new Schema.Parser().parse(manifestSchemaJson)
+  private lazy val manifestListSchema = new Schema.Parser().parse(manifestListSchemaJson)
+
+  // ---- commit (write one snapshot) ---------------------------------------
+
+  /** Write one snapshot commit for the complete current file set of a table:
+    * manifest Avro + manifest-list Avro + vN.metadata.json + version-hint.
+    * Prior snapshots accumulate (their manifest lists and data files stay
+    * on disk until expiry), so metadata-level time travel works. Snapshot
+    * ids are the table version number — deterministic, unlike the
+    * reference's wall-clock ids, so tests and oracles can pin them. */
+  def commit(spark: SparkSession, tableDir: Path, schema: StructType,
+      dataFiles: Seq[Path], snapshotId: Long): Path = {
+    val metaDir = tableDir.resolve("metadata")
+    Files.createDirectories(metaDir)
+    val stats = dataFiles.sortBy(_.toString).map(parquetStats(spark, _, schema))
+    val seq = snapshotId
+
+    // manifest
+    val manifestPath = metaDir.resolve(f"snap-$snapshotId-manifest.avro")
+    writeManifest(manifestPath, schema, stats, snapshotId, seq)
+    val manifestLen = Files.size(manifestPath)
+
+    // manifest list
+    val listPath = metaDir.resolve(f"snap-$snapshotId.avro")
+    val totalRows = stats.map(_.recordCount).sum
+    writeManifestList(listPath, manifestPath, manifestLen, snapshotId, seq,
+      stats.length, totalRows)
+
+    // metadata.json (accumulate prior snapshots)
+    val mapper = om
+    val prior = currentMetadataFile(tableDir).map(p => mapper.readTree(Files.readAllBytes(p)))
+    val root = mapper.createObjectNode()
+    root.put("format-version", 2)
+    root.put("table-uuid", prior.map(_.get("table-uuid").asText)
+      .getOrElse(java.util.UUID.nameUUIDFromBytes(tableDir.toString.getBytes(UTF_8)).toString))
+    root.put("location", tableDir.toUri.toString.stripSuffix("/"))
+    root.put("last-sequence-number", seq)
+    root.put("last-updated-ms", System.currentTimeMillis)
+    root.put("last-column-id", lastColumnId(schema))
+    val schemas = root.putArray("schemas")
+    schemas.add(schemaJson(schema))
+    root.put("current-schema-id", 0)
+    val specs = root.putArray("partition-specs")
+    val spec0 = specs.addObject()
+    spec0.put("spec-id", 0)
+    spec0.putArray("fields")
+    root.put("default-spec-id", 0)
+    root.put("last-partition-id", 999)
+    val orders = root.putArray("sort-orders")
+    val order0 = orders.addObject()
+    order0.put("order-id", 0)
+    order0.putArray("fields")
+    root.put("default-sort-order-id", 0)
+    root.putObject("properties")
+    root.put("current-snapshot-id", snapshotId)
+    val refs = root.putObject("refs")
+    val main = refs.putObject("main")
+    main.put("snapshot-id", snapshotId)
+    main.put("type", "branch")
+    val snaps = root.putArray("snapshots")
+    val slog = root.putArray("snapshot-log")
+    var parent: Option[Long] = None
+    prior.foreach { p =>
+      p.get("snapshots").elements.asScala.foreach { s =>
+        snaps.add(s)
+        parent = Some(s.get("snapshot-id").asLong)
+      }
+      p.get("snapshot-log").elements.asScala.foreach(slog.add)
+    }
+    val snap = snaps.addObject()
+    snap.put("snapshot-id", snapshotId)
+    parent.foreach(snap.put("parent-snapshot-id", _))
+    snap.put("sequence-number", seq)
+    snap.put("timestamp-ms", System.currentTimeMillis)
+    snap.put("manifest-list", listPath.toUri.toString)
+    snap.put("schema-id", 0)
+    val summary = snap.putObject("summary")
+    summary.put("operation", "overwrite")
+    summary.put("total-data-files", stats.length.toString)
+    summary.put("total-records", totalRows.toString)
+    summary.put("total-files-size", stats.map(_.fileSize).sum.toString)
+    summary.put("total-delete-files", "0")
+    summary.put("total-equality-deletes", "0")
+    summary.put("total-position-deletes", "0")
+    val le = slog.addObject()
+    le.put("snapshot-id", snapshotId)
+    le.put("timestamp-ms", System.currentTimeMillis)
+    root.putArray("metadata-log")
+    root.putArray("statistics")
+
+    val version = prior.map(_ => nextMetadataVersion(metaDir)).getOrElse(1)
+    val mdPath = metaDir.resolve(f"v$version.metadata.json")
+    Files.write(mdPath, mapper.writerWithDefaultPrettyPrinter.writeValueAsBytes(root))
+    Files.write(metaDir.resolve("version-hint.text"), version.toString.getBytes(UTF_8))
+    mdPath
+  }
+
+  private def lastColumnId(schema: StructType): Int =
+    schema.fields.zipWithIndex.map {
+      case (f, i) => f.dataType match {
+        case _: ArrayType => NestedFieldIdPrefix + i + 1
+        case _ => i + 1
+      }
+    }.foldLeft(0)(math.max)
+
+  private def nextMetadataVersion(metaDir: Path): Int =
+    Files.list(metaDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.matches("v\\d+\\.metadata\\.json") =>
+        s.stripPrefix("v").stripSuffix(".metadata.json").toInt }
+      .foldLeft(0)(math.max) + 1
+
+  /** Path of the table's current metadata.json (via version-hint), if any. */
+  def currentMetadataFile(tableDir: Path): Option[Path] = {
+    val hint = tableDir.resolve("metadata").resolve("version-hint.text")
+    if (!Files.exists(hint)) None
+    else {
+      val v = new String(Files.readAllBytes(hint), UTF_8).trim.toInt
+      val p = tableDir.resolve("metadata").resolve(s"v$v.metadata.json")
+      if (Files.exists(p)) Some(p) else None
+    }
+  }
+
+  private def kvRecord(schema: Schema, k: Int, v: Any): GenericRecord = {
+    val r = new GenericData.Record(schema)
+    r.put("key", k)
+    r.put("value", v)
+    r
+  }
+
+  private def kvArrayFor(dataFileSchema: Schema, field: String,
+      m: Map[Int, _]): java.util.List[GenericRecord] = {
+    val arrSchema = dataFileSchema.getField(field).schema.getTypes.get(1)
+    val elemSchema = arrSchema.getElementType
+    m.toSeq.sortBy(_._1).map { case (k, v) =>
+      kvRecord(elemSchema, k, v match {
+        case b: Array[Byte] => ByteBuffer.wrap(b)
+        case other => other
+      })
+    }.asJava
+  }
+
+  private def writeManifest(path: Path, schema: StructType, stats: Seq[FileStats],
+      snapshotId: Long, seq: Long): Unit = {
+    val dataFileSchema = manifestSchema.getField("data_file").schema
+    val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](manifestSchema))
+    writer.setMeta("schema", om.writeValueAsString(schemaJson(schema)))
+    writer.setMeta("partition-spec", "[]")
+    writer.setMeta("partition-spec-id", "0")
+    writer.setMeta("format-version", "2")
+    writer.setMeta("content", "data")
+    writer.create(manifestSchema, path.toFile)
+    try stats.foreach { st =>
+      val df = new GenericData.Record(dataFileSchema)
+      df.put("content", 0)
+      df.put("file_path", Paths.get(st.path).toUri.toString)
+      df.put("file_format", "PARQUET")
+      df.put("partition", new GenericData.Record(
+        dataFileSchema.getField("partition").schema))
+      df.put("record_count", st.recordCount)
+      df.put("file_size_in_bytes", st.fileSize)
+      df.put("column_sizes", kvArrayFor(dataFileSchema, "column_sizes", st.columnSizes))
+      df.put("value_counts", kvArrayFor(dataFileSchema, "value_counts", st.valueCounts))
+      df.put("null_value_counts", kvArrayFor(dataFileSchema, "null_value_counts", st.nullCounts))
+      df.put("nan_value_counts", kvArrayFor(dataFileSchema, "nan_value_counts", Map.empty[Int, Long]))
+      df.put("lower_bounds", kvArrayFor(dataFileSchema, "lower_bounds", st.lowerBounds))
+      df.put("upper_bounds", kvArrayFor(dataFileSchema, "upper_bounds", st.upperBounds))
+      df.put("split_offsets", st.splitOffsets.map(java.lang.Long.valueOf).asJava)
+      df.put("sort_order_id", 0)
+      val entry = new GenericData.Record(manifestSchema)
+      entry.put("status", 1) // ADDED in this snapshot
+      entry.put("snapshot_id", snapshotId)
+      entry.put("sequence_number", seq)
+      entry.put("file_sequence_number", seq)
+      entry.put("data_file", df)
+      writer.append(entry)
+    } finally writer.close()
+  }
+
+  private def writeManifestList(path: Path, manifestPath: Path, manifestLen: Long,
+      snapshotId: Long, seq: Long, fileCount: Int, rowCount: Long): Unit = {
+    val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](manifestListSchema))
+    writer.setMeta("format-version", "2")
+    writer.create(manifestListSchema, path.toFile)
+    try {
+      val r = new GenericData.Record(manifestListSchema)
+      r.put("manifest_path", manifestPath.toUri.toString)
+      r.put("manifest_length", manifestLen)
+      r.put("partition_spec_id", 0)
+      r.put("content", 0) // data
+      r.put("sequence_number", seq)
+      r.put("min_sequence_number", seq)
+      r.put("added_snapshot_id", snapshotId)
+      r.put("added_files_count", fileCount)
+      r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", rowCount)
+      r.put("existing_rows_count", 0L)
+      r.put("deleted_rows_count", 0L)
+      r.put("partitions", new java.util.ArrayList[GenericRecord]())
+      writer.append(r)
+    } finally writer.close()
+  }
+
+  // ---- read path (plan a scan purely from metadata) ----------------------
+
+  /** One manifest entry as planned from metadata (no data-file access). */
+  case class PlannedFile(path: String, recordCount: Long, fileSize: Long,
+      lowerBounds: Map[Int, Array[Byte]], upperBounds: Map[Int, Array[Byte]])
+
+  private def readAvro(path: Path): Seq[GenericRecord] = {
+    val reader = new DataFileReader[GenericRecord](path.toFile,
+      new GenericDatumReader[GenericRecord]())
+    try reader.iterator.asScala.toVector finally reader.close()
+  }
+
+  private def bytesMap(v: Any): Map[Int, Array[Byte]] = v match {
+    case null => Map.empty
+    case l: java.util.List[_] => l.asScala.map { e =>
+      val r = e.asInstanceOf[GenericRecord]
+      val bb = r.get("value").asInstanceOf[ByteBuffer]
+      val arr = new Array[Byte](bb.remaining)
+      bb.duplicate.get(arr)
+      r.get("key").asInstanceOf[Int] -> arr
+    }.toMap
+    case _ => Map.empty
+  }
+
+  /** All live data files of a snapshot (default: current), planned by
+    * walking metadata.json → manifest list → manifests. */
+  def planFiles(tableDir: Path, snapshotId: Option[Long] = None): Seq[PlannedFile] = {
+    val mdPath = currentMetadataFile(tableDir)
+      .getOrElse(throw new IllegalStateException(s"no iceberg metadata under $tableDir"))
+    val md = om.readTree(Files.readAllBytes(mdPath))
+    val wanted = snapshotId.getOrElse(md.get("current-snapshot-id").asLong)
+    val snap = md.get("snapshots").elements.asScala
+      .find(_.get("snapshot-id").asLong == wanted)
+      .getOrElse(throw new IllegalArgumentException(s"snapshot $wanted not found"))
+    val listPath = Paths.get(java.net.URI.create(snap.get("manifest-list").asText))
+    readAvro(listPath).flatMap { mf =>
+      val manifestPath = Paths.get(java.net.URI.create(mf.get("manifest_path").toString))
+      readAvro(manifestPath).collect {
+        case entry if entry.get("status").asInstanceOf[Int] != 2 => // not DELETED
+          val df = entry.get("data_file").asInstanceOf[GenericRecord]
+          PlannedFile(
+            Paths.get(java.net.URI.create(df.get("file_path").toString)).toString,
+            df.get("record_count").asInstanceOf[Long],
+            df.get("file_size_in_bytes").asInstanceOf[Long],
+            bytesMap(df.get("lower_bounds")),
+            bytesMap(df.get("upper_bounds")))
+      }
+    }
+  }
+
+  /** Decode an Iceberg single-value bound for a field. */
+  def decodeBound(bytes: Array[Byte], dt: DataType): Any = dt match {
+    case LongType => leLong(bytes)
+    case IntegerType => leInt(bytes)
+    case DoubleType =>
+      java.lang.Double.longBitsToDouble(leLong(bytes))
+    case FloatType =>
+      java.lang.Float.intBitsToFloat(leInt(bytes))
+    case StringType => new String(bytes, UTF_8)
+    case DateType => leInt(bytes) // days since epoch
+    case TimestampType | TimestampNTZType => leLong(bytes) // micros
+    case other => throw new IllegalArgumentException(s"bound decode for $other")
+  }
+
+  /** Read a table (or a historical snapshot) through its Iceberg metadata:
+    * the file list comes from manifests, never a directory listing. */
+  def readTable(spark: SparkSession, tableDir: Path,
+      snapshotId: Option[Long] = None): DataFrame = {
+    val files = planFiles(tableDir, snapshotId)
+    if (files.isEmpty) throw new IllegalStateException(s"empty snapshot in $tableDir")
+    spark.read.parquet(files.map(_.path): _*)
+  }
+
+  /** Manifest-pruned range scan: keep only files whose [lower, upper] bound
+    * for `column` intersects [lo, hi] — planning cost is O(manifest
+    * entries), zero parquet footers touched. Returns (df, filesScanned,
+    * filesTotal) like Store.readRange. */
+  def readRangePruned(spark: SparkSession, tableDir: Path, schema: StructType,
+      column: String, lo: Any, hi: Any): (DataFrame, Int, Int) = {
+    val fid = schema.fieldIndex(column) + 1
+    val dt = schema(column).dataType
+    val files = planFiles(tableDir)
+    def cmp(a: Any, b: Any): Int =
+      a.asInstanceOf[Comparable[Any]].compareTo(b)
+    val hit = files.filter { f =>
+      (f.lowerBounds.get(fid), f.upperBounds.get(fid)) match {
+        case (Some(l), Some(u)) =>
+          cmp(decodeBound(l, dt), hi) <= 0 && cmp(decodeBound(u, dt), lo) >= 0
+        case _ => true // no bounds recorded: must scan
+      }
+    }
+    import org.apache.spark.sql.functions.{col, lit}
+    val df =
+      if (hit.isEmpty)
+        spark.read.parquet(files.head.path).limit(0)
+      else spark.read.parquet(hit.map(_.path): _*)
+    (df.filter(col(column) >= lit(lo) && col(column) <= lit(hi)),
+      hit.length, files.length)
+  }
+}

@@ -452,6 +452,27 @@ class Store(spark: SparkSession, warehouse: String) {
     lo
   }
 
+  // ---- Iceberg v2 metadata ----------------------------------------------
+  // The reference's tables ARE Iceberg tables (storage_utils.go:162-494);
+  // here the format layer is optional per table: publishIceberg emits a
+  // spec-conformant v2 snapshot commit (metadata.json + Avro manifest tree
+  // with per-column footer stats) for the current version, and readIceberg
+  // plans a scan purely from that metadata — no directory listing.
+
+  /** Commit the table's current version as an Iceberg v2 snapshot; snapshot
+    * id = store version (deterministic). Returns the metadata.json path. */
+  def publishIceberg(name: String): Path = {
+    val cur = Paths.get(versionDir(name, versions(name)))
+    val files = Files.list(cur).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+    Iceberg.commit(spark, Paths.get(s"$warehouse/$name"), read(name).schema,
+      files, versions(name))
+  }
+
+  /** Read through the Iceberg metadata tree (optionally a past snapshot). */
+  def readIceberg(name: String, snapshotId: Option[Long] = None): DataFrame =
+    Iceberg.readTable(spark, Paths.get(s"$warehouse/$name"), snapshotId)
+
   /** Type-2 slowly-changing-dimension upsert: incoming (key, attrs,
     * effective ts) closes the open history row of each changed key
     * (valid_to = ts, is_current = false) and opens a new current row.

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.avro.file.DataFileReader
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Iceberg v2 metadata layer: spec conformance of the written tree
+  * (metadata.json / manifest list / manifest), stats fidelity vs the data,
+  * snapshot history, and metadata-planned (pruned) reads.
+  * Reference behavior: /root/reference/src/common/storage_utils.go:162-494. */
+class IcebergSpec extends SparkSpecBase {
+
+  private def freshStore(): (Store, Path) = {
+    val dir = Files.createTempDirectory("graft-iceberg")
+    (new Store(spark, dir.toString), dir)
+  }
+
+  private def lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    .select("l_orderkey", "l_partkey", "l_quantity", "l_shipdate", "l_returnflag")
+
+  private def avroRecords(p: Path): Seq[GenericRecord] = {
+    val r = new DataFileReader[GenericRecord](p.toFile,
+      new GenericDatumReader[GenericRecord]())
+    try r.iterator.asScala.toVector finally r.close()
+  }
+
+  test("iceberg round-trip: metadata-planned read equals direct read") {
+    val (store, dir) = freshStore()
+    store.replace("li", lineitem)
+    val md = store.publishIceberg("li")
+    assert(Files.exists(md))
+    val back = store.readIceberg("li")
+    assert(back.count() == lineitem.count())
+    assert(back.except(lineitem).count() == 0)
+    assert(lineitem.except(back).count() == 0)
+  }
+
+  test("metadata.json carries the required v2 fields and a field-id schema") {
+    val (store, dir) = freshStore()
+    store.replace("li", lineitem)
+    store.publishIceberg("li")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val md = om.readTree(Files.readAllBytes(
+      Iceberg.currentMetadataFile(dir.resolve("li")).get))
+    assert(md.get("format-version").asInt == 2)
+    for (k <- Seq("table-uuid", "location", "last-sequence-number", "last-column-id",
+        "schemas", "current-schema-id", "partition-specs", "default-spec-id",
+        "sort-orders", "default-sort-order-id", "current-snapshot-id",
+        "snapshots", "snapshot-log", "refs"))
+      assert(md.has(k), s"missing $k")
+    val fields = md.get("schemas").get(0).get("fields").elements.asScala.toSeq
+    assert(fields.map(_.get("id").asInt) == (1 to 5))
+    assert(fields.map(_.get("name").asText) ==
+      Seq("l_orderkey", "l_partkey", "l_quantity", "l_shipdate", "l_returnflag"))
+    assert(md.get("refs").get("main").get("snapshot-id").asLong ==
+      md.get("current-snapshot-id").asLong)
+  }
+
+  test("manifest stats match the data: record counts, null counts, bounds") {
+    val (store, dir) = freshStore()
+    store.replace("li", lineitem)
+    store.publishIceberg("li")
+    val planned = Iceberg.planFiles(dir.resolve("li"))
+    assert(planned.nonEmpty)
+    assert(planned.map(_.recordCount).sum == lineitem.count())
+    // decoded l_orderkey (field 1, long) bounds across files == table min/max
+    val schema = lineitem.schema
+    val lows = planned.flatMap(_.lowerBounds.get(1))
+      .map(Iceberg.decodeBound(_, schema("l_orderkey").dataType).asInstanceOf[Long])
+    val highs = planned.flatMap(_.upperBounds.get(1))
+      .map(Iceberg.decodeBound(_, schema("l_orderkey").dataType).asInstanceOf[Long])
+    val Array(mn, mx) = lineitem.agg(min("l_orderkey"), max("l_orderkey"))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    assert(lows.min == mn)
+    assert(highs.max == mx)
+    // string bounds decode for l_comment (field 5)
+    val sLow = planned.flatMap(_.lowerBounds.get(5))
+      .map(Iceberg.decodeBound(_, org.apache.spark.sql.types.StringType).asInstanceOf[String])
+    val minFlag = lineitem.agg(min("l_returnflag")).collect()(0).getString(0)
+    assert(sLow.min == minFlag)
+  }
+
+  test("manifest avro carries the iceberg schema + v2 markers in its metadata") {
+    val (store, dir) = freshStore()
+    store.replace("li", lineitem)
+    store.publishIceberg("li")
+    val metaDir = dir.resolve("li").resolve("metadata")
+    val manifest = Files.list(metaDir).iterator().asScala
+      .find(_.getFileName.toString.endsWith("-manifest.avro")).get
+    val r = new DataFileReader[GenericRecord](manifest.toFile,
+      new GenericDatumReader[GenericRecord]())
+    try {
+      assert(r.getMetaString("format-version") == "2")
+      assert(r.getMetaString("content") == "data")
+      assert(r.getMetaString("partition-spec") == "[]")
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val sch = om.readTree(r.getMetaString("schema"))
+      assert(sch.get("type").asText == "struct")
+      val entries = r.iterator.asScala.toVector
+      assert(entries.forall(_.get("status").asInstanceOf[Int] == 1)) // ADDED
+      val df0 = entries.head.get("data_file").asInstanceOf[GenericRecord]
+      assert(df0.get("file_format").toString == "PARQUET")
+      assert(df0.get("content").asInstanceOf[Int] == 0)
+    } finally r.close()
+  }
+
+  test("snapshots accumulate with parent links; time travel reads history") {
+    val (store, dir) = freshStore()
+    val v1 = lineitem.filter(col("l_orderkey") <= 1000)
+    store.replace("li", v1)
+    store.publishIceberg("li")
+    store.replace("li", lineitem)
+    store.publishIceberg("li")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val md = om.readTree(Files.readAllBytes(
+      Iceberg.currentMetadataFile(dir.resolve("li")).get))
+    val snaps = md.get("snapshots").elements.asScala.toSeq
+    assert(snaps.size == 2)
+    assert(!snaps(0).has("parent-snapshot-id"))
+    assert(snaps(1).get("parent-snapshot-id").asLong ==
+      snaps(0).get("snapshot-id").asLong)
+    assert(md.get("current-snapshot-id").asLong == snaps(1).get("snapshot-id").asLong)
+    // read snapshot 1 through metadata: the pre-replace content
+    val old = store.readIceberg("li", Some(snaps(0).get("snapshot-id").asLong))
+    assert(old.count() == v1.count())
+    assert(old.except(v1).count() == 0)
+    // version-hint advanced to the second metadata file
+    val hint = new String(Files.readAllBytes(
+      dir.resolve("li").resolve("metadata").resolve("version-hint.text"))).trim
+    assert(hint == "2")
+  }
+
+  test("manifest-bound pruning skips files outside the range, result exact") {
+    val (store, dir) = freshStore()
+    // sorted layout -> tight non-overlapping per-file ranges
+    store.replaceSorted("li", lineitem, "l_orderkey", numFiles = 8)
+    store.publishIceberg("li")
+    val schema = lineitem.schema
+    val (df, scanned, total) = Iceberg.readRangePruned(
+      spark, dir.resolve("li"), schema, "l_orderkey", 100L, 400L)
+    assert(total == 8)
+    assert(scanned < total, s"expected pruning, scanned $scanned/$total")
+    val expect = lineitem.filter(col("l_orderkey").between(100, 400))
+    assert(df.count() == expect.count())
+    assert(df.except(expect).count() == 0)
+  }
+}
