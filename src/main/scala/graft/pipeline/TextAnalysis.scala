@@ -62,6 +62,31 @@ object TextAnalysis {
       .select("doc_id", "len", "start", "pack_id", "spans")
   }
 
+  /** Deterministic global shuffle: rank every row by md5(seed, doc_id) with
+    * the same distributed prefix-sum shape as [[seqPack]] — range-partition
+    * on the shuffle key, per-partition counts (a numPartitions-row driver
+    * hop), broadcast cumulative bases, within-partition row_number + base.
+    * No single-reducer global window; identical result for any partition
+    * count. `shard` = (pos-1) % shards is the output file assignment. */
+  def globalShuffle(docs: DataFrame, seed: String, parts: Int, shards: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val keyed = docs.withColumn("skey",
+      md5(concat(lit(seed + "-"), col("doc_id").cast("string"))))
+    val parted = keyed.repartitionByRange(parts, col("skey"))
+      .withColumn("pid", spark_partition_id())
+    parted.cache()
+    val counts = parted.groupBy("pid").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val bases = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) => (pid + 1, acc + n) }
+      .init.zip(counts).map { case ((_, base), (pid, _)) => (pid, base) }
+    val basesDf = spark.createDataFrame(bases.toSeq).toDF("pid", "base")
+    val w = Window.partitionBy("pid").orderBy("skey")
+    parted.join(broadcast(basesDf), "pid")
+      .withColumn("pos", col("base") + row_number().over(w).cast("long"))
+      .withColumn("shard", (col("pos") - 1) % shards)
+      .select("doc_id", "skey", "pos", "shard")
+  }
+
   /** Stopword-profile language-ID heuristic. The honest classic approach
     * (n-gram/stopword profiles, argmax over languages, deterministic
     * tie-break); registered as a UDF because the profile lookup is genuinely
@@ -714,6 +739,69 @@ object TextAnalysis {
           < col("thr"))
         .select("doc_id", "source", "thr")
         .orderBy("doc_id")
+    },
+
+    // deterministic, salted train/val/test split (90/5/5): membership is a
+    // pure function of (salt, doc_id), so any re-run — or any OTHER table
+    // keyed by doc_id — reproduces the same assignment with zero state.
+    // Scan-side expression, no shuffle: parquet-scan speed at 100 TB.
+    Q("txt_train_split", Some("""
+      WITH b AS (SELECT doc_id,
+                   CAST('0x' || substr(md5('s1-' || CAST(doc_id AS VARCHAR)), 1, 4) AS INT) AS bucket
+                 FROM documents)
+      SELECT doc_id, bucket,
+        CASE WHEN bucket < 58982 THEN 'train'
+             WHEN bucket < 62259 THEN 'val' ELSE 'test' END AS split
+      FROM b ORDER BY doc_id""")) { (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("bucket",
+          expr("CAST(conv(substr(md5(concat('s1-', CAST(doc_id AS STRING))), 1, 4), 16, 10) AS INT)"))
+        .withColumn("split",
+          when(col("bucket") < 58982, "train")
+            .when(col("bucket") < 62259, "val").otherwise("test"))
+        .select("doc_id", "bucket", "split")
+        .orderBy("doc_id")
+    },
+
+    // deterministic global shuffle + shard assignment for training order:
+    // sort key = md5(seed, doc_id); the global position is a distributed
+    // rank (range-partition by key, per-partition counts -> prefix bases,
+    // within-partition row_number + base), NOT a single-reducer window —
+    // the same prefix-sum shape as seqPack, so a 100 TB shuffle costs one
+    // range exchange + a numPartitions-row driver hop. shard = (pos-1) % 8
+    // is the file a training job would write the doc into.
+    Q("txt_global_shuffle", Some("""
+      WITH k AS (SELECT doc_id, md5('s7-' || CAST(doc_id AS VARCHAR)) AS skey
+                 FROM documents)
+      SELECT doc_id, skey,
+        CAST(row_number() OVER (ORDER BY skey) AS BIGINT) AS pos,
+        CAST((row_number() OVER (ORDER BY skey) - 1) % 8 AS BIGINT) AS shard
+      FROM k ORDER BY doc_id""")) { (s, dir) =>
+      globalShuffle(t(s, dir, "documents").select("doc_id"), "s7", 8, 8)
+        .orderBy("doc_id")
+    },
+
+    // one round of distributed BPE vocabulary induction: adjacent character
+    // pair frequencies within whitespace tokens, top-20 by (count, pair).
+    // The explode fans out to O(chars) rows but partial (map-side)
+    // aggregation collapses them before the single shuffle on pair — the
+    // canonical distributed-BPE counting step.
+    Q("txt_bpe_pairs", Some("""
+      WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+           lt AS (SELECT w FROM toks WHERE len(w) >= 2),
+           pairs AS (SELECT substr(w, CAST(unnest(generate_series(1, len(w) - 1)) AS INT), 2) AS pair
+                     FROM lt)
+      SELECT pair, count(*) AS n FROM pairs
+      GROUP BY pair ORDER BY n DESC, pair LIMIT 20""")) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(col("w"), explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+        .select(expr("substr(w, i, 2)").as("pair"))
+        .groupBy("pair")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
     }
   )
 }

@@ -133,6 +133,25 @@ class IcebergSpec extends SparkSpecBase {
     assert(hint == "2")
   }
 
+  test("upsert then publish: next snapshot reflects the merge, history intact") {
+    val (store, dir) = freshStore()
+    store.replaceSorted("li", lineitem, "l_orderkey", numFiles = 4)
+    store.publishIceberg("li")
+    val patch = lineitem.filter(col("l_orderkey") <= 50)
+      .withColumn("l_quantity", lit(999.0))
+    store.upsert("li", patch, "l_orderkey")
+    store.publishIceberg("li")
+    val now = store.readIceberg("li")
+    val expect = lineitem.join(patch.select("l_orderkey").distinct,
+      Seq("l_orderkey"), "left_anti").unionByName(patch)
+    assert(now.count() == expect.count())
+    assert(now.except(expect).count() == 0)
+    // snapshot 1 still reads the pre-upsert content through metadata
+    val before = store.readIceberg("li", Some(1L))
+    assert(before.except(lineitem).count() == 0)
+    assert(lineitem.except(before).count() == 0)
+  }
+
   test("manifest-bound pruning skips files outside the range, result exact") {
     val (store, dir) = freshStore()
     // sorted layout -> tight non-overlapping per-file ranges

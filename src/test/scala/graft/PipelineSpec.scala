@@ -191,6 +191,24 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("global shuffle rank is invariant to partition count and a permutation") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.df(spark, sfDir, "documents").select("doc_id")
+    val a = TextAnalysis.globalShuffle(docs, "s7", 8, 8).orderBy("doc_id").collect()
+    val b = TextAnalysis.globalShuffle(docs, "s7", 3, 8).orderBy("doc_id").collect()
+    assert(a.nonEmpty)
+    assert(a.toSeq == b.toSeq, "distributed rank must not depend on partitioning")
+    // pos is a permutation of 1..N and follows skey order
+    val n = a.length
+    assert(a.map(_.getLong(a.head.fieldIndex("pos"))).sorted.toSeq == (1L to n).toSeq)
+    val bySkey = a.sortBy(_.getString(a.head.fieldIndex("skey")))
+    assert(bySkey.map(_.getLong(a.head.fieldIndex("pos"))).toSeq == (1L to n).toSeq)
+    // a different seed yields a different order
+    val c = TextAnalysis.globalShuffle(docs, "s8", 8, 8).orderBy("doc_id").collect()
+    assert(c.map(_.getLong(c.head.fieldIndex("pos"))).toSeq !=
+      a.map(_.getLong(a.head.fieldIndex("pos"))).toSeq)
+  }
+
   test("domain mix: every source is represented and big sources are down-weighted") {
     val rows = SparkEntry.queries("txt_domain_mix")(spark, sfDir).collect()
     assert(rows.nonEmpty)
