@@ -445,6 +445,52 @@ object Iceberg {
     } finally writer.close()
   }
 
+  /** expire_snapshots: drop snapshots not in `liveIds` (the current snapshot
+    * always survives) from the metadata tree — their manifest lists and
+    * manifests are deleted, a new metadata.json version is written, and the
+    * version-hint advances. Mirrors Iceberg's maintenance op; data-file
+    * deletion is the Store's job (version-dir expiry). Returns dropped ids. */
+  def expireSnapshots(tableDir: Path, liveIds: Set[Long]): Seq[Long] = {
+    val mdPath = currentMetadataFile(tableDir).getOrElse(return Nil)
+    val mapper = om
+    val md = mapper.readTree(Files.readAllBytes(mdPath)).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val current = md.get("current-snapshot-id").asLong
+    val snaps = md.get("snapshots").elements.asScala.toVector
+    val (keep, drop) = snaps.partition { s =>
+      val id = s.get("snapshot-id").asLong
+      id == current || liveIds.contains(id)
+    }
+    if (drop.isEmpty) return Nil
+    drop.foreach { s =>
+      val listPath = Paths.get(java.net.URI.create(s.get("manifest-list").asText))
+      if (Files.exists(listPath)) {
+        readAvro(listPath).foreach { mf =>
+          val mp = Paths.get(java.net.URI.create(mf.get("manifest_path").toString))
+          // a manifest may be re-referenced by a kept snapshot's list; check
+          val reReferenced = keep.exists { k =>
+            val kl = Paths.get(java.net.URI.create(k.get("manifest-list").asText))
+            Files.exists(kl) && readAvro(kl).exists(
+              _.get("manifest_path").toString == mf.get("manifest_path").toString)
+          }
+          if (!reReferenced) Files.deleteIfExists(mp)
+        }
+        Files.delete(listPath)
+      }
+    }
+    val dropped = drop.map(_.get("snapshot-id").asLong)
+    val newSnaps = md.putArray("snapshots")
+    keep.foreach(newSnaps.add)
+    val oldLog = md.get("snapshot-log").elements.asScala.toVector
+    val newLog = md.putArray("snapshot-log")
+    oldLog.filterNot(e => dropped.contains(e.get("snapshot-id").asLong)).foreach(newLog.add)
+    val metaDir = tableDir.resolve("metadata")
+    val version = nextMetadataVersion(metaDir)
+    Files.write(metaDir.resolve(s"v$version.metadata.json"),
+      mapper.writerWithDefaultPrettyPrinter.writeValueAsBytes(md))
+    Files.write(metaDir.resolve("version-hint.text"), version.toString.getBytes(UTF_8))
+    dropped
+  }
+
   // ---- read path (plan a scan purely from metadata) ----------------------
 
   /** One manifest entry as planned from metadata (no data-file access). */

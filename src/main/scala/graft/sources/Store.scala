@@ -403,6 +403,11 @@ class Store(spark: SparkSession, warehouse: String) {
       val d = Paths.get(versionDir(name, v))
       Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.delete)
     }
+    // keep the Iceberg metadata tree consistent: snapshots over expired
+    // version dirs reference deleted data files, so expire them too
+    // (snapshot id == store version)
+    val live = all.filterNot(doomed.contains).map(_.toLong).toSet
+    Iceberg.expireSnapshots(Paths.get(s"$warehouse/$name"), live)
     doomed
   }
 

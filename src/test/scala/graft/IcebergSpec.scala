@@ -152,6 +152,34 @@ class IcebergSpec extends SparkSpecBase {
     assert(lineitem.except(before).count() == 0)
   }
 
+  test("expireVersions expires iceberg snapshots and deletes their manifests") {
+    val (store, dir) = freshStore()
+    for (cut <- Seq(500, 1000, 2000)) {
+      store.replace("li", lineitem.filter(col("l_orderkey") <= cut))
+      store.publishIceberg("li")
+    }
+    val metaDir = dir.resolve("li").resolve("metadata")
+    assert(Files.list(metaDir).iterator().asScala
+      .count(_.getFileName.toString.endsWith("-manifest.avro")) == 3)
+    val expired = store.expireVersions("li", keep = 2)
+    assert(expired == Seq(1))
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val md = om.readTree(Files.readAllBytes(
+      Iceberg.currentMetadataFile(dir.resolve("li")).get))
+    val ids = md.get("snapshots").elements.asScala.map(_.get("snapshot-id").asLong).toSeq
+    assert(ids == Seq(2L, 3L))
+    // expired snapshot's manifest files are gone; kept ones remain readable
+    assert(!Files.exists(metaDir.resolve("snap-1-manifest.avro")))
+    assert(!Files.exists(metaDir.resolve("snap-1.avro")))
+    assert(store.readIceberg("li").count() ==
+      lineitem.filter(col("l_orderkey") <= 2000).count())
+    assert(store.readIceberg("li", Some(2L)).count() ==
+      lineitem.filter(col("l_orderkey") <= 1000).count())
+    intercept[IllegalArgumentException] {
+      Iceberg.planFiles(dir.resolve("li"), Some(1L))
+    }
+  }
+
   test("manifest-bound pruning skips files outside the range, result exact") {
     val (store, dir) = freshStore()
     // sorted layout -> tight non-overlapping per-file ranges
