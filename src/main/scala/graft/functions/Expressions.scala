@@ -89,6 +89,82 @@ case class MinHashSigs(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Runtime helper for [[ArrayDot]] / [[ArrayCosine]] — stable public entry
+  * points for generated code. */
+object ArrayDotUtil {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  @inline private def elem(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  /** Sequential left-fold dot product — bit-identical to
+    * `aggregate(zip_with(a, b, (x,y) -> x*y), 0D, +)` (same element order,
+    * same double adds, float widened exactly) but ONE pass with zero array
+    * allocations, vs the HOF chain's zipped + transformed intermediates.
+    * The ANN scan path at 100 TB runs this once per (query, candidate). */
+  def dot(a: ArrayData, b: ArrayData, af: Boolean, bf: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += elem(a, i, af) * elem(b, i, bf); i += 1 }
+    acc
+  }
+
+  /** Cosine in one pass: three independent accumulators, each equal to its
+    * own sequential fold, so the result is bit-identical to
+    * dot(a,b)/(sqrt(dot(a,a))*sqrt(dot(b,b))) composed from HOFs. */
+  def cos(a: ArrayData, b: ArrayData, af: Boolean, bf: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = elem(a, i, af)
+      val y = elem(b, i, bf)
+      d += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+/** Codegen'd `array_dot(a, b)` over array<float|double> columns. */
+case class ArrayDot(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+  override def dataType: DataType = DoubleType
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ArrayDotUtil.dot(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      isFloat(left), isFloat(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.ArrayDotUtil.dot($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayDot =
+    copy(left = l, right = r)
+}
+
+/** Codegen'd `array_cos(a, b)` — one-pass cosine similarity. */
+case class ArrayCosine(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+  override def dataType: DataType = DoubleType
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ArrayDotUtil.cos(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      isFloat(left), isFloat(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.ArrayDotUtil.cos($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayCosine =
+    copy(left = l, right = r)
+}
+
 /** Runtime helper for [[JsonNormalize]]. */
 object JsonNormalizeUtil {
   private val om = {
@@ -143,5 +219,9 @@ object GraftExpressions {
         exprs(1).eval().asInstanceOf[Int]), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jsonb_norm", exprs => JsonNormalize(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "array_dot", exprs => ArrayDot(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "array_cos", exprs => ArrayCosine(exprs.head, exprs(1)), "scala_udf")
   }
 }

@@ -305,9 +305,9 @@ object Dedup {
       ORDER BY id_a, id_b""")) { (s, dir) =>
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"))
-      val dot = expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+      val dot = expr("array_dot(a.v, b.v)")
       val norm = (side: String) => expr(
-        s"sqrt(aggregate(zip_with($side.v, $side.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x))")
+        s"sqrt(array_dot($side.v, $side.v))")
       val cos = dot / (norm("a") * norm("b"))
       e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), cos.as("cos"))
@@ -353,9 +353,9 @@ object Dedup {
         .select(col("a.vec_id").as("id_a"), col("a.v").as("va"),
           col("b.vec_id").as("id_b"), col("b.v").as("vb"))
         .distinct()
-      val dot = expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
-      val na = expr("sqrt(aggregate(zip_with(va, va, (x, y) -> x * y), 0D, (acc, x) -> acc + x))")
-      val nb = expr("sqrt(aggregate(zip_with(vb, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x))")
+      val dot = expr("array_dot(va, vb)")
+      val na = expr("sqrt(array_dot(va, va))")
+      val nb = expr("sqrt(array_dot(vb, vb))")
       cand.select(col("id_a"), col("id_b"), (dot / (na * nb)).as("cos"))
         .filter(col("cos") >= 0.4)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
@@ -414,9 +414,9 @@ object Dedup {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),
           expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"))
-      val dot = expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
-      val na = expr("sqrt(aggregate(zip_with(va, va, (x, y) -> x * y), 0D, (acc, x) -> acc + x))")
-      val nb = expr("sqrt(aggregate(zip_with(vb, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x))")
+      val dot = expr("array_dot(va, vb)")
+      val na = expr("sqrt(array_dot(va, va))")
+      val nb = expr("sqrt(array_dot(vb, vb))")
       val dropped = e.as("a").join(e.as("b"),
           col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
         .select(col("b.vec_id").as("vec_id"), col("a.v").as("va"), col("b.v").as("vb"))

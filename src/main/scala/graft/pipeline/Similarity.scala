@@ -26,10 +26,11 @@ object Similarity {
   private def asDouble(c: Column): Column =
     transform(c, x => x.cast("double"))
 
-  private def sparkDot(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
-  private def sparkCos(a: String, b: String): String =
-    s"${sparkDot(a, b)} / (sqrt(${sparkDot(a, a)}) * sqrt(${sparkDot(b, b)}))"
+  // codegen'd one-pass expressions (functions/Expressions.scala) — same
+  // sequential-fold arithmetic as aggregate(zip_with(...), 0D, +), zero
+  // array allocations on the per-(query, candidate) hot path
+  private def sparkDot(a: String, b: String): String = s"array_dot($a, $b)"
+  private def sparkCos(a: String, b: String): String = s"array_cos($a, $b)"
   private val dotSql = sparkDot("qv", "nv")
   private val cosSql = sparkCos("qv", "nv")
 
@@ -366,9 +367,9 @@ object Similarity {
           max(when(col("m") === 3, col("code"))).as("c3"),
           expr("flatten(transform(array_sort(collect_list(struct(m, csub))), x -> x.csub))")
             .as("recon"))
-      val dot = expr("aggregate(zip_with(v, recon, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
-      val nv = expr("sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x))")
-      val nr = expr("sqrt(aggregate(zip_with(recon, recon, (x, y) -> x * y), 0D, (acc, x) -> acc + x))")
+      val dot = expr("array_dot(v, recon)")
+      val nv = expr("sqrt(array_dot(v, v))")
+      val nr = expr("sqrt(array_dot(recon, recon))")
       codes.join(e, Seq("vec_id"))
         .select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"),
           round(dot / (nv * nr), 6).as("recon_cos"))
