@@ -109,6 +109,27 @@ object Streams {
     events.join(broadcast(customer), col("user_id") === col("c_custkey"))
       .select(col("event_id"), col("user_id"), col("c_mktsegment"), col("value"))
 
+  /** Watermarked stream-stream interval join: each `view` event joins the
+    * same user's `purchase` events that land within [view_ts, view_ts + 30
+    * min]. Both sides are watermarked so the state store retains only the
+    * interval horizon per side — the bounded-state shape that makes
+    * stream-stream joins viable on a 1000-executor cluster (state is
+    * sharded by the join key, expiry driven by event time, not row count). */
+  def correlate(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    v.join(p, expr(
+      "v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + interval 30 minutes"))
+      .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"),
+        col("v_ts"), col("p_ts"))
+  }
+
   /** CDC apply loop: a stream of keyed change rows
     * `(op: upsert|delete, seq, key, payload…)` folded into a [[Store]]
     * table once per micro-batch via foreachBatch — the reference's

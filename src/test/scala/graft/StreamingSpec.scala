@@ -146,6 +146,20 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.count() > 0)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val views = eventStream.filter(col("event_type") === "view")
+    val purchases = eventStream.filter(col("event_type") === "purchase")
+    val streamed = runToTable(Streams.correlate(views, purchases), "corr_stream")
+    val batchEvents = Tables.df(spark, sfDir, "events")
+    val batch = Streams.correlate(
+      batchEvents.filter(col("event_type") === "view"),
+      batchEvents.filter(col("event_type") === "purchase"))
+    assert(streamed.count() > 0)
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+  }
+
   test("CDC apply stream folds keyed changes into the store") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
