@@ -79,4 +79,8 @@ object Tables {
       registeredDir = dir
     }
   }
+
+  /** Force the next registerAll to re-register (tests that publish store
+    * tables shadowing a testdata view call this to restore it). */
+  def invalidate(): Unit = synchronized { registeredDir = "" }
 }

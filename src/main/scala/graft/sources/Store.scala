@@ -65,7 +65,9 @@ class Store(spark: SparkSession, warehouse: String) {
     val root = om.readTree(Files.readAllBytes(catalogFile))
     root.get("versions").fields.asScala.foreach(e => versions(e.getKey) = e.getValue.asInt)
     root.get("matviews").fields.asScala.foreach(e => matviewDefs(e.getKey) = e.getValue.asText)
-    matviewDefs.keys.foreach(n => read(n).createOrReplaceTempView(n))
+    // every catalog table (not just matviews) is SQL-resolvable, like the
+    // reference's runtime shell tables (query_remapper_table.go:141-178)
+    versions.keys.foreach(publish)
   }
 
   private def versionDir(name: String, v: Int): String = s"$warehouse/$name/v$v"
@@ -118,6 +120,7 @@ class Store(spark: SparkSession, warehouse: String) {
       .parquet(versionDir(name, next))
     versions(name) = next
     persistCatalog()
+    publish(name)
   }
 
   /** Range-partitioned, sorted-within-partition replace: every output file
@@ -134,6 +137,7 @@ class Store(spark: SparkSession, warehouse: String) {
       .parquet(versionDir(name, next))
     versions(name) = next
     persistCatalog()
+    publish(name)
   }
 
   /** Replace with hive-style partition directories on `partitionCols` —
@@ -148,6 +152,7 @@ class Store(spark: SparkSession, warehouse: String) {
       .parquet(versionDir(name, next))
     versions(name) = next
     persistCatalog()
+    publish(name)
   }
 
   /** Bucketed replace: pays one hash shuffle at write time to pin a fixed
@@ -209,6 +214,7 @@ class Store(spark: SparkSession, warehouse: String) {
     writeInto(tail.repartition(nParts), name, dir, s"compacted-$next")
     versions(name) = next
     persistCatalog()
+    publish(name)
   }
 
   /** Carry a data file into a new version dir untouched: a hard link when
@@ -303,6 +309,7 @@ class Store(spark: SparkSession, warehouse: String) {
     out.foreach(writeInto(_, name, dir, s"rw-$next"))
     versions(name) = next
     persistCatalog()
+    publish(name)
     (hit.length, files.length)
   }
 
@@ -521,11 +528,14 @@ class Store(spark: SparkSession, warehouse: String) {
     append(name, fresh)
   }
 
-  // ---- materialized views (definition catalog + backing table) ----------
-  // Matviews are queryable tables: each create/refresh/rename registers the
-  // backing data as a session temp view so `SELECT ... FROM mv` resolves
-  // through spark.sql (the reference registers every catalog table as a
-  // DuckDB shell table the same way, query_remapper_table.go:141-178).
+  // ---- SQL publication ---------------------------------------------------
+  // Every store table (synced tables AND matviews) is queryable by name
+  // through spark.sql / the wire front end: each version flip re-registers
+  // the current snapshot as a session temp view — the reference registers
+  // every catalog table as a DuckDB shell table the same way
+  // (query_remapper_table.go:141-178). replaceBucketed is the exception:
+  // it registers a real catalog table (bucket metadata lives there) and a
+  // temp view would shadow it.
   private def publish(name: String): Unit =
     read(name).createOrReplaceTempView(name)
 
@@ -566,6 +576,7 @@ class Store(spark: SparkSession, warehouse: String) {
 
   def drop(name: String): Unit = {
     versions.remove(name)
+    spark.catalog.dropTempView(name)
     def rm(p: Path): Unit = {
       if (Files.isDirectory(p)) Files.list(p).forEach(rm)
       Files.deleteIfExists(p)

@@ -300,4 +300,23 @@ class StoreSpec extends SparkSpecBase {
     val (_, scannedHash, totalHash) = st.readRange("h", "k", 2500L, 3499L)
     assert(totalHash == 8 && scannedHash == 8)
   }
+
+  test("store tables are SQL-resolvable like the reference's shell tables") {
+    import spark.implicits._
+    val st = freshStore()
+    st.replace("synced_tbl", (1L to 30L).map(k => (k, s"v$k")).toDF("k", "v"))
+    assert(spark.sql("SELECT count(*) AS n FROM synced_tbl").collect()(0).getLong(0) == 30)
+    // the view tracks version flips: an upsert is visible on the next query
+    st.upsert("synced_tbl", Seq((31L, "new")).toDF("k", "v"), "k")
+    assert(spark.sql("SELECT count(*) AS n FROM synced_tbl").collect()(0).getLong(0) == 31)
+    // a NEW store over the same warehouse (process restart) republishes
+    Tables.invalidate() // simulate a fresh session's registration pass
+    val wh = st.read("synced_tbl").inputFiles.head
+      .replaceAll("file:", "").replaceAll("/synced_tbl/.*", "")
+    val st2 = new Store(spark, wh)
+    assert(spark.sql("SELECT max(k) AS m FROM synced_tbl").collect()(0).getLong(0) == 31)
+    // drop removes resolution
+    st2.drop("synced_tbl")
+    intercept[Exception] { spark.sql("SELECT 1 FROM synced_tbl").collect() }
+  }
 }

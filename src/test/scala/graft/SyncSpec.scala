@@ -1,8 +1,17 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
 
-class SyncSpec extends SparkSpecBase {
+class SyncSpec extends SparkSpecBase with BeforeAndAfterAll {
+
+  // syncing a table literally named "events" publishes it as a session view
+  // (reference shell-table behavior), shadowing the testdata view other
+  // suites resolve in SQL — restore it when this suite finishes
+  override def afterAll(): Unit = {
+    Tables.invalidate()
+    Tables.registerAll(spark, sfDir)
+  }
 
   test("pg type mapping follows the reference's table (SURVEY 1.4)") {
     import org.apache.spark.sql.types._
