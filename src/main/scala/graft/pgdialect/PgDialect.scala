@@ -114,7 +114,8 @@ object PgDialect {
       // catalog refresh trigger: these three relations reflect live DDL
       // state (query_remapper_table.go:46-62)
       if (upper.contains("PG_MATVIEWS") || upper.contains("PG_STAT_USER_TABLES")
-          || upper.contains("PG_CLASS") || upper.contains("PG_ATTRIBUTE"))
+          || upper.contains("PG_CLASS") || upper.contains("PG_ATTRIBUTE")
+          || upper.contains("PG_TABLES"))
         PgCatalog.refreshDynamic(spark, store)
       if (upper.contains("INFORMATION_SCHEMA"))
         PgCatalog.refreshInfoSchema(spark)

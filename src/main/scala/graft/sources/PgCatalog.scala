@@ -612,20 +612,32 @@ object PgCatalog {
   def refreshDynamic(spark: SparkSession, store: Store): Unit = synchronized {
     import spark.implicits._
     val mvs = store.matviewNames
+    // the store's plain tables (the synced-table population): relkind 'r'
+    // like the reference's re-created shell tables, minus any name the base
+    // testdata registration already lists
+    val stTables = store.tableNames.filterNot((Tables.names ++ mvs).contains)
     mvs.map(n => ("public", n, store.matviewDefinition(n).getOrElse("")))
       .toDF("schemaname", "matviewname", "definition")
       .createOrReplaceTempView("pg_matviews")
-    (Tables.names.map(n => ("public", n, 0L)) ++ mvs.map(n => ("public", n, 0L)))
+    (Tables.names.map(n => ("public", n, 0L)) ++ mvs.map(n => ("public", n, 0L)) ++
+      stTables.map(n => ("public", n, 0L)))
       .toDF("schemaname", "relname", "n_live_tup")
       .createOrReplaceTempView("pg_stat_user_tables")
-    val views = extraViews(spark, (Tables.names ++ mvs).toSet)
+    (Tables.names ++ stTables).map(n => ("public", n, "graft", false))
+      .toDF("schemaname", "tablename", "tableowner", "hasindexes")
+      .createOrReplaceTempView("pg_tables")
+    // anything else registered in the session is an ad-hoc VIEW (relkind
+    // 'v') — a client's CREATE TEMP VIEW or another component's transient
+    // publication, never a table row the oracles pin
+    val views = extraViews(spark, (Tables.names ++ mvs ++ stTables).toSet)
     val nsOid =
       if (SessionSettings.get("graft.schema_label").getOrElse("public") == "public") 2200L
       else 16000L
     val rels =
       Tables.names.zipWithIndex.map { case (n, i) => (16384L + i, n, nsOid, "r") } ++
         mvs.zipWithIndex.map { case (n, i) => (20000L + i, n, nsOid, "m") } ++
-        views.zipWithIndex.map { case (n, i) => (24000L + i, n, nsOid, "r") }
+        stTables.zipWithIndex.map { case (n, i) => (26000L + i, n, nsOid, "r") } ++
+        views.zipWithIndex.map { case (n, i) => (24000L + i, n, nsOid, "v") }
     (systemRels(spark) ++ rels)
       .map { case (oid, n, ns, kind) =>
         (oid, n, ns, kind, 10L, 2L, 0L, 0.0, false, "p", false, 0L,

@@ -574,6 +574,11 @@ class Store(spark: SparkSession, warehouse: String) {
   /** Registered matview names (catalog listing order). */
   def matviewNames: Seq[String] = matviewDefs.keys.toSeq.sorted
 
+  /** Plain (non-matview) table names — the synced-table population the
+    * catalog emulation lists as relkind 'r'. */
+  def tableNames: Seq[String] =
+    (versions.keySet -- matviewDefs.keySet).toSeq.sorted
+
   def drop(name: String): Unit = {
     versions.remove(name)
     spark.catalog.dropTempView(name)

@@ -63,9 +63,11 @@ class WireSpec extends SparkSpecBase {
     }
   }
 
+  private lazy val store =
+    new Store(spark, java.nio.file.Files.createTempDirectory("graft-wire").toString)
+
   private lazy val server: (PgWireServer, Int) = {
     Tables.registerAll(spark, sfDir)
-    val store = new Store(spark, java.nio.file.Files.createTempDirectory("graft-wire").toString)
     val s = new PgWireServer(spark, store, 0)
     (s, s.start())
   }
@@ -477,6 +479,24 @@ class WireSpec extends SparkSpecBase {
     assert(tag(c.query("CLOSE cur")) == "CLOSE CURSOR")
     // fetching a closed cursor errors like PG
     assert(c.query("FETCH 1 FROM cur").exists(_._1 == 'E'))
+    c.close()
+  }
+
+  test("a synced store table is queryable over the wire and in pg_tables") {
+    import spark.implicits._
+    val port = server._2
+    // the syncer write path: a full refresh into the server's store
+    store.replace("wire_synced", (1L to 40L).map(k => (k, s"row$k")).toDF("id", "payload"))
+    val c = new Client(port)
+    c.startup()
+    val rows = c.query("SELECT count(*) AS n, max(id) AS m FROM wire_synced")
+      .filter(_._1 == 'D').map(b => dataRowValues(b._2))
+    assert(rows == Seq(Seq("40", "40")))
+    // catalog probes see it (pg_tables refresh runs on catalog probes)
+    val cat = c.query(
+      "SELECT tablename FROM pg_tables WHERE tablename = 'wire_synced'")
+      .filter(_._1 == 'D').map(b => dataRowValues(b._2))
+    assert(cat == Seq(Seq("wire_synced")))
     c.close()
   }
 }
