@@ -218,6 +218,23 @@ object StoreOps {
         java.nio.file.Paths.get(wh, "icp_orders"), orders.schema,
         "o_orderkey", 3000L, 5999L)
       df.orderBy("o_orderkey")
+    },
+
+    // z-order clustered layout through a REAL Store: a Morton-curve sort
+    // over (o_orderkey, o_custkey) gives every file a tight range in BOTH
+    // keys, so a range scan on the SECOND key (which a plain sort cannot
+    // prune) returns exactly the filtered rows while skipping most files
+    // (file-skip counts asserted in StoreSpec).
+    Q("st_zorder_prune", Some("""
+      SELECT o_orderkey, o_custkey FROM orders
+      WHERE o_custkey BETWEEN 100 AND 199 ORDER BY o_orderkey""")) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-zo").toString
+      val store = new Store(s, wh)
+      val orders = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      store.replaceZOrdered("zo_orders", orders, Seq("o_orderkey", "o_custkey"),
+        numFiles = 8)
+      val (df, _, _) = store.readRange("zo_orders", "o_custkey", 100L, 199L)
+      df.orderBy("o_orderkey")
     }
   )
 }

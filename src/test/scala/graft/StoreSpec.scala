@@ -301,6 +301,27 @@ class StoreSpec extends SparkSpecBase {
     assert(totalHash == 8 && scannedHash == 8)
   }
 
+  test("z-order layout prunes range scans on EITHER clustered key") {
+    import spark.implicits._
+    val st = freshStore()
+    // two independent uniform keys: a plain sort on x leaves y ranges wide
+    val rows = (0L until 40000L).map(i => (i % 200L, (i * 7919L) % 200L, i))
+    st.replaceZOrdered("z", rows.toDF("x", "y", "payload"), Seq("x", "y"), numFiles = 16)
+    val (dx, sx, tx) = st.readRange("z", "x", 10L, 29L)
+    val (dy, sy, ty) = st.readRange("z", "y", 10L, 29L)
+    assert(tx == 16 && ty == 16)
+    // a 10% range on either key must skip most files (z-order tightness)
+    assert(sx <= 8, s"x-range scanned $sx/16")
+    assert(sy <= 8, s"y-range scanned $sy/16")
+    // results exact
+    assert(dx.count() == rows.count(r => r._1 >= 10 && r._1 <= 29))
+    assert(dy.count() == rows.count(r => r._2 >= 10 && r._2 <= 29))
+    // contrast: the same data merely SORTED by x cannot prune on y
+    st.replaceSorted("s", rows.toDF("x", "y", "payload"), "x", numFiles = 16)
+    val (_, sy2, _) = st.readRange("s", "y", 10L, 29L)
+    assert(sy2 >= 14, s"sorted-by-x layout should barely prune y: $sy2")
+  }
+
   test("store tables are SQL-resolvable like the reference's shell tables") {
     import spark.implicits._
     val st = freshStore()
