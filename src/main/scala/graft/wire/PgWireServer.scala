@@ -237,7 +237,7 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int) {
     * a $N inside a string literal, quoted identifier, dollar-quoted string
     * or comment is NOT a parameter and passes through untouched (a naive
     * global replace corrupts `SELECT 'costs $1'`). */
-  private def substituteParams(sql: String, args: Seq[String]): String = {
+  private[graft] def substituteParams(sql: String, args: Seq[String]): String = {
     val sb = new StringBuilder(sql.length + 32)
     val n = sql.length
     var i = 0

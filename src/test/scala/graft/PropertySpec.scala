@@ -77,4 +77,31 @@ class PropertySpec extends AnyFunSuite {
       assert(out.contains("CAST("), out)
     }
   }
+
+  test("wire $n substitution never rewrites inside literals/comments (property)") {
+    val srv = new PgWireServer(null, null, 0) // tokenizer only, no socket/session
+    val litBody: Gen[String] = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)), Gen.const("$1"), Gen.const("$2"),
+      Gen.const("''"), Gen.const(" "), Gen.const("-- not a comment"),
+      Gen.const("$tag$"))).map(_.mkString.take(40))
+    val arg: Gen[String] = Gen.oneOf(Gen.const("42"), Gen.const("O'Brien"),
+      Gen.alphaNumStr.map(_.take(8)))
+    val cases = samples(Gen.zip(litBody, arg))
+    cases.foreach { case (body, a) =>
+      val lit = "'" + body.replace("'", "''") + "'"
+      val sql = s"SELECT $lit AS c, $$1 WHERE x = $lit -- tail $$1\n"
+      val out = srv.substituteParams(sql, Seq(a))
+      val expectArg = if (a.matches("-?\\d+(\\.\\d+)?")) a
+        else "'" + a.replace("'", "''") + "'"
+      // the two literal occurrences survive byte-for-byte
+      assert(out.startsWith(s"SELECT $lit AS c, "), out)
+      assert(out.contains(s"WHERE x = $lit"), out)
+      // the bare $1 was substituted; the commented $1 was not
+      assert(out.contains(s"AS c, $expectArg WHERE"), out)
+      assert(out.endsWith("-- tail $1\n"), out)
+    }
+    // dollar-quoted strings pass through verbatim
+    val dq = srv.substituteParams("SELECT $body$ keep $1 here $body$, $1", Seq("7"))
+    assert(dq == "SELECT $body$ keep $1 here $body$, 7", dq)
+  }
 }
