@@ -99,27 +99,37 @@ object ArrayDotUtil {
 
   /** Sequential left-fold dot product — bit-identical to
     * `aggregate(zip_with(a, b, (x,y) -> x*y), 0D, +)` (same element order,
-    * same double adds, float widened exactly) but ONE pass with zero array
-    * allocations, vs the HOF chain's zipped + transformed intermediates.
-    * The ANN scan path at 100 TB runs this once per (query, candidate). */
-  def dot(a: ArrayData, b: ArrayData, af: Boolean, bf: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    * same double adds, float widened exactly, NULL on length mismatch or a
+    * null element — zip_with pads with null and null poisons the fold) but
+    * ONE pass with zero array allocations, vs the HOF chain's zipped +
+    * transformed intermediates. The ANN scan path at 100 TB runs this once
+    * per (query, candidate). Returns a boxed Double (null = SQL NULL). */
+  def dot(a: ArrayData, b: ArrayData, af: Boolean, bf: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += elem(a, i, af) * elem(b, i, bf); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += elem(a, i, af) * elem(b, i, bf)
+      i += 1
+    }
     acc
   }
 
   /** Cosine in one pass: three independent accumulators, each equal to its
     * own sequential fold, so the result is bit-identical to
-    * dot(a,b)/(sqrt(dot(a,a))*sqrt(dot(b,b))) composed from HOFs. */
-  def cos(a: ArrayData, b: ArrayData, af: Boolean, bf: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    * dot(a,b)/(sqrt(dot(a,a))*sqrt(dot(b,b))) composed from HOFs (including
+    * the NULL cases). */
+  def cos(a: ArrayData, b: ArrayData, af: Boolean, bf: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var d = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = elem(a, i, af)
       val y = elem(b, i, bf)
       d += x * y; na += x * x; nb += y * y
@@ -129,38 +139,57 @@ object ArrayDotUtil {
   }
 }
 
-/** Codegen'd `array_dot(a, b)` over array<float|double> columns. */
-case class ArrayDot(left: Expression, right: Expression)
+/** Shared shape of the two one-pass array similarity expressions: strict
+  * array<float|double> inputs (analysis error otherwise — a loose getDouble
+  * over an int-backed array would read garbage), nullable result (NULL on
+  * null input, null element, or length mismatch — the HOF fold's
+  * semantics). */
+trait ArrayPairExpression
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
   import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   override def dataType: DataType = DoubleType
-  private def isFloat(e: Expression): Boolean =
+  override def nullable: Boolean = true
+  protected def fn: String
+  protected def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def ok(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$fn expects two array<float|double> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("r")
+      s"""java.lang.Double $r =
+         |  graft.ArrayDotUtil.$fn($a, $b, ${isFloat(left)}, ${isFloat(right)});
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.doubleValue(); }""".stripMargin
+    })
+}
+
+/** Codegen'd `array_dot(a, b)` over array<float|double> columns. */
+case class ArrayDot(left: Expression, right: Expression) extends ArrayPairExpression {
+  override protected def fn: String = "dot"
   override protected def nullSafeEval(a: Any, b: Any): Any =
     ArrayDotUtil.dot(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
       b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
       isFloat(left), isFloat(right))
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.ArrayDotUtil.dot($a, $b, ${isFloat(left)}, ${isFloat(right)})")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayDot =
     copy(left = l, right = r)
 }
 
 /** Codegen'd `array_cos(a, b)` — one-pass cosine similarity. */
-case class ArrayCosine(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
-  import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
-  override def dataType: DataType = DoubleType
-  private def isFloat(e: Expression): Boolean =
-    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+case class ArrayCosine(left: Expression, right: Expression) extends ArrayPairExpression {
+  override protected def fn: String = "cos"
   override protected def nullSafeEval(a: Any, b: Any): Any =
     ArrayDotUtil.cos(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
       b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
       isFloat(left), isFloat(right))
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.ArrayDotUtil.cos($a, $b, ${isFloat(left)}, ${isFloat(right)})")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayCosine =
     copy(left = l, right = r)
 }

@@ -115,7 +115,7 @@ object PgDialect {
       // state (query_remapper_table.go:46-62)
       if (upper.contains("PG_MATVIEWS") || upper.contains("PG_STAT_USER_TABLES")
           || upper.contains("PG_CLASS") || upper.contains("PG_ATTRIBUTE")
-          || upper.contains("PG_TABLES"))
+          || "(?<![A-Z_])PG_TABLES(?![A-Z_])".r.findFirstIn(upper).isDefined)
         PgCatalog.refreshDynamic(spark, store)
       if (upper.contains("INFORMATION_SCHEMA"))
         PgCatalog.refreshInfoSchema(spark)

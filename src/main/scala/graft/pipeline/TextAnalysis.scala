@@ -47,7 +47,7 @@ object TextAnalysis {
     val spark = docs.sparkSession
     val parted = docs.repartitionByRange(parts, col("doc_id"))
       .withColumn("pid", spark_partition_id())
-    parted.cache()
+      .localCheckpoint() // reused twice; ContextCleaner reclaims it, unlike cache()
     val psums = parted.groupBy("pid").agg(sum("len").as("psum")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val bases = psums.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) => (pid + 1, acc + n) }
@@ -74,7 +74,7 @@ object TextAnalysis {
       md5(concat(lit(seed + "-"), col("doc_id").cast("string"))))
     val parted = keyed.repartitionByRange(parts, col("skey"))
       .withColumn("pid", spark_partition_id())
-    parted.cache()
+      .localCheckpoint() // reused twice; ContextCleaner reclaims it, unlike cache()
     val counts = parted.groupBy("pid").agg(count(lit(1)).as("n")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val bases = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) => (pid + 1, acc + n) }

@@ -109,11 +109,11 @@ object Iceberg {
     val stringCols = schema.fields.collect {
       case f if f.dataType == StringType => f.name.toLowerCase
     }.toSet
-    val boundEligible = schema.fields.collect {
+    val boundType: Map[String, DataType] = schema.fields.collect {
       case f if Set[DataType](IntegerType, LongType, FloatType, DoubleType,
         StringType, DateType, TimestampType, TimestampNTZType).contains(f.dataType) =>
-        f.name.toLowerCase
-    }.toSet
+        f.name.toLowerCase -> f.dataType
+    }.toMap
     val in = HadoopInputFile.fromPath(new HadoopPath(file.toString),
       spark.sessionState.newHadoopConf())
     val reader = ParquetFileReader.open(in)
@@ -135,17 +135,18 @@ object Iceberg {
             valCounts(fid) += c.getValueCount
             val st = c.getStatistics
             if (st != null && !st.isEmpty) nullCounts(fid) += st.getNumNulls
-            if (st != null && st.hasNonNullValue && boundEligible(name)) {
+            if (st != null && st.hasNonNullValue && boundType.contains(name)) {
+              val dt = boundType(name)
               val mn = st.getMinBytes
               val mx = st.getMaxBytes
-              // byte-compare like the reference only works for strings;
-              // numerics need typed compare, so keep first/extend via the
-              // typed comparator the footer statistics already implement
+              // byte-compare only works for strings; numerics (esp. negative
+              // IEEE-754 floats/doubles, whose bit patterns invert order)
+              // need a typed decode-and-compare
               if ((stringCols(name) || mn.nonEmpty) &&
-                  (!lower.contains(fid) || boundLt(mn, lower(fid), stringCols(name))))
+                  (!lower.contains(fid) || boundLt(mn, lower(fid), dt)))
                 lower(fid) = mn
               if ((stringCols(name) || mx.nonEmpty) &&
-                  (!upper.contains(fid) || boundLt(upper(fid), mx, stringCols(name))))
+                  (!upper.contains(fid) || boundLt(upper(fid), mx, dt)))
                 upper(fid) = mx
             }
           }
@@ -156,10 +157,11 @@ object Iceberg {
     } finally reader.close()
   }
 
-  /** Bound ordering: lexicographic bytes for strings (UTF-8 sorts like code
-    * points), little-endian numeric decode otherwise. */
-  private def boundLt(a: Array[Byte], b: Array[Byte], isString: Boolean): Boolean =
-    if (isString) {
+  /** Bound ordering: unsigned-lexicographic bytes for strings (UTF-8 sorts
+    * like code points), TYPED little-endian decode for numerics — a raw
+    * integer compare of float/double bits inverts for negatives. */
+  private def boundLt(a: Array[Byte], b: Array[Byte], dt: DataType): Boolean = dt match {
+    case StringType =>
       val n = math.min(a.length, b.length)
       var i = 0
       while (i < n) {
@@ -168,9 +170,17 @@ object Iceberg {
         i += 1
       }
       a.length < b.length
-    } else if (a.length == 8 && b.length == 8) leLong(a) < leLong(b)
-    else if (a.length == 4 && b.length == 4) leInt(a) < leInt(b)
-    else false
+    case DoubleType if a.length == 8 && b.length == 8 =>
+      java.lang.Double.longBitsToDouble(leLong(a)) <
+        java.lang.Double.longBitsToDouble(leLong(b))
+    case FloatType if a.length == 4 && b.length == 4 =>
+      java.lang.Float.intBitsToFloat(leInt(a)) < java.lang.Float.intBitsToFloat(leInt(b))
+    case LongType | TimestampType | TimestampNTZType if a.length == 8 && b.length == 8 =>
+      leLong(a) < leLong(b)
+    case IntegerType | DateType if a.length == 4 && b.length == 4 =>
+      leInt(a) < leInt(b)
+    case _ => false
+  }
 
   private def leLong(a: Array[Byte]): Long =
     ByteBuffer.wrap(a).order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
@@ -302,13 +312,19 @@ object Iceberg {
     main.put("type", "branch")
     val snaps = root.putArray("snapshots")
     val slog = root.putArray("snapshot-log")
+    // re-publishing the same store version replaces its snapshot (idempotent
+    // retry) instead of appending a duplicate id with a self-parent link
     var parent: Option[Long] = None
     prior.foreach { p =>
-      p.get("snapshots").elements.asScala.foreach { s =>
-        snaps.add(s)
-        parent = Some(s.get("snapshot-id").asLong)
-      }
-      p.get("snapshot-log").elements.asScala.foreach(slog.add)
+      p.get("snapshots").elements.asScala
+        .filter(_.get("snapshot-id").asLong != snapshotId)
+        .foreach { s =>
+          snaps.add(s)
+          parent = Some(s.get("snapshot-id").asLong)
+        }
+      p.get("snapshot-log").elements.asScala
+        .filter(_.get("snapshot-id").asLong != snapshotId)
+        .foreach(slog.add)
     }
     val snap = snaps.addObject()
     snap.put("snapshot-id", snapshotId)
@@ -445,21 +461,21 @@ object Iceberg {
     } finally writer.close()
   }
 
-  /** expire_snapshots: drop snapshots not in `liveIds` (the current snapshot
-    * always survives) from the metadata tree — their manifest lists and
-    * manifests are deleted, a new metadata.json version is written, and the
-    * version-hint advances. Mirrors Iceberg's maintenance op; data-file
-    * deletion is the Store's job (version-dir expiry). Returns dropped ids. */
+  /** expire_snapshots: drop snapshots not in `liveIds` from the metadata
+    * tree — their manifest lists and manifests are deleted, a new
+    * metadata.json version is written, and the version-hint advances.
+    * `liveIds` is AUTHORITATIVE: a current snapshot whose data files were
+    * expired is dropped too, and the newest surviving snapshot becomes
+    * current (metadata must never reference deleted data). If nothing
+    * survives, the whole metadata tree is removed. Mirrors Iceberg's
+    * maintenance op; data-file deletion is the Store's job. Returns the
+    * dropped snapshot ids. */
   def expireSnapshots(tableDir: Path, liveIds: Set[Long]): Seq[Long] = {
     val mdPath = currentMetadataFile(tableDir).getOrElse(return Nil)
     val mapper = om
     val md = mapper.readTree(Files.readAllBytes(mdPath)).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-    val current = md.get("current-snapshot-id").asLong
     val snaps = md.get("snapshots").elements.asScala.toVector
-    val (keep, drop) = snaps.partition { s =>
-      val id = s.get("snapshot-id").asLong
-      id == current || liveIds.contains(id)
-    }
+    val (keep, drop) = snaps.partition(s => liveIds.contains(s.get("snapshot-id").asLong))
     if (drop.isEmpty) return Nil
     drop.foreach { s =>
       val listPath = Paths.get(java.net.URI.create(s.get("manifest-list").asText))
@@ -478,12 +494,22 @@ object Iceberg {
       }
     }
     val dropped = drop.map(_.get("snapshot-id").asLong)
+    val metaDir = tableDir.resolve("metadata")
+    if (keep.isEmpty) {
+      // no surviving snapshot: remove the whole metadata tree rather than
+      // publish metadata that references deleted data
+      Files.walk(metaDir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+      return dropped
+    }
+    val newCurrent = keep.map(_.get("snapshot-id").asLong).max
+    md.put("current-snapshot-id", newCurrent)
+    md.putObject("refs").putObject("main")
+      .put("snapshot-id", newCurrent).put("type", "branch")
     val newSnaps = md.putArray("snapshots")
     keep.foreach(newSnaps.add)
     val oldLog = md.get("snapshot-log").elements.asScala.toVector
     val newLog = md.putArray("snapshot-log")
     oldLog.filterNot(e => dropped.contains(e.get("snapshot-id").asLong)).foreach(newLog.add)
-    val metaDir = tableDir.resolve("metadata")
     val version = nextMetadataVersion(metaDir)
     Files.write(metaDir.resolve(s"v$version.metadata.json"),
       mapper.writerWithDefaultPrettyPrinter.writeValueAsBytes(md))
@@ -582,6 +608,7 @@ object Iceberg {
         case _ => true // no bounds recorded: must scan
       }
     }
+    if (files.isEmpty) throw new IllegalStateException(s"empty snapshot in $tableDir")
     import org.apache.spark.sql.functions.{col, lit}
     val df =
       if (hit.isEmpty)

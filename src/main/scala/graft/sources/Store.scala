@@ -169,8 +169,7 @@ class Store(spark: SparkSession, warehouse: String) {
     val n = keys.size
     val zkey = (0 until BITS).flatMap { b =>
       scaled.zipWithIndex.map { case (s, j) =>
-        shiftleft(s.bitwiseAND(lit(1L << b)).cast("long") / lit(1L << b),
-          b * n + j)
+        shiftleft(shiftright(s, b).bitwiseAND(lit(1L)), b * n + j)
       }
     }.reduce((a, c) => a.bitwiseOR(c))
     val next = versions.getOrElse(name, 0) + 1
@@ -209,6 +208,10 @@ class Store(spark: SparkSession, warehouse: String) {
     * bucket metadata lives there, not in the files. */
   def replaceBucketed(name: String, df: DataFrame, key: String, numBuckets: Int): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    // clear any plain temp view published for this name (e.g. by a catalog
+    // reload before the bucketed registration existed): the catalog table
+    // must win resolution
+    spark.catalog.dropTempView(name)
     val next = versions.getOrElse(name, 0) + 1
     df.write.mode(SaveMode.Overwrite)
       .option("compression", "zstd")
@@ -582,7 +585,12 @@ class Store(spark: SparkSession, warehouse: String) {
   // it registers a real catalog table (bucket metadata lives there) and a
   // temp view would shadow it.
   private def publish(name: String): Unit =
-    read(name).createOrReplaceTempView(name)
+    // a bucketed table lives in the session catalog (bucket metadata only
+    // exists there) — registering a temp view over it would shadow the
+    // bucket layout AND go stale on the next bucketed replace
+    if (!spark.sessionState.catalog.tableExists(
+        org.apache.spark.sql.catalyst.TableIdentifier(name)))
+      read(name).createOrReplaceTempView(name)
 
   def createMatview(name: String, defn: String, withData: Boolean = true): Unit = {
     matviewDefs(name) = defn

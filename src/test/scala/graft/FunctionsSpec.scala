@@ -94,4 +94,31 @@ class FunctionsSqlSpec extends SparkSpecBase {
       .collect()(0).getString(0)
     assert(got == "graft")
   }
+
+  test("array_dot/array_cos match the HOF fold incl. null and length cases") {
+    Tables.registerAll(spark, sfDir)
+    val hof = "aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    val rows = spark.sql(
+      s"""SELECT array_dot(a, b) AS fast, $hof AS slow,
+         |  array_cos(a, b) AS fastc,
+         |  $hof / (sqrt(aggregate(zip_with(a, a, (x, y) -> x * y), 0D, (acc, x) -> acc + x))
+         |        * sqrt(aggregate(zip_with(b, b, (x, y) -> x * y), 0D, (acc, x) -> acc + x))) AS slowc
+         |FROM VALUES
+         |  (array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)),
+         |  (array(-1.5D, 0.0D),      array(2.0D, -7.25D)),
+         |  (array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)),
+         |  (array(1.0D, 2.0D), array(1.0D)),
+         |  (CAST(NULL AS ARRAY<DOUBLE>), array(1.0D))
+         |AS t(a, b)""".stripMargin).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"dot null mismatch: $r")
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1), s"dot: $r")
+      assert(r.isNullAt(2) == r.isNullAt(3), s"cos null mismatch: $r")
+      if (!r.isNullAt(2)) assert(r.getDouble(2) == r.getDouble(3), s"cos: $r")
+    }
+    // non-numeric arrays are an analysis error, not garbage
+    intercept[Exception] {
+      spark.sql("SELECT array_dot(array(1, 2), array(3, 4))").collect()
+    }
+  }
 }

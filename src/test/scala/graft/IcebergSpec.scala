@@ -180,6 +180,55 @@ class IcebergSpec extends SparkSpecBase {
     }
   }
 
+  test("negative float/double bounds order correctly (typed compare)") {
+    import spark.implicits._
+    val (store, dir) = freshStore()
+    val df = Seq((-5.0, 1L), (-1.0, 2L), (3.5, 3L), (-2.25, 4L))
+      .toDF("x", "id")
+    store.replace("neg", df.repartition(1))
+    store.publishIceberg("neg")
+    val planned = Iceberg.planFiles(dir.resolve("neg"))
+    val lows = planned.flatMap(_.lowerBounds.get(1))
+      .map(Iceberg.decodeBound(_, org.apache.spark.sql.types.DoubleType).asInstanceOf[Double])
+    val highs = planned.flatMap(_.upperBounds.get(1))
+      .map(Iceberg.decodeBound(_, org.apache.spark.sql.types.DoubleType).asInstanceOf[Double])
+    assert(lows.min == -5.0, s"lower bound must be the true min, got ${lows.min}")
+    assert(highs.max == 3.5)
+    // a range over the negatives must NOT be pruned away
+    val (d2, scanned, _) = Iceberg.readRangePruned(spark, dir.resolve("neg"),
+      df.schema, "x", -6.0, -4.0)
+    assert(scanned == planned.size)
+    assert(d2.count() == 1)
+  }
+
+  test("re-publishing the same version is idempotent (no duplicate snapshots)") {
+    val (store, dir) = freshStore()
+    store.replace("li", lineitem)
+    store.publishIceberg("li")
+    store.publishIceberg("li") // retried sync
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val md = om.readTree(Files.readAllBytes(
+      Iceberg.currentMetadataFile(dir.resolve("li")).get))
+    val snaps = md.get("snapshots").elements.asScala.toSeq
+    assert(snaps.size == 1)
+    assert(!snaps.head.has("parent-snapshot-id"))
+    assert(store.readIceberg("li").count() == lineitem.count())
+  }
+
+  test("expiring the published version removes stale metadata entirely") {
+    val (store, dir) = freshStore()
+    store.replace("li", lineitem.limit(100))
+    store.publishIceberg("li") // snapshot 1 only
+    store.replace("li", lineitem.limit(200))
+    store.replace("li", lineitem.limit(300))
+    store.replace("li", lineitem.limit(400))
+    store.expireVersions("li", keep = 2) // v1, v2 deleted; snapshot 1 now dangling
+    // metadata must not reference deleted data: the whole tree is gone
+    assert(Iceberg.currentMetadataFile(dir.resolve("li")).isEmpty)
+    // and the store itself still serves the current version
+    assert(store.read("li").count() == 400)
+  }
+
   test("manifest-bound pruning skips files outside the range, result exact") {
     val (store, dir) = freshStore()
     // sorted layout -> tight non-overlapping per-file ranges
