@@ -30,6 +30,8 @@ object SessionSettings {
   def get(name: String): Option[String] =
     overrides.get(name.toLowerCase).orElse(defaults.get(name.toLowerCase))
   def set(name: String, value: String): Unit = overrides.put(name.toLowerCase, value)
+  def reset(name: String): Unit = overrides.remove(name.toLowerCase)
+  def resetAll(): Unit = overrides.clear()
   /** defaults merged with session overrides (SHOW ALL). */
   def all: Map[String, String] = defaults ++ overrides
 }

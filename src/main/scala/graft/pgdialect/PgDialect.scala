@@ -40,6 +40,7 @@ object PgDialect {
     if (stmt.isEmpty) return Empty
     val upper = stmt.toUpperCase
     if (upper.startsWith("SET ")) return executeSet(spark, stmt)
+    if (upper.startsWith("RESET")) return executeReset(spark, stmt)
     if (upper.startsWith("SHOW ")) return executeShow(spark, stmt)
     if (upper.matches("(?s)(BEGIN|COMMIT|END|ROLLBACK)\\b.*"))
       return Command(upper.split("\\s+")(0) match {
@@ -178,6 +179,27 @@ object PgDialect {
           spark.conf.set("spark.sql.session.timeZone", value)
         Command("SET")
       case _ => Command("SET")
+    }
+  }
+
+  /** RESET var / RESET ALL: drop the session override, restoring the
+    * default (PG VariableSetStmt VAR_RESET; psql and JDBC issue these on
+    * reconnect/pool checkin). */
+  private def executeReset(spark: SparkSession, stmt: String): PgResult = {
+    val m = "(?is)RESET\\s+([\\w.]+|ALL)\\s*".r
+    stmt.trim match {
+      case m(what) if what.equalsIgnoreCase("ALL") =>
+        SessionSettings.resetAll()
+        spark.conf.set("spark.sql.session.timeZone",
+          SessionSettings.defaults("timezone"))
+        Command("RESET")
+      case m(name) =>
+        SessionSettings.reset(name)
+        if (name.equalsIgnoreCase("timezone"))
+          spark.conf.set("spark.sql.session.timeZone",
+            SessionSettings.defaults("timezone"))
+        Command("RESET")
+      case _ => Command("RESET")
     }
   }
 

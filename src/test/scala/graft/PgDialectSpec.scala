@@ -326,6 +326,19 @@ class PgDialectSpec extends SparkSpecBase {
     assert(sp.collect()(0).getString(0) == "\"$user\", public")
   }
 
+  test("RESET var and RESET ALL restore defaults") {
+    PgDialect.execute(spark, store, "SET statement_timeout = '30s'")
+    PgDialect.execute(spark, store, "SET application_name = 'psql'")
+    assert(PgDialect.execute(spark, store, "RESET statement_timeout") == Command("RESET"))
+    assert(SessionSettings.get("statement_timeout").isEmpty)
+    assert(SessionSettings.get("application_name").contains("psql"))
+    PgDialect.execute(spark, store, "SET timezone = 'America/New_York'")
+    assert(PgDialect.execute(spark, store, "RESET ALL") == Command("RESET"))
+    assert(SessionSettings.get("application_name").isEmpty)
+    assert(SessionSettings.get("timezone").contains("UTC"))
+    assert(spark.conf.get("spark.sql.session.timeZone") == "UTC")
+  }
+
   test("SHOW ALL and SHOW TIME ZONE") {
     val all = rows("SHOW ALL")
     assert(all.size >= 8)
