@@ -698,7 +698,8 @@ object FnQueries {
         ('client_encoding', 'UTF8'), ('datestyle', 'ISO, MDY'),
         ('max_connections', '100'), ('search_path', '"$user", public'),
         ('server_encoding', 'UTF8'), ('server_version', '17.0'),
-        ('standard_conforming_strings', 'on'), ('timezone', 'UTC')) t(name, setting)
+        ('standard_conforming_strings', 'on'), ('timezone', 'UTC'),
+        ('transaction_isolation', 'read committed')) t(name, setting)
       ORDER BY name""")) { (s, dir) =>
       s.sql("SELECT name, setting FROM pg_settings ORDER BY name")
     },

@@ -25,6 +25,7 @@ object SessionSettings {
     "datestyle" -> "ISO, MDY",
     "search_path" -> "\"$user\", public",
     "max_connections" -> "100",
+    "transaction_isolation" -> "read committed",
     "standard_conforming_strings" -> "on")
   private val overrides = TrieMap[String, String]()
   def get(name: String): Option[String] =

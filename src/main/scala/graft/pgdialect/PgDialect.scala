@@ -208,6 +208,8 @@ object PgDialect {
     val rest = stmt.split("\\s+").drop(1).map(_.toLowerCase.stripSuffix(";"))
     val name = rest.toSeq match {
       case Seq("time", "zone", _*) => "timezone" // psql's two-word spelling
+      case Seq("transaction", "isolation", _*) => // JDBC getTransactionIsolation
+        "transaction_isolation"
       case Seq(n, _*) => n
       case _ => ""
     }
