@@ -525,6 +525,13 @@ class Store(spark: SparkSession, warehouse: String) {
     val cur = Paths.get(versionDir(name, versions(name)))
     val files = Files.list(cur).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+    // hive-partitioned layouts keep data files in key=value subdirs and the
+    // partition column only in the PATH — flat unpartitioned manifests would
+    // lose that column, so refuse rather than publish a wrong table
+    require(files.nonEmpty,
+      s"publishIceberg($name) requires an unpartitioned layout " +
+        "(replace/replaceSorted/replaceZOrdered); hive-partitioned version " +
+        "dirs keep partition values in paths, not data files")
     Iceberg.commit(spark, Paths.get(s"$warehouse/$name"), read(name).schema,
       files, versions(name))
   }

@@ -180,6 +180,15 @@ class IcebergSpec extends SparkSpecBase {
     }
   }
 
+  test("publishIceberg refuses a hive-partitioned layout instead of mis-publishing") {
+    import spark.implicits._
+    val (store, _) = freshStore()
+    store.replacePartitioned("pt",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "part"), "part")
+    val e = intercept[IllegalArgumentException] { store.publishIceberg("pt") }
+    assert(e.getMessage.contains("unpartitioned"))
+  }
+
   test("negative float/double bounds order correctly (typed compare)") {
     import spark.implicits._
     val (store, dir) = freshStore()
