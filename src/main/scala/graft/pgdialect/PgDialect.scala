@@ -232,6 +232,12 @@ object PgDialect {
     s = autoAliasTargets(s)
     s = rewriteArraySubquery(s)
     s = rewriteDistinctOn(s)
+    // PG's aggregate-internal ORDER BY -> Spark's WITHIN GROUP form:
+    // string_agg(x, d ORDER BY y[,z]) / listagg(...) — the common psql
+    // idiom; arguments with nested parens pass through untouched
+    s = s.replaceAll(
+      "(?i)\\b(string_agg|listagg)\\s*\\(\\s*([^(),]+),\\s*([^()]+?)\\s+ORDER\\s+BY\\s+([^()]+)\\)",
+      "$1($2, $3) WITHIN GROUP (ORDER BY $4)")
     s = s.replaceAll("(?i)\\bpg_catalog\\s*\\.\\s*", "")
     // user-schema qualification: the reference resolves schema.table for
     // its synced schemas (query_remapper_table.go:93-110); our registered

@@ -325,6 +325,21 @@ object PgDialectOps {
         FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
         GROUP BY n ORDER BY n"""
       )
+    },
+
+    // PG aggregate-internal ORDER BY -> Spark WITHIN GROUP rewrite
+    Q(
+      "pd_string_agg_order",
+      Some("""
+      SELECT n_regionkey, string_agg(n_name, ';' ORDER BY n_name DESC) AS names
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")
+    ) { (s, dir) =>
+      run(
+        s,
+        """
+        SELECT n_regionkey, string_agg(n_name, ';' ORDER BY n_name DESC) AS names
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""
+      )
     }
   )
 }
