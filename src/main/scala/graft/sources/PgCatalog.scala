@@ -198,9 +198,11 @@ object PgCatalog {
     // (query_remapper_table.go: pg_namespace filtered) — system schemas
     // are not listed
     val schemaLabel = SessionSettings.get("graft.schema_label").getOrElse("public")
-    (Seq((2200L, "public")) ++
-      (if (schemaLabel != "public") Seq((16000L, schemaLabel)) else Nil))
-      .toDF("oid", "nspname").createOrReplaceTempView("pg_namespace")
+    (Seq((2200L, "public", 10L, Option.empty[String])) ++
+      (if (schemaLabel != "public")
+        Seq((16000L, schemaLabel, 10L, Option.empty[String])) else Nil))
+      .toDF("oid", "nspname", "nspowner", "nspacl")
+      .createOrReplaceTempView("pg_namespace")
     val userName = SessionSettings.get("graft.user").getOrElse("graft")
     val dbName = SessionSettings.get("graft.database").getOrElse("graft")
     Seq((1L, dbName, true, 10L, Option.empty[String], -1, false, 1663L))

@@ -326,6 +326,34 @@ class PgDialectSpec extends SparkSpecBase {
     assert(sp.collect()(0).getString(0) == "\"$user\", public")
   }
 
+  test("psql \\dt and \\dn replay verbatim through the dialect") {
+    Tables.registerAll(spark, sfDir)
+    // the exact SQL psql 16 sends for \dt
+    val dt = """SELECT n.nspname as "Schema",
+      c.relname as "Name",
+      CASE c.relkind WHEN 'r' THEN 'table' WHEN 'v' THEN 'view' WHEN 'm' THEN 'materialized view' WHEN 'i' THEN 'index' WHEN 'S' THEN 'sequence' WHEN 't' THEN 'TOAST table' WHEN 'f' THEN 'foreign table' WHEN 'p' THEN 'partitioned table' WHEN 'I' THEN 'partitioned index' END as "Type",
+      pg_catalog.pg_get_userbyid(c.relowner) as "Owner"
+    FROM pg_catalog.pg_class c
+         LEFT JOIN pg_catalog.pg_namespace n ON n.oid = c.relnamespace
+    WHERE c.relkind IN ('r','p','')
+          AND n.nspname <> 'pg_catalog'
+          AND n.nspname !~ '^pg_toast'
+          AND n.nspname <> 'information_schema'
+      AND pg_catalog.pg_table_is_visible(c.oid)
+    ORDER BY 1,2"""
+    val Rows(df, _) = PgDialect.execute(spark, store, dt): @unchecked
+    val names = df.collect().map(_.getString(1)).toSeq
+    assert(names.contains("nation") && names.contains("lineitem"), names)
+    // \dn (schemas)
+    val dn = """SELECT n.nspname AS "Name",
+      pg_catalog.pg_get_userbyid(n.nspowner) AS "Owner"
+    FROM pg_catalog.pg_namespace n
+    WHERE n.nspname !~ '^pg_' AND n.nspname <> 'information_schema'
+    ORDER BY 1"""
+    val Rows(df2, _) = PgDialect.execute(spark, store, dn): @unchecked
+    assert(df2.collect().map(_.getString(0)).contains("public"))
+  }
+
   test("RESET var and RESET ALL restore defaults") {
     PgDialect.execute(spark, store, "SET statement_timeout = '30s'")
     PgDialect.execute(spark, store, "SET application_name = 'psql'")
