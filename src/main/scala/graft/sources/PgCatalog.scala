@@ -282,9 +282,11 @@ object PgCatalog {
         "relchecks", "relacl")
     classDf.createOrReplaceTempView("pg_class")
     val relOid = Tables.names.zipWithIndex.map { case (n, i) => n -> (16384L + i) }.toMap
-    cols.map { case (t, c, i, dt, oid) => (relOid(t), c, i, oid.toLong, dt, false, false, false) }
+    cols.map { case (t, c, i, dt, oid) =>
+        (relOid(t), c, i, oid.toLong, dt, false, false, false, -1, -1, "", "") }
       .toDF("attrelid", "attname", "attnum", "atttypid", "data_type",
-        "attnotnull", "atthasdef", "attisdropped")
+        "attnotnull", "atthasdef", "attisdropped",
+        "atttypmod", "attlen", "attidentity", "attgenerated")
       .createOrReplaceTempView("pg_attribute")
 
     // remaining static probes BI tools and ORMs issue (the reference ships
@@ -658,12 +660,13 @@ object PgCatalog {
         catch { case _: Throwable => new StructType() }
       schema.fields.zipWithIndex.map { case (f, i) =>
         val (toid, pgName) = pgTypeOf(f.dataType)
-        (oid, f.name, i + 1, toid.toLong, pgName, false, false, false)
+        (oid, f.name, i + 1, toid.toLong, pgName, false, false, false, -1, -1, "", "")
       }
     }
     attrRows
       .toDF("attrelid", "attname", "attnum", "atttypid", "data_type",
-        "attnotnull", "atthasdef", "attisdropped")
+        "attnotnull", "atthasdef", "attisdropped",
+        "atttypmod", "attlen", "attidentity", "attgenerated")
       .createOrReplaceTempView("pg_attribute")
   }
 }

@@ -354,6 +354,38 @@ class PgDialectSpec extends SparkSpecBase {
     assert(df2.collect().map(_.getString(0)).contains("public"))
   }
 
+  test("PgJDBC getColumns metadata query replays verbatim") {
+    Tables.registerAll(spark, sfDir)
+    // the exact SQL the PostgreSQL JDBC driver issues for getColumns()
+    val jdbc = """SELECT n.nspname,c.relname,a.attname,a.atttypid,
+      a.attnotnull OR (t.typtype = 'd' AND t.typnotnull) AS attnotnull,
+      a.atttypmod,a.attlen,t.typtypmod,
+      row_number() OVER (PARTITION BY a.attrelid ORDER BY a.attnum) AS attnum,
+      nullif(a.attidentity, '') as attidentity,
+      nullif(a.attgenerated, '') as attgenerated,
+      pg_catalog.pg_get_expr(def.adbin, def.adrelid) AS adsrc,
+      dsc.description,t.typbasetype,t.typtype
+    FROM pg_catalog.pg_namespace n
+    JOIN pg_catalog.pg_class c ON (c.relnamespace = n.oid)
+    JOIN pg_catalog.pg_attribute a ON (a.attrelid=c.oid)
+    JOIN pg_catalog.pg_type t ON (a.atttypid = t.oid)
+    LEFT JOIN pg_catalog.pg_attrdef def ON (a.attrelid=def.adrelid AND a.attnum = def.adnum)
+    LEFT JOIN pg_catalog.pg_description dsc ON (c.oid=dsc.objoid AND a.attnum = dsc.objsubid)
+    LEFT JOIN pg_catalog.pg_class dc ON (dc.oid=dsc.classoid AND dc.relname='pg_description')
+    LEFT JOIN pg_catalog.pg_namespace dn ON (dc.relnamespace=dn.oid AND dn.nspname='pg_catalog')
+    WHERE c.relkind in ('r','p','v','f','m') and a.attnum > 0 AND NOT a.attisdropped
+      AND n.nspname LIKE 'public' AND c.relname LIKE 'nation'
+    ORDER BY nspname,c.relname,attnum"""
+    val Rows(df, _) = PgDialect.execute(spark, store, jdbc): @unchecked
+    val rs = df.collect()
+    assert(rs.length == 3, s"nation has 3 columns, got ${rs.length}")
+    val byName = rs.map(r => r.getString(2) -> r.getLong(3)).toMap
+    assert(byName("n_nationkey") == 23L) // int4
+    assert(byName("n_name") == 25L)      // text
+    // attnum is the dense per-relation row number the driver relies on
+    assert(rs.map(_.getInt(8)).toSeq == Seq(1, 2, 3))
+  }
+
   test("RESET var and RESET ALL restore defaults") {
     PgDialect.execute(spark, store, "SET statement_timeout = '30s'")
     PgDialect.execute(spark, store, "SET application_name = 'psql'")
