@@ -339,7 +339,7 @@ object PgCatalog {
     val L = LongType; val S = StringType; val I = IntegerType; val B = BooleanType
     shell("pg_index", "indexrelid" -> L, "indrelid" -> L, "indnatts" -> I,
       "indnkeyatts" -> I, "indisunique" -> B, "indnullsnotdistinct" -> B,
-      "indisprimary" -> B, "indisvalid" -> B, "indkey" -> S,
+      "indisprimary" -> B, "indisvalid" -> B, "indkey" -> ArrayType(IntegerType), // int2vector
       "indclass" -> ArrayType(LongType), "indoption" -> S)
     // drelid mirrors adrelid: the reference corpus probes pg_get_expr(adbin,
     // drelid) with that spelling (query_handler_test.go)

@@ -386,6 +386,22 @@ class PgDialectSpec extends SparkSpecBase {
     assert(rs.map(_.getInt(8)).toSeq == Seq(1, 2, 3))
   }
 
+  test("PgJDBC getPrimaryKeys metadata query executes (empty: no PK info)") {
+    Tables.registerAll(spark, sfDir)
+    val jdbc = """SELECT NULL AS TABLE_CAT, n.nspname AS TABLE_SCHEM,
+      ct.relname AS TABLE_NAME, a.attname AS COLUMN_NAME,
+      (information_schema._pg_expandarray(i.indkey)).n AS KEY_SEQ,
+      ci.relname AS PK_NAME
+    FROM pg_catalog.pg_class ct
+    JOIN pg_catalog.pg_attribute a ON (ct.oid = a.attrelid)
+    JOIN pg_catalog.pg_namespace n ON (ct.relnamespace = n.oid)
+    JOIN pg_catalog.pg_index i ON (a.attrelid = i.indrelid)
+    JOIN pg_catalog.pg_class ci ON (ci.oid = i.indexrelid)
+    WHERE true AND n.nspname = 'public' AND ct.relname = 'nation' AND i.indisprimary"""
+    val Rows(df, _) = PgDialect.execute(spark, store, jdbc): @unchecked
+    assert(df.collect().isEmpty) // pg_index ships empty, like a fresh sync
+  }
+
   test("RESET var and RESET ALL restore defaults") {
     PgDialect.execute(spark, store, "SET statement_timeout = '30s'")
     PgDialect.execute(spark, store, "SET application_name = 'psql'")
