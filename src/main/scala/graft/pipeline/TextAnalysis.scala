@@ -731,7 +731,7 @@ object TextAnalysis {
       val counts = docs.groupBy("source")
         .agg(count(lit(1)).as("n"))
         .withColumn("fsqrt", floor(sqrt(col("n"))).cast("long"))
-      val sq = counts.agg(sum("fsqrt")).first.getLong(0) // k domains -> 1 long
+      val sq = counts.agg(sum("fsqrt")).first().getLong(0) // k domains -> 1 long
       val rates = counts.withColumn("thr",
         least(lit(65536L), expr(s"(65536L * 200 * fsqrt) div (${sq}L * n)")).cast("long"))
       docs.join(broadcast(rates.select("source", "thr")), "source")

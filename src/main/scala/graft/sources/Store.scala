@@ -466,28 +466,6 @@ class Store(spark: SparkSession, warehouse: String) {
     doomed
   }
 
-  /** Combined (min, max) of `key` across all row groups of one parquet
-    * file's footer, or None when any row group lacks stats for the column. */
-  private def footerKeyRange(file: Path, key: String): Option[(Any, Any)] = {
-    val in = HadoopInputFile.fromPath(new HadoopPath(file.toString),
-      spark.sessionState.newHadoopConf())
-    val reader = ParquetFileReader.open(in)
-    try {
-      var lo: Any = null
-      var hi: Any = null
-      for (b <- reader.getFooter.getBlocks.asScala;
-           c <- b.getColumns.asScala if c.getPath.toDotString == key) {
-        val st = c.getStatistics
-        if (st == null || !st.hasNonNullValue) return None
-        val mn = normKey(st.genericGetMin)
-        val mx = normKey(st.genericGetMax)
-        if (lo == null || keyOrdering.compare(mn, lo) < 0) lo = mn
-        if (hi == null || keyOrdering.compare(mx, hi) > 0) hi = mx
-      }
-      if (lo == null) None else Some((lo, hi))
-    } finally reader.close()
-  }
-
   /** Normalize footer-stat and DataFrame key values into one comparable
     * family per type (all integrals → Long, parquet Binary → String). */
   private def normKey(v: Any): Any = v match {
