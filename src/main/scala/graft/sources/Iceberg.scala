@@ -195,10 +195,23 @@ object Iceberg {
        |  {"name": "value", "type": "$valType", "field-id": $valId}
        |]}}""".stripMargin
 
+  /** Avro type for an identity-partition value (typed for integrals and
+    * strings; everything else rides as its hive-encoded string form). */
+  private def partAvroType(dt: DataType): String = dt match {
+    case IntegerType | ShortType | ByteType => "int"
+    case LongType => "long"
+    case _ => "string"
+  }
+
   /** manifest_entry (v2) — field ids per the Iceberg spec's Appendix;
     * identical structure to the reference's MANIFEST_SCHEMA
-    * (storage_utils.go:570-800). */
-  private[graft] val manifestSchemaJson: String =
+    * (storage_utils.go:570-800). The r102 partition record carries one
+    * field per identity-partition column (field-ids 1000+i, like the
+    * spec's partition-field id space). */
+  private[graft] def manifestSchemaJson(specCols: Seq[(String, DataType)]): String = {
+    val partFields = specCols.zipWithIndex.map { case ((n, dt), i) =>
+      s"""{"name": "$n", "type": ["null", "${partAvroType(dt)}"], "default": null, "field-id": ${1000 + i}}"""
+    }.mkString(", ")
     s"""{"type": "record", "name": "manifest_entry", "fields": [
        | {"name": "status", "type": "int", "field-id": 0},
        | {"name": "snapshot_id", "type": ["null", "long"], "default": null, "field-id": 1},
@@ -208,7 +221,7 @@ object Iceberg {
        |   {"name": "content", "type": "int", "doc": "Contents of the file: 0=data, 1=position deletes, 2=equality deletes", "field-id": 134},
        |   {"name": "file_path", "type": "string", "doc": "Location URI with FS scheme", "field-id": 100},
        |   {"name": "file_format", "type": "string", "doc": "File format name: avro, orc, or parquet", "field-id": 101},
-       |   {"name": "partition", "field-id": 102, "type": {"type": "record", "name": "r102", "fields": []}},
+       |   {"name": "partition", "field-id": 102, "type": {"type": "record", "name": "r102", "fields": [$partFields]}},
        |   {"name": "record_count", "type": "long", "field-id": 103},
        |   {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
        |   {"name": "column_sizes", "type": ["null", ${kvArray("k117_v118", 117, 118, "long")}], "default": null, "field-id": 108},
@@ -223,6 +236,7 @@ object Iceberg {
        |   {"name": "sort_order_id", "type": ["null", "int"], "default": null, "field-id": 140}
        | ]}}
        |]}""".stripMargin
+  }
 
   /** manifest_file (v2 manifest list) — spec field-ids 500-519. */
   private[graft] val manifestListSchemaJson: String =
@@ -250,7 +264,11 @@ object Iceberg {
       | {"name": "key_metadata", "type": ["null", "bytes"], "default": null, "field-id": 519}
       |]}""".stripMargin
 
-  private lazy val manifestSchema = new Schema.Parser().parse(manifestSchemaJson)
+  private val manifestSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Schema]()
+  private def manifestSchema(specCols: Seq[(String, DataType)]): Schema =
+    manifestSchemaCache.computeIfAbsent(specCols.map(_._1).mkString(","),
+      _ => new Schema.Parser().parse(manifestSchemaJson(specCols)))
   private lazy val manifestListSchema = new Schema.Parser().parse(manifestListSchemaJson)
 
   // ---- commit (write one snapshot) ---------------------------------------
@@ -262,15 +280,19 @@ object Iceberg {
     * ids are the table version number — deterministic, unlike the
     * reference's wall-clock ids, so tests and oracles can pin them. */
   def commit(spark: SparkSession, tableDir: Path, schema: StructType,
-      dataFiles: Seq[Path], snapshotId: Long): Path = {
+      dataFiles: Seq[Path], snapshotId: Long,
+      specCols: Seq[(String, DataType)] = Nil,
+      partitionOf: Path => Seq[(String, Any)] = _ => Nil): Path = {
     val metaDir = tableDir.resolve("metadata")
     Files.createDirectories(metaDir)
-    val stats = dataFiles.sortBy(_.toString).map(parquetStats(spark, _, schema))
+    val sorted = dataFiles.sortBy(_.toString)
+    val stats = sorted.map(parquetStats(spark, _, schema))
+    val parts = sorted.map(partitionOf)
     val seq = snapshotId
 
     // manifest
     val manifestPath = metaDir.resolve(f"snap-$snapshotId-manifest.avro")
-    writeManifest(manifestPath, schema, stats, snapshotId, seq)
+    writeManifest(manifestPath, schema, stats, snapshotId, seq, specCols, parts)
     val manifestLen = Files.size(manifestPath)
 
     // manifest list
@@ -296,9 +318,16 @@ object Iceberg {
     val specs = root.putArray("partition-specs")
     val spec0 = specs.addObject()
     spec0.put("spec-id", 0)
-    spec0.putArray("fields")
+    val specFields = spec0.putArray("fields")
+    specCols.zipWithIndex.foreach { case ((n, _), i) =>
+      val f = specFields.addObject()
+      f.put("name", n)
+      f.put("transform", "identity")
+      f.put("source-id", schema.fieldIndex(n) + 1)
+      f.put("field-id", 1000 + i)
+    }
     root.put("default-spec-id", 0)
-    root.put("last-partition-id", 999)
+    root.put("last-partition-id", 999 + specCols.size)
     val orders = root.putArray("sort-orders")
     val order0 = orders.addObject()
     order0.put("order-id", 0)
@@ -400,22 +429,31 @@ object Iceberg {
   }
 
   private def writeManifest(path: Path, schema: StructType, stats: Seq[FileStats],
-      snapshotId: Long, seq: Long): Unit = {
-    val dataFileSchema = manifestSchema.getField("data_file").schema
-    val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](manifestSchema))
+      snapshotId: Long, seq: Long, specCols: Seq[(String, DataType)],
+      parts: Seq[Seq[(String, Any)]]): Unit = {
+    val mSchema = manifestSchema(specCols)
+    val dataFileSchema = mSchema.getField("data_file").schema
+    val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](mSchema))
     writer.setMeta("schema", om.writeValueAsString(schemaJson(schema)))
-    writer.setMeta("partition-spec", "[]")
+    val specJson = specCols.zipWithIndex.map { case ((n, _), i) =>
+      s"""{"name": "$n", "transform": "identity", "source-id": ${schema.fieldIndex(n) + 1}, "field-id": ${1000 + i}}"""
+    }.mkString("[", ", ", "]")
+    writer.setMeta("partition-spec", specJson)
     writer.setMeta("partition-spec-id", "0")
     writer.setMeta("format-version", "2")
     writer.setMeta("content", "data")
-    writer.create(manifestSchema, path.toFile)
-    try stats.foreach { st =>
+    writer.create(mSchema, path.toFile)
+    try stats.zip(parts).foreach { case (st, part) =>
       val df = new GenericData.Record(dataFileSchema)
       df.put("content", 0)
       df.put("file_path", Paths.get(st.path).toUri.toString)
       df.put("file_format", "PARQUET")
-      df.put("partition", new GenericData.Record(
-        dataFileSchema.getField("partition").schema))
+      val pRec = new GenericData.Record(dataFileSchema.getField("partition").schema)
+      part.foreach { case (n, v) => pRec.put(n, v match {
+        case s: String => new org.apache.avro.util.Utf8(s)
+        case other => other
+      }) }
+      df.put("partition", pRec)
       df.put("record_count", st.recordCount)
       df.put("file_size_in_bytes", st.fileSize)
       df.put("column_sizes", kvArrayFor(dataFileSchema, "column_sizes", st.columnSizes))
@@ -426,7 +464,7 @@ object Iceberg {
       df.put("upper_bounds", kvArrayFor(dataFileSchema, "upper_bounds", st.upperBounds))
       df.put("split_offsets", st.splitOffsets.map(java.lang.Long.valueOf).asJava)
       df.put("sort_order_id", 0)
-      val entry = new GenericData.Record(manifestSchema)
+      val entry = new GenericData.Record(mSchema)
       entry.put("status", 1) // ADDED in this snapshot
       entry.put("snapshot_id", snapshotId)
       entry.put("sequence_number", seq)
@@ -521,7 +559,8 @@ object Iceberg {
 
   /** One manifest entry as planned from metadata (no data-file access). */
   case class PlannedFile(path: String, recordCount: Long, fileSize: Long,
-      lowerBounds: Map[Int, Array[Byte]], upperBounds: Map[Int, Array[Byte]])
+      lowerBounds: Map[Int, Array[Byte]], upperBounds: Map[Int, Array[Byte]],
+      partition: Map[String, Any])
 
   private def readAvro(path: Path): Seq[GenericRecord] = {
     val reader = new DataFileReader[GenericRecord](path.toFile,
@@ -557,12 +596,20 @@ object Iceberg {
       readAvro(manifestPath).collect {
         case entry if entry.get("status").asInstanceOf[Int] != 2 => // not DELETED
           val df = entry.get("data_file").asInstanceOf[GenericRecord]
+          val pRec = df.get("partition").asInstanceOf[GenericRecord]
+          val part = pRec.getSchema.getFields.asScala.map { f =>
+            f.name -> (pRec.get(f.name) match {
+              case u: org.apache.avro.util.Utf8 => u.toString
+              case other => other
+            })
+          }.toMap
           PlannedFile(
             Paths.get(java.net.URI.create(df.get("file_path").toString)).toString,
             df.get("record_count").asInstanceOf[Long],
             df.get("file_size_in_bytes").asInstanceOf[Long],
             bytesMap(df.get("lower_bounds")),
-            bytesMap(df.get("upper_bounds")))
+            bytesMap(df.get("upper_bounds")),
+            part)
       }
     }
   }
@@ -581,13 +628,41 @@ object Iceberg {
     case other => throw new IllegalArgumentException(s"bound decode for $other")
   }
 
+  /** Base directory of a partitioned data file: ascend past key=value
+    * segments. */
+  private def baseOf(p: Path): Path = {
+    var d = p.getParent
+    while (d != null && d.getFileName.toString.contains("=")) d = d.getParent
+    d
+  }
+
   /** Read a table (or a historical snapshot) through its Iceberg metadata:
-    * the file list comes from manifests, never a directory listing. */
+    * the file list comes from manifests, never a directory listing. A
+    * partitioned snapshot reads with basePath so the identity-partition
+    * columns (present in paths, not data files) are restored. */
   def readTable(spark: SparkSession, tableDir: Path,
       snapshotId: Option[Long] = None): DataFrame = {
     val files = planFiles(tableDir, snapshotId)
     if (files.isEmpty) throw new IllegalStateException(s"empty snapshot in $tableDir")
-    spark.read.parquet(files.map(_.path): _*)
+    if (files.head.partition.isEmpty) spark.read.parquet(files.map(_.path): _*)
+    else spark.read.option("basePath", baseOf(Paths.get(files.head.path)).toString)
+      .parquet(files.map(_.path): _*)
+  }
+
+  /** Partition-pruned read: keep only files whose manifest partition value
+    * for `col` equals `value` — O(manifest entries) planning, then a
+    * basePath read of just those files. */
+  def readPartitionPruned(spark: SparkSession, tableDir: Path,
+      col: String, value: Any): (DataFrame, Int, Int) = {
+    val files = planFiles(tableDir)
+    if (files.isEmpty) throw new IllegalStateException(s"empty snapshot in $tableDir")
+    val hit = files.filter(_.partition.get(col).contains(value))
+    val df =
+      if (hit.isEmpty)
+        readTable(spark, tableDir).limit(0)
+      else spark.read.option("basePath", baseOf(Paths.get(hit.head.path)).toString)
+        .parquet(hit.map(_.path): _*)
+    (df, hit.length, files.length)
   }
 
   /** Manifest-pruned range scan: keep only files whose [lower, upper] bound

@@ -501,17 +501,31 @@ class Store(spark: SparkSession, warehouse: String) {
     * id = store version (deterministic). Returns the metadata.json path. */
   def publishIceberg(name: String): Path = {
     val cur = Paths.get(versionDir(name, versions(name)))
-    val files = Files.list(cur).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
-    // hive-partitioned layouts keep data files in key=value subdirs and the
-    // partition column only in the PATH — flat unpartitioned manifests would
-    // lose that column, so refuse rather than publish a wrong table
-    require(files.nonEmpty,
-      s"publishIceberg($name) requires an unpartitioned layout " +
-        "(replace/replaceSorted/replaceZOrdered); hive-partitioned version " +
-        "dirs keep partition values in paths, not data files")
-    Iceberg.commit(spark, Paths.get(s"$warehouse/$name"), read(name).schema,
-      files, versions(name))
+    // recursive walk covers hive-partitioned layouts (key=value subdirs)
+    val files = Files.walk(cur).iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+    require(files.nonEmpty, s"publishIceberg($name): no data files in $cur")
+    val schema = read(name).schema
+    // identity-partition spec from the path segments between the version
+    // dir and the file (hive key=value encoding); values typed per schema
+    def segs(f: Path): Seq[(String, String)] =
+      cur.relativize(f.getParent).iterator().asScala
+        .map(_.toString).filter(_.contains("="))
+        .map { s =>
+          val Array(k, v) = s.split("=", 2)
+          k -> java.net.URLDecoder.decode(v, "UTF-8")
+        }.toSeq
+    val specCols: Seq[(String, org.apache.spark.sql.types.DataType)] =
+      segs(files.head).map { case (k, _) => k -> schema(k).dataType }
+    def typed(k: String, v: String): Any = schema(k).dataType match {
+      case IntegerType | ShortType | ByteType => v.toInt
+      case LongType => v.toLong
+      case _ => v
+    }
+    Iceberg.commit(spark, Paths.get(s"$warehouse/$name"), schema,
+      files, versions(name), specCols,
+      f => segs(f).map { case (k, v) => k -> typed(k, v) })
   }
 
   /** Read through the Iceberg metadata tree (optionally a past snapshot). */

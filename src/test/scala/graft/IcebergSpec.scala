@@ -180,13 +180,34 @@ class IcebergSpec extends SparkSpecBase {
     }
   }
 
-  test("publishIceberg refuses a hive-partitioned layout instead of mis-publishing") {
+  test("identity-partitioned tables publish and read back through metadata") {
     import spark.implicits._
-    val (store, _) = freshStore()
-    store.replacePartitioned("pt",
-      Seq((1L, "a"), (2L, "b")).toDF("id", "part"), "part")
-    val e = intercept[IllegalArgumentException] { store.publishIceberg("pt") }
-    assert(e.getMessage.contains("unpartitioned"))
+    val (store, dir) = freshStore()
+    val df = (1L to 300L).map(i => (i, s"r$i", "p" + (i % 3))).toDF("id", "v", "part")
+    store.replacePartitioned("pt", df, "part")
+    store.publishIceberg("pt")
+    // metadata carries an identity partition spec
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val md = om.readTree(Files.readAllBytes(
+      Iceberg.currentMetadataFile(dir.resolve("pt")).get))
+    val spec = md.get("partition-specs").get(0).get("fields")
+    assert(spec.size == 1)
+    assert(spec.get(0).get("name").asText == "part")
+    assert(spec.get(0).get("transform").asText == "identity")
+    // manifest entries carry the typed partition value
+    val planned = Iceberg.planFiles(dir.resolve("pt"))
+    assert(planned.forall(_.partition.keySet == Set("part")))
+    assert(planned.map(_.partition("part")).toSet == Set("p0", "p1", "p2"))
+    // metadata-planned read restores the partition column
+    val back = store.readIceberg("pt")
+    assert(back.columns.contains("part"))
+    assert(back.count() == 300)
+    assert(back.select("id", "v", "part").except(df).count() == 0)
+    // partition-pruned read touches only that partition's files
+    val (one, hit, total) = Iceberg.readPartitionPruned(
+      spark, dir.resolve("pt"), "part", "p1")
+    assert(hit < total)
+    assert(one.count() == df.filter(col("part") === "p1").count())
   }
 
   test("negative float/double bounds order correctly (typed compare)") {
