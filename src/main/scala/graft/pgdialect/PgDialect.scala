@@ -885,6 +885,11 @@ object PgDialect {
     val join = "(?is)(LEFT\\s+)?JOIN\\s+LATERAL\\s+generate_series\\s*\\(((?:[^()]|\\((?:[^()]|\\([^()]*\\))*\\))*)\\)\\s*(?:AS\\s+)?(\\w+)\\s*\\(\\s*(\\w+)\\s*\\)\\s*ON\\s+true".r
     s = join.replaceAllIn(s, m => quoteReplacement(
       s" LATERAL VIEW ${if (m.group(1) != null) "OUTER " else ""}explode(sequence(${m.group(2)})) ${m.group(3)} AS ${m.group(4)}"))
+    // plain `JOIN generate_series(a,b) g(n) ON cond` (PgJDBC getImportedKeys
+    // joins a series against conkey subscripts this way)
+    val plainJoin = "(?is)\\bJOIN\\s+generate_series\\s*\\(((?:[^()]|\\((?:[^()]|\\([^()]*\\))*\\))*)\\)\\s*(?:AS\\s+)?(\\w+)\\s*\\(\\s*(\\w+)\\s*\\)".r
+    s = plainJoin.replaceAllIn(s, m => quoteReplacement(
+      s"JOIN (SELECT explode(sequence(${m.group(1)})) AS ${m.group(3)}) ${m.group(2)}"))
     val from = "(?is)\\bFROM\\s+generate_series\\s*\\(((?:[^()]|\\((?:[^()]|\\([^()]*\\))*\\))*)\\)\\s*(?:AS\\s+)?(\\w+)\\s*\\(\\s*(\\w+)\\s*\\)".r
     s = from.replaceAllIn(s, m => quoteReplacement(
       s"FROM (SELECT explode(sequence(${m.group(1)})) AS ${m.group(3)}) ${m.group(2)}"))

@@ -302,7 +302,9 @@ object PgCatalog {
       .toDF("oid", "proname", "pronamespace", "proowner", "prokind",
         "pronargs", "prorettype")
       .createOrReplaceTempView("pg_proc")
-    Seq.empty[(Long, String, String, Long)].toDF("oid", "conname", "contype", "conrelid")
+    Seq.empty[(Long, String, String, Long, Long, Long, Seq[Int], Seq[Int])]
+      .toDF("oid", "conname", "contype", "conrelid", "confrelid", "conindid",
+        "conkey", "confkey") // conkey/confkey are PG int2[]
       .createOrReplaceTempView("pg_constraint")
     Seq.empty[(Long, Long, Long, String)]
       .toDF("objoid", "classoid", "objsubid", "description")

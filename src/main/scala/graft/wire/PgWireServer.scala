@@ -395,9 +395,11 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int) {
             case PgDialect.Empty => msg(out, 'I') { _ => }
           }
       }
-      // TimeZone has GUC_REPORT: PG pushes a ParameterStatus after SET
-      if ("(?is).*\\bSET\\s+(SESSION\\s+|LOCAL\\s+)?time\\s*zone\\b.*".r.matches(sql)
-          || "(?is).*\\bSET\\s+(SESSION\\s+|LOCAL\\s+)?timezone\\b.*".r.matches(sql))
+      // TimeZone has GUC_REPORT: PG pushes a ParameterStatus after SET,
+      // RESET timezone, and RESET ALL alike
+      if ("(?is).*\\b(SET\\s+(SESSION\\s+|LOCAL\\s+)?|RESET\\s+)time\\s*zone\\b.*".r.matches(sql)
+          || "(?is).*\\b(SET\\s+(SESSION\\s+|LOCAL\\s+)?|RESET\\s+)timezone\\b.*".r.matches(sql)
+          || "(?is).*\\bRESET\\s+ALL\\b.*".r.matches(sql))
         SessionSettings.get("timezone").foreach { tz =>
           msg(out, 'S') { b => cstr(b, "TimeZone"); cstr(b, tz) }
         }

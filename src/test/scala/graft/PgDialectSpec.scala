@@ -402,6 +402,29 @@ class PgDialectSpec extends SparkSpecBase {
     assert(df.collect().isEmpty) // pg_index ships empty, like a fresh sync
   }
 
+  test("PgJDBC getImportedKeys metadata query executes (empty: no FK info)") {
+    Tables.registerAll(spark, sfDir)
+    val jdbc = """SELECT NULL::text AS PKTABLE_CAT, pkn.nspname AS PKTABLE_SCHEM,
+      pkc.relname AS PKTABLE_NAME, pka.attname AS PKCOLUMN_NAME,
+      NULL::text AS FKTABLE_CAT, fkn.nspname AS FKTABLE_SCHEM,
+      fkc.relname AS FKTABLE_NAME, fka.attname AS FKCOLUMN_NAME,
+      pos.n AS KEY_SEQ,
+      con.conname AS FK_NAME, pkic.relname AS PK_NAME
+    FROM pg_catalog.pg_class pkc
+     JOIN pg_catalog.pg_namespace pkn ON (pkc.relnamespace = pkn.oid)
+     JOIN pg_catalog.pg_constraint con ON (con.confrelid = pkc.oid)
+     JOIN pg_catalog.pg_class fkc ON (fkc.oid = con.conrelid)
+     JOIN pg_catalog.pg_namespace fkn ON (fkc.relnamespace = fkn.oid)
+     JOIN pg_catalog.generate_series(1, 32) pos(n) ON (con.conkey[pos.n] IS NOT NULL)
+     JOIN pg_catalog.pg_attribute pka ON (pka.attrelid = pkc.oid AND pka.attnum = con.confkey[pos.n])
+     JOIN pg_catalog.pg_attribute fka ON (fka.attrelid = fkc.oid AND fka.attnum = con.conkey[pos.n])
+     JOIN pg_catalog.pg_class pkic ON (pkic.oid = con.conindid)
+    WHERE con.contype = 'f'
+      AND fkn.nspname = 'public' AND fkc.relname = 'nation'"""
+    val Rows(df, _) = PgDialect.execute(spark, store, jdbc): @unchecked
+    assert(df.collect().isEmpty) // pg_constraint ships empty, like a fresh sync
+  }
+
   test("RESET var and RESET ALL restore defaults") {
     PgDialect.execute(spark, store, "SET statement_timeout = '30s'")
     PgDialect.execute(spark, store, "SET application_name = 'psql'")
