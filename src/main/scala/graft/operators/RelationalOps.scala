@@ -112,11 +112,11 @@ object RelationalOps {
     },
 
     // ---- aggregation ----------------------------------------------------
-    Q("op_agg_basic", Some("""
+    Q("op_agg_basic", Some(s"""
       SELECT o_orderstatus, count(*) AS n,
         CAST(min(o_totalprice) AS DOUBLE) AS min_price,
         CAST(max(o_totalprice) AS DOUBLE) AS max_price,
-        round(CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE) / 1e2, 2) AS sum_price
+        ${msumO("CAST(round(o_totalprice*100) AS BIGINT)", "1e2")} AS sum_price
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")) { (s, dir) =>
       t(s, dir, "orders").groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),

@@ -32,18 +32,30 @@ object Qdsl {
     cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
   /** extendedprice * (1-discount) * (1+tax), exact, units of 1e-6 dollars */
   val chargeProd: Column = discProd * (lit(100L) + cents(col("l_tax")))
-  /** exact integer sum -> dollars at 2 dp as double; `unit` = units per $ */
-  def msum(c: Column, unit: Double): Column =
-    round(sum(c).cast("double") / unit, 2)
+  /** Exact integer sum -> dollars at 2 dp as double; `unit` = units per $.
+    * The 2-dp rounding happens in INTEGER space (half away from zero on the
+    * exact unit sum) before any double division: `round(sum/unit, 2)` on a
+    * double diverges between engines when the true value sits on a .xx5
+    * boundary (representation dust decides the direction — bit us on
+    * q09 at sf0.001). Exact while |sum|*100 < 2^53. */
+  def msum(c: Column, unit: Double): Column = {
+    val u = unit.toLong
+    val s = sum(c)
+    val cents = floor((abs(s) * 100 + u / 2).cast("double") / u).cast("long")
+    (when(s < 0, -cents).otherwise(cents).cast("double") / 100.0)
+  }
   def ts(s: String): Column = lit(s).cast("timestamp")
 
   // DuckDB oracle fragments mirroring the expressions above
   val C_EP = "CAST(round(l_extendedprice*100) AS BIGINT)"
   val DISC_O = s"$C_EP * (100 - CAST(round(l_discount*100) AS BIGINT))"
   val CHARGE_O = s"$DISC_O * (100 + CAST(round(l_tax*100) AS BIGINT))"
-  /** oracle: exact sum -> double -> scale -> 2dp round */
+  /** oracle: the same integer-exact half-up rounding as [[msum]] — identical
+    * IEEE op sequence, so the hash compare is boundary-proof */
   def msumO(expr: String, unit: String): String =
-    s"round(CAST(sum($expr) AS DOUBLE) / $unit, 2)"
+    s"(CAST(CASE WHEN sum($expr) < 0 THEN -1 ELSE 1 END * " +
+      s"CAST(floor(CAST(abs(sum($expr)) * 100 + CAST($unit AS BIGINT) / 2 AS DOUBLE) / $unit) AS BIGINT) " +
+      s"AS DOUBLE) / 100)"
   val sumDiscO: String = msumO(DISC_O, "1e4")
   val sumChargeO: String = msumO(CHARGE_O, "1e6")
 }
@@ -199,7 +211,7 @@ object TpchQueries {
 
     Q("q07_volume_shipping", Some(s"""
       SELECT supp_nation, cust_nation, l_year,
-        round(CAST(sum(volume) AS DOUBLE) / 1e4, 2) AS revenue
+        ${msumO("volume", "1e4")} AS revenue
       FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
               CAST(extract(year FROM l_shipdate) AS INT) AS l_year,
               $DISC_O AS volume
@@ -274,7 +286,7 @@ object TpchQueries {
     // q9 shape: profit per nation/year; supply cost proxied by p_retailprice.
     // amount in units of 1e-4 $: disc - retail_cents * qty * 100
     Q("q09_product_profit", Some(s"""
-      SELECT nation, o_year, round(CAST(sum(amount) AS DOUBLE) / 1e4, 2) AS sum_profit
+      SELECT nation, o_year, ${msumO("amount", "1e4")} AS sum_profit
       FROM (SELECT n_name AS nation, CAST(extract(year FROM o_orderdate) AS INT) AS o_year,
               $DISC_O - CAST(round(p_retailprice*100) AS BIGINT) * CAST(l_quantity AS BIGINT) * 100 AS amount
             FROM part, supplier, lineitem, orders, nation
@@ -589,9 +601,9 @@ object TpchQueries {
     },
 
     // q22 shape: anti join + uncorrelated scalar subquery threshold
-    Q("q22_global_sales_opportunity", Some("""
+    Q("q22_global_sales_opportunity", Some(s"""
       SELECT cntrycode, count(*) AS numcust,
-        round(CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE) / 1e2, 2) AS totacctbal
+        ${msumO("CAST(round(c_acctbal*100) AS BIGINT)", "1e2")} AS totacctbal
       FROM (SELECT CAST(c_nationkey % 5 AS INT) AS cntrycode, c_acctbal, c_custkey
             FROM customer
             WHERE c_nationkey % 5 IN (0, 1, 2)
