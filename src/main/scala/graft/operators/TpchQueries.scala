@@ -246,8 +246,8 @@ object TpchQueries {
     // q8 shape: conditional aggregation ratio (market share)
     Q("q08_market_share", Some(s"""
       SELECT o_year,
-        round(CAST(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END) AS DOUBLE) / 1e4, 2)
-          / round(CAST(sum(volume) AS DOUBLE) / 1e4, 2) AS mkt_share
+        ${msumO("CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END", "1e4")}
+          / ${msumO("volume", "1e4")} AS mkt_share
       FROM (SELECT CAST(extract(year FROM o_orderdate) AS INT) AS o_year,
               $DISC_O AS volume, n2.n_name AS nation
             FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
@@ -277,9 +277,8 @@ object TpchQueries {
         .join(broadcast(n2), col("s_nationkey") === col("n2_key"))
         .select(year(col("o_orderdate")).as("o_year"), discProd.as("volume"), col("nation"))
         .groupBy("o_year")
-        .agg((round(sum(when(col("nation") === "NATION_5", col("volume")).otherwise(0L))
-            .cast("double") / 1e4, 2)
-          / round(sum(col("volume")).cast("double") / 1e4, 2)).as("mkt_share"))
+        .agg((msum(when(col("nation") === "NATION_5", col("volume")).otherwise(0L), 1e4)
+          / msum(col("volume"), 1e4)).as("mkt_share"))
         .orderBy("o_year")
     },
 
@@ -397,8 +396,8 @@ object TpchQueries {
     },
 
     Q("q14_promo_revenue", Some(s"""
-      SELECT round(CAST(sum(CASE WHEN p_type = 'PROMO' THEN $DISC_O ELSE 0 END) AS DOUBLE) / 1e4, 2) * 100.0
-           / round(CAST(sum($DISC_O) AS DOUBLE) / 1e4, 2) AS promo_revenue
+      SELECT ${msumO(s"CASE WHEN p_type = 'PROMO' THEN $DISC_O ELSE 0 END", "1e4")} * 100.0
+           / ${msumO(DISC_O, "1e4")} AS promo_revenue
       FROM lineitem, part
       WHERE l_partkey = p_partkey
         AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
@@ -406,9 +405,8 @@ object TpchQueries {
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= ts("1996-03-01") && col("l_shipdate") < ts("1996-04-01"))
         .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
-        .agg(((round(sum(when(col("p_type") === "PROMO", discProd).otherwise(0L))
-            .cast("double") / 1e4, 2) * 100.0)
-          / round(sum(discProd).cast("double") / 1e4, 2)).as("promo_revenue"))
+        .agg(((msum(when(col("p_type") === "PROMO", discProd).otherwise(0L), 1e4) * 100.0)
+          / msum(discProd, 1e4)).as("promo_revenue"))
     },
 
     // q15 shape: CTE + scalar-subquery max
