@@ -12,7 +12,10 @@ import org.apache.spark.sql.functions._
   *     (never overflowing at benchmark scales — |Σ| < 2^63 holds through
   *     TPC-H sf≈1000 per group; the 100 TB global-aggregate path upcasts
   *     the same products to DECIMAL at the final merge, one-line switch),
-  *     summed exactly, converted once to DOUBLE, scaled and rounded to 2 dp.
+  *     summed exactly, rounded to 2 dp in INTEGER space (half away from
+  *     zero — Spark's round() rounds the shortest decimal repr of a double
+  *     while DuckDB rounds the exact binary value, so any double-side
+  *     rounding of a .xx5-boundary sum diverges), then converted to DOUBLE.
   *     Both engines perform the identical op sequence, so results are
   *     bit-equal. Fixed-point longs also keep aggregation inside
   *     whole-stage codegen's fast path (a wide DecimalType sum falls back
