@@ -117,6 +117,14 @@ class WireSpec extends SparkSpecBase {
     val row = dataRowValues(msgs.find(_._1 == 'D').get._2)
     assert(row == Seq("17.0"))
 
+    // RESET is GUC_REPORT too: restores UTC and reports it
+    c.query("SET timezone = 'America/New_York'")
+    val reset = c.query("RESET timezone")
+    assert(reset.filter(_._1 == 'C')
+      .exists(m => new String(m._2, UTF_8).stripSuffix("\u0000") == "RESET"))
+    assert(reset.exists(m => m._1 == 'S' &&
+      new String(m._2, UTF_8).startsWith("TimeZone\u0000UTC")))
+
     val err = c.query("INSERT INTO t VALUES (1)")
     assert(err.exists(_._1 == 'E'))
     assert(err.last._1 == 'Z') // server recovers
