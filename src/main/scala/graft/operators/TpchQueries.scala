@@ -54,10 +54,16 @@ object Qdsl {
   val DISC_O = s"$C_EP * (100 - CAST(round(l_discount*100) AS BIGINT))"
   val CHARGE_O = s"$DISC_O * (100 + CAST(round(l_tax*100) AS BIGINT))"
   /** oracle: the same integer-exact half-up rounding as [[msum]] — identical
-    * IEEE op sequence, so the hash compare is boundary-proof */
+    * IEEE op sequence, so the hash compare is boundary-proof. The half-up
+    * offset uses `//` (DuckDB integer division): with `/` the offset is
+    * DOUBLE, which promotes the whole sum to double BEFORE the cast — for
+    * |sum|*100 >= 2^53 that order of rounding disagrees with Spark's
+    * Long-space addition in ~0.07% of values. `//` keeps the addition in
+    * HUGEINT space so the single integer->double cast matches Spark's
+    * long->double cast bit-for-bit. */
   def msumO(expr: String, unit: String): String =
     s"(CAST(CASE WHEN sum($expr) < 0 THEN -1 ELSE 1 END * " +
-      s"CAST(floor(CAST(abs(sum($expr)) * 100 + CAST($unit AS BIGINT) / 2 AS DOUBLE) / $unit) AS BIGINT) " +
+      s"CAST(floor(CAST(abs(sum($expr)) * 100 + CAST($unit AS BIGINT) // 2 AS DOUBLE) / $unit) AS BIGINT) " +
       s"AS DOUBLE) / 100)"
   val sumDiscO: String = msumO(DISC_O, "1e4")
   val sumChargeO: String = msumO(CHARGE_O, "1e6")
