@@ -172,8 +172,8 @@ object CompatAudit {
 
   /** Execution + parity counters from one full corpus replay. */
   case class AuditResult(total: Int, executed: Int, failures: Seq[(String, String)],
-      descOk: Int, descTot: Int, valOk: Int, valTot: Int,
-      diffs: Seq[(String, String)])
+      descOk: Int, descTot: Int, oidOk: Int, oidTot: Int,
+      valOk: Int, valTot: Int, diffs: Seq[(String, String)])
 
   /** Replay the golden corpus on `spark`, comparing column names and
     * single-row values against the reference's own test assertions. Sets the
@@ -201,20 +201,22 @@ object CompatAudit {
     // test assertions (tools/golden_expected.json)
     val expPath = java.nio.file.Paths.get(
       path.replace("golden_queries", "golden_expected"))
-    val expected: Map[String, (Seq[String], Seq[String])] =
+    val expected: Map[String, (Seq[String], Seq[String], Seq[String])] =
       if (!java.nio.file.Files.exists(expPath)) Map.empty
       else om.readTree(java.nio.file.Files.readAllBytes(expPath))
         .fields.asScala.map { e =>
           def list(k: String): Seq[String] =
             Option(e.getValue.get(k)).map(_.elements.asScala.map(_.asText).toSeq)
               .getOrElse(null)
-          e.getKey -> (list("description"), list("values"))
+          e.getKey -> (list("description"), list("types"), list("values"))
         }.toMap
     val wire = new PgWireServer(spark, store, 0) // text encoder only
 
     var ok = 0
     var descOk = 0
     var descTot = 0
+    var oidOk = 0
+    var oidTot = 0
     var valOk = 0
     var valTot = 0
     val failures = Seq.newBuilder[(String, String)]
@@ -224,11 +226,22 @@ object CompatAudit {
         PgDialect.executeAll(spark, store, q).foreach {
           case PgDialect.Rows(df, _) =>
             val rows = df.collect()
-            expected.get(q).foreach { case (desc, vals) =>
+            expected.get(q).foreach { case (desc, oids, vals) =>
               if (desc != null) {
                 descTot += 1
                 if (df.schema.fieldNames.toSeq == desc) descOk += 1
                 else valueMiss += q -> s"cols: got ${df.schema.fieldNames.toSeq} want $desc"
+              }
+              // the reference pins RowDescription DataTypeOIDs
+              // (query_handler_test.go "types") — its harness compares the
+              // listed PREFIX (`for i := range expectedTypes`), so a
+              // SELECT * with one pinned type checks the first column only
+              if (oids != null && oids.length <= df.schema.fields.length) {
+                oidTot += 1
+                val got = df.schema.fields.take(oids.length)
+                  .map(f => wire.fieldOid(f).toString).toSeq
+                if (got == oids) oidOk += 1
+                else valueMiss += q -> s"oids: got $got want $oids"
               }
               // the reference asserts a single expected row
               if (vals != null && rows.length == 1 &&
@@ -253,7 +266,7 @@ object CompatAudit {
       }
     }
     AuditResult(queries.size, ok, failures.result(), descOk, descTot,
-      valOk, valTot, valueMiss.result())
+      oidOk, oidTot, valOk, valTot, valueMiss.result())
   }
 
   def main(args: Array[String]): Unit = {
@@ -270,6 +283,7 @@ object CompatAudit {
     val r = runAudit(spark, store, path)
     println(s"golden corpus: ${r.total} queries, ${r.executed} pass, " +
       s"${r.failures.size} fail; column-name parity ${r.descOk}/${r.descTot}; " +
+      s"type-OID parity ${r.oidOk}/${r.oidTot}; " +
       s"single-row value parity ${r.valOk}/${r.valTot}")
     r.failures.foreach { case (q, e) =>
       println("FAIL: " + q.linesIterator.mkString(" ").take(200))

@@ -231,6 +231,43 @@ case class JsonNormalize(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Explode of an array<string> whose output field carries metadata — used
+  * by json[b]_array_elements so the produced `value` column advertises the
+  * JSON wire-type OID like the reference's DuckDB json_each surface
+  * (query_remapper_table.go:113-134). Semantics identical to Explode. */
+case class ExplodeTagged(child: Expression, fieldName: String,
+    meta: org.apache.spark.sql.types.Metadata)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types.{ArrayType, StringType, StructType}
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"array<string> input expected, got $other")
+    }
+
+  override def elementSchema: StructType =
+    new StructType().add(fieldName, StringType, nullable = true, meta)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow)
+      : IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val arr = child.eval(input)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (arr == null) Nil
+    else (0 until arr.numElements()).map(i =>
+      org.apache.spark.sql.catalyst.InternalRow(arr.get(i, StringType)))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ExplodeTagged =
+    copy(child = newChild)
+}
+
 object GraftExpressions {
   /** Column form; requires register(spark) to have run in the session. */
   def rolling_hash(c: Column): Column =
@@ -247,7 +284,10 @@ object GraftExpressions {
       "minhash_sigs", exprs => MinHashSigs(exprs.head,
         exprs(1).eval().asInstanceOf[Int]), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "jsonb_norm", exprs => JsonNormalize(exprs.head), "scala_udf")
+      "jsonb_norm", exprs =>
+        org.apache.spark.sql.catalyst.expressions.Alias(
+          JsonNormalize(exprs.head), "jsonb_norm")(
+          explicitMetadata = Some(PgFunctions.jsonValMeta)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "array_dot", exprs => ArrayDot(exprs.head, exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -61,6 +61,23 @@ object PgFunctions {
   private def const(spark: SparkSession, name: String, value: Any, dt: DataType): Unit =
     fn(spark, name)(_ => Literal.create(value, dt))
 
+  /** Metadata marking an expression's result as a live JSON document, so the
+    * wire layer advertises the JSON type OID (114) the way the reference's
+    * DuckDB does for json functions / `->` / `::jsonb` — while STORED
+    * json columns keep reporting text (25), matching the reference's
+    * varchar storage. */
+  private[graft] val jsonValMeta: Metadata =
+    new MetadataBuilder().putString(PgTypes.LogicalKey, "jsonval").build()
+
+  /** Wrap a function builder so its result carries [[jsonValMeta]]: the
+    * analyzer's outermost projection Alias inherits metadata from a named
+    * child, and CleanupAliases materializes it before trimming, so the tag
+    * survives to the output schema; nested uses are trimmed harmlessly. */
+  private def jsonFn(spark: SparkSession, name: String)(
+      builder: Seq[Expression] => Expression): Unit =
+    fn(spark, name)(exprs =>
+      Alias(builder(exprs), name)(explicitMetadata = Some(jsonValMeta)))
+
   /** Whether an expression statically yields a JSON document (a `->`
     * extraction, json_build_object, ::jsonb normalization, row_to_json) —
     * the DuckDB JSON-typed surface in the reference. Children may still be
@@ -92,24 +109,30 @@ object PgFunctions {
     const(spark, "pg_cancel_backend", true, BooleanType) // reference macro: true
     const(spark, "pg_table_size", 0L, LongType)
     const(spark, "pg_indexes_size", 0L, LongType)
-    const(spark, "pg_total_relation_size", 0L, LongType)
+    const(spark, "pg_total_relation_size", 0, IntegerType) // reference: int4
     const(spark, "pg_tablespace_location", "", StringType)
     const(spark, "pg_get_viewdef", "", StringType)
     const(spark, "pg_get_expr", "", StringType)
     const(spark, "pg_get_indexdef", "", StringType)
     const(spark, "pg_get_partkeydef", "", StringType)
     const(spark, "pg_get_function_identity_arguments", "", StringType)
-    const(spark, "pg_get_statisticsobjdef_columns", "", StringType)
-    const(spark, "pg_relation_is_publishable", null, BooleanType)
+    const(spark, "pg_get_statisticsobjdef_columns", null, IntegerType) // reference: null int4
+    const(spark, "pg_relation_is_publishable", null, IntegerType) // reference: null int4
     const(spark, "has_database_privilege", true, BooleanType)
     const(spark, "has_schema_privilege", true, BooleanType)
     const(spark, "has_table_privilege", true, BooleanType)
     // aclexplode returns a typed-null acl record so `(aclexplode(x)).grantee`
-    // style field access resolves (the reference stubs it to json null)
-    const(spark, "aclexplode", null, StructType(Seq(
-      StructField("grantor", LongType), StructField("grantee", LongType),
-      StructField("privilege_type", StringType),
-      StructField("is_grantable", BooleanType))))
+    // style field access resolves (the reference stubs it to json null).
+    // Both the record and its fields carry the json tag: the reference's
+    // macro yields a JSON value, so `d` AND `(d).grantee` advertise OID 114
+    // (Alias.metadata reads GetStructField's source-field metadata).
+    jsonFn(spark, "aclexplode") { _ =>
+      Literal.create(null, StructType(Seq(
+        StructField("grantor", LongType, nullable = true, jsonValMeta),
+        StructField("grantee", LongType, nullable = true, jsonValMeta),
+        StructField("privilege_type", StringType, nullable = true, jsonValMeta),
+        StructField("is_grantable", BooleanType, nullable = true, jsonValMeta))))
+    }
     const(spark, "current_schemas", Seq("pg_catalog", "public"), ArrayType(StringType))
     // visibility probes psql's \d sends (query_remapper.go:519-564 strips
     // them for DuckDB; Catalyst just needs them to exist and say yes)
@@ -161,14 +184,14 @@ object PgFunctions {
     fn(spark, "sha256") { exprs => Sha2(exprs.head, Literal(256)) }
     // jsonb_object_agg(k, v) -> to_json(map(array_agg(k), array_agg(v)))
     // (macro at query_remapper_function.go:44)
-    fn(spark, "jsonb_object_agg") { exprs =>
+    jsonFn(spark, "jsonb_object_agg") { exprs =>
       StructsToJson(Map.empty, MapFromArrays(
         CollectList(exprs(0)).toAggregateExpression(),
         CollectList(exprs(1)).toAggregateExpression()))
     }
 
     // --- JSON shims (query_remapper_function.go:39-52) -------------------
-    fn(spark, "row_to_json") { exprs => StructsToJson(Map.empty, exprs.head) }
+    jsonFn(spark, "row_to_json") { exprs => StructsToJson(Map.empty, exprs.head) }
     fn(spark, "jsonb_extract_path_text") { exprs =>
       val path = Concat(Literal("$") +: exprs.tail.flatMap(e => Seq(Literal("."), e)))
       GetJsonObject(exprs.head, path)
@@ -194,6 +217,14 @@ object PgFunctions {
         else om.writeValueAsString(node)
       } catch { case _: Exception => null }
     })
+    // re-register wrapped so `col->'k'` results advertise the JSON OID
+    locally {
+      val reg = spark.sessionState.functionRegistry
+      val orig = reg.lookupFunctionBuilder(FunctionIdentifier("pg_json_extract")).get
+      reg.createOrReplaceTempFunction("pg_json_extract", exprs =>
+        Alias(orig(exprs), "pg_json_extract")(explicitMetadata = Some(jsonValMeta)),
+        "scala_udf")
+    }
     // jsonb_pretty (macro at query_remapper_function.go:46): PG-style
     // 4-space-indent rendering (`"key": value`, arrays expanded)
     spark.udf.register("jsonb_pretty", (j: String) => prettyJson(j))
@@ -201,17 +232,21 @@ object PgFunctions {
     // query_remapper_function.go:45-52); args must share a value type.
     // The result is a COMPUTED json value, which the reference emits through
     // Go json.Marshal (sorted keys, compact) — JsonNormalize reproduces that.
-    fn(spark, "json_build_object") { exprs =>
+    jsonFn(spark, "json_build_object") { exprs =>
       JsonNormalize(StructsToJson(Map.empty, CreateMap(exprs))) }
-    fn(spark, "jsonb_build_object") { exprs =>
+    jsonFn(spark, "jsonb_build_object") { exprs =>
       JsonNormalize(StructsToJson(Map.empty, CreateMap(exprs))) }
     // json[b]_array_elements table function -> explode over a parsed array
     // (query_remapper_table.go:113-134: unnest(json_extract(x,'$[*]')))
+    // the output field is named `value` (PG's SRF convention) and carries
+    // the json tag so RowDescription advertises the JSON type OID
     fn(spark, "json_array_elements") { exprs =>
-      Explode(JsonToStructs(ArrayType(StringType), Map.empty, exprs.head))
+      ExplodeTagged(JsonToStructs(ArrayType(StringType), Map.empty, exprs.head),
+        "value", jsonValMeta)
     }
     fn(spark, "jsonb_array_elements") { exprs =>
-      Explode(JsonToStructs(ArrayType(StringType), Map.empty, exprs.head))
+      ExplodeTagged(JsonToStructs(ArrayType(StringType), Map.empty, exprs.head),
+        "value", jsonValMeta)
     }
     // jsonb_agg(x) -> to_json(array_agg(x)) (reference AST rewrite at
     // query_remapper_function.go:168-172). When x is itself a JSON value
@@ -224,8 +259,8 @@ object PgFunctions {
           new ArrayJoin(CollectList(exprs.head).toAggregateExpression(), Literal(",")),
           Literal("]")))
       else StructsToJson(Map.empty, CollectList(exprs.head).toAggregateExpression())
-    fn(spark, "jsonb_agg")(jsonAgg)
-    fn(spark, "json_agg")(jsonAgg)
+    jsonFn(spark, "jsonb_agg")(jsonAgg)
+    jsonFn(spark, "json_agg")(jsonAgg)
 
     // --- array shims ----------------------------------------------------
     // array_upper(a, 1) -> size(a) (macro at query_remapper_function.go:53-57)

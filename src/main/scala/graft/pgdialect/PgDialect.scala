@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.MetadataBuilder
 
 /** Postgres-dialect front end (SURVEY §2.A statement surface + §2.B
   * rewrites; reference: /root/reference/src/server/query_remapper.go:107-188
@@ -121,7 +122,7 @@ object PgDialect {
       if (upper.contains("INFORMATION_SCHEMA"))
         PgCatalog.refreshInfoSchema(spark)
       val translated = applyPermissions(translateSelect(stmt), perms)
-      return Rows(spark.sql(translated), "SELECT")
+      return Rows(retagJson(spark.sql(translated)), "SELECT")
     }
     // EXPLAIN [ANALYZE|VERBOSE|(opts)] SELECT … -> Spark's formatted plan as
     // PG-style "QUERY PLAN" text rows (the reference delegates to DuckDB's
@@ -277,9 +278,17 @@ object PgDialect {
     // zero-arg shim functions used as table sources (SELECT * FROM f())
     s = s.replaceAll("(?i)\\bFROM\\s+(pg_is_in_recovery|version)\\s*\\(\\s*\\)",
       "FROM (SELECT $1() AS $1)")
-    // row_to_json(rel) over a relation alias -> struct-star form
+    // DBeaver's role probe (`… roles.oid AS id … WHERE rolname =
+    // current_user`): the reference's remapper answers it with a plain
+    // BIGINT id (the corpus pins Int8OID) even though pg_roles.oid
+    // advertises the OID type — the cast strips the column's OID tag
+    if ("(?i)rolname\\s*=\\s*current_user".r.findFirstIn(s).isDefined)
+      s = s.replaceAll("(?i)\\b(\\w+)\\.oid\\s+AS\\s+id\\b",
+        "CAST($1.oid AS BIGINT) AS id")
+    // row_to_json(rel) over a relation alias -> struct-star form (through
+    // the registered row_to_json so the result carries the json OID tag)
     s = s.replaceAll("(?i)\\brow_to_json\\s*\\(\\s*([A-Za-z_]\\w*)\\s*\\)",
-      "to_json(struct($1.*))")
+      "row_to_json(struct($1.*))")
     // the reference's pg_tablespace_location macro never evaluates its
     // argument (query_remapper_function.go:31); inline the same laziness
     s = s.replaceAll("(?i)\\bpg_tablespace_location\\s*\\(((?:[^()]|\\([^()]*\\))*)\\)", "''")
@@ -290,8 +299,10 @@ object PgDialect {
       "JOIN\\b|ON\\b|OFFSET\\b|FETCH\\b)([A-Za-z_]\\w*))?").r
     s = jae.replaceAllIn(s, m => {
       val colName = Option(m.group(3)).getOrElse("value")
+      // route through the registered generator so the column carries the
+      // json wire-type tag (ExplodeTagged)
       java.util.regex.Matcher.quoteReplacement(
-        s"FROM (SELECT explode(from_json(${m.group(2)}, 'array<string>')) AS $colName)")
+        s"FROM (SELECT ${m.group(1)}(${m.group(2)}) AS $colName)")
     })
     // _pg_expandarray(a) -> array<struct<x, n>> (explode at the call site);
     // reference macro: STRUCT_PACK(x := unnest(a), n := generate_series…)
@@ -299,7 +310,7 @@ object PgDialect {
     // expand to explode() of the matching per-element array
     s = s.replaceAll(
       "(?i)\\(\\s*(?:information_schema\\s*\\.\\s*)?_pg_expandarray\\s*\\(([^()]*)\\)\\s*\\)\\s*\\.\\s*n\\b",
-      "explode(transform($1, (__x, __i) -> __i + 1))")
+      "explode(transform($1, (__x, __i) -> CAST(__i + 1 AS BIGINT)))")
     s = s.replaceAll(
       "(?i)\\(\\s*(?:information_schema\\s*\\.\\s*)?_pg_expandarray\\s*\\(([^()]*)\\)\\s*\\)\\s*\\.\\s*x\\b",
       "explode($1)")
@@ -360,7 +371,10 @@ object PgDialect {
     // PG array subscripts are 1-based; Spark's [] is 0-based, so literal
     // integer subscripts become element_at (types like text[] have no digits
     // inside the brackets and pass through untouched)
-    s = s.replaceAll("\\b(\\w+)\\s*\\[\\s*([A-Za-z_]\\w*|\\d+)\\s*\\]", "element_at($1, $2)")
+    // (the INT cast keeps BIGINT series subscripts — generate_series yields
+    // BIGINT like the reference — valid for element_at)
+    s = s.replaceAll("\\b(\\w+)\\s*\\[\\s*([A-Za-z_]\\w*|\\d+)\\s*\\]",
+      "element_at($1, CAST($2 AS INT))")
     // row-locking clauses are meaningless on a read-only OLAP engine — PG
     // ORMs still emit them; strip like the reference strips psql noise
     s = s.replaceAll("(?is)\\s+FOR\\s+(UPDATE|NO\\s+KEY\\s+UPDATE|SHARE|KEY\\s+SHARE)" +
@@ -876,35 +890,84 @@ object PgDialect {
     * `LATERAL (SELECT …)` passes through — Catalyst supports correlated
     * lateral subqueries natively (the reference's DuckDB does not, SURVEY
     * §2.B joins row). */
+  /** Post-pass for json wire typing: a top-level COALESCE/CASE over a
+    * json-producing expression loses the builder's jsonval Alias tag to
+    * CleanupAliases — re-attach it by walking the analyzed projection (the
+    * reference's DuckDB types such expressions JSON, so the wire layer must
+    * advertise OID 114). No-op for every other query shape. */
+  private def retagJson(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, CaseWhen, Coalesce, Expression, If}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    def jsonish(e: Expression): Boolean = e match {
+      case _: JsonNormalize => true
+      case _: org.apache.spark.sql.catalyst.expressions.StructsToJson => true
+      case c: Coalesce => c.children.exists(jsonish)
+      case c: CaseWhen =>
+        c.branches.exists(b => jsonish(b._2)) || c.elseValue.exists(jsonish)
+      case i: If => jsonish(i.trueValue) || jsonish(i.falseValue)
+      case a: Alias => jsonish(a.child)
+      case _ => false
+    }
+    val top = df.queryExecution.analyzed match {
+      case p: Project => p.projectList
+      case _ => return df
+    }
+    val fields = df.schema.fields
+    if (top.length != fields.length ||
+        fields.map(_.name).distinct.length != fields.length) return df
+    val needs = top.zip(fields).exists {
+      case (a: Alias, f) =>
+        jsonish(a.child) && !f.metadata.contains(PgTypes.LogicalKey)
+      case _ => false
+    }
+    if (!needs) return df
+    df.select(top.zip(fields).map {
+      case (a: Alias, f)
+          if jsonish(a.child) && !f.metadata.contains(PgTypes.LogicalKey) =>
+        org.apache.spark.sql.functions.col(f.name).as(f.name,
+          new MetadataBuilder().withMetadata(f.metadata)
+            .putString(PgTypes.LogicalKey, "jsonval").build())
+      case (_, f) => org.apache.spark.sql.functions.col(f.name)
+    }.toSeq: _*)
+  }
+
+  /** generate_series args widened to BIGINT — the reference's DuckDB
+    * generate_series returns BIGINT (the corpus pins Int8OID on the wire),
+    * while Spark's sequence() over int literals yields array<int>.
+    * Date/timestamp/interval series pass through untouched. */
+  private def seriesArgs(raw: String): String =
+    if ("(?i)\\b(date|timestamp|interval)\\b".r.findFirstIn(raw).isDefined) raw
+    else splitTopLevel(raw).map(a => s"CAST((${a.trim}) AS BIGINT)").mkString(", ")
+
   private def rewriteLateral(sql: String): String = {
     import java.util.regex.Matcher.quoteReplacement
     var s = sql
     val comma = "(?is),\\s*LATERAL\\s+generate_series\\s*\\(((?:[^()]|\\((?:[^()]|\\([^()]*\\))*\\))*)\\)\\s*(?:AS\\s+)?(\\w+)\\s*\\(\\s*(\\w+)\\s*\\)".r
     s = comma.replaceAllIn(s, m => quoteReplacement(
-      s" LATERAL VIEW explode(sequence(${m.group(1)})) ${m.group(2)} AS ${m.group(3)}"))
+      s" LATERAL VIEW explode(sequence(${seriesArgs(m.group(1))})) ${m.group(2)} AS ${m.group(3)}"))
     val join = "(?is)(LEFT\\s+)?JOIN\\s+LATERAL\\s+generate_series\\s*\\(((?:[^()]|\\((?:[^()]|\\([^()]*\\))*\\))*)\\)\\s*(?:AS\\s+)?(\\w+)\\s*\\(\\s*(\\w+)\\s*\\)\\s*ON\\s+true".r
     s = join.replaceAllIn(s, m => quoteReplacement(
-      s" LATERAL VIEW ${if (m.group(1) != null) "OUTER " else ""}explode(sequence(${m.group(2)})) ${m.group(3)} AS ${m.group(4)}"))
+      s" LATERAL VIEW ${if (m.group(1) != null) "OUTER " else ""}explode(sequence(${seriesArgs(m.group(2))})) ${m.group(3)} AS ${m.group(4)}"))
     // plain `JOIN generate_series(a,b) g(n) ON cond` (PgJDBC getImportedKeys
     // joins a series against conkey subscripts this way)
     val plainJoin = "(?is)\\bJOIN\\s+generate_series\\s*\\(((?:[^()]|\\((?:[^()]|\\([^()]*\\))*\\))*)\\)\\s*(?:AS\\s+)?(\\w+)\\s*\\(\\s*(\\w+)\\s*\\)".r
     s = plainJoin.replaceAllIn(s, m => quoteReplacement(
-      s"JOIN (SELECT explode(sequence(${m.group(1)})) AS ${m.group(3)}) ${m.group(2)}"))
+      s"JOIN (SELECT explode(sequence(${seriesArgs(m.group(1))})) AS ${m.group(3)}) ${m.group(2)}"))
     val from = "(?is)\\bFROM\\s+generate_series\\s*\\(((?:[^()]|\\((?:[^()]|\\([^()]*\\))*\\))*)\\)\\s*(?:AS\\s+)?(\\w+)\\s*\\(\\s*(\\w+)\\s*\\)".r
     s = from.replaceAllIn(s, m => quoteReplacement(
-      s"FROM (SELECT explode(sequence(${m.group(1)})) AS ${m.group(3)}) ${m.group(2)}"))
+      s"FROM (SELECT explode(sequence(${seriesArgs(m.group(1))})) AS ${m.group(3)}) ${m.group(2)}"))
     // `FROM generate_series(a, b) s` (bare alias): PG names the SRF's
     // column after the alias
     val aliased = ("(?is)\\bFROM\\s+generate_series\\s*\\(((?:[^()]|\\((?:[^()]|\\([^()]*\\))*\\))*)\\)\\s+" +
       "(?:AS\\s+)?(?!WHERE\\b|LIMIT\\b|ORDER\\b|GROUP\\b|HAVING\\b|UNION\\b|JOIN\\b|ON\\b|" +
       "OFFSET\\b|FETCH\\b|LEFT\\b|RIGHT\\b|INNER\\b|CROSS\\b|FULL\\b)([A-Za-z_]\\w*)(?!\\s*\\()").r
     s = aliased.replaceAllIn(s, m => quoteReplacement(
-      s"FROM (SELECT explode(sequence(${m.group(1)})) AS ${m.group(2)}) ${m.group(2)}"))
+      s"FROM (SELECT explode(sequence(${seriesArgs(m.group(1))})) AS ${m.group(2)}) ${m.group(2)}"))
     // bare `FROM generate_series(a, b)` -> PG names the column after the
     // function (query_remapper_table.go:113-134)
     val bare = "(?is)\\bFROM\\s+generate_series\\s*\\(((?:[^()]|\\((?:[^()]|\\([^()]*\\))*\\))*)\\)(?!\\s*\\w|\\s*\\()".r
     s = bare.replaceAllIn(s, m => quoteReplacement(
-      s"FROM (SELECT explode(sequence(${m.group(1)})) AS generate_series)"))
+      s"FROM (SELECT explode(sequence(${seriesArgs(m.group(1))})) AS generate_series)"))
     s
   }
 

@@ -190,6 +190,41 @@ object PgCatalog {
     if (registered.add(spark)) registerAll(spark)
   }
 
+  /** Reference RowDescription OIDs for catalog columns: every column
+    * literally named `oid` reports the OID type (26) like the reference's
+    * DuckDB pg_catalog, plus the handful of columns the reference corpus
+    * pins to a different wire type than their storage
+    * (query_handler_test.go "types" rows). Semantics are untouched — only
+    * the advertised RowDescription OID changes. */
+  private val wireOidOverrides: Map[String, Map[String, Long]] = Map(
+    "pg_auth_members" -> Map("oid" -> 25L),
+    "pg_description" -> Map("objoid" -> 26L, "classoid" -> 25L, "objsubid" -> 23L),
+    "pg_shdescription" -> Map("objoid" -> 26L, "classoid" -> 26L),
+    "pg_policy" -> Map("polroles" -> 20L),
+    "pg_statistic_ext" -> Map("stxkeys" -> 20L, "stxkind" -> 25L),
+    "pg_publication_rel" -> Map("prattrs" -> 25L))
+
+  private def tagWireOids(name: String, df: DataFrame): DataFrame = {
+    if (!name.startsWith("pg_")) return df
+    val over = wireOidOverrides.getOrElse(name, Map.empty)
+    def oidFor(col: String): Option[Long] =
+      over.get(col).orElse(if (col == "oid") Some(26L) else None)
+    if (!df.schema.fields.exists(f => oidFor(f.name).isDefined)) df
+    else df.select(df.schema.fields.map { f =>
+      oidFor(f.name) match {
+        case Some(o) => col(f.name).as(f.name, new MetadataBuilder()
+          .withMetadata(f.metadata).putLong(PgTypes.OidKey, o).build())
+        case None => col(f.name)
+      }
+    }.toSeq: _*)
+  }
+
+  /** createOrReplaceTempView with reference wire-OID tags applied. */
+  private implicit class CatalogViewOps(df: DataFrame) {
+    def asCatalogView(name: String): Unit =
+      tagWireOids(name, df).createOrReplaceTempView(name)
+  }
+
   private def registerAll(spark: SparkSession): Unit = {
     import spark.implicits._
 
@@ -202,13 +237,13 @@ object PgCatalog {
       (if (schemaLabel != "public")
         Seq((16000L, schemaLabel, 10L, Option.empty[String])) else Nil))
       .toDF("oid", "nspname", "nspowner", "nspacl")
-      .createOrReplaceTempView("pg_namespace")
+      .asCatalogView("pg_namespace")
     val userName = SessionSettings.get("graft.user").getOrElse("graft")
     val dbName = SessionSettings.get("graft.database").getOrElse("graft")
     Seq((1L, dbName, true, 10L, Option.empty[String], -1, false, 1663L))
       .toDF("oid", "datname", "datallowconn", "datdba", "datacl",
         "datconnlimit", "datistemplate", "dattablespace")
-      .createOrReplaceTempView("pg_database")
+      .asCatalogView("pg_database")
     Seq((10L, userName, true, false, true, true, true, true, false, -1))
       .toDF("oid", "rolname", "rolsuper", "rolreplication", "rolinherit",
         "rolcreaterole", "rolcreatedb", "rolcanlogin", "rolbypassrls", "rolconnlimit")
@@ -216,17 +251,17 @@ object PgCatalog {
         org.apache.spark.sql.functions.lit(null).cast("array<string>"))
       .withColumn("rolvaliduntil",
         org.apache.spark.sql.functions.lit(null).cast("timestamp"))
-      .createOrReplaceTempView("pg_roles")
+      .asCatalogView("pg_roles")
     Seq((userName, 10L, true, true, true, true, Option.empty[String]))
       .toDF("usename", "usesysid", "usecreatedb", "usesuper", "userepl",
         "usebypassrls", "passwd")
       .withColumn("valuntil", lit(null).cast("timestamp"))
       .withColumn("useconfig", lit(null).cast("array<string>"))
-      .createOrReplaceTempView("pg_user")
+      .asCatalogView("pg_user")
     spark.emptyDataFrame.withColumn("oid", lit(0L)).withColumn("extname", lit(""))
-      .limit(0).createOrReplaceTempView("pg_extension")
+      .limit(0).asCatalogView("pg_extension")
     SessionSettings.defaults.toSeq.sorted.toDF("name", "setting")
-      .createOrReplaceTempView("pg_settings")
+      .asCatalogView("pg_settings")
     // pg_get_keywords() rowset (reference delegates to duckdb_keywords(),
     // query_remapper_function.go:75-100); catcode R=reserved, U=unreserved
     Seq(("abort", "U"), ("all", "R"), ("and", "R"), ("any", "R"), ("as", "R"), ("asc", "R"),
@@ -245,7 +280,7 @@ object PgCatalog {
         (w, c, true, desc, "can be bare label")
       }
       .toDF("word", "catcode", "barelabel", "catdesc", "baredesc")
-      .createOrReplaceTempView("pg_keywords")
+      .asCatalogView("pg_keywords")
 
     // pg_type: the full static rowset with typed metadata columns — see
     // typeRows below (reference ships ~180 UNION ALL rows on top of DuckDB's
@@ -262,7 +297,7 @@ object PgCatalog {
         "typtype", "typcategory", "typispreferred", "typisdefined", "typdelim",
         "typrelid", "typelem", "typarray", "typalign", "typstorage",
         "typnotnull", "typbasetype", "typtypmod", "typndims", "typcollation")
-      .createOrReplaceTempView("pg_type")
+      .asCatalogView("pg_type")
 
     // dynamic: pg_class / pg_attribute / information_schema over the
     // registered user tables (Tables.names is our "catalog")
@@ -280,55 +315,55 @@ object PgCatalog {
         "relpages", "reltuples", "relhasindex", "relpersistence",
         "relispartition", "reltablespace", "relforcerowsecurity", "relrowsecurity",
         "relchecks", "relacl")
-    classDf.createOrReplaceTempView("pg_class")
+    classDf.asCatalogView("pg_class")
     val relOid = Tables.names.zipWithIndex.map { case (n, i) => n -> (16384L + i) }.toMap
     cols.map { case (t, c, i, dt, oid) =>
         (relOid(t), c, i, oid.toLong, dt, false, false, false, -1, -1, "", "") }
       .toDF("attrelid", "attname", "attnum", "atttypid", "data_type",
         "attnotnull", "atthasdef", "attisdropped",
         "atttypmod", "attlen", "attidentity", "attgenerated")
-      .createOrReplaceTempView("pg_attribute")
+      .asCatalogView("pg_attribute")
 
     // remaining static probes BI tools and ORMs issue (the reference ships
     // these as empty shells or 1-row views, query_remapper_table.go:275-712
     // + pg_constants.go PG_SYSTEM_TABLES/VIEWS)
     Tables.names.map(n => ("public", n, "graft", false))
       .toDF("schemaname", "tablename", "tableowner", "hasindexes")
-      .createOrReplaceTempView("pg_tables")
+      .asCatalogView("pg_tables")
     Seq.empty[(String, String, String, String)]
       .toDF("schemaname", "viewname", "viewowner", "definition")
-      .createOrReplaceTempView("pg_views")
+      .asCatalogView("pg_views")
     Seq.empty[(Long, String, Long, Long, String, Int, Long)]
       .toDF("oid", "proname", "pronamespace", "proowner", "prokind",
         "pronargs", "prorettype")
-      .createOrReplaceTempView("pg_proc")
+      .asCatalogView("pg_proc")
     Seq.empty[(Long, String, String, Long, Long, Long, Seq[Int], Seq[Int])]
       .toDF("oid", "conname", "contype", "conrelid", "confrelid", "conindid",
         "conkey", "confkey") // conkey/confkey are PG int2[]
-      .createOrReplaceTempView("pg_constraint")
+      .asCatalogView("pg_constraint")
     Seq.empty[(Long, Long, Long, String)]
       .toDF("objoid", "classoid", "objsubid", "description")
-      .createOrReplaceTempView("pg_description")
+      .asCatalogView("pg_description")
     Seq((10L, userName, Option("SCRAM-SHA-256$4096:c2FsdA==$c3Q=:c2s=")))
-      .toDF("usesysid", "usename", "passwd").createOrReplaceTempView("pg_shadow")
+      .toDF("usesysid", "usename", "passwd").asCatalogView("pg_shadow")
     // `SELECT * FROM user` works in PG (the user keyword-view)
-    Seq(Tuple1(userName)).toDF("user").createOrReplaceTempView("user")
+    Seq(Tuple1(userName)).toDF("user").asCatalogView("user")
     // the real PG access-method rowset (\dA probes)
     Seq((2L, "heap", "t"), (403L, "btree", "i"), (405L, "hash", "i"),
       (783L, "gist", "i"), (2742L, "gin", "i"), (4000L, "spgist", "i"),
       (3580L, "brin", "i"))
-      .toDF("oid", "amname", "amtype").createOrReplaceTempView("pg_am")
+      .toDF("oid", "amname", "amtype").asCatalogView("pg_am")
     Seq.empty[(Long, Long, Int, Boolean)]
       .toDF("inhrelid", "inhparent", "inhseqno", "inhdetachpending")
-      .createOrReplaceTempView("pg_inherits")
+      .asCatalogView("pg_inherits")
     Seq((100L, "default", 11L)).toDF("oid", "collname", "collnamespace")
-      .createOrReplaceTempView("pg_collation")
+      .asCatalogView("pg_collation")
     Seq((1663L, "pg_default", 10L), (1664L, "pg_global", 10L))
-      .toDF("oid", "spcname", "spcowner").createOrReplaceTempView("pg_tablespace")
+      .toDF("oid", "spcname", "spcowner").asCatalogView("pg_tablespace")
     Seq((10L, userName, true, true, true)).toDF("oid", "rolname", "rolsuper", "rolcanlogin", "rolinherit")
-      .createOrReplaceTempView("pg_authid")
+      .asCatalogView("pg_authid")
     Seq((12L, "internal", false), (13L, "c", false), (14L, "sql", true))
-      .toDF("oid", "lanname", "lanpltrusted").createOrReplaceTempView("pg_language")
+      .toDF("oid", "lanname", "lanpltrusted").asCatalogView("pg_language")
 
     // the remainder of the reference's PG_SYSTEM_TABLES set
     // (pg_constants.go:27-98): empty rowsets with the columns drivers
@@ -337,7 +372,7 @@ object PgCatalog {
     def shell(name: String, fields: (String, DataType)*): Unit =
       spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
           StructType(fields.map { case (n, t) => StructField(n, t) }))
-        .createOrReplaceTempView(name)
+        .asCatalogView(name)
     val L = LongType; val S = StringType; val I = IntegerType; val B = BooleanType
     shell("pg_index", "indexrelid" -> L, "indrelid" -> L, "indnatts" -> I,
       "indnkeyatts" -> I, "indisunique" -> B, "indnullsnotdistinct" -> B,
@@ -428,15 +463,15 @@ object PgCatalog {
       .toDF("pid", "datname", "usename", "application_name", "state",
         "query", "backend_type")
       .withColumn("datid", org.apache.spark.sql.functions.lit(1L))
-      .createOrReplaceTempView("pg_stat_activity")
+      .asCatalogView("pg_stat_activity")
     Seq((1L, "graft", 1, 0L, 0L)).toDF("datid", "datname", "numbackends",
         "xact_commit", "xact_rollback")
-      .createOrReplaceTempView("pg_stat_database")
+      .asCatalogView("pg_stat_database")
     for (v <- Seq("pg_stat_all_tables", "pg_stat_sys_tables",
         "pg_stat_xact_all_tables", "pg_stat_xact_sys_tables",
         "pg_stat_xact_user_tables"))
       Tables.names.map(n => ("public", n, 0L))
-        .toDF("schemaname", "relname", "n_live_tup").createOrReplaceTempView(v)
+        .toDF("schemaname", "relname", "n_live_tup").asCatalogView(v)
     for (v <- Seq("pg_stat_all_indexes", "pg_stat_sys_indexes",
         "pg_stat_user_indexes"))
       shell(v, "relid" -> L, "indexrelid" -> L, "schemaname" -> S,
@@ -481,22 +516,22 @@ object PgCatalog {
     // tables carry no declared constraints; ORMs still introspect them)
     Seq.empty[(String, String, String, String)]
       .toDF("constraint_name", "table_schema", "table_name", "constraint_type")
-      .createOrReplaceTempView("information_schema_table_constraints")
+      .asCatalogView("information_schema_table_constraints")
     Seq.empty[(String, String, String, String, Int)]
       .toDF("constraint_name", "table_schema", "table_name", "column_name", "ordinal_position")
-      .createOrReplaceTempView("information_schema_key_column_usage")
+      .asCatalogView("information_schema_key_column_usage")
     Seq.empty[(String, String)]
       .toDF("constraint_name", "unique_constraint_name")
-      .createOrReplaceTempView("information_schema_referential_constraints")
+      .asCatalogView("information_schema_referential_constraints")
 
     // matview / stats / index emulation (query_remapper_table.go:136-250):
     // fresh sessions have no matviews or indexes; stat rows are faked per
     // table like the reference's pg_stat_user_tables handling
     Seq.empty[(String, String, String)].toDF("schemaname", "matviewname", "definition")
-      .createOrReplaceTempView("pg_matviews")
+      .asCatalogView("pg_matviews")
     Tables.names.map(n => ("public", n, 0L))
       .toDF("schemaname", "relname", "n_live_tup")
-      .createOrReplaceTempView("pg_stat_user_tables")
+      .asCatalogView("pg_stat_user_tables")
 
     refreshInfoSchema(spark)
 
@@ -512,7 +547,7 @@ object PgCatalog {
         "relpages", "reltuples", "relhasindex", "relpersistence",
         "relispartition", "reltablespace", "relforcerowsecurity", "relrowsecurity",
         "relchecks", "relacl")
-      .createOrReplaceTempView("pg_class")
+      .asCatalogView("pg_class")
   }
 
   /** The session's own catalog relations as pg_class rows, numbered from
@@ -582,7 +617,7 @@ object PgCatalog {
     rows.toDF("table_catalog", "table_schema", "table_name", "column_name",
       "ordinal_position", "data_type", "udt_catalog", "udt_schema", "udt_name",
       "is_nullable")
-      .createOrReplaceTempView("information_schema_columns")
+      .asCatalogView("information_schema_columns")
     views.toSeq.map(t => (t, "BASE TABLE"))
       .toDF("table_name", "table_type")
       .selectExpr(s"'$cat' AS table_catalog", s"'$sch' AS table_schema",
@@ -594,7 +629,7 @@ object PgCatalog {
         "CAST(NULL AS STRING) AS user_defined_type_name",
         "'YES' AS is_insertable_into", "'NO' AS is_typed",
         "CAST(NULL AS STRING) AS commit_action")
-      .createOrReplaceTempView("information_schema_tables")
+      .asCatalogView("information_schema_tables")
   }
 
   // the sf dir last registered by Tables — used to introspect schemas
@@ -624,14 +659,14 @@ object PgCatalog {
     val stTables = store.tableNames.filterNot((Tables.names ++ mvs).contains)
     mvs.map(n => ("public", n, store.matviewDefinition(n).getOrElse("")))
       .toDF("schemaname", "matviewname", "definition")
-      .createOrReplaceTempView("pg_matviews")
+      .asCatalogView("pg_matviews")
     (Tables.names.map(n => ("public", n, 0L)) ++ mvs.map(n => ("public", n, 0L)) ++
       stTables.map(n => ("public", n, 0L)))
       .toDF("schemaname", "relname", "n_live_tup")
-      .createOrReplaceTempView("pg_stat_user_tables")
+      .asCatalogView("pg_stat_user_tables")
     (Tables.names ++ stTables).map(n => ("public", n, "graft", false))
       .toDF("schemaname", "tablename", "tableowner", "hasindexes")
-      .createOrReplaceTempView("pg_tables")
+      .asCatalogView("pg_tables")
     // anything else registered in the session is an ad-hoc VIEW (relkind
     // 'v') — a client's CREATE TEMP VIEW or another component's transient
     // publication, never a table row the oracles pin
@@ -653,7 +688,7 @@ object PgCatalog {
         "relpages", "reltuples", "relhasindex", "relpersistence",
         "relispartition", "reltablespace", "relforcerowsecurity", "relrowsecurity",
         "relchecks", "relacl")
-      .createOrReplaceTempView("pg_class")
+      .asCatalogView("pg_class")
     // pg_attribute over every relation pg_class lists, so \d and
     // attrelid = '…'::regclass introspection covers ad-hoc views too
     val attrRows = rels.flatMap { case (oid, n, _, _) =>
@@ -669,6 +704,6 @@ object PgCatalog {
       .toDF("attrelid", "attname", "attnum", "atttypid", "data_type",
         "attnotnull", "atthasdef", "attisdropped",
         "atttypmod", "attlen", "attidentity", "attgenerated")
-      .createOrReplaceTempView("pg_attribute")
+      .asCatalogView("pg_attribute")
   }
 }

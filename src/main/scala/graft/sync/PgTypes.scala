@@ -17,6 +17,12 @@ object PgTypes {
     * interval rendering). */
   val LogicalKey = "pg_logical"
 
+  /** Metadata key pinning an exact RowDescription type OID for a column —
+    * used by pg_catalog relations whose reference wire types differ from
+    * what their Spark storage type would imply (e.g. `oid` columns report
+    * 26, pg_description.classoid reports text). */
+  val OidKey = "pg_wire_oid"
+
   def toSpark(pgType: String, precision: Int = 0, scale: Int = 0): StructField = {
     val base = pgType.toLowerCase.stripPrefix("_")
     val (dt, logical) = base match {

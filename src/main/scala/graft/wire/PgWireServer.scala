@@ -445,23 +445,53 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int) {
       }
     }
 
-  /** Column type OID honoring the PgTypes logical tag, so drivers see the
-    * PG type the column came from (time/timetz/json/jsonb/uuid), not just
-    * the Spark storage type. */
-  private def fieldOid(f: StructField): Int = {
+  /** Column type OID matching the reference's RowDescription surface
+    * (query_handler_test.go pins one per golden query): STORED columns
+    * report their storage representation (timetz→time, uuid/json/jsonb→
+    * text, interval→numeric micros, timestamptz loses the zone), while
+    * COMPUTED expressions report the live engine type (::jsonb / `->` /
+    * json functions carry the "jsonval" tag → the JSON type OID, a
+    * ::timestamptz cast stays 1184). pg_catalog columns can pin an exact
+    * OID via [[PgTypes.OidKey]] (`oid` columns → 26 like the reference's
+    * DuckDB catalog). */
+  private[graft] def fieldOid(f: StructField): Int = {
+    if (f.metadata.contains(PgTypes.OidKey))
+      return f.metadata.getLong(PgTypes.OidKey).toInt
     val logical =
       if (f.metadata.contains(PgTypes.LogicalKey))
         f.metadata.getString(PgTypes.LogicalKey)
       else ""
     logical match {
-      case "time" => 1083
-      case "timetz" => 1266
-      case "json" => 114
-      case "jsonb" => 3802
-      case "uuid" => 2950
-      case "interval" => 1186
-      case _ => PgCatalog.pgTypeOf(f.dataType)._1
+      case "time" | "timetz" => 1083 // both stored as micros-of-day
+      case "jsonval" => 114          // computed json (DuckDB JSON type)
+      case "json" | "jsonb" => f.dataType match {
+        case _: ArrayType => 1009    // _jsonb stored as _text
+        case _ => 25                 // stored as VARCHAR
+      }
+      case "uuid" => 25              // stored as VARCHAR
+      case "interval" => 1700        // stored as numeric micros
+      case "timestamptz" => 1114     // storage loses the zone
+      case _ => f.dataType match {
+        case ArrayType(et, _) => arrayOidOf(et)
+        case dt => PgCatalog.pgTypeOf(dt)._1
+      }
     }
+  }
+
+  /** Element-typed PG array OIDs (pg_type typarray of the element type). */
+  private def arrayOidOf(et: DataType): Int = et match {
+    case StringType => 1009
+    case IntegerType => 1007
+    case ShortType | ByteType => 1005
+    case LongType => 1016
+    case BooleanType => 1000
+    case FloatType => 1021
+    case DoubleType => 1022
+    case _: DecimalType => 1231
+    case DateType => 1182
+    case TimestampType => 1185
+    case TimestampNTZType => 1115
+    case _ => 2277
   }
 
   /** COPY-out subprotocol: CopyOutResponse, one CopyData per line (PG text

@@ -2,13 +2,14 @@ package graft
 
 /** Locks in the reference golden-corpus replay (see [[CompatAudit]]): every
   * one of the 271 extracted queries must execute through the dialect front
-  * end, and the column-name / single-row value assertions from the
-  * reference's own test suite must ALL hold — full drop-in parity, kept
-  * green by CI rather than re-measured by hand each round.
+  * end, and the column-name / RowDescription-type-OID / single-row value
+  * assertions from the reference's own test suite must ALL hold — full
+  * drop-in parity, kept green by CI rather than re-measured by hand each
+  * round.
   */
 class CompatSpec extends SparkSpecBase {
 
-  test("golden corpus: 271/271 execute with full column and value parity") {
+  test("golden corpus: 271/271 execute with full column, OID and value parity") {
     // fresh derived session: own temp-view/function registry, so catalog
     // registration picks up the reference test-config identity regardless
     // of what other suites registered on the shared session
@@ -21,6 +22,11 @@ class CompatSpec extends SparkSpecBase {
       r.failures.take(5).map { case (q, e) => q.take(120) + " => " + e }.mkString("\n"))
     assert(r.descOk == r.descTot,
       r.diffs.filter(_._2.startsWith("cols")).take(5).mkString("\n"))
+    // the reference pins every column's RowDescription DataTypeOID
+    // (query_handler_test.go "types") — 261 queries carry the pin
+    assert(r.oidTot >= 260, s"expected >=260 OID-pinned queries, got ${r.oidTot}")
+    assert(r.oidOk == r.oidTot,
+      r.diffs.filter(_._2.startsWith("oids")).take(5).mkString("\n"))
     assert(r.valOk == r.valTot,
       r.diffs.filter(_._2.startsWith("vals")).take(5).mkString("\n"))
   }

@@ -239,10 +239,14 @@ class PgDialectSpec extends SparkSpecBase {
       == "SELECT * FROM t WHERE (get_json_object(props, '$.k') = '69')")
     assert(translateSelect("SELECT * FROM t WHERE tags && ARRAY['a','b']")
       == "SELECT * FROM t WHERE arrays_overlap(tags, array('a','b'))")
+    // series args are widened to BIGINT: the reference's generate_series
+    // returns BIGINT (its corpus pins Int8OID on the wire)
     assert(translateSelect("SELECT r_name, n FROM region, LATERAL generate_series(1, r_regionkey) AS g(n)")
-      == "SELECT r_name, n FROM region LATERAL VIEW explode(sequence(1, r_regionkey)) g AS n")
+      == "SELECT r_name, n FROM region LATERAL VIEW explode(sequence(" +
+        "CAST((1) AS BIGINT), CAST((r_regionkey) AS BIGINT))) g AS n")
     assert(translateSelect("SELECT n FROM generate_series(1, 5) AS g(n)")
-      == "SELECT n FROM (SELECT explode(sequence(1, 5)) AS n) g")
+      == "SELECT n FROM (SELECT explode(sequence(" +
+        "CAST((1) AS BIGINT), CAST((5) AS BIGINT))) AS n) g")
   }
 
   test("table functions and _pg_expandarray translate") {

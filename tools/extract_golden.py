@@ -15,6 +15,22 @@ import re
 
 SRC = "/root/reference/src/server/query_handler_test.go"
 
+# Numeric values of the jackc/pgtype OID constants the test file references —
+# these are the standard PostgreSQL catalog OIDs (select oid, typname from
+# pg_type), public protocol-level constants.
+PGTYPE_OIDS = {
+    "BoolOID": 16, "ByteaOID": 17, "CharOID": 18, "NameOID": 19,
+    "Int8OID": 20, "Int2OID": 21, "Int4OID": 23, "TextOID": 25,
+    "OIDOID": 26, "XIDOID": 28, "JSONOID": 114, "XMLOID": 142,
+    "PointOID": 600, "Float4OID": 700, "Float8OID": 701, "InetOID": 869,
+    "Int2ArrayOID": 1005, "Int4ArrayOID": 1007, "TextArrayOID": 1009,
+    "BPCharOID": 1042, "VarcharOID": 1043, "DateOID": 1082,
+    "TimeOID": 1083, "TimestampOID": 1114, "TimestamptzOID": 1184,
+    "IntervalOID": 1186, "TimetzOID": 1266, "BitOID": 1560,
+    "NumericOID": 1700, "UUIDOID": 2950, "JSONBOID": 3802,
+    "TSVectorOID": 3614, "XID8OID": 5069,
+}
+
 
 def un(s: str) -> str:
     try:
@@ -35,7 +51,15 @@ def parse_list(line: str):
         r'"((?:[^"\\]|\\.)*)"|`([^`]*)`|([A-Za-z][\w.()]*\([^()]*\))', m.group(1)
     ):
         if mo.group(3):
-            return None  # non-literal entry (e.g. uint32ToString(...))
+            # resolve uint32ToString(pgtype.XxxOID) to the numeric OID string;
+            # any other computed entry makes the whole list non-literal
+            oid = re.fullmatch(
+                r"uint32ToString\(pgtype\.(\w+)\)", mo.group(3)
+            )
+            if oid and oid.group(1) in PGTYPE_OIDS:
+                items.append(str(PGTYPE_OIDS[oid.group(1)]))
+                continue
+            return None
         if mo.group(2) is not None:
             items.append(mo.group(2))
         else:
@@ -68,7 +92,7 @@ def main():
     expected = {}
     for q, body in blocks:
         entry = {}
-        for key in ("description", "values"):
+        for key in ("description", "types", "values"):
             m = re.search(r'"%s":\s*(\{[^\n]*)' % key, body)
             if m:
                 v = parse_list(m.group(1))
