@@ -21,6 +21,11 @@ object Bench {
     // ACROSS queries instead (measured: 1 part beats 8 parts ~1.8x here).
     // The same rule at 100 TB yields thousands of partitions, so intra-query
     // parallelism returns exactly when the data needs it.
+    // MEASURED at the >1-partition regime (tools/gen_scaled.py, SF1-volume
+    // 6M-row lineitem -> parts=6, AQE on; BENCH_SCALED.json): workload wall
+    // 5.4 s vs the reference's 25.6 s SF1 baseline (0.21x), sequential sum
+    // 24.3 s (0.95x); 10x the data costs 2.4x the wall — the sublinear
+    // scaling the rule was designed for, now verified rather than asserted.
     val cache = sys.env.getOrElse("SPARK_GRAFT_CACHE", "true").toBoolean
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -95,7 +100,8 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$workloadWall,"unit":"sec","queries":$qs,""" +
-      s""""sequential_total":$sequentialTotal,"mode":"22-query workload wall time, $conc-way inter-query concurrency (sequential per-query latencies in 'queries')","sf":"$sfDir"}""")
+      s""""sequential_total":$sequentialTotal,"shuffle_partitions":$parts,"aqe":$aqe,""" +
+      s""""mode":"22-query workload wall time, $conc-way inter-query concurrency (sequential per-query latencies in 'queries')","sf":"$sfDir"}""")
     spark.stop()
   }
 }
