@@ -106,6 +106,65 @@ object Dedup {
     * (seed, shingle) concat allocation — see MinHashUtil.sigs). */
   private def signatureCol: Column = GraftExpressions.minhash_sigs(col("sh"), K)
 
+  /** (vec_id, v): embeddings double-cast for engine-identical arithmetic. */
+  private def normalizedVecs(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"))
+
+  /** Exact all-pairs cosine pairs — the N^2 theta join. AUDIT SCALE ONLY:
+    * callers go through [[embeddingCosinePairs]], which routes large inputs
+    * to the LSH-bucketed path instead. */
+  private[graft] def embeddingCosineAllPairs(e: DataFrame): DataFrame = {
+    val n = normalizedVecs(e)
+    val dot = expr("array_dot(a.v, b.v)")
+    val norm = (side: String) => expr(s"sqrt(array_dot($side.v, $side.v))")
+    val cos = dot / (norm("a") * norm("b"))
+    n.as("a").join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), cos.as("cos"))
+      .filter(col("cos") >= 0.4)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Hyperplane-LSH candidate generation + exact cosine verify — the 100 TB
+    * path: shuffles only (table, bucket) keys, cost scales with bucket
+    * occupancy, never N^2; no cartesian/nested-loop join in the plan. */
+  private[graft] def embeddingCosineLsh(e: DataFrame): DataFrame = {
+    val sigSql =
+      s"transform(planes, tbl -> aggregate(zip_with(tbl, sequence(0, ${Similarity.PLANES_PER_TABLE - 1}), " +
+        "(p, i) -> IF(aggregate(zip_with(p, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x) > 0, " +
+        "shiftleft(1, cast(i AS INT)), 0)), 0, (acc, x) -> acc | x))"
+    val sig = normalizedVecs(e)
+      .withColumn("planes", typedLit(Similarity.planes))
+      .withColumn("sigs", expr(sigSql))
+      .drop("planes")
+      .select(col("vec_id"), col("v"),
+        posexplode(col("sigs")).as(Seq("tbl", "bucket")))
+    val cand = sig.as("a").join(sig.as("b"),
+        col("b.tbl") === col("a.tbl") && col("b.bucket") === col("a.bucket")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("a.v").as("va"),
+        col("b.vec_id").as("id_b"), col("b.v").as("vb"))
+      .distinct()
+    val dot = expr("array_dot(va, vb)")
+    val na = expr("sqrt(array_dot(va, va))")
+    val nb = expr("sqrt(array_dot(vb, vb))")
+    cand.select(col("id_a"), col("id_b"), (dot / (na * nb)).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Embedding-space near-dup pairs with a SIZE GUARD: up to
+    * `allPairsMaxRows` input vectors the exact all-pairs auditor runs
+    * (O(N^2) — fine for samples/audits); above it the call auto-routes
+    * through LSH candidates + exact verify, so nothing a caller does can
+    * plan a cartesian over 10^9 vectors. The one count() is the stats
+    * probe that buys the routing decision. */
+  def embeddingCosinePairs(e: DataFrame,
+      allPairsMaxRows: Long = 100000L): DataFrame =
+    if (e.count() <= allPairsMaxRows) embeddingCosineAllPairs(e)
+    else embeddingCosineLsh(e)
+
   val defs: Seq[Q] = Seq(
 
     // exact dedup: hash-groupBy on a canonical fingerprint (prefix-80 canon
@@ -303,17 +362,8 @@ object Dedup {
       WHERE list_dot_product(a.v, b.v)
           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
       ORDER BY id_a, id_b""")) { (s, dir) =>
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"))
-      val dot = expr("array_dot(a.v, b.v)")
-      val norm = (side: String) => expr(
-        s"sqrt(array_dot($side.v, $side.v))")
-      val cos = dot / (norm("a") * norm("b"))
-      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), cos.as("cos"))
-        .filter(col("cos") >= 0.4)
-        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
-        .orderBy("id_a", "id_b")
+      // size-guarded: all-pairs at oracle scale, auto-LSH above the cap
+      embeddingCosinePairs(t(s, dir, "embeddings"))
     },
 
     // the 100 TB embedding near-dup path: random-hyperplane LSH buckets for
@@ -336,30 +386,7 @@ object Dedup {
       scored AS (SELECT id_a, id_b, ${Similarity.duckCos("va", "vb")} AS cos FROM cand)
       SELECT id_a, id_b, round(cos, 6) AS cos FROM scored
       WHERE cos >= 0.4 ORDER BY id_a, id_b""")) { (s, dir) =>
-      val sigSql =
-        s"transform(planes, tbl -> aggregate(zip_with(tbl, sequence(0, ${Similarity.PLANES_PER_TABLE - 1}), " +
-          "(p, i) -> IF(aggregate(zip_with(p, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x) > 0, " +
-          "shiftleft(1, cast(i AS INT)), 0)), 0, (acc, x) -> acc | x))"
-      val sig = t(s, dir, "embeddings")
-        .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"))
-        .withColumn("planes", typedLit(Similarity.planes))
-        .withColumn("sigs", expr(sigSql))
-        .drop("planes")
-        .select(col("vec_id"), col("v"),
-          posexplode(col("sigs")).as(Seq("tbl", "bucket")))
-      val cand = sig.as("a").join(sig.as("b"),
-          col("b.tbl") === col("a.tbl") && col("b.bucket") === col("a.bucket")
-            && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("id_a"), col("a.v").as("va"),
-          col("b.vec_id").as("id_b"), col("b.v").as("vb"))
-        .distinct()
-      val dot = expr("array_dot(va, vb)")
-      val na = expr("sqrt(array_dot(va, va))")
-      val nb = expr("sqrt(array_dot(vb, vb))")
-      cand.select(col("id_a"), col("id_b"), (dot / (na * nb)).as("cos"))
-        .filter(col("cos") >= 0.4)
-        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
-        .orderBy("id_a", "id_b")
+      embeddingCosineLsh(t(s, dir, "embeddings"))
     },
 
     // line-level exact dedup (the RefinedWeb/CCNet pre-pass): cut each doc

@@ -25,13 +25,17 @@ final case class HourlyWindowPaging(startHour: String, maxWindows: Int = 1000)
 /** Paginated-HTTP JSON source (the Amplitude/Attio syncer shape re-expressed
   * as a SyncSource). The driver walks pages — an export API is a single
   * paginated stream, exactly as the reference's goroutine walks it — and
-  * collects raw NDJSON lines (gzip-encoded frames per the Amplitude export);
-  * the expensive part, JSON decoding into typed rows, is distributed via
-  * `spark.read.json` over a parallelized Dataset[String]. Per-table `flatten`
-  * transforms map nested typed-value payloads to flat columns (RestFlatten
-  * below carries the Attio extractors). Syncer handles the write side:
-  * fullRefresh -> Store.replace, incrementalSync -> Store.cursorAppend with
-  * overlap trim.
+  * SPOOLS each page to NDJSON chunk files as it arrives, so driver memory
+  * is bounded by ONE page regardless of table size (the reference streams
+  * COPY output through a 32 MB capped buffer with blocking backpressure,
+  * capped_buffer.go:9-22, and caps load batches at 1 GB,
+  * iceberg_table_writer.go:14-17 — `maxChunkBytes` plays both roles here).
+  * The expensive part, JSON decoding into typed rows, is distributed via
+  * `spark.read.json` over the chunk files (one scan task per chunk).
+  * Per-table `flatten` transforms map nested typed-value payloads to flat
+  * columns (RestFlatten below carries the Attio extractors). Syncer handles
+  * the write side: fullRefresh -> Store.replace, incrementalSync ->
+  * Store.cursorAppend with overlap trim.
   */
 class HttpJsonSource(
     spark: SparkSession,
@@ -41,18 +45,22 @@ class HttpJsonSource(
     cursors: Map[String, String] = Map.empty,
     paging: HttpPaging = OffsetPaging(),
     headers: Map[String, String] = Map.empty,
-    flatten: Map[String, DataFrame => DataFrame] = Map.empty) extends SyncSource {
+    flatten: Map[String, DataFrame => DataFrame] = Map.empty,
+    maxChunkBytes: Long = 32L * 1024 * 1024) extends SyncSource {
 
   def listTables(): Seq[String] = tables
 
+  /** Chunk files the last read() spooled — observability for tests that
+    * assert bounded buffering (pages >> chunk size => several chunks). */
+  @volatile private[graft] var lastChunkCount: Int = 0
+
   def read(table: String): DataFrame = {
-    val lines: Seq[String] = paging match {
+    val pages: Iterator[Seq[String]] = paging match {
       case OffsetPaging(limit) =>
         Iterator.from(0)
           .map(page => fetch(s"$baseUrl/$table?limit=$limit&offset=${page * limit}")
             .getOrElse(Seq.empty))
           .takeWhile(_.nonEmpty)
-          .flatten.toSeq
       case HourlyWindowPaging(startHour, maxWindows) =>
         val fmt = DateTimeFormatter.ofPattern("yyyyMMdd'T'HH")
         val start = LocalDateTime.parse(startHour, fmt)
@@ -62,10 +70,38 @@ class HttpJsonSource(
             fetch(s"$baseUrl/$table?start=$h&end=$h")
           }
           .takeWhile(_.isDefined) // 404 = no more exported hours yet
-          .flatMap(_.get).toSeq
+          .map(_.get)
     }
+    // spool pages to NDJSON chunks, rotating at maxChunkBytes: memory stays
+    // one-page-bounded and the decode parallelizes across chunks
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-http-$table-")
+    dir.toFile.deleteOnExit()
+    var chunk = 0
+    var bytes = 0L
+    var out: java.io.Writer = null
+    def rotate(): Unit = {
+      if (out != null) out.close()
+      val f = dir.resolve(f"chunk-$chunk%05d.json")
+      f.toFile.deleteOnExit()
+      out = java.nio.file.Files.newBufferedWriter(f)
+      chunk += 1
+      bytes = 0L
+    }
+    try {
+      pages.foreach { page =>
+        page.foreach { line =>
+          if (out == null || bytes >= maxChunkBytes) rotate()
+          out.write(line)
+          out.write('\n')
+          bytes += line.length + 1
+        }
+      }
+    } finally if (out != null) out.close()
+    lastChunkCount = chunk
     import spark.implicits._
-    val raw = spark.read.json(spark.createDataset(lines))
+    val raw =
+      if (chunk == 0) spark.read.json(spark.createDataset(Seq.empty[String]))
+      else spark.read.json(dir.toString)
     flatten.get(table).map(_(raw)).getOrElse(raw)
   }
 

@@ -127,6 +127,22 @@ class PipelineSpec extends SparkSpecBase {
     assert(recall >= 0.5, s"recall $recall (${lsh.size}/${exact.size})")
   }
 
+  test("embedding cosine size guard routes large inputs off the N^2 plan") {
+    val e = Tables.df(spark, sfDir, "embeddings")
+    // force the route (threshold 0 = "every input is too big for all-pairs")
+    val routed = Dedup.embeddingCosinePairs(e, allPairsMaxRows = 0L)
+    val plan = routed.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "routed path planned a cartesian")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "routed path planned a nested-loop join")
+    // the routed result is the LSH+verify pair set: subset of the auditor
+    val exact = Dedup.embeddingCosinePairs(e).select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = routed.select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty && got.subsetOf(exact))
+  }
+
   test("stop-shingle cap bounds candidate pairs under boilerplate skew") {
     import spark.implicits._
     // 200 docs all sharing ONE boilerplate shingle, with unique tails: the

@@ -184,4 +184,33 @@ class SyncSpec extends SparkSpecBase with BeforeAndAfterAll {
         ("r3", "Initech", None, "Lost", 1.25)))
     }
   }
+
+  test("HTTP source spools pages to bounded chunks, never the whole table") {
+    // 500 rows over 25 pages, chunk cap 2 KB: the spool must rotate many
+    // times (driver memory = one page, like the reference's capped buffer),
+    // and the final table must be identical to an unbounded read
+    val rows = (1 to 500).map(i => s"""{"id": $i, "v": "payload-$i-${"x" * 80}"}""")
+    withStubServer { (_, query) =>
+      val params = query.split("&").map(_.split("=", 2)).collect {
+        case Array(k, v) => k -> v
+      }.toMap
+      val off = params.getOrElse("offset", "0").toInt
+      val lim = params.getOrElse("limit", "500").toInt
+      (200, rows.slice(off, off + lim).mkString("\n"), false)
+    } { port =>
+      val st = freshStore()
+      val src = new HttpJsonSource(spark, s"http://127.0.0.1:$port",
+        Seq("wide"), keys = Map("wide" -> "id"),
+        paging = OffsetPaging(limit = 20), maxChunkBytes = 2048)
+      new Syncer(st, src).fullRefresh()
+      // bounded buffering: the 500-row table rotated through many chunks
+      // (~100 B/row, 2 KB cap => ~25), so no all-pages Seq ever existed
+      assert(src.lastChunkCount >= 10,
+        s"expected many spool chunks, got ${src.lastChunkCount}")
+      val got = st.read("wide")
+      assert(got.count() == 500)
+      assert(got.select("id").distinct().count() == 500)
+      assert(got.filter(col("v") === s"payload-42-${"x" * 80}").count() == 1)
+    }
+  }
 }
