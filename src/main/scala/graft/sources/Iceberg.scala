@@ -267,7 +267,10 @@ object Iceberg {
   private val manifestSchemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, Schema]()
   private def manifestSchema(specCols: Seq[(String, DataType)]): Schema =
-    manifestSchemaCache.computeIfAbsent(specCols.map(_._1).mkString(","),
+    // key on name AND type: two tables may share a partition column name
+    // with different types, and the Avro field type differs between them
+    manifestSchemaCache.computeIfAbsent(
+      specCols.map { case (n, dt) => s"$n:$dt" }.mkString(","),
       _ => new Schema.Parser().parse(manifestSchemaJson(specCols)))
   private lazy val manifestListSchema = new Schema.Parser().parse(manifestListSchemaJson)
 
@@ -685,10 +688,16 @@ object Iceberg {
     }
     if (files.isEmpty) throw new IllegalStateException(s"empty snapshot in $tableDir")
     import org.apache.spark.sql.functions.{col, lit}
+    // mirror readTable: identity-partition columns live in paths, not data
+    // files, so a partitioned snapshot must read with basePath or the range
+    // column could be silently absent
+    def readFiles(fs: Seq[PlannedFile]): DataFrame =
+      if (fs.head.partition.isEmpty) spark.read.parquet(fs.map(_.path): _*)
+      else spark.read.option("basePath", baseOf(Paths.get(fs.head.path)).toString)
+        .parquet(fs.map(_.path): _*)
     val df =
-      if (hit.isEmpty)
-        spark.read.parquet(files.head.path).limit(0)
-      else spark.read.parquet(hit.map(_.path): _*)
+      if (hit.isEmpty) readFiles(Seq(files.head)).limit(0)
+      else readFiles(hit)
     (df.filter(col(column) >= lit(lo) && col(column) <= lit(hi)),
       hit.length, files.length)
   }

@@ -259,6 +259,42 @@ class IcebergSpec extends SparkSpecBase {
     assert(store.read("li").count() == 400)
   }
 
+  test("same-named partition columns of different types don't share a schema") {
+    import spark.implicits._
+    val (store, dir) = freshStore()
+    // two tables, both identity-partitioned on "part" — string vs long; a
+    // name-only manifest-schema cache would reuse the first Avro schema and
+    // the second publish would fail (or mis-type the partition value)
+    val a = (1L to 60L).map(i => (i, "p" + (i % 2))).toDF("id", "part")
+    val b = (1L to 60L).map(i => (i, i % 2)).toDF("id", "part")
+    store.replacePartitioned("pa", a, "part")
+    store.replacePartitioned("pb", b, "part")
+    store.publishIceberg("pa")
+    store.publishIceberg("pb")
+    assert(Iceberg.planFiles(dir.resolve("pa"))
+      .map(_.partition("part")).toSet == Set("p0", "p1"))
+    assert(Iceberg.planFiles(dir.resolve("pb"))
+      .map(_.partition("part")).toSet == Set(0L, 1L))
+    assert(store.readIceberg("pb").filter(col("part") === 1L).count() == 30)
+  }
+
+  test("range-pruned read of a partitioned table restores partition columns") {
+    import spark.implicits._
+    val (store, dir) = freshStore()
+    val df = (1L to 300L).map(i => (i, s"r$i", "p" + (i % 3))).toDF("id", "v", "part")
+    store.replacePartitioned("pt", df, "part")
+    store.publishIceberg("pt")
+    // the range column lives in the data files; "part" lives only in paths —
+    // without a basePath read it would be silently absent from the result
+    val (got, _, total) = Iceberg.readRangePruned(
+      spark, dir.resolve("pt"), df.schema, "id", 10L, 40L)
+    assert(total > 1)
+    assert(got.columns.contains("part"), "partition column missing from range read")
+    assert(got.count() == 31)
+    assert(got.filter(col("part") === "p0").count() ==
+      df.filter(col("id").between(10, 40) && col("part") === "p0").count())
+  }
+
   test("manifest-bound pruning skips files outside the range, result exact") {
     val (store, dir) = freshStore()
     // sorted layout -> tight non-overlapping per-file ranges
