@@ -22,13 +22,17 @@ import java.time.format.DateTimeFormatter
   * documented next increment.
   */
 object PgWireServer {
+  /** Always-accepted user, the analog of the reference's SYSTEM_AUTH_USER
+    * (postgres_server.go:18) its own CLI connects as. */
+  val SystemAuthUser = "graft"
   private val pidCounter = new java.util.concurrent.atomic.AtomicInteger(1000)
   /** backend pid -> (secret, Spark job group) for CancelRequest routing */
   private val backends =
     new java.util.concurrent.ConcurrentHashMap[Int, (Int, String)]()
 }
 
-class PgWireServer(spark: SparkSession, store: Store, port: Int) {
+class PgWireServer(spark: SparkSession, store: Store, port: Int,
+    database: String = "graft", user: String = "") {
   import PgWireServer._
   @volatile private var running = true
   private var server: ServerSocket = _
@@ -318,6 +322,21 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int) {
     if (proto != 196608) return false
     val params = new Array[Byte](len - 8)
     in.readFully(params)
+    // credential validation before AuthenticationOk, like the reference
+    // (postgres_server.go:219-228): the database must match; the user is
+    // checked only when one is configured, and the system auth user always
+    // connects (the reference's SYSTEM_AUTH_USER backdoor for its own CLI)
+    val kv = parseStartupParams(params)
+    val clientDb = kv.getOrElse("database", "")
+    if (clientDb != database) {
+      startupError(out, "3D000", s"database $clientDb does not exist")
+      return false
+    }
+    val clientUser = kv.getOrElse("user", "")
+    if (user.nonEmpty && clientUser != user && clientUser != SystemAuthUser) {
+      startupError(out, "28000", s"""role "$clientUser" does not exist""")
+      return false
+    }
     msg(out, 'R') { b => b.writeInt(0) } // AuthenticationOk
     Seq("server_version" -> "17.0", "server_encoding" -> "UTF8",
       "client_encoding" -> "UTF8", "DateStyle" -> "ISO") // ParameterStatus
@@ -332,6 +351,26 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int) {
   private def readyForQuery(out: DataOutputStream): Unit = {
     msg(out, 'Z') { b => b.writeByte('I') }
     out.flush()
+  }
+
+  /** key/value pairs of a StartupMessage body: NUL-terminated strings in
+    * pairs, terminated by an empty key. */
+  private def parseStartupParams(params: Array[Byte]): Map[String, String] = {
+    val parts = new String(params, UTF_8).split('\u0000').toSeq
+    parts.grouped(2).collect { case Seq(k, v) if k.nonEmpty => k -> v }.toMap
+  }
+
+  /** Startup rejection: ErrorResponse with an explicit SQLSTATE, then
+    * ReadyForQuery — the reference's writeError shape
+    * (postgres_server.go:197-207). */
+  private def startupError(out: DataOutputStream, code: String, message: String): Unit = {
+    msg(out, 'E') { b =>
+      b.writeByte('S'); cstr(b, "ERROR")
+      b.writeByte('C'); cstr(b, code)
+      b.writeByte('M'); cstr(b, message)
+      b.writeByte(0)
+    }
+    readyForQuery(out)
   }
 
   // ---- query execution -------------------------------------------------

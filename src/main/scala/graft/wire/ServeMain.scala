@@ -22,7 +22,11 @@ object ServeMain {
     Tables.registerAll(spark, sfDir)
     val store = new Store(spark,
       java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
-    val bound = new PgWireServer(spark, store, port).start()
+    // credential config, like the reference's --database/--user flags:
+    // database always validated, user only when configured
+    val bound = new PgWireServer(spark, store, port,
+      database = sys.env.getOrElse("GRAFT_DATABASE", "graft"),
+      user = sys.env.getOrElse("GRAFT_USER", "")).start()
     println(s"graft server ready on port $bound (sf=$sfDir)")
     Thread.currentThread.join()
   }
