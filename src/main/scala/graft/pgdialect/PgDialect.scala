@@ -401,11 +401,144 @@ object PgDialect {
     s = s.replaceAll("~~", " LIKE ")
     s = s.replaceAll("!~", " NOT RLIKE ")
     s = s.replaceAll("(?<![!<>=~])~(?![~=])", " RLIKE ")
+    // multi-row scalar-subquery tolerance (off by default = PG-strict):
+    // the reference boots DuckDB with
+    // scalar_subquery_error_on_multiple_rows=false (main.go:67), so a
+    // multi-row EXPR sublink yields a row there; with the session setting
+    // on, graft matches by injecting a deterministic LIMIT 1
+    if (SessionSettings.get("graft.scalar_subquery_first_row")
+        .exists(v => v.equalsIgnoreCase("on") || v.equalsIgnoreCase("true")))
+      s = rewriteScalarSublinks(s)
     // LAST: PG double-quoted identifiers -> Spark backticks ('' strings are
     // untouched; "" inside an identifier unescapes). Every earlier pass
     // matches against the PG-style quoting.
     s = pgQuotedToBacktick(s)
     s
+  }
+
+  /** Same-length copy with single-quoted string CONTENTS blanked to spaces —
+    * scan/classify on the blank copy, edit the original at the same index. */
+  private def blankStrings(s: String): Array[Char] = {
+    val b = s.toCharArray
+    var i = 0
+    var inQ = false
+    while (i < b.length) {
+      if (inQ) {
+        if (b(i) == '\'')
+          if (i + 1 < b.length && b(i + 1) == '\'') { b(i) = ' '; b(i + 1) = ' '; i += 1 }
+          else inQ = false
+        else b(i) = ' '
+      } else if (b(i) == '\'') inQ = true
+      i += 1
+    }
+    b
+  }
+
+  /** EXPR sublinks -> `(SELECT … LIMIT 1)`: find each `(SELECT` used in
+    * expression position (after an operator, a select-list comma, SELECT/
+    * WHEN/THEN/ELSE…, or as a function argument — NOT after FROM/JOIN/IN/
+    * EXISTS/ANY/ALL/…) and append LIMIT 1 unless the subquery already
+    * carries a top-level LIMIT/OFFSET. Spark supports LIMIT in correlated
+    * subqueries, so both correlated and uncorrelated sublinks take the
+    * deterministic first row instead of a runtime multi-row error. */
+  private[graft] def rewriteScalarSublinks(sql: String): String = {
+    val b = blankStrings(sql)
+    val n = b.length
+    def isWordC(c: Char) = c.isLetterOrDigit || c == '_'
+    // word ending at exclusive position e (scan backwards over ws first)
+    def wordBefore(e0: Int): (String, Int) = {
+      var e = e0
+      while (e > 0 && b(e - 1).isWhitespace) e -= 1
+      var st = e
+      while (st > 0 && isWordC(b(st - 1))) st -= 1
+      (new String(b, st, e - st).toUpperCase, st)
+    }
+    val tableIntro = Set("FROM", "JOIN", "IN", "EXISTS", "ANY", "ALL", "SOME",
+      "LATERAL", "UNION", "INTERSECT", "EXCEPT", "AS", "ARRAY", "VALUES", "USING")
+    val exprIntro = Set("SELECT", "WHERE", "WHEN", "THEN", "ELSE", "AND", "OR",
+      "NOT", "ON", "HAVING", "BY", "LIKE", "ILIKE", "RLIKE", "BETWEEN", "CASE",
+      "DISTINCT", "RETURN", "COALESCE", "NULLIF", "IF", "IIF", "SET")
+    // in a comma-separated list: derived table iff the nearest same-depth
+    // clause keyword looking backwards is FROM/USING; enclosing '(' = args
+    def commaIsExpr(p0: Int): Boolean = {
+      var p = p0 - 1
+      var depth = 0
+      var we = -1 // current word end (exclusive)
+      while (p >= 0) {
+        val c = b(p)
+        if (isWordC(c)) { if (we < 0) we = p + 1 }
+        else {
+          if (we >= 0) {
+            val w = new String(b, p + 1, we - p - 1).toUpperCase
+            if (depth == 0) {
+              if (w == "FROM" || w == "USING") return false
+              if (w == "SELECT" || w == "WHERE" || w == "HAVING" || w == "VALUES"
+                || w == "BY" || w == "WHEN" || w == "ON") return w != "VALUES"
+            }
+            we = -1
+          }
+          if (c == ')') depth += 1
+          else if (c == '(') { if (depth > 0) depth -= 1 else return true } // function args
+        }
+        p -= 1
+      }
+      true
+    }
+    def isExprPosition(openAt: Int): Boolean = {
+      var p = openAt
+      while (p > 0 && b(p - 1).isWhitespace) p -= 1
+      if (p == 0) return false // whole-statement parens
+      val prev = b(p - 1)
+      if ("=<>!+-*/%|^".indexOf(prev) >= 0) true
+      else if (prev == ',') commaIsExpr(p - 1)
+      else if (prev == '(') {
+        // wrapped expression or function argument: scalar unless the outer
+        // paren belongs to IN (...)/EXISTS (...)/FROM (...) style intros
+        val (w, _) = wordBefore(p - 1)
+        w.nonEmpty && !tableIntro.contains(w)
+      }
+      else if (isWordC(prev)) {
+        val (w, _) = wordBefore(p)
+        exprIntro.contains(w) && !tableIntro.contains(w)
+      }
+      else false
+    }
+    // collect insertion points (index of the closing paren) left to right
+    val inserts = scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 0
+    while (i < n) {
+      if (b(i) == '(') {
+        var j = i + 1
+        while (j < n && b(j).isWhitespace) j += 1
+        if (j + 6 <= n && new String(b, j, 6).equalsIgnoreCase("SELECT")
+            && (j + 6 == n || !isWordC(b(j + 6))) && isExprPosition(i)) {
+          // walk to the matching ')' noting any top-level LIMIT/OFFSET
+          var d = 0
+          var k = i
+          var hasLimit = false
+          var close = -1
+          while (k < n && close < 0) {
+            val c = b(k)
+            if (c == '(') d += 1
+            else if (c == ')') { d -= 1; if (d == 0) close = k }
+            else if (d == 1 && (c == 'L' || c == 'l' || c == 'O' || c == 'o')
+                && !isWordC(b(k - 1))) {
+              val rest = new String(b, k, math.min(6, n - k)).toUpperCase
+              if (rest.startsWith("LIMIT") || rest.startsWith("OFFSET")) hasLimit = true
+            }
+            k += 1
+          }
+          if (close > 0 && !hasLimit) inserts += close
+        }
+      }
+      i += 1
+    }
+    if (inserts.isEmpty) sql
+    else {
+      val out = new StringBuilder(sql)
+      inserts.reverseIterator.foreach(p => out.insert(p, " LIMIT 1"))
+      out.toString
+    }
   }
 
   /** `"ident"` -> `` `ident` `` outside single-quoted strings — PG quotes

@@ -340,6 +340,35 @@ object PgDialectOps {
         SELECT n_regionkey, string_agg(n_name, ';' ORDER BY n_name DESC) AS names
         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""
       )
+    },
+
+    // multi-row scalar subquery tolerated in first-row mode — the reference
+    // boots DuckDB with scalar_subquery_error_on_multiple_rows=false
+    // (main.go:67), so this query returns rows there while PG-strict mode
+    // (and the default here) raises a multi-row error. The sublink carries
+    // ORDER BY, making the injected LIMIT 1 deterministic for the oracle.
+    Q(
+      "pd_scalar_multirow",
+      Some("""
+      SELECT c_custkey,
+        (SELECT o_totalprice FROM orders
+         WHERE o_custkey = c_custkey
+         ORDER BY o_orderdate, o_orderkey LIMIT 1) AS first_price
+      FROM customer
+      ORDER BY c_custkey""")
+    ) { (s, dir) =>
+      SessionSettings.set("graft.scalar_subquery_first_row", "on")
+      try run(
+        s,
+        """
+        SELECT c_custkey,
+          (SELECT o_totalprice FROM orders
+           WHERE o_custkey = c_custkey
+           ORDER BY o_orderdate, o_orderkey) AS first_price
+        FROM customer
+        ORDER BY c_custkey"""
+      )
+      finally SessionSettings.reset("graft.scalar_subquery_first_row")
     }
   )
 }

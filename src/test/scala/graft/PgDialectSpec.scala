@@ -103,6 +103,42 @@ class PgDialectSpec extends SparkSpecBase {
     assert(!plain.exists(_.startsWith("Actual Rows")))
   }
 
+  test("scalar sublink first-row mode injects LIMIT 1 in expression position") {
+    // EXPR sublinks gain LIMIT 1; table-position subqueries never do
+    assert(rewriteScalarSublinks("SELECT (SELECT v FROM t) AS v FROM o")
+      == "SELECT (SELECT v FROM t LIMIT 1) AS v FROM o")
+    assert(rewriteScalarSublinks("SELECT a, (SELECT v FROM t WHERE k = a ORDER BY v) FROM o")
+      == "SELECT a, (SELECT v FROM t WHERE k = a ORDER BY v LIMIT 1) FROM o")
+    assert(rewriteScalarSublinks("SELECT * FROM o WHERE x = (SELECT max(v) FROM t)")
+      == "SELECT * FROM o WHERE x = (SELECT max(v) FROM t LIMIT 1)")
+    assert(rewriteScalarSublinks("SELECT coalesce((SELECT v FROM t), 0) FROM o")
+      == "SELECT coalesce((SELECT v FROM t LIMIT 1), 0) FROM o")
+    // NOT sublinks: FROM / JOIN / IN / EXISTS / ANY / set-op branches
+    Seq(
+      "SELECT * FROM (SELECT v FROM t) s",
+      "SELECT * FROM o JOIN (SELECT v FROM t) s ON s.v = o.x",
+      "SELECT * FROM o, (SELECT v FROM t) s",
+      "SELECT * FROM o WHERE x IN (SELECT v FROM t)",
+      "SELECT * FROM o WHERE EXISTS (SELECT 1 FROM t)",
+      "SELECT * FROM o WHERE x > ALL (SELECT v FROM t)",
+      "(SELECT v FROM a) UNION (SELECT v FROM b)"
+    ).foreach(q => assert(rewriteScalarSublinks(q) == q, q))
+    // an existing top-level LIMIT/OFFSET is left alone
+    assert(rewriteScalarSublinks("SELECT (SELECT v FROM t ORDER BY v LIMIT 3) FROM o")
+      == "SELECT (SELECT v FROM t ORDER BY v LIMIT 3) FROM o")
+    // keywords inside string literals are data, not anchors
+    assert(rewriteScalarSublinks("SELECT '(SELECT x FROM t)' AS s FROM o")
+      == "SELECT '(SELECT x FROM t)' AS s FROM o")
+    // the translate pipeline only applies it when the session setting is on
+    val strict = translateSelect("SELECT (SELECT v FROM t) AS v FROM o")
+    assert(!strict.contains("LIMIT 1"))
+    SessionSettings.set("graft.scalar_subquery_first_row", "on")
+    try {
+      val lenient = translateSelect("SELECT (SELECT v FROM t) AS v FROM o")
+      assert(lenient.contains("LIMIT 1"), lenient)
+    } finally SessionSettings.reset("graft.scalar_subquery_first_row")
+  }
+
   test("unaliased targets get PG auto-aliases like the reference remapper") {
     // f(x) -> AS f (query_remapper_select.go:68-76)
     assert(
