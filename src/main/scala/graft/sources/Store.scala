@@ -327,21 +327,33 @@ class Store(spark: SparkSession, warehouse: String) {
       case IntegerType | LongType | ShortType | ByteType | StringType => true
       case _ => false
     }
-    val inKeys: Array[Any] =
-      if (!prunable) Array.empty
-      else incoming.select(col(key)).distinct().collect()
-        .flatMap(r => Option(r.get(0))).map(normKey).sorted(keyOrdering)
-    def overlaps(range: Option[(Any, Any)]): Boolean = range match {
-      case None => true // no usable stats: must assume the file is hit
-      case Some((lo, hi)) =>
-        val i = lowerBound(inKeys, lo)
-        i < inKeys.length && keyOrdering.compare(inKeys(i), hi) <= 0
-    }
+    // routing probe: small batches collect their distinct keys to the
+    // driver (one binary search per file); above the threshold the overlap
+    // test runs as a distributed join against broadcast file stats, so no
+    // key set ever materializes on the driver (a 10^9-row upsert prunes
+    // with driver memory O(files))
+    val inCount = if (!prunable) 0L else incoming.count()
+    lastPruneViaJoin = prunable && inCount > maxDriverPruneKeys
     val (hit, carried) =
       if (!prunable) (files, Seq.empty[Path])
       else try {
         val stats = fileStats(cur, key).toMap
-        files.partition(f => overlaps(stats.getOrElse(f, None)))
+        if (!lastPruneViaJoin) {
+          val inKeys: Array[Any] = incoming.select(col(key)).distinct().collect()
+            .flatMap(r => Option(r.get(0))).map(normKey).sorted(keyOrdering)
+          def overlaps(range: Option[(Any, Any)]): Boolean = range match {
+            case None => true // no usable stats: must assume the file is hit
+            case Some((lo, hi)) =>
+              val i = lowerBound(inKeys, lo)
+              i < inKeys.length && keyOrdering.compare(inKeys(i), hi) <= 0
+          }
+          files.partition(f => overlaps(stats.getOrElse(f, None)))
+        } else {
+          val hits = overlapHitsByJoin(incoming, key,
+            stats.collect { case (p, Some(r)) => (p, r) }.toSeq)
+          files.partition(f => stats.getOrElse(f, None).isEmpty
+            || hits.contains(f.getFileName.toString))
+        }
       } catch { case _: ClassCastException => (files, Seq.empty[Path]) }
     val next = versions(name) + 1
     val dir = Paths.get(versionDir(name, next))
@@ -464,6 +476,36 @@ class Store(spark: SparkSession, warehouse: String) {
     val live = all.filterNot(doomed.contains).map(_.toLong).toSet
     Iceberg.expireSnapshots(Paths.get(s"$warehouse/$name"), live)
     doomed
+  }
+
+  /** Above this many incoming rows, upsert/delete overlap pruning switches
+    * from a driver-side key collect to the stats join (tunable in tests). */
+  private[graft] var maxDriverPruneKeys: Long = 100000L
+  /** Whether the last prunedRewrite routed through the join-based overlap
+    * test — observability for specs asserting the no-collect path. */
+  @volatile private[graft] var lastPruneViaJoin: Boolean = false
+
+  /** Distributed overlap test: incoming keys × broadcast (file, lo, hi)
+    * ranges -> the set of hit file names. The only rows reaching the driver
+    * are file names, never keys. */
+  private def overlapHitsByJoin(incoming: DataFrame, key: String,
+      ranges: Seq[(Path, (Any, Any))]): Set[String] = {
+    import spark.implicits._
+    val isStr = incoming.schema(key).dataType == StringType
+    val statsDf =
+      if (isStr) ranges.map { case (p, (lo, hi)) =>
+        (p.getFileName.toString, lo.asInstanceOf[String], hi.asInstanceOf[String])
+      }.toDF("__file", "__lo", "__hi")
+      else ranges.map { case (p, (lo, hi)) =>
+        (p.getFileName.toString,
+          lo.asInstanceOf[Number].longValue, hi.asInstanceOf[Number].longValue)
+      }.toDF("__file", "__lo", "__hi")
+    val keyCol = if (isStr) col(key).cast("string") else col(key).cast("long")
+    incoming.select(keyCol.as("__k")).where(col("__k").isNotNull).distinct()
+      .join(broadcast(statsDf),
+        col("__k") >= col("__lo") && col("__k") <= col("__hi"))
+      .select("__file").distinct()
+      .collect().map(_.getString(0)).toSet
   }
 
   /** Normalize footer-stat and DataFrame key values into one comparable

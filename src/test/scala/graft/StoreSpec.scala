@@ -84,6 +84,35 @@ class StoreSpec extends SparkSpecBase {
     assert(st.read("t").filter(col("k") === 2500L).count() == 0)
   }
 
+  test("large-key-set upsert prunes via the stats join, never a driver collect") {
+    val st = freshStore()
+    import spark.implicits._
+    st.replace("t", (1L to 4000L).map(k => (k, s"v$k")).toDF("k", "v")
+      .repartitionByRange(4, col("k")))
+    // force the join route for any realistic batch, then upsert a key set
+    // that would be "large": same pruning decision, no keys on the driver
+    st.maxDriverPruneKeys = 10L
+    val incoming = (1L to 500L).map(k => (k, s"X$k")).toDF("k", "v")
+    val (rewritten, total) = st.upsert("t", incoming, "k")
+    assert(st.lastPruneViaJoin, "expected the join-based overlap route")
+    assert(total == 4 && rewritten == 1,
+      s"join route must prune identically, saw $rewritten/$total")
+    assert(st.read("t").count() == 4000)
+    assert(st.read("t").filter(col("k") === 42L).head.getString(1) == "X42")
+    assert(st.read("t").filter(col("k") === 3000L).head.getString(1) == "v3000")
+    // delete routes the same way above the threshold
+    val (dRewritten, dTotal) =
+      st.deleteByKey("t", (3900L to 4000L).map(Tuple1(_)).toDF("k"), "k")
+    assert(st.lastPruneViaJoin && dRewritten < dTotal,
+      s"delete join route must still prune, saw $dRewritten/$dTotal")
+    assert(st.read("t").count() == 3899)
+    // a small batch still takes the driver binary-search route
+    st.maxDriverPruneKeys = 100000L
+    st.upsert("t", Seq((5L, "tiny")).toDF("k", "v"), "k")
+    assert(!st.lastPruneViaJoin)
+    assert(st.read("t").filter(col("k") === 5L).head.getString(1) == "tiny")
+  }
+
   test("scd2 upsert tracks history: closes changed rows, keeps unchanged open") {
     val st = freshStore()
     import spark.implicits._
