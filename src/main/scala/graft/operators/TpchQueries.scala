@@ -28,8 +28,16 @@ final case class Q(name: String, oracle: Option[String])(
     val run: (SparkSession, String) => DataFrame)
 
 object Qdsl {
-  /** exact cents of a 2-dp double (round kills the fp representation dust) */
-  def cents(c: Column): Column = round(c * 100).cast("long")
+  /** Exact cents of a 2-dp double. The +0.5/floor form kills the fp
+    * representation dust exactly like round() would — a 2-dp money value's
+    * *100 product is an integer ± ~1e-10 dust, never near a .5 boundary, so
+    * floor(x*100 + 0.5) lands on the same integer for either dust sign and
+    * either value sign — but floor stays a codegen intrinsic. Spark's
+    * round(double) allocates BigDecimal.valueOf per row, which measurably
+    * drags the per-row money path (q01/q08/q09 compute 2-3 of these per
+    * lineitem row). Only for true half-boundary doubles (e.g. an exact
+    * -0.125) would the two differ; money columns cannot produce those. */
+  def cents(c: Column): Column = floor(c * 100 + lit(0.5)).cast("long")
   /** extendedprice * (1-discount), exact, in units of 1e-4 dollars */
   val discProd: Column =
     cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
