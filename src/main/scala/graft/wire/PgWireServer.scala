@@ -133,13 +133,15 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
                 val nFmt = b.readShort()
                 val fmts = (0 until nFmt).map(_ => b.readShort())
                 val nParams = b.readShort()
+                val declared = declaredParamOids.getOrElse(stmt, Nil)
                 val args = (0 until nParams).map { pi =>
                   val plen = b.readInt()
                   if (plen < 0) null
                   else {
                     val pb = new Array[Byte](plen); b.readFully(pb)
                     val fmt = if (fmts.isEmpty) 0 else fmts(pi min (fmts.size - 1))
-                    decodeParam(pb, fmt)
+                    decodeParam(pb, fmt,
+                      if (pi < declared.size) declared(pi) else 0)
                   }
                 }
                 val sql = substituteParams(statements(stmt), args)
@@ -207,15 +209,43 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
 
   /** Text params pass through; binary int4/int8/uuid decoded by length, the
     * same heuristic the reference applies (query_handler.go:143-184). */
-  private def decodeParam(bytes: Array[Byte], fmt: Int): String =
+  /** Binary-format parameter -> canonical text, steered by the OID the
+    * client declared at Parse time (PgJDBC/psycopg always declare when they
+    * send binary). Without a declared OID the old length heuristic stands —
+    * 4 bytes could be int4 OR float4, so drivers that binary-encode floats
+    * must declare, exactly as the protocol intends. Dates/timestamps use the
+    * PG binary epoch (2000-01-01). */
+  private def decodeParam(bytes: Array[Byte], fmt: Int, oid: Int = 0): String =
     if (fmt == 0) new String(bytes, UTF_8)
-    else bytes.length match {
-      case 4 => java.nio.ByteBuffer.wrap(bytes).getInt.toString
-      case 8 => java.nio.ByteBuffer.wrap(bytes).getLong.toString
-      case 16 => // binary-format uuid -> canonical text form
-        val bb = java.nio.ByteBuffer.wrap(bytes)
-        new java.util.UUID(bb.getLong, bb.getLong).toString
-      case _ => new String(bytes, UTF_8)
+    else {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      oid match {
+        case 16 => if (bytes.nonEmpty && bytes(0) != 0) "t" else "f"
+        case 21 => bb.getShort.toString
+        case 23 => bb.getInt.toString
+        case 20 => bb.getLong.toString
+        case 700 => bb.getFloat.toString
+        case 701 => bb.getDouble.toString
+        case 1082 => // days since 2000-01-01
+          java.time.LocalDate.of(2000, 1, 1).plusDays(bb.getInt.toLong).toString
+        case 1114 | 1184 => // micros since 2000-01-01 midnight
+          val micros = bb.getLong
+          val secs = Math.floorDiv(micros, 1000000L)
+          val frac = Math.floorMod(micros, 1000000L)
+          val ldt = java.time.LocalDateTime.of(2000, 1, 1, 0, 0).plusSeconds(secs)
+          val base = ldt.format(DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+          if (frac == 0) base
+          else base + "." + f"$frac%06d".reverse.dropWhile(_ == '0').reverse
+        case 2950 =>
+          new java.util.UUID(bb.getLong, bb.getLong).toString
+        case 25 | 1042 | 1043 => new String(bytes, UTF_8)
+        case _ => bytes.length match {
+          case 4 => bb.getInt.toString
+          case 8 => bb.getLong.toString
+          case 16 => new java.util.UUID(bb.getLong, bb.getLong).toString
+          case _ => new String(bytes, UTF_8)
+        }
+      }
     }
 
   /** Parameter type from a `$N::type` cast context in the statement, text
