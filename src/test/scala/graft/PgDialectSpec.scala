@@ -139,6 +139,33 @@ class PgDialectSpec extends SparkSpecBase {
     } finally SessionSettings.reset("graft.scalar_subquery_first_row")
   }
 
+  test("first-row mode is append-only across the 271-query golden corpus") {
+    // the sublink scanner must never corrupt real-world BI/ORM SQL: with
+    // the setting on, every golden translation may differ from the strict
+    // one ONLY by inserted " LIMIT 1" tokens, and must still parse
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val qs = om.readTree(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("tools/golden_queries.json")))
+    var rewritten = 0
+    qs.elements().forEachRemaining { qn =>
+      val q = qn.asText
+      val off = try Some(translateSelect(q)) catch { case _: Throwable => None }
+      off.foreach { o =>
+        SessionSettings.set("graft.scalar_subquery_first_row", "on")
+        val on =
+          try translateSelect(q)
+          finally SessionSettings.reset("graft.scalar_subquery_first_row")
+        assert(on.replace(" LIMIT 1", "") == o.replace(" LIMIT 1", ""),
+          s"non-append-only rewrite for: $q\noff: $o\non:  $on")
+        if (on != o) {
+          rewritten += 1
+          spark.sessionState.sqlParser.parsePlan(on) // still valid SQL
+        }
+      }
+    }
+    assert(rewritten > 0, "expected at least one golden sublink to be rewritten")
+  }
+
   test("unaliased targets get PG auto-aliases like the reference remapper") {
     // f(x) -> AS f (query_remapper_select.go:68-76)
     assert(
