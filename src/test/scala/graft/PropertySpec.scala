@@ -39,6 +39,50 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("scalar sublink rewrite is append-only and balance-preserving (property)") {
+    // random queries mixing expression-position sublinks, table-position
+    // subqueries, string literals containing '(SELECT', and nesting: the
+    // rewrite may ONLY insert " LIMIT 1" tokens, never reorder or drop
+    // text, and the result keeps parentheses balanced
+    val lit = Gen.oneOf("'x'", "'(SELECT a FROM b)'", "'it''s'")
+    val scalarPos = Gen.oneOf(
+      "SELECT (SELECT v FROM t) AS a FROM o",
+      "SELECT a, (SELECT max(v) FROM t WHERE k = a) FROM o",
+      "SELECT * FROM o WHERE x = (SELECT v FROM t ORDER BY v)",
+      "SELECT coalesce((SELECT v FROM t), 0) AS c FROM o")
+    val tablePos = Gen.oneOf(
+      "SELECT * FROM (SELECT v FROM t) s",
+      "SELECT * FROM o WHERE x IN (SELECT v FROM t)",
+      "SELECT * FROM o WHERE EXISTS (SELECT 1 FROM t WHERE t.k = o.k)",
+      "SELECT * FROM o JOIN (SELECT v FROM t) s ON s.v = o.x")
+    val q = for {
+      base <- Gen.oneOf(scalarPos, tablePos).flatMap(g => g)
+      l <- lit
+      wrap <- Gen.oneOf(true, false)
+    } yield {
+      val withLit = base.replace("'x'", l)
+      if (wrap) s"SELECT * FROM ($withLit) w WHERE 1 = (SELECT 1)" else withLit
+    }
+    def balance(s: String): Int = {
+      var d = 0; var inQ = false
+      s.foreach { c =>
+        if (inQ) { if (c == '\'') inQ = false }
+        else if (c == '\'') inQ = true
+        else if (c == '(') d += 1
+        else if (c == ')') d -= 1
+      }
+      d
+    }
+    samples(q).foreach { sql =>
+      val out = PgDialect.rewriteScalarSublinks(sql)
+      assert(out.replace(" LIMIT 1", "") == sql.replace(" LIMIT 1", ""),
+        s"not append-only:\nin:  $sql\nout: $out")
+      assert(balance(out) == balance(sql), s"unbalanced: $out")
+      // idempotent: a second pass adds nothing (all sublinks now have LIMIT)
+      assert(PgDialect.rewriteScalarSublinks(out) == out, s"not idempotent: $out")
+    }
+  }
+
   test("rolling hash equals the wrapping-fold reference on arbitrary strings") {
     import org.apache.spark.unsafe.types.UTF8String
     val cpGen = Gen.listOf(Gen.frequency(
