@@ -154,6 +154,19 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Intra-document repeated-line removal: cut each doc into fixed
+    * `width`-token lines, drop within-doc repeats keeping first occurrence,
+    * rebuild the text. Scan-local — zero shuffle at any scale. */
+  def intraDocDedup(docs: DataFrame, width: Int = 2): DataFrame =
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"),
+        expr(s"transform(sequence(0, cast(ceil(size(w) / $width.0) AS INT) - 1, 1), " +
+          s"i -> concat_ws(' ', slice(w, i * $width + 1, $width)))").as("lines"))
+      .select(col("doc_id"),
+        array_join(array_distinct(col("lines")), " ").as("dedup_text"),
+        size(array_distinct(col("lines"))).cast("long").as("kept_lines"))
+
   /** Embedding-space near-dup pairs with a SIZE GUARD: up to
     * `allPairsMaxRows` input vectors the exact all-pairs auditor runs
     * (O(N^2) — fine for samples/audits); above it the call auto-routes
@@ -423,6 +436,29 @@ object Dedup {
           sum(when(col("occ") === 1, 1).otherwise(0)).as("kept"),
           sum(when(col("occ") > 1, 1).otherwise(0)).as("removed"))
         .orderBy("doc_id")
+    },
+
+    // intra-document repeated-line removal (the CCNet/RefinedWeb in-doc
+    // pre-pass, distinct from the corpus-wide dd_line_dedup): repeats of a
+    // line are dropped WITHIN their own document, first occurrence kept in
+    // place, and the deduped text is rebuilt. Entirely scan-local — each
+    // row rewrites itself via array_distinct (which preserves first-seen
+    // order), so the op carries zero shuffle at any scale.
+    Q("dd_intra_doc", Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, chr(32)) AS w FROM documents),
+      idx AS (SELECT doc_id, w,
+          unnest(range(0, CAST(ceil(len(w) / 2.0) AS BIGINT))) AS i
+        FROM toks),
+      lines AS (SELECT doc_id, CAST(i AS BIGINT) AS line_no,
+          array_to_string(w[i * 2 + 1 : i * 2 + 2], chr(32)) AS line
+        FROM idx),
+      firsts AS (SELECT doc_id, line, min(line_no) AS pos
+        FROM lines GROUP BY doc_id, line)
+      SELECT doc_id,
+        string_agg(line, chr(32) ORDER BY pos) AS dedup_text,
+        CAST(count(*) AS BIGINT) AS kept_lines
+      FROM firsts GROUP BY doc_id ORDER BY doc_id""")) { (s, dir) =>
+      intraDocDedup(t(s, dir, "documents")).orderBy("doc_id")
     },
 
     // SemDeDup (semantic dedup): cluster-bounded pairwise cosine — a vector

@@ -143,6 +143,18 @@ class PipelineSpec extends SparkSpecBase {
     assert(got.nonEmpty && got.subsetOf(exact))
   }
 
+  test("intra-doc dedup is scan-local and keeps first occurrences in order") {
+    import spark.implicits._
+    // no Exchange in the plan: the op must stay embarrassingly parallel
+    val docs = Tables.df(spark, sfDir, "documents")
+    val plan = Dedup.intraDocDedup(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"intra-doc dedup planned a shuffle:\n$plan")
+    // semantic pin on a hand-built doc: 2-token lines, repeats dropped in place
+    val one = Seq((1L, "a b c d a b e f c d")).toDF("doc_id", "text")
+    val got = Dedup.intraDocDedup(one).as[(Long, String, Long)].collect().head
+    assert(got == ((1L, "a b c d e f", 3L)))
+  }
+
   test("stop-shingle cap bounds candidate pairs under boilerplate skew") {
     import spark.implicits._
     // 200 docs all sharing ONE boilerplate shingle, with unique tails: the
