@@ -171,11 +171,13 @@ object Dedup {
     * `allPairsMaxRows` input vectors the exact all-pairs auditor runs
     * (O(N^2) — fine for samples/audits); above it the call auto-routes
     * through LSH candidates + exact verify, so nothing a caller does can
-    * plan a cartesian over 10^9 vectors. The one count() is the stats
-    * probe that buys the routing decision. */
+    * plan a cartesian over 10^9 vectors. The routing probe is a
+    * limit-bounded count — it stops reading after threshold+1 rows instead
+    * of scanning the whole input. */
   def embeddingCosinePairs(e: DataFrame,
       allPairsMaxRows: Long = 100000L): DataFrame =
-    if (e.count() <= allPairsMaxRows) embeddingCosineAllPairs(e)
+    if (e.limit(math.min(allPairsMaxRows + 1, Int.MaxValue).toInt).count() <= allPairsMaxRows)
+      embeddingCosineAllPairs(e)
     else embeddingCosineLsh(e)
 
   val defs: Seq[Q] = Seq(

@@ -327,20 +327,25 @@ class Store(spark: SparkSession, warehouse: String) {
       case IntegerType | LongType | ShortType | ByteType | StringType => true
       case _ => false
     }
-    // routing probe: small batches collect their distinct keys to the
-    // driver (one binary search per file); above the threshold the overlap
-    // test runs as a distributed join against broadcast file stats, so no
-    // key set ever materializes on the driver (a 10^9-row upsert prunes
-    // with driver memory O(files))
-    val inCount = if (!prunable) 0L else incoming.count()
-    lastPruneViaJoin = prunable && inCount > maxDriverPruneKeys
+    // routing probe: ONE limit-bounded job collects at most threshold+1
+    // distinct keys. If they all fit, those keys drive the driver-side
+    // binary-search overlap test directly (no second pass); if the limit is
+    // hit, the batch is "large" and the overlap test runs as a distributed
+    // join against broadcast file stats instead — no key set ever
+    // materializes on the driver (a 10^9-row upsert prunes with driver
+    // memory O(threshold + files))
+    val probe: Array[Any] =
+      if (!prunable) Array.empty
+      else incoming.select(col(key)).distinct()
+        .limit(math.min(maxDriverPruneKeys + 1, Int.MaxValue).toInt).collect()
+        .flatMap(r => Option(r.get(0))).map(normKey)
+    lastPruneViaJoin = prunable && probe.length > maxDriverPruneKeys
     val (hit, carried) =
       if (!prunable) (files, Seq.empty[Path])
       else try {
         val stats = fileStats(cur, key).toMap
         if (!lastPruneViaJoin) {
-          val inKeys: Array[Any] = incoming.select(col(key)).distinct().collect()
-            .flatMap(r => Option(r.get(0))).map(normKey).sorted(keyOrdering)
+          val inKeys: Array[Any] = probe.sorted(keyOrdering)
           def overlaps(range: Option[(Any, Any)]): Boolean = range match {
             case None => true // no usable stats: must assume the file is hit
             case Some((lo, hi)) =>
