@@ -23,9 +23,9 @@ object Bench {
     // parallelism returns exactly when the data needs it.
     // MEASURED at the >1-partition regime (tools/gen_scaled.py, SF1-volume
     // 6M-row lineitem -> parts=6, AQE on; BENCH_SCALED.json): workload wall
-    // 5.4 s vs the reference's 25.6 s SF1 baseline (0.21x), sequential sum
-    // 24.3 s (0.95x); 10x the data costs 2.4x the wall — the sublinear
-    // scaling the rule was designed for, now verified rather than asserted.
+    // 5.8-6.1 s vs the reference's 25.6 s SF1 baseline (0.23x), sequential
+    // sum 17.2-17.8 s (0.67-0.70x); 10x the data costs ~2.4x the wall — the
+    // sublinear scaling the rule was designed for, verified not asserted.
     val cache = sys.env.getOrElse("SPARK_GRAFT_CACHE", "true").toBoolean
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
