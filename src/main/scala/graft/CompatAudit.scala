@@ -236,12 +236,16 @@ object CompatAudit {
               // (query_handler_test.go "types") — its harness compares the
               // listed PREFIX (`for i := range expectedTypes`), so a
               // SELECT * with one pinned type checks the first column only
-              if (oids != null && oids.length <= df.schema.fields.length) {
+              if (oids != null) {
                 oidTot += 1
-                val got = df.schema.fields.take(oids.length)
-                  .map(f => wire.fieldOid(f).toString).toSeq
-                if (got == oids) oidOk += 1
-                else valueMiss += q -> s"oids: got $got want $oids"
+                if (oids.length <= df.schema.fields.length) {
+                  val got = df.schema.fields.take(oids.length)
+                    .map(f => wire.fieldOid(f).toString).toSeq
+                  if (got == oids) oidOk += 1
+                  else valueMiss += q -> s"oids: got $got want $oids"
+                } else // fewer result columns than pins is itself a mismatch
+                  valueMiss += q ->
+                    s"oids: got ${df.schema.fields.length} cols, want ${oids.length} pins"
               }
               // the reference asserts a single expected row
               if (vals != null && rows.length == 1 &&

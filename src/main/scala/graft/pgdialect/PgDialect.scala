@@ -416,19 +416,38 @@ object PgDialect {
     s
   }
 
-  /** Same-length copy with single-quoted string CONTENTS blanked to spaces —
+  /** Same-length copy with string-literal CONTENTS blanked to spaces (both
+    * '…' with '' escapes and PG dollar-quoted $tag$…$tag$ forms) —
     * scan/classify on the blank copy, edit the original at the same index. */
   private def blankStrings(s: String): Array[Char] = {
     val b = s.toCharArray
+    val n = b.length
     var i = 0
     var inQ = false
-    while (i < b.length) {
-      if (inQ) {
+    var dollarTag: String = null // e.g. "$$" or "$tag$" while inside one
+    def dollarOpener(at: Int): String = {
+      if (b(at) != '$') return null
+      var j = at + 1
+      while (j < n && (b(j).isLetterOrDigit || b(j) == '_')) j += 1
+      if (j < n && b(j) == '$') new String(b, at, j - at + 1) else null
+    }
+    while (i < n) {
+      if (dollarTag != null) {
+        if (b(i) == '$' && i + dollarTag.length <= n
+            && new String(b, i, dollarTag.length) == dollarTag) {
+          i += dollarTag.length - 1
+          dollarTag = null
+        } else b(i) = ' '
+      } else if (inQ) {
         if (b(i) == '\'')
-          if (i + 1 < b.length && b(i + 1) == '\'') { b(i) = ' '; b(i + 1) = ' '; i += 1 }
+          if (i + 1 < n && b(i + 1) == '\'') { b(i) = ' '; b(i + 1) = ' '; i += 1 }
           else inQ = false
         else b(i) = ' '
       } else if (b(i) == '\'') inQ = true
+      else {
+        val tag = dollarOpener(i)
+        if (tag != null) { dollarTag = tag; i += tag.length - 1 }
+      }
       i += 1
     }
     b
@@ -471,9 +490,13 @@ object PgDialect {
           if (we >= 0) {
             val w = new String(b, p + 1, we - p - 1).toUpperCase
             if (depth == 0) {
-              if (w == "FROM" || w == "USING") return false
-              if (w == "SELECT" || w == "WHERE" || w == "HAVING" || w == "VALUES"
-                || w == "BY" || w == "WHEN" || w == "ON") return w != "VALUES"
+              // ON at depth 0 means the comma continues a FROM list after a
+              // join clause (a comma inside the ON expression itself can only
+              // occur within parens, handled by the enclosing-'(' rule)
+              if (w == "FROM" || w == "USING" || w == "ON" || w == "VALUES")
+                return false
+              if (w == "SELECT" || w == "WHERE" || w == "HAVING"
+                || w == "BY" || w == "WHEN") return true
             }
             we = -1
           }
@@ -523,8 +546,9 @@ object PgDialect {
             else if (c == ')') { d -= 1; if (d == 0) close = k }
             else if (d == 1 && (c == 'L' || c == 'l' || c == 'O' || c == 'o')
                 && !isWordC(b(k - 1))) {
-              val rest = new String(b, k, math.min(6, n - k)).toUpperCase
-              if (rest.startsWith("LIMIT") || rest.startsWith("OFFSET")) hasLimit = true
+              // word-boundary match: a column named `limits` must not count
+              val rest = new String(b, k, math.min(7, n - k)).toUpperCase
+              if (rest.matches("(?s)(LIMIT|OFFSET)(\\W.*|)")) hasLimit = true
             }
             k += 1
           }

@@ -336,9 +336,9 @@ class Store(spark: SparkSession, warehouse: String) {
     // memory O(threshold + files))
     val probe: Array[Any] =
       if (!prunable) Array.empty
-      else incoming.select(col(key)).distinct()
+      else incoming.select(col(key)).where(col(key).isNotNull).distinct()
         .limit(math.min(maxDriverPruneKeys + 1, Int.MaxValue).toInt).collect()
-        .flatMap(r => Option(r.get(0))).map(normKey)
+        .map(r => normKey(r.get(0)))
     lastPruneViaJoin = prunable && probe.length > maxDriverPruneKeys
     val (hit, carried) =
       if (!prunable) (files, Seq.empty[Path])

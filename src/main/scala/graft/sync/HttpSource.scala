@@ -46,13 +46,34 @@ class HttpJsonSource(
     paging: HttpPaging = OffsetPaging(),
     headers: Map[String, String] = Map.empty,
     flatten: Map[String, DataFrame => DataFrame] = Map.empty,
-    maxChunkBytes: Long = 32L * 1024 * 1024) extends SyncSource {
+    maxChunkBytes: Long = 32L * 1024 * 1024,
+    spoolDir: Option[java.nio.file.Path] = None) extends SyncSource {
 
   def listTables(): Seq[String] = tables
 
   /** Chunk files the last read() spooled — observability for tests that
     * assert bounded buffering (pages >> chunk size => several chunks). */
   @volatile private[graft] var lastChunkCount: Int = 0
+
+  /** Spool dirs of reads whose DataFrames may still be unconsumed. Syncer
+    * calls releaseStaging() after each durable table write; without it a
+    * long-running sync daemon would leak one on-disk table copy per read
+    * until JVM exit. NOTE: the spool lives on the DRIVER's filesystem
+    * (default java.io.tmpdir) — on a multi-host master, pass `spoolDir` on
+    * a filesystem the executors share, exactly as any local-staging
+    * ingestion does. */
+  private val staged = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+
+  override def releaseStaging(): Unit = {
+    var d = staged.poll()
+    while (d != null) {
+      try {
+        java.nio.file.Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Exception => () } // deleteOnExit still backstops
+      d = staged.poll()
+    }
+  }
 
   def read(table: String): DataFrame = {
     val pages: Iterator[Seq[String]] = paging match {
@@ -74,8 +95,14 @@ class HttpJsonSource(
     }
     // spool pages to NDJSON chunks, rotating at maxChunkBytes: memory stays
     // one-page-bounded and the decode parallelizes across chunks
-    val dir = java.nio.file.Files.createTempDirectory(s"graft-http-$table-")
+    val dir = spoolDir match {
+      case Some(base) =>
+        java.nio.file.Files.createTempDirectory(
+          java.nio.file.Files.createDirectories(base), s"graft-http-$table-")
+      case None => java.nio.file.Files.createTempDirectory(s"graft-http-$table-")
+    }
     dir.toFile.deleteOnExit()
+    staged.add(dir)
     var chunk = 0
     var bytes = 0L
     var out: java.io.Writer = null

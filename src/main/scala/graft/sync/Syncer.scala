@@ -17,6 +17,9 @@ trait SyncSource {
     * panics when absent — postgres.go:190-192; we surface an error). */
   def uniqueKey(table: String): Option[String]
   def cursorColumn(table: String): Option[String]
+  /** Release any staging the last read() left behind (spool files etc.);
+    * called by Syncer once the table is durably written. No-op by default. */
+  def releaseStaging(): Unit = ()
 }
 
 /** Directory-of-parquet source (stands in for an external system in tests;
@@ -78,7 +81,10 @@ class Syncer(store: Store, source: SyncSource,
   /** Atomic replace of every selected table (the Postgres/Attio shape). */
   def fullRefresh(): Seq[String] = {
     val ts = tables()
-    ts.foreach(t => store.replace(t, source.read(t)))
+    ts.foreach { t =>
+      store.replace(t, source.read(t))
+      source.releaseStaging() // table is durably written; spool can go
+    }
     ts
   }
 
@@ -92,5 +98,6 @@ class Syncer(store: Store, source: SyncSource,
       throw new IllegalArgumentException(s"table $table has no unique key"))
     if (!store.exists(table)) store.replace(table, source.read(table))
     else store.cursorAppend(table, source.read(table), cursor, key)
+    source.releaseStaging()
   }
 }

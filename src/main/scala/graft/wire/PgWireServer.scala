@@ -238,13 +238,34 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
           else base + "." + f"$frac%06d".reverse.dropWhile(_ == '0').reverse
         case 2950 =>
           new java.util.UUID(bb.getLong, bb.getLong).toString
-        case 25 | 1042 | 1043 => new String(bytes, UTF_8)
-        case _ => bytes.length match {
+        case 17 => // bytea -> PG hex form
+          "\\x" + bytes.map(x => f"$x%02x").mkString
+        case 1700 => // numeric binary: ndigits/weight/sign/dscale + base-1e4
+          val nd = bb.getShort.toInt
+          val weight = bb.getShort.toInt
+          val sign = bb.getShort.toInt
+          val dscale = bb.getShort.toInt
+          if (sign == 0xC000) "NaN"
+          else {
+            val digits = Array.fill(nd)(bb.getShort.toInt)
+            val unscaled = digits.foldLeft(BigInt(0))((acc, d) => acc * 10000 + d)
+            // value = unscaled * 10^(4*(weight - nd + 1)); negative exponents
+            // become a positive BigDecimal scale
+            val exp = 4 * (weight - nd + 1)
+            val mag = new java.math.BigDecimal(unscaled.bigInteger, -exp)
+            val signed = if (sign == 0x4000) mag.negate else mag
+            signed.setScale(dscale).toPlainString
+          }
+        case 0 => bytes.length match { // undeclared: legacy length heuristic
           case 4 => bb.getInt.toString
           case 8 => bb.getLong.toString
           case 16 => new java.util.UUID(bb.getLong, bb.getLong).toString
           case _ => new String(bytes, UTF_8)
         }
+        // declared but not one of the numeric/temporal wire forms above
+        // (name, char, text, varchar, json, …): binary == text bytes in PG,
+        // so pass through rather than int-guess by length
+        case _ => new String(bytes, UTF_8)
       }
     }
 
@@ -357,7 +378,8 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
     // checked only when one is configured, and the system auth user always
     // connects (the reference's SYSTEM_AUTH_USER backdoor for its own CLI)
     val kv = parseStartupParams(params)
-    val clientDb = kv.getOrElse("database", "")
+    // the protocol documents `database` as optional, defaulting to the user
+    val clientDb = kv.get("database").orElse(kv.get("user")).getOrElse("")
     if (clientDb != database) {
       startupError(out, "3D000", s"database $clientDb does not exist")
       return false

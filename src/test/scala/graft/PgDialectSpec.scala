@@ -129,6 +129,18 @@ class PgDialectSpec extends SparkSpecBase {
     // keywords inside string literals are data, not anchors
     assert(rewriteScalarSublinks("SELECT '(SELECT x FROM t)' AS s FROM o")
       == "SELECT '(SELECT x FROM t)' AS s FROM o")
+    // ... including dollar-quoted literals (both $$ and $tag$ forms)
+    assert(rewriteScalarSublinks("SELECT $$x = (SELECT v FROM t)$$ AS s FROM o")
+      == "SELECT $$x = (SELECT v FROM t)$$ AS s FROM o")
+    assert(rewriteScalarSublinks("SELECT $q$= (SELECT 1)$q$ AS s FROM o")
+      == "SELECT $q$= (SELECT 1)$q$ AS s FROM o")
+    // a derived table after JOIN ... ON in a comma FROM list is NOT a sublink
+    assert(rewriteScalarSublinks(
+      "SELECT * FROM a JOIN b ON a.k = b.k, (SELECT v FROM t) d WHERE d.v = a.x")
+      == "SELECT * FROM a JOIN b ON a.k = b.k, (SELECT v FROM t) d WHERE d.v = a.x")
+    // an identifier starting with LIMIT must not suppress the injection
+    assert(rewriteScalarSublinks("SELECT (SELECT limits FROM t) AS l FROM o")
+      == "SELECT (SELECT limits FROM t LIMIT 1) AS l FROM o")
     // the translate pipeline only applies it when the session setting is on
     val strict = translateSelect("SELECT (SELECT v FROM t) AS v FROM o")
     assert(!strict.contains("LIMIT 1"))

@@ -113,6 +113,28 @@ class StoreSpec extends SparkSpecBase {
     assert(st.read("t").filter(col("k") === 5L).head.getString(1) == "tiny")
   }
 
+  test("null keys don't shrink the routing probe below the threshold") {
+    // threshold 3, incoming = 4 distinct non-null keys + a null-key row: a
+    // probe that dropped nulls AFTER the limit could see 3 keys, believe
+    // the sample complete, and miss overlapping files entirely
+    val st = freshStore()
+    import spark.implicits._
+    st.replace("t", (1L to 4000L).map(k => (k, s"v$k")).toDF("k", "v")
+      .repartitionByRange(4, col("k")))
+    st.maxDriverPruneKeys = 3L
+    val incoming = Seq(
+      (Some(100L), "A"), (Some(1100L), "B"), (Some(2100L), "C"),
+      (Some(3100L), "D"), (Option.empty[Long], "nullrow")).toDF("k", "v")
+    st.upsert("t", incoming, "k")
+    assert(st.lastPruneViaJoin, "4 non-null keys over threshold 3 must join-route")
+    Seq(100L -> "A", 1100L -> "B", 2100L -> "C", 3100L -> "D").foreach {
+      case (k, v) =>
+        assert(st.read("t").filter(col("k") === k).head.getString(1) == v, s"key $k")
+    }
+    assert(st.read("t").filter(col("k").isNull).count() == 1)
+    assert(st.read("t").count() == 4001)
+  }
+
   test("scd2 upsert tracks history: closes changed rows, keeps unchanged open") {
     val st = freshStore()
     import spark.implicits._

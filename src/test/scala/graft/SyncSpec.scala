@@ -199,9 +199,11 @@ class SyncSpec extends SparkSpecBase with BeforeAndAfterAll {
       (200, rows.slice(off, off + lim).mkString("\n"), false)
     } { port =>
       val st = freshStore()
+      val spoolBase = java.nio.file.Files.createTempDirectory("graft-spool-test")
       val src = new HttpJsonSource(spark, s"http://127.0.0.1:$port",
         Seq("wide"), keys = Map("wide" -> "id"),
-        paging = OffsetPaging(limit = 20), maxChunkBytes = 2048)
+        paging = OffsetPaging(limit = 20), maxChunkBytes = 2048,
+        spoolDir = Some(spoolBase))
       new Syncer(st, src).fullRefresh()
       // bounded buffering: the 500-row table rotated through many chunks
       // (~100 B/row, 2 KB cap => ~25), so no all-pages Seq ever existed
@@ -211,6 +213,10 @@ class SyncSpec extends SparkSpecBase with BeforeAndAfterAll {
       assert(got.count() == 500)
       assert(got.select("id").distinct().count() == 500)
       assert(got.filter(col("v") === s"payload-42-${"x" * 80}").count() == 1)
+      // staging released after the durable write: no spool dirs left behind
+      // (a long-running sync daemon must not leak a table copy per sync)
+      assert(!java.nio.file.Files.list(spoolBase).iterator().hasNext,
+        "spool dirs leaked after sync")
     }
   }
 }
