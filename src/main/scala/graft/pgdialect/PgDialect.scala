@@ -474,9 +474,11 @@ object PgDialect {
     }
     val tableIntro = Set("FROM", "JOIN", "IN", "EXISTS", "ANY", "ALL", "SOME",
       "LATERAL", "UNION", "INTERSECT", "EXCEPT", "AS", "ARRAY", "VALUES", "USING")
+    // words that can directly precede a `(SELECT` in expression position
+    // (function-call arguments arrive via the preceding-'(' branch instead)
     val exprIntro = Set("SELECT", "WHERE", "WHEN", "THEN", "ELSE", "AND", "OR",
       "NOT", "ON", "HAVING", "BY", "LIKE", "ILIKE", "RLIKE", "BETWEEN", "CASE",
-      "DISTINCT", "RETURN", "COALESCE", "NULLIF", "IF", "IIF", "SET")
+      "DISTINCT")
     // in a comma-separated list: derived table iff the nearest same-depth
     // clause keyword looking backwards is FROM/USING; enclosing '(' = args
     def commaIsExpr(p0: Int): Boolean = {

@@ -110,6 +110,12 @@ object Dedup {
   private def normalizedVecs(e: DataFrame): DataFrame =
     e.select(col("vec_id"), expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"))
 
+  /** Shared tail of both cosine paths: threshold, 6-dp round, stable order. */
+  private def cosResult(pairs: DataFrame): DataFrame =
+    pairs.filter(col("cos") >= 0.4)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .orderBy("id_a", "id_b")
+
   /** Exact all-pairs cosine pairs — the N^2 theta join. AUDIT SCALE ONLY:
     * callers go through [[embeddingCosinePairs]], which routes large inputs
     * to the LSH-bucketed path instead. */
@@ -118,11 +124,8 @@ object Dedup {
     val dot = expr("array_dot(a.v, b.v)")
     val norm = (side: String) => expr(s"sqrt(array_dot($side.v, $side.v))")
     val cos = dot / (norm("a") * norm("b"))
-    n.as("a").join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), cos.as("cos"))
-      .filter(col("cos") >= 0.4)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
-      .orderBy("id_a", "id_b")
+    cosResult(n.as("a").join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), cos.as("cos")))
   }
 
   /** Hyperplane-LSH candidate generation + exact cosine verify — the 100 TB
@@ -148,10 +151,7 @@ object Dedup {
     val dot = expr("array_dot(va, vb)")
     val na = expr("sqrt(array_dot(va, va))")
     val nb = expr("sqrt(array_dot(vb, vb))")
-    cand.select(col("id_a"), col("id_b"), (dot / (na * nb)).as("cos"))
-      .filter(col("cos") >= 0.4)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
-      .orderBy("id_a", "id_b")
+    cosResult(cand.select(col("id_a"), col("id_b"), (dot / (na * nb)).as("cos")))
   }
 
   /** Intra-document repeated-line removal: cut each doc into fixed
@@ -163,9 +163,10 @@ object Dedup {
       .select(col("doc_id"),
         expr(s"transform(sequence(0, cast(ceil(size(w) / $width.0) AS INT) - 1, 1), " +
           s"i -> concat_ws(' ', slice(w, i * $width + 1, $width)))").as("lines"))
+      .withColumn("kept", array_distinct(col("lines")))
       .select(col("doc_id"),
-        array_join(array_distinct(col("lines")), " ").as("dedup_text"),
-        size(array_distinct(col("lines"))).cast("long").as("kept_lines"))
+        array_join(col("kept"), " ").as("dedup_text"),
+        size(col("kept")).cast("long").as("kept_lines"))
 
   /** Embedding-space near-dup pairs with a SIZE GUARD: up to
     * `allPairsMaxRows` input vectors the exact all-pairs auditor runs
