@@ -135,6 +135,22 @@ class StoreSpec extends SparkSpecBase {
     assert(st.read("t").count() == 4001)
   }
 
+  test("a reader planned before replace still sees its version afterwards") {
+    // versioned dirs give snapshot isolation: replace flips the pointer and
+    // leaves prior version files on disk (until expireVersions), so a
+    // DataFrame planned against v1 collects v1 even after v2 is published —
+    // the single-node analog of Iceberg's snapshot-isolated readers
+    val st = freshStore()
+    import spark.implicits._
+    st.replace("t", (1L to 100L).map(k => (k, "old")).toDF("k", "v"))
+    val reader = st.read("t") // plans against v1's files
+    st.replace("t", (1L to 50L).map(k => (k, "new")).toDF("k", "v"))
+    assert(reader.count() == 100)
+    assert(reader.filter(col("v") === "old").count() == 100)
+    assert(st.read("t").count() == 50) // new readers see v2
+    assert(st.read("t").filter(col("v") === "new").count() == 50)
+  }
+
   test("scd2 upsert tracks history: closes changed rows, keeps unchanged open") {
     val st = freshStore()
     import spark.implicits._
