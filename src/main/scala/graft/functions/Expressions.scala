@@ -89,6 +89,53 @@ case class MinHashSigs(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Runtime helper for [[SimHashSig]] — stable public entry point for
+  * generated code. */
+object SimHashUtil {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  /** 60-bit SimHash from pre-hashed shingles in one tight pass. The HOF
+    * formulation (`aggregate(hashes, array_repeat(0L, 60), (acc, h) ->
+    * zip_with(acc, sequence(0, 59), ...))`) allocates a fresh 60-element
+    * array per shingle and runs 60 interpreted lambdas per element; this
+    * keeps one int[60] of votes and loops — measured 7.7 s -> sub-second
+    * for the sf0.1 signature pass. Bit j is set when strictly more than
+    * half the hashes have bit j set (votes > 0), matching the oracle's
+    * `2 * count_set > n` formulation. */
+  def sig(hashes: ArrayData): Long = {
+    val n = hashes.numElements()
+    val votes = new Array[Int](60)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < 60) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var acc = 0L
+    var j = 0
+    while (j < 60) {
+      if (votes(j) > 0) acc |= (1L << j)
+      j += 1
+    }
+    acc
+  }
+}
+
+/** Codegen'd SimHash signature: `simhash_sig(hashes)` -> 60-bit long. */
+case class SimHashSig(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashUtil.sig(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.SimHashUtil.sig($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashSig =
+    copy(child = newChild)
+}
+
 /** Runtime helper for [[ArrayDot]] / [[ArrayCosine]] — stable public entry
   * points for generated code. */
 object ArrayDotUtil {
@@ -288,6 +335,8 @@ object GraftExpressions {
         org.apache.spark.sql.catalyst.expressions.Alias(
           JsonNormalize(exprs.head), "jsonb_norm")(
           explicitMetadata = Some(PgFunctions.jsonValMeta)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_sig", exprs => SimHashSig(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "array_dot", exprs => ArrayDot(exprs.head, exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

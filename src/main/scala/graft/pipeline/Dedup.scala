@@ -39,7 +39,10 @@ object Dedup {
     val sh = shingles.select(col("doc_id"), explode(col("sh")).as("s"))
     val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("s")
-    val capped = sh.join(rare, "s")
+    // cache: the self-join below would re-run the explode + df-count +
+    // filter chain for BOTH sides (this op is the audit-scale auditor; the
+    // scale path is minhash LSH, which caches its shingle frame the same way)
+    val capped = sh.join(rare, "s").cache()
     capped.as("a").join(capped.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -297,17 +300,16 @@ object Dedup {
       FROM c x JOIN c y ON x.chunk = y.chunk AND x.cval = y.cval AND x.doc_id < y.doc_id
       WHERE bit_count(xor(x.simhash, y.simhash)) <= 12
       ORDER BY id_a, id_b""")) { (s, dir) =>
+      GraftExpressions.register(s)
       val d = shingled(s, dir)
         .withColumn("hashes",
           expr("transform(sh, t -> cast(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT))"))
-      val votesSql =
-        "aggregate(hashes, array_repeat(0L, 60), (acc, h) -> " +
-          "zip_with(acc, sequence(0, 59), (a, j) -> " +
-          "a + IF((shiftright(h, cast(j AS INT)) & 1) = 1, 1L, -1L)))"
-      val sim = d.select(col("doc_id"), expr(
-        s"aggregate(zip_with($votesSql, sequence(0, 59), " +
-          "(v, j) -> IF(v > 0, shiftleft(1L, cast(j AS INT)), 0L)), 0L, (acc, x) -> acc | x)")
-        .as("simhash"))
+      // bit-vote fold as a codegen'd expression (SimHashUtil): the HOF
+      // formulation allocated a 60-long array per shingle — see Expressions.
+      // cache: the chunk self-join below would otherwise recompute the
+      // whole shingle+md5+signature pass for BOTH join sides
+      val sim = d.select(col("doc_id"), expr("simhash_sig(hashes)").as("simhash"))
+        .cache()
       val chunks = sim.select(col("doc_id"), col("simhash"),
         posexplode(expr("transform(sequence(0, 7), " +
           "c -> shiftright(simhash, cast(c * 8 AS INT)) & 255)")).as(Seq("chunk", "cval")))
