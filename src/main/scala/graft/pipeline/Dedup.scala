@@ -135,22 +135,22 @@ object Dedup {
     * path: shuffles only (table, bucket) keys, cost scales with bucket
     * occupancy, never N^2; no cartesian/nested-loop join in the plan. */
   private[graft] def embeddingCosineLsh(e: DataFrame): DataFrame = {
-    val sigSql =
-      s"transform(planes, tbl -> aggregate(zip_with(tbl, sequence(0, ${Similarity.PLANES_PER_TABLE - 1}), " +
-        "(p, i) -> IF(aggregate(zip_with(p, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x) > 0, " +
-        "shiftleft(1, cast(i AS INT)), 0)), 0, (acc, x) -> acc | x))"
-    val sig = normalizedVecs(e)
-      .withColumn("planes", typedLit(Similarity.planes))
-      .withColumn("sigs", expr(sigSql))
-      .drop("planes")
-      .select(col("vec_id"), col("v"),
-        posexplode(col("sigs")).as(Seq("tbl", "bucket")))
+    val n = normalizedVecs(e)
+    // Candidate generation and dedup carry SCALAR columns only: the bucket
+    // self-join shuffles on (tbl, bucket), the cross-table duplicate
+    // elimination shuffles on (id_a, id_b), and the embedding vectors
+    // re-join by id afterwards (the IVF shape). At dim-1024 this keeps
+    // every exchange ~2000x smaller than keying/carrying the arrays.
+    val sig = n
+      .select(col("vec_id"),
+        posexplode(Similarity.hyperplaneSigs(col("v"))).as(Seq("tbl", "bucket")))
     val cand = sig.as("a").join(sig.as("b"),
         col("b.tbl") === col("a.tbl") && col("b.bucket") === col("a.bucket")
           && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("a.v").as("va"),
-        col("b.vec_id").as("id_b"), col("b.v").as("vb"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()
+      .join(n.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
+      .join(n.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
     val dot = expr("array_dot(va, vb)")
     val na = expr("sqrt(array_dot(va, va))")
     val nb = expr("sqrt(array_dot(vb, vb))")

@@ -46,6 +46,22 @@ object Similarity {
     Seq.fill(TABLES)(Seq.fill(PLANES_PER_TABLE)(Seq.fill(64)(rng.nextGaussian())))
   }
 
+  /** Per-table hyperplane signatures as one array<int> column: TABLES x
+    * PLANES_PER_TABLE codegen'd `array_dot` calls against the literal
+    * planes, folded into per-table bit masks with when/bitwiseOR.
+    * Bit-identical to the interpreted `aggregate(zip_with(...))` SQL fold
+    * (same left-to-right accumulation — the sim_cosine_topk oracle pins the
+    * dot equivalence) but stays inside whole-stage codegen; the
+    * lambda-per-element interpreter was the dominant cost of both LSH ops
+    * in PipeBench at sf0.1. */
+  private[graft] def hyperplaneSigs(v: Column): Column =
+    array((0 until TABLES).map { t =>
+      (0 until PLANES_PER_TABLE).map { i =>
+        when(call_function("array_dot", typedLit(planes(t)(i)), v) > 0,
+          lit(1 << i)).otherwise(lit(0))
+      }.reduce((a, b) => a.bitwiseOR(b))
+    }: _*)
+
   /** The deterministic hyperplanes as a DuckDB DOUBLE[][][] literal —
     * Double.toString round-trips exactly, so the oracle signs the very same
     * dot products. */
@@ -153,27 +169,31 @@ object Similarity {
     // the DuckDB oracle carries the same hyperplanes as a literal and folds
     // the same dot products, reproducing buckets and ranks exactly.
     Q("sim_ann_lsh", Some(annOracleSql)) { (s, dir) =>
-      val planesCol = typedLit(planes)
-      val sigSql =
-        s"transform(planes, tbl -> aggregate(zip_with(tbl, sequence(0, ${PLANES_PER_TABLE - 1}), " +
-          "(p, i) -> IF(aggregate(zip_with(p, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x) > 0, " +
-          "shiftleft(1, cast(i AS INT)), 0)), 0, (acc, x) -> acc | x))"
-      val e = t(s, dir, "embeddings")
+      val base = t(s, dir, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        .withColumn("planes", planesCol)
-        .withColumn("sigs", expr(sigSql))
-        .drop("planes")
-        .select(col("vec_id"), col("v"),
-          posexplode(col("sigs")).as(Seq("tbl", "bucket")))
-      val q = e.filter(col("vec_id").isin(queryIds: _*))
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+      // Candidate generation and dedup carry SCALAR ids only — the
+      // signature frame drops `v` after hashing, the multi-table duplicate
+      // elimination keys on (query_id, neighbor_id), and both vector sides
+      // re-join afterwards as broadcasts (candidates are bounded by
+      // |queries| x bucket occupancy). No exchange carries an embedding
+      // array as key or payload anywhere in this plan.
+      val sig = base
+        .select(col("vec_id"),
+          posexplode(hyperplaneSigs(col("v"))).as(Seq("tbl", "bucket")))
+      val qsig = sig.filter(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id").as("query_id"),
           col("tbl").as("qtbl"), col("bucket").as("qbucket"))
-      val cand = broadcast(q).join(
-          e.select(col("vec_id").as("neighbor_id"), col("v").as("nv"),
-            col("tbl"), col("bucket")),
+      val candIds = broadcast(qsig).join(
+          sig.select(col("vec_id").as("neighbor_id"), col("tbl"), col("bucket")),
           col("tbl") === col("qtbl") && col("bucket") === col("qbucket")
             && col("neighbor_id") =!= col("query_id"))
-        .select("query_id", "qv", "neighbor_id", "nv").distinct()
+        .select("query_id", "neighbor_id").distinct()
+      val qv = base.filter(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val cand = broadcast(candIds)
+        .join(base.select(col("vec_id").as("neighbor_id"), col("v").as("nv")),
+          "neighbor_id")
+        .join(broadcast(qv), "query_id")
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("neighbor_id"))
       cand.select(col("query_id"), col("neighbor_id"), expr(cosSql).as("cos"))

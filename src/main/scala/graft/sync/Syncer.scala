@@ -38,33 +38,134 @@ class ParquetDirSource(spark: SparkSession, dir: String,
   def cursorColumn(table: String): Option[String] = cursors.get(table)
 }
 
-/** JDBC source (the Postgres-syncer analog). Reads are partitioned on the
-  * unique key so a 1000-executor cluster pulls ranges in parallel;
-  * `sessionInitStatement` pins the repeatable-read snapshot the reference
-  * takes (postgres.go:203-223). Not exercised in-container (no external DB);
-  * the Syncer is source-agnostic and tested through ParquetDirSource. */
-class JdbcSource(spark: SparkSession, url: String, tables: Seq[String],
-    keys: Map[String, String], cursors: Map[String, String] = Map.empty,
-    numPartitions: Int = 16) extends SyncSource {
-  def listTables(): Seq[String] = tables
+/** JDBC source (the Postgres-syncer analog; reference introspects then
+  * streams — postgres.go:51-201). Spark-first shape:
+  *
+  *  - `listTables()` discovers user tables dynamically from JDBC metadata
+  *    when no static list is given (reference: information_schema.tables
+  *    with include/exclude, postgres.go:51-104). Only type `TABLE` is
+  *    listed, which skips partitioned parents (pgjdbc reports relkind='p'
+  *    as `PARTITIONED TABLE`) and system catalogs, like the reference.
+  *  - `uniqueKey()` introspects the single-column primary key, falling back
+  *    to the first single-column unique index (reference reads pg_index,
+  *    postgres.go:149-198); explicit `keys` entries override. `strict`
+  *    makes discovery fail fast when a table has no unique key — the
+  *    reference's panic (postgres.go:190-192) as an error.
+  *  - `read()` probes `SELECT min(k), max(k)` first (one JDBC round-trip,
+  *    the introspect-before-COPY shape) and hands Spark REAL partition
+  *    bounds, so a 1000-executor cluster pulls key ranges in parallel.
+  *    Static 0..Long.MaxValue bounds would put every sane key set in
+  *    stride 0 — all rows through one task.
+  *  - `sessionInitStatement` pins the repeatable-read snapshot the
+  *    reference takes (postgres.go:203-223); only sent to Postgres URLs.
+  *
+  * Exercised in SyncSpec against an embedded Derby database. */
+class JdbcSource(spark: SparkSession, url: String,
+    tables: Seq[String] = Nil,
+    keys: Map[String, String] = Map.empty,
+    cursors: Map[String, String] = Map.empty,
+    numPartitions: Int = 16,
+    schema: Option[String] = None,
+    connProps: Map[String, String] = Map.empty,
+    strict: Boolean = false) extends SyncSource {
+
+  private def withConnection[A](f: java.sql.Connection => A): A = {
+    val props = new java.util.Properties()
+    connProps.foreach { case (k, v) => props.setProperty(k, v) }
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try f(conn) finally conn.close()
+  }
+
+  def listTables(): Seq[String] = {
+    val ts =
+      if (tables.nonEmpty) tables
+      else withConnection { conn =>
+        val rs = conn.getMetaData.getTables(null, schema.orNull, "%", Array("TABLE"))
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (rs.next()) buf += rs.getString("TABLE_NAME")
+        buf.toSeq.sorted
+      }
+    if (strict) {
+      val keyless = ts.filter(uniqueKey(_).isEmpty)
+      if (keyless.nonEmpty) throw new IllegalStateException(
+        s"tables without a unique key: ${keyless.mkString(", ")} " +
+          "(configure `keys` or drop `strict`)")
+    }
+    ts
+  }
+
+  /** min/max of the key, via one driver-side JDBC query. None when the
+    * table is empty, the key is all-NULL, or the column isn't numeric —
+    * all of which fall back to a single-partition read. */
+  private def keyBounds(table: String, k: String): Option[(Long, Long)] =
+    try withConnection { conn =>
+      val rs = conn.createStatement().executeQuery(
+        s"SELECT MIN($k), MAX($k) FROM $table")
+      if (!rs.next()) None
+      else {
+        val lo = rs.getLong(1); val loNull = rs.wasNull()
+        val hi = rs.getLong(2); val hiNull = rs.wasNull()
+        if (loNull || hiNull) None else Some((lo, hi))
+      }
+    } catch { case _: java.sql.SQLException | _: NumberFormatException => None }
+
   def read(table: String): DataFrame = {
-    val base = spark.read.format("jdbc")
+    var base = spark.read.format("jdbc")
       .option("url", url)
       .option("dbtable", table)
-      .option("sessionInitStatement",
+      .options(connProps)
+    if (url.startsWith("jdbc:postgresql"))
+      base = base.option("sessionInitStatement",
         "BEGIN TRANSACTION ISOLATION LEVEL REPEATABLE READ READ ONLY")
-    keys.get(table) match {
-      case Some(k) =>
-        // bounded partitioned read on the key column
+    uniqueKey(table).flatMap(k => keyBounds(table, k).map((k, _))) match {
+      case Some((k, (lo, hi))) if hi > lo =>
         base.option("partitionColumn", k)
           .option("numPartitions", numPartitions)
-          .option("lowerBound", "0")
-          .option("upperBound", Long.MaxValue.toString)
+          .option("lowerBound", lo.toString)
+          .option("upperBound", hi.toString)
           .load()
-      case None => base.load()
+      case _ => base.load()
     }
   }
-  def uniqueKey(table: String): Option[String] = keys.get(table)
+
+  private val introspectedKeys =
+    scala.collection.mutable.Map.empty[String, Option[String]]
+
+  def uniqueKey(table: String): Option[String] =
+    keys.get(table).orElse(introspectedKeys.getOrElseUpdate(table,
+      try withConnection { conn =>
+        val md = conn.getMetaData
+        // JDBC metadata lookups are exact-match on identifier case; probe
+        // the configured spelling, then the store-uppercased one (Derby).
+        val spellings = Seq(table, table.toUpperCase).distinct
+        def pk(t: String): Seq[String] = {
+          val rs = md.getPrimaryKeys(null, schema.orNull, t)
+          val cols = scala.collection.mutable.ArrayBuffer.empty[(Short, String)]
+          while (rs.next()) cols += ((rs.getShort("KEY_SEQ"), rs.getString("COLUMN_NAME")))
+          cols.sortBy(_._1).map(_._2).toSeq
+        }
+        def singleUniqueIndex(t: String): Option[String] = {
+          val rs = md.getIndexInfo(null, schema.orNull, t, true, false)
+          // (index name -> columns); usable only if some index has exactly 1
+          val byIndex = scala.collection.mutable.LinkedHashMap
+            .empty[String, scala.collection.mutable.ArrayBuffer[String]]
+          while (rs.next()) {
+            val idx = rs.getString("INDEX_NAME")
+            val c = rs.getString("COLUMN_NAME")
+            if (idx != null && c != null)
+              byIndex.getOrElseUpdate(idx, scala.collection.mutable.ArrayBuffer.empty) += c
+          }
+          byIndex.values.collectFirst { case cols if cols.size == 1 => cols.head }
+        }
+        spellings.iterator.map { t =>
+          pk(t) match {
+            case Seq(one) => Some(one)
+            case Seq() => singleUniqueIndex(t)
+            case _ => None // composite PK: not upsert-able by single key
+          }
+        }.collectFirst { case Some(k) => k }
+      } catch { case _: java.sql.SQLException => None }))
+
   def cursorColumn(table: String): Option[String] = cursors.get(table)
 }
 

@@ -48,17 +48,41 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
-  test("ivf dedups on scalars, never shuffles embedding arrays") {
-    val p = plan("sim_ivf")
-    // every hash exchange must partition on scalar cols only (no `v#` /
-    // `qv#` / `nv#` array columns in the partitioning expressions)
+  // every hash exchange must partition on scalar cols only (no `v#` /
+  // `va#` / `vb#` / `qv#` / `nv#` array columns in the partitioning
+  // expressions) — the repo invariant "embedding arrays are never in a
+  // shuffle key", pinned for every LSH/IVF candidate path.
+  private def assertNoArrayShuffleKeys(p: String): Unit = {
     val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
       .findAllMatchIn(p).map(_.group(1)).toSeq
-    assert(exchanges.nonEmpty)
+    val arrayCols = Seq("v#", "va#", "vb#", "qv#", "nv#")
     exchanges.foreach { e =>
-      assert(!e.contains("v#") && !e.contains("qv#") && !e.contains("nv#"),
-        s"array column shuffled: $e")
+      arrayCols.foreach(c =>
+        assert(!e.contains(c), s"array column shuffled: $e"))
     }
+  }
+
+  test("ivf dedups on scalars, never shuffles embedding arrays") {
+    val p = plan("sim_ivf")
+    assert(p.contains("Exchange hashpartitioning"), p)
+    assertNoArrayShuffleKeys(p)
+  }
+
+  test("embedding-LSH dedups candidates on scalar ids, never shuffles arrays") {
+    val p = plan("dd_embedding_lsh")
+    assert(p.contains("Exchange hashpartitioning"), p)
+    assertNoArrayShuffleKeys(p)
+    // the (id_a, id_b) distinct must not carry the va/vb payloads either:
+    // HashAggregate keys are ids, vectors join back after the distinct
+    assert(!"HashAggregate\\(keys=\\[[^\\]]*v[ab]#[^\\]]*\\]".r
+      .findFirstIn(p).isDefined, p)
+  }
+
+  test("ann-LSH dedups candidates on scalar ids, never shuffles arrays") {
+    val p = plan("sim_ann_lsh")
+    assertNoArrayShuffleKeys(p)
+    assert(!"HashAggregate\\(keys=\\[[^\\]]*[qn]v#[^\\]]*\\]".r
+      .findFirstIn(p).isDefined, p)
   }
 
   test("same-bucketed tables join and aggregate on the key with zero exchanges") {

@@ -219,4 +219,81 @@ class SyncSpec extends SparkSpecBase with BeforeAndAfterAll {
         "spool dirs leaked after sync")
     }
   }
+
+  // ---- JDBC integration against embedded Derby (the in-container stand-in
+  // for the reference's Postgres source; same JDBC metadata/read APIs) ----
+
+  private def derbyUrl(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-derby")
+    s"jdbc:derby:$dir/db;create=true"
+  }
+
+  private def withDerby[A](url: String)(f: java.sql.Connection => A): A = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try f(conn) finally conn.close()
+  }
+
+  test("jdbc introspection discovers tables and unique keys, no hand config") {
+    val url = derbyUrl()
+    withDerby(url) { c =>
+      val st = c.createStatement()
+      st.execute("CREATE TABLE users (id BIGINT PRIMARY KEY, name VARCHAR(40))")
+      st.execute("CREATE TABLE tags (label VARCHAR(20))") // keyless
+      st.execute("CREATE TABLE sessions (sid INT NOT NULL, note VARCHAR(10))")
+      st.execute("CREATE UNIQUE INDEX sess_uq ON sessions(sid)")
+    }
+    val src = new JdbcSource(spark, url)
+    assert(src.listTables() == Seq("SESSIONS", "TAGS", "USERS"))
+    assert(src.uniqueKey("USERS") == Some("ID"))       // primary key
+    assert(src.uniqueKey("SESSIONS") == Some("SID"))   // unique index fallback
+    assert(src.uniqueKey("TAGS") == None)
+    // reference panics on tables without a unique key (postgres.go:190-192)
+    val strict = new JdbcSource(spark, url, strict = true)
+    val err = intercept[IllegalStateException](strict.listTables())
+    assert(err.getMessage.contains("TAGS"))
+    // explicit keys override introspection and satisfy strict mode
+    val overridden = new JdbcSource(spark, url,
+      keys = Map("TAGS" -> "label"), strict = true)
+    assert(overridden.listTables().size == 3)
+  }
+
+  test("jdbc read probes real key bounds and spreads rows across partitions") {
+    val url = derbyUrl()
+    withDerby(url) { c =>
+      c.createStatement().execute(
+        "CREATE TABLE measurements (id BIGINT PRIMARY KEY, v DOUBLE)")
+      val ps = c.prepareStatement("INSERT INTO measurements VALUES (?, ?)")
+      // ids start at 1000: static 0..Long.MaxValue bounds would stride
+      // everything into partition 0 — real min/max bounds must not
+      (1000 until 1400).foreach { i =>
+        ps.setLong(1, i.toLong); ps.setDouble(2, i * 0.5); ps.addBatch()
+      }
+      ps.executeBatch()
+    }
+    val src = new JdbcSource(spark, url, numPartitions = 4)
+    val df = src.read("MEASUREMENTS")
+    assert(df.count() == 400)
+    assert(df.rdd.getNumPartitions == 4)
+    val perPartition = df.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    assert(perPartition.count(_ > 0) == 4,
+      s"rows not spread across partitions: ${perPartition.toSeq}")
+    // balanced strides from the min/max probe, not one hot partition
+    assert(perPartition.max <= 150, s"skewed strides: ${perPartition.toSeq}")
+  }
+
+  test("jdbc source full-refreshes into the store end to end") {
+    val url = derbyUrl()
+    withDerby(url) { c =>
+      c.createStatement().execute(
+        "CREATE TABLE items (id INT PRIMARY KEY, label VARCHAR(20))")
+      val ps = c.prepareStatement("INSERT INTO items VALUES (?, ?)")
+      (1 to 57).foreach { i => ps.setInt(1, i); ps.setString(2, s"it-$i"); ps.addBatch() }
+      ps.executeBatch()
+    }
+    val st = freshStore()
+    val synced = new Syncer(st, new JdbcSource(spark, url)).fullRefresh()
+    assert(synced == Seq("ITEMS"))
+    assert(st.read("ITEMS").count() == 57)
+    assert(st.read("ITEMS").select("LABEL").filter(col("LABEL") === "it-13").count() == 1)
+  }
 }
