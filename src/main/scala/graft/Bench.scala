@@ -64,19 +64,36 @@ object Bench {
     // plan-cache role); timed passes re-execute the analyzed plan, which is
     // what a warm server does for a repeated workload.
     val queries = SparkEntry.benchNames.map(n => n -> SparkEntry.queries(n)(spark, sfDir))
+    def exec(df: org.apache.spark.sql.DataFrame): Unit =
+      try df.write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
     // warmup (untimed): JIT + whole-stage codegen compilation
-    queries.foreach { case (_, df) =>
-      try df.write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+    queries.foreach { case (_, df) => exec(df) }
+
+    // Every timed number is the MEDIAN of `samples` runs: single-run
+    // local-mode numbers swing ±30% with JIT/GC/scheduler noise, which
+    // made round-over-round comparison ambiguous. Raw per-sample totals
+    // are published alongside so the spread is visible.
+    val samples = math.max(1, sys.env.getOrElse("SPARK_GRAFT_SAMPLES", "3").toInt)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
     }
+
     // pass 1: sequential, per-query latency
-    val results = queries.map { case (name, df) =>
-      val t0 = System.nanoTime()
-      try df.write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+    val seqSamples: Seq[Seq[(String, Double)]] = (1 to samples).map { _ =>
+      queries.map { case (name, df) =>
+        val t0 = System.nanoTime()
+        exec(df)
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     }
-    val sequentialTotal = results.map(_._2).sum
+    val results = queries.map { case (name, _) =>
+      name -> median(seqSamples.map(_.find(_._1 == name).get._2))
+    }
+    val seqTotals = seqSamples.map(_.map(_._2).sum)
+    val sequentialTotal = median(seqTotals)
 
     // pass 2: the same 22-query workload with inter-query concurrency —
     // the engine's throughput number. Sequential latency in local mode is
@@ -85,23 +102,25 @@ object Bench {
     // scheduler saturating all cores across queries, which is also how the
     // 1000-executor deployment processes a workload.
     val conc = sys.env.getOrElse("SPARK_GRAFT_CONC", "16").toInt
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(conc)
-    val t0 = System.nanoTime()
-    val futures = queries.map { case (_, df) =>
-      pool.submit(new Runnable {
-        def run(): Unit =
-          try df.write.format("noop").mode("overwrite").save()
-          catch { case _: Throwable => () }
-      })
+    val wallSamples = (1 to samples).map { _ =>
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(conc)
+      val t0 = System.nanoTime()
+      val futures = queries.map { case (_, df) =>
+        pool.submit(new Runnable { def run(): Unit = exec(df) })
+      }
+      futures.foreach(_.get())
+      pool.shutdown()
+      (System.nanoTime() - t0) / 1e9
     }
-    futures.foreach(_.get())
-    pool.shutdown()
-    val workloadWall = (System.nanoTime() - t0) / 1e9
+    val workloadWall = median(wallSamples)
 
+    def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$workloadWall,"unit":"sec","queries":$qs,""" +
-      s""""sequential_total":$sequentialTotal,"shuffle_partitions":$parts,"aqe":$aqe,""" +
-      s""""mode":"22-query workload wall time, $conc-way inter-query concurrency (sequential per-query latencies in 'queries')","sf":"$sfDir"}""")
+      s""""sequential_total":$sequentialTotal,"samples":$samples,""" +
+      s""""wall_samples":${arr(wallSamples)},"sequential_samples":${arr(seqTotals)},""" +
+      s""""shuffle_partitions":$parts,"aqe":$aqe,""" +
+      s""""mode":"22-query workload wall time, $conc-way inter-query concurrency; value and 'queries' are medians of $samples runs","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -179,8 +179,9 @@ object CompatAudit {
     * single-row values against the reference's own test assertions. Sets the
     * reference test-config identity BEFORE registering the catalog so its
     * views pick the names up. */
-  def runAudit(spark: SparkSession, store: Store,
-      path: String = "tools/golden_queries.json"): AuditResult = {
+  /** Reference test-config identity + catalog/function registration shared
+    * by the in-process and socket replays. */
+  private def prepareSession(spark: SparkSession): Unit = {
     SessionSettings.set("graft.strip_schemas", "public,postgres,main")
     SessionSettings.set("graft.user", "user")
     SessionSettings.set("graft.database", "bemidb")
@@ -193,7 +194,10 @@ object CompatAudit {
     spark.createDataFrame(java.util.Collections.emptyList[Row](),
       StructType(Seq(StructField("id", IntegerType, nullable = false))))
       .createOrReplaceTempView("test_empty_table")
+  }
 
+  private def loadCorpus(path: String)
+      : (Seq[String], Map[String, (Seq[String], Seq[String], Seq[String])]) = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val queries = om.readTree(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path))).elements.asScala.map(_.asText).toSeq
@@ -210,6 +214,13 @@ object CompatAudit {
               .getOrElse(null)
           e.getKey -> (list("description"), list("types"), list("values"))
         }.toMap
+    (queries, expected)
+  }
+
+  def runAudit(spark: SparkSession, store: Store,
+      path: String = "tools/golden_queries.json"): AuditResult = {
+    prepareSession(spark)
+    val (queries, expected) = loadCorpus(path)
     val wire = new PgWireServer(spark, store, 0) // text encoder only
 
     var ok = 0
@@ -268,6 +279,123 @@ object CompatAudit {
           failures += q -> msg.linesIterator.filter(_.trim.nonEmpty)
             .nextOption().getOrElse(e.getClass.getName).take(160)
       }
+    }
+    AuditResult(queries.size, ok, failures.result(), descOk, descTot,
+      oidOk, oidTot, valOk, valTot, valueMiss.result())
+  }
+
+  /** Replay the FULL corpus end-to-end over a real socket: every query goes
+    * through the v3 simple protocol, and the bytes checked are the ones on
+    * the wire — RowDescription field names + type OIDs, DataRow text values
+    * (NULL = length -1 → ""). Same expected triples and same comparison
+    * semantics as [[runAudit]]; the difference is that the encoder, the
+    * message framing, and the session plumbing are all inside the loop. */
+  def runSocketAudit(spark: SparkSession, store: Store,
+      path: String = "tools/golden_queries.json"): AuditResult = {
+    import java.io.{DataInputStream, DataOutputStream}
+    import java.nio.charset.StandardCharsets.UTF_8
+    prepareSession(spark)
+    val (queries, expected) = loadCorpus(path)
+    val server = new PgWireServer(spark, store, 0,
+      database = "bemidb", user = "user") // the reference test identity
+    val port = server.start()
+    val sock = new java.net.Socket("127.0.0.1", port)
+    val in = new DataInputStream(sock.getInputStream)
+    val out = new DataOutputStream(sock.getOutputStream)
+
+    def drainUntilReady(): Seq[(Char, Array[Byte])] = {
+      val msgs = Seq.newBuilder[(Char, Array[Byte])]
+      var done = false
+      while (!done) {
+        val tpe = in.read().toChar
+        val len = in.readInt()
+        val body = new Array[Byte](len - 4)
+        in.readFully(body)
+        msgs += ((tpe, body))
+        if (tpe == 'Z') done = true
+      }
+      msgs.result()
+    }
+    def send(sql: String): Seq[(Char, Array[Byte])] = {
+      val b = sql.getBytes(UTF_8)
+      out.writeByte('Q'); out.writeInt(4 + b.length + 1)
+      out.write(b); out.writeByte(0); out.flush()
+      drainUntilReady()
+    }
+    def rowDescription(body: Array[Byte]): (Seq[String], Seq[Int]) = {
+      val din = new DataInputStream(new java.io.ByteArrayInputStream(body))
+      val n = din.readShort().toInt
+      val cols = (0 until n).map { _ =>
+        val name = new java.io.ByteArrayOutputStream()
+        var c = din.readByte()
+        while (c != 0) { name.write(c); c = din.readByte() }
+        din.readInt(); din.readShort()
+        val oid = din.readInt()
+        din.readShort(); din.readInt(); din.readShort()
+        (new String(name.toByteArray, UTF_8), oid)
+      }
+      (cols.map(_._1), cols.map(_._2))
+    }
+    def dataRow(body: Array[Byte]): Seq[String] = {
+      val din = new DataInputStream(new java.io.ByteArrayInputStream(body))
+      val n = din.readShort().toInt
+      (0 until n).map { _ =>
+        val len = din.readInt()
+        if (len < 0) "" // wire NULL, same "" the reference harness expects
+        else { val b = new Array[Byte](len); din.readFully(b); new String(b, UTF_8) }
+      }
+    }
+
+    var ok = 0
+    var descOk = 0; var descTot = 0
+    var oidOk = 0; var oidTot = 0
+    var valOk = 0; var valTot = 0
+    val failures = Seq.newBuilder[(String, String)]
+    val valueMiss = Seq.newBuilder[(String, String)]
+    try {
+      // startup as the configured reference-test identity
+      val params = "user user database bemidb  ".getBytes(UTF_8)
+      out.writeInt(8 + params.length); out.writeInt(196608)
+      out.write(params); out.flush()
+      val hello = drainUntilReady()
+      require(!hello.exists(_._1 == 'E'), "startup rejected")
+      queries.foreach { q =>
+        val msgs = send(q)
+        msgs.find(_._1 == 'E') match {
+          case Some((_, body)) =>
+            failures += q -> new String(body, UTF_8).replace(' ', ' ').take(160)
+          case None =>
+            ok += 1
+            val desc = msgs.find(_._1 == 'T').map(m => rowDescription(m._2))
+            val rows = msgs.filter(_._1 == 'D').map(m => dataRow(m._2))
+            expected.get(q).foreach { case (wantCols, wantOids, wantVals) =>
+              desc.foreach { case (names, oids) =>
+                if (wantCols != null) {
+                  descTot += 1
+                  if (names == wantCols) descOk += 1
+                  else valueMiss += q -> s"cols: got $names want $wantCols"
+                }
+                // prefix compare, like the reference harness (see runAudit)
+                if (wantOids != null) {
+                  oidTot += 1
+                  if (wantOids.length <= oids.length &&
+                      oids.take(wantOids.length).map(_.toString) == wantOids) oidOk += 1
+                  else valueMiss += q -> s"oids: got $oids want $wantOids"
+                }
+                if (wantVals != null && rows.length == 1 &&
+                    wantVals.length == names.length) {
+                  valTot += 1
+                  if (rows.head == wantVals) valOk += 1
+                  else valueMiss += q -> s"vals: got ${rows.head} want $wantVals"
+                }
+              }
+            }
+        }
+      }
+    } finally {
+      try { out.writeByte('X'); out.writeInt(4); out.flush(); sock.close() }
+      catch { case _: Exception => () }
+      server.stop()
     }
     AuditResult(queries.size, ok, failures.result(), descOk, descTot,
       oidOk, oidTot, valOk, valTot, valueMiss.result())

@@ -444,7 +444,24 @@ object PgDialect {
           else inQ = false
         else b(i) = ' '
       } else if (b(i) == '\'') inQ = true
-      else {
+      else if (b(i) == '-' && i + 1 < n && b(i + 1) == '-') {
+        // -- line comment: blank to end of line (an apostrophe or '(SELECT'
+        // inside one must not misalign the sublink scanner)
+        while (i < n && b(i) != '\n') { b(i) = ' '; i += 1 }
+        i -= 1
+      } else if (b(i) == '/' && i + 1 < n && b(i + 1) == '*') {
+        // /* */ block comment — PG block comments nest
+        var depth = 1
+        b(i) = ' '; b(i + 1) = ' '; i += 2
+        while (i < n && depth > 0) {
+          if (b(i) == '/' && i + 1 < n && b(i + 1) == '*') {
+            depth += 1; b(i) = ' '; b(i + 1) = ' '; i += 2
+          } else if (b(i) == '*' && i + 1 < n && b(i + 1) == '/') {
+            depth -= 1; b(i) = ' '; b(i + 1) = ' '; i += 2
+          } else { b(i) = ' '; i += 1 }
+        }
+        i -= 1
+      } else {
         val tag = dollarOpener(i)
         if (tag != null) { dollarTag = tag; i += tag.length - 1 }
       }
@@ -1080,13 +1097,17 @@ object PgDialect {
       case _ => false
     }
     if (!needs) return df
+    // backtick-quote names: a result column containing a dot or backtick
+    // must select as a literal name, not a nested-field path
+    def quoted(name: String) =
+      org.apache.spark.sql.functions.col("`" + name.replace("`", "``") + "`")
     df.select(top.zip(fields).map {
       case (a: Alias, f)
           if jsonish(a.child) && !f.metadata.contains(PgTypes.LogicalKey) =>
-        org.apache.spark.sql.functions.col(f.name).as(f.name,
+        quoted(f.name).as(f.name,
           new MetadataBuilder().withMetadata(f.metadata)
             .putString(PgTypes.LogicalKey, "jsonval").build())
-      case (_, f) => org.apache.spark.sql.functions.col(f.name)
+      case (_, f) => quoted(f.name)
     }.toSeq: _*)
   }
 

@@ -35,6 +35,15 @@ object Dedup {
   /** Candidate (id_a, id_b) pairs sharing >=1 shingle whose document
     * frequency is <= maxDf — the stop-shingle cap that keeps one hot
     * boilerplate shingle from generating quadratic join rows on one key. */
+  /** Eagerly materialize the (small) final frame of an op, so the big
+    * cached intermediates feeding it can be unpersisted immediately after —
+    * a long-lived server session re-running these ops must not accumulate
+    * cached blocks until nondeterministic ContextCleaner GC. The checkpoint
+    * holds only the result rows (pair lists — tiny) and is freed when the
+    * returned frame is dropped. */
+  private def materialized(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = true)
+
   private[graft] def candidatePairs(shingles: DataFrame, maxDf: Int): DataFrame = {
     val sh = shingles.select(col("doc_id"), explode(col("sh")).as("s"))
     val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
@@ -43,10 +52,12 @@ object Dedup {
     // filter chain for BOTH sides (this op is the audit-scale auditor; the
     // scale path is minhash LSH, which caches its shingle frame the same way)
     val capped = sh.join(rare, "s").cache()
-    capped.as("a").join(capped.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+    try materialized(
+      capped.as("a").join(capped.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct())
+    finally capped.unpersist(false)
   }
 
   private val shingleSetSql = """SELECT doc_id,
@@ -82,19 +93,64 @@ object Dedup {
     * which near-identical documents (sharing almost all shingles) never hit
     * in practice. The DuckDB oracle does the same math with list ops + an
     * all-pairs join, which only works at oracle scale. */
-  private def jaccardPairs(s: SparkSession, dir: String, tau: Double,
+  private[graft] def jaccardPairsExact(docs: DataFrame, tau: Double,
       maxDf: Int = 100): DataFrame = {
-    val d = shingled(s, dir).cache()
-    val cand = candidatePairs(d, maxDf)
-    val inter = size(array_intersect(col("sha"), col("shb")))
-    val j = inter.cast("double") /
-      (size(col("sha")) + size(col("shb")) - inter)
-    cand
-      .join(d.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
-      .join(d.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
-      .filter(j >= tau)
-      .select(col("id_a"), col("id_b"), round(j, 6).as("jaccard"))
-      .orderBy("id_a", "id_b")
+    val d = shingleSets(docs).cache()
+    try {
+      val cand = candidatePairs(d, maxDf)
+      val inter = size(array_intersect(col("sha"), col("shb")))
+      val j = inter.cast("double") /
+        (size(col("sha")) + size(col("shb")) - inter)
+      materialized(cand
+        .join(d.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
+        .join(d.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
+        .filter(j >= tau)
+        .select(col("id_a"), col("id_b"), round(j, 6).as("jaccard"))
+        .orderBy("id_a", "id_b"))
+    } finally d.unpersist(false)
+  }
+
+  /** N-gram Jaccard pairs with a SIZE GUARD (the symmetry twin of
+    * [[embeddingCosinePairs]]): up to `exactMaxRows` documents the exact
+    * capped-shingle auditor runs; above it the call auto-routes through
+    * MinHash-LSH banding + exact verify, whose candidate join is keyed on
+    * (band, bucket) and never quadratic in one key. At tau >= 0.9 the two
+    * paths return the same pairs (band miss probability ~2e-12, and the
+    * verify step removes false candidates), so routing is invisible to the
+    * caller. The probe is LIMIT-bounded — it stops reading after
+    * threshold+1 rows. */
+  def ngramJaccardPairs(docs: DataFrame, tau: Double = 0.9,
+      exactMaxRows: Long = 100000L): DataFrame =
+    if (docs.limit(math.min(exactMaxRows + 1, Int.MaxValue).toInt).count() <= exactMaxRows)
+      jaccardPairsExact(docs, tau)
+    else minhashLshPairs(docs, tau)
+
+  /** MinHash + LSH banding + exact verify over the shingle sets — the
+    * 100 TB n-gram dedup path. Same output contract as
+    * [[jaccardPairsExact]] at tau >= 0.9 (see [[ngramJaccardPairs]]). */
+  private[graft] def minhashLshPairs(docs: DataFrame, tau: Double): DataFrame = {
+    GraftExpressions.register(docs.sparkSession)
+    val d = shingleSets(docs).cache()
+    try {
+      val sig = d.select(col("doc_id"), col("sh"), signatureCol.as("sig"))
+      val bands = sig.select(col("doc_id"),
+          posexplode(expr(s"transform(sequence(0, ${BANDS - 1}), " +
+            s"b -> hash(slice(sig, b * $R + 1, $R)))")).as(Seq("band", "bucket")))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .distinct()
+      // verify candidates with exact Jaccard (join sets back by key)
+      val withSets = cand
+        .join(d.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(d.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+      val j = inter / (size(col("sh_a")) + size(col("sh_b")) - inter)
+      materialized(withSets.filter(j >= tau)
+        .select(col("id_a"), col("id_b"), round(j, 6).as("jaccard"))
+        .orderBy("id_a", "id_b"))
+    } finally d.unpersist(false)
   }
 
   // MinHash parameters: K independent hashes via seeded xxhash64; 16 bands
@@ -238,35 +294,17 @@ object Dedup {
         .orderBy("doc_id")
     },
 
-    // exact n-gram Jaccard (distributed shingle join vs list-op oracle)
+    // exact n-gram Jaccard (distributed shingle join vs list-op oracle) —
+    // size-guarded: the exact auditor at oracle scale, auto-LSH above the cap
     Q("dd_ngram_jaccard", Some(jaccardOracle)) { (s, dir) =>
-      jaccardPairs(s, dir, 0.9)
+      ngramJaccardPairs(t(s, dir, "documents"), 0.9)
     },
 
     // MinHash + LSH banding + exact verify. Same oracle as the exact query:
     // at j>=0.9 with 16 bands of 2 the miss probability is ~2e-12, and the
     // verify step removes false candidates, so LSH output == exact output.
     Q("dd_minhash_lsh", Some(jaccardOracle)) { (s, dir) =>
-      GraftExpressions.register(s)
-      val d = shingled(s, dir).cache()
-      val sig = d.select(col("doc_id"), col("sh"), signatureCol.as("sig"))
-      val bands = sig.select(col("doc_id"),
-          posexplode(expr(s"transform(sequence(0, ${BANDS - 1}), " +
-            s"b -> hash(slice(sig, b * $R + 1, $R)))")).as(Seq("band", "bucket")))
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
-            && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-        .distinct()
-      // verify candidates with exact Jaccard (join sets back by key)
-      val withSets = cand
-        .join(d.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-        .join(d.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-      val j = inter / (size(col("sh_a")) + size(col("sh_b")) - inter)
-      withSets.filter(j >= 0.9)
-        .select(col("id_a"), col("id_b"), round(j, 6).as("jaccard"))
-        .orderBy("id_a", "id_b")
+      minhashLshPairs(t(s, dir, "documents"), 0.9)
     },
 
     // SimHash: 60-bit signature from shingle-hash bit votes (shingles, not
@@ -310,17 +348,19 @@ object Dedup {
       // whole shingle+md5+signature pass for BOTH join sides
       val sim = d.select(col("doc_id"), expr("simhash_sig(hashes)").as("simhash"))
         .cache()
-      val chunks = sim.select(col("doc_id"), col("simhash"),
-        posexplode(expr("transform(sequence(0, 7), " +
-          "c -> shiftright(simhash, cast(c * 8 AS INT)) & 255)")).as(Seq("chunk", "cval")))
-      chunks.as("x").join(chunks.as("y"),
-          col("x.chunk") === col("y.chunk") && col("x.cval") === col("y.cval")
-            && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 12)
-        .orderBy("id_a", "id_b")
+      try {
+        val chunks = sim.select(col("doc_id"), col("simhash"),
+          posexplode(expr("transform(sequence(0, 7), " +
+            "c -> shiftright(simhash, cast(c * 8 AS INT)) & 255)")).as(Seq("chunk", "cval")))
+        materialized(chunks.as("x").join(chunks.as("y"),
+            col("x.chunk") === col("y.chunk") && col("x.cval") === col("y.cval")
+              && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+            bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 12)
+          .orderBy("id_a", "id_b"))
+      } finally sim.unpersist(false)
     },
 
     // Near-dup CLUSTERS: connected components over the >=0.9-Jaccard pair
@@ -342,31 +382,39 @@ object Dedup {
         SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node)
       SELECT src AS doc_id, min(node) AS cluster_id
       FROM reach GROUP BY src ORDER BY doc_id""")) { (s, dir) =>
-      val edges = jaccardPairs(s, dir, 0.9).select("id_a", "id_b")
+      // edges from the SCALE-path pair miner: minhash-LSH + exact verify
+      // returns the same >=0.9 pair set as the exact auditor (band miss
+      // ~2e-12, verified candidates only), at banded-join cost — the
+      // clustering step consumes pairs, it should never pay the auditor's
+      // capped shingle-equality join
+      val edges = minhashLshPairs(t(s, dir, "documents"), 0.9)
+        .select("id_a", "id_b")
       val bidir = edges.select(col("id_a").as("a"), col("id_b").as("b"))
         .unionByName(edges.select(col("id_b").as("a"), col("id_a").as("b")))
         .cache()
       var labels = t(s, dir, "documents")
         .select(col("doc_id"), col("doc_id").as("cluster_id"))
       var changed = 1L
-      while (changed > 0) {
-        // candidate label for each node: min over self and neighbors' labels
-        val viaNeighbors = bidir
-          .join(labels.withColumnRenamed("doc_id", "a"), "a")
-          .groupBy(col("b").as("doc_id"))
-          .agg(min(col("cluster_id")).as("n_label"))
-        // localCheckpoint truncates the per-iteration lineage — without it
-        // the plan (and task closures) grow linearly with rounds, which is
-        // what kills long iterative jobs at scale
-        val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("cluster_id"), coalesce(col("n_label"), col("cluster_id"))).as("cluster_id"))
-          .localCheckpoint()
-        changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-          .filter(col("cluster_id") =!= col("old")).count()
-        labels = next
-      }
-      labels.orderBy("doc_id")
+      try {
+        while (changed > 0) {
+          // candidate label for each node: min over self and neighbors' labels
+          val viaNeighbors = bidir
+            .join(labels.withColumnRenamed("doc_id", "a"), "a")
+            .groupBy(col("b").as("doc_id"))
+            .agg(min(col("cluster_id")).as("n_label"))
+          // localCheckpoint truncates the per-iteration lineage — without it
+          // the plan (and task closures) grow linearly with rounds, which is
+          // what kills long iterative jobs at scale
+          val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("cluster_id"), coalesce(col("n_label"), col("cluster_id"))).as("cluster_id"))
+            .localCheckpoint()
+          changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+            .filter(col("cluster_id") =!= col("old")).count()
+          labels = next
+        }
+        labels.orderBy("doc_id")
+      } finally bidir.unpersist(false)
     },
 
     // embedding-space near-dup: normalized cosine over double-cast vectors;

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.hadoop.fs.{Path => HadoopPath}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, FileUtil, Path => HadoopPath}
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.io.api.Binary
@@ -8,7 +8,6 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
 
-import java.nio.file.{Files, Path, Paths}
 import scala.collection.concurrent.TrieMap
 import scala.jdk.CollectionConverters._
 
@@ -23,6 +22,20 @@ import scala.jdk.CollectionConverters._
   * commit — no Iceberg runtime ships in this container, so the layout is
   * parquet version dirs + a catalog map).
   *
+  * ALL file operations go through the Hadoop `FileSystem` resolved from the
+  * warehouse URI (the reference is S3-native, storage_utils.go:75-91), so
+  * the warehouse accepts any configured `fs.*` scheme — plain paths and
+  * `file://` URIs today, `hdfs://`/`s3a://` wherever those connectors are on
+  * the classpath. Object-store commit semantics: version data dirs and
+  * catalog snapshots are written once under FRESH names and never
+  * overwritten in place, so the commit point is the appearance of a new
+  * immutable object (`_catalog.v{seq}.json`), not an in-place rename —
+  * readers list and take the highest sequence, which is safe on stores
+  * whose rename is copy+delete. The only non-portable fast path is the
+  * local hard-link used to carry unchanged data files between versions; on
+  * any other scheme it degrades to a copy (and the Iceberg manifest layer
+  * is the real metadata-only carry at object-store scale).
+  *
   * Write-path semantics reproduced from the reference:
   *  - full refresh  = atomic replace (iceberg_table.go:46-70)
   *  - upsert        = per-key overwrite: old rows ∉ incoming keys ∪ incoming
@@ -33,44 +46,100 @@ import scala.jdk.CollectionConverters._
   *                    (iceberg_table.go:93-117, syncer-amplitude/lib/syncer.go:43-72)
   */
 class Store(spark: SparkSession, warehouse: String) {
-  Files.createDirectories(Paths.get(warehouse))
+
+  private val hconf = spark.sessionState.newHadoopConf()
+  private val fs: FileSystem = new HadoopPath(warehouse).getFileSystem(hconf)
+  // the store's own sidecars (catalog snapshots, stats manifests) are small
+  // rebuildable JSON: skip the local ChecksumFileSystem's .crc shadow files
+  // so out-of-band edits/tools can't strand a stale checksum (no-op on
+  // schemes without client-side checksumming)
+  fs.setWriteChecksum(false)
+  fs.setVerifyChecksum(false)
+  private val root: HadoopPath = fs.makeQualified(new HadoopPath(warehouse))
+  fs.mkdirs(root)
+  private def isLocalFs: Boolean = "file" == root.toUri.getScheme
 
   private val versions = TrieMap[String, Int]()
   private val matviewDefs = TrieMap[String, String]()
 
+  private def readBytes(p: HadoopPath): Array[Byte] = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+  }
+
+  private def writeBytes(p: HadoopPath, bytes: Array[Byte]): Unit = {
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
   // ---- catalog durability ------------------------------------------------
   // The reference keeps its catalog (table pointers + matview definitions)
   // in a PG JDBC database (iceberg_catalog.go); here the same durability is
-  // a JSON sidecar in the warehouse root, rewritten atomically after every
-  // mutation and reloaded on construction — a crashed or restarted process
-  // sees every table and matview again.
-  private val catalogFile = Paths.get(warehouse, "_catalog.json")
+  // a JSON snapshot in the warehouse root, committed as a NEW immutable
+  // `_catalog.v{seq}.json` object per mutation (the Iceberg
+  // version-file/commit shape): no overwrite, no rename-over — the commit
+  // is visible the instant the new object is, which holds on object stores
+  // where rename is copy+delete. Readers take the highest sequence; a
+  // crashed or restarted process sees every table and matview again.
+  private def catalogSnapshots(): Seq[(Long, HadoopPath)] =
+    Option(fs.globStatus(new HadoopPath(root, "_catalog.v*.json")))
+      .getOrElse(Array.empty[FileStatus]).toSeq
+      .flatMap { st =>
+        val n = st.getPath.getName.stripPrefix("_catalog.v").stripSuffix(".json")
+        n.toLongOption.map(_ -> st.getPath)
+      }.sortBy(_._1)
 
-  private def persistCatalog(): Unit = {
+  private var catalogSeq: Long = 0L
+
+  private def persistCatalog(): Unit = synchronized {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = om.createObjectNode()
-    val vs = root.putObject("versions")
+    val rootNode = om.createObjectNode()
+    val vs = rootNode.putObject("versions")
     versions.toSeq.sortBy(_._1).foreach { case (k, v) => vs.put(k, v) }
-    val mv = root.putObject("matviews")
+    val mv = rootNode.putObject("matviews")
     matviewDefs.toSeq.sortBy(_._1).foreach { case (k, d) => mv.put(k, d) }
-    val tmp = Paths.get(warehouse, "._catalog.json.tmp")
-    Files.write(tmp, om.writerWithDefaultPrettyPrinter.writeValueAsBytes(root))
-    Files.move(tmp, catalogFile,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catalogSeq += 1
+    val tmp = new HadoopPath(root, s"._catalog-$catalogSeq.tmp")
+    writeBytes(tmp, om.writerWithDefaultPrettyPrinter.writeValueAsBytes(rootNode))
+    val dst = new HadoopPath(root, s"_catalog.v$catalogSeq.json")
+    // rename from a dot-tmp to a FRESH name: atomic on posix/HDFS, and on a
+    // copy+delete store the destination never pre-exists so the worst case
+    // is a duplicate upload, never a torn catalog
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"catalog commit failed: $dst")
+    }
+    // GC superseded snapshots (keep a couple for forensic/raced readers)
+    catalogSnapshots().dropRight(2).foreach { case (_, p) => fs.delete(p, false) }
   }
 
-  if (Files.exists(catalogFile)) {
+  locally {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = om.readTree(Files.readAllBytes(catalogFile))
-    root.get("versions").fields.asScala.foreach(e => versions(e.getKey) = e.getValue.asInt)
-    root.get("matviews").fields.asScala.foreach(e => matviewDefs(e.getKey) = e.getValue.asText)
-    // every catalog table (not just matviews) is SQL-resolvable, like the
-    // reference's runtime shell tables (query_remapper_table.go:141-178)
-    versions.keys.foreach(publish)
+    val legacy = new HadoopPath(root, "_catalog.json")
+    val latest = catalogSnapshots().lastOption
+    latest.foreach { case (seq, _) => catalogSeq = seq }
+    val bytes = latest.map { case (_, p) => readBytes(p) }
+      .orElse(if (fs.exists(legacy)) Some(readBytes(legacy)) else None)
+    bytes.foreach { bs =>
+      val rootNode = om.readTree(bs)
+      rootNode.get("versions").fields.asScala.foreach(e => versions(e.getKey) = e.getValue.asInt)
+      rootNode.get("matviews").fields.asScala.foreach(e => matviewDefs(e.getKey) = e.getValue.asText)
+      // every catalog table (not just matviews) is SQL-resolvable, like the
+      // reference's runtime shell tables (query_remapper_table.go:141-178)
+      versions.keys.foreach(publish)
+    }
   }
 
-  private def versionDir(name: String, v: Int): String = s"$warehouse/$name/v$v"
+  private def versionDir(name: String, v: Int): String = s"$root/$name/v$v"
+  private def versionPath(name: String, v: Int): HadoopPath =
+    new HadoopPath(versionDir(name, v))
+  private def tablePath(name: String): HadoopPath = new HadoopPath(root, name)
 
   def exists(name: String): Boolean = versions.contains(name)
 
@@ -84,10 +153,15 @@ class Store(spark: SparkSession, warehouse: String) {
     * the Iceberg snapshot-read analog (iceberg snapshots keep data files
     * alive until expiry; here version dirs play that role). */
   def readVersion(name: String, v: Int): DataFrame = {
-    require(Files.exists(Paths.get(versionDir(name, v))),
-      s"table $name has no version $v")
+    require(fs.exists(versionPath(name, v)), s"table $name has no version $v")
     spark.read.parquet(versionDir(name, v))
   }
+
+  /** The current version's parquet data files, stat-listed once. */
+  private def dataFiles(dir: HadoopPath): Seq[FileStatus] =
+    fs.listStatus(dir).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.toString)
 
   /** Min/max-pruned range scan: parquet footer stats on `key` decide which
     * data files can contain [lo, hi] before Spark ever lists them — the
@@ -95,7 +169,7 @@ class Store(spark: SparkSession, warehouse: String) {
     * Returns (filtered frame, files scanned, files total); at 100 TB the
     * win is skipping whole files, not just row groups. */
   def readRange(name: String, key: String, lo: Any, hi: Any): (DataFrame, Int, Int) = {
-    val cur = Paths.get(versionDir(name, versions(name)))
+    val cur = versionPath(name, versions(name))
     val stats = fileStats(cur, key)
     val lon = normKey(lo)
     val hin = normKey(hi)
@@ -235,25 +309,24 @@ class Store(spark: SparkSession, warehouse: String) {
     * difference between thousands and millions of manifest entries. */
   def appendCompacting(name: String, df: DataFrame, maxFileBytes: Long = 100L << 20): Unit = {
     if (!exists(name)) { replace(name, df); return }
-    val cur = Paths.get(versionDir(name, versions(name)))
-    val files = Files.list(cur).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-    val (full, small) = files.partition(Files.size(_) >= maxFileBytes)
+    val cur = versionPath(name, versions(name))
+    val files = dataFiles(cur)
+    val (full, small) = files.partition(_.getLen >= maxFileBytes)
     val next = versions.getOrElse(name, 0) + 1
-    val dir = Paths.get(versionDir(name, next))
-    Files.createDirectories(dir)
-    full.foreach(carryFile(_, dir))
+    val dir = versionPath(name, next)
+    fs.mkdirs(dir)
+    full.foreach(f => carryFile(f.getPath, dir))
     val tail =
       if (small.isEmpty) df
       else spark.read.schema(df.schema)
-        .parquet(small.map(_.toString): _*).unionByName(df)
+        .parquet(small.map(_.getPath.toString): _*).unionByName(df)
     // The compacted tail is sized to ~maxFileBytes output files, written by
     // that many parallel tasks — a coalesce(1) here would funnel the whole
     // tail + batch through one task (serial choke at the reference's 1 GB
     // batch cap). Catalyst plan stats give the incoming byte estimate; an
     // absurd estimate (stats unknown → 8 EiB default) falls back to one
     // target file's worth.
-    val smallBytes = small.map(Files.size(_)).sum
+    val smallBytes = small.map(_.getLen).sum
     val incomingBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val targetBytes = math.max(maxFileBytes, 1L << 20)
     val est = smallBytes +
@@ -265,25 +338,31 @@ class Store(spark: SparkSession, warehouse: String) {
     publish(name)
   }
 
-  /** Carry a data file into a new version dir untouched: a hard link when
-    * the filesystem allows it (the local analog of an object-store
-    * metadata-only move / Iceberg manifest re-reference), copy otherwise. */
-  private def carryFile(f: Path, dir: Path): Unit =
-    try Files.createLink(dir.resolve(f.getFileName), f)
-    catch { case _: Exception => Files.copy(f, dir.resolve(f.getFileName)) }
+  /** Carry a data file into a new version dir untouched: a hard link on a
+    * local warehouse (the on-disk analog of an object-store metadata-only
+    * move / Iceberg manifest re-reference), a FileSystem copy on any other
+    * scheme — at object-store scale the Iceberg metadata layer is the real
+    * zero-copy carry, this is the directory-layout fallback. */
+  private def carryFile(f: HadoopPath, dir: HadoopPath): Unit = {
+    val dst = new HadoopPath(dir, f.getName)
+    val linked = isLocalFs &&
+      (try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri), java.nio.file.Paths.get(f.toUri))
+        true
+      } catch { case _: Exception => false })
+    if (!linked) FileUtil.copy(fs, f, fs, dst, false, hconf)
+  }
 
   /** Write `df` as parquet into `dir` beside any carried files, via a temp
     * dir so partial writes never land in a published version. */
-  private def writeInto(df: DataFrame, name: String, dir: Path, prefix: String): Unit = {
-    val tmp = s"$warehouse/$name/.$prefix-tmp"
-    df.write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(tmp)
-    Files.list(Paths.get(tmp)).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .zipWithIndex.foreach { case (f, i) =>
-        Files.move(f, dir.resolve(s"$prefix-$i.parquet"))
-      }
-    Files.list(Paths.get(tmp)).iterator().asScala.foreach(Files.delete)
-    Files.delete(Paths.get(tmp))
+  private def writeInto(df: DataFrame, name: String, dir: HadoopPath, prefix: String): Unit = {
+    val tmp = new HadoopPath(tablePath(name), s".$prefix-tmp")
+    df.write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(tmp.toString)
+    dataFiles(tmp).zipWithIndex.foreach { case (f, i) =>
+      fs.rename(f.getPath, new HadoopPath(dir, s"$prefix-$i.parquet"))
+    }
+    fs.delete(tmp, true)
   }
 
   /** Append tolerating schema evolution: columns new to either side are
@@ -314,15 +393,14 @@ class Store(spark: SparkSession, warehouse: String) {
 
   /** Shared engine for upsert/deleteByKey: partition the current version's
     * data files into footer-overlap hits (rewritten without the incoming
-    * keys) and misses (hard-linked into the new version by name). Pruning
+    * keys) and misses (carried into the new version by name). Pruning
     * runs only for integral/string keys with usable footer stats; anything
     * else degrades to rewrite-everything, which is the old (correct)
     * behavior. */
   private def prunedRewrite(name: String, incoming: DataFrame, key: String,
       appendIncoming: Boolean): (Int, Int) = {
-    val cur = Paths.get(versionDir(name, versions(name)))
-    val files = Files.list(cur).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+    val cur = versionPath(name, versions(name))
+    val files = dataFiles(cur).map(_.getPath)
     val prunable = incoming.schema(key).dataType match {
       case IntegerType | LongType | ShortType | ByteType | StringType => true
       case _ => false
@@ -341,7 +419,7 @@ class Store(spark: SparkSession, warehouse: String) {
         .map(r => normKey(r.get(0)))
     lastPruneViaJoin = prunable && probe.length > maxDriverPruneKeys
     val (hit, carried) =
-      if (!prunable) (files, Seq.empty[Path])
+      if (!prunable) (files, Seq.empty[HadoopPath])
       else try {
         val stats = fileStats(cur, key).toMap
         if (!lastPruneViaJoin) {
@@ -357,12 +435,12 @@ class Store(spark: SparkSession, warehouse: String) {
           val hits = overlapHitsByJoin(incoming, key,
             stats.collect { case (p, Some(r)) => (p, r) }.toSeq)
           files.partition(f => stats.getOrElse(f, None).isEmpty
-            || hits.contains(f.getFileName.toString))
+            || hits.contains(f.getName))
         }
-      } catch { case _: ClassCastException => (files, Seq.empty[Path]) }
+      } catch { case _: ClassCastException => (files, Seq.empty[HadoopPath]) }
     val next = versions(name) + 1
-    val dir = Paths.get(versionDir(name, next))
-    Files.createDirectories(dir)
+    val dir = versionPath(name, next)
+    fs.mkdirs(dir)
     carried.foreach(carryFile(_, dir))
     val kept =
       if (hit.isEmpty) None
@@ -385,30 +463,28 @@ class Store(spark: SparkSession, warehouse: String) {
     * Iceberg manifest role (manifests carry per-file column bounds so
     * planning never touches data files). A stale manifest (file set
     * changed) rebuilds automatically; Spark ignores `_`-prefixed files. */
-  private[graft] def fileStats(dir: Path, key: String): Seq[(Path, Option[(Any, Any)])] = {
-    val files = Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
-    val mf = dir.resolve("_manifest.json")
+  private[graft] def fileStats(dir: HadoopPath, key: String): Seq[(HadoopPath, Option[(Any, Any)])] = {
+    val files = dataFiles(dir).map(_.getPath)
+    val mf = new HadoopPath(dir, "_manifest.json")
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     def decode(node: com.fasterxml.jackson.databind.JsonNode): Option[(Any, Any)] =
       Option(node).map { n =>
         if (n.get("t").asText == "l") (n.get("lo").asLong, n.get("hi").asLong)
         else (n.get("lo").asText, n.get("hi").asText)
       }
-    if (Files.exists(mf)) {
-      val root = om.readTree(Files.readAllBytes(mf))
-      val known = root.fieldNames.asScala.toSet
-      if (files.map(_.getFileName.toString).toSet == known)
-        return files.map(f => f ->
-          decode(root.get(f.getFileName.toString).get(key)))
+    if (fs.exists(mf)) {
+      val rootNode = om.readTree(readBytes(mf))
+      val known = rootNode.fieldNames.asScala.toSet
+      if (files.map(_.getName).toSet == known)
+        return files.map(f => f -> decode(rootNode.get(f.getName).get(key)))
     }
     // build (or rebuild) the manifest from one footer pass
     val perFile = files.map { f =>
       f -> footerAllRanges(f)
     }
-    val root = om.createObjectNode()
+    val rootNode = om.createObjectNode()
     perFile.foreach { case (f, cols) =>
-      val fn = root.putObject(f.getFileName.toString)
+      val fn = rootNode.putObject(f.getName)
       cols.foreach { case (c, (lo, hi)) =>
         val cn = fn.putObject(c)
         (lo, hi) match {
@@ -419,17 +495,19 @@ class Store(spark: SparkSession, warehouse: String) {
         }
       }
     }
-    val tmp = dir.resolve("._manifest.json.tmp")
-    Files.write(tmp, om.writerWithDefaultPrettyPrinter.writeValueAsBytes(root))
-    Files.move(tmp, mf, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // the manifest is a rebuildable cache: a reader racing the delete+rename
+    // below just rebuilds from footers, so overwrite-by-replace is safe here
+    val tmp = new HadoopPath(dir, "._manifest.json.tmp")
+    writeBytes(tmp, om.writerWithDefaultPrettyPrinter.writeValueAsBytes(rootNode))
+    fs.delete(mf, false)
+    fs.rename(tmp, mf)
     perFile.map { case (f, cols) => f -> cols.get(key) }
   }
 
   /** (lo, hi) per prunable column of one file's footer (columns with any
     * stats-free or null-only row group are omitted). */
-  private def footerAllRanges(file: Path): Map[String, (Any, Any)] = {
-    val in = HadoopInputFile.fromPath(new HadoopPath(file.toString),
-      spark.sessionState.newHadoopConf())
+  private def footerAllRanges(file: HadoopPath): Map[String, (Any, Any)] = {
+    val in = HadoopInputFile.fromPath(file, hconf)
     val reader = ParquetFileReader.open(in)
     try {
       val acc = scala.collection.mutable.Map[String, (Any, Any)]()
@@ -466,20 +544,16 @@ class Store(spark: SparkSession, warehouse: String) {
     * expired version numbers. */
   def expireVersions(name: String, keep: Int = 2): Seq[Int] = {
     require(exists(name), s"unknown table $name")
-    val tableDir = Paths.get(s"$warehouse/$name")
-    val all = Files.list(tableDir).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(_.matches("v\\d+")).map(_.drop(1).toInt).toSeq.sorted
+    val all = fs.listStatus(tablePath(name)).toSeq
+      .map(_.getPath.getName)
+      .filter(_.matches("v\\d+")).map(_.drop(1).toInt).sorted
     val doomed = all.filter(_ <= versions(name)).dropRight(math.max(keep, 1))
-    doomed.foreach { v =>
-      val d = Paths.get(versionDir(name, v))
-      Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    }
+    doomed.foreach(v => fs.delete(versionPath(name, v), true))
     // keep the Iceberg metadata tree consistent: snapshots over expired
     // version dirs reference deleted data files, so expire them too
     // (snapshot id == store version)
     val live = all.filterNot(doomed.contains).map(_.toLong).toSet
-    Iceberg.expireSnapshots(Paths.get(s"$warehouse/$name"), live)
+    if (isLocalFs) Iceberg.expireSnapshots(localTableDir(name), live)
     doomed
   }
 
@@ -494,15 +568,15 @@ class Store(spark: SparkSession, warehouse: String) {
     * ranges -> the set of hit file names. The only rows reaching the driver
     * are file names, never keys. */
   private def overlapHitsByJoin(incoming: DataFrame, key: String,
-      ranges: Seq[(Path, (Any, Any))]): Set[String] = {
+      ranges: Seq[(HadoopPath, (Any, Any))]): Set[String] = {
     import spark.implicits._
     val isStr = incoming.schema(key).dataType == StringType
     val statsDf =
       if (isStr) ranges.map { case (p, (lo, hi)) =>
-        (p.getFileName.toString, lo.asInstanceOf[String], hi.asInstanceOf[String])
+        (p.getName, lo.asInstanceOf[String], hi.asInstanceOf[String])
       }.toDF("__file", "__lo", "__hi")
       else ranges.map { case (p, (lo, hi)) =>
-        (p.getFileName.toString,
+        (p.getName,
           lo.asInstanceOf[Number].longValue, hi.asInstanceOf[Number].longValue)
       }.toDF("__file", "__lo", "__hi")
     val keyCol = if (isStr) col(key).cast("string") else col(key).cast("long")
@@ -542,21 +616,30 @@ class Store(spark: SparkSession, warehouse: String) {
   // here the format layer is optional per table: publishIceberg emits a
   // spec-conformant v2 snapshot commit (metadata.json + Avro manifest tree
   // with per-column footer stats) for the current version, and readIceberg
-  // plans a scan purely from that metadata — no directory listing.
+  // plans a scan purely from that metadata — no directory listing. The
+  // emitter works against java.nio paths today, so it requires a local
+  // (file-scheme) warehouse; the table layout it describes is
+  // scheme-agnostic.
+
+  private def localTableDir(name: String): java.nio.file.Path = {
+    require(isLocalFs,
+      s"Iceberg metadata emission requires a local warehouse (got $root)")
+    java.nio.file.Paths.get(tablePath(name).toUri)
+  }
 
   /** Commit the table's current version as an Iceberg v2 snapshot; snapshot
     * id = store version (deterministic). Returns the metadata.json path. */
-  def publishIceberg(name: String): Path = {
-    val cur = Paths.get(versionDir(name, versions(name)))
+  def publishIceberg(name: String): java.nio.file.Path = {
+    val cur = localTableDir(name).resolve(s"v${versions(name)}")
     // recursive walk covers hive-partitioned layouts (key=value subdirs)
-    val files = Files.walk(cur).iterator().asScala
-      .filter(p => Files.isRegularFile(p) &&
+    val files = java.nio.file.Files.walk(cur).iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
         p.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
     require(files.nonEmpty, s"publishIceberg($name): no data files in $cur")
     val schema = read(name).schema
     // identity-partition spec from the path segments between the version
     // dir and the file (hive key=value encoding); values typed per schema
-    def segs(f: Path): Seq[(String, String)] =
+    def segs(f: java.nio.file.Path): Seq[(String, String)] =
       cur.relativize(f.getParent).iterator().asScala
         .map(_.toString).filter(_.contains("="))
         .map { s =>
@@ -570,14 +653,14 @@ class Store(spark: SparkSession, warehouse: String) {
       case LongType => v.toLong
       case _ => v
     }
-    Iceberg.commit(spark, Paths.get(s"$warehouse/$name"), schema,
+    Iceberg.commit(spark, localTableDir(name), schema,
       files, versions(name), specCols,
       f => segs(f).map { case (k, v) => k -> typed(k, v) })
   }
 
   /** Read through the Iceberg metadata tree (optionally a past snapshot). */
   def readIceberg(name: String, snapshotId: Option[Long] = None): DataFrame =
-    Iceberg.readTable(spark, Paths.get(s"$warehouse/$name"), snapshotId)
+    Iceberg.readTable(spark, localTableDir(name), snapshotId)
 
   /** Type-2 slowly-changing-dimension upsert: incoming (key, attrs,
     * effective ts) closes the open history row of each changed key
@@ -659,7 +742,7 @@ class Store(spark: SparkSession, warehouse: String) {
   def renameMatview(from: String, to: String): Unit = {
     matviewDefs.get(from).foreach { d => matviewDefs(to) = d; matviewDefs.remove(from) }
     versions.get(from).foreach { v =>
-      Files.move(Paths.get(s"$warehouse/$from"), Paths.get(s"$warehouse/$to"))
+      fs.rename(tablePath(from), tablePath(to))
       versions(to) = v
       versions.remove(from)
       spark.catalog.dropTempView(from)
@@ -681,11 +764,7 @@ class Store(spark: SparkSession, warehouse: String) {
   def drop(name: String): Unit = {
     versions.remove(name)
     spark.catalog.dropTempView(name)
-    def rm(p: Path): Unit = {
-      if (Files.isDirectory(p)) Files.list(p).forEach(rm)
-      Files.deleteIfExists(p)
-    }
-    rm(Paths.get(s"$warehouse/$name"))
+    fs.delete(tablePath(name), true)
     persistCatalog()
   }
 }

@@ -120,7 +120,9 @@ class HttpJsonSource(
           if (out == null || bytes >= maxChunkBytes) rotate()
           out.write(line)
           out.write('\n')
-          bytes += line.length + 1
+          // count ENCODED bytes, not UTF-16 chars — a multibyte payload
+          // would otherwise overshoot the chunk cap by up to ~3x
+          bytes += line.getBytes(java.nio.charset.StandardCharsets.UTF_8).length + 1
         }
       }
     } finally if (out != null) out.close()

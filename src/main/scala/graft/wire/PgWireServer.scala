@@ -254,7 +254,11 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
             val exp = 4 * (weight - nd + 1)
             val mag = new java.math.BigDecimal(unscaled.bigInteger, -exp)
             val signed = if (sign == 0x4000) mag.negate else mag
-            signed.setScale(dscale).toPlainString
+            // a non-canonical encoding can carry nonzero digits beyond
+            // dscale; surface the value instead of throwing mid-message-loop
+            try signed.setScale(dscale,
+              java.math.RoundingMode.UNNECESSARY).toPlainString
+            catch { case _: ArithmeticException => signed.toPlainString }
           }
         case 0 => bytes.length match { // undeclared: legacy length heuristic
           case 4 => bb.getInt.toString

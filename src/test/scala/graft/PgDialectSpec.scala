@@ -141,6 +141,18 @@ class PgDialectSpec extends SparkSpecBase {
     // an identifier starting with LIMIT must not suppress the injection
     assert(rewriteScalarSublinks("SELECT (SELECT limits FROM t) AS l FROM o")
       == "SELECT (SELECT limits FROM t LIMIT 1) AS l FROM o")
+    // comments are blanked like literals: an apostrophe or '(SELECT' inside
+    // a -- or /* */ comment must not misalign the scanner
+    assert(rewriteScalarSublinks(
+      "SELECT (SELECT v FROM t) AS v -- it's a trap (SELECT\nFROM o")
+      == "SELECT (SELECT v FROM t LIMIT 1) AS v -- it's a trap (SELECT\nFROM o")
+    assert(rewriteScalarSublinks(
+      "SELECT /* don't (SELECT here */ (SELECT v FROM t) FROM o")
+      == "SELECT /* don't (SELECT here */ (SELECT v FROM t LIMIT 1) FROM o")
+    // PG block comments nest
+    assert(rewriteScalarSublinks(
+      "SELECT /* a /* b (SELECT */ c */ (SELECT v FROM t) FROM o")
+      == "SELECT /* a /* b (SELECT */ c */ (SELECT v FROM t LIMIT 1) FROM o")
     // the translate pipeline only applies it when the session setting is on
     val strict = translateSelect("SELECT (SELECT v FROM t) AS v FROM o")
     assert(!strict.contains("LIMIT 1"))

@@ -155,6 +155,18 @@ class PipelineSpec extends SparkSpecBase {
     assert(got == ((1L, "a b c d e f", 3L)))
   }
 
+  test("ngram jaccard size guard routes large inputs to the LSH path") {
+    val docs = Tables.df(spark, sfDir, "documents")
+    // force the route (threshold 0 = "every input is too big for exact")
+    val routed = Dedup.ngramJaccardPairs(docs, 0.9, exactMaxRows = 0L)
+    val exact = Dedup.ngramJaccardPairs(docs, 0.9) // under the cap -> exact
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // at tau>=0.9 routing is invisible: LSH+verify == the exact auditor
+    assert(pairs(routed) == pairs(exact))
+    assert(pairs(routed).nonEmpty)
+  }
+
   test("stop-shingle cap bounds candidate pairs under boilerplate skew") {
     import spark.implicits._
     // 200 docs all sharing ONE boilerplate shingle, with unique tails: the

@@ -109,4 +109,16 @@ class PlanSpec extends SparkSpecBase {
     val p = plan("q03_shipping_priority")
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("tpch q18 reads lineitem exactly once") {
+    // the HAVING subquery and the outer per-order sum are one aggregate:
+    // a second lineitem scan would double the dominant-table IO at scale
+    val p = plan("q18_large_volume_customers")
+    assert(countOf("lineitem\\.parquet", p) == 1, p)
+  }
+
+  test("tpch q21 reads lineitem exactly once") {
+    val p = plan("q21_waiting_supplier")
+    assert(countOf("lineitem\\.parquet", p) == 1, p)
+  }
 }

@@ -389,6 +389,32 @@ class StoreSpec extends SparkSpecBase {
     assert(sy2 >= 14, s"sorted-by-x layout should barely prune y: $sy2")
   }
 
+  test("warehouse accepts a file:// URI (Hadoop FileSystem commit path)") {
+    import spark.implicits._
+    // the commit path must run entirely through the Hadoop FileSystem API:
+    // a URI warehouse exercises it end to end (replace, catalog snapshot
+    // commit, upsert with carry/rewrite, compacting append, restart reload)
+    val dir = java.nio.file.Files.createTempDirectory("graft-store-uri")
+    val st = new Store(spark, s"file://$dir")
+    st.replaceSorted("t", (1L to 400L).map(k => (k, s"v$k")).toDF("k", "v"),
+      "k", numFiles = 4)
+    assert(st.read("t").count() == 400)
+    val (rewritten, total) = st.upsert("t", Seq((5L, "x")).toDF("k", "v"), "k")
+    assert(total == 4 && rewritten == 1, s"expected pruned upsert: $rewritten/$total")
+    assert(st.read("t").filter($"k" === 5L).collect()(0).getString(1) == "x")
+    st.appendCompacting("t", Seq((401L, "tail")).toDF("k", "v"))
+    assert(st.read("t").count() == 401)
+    // catalog snapshots committed as fresh immutable objects, no overwrite
+    val cats = java.nio.file.Files.list(dir).iterator()
+    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(cats).asScala
+      .map(_.getFileName.toString).toSeq
+    assert(names.count(_.matches("_catalog\\.v\\d+\\.json")) >= 1, names.toString)
+    // restart over the same URI warehouse sees everything
+    val st2 = new Store(spark, s"file://$dir")
+    assert(st2.read("t").count() == 401)
+    assert(st2.currentVersion("t") == 3)
+  }
+
   test("store tables are SQL-resolvable like the reference's shell tables") {
     import spark.implicits._
     val st = freshStore()
