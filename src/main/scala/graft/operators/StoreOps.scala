@@ -215,7 +215,7 @@ object StoreOps {
       store.replaceSorted("icp_orders", orders, "o_orderkey", numFiles = 8)
       store.publishIceberg("icp_orders")
       val (df, _, _) = Iceberg.readRangePruned(s,
-        java.nio.file.Paths.get(wh, "icp_orders"), orders.schema,
+        new org.apache.hadoop.fs.Path(wh, "icp_orders"), orders.schema,
         "o_orderkey", 3000L, 5999L)
       df.orderBy("o_orderkey")
     },

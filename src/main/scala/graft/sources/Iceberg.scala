@@ -1,9 +1,10 @@
 package graft
 
 import org.apache.avro.Schema
-import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.file.{DataFileReader, DataFileWriter, SeekableByteArrayInput}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
-import org.apache.hadoop.fs.{Path => HadoopPath}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -11,7 +12,6 @@ import org.apache.spark.sql.types._
 
 import java.nio.ByteBuffer
 import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 /** Apache Iceberg v2 table metadata: a real, spec-conformant writer + reader
@@ -32,6 +32,12 @@ import scala.jdk.CollectionConverters._
   * data; [[planFiles]] prunes on manifest-entry lower/upper bounds before
   * Spark lists a single parquet footer — the mechanism that lets a
   * 1000-executor cluster open only the files a predicate can touch.
+  *
+  * All I/O goes through the Hadoop `FileSystem` resolved from each path
+  * (same contract as the Store), so metadata trees live on any configured
+  * `fs.*` scheme; data-file locations are written as fully-qualified URIs,
+  * which is what the spec's `file_path` ("Location URI with FS scheme")
+  * requires and what lets a reader on another host resolve them.
   */
 object Iceberg {
 
@@ -58,6 +64,33 @@ object Iceberg {
   }
 
   private def om = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  // ---- Hadoop FS plumbing (any configured fs.* scheme, like the Store) ----
+
+  /** FileSystem for a path. Metadata files are small rebuildable JSON/Avro:
+    * skip the local ChecksumFileSystem's .crc shadows (no-op elsewhere). */
+  private def fsOf(p: Path, conf: Configuration): FileSystem = {
+    val fs = p.getFileSystem(conf)
+    fs.setWriteChecksum(false)
+    fs.setVerifyChecksum(false)
+    fs
+  }
+
+  private def readBytes(fs: FileSystem, p: Path): Array[Byte] = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+  }
+
+  private def writeBytes(fs: FileSystem, p: Path, bytes: Array[Byte]): Unit = {
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
 
   /** Iceberg struct-schema JSON with position-based field ids (1-based; list
     * elements at 1000+position, like the reference). */
@@ -114,8 +147,8 @@ object Iceberg {
         StringType, DateType, TimestampType, TimestampNTZType).contains(f.dataType) =>
         f.name.toLowerCase -> f.dataType
     }.toMap
-    val in = HadoopInputFile.fromPath(new HadoopPath(file.toString),
-      spark.sessionState.newHadoopConf())
+    val hconf = spark.sessionState.newHadoopConf()
+    val in = HadoopInputFile.fromPath(file, hconf)
     val reader = ParquetFileReader.open(in)
     try {
       val colSizes = scala.collection.mutable.Map[Int, Long]().withDefaultValue(0L)
@@ -152,7 +185,8 @@ object Iceberg {
           }
         }
       }
-      FileStats(file.toString, Files.size(file), records, colSizes.toMap,
+      FileStats(file.toString,
+        fsOf(file, hconf).getFileStatus(file).getLen, records, colSizes.toMap,
         valCounts.toMap, nullCounts.toMap, lower.toMap, upper.toMap, splits.toSeq)
     } finally reader.close()
   }
@@ -286,32 +320,35 @@ object Iceberg {
       dataFiles: Seq[Path], snapshotId: Long,
       specCols: Seq[(String, DataType)] = Nil,
       partitionOf: Path => Seq[(String, Any)] = _ => Nil): Path = {
-    val metaDir = tableDir.resolve("metadata")
-    Files.createDirectories(metaDir)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = fsOf(tableDir, conf)
+    val metaDir = new Path(tableDir, "metadata")
+    fs.mkdirs(metaDir)
     val sorted = dataFiles.sortBy(_.toString)
     val stats = sorted.map(parquetStats(spark, _, schema))
     val parts = sorted.map(partitionOf)
     val seq = snapshotId
 
     // manifest
-    val manifestPath = metaDir.resolve(f"snap-$snapshotId-manifest.avro")
-    writeManifest(manifestPath, schema, stats, snapshotId, seq, specCols, parts)
-    val manifestLen = Files.size(manifestPath)
+    val manifestPath = new Path(metaDir, f"snap-$snapshotId-manifest.avro")
+    writeManifest(fs, manifestPath, schema, stats, snapshotId, seq, specCols, parts)
+    val manifestLen = fs.getFileStatus(manifestPath).getLen
 
     // manifest list
-    val listPath = metaDir.resolve(f"snap-$snapshotId.avro")
+    val listPath = new Path(metaDir, f"snap-$snapshotId.avro")
     val totalRows = stats.map(_.recordCount).sum
-    writeManifestList(listPath, manifestPath, manifestLen, snapshotId, seq,
+    writeManifestList(fs, listPath, manifestPath, manifestLen, snapshotId, seq,
       stats.length, totalRows)
 
     // metadata.json (accumulate prior snapshots)
     val mapper = om
-    val prior = currentMetadataFile(tableDir).map(p => mapper.readTree(Files.readAllBytes(p)))
+    val prior = currentMetadataFile(tableDir, conf)
+      .map(p => mapper.readTree(readBytes(fs, p)))
     val root = mapper.createObjectNode()
     root.put("format-version", 2)
     root.put("table-uuid", prior.map(_.get("table-uuid").asText)
       .getOrElse(java.util.UUID.nameUUIDFromBytes(tableDir.toString.getBytes(UTF_8)).toString))
-    root.put("location", tableDir.toUri.toString.stripSuffix("/"))
+    root.put("location", fs.makeQualified(tableDir).toUri.toString.stripSuffix("/"))
     root.put("last-sequence-number", seq)
     root.put("last-updated-ms", System.currentTimeMillis)
     root.put("last-column-id", lastColumnId(schema))
@@ -363,7 +400,7 @@ object Iceberg {
     parent.foreach(snap.put("parent-snapshot-id", _))
     snap.put("sequence-number", seq)
     snap.put("timestamp-ms", System.currentTimeMillis)
-    snap.put("manifest-list", listPath.toUri.toString)
+    snap.put("manifest-list", fs.makeQualified(listPath).toUri.toString)
     snap.put("schema-id", 0)
     val summary = snap.putObject("summary")
     summary.put("operation", "overwrite")
@@ -379,10 +416,11 @@ object Iceberg {
     root.putArray("metadata-log")
     root.putArray("statistics")
 
-    val version = prior.map(_ => nextMetadataVersion(metaDir)).getOrElse(1)
-    val mdPath = metaDir.resolve(f"v$version.metadata.json")
-    Files.write(mdPath, mapper.writerWithDefaultPrettyPrinter.writeValueAsBytes(root))
-    Files.write(metaDir.resolve("version-hint.text"), version.toString.getBytes(UTF_8))
+    val version = prior.map(_ => nextMetadataVersion(fs, metaDir)).getOrElse(1)
+    val mdPath = new Path(metaDir, f"v$version.metadata.json")
+    writeBytes(fs, mdPath, mapper.writerWithDefaultPrettyPrinter.writeValueAsBytes(root))
+    writeBytes(fs, new Path(metaDir, "version-hint.text"),
+      version.toString.getBytes(UTF_8))
     mdPath
   }
 
@@ -394,21 +432,24 @@ object Iceberg {
       }
     }.foldLeft(0)(math.max)
 
-  private def nextMetadataVersion(metaDir: Path): Int =
-    Files.list(metaDir).iterator().asScala
-      .map(_.getFileName.toString)
+  private def nextMetadataVersion(fs: FileSystem, metaDir: Path): Int =
+    fs.listStatus(metaDir).iterator
+      .map(_.getPath.getName)
       .collect { case s if s.matches("v\\d+\\.metadata\\.json") =>
         s.stripPrefix("v").stripSuffix(".metadata.json").toInt }
       .foldLeft(0)(math.max) + 1
 
   /** Path of the table's current metadata.json (via version-hint), if any. */
-  def currentMetadataFile(tableDir: Path): Option[Path] = {
-    val hint = tableDir.resolve("metadata").resolve("version-hint.text")
-    if (!Files.exists(hint)) None
+  def currentMetadataFile(tableDir: Path,
+      conf: Configuration = new Configuration()): Option[Path] = {
+    val fs = fsOf(tableDir, conf)
+    val metaDir = new Path(tableDir, "metadata")
+    val hint = new Path(metaDir, "version-hint.text")
+    if (!fs.exists(hint)) None
     else {
-      val v = new String(Files.readAllBytes(hint), UTF_8).trim.toInt
-      val p = tableDir.resolve("metadata").resolve(s"v$v.metadata.json")
-      if (Files.exists(p)) Some(p) else None
+      val v = new String(readBytes(fs, hint), UTF_8).trim.toInt
+      val p = new Path(metaDir, s"v$v.metadata.json")
+      if (fs.exists(p)) Some(p) else None
     }
   }
 
@@ -431,9 +472,9 @@ object Iceberg {
     }.asJava
   }
 
-  private def writeManifest(path: Path, schema: StructType, stats: Seq[FileStats],
-      snapshotId: Long, seq: Long, specCols: Seq[(String, DataType)],
-      parts: Seq[Seq[(String, Any)]]): Unit = {
+  private def writeManifest(fs: FileSystem, path: Path, schema: StructType,
+      stats: Seq[FileStats], snapshotId: Long, seq: Long,
+      specCols: Seq[(String, DataType)], parts: Seq[Seq[(String, Any)]]): Unit = {
     val mSchema = manifestSchema(specCols)
     val dataFileSchema = mSchema.getField("data_file").schema
     val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](mSchema))
@@ -445,11 +486,11 @@ object Iceberg {
     writer.setMeta("partition-spec-id", "0")
     writer.setMeta("format-version", "2")
     writer.setMeta("content", "data")
-    writer.create(mSchema, path.toFile)
+    writer.create(mSchema, fs.create(path, true))
     try stats.zip(parts).foreach { case (st, part) =>
       val df = new GenericData.Record(dataFileSchema)
       df.put("content", 0)
-      df.put("file_path", Paths.get(st.path).toUri.toString)
+      df.put("file_path", fs.makeQualified(new Path(st.path)).toUri.toString)
       df.put("file_format", "PARQUET")
       val pRec = new GenericData.Record(dataFileSchema.getField("partition").schema)
       part.foreach { case (n, v) => pRec.put(n, v match {
@@ -477,14 +518,15 @@ object Iceberg {
     } finally writer.close()
   }
 
-  private def writeManifestList(path: Path, manifestPath: Path, manifestLen: Long,
-      snapshotId: Long, seq: Long, fileCount: Int, rowCount: Long): Unit = {
+  private def writeManifestList(fs: FileSystem, path: Path, manifestPath: Path,
+      manifestLen: Long, snapshotId: Long, seq: Long, fileCount: Int,
+      rowCount: Long): Unit = {
     val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](manifestListSchema))
     writer.setMeta("format-version", "2")
-    writer.create(manifestListSchema, path.toFile)
+    writer.create(manifestListSchema, fs.create(path, true))
     try {
       val r = new GenericData.Record(manifestListSchema)
-      r.put("manifest_path", manifestPath.toUri.toString)
+      r.put("manifest_path", fs.makeQualified(manifestPath).toUri.toString)
       r.put("manifest_length", manifestLen)
       r.put("partition_spec_id", 0)
       r.put("content", 0) // data
@@ -511,35 +553,37 @@ object Iceberg {
     * survives, the whole metadata tree is removed. Mirrors Iceberg's
     * maintenance op; data-file deletion is the Store's job. Returns the
     * dropped snapshot ids. */
-  def expireSnapshots(tableDir: Path, liveIds: Set[Long]): Seq[Long] = {
-    val mdPath = currentMetadataFile(tableDir).getOrElse(return Nil)
+  def expireSnapshots(tableDir: Path, liveIds: Set[Long],
+      conf: Configuration = new Configuration()): Seq[Long] = {
+    val fs = fsOf(tableDir, conf)
+    val mdPath = currentMetadataFile(tableDir, conf).getOrElse(return Nil)
     val mapper = om
-    val md = mapper.readTree(Files.readAllBytes(mdPath)).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val md = mapper.readTree(readBytes(fs, mdPath)).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
     val snaps = md.get("snapshots").elements.asScala.toVector
     val (keep, drop) = snaps.partition(s => liveIds.contains(s.get("snapshot-id").asLong))
     if (drop.isEmpty) return Nil
     drop.foreach { s =>
-      val listPath = Paths.get(java.net.URI.create(s.get("manifest-list").asText))
-      if (Files.exists(listPath)) {
-        readAvro(listPath).foreach { mf =>
-          val mp = Paths.get(java.net.URI.create(mf.get("manifest_path").toString))
+      val listPath = new Path(java.net.URI.create(s.get("manifest-list").asText))
+      if (fs.exists(listPath)) {
+        readAvro(fs, listPath).foreach { mf =>
+          val mp = new Path(java.net.URI.create(mf.get("manifest_path").toString))
           // a manifest may be re-referenced by a kept snapshot's list; check
           val reReferenced = keep.exists { k =>
-            val kl = Paths.get(java.net.URI.create(k.get("manifest-list").asText))
-            Files.exists(kl) && readAvro(kl).exists(
+            val kl = new Path(java.net.URI.create(k.get("manifest-list").asText))
+            fs.exists(kl) && readAvro(fs, kl).exists(
               _.get("manifest_path").toString == mf.get("manifest_path").toString)
           }
-          if (!reReferenced) Files.deleteIfExists(mp)
+          if (!reReferenced && fs.exists(mp)) fs.delete(mp, false)
         }
-        Files.delete(listPath)
+        fs.delete(listPath, false)
       }
     }
     val dropped = drop.map(_.get("snapshot-id").asLong)
-    val metaDir = tableDir.resolve("metadata")
+    val metaDir = new Path(tableDir, "metadata")
     if (keep.isEmpty) {
       // no surviving snapshot: remove the whole metadata tree rather than
       // publish metadata that references deleted data
-      Files.walk(metaDir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+      fs.delete(metaDir, true)
       return dropped
     }
     val newCurrent = keep.map(_.get("snapshot-id").asLong).max
@@ -551,10 +595,11 @@ object Iceberg {
     val oldLog = md.get("snapshot-log").elements.asScala.toVector
     val newLog = md.putArray("snapshot-log")
     oldLog.filterNot(e => dropped.contains(e.get("snapshot-id").asLong)).foreach(newLog.add)
-    val version = nextMetadataVersion(metaDir)
-    Files.write(metaDir.resolve(s"v$version.metadata.json"),
+    val version = nextMetadataVersion(fs, metaDir)
+    writeBytes(fs, new Path(metaDir, s"v$version.metadata.json"),
       mapper.writerWithDefaultPrettyPrinter.writeValueAsBytes(md))
-    Files.write(metaDir.resolve("version-hint.text"), version.toString.getBytes(UTF_8))
+    writeBytes(fs, new Path(metaDir, "version-hint.text"),
+      version.toString.getBytes(UTF_8))
     dropped
   }
 
@@ -565,8 +610,10 @@ object Iceberg {
       lowerBounds: Map[Int, Array[Byte]], upperBounds: Map[Int, Array[Byte]],
       partition: Map[String, Any])
 
-  private def readAvro(path: Path): Seq[GenericRecord] = {
-    val reader = new DataFileReader[GenericRecord](path.toFile,
+  private def readAvro(fs: FileSystem, path: Path): Seq[GenericRecord] = {
+    // manifests are small (KBs); buffer once, seek in memory
+    val reader = new DataFileReader[GenericRecord](
+      new SeekableByteArrayInput(readBytes(fs, path)),
       new GenericDatumReader[GenericRecord]())
     try reader.iterator.asScala.toVector finally reader.close()
   }
@@ -585,18 +632,20 @@ object Iceberg {
 
   /** All live data files of a snapshot (default: current), planned by
     * walking metadata.json → manifest list → manifests. */
-  def planFiles(tableDir: Path, snapshotId: Option[Long] = None): Seq[PlannedFile] = {
-    val mdPath = currentMetadataFile(tableDir)
+  def planFiles(tableDir: Path, snapshotId: Option[Long] = None,
+      conf: Configuration = new Configuration()): Seq[PlannedFile] = {
+    val fs = fsOf(tableDir, conf)
+    val mdPath = currentMetadataFile(tableDir, conf)
       .getOrElse(throw new IllegalStateException(s"no iceberg metadata under $tableDir"))
-    val md = om.readTree(Files.readAllBytes(mdPath))
+    val md = om.readTree(readBytes(fs, mdPath))
     val wanted = snapshotId.getOrElse(md.get("current-snapshot-id").asLong)
     val snap = md.get("snapshots").elements.asScala
       .find(_.get("snapshot-id").asLong == wanted)
       .getOrElse(throw new IllegalArgumentException(s"snapshot $wanted not found"))
-    val listPath = Paths.get(java.net.URI.create(snap.get("manifest-list").asText))
-    readAvro(listPath).flatMap { mf =>
-      val manifestPath = Paths.get(java.net.URI.create(mf.get("manifest_path").toString))
-      readAvro(manifestPath).collect {
+    val listPath = new Path(java.net.URI.create(snap.get("manifest-list").asText))
+    readAvro(fs, listPath).flatMap { mf =>
+      val manifestPath = new Path(java.net.URI.create(mf.get("manifest_path").toString))
+      readAvro(fs, manifestPath).collect {
         case entry if entry.get("status").asInstanceOf[Int] != 2 => // not DELETED
           val df = entry.get("data_file").asInstanceOf[GenericRecord]
           val pRec = df.get("partition").asInstanceOf[GenericRecord]
@@ -607,7 +656,7 @@ object Iceberg {
             })
           }.toMap
           PlannedFile(
-            Paths.get(java.net.URI.create(df.get("file_path").toString)).toString,
+            new Path(java.net.URI.create(df.get("file_path").toString)).toString,
             df.get("record_count").asInstanceOf[Long],
             df.get("file_size_in_bytes").asInstanceOf[Long],
             bytesMap(df.get("lower_bounds")),
@@ -635,7 +684,7 @@ object Iceberg {
     * segments. */
   private def baseOf(p: Path): Path = {
     var d = p.getParent
-    while (d != null && d.getFileName.toString.contains("=")) d = d.getParent
+    while (d != null && d.getName.contains("=")) d = d.getParent
     d
   }
 
@@ -645,10 +694,10 @@ object Iceberg {
     * columns (present in paths, not data files) are restored. */
   def readTable(spark: SparkSession, tableDir: Path,
       snapshotId: Option[Long] = None): DataFrame = {
-    val files = planFiles(tableDir, snapshotId)
+    val files = planFiles(tableDir, snapshotId, spark.sessionState.newHadoopConf())
     if (files.isEmpty) throw new IllegalStateException(s"empty snapshot in $tableDir")
     if (files.head.partition.isEmpty) spark.read.parquet(files.map(_.path): _*)
-    else spark.read.option("basePath", baseOf(Paths.get(files.head.path)).toString)
+    else spark.read.option("basePath", baseOf(new Path(files.head.path)).toString)
       .parquet(files.map(_.path): _*)
   }
 
@@ -657,13 +706,13 @@ object Iceberg {
     * basePath read of just those files. */
   def readPartitionPruned(spark: SparkSession, tableDir: Path,
       col: String, value: Any): (DataFrame, Int, Int) = {
-    val files = planFiles(tableDir)
+    val files = planFiles(tableDir, None, spark.sessionState.newHadoopConf())
     if (files.isEmpty) throw new IllegalStateException(s"empty snapshot in $tableDir")
     val hit = files.filter(_.partition.get(col).contains(value))
     val df =
       if (hit.isEmpty)
         readTable(spark, tableDir).limit(0)
-      else spark.read.option("basePath", baseOf(Paths.get(hit.head.path)).toString)
+      else spark.read.option("basePath", baseOf(new Path(hit.head.path)).toString)
         .parquet(hit.map(_.path): _*)
     (df, hit.length, files.length)
   }
@@ -676,7 +725,7 @@ object Iceberg {
       column: String, lo: Any, hi: Any): (DataFrame, Int, Int) = {
     val fid = schema.fieldIndex(column) + 1
     val dt = schema(column).dataType
-    val files = planFiles(tableDir)
+    val files = planFiles(tableDir, None, spark.sessionState.newHadoopConf())
     def cmp(a: Any, b: Any): Int =
       a.asInstanceOf[Comparable[Any]].compareTo(b)
     val hit = files.filter { f =>
@@ -693,7 +742,7 @@ object Iceberg {
     // column could be silently absent
     def readFiles(fs: Seq[PlannedFile]): DataFrame =
       if (fs.head.partition.isEmpty) spark.read.parquet(fs.map(_.path): _*)
-      else spark.read.option("basePath", baseOf(Paths.get(fs.head.path)).toString)
+      else spark.read.option("basePath", baseOf(new Path(fs.head.path)).toString)
         .parquet(fs.map(_.path): _*)
     val df =
       if (hit.isEmpty) readFiles(Seq(files.head)).limit(0)

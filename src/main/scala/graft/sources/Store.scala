@@ -553,7 +553,7 @@ class Store(spark: SparkSession, warehouse: String) {
     // version dirs reference deleted data files, so expire them too
     // (snapshot id == store version)
     val live = all.filterNot(doomed.contains).map(_.toLong).toSet
-    if (isLocalFs) Iceberg.expireSnapshots(localTableDir(name), live)
+    Iceberg.expireSnapshots(tablePath(name), live, hconf)
     doomed
   }
 
@@ -616,36 +616,40 @@ class Store(spark: SparkSession, warehouse: String) {
   // here the format layer is optional per table: publishIceberg emits a
   // spec-conformant v2 snapshot commit (metadata.json + Avro manifest tree
   // with per-column footer stats) for the current version, and readIceberg
-  // plans a scan purely from that metadata — no directory listing. The
-  // emitter works against java.nio paths today, so it requires a local
-  // (file-scheme) warehouse; the table layout it describes is
-  // scheme-agnostic.
-
-  private def localTableDir(name: String): java.nio.file.Path = {
-    require(isLocalFs,
-      s"Iceberg metadata emission requires a local warehouse (got $root)")
-    java.nio.file.Paths.get(tablePath(name).toUri)
-  }
+  // plans a scan purely from that metadata — no directory listing. Like the
+  // rest of the Store, the emitter works through the Hadoop FileSystem, so
+  // the metadata tree follows the warehouse onto any fs.* scheme.
 
   /** Commit the table's current version as an Iceberg v2 snapshot; snapshot
     * id = store version (deterministic). Returns the metadata.json path. */
-  def publishIceberg(name: String): java.nio.file.Path = {
-    val cur = localTableDir(name).resolve(s"v${versions(name)}")
-    // recursive walk covers hive-partitioned layouts (key=value subdirs)
-    val files = java.nio.file.Files.walk(cur).iterator().asScala
-      .filter(p => java.nio.file.Files.isRegularFile(p) &&
-        p.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+  def publishIceberg(name: String): HadoopPath = {
+    require(exists(name), s"unknown table $name")
+    val cur = fs.makeQualified(versionPath(name, versions(name)))
+    // recursive listing covers hive-partitioned layouts (key=value subdirs)
+    val buf = scala.collection.mutable.ArrayBuffer[HadoopPath]()
+    val it = fs.listFiles(cur, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) buf += st.getPath
+    }
+    val files = buf.sortBy(_.toString).toSeq
     require(files.nonEmpty, s"publishIceberg($name): no data files in $cur")
     val schema = read(name).schema
     // identity-partition spec from the path segments between the version
     // dir and the file (hive key=value encoding); values typed per schema
-    def segs(f: java.nio.file.Path): Seq[(String, String)] =
-      cur.relativize(f.getParent).iterator().asScala
-        .map(_.toString).filter(_.contains("="))
-        .map { s =>
+    def segs(f: HadoopPath): Seq[(String, String)] = {
+      val acc = scala.collection.mutable.ListBuffer[(String, String)]()
+      var d = f.getParent
+      while (d != null && fs.makeQualified(d) != cur) {
+        val s = d.getName
+        if (s.contains("=")) {
           val Array(k, v) = s.split("=", 2)
-          k -> java.net.URLDecoder.decode(v, "UTF-8")
-        }.toSeq
+          (k -> java.net.URLDecoder.decode(v, "UTF-8")) +=: acc
+        }
+        d = d.getParent
+      }
+      acc.toList
+    }
     val specCols: Seq[(String, org.apache.spark.sql.types.DataType)] =
       segs(files.head).map { case (k, _) => k -> schema(k).dataType }
     def typed(k: String, v: String): Any = schema(k).dataType match {
@@ -653,14 +657,14 @@ class Store(spark: SparkSession, warehouse: String) {
       case LongType => v.toLong
       case _ => v
     }
-    Iceberg.commit(spark, localTableDir(name), schema,
+    Iceberg.commit(spark, tablePath(name), schema,
       files, versions(name), specCols,
       f => segs(f).map { case (k, v) => k -> typed(k, v) })
   }
 
   /** Read through the Iceberg metadata tree (optionally a past snapshot). */
   def readIceberg(name: String, snapshotId: Option[Long] = None): DataFrame =
-    Iceberg.readTable(spark, localTableDir(name), snapshotId)
+    Iceberg.readTable(spark, tablePath(name), snapshotId)
 
   /** Type-2 slowly-changing-dimension upsert: incoming (key, attrs,
     * effective ts) closes the open history row of each changed key

@@ -18,6 +18,17 @@ class IcebergSpec extends SparkSpecBase {
     (new Store(spark, dir.toString), dir)
   }
 
+  /** Iceberg's API takes Hadoop paths (any fs.* scheme); tests live on a
+    * local temp dir, so bridge from nio. */
+  private def hp(p: Path): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(p.toUri)
+
+  private def mdJson(tdir: Path): com.fasterxml.jackson.databind.JsonNode = {
+    val md = Iceberg.currentMetadataFile(hp(tdir)).get
+    new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readAllBytes(Paths.get(md.toUri)))
+  }
+
   private def lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
     .select("l_orderkey", "l_partkey", "l_quantity", "l_shipdate", "l_returnflag")
 
@@ -31,7 +42,7 @@ class IcebergSpec extends SparkSpecBase {
     val (store, dir) = freshStore()
     store.replace("li", lineitem)
     val md = store.publishIceberg("li")
-    assert(Files.exists(md))
+    assert(Files.exists(Paths.get(md.toUri)))
     val back = store.readIceberg("li")
     assert(back.count() == lineitem.count())
     assert(back.except(lineitem).count() == 0)
@@ -42,9 +53,7 @@ class IcebergSpec extends SparkSpecBase {
     val (store, dir) = freshStore()
     store.replace("li", lineitem)
     store.publishIceberg("li")
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val md = om.readTree(Files.readAllBytes(
-      Iceberg.currentMetadataFile(dir.resolve("li")).get))
+    val md = mdJson(dir.resolve("li"))
     assert(md.get("format-version").asInt == 2)
     for (k <- Seq("table-uuid", "location", "last-sequence-number", "last-column-id",
         "schemas", "current-schema-id", "partition-specs", "default-spec-id",
@@ -63,7 +72,7 @@ class IcebergSpec extends SparkSpecBase {
     val (store, dir) = freshStore()
     store.replace("li", lineitem)
     store.publishIceberg("li")
-    val planned = Iceberg.planFiles(dir.resolve("li"))
+    val planned = Iceberg.planFiles(hp(dir.resolve("li")))
     assert(planned.nonEmpty)
     assert(planned.map(_.recordCount).sum == lineitem.count())
     // decoded l_orderkey (field 1, long) bounds across files == table min/max
@@ -114,9 +123,7 @@ class IcebergSpec extends SparkSpecBase {
     store.publishIceberg("li")
     store.replace("li", lineitem)
     store.publishIceberg("li")
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val md = om.readTree(Files.readAllBytes(
-      Iceberg.currentMetadataFile(dir.resolve("li")).get))
+    val md = mdJson(dir.resolve("li"))
     val snaps = md.get("snapshots").elements.asScala.toSeq
     assert(snaps.size == 2)
     assert(!snaps(0).has("parent-snapshot-id"))
@@ -163,9 +170,7 @@ class IcebergSpec extends SparkSpecBase {
       .count(_.getFileName.toString.endsWith("-manifest.avro")) == 3)
     val expired = store.expireVersions("li", keep = 2)
     assert(expired == Seq(1))
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val md = om.readTree(Files.readAllBytes(
-      Iceberg.currentMetadataFile(dir.resolve("li")).get))
+    val md = mdJson(dir.resolve("li"))
     val ids = md.get("snapshots").elements.asScala.map(_.get("snapshot-id").asLong).toSeq
     assert(ids == Seq(2L, 3L))
     // expired snapshot's manifest files are gone; kept ones remain readable
@@ -176,7 +181,7 @@ class IcebergSpec extends SparkSpecBase {
     assert(store.readIceberg("li", Some(2L)).count() ==
       lineitem.filter(col("l_orderkey") <= 1000).count())
     intercept[IllegalArgumentException] {
-      Iceberg.planFiles(dir.resolve("li"), Some(1L))
+      Iceberg.planFiles(hp(dir.resolve("li")), Some(1L))
     }
   }
 
@@ -187,15 +192,13 @@ class IcebergSpec extends SparkSpecBase {
     store.replacePartitioned("pt", df, "part")
     store.publishIceberg("pt")
     // metadata carries an identity partition spec
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val md = om.readTree(Files.readAllBytes(
-      Iceberg.currentMetadataFile(dir.resolve("pt")).get))
+    val md = mdJson(dir.resolve("pt"))
     val spec = md.get("partition-specs").get(0).get("fields")
     assert(spec.size == 1)
     assert(spec.get(0).get("name").asText == "part")
     assert(spec.get(0).get("transform").asText == "identity")
     // manifest entries carry the typed partition value
-    val planned = Iceberg.planFiles(dir.resolve("pt"))
+    val planned = Iceberg.planFiles(hp(dir.resolve("pt")))
     assert(planned.forall(_.partition.keySet == Set("part")))
     assert(planned.map(_.partition("part")).toSet == Set("p0", "p1", "p2"))
     // metadata-planned read restores the partition column
@@ -205,7 +208,7 @@ class IcebergSpec extends SparkSpecBase {
     assert(back.select("id", "v", "part").except(df).count() == 0)
     // partition-pruned read touches only that partition's files
     val (one, hit, total) = Iceberg.readPartitionPruned(
-      spark, dir.resolve("pt"), "part", "p1")
+      spark, hp(dir.resolve("pt")), "part", "p1")
     assert(hit < total)
     assert(one.count() == df.filter(col("part") === "p1").count())
   }
@@ -217,7 +220,7 @@ class IcebergSpec extends SparkSpecBase {
       .toDF("x", "id")
     store.replace("neg", df.repartition(1))
     store.publishIceberg("neg")
-    val planned = Iceberg.planFiles(dir.resolve("neg"))
+    val planned = Iceberg.planFiles(hp(dir.resolve("neg")))
     val lows = planned.flatMap(_.lowerBounds.get(1))
       .map(Iceberg.decodeBound(_, org.apache.spark.sql.types.DoubleType).asInstanceOf[Double])
     val highs = planned.flatMap(_.upperBounds.get(1))
@@ -225,7 +228,7 @@ class IcebergSpec extends SparkSpecBase {
     assert(lows.min == -5.0, s"lower bound must be the true min, got ${lows.min}")
     assert(highs.max == 3.5)
     // a range over the negatives must NOT be pruned away
-    val (d2, scanned, _) = Iceberg.readRangePruned(spark, dir.resolve("neg"),
+    val (d2, scanned, _) = Iceberg.readRangePruned(spark, hp(dir.resolve("neg")),
       df.schema, "x", -6.0, -4.0)
     assert(scanned == planned.size)
     assert(d2.count() == 1)
@@ -236,9 +239,7 @@ class IcebergSpec extends SparkSpecBase {
     store.replace("li", lineitem)
     store.publishIceberg("li")
     store.publishIceberg("li") // retried sync
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val md = om.readTree(Files.readAllBytes(
-      Iceberg.currentMetadataFile(dir.resolve("li")).get))
+    val md = mdJson(dir.resolve("li"))
     val snaps = md.get("snapshots").elements.asScala.toSeq
     assert(snaps.size == 1)
     assert(!snaps.head.has("parent-snapshot-id"))
@@ -254,7 +255,7 @@ class IcebergSpec extends SparkSpecBase {
     store.replace("li", lineitem.limit(400))
     store.expireVersions("li", keep = 2) // v1, v2 deleted; snapshot 1 now dangling
     // metadata must not reference deleted data: the whole tree is gone
-    assert(Iceberg.currentMetadataFile(dir.resolve("li")).isEmpty)
+    assert(Iceberg.currentMetadataFile(hp(dir.resolve("li"))).isEmpty)
     // and the store itself still serves the current version
     assert(store.read("li").count() == 400)
   }
@@ -271,9 +272,9 @@ class IcebergSpec extends SparkSpecBase {
     store.replacePartitioned("pb", b, "part")
     store.publishIceberg("pa")
     store.publishIceberg("pb")
-    assert(Iceberg.planFiles(dir.resolve("pa"))
+    assert(Iceberg.planFiles(hp(dir.resolve("pa")))
       .map(_.partition("part")).toSet == Set("p0", "p1"))
-    assert(Iceberg.planFiles(dir.resolve("pb"))
+    assert(Iceberg.planFiles(hp(dir.resolve("pb")))
       .map(_.partition("part")).toSet == Set(0L, 1L))
     assert(store.readIceberg("pb").filter(col("part") === 1L).count() == 30)
   }
@@ -287,12 +288,44 @@ class IcebergSpec extends SparkSpecBase {
     // the range column lives in the data files; "part" lives only in paths —
     // without a basePath read it would be silently absent from the result
     val (got, _, total) = Iceberg.readRangePruned(
-      spark, dir.resolve("pt"), df.schema, "id", 10L, 40L)
+      spark, hp(dir.resolve("pt")), df.schema, "id", 10L, 40L)
     assert(total > 1)
     assert(got.columns.contains("part"), "partition column missing from range read")
     assert(got.count() == 31)
     assert(got.filter(col("part") === "p0").count() ==
       df.filter(col("id").between(10, 40) && col("part") === "p0").count())
+  }
+
+  test("iceberg publish + metadata-planned read through a file:// URI warehouse") {
+    // the emitter resolves the warehouse's FileSystem from the URI scheme:
+    // the whole metadata tree (manifest Avro, metadata.json, version-hint)
+    // must be written and replanned without touching java.nio paths, and
+    // every recorded location must be a fully-qualified URI
+    val dir = Files.createTempDirectory("graft-iceberg-uri")
+    val store = new Store(spark, "file://" + dir.toString)
+    store.replaceSorted("li", lineitem, "l_orderkey", numFiles = 4)
+    val md = store.publishIceberg("li")
+    assert(md.toUri.getScheme == "file", s"metadata path not qualified: $md")
+    val planned = Iceberg.planFiles(hp(dir.resolve("li")))
+    assert(planned.size == 4)
+    assert(planned.forall(_.path.startsWith("file:")),
+      s"data-file locations must carry the FS scheme: ${planned.head.path}")
+    val back = store.readIceberg("li")
+    assert(back.count() == lineitem.count())
+    assert(back.except(lineitem).count() == 0)
+    // manifest-bound range pruning plans through the same FS
+    val (df, scanned, total) = Iceberg.readRangePruned(
+      spark, hp(dir.resolve("li")), lineitem.schema, "l_orderkey", 100L, 400L)
+    assert(total == 4 && scanned < total)
+    assert(df.count() ==
+      lineitem.filter(col("l_orderkey").between(100, 400)).count())
+    // snapshot expiry walks URIs from the metadata itself
+    store.replace("li", lineitem.limit(50))
+    store.publishIceberg("li")
+    store.expireVersions("li", keep = 1)
+    val ids = mdJson(dir.resolve("li")).get("snapshots")
+      .elements.asScala.map(_.get("snapshot-id").asLong).toSeq
+    assert(ids == Seq(2L))
   }
 
   test("manifest-bound pruning skips files outside the range, result exact") {
@@ -302,7 +335,7 @@ class IcebergSpec extends SparkSpecBase {
     store.publishIceberg("li")
     val schema = lineitem.schema
     val (df, scanned, total) = Iceberg.readRangePruned(
-      spark, dir.resolve("li"), schema, "l_orderkey", 100L, 400L)
+      spark, hp(dir.resolve("li")), schema, "l_orderkey", 100L, 400L)
     assert(total == 8)
     assert(scanned < total, s"expected pruning, scanned $scanned/$total")
     val expect = lineitem.filter(col("l_orderkey").between(100, 400))
