@@ -84,6 +84,8 @@ object Similarity {
     * assign/probe/rerank plan). */
   val centroidIds: Seq[Long] = Seq(7L, 23L, 41L, 59L, 77L, 95L, 113L, 131L)
   val PROBES = 2
+  /** ADC shortlist size per query before the exact rerank (sim_ivfpq). */
+  val SHORTLIST = 20
 
   private[graft] def duckCos(a: String, b: String): String =
     s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
@@ -108,6 +110,72 @@ object Similarity {
         FROM scored)
       SELECT query_id, neighbor_id, CAST(rn AS INT) AS rnk, round(cos, 6) AS cos
       FROM ranked WHERE rn <= $TOPK ORDER BY query_id, rnk"""
+
+  /** sim_ivfpq oracle: the identical coarse-assign / PQ-code / ADC-LUT /
+    * shortlist / exact-rerank pipeline in DuckDB, every float fold the same
+    * sequential accumulation as the Spark side. */
+  private def ivfpqOracleSql: String = s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      c AS (SELECT vec_id AS cid, v AS cv FROM e
+            WHERE vec_id IN (${centroidIds.mkString(", ")})),
+      sc AS (SELECT e.vec_id, e.v, c.cid,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY ${duckCos("e.v", "c.cv")} DESC, c.cid) AS rn
+        FROM e CROSS JOIN c),
+      assign AS (SELECT vec_id AS neighbor_id, cid FROM sc WHERE rn = 1),
+      probes AS (SELECT vec_id AS query_id, v AS qv, cid FROM sc
+        WHERE vec_id IN (${queryIds.mkString(", ")}) AND rn <= $PROBES),
+      pqc AS (
+        SELECT e.vec_id, m.range AS m,
+          CAST(list_position([${centroidIds.mkString(", ")}], c.cid) - 1 AS INT) AS code,
+          c.cv[CAST(m.range AS INT) * 16 + 1 : CAST(m.range AS INT) * 16 + 16] AS csub,
+          list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(list_zip(
+              e.v[CAST(m.range AS INT) * 16 + 1 : CAST(m.range AS INT) * 16 + 16],
+              c.cv[CAST(m.range AS INT) * 16 + 1 : CAST(m.range AS INT) * 16 + 16]),
+              s -> (s[1] - s[2]) * (s[1] - s[2]))), (x, y) -> x + y) AS dist
+        FROM e, c, range(0, 4) m),
+      best AS (SELECT vec_id, m, code, csub,
+          row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rn
+        FROM pqc),
+      codes AS (SELECT vec_id AS neighbor_id, list(code ORDER BY m) AS codes,
+          sqrt(${duckDot("flatten(list(csub ORDER BY m))", "flatten(list(csub ORDER BY m))")}) AS recon_norm
+        FROM best WHERE rn = 1 GROUP BY vec_id),
+      q AS (SELECT DISTINCT query_id, qv FROM probes),
+      lut AS (SELECT q.query_id, m.range AS m,
+          CAST(list_position([${centroidIds.mkString(", ")}], c.cid) - 1 AS INT) AS code,
+          ${duckDot(
+            "q.qv[CAST(m.range AS INT) * 16 + 1 : CAST(m.range AS INT) * 16 + 16]",
+            "c.cv[CAST(m.range AS INT) * 16 + 1 : CAST(m.range AS INT) * 16 + 16]")} AS pdot
+        FROM q, c, range(0, 4) m),
+      qn AS (SELECT query_id, sqrt(${duckDot("qv", "qv")}) AS qnorm FROM q),
+      cand AS (SELECT DISTINCT p.query_id, a.neighbor_id
+        FROM probes p JOIN assign a ON a.cid = p.cid AND a.neighbor_id <> p.query_id),
+      candm AS (SELECT cd.query_id, cd.neighbor_id, co.recon_norm, m.range AS m,
+          co.codes[CAST(m.range AS INT) + 1] AS code
+        FROM cand cd JOIN codes co USING (neighbor_id), range(0, 4) m),
+      adc AS (SELECT cm.query_id, cm.neighbor_id, max(cm.recon_norm) AS recon_norm,
+          list_reduce(list_prepend(0.0::DOUBLE, list(l.pdot ORDER BY cm.m)),
+            (x, y) -> x + y) AS lutsum
+        FROM candm cm JOIN lut l
+          ON l.query_id = cm.query_id AND l.m = cm.m AND l.code = cm.code
+        GROUP BY cm.query_id, cm.neighbor_id),
+      short AS (SELECT a.query_id, a.neighbor_id,
+          a.lutsum / (qn.qnorm * a.recon_norm) AS adc_cos,
+          row_number() OVER (PARTITION BY a.query_id
+            ORDER BY a.lutsum / (qn.qnorm * a.recon_norm) DESC, a.neighbor_id) AS srn
+        FROM adc a JOIN qn USING (query_id)),
+      exact AS (SELECT s.query_id, s.neighbor_id, s.adc_cos,
+          ${duckCos("q.qv", "e.v")} AS cos
+        FROM short s JOIN q USING (query_id) JOIN e ON e.vec_id = s.neighbor_id
+        WHERE s.srn <= $SHORTLIST),
+      rankd AS (SELECT query_id, neighbor_id, adc_cos, cos,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id) AS rn
+        FROM exact)
+      SELECT query_id, neighbor_id, CAST(rn AS INT) AS rnk, round(cos, 6) AS cos,
+        round(adc_cos, 6) AS adc_cos
+      FROM rankd WHERE rn <= $TOPK ORDER BY query_id, rnk"""
 
   private def annOracleSql: String = s"""
       WITH pl AS (SELECT $planesSqlLiteral AS p),
@@ -397,6 +465,97 @@ object Similarity {
         .select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"),
           round(dot / (nv * nr), 6).as("recon_cos"))
         .orderBy("vec_id")
+    },
+
+    // IVF+PQ — the full production ANN stack: IVF coarse probe (sim_ivf's
+    // assignment) -> PQ asymmetric-distance (ADC) shortlist -> exact rerank.
+    // The 100 TB property this adds over sim_ivf: candidate scoring carries
+    // ONLY each neighbor's 4 PQ codes and one precomputed norm — never the
+    // 64-dim arrays. ADC is a per-query lookup table (queries x 4 subspaces
+    // x 8 codewords, broadcast); the true vectors re-join by id for just
+    // SHORTLIST candidates per query at the rerank. Every float fold is the
+    // same sequential left-to-right accumulation on both engines, so the
+    // ADC ordering (and thus the shortlist cut) is bit-reproducible.
+    Q("sim_ivfpq", Some(ivfpqOracleSql)) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val cents = e.filter(col("vec_id").isin(centroidIds: _*))
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val seedsArr = s"array(${centroidIds.mkString(", ")})"
+      // coarse quantizer: best cell per vector, top-PROBES cells per query
+      val wCell = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cid"))
+      val ranked = e.crossJoin(broadcast(cents))
+        .withColumn("ccos", expr(sparkCos("v", "cv")))
+        .withColumn("rn", row_number().over(wCell))
+      val assignIds = ranked.filter(col("rn") === 1)
+        .select(col("vec_id").as("neighbor_id"), col("cid"))
+      val probes = ranked.filter(col("vec_id").isin(queryIds: _*) && col("rn") <= PROBES)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cid"))
+      // PQ codes + reconstruction norm per vector (sim_pq's argmin), kept
+      // as 4 ints + 1 double of scan-side state per corpus vector
+      val wPq = Window.partitionBy("vec_id", "m").orderBy(col("dist"), col("code"))
+      val codes = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("cv"),
+          expr(s"CAST(array_position($seedsArr, cid) - 1 AS INT)").as("code"),
+          explode(expr("sequence(0, 3)")).as("m"))
+        .select(col("vec_id"), col("m"), col("code"),
+          expr("slice(cv, m * 16 + 1, 16)").as("csub"),
+          expr("aggregate(zip_with(slice(v, m * 16 + 1, 16), slice(cv, m * 16 + 1, 16), " +
+            "(x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)").as("dist"))
+        .withColumn("rn", row_number().over(wPq)).filter(col("rn") === 1)
+        .groupBy("vec_id")
+        .agg(
+          expr("transform(array_sort(collect_list(struct(m, code))), x -> x.code)")
+            .as("codes"),
+          expr("flatten(transform(array_sort(collect_list(struct(m, csub))), x -> x.csub))")
+            .as("recon"))
+        .select(col("vec_id").as("neighbor_id"), col("codes"),
+          expr("sqrt(array_dot(recon, recon))").as("recon_norm"))
+      // per-query ADC lookup table: partial dots of query sub-slices against
+      // every codeword sub-slice (queries x 4 x 8 rows — broadcast).
+      // NOTE: derived from e (unique vec_id), not probes.distinct() — a
+      // distinct over (query_id, qv) would key a HashAggregate on the
+      // array, which the PlanSpec no-array-keys pin rejects
+      val q = e.filter(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val lut = q.crossJoin(broadcast(cents))
+        .select(col("query_id"),
+          expr(s"CAST(array_position($seedsArr, cid) - 1 AS INT)").as("code"),
+          explode(expr("sequence(0, 3)")).as("m"), col("qv"), col("cv"))
+        .select(col("query_id"), col("m"), col("code"),
+          expr("array_dot(slice(qv, m * 16 + 1, 16), slice(cv, m * 16 + 1, 16))").as("pdot"))
+      val qnorm = q.select(col("query_id"), expr("sqrt(array_dot(qv, qv))").as("qnorm"))
+      // candidates dedup on scalar ids; ADC score from codes + LUT only
+      val candIds = broadcast(probes.select("query_id", "cid")).join(assignIds, Seq("cid"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select("query_id", "neighbor_id").distinct()
+      val adc = candIds.join(codes, Seq("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("recon_norm"),
+          posexplode(col("codes")).as(Seq("m", "code")))
+        .join(broadcast(lut), Seq("query_id", "m", "code"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(max(col("recon_norm")).as("recon_norm"),
+          expr("aggregate(transform(array_sort(collect_list(struct(m, pdot))), " +
+            "x -> x.pdot), 0D, (acc, x) -> acc + x)").as("lutsum"))
+        .join(broadcast(qnorm), Seq("query_id"))
+        .withColumn("adc_cos", col("lutsum") / (col("qnorm") * col("recon_norm")))
+      val wShort = Window.partitionBy("query_id")
+        .orderBy(col("adc_cos").desc, col("neighbor_id"))
+      val shortlist = adc.withColumn("srn", row_number().over(wShort))
+        .filter(col("srn") <= SHORTLIST)
+        .select("query_id", "neighbor_id", "adc_cos")
+      // exact rerank: true vectors re-join by id for the shortlist only
+      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+      shortlist
+        .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("nv")), Seq("neighbor_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"), col("adc_cos"),
+          expr(cosSql).as("cos"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= TOPK)
+        .select(col("query_id"), col("neighbor_id"), col("rn").as("rnk"),
+          round(col("cos"), 6).as("cos"), round(col("adc_cos"), 6).as("adc_cos"))
+        .orderBy("query_id", "rnk")
     },
 
     // int8 scalar quantization of the embedding column (the memory-/IO-

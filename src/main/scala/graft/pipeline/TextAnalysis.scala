@@ -200,6 +200,45 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // Bloom-prefiltered decontamination: same contract (and oracle) as
+    // txt_decontaminate, but the probe side reaches the corpus scan as a
+    // broadcast Bloom BITSET, not a broadcast hash relation. At 100 TB the
+    // benchmark probe set can be 1e9+ shingles — ~100 GB as a broadcast
+    // join relation (a non-starter) but ~1-2 GB as a Bloom at 1% fpp. The
+    // bitset prunes the corpus scan-side to candidate shingles; the exact
+    // join then runs only on survivors (|candidates| ≈ |true hits| +
+    // fpp x |corpus shingles|), so false positives CANNOT reach the
+    // result — output is row-identical to the exact operator, which
+    // PipelineSpec asserts. Sizing: expectedNumItems from a cheap probe
+    // count (here a fixed bound; at scale, the probe store's row count).
+    Q("txt_bloom_decontaminate", Some("""
+      WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(range(0, len(toks)-2),
+          i -> toks[i+1] || chr(32) || toks[i+2] || chr(32) || toks[i+3]))) AS sh
+        FROM (SELECT doc_id, string_split(text, chr(32)) AS toks FROM documents) t
+        WHERE len(toks) >= 3),
+      probes AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 3)
+      SELECT s.doc_id, CAST(count(DISTINCT s.sh) AS BIGINT) AS hits
+      FROM sh s JOIN probes p USING (sh)
+      WHERE s.doc_id >= 3
+      GROUP BY s.doc_id ORDER BY doc_id""")) { (s, dir) =>
+      val sh = t(s, dir, "documents")
+        .withColumn("toks", tokens(col("text")))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(0, size(toks)-3), " +
+            "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))")).as("sh"))
+      val probes = sh.filter(col("doc_id") < 3).select("sh").distinct()
+      val bloom = probes.stat.bloomFilter("sh", 1 << 16, 0.01)
+      val bloomB = s.sparkContext.broadcast(bloom)
+      val mightContain = udf((x: String) => x != null && bloomB.value.mightContain(x))
+      sh.filter(col("doc_id") >= 3)
+        .filter(mightContain(col("sh")))           // scan-side bitset prune
+        .join(broadcast(probes), Seq("sh"))        // exact verify: kills FPs
+        .groupBy("doc_id").agg(countDistinct(col("sh")).as("hits"))
+        .orderBy("doc_id")
+    },
+
     // unigram commonness score — the exact-arithmetic analog of unigram-LM
     // quality filtering: docs built of corpus-rare words (OCR noise, spam)
     // score low. Corpus counts broadcast back onto the token stream; the

@@ -85,6 +85,27 @@ class PlanSpec extends SparkSpecBase {
       .findFirstIn(p).isDefined, p)
   }
 
+  test("ivfpq ADC scoring shuffles codes and norms, never embedding arrays") {
+    val p = plan("sim_ivfpq")
+    assert(p.contains("Exchange hashpartitioning"), p)
+    assertNoArrayShuffleKeys(p)
+    // the candidate dedup and the per-(query, neighbor) ADC aggregation key
+    // on scalar ids; the 64-dim vectors appear only at the coarse assign
+    // (broadcast centroids) and the SHORTLIST-bounded exact rerank join
+    assert(!"HashAggregate\\(keys=\\[[^\\]]*[qn]v#[^\\]]*\\]".r
+      .findFirstIn(p).isDefined, p)
+  }
+
+  test("bloom decontamination matches the exact broadcast-join operator") {
+    // the Bloom bitset is a prefilter only: exact verify kills every false
+    // positive, so the two operators must be row-identical
+    val exact = SparkEntry.queries("txt_decontaminate")(spark, sfDir)
+    val bloom = SparkEntry.queries("txt_bloom_decontaminate")(spark, sfDir)
+    assert(bloom.count() == exact.count())
+    assert(bloom.except(exact).count() == 0)
+    assert(exact.except(bloom).count() == 0)
+  }
+
   test("same-bucketed tables join and aggregate on the key with zero exchanges") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
