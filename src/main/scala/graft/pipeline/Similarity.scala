@@ -448,8 +448,15 @@ object Similarity {
           expr("slice(cv, m * 16 + 1, 16)").as("csub"),
           expr("aggregate(zip_with(slice(v, m * 16 + 1, 16), slice(cv, m * 16 + 1, 16), " +
             "(x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)").as("dist"))
-      val w = Window.partitionBy("vec_id", "m").orderBy(col("dist"), col("code"))
-      val codes = cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      // argmin via min_by on (dist, code): map-side-combining hash
+      // aggregate instead of a row_number sort-shuffle of N x K x M rows;
+      // (dist, code) unique per (vector, subspace) keeps it deterministic
+      val codes = cand
+        .groupBy("vec_id", "m")
+        .agg(min_by(struct(col("code"), col("csub")),
+          struct(col("dist"), col("code"))).as("best"))
+        .select(col("vec_id"), col("m"),
+          col("best.code").as("code"), col("best.csub").as("csub"))
         .groupBy("vec_id")
         .agg(
           max(when(col("m") === 0, col("code"))).as("c0"),
@@ -493,8 +500,11 @@ object Similarity {
       val probes = ranked.filter(col("vec_id").isin(queryIds: _*) && col("rn") <= PROBES)
         .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cid"))
       // PQ codes + reconstruction norm per vector (sim_pq's argmin), kept
-      // as 4 ints + 1 double of scan-side state per corpus vector
-      val wPq = Window.partitionBy("vec_id", "m").orderBy(col("dist"), col("code"))
+      // as 4 ints + 1 double of scan-side state per corpus vector. The
+      // argmin is min_by over (dist, code) — a hash aggregate with map-side
+      // partial combine, NOT a row_number window (which would sort-shuffle
+      // all N x 32 candidate rows); (dist, code) is unique per (vec, m) so
+      // the pick is deterministic
       val codes = e.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("v"), col("cv"),
           expr(s"CAST(array_position($seedsArr, cid) - 1 AS INT)").as("code"),
@@ -503,7 +513,11 @@ object Similarity {
           expr("slice(cv, m * 16 + 1, 16)").as("csub"),
           expr("aggregate(zip_with(slice(v, m * 16 + 1, 16), slice(cv, m * 16 + 1, 16), " +
             "(x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)").as("dist"))
-        .withColumn("rn", row_number().over(wPq)).filter(col("rn") === 1)
+        .groupBy("vec_id", "m")
+        .agg(min_by(struct(col("code"), col("csub")),
+          struct(col("dist"), col("code"))).as("best"))
+        .select(col("vec_id"), col("m"),
+          col("best.code").as("code"), col("best.csub").as("csub"))
         .groupBy("vec_id")
         .agg(
           expr("transform(array_sort(collect_list(struct(m, code))), x -> x.code)")
