@@ -13,10 +13,10 @@ object PipeBench {
   private val DefaultOps = Seq(
     "dd_exact_dedup", "dd_minhash_lsh", "dd_simhash", "dd_ngram_jaccard",
     "dd_cluster_cc", "dd_embedding_lsh", "dd_semdedup", "dd_line_dedup",
-    "dd_intra_doc", "sim_cosine_topk", "sim_ivf", "sim_kmeans_iter",
+    "dd_intra_doc", "sim_cosine_topk", "sim_ivf", "sim_ivfpq", "sim_kmeans_iter",
     "txt_token_count", "txt_lang_id", "txt_quality_score", "txt_gopher_rules",
-    "txt_tfidf", "txt_decontaminate", "txt_global_shuffle", "txt_seq_pack",
-    "mm_batch_infer")
+    "txt_tfidf", "txt_decontaminate", "txt_bloom_decontaminate",
+    "txt_global_shuffle", "txt_seq_pack", "mm_batch_infer")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
