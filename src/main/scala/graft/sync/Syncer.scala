@@ -56,10 +56,15 @@ class ParquetDirSource(spark: SparkSession, dir: String,
   *    bounds, so a 1000-executor cluster pulls key ranges in parallel.
   *    Static 0..Long.MaxValue bounds would put every sane key set in
   *    stride 0 — all rows through one task.
-  *  - `sessionInitStatement` pins the repeatable-read snapshot the
-  *    reference takes (postgres.go:203-223); only sent to Postgres URLs.
+  *  - On Postgres, a driver-side anchor transaction exports a snapshot id
+  *    (pg_export_snapshot) and every partition connection adopts it via
+  *    SET TRANSACTION SNAPSHOT — ALL strides read one table-wide point in
+  *    time, matching the reference's single-COPY-connection consistency
+  *    (postgres.go:203-223) while still pulling ranges in parallel. The
+  *    anchor holds until `releaseStaging()` (after the store write lands).
   *
-  * Exercised in SyncSpec against an embedded Derby database. */
+  * Exercised in SyncSpec against an embedded Derby database (the snapshot
+  * export is Postgres-only and degrades to per-stride isolation off PG). */
 class JdbcSource(spark: SparkSession, url: String,
     tables: Seq[String] = Nil,
     keys: Map[String, String] = Map.empty,
@@ -109,14 +114,51 @@ class JdbcSource(spark: SparkSession, url: String,
       }
     } catch { case _: java.sql.SQLException | _: NumberFormatException => None }
 
+  // ---- consistent snapshot across partitioned connections ----------------
+  // A partitioned JDBC read opens one connection PER PARTITION; a plain
+  // `BEGIN REPEATABLE READ` in sessionInitStatement would give each its own
+  // snapshot — consistent per stride, not per table (the reference avoids
+  // this by streaming one COPY connection, postgres.go:203-223). Postgres
+  // exports a snapshot id from a driver-side anchor transaction
+  // (pg_export_snapshot); every partition connection then adopts THAT
+  // snapshot with SET TRANSACTION SNAPSHOT, so all strides read one
+  // table-wide point in time. The anchor connection must stay open until
+  // the read is materialized — held here, closed by releaseStaging().
+  private var anchorConn: Option[java.sql.Connection] = None
+
+  /** Export a snapshot id on a held-open anchor connection (Postgres only;
+    * None elsewhere or on any failure — reads still run, per-stride). */
+  private def exportSnapshot(): Option[String] =
+    if (!url.startsWith("jdbc:postgresql")) None
+    else try {
+      val props = new java.util.Properties()
+      connProps.foreach { case (k, v) => props.setProperty(k, v) }
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      try {
+        conn.setAutoCommit(false)
+        conn.setTransactionIsolation(java.sql.Connection.TRANSACTION_REPEATABLE_READ)
+        val rs = conn.createStatement().executeQuery("SELECT pg_export_snapshot()")
+        if (rs.next()) {
+          val id = rs.getString(1)
+          anchorConn = Some(conn)
+          Some(id)
+        } else { conn.close(); None }
+      } catch { case e: java.sql.SQLException => conn.close(); throw e }
+    } catch { case _: java.sql.SQLException => None }
+
+  override def releaseStaging(): Unit = {
+    anchorConn.foreach { c => try c.rollback() finally c.close() }
+    anchorConn = None
+  }
+
   def read(table: String): DataFrame = {
     var base = spark.read.format("jdbc")
       .option("url", url)
       .option("dbtable", table)
       .options(connProps)
-    if (url.startsWith("jdbc:postgresql"))
-      base = base.option("sessionInitStatement",
-        "BEGIN TRANSACTION ISOLATION LEVEL REPEATABLE READ READ ONLY")
+    exportSnapshot().foreach { snapId =>
+      base = base.option("sessionInitStatement", JdbcSource.snapshotInitSql(snapId))
+    }
     uniqueKey(table).flatMap(k => keyBounds(table, k).map((k, _))) match {
       case Some((k, (lo, hi))) if hi > lo =>
         base.option("partitionColumn", k)
@@ -167,6 +209,18 @@ class JdbcSource(spark: SparkSession, url: String,
       } catch { case _: java.sql.SQLException => None }))
 
   def cursorColumn(table: String): Option[String] = cursors.get(table)
+}
+
+object JdbcSource {
+  /** Per-partition-connection init: adopt the anchor's exported snapshot so
+    * every stride reads the same table-wide point in time. Postgres snapshot
+    * ids are server-generated (`NNNNNNNN-NNNNNNNN-N`-shaped, no quotes) —
+    * validated here so a hostile id can't escape the literal. */
+  private[graft] def snapshotInitSql(snapId: String): String = {
+    require(snapId.matches("[A-Za-z0-9-]+"), s"unexpected snapshot id: $snapId")
+    "BEGIN TRANSACTION ISOLATION LEVEL REPEATABLE READ READ ONLY; " +
+      s"SET TRANSACTION SNAPSHOT '$snapId'"
+  }
 }
 
 /** Orchestrates full-refresh and cursor-incremental syncs with

@@ -296,4 +296,18 @@ class SyncSpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(st.read("ITEMS").count() == 57)
     assert(st.read("ITEMS").select("LABEL").filter(col("LABEL") === "it-13").count() == 1)
   }
+
+  test("snapshot-adoption init SQL pins the exported-snapshot contract") {
+    // every partition connection must BEGIN repeatable-read and adopt the
+    // anchor's snapshot id (Postgres pg_export_snapshot ids are
+    // hyphen-separated hex); a malformed id must be rejected, not quoted in
+    assert(JdbcSource.snapshotInitSql("00000004-00000tc7-1") ==
+      "BEGIN TRANSACTION ISOLATION LEVEL REPEATABLE READ READ ONLY; " +
+        "SET TRANSACTION SNAPSHOT '00000004-00000tc7-1'")
+    intercept[IllegalArgumentException] {
+      JdbcSource.snapshotInitSql("x'; DROP TABLE items; --")
+    }
+    // off-Postgres sources never export: releaseStaging is a harmless no-op
+    new JdbcSource(spark, derbyUrl()).releaseStaging()
+  }
 }
