@@ -104,16 +104,31 @@ class Store(spark: SparkSession, warehouse: String) {
     versions.toSeq.sortBy(_._1).foreach { case (k, v) => vs.put(k, v) }
     val mv = rootNode.putObject("matviews")
     matviewDefs.toSeq.sortBy(_._1).foreach { case (k, d) => mv.put(k, d) }
-    catalogSeq += 1
-    val tmp = new HadoopPath(root, s"._catalog-$catalogSeq.tmp")
-    writeBytes(tmp, om.writerWithDefaultPrettyPrinter.writeValueAsBytes(rootNode))
-    val dst = new HadoopPath(root, s"_catalog.v$catalogSeq.json")
+    val bytes = om.writerWithDefaultPrettyPrinter.writeValueAsBytes(rootNode)
     // rename from a dot-tmp to a FRESH name: atomic on posix/HDFS, and on a
     // copy+delete store the destination never pre-exists so the worst case
-    // is a duplicate upload, never a torn catalog
-    if (!fs.rename(tmp, dst)) {
-      fs.delete(tmp, false)
-      throw new java.io.IOException(s"catalog commit failed: $dst")
+    // is a duplicate upload, never a torn catalog. A rename REFUSAL means
+    // the fresh name was taken — another writer committed that sequence —
+    // so re-sync past the observed max and retry with a higher one (the
+    // HDFS/posix CAS; true S3 multi-writer needs a catalog service and is
+    // out of scope — this store is single-writer-per-warehouse by design,
+    // the retry just keeps a misconfigured second writer from corrupting).
+    var committed = false
+    var attempts = 0
+    while (!committed) {
+      catalogSeq += 1
+      val tmp = new HadoopPath(root, s"._catalog-$catalogSeq.tmp")
+      writeBytes(tmp, bytes)
+      val dst = new HadoopPath(root, s"_catalog.v$catalogSeq.json")
+      if (fs.rename(tmp, dst)) committed = true
+      else {
+        fs.delete(tmp, false)
+        attempts += 1
+        if (attempts >= 5)
+          throw new java.io.IOException(s"catalog commit failed: $dst")
+        catalogSeq = math.max(catalogSeq,
+          catalogSnapshots().lastOption.map(_._1).getOrElse(0L))
+      }
     }
     // GC superseded snapshots (keep a couple for forensic/raced readers)
     catalogSnapshots().dropRight(2).foreach { case (_, p) => fs.delete(p, false) }

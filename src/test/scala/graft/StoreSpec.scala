@@ -415,6 +415,27 @@ class StoreSpec extends SparkSpecBase {
     assert(st2.currentVersion("t") == 3)
   }
 
+  test("catalog commit skips past a sequence taken by another writer") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-store-race")
+    val st = new Store(spark, dir.toString)
+    st.replace("t", Seq((1L, "a")).toDF("k", "v")) // commits _catalog.v1
+    // simulate a second writer landing the next fresh name first
+    java.nio.file.Files.write(dir.resolve("_catalog.v2.json"),
+      java.nio.file.Files.readAllBytes(dir.resolve("_catalog.v1.json")))
+    st.replace("t", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    // the commit must NOT overwrite v2: it re-syncs and lands a higher seq,
+    // and a fresh reader takes the newest snapshot (2 rows, version 2)
+    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(
+      java.nio.file.Files.list(dir).iterator()).asScala
+      .map(_.getFileName.toString).toSeq
+    assert(names.contains("_catalog.v2.json"), names.toString)
+    assert(names.exists(_.matches("_catalog\\.v[3-9]\\.json")), names.toString)
+    val st2 = new Store(spark, dir.toString)
+    assert(st2.currentVersion("t") == 2)
+    assert(st2.read("t").count() == 2)
+  }
+
   test("store tables are SQL-resolvable like the reference's shell tables") {
     import spark.implicits._
     val st = freshStore()
