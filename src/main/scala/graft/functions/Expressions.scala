@@ -341,5 +341,22 @@ object GraftExpressions {
       "array_dot", exprs => ArrayDot(exprs.head, exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "array_cos", exprs => ArrayCosine(exprs.head, exprs(1)), "scala_udf")
+    // Spark's own runtime-filter bloom expressions (catalyst internal,
+    // public classfile API): a DISTRIBUTED bloom build (map-side combined
+    // aggregate) + a codegen'd membership probe over xxhash64 — what the
+    // optimizer injects for runtime row-group filtering, exposed here for
+    // explicit probe-set prefilters (txt_bloom_decontaminate)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_agg", exprs =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(exprs.head)),
+          exprs(1).eval().asInstanceOf[Number].longValue)
+          .toAggregateExpression(), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain", exprs =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs.head,
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(exprs(1)))),
+      "scala_udf")
   }
 }

@@ -229,11 +229,17 @@ object TextAnalysis {
           "array_distinct(transform(sequence(0, size(toks)-3), " +
             "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))")).as("sh"))
       val probes = sh.filter(col("doc_id") < 3).select("sh").distinct()
-      val bloom = probes.stat.bloomFilter("sh", 1 << 16, 0.01)
-      val bloomB = s.sparkContext.broadcast(bloom)
-      val mightContain = udf((x: String) => x != null && bloomB.value.mightContain(x))
+      // the bloom builds DISTRIBUTED (BloomFilterAggregate: map-side
+      // combined partial sketches), lands on the driver once as bytes, and
+      // probes scan-side through the codegen'd BloomFilterMightContain over
+      // xxhash64 — the exact machinery Catalyst's injected runtime filters
+      // use, no UDF, no driver-side item loop
+      GraftExpressions.register(s)
+      val bloomBytes = probes
+        .agg(call_function("bloom_agg", col("sh"), lit(1L << 16)).as("bf"))
+        .collect()(0).getAs[Array[Byte]]("bf")
       sh.filter(col("doc_id") >= 3)
-        .filter(mightContain(col("sh")))           // scan-side bitset prune
+        .filter(call_function("bloom_might_contain", lit(bloomBytes), col("sh")))
         .join(broadcast(probes), Seq("sh"))        // exact verify: kills FPs
         .groupBy("doc_id").agg(countDistinct(col("sh")).as("hits"))
         .orderBy("doc_id")
