@@ -183,6 +183,35 @@ object StoreOps {
       df.orderBy("o_orderkey")
     },
 
+    // Incremental matview maintenance: the view holds additive aggregates
+    // (count + sums); after appends and deletes, refresh aggregates ONLY
+    // the files that changed between store versions (additions with sign
+    // +1, retractions with -1) and merges — O(changed files), not
+    // O(table). The oracle recomputes the same aggregate from scratch over
+    // the final table state; StoreSpec separately asserts the refresh
+    // really touched fewer files than the table holds.
+    Q("st_ivm_refresh", Some("""
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(o_custkey) AS BIGINT) AS sum_o_custkey
+      FROM orders WHERE o_orderkey <= 7000 AND o_orderkey NOT IN (11, 12, 13)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")) { (s, dir) =>
+      import s.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("graft-ivm").toString
+      val store = new Store(s, wh)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_custkey")
+      store.replaceSorted("ivm_orders",
+        orders.filter(col("o_orderkey") <= 5000), "o_orderkey", numFiles = 8)
+      store.createIncrementalMatview("ivm_agg", "ivm_orders",
+        Seq("o_orderpriority"), Seq("o_custkey"))
+      store.appendCompacting("ivm_orders",
+        orders.filter(col("o_orderkey") > 5000 && col("o_orderkey") <= 7000),
+        maxFileBytes = 1L) // carry existing files: the delta is the appended files
+      store.deleteByKey("ivm_orders", Seq(11L, 12L, 13L).toDF("o_orderkey"), "o_orderkey")
+      store.incrementalRefresh("ivm_agg")
+      store.read("ivm_agg").orderBy("o_orderpriority")
+    },
+
     // REAL Iceberg v2 round-trip: publish the store table as a
     // spec-conformant Iceberg snapshot (metadata.json + Avro manifest tree,
     // sources/Iceberg.scala), then read it back planning the scan purely

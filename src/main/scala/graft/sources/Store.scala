@@ -62,6 +62,13 @@ class Store(spark: SparkSession, warehouse: String) {
   private val versions = TrieMap[String, Int]()
   private val matviewDefs = TrieMap[String, String]()
 
+  /** Metadata of an incrementally-maintained aggregate view (see the
+    * incremental-matview section at the bottom of this class). Declared
+    * before the catalog-reload initializer below, which restores it. */
+  private case class IvmMeta(base: String, groupCols: Seq[String],
+      sumCols: Seq[String], reflected: Int)
+  private val ivmViews = TrieMap[String, IvmMeta]()
+
   private def readBytes(p: HadoopPath): Array[Byte] = {
     val in = fs.open(p)
     try {
@@ -104,6 +111,14 @@ class Store(spark: SparkSession, warehouse: String) {
     versions.toSeq.sortBy(_._1).foreach { case (k, v) => vs.put(k, v) }
     val mv = rootNode.putObject("matviews")
     matviewDefs.toSeq.sortBy(_._1).foreach { case (k, d) => mv.put(k, d) }
+    val ivm = rootNode.putObject("ivm")
+    ivmViews.toSeq.sortBy(_._1).foreach { case (k, m) =>
+      val o = ivm.putObject(k)
+      o.put("base", m.base)
+      o.put("reflected", m.reflected)
+      o.put("group", m.groupCols.mkString(","))
+      o.put("sums", m.sumCols.mkString(","))
+    }
     val bytes = om.writerWithDefaultPrettyPrinter.writeValueAsBytes(rootNode)
     // rename from a dot-tmp to a FRESH name: atomic on posix/HDFS, and on a
     // copy+delete store the destination never pre-exists so the worst case
@@ -145,6 +160,13 @@ class Store(spark: SparkSession, warehouse: String) {
       val rootNode = om.readTree(bs)
       rootNode.get("versions").fields.asScala.foreach(e => versions(e.getKey) = e.getValue.asInt)
       rootNode.get("matviews").fields.asScala.foreach(e => matviewDefs(e.getKey) = e.getValue.asText)
+      Option(rootNode.get("ivm")).foreach(_.fields.asScala.foreach { e =>
+        val o = e.getValue
+        def cols(f: String) =
+          o.get(f).asText.split(",").toSeq.filter(_.nonEmpty)
+        ivmViews(e.getKey) = IvmMeta(o.get("base").asText,
+          cols("group"), cols("sums"), o.get("reflected").asInt)
+      })
       // every catalog table (not just matviews) is SQL-resolvable, like the
       // reference's runtime shell tables (query_remapper_table.go:141-178)
       versions.keys.foreach(publish)
@@ -782,8 +804,85 @@ class Store(spark: SparkSession, warehouse: String) {
 
   def drop(name: String): Unit = {
     versions.remove(name)
+    ivmViews.remove(name)
     spark.catalog.dropTempView(name)
     fs.delete(tablePath(name), true)
     persistCatalog()
+  }
+
+  // ---- incremental matview maintenance -----------------------------------
+  // refreshMatview recomputes the full definition; for the (very common)
+  // aggregate-over-one-table views, the store's immutable version dirs
+  // enable true incremental maintenance: every write path either carries a
+  // data file into the new version UNCHANGED (same file name — hard link /
+  // copy) or writes new files, so diffing two versions' file names yields
+  // exact additions and retractions. The view state holds additive
+  // aggregates (count + per-column sums); a refresh aggregates ONLY the
+  // changed files, retracts with sign -1, and merges — O(changed files)
+  // instead of O(table). At 100 TB with steady incremental syncs this is
+  // the difference between re-aggregating the table per refresh and
+  // touching the day's new files (Iceberg/Materialize-style IVM, restricted
+  // to the additive-aggregate shape where retraction is exact).
+
+  private def ivmAggregate(df: DataFrame, groupCols: Seq[String],
+      sumCols: Seq[String], sign: Int): DataFrame = {
+    val aggs = (count(lit(1)) * sign).cast("long").as("n_rows") +:
+      sumCols.map(c => (sum(col(c)) * sign).as(s"sum_$c"))
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Materialize `view` = SELECT groupCols, count(*), sum(sumCols...) FROM
+    * base GROUP BY groupCols — maintained incrementally by
+    * [[incrementalRefresh]]. Output columns: groupCols, n_rows, sum_<c>. */
+  def createIncrementalMatview(view: String, base: String,
+      groupCols: Seq[String], sumCols: Seq[String]): Unit = {
+    require(exists(base), s"unknown base table $base")
+    replace(view, ivmAggregate(read(base), groupCols, sumCols, 1))
+    ivmViews(view) = IvmMeta(base, groupCols, sumCols, versions(base))
+    persistCatalog()
+  }
+
+  /** Bring `view` up to the base table's current version by aggregating
+    * only the files that changed since the reflected version. Returns
+    * (files read, files in current version). Falls back to a full rebuild
+    * when the reflected version dir has been expired. */
+  def incrementalRefresh(view: String): (Int, Int) = {
+    val meta = ivmViews.getOrElse(view,
+      throw new IllegalArgumentException(s"$view is not an incremental matview"))
+    val curV = versions(meta.base)
+    val newFiles = dataFiles(versionPath(meta.base, curV))
+    if (curV == meta.reflected) return (0, newFiles.size)
+    val oldDir = versionPath(meta.base, meta.reflected)
+    if (!fs.exists(oldDir)) { // reflected version expired -> full rebuild
+      replace(view, ivmAggregate(read(meta.base), meta.groupCols, meta.sumCols, 1))
+      ivmViews(view) = meta.copy(reflected = curV)
+      persistCatalog()
+      return (newFiles.size, newFiles.size)
+    }
+    val oldFiles = dataFiles(oldDir)
+    val oldNames = oldFiles.map(_.getPath.getName).toSet
+    val newNames = newFiles.map(_.getPath.getName).toSet
+    val added = newFiles.collect {
+      case f if !oldNames(f.getPath.getName) => f.getPath.toString }
+    val removed = oldFiles.collect {
+      case f if !newNames(f.getPath.getName) => f.getPath.toString }
+    val schema = read(meta.base).schema
+    def deltaAgg(paths: Seq[String], sign: Int): Option[DataFrame] =
+      if (paths.isEmpty) None
+      else Some(ivmAggregate(spark.read.schema(schema).parquet(paths: _*),
+        meta.groupCols, meta.sumCols, sign))
+    val deltas = Seq(deltaAgg(added, 1), deltaAgg(removed, -1)).flatten
+    if (deltas.nonEmpty) {
+      val mergeAggs = sum(col("n_rows")).as("n_rows") +:
+        meta.sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c"))
+      val merged = deltas.foldLeft(read(view))(_ unionByName _)
+        .groupBy(meta.groupCols.map(col): _*)
+        .agg(mergeAggs.head, mergeAggs.tail: _*)
+        .filter(col("n_rows") > 0)
+      replace(view, merged)
+    }
+    ivmViews(view) = meta.copy(reflected = curV)
+    persistCatalog()
+    (added.size + removed.size, newFiles.size)
   }
 }
