@@ -64,9 +64,12 @@ class Store(spark: SparkSession, warehouse: String) {
 
   /** Metadata of an incrementally-maintained aggregate view (see the
     * incremental-matview section at the bottom of this class). Declared
-    * before the catalog-reload initializer below, which restores it. */
+    * before the catalog-reload initializer below, which restores it.
+    * `countAlias`/`sumAliases` carry the view's visible column names;
+    * `outCols` pins the column order of the initial build. */
   private case class IvmMeta(base: String, groupCols: Seq[String],
-      sumCols: Seq[String], reflected: Int)
+      sumCols: Seq[String], countAlias: String, sumAliases: Seq[String],
+      outCols: Seq[String], reflected: Int)
   private val ivmViews = TrieMap[String, IvmMeta]()
 
   private def readBytes(p: HadoopPath): Array[Byte] = {
@@ -118,6 +121,9 @@ class Store(spark: SparkSession, warehouse: String) {
       o.put("reflected", m.reflected)
       o.put("group", m.groupCols.mkString(","))
       o.put("sums", m.sumCols.mkString(","))
+      o.put("countAlias", m.countAlias)
+      o.put("sumAliases", m.sumAliases.mkString(","))
+      o.put("outCols", m.outCols.mkString(","))
     }
     val bytes = om.writerWithDefaultPrettyPrinter.writeValueAsBytes(rootNode)
     // rename from a dot-tmp to a FRESH name: atomic on posix/HDFS, and on a
@@ -165,7 +171,8 @@ class Store(spark: SparkSession, warehouse: String) {
         def cols(f: String) =
           o.get(f).asText.split(",").toSeq.filter(_.nonEmpty)
         ivmViews(e.getKey) = IvmMeta(o.get("base").asText,
-          cols("group"), cols("sums"), o.get("reflected").asInt)
+          cols("group"), cols("sums"), o.get("countAlias").asText,
+          cols("sumAliases"), cols("outCols"), o.get("reflected").asInt)
       })
       // every catalog table (not just matviews) is SQL-resolvable, like the
       // reference's runtime shell tables (query_remapper_table.go:141-178)
@@ -766,11 +773,35 @@ class Store(spark: SparkSession, warehouse: String) {
     matviewDefs(name) = defn
     if (withData) replace(name, spark.sql(defn))
     else replace(name, spark.sql(defn).limit(0))
+    // additive-aggregate definitions register for incremental refresh; the
+    // initial build above came from the SQL itself, so the view's schema is
+    // exactly the definition's and the IVM deltas reuse its aliases. A
+    // WITH NO DATA view registers on its first (full) refresh instead.
+    if (withData)
+      ivmMetaFromDefn(defn, 0).foreach { m =>
+        ivmViews(name) = m.copy(reflected = versions(m.base))
+        persistCatalog()
+      }
     publish(name)
   }
 
   def refreshMatview(name: String): Unit = {
-    replace(name, spark.sql(matviewDefs(name)))
+    lastRefreshIncremental = false
+    val defn = matviewDefs(name)
+    ivmViews.get(name) match {
+      case Some(m) if exists(m.base) =>
+        incrementalRefresh(name)
+        lastRefreshIncremental = true
+      case _ =>
+        replace(name, spark.sql(defn))
+        // a WITH NO DATA (or pre-IVM) additive view registers on its first
+        // full refresh: the build above just reflected the base's current
+        // version, so incremental maintenance takes over from here
+        ivmMetaFromDefn(defn, 0).foreach { m =>
+          ivmViews(name) = m.copy(reflected = versions(m.base))
+          persistCatalog()
+        }
+    }
     publish(name)
   }
 
@@ -782,6 +813,7 @@ class Store(spark: SparkSession, warehouse: String) {
 
   def renameMatview(from: String, to: String): Unit = {
     matviewDefs.get(from).foreach { d => matviewDefs(to) = d; matviewDefs.remove(from) }
+    ivmViews.get(from).foreach { m => ivmViews(to) = m; ivmViews.remove(from) }
     versions.get(from).foreach { v =>
       fs.rename(tablePath(from), tablePath(to))
       versions(to) = v
@@ -824,11 +856,11 @@ class Store(spark: SparkSession, warehouse: String) {
   // touching the day's new files (Iceberg/Materialize-style IVM, restricted
   // to the additive-aggregate shape where retraction is exact).
 
-  private def ivmAggregate(df: DataFrame, groupCols: Seq[String],
-      sumCols: Seq[String], sign: Int): DataFrame = {
-    val aggs = (count(lit(1)) * sign).cast("long").as("n_rows") +:
-      sumCols.map(c => (sum(col(c)) * sign).as(s"sum_$c"))
-    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  private def ivmAggregate(df: DataFrame, m: IvmMeta, sign: Int): DataFrame = {
+    val aggs = (count(lit(1)) * sign).cast("long").as(m.countAlias) +:
+      m.sumCols.zip(m.sumAliases).map { case (c, a) => (sum(col(c)) * sign).as(a) }
+    df.groupBy(m.groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .select(m.outCols.map(col): _*)
   }
 
   /** Materialize `view` = SELECT groupCols, count(*), sum(sumCols...) FROM
@@ -837,9 +869,53 @@ class Store(spark: SparkSession, warehouse: String) {
   def createIncrementalMatview(view: String, base: String,
       groupCols: Seq[String], sumCols: Seq[String]): Unit = {
     require(exists(base), s"unknown base table $base")
-    replace(view, ivmAggregate(read(base), groupCols, sumCols, 1))
-    ivmViews(view) = IvmMeta(base, groupCols, sumCols, versions(base))
+    val sumAliases = sumCols.map(c => s"sum_$c")
+    val meta = IvmMeta(base, groupCols, sumCols, "n_rows", sumAliases,
+      groupCols ++ ("n_rows" +: sumAliases), versions(base))
+    replace(view, ivmAggregate(read(base), meta, 1))
+    ivmViews(view) = meta
     persistCatalog()
+  }
+
+  /** Conservative additive-aggregate matcher for SQL matview definitions:
+    * `SELECT <group cols | count(*) AS a | sum(col) AS a, ...> FROM <table>
+    * GROUP BY <group cols>` with nothing else (no WHERE/JOIN/HAVING/...,
+    * aggregates explicitly aliased, count(*) present for the retraction
+    * bookkeeping). A match registers the view for incremental refresh; any
+    * non-match keeps the plain recompute path — never a wrong answer. */
+  private def ivmMetaFromDefn(defn: String, baseVersion: Int): Option[IvmMeta] = {
+    val sql = defn.trim.stripSuffix(";")
+    if ("(?is).*\\b(JOIN|WHERE|HAVING|LIMIT|ORDER|DISTINCT|UNION|OVER|WINDOW|AVG|MIN|MAX)\\b.*".r
+        .matches(sql)) return None
+    val shape = "(?is)\\s*SELECT\\s+(.*?)\\s+FROM\\s+(\\w+)\\s+GROUP\\s+BY\\s+(.*?)\\s*".r
+    sql match {
+      case shape(selectList, base, groupList) if exists(base) =>
+        val groupBy = groupList.split(",").map(_.trim).toSeq
+        if (!groupBy.forall(_.matches("\\w+"))) return None
+        val GroupItem = "(?i)(\\w+)".r
+        val CountItem = "(?is)count\\(\\s*\\*\\s*\\)\\s+AS\\s+(\\w+)".r
+        val SumItem = "(?is)sum\\(\\s*(\\w+)\\s*\\)\\s+AS\\s+(\\w+)".r
+        val items = selectList.split(",").map(_.trim).toSeq
+        val parsed = items.map {
+          case CountItem(a) => Some(Right(Left(a)))
+          case SumItem(c, a) => Some(Right(Right((c, a))))
+          case GroupItem(g) if groupBy.contains(g) => Some(Left(g))
+          case _ => None
+        }
+        if (parsed.exists(_.isEmpty)) return None
+        val groups = parsed.flatten.collect { case Left(g) => g }
+        val counts = parsed.flatten.collect { case Right(Left(a)) => a }
+        val sums = parsed.flatten.collect { case Right(Right(ca)) => ca }
+        val outCols = items.map {
+          case CountItem(a) => a
+          case SumItem(_, a) => a
+          case GroupItem(g) => g
+        }
+        if (groups.sorted != groupBy.sorted || counts.size != 1) None
+        else Some(IvmMeta(base, groupBy, sums.map(_._1), counts.head,
+          sums.map(_._2), outCols, baseVersion))
+      case _ => None
+    }
   }
 
   /** Bring `view` up to the base table's current version by aggregating
@@ -854,7 +930,7 @@ class Store(spark: SparkSession, warehouse: String) {
     if (curV == meta.reflected) return (0, newFiles.size)
     val oldDir = versionPath(meta.base, meta.reflected)
     if (!fs.exists(oldDir)) { // reflected version expired -> full rebuild
-      replace(view, ivmAggregate(read(meta.base), meta.groupCols, meta.sumCols, 1))
+      replace(view, ivmAggregate(read(meta.base), meta, 1))
       ivmViews(view) = meta.copy(reflected = curV)
       persistCatalog()
       return (newFiles.size, newFiles.size)
@@ -870,19 +946,24 @@ class Store(spark: SparkSession, warehouse: String) {
     def deltaAgg(paths: Seq[String], sign: Int): Option[DataFrame] =
       if (paths.isEmpty) None
       else Some(ivmAggregate(spark.read.schema(schema).parquet(paths: _*),
-        meta.groupCols, meta.sumCols, sign))
+        meta, sign))
     val deltas = Seq(deltaAgg(added, 1), deltaAgg(removed, -1)).flatten
     if (deltas.nonEmpty) {
-      val mergeAggs = sum(col("n_rows")).as("n_rows") +:
-        meta.sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c"))
+      val mergeAggs = sum(col(meta.countAlias)).as(meta.countAlias) +:
+        meta.sumAliases.map(a => sum(col(a)).as(a))
       val merged = deltas.foldLeft(read(view))(_ unionByName _)
         .groupBy(meta.groupCols.map(col): _*)
         .agg(mergeAggs.head, mergeAggs.tail: _*)
-        .filter(col("n_rows") > 0)
+        .filter(col(meta.countAlias) > 0)
+        .select(meta.outCols.map(col): _*)
       replace(view, merged)
     }
     ivmViews(view) = meta.copy(reflected = curV)
     persistCatalog()
     (added.size + removed.size, newFiles.size)
   }
+
+  /** Whether the last [[refreshMatview]] took the incremental path —
+    * observability for specs. */
+  @volatile private[graft] var lastRefreshIncremental: Boolean = false
 }

@@ -473,6 +473,28 @@ class StoreSpec extends SparkSpecBase {
         .orderBy("g").collect().toSeq)
   }
 
+  test("SQL matviews with additive-aggregate shape refresh incrementally") {
+    import spark.implicits._
+    val st = freshStore()
+    def rows(r: Range) = r.map(k => (k.toLong, s"g${k % 3}", k.toLong)).toDF("k", "g", "x")
+    st.appendCompacting("ivt", rows(1 to 300), maxFileBytes = 1L)
+    st.createMatview("ivt_mv",
+      "SELECT g, count(*) AS n, sum(x) AS total FROM ivt GROUP BY g")
+    assert(st.read("ivt_mv").columns.toSeq == Seq("g", "n", "total"))
+    st.appendCompacting("ivt", rows(301 to 330), maxFileBytes = 1L)
+    st.refreshMatview("ivt_mv")
+    assert(st.lastRefreshIncremental, "additive defn must take the IVM path")
+    assert(st.read("ivt_mv").orderBy("g").collect().toSeq ==
+      spark.sql("SELECT g, count(*) AS n, sum(x) AS total FROM ivt GROUP BY g")
+        .orderBy("g").collect().toSeq)
+    // a non-additive definition keeps the full-recompute path
+    st.createMatview("ivt_mv2",
+      "SELECT g, max(x) AS mx FROM ivt GROUP BY g")
+    st.refreshMatview("ivt_mv2")
+    assert(!st.lastRefreshIncremental)
+    assert(st.read("ivt_mv2").count() == 3)
+  }
+
   test("store tables are SQL-resolvable like the reference's shell tables") {
     import spark.implicits._
     val st = freshStore()
