@@ -158,4 +158,30 @@ object Streams {
       }
       .start()
   }
+
+  /** Streaming materialized view: every micro-batch lands in the store
+    * through the compacting append (files at size carry unchanged between
+    * versions) and the additive aggregate view then refreshes
+    * INCREMENTALLY — per trigger the refresh aggregates only that batch's
+    * changed files, so a continuously-ingesting table keeps a hot
+    * aggregate at O(batch) cost instead of O(table) per refresh. The
+    * compaction's rewrites are retracted exactly (sign -1) by the same
+    * file-diff the batch IVM path uses; checkpointing makes the
+    * append-then-refresh pair replay-safe per batch id (an append whose
+    * batch replays lands in a fresh store version, and the view reflects
+    * whichever version the last completed refresh saw). */
+  def streamingMatview(rows: DataFrame, store: Store, table: String,
+      view: String, groupCols: Seq[String], sumCols: Seq[String],
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        store.appendCompacting(table, batch)
+        if (!store.exists(view))
+          store.createIncrementalMatview(view, table, groupCols, sumCols)
+        else store.incrementalRefresh(view)
+        ()
+      }
+      .start()
 }
