@@ -47,9 +47,22 @@ class HttpJsonSource(
     headers: Map[String, String] = Map.empty,
     flatten: Map[String, DataFrame => DataFrame] = Map.empty,
     maxChunkBytes: Long = 32L * 1024 * 1024,
-    spoolDir: Option[java.nio.file.Path] = None) extends SyncSource {
+    spoolDir: Option[String] = None) extends SyncSource {
 
   def listTables(): Seq[String] = tables
+
+  // spool filesystem resolved from the spoolDir path/URI (any configured
+  // fs.* scheme — local tmp by default, hdfs://... on a multi-host master)
+  private lazy val (spoolFs, spoolBase) = {
+    val base = spoolDir.getOrElse(
+      "file://" + System.getProperty("java.io.tmpdir"))
+    val path = new org.apache.hadoop.fs.Path(base)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.setWriteChecksum(false)
+    fs.setVerifyChecksum(false)
+    fs.mkdirs(path)
+    (fs, fs.makeQualified(path))
+  }
 
   /** Chunk files the last read() spooled — observability for tests that
     * assert bounded buffering (pages >> chunk size => several chunks). */
@@ -58,19 +71,19 @@ class HttpJsonSource(
   /** Spool dirs of reads whose DataFrames may still be unconsumed. Syncer
     * calls releaseStaging() after each durable table write; without it a
     * long-running sync daemon would leak one on-disk table copy per read
-    * until JVM exit. NOTE: the spool lives on the DRIVER's filesystem
-    * (default java.io.tmpdir) — on a multi-host master, pass `spoolDir` on
-    * a filesystem the executors share, exactly as any local-staging
-    * ingestion does. */
-  private val staged = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+    * until cleanup. The spool is written by the DRIVER (pages arrive on one
+    * HTTP stream) through the Hadoop FileSystem of `spoolDir` — local tmp
+    * by default; pass an `hdfs://`/shared-scheme URI on a multi-host
+    * master so executors can read the chunks back, exactly as any
+    * local-staging ingestion does. */
+  private val staged =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.hadoop.fs.Path]()
 
   override def releaseStaging(): Unit = {
     var d = staged.poll()
     while (d != null) {
-      try {
-        java.nio.file.Files.walk(d).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: Exception => () } // deleteOnExit still backstops
+      try spoolFs.delete(d, true)
+      catch { case _: Exception => () }
       d = staged.poll()
     }
   }
@@ -95,22 +108,18 @@ class HttpJsonSource(
     }
     // spool pages to NDJSON chunks, rotating at maxChunkBytes: memory stays
     // one-page-bounded and the decode parallelizes across chunks
-    val dir = spoolDir match {
-      case Some(base) =>
-        java.nio.file.Files.createTempDirectory(
-          java.nio.file.Files.createDirectories(base), s"graft-http-$table-")
-      case None => java.nio.file.Files.createTempDirectory(s"graft-http-$table-")
-    }
-    dir.toFile.deleteOnExit()
+    val dir = new org.apache.hadoop.fs.Path(spoolBase,
+      s"graft-http-$table-${java.util.UUID.randomUUID()}")
+    spoolFs.mkdirs(dir)
     staged.add(dir)
     var chunk = 0
     var bytes = 0L
     var out: java.io.Writer = null
     def rotate(): Unit = {
       if (out != null) out.close()
-      val f = dir.resolve(f"chunk-$chunk%05d.json")
-      f.toFile.deleteOnExit()
-      out = java.nio.file.Files.newBufferedWriter(f)
+      val f = new org.apache.hadoop.fs.Path(dir, f"chunk-$chunk%05d.json")
+      out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        spoolFs.create(f, true), java.nio.charset.StandardCharsets.UTF_8))
       chunk += 1
       bytes = 0L
     }

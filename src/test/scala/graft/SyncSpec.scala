@@ -203,7 +203,7 @@ class SyncSpec extends SparkSpecBase with BeforeAndAfterAll {
       val src = new HttpJsonSource(spark, s"http://127.0.0.1:$port",
         Seq("wide"), keys = Map("wide" -> "id"),
         paging = OffsetPaging(limit = 20), maxChunkBytes = 2048,
-        spoolDir = Some(spoolBase))
+        spoolDir = Some("file://" + spoolBase))
       new Syncer(st, src).fullRefresh()
       // bounded buffering: the 500-row table rotated through many chunks
       // (~100 B/row, 2 KB cap => ~25), so no all-pages Seq ever existed
