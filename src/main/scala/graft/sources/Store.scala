@@ -69,7 +69,8 @@ class Store(spark: SparkSession, warehouse: String) {
     * `outCols` pins the column order of the initial build. */
   private case class IvmMeta(base: String, groupCols: Seq[String],
       sumCols: Seq[String], countAlias: String, sumAliases: Seq[String],
-      outCols: Seq[String], reflected: Int)
+      outCols: Seq[String], reflected: Int,
+      minCols: Seq[(String, String)] = Nil, maxCols: Seq[(String, String)] = Nil)
   private val ivmViews = TrieMap[String, IvmMeta]()
 
   private def readBytes(p: HadoopPath): Array[Byte] = {
@@ -124,6 +125,8 @@ class Store(spark: SparkSession, warehouse: String) {
       o.put("countAlias", m.countAlias)
       o.put("sumAliases", m.sumAliases.mkString(","))
       o.put("outCols", m.outCols.mkString(","))
+      o.put("mins", m.minCols.map { case (c, a) => s"$c:$a" }.mkString(","))
+      o.put("maxs", m.maxCols.map { case (c, a) => s"$c:$a" }.mkString(","))
     }
     val bytes = om.writerWithDefaultPrettyPrinter.writeValueAsBytes(rootNode)
     // rename from a dot-tmp to a FRESH name: atomic on posix/HDFS, and on a
@@ -170,9 +173,14 @@ class Store(spark: SparkSession, warehouse: String) {
         val o = e.getValue
         def cols(f: String) =
           o.get(f).asText.split(",").toSeq.filter(_.nonEmpty)
+        def pairs(f: String): Seq[(String, String)] =
+          Option(o.get(f)).map(_.asText).getOrElse("").split(",").toSeq
+            .filter(_.contains(":")).map { kv =>
+              val Array(c, a) = kv.split(":", 2); (c, a) }
         ivmViews(e.getKey) = IvmMeta(o.get("base").asText,
           cols("group"), cols("sums"), o.get("countAlias").asText,
-          cols("sumAliases"), cols("outCols"), o.get("reflected").asInt)
+          cols("sumAliases"), cols("outCols"), o.get("reflected").asInt,
+          pairs("mins"), pairs("maxs"))
       })
       // every catalog table (not just matviews) is SQL-resolvable, like the
       // reference's runtime shell tables (query_remapper_table.go:141-178)
@@ -857,8 +865,10 @@ class Store(spark: SparkSession, warehouse: String) {
   // to the additive-aggregate shape where retraction is exact).
 
   private def ivmAggregate(df: DataFrame, m: IvmMeta, sign: Int): DataFrame = {
-    val aggs = (count(lit(1)) * sign).cast("long").as(m.countAlias) +:
-      m.sumCols.zip(m.sumAliases).map { case (c, a) => (sum(col(c)) * sign).as(a) }
+    val aggs = ((count(lit(1)) * sign).cast("long").as(m.countAlias) +:
+      m.sumCols.zip(m.sumAliases).map { case (c, a) => (sum(col(c)) * sign).as(a) }) ++
+      m.minCols.map { case (c, a) => min(col(c)).as(a) } ++
+      m.maxCols.map { case (c, a) => max(col(c)).as(a) }
     df.groupBy(m.groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
       .select(m.outCols.map(col): _*)
   }
@@ -878,14 +888,16 @@ class Store(spark: SparkSession, warehouse: String) {
   }
 
   /** Conservative additive-aggregate matcher for SQL matview definitions:
-    * `SELECT <group cols | count(*) AS a | sum(col) AS a, ...> FROM <table>
-    * GROUP BY <group cols>` with nothing else (no WHERE/JOIN/HAVING/...,
-    * aggregates explicitly aliased, count(*) present for the retraction
-    * bookkeeping). A match registers the view for incremental refresh; any
-    * non-match keeps the plain recompute path — never a wrong answer. */
+    * `SELECT <group cols | count(*) AS a | sum/min/max(col) AS a, ...>
+    * FROM <table> GROUP BY <group cols>` with nothing else (no WHERE/JOIN/
+    * HAVING/..., aggregates explicitly aliased, count(*) present for the
+    * retraction bookkeeping). min/max maintain incrementally on append-only
+    * refreshes and force a full rebuild when files were removed (they are
+    * not retractable). A match registers the view for incremental refresh;
+    * any non-match keeps the plain recompute path — never a wrong answer. */
   private def ivmMetaFromDefn(defn: String, baseVersion: Int): Option[IvmMeta] = {
     val sql = defn.trim.stripSuffix(";")
-    if ("(?is).*\\b(JOIN|WHERE|HAVING|LIMIT|ORDER|DISTINCT|UNION|OVER|WINDOW|AVG|MIN|MAX)\\b.*".r
+    if ("(?is).*\\b(JOIN|WHERE|HAVING|LIMIT|ORDER|DISTINCT|UNION|OVER|WINDOW|AVG)\\b.*".r
         .matches(sql)) return None
     val shape = "(?is)\\s*SELECT\\s+(.*?)\\s+FROM\\s+(\\w+)\\s+GROUP\\s+BY\\s+(.*?)\\s*".r
     sql match {
@@ -895,25 +907,40 @@ class Store(spark: SparkSession, warehouse: String) {
         val GroupItem = "(?i)(\\w+)".r
         val CountItem = "(?is)count\\(\\s*\\*\\s*\\)\\s+AS\\s+(\\w+)".r
         val SumItem = "(?is)sum\\(\\s*(\\w+)\\s*\\)\\s+AS\\s+(\\w+)".r
+        val MinItem = "(?is)min\\(\\s*(\\w+)\\s*\\)\\s+AS\\s+(\\w+)".r
+        val MaxItem = "(?is)max\\(\\s*(\\w+)\\s*\\)\\s+AS\\s+(\\w+)".r
+        sealed trait Item
+        case class G(g: String) extends Item
+        case class Cn(a: String) extends Item
+        case class Sm(c: String, a: String) extends Item
+        case class Mn(c: String, a: String) extends Item
+        case class Mx(c: String, a: String) extends Item
         val items = selectList.split(",").map(_.trim).toSeq
-        val parsed = items.map {
-          case CountItem(a) => Some(Right(Left(a)))
-          case SumItem(c, a) => Some(Right(Right((c, a))))
-          case GroupItem(g) if groupBy.contains(g) => Some(Left(g))
+        val parsed: Seq[Option[Item]] = items.map {
+          case CountItem(a) => Some(Cn(a))
+          case SumItem(c, a) => Some(Sm(c, a))
+          case MinItem(c, a) => Some(Mn(c, a))
+          case MaxItem(c, a) => Some(Mx(c, a))
+          case GroupItem(g) if groupBy.contains(g) => Some(G(g))
           case _ => None
         }
         if (parsed.exists(_.isEmpty)) return None
-        val groups = parsed.flatten.collect { case Left(g) => g }
-        val counts = parsed.flatten.collect { case Right(Left(a)) => a }
-        val sums = parsed.flatten.collect { case Right(Right(ca)) => ca }
-        val outCols = items.map {
-          case CountItem(a) => a
-          case SumItem(_, a) => a
-          case GroupItem(g) => g
+        val flat = parsed.flatten
+        val groups = flat.collect { case G(g) => g }
+        val counts = flat.collect { case Cn(a) => a }
+        val sums = flat.collect { case Sm(c, a) => (c, a) }
+        val mins = flat.collect { case Mn(c, a) => (c, a) }
+        val maxs = flat.collect { case Mx(c, a) => (c, a) }
+        val outCols = flat.map {
+          case G(g) => g
+          case Cn(a) => a
+          case Sm(_, a) => a
+          case Mn(_, a) => a
+          case Mx(_, a) => a
         }
         if (groups.sorted != groupBy.sorted || counts.size != 1) None
         else Some(IvmMeta(base, groupBy, sums.map(_._1), counts.head,
-          sums.map(_._2), outCols, baseVersion))
+          sums.map(_._2), outCols, baseVersion, mins, maxs))
       case _ => None
     }
   }
@@ -942,6 +969,15 @@ class Store(spark: SparkSession, warehouse: String) {
       case f if !oldNames(f.getPath.getName) => f.getPath.toString }
     val removed = oldFiles.collect {
       case f if !newNames(f.getPath.getName) => f.getPath.toString }
+    // min/max are not retractable: any removed file forces a full rebuild
+    // (append-only refreshes — the common incremental-sync case — stay
+    // O(new files)); count/sum retract exactly with sign -1
+    if (removed.nonEmpty && (meta.minCols.nonEmpty || meta.maxCols.nonEmpty)) {
+      replace(view, ivmAggregate(read(meta.base), meta, 1))
+      ivmViews(view) = meta.copy(reflected = curV)
+      persistCatalog()
+      return (newFiles.size, newFiles.size)
+    }
     val schema = read(meta.base).schema
     def deltaAgg(paths: Seq[String], sign: Int): Option[DataFrame] =
       if (paths.isEmpty) None
@@ -949,8 +985,10 @@ class Store(spark: SparkSession, warehouse: String) {
         meta, sign))
     val deltas = Seq(deltaAgg(added, 1), deltaAgg(removed, -1)).flatten
     if (deltas.nonEmpty) {
-      val mergeAggs = sum(col(meta.countAlias)).as(meta.countAlias) +:
-        meta.sumAliases.map(a => sum(col(a)).as(a))
+      val mergeAggs = (sum(col(meta.countAlias)).as(meta.countAlias) +:
+        meta.sumAliases.map(a => sum(col(a)).as(a))) ++
+        meta.minCols.map { case (_, a) => min(col(a)).as(a) } ++
+        meta.maxCols.map { case (_, a) => max(col(a)).as(a) }
       val merged = deltas.foldLeft(read(view))(_ unionByName _)
         .groupBy(meta.groupCols.map(col): _*)
         .agg(mergeAggs.head, mergeAggs.tail: _*)

@@ -487,12 +487,28 @@ class StoreSpec extends SparkSpecBase {
     assert(st.read("ivt_mv").orderBy("g").collect().toSeq ==
       spark.sql("SELECT g, count(*) AS n, sum(x) AS total FROM ivt GROUP BY g")
         .orderBy("g").collect().toSeq)
-    // a non-additive definition keeps the full-recompute path
+    // min/max maintain incrementally while refreshes are append-only...
     st.createMatview("ivt_mv2",
-      "SELECT g, max(x) AS mx FROM ivt GROUP BY g")
+      "SELECT g, count(*) AS n, min(x) AS lo, max(x) AS hi FROM ivt GROUP BY g")
+    st.appendCompacting("ivt", rows(331 to 360), maxFileBytes = 1L)
     st.refreshMatview("ivt_mv2")
+    assert(st.lastRefreshIncremental)
+    def recompute2() = spark.sql(
+      "SELECT g, count(*) AS n, min(x) AS lo, max(x) AS hi FROM ivt GROUP BY g")
+    assert(st.read("ivt_mv2").orderBy("g").collect().toSeq ==
+      recompute2().orderBy("g").collect().toSeq)
+    // ...and stay CORRECT when files are removed (internal full rebuild:
+    // a deleted row can hold the current min)
+    st.deleteByKey("ivt", Seq(1L, 2L, 3L).toDF("k"), "k")
+    st.refreshMatview("ivt_mv2")
+    assert(st.read("ivt_mv2").orderBy("g").collect().toSeq ==
+      recompute2().orderBy("g").collect().toSeq)
+    // a non-additive definition keeps the full-recompute path
+    st.createMatview("ivt_mv3",
+      "SELECT g, avg(x) AS ax FROM ivt GROUP BY g")
+    st.refreshMatview("ivt_mv3")
     assert(!st.lastRefreshIncremental)
-    assert(st.read("ivt_mv2").count() == 3)
+    assert(st.read("ivt_mv3").count() == 3)
   }
 
   test("store tables are SQL-resolvable like the reference's shell tables") {
