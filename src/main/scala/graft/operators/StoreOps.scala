@@ -212,6 +212,36 @@ object StoreOps {
       store.read("ivm_agg").orderBy("o_orderpriority")
     },
 
+    // min/max in the incremental view: maintained by min/max-merge on the
+    // append (no retraction needed), then a delete of rows holding group
+    // extrema forces the internal full rebuild — the result must still
+    // equal the from-scratch aggregate either way.
+    Q("st_ivm_minmax", Some("""
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(min(o_custkey) AS BIGINT) AS min_cust,
+        CAST(max(o_custkey) AS BIGINT) AS max_cust
+      FROM orders WHERE o_orderkey <= 6000 AND o_orderkey NOT IN (21, 22)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")) { (s, dir) =>
+      import s.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("graft-ivm2").toString
+      val store = new Store(s, wh)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_custkey").cast("long").as("o_custkey"))
+      store.replaceSorted("ivm2_orders",
+        orders.filter(col("o_orderkey") <= 4000), "o_orderkey", numFiles = 8)
+      store.createMatview("ivm2_agg", """SELECT o_orderpriority,
+        count(*) AS n_rows, min(o_custkey) AS min_cust,
+        max(o_custkey) AS max_cust FROM ivm2_orders GROUP BY o_orderpriority""")
+      store.appendCompacting("ivm2_orders",
+        orders.filter(col("o_orderkey") > 4000 && col("o_orderkey") <= 6000),
+        maxFileBytes = 1L)
+      store.refreshMatview("ivm2_agg") // append-only: min/max-merge path
+      store.deleteByKey("ivm2_orders", Seq(21L, 22L).toDF("o_orderkey"), "o_orderkey")
+      store.refreshMatview("ivm2_agg") // removal: internal full rebuild
+      store.read("ivm2_agg").orderBy("o_orderpriority")
+    },
+
     // REAL Iceberg v2 round-trip: publish the store table as a
     // spec-conformant Iceberg snapshot (metadata.json + Avro manifest tree,
     // sources/Iceberg.scala), then read it back planning the scan purely
