@@ -578,6 +578,27 @@ class PgDialectSpec extends SparkSpecBase {
       == Command("DROP MATERIALIZED VIEW"))
   }
 
+  test("additive matview REFRESH through the dialect runs incrementally") {
+    import spark.implicits._
+    Tables.registerAll(spark, sfDir)
+    store.appendCompacting("dlx",
+      (1L to 100L).map(k => (k, s"g${k % 4}")).toDF("k", "g"), maxFileBytes = 1L)
+    assert(PgDialect.execute(spark, store,
+      "CREATE MATERIALIZED VIEW dlx_mv AS " +
+        "SELECT g, count(*) AS n, sum(k) AS sk FROM dlx GROUP BY g")
+      == Command("CREATE MATERIALIZED VIEW"))
+    store.appendCompacting("dlx",
+      (101L to 120L).map(k => (k, s"g${k % 4}")).toDF("k", "g"), maxFileBytes = 1L)
+    assert(PgDialect.execute(spark, store, "REFRESH MATERIALIZED VIEW dlx_mv")
+      == Command("REFRESH MATERIALIZED VIEW"))
+    // the plain SQL statement surface got the O(changed files) path
+    assert(store.lastRefreshIncremental,
+      "dialect REFRESH must route additive definitions through IVM")
+    assert(store.read("dlx_mv").orderBy("g").collect().toSeq ==
+      spark.sql("SELECT g, count(*) AS n, sum(k) AS sk FROM dlx GROUP BY g")
+        .orderBy("g").collect().toSeq)
+  }
+
   test("pg-flavored query end-to-end: casts + json ops + ANY") {
     val r = rows("""
       SELECT event_id, (props ->> 'k')::int4 AS k
