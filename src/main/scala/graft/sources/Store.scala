@@ -945,6 +945,24 @@ class Store(spark: SparkSession, warehouse: String) {
     }
   }
 
+  /** Version dir's parquet files keyed by dir-RELATIVE path — recursive, so
+    * hive-partitioned layouts (key=value subdirs) diff correctly; a
+    * top-level-only listing would see an empty file set and silently skip
+    * the refresh. */
+  private def dataFilesRelative(dir: HadoopPath): Seq[(String, String)] = {
+    val base = fs.makeQualified(dir).toString.stripSuffix("/") + "/"
+    val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+        val full = fs.makeQualified(st.getPath).toString
+        buf += ((full.stripPrefix(base), full))
+      }
+    }
+    buf.sortBy(_._1).toSeq
+  }
+
   /** Bring `view` up to the base table's current version by aggregating
     * only the files that changed since the reflected version. Returns
     * (files read, files in current version). Falls back to a full rebuild
@@ -953,7 +971,7 @@ class Store(spark: SparkSession, warehouse: String) {
     val meta = ivmViews.getOrElse(view,
       throw new IllegalArgumentException(s"$view is not an incremental matview"))
     val curV = versions(meta.base)
-    val newFiles = dataFiles(versionPath(meta.base, curV))
+    val newFiles = dataFilesRelative(versionPath(meta.base, curV))
     if (curV == meta.reflected) return (0, newFiles.size)
     val oldDir = versionPath(meta.base, meta.reflected)
     if (!fs.exists(oldDir)) { // reflected version expired -> full rebuild
@@ -962,13 +980,11 @@ class Store(spark: SparkSession, warehouse: String) {
       persistCatalog()
       return (newFiles.size, newFiles.size)
     }
-    val oldFiles = dataFiles(oldDir)
-    val oldNames = oldFiles.map(_.getPath.getName).toSet
-    val newNames = newFiles.map(_.getPath.getName).toSet
-    val added = newFiles.collect {
-      case f if !oldNames(f.getPath.getName) => f.getPath.toString }
-    val removed = oldFiles.collect {
-      case f if !newNames(f.getPath.getName) => f.getPath.toString }
+    val oldFiles = dataFilesRelative(oldDir)
+    val oldNames = oldFiles.map(_._1).toSet
+    val newNames = newFiles.map(_._1).toSet
+    val added = newFiles.collect { case (rel, p) if !oldNames(rel) => p }
+    val removed = oldFiles.collect { case (rel, p) if !newNames(rel) => p }
     // min/max are not retractable: any removed file forces a full rebuild
     // (append-only refreshes — the common incremental-sync case — stay
     // O(new files)); count/sum retract exactly with sign -1
@@ -979,11 +995,18 @@ class Store(spark: SparkSession, warehouse: String) {
       return (newFiles.size, newFiles.size)
     }
     val schema = read(meta.base).schema
-    def deltaAgg(paths: Seq[String], sign: Int): Option[DataFrame] =
+    // basePath anchors partition discovery: a hive-partitioned base keeps
+    // its partition column in the directory name, not the file — a bare
+    // leaf-file read would null it out of the aggregation
+    def deltaAgg(paths: Seq[String], dir: HadoopPath, sign: Int): Option[DataFrame] =
       if (paths.isEmpty) None
-      else Some(ivmAggregate(spark.read.schema(schema).parquet(paths: _*),
+      else Some(ivmAggregate(
+        spark.read.option("basePath", fs.makeQualified(dir).toString)
+          .schema(schema).parquet(paths: _*),
         meta, sign))
-    val deltas = Seq(deltaAgg(added, 1), deltaAgg(removed, -1)).flatten
+    val deltas = Seq(
+      deltaAgg(added, versionPath(meta.base, curV), 1),
+      deltaAgg(removed, oldDir, -1)).flatten
     if (deltas.nonEmpty) {
       val mergeAggs = (sum(col(meta.countAlias)).as(meta.countAlias) +:
         meta.sumAliases.map(a => sum(col(a)).as(a))) ++

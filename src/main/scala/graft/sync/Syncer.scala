@@ -131,6 +131,7 @@ class JdbcSource(spark: SparkSession, url: String,
   private def exportSnapshot(): Option[String] =
     if (!url.startsWith("jdbc:postgresql")) None
     else try {
+      releaseStaging() // a prior unreleased anchor must not leak its txn
       val props = new java.util.Properties()
       connProps.foreach { case (k, v) => props.setProperty(k, v) }
       val conn = java.sql.DriverManager.getConnection(url, props)

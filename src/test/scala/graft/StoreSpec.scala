@@ -473,6 +473,28 @@ class StoreSpec extends SparkSpecBase {
         .orderBy("g").collect().toSeq)
   }
 
+  test("incremental matview refresh stays correct on a hive-partitioned base") {
+    import spark.implicits._
+    val st = freshStore()
+    def rows(r: Range) = r.map(k => (k.toLong, s"g${k % 4}", k.toLong * 2)).toDF("k", "g", "x")
+    st.replacePartitioned("pbase", rows(1 to 200), "g")
+    st.createIncrementalMatview("pagg", "pbase", Seq("g"), Seq("x"))
+    def fullRecompute() = st.read("pbase").groupBy("g")
+      .agg(count(lit(1)).cast("long").as("n_rows"), sum($"x").as("sum_x"))
+    assert(st.read("pagg").orderBy("g").collect().toSeq ==
+      fullRecompute().orderBy("g").collect().toSeq)
+    // a partitioned rewrite must neither silently no-op (the non-recursive
+    // listing saw zero files in key=value subdirs) nor null out the
+    // partition column (bare leaf-file reads lose hive dir values)
+    st.replacePartitioned("pbase", rows(1 to 260), "g")
+    val (read1, total1) = st.incrementalRefresh("pagg")
+    assert(read1 > 0, "partitioned refresh silently no-opped")
+    assert(total1 > 0)
+    val got = st.read("pagg").orderBy("g").collect().toSeq
+    assert(got == fullRecompute().orderBy("g").collect().toSeq, got.toString)
+    assert(!got.exists(_.isNullAt(0)), "partition column nulled in delta agg")
+  }
+
   test("SQL matviews with additive-aggregate shape refresh incrementally") {
     import spark.implicits._
     val st = freshStore()
