@@ -52,11 +52,13 @@ object Dedup {
     // filter chain for BOTH sides (this op is the audit-scale auditor; the
     // scale path is minhash LSH, which caches its shingle frame the same way)
     val capped = sh.join(rare, "s").cache()
-    try materialized(
+    // SafeOps.distinctRows, not .distinct(): this exact Distinct was once
+    // elided from the executed plan under the concurrent verify sweep,
+    // leaking per-shared-shingle pair multiplicities into the gate
+    try materialized(SafeOps.distinctRows(
       capped.as("a").join(capped.as("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .distinct())
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))))
     finally capped.unpersist(false)
   }
 
@@ -136,11 +138,10 @@ object Dedup {
       val bands = sig.select(col("doc_id"),
           posexplode(expr(s"transform(sequence(0, ${BANDS - 1}), " +
             s"b -> hash(slice(sig, b * $R + 1, $R)))")).as(Seq("band", "bucket")))
-      val cand = bands.as("x").join(bands.as("y"),
+      val cand = SafeOps.distinctRows(bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
             && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-        .distinct()
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b")))
       // verify candidates with exact Jaccard (join sets back by key)
       val withSets = cand
         .join(d.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -200,11 +201,10 @@ object Dedup {
     val sig = n
       .select(col("vec_id"),
         posexplode(Similarity.hyperplaneSigs(col("v"))).as(Seq("tbl", "bucket")))
-    val cand = sig.as("a").join(sig.as("b"),
+    val cand = SafeOps.distinctRows(sig.as("a").join(sig.as("b"),
         col("b.tbl") === col("a.tbl") && col("b.bucket") === col("a.bucket")
           && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .distinct()
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b")))
       .join(n.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
       .join(n.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
     val dot = expr("array_dot(va, vb)")
@@ -352,12 +352,11 @@ object Dedup {
         val chunks = sim.select(col("doc_id"), col("simhash"),
           posexplode(expr("transform(sequence(0, 7), " +
             "c -> shiftright(simhash, cast(c * 8 AS INT)) & 255)")).as(Seq("chunk", "cval")))
-        materialized(chunks.as("x").join(chunks.as("y"),
+        materialized(SafeOps.distinctRows(chunks.as("x").join(chunks.as("y"),
             col("x.chunk") === col("y.chunk") && col("x.cval") === col("y.cval")
               && col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-            bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-          .distinct()
+            bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming")))
           .filter(col("hamming") <= 12)
           .orderBy("id_a", "id_b"))
       } finally sim.unpersist(false)
@@ -537,9 +536,10 @@ object Dedup {
           col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
         .select(col("b.vec_id").as("vec_id"), col("a.v").as("va"), col("b.v").as("vb"))
         .filter(dot / (na * nb) >= 0.28)
-        .select("vec_id").distinct()
+        .select("vec_id")
+      val droppedIds = SafeOps.distinctRows(dropped)
         .withColumn("is_dup", lit(1))
-      e.join(dropped, Seq("vec_id"), "left")
+      e.join(droppedIds, Seq("vec_id"), "left")
         .select(col("vec_id"), col("label").cast("int").as("label"),
           col("is_dup").isNull.as("kept"))
         .orderBy("vec_id")

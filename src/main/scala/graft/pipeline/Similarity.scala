@@ -251,11 +251,11 @@ object Similarity {
       val qsig = sig.filter(col("vec_id").isin(queryIds: _*))
         .select(col("vec_id").as("query_id"),
           col("tbl").as("qtbl"), col("bucket").as("qbucket"))
-      val candIds = broadcast(qsig).join(
+      val candIds = SafeOps.distinctRows(broadcast(qsig).join(
           sig.select(col("vec_id").as("neighbor_id"), col("tbl"), col("bucket")),
           col("tbl") === col("qtbl") && col("bucket") === col("qbucket")
             && col("neighbor_id") =!= col("query_id"))
-        .select("query_id", "neighbor_id").distinct()
+        .select("query_id", "neighbor_id"))
       val qv = base.filter(col("vec_id").isin(queryIds: _*))
         .select(col("vec_id").as("query_id"), col("v").as("qv"))
       val cand = broadcast(candIds)
@@ -541,9 +541,10 @@ object Similarity {
           expr("array_dot(slice(qv, m * 16 + 1, 16), slice(cv, m * 16 + 1, 16))").as("pdot"))
       val qnorm = q.select(col("query_id"), expr("sqrt(array_dot(qv, qv))").as("qnorm"))
       // candidates dedup on scalar ids; ADC score from codes + LUT only
-      val candIds = broadcast(probes.select("query_id", "cid")).join(assignIds, Seq("cid"))
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .select("query_id", "neighbor_id").distinct()
+      val candIds = SafeOps.distinctRows(
+        broadcast(probes.select("query_id", "cid")).join(assignIds, Seq("cid"))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .select("query_id", "neighbor_id"))
       val adc = candIds.join(codes, Seq("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"), col("recon_norm"),
           posexplode(col("codes")).as(Seq("m", "code")))

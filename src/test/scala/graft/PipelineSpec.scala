@@ -191,6 +191,20 @@ class PipelineSpec extends SparkSpecBase {
       == Seq((1001L, 1002L)))
   }
 
+  test("elision-proof dedup: distinctRows == distinct and plans a live count") {
+    import spark.implicits._
+    // semantic equivalence on a frame with real duplicate multiplicity
+    val df = Seq((1L, 2L), (1L, 2L), (1L, 2L), (3L, 4L), (3L, 4L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    assert(SafeOps.distinctRows(df).collect().toSet == df.distinct().collect().toSet)
+    assert(SafeOps.distinctRows(df).count() == 3)
+    // the optimized plan must keep an aggregate FUNCTION (count) — a
+    // keys-only Distinct is the shape that was once elided under the
+    // concurrent verify sweep, leaking pair multiplicities into the gate
+    val opt = SafeOps.distinctRows(df).queryExecution.optimizedPlan.toString
+    assert(opt.contains("count"), s"live count pruned from plan:\n$opt")
+  }
+
   test("int8 quantization preserves cosine within 1e-3 on every vector") {
     val rows = SparkEntry.queries("sim_int8_quant")(spark, sfDir).collect()
     assert(rows.nonEmpty)
