@@ -82,10 +82,11 @@ object EventOps {
       val ev = t(s, dir, "events")
       val firstSeen = ev.groupBy("user_id")
         .agg((floor(min(unix_timestamp(col("ts"))) / 604800L)).cast("long").as("cohort_week"))
-      val active = ev.join(firstSeen, "user_id")
+      // SafeOps.distinctRows: this dedup is an internal step the counted
+      // output depends on, not the op's tested semantics (see SafeOps doc)
+      val active = SafeOps.distinctRows(ev.join(firstSeen, "user_id")
         .select(col("user_id"), col("cohort_week"),
-          floor(unix_timestamp(col("ts")) / 604800L).cast("long").as("active_week"))
-        .distinct()
+          floor(unix_timestamp(col("ts")) / 604800L).cast("long").as("active_week")))
       active
         .groupBy(col("cohort_week"), (col("active_week") - col("cohort_week")).as("week_offset"))
         .agg(count(lit(1)).as("n_users"))
@@ -257,7 +258,7 @@ object EventOps {
         .agg(sum(cents(col("value"))).as("day_cents"))
       val days = s.range(1).select(explode(expr(
         "sequence(to_date('2024-01-01'), to_date('2024-01-30'), interval 1 day)")).as("day"))
-      val grid = obs.select("user_id").distinct().crossJoin(broadcast(days))
+      val grid = SafeOps.distinctRows(obs.select("user_id")).crossJoin(broadcast(days))
       val w = Window.partitionBy("user_id").orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       grid.join(obs, Seq("user_id", "day"), "left")
