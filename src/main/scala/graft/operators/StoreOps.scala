@@ -242,6 +242,35 @@ object StoreOps {
       store.read("ivm2_agg").orderBy("o_orderpriority")
     },
 
+    // avg in the incremental view: maintained through hidden sum +
+    // non-null-count state, so unlike min/max it retracts EXACTLY — the
+    // delete below stays on the O(changed files) merge path, no rebuild.
+    // The oracle recomputes the aggregate from scratch over the final state.
+    Q("st_ivm_avg", Some("""
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        avg(o_custkey) AS avg_cust
+      FROM orders WHERE o_orderkey <= 6000 AND o_orderkey NOT IN (31, 32, 33)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")) { (s, dir) =>
+      import s.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("graft-ivm3").toString
+      val store = new Store(s, wh)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_custkey").cast("long").as("o_custkey"))
+      store.replaceSorted("ivm3_orders",
+        orders.filter(col("o_orderkey") <= 4000), "o_orderkey", numFiles = 8)
+      store.createMatview("ivm3_agg", """SELECT o_orderpriority,
+        count(*) AS n_rows, avg(o_custkey) AS avg_cust
+        FROM ivm3_orders GROUP BY o_orderpriority""")
+      store.appendCompacting("ivm3_orders",
+        orders.filter(col("o_orderkey") > 4000 && col("o_orderkey") <= 6000),
+        maxFileBytes = 1L)
+      store.refreshMatview("ivm3_agg") // registers + builds hidden state
+      store.deleteByKey("ivm3_orders", Seq(31L, 32L, 33L).toDF("o_orderkey"), "o_orderkey")
+      store.refreshMatview("ivm3_agg") // delete: exact retraction, no rebuild
+      store.read("ivm3_agg").orderBy("o_orderpriority")
+    },
+
     // REAL Iceberg v2 round-trip: publish the store table as a
     // spec-conformant Iceberg snapshot (metadata.json + Avro manifest tree,
     // sources/Iceberg.scala), then read it back planning the scan purely

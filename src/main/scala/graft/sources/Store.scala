@@ -70,7 +70,8 @@ class Store(spark: SparkSession, warehouse: String) {
   private case class IvmMeta(base: String, groupCols: Seq[String],
       sumCols: Seq[String], countAlias: String, sumAliases: Seq[String],
       outCols: Seq[String], reflected: Int,
-      minCols: Seq[(String, String)] = Nil, maxCols: Seq[(String, String)] = Nil)
+      minCols: Seq[(String, String)] = Nil, maxCols: Seq[(String, String)] = Nil,
+      avgCols: Seq[(String, String)] = Nil)
   private val ivmViews = TrieMap[String, IvmMeta]()
 
   private def readBytes(p: HadoopPath): Array[Byte] = {
@@ -127,6 +128,7 @@ class Store(spark: SparkSession, warehouse: String) {
       o.put("outCols", m.outCols.mkString(","))
       o.put("mins", m.minCols.map { case (c, a) => s"$c:$a" }.mkString(","))
       o.put("maxs", m.maxCols.map { case (c, a) => s"$c:$a" }.mkString(","))
+      o.put("avgs", m.avgCols.map { case (c, a) => s"$c:$a" }.mkString(","))
     }
     val bytes = om.writerWithDefaultPrettyPrinter.writeValueAsBytes(rootNode)
     // rename from a dot-tmp to a FRESH name: atomic on posix/HDFS, and on a
@@ -180,7 +182,7 @@ class Store(spark: SparkSession, warehouse: String) {
         ivmViews(e.getKey) = IvmMeta(o.get("base").asText,
           cols("group"), cols("sums"), o.get("countAlias").asText,
           cols("sumAliases"), cols("outCols"), o.get("reflected").asInt,
-          pairs("mins"), pairs("maxs"))
+          pairs("mins"), pairs("maxs"), pairs("avgs"))
       })
       // every catalog table (not just matviews) is SQL-resolvable, like the
       // reference's runtime shell tables (query_remapper_table.go:141-178)
@@ -195,7 +197,18 @@ class Store(spark: SparkSession, warehouse: String) {
 
   def exists(name: String): Boolean = versions.contains(name)
 
-  def read(name: String): DataFrame =
+  def read(name: String): DataFrame = {
+    val df = readRaw(name)
+    // an avg-maintaining matview stores hidden __ivm_* state columns
+    // (per-avg sum + non-null count) alongside the visible result; the
+    // public surface never shows them
+    val visible = df.columns.filterNot(_.startsWith("__ivm_"))
+    if (visible.length == df.columns.length) df
+    else df.select(visible.map(c => col(s"`$c`")): _*)
+  }
+
+  /** Stored bytes as-is, hidden IVM state included (refresh merge input). */
+  private def readRaw(name: String): DataFrame =
     spark.read.parquet(versionDir(name, versions(name)))
 
   def currentVersion(name: String): Int = versions(name)
@@ -779,17 +792,22 @@ class Store(spark: SparkSession, warehouse: String) {
 
   def createMatview(name: String, defn: String, withData: Boolean = true): Unit = {
     matviewDefs(name) = defn
-    if (withData) replace(name, spark.sql(defn))
-    else replace(name, spark.sql(defn).limit(0))
-    // additive-aggregate definitions register for incremental refresh; the
-    // initial build above came from the SQL itself, so the view's schema is
-    // exactly the definition's and the IVM deltas reuse its aliases. A
-    // WITH NO DATA view registers on its first (full) refresh instead.
-    if (withData)
-      ivmMetaFromDefn(defn, 0).foreach { m =>
-        ivmViews(name) = m.copy(reflected = versions(m.base))
-        persistCatalog()
-      }
+    // additive-aggregate definitions register for incremental refresh; an
+    // avg definition must BUILD through ivmAggregate too — its stored state
+    // carries hidden sum/count columns the plain SQL build would lack and
+    // the first incremental merge would then fail to find. A WITH NO DATA
+    // view registers on its first (full) refresh instead.
+    val metaOpt = if (withData) ivmMetaFromDefn(defn, 0) else None
+    metaOpt match {
+      case Some(m) if m.avgCols.nonEmpty =>
+        replace(name, ivmAggregate(read(m.base), m, 1))
+      case _ if withData => replace(name, spark.sql(defn))
+      case _ => replace(name, spark.sql(defn).limit(0))
+    }
+    metaOpt.foreach { m =>
+      ivmViews(name) = m.copy(reflected = versions(m.base))
+      persistCatalog()
+    }
     publish(name)
   }
 
@@ -801,11 +819,18 @@ class Store(spark: SparkSession, warehouse: String) {
         incrementalRefresh(name)
         lastRefreshIncremental = true
       case _ =>
-        replace(name, spark.sql(defn))
         // a WITH NO DATA (or pre-IVM) additive view registers on its first
-        // full refresh: the build above just reflected the base's current
-        // version, so incremental maintenance takes over from here
-        ivmMetaFromDefn(defn, 0).foreach { m =>
+        // full refresh: the build reflects the base's current version, so
+        // incremental maintenance takes over from here. An avg view must
+        // build through ivmAggregate — its stored state carries hidden
+        // sum/count columns the plain SQL recompute would not produce.
+        val metaOpt = ivmMetaFromDefn(defn, 0)
+        metaOpt match {
+          case Some(m) if exists(m.base) && m.avgCols.nonEmpty =>
+            replace(name, ivmAggregate(read(m.base), m, 1))
+          case _ => replace(name, spark.sql(defn))
+        }
+        metaOpt.filter(m => exists(m.base)).foreach { m =>
           ivmViews(name) = m.copy(reflected = versions(m.base))
           persistCatalog()
         }
@@ -864,40 +889,67 @@ class Store(spark: SparkSession, warehouse: String) {
   // touching the day's new files (Iceberg/Materialize-style IVM, restricted
   // to the additive-aggregate shape where retraction is exact).
 
+  // avg is maintained through exactly-retractable hidden state: per avg
+  // alias `a`, __ivm_s_a = sum of the column and __ivm_c_a = its NON-NULL
+  // count (SQL avg divides by non-null rows, not count(*)); the visible
+  // column is recomputed as s/c after every merge, null when c = 0
+  private def avgSumAlias(a: String) = s"__ivm_s_$a"
+  private def avgCntAlias(a: String) = s"__ivm_c_$a"
+  private def ivmHiddenCols(m: IvmMeta): Seq[String] =
+    m.avgCols.flatMap { case (_, a) => Seq(avgSumAlias(a), avgCntAlias(a)) }
+
+  /** Recompute visible avg columns from hidden state and project the
+    * stored layout: visible outCols followed by hidden state columns. */
+  private def ivmFinish(df: DataFrame, m: IvmMeta): DataFrame = {
+    val withAvgs = m.avgCols.foldLeft(df) { case (d, (_, a)) =>
+      d.withColumn(a, when(col(avgCntAlias(a)) =!= 0L,
+        col(avgSumAlias(a)).cast("double") / col(avgCntAlias(a)).cast("double")))
+    }
+    withAvgs.select((m.outCols ++ ivmHiddenCols(m)).map(col): _*)
+  }
+
   private def ivmAggregate(df: DataFrame, m: IvmMeta, sign: Int): DataFrame = {
     val aggs = ((count(lit(1)) * sign).cast("long").as(m.countAlias) +:
       m.sumCols.zip(m.sumAliases).map { case (c, a) => (sum(col(c)) * sign).as(a) }) ++
       m.minCols.map { case (c, a) => min(col(c)).as(a) } ++
-      m.maxCols.map { case (c, a) => max(col(c)).as(a) }
-    df.groupBy(m.groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
-      .select(m.outCols.map(col): _*)
+      m.maxCols.map { case (c, a) => max(col(c)).as(a) } ++
+      m.avgCols.flatMap { case (c, a) => Seq(
+        (sum(col(c)) * sign).as(avgSumAlias(a)),
+        (count(col(c)) * sign).cast("long").as(avgCntAlias(a))) }
+    ivmFinish(df.groupBy(m.groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*), m)
   }
 
-  /** Materialize `view` = SELECT groupCols, count(*), sum(sumCols...) FROM
-    * base GROUP BY groupCols — maintained incrementally by
-    * [[incrementalRefresh]]. Output columns: groupCols, n_rows, sum_<c>. */
+  /** Materialize `view` = SELECT groupCols, count(*), sum(sumCols...),
+    * avg(avgCols...) FROM base GROUP BY groupCols — maintained
+    * incrementally by [[incrementalRefresh]]. Output columns: groupCols,
+    * n_rows, sum_<c>, avg_<c>. */
   def createIncrementalMatview(view: String, base: String,
-      groupCols: Seq[String], sumCols: Seq[String]): Unit = {
+      groupCols: Seq[String], sumCols: Seq[String],
+      avgCols: Seq[String] = Nil): Unit = {
     require(exists(base), s"unknown base table $base")
     val sumAliases = sumCols.map(c => s"sum_$c")
+    val avgAliases = avgCols.map(c => s"avg_$c")
     val meta = IvmMeta(base, groupCols, sumCols, "n_rows", sumAliases,
-      groupCols ++ ("n_rows" +: sumAliases), versions(base))
+      groupCols ++ ("n_rows" +: sumAliases) ++ avgAliases, versions(base),
+      avgCols = avgCols.zip(avgAliases))
     replace(view, ivmAggregate(read(base), meta, 1))
     ivmViews(view) = meta
     persistCatalog()
   }
 
   /** Conservative additive-aggregate matcher for SQL matview definitions:
-    * `SELECT <group cols | count(*) AS a | sum/min/max(col) AS a, ...>
+    * `SELECT <group cols | count(*) AS a | sum/min/max/avg(col) AS a, ...>
     * FROM <table> GROUP BY <group cols>` with nothing else (no WHERE/JOIN/
     * HAVING/..., aggregates explicitly aliased, count(*) present for the
     * retraction bookkeeping). min/max maintain incrementally on append-only
     * refreshes and force a full rebuild when files were removed (they are
-    * not retractable). A match registers the view for incremental refresh;
-    * any non-match keeps the plain recompute path — never a wrong answer. */
+    * not retractable); avg retracts exactly through hidden sum + non-null
+    * count state and never forces a rebuild. A match registers the view for
+    * incremental refresh; any non-match keeps the plain recompute path —
+    * never a wrong answer. */
   private def ivmMetaFromDefn(defn: String, baseVersion: Int): Option[IvmMeta] = {
     val sql = defn.trim.stripSuffix(";")
-    if ("(?is).*\\b(JOIN|WHERE|HAVING|LIMIT|ORDER|DISTINCT|UNION|OVER|WINDOW|AVG)\\b.*".r
+    if ("(?is).*\\b(JOIN|WHERE|HAVING|LIMIT|ORDER|DISTINCT|UNION|OVER|WINDOW)\\b.*".r
         .matches(sql)) return None
     val shape = "(?is)\\s*SELECT\\s+(.*?)\\s+FROM\\s+(\\w+)\\s+GROUP\\s+BY\\s+(.*?)\\s*".r
     sql match {
@@ -909,18 +961,21 @@ class Store(spark: SparkSession, warehouse: String) {
         val SumItem = "(?is)sum\\(\\s*(\\w+)\\s*\\)\\s+AS\\s+(\\w+)".r
         val MinItem = "(?is)min\\(\\s*(\\w+)\\s*\\)\\s+AS\\s+(\\w+)".r
         val MaxItem = "(?is)max\\(\\s*(\\w+)\\s*\\)\\s+AS\\s+(\\w+)".r
+        val AvgItem = "(?is)avg\\(\\s*(\\w+)\\s*\\)\\s+AS\\s+(\\w+)".r
         sealed trait Item
         case class G(g: String) extends Item
         case class Cn(a: String) extends Item
         case class Sm(c: String, a: String) extends Item
         case class Mn(c: String, a: String) extends Item
         case class Mx(c: String, a: String) extends Item
+        case class Av(c: String, a: String) extends Item
         val items = selectList.split(",").map(_.trim).toSeq
         val parsed: Seq[Option[Item]] = items.map {
           case CountItem(a) => Some(Cn(a))
           case SumItem(c, a) => Some(Sm(c, a))
           case MinItem(c, a) => Some(Mn(c, a))
           case MaxItem(c, a) => Some(Mx(c, a))
+          case AvgItem(c, a) => Some(Av(c, a))
           case GroupItem(g) if groupBy.contains(g) => Some(G(g))
           case _ => None
         }
@@ -931,16 +986,18 @@ class Store(spark: SparkSession, warehouse: String) {
         val sums = flat.collect { case Sm(c, a) => (c, a) }
         val mins = flat.collect { case Mn(c, a) => (c, a) }
         val maxs = flat.collect { case Mx(c, a) => (c, a) }
+        val avgs = flat.collect { case Av(c, a) => (c, a) }
         val outCols = flat.map {
           case G(g) => g
           case Cn(a) => a
           case Sm(_, a) => a
           case Mn(_, a) => a
           case Mx(_, a) => a
+          case Av(_, a) => a
         }
         if (groups.sorted != groupBy.sorted || counts.size != 1) None
         else Some(IvmMeta(base, groupBy, sums.map(_._1), counts.head,
-          sums.map(_._2), outCols, baseVersion, mins, maxs))
+          sums.map(_._2), outCols, baseVersion, mins, maxs, avgs))
       case _ => None
     }
   }
@@ -1011,12 +1068,13 @@ class Store(spark: SparkSession, warehouse: String) {
       val mergeAggs = (sum(col(meta.countAlias)).as(meta.countAlias) +:
         meta.sumAliases.map(a => sum(col(a)).as(a))) ++
         meta.minCols.map { case (_, a) => min(col(a)).as(a) } ++
-        meta.maxCols.map { case (_, a) => max(col(a)).as(a) }
-      val merged = deltas.foldLeft(read(view))(_ unionByName _)
-        .groupBy(meta.groupCols.map(col): _*)
-        .agg(mergeAggs.head, mergeAggs.tail: _*)
-        .filter(col(meta.countAlias) > 0)
-        .select(meta.outCols.map(col): _*)
+        meta.maxCols.map { case (_, a) => max(col(a)).as(a) } ++
+        ivmHiddenCols(meta).map(h => sum(col(h)).as(h))
+      val merged = ivmFinish(
+        deltas.foldLeft(readRaw(view))(_ unionByName _)
+          .groupBy(meta.groupCols.map(col): _*)
+          .agg(mergeAggs.head, mergeAggs.tail: _*)
+          .filter(col(meta.countAlias) > 0), meta)
       replace(view, merged)
     }
     ivmViews(view) = meta.copy(reflected = curV)

@@ -172,14 +172,15 @@ object Streams {
     * whichever version the last completed refresh saw). */
   def streamingMatview(rows: DataFrame, store: Store, table: String,
       view: String, groupCols: Seq[String], sumCols: Seq[String],
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String,
+      avgCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
     rows.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         store.appendCompacting(table, batch)
         if (!store.exists(view))
-          store.createIncrementalMatview(view, table, groupCols, sumCols)
+          store.createIncrementalMatview(view, table, groupCols, sumCols, avgCols)
         else store.incrementalRefresh(view)
         ()
       }

@@ -473,6 +473,43 @@ class StoreSpec extends SparkSpecBase {
         .orderBy("g").collect().toSeq)
   }
 
+  test("avg matviews retract exactly through hidden state, nulls and all") {
+    import spark.implicits._
+    val st = freshStore()
+    // x is null on every 7th key: avg must divide by the NON-NULL count
+    def rows(r: Range) = r.map(k => (k.toLong, s"g${k % 4}",
+      if (k % 7 == 0) None else Some(k.toLong * 3))).toDF("k", "g", "x")
+    st.appendCompacting("abase", rows(1 to 300), maxFileBytes = 1L)
+    st.createMatview("aagg", """SELECT g, count(*) AS n_rows,
+      avg(x) AS avg_x FROM abase GROUP BY g""")
+    st.refreshMatview("aagg") // registers for IVM + builds hidden state
+    def fullRecompute() = st.read("abase").groupBy("g")
+      .agg(count(lit(1)).cast("long").as("n_rows"), avg($"x").as("avg_x"))
+    def check() = {
+      val got = st.read("aagg").orderBy("g").collect().toSeq
+      val want = fullRecompute().orderBy("g").collect().toSeq
+      got.zip(want).foreach { case (g, w) =>
+        assert(g.getString(0) == w.getString(0) && g.getLong(1) == w.getLong(1))
+        assert(math.abs(g.getDouble(2) - w.getDouble(2)) < 1e-9, s"$g vs $w")
+      }
+      // the hidden sum/count state never leaks into the public surface
+      assert(!got.head.schema.fieldNames.exists(_.startsWith("__ivm_")))
+      assert(!spark.table("aagg").columns.exists(_.startsWith("__ivm_")))
+    }
+    check()
+    // append-only refresh stays O(new files)
+    st.appendCompacting("abase", rows(301 to 340), maxFileBytes = 1L)
+    st.refreshMatview("aagg")
+    assert(st.lastRefreshIncremental)
+    check()
+    // deletion: avg retracts exactly — INCREMENTAL, unlike min/max
+    st.deleteByKey("abase", Seq(3L, 14L, 21L).toDF("k"), "k")
+    val (readN, totalN) = st.incrementalRefresh("aagg")
+    assert(readN > 0 && readN < totalN,
+      s"avg delete should stay incremental: read $readN of $totalN")
+    check()
+  }
+
   test("incremental matview refresh stays correct on a hive-partitioned base") {
     import spark.implicits._
     val st = freshStore()

@@ -176,13 +176,15 @@ class StreamingSpec extends SparkSpecBase {
     val store = new Store(spark, wh.toString)
     val ckpt = java.nio.file.Files.createTempDirectory("graft-smv-ck").toString
     val q = Streams.streamingMatview(stream, store, "sm_events", "sm_agg",
-      Seq("event_type"), Seq("user_id"), ckpt)
+      Seq("event_type"), Seq("user_id"), ckpt, avgCols = Seq("user_id"))
     q.awaitTermination(120000)
     // the view equals a from-scratch aggregate of everything ingested
-    // (exact long sums — no float dust across the retraction cycles)
+    // (exact long sums — no float dust across the retraction cycles; the
+    // avg column divides exact hidden sums, so it is exact too)
     val expect = store.read("sm_events").groupBy("event_type")
       .agg(count(lit(1)).cast("long").as("n_rows"),
-        sum(col("user_id")).as("sum_user_id"))
+        sum(col("user_id")).as("sum_user_id"),
+        avg(col("user_id")).as("avg_user_id"))
     assert(store.read("sm_agg").orderBy("event_type").collect().toSeq ==
       expect.orderBy("event_type").collect().toSeq)
     // and it is fully reflected: another refresh reads zero files
