@@ -71,7 +71,8 @@ class Store(spark: SparkSession, warehouse: String) {
       sumCols: Seq[String], countAlias: String, sumAliases: Seq[String],
       outCols: Seq[String], reflected: Int,
       minCols: Seq[(String, String)] = Nil, maxCols: Seq[(String, String)] = Nil,
-      avgCols: Seq[(String, String)] = Nil)
+      avgCols: Seq[(String, String)] = Nil,
+      devCols: Seq[(String, String, String)] = Nil) // (col, alias, stddev|variance)
   private val ivmViews = TrieMap[String, IvmMeta]()
 
   private def readBytes(p: HadoopPath): Array[Byte] = {
@@ -129,6 +130,7 @@ class Store(spark: SparkSession, warehouse: String) {
       o.put("mins", m.minCols.map { case (c, a) => s"$c:$a" }.mkString(","))
       o.put("maxs", m.maxCols.map { case (c, a) => s"$c:$a" }.mkString(","))
       o.put("avgs", m.avgCols.map { case (c, a) => s"$c:$a" }.mkString(","))
+      o.put("devs", m.devCols.map { case (c, a, k) => s"$c:$a:$k" }.mkString(","))
     }
     val bytes = om.writerWithDefaultPrettyPrinter.writeValueAsBytes(rootNode)
     // rename from a dot-tmp to a FRESH name: atomic on posix/HDFS, and on a
@@ -179,10 +181,13 @@ class Store(spark: SparkSession, warehouse: String) {
           Option(o.get(f)).map(_.asText).getOrElse("").split(",").toSeq
             .filter(_.contains(":")).map { kv =>
               val Array(c, a) = kv.split(":", 2); (c, a) }
+        val devs = Option(o.get("devs")).map(_.asText).getOrElse("")
+          .split(",").toSeq.filter(_.count(_ == ':') == 2).map { kv =>
+            val Array(c, a, k) = kv.split(":", 3); (c, a, k) }
         ivmViews(e.getKey) = IvmMeta(o.get("base").asText,
           cols("group"), cols("sums"), o.get("countAlias").asText,
           cols("sumAliases"), cols("outCols"), o.get("reflected").asInt,
-          pairs("mins"), pairs("maxs"), pairs("avgs"))
+          pairs("mins"), pairs("maxs"), pairs("avgs"), devs)
       })
       // every catalog table (not just matviews) is SQL-resolvable, like the
       // reference's runtime shell tables (query_remapper_table.go:141-178)
@@ -889,23 +894,37 @@ class Store(spark: SparkSession, warehouse: String) {
   // touching the day's new files (Iceberg/Materialize-style IVM, restricted
   // to the additive-aggregate shape where retraction is exact).
 
-  // avg is maintained through exactly-retractable hidden state: per avg
-  // alias `a`, __ivm_s_a = sum of the column and __ivm_c_a = its NON-NULL
-  // count (SQL avg divides by non-null rows, not count(*)); the visible
-  // column is recomputed as s/c after every merge, null when c = 0
+  // avg/stddev/variance are maintained through exactly-retractable hidden
+  // state: per alias `a`, __ivm_s_a = sum, __ivm_c_a = NON-NULL count
+  // (SQL divides by non-null rows, not count(*)), and for the deviation
+  // aggregates __ivm_q_a = sum of squares (double — a long sumsq would
+  // overflow at scale). Visible columns are recomputed from the merged
+  // state: avg = s/c (null at c=0); var_samp = (q - s²/c)/(c-1) clamped at
+  // 0 against retraction float dust, null below two rows; stddev = sqrt.
   private def avgSumAlias(a: String) = s"__ivm_s_$a"
   private def avgCntAlias(a: String) = s"__ivm_c_$a"
+  private def devSqAlias(a: String) = s"__ivm_q_$a"
   private def ivmHiddenCols(m: IvmMeta): Seq[String] =
-    m.avgCols.flatMap { case (_, a) => Seq(avgSumAlias(a), avgCntAlias(a)) }
+    m.avgCols.flatMap { case (_, a) => Seq(avgSumAlias(a), avgCntAlias(a)) } ++
+      m.devCols.flatMap { case (_, a, _) =>
+        Seq(avgSumAlias(a), avgCntAlias(a), devSqAlias(a)) }
 
-  /** Recompute visible avg columns from hidden state and project the
-    * stored layout: visible outCols followed by hidden state columns. */
+  /** Recompute visible avg/stddev/variance columns from hidden state and
+    * project the stored layout: visible outCols, then hidden state. */
   private def ivmFinish(df: DataFrame, m: IvmMeta): DataFrame = {
     val withAvgs = m.avgCols.foldLeft(df) { case (d, (_, a)) =>
       d.withColumn(a, when(col(avgCntAlias(a)) =!= 0L,
         col(avgSumAlias(a)).cast("double") / col(avgCntAlias(a)).cast("double")))
     }
-    withAvgs.select((m.outCols ++ ivmHiddenCols(m)).map(col): _*)
+    val withDevs = m.devCols.foldLeft(withAvgs) { case (d, (_, a, kind)) =>
+      val n = col(avgCntAlias(a)).cast("double")
+      val s = col(avgSumAlias(a)).cast("double")
+      val variance = greatest(lit(0d),
+        (col(devSqAlias(a)) - s * s / n) / (n - 1d))
+      d.withColumn(a, when(col(avgCntAlias(a)) >= 2L,
+        if (kind == "stddev") sqrt(variance) else variance))
+    }
+    withDevs.select((m.outCols ++ ivmHiddenCols(m)).map(col): _*)
   }
 
   private def ivmAggregate(df: DataFrame, m: IvmMeta, sign: Int): DataFrame = {
@@ -915,7 +934,12 @@ class Store(spark: SparkSession, warehouse: String) {
       m.maxCols.map { case (c, a) => max(col(c)).as(a) } ++
       m.avgCols.flatMap { case (c, a) => Seq(
         (sum(col(c)) * sign).as(avgSumAlias(a)),
-        (count(col(c)) * sign).cast("long").as(avgCntAlias(a))) }
+        (count(col(c)) * sign).cast("long").as(avgCntAlias(a))) } ++
+      m.devCols.flatMap { case (c, a, _) => Seq(
+        (sum(col(c).cast("double")) * sign).as(avgSumAlias(a)),
+        (count(col(c)) * sign).cast("long").as(avgCntAlias(a)),
+        (sum(col(c).cast("double") * col(c).cast("double")) * sign)
+          .as(devSqAlias(a))) }
     ivmFinish(df.groupBy(m.groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*), m)
   }
 
