@@ -354,7 +354,7 @@ object CompatAudit {
     val valueMiss = Seq.newBuilder[(String, String)]
     try {
       // startup as the configured reference-test identity
-      val params = "user user database bemidb  ".getBytes(UTF_8)
+      val params = "user\u0000user\u0000database\u0000bemidb\u0000\u0000".getBytes(UTF_8)
       out.writeInt(8 + params.length); out.writeInt(196608)
       out.write(params); out.flush()
       val hello = drainUntilReady()
@@ -363,7 +363,7 @@ object CompatAudit {
         val msgs = send(q)
         msgs.find(_._1 == 'E') match {
           case Some((_, body)) =>
-            failures += q -> new String(body, UTF_8).replace(' ', ' ').take(160)
+            failures += q -> new String(body, UTF_8).replace('\u0000', ' ').take(160)
           case None =>
             ok += 1
             val desc = msgs.find(_._1 == 'T').map(m => rowDescription(m._2))

@@ -23,10 +23,14 @@ object SafeOps {
 
   /** `df.distinct()` with elision-proof planning (see object doc). */
   def distinctRows(df: DataFrame): DataFrame = {
+    // collision-free count alias: an input that already carries __mult must
+    // not make the groupBy ambiguous or silently group on it
+    var mult = "__mult"
+    while (df.columns.contains(mult)) mult = mult + "_"
     val grouped = df.groupBy(df.columns.map(c => col(s"`$c`")): _*)
-      .agg(count(lit(1)).as("__mult"))
-      // references __mult so column pruning cannot strip the aggregate
-      .filter(col("__mult") > 0)
+      .agg(count(lit(1)).as(mult))
+      // references the count so column pruning cannot strip the aggregate
+      .filter(col(mult) > 0)
     grouped.select(df.columns.map(c => col(s"`$c`")): _*)
   }
 }

@@ -72,8 +72,16 @@ class Store(spark: SparkSession, warehouse: String) {
       outCols: Seq[String], reflected: Int,
       minCols: Seq[(String, String)] = Nil, maxCols: Seq[(String, String)] = Nil,
       avgCols: Seq[(String, String)] = Nil,
-      devCols: Seq[(String, String, String)] = Nil) // (col, alias, stddev|variance)
+      devCols: Seq[(String, String, String)] = Nil, // (col, alias, stddev|variance)
+      where: Option[String] = None) // deterministic row filter (Spark SQL)
   private val ivmViews = TrieMap[String, IvmMeta]()
+
+  /** Last-applied streaming batch id per stream key (checkpoint-scoped).
+    * Set via [[noteStreamBatch]] BEFORE the append that persists the
+    * catalog, so the marker and the appended rows commit atomically: a
+    * micro-batch replayed after a crash either sees neither (re-applies)
+    * or both (skips) — never a double append. */
+  private val streamBatchIds = TrieMap[String, Long]()
 
   private def readBytes(p: HadoopPath): Array[Byte] = {
     val in = fs.open(p)
@@ -131,7 +139,10 @@ class Store(spark: SparkSession, warehouse: String) {
       o.put("maxs", m.maxCols.map { case (c, a) => s"$c:$a" }.mkString(","))
       o.put("avgs", m.avgCols.map { case (c, a) => s"$c:$a" }.mkString(","))
       o.put("devs", m.devCols.map { case (c, a, k) => s"$c:$a:$k" }.mkString(","))
+      m.where.foreach(o.put("where", _))
     }
+    val sb = rootNode.putObject("streamBatches")
+    streamBatchIds.toSeq.sortBy(_._1).foreach { case (k, v) => sb.put(k, v) }
     val bytes = om.writerWithDefaultPrettyPrinter.writeValueAsBytes(rootNode)
     // rename from a dot-tmp to a FRESH name: atomic on posix/HDFS, and on a
     // copy+delete store the destination never pre-exists so the worst case
@@ -187,8 +198,11 @@ class Store(spark: SparkSession, warehouse: String) {
         ivmViews(e.getKey) = IvmMeta(o.get("base").asText,
           cols("group"), cols("sums"), o.get("countAlias").asText,
           cols("sumAliases"), cols("outCols"), o.get("reflected").asInt,
-          pairs("mins"), pairs("maxs"), pairs("avgs"), devs)
+          pairs("mins"), pairs("maxs"), pairs("avgs"), devs,
+          Option(o.get("where")).map(_.asText).filter(_.nonEmpty))
       })
+      Option(rootNode.get("streamBatches")).foreach(_.fields.asScala.foreach(e =>
+        streamBatchIds(e.getKey) = e.getValue.asLong))
       // every catalog table (not just matviews) is SQL-resolvable, like the
       // reference's runtime shell tables (query_remapper_table.go:141-178)
       versions.keys.foreach(publish)
@@ -201,6 +215,19 @@ class Store(spark: SparkSession, warehouse: String) {
   private def tablePath(name: String): HadoopPath = new HadoopPath(root, name)
 
   def exists(name: String): Boolean = versions.contains(name)
+
+  /** Mark `batchId` as applied for `streamKey` in memory only — the marker
+    * becomes durable on the NEXT catalog commit (i.e. the append it guards),
+    * making marker+rows atomic. Roll back with [[clearStreamBatch]] if that
+    * append throws before committing. */
+  def noteStreamBatch(streamKey: String, batchId: Long): Unit =
+    streamBatchIds(streamKey) = batchId
+
+  def clearStreamBatch(streamKey: String, batchId: Long): Unit =
+    streamBatchIds.remove(streamKey, batchId)
+
+  def lastStreamBatch(streamKey: String): Option[Long] =
+    streamBatchIds.get(streamKey)
 
   def read(name: String): DataFrame = {
     val df = readRaw(name)
@@ -804,7 +831,7 @@ class Store(spark: SparkSession, warehouse: String) {
     // view registers on its first (full) refresh instead.
     val metaOpt = if (withData) ivmMetaFromDefn(defn, 0) else None
     metaOpt match {
-      case Some(m) if m.avgCols.nonEmpty =>
+      case Some(m) if m.avgCols.nonEmpty || m.devCols.nonEmpty =>
         replace(name, ivmAggregate(read(m.base), m, 1))
       case _ if withData => replace(name, spark.sql(defn))
       case _ => replace(name, spark.sql(defn).limit(0))
@@ -831,7 +858,7 @@ class Store(spark: SparkSession, warehouse: String) {
         // sum/count columns the plain SQL recompute would not produce.
         val metaOpt = ivmMetaFromDefn(defn, 0)
         metaOpt match {
-          case Some(m) if exists(m.base) && m.avgCols.nonEmpty =>
+          case Some(m) if exists(m.base) && (m.avgCols.nonEmpty || m.devCols.nonEmpty) =>
             replace(name, ivmAggregate(read(m.base), m, 1))
           case _ => replace(name, spark.sql(defn))
         }
@@ -927,7 +954,11 @@ class Store(spark: SparkSession, warehouse: String) {
     withDevs.select((m.outCols ++ ivmHiddenCols(m)).map(col): _*)
   }
 
-  private def ivmAggregate(df: DataFrame, m: IvmMeta, sign: Int): DataFrame = {
+  private def ivmAggregate(df0: DataFrame, m: IvmMeta, sign: Int): DataFrame = {
+    // a row-level WHERE commutes with the version-dir file diff: filtering
+    // each added/removed file before aggregation is exactly filtering the
+    // base, so retraction stays exact
+    val df = m.where.map(w => df0.filter(expr(w))).getOrElse(df0)
     val aggs = ((count(lit(1)) * sign).cast("long").as(m.countAlias) +:
       m.sumCols.zip(m.sumAliases).map { case (c, a) => (sum(col(c)) * sign).as(a) }) ++
       m.minCols.map { case (c, a) => min(col(c)).as(a) } ++
@@ -944,18 +975,25 @@ class Store(spark: SparkSession, warehouse: String) {
   }
 
   /** Materialize `view` = SELECT groupCols, count(*), sum(sumCols...),
-    * avg(avgCols...) FROM base GROUP BY groupCols — maintained
-    * incrementally by [[incrementalRefresh]]. Output columns: groupCols,
-    * n_rows, sum_<c>, avg_<c>. */
+    * avg(avgCols...), stddev(stddevCols...), variance(varianceCols...)
+    * FROM base GROUP BY groupCols — maintained incrementally by
+    * [[incrementalRefresh]]. Output columns: groupCols, n_rows, sum_<c>,
+    * avg_<c>, stddev_<c>, var_<c> (sample aggregates, exact retraction via
+    * hidden sum/count/sumsq state). */
   def createIncrementalMatview(view: String, base: String,
       groupCols: Seq[String], sumCols: Seq[String],
-      avgCols: Seq[String] = Nil): Unit = {
+      avgCols: Seq[String] = Nil,
+      stddevCols: Seq[String] = Nil,
+      varianceCols: Seq[String] = Nil): Unit = {
     require(exists(base), s"unknown base table $base")
     val sumAliases = sumCols.map(c => s"sum_$c")
     val avgAliases = avgCols.map(c => s"avg_$c")
+    val devCols = stddevCols.map(c => (c, s"stddev_$c", "stddev")) ++
+      varianceCols.map(c => (c, s"var_$c", "variance"))
     val meta = IvmMeta(base, groupCols, sumCols, "n_rows", sumAliases,
-      groupCols ++ ("n_rows" +: sumAliases) ++ avgAliases, versions(base),
-      avgCols = avgCols.zip(avgAliases))
+      groupCols ++ ("n_rows" +: sumAliases) ++ avgAliases ++ devCols.map(_._2),
+      versions(base),
+      avgCols = avgCols.zip(avgAliases), devCols = devCols)
     replace(view, ivmAggregate(read(base), meta, 1))
     ivmViews(view) = meta
     persistCatalog()
@@ -986,6 +1024,10 @@ class Store(spark: SparkSession, warehouse: String) {
         val MinItem = "(?is)min\\(\\s*(\\w+)\\s*\\)\\s+AS\\s+(\\w+)".r
         val MaxItem = "(?is)max\\(\\s*(\\w+)\\s*\\)\\s+AS\\s+(\\w+)".r
         val AvgItem = "(?is)avg\\(\\s*(\\w+)\\s*\\)\\s+AS\\s+(\\w+)".r
+        // sample forms only: PG's bare stddev/variance ARE the sample
+        // aggregates, and the hidden-state finish divides by (n-1)
+        val StdItem = "(?is)stddev(?:_samp)?\\(\\s*(\\w+)\\s*\\)\\s+AS\\s+(\\w+)".r
+        val VarItem = "(?is)(?:variance|var_samp)\\(\\s*(\\w+)\\s*\\)\\s+AS\\s+(\\w+)".r
         sealed trait Item
         case class G(g: String) extends Item
         case class Cn(a: String) extends Item
@@ -993,6 +1035,7 @@ class Store(spark: SparkSession, warehouse: String) {
         case class Mn(c: String, a: String) extends Item
         case class Mx(c: String, a: String) extends Item
         case class Av(c: String, a: String) extends Item
+        case class Dv(c: String, a: String, kind: String) extends Item
         val items = selectList.split(",").map(_.trim).toSeq
         val parsed: Seq[Option[Item]] = items.map {
           case CountItem(a) => Some(Cn(a))
@@ -1000,6 +1043,8 @@ class Store(spark: SparkSession, warehouse: String) {
           case MinItem(c, a) => Some(Mn(c, a))
           case MaxItem(c, a) => Some(Mx(c, a))
           case AvgItem(c, a) => Some(Av(c, a))
+          case StdItem(c, a) => Some(Dv(c, a, "stddev"))
+          case VarItem(c, a) => Some(Dv(c, a, "variance"))
           case GroupItem(g) if groupBy.contains(g) => Some(G(g))
           case _ => None
         }
@@ -1011,6 +1056,7 @@ class Store(spark: SparkSession, warehouse: String) {
         val mins = flat.collect { case Mn(c, a) => (c, a) }
         val maxs = flat.collect { case Mx(c, a) => (c, a) }
         val avgs = flat.collect { case Av(c, a) => (c, a) }
+        val devs = flat.collect { case Dv(c, a, k) => (c, a, k) }
         val outCols = flat.map {
           case G(g) => g
           case Cn(a) => a
@@ -1018,10 +1064,11 @@ class Store(spark: SparkSession, warehouse: String) {
           case Mn(_, a) => a
           case Mx(_, a) => a
           case Av(_, a) => a
+          case Dv(_, a, _) => a
         }
         if (groups.sorted != groupBy.sorted || counts.size != 1) None
         else Some(IvmMeta(base, groupBy, sums.map(_._1), counts.head,
-          sums.map(_._2), outCols, baseVersion, mins, maxs, avgs))
+          sums.map(_._2), outCols, baseVersion, mins, maxs, avgs, devs))
       case _ => None
     }
   }

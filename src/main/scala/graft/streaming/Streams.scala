@@ -166,10 +166,12 @@ object Streams {
     * changed files, so a continuously-ingesting table keeps a hot
     * aggregate at O(batch) cost instead of O(table) per refresh. The
     * compaction's rewrites are retracted exactly (sign -1) by the same
-    * file-diff the batch IVM path uses; checkpointing makes the
-    * append-then-refresh pair replay-safe per batch id (an append whose
-    * batch replays lands in a fresh store version, and the view reflects
-    * whichever version the last completed refresh saw). */
+    * file-diff the batch IVM path uses. Replay safety is EXACTLY-once per
+    * batch id: the batch id is recorded in the store catalog in the same
+    * commit as the appended rows (marker set before the append; the
+    * append's catalog persist carries it), so a micro-batch replayed after
+    * a crash between the append-commit and the checkpoint commit finds its
+    * marker, skips the append, and only re-runs the idempotent refresh. */
   def streamingMatview(rows: DataFrame, store: Store, table: String,
       view: String, groupCols: Seq[String], sumCols: Seq[String],
       checkpoint: String,
@@ -177,11 +179,23 @@ object Streams {
     rows.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        store.appendCompacting(table, batch)
-        if (!store.exists(view))
-          store.createIncrementalMatview(view, table, groupCols, sumCols, avgCols)
-        else store.incrementalRefresh(view)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // key on the checkpoint: batch ids are checkpoint-scoped, so a fresh
+        // checkpoint dir (ids restart at 0) never matches a stale marker
+        val streamKey = s"mv:$checkpoint"
+        if (store.lastStreamBatch(streamKey).exists(_ >= batchId)) {
+          // replayed, already-applied batch: rows are in the table; just
+          // bring the view up to whatever version that append produced
+          if (store.exists(view)) { store.incrementalRefresh(view); () }
+        } else {
+          store.noteStreamBatch(streamKey, batchId)
+          try store.appendCompacting(table, batch)
+          catch { case e: Throwable =>
+            store.clearStreamBatch(streamKey, batchId); throw e }
+          if (!store.exists(view))
+            store.createIncrementalMatview(view, table, groupCols, sumCols, avgCols)
+          else store.incrementalRefresh(view)
+        }
         ()
       }
       .start()

@@ -61,8 +61,28 @@ class HttpJsonSource(
     fs.setWriteChecksum(false)
     fs.setVerifyChecksum(false)
     fs.mkdirs(path)
-    (fs, fs.makeQualified(path))
+    val qualified = fs.makeQualified(path)
+    sweepStaleSpools(fs, qualified)
+    (fs, qualified)
   }
+
+  /** Crash-leak backstop: spool dirs are deleted by releaseStaging(), but a
+    * process that dies mid-sync leaves its `graft-http-*` dirs behind
+    * forever. The names are self-identifying, so on first spool use we
+    * sweep siblings older than `staleSpoolMaxAgeMs` (default 24 h — far
+    * beyond any live read, so a concurrent sync's active spool is never
+    * touched). */
+  private[graft] var staleSpoolMaxAgeMs: Long = 24L * 3600 * 1000
+  private def sweepStaleSpools(fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path): Unit =
+    try {
+      val cutoff = System.currentTimeMillis() - staleSpoolMaxAgeMs
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(base, "graft-http-*")))
+        .getOrElse(Array.empty)
+        .filter(st => st.isDirectory && st.getModificationTime < cutoff)
+        .foreach(st => try fs.delete(st.getPath, true)
+          catch { case _: Exception => () })
+    } catch { case _: Exception => () }
 
   /** Chunk files the last read() spooled — observability for tests that
     * assert bounded buffering (pages >> chunk size => several chunks). */

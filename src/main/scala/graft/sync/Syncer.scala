@@ -99,19 +99,35 @@ class JdbcSource(spark: SparkSession, url: String,
     ts
   }
 
+  /** Quote an (optionally schema-qualified) identifier with the driver's
+    * own quote string, so mixed-case / reserved-word names from JDBC
+    * metadata survive interpolation. */
+  private def quoted(conn: java.sql.Connection, id: String): String = {
+    val q = Option(conn.getMetaData.getIdentifierQuoteString)
+      .map(_.trim).filter(_.nonEmpty).getOrElse("\"")
+    id.split('.').map(p => q + p.replace(q, q + q) + q).mkString(".")
+  }
+
   /** min/max of the key, via one driver-side JDBC query. None when the
     * table is empty, the key is all-NULL, or the column isn't numeric —
-    * all of which fall back to a single-partition read. */
+    * all of which fall back to a single-partition read. Identifiers are
+    * quoted (metadata-cased names, reserved words); a user-passed name in
+    * the "wrong" case for a case-folding database retries unquoted so the
+    * database's own folding resolves it. */
   private def keyBounds(table: String, k: String): Option[(Long, Long)] =
     try withConnection { conn =>
-      val rs = conn.createStatement().executeQuery(
-        s"SELECT MIN($k), MAX($k) FROM $table")
-      if (!rs.next()) None
-      else {
-        val lo = rs.getLong(1); val loNull = rs.wasNull()
-        val hi = rs.getLong(2); val hiNull = rs.wasNull()
-        if (loNull || hiNull) None else Some((lo, hi))
+      def run(t: String, c: String): Option[(Long, Long)] = {
+        val rs = conn.createStatement().executeQuery(
+          s"SELECT MIN($c), MAX($c) FROM $t")
+        if (!rs.next()) None
+        else {
+          val lo = rs.getLong(1); val loNull = rs.wasNull()
+          val hi = rs.getLong(2); val hiNull = rs.wasNull()
+          if (loNull || hiNull) None else Some((lo, hi))
+        }
       }
+      try run(quoted(conn, table), quoted(conn, k))
+      catch { case _: java.sql.SQLException => run(table, k) }
     } catch { case _: java.sql.SQLException | _: NumberFormatException => None }
 
   // ---- consistent snapshot across partitioned connections ----------------
