@@ -24,15 +24,29 @@ object Tables {
     primed.getOrElse((dir, name), load(spark, dir, name))
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
-    // rejects; read it as long nanos and surface a proper µs timestamp.
+    // events.parquet has shipped as TIMESTAMP(NANOS) (which Spark's parquet
+    // reader rejects — read as long nanos) and as plain timestamp[us]
+    // (surfacing as TIMESTAMP_NTZ). Normalize either to a session-tz
+    // TimestampType so downstream Dataset[.. java.sql.Timestamp] encoders
+    // and the UTC-pinned DuckDB oracle agree on the same micros.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      raw.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else raw
+    if (name == "events") normalizeEventsTs(raw) else raw
+  }
+
+  /** Normalize an events-shaped frame's `ts` to session-tz TimestampType,
+    * whatever the parquet writer emitted (long nanos under nanosAsLong, or
+    * TIMESTAMP_NTZ from a plain timestamp[us] file). With the session tz
+    * pinned to UTC the NTZ cast preserves the stored micros, matching the
+    * DuckDB oracle's naive read of the same file. */
+  def normalizeEventsTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Partitioning keys for the hot-cache layout: fact tables hash-cluster on

@@ -271,6 +271,39 @@ object StoreOps {
       store.read("ivm3_agg").orderBy("o_orderpriority")
     },
 
+    // Row-level WHERE in the incremental view: the filter commutes with the
+    // version-dir file diff (each added/removed file is filtered before
+    // aggregation), so retraction stays exact and the view refreshes
+    // incrementally across append AND delete — the oracle recomputes the
+    // filtered aggregate from scratch over the final state.
+    Q("st_ivm_filtered", Some("""
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(o_custkey) AS BIGINT) AS sum_o_custkey
+      FROM orders WHERE o_orderkey <= 7000 AND o_orderkey NOT IN (41, 42)
+        AND o_custkey % 2 = 0
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")) { (s, dir) =>
+      import s.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("graft-ivm4").toString
+      val store = new Store(s, wh)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_custkey")
+      store.replaceSorted("ivm4_orders",
+        orders.filter(col("o_orderkey") <= 5000), "o_orderkey", numFiles = 8)
+      store.createMatview("ivm4_agg", """SELECT o_orderpriority,
+        count(*) AS n_rows, sum(o_custkey) AS sum_o_custkey
+        FROM ivm4_orders WHERE o_custkey % 2 = 0 GROUP BY o_orderpriority""")
+      store.appendCompacting("ivm4_orders",
+        orders.filter(col("o_orderkey") > 5000 && col("o_orderkey") <= 7000),
+        maxFileBytes = 1L)
+      store.refreshMatview("ivm4_agg") // append: filtered delta, incremental
+      store.deleteByKey("ivm4_orders", Seq(41L, 42L).toDF("o_orderkey"), "o_orderkey")
+      store.refreshMatview("ivm4_agg") // delete: filtered exact retraction
+      store.read("ivm4_agg")
+        .select(col("o_orderpriority"), col("n_rows"),
+          col("sum_o_custkey").cast("long").as("sum_o_custkey"))
+        .orderBy("o_orderpriority")
+    },
+
     // REAL Iceberg v2 round-trip: publish the store table as a
     // spec-conformant Iceberg snapshot (metadata.json + Avro manifest tree,
     // sources/Iceberg.scala), then read it back planning the scan purely

@@ -633,10 +633,17 @@ object Iceberg {
   /** All live data files of a snapshot (default: current), planned by
     * walking metadata.json → manifest list → manifests. */
   def planFiles(tableDir: Path, snapshotId: Option[Long] = None,
+      conf: Configuration = new Configuration()): Seq[PlannedFile] =
+    planFilesAt(currentMetadataFile(tableDir, conf)
+        .getOrElse(throw new IllegalStateException(s"no iceberg metadata under $tableDir")),
+      snapshotId, conf)
+
+  /** Plan from an EXPLICIT metadata.json location — the entry point a
+    * catalog (e.g. the reference's `iceberg_tables.metadata_location`
+    * column) hands us, bypassing version-hint resolution. */
+  def planFilesAt(mdPath: Path, snapshotId: Option[Long] = None,
       conf: Configuration = new Configuration()): Seq[PlannedFile] = {
-    val fs = fsOf(tableDir, conf)
-    val mdPath = currentMetadataFile(tableDir, conf)
-      .getOrElse(throw new IllegalStateException(s"no iceberg metadata under $tableDir"))
+    val fs = fsOf(mdPath, conf)
     val md = om.readTree(readBytes(fs, mdPath))
     val wanted = snapshotId.getOrElse(md.get("current-snapshot-id").asLong)
     val snap = md.get("snapshots").elements.asScala
@@ -693,9 +700,20 @@ object Iceberg {
     * partitioned snapshot reads with basePath so the identity-partition
     * columns (present in paths, not data files) are restored. */
   def readTable(spark: SparkSession, tableDir: Path,
-      snapshotId: Option[Long] = None): DataFrame = {
-    val files = planFiles(tableDir, snapshotId, spark.sessionState.newHadoopConf())
-    if (files.isEmpty) throw new IllegalStateException(s"empty snapshot in $tableDir")
+      snapshotId: Option[Long] = None): DataFrame =
+    readFromPlan(spark, planFiles(tableDir, snapshotId,
+      spark.sessionState.newHadoopConf()), tableDir.toString)
+
+  /** Read through an explicit metadata.json location (what a JDBC catalog's
+    * `metadata_location` column points at). */
+  def readTableAt(spark: SparkSession, metadataLocation: Path,
+      snapshotId: Option[Long] = None): DataFrame =
+    readFromPlan(spark, planFilesAt(metadataLocation, snapshotId,
+      spark.sessionState.newHadoopConf()), metadataLocation.toString)
+
+  private def readFromPlan(spark: SparkSession, files: Seq[PlannedFile],
+      what: String): DataFrame = {
+    if (files.isEmpty) throw new IllegalStateException(s"empty snapshot in $what")
     if (files.head.partition.isEmpty) spark.read.parquet(files.map(_.path): _*)
     else spark.read.option("basePath", baseOf(new Path(files.head.path)).toString)
       .parquet(files.map(_.path): _*)

@@ -218,13 +218,27 @@ class Store(spark: SparkSession, warehouse: String) {
 
   /** Mark `batchId` as applied for `streamKey` in memory only — the marker
     * becomes durable on the NEXT catalog commit (i.e. the append it guards),
-    * making marker+rows atomic. Roll back with [[clearStreamBatch]] if that
-    * append throws before committing. */
+    * making marker+rows atomic. Roll back with [[restoreStreamBatch]] if
+    * that append throws before committing. */
   def noteStreamBatch(streamKey: String, batchId: Long): Unit =
     streamBatchIds(streamKey) = batchId
 
-  def clearStreamBatch(streamKey: String, batchId: Long): Unit =
-    streamBatchIds.remove(streamKey, batchId)
+  /** Roll the in-memory marker back to `prev` (the value before
+    * [[noteStreamBatch]]) — callers must first confirm the guarded append
+    * did NOT commit (table version unchanged); a blind clear after a
+    * throw-after-commit would let an in-session retry double-append. */
+  def restoreStreamBatch(streamKey: String, prev: Option[Long]): Unit =
+    prev match {
+      case Some(v) => streamBatchIds(streamKey) = v
+      case None => streamBatchIds.remove(streamKey)
+    }
+
+  /** Drop a marker outright (e.g. one from a dead incarnation of a
+    * recreated checkpoint dir). Durable on the next catalog commit. */
+  def dropStreamBatch(streamKey: String): Unit =
+    streamBatchIds.remove(streamKey)
+
+  def streamBatchKeys: Seq[String] = streamBatchIds.keys.toSeq
 
   def lastStreamBatch(streamKey: String): Option[Long] =
     streamBatchIds.get(streamKey)
@@ -763,6 +777,31 @@ class Store(spark: SparkSession, warehouse: String) {
   def readIceberg(name: String, snapshotId: Option[Long] = None): DataFrame =
     Iceberg.readTable(spark, tablePath(name), snapshotId)
 
+  /** Publish the current version as an Iceberg snapshot AND advance the
+    * table's pointer in a reference-layout JDBC catalog (iceberg_tables
+    * row), registering the row on first publish. The advance is the
+    * optimistic CAS commit, retried once against a concurrent writer's
+    * location before giving up — exactly-one-winner semantics. */
+  def publishIcebergTo(catalog: JdbcIcebergCatalog, namespace: String,
+      name: String): HadoopPath = {
+    val md = publishIceberg(name)
+    val loc = fs.makeQualified(md).toUri.toString
+    catalog.metadataLocation(namespace, name) match {
+      case None if catalog.tables().contains((namespace, name)) =>
+        // registered with NULL location (reference's create-before-sync)
+        require(catalog.commitLocation(namespace, name, loc, None),
+          s"concurrent catalog commit on $namespace.$name")
+      case None => catalog.register(namespace, name, loc)
+      case some =>
+        if (!catalog.commitLocation(namespace, name, loc, some)) {
+          val cur = catalog.metadataLocation(namespace, name)
+          require(catalog.commitLocation(namespace, name, loc, cur),
+            s"concurrent catalog commit on $namespace.$name")
+        }
+    }
+    md
+  }
+
   /** Type-2 slowly-changing-dimension upsert: incoming (key, attrs,
     * effective ts) closes the open history row of each changed key
     * (valid_to = ts, is_current = false) and opens a new current row.
@@ -984,8 +1023,15 @@ class Store(spark: SparkSession, warehouse: String) {
       groupCols: Seq[String], sumCols: Seq[String],
       avgCols: Seq[String] = Nil,
       stddevCols: Seq[String] = Nil,
-      varianceCols: Seq[String] = Nil): Unit = {
+      varianceCols: Seq[String] = Nil,
+      where: Option[String] = None): Unit = {
     require(exists(base), s"unknown base table $base")
+    // fail fast on an unparseable or volatile filter — a row-level WHERE
+    // must be deterministic for retractions to diff exactly
+    where.foreach { w =>
+      require(deterministicWhere(w), s"non-deterministic WHERE: $w")
+      spark.sessionState.sqlParser.parseExpression(w)
+    }
     val sumAliases = sumCols.map(c => s"sum_$c")
     val avgAliases = avgCols.map(c => s"avg_$c")
     val devCols = stddevCols.map(c => (c, s"stddev_$c", "stddev")) ++
@@ -993,7 +1039,7 @@ class Store(spark: SparkSession, warehouse: String) {
     val meta = IvmMeta(base, groupCols, sumCols, "n_rows", sumAliases,
       groupCols ++ ("n_rows" +: sumAliases) ++ avgAliases ++ devCols.map(_._2),
       versions(base),
-      avgCols = avgCols.zip(avgAliases), devCols = devCols)
+      avgCols = avgCols.zip(avgAliases), devCols = devCols, where = where)
     replace(view, ivmAggregate(read(base), meta, 1))
     ivmViews(view) = meta
     persistCatalog()
@@ -1009,13 +1055,23 @@ class Store(spark: SparkSession, warehouse: String) {
     * count state and never forces a rebuild. A match registers the view for
     * incremental refresh; any non-match keeps the plain recompute path —
     * never a wrong answer. */
+  private def deterministicWhere(w: String): Boolean =
+    !"(?is).*\\b(select|rand|randn|random|uuid|shuffle|now|current_timestamp|current_date|current_timezone|unix_timestamp)\\b.*".r
+      .matches(w)
+
   private def ivmMetaFromDefn(defn: String, baseVersion: Int): Option[IvmMeta] = {
     val sql = defn.trim.stripSuffix(";")
-    if ("(?is).*\\b(JOIN|WHERE|HAVING|LIMIT|ORDER|DISTINCT|UNION|OVER|WINDOW)\\b.*".r
+    if ("(?is).*\\b(JOIN|HAVING|LIMIT|ORDER|DISTINCT|UNION|OVER|WINDOW)\\b.*".r
         .matches(sql)) return None
-    val shape = "(?is)\\s*SELECT\\s+(.*?)\\s+FROM\\s+(\\w+)\\s+GROUP\\s+BY\\s+(.*?)\\s*".r
+    val shape = "(?is)\\s*SELECT\\s+(.*?)\\s+FROM\\s+(\\w+)(?:\\s+WHERE\\s+(.+?))?\\s+GROUP\\s+BY\\s+(.*?)\\s*".r
     sql match {
-      case shape(selectList, base, groupList) if exists(base) =>
+      case shape(selectList, base, whereRaw, groupList) if exists(base) =>
+        // a single-table row filter commutes with the file diff (each
+        // added/removed file is filtered before aggregation), so WHERE is
+        // incrementally maintainable as long as it is deterministic and
+        // subquery-free; anything else falls back to full recompute
+        val where = Option(whereRaw).map(_.trim).filter(_.nonEmpty)
+        if (where.exists(w => !deterministicWhere(w))) return None
         val groupBy = groupList.split(",").map(_.trim).toSeq
         if (!groupBy.forall(_.matches("\\w+"))) return None
         val GroupItem = "(?i)(\\w+)".r
@@ -1068,7 +1124,7 @@ class Store(spark: SparkSession, warehouse: String) {
         }
         if (groups.sorted != groupBy.sorted || counts.size != 1) None
         else Some(IvmMeta(base, groupBy, sums.map(_._1), counts.head,
-          sums.map(_._2), outCols, baseVersion, mins, maxs, avgs, devs))
+          sums.map(_._2), outCols, baseVersion, mins, maxs, avgs, devs, where))
       case _ => None
     }
   }

@@ -172,6 +172,26 @@ object Streams {
     * append's catalog persist carries it), so a micro-batch replayed after
     * a crash between the append-commit and the checkpoint commit finds its
     * marker, skips the append, and only re-runs the idempotent refresh. */
+  /** The checkpoint's query id (`metadata` uuid, minted when the checkpoint
+    * dir is first created). Keying stream markers on it — not the path —
+    * means deleting and recreating the same checkpoint dir (batch ids
+    * restart at 0) can never match a stale marker and silently drop
+    * batches. Empty string if unreadable (pre-start call, foreign FS). */
+  private[graft] def checkpointRunId(
+      spark: org.apache.spark.sql.SparkSession, checkpoint: String): String =
+    try {
+      val p = new org.apache.hadoop.fs.Path(checkpoint, "metadata")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) ""
+      else {
+        val in = fs.open(p)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        "\"id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(s)
+          .map(_.group(1)).getOrElse("")
+      }
+    } catch { case _: Exception => "" }
+
   def streamingMatview(rows: DataFrame, store: Store, table: String,
       view: String, groupCols: Seq[String], sumCols: Seq[String],
       checkpoint: String,
@@ -180,23 +200,52 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // key on the checkpoint: batch ids are checkpoint-scoped, so a fresh
-        // checkpoint dir (ids restart at 0) never matches a stale marker
-        val streamKey = s"mv:$checkpoint"
-        if (store.lastStreamBatch(streamKey).exists(_ >= batchId)) {
-          // replayed, already-applied batch: rows are in the table; just
-          // bring the view up to whatever version that append produced
-          if (store.exists(view)) { store.incrementalRefresh(view); () }
-        } else {
-          store.noteStreamBatch(streamKey, batchId)
-          try store.appendCompacting(table, batch)
-          catch { case e: Throwable =>
-            store.clearStreamBatch(streamKey, batchId); throw e }
-          if (!store.exists(view))
-            store.createIncrementalMatview(view, table, groupCols, sumCols, avgCols)
-          else store.incrementalRefresh(view)
-        }
-        ()
+        // batch ids are scoped to the checkpoint's query id (see
+        // checkpointRunId); markers from a dead incarnation of the same
+        // path are dropped here and the drop rides this batch's commit
+        val streamKey =
+          s"mv:$checkpoint@${checkpointRunId(batch.sparkSession, checkpoint)}"
+        store.streamBatchKeys
+          .filter(k => k.startsWith(s"mv:$checkpoint@") && k != streamKey)
+          .foreach(store.dropStreamBatch)
+        applyMatviewBatch(store, table, view, groupCols, sumCols, avgCols,
+          streamKey, batchId, batch)
       }
       .start()
+
+  /** One micro-batch of [[streamingMatview]], exactly-once per batch id
+    * (factored out so the replay/crash paths are spec-testable without the
+    * streaming machinery). */
+  private[graft] def applyMatviewBatch(store: Store, table: String,
+      view: String, groupCols: Seq[String], sumCols: Seq[String],
+      avgCols: Seq[String], streamKey: String, batchId: Long,
+      batch: DataFrame): Unit = {
+    if (store.lastStreamBatch(streamKey).exists(_ >= batchId)) {
+      // replayed, already-applied batch: the rows are in the table;
+      // bring the view to that state — CREATING it if the crash landed
+      // between the append-commit and the first batch's view creation
+      if (!store.exists(view))
+        store.createIncrementalMatview(view, table, groupCols, sumCols, avgCols)
+      else { store.incrementalRefresh(view); () }
+    } else {
+      val prevMarker = store.lastStreamBatch(streamKey)
+      val verBefore =
+        if (store.exists(table)) store.currentVersion(table) else -1
+      store.noteStreamBatch(streamKey, batchId)
+      try store.appendCompacting(table, batch)
+      catch { case e: Throwable =>
+        // roll the marker back ONLY if the append really did not commit
+        // (version unchanged): appendCompacting can throw after the
+        // catalog persisted, and a blind clear would let an in-session
+        // retry of this batch id double-append
+        val verAfter =
+          if (store.exists(table)) store.currentVersion(table) else -1
+        if (verAfter == verBefore)
+          store.restoreStreamBatch(streamKey, prevMarker)
+        throw e }
+      if (!store.exists(view))
+        store.createIncrementalMatview(view, table, groupCols, sumCols, avgCols)
+      else store.incrementalRefresh(view)
+    }
+  }
 }

@@ -570,6 +570,81 @@ class StoreSpec extends SparkSpecBase {
     assert(st.read("ivt_mv3").count() == 3)
   }
 
+  test("stddev/variance matviews maintain through hidden sumsq state") {
+    import spark.implicits._
+    val st = freshStore()
+    // x null on every 6th key: the (n-1) divisor must count non-null rows
+    def rows(r: Range) = r.map(k => (k.toLong, s"g${k % 3}",
+      if (k % 6 == 0) None else Some(k.toDouble * 1.5))).toDF("k", "g", "x")
+    st.appendCompacting("dbase", rows(1 to 240), maxFileBytes = 1L)
+    st.createMatview("dagg", """SELECT g, count(*) AS n_rows,
+      stddev(x) AS sd_x, var_samp(x) AS var_x FROM dbase GROUP BY g""")
+    def fullRecompute() = st.read("dbase").groupBy("g")
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        stddev($"x").as("sd_x"), var_samp($"x").as("var_x"))
+    def check() = {
+      val got = st.read("dagg").orderBy("g").collect().toSeq
+      val want = fullRecompute().orderBy("g").collect().toSeq
+      got.zip(want).foreach { case (g, w) =>
+        assert(g.getString(0) == w.getString(0) && g.getLong(1) == w.getLong(1))
+        assert(math.abs(g.getDouble(2) - w.getDouble(2)) < 1e-6, s"$g vs $w")
+        assert(math.abs(g.getDouble(3) - w.getDouble(3)) < 1e-6, s"$g vs $w")
+      }
+      assert(!spark.table("dagg").columns.exists(_.startsWith("__ivm_")))
+    }
+    check()
+    // append-only refresh stays incremental
+    st.appendCompacting("dbase", rows(241 to 280), maxFileBytes = 1L)
+    st.refreshMatview("dagg")
+    assert(st.lastRefreshIncremental, "stddev defn must take the IVM path")
+    check()
+    // retraction via delete (file rewrite): sumsq retracts exactly
+    st.deleteByKey("dbase", Seq(5L, 12L, 30L).toDF("k"), "k")
+    val (readN, totalN) = st.incrementalRefresh("dagg")
+    assert(readN > 0 && readN < totalN,
+      s"stddev delete should stay incremental: read $readN of $totalN")
+    check()
+  }
+
+  test("WHERE-filtered matviews refresh incrementally") {
+    import spark.implicits._
+    val st = freshStore()
+    def rows(r: Range) = r.map(k => (k.toLong, s"g${k % 3}", k.toLong)).toDF("k", "g", "x")
+    st.appendCompacting("wbase", rows(1 to 300), maxFileBytes = 1L)
+    val defn = "SELECT g, count(*) AS n, sum(x) AS total FROM wbase WHERE x % 2 = 0 GROUP BY g"
+    st.createMatview("wagg", defn)
+    def recompute() = spark.sql(defn)
+    assert(st.read("wagg").orderBy("g").collect().toSeq ==
+      recompute().orderBy("g").collect().toSeq)
+    st.appendCompacting("wbase", rows(301 to 340), maxFileBytes = 1L)
+    st.refreshMatview("wagg")
+    assert(st.lastRefreshIncremental, "single-table WHERE must take the IVM path")
+    assert(st.read("wagg").orderBy("g").collect().toSeq ==
+      recompute().orderBy("g").collect().toSeq)
+    // retraction: the filter commutes with the file diff
+    st.deleteByKey("wbase", Seq(2L, 4L, 7L).toDF("k"), "k")
+    val (readN, totalN) = st.incrementalRefresh("wagg")
+    assert(readN > 0 && readN < totalN)
+    assert(st.read("wagg").orderBy("g").collect().toSeq ==
+      recompute().orderBy("g").collect().toSeq)
+    // the API form takes a filter too
+    st.createIncrementalMatview("wagg2", "wbase", Seq("g"), Seq("x"),
+      where = Some("x > 100"))
+    assert(st.read("wagg2").orderBy("g").collect().toSeq ==
+      st.read("wbase").filter($"x" > 100).groupBy("g")
+        .agg(count(lit(1)).cast("long").as("n_rows"), sum($"x").as("sum_x"))
+        .orderBy("g").collect().toSeq)
+    // a volatile filter must NOT register for incremental refresh
+    st.createMatview("wagg3",
+      "SELECT g, count(*) AS n FROM wbase WHERE rand() < 2 GROUP BY g")
+    st.refreshMatview("wagg3")
+    assert(!st.lastRefreshIncremental)
+    intercept[IllegalArgumentException] {
+      st.createIncrementalMatview("wagg4", "wbase", Seq("g"), Seq("x"),
+        where = Some("rand() < 2"))
+    }
+  }
+
   test("store tables are SQL-resolvable like the reference's shell tables") {
     import spark.implicits._
     val st = freshStore()

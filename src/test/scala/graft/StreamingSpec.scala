@@ -12,15 +12,14 @@ class StreamingSpec extends SparkSpecBase {
   /** Events as a file-stream source (ts surfaced as a proper timestamp). */
   private def eventStream = {
     val schema = spark.read
-      .parquet(s"$sfDir/events.parquet").schema // ts as long nanos
+      .parquet(s"$sfDir/events.parquet").schema
     val srcDir = java.nio.file.Files.createTempDirectory("graft-stream")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       srcDir.resolve("events.parquet"))
-    spark.readStream
+    Tables.normalizeEventsTs(spark.readStream
       .schema(schema)
-      .parquet(srcDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(srcDir.toString))
   }
 
   private def runToTable(df: org.apache.spark.sql.DataFrame, name: String,
@@ -100,8 +99,8 @@ class StreamingSpec extends SparkSpecBase {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       srcDir.resolve("b.parquet"))
-    val doubled = spark.readStream.schema(schema).parquet(srcDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val doubled = Tables.normalizeEventsTs(
+      spark.readStream.schema(schema).parquet(srcDir.toString))
     val streamed = runToTable(Streams.dedup(doubled), "dedup_stream")
     val exact = Tables.df(spark, sfDir, "events").count()
     assert(streamed.count() == exact)
@@ -189,6 +188,44 @@ class StreamingSpec extends SparkSpecBase {
       expect.orderBy("event_type").collect().toSeq)
     // and it is fully reflected: another refresh reads zero files
     assert(store.incrementalRefresh("sm_agg")._1 == 0)
+  }
+
+  test("replayed matview micro-batch never double-appends, creates the view if missing") {
+    import spark.implicits._
+    val st = new Store(spark,
+      java.nio.file.Files.createTempDirectory("graft-replay").toString)
+    def batchDf(r: Range) = r.map(k => (s"g${k % 3}", k.toLong)).toDF("g", "x")
+    val key = "mv:test-ckpt@run1"
+    // batch 0 applies normally: table appended, view created
+    Streams.applyMatviewBatch(st, "rt", "rv", Seq("g"), Seq("x"), Nil, key, 0L, batchDf(1 to 50))
+    val n0 = st.read("rt").count()
+    assert(n0 == 50 && st.exists("rv"))
+    // crash-replay of batch 0 (marker present, view present): NO re-append
+    Streams.applyMatviewBatch(st, "rt", "rv", Seq("g"), Seq("x"), Nil, key, 0L, batchDf(1 to 50))
+    assert(st.read("rt").count() == 50)
+    // crash landed between append-commit and view creation: simulate by
+    // dropping the view, replaying batch 0 — the view must be (re)created
+    // from the table, not skipped
+    st.drop("rv")
+    Streams.applyMatviewBatch(st, "rt", "rv", Seq("g"), Seq("x"), Nil, key, 0L, batchDf(1 to 50))
+    assert(st.exists("rv"))
+    assert(st.read("rt").count() == 50, "replay with missing view must not re-append")
+    assert(st.read("rv").agg(sum($"sum_x")).head.getLong(0) ==
+      (1 to 50).map(_.toLong).sum)
+    // batch 1 applies on top
+    Streams.applyMatviewBatch(st, "rt", "rv", Seq("g"), Seq("x"), Nil, key, 1L, batchDf(51 to 60))
+    assert(st.read("rt").count() == 60)
+    assert(st.read("rv").agg(sum($"sum_x")).head.getLong(0) ==
+      (1 to 60).map(_.toLong).sum)
+    // a failed append rolls the marker back to the previous batch id, so a
+    // retry of batch 2 is not silently skipped
+    intercept[Exception] {
+      Streams.applyMatviewBatch(st, "rt", "rv", Seq("g"), Seq("x"), Nil, key, 2L,
+        batchDf(61 to 70).withColumn("x", expr("assert_true(x < 65, 'boom')")))
+    }
+    assert(st.lastStreamBatch(key).contains(1L), "marker must roll back on failed append")
+    Streams.applyMatviewBatch(st, "rt", "rv", Seq("g"), Seq("x"), Nil, key, 2L, batchDf(61 to 70))
+    assert(st.read("rt").count() == 70)
   }
 
   test("CDC apply stream folds keyed changes into the store") {

@@ -55,10 +55,16 @@ class SyncSpec extends SparkSpecBase with BeforeAndAfterAll {
       keys = Map("events" -> "event_id"), cursors = Map("events" -> "ts"))
     val full = src.read("events")
 
-    // batch 1: seed with the earlier half only (ts is raw long nanos here)
-    val cutoff = full.agg(expr("percentile_approx(cast(ts as double), 0.5)")).collect()(0).getDouble(0)
-    st.replace("events", src.read("events")
-      .filter(col("ts").cast("double") < cutoff))
+    // batch 1: seed with the earlier (by ts — the cursor) half only. ts has
+    // shipped both as raw long nanos and as timestamp[us]; order on a
+    // numeric view of either
+    val tsNum = full.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => col("ts").cast("double")
+      case _ => expr("cast(unix_micros(cast(ts as timestamp)) as double)")
+    }
+    val cutoff = full.agg(percentile_approx(tsNum, lit(0.5), lit(10000)))
+      .collect()(0).getDouble(0)
+    st.replace("events", full.filter(tsNum < cutoff))
     val before = st.read("events").count()
     assert(before > 0 && before < full.count())
 
