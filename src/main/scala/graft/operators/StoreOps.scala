@@ -322,6 +322,31 @@ object StoreOps {
       store.readIceberg("ice_orders").orderBy("o_orderkey")
     },
 
+    // Reference-catalog interop: the table is published through a JDBC
+    // catalog in the reference's iceberg_tables layout (scripts/
+    // catalog.sql:1-16) — one row whose metadata_location points at the
+    // emitted metadata.json — then served by a FRESH catalog instance that
+    // resolves the pointer and plans the scan purely from that metadata,
+    // exactly how a reference deployment's catalog is mounted.
+    Q("st_iceberg_catalog", Some("""
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+      WHERE o_orderkey <= 4000 ORDER BY o_orderkey""")) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-icc").toString
+      val db = java.nio.file.Files.createTempDirectory("graft-icc-db").toString
+      val url = s"jdbc:derby:$db/catalog;create=true"
+      val store = new Store(s, wh)
+      store.replace("icc_orders", t(s, dir, "orders")
+        .filter(col("o_orderkey") <= 4000)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus"))
+      val cat = new JdbcIcebergCatalog(url)
+      cat.init()
+      store.publishIcebergTo(cat, "public", "icc_orders")
+      // fresh instance = another process mounting the shared catalog
+      new JdbcIcebergCatalog(url)
+        .readTable(s, "public", "icc_orders")
+        .orderBy("o_orderkey")
+    },
+
     // Iceberg manifest-bound pruning: a sorted layout gives each data file
     // a tight key range in its manifest entry; the range scan plans from
     // manifest lower/upper bounds alone (no parquet footers touched) and

@@ -439,18 +439,24 @@ object Iceberg {
         s.stripPrefix("v").stripSuffix(".metadata.json").toInt }
       .foldLeft(0)(math.max) + 1
 
-  /** Path of the table's current metadata.json (via version-hint), if any. */
+  /** Path of the table's current metadata.json: via version-hint when
+    * present, else the highest vN.metadata.json — the reference's Go
+    * emitter writes no hint file (storage_utils.go:28 names v1.metadata
+    * .json directly), so a foreign tree resolves through the fallback. */
   def currentMetadataFile(tableDir: Path,
       conf: Configuration = new Configuration()): Option[Path] = {
     val fs = fsOf(tableDir, conf)
     val metaDir = new Path(tableDir, "metadata")
     val hint = new Path(metaDir, "version-hint.text")
-    if (!fs.exists(hint)) None
-    else {
+    if (fs.exists(hint)) {
       val v = new String(readBytes(fs, hint), UTF_8).trim.toInt
       val p = new Path(metaDir, s"v$v.metadata.json")
       if (fs.exists(p)) Some(p) else None
-    }
+    } else if (!fs.exists(metaDir)) None
+    else fs.listStatus(metaDir).iterator
+      .map(_.getPath)
+      .filter(_.getName.matches("v\\d+\\.metadata\\.json"))
+      .maxByOption(_.getName.stripPrefix("v").stripSuffix(".metadata.json").toInt)
   }
 
   private def kvRecord(schema: Schema, k: Int, v: Any): GenericRecord = {
@@ -655,13 +661,21 @@ object Iceberg {
       readAvro(fs, manifestPath).collect {
         case entry if entry.get("status").asInstanceOf[Int] != 2 => // not DELETED
           val df = entry.get("data_file").asInstanceOf[GenericRecord]
-          val pRec = df.get("partition").asInstanceOf[GenericRecord]
-          val part = pRec.getSchema.getFields.asScala.map { f =>
-            f.name -> (pRec.get(f.name) match {
-              case u: org.apache.avro.util.Utf8 => u.toString
-              case other => other
-            })
-          }.toMap
+          // our emitter writes the spec's record-typed partition tuple; the
+          // reference's Go emitter declares it as map<string, string?>
+          // (storage_utils.go MANIFEST_SCHEMA) — accept either
+          def cleanse(v: Any): Any = v match {
+            case u: org.apache.avro.util.Utf8 => u.toString
+            case other => other
+          }
+          val part: Map[String, Any] = df.get("partition") match {
+            case pRec: GenericRecord =>
+              pRec.getSchema.getFields.asScala.map(f =>
+                f.name -> cleanse(pRec.get(f.name))).toMap
+            case m: java.util.Map[_, _] =>
+              m.asScala.map { case (k, v) => k.toString -> cleanse(v) }.toMap
+            case _ => Map.empty
+          }
           PlannedFile(
             new Path(java.net.URI.create(df.get("file_path").toString)).toString,
             df.get("record_count").asInstanceOf[Long],

@@ -27,6 +27,8 @@ class JdbcIcebergCatalog(url: String, connProps: Map[String, String] = Map.empty
     * suffix (iceberg_catalog.go:11-13); listings exclude them the same way. */
   private val TempSuffixes = Seq("-bemidb-syncing", "-bemidb-deleting")
 
+  private[graft] def urlForTest: String = url
+
   private def withConnection[A](f: java.sql.Connection => A): A = {
     val props = new java.util.Properties()
     connProps.foreach { case (k, v) => props.setProperty(k, v) }

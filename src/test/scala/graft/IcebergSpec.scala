@@ -342,4 +342,306 @@ class IcebergSpec extends SparkSpecBase {
     assert(df.count() == expect.count())
     assert(df.except(expect).count() == 0)
   }
+
+  // ---- foreign-written metadata (the reference's Go emitter layout) -------
+
+  /** Manifest-entry Avro schema as the reference's Go emitter declares it
+    * (storage_utils.go MANIFEST_SCHEMA): `partition` is a MAP of nullable
+    * strings (our emitter writes the spec's record tuple), every optional
+    * field is a null-union with a default, and ids/docs ride along. */
+  private val goManifestSchema = new org.apache.avro.Schema.Parser().parse("""
+    {"type":"record","name":"manifest_entry","fields":[
+      {"name":"status","type":"int","field-id":0},
+      {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+      {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+      {"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+      {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        {"name":"content","type":"int","field-id":134},
+        {"name":"file_path","type":"string","doc":"Location URI with FS scheme","field-id":100},
+        {"name":"file_format","type":"string","field-id":101},
+        {"name":"partition","type":{"type":"map","values":["null","string"],"key-id":10001,"value-id":10002},"field-id":102},
+        {"name":"record_count","type":"long","field-id":103},
+        {"name":"file_size_in_bytes","type":"long","field-id":104},
+        {"name":"column_sizes","type":["null",{"type":"array","items":{"type":"record","name":"k117_v118","fields":[{"name":"key","type":"int","field-id":117},{"name":"value","type":"long","field-id":118}]},"logicalType":"map"}],"default":null,"field-id":108},
+        {"name":"value_counts","type":["null",{"type":"array","items":{"type":"record","name":"k119_v120","fields":[{"name":"key","type":"int","field-id":119},{"name":"value","type":"long","field-id":120}]},"logicalType":"map"}],"default":null,"field-id":109},
+        {"name":"null_value_counts","type":["null",{"type":"array","items":{"type":"record","name":"k121_v122","fields":[{"name":"key","type":"int","field-id":121},{"name":"value","type":"long","field-id":122}]},"logicalType":"map"}],"default":null,"field-id":110},
+        {"name":"nan_value_counts","type":["null",{"type":"array","items":{"type":"record","name":"k138_v139","fields":[{"name":"key","type":"int","field-id":138},{"name":"value","type":"long","field-id":139}]},"logicalType":"map"}],"default":null,"field-id":137},
+        {"name":"lower_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k126_v127","fields":[{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]},"logicalType":"map"}],"default":null,"field-id":125},
+        {"name":"upper_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k129_v130","fields":[{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]},"logicalType":"map"}],"default":null,"field-id":128},
+        {"name":"key_metadata","type":["null","bytes"],"default":null,"field-id":131},
+        {"name":"split_offsets","type":["null",{"type":"array","items":"long"}],"default":null,"field-id":132},
+        {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":135},
+        {"name":"sort_order_id","type":["null","int"],"default":null,"field-id":140}
+      ]},"field-id":2}]}""")
+
+  private val goManifestListSchema = new org.apache.avro.Schema.Parser().parse("""
+    {"type":"record","name":"manifest_file","fields":[
+      {"name":"manifest_path","type":"string","field-id":500},
+      {"name":"manifest_length","type":"long","field-id":501},
+      {"name":"partition_spec_id","type":"int","field-id":502},
+      {"name":"content","type":"int","field-id":517},
+      {"name":"sequence_number","type":"long","field-id":515},
+      {"name":"min_sequence_number","type":"long","field-id":516},
+      {"name":"added_snapshot_id","type":"long","field-id":503},
+      {"name":"added_files_count","type":"int","field-id":504},
+      {"name":"existing_files_count","type":"int","field-id":505},
+      {"name":"deleted_files_count","type":"int","field-id":506},
+      {"name":"added_rows_count","type":"long","field-id":512},
+      {"name":"existing_rows_count","type":"long","field-id":513},
+      {"name":"deleted_rows_count","type":"long","field-id":514},
+      {"name":"partitions","type":["null",{"type":"array","items":{"type":"record","name":"r508","fields":[
+        {"name":"contains_null","type":"boolean","field-id":509},
+        {"name":"contains_nan","type":["null","boolean"],"default":null,"field-id":518},
+        {"name":"lower_bound","type":["null","bytes"],"default":null,"field-id":510},
+        {"name":"upper_bound","type":["null","bytes"],"default":null,"field-id":511}
+      ]}}],"default":null,"field-id":507},
+      {"name":"key_metadata","type":["null","bytes"],"default":null,"field-id":519}]}""")
+
+  private def writeAvroFile(path: Path, schema: org.apache.avro.Schema,
+      records: Seq[GenericRecord]): Unit = {
+    val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
+      new org.apache.avro.generic.GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, path.toFile)
+    try records.foreach(w.append) finally w.close()
+  }
+
+  /** Build a metadata tree over `dataDir`'s parquet files exactly as the
+    * reference's Go emitter lays it out: EXISTING-status manifest entries
+    * with union-typed fields and a map-typed empty partition, a manifest
+    * list with the Go field set, v1.metadata.json with alphabetically
+    * ordered keys (Go's json.Encoder sorts map keys), string-valued
+    * summary, and NO version-hint.text. */
+  private def writeForeignTree(tableDir: Path, snapshotId: Long): Unit = {
+    import org.apache.avro.generic.GenericData
+    val metaDir = Files.createDirectories(tableDir.resolve("metadata"))
+    val dataFiles = Files.list(tableDir.resolve("data")).iterator.asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+    def leLong(v: Long) = java.nio.ByteBuffer.wrap(
+      java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(v).array())
+    val entries = dataFiles.zipWithIndex.map { case (p, i) =>
+      val stats = spark.read.parquet(p.toString)
+        .agg(count(lit(1)), min(col("l_orderkey")), max(col("l_orderkey"))).head
+      val df = new GenericData.Record(goManifestSchema.getField("data_file").schema)
+      df.put("content", 0)
+      df.put("file_path", p.toUri.toString)
+      df.put("file_format", "PARQUET")
+      df.put("partition", new java.util.HashMap[String, AnyRef]())
+      df.put("record_count", stats.getLong(0))
+      df.put("file_size_in_bytes", Files.size(p))
+      def kv(field: String, value: java.nio.ByteBuffer): java.util.List[GenericRecord] = {
+        val itemSchema = goManifestSchema.getField("data_file").schema
+          .getField(field).schema.getTypes.get(1).getElementType
+        val r = new GenericData.Record(itemSchema)
+        r.put("key", 1) // l_orderkey field id
+        r.put("value", value)
+        java.util.List.of(r)
+      }
+      df.put("lower_bounds", kv("lower_bounds", leLong(stats.getLong(1))))
+      df.put("upper_bounds", kv("upper_bounds", leLong(stats.getLong(2))))
+      df.put("sort_order_id", 0)
+      val e = new GenericData.Record(goManifestSchema)
+      e.put("status", 1) // EXISTING — the reference writes 1, not ADDED
+      e.put("snapshot_id", snapshotId)
+      e.put("sequence_number", (i + 1).toLong)
+      e.put("file_sequence_number", (i + 1).toLong)
+      e.put("data_file", df)
+      e.asInstanceOf[GenericRecord]
+    }
+    val manifestPath = metaDir.resolve("manifest.avro")
+    writeAvroFile(manifestPath, goManifestSchema, entries)
+    val ml = new GenericData.Record(goManifestListSchema)
+    ml.put("manifest_path", manifestPath.toUri.toString)
+    ml.put("manifest_length", Files.size(manifestPath))
+    ml.put("partition_spec_id", 0)
+    ml.put("content", 0)
+    ml.put("sequence_number", 1L)
+    ml.put("min_sequence_number", 1L)
+    ml.put("added_snapshot_id", snapshotId)
+    ml.put("added_files_count", 0)
+    ml.put("existing_files_count", dataFiles.size)
+    ml.put("deleted_files_count", 0)
+    ml.put("added_rows_count", 0L)
+    ml.put("existing_rows_count", entries.map(
+      _.get("data_file").asInstanceOf[GenericRecord].get("record_count").asInstanceOf[Long]).sum)
+    ml.put("deleted_rows_count", 0L)
+    ml.put("partitions", java.util.List.of[GenericRecord]())
+    val listPath = metaDir.resolve("snap-list.avro")
+    writeAvroFile(listPath, goManifestListSchema, Seq(ml))
+    // v1.metadata.json, keys in Go json.Encoder (alphabetical) order
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val md = om.createObjectNode()
+    md.put("current-schema-id", 0)
+    md.put("current-snapshot-id", snapshotId)
+    md.put("default-sort-order-id", 0)
+    md.put("default-spec-id", 0)
+    md.put("format-version", 2)
+    md.put("last-column-id", 5)
+    md.put("last-partition-id", 999)
+    md.put("last-sequence-number", 1)
+    md.put("last-updated-ms", 1700000000000L)
+    md.put("location", tableDir.toUri.toString.stripSuffix("/"))
+    md.putArray("metadata-log")
+    val specs = md.putArray("partition-specs")
+    val spec0 = specs.addObject()
+    spec0.put("spec-id", 0); spec0.putArray("fields")
+    md.putObject("properties")
+    md.putObject("refs").putObject("main")
+      .put("snapshot-id", snapshotId).put("type", "branch")
+    val schemas = md.putArray("schemas")
+    val sc = schemas.addObject()
+    sc.put("type", "struct"); sc.put("schema-id", 0)
+    val fields = sc.putArray("fields")
+    Seq(("l_orderkey", "long"), ("l_partkey", "long"), ("l_quantity", "double"),
+      ("l_shipdate", "timestamp"), ("l_returnflag", "string")).zipWithIndex
+      .foreach { case ((n, t), i) =>
+        val f = fields.addObject()
+        f.put("id", i + 1); f.put("name", n); f.put("required", false); f.put("type", t)
+      }
+    sc.putArray("identifier-field-ids")
+    val slog = md.putArray("snapshot-log")
+    val sl = slog.addObject()
+    sl.put("snapshot-id", snapshotId); sl.put("timestamp-ms", 1700000000000L)
+    val snaps = md.putArray("snapshots")
+    val snap = snaps.addObject()
+    snap.put("manifest-list", listPath.toUri.toString)
+    snap.put("schema-id", 0)
+    snap.put("sequence-number", 1)
+    snap.put("snapshot-id", snapshotId)
+    val summary = snap.putObject("summary")
+    summary.put("operation", "replace")
+    summary.put("total-data-files", dataFiles.size.toString)
+    summary.put("total-records", ml.get("existing_rows_count").toString)
+    snap.put("timestamp-ms", 1700000000000L)
+    val orders = md.putArray("sort-orders")
+    val o0 = orders.addObject()
+    o0.put("order-id", 0); o0.putArray("fields")
+    md.putArray("statistics")
+    md.put("table-uuid", "c0ffee00-0000-4000-8000-000000000042")
+    Files.write(metaDir.resolve("v1.metadata.json"),
+      om.writerWithDefaultPrettyPrinter.writeValueAsBytes(md))
+    // deliberately NO version-hint.text — the Go emitter never writes one
+  }
+
+  test("foreign Go-layout metadata tree reads and range-prunes") {
+    val dir = Files.createTempDirectory("graft-foreign")
+    val tdir = dir.resolve("t")
+    val content = lineitem.filter(col("l_orderkey") <= 2000)
+    // sorted files -> honest non-overlapping bounds for the prune assert
+    content.repartitionByRange(4, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.parquet(tdir.resolve("data").toString)
+    writeForeignTree(tdir, snapshotId = 7770001234567L)
+    // resolves without a version-hint, tolerates the map-typed partition,
+    // EXISTING status, union-typed fields
+    val files = Iceberg.planFiles(hp(tdir))
+    assert(files.size == 4)
+    assert(files.forall(_.partition.isEmpty))
+    val back = Iceberg.readTable(spark, hp(tdir))
+    assert(back.count() == content.count())
+    assert(back.except(content).count() == 0)
+    // bounds written by the foreign writer drive file skipping
+    val (pruned, scanned, total) = Iceberg.readRangePruned(
+      spark, hp(tdir), content.schema, "l_orderkey", 10L, 300L)
+    assert(total == 4 && scanned < total,
+      s"expected pruning on foreign bounds, scanned $scanned/$total")
+    val expect = content.filter(col("l_orderkey").between(10, 300))
+    assert(pruned.count() == expect.count())
+    assert(pruned.except(expect).count() == 0)
+  }
+
+  // ---- reference-layout JDBC catalog (iceberg_tables) ---------------------
+
+  private def derbyCatalog(): JdbcIcebergCatalog = {
+    val dir = Files.createTempDirectory("graft-icecat")
+    val cat = new JdbcIcebergCatalog(s"jdbc:derby:$dir/db;create=true")
+    cat.init()
+    cat
+  }
+
+  test("jdbc catalog: publish registers the row, a fresh mount serves the table") {
+    val (store, _) = freshStore()
+    store.replace("cat_li", lineitem)
+    val md = store.publishIcebergTo(derbyCatalog2, "public", "cat_li")
+    // the row points at the emitted metadata.json
+    val loc = derbyCatalog2.metadataLocation("public", "cat_li")
+    assert(loc.exists(_.endsWith(md.getName)), s"$loc vs $md")
+    assert(derbyCatalog2.tables().contains(("public", "cat_li")))
+    // a FRESH catalog instance over the same database (another process)
+    // mounts and serves the same rows, planned purely from the pointer
+    val again = new JdbcIcebergCatalog(derbyCatalog2Url)
+    val names = again.mount(spark)
+    assert(names.contains("cat_li"))
+    assert(spark.table("cat_li").count() == lineitem.count())
+    assert(spark.table("cat_li").except(lineitem).count() == 0)
+  }
+
+  test("jdbc catalog: re-publish advances metadata_location via CAS") {
+    val (store, _) = freshStore()
+    val cat = derbyCatalog()
+    store.replace("t2", lineitem.limit(100))
+    store.publishIcebergTo(cat, "public", "t2")
+    val loc1 = cat.metadataLocation("public", "t2").get
+    store.appendCompacting("t2", lineitem.limit(20))
+    store.publishIcebergTo(cat, "public", "t2")
+    val loc2 = cat.metadataLocation("public", "t2").get
+    assert(loc1 != loc2, "metadata_location must advance on re-publish")
+    assert(cat.readTable(spark, "public", "t2").count() == 120)
+    // a stale-expectation commit loses: nothing clobbered
+    assert(!cat.commitLocation("public", "t2", "file:///nowhere", Some(loc1)))
+    assert(cat.metadataLocation("public", "t2").contains(loc2))
+  }
+
+  test("jdbc catalog: a foreign-written row (reference shape) mounts and reads") {
+    val (store, dir) = freshStore()
+    store.replace("t3", lineitem.limit(50))
+    val md = store.publishIceberg("t3")
+    val cat = derbyCatalog()
+    // simulate the reference writing the row itself: raw INSERT with its
+    // columns JSON, non-default namespace
+    val conn = java.sql.DriverManager.getConnection(
+      cat.urlForTest)
+    try {
+      val ps = conn.prepareStatement("INSERT INTO iceberg_tables " +
+        "(table_namespace, table_name, metadata_location, columns) VALUES (?, ?, ?, ?)")
+      ps.setString(1, "analytics"); ps.setString(2, "t3")
+      ps.setString(3, md.toUri.toString)
+      ps.setString(4, """[{"name":"l_orderkey","type":"bigint"}]""")
+      ps.executeUpdate()
+    } finally conn.close()
+    val names = cat.mount(spark)
+    assert(names.contains("analytics_t3"))
+    assert(spark.table("analytics_t3").count() == 50)
+  }
+
+  test("jdbc catalog: staging-suffix tables are hidden, matviews mount as views") {
+    val (store, _) = freshStore()
+    store.replace("t4", lineitem.limit(30))
+    val cat = derbyCatalog()
+    store.publishIcebergTo(cat, "public", "t4")
+    cat.register("public", "t4-bemidb-syncing", "file:///staging")
+    assert(!cat.tables().exists(_._2.endsWith("-bemidb-syncing")))
+    cat.createMaterializedView("public", "t4_agg",
+      "SELECT l_returnflag, count(*) AS n FROM t4 GROUP BY l_returnflag")
+    val names = cat.mount(spark)
+    assert(names.contains("t4") && names.contains("t4_agg"))
+    assert(spark.table("t4_agg").count() ==
+      spark.table("t4").select("l_returnflag").distinct().count())
+    cat.dropMaterializedView("public", "t4_agg")
+    assert(cat.materializedViews().isEmpty)
+    cat.dropTable("public", "t4")
+    assert(!cat.tables().contains(("public", "t4")))
+  }
+
+  // one Derby database shared by the fresh-instance test (Derby embedded
+  // allows many connections to the same db path within a JVM)
+  private lazy val derbyCatalog2Url = {
+    val dir = Files.createTempDirectory("graft-icecat2")
+    s"jdbc:derby:$dir/db;create=true"
+  }
+  private lazy val derbyCatalog2 = {
+    val cat = new JdbcIcebergCatalog(derbyCatalog2Url)
+    cat.init()
+    cat
+  }
 }
