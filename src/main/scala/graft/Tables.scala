@@ -85,6 +85,7 @@ object Tables {
 
   def registerAll(spark: SparkSession, dir: String): Unit = synchronized {
     if (registeredDir != dir) {
+      PgDialect.catalogEpoch.incrementAndGet()
       names.foreach(n => df(spark, dir, n).createOrReplaceTempView(n))
       PgFunctions.register(spark)
       GraftExpressions.register(spark)

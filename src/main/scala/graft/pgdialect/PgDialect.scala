@@ -18,6 +18,51 @@ import org.apache.spark.sql.types.MetadataBuilder
   */
 object PgDialect {
 
+  // ---- statement/plan cache ---------------------------------------------
+  // Repeated identical statements (dashboards, psql tab-completion probes,
+  // extended-protocol re-executes) skip BOTH the regex translation and
+  // Catalyst parse/analyze. Two layers because their lifetimes differ:
+  //  - translation cache: pure text→text, keyed by the settings that alter
+  //    translation (strip_schemas, scalar_subquery_first_row) — survives DDL.
+  //  - plan cache: final SQL → analyzed DataFrame. A DataFrame binds the
+  //    temp-view plans AT ANALYSIS TIME, so any catalog mutation (version
+  //    flip, DDL, catalog-view refresh, base-table re-registration) bumps
+  //    [[catalogEpoch]] and orphans older entries; the session timezone is
+  //    part of the key because Catalyst folds it into timestamp exprs.
+  private val translationCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val planCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  /** Counter hooks (specs assert cache hits skip work). */
+  private[graft] val translations = new java.util.concurrent.atomic.AtomicLong()
+  private[graft] val planBuilds = new java.util.concurrent.atomic.AtomicLong()
+  /** Bumped by every catalog-affecting mutation (Store.persistCatalog /
+    * publish, PgCatalog refreshes, Tables.registerAll). */
+  private[graft] val catalogEpoch = new java.util.concurrent.atomic.AtomicLong()
+
+  private def translationSettingsKey: String =
+    SessionSettings.get("graft.strip_schemas").getOrElse("public,main") + "|" +
+      SessionSettings.get("graft.scalar_subquery_first_row").getOrElse("off")
+
+  /** [[translateSelect]] behind the text cache. */
+  def translateSelectCached(sql: String): String = {
+    if (translationCache.size > 4096) translationCache.clear()
+    translationCache.computeIfAbsent(
+      translationSettingsKey + "\n" + sql, _ => translateSelect(sql))
+  }
+
+  /** Parse/analyze `finalSql` once per (epoch, timezone); later identical
+    * statements reuse the analyzed DataFrame. */
+  def cachedPlan(spark: SparkSession, finalSql: String): DataFrame = {
+    if (planCache.size > 1024) planCache.clear()
+    val key = catalogEpoch.get + "\n" +
+      spark.conf.get("spark.sql.session.timeZone", "") + "\n" + finalSql
+    planCache.computeIfAbsent(key, _ => {
+      planBuilds.incrementAndGet()
+      spark.sql(finalSql)
+    })
+  }
+
   sealed trait PgResult
   final case class Rows(df: DataFrame, tag: String) extends PgResult
   final case class Command(tag: String) extends PgResult
@@ -121,8 +166,8 @@ object PgDialect {
         PgCatalog.refreshDynamic(spark, store)
       if (upper.contains("INFORMATION_SCHEMA"))
         PgCatalog.refreshInfoSchema(spark)
-      val translated = applyPermissions(translateSelect(stmt), perms)
-      return Rows(retagJson(spark.sql(translated)), "SELECT")
+      val translated = applyPermissions(translateSelectCached(stmt), perms)
+      return Rows(retagJson(cachedPlan(spark, translated)), "SELECT")
     }
     // EXPLAIN [ANALYZE|VERBOSE|(opts)] SELECT … -> Spark's formatted plan as
     // PG-style "QUERY PLAN" text rows (the reference delegates to DuckDB's
@@ -229,6 +274,7 @@ object PgDialect {
 
   // ---- SELECT translation ---------------------------------------------
   def translateSelect(sql: String): String = {
+    translations.incrementAndGet()
     var s = sql.trim.stripSuffix(";")
     s = autoAliasTargets(s)
     s = rewriteArraySubquery(s)

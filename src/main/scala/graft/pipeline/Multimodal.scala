@@ -19,6 +19,48 @@ object Multimodal {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.df(s, dir, n)
 
+  /** Deterministic real PNG: dimensions derive from the id, pixels from a
+    * fixed formula, so every executor regenerates identical bytes. */
+  private[graft] def synthPng(id: Long): Array[Byte] = {
+    val w = (id % 48 + 8).toInt
+    val h = (id % 32 + 8).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((id + x * 31L + y * 7L) & 0xffffffL).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Header-only image metadata from real bytes: (width, height, format),
+    * None when no installed reader claims the payload. Reads the header via
+    * the SPI reader, not a full pixel decode — the 100 TB-scan shape where
+    * you want dimensions for millions of images without rasterizing them. */
+  private[graft] def decodeImageMeta(bytes: Array[Byte]): Option[(Int, Int, String)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          Some((reader.getWidth(0), reader.getHeight(0),
+            reader.getFormatName.toLowerCase))
+        } finally reader.dispose()
+      }
+    } finally iis.close()
+  }
+
   val defs: Seq[Q] = Seq(
 
     // binary column + scan-side metadata (real: bytes, hash; fake: w/h
@@ -98,6 +140,34 @@ object Multimodal {
               BigDecimal(sum.toDouble / cps.length)
                 .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
           }
+        }
+      }(enc).orderBy("doc_id")
+    },
+
+    // REAL image decode via the JDK's own codec (javax.imageio — no extra
+    // deps): each row synthesizes a genuine PNG payload (the binary media
+    // column a production table carries), and the decode stage header-parses
+    // it back — width/height/format come from the actual PNG bytes, not a
+    // stub. The oracle knows the expected dimensions because the synth step
+    // derives them deterministically from doc_id; a decode that didn't
+    // really parse the payload could not reproduce them.
+    Q("mm_decode_real", Some("""
+      SELECT doc_id, CAST(doc_id % 48 + 8 AS INT) AS width,
+        CAST(doc_id % 32 + 8 AS INT) AS height, 'png' AS format
+      FROM documents ORDER BY doc_id""")) { (s, dir) =>
+      val src = t(s, dir, "documents").select(col("doc_id"))
+      val outSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("width", IntegerType),
+        StructField("height", IntegerType), StructField("format", StringType)))
+      val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      src.mapPartitions { rows =>
+        // codec setup once per partition (ImageIO scans its SPI registry)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = synthPng(id)
+          val (w, h, fmt) = decodeImageMeta(bytes).getOrElse(
+            throw new IllegalStateException(s"undecodable payload for doc $id"))
+          Row(id, w, h, fmt)
         }
       }(enc).orderBy("doc_id")
     },

@@ -596,6 +596,7 @@ object PgCatalog {
     * (query_remapper_table.go:74-91,714-775); here the rows are built from
     * the live Spark schemas on every catalog-refresh trigger. */
   def refreshInfoSchema(spark: SparkSession): Unit = synchronized {
+    PgDialect.catalogEpoch.incrementAndGet()
     import spark.implicits._
     val views = spark.catalog.listTables().collect().map(_.name)
       .filter(n => !n.startsWith("pg_") && !n.startsWith("information_schema_")
@@ -651,6 +652,7 @@ object PgCatalog {
       .sorted.toSeq
 
   def refreshDynamic(spark: SparkSession, store: Store): Unit = synchronized {
+    PgDialect.catalogEpoch.incrementAndGet()
     import spark.implicits._
     val mvs = store.matviewNames
     // the store's plain tables (the synced-table population): relkind 'r'

@@ -119,6 +119,9 @@ class Store(spark: SparkSession, warehouse: String) {
   private var catalogSeq: Long = 0L
 
   private def persistCatalog(): Unit = synchronized {
+    // every catalog mutation invalidates the dialect's analyzed-plan cache
+    // (cached DataFrames bind the PRE-mutation temp-view plans)
+    PgDialect.catalogEpoch.incrementAndGet()
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val rootNode = om.createObjectNode()
     val vs = rootNode.putObject("versions")

@@ -149,8 +149,11 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
                 val resFmts =
                   try { val n = b.readShort(); (0 until n).map(_ => b.readShort()) }
                   catch { case _: java.io.IOException => Seq.empty[Short] }
+                // cached translate+plan: re-executing a prepared statement
+                // with the same arguments skips translation AND analysis
                 portals(portal) = new Portal(
-                  spark.sql(PgDialect.translateSelect(sql)), resFmts)
+                  PgDialect.cachedPlan(spark,
+                    PgDialect.translateSelectCached(sql)), resFmts)
                 msg(out, '2') { _ => } // BindComplete
               } catch { case e: Throwable => sendError(out, e); errorSkip = true }
             case 'D' if !errorSkip => // Describe
@@ -158,7 +161,7 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
                 val kind = b.read().toChar
                 val name = readCStr()
                 val df = if (kind == 'P') portals(name).df
-                  else spark.sql(PgDialect.translateSelect(
+                  else PgDialect.cachedPlan(spark, PgDialect.translateSelectCached(
                     substituteParams(statements(name),
                       Seq.fill(countParams(statements(name)))(null))))
                 if (kind == 'S') msg(out, 't') { bb => // ParameterDescription
@@ -445,7 +448,7 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
   private def cursorStatement(out: DataOutputStream, stmt: String,
       cursors: scala.collection.mutable.Map[String, Portal]): Boolean = stmt.trim match {
     case declareRe(name, query) =>
-      val df = spark.sql(PgDialect.translateSelect(query))
+      val df = PgDialect.cachedPlan(spark, PgDialect.translateSelectCached(query))
       cursors(unq(name)) = new Portal(df)
       commandComplete(out, "DECLARE CURSOR")
       true
@@ -627,8 +630,8 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
   }
 
   /** One DataRow; `fmt(i)` = 1 requests PG binary encoding for column i
-    * (ints/floats/bool supported — the types JDBC asks for in binary; all
-    * else falls back to text). */
+    * (ints/floats/bool/date/timestamp/numeric — the types JDBC asks for in
+    * binary; all else falls back to text). */
   private def dataRow(out: DataOutputStream, row: Row, schema: StructType,
       fmt: Int => Int = _ => 0): Unit =
     msg(out, 'D') { b =>
@@ -652,9 +655,56 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
     case FloatType => b.writeInt(4); b.writeFloat(row.getFloat(i))
     case DoubleType => b.writeInt(8); b.writeDouble(row.getDouble(i))
     case BooleanType => b.writeInt(1); b.writeByte(if (row.getBoolean(i)) 1 else 0)
+    case DateType => // int4 days since 2000-01-01
+      val days = row.getAs[java.sql.Date](i).toLocalDate.toEpochDay - PgEpochDays
+      b.writeInt(4); b.writeInt(days.toInt)
+    case TimestampType => // int8 micros since 2000-01-01T00:00:00Z
+      val t = row.getAs[java.sql.Timestamp](i)
+      val micros = t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+      b.writeInt(8); b.writeLong(micros - PgEpochMicros)
+    case TimestampNTZType => // int8 micros since 2000-01-01T00:00 (no tz)
+      val ldt = row.getAs[java.time.LocalDateTime](i)
+      val micros = ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        ldt.getNano / 1000L
+      b.writeInt(8); b.writeLong(micros - PgEpochMicros)
+    case _: DecimalType =>
+      val payload = numericBinary(row.getDecimal(i))
+      b.writeInt(payload.length); b.write(payload)
     case other => // not binary-encodable: text payload
       val bytes = textEncode(row, i, other).getBytes(UTF_8)
       b.writeInt(bytes.length); b.write(bytes)
+  }
+
+  /** 2000-01-01 in days / micros past the Unix epoch (PG's wire epoch). */
+  private val PgEpochDays = 10957L
+  private val PgEpochMicros = 946684800000000L
+
+  /** PG numeric binary payload: ndigits, weight, sign, dscale (int16 each)
+    * then base-10000 digit groups aligned to the decimal point — the exact
+    * wire form `recv` in PG's numeric.c accepts and PgJDBC decodes. */
+  private[graft] def numericBinary(dec: java.math.BigDecimal): Array[Byte] = {
+    val sign = if (dec.signum < 0) 0x4000 else 0x0000
+    val dscale = math.max(dec.scale, 0)
+    val plain = dec.abs.toPlainString
+    val (ip, fp) = plain.indexOf('.') match {
+      case -1 => (plain, "")
+      case k => (plain.substring(0, k), plain.substring(k + 1))
+    }
+    val ipPad = "0" * ((4 - ip.length % 4) % 4) + ip
+    val fpPad = fp + "0" * ((4 - fp.length % 4) % 4)
+    var digits = ipPad.grouped(4).map(_.toInt).toVector ++
+      fpPad.grouped(4).map(_.toInt).toVector
+    var weight = ipPad.length / 4 - 1
+    while (digits.nonEmpty && digits.head == 0) { digits = digits.tail; weight -= 1 }
+    while (digits.nonEmpty && digits.last == 0) digits = digits.dropRight(1)
+    if (digits.isEmpty) weight = 0
+    val out = java.nio.ByteBuffer.allocate(8 + 2 * digits.length)
+    out.putShort(digits.length.toShort)
+    out.putShort(weight.toShort)
+    out.putShort(sign.toShort)
+    out.putShort(dscale.toShort)
+    digits.foreach(d => out.putShort(d.toShort))
+    out.array()
   }
 
   private def sendDataRows(out: DataOutputStream, df: DataFrame): Unit = {

@@ -18,6 +18,36 @@ class PgDialectSpec extends SparkSpecBase {
     }
   }
 
+  test("repeated statements skip translation and analysis via the caches") {
+    import spark.implicits._
+    Tables.registerAll(spark, sfDir)
+    val stmt = "SELECT r_regionkey::int AS k, upper(r_name) AS nm FROM region ORDER BY 1"
+    val first = rows(stmt)
+    val t1 = PgDialect.translations.get
+    val p1 = PgDialect.planBuilds.get
+    val second = rows(stmt)
+    assert(PgDialect.translations.get == t1,
+      "second execution must not re-translate")
+    assert(PgDialect.planBuilds.get == p1,
+      "second execution must not re-analyze")
+    assert(second == first)
+    // a catalog mutation invalidates cached PLANS (stale temp-view bindings
+    // must never serve): query a store table, mutate it, re-query
+    store.replace("cache_t", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val q = "SELECT count(*) AS n FROM cache_t"
+    assert(rows(q).head.getLong(0) == 2)
+    store.append("cache_t", Seq((3L, "c")).toDF("k", "v"))
+    assert(rows(q).head.getLong(0) == 3,
+      "mutation must invalidate the cached plan")
+    // ...while a settings change invalidates the TRANSLATION key
+    PgDialect.execute(spark, store, "SET graft.strip_schemas = 'public,main,extra'")
+    val t2 = PgDialect.translations.get
+    rows(stmt)
+    assert(PgDialect.translations.get == t2 + 1,
+      "changed translation settings must re-translate")
+    PgDialect.execute(spark, store, "RESET graft.strip_schemas")
+  }
+
   test("pg_matviews and pg_class reflect live matview DDL on access") {
     Tables.registerAll(spark, sfDir)
     PgDialect.execute(spark, store,

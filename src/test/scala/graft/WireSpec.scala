@@ -263,6 +263,43 @@ class WireSpec extends SparkSpecBase {
     c.close()
   }
 
+  test("re-executing a prepared statement reuses the cached translation and plan") {
+    val c = new Client(server._2); c.startup()
+    def send(tpe: Char, body: Array[Byte]): Unit = {
+      c.out.writeByte(tpe); c.out.writeInt(4 + body.length); c.out.write(body)
+    }
+    def bb(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
+    def cstr(s: String) = (s + "\u0000").getBytes(UTF_8)
+    def i16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+    def i32(v: Int) = java.nio.ByteBuffer.allocate(4).putInt(v).array()
+
+    send('P', bb(cstr("cst"),
+      cstr("SELECT n_name FROM nation WHERE n_nationkey = $1"), i16(0)))
+    def bindExec(portal: String): Unit = {
+      send('B', bb(cstr(portal), cstr("cst"), i16(0),
+        i16(1), i32(1), "7".getBytes(UTF_8), i16(0)))
+      send('E', bb(cstr(portal), i32(0)))
+    }
+    bindExec("cp1")
+    send('S', Array.emptyByteArray)
+    c.out.flush()
+    val first = c.drainUntilReady()
+    val t1 = PgDialect.translations.get
+    val p1 = PgDialect.planBuilds.get
+    // same statement, same argument, new portal: full cache hit
+    bindExec("cp2")
+    send('S', Array.emptyByteArray)
+    c.out.flush()
+    val second = c.drainUntilReady()
+    assert(PgDialect.translations.get == t1,
+      "prepared re-execute must not re-translate")
+    assert(PgDialect.planBuilds.get == p1,
+      "prepared re-execute must not re-analyze")
+    assert(second.filter(_._1 == 'D').map(m => dataRowValues(m._2)) ==
+      first.filter(_._1 == 'D').map(m => dataRowValues(m._2)))
+    c.close()
+  }
+
   test("binary params decode by declared OID: bool, int2, float8, date") {
     val c = new Client(server._2); c.startup()
     def send(tpe: Char, body: Array[Byte]): Unit = {
@@ -410,6 +447,41 @@ class WireSpec extends SparkSpecBase {
     assert(in.readInt() == 4 && in.readInt() == 7)     // int4 binary
     assert(in.readInt() == 8 && in.readLong() == 9L)   // int8 binary
     assert(in.readInt() == 1 && in.readByte() == 1)    // bool binary
+    c.close()
+  }
+
+  test("binary date/timestamp/numeric results are byte-exact PG encodings") {
+    val c = new Client(server._2); c.startup()
+    def send(tpe: Char, body: Array[Byte]): Unit = {
+      c.out.writeByte(tpe); c.out.writeInt(4 + body.length); c.out.write(body)
+    }
+    def cstr(s: String) = (s + "\u0000").getBytes(UTF_8)
+    def i16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+    def i32(v: Int) = java.nio.ByteBuffer.allocate(4).putInt(v).array()
+    send('P', cstr("bdt") ++ cstr(
+      "SELECT DATE '2000-01-11' AS d, TIMESTAMP '2000-01-01 00:00:01' AS t, " +
+        "123.45 AS n, 0.00 AS z, -7000.1 AS m") ++ i16(0))
+    send('B', cstr("pbdt") ++ cstr("bdt") ++ i16(0) ++ i16(0) ++ i16(1) ++ i16(1))
+    send('E', cstr("pbdt") ++ i32(0))
+    send('S', Array.emptyByteArray)
+    c.out.flush()
+    val msgs = c.drainUntilReady()
+    val d = msgs.find(_._1 == 'D').get._2
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(d))
+    assert(in.readShort() == 5)
+    // date: int4 days since 2000-01-01
+    assert(in.readInt() == 4 && in.readInt() == 10)
+    // timestamp: int8 micros since 2000-01-01 (session tz = UTC)
+    assert(in.readInt() == 8 && in.readLong() == 1000000L)
+    // numeric 123.45: ndigits 2, weight 0, sign +, dscale 2, digits 123 4500
+    assert(in.readInt() == 12)
+    assert(Seq.fill(6)(in.readShort().toInt) == Seq(2, 0, 0, 2, 123, 4500))
+    // numeric zero with scale: ndigits 0, weight 0, sign +, dscale 2
+    assert(in.readInt() == 8)
+    assert(Seq.fill(4)(in.readShort().toInt) == Seq(0, 0, 0, 2))
+    // numeric -7000.1: digits are point-aligned (7000, 1000), negative sign
+    assert(in.readInt() == 12)
+    assert(Seq.fill(6)(in.readShort().toInt) == Seq(2, 0, 0x4000, 1, 7000, 1000))
     c.close()
   }
 
