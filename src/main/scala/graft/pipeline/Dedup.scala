@@ -134,14 +134,7 @@ object Dedup {
     GraftExpressions.register(docs.sparkSession)
     val d = shingleSets(docs).cache()
     try {
-      val sig = d.select(col("doc_id"), col("sh"), signatureCol.as("sig"))
-      val bands = sig.select(col("doc_id"),
-          posexplode(expr(s"transform(sequence(0, ${BANDS - 1}), " +
-            s"b -> hash(slice(sig, b * $R + 1, $R)))")).as(Seq("band", "bucket")))
-      val cand = SafeOps.distinctRows(bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
-            && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b")))
+      val cand = lshCandidates(d)
       // verify candidates with exact Jaccard (join sets back by key)
       val withSets = cand
         .join(d.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -159,6 +152,41 @@ object Dedup {
   private val K = 32
   private val BANDS = 16
   private val R = K / BANDS
+  // Bucket-occupancy guard: a band-bucket holding more than MaxBucket docs
+  // switches from clique pair expansion (quadratic in occupancy) to STAR
+  // linking against the bucket's min-id representative (linear). Web-scale
+  // boilerplate makes this real: docs sharing ~half their shingles collide
+  // in >=1 of 16 bands with ~99% probability, so one template shared by a
+  // million pages would otherwise put ~10^12 rows on one bucket key. Star
+  // pairs still pass the exact-Jaccard verify, and a true near-dup clique
+  // keeps its connectivity (every member links to the same representative,
+  // and redundant bands re-link any pair the star misses), so downstream
+  // clustering (clusterPairs/cc) sees the same components.
+  private val MaxBucket = 64
+
+  /** LSH candidate pairs from the cached shingle frame: per-band bucket
+    * hashing, clique expansion in small buckets, star linking in oversized
+    * ones. Exposed for the skew spec, which pins the candidate volume. */
+  private[graft] def lshCandidates(d: DataFrame): DataFrame = {
+    val sig = d.select(col("doc_id"), signatureCol.as("sig"))
+    val bands = sig.select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(0, ${BANDS - 1}), " +
+          s"b -> hash(slice(sig, b * $R + 1, $R)))")).as(Seq("band", "bucket")))
+    // occupancy + representative in one pass, same (band, bucket) key as
+    // the join below — co-partitioned, no extra shuffle stage shape
+    val sizes = bands.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsz"), min(col("doc_id")).as("rep"))
+    val tagged = bands.join(sizes, Seq("band", "bucket"))
+    val small = tagged.filter(col("bsz") <= MaxBucket)
+    val cliquePairs = small.as("x").join(small.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+    val starPairs = tagged.filter(col("bsz") > MaxBucket)
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("doc_id").as("id_b"))
+    SafeOps.distinctRows(cliquePairs.unionByName(starPairs))
+  }
 
   /** Per-doc MinHash signature, computed scan-side (no shuffle): K seeded
     * XXH64 minima in one pass over the shingles via the codegen'd

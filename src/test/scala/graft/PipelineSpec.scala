@@ -191,6 +191,34 @@ class PipelineSpec extends SparkSpecBase {
       == Seq((1001L, 1002L)))
   }
 
+  test("hot LSH bucket: boilerplate corpus stays sub-quadratic, dups still found") {
+    import spark.implicits._
+    // adversarial shape: 2000 docs share HALF their shingles (one template),
+    // unique tails otherwise. j ~= 0.5 pairs collide in >=1 of 16 bands with
+    // ~99% probability, so uncapped candidate generation approaches all
+    // pairs (~2M); the bucket guard must keep candidates near-linear.
+    val template = (1 to 12).map(i => s"tmpl$i").mkString(" ")
+    val docs = (1 to 2000).map(i =>
+      (i.toLong, s"$template u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f " +
+        s"u${i}g u${i}h u${i}i u${i}j u${i}k u${i}l")).toDF("doc_id", "text")
+    // plant true near-dup pairs that must survive the guard
+    val dups = Seq(
+      (9001L, s"$template alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (9002L, s"$template alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"))
+      .toDF("doc_id", "text")
+    val all = docs.unionByName(dups)
+    val cand = Dedup.lshCandidates(Dedup.shingleSets(all)).count()
+    val allPairs = 2002L * 2001 / 2
+    assert(cand < allPairs / 50,
+      s"bucket guard failed: $cand candidates of $allPairs possible")
+    val found = Dedup.minhashLshPairs(all, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // exactly the planted pair: boilerplate-only pairs sit at j ~= 0.29,
+    // far below tau, and the exact verify rejects every one of them
+    assert(found == Seq((9001L, 9002L)),
+      s"expected only the planted near-dup pair, got: $found")
+  }
+
   test("elision-proof dedup: distinctRows == distinct and plans a live count") {
     import spark.implicits._
     // semantic equivalence on a frame with real duplicate multiplicity
