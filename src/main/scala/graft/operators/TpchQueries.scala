@@ -481,14 +481,22 @@ object TpchQueries {
       WHERE p_partkey = l_partkey AND p_brand = 'Brand#3'
         AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
                           WHERE l2.l_partkey = part.p_partkey)""")) { (s, dir) =>
-      // avg(l_quantity) is exact: integral doubles sum exactly in any order
-      val avgQty = t(s, dir, "lineitem")
-        .groupBy(col("l_partkey").as("aq_partkey"))
-        .agg((lit(0.2) * avg(col("l_quantity"))).as("qty_thr"))
-      t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part").filter(col("p_brand") === "Brand#3")),
+      // One lineitem scan, broadcast-pruned to Brand#3 lines BEFORE any
+      // shuffle: the correlated avg only involves partkeys that survive the
+      // part filter, and restricting rows to those partkeys drops no rows
+      // of theirs, so the per-part avg is unchanged. The partition-only
+      // window then computes the threshold in ONE exchange of the reduced
+      // set — no full-table shuffle, no threshold join. At SF10 the old
+      // plan shuffled all 60M rows on l_partkey; this shuffles ~1/25.
+      // avg(l_quantity) is exact: integral doubles sum exactly in any order.
+      import org.apache.spark.sql.expressions.Window
+      val brandLines = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+            .filter(col("p_brand") === "Brand#3").select("p_partkey")),
           col("p_partkey") === col("l_partkey"))
-        .join(avgQty, col("l_partkey") === col("aq_partkey"))
+      brandLines
+        .withColumn("qty_thr",
+          lit(0.2) * avg(col("l_quantity")).over(Window.partitionBy("l_partkey")))
         .filter(col("l_quantity") < col("qty_thr"))
         .agg((msum(cents(col("l_extendedprice")), 1e2) / 7.0).as("avg_yearly"))
     },

@@ -142,4 +142,14 @@ class PlanSpec extends SparkSpecBase {
     val p = plan("q21_waiting_supplier")
     assert(countOf("lineitem\\.parquet", p) == 1, p)
   }
+
+  test("tpch q17 prunes lineitem by broadcast before its only shuffle") {
+    // one lineitem scan, broadcast part filter applied scan-side, and the
+    // correlated avg computed by a partition window over the REDUCED set —
+    // no full-table exchange on l_partkey, no threshold join
+    val p = plan("q17_small_quantity_revenue")
+    assert(countOf("lineitem\\.parquet", p) == 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Window"), p)
+  }
 }
