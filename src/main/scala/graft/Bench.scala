@@ -58,12 +58,24 @@ object Bench {
     // cache/bucketing + parquet page cache; the bench measures query
     // compute, not cold object-store reads (the reference's published
     // numbers are likewise warm: local MinIO + OS page cache).
-    if (cache) Tables.prime(spark, sfDir, parts.toInt)
+    if (cache)
+      try Tables.prime(spark, sfDir, parts.toInt)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] prime failed, running uncached: ${e.getMessage}") }
 
     // Build + analyze each query once (the engine's prepared-statement /
     // plan-cache role); timed passes re-execute the analyzed plan, which is
-    // what a warm server does for a repeated workload.
-    val queries = SparkEntry.benchNames.map(n => n -> SparkEntry.queries(n)(spark, sfDir))
+    // what a warm server does for a repeated workload. A query that fails
+    // ANALYSIS (e.g. the driver re-encoded a testdata column this round) is
+    // dropped and reported — it must not zero the whole bench.
+    val built = SparkEntry.benchNames.map { n =>
+      n -> scala.util.Try(SparkEntry.queries(n)(spark, sfDir))
+    }
+    val buildErrors = built.collect { case (n, scala.util.Failure(e)) =>
+      System.err.println(s"[bench] $n failed to build: ${e.getMessage}")
+      n -> e.getClass.getSimpleName
+    }
+    val queries = built.collect { case (n, scala.util.Success(df)) => n -> df }
     def exec(df: org.apache.spark.sql.DataFrame): Unit =
       try df.write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
@@ -77,7 +89,8 @@ object Bench {
     val samples = math.max(1, sys.env.getOrElse("SPARK_GRAFT_SAMPLES", "3").toInt)
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
-      if (s.length % 2 == 1) s(s.length / 2)
+      if (s.isEmpty) 0.0
+      else if (s.length % 2 == 1) s(s.length / 2)
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
     }
 
@@ -119,6 +132,8 @@ object Bench {
     println(s"""{"metric":"total","value":$workloadWall,"unit":"sec","queries":$qs,""" +
       s""""sequential_total":$sequentialTotal,"samples":$samples,""" +
       s""""wall_samples":${arr(wallSamples)},"sequential_samples":${arr(seqTotals)},""" +
+      (if (buildErrors.isEmpty) ""
+       else s""""build_errors":${buildErrors.map { case (n, e) => "\"" + n + "\":\"" + e + "\"" }.mkString("{", ",", "}")},""") +
       s""""shuffle_partitions":$parts,"aqe":$aqe,""" +
       s""""mode":"22-query workload wall time, $conc-way inter-query concurrency; value and 'queries' are medians of $samples runs","sf":"$sfDir"}""")
     spark.stop()

@@ -24,29 +24,79 @@ object Tables {
     primed.getOrElse((dir, name), load(spark, dir, name))
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet has shipped as TIMESTAMP(NANOS) (which Spark's parquet
-    // reader rejects — read as long nanos) and as plain timestamp[us]
-    // (surfacing as TIMESTAMP_NTZ). Normalize either to a session-tz
-    // TimestampType so downstream Dataset[.. java.sql.Timestamp] encoders
-    // and the UTC-pinned DuckDB oracle agree on the same micros.
+    // The driver regenerates the parquet each round and varies encodings:
+    // temporal columns have shipped as TIMESTAMP(NANOS) (which Spark's
+    // parquet reader rejects — read as long nanos) and as plain
+    // timestamp[us] (surfacing as TIMESTAMP_NTZ). Normalize every temporal
+    // column of every table to a session-tz TimestampType so query analysis
+    // never depends on this round's writer, and the UTC-pinned DuckDB
+    // oracle agrees on the same micros.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") normalizeEventsTs(raw) else raw
+    normalizeTemporal(raw, temporalCols.getOrElse(name, Nil))
   }
 
-  /** Normalize an events-shaped frame's `ts` to session-tz TimestampType,
-    * whatever the parquet writer emitted (long nanos under nanosAsLong, or
-    * TIMESTAMP_NTZ from a plain timestamp[us] file). With the session tz
-    * pinned to UTC the NTZ cast preserves the stored micros, matching the
-    * DuckDB oracle's naive read of the same file. */
+  /** Temporal columns in the testdata contract, per table — the columns the
+    * parquet writer might re-encode between rounds. DateType is left as-is
+    * (date comparisons/truncs analyze fine and DuckDB reads the same file
+    * the same way); everything else converges on TimestampType. */
+  private val temporalCols: Map[String, Seq[String]] = Map(
+    "lineitem" -> Seq("l_shipdate", "l_commitdate", "l_receiptdate"),
+    "orders"   -> Seq("o_orderdate"),
+    "events"   -> Seq("ts"))
+
+  /** Normalize the named columns (those present) to TIMESTAMP_NTZ — the
+    * stored-column timestamp type (the wire server renders NTZ plain, like
+    * the reference renders stored columns; session-tz TimestampType is
+    * reserved for COMPUTED timestamptz values, which carry the +00:00
+    * suffix) — whatever the parquet writer emitted: long instants (unit
+    * sniffed by magnitude — nanos via nanosAsLong, or raw
+    * micros/millis/seconds int64), tz-tagged timestamps, or ISO strings.
+    * With the session tz pinned to UTC every branch preserves the stored
+    * micros, matching the DuckDB oracle's naive read of the same file. */
+  def normalizeTemporal(raw: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, timestamp_micros, to_timestamp}
+    import org.apache.spark.sql.types.{LongType, StringType, TimestampType}
+    cols.filter(raw.columns.contains).foldLeft(raw) { (df, c) =>
+      df.schema(c).dataType match {
+        case LongType =>
+          df.withColumn(c, timestamp_micros(longInstantMicros(df, c)).cast("timestamp_ntz"))
+        case TimestampType => df.withColumn(c, col(c).cast("timestamp_ntz"))
+        case StringType => df.withColumn(c, to_timestamp(col(c)).cast("timestamp_ntz"))
+        case _ => df // TIMESTAMP_NTZ / DateType: already the stored shape
+      }
+    }
+  }
+
+  /** Events-shaped frame for the STREAMING pipelines: normalize `ts` to
+    * session-tz TimestampType (their typed Datasets encode
+    * java.sql.Timestamp, which NTZ does not satisfy; under the UTC session
+    * the micros are identical either way). */
   def normalizeEventsTs(raw: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
-    raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+    raw.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        raw.withColumn("ts", timestamp_micros(longInstantMicros(raw, "ts")))
+      case Some(TimestampNTZType) => raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
+  }
+
+  /** Micros expression for a long-encoded instant column: the unit is
+    * sniffed from one row's magnitude (1970–2100 instants: seconds < 5e9 <
+    * millis < 5e12 < micros < 5e15 < nanos). A streaming frame can't be
+    * probed — there the only long source is nanosAsLong, so assume nanos. */
+  private def longInstantMicros(df: DataFrame, c: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{abs, col, expr}
+    val sample =
+      if (df.isStreaming) Long.MaxValue
+      else df.select(abs(col(c)).as("v")).filter(col("v").isNotNull)
+        .limit(1).collect().headOption.map(_.getLong(0)).getOrElse(0L)
+    if (sample >= 5000000000000000L) expr(s"$c div 1000")     // nanos
+    else if (sample >= 5000000000000L) col(c)                 // micros
+    else if (sample >= 5000000000L) expr(s"$c * 1000")        // millis
+    else expr(s"$c * 1000000")                                // seconds
   }
 
   /** Partitioning keys for the hot-cache layout: fact tables hash-cluster on
@@ -85,12 +135,19 @@ object Tables {
 
   def registerAll(spark: SparkSession, dir: String): Unit = synchronized {
     if (registeredDir != dir) {
+      // Each step degrades independently: a table the driver regenerated
+      // with an unreadable encoding (or a catalog view that fails analysis
+      // against it) costs the queries that touch it, not the whole round —
+      // an uncaught throw here once zeroed an entire correctness run.
+      def step(what: String)(body: => Unit): Unit =
+        try body catch { case e: Throwable =>
+          System.err.println(s"[tables] $what failed: ${e.getMessage}") }
       PgDialect.catalogEpoch.incrementAndGet()
-      names.foreach(n => df(spark, dir, n).createOrReplaceTempView(n))
-      PgFunctions.register(spark)
-      GraftExpressions.register(spark)
-      PgCatalog.noteDir(dir)
-      PgCatalog.register(spark)
+      names.foreach(n =>
+        step(s"register $n")(df(spark, dir, n).createOrReplaceTempView(n)))
+      step("functions")(PgFunctions.register(spark))
+      step("expressions")(GraftExpressions.register(spark))
+      step("pg_catalog") { PgCatalog.noteDir(dir); PgCatalog.register(spark) }
       registeredDir = dir
     }
   }

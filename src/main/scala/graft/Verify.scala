@@ -19,10 +19,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Register once up front (it is synchronized), then dump queries with a
-    // small inter-query pool — the shared scheduler interleaves their jobs,
-    // cutting the 160-query sweep's wall time well below sequential.
-    Tables.registerAll(spark, sfDir)
+    // Dump the oracle SQL FIRST: if anything later in this run dies, the
+    // driver still has the contract half of the compare instead of an
+    // empty correctness round.
+    writeOracleSql(outDir)
+    // Register once up front (it is synchronized; each step inside
+    // degrades independently), then dump queries with a small inter-query
+    // pool — the shared scheduler interleaves their jobs, cutting the
+    // 240-query sweep's wall time well below sequential.
+    try Tables.registerAll(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] registerAll failed: ${e.getMessage}") }
     val conc = sys.env.getOrElse("SPARK_GRAFT_VERIFY_CONC", "6").toInt
     val pool = java.util.concurrent.Executors.newFixedThreadPool(conc)
     val tasks = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -37,6 +44,10 @@ object Verify {
     }
     tasks.foreach(_.get())
     pool.shutdown()
+    spark.stop()
+  }
+
+  private def writeOracleSql(outDir: String): Unit = {
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -52,6 +63,5 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }

@@ -164,7 +164,10 @@ object EventOps {
       t(s, dir, "events")
         .select(col("user_id"), col("event_id"),
           round(col("value") * 100).cast("long").as("cents"),
-          unix_micros(col("ts")).as("t"))
+          // ts surfaces as NTZ (stored-column shape); unix_micros takes
+          // session-tz timestamps only — under the UTC session the cast
+          // preserves the stored micros exactly
+          unix_micros(col("ts").cast("timestamp")).as("t"))
         .withColumn("t_next", lead(col("t"), 1).over(w))
         .groupBy("user_id")
         .agg(sum(col("cents") * (col("t_next") - col("t"))).as("weighted"),

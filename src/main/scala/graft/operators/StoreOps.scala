@@ -304,6 +304,38 @@ object StoreOps {
         .orderBy("o_orderpriority")
     },
 
+    // Aggregate-rollup rewrite end-to-end: a matview holds per-(status,
+    // priority) aggregates; the dialect answers the coarser per-priority
+    // GROUP BY from the VIEW (RollupRewrite — PgDialectSpec asserts the
+    // rewrite really fires and that stale views never shadow live data).
+    // avg re-derives exactly from the view's hidden sum/count state. The
+    // oracle recomputes from the base table.
+    Q("st_rollup_rewrite", Some("""
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        CAST(sum(o_custkey) AS BIGINT) AS sum_cust, avg(o_custkey) AS avg_cust
+      FROM orders WHERE o_orderkey <= 6000
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-ru").toString
+      val store = new Store(s, wh)
+      store.replace("ru7_orders", t(s, dir, "orders")
+        .filter(col("o_orderkey") <= 6000)
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          col("o_custkey").cast("long").as("o_custkey")))
+      store.createMatview("ru7_mv", """SELECT o_orderstatus, o_orderpriority,
+        count(*) AS n_rows, sum(o_custkey) AS sum_c, avg(o_custkey) AS avg_c
+        FROM ru7_orders GROUP BY o_orderstatus, o_orderpriority""")
+      PgDialect.execute(s, store, """SELECT o_orderpriority,
+        count(*) AS n_orders, sum(o_custkey) AS sum_cust,
+        avg(o_custkey) AS avg_cust
+        FROM ru7_orders GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""") match {
+        case PgDialect.Rows(df, _) =>
+          df.select(col("o_orderpriority"), col("n_orders"),
+            col("sum_cust").cast("long").as("sum_cust"), col("avg_cust"))
+        case other => sys.error(s"expected rows, got $other")
+      }
+    },
+
     // REAL Iceberg v2 round-trip: publish the store table as a
     // spec-conformant Iceberg snapshot (metadata.json + Avro manifest tree,
     // sources/Iceberg.scala), then read it back planning the scan purely

@@ -167,7 +167,12 @@ object PgDialect {
       if (upper.contains("INFORMATION_SCHEMA"))
         PgCatalog.refreshInfoSchema(spark)
       val translated = applyPermissions(translateSelectCached(stmt), perms)
-      return Rows(retagJson(cachedPlan(spark, translated)), "SELECT")
+      // aggregate-rollup: a GROUP BY over a base table with a FRESH
+      // incremental matview answers from the view (RollupRewrite; the
+      // rewrite decision depends only on catalog state, which is part of
+      // the plan-cache key via catalogEpoch)
+      val finalSql = RollupRewrite(store, translated).getOrElse(translated)
+      return Rows(retagJson(cachedPlan(spark, finalSql)), "SELECT")
     }
     // EXPLAIN [ANALYZE|VERBOSE|(opts)] SELECT … -> Spark's formatted plan as
     // PG-style "QUERY PLAN" text rows (the reference delegates to DuckDB's

@@ -1,0 +1,159 @@
+package graft
+
+/** Aggregate-rollup rewrite: answer a GROUP BY query over a base table from
+  * a FRESH incrementally-maintained materialized view instead of the table
+  * itself (Calcite/Materialize-style aggregate navigation, conservative).
+  *
+  * A dashboard query `SELECT g, sum(x) FROM fact GROUP BY g` re-scans the
+  * fact table on every refresh; when an incremental matview already holds
+  * `GROUP BY g, h` aggregates of the same table, the identical answer rolls
+  * up from the view's few-thousand rows. At 100 TB this is the difference
+  * between a full fact scan and a broadcast-sized read — and freshness is
+  * free here because [[Store.incrementalRefresh]] keeps the view at the
+  * base's current version for O(changed files) per sync.
+  *
+  * Correct by construction, not by hope:
+  *  - only views that REFLECT THE BASE'S CURRENT VERSION qualify
+  *    ([[Store.rollupViews]]); a stale view never shadows live data,
+  *  - count/sum roll up additively; min/max roll up as min/max over the
+  *    view's per-group extrema; avg and stddev/variance re-derive from the
+  *    view's hidden sum/count/sumsq state columns (exact — a weighted
+  *    average of visible averages would not be),
+  *  - the WHERE clause may only reference the view's group columns (then it
+  *    commutes with the view's aggregation); anything else falls through to
+  *    the base-table plan — never a wrong answer, only a missed shortcut.
+  *
+  * Runs on the translated (Spark-dialect) SQL text, mirroring how the
+  * reference's remapper layer rewrites statements before the engine sees
+  * them; the relational work stays Catalyst's.
+  */
+object RollupRewrite {
+
+  /** Instrumentation for specs: how many statements were answered from a
+    * matview. */
+  private[graft] val rewrites = new java.util.concurrent.atomic.AtomicLong()
+
+  // reject outright: shapes whose semantics the rollup cannot preserve
+  private val unsupported =
+    "(?is).*\\b(JOIN|UNION|INTERSECT|EXCEPT|HAVING|DISTINCT|OVER|WINDOW|WITH|LATERAL|VALUES)\\b.*".r
+  private val shape =
+    ("(?is)\\s*SELECT\\s+(.*?)\\s+FROM\\s+([A-Za-z_]\\w*)" +
+      "(?:\\s+WHERE\\s+(.*?))?\\s+GROUP\\s+BY\\s+(.*?)" +
+      "(\\s+ORDER\\s+BY\\s+.*?)?(\\s+LIMIT\\s+\\d+)?\\s*;?\\s*").r
+
+  private val BareCol = "(?is)([A-Za-z_]\\w*)".r
+  private val CountStar = "(?is)count\\(\\s*\\*\\s*\\)(?:\\s+AS\\s+(\\w+))?".r
+  private val AggCol = "(?is)(sum|min|max|avg|stddev|stddev_samp|variance|var_samp)\\(\\s*([A-Za-z_]\\w*)\\s*\\)(?:\\s+AS\\s+(\\w+))?".r
+
+  // identifiers allowed in a WHERE clause besides the view's group columns
+  private val whereKeywords = Set(
+    "and", "or", "not", "in", "is", "null", "between", "like", "true",
+    "false", "cast", "as", "int", "integer", "bigint", "smallint", "double",
+    "float", "string", "varchar", "boolean", "decimal", "date", "timestamp")
+
+  /** Attempt the rewrite; None = leave the statement alone. */
+  def apply(store: Store, sql: String): Option[String] = {
+    if (unsupported.matches(sql)) return None
+    // exactly one SELECT (no subqueries anywhere)
+    if ("(?i)\\bSELECT\\b".r.findAllIn(sql).size != 1) return None
+    sql match {
+      case shape(selectList, base, whereRaw, groupRaw, orderTail, limitTail) =>
+        val groupCols = groupRaw.split(",").map(_.trim).toSeq
+        if (!groupCols.forall(g => g.matches("[A-Za-z_]\\w*"))) return None
+        val where = Option(whereRaw).map(_.trim).filter(_.nonEmpty)
+        val items = selectList.split(",").map(_.trim).toSeq
+        // an ORDER BY may only name select aliases / group columns — an
+        // aggregate expression in it would reference base columns the
+        // rewritten query no longer has
+        val aliases = items.flatMap {
+          case CountStar(a) => Option(a)
+          case AggCol(_, _, a) => Option(a)
+          case BareCol(c) => Some(c)
+          case _ => None
+        }.toSet
+        if (!orderRefsOnly(Option(orderTail), aliases ++ groupCols)) return None
+        // smallest qualifying view first: fewer rows to re-aggregate
+        store.rollupViews(base).sortBy(_.groupCols.size)
+          .flatMap { v =>
+            rewriteWith(v, items, groupCols, where)
+              .map(_ + Option(orderTail).getOrElse("") + Option(limitTail).getOrElse(""))
+          }
+          .headOption
+          .map { rewritten => rewrites.incrementAndGet(); rewritten }
+      case _ => None
+    }
+  }
+
+  private val orderKeywords =
+    Set("order", "by", "asc", "desc", "nulls", "first", "last")
+
+  private def orderRefsOnly(tail: Option[String], names: Set[String]): Boolean =
+    tail.forall { t =>
+      !t.contains("(") &&
+        "[A-Za-z_]\\w*".r.findAllIn(t).forall(id =>
+          names(id) || orderKeywords(id.toLowerCase))
+    }
+
+  private def rewriteWith(v: Store.RollupView, items: Seq[String],
+      groupCols: Seq[String], where: Option[String]): Option[String] = {
+    val viewGroups = v.groupCols.toSet
+    if (!groupCols.forall(viewGroups)) return None
+    if (!where.forall(w => whereRefsOnly(w, viewGroups))) return None
+    val selects = items.map {
+      case BareCol(c) if groupCols.contains(c) && viewGroups(c) => Some(c)
+      // aggregates must be explicitly aliased: an unaliased rewrite would
+      // surface the view's internal column names
+      case CountStar(alias) if alias != null =>
+        Some(s"sum(${v.countAlias}) AS $alias")
+      case AggCol(fn, c, alias) if alias != null =>
+        val out = s" AS $alias"
+        fn.toLowerCase match {
+          case "sum" => v.sums.get(c).map(a => s"sum($a)$out")
+          case "min" => v.mins.get(c).map(a => s"min($a)$out")
+          case "max" => v.maxs.get(c).map(a => s"max($a)$out")
+          case "avg" => v.avgs.get(c).map(a => avgSql(a) + out)
+          case "stddev" | "stddev_samp" =>
+            v.devs.get(c).collect { case (a, "stddev") => devSql(a, sqrt = true) + out }
+          case _ => // variance | var_samp
+            v.devs.get(c).collect { case (a, "variance") => devSql(a, sqrt = false) + out }
+        }
+      case _ => None
+    }
+    if (selects.exists(_.isEmpty)) return None
+    val wherePart = where.map(w => s" WHERE $w").getOrElse("")
+    // the companion __state view exposes the hidden sum/count/sumsq
+    // columns alongside the visible ones (Store.publish)
+    Some(s"SELECT ${selects.flatten.mkString(", ")} FROM ${v.view}__state$wherePart" +
+      s" GROUP BY ${groupCols.mkString(", ")}")
+  }
+
+  /** avg re-derived from hidden sum/count state: exact at any rollup
+    * granularity, NULL when the rolled-up group has no non-null rows
+    * (Spark's non-ANSI x/0 is NULL, matching avg-of-empty). */
+  private def avgSql(alias: String): String = {
+    val s = Store.avgSumAlias(alias); val c = Store.avgCntAlias(alias)
+    s"CAST(sum($s) AS DOUBLE) / CAST(sum($c) AS DOUBLE)"
+  }
+
+  /** Sample stddev/variance from hidden sum/count/sumsq state — the same
+    * formula [[Store]]'s ivmFinish applies, over the rolled-up sums. */
+  private def devSql(alias: String, sqrt: Boolean): String = {
+    val s = s"CAST(sum(${Store.avgSumAlias(alias)}) AS DOUBLE)"
+    val c = s"CAST(sum(${Store.avgCntAlias(alias)}) AS DOUBLE)"
+    val q = s"sum(${Store.devSqAlias(alias)})"
+    val variance = s"GREATEST(CAST(0 AS DOUBLE), ($q - $s * $s / $c) / ($c - 1.0))"
+    val body = if (sqrt) s"SQRT($variance)" else variance
+    s"CASE WHEN sum(${Store.avgCntAlias(alias)}) >= 2 THEN $body END"
+  }
+
+  /** Conservative identifier audit: every bare identifier in the WHERE text
+    * (string literals stripped) must be a view group column or a known SQL
+    * keyword; function calls (ident followed by `(`) disqualify. */
+  private def whereRefsOnly(w: String, groupCols: Set[String]): Boolean = {
+    val noStrings = w.replaceAll("'(?:[^']|'')*'", " ")
+    if ("(?s)[A-Za-z_]\\w*\\s*\\(".r.findFirstIn(noStrings).isDefined) return false
+    "[A-Za-z_]\\w*".r.findAllIn(noStrings).forall { id =>
+      groupCols(id) || whereKeywords(id.toLowerCase)
+    }
+  }
+}

@@ -861,8 +861,14 @@ class Store(spark: SparkSession, warehouse: String) {
     // exists there) — registering a temp view over it would shadow the
     // bucket layout AND go stale on the next bucketed replace
     if (!spark.sessionState.catalog.tableExists(
-        org.apache.spark.sql.catalyst.TableIdentifier(name)))
+        org.apache.spark.sql.catalyst.TableIdentifier(name))) {
       read(name).createOrReplaceTempView(name)
+      // an IVM view's hidden sum/count/sumsq state feeds the aggregate
+      // rollup rewriter; publish it under a companion name the public
+      // surface never lists (SELECT * on the view stays clean)
+      if (ivmViews.contains(name))
+        readRaw(name).createOrReplaceTempView(name + "__state")
+    }
 
   def createMatview(name: String, defn: String, withData: Boolean = true): Unit = {
     matviewDefs(name) = defn
@@ -970,9 +976,9 @@ class Store(spark: SparkSession, warehouse: String) {
   // overflow at scale). Visible columns are recomputed from the merged
   // state: avg = s/c (null at c=0); var_samp = (q - s²/c)/(c-1) clamped at
   // 0 against retraction float dust, null below two rows; stddev = sqrt.
-  private def avgSumAlias(a: String) = s"__ivm_s_$a"
-  private def avgCntAlias(a: String) = s"__ivm_c_$a"
-  private def devSqAlias(a: String) = s"__ivm_q_$a"
+  private def avgSumAlias(a: String) = Store.avgSumAlias(a)
+  private def avgCntAlias(a: String) = Store.avgCntAlias(a)
+  private def devSqAlias(a: String) = Store.devSqAlias(a)
   private def ivmHiddenCols(m: IvmMeta): Seq[String] =
     m.avgCols.flatMap { case (_, a) => Seq(avgSumAlias(a), avgCntAlias(a)) } ++
       m.devCols.flatMap { case (_, a, _) =>
@@ -1046,6 +1052,7 @@ class Store(spark: SparkSession, warehouse: String) {
     replace(view, ivmAggregate(read(base), meta, 1))
     ivmViews(view) = meta
     persistCatalog()
+    publish(view) // re-publish now that the IVM meta exists (companion state view)
   }
 
   /** Conservative additive-aggregate matcher for SQL matview definitions:
@@ -1215,4 +1222,34 @@ class Store(spark: SparkSession, warehouse: String) {
   /** Whether the last [[refreshMatview]] took the incremental path —
     * observability for specs. */
   @volatile private[graft] var lastRefreshIncremental: Boolean = false
+
+  /** The incrementally-maintained views over `base` that the aggregate
+    * rollup rewriter ([[RollupRewrite]]) may answer from: FRESH (the view
+    * reflects the base's current version — a stale view must never shadow
+    * live data) and unfiltered (a view-side WHERE would drop rows the
+    * query expects). Hidden avg/dev state columns are part of the
+    * published view, so coarser-granularity re-aggregation stays exact. */
+  def rollupViews(base: String): Seq[Store.RollupView] = ivmViews.toSeq.collect {
+    case (v, m) if m.base == base && m.where.isEmpty &&
+        versions.get(m.base).contains(m.reflected) =>
+      Store.RollupView(v, m.groupCols, m.countAlias,
+        m.sumCols.zip(m.sumAliases).toMap, m.minCols.toMap, m.maxCols.toMap,
+        m.avgCols.toMap, m.devCols.map { case (c, a, k) => c -> (a, k) }.toMap)
+  }
+}
+
+object Store {
+  // hidden IVM state column naming (shared with the rollup rewriter): per
+  // visible alias `a`, sum / non-null-count / sum-of-squares
+  private[graft] def avgSumAlias(a: String) = s"__ivm_s_$a"
+  private[graft] def avgCntAlias(a: String) = s"__ivm_c_$a"
+  private[graft] def devSqAlias(a: String) = s"__ivm_q_$a"
+
+  /** Catalog projection of one qualifying view for the rollup rewriter:
+    * aggregate source column -> the view's visible alias (devs also carry
+    * the kind, stddev|variance). */
+  case class RollupView(view: String, groupCols: Seq[String],
+      countAlias: String, sums: Map[String, String], mins: Map[String, String],
+      maxs: Map[String, String], avgs: Map[String, String],
+      devs: Map[String, (String, String)])
 }

@@ -638,4 +638,90 @@ class PgDialectSpec extends SparkSpecBase {
     assert(r.nonEmpty)
     assert(r.forall(_.getInt(1) > 90))
   }
+
+  test("aggregate rollup answers from a fresh incremental matview") {
+    import spark.implicits._
+    Tables.registerAll(spark, sfDir)
+    val sales = Seq(
+      ("east", "a", 10L, 2L), ("east", "a", 20L, 4L), ("east", "b", 5L, 1L),
+      ("west", "a", 7L, 3L), ("west", "b", 30L, 6L), ("west", "b", 1L, 5L)
+    ).toDF("region", "product", "amount", "qty")
+    store.replace("ru_sales", sales)
+    store.createMatview("ru_mv", """SELECT region, product,
+      count(*) AS n_rows, sum(amount) AS sum_amount, avg(qty) AS avg_qty
+      FROM ru_sales GROUP BY region, product""")
+    val q = """SELECT region, count(*) AS n, sum(amount) AS total,
+      avg(qty) AS aq FROM ru_sales GROUP BY region ORDER BY region"""
+    val r0 = RollupRewrite.rewrites.get
+    val got = rows(q)
+    assert(RollupRewrite.rewrites.get == r0 + 1, "rollup must fire")
+    assert(got.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))) ==
+      Seq(("east", 3L, 35L, 7.0 / 3), ("west", 3L, 38L, 14.0 / 3)))
+
+    // a stale view must NOT shadow live data: the un-refreshed query
+    // answers from the base (counter unchanged) and sees the new row
+    store.append("ru_sales", Seq(("east", "c", 100L, 10L)).toDF("region", "product", "amount", "qty"))
+    val r1 = RollupRewrite.rewrites.get
+    val stale = rows(q)
+    assert(RollupRewrite.rewrites.get == r1, "stale view must not rewrite")
+    assert(stale.find(_.getString(0) == "east").get.getLong(2) == 135L)
+    // after refresh the rollup fires again, same answer
+    store.refreshMatview("ru_mv")
+    val r2 = RollupRewrite.rewrites.get
+    val fresh = rows(q)
+    assert(RollupRewrite.rewrites.get == r2 + 1, "refreshed view must rewrite")
+    assert(fresh == stale)
+  }
+
+  test("rollup guards: predicate columns, derivability, order-by shape") {
+    import spark.implicits._
+    Tables.registerAll(spark, sfDir)
+    // WHERE on a group column commutes with the view's aggregation: fires
+    val qGrouped = """SELECT region, sum(amount) AS total FROM ru_sales
+      WHERE region = 'east' GROUP BY region"""
+    val r0 = RollupRewrite.rewrites.get
+    assert(rows(qGrouped).map(r => (r.getString(0), r.getLong(1))) ==
+      Seq(("east", 135L)))
+    assert(RollupRewrite.rewrites.get == r0 + 1)
+    // WHERE on a NON-group column cannot: falls through to the base
+    val r1 = RollupRewrite.rewrites.get
+    assert(rows("""SELECT region, count(*) AS n FROM ru_sales
+      WHERE amount > 5 GROUP BY region ORDER BY region""")
+      .map(r => (r.getString(0), r.getLong(1))) ==
+      Seq(("east", 3L), ("west", 2L)))
+    assert(RollupRewrite.rewrites.get == r1, "non-group predicate must not rewrite")
+    // an aggregate the view does not carry (min): falls through
+    val r2 = RollupRewrite.rewrites.get
+    assert(rows("""SELECT region, min(amount) AS lo FROM ru_sales
+      GROUP BY region ORDER BY region""")
+      .map(r => (r.getString(0), r.getLong(1))) ==
+      Seq(("east", 5L), ("west", 1L)))
+    assert(RollupRewrite.rewrites.get == r2, "undderivable aggregate must not rewrite")
+    // ORDER BY over an aggregate expression (not an alias): falls through
+    val r3 = RollupRewrite.rewrites.get
+    assert(rows("""SELECT region, sum(amount) AS total FROM ru_sales
+      GROUP BY region ORDER BY sum(amount) DESC""")
+      .map(r => (r.getString(0), r.getLong(1))) ==
+      Seq(("east", 135L), ("west", 38L)))
+    assert(RollupRewrite.rewrites.get == r3, "expression order-by must not rewrite")
+  }
+
+  test("rollup derives min/max and exact group match from a min/max view") {
+    import spark.implicits._
+    Tables.registerAll(spark, sfDir)
+    val obs = Seq(
+      ("s1", "2024", 5L), ("s1", "2024", 9L), ("s1", "2025", 2L),
+      ("s2", "2024", 7L), ("s2", "2025", 11L), ("s2", "2025", 3L)
+    ).toDF("station", "yr", "temp")
+    store.replace("ru_obs", obs)
+    store.createMatview("ru_obs_mv", """SELECT station, yr,
+      count(*) AS n_rows, min(temp) AS min_temp, max(temp) AS max_temp
+      FROM ru_obs GROUP BY station, yr""")
+    val r0 = RollupRewrite.rewrites.get
+    val got = rows("""SELECT station, min(temp) AS lo, max(temp) AS hi,
+      count(*) AS n FROM ru_obs GROUP BY station ORDER BY station""")
+    assert(RollupRewrite.rewrites.get == r0 + 1, "min/max rollup must fire")
+    assert(got.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))) ==
+      Seq(("s1", 2L, 9L, 3L), ("s2", 3L, 11L, 3L)))
+  }
 }

@@ -88,4 +88,38 @@ class RelationalSpec extends SparkSpecBase {
   test("entry smoke returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("temporal normalization converges every writer encoding on ntz") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val micros = 820454400000000L // 1996-01-01T00:00:00Z
+    val expect = java.time.LocalDateTime.of(1996, 1, 1, 0, 0)
+    def ntzOf(df: org.apache.spark.sql.DataFrame): java.time.LocalDateTime = {
+      val out = Tables.normalizeTemporal(df, Seq("d"))
+      assert(out.schema("d").dataType == TimestampNTZType)
+      out.select(col("d")).head.getAs[java.time.LocalDateTime](0)
+    }
+    assert(ntzOf(Seq(micros * 1000).toDF("d")) == expect, "long nanos")
+    assert(ntzOf(Seq(micros).toDF("d")) == expect, "long micros")
+    assert(ntzOf(Seq(micros / 1000).toDF("d")) == expect, "long millis")
+    assert(ntzOf(Seq(micros / 1000000).toDF("d")) == expect, "long seconds")
+    assert(ntzOf(Seq("1996-01-01 00:00:00").toDF("d")) == expect, "iso string")
+    assert(ntzOf(Seq(expect).toDF("d")) == expect, "ntz passthrough")
+    assert(ntzOf(Seq(java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(micros / 1000000))).toDF("d")) == expect,
+      "tz-tagged timestamp")
+    // DateType passes through untouched; absent columns are a no-op
+    val dated = Seq(java.sql.Date.valueOf("1996-01-01")).toDF("d")
+    assert(Tables.normalizeTemporal(dated, Seq("d")).schema("d").dataType ==
+      org.apache.spark.sql.types.DateType)
+    assert(Tables.normalizeTemporal(dated, Seq("absent")).columns.sameElements(Array("d")))
+    // the streaming variant converges on session-tz TimestampType instead
+    // (typed Dataset encoders take java.sql.Timestamp)
+    val fromNtz = Tables.normalizeEventsTs(Seq(expect).toDF("ts"))
+    assert(fromNtz.schema("ts").dataType == TimestampType)
+    assert(fromNtz.head.getTimestamp(0).toInstant.getEpochSecond == micros / 1000000)
+    val fromNanos = Tables.normalizeEventsTs(Seq(micros * 1000).toDF("ts"))
+    assert(fromNanos.schema("ts").dataType == TimestampType)
+    assert(fromNanos.head.getTimestamp(0).toInstant.getEpochSecond == micros / 1000000)
+  }
 }

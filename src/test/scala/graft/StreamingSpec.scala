@@ -56,7 +56,10 @@ class StreamingSpec extends SparkSpecBase {
     val batch = batchDf
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
-      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+      // batch tables surface ts as NTZ (stored-column shape); the stream
+      // side is session-tz TimestampType — same micros under UTC
+      .select(col("window.start").cast("timestamp").as("window_start"),
+        col("event_type"), col("n"))
       .orderBy("window_start", "event_type")
       .collect().toSeq
     assert(streamed.nonEmpty)
@@ -70,7 +73,8 @@ class StreamingSpec extends SparkSpecBase {
       .orderBy("user_id", "session_id")
       .collect().toSeq
     val batch = SparkEntry.queries("st_sessionize")(spark, sfDir)
-      .select("user_id", "session_id", "n_events", "session_start")
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("session_start").cast("timestamp").as("session_start"))
       .orderBy("user_id", "session_id")
       .collect().toSeq
     assert(streamed.nonEmpty)
@@ -82,8 +86,10 @@ class StreamingSpec extends SparkSpecBase {
       .select("user_id", "t_signup", "t_click", "t_purchase", "stage")
       .orderBy("user_id").collect().toSeq
     val batch = run("ev_funnel")
-      .select(col("user_id"), col("t_signup"), col("t_click"),
-        col("t_purchase"), col("stage").cast("int"))
+      .select(col("user_id"), col("t_signup").cast("timestamp").as("t_signup"),
+        col("t_click").cast("timestamp").as("t_click"),
+        col("t_purchase").cast("timestamp").as("t_purchase"),
+        col("stage").cast("int"))
       .orderBy("user_id").collect().toSeq
     assert(streamed.nonEmpty)
     assert(streamed == batch)
