@@ -304,6 +304,48 @@ object StoreOps {
         .orderBy("o_orderpriority")
     },
 
+    // Star-join incremental matview: the view aggregates fact ⋈ dims
+    // (orders ⋈ customer here); refresh diffs only the FACT table's files
+    // and joins the delta to the (unchanged) dims — O(changed fact files)
+    // across both the append and the delete below, since INNER equi-joins
+    // distribute over any partition of the fact rows. StoreSpec separately
+    // pins the incremental path, the dim-change full-rebuild fallback, and
+    // restart durability; the oracle recomputes the joined aggregate from
+    // scratch over the final state.
+    Q("st_ivm_join", Some("""
+      SELECT c_mktsegment, o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_orderkey <= 7000 AND o_orderkey NOT IN (51, 52, 53)
+      GROUP BY c_mktsegment, o_orderstatus
+      ORDER BY c_mktsegment, o_orderstatus""")) { (s, dir) =>
+      import s.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("graft-ivmj").toString
+      val store = new Store(s, wh)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_custkey")
+      store.replaceSorted("ivmj_orders",
+        orders.filter(col("o_orderkey") <= 5000), "o_orderkey", numFiles = 8)
+      store.replace("ivmj_customer",
+        t(s, dir, "customer").select("c_custkey", "c_mktsegment"))
+      store.createMatview("ivmj_agg", """SELECT c_mktsegment, o_orderstatus,
+        count(*) AS n_rows, sum(o_custkey) AS sum_cust
+        FROM ivmj_orders JOIN ivmj_customer
+          ON ivmj_orders.o_custkey = ivmj_customer.c_custkey
+        GROUP BY c_mktsegment, o_orderstatus""")
+      store.appendCompacting("ivmj_orders",
+        orders.filter(col("o_orderkey") > 5000 && col("o_orderkey") <= 7000),
+        maxFileBytes = 1L)
+      store.refreshMatview("ivmj_agg") // append: joined delta, incremental
+      store.deleteByKey("ivmj_orders", Seq(51L, 52L, 53L).toDF("o_orderkey"),
+        "o_orderkey")
+      store.refreshMatview("ivmj_agg") // delete: joined exact retraction
+      store.read("ivmj_agg")
+        .select(col("c_mktsegment"), col("o_orderstatus"), col("n_rows"),
+          col("sum_cust").cast("long").as("sum_cust"))
+        .orderBy("c_mktsegment", "o_orderstatus")
+    },
+
     // Aggregate-rollup rewrite end-to-end: a matview holds per-(status,
     // priority) aggregates; the dialect answers the coarser per-priority
     // GROUP BY from the VIEW (RollupRewrite — PgDialectSpec asserts the

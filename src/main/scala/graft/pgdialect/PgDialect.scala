@@ -170,8 +170,11 @@ object PgDialect {
       // aggregate-rollup: a GROUP BY over a base table with a FRESH
       // incremental matview answers from the view (RollupRewrite; the
       // rewrite decision depends only on catalog state, which is part of
-      // the plan-cache key via catalogEpoch)
-      val finalSql = RollupRewrite(store, translated).getOrElse(translated)
+      // the plan-cache key via catalogEpoch). Opt-in: a stale view is
+      // incrementally refreshed first and then answers.
+      val finalSql = RollupRewrite(store, translated,
+        autoRefresh = SessionSettings.get("graft.rollup_auto_refresh").contains("on"))
+        .getOrElse(translated)
       return Rows(retagJson(cachedPlan(spark, finalSql)), "SELECT")
     }
     // EXPLAIN [ANALYZE|VERBOSE|(opts)] SELECT … -> Spark's formatted plan as
@@ -184,7 +187,10 @@ object PgDialect {
         val analyze =
           "(?is)EXPLAIN\\s+(?:ANALYZE\\b|\\([^)]*\\bANALYZE\\b[^)]*\\))".r
             .findFirstIn(stmt).isDefined
-        val df = spark.sql(applyPermissions(translateSelect(inner.trim), perms))
+        // the plan a SELECT would actually run — including the rollup
+        // rewrite (no auto-refresh: EXPLAIN must not mutate)
+        val explainSql = applyPermissions(translateSelect(inner.trim), perms)
+        val df = spark.sql(RollupRewrite(store, explainSql).getOrElse(explainSql))
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
         val lines =
@@ -961,7 +967,7 @@ object PgDialect {
   }
 
   /** Split on depth-0 commas outside single quotes. */
-  private def splitTopLevel(s: String): Seq[String] = {
+  private[graft] def splitTopLevel(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val sb = new StringBuilder
     var depth = 0

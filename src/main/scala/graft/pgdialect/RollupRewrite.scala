@@ -51,8 +51,12 @@ object RollupRewrite {
     "false", "cast", "as", "int", "integer", "bigint", "smallint", "double",
     "float", "string", "varchar", "boolean", "decimal", "date", "timestamp")
 
-  /** Attempt the rewrite; None = leave the statement alone. */
-  def apply(store: Store, sql: String): Option[String] = {
+  /** Attempt the rewrite; None = leave the statement alone. With
+    * `autoRefresh` (SET graft.rollup_auto_refresh = on), a STALE matching
+    * view is first brought to the base's current version through the
+    * O(changed-files) incremental refresh and then answers — same result
+    * as the base by construction, without the fact-table scan. */
+  def apply(store: Store, sql: String, autoRefresh: Boolean = false): Option[String] = {
     if (unsupported.matches(sql)) return None
     // exactly one SELECT (no subqueries anywhere)
     if ("(?i)\\bSELECT\\b".r.findAllIn(sql).size != 1) return None
@@ -72,14 +76,22 @@ object RollupRewrite {
           case _ => None
         }.toSet
         if (!orderRefsOnly(Option(orderTail), aliases ++ groupCols)) return None
-        // smallest qualifying view first: fewer rows to re-aggregate
-        store.rollupViews(base).sortBy(_.groupCols.size)
-          .flatMap { v =>
-            rewriteWith(v, items, groupCols, where)
-              .map(_ + Option(orderTail).getOrElse("") + Option(limitTail).getOrElse(""))
+        def attempt(views: Seq[Store.RollupView]): Option[(Store.RollupView, String)] =
+          // smallest qualifying view first: fewer rows to re-aggregate
+          views.sortBy(_.groupCols.size).flatMap { v =>
+            rewriteWith(v, items, groupCols, where).map(v -> _)
+          }.headOption
+        attempt(store.rollupViews(base))
+          .orElse {
+            if (!autoRefresh) None
+            else attempt(store.staleRollupViews(base)).map { case (v, sql) =>
+              store.incrementalRefresh(v.view); (v, sql)
+            }
           }
-          .headOption
-          .map { rewritten => rewrites.incrementAndGet(); rewritten }
+          .map { case (_, rewritten) =>
+            rewrites.incrementAndGet()
+            rewritten + Option(orderTail).getOrElse("") + Option(limitTail).getOrElse("")
+          }
       case _ => None
     }
   }

@@ -45,7 +45,7 @@ import scala.jdk.CollectionConverters._
   *                    dropping overlap rows already present
   *                    (iceberg_table.go:93-117, syncer-amplitude/lib/syncer.go:43-72)
   */
-class Store(spark: SparkSession, warehouse: String) {
+class Store(spark: SparkSession, val warehouse: String) {
 
   private val hconf = spark.sessionState.newHadoopConf()
   private val fs: FileSystem = new HadoopPath(warehouse).getFileSystem(hconf)
@@ -73,7 +73,14 @@ class Store(spark: SparkSession, warehouse: String) {
       minCols: Seq[(String, String)] = Nil, maxCols: Seq[(String, String)] = Nil,
       avgCols: Seq[(String, String)] = Nil,
       devCols: Seq[(String, String, String)] = Nil, // (col, alias, stddev|variance)
-      where: Option[String] = None) // deterministic row filter (Spark SQL)
+      where: Option[String] = None, // deterministic row filter (Spark SQL)
+      // star-schema form: INNER equi-joins from the fact table (= base) to
+      // dim tables, (dim, qualified ON expr). The file diff runs on the
+      // FACT table; joins distribute over its file partition, so the delta
+      // is Δfact ⋈ dims as long as the dims are unchanged — dimVersions
+      // pins the dim versions the view reflects (mismatch → full rebuild).
+      joins: Seq[(String, String)] = Nil,
+      dimVersions: Map[String, Int] = Map.empty)
   private val ivmViews = TrieMap[String, IvmMeta]()
 
   /** Last-applied streaming batch id per stream key (checkpoint-scoped).
@@ -143,6 +150,13 @@ class Store(spark: SparkSession, warehouse: String) {
       o.put("avgs", m.avgCols.map { case (c, a) => s"$c:$a" }.mkString(","))
       o.put("devs", m.devCols.map { case (c, a, k) => s"$c:$a:$k" }.mkString(","))
       m.where.foreach(o.put("where", _))
+      if (m.joins.nonEmpty) {
+        val ja = o.putArray("joins")
+        m.joins.foreach { case (dim, on) =>
+          val jo = ja.addObject(); jo.put("dim", dim); jo.put("on", on) }
+        val dv = o.putObject("dimVersions")
+        m.dimVersions.toSeq.sortBy(_._1).foreach { case (d, v) => dv.put(d, v) }
+      }
     }
     val sb = rootNode.putObject("streamBatches")
     streamBatchIds.toSeq.sortBy(_._1).foreach { case (k, v) => sb.put(k, v) }
@@ -198,11 +212,16 @@ class Store(spark: SparkSession, warehouse: String) {
         val devs = Option(o.get("devs")).map(_.asText).getOrElse("")
           .split(",").toSeq.filter(_.count(_ == ':') == 2).map { kv =>
             val Array(c, a, k) = kv.split(":", 3); (c, a, k) }
+        val joins = Option(o.get("joins")).map(_.asScala.toSeq.map(j =>
+          (j.get("dim").asText, j.get("on").asText))).getOrElse(Nil)
+        val dimVersions = Option(o.get("dimVersions")).map(_.fields.asScala
+          .map(f => f.getKey -> f.getValue.asInt).toMap).getOrElse(Map.empty[String, Int])
         ivmViews(e.getKey) = IvmMeta(o.get("base").asText,
           cols("group"), cols("sums"), o.get("countAlias").asText,
           cols("sumAliases"), cols("outCols"), o.get("reflected").asInt,
           pairs("mins"), pairs("maxs"), pairs("avgs"), devs,
-          Option(o.get("where")).map(_.asText).filter(_.nonEmpty))
+          Option(o.get("where")).map(_.asText).filter(_.nonEmpty),
+          joins, dimVersions)
       })
       Option(rootNode.get("streamBatches")).foreach(_.fields.asScala.foreach(e =>
         streamBatchIds(e.getKey) = e.getValue.asLong))
@@ -880,7 +899,7 @@ class Store(spark: SparkSession, warehouse: String) {
     val metaOpt = if (withData) ivmMetaFromDefn(defn, 0) else None
     metaOpt match {
       case Some(m) if m.avgCols.nonEmpty || m.devCols.nonEmpty =>
-        replace(name, ivmAggregate(read(m.base), m, 1))
+        replace(name, ivmAggregate(ivmJoined(read(m.base), m), m, 1))
       case _ if withData => replace(name, spark.sql(defn))
       case _ => replace(name, spark.sql(defn).limit(0))
     }
@@ -907,7 +926,7 @@ class Store(spark: SparkSession, warehouse: String) {
         val metaOpt = ivmMetaFromDefn(defn, 0)
         metaOpt match {
           case Some(m) if exists(m.base) && (m.avgCols.nonEmpty || m.devCols.nonEmpty) =>
-            replace(name, ivmAggregate(read(m.base), m, 1))
+            replace(name, ivmAggregate(ivmJoined(read(m.base), m), m, 1))
           case _ => replace(name, spark.sql(defn))
         }
         metaOpt.filter(m => exists(m.base)).foreach { m =>
@@ -1002,6 +1021,17 @@ class Store(spark: SparkSession, warehouse: String) {
     withDevs.select((m.outCols ++ ivmHiddenCols(m)).map(col): _*)
   }
 
+  /** The view's input frame for a given fact frame: the fact rows joined
+    * to the (current) dim tables for star-schema views, the fact rows
+    * themselves otherwise. INNER equi-joins distribute over any partition
+    * of the fact rows, which is what makes the file-diff delta exact while
+    * the dims are unchanged. Dims are broadcast-sized by assumption (the
+    * star shape); Spark's own size estimate picks the broadcast join. */
+  private def ivmJoined(factDf: DataFrame, m: IvmMeta): DataFrame =
+    m.joins.foldLeft(factDf.as(m.base)) { case (df, (dim, on)) =>
+      df.join(read(dim).as(dim), expr(on))
+    }
+
   private def ivmAggregate(df0: DataFrame, m: IvmMeta, sign: Int): DataFrame = {
     // a row-level WHERE commutes with the version-dir file diff: filtering
     // each added/removed file before aggregation is exactly filtering the
@@ -1049,7 +1079,7 @@ class Store(spark: SparkSession, warehouse: String) {
       groupCols ++ ("n_rows" +: sumAliases) ++ avgAliases ++ devCols.map(_._2),
       versions(base),
       avgCols = avgCols.zip(avgAliases), devCols = devCols, where = where)
-    replace(view, ivmAggregate(read(base), meta, 1))
+    replace(view, ivmAggregate(ivmJoined(read(base), meta), meta, 1))
     ivmViews(view) = meta
     persistCatalog()
     publish(view) // re-publish now that the IVM meta exists (companion state view)
@@ -1071,15 +1101,38 @@ class Store(spark: SparkSession, warehouse: String) {
 
   private def ivmMetaFromDefn(defn: String, baseVersion: Int): Option[IvmMeta] = {
     val sql = defn.trim.stripSuffix(";")
-    if ("(?is).*\\b(JOIN|HAVING|LIMIT|ORDER|DISTINCT|UNION|OVER|WINDOW)\\b.*".r
+    // INNER equi-joins to dims are maintainable (star shape, see ivmJoined);
+    // every other join flavor and non-additive construct falls back to the
+    // full-recompute path — never a wrong answer
+    if (("(?is).*\\b(HAVING|LIMIT|ORDER|DISTINCT|UNION|OVER|WINDOW" +
+        "|LEFT|RIGHT|FULL|CROSS|OUTER|SEMI|ANTI|USING|LATERAL)\\b.*").r
         .matches(sql)) return None
-    val shape = "(?is)\\s*SELECT\\s+(.*?)\\s+FROM\\s+(\\w+)(?:\\s+WHERE\\s+(.+?))?\\s+GROUP\\s+BY\\s+(.*?)\\s*".r
+    val shape = ("(?is)\\s*SELECT\\s+(.*?)\\s+FROM\\s+(\\w+)" +
+      "((?:\\s+(?:INNER\\s+)?JOIN\\s+\\w+\\s+ON\\s+\\w+\\.\\w+\\s*=\\s*\\w+\\.\\w+)*)" +
+      "(?:\\s+WHERE\\s+(.+?))?\\s+GROUP\\s+BY\\s+(.*?)\\s*").r
+    val joinRe = "(?is)JOIN\\s+(\\w+)\\s+ON\\s+(\\w+\\.\\w+\\s*=\\s*\\w+\\.\\w+)".r
     sql match {
-      case shape(selectList, base, whereRaw, groupList) if exists(base) =>
-        // a single-table row filter commutes with the file diff (each
-        // added/removed file is filtered before aggregation), so WHERE is
-        // incrementally maintainable as long as it is deterministic and
-        // subquery-free; anything else falls back to full recompute
+      case shape(selectList, base, joinsRaw, whereRaw, groupList) if exists(base) =>
+        val joins = joinRe.findAllMatchIn(Option(joinsRaw).getOrElse(""))
+          .map(m2 => (m2.group(1), m2.group(2))).toSeq
+        // dims must exist, be distinct, differ from the fact table, and
+        // each ON side must reference already-introduced tables
+        if (joins.nonEmpty) {
+          val names = base +: joins.map(_._1)
+          if (names.distinct.size != names.size) return None
+          if (!joins.forall(j => exists(j._1))) return None
+          val introduced = scala.collection.mutable.Set(base)
+          for ((dim, on) <- joins) {
+            val refs = "(\\w+)\\.\\w+".r.findAllMatchIn(on).map(_.group(1)).toSeq
+            if (refs.size != 2 || !refs.contains(dim) ||
+                !refs.forall(t => t == dim || introduced(t))) return None
+            introduced += dim
+          }
+        }
+        // a row filter commutes with the fact-table file diff (each
+        // added/removed file is filtered — post-join for star views — before
+        // aggregation), so WHERE is incrementally maintainable as long as
+        // it is deterministic and subquery-free
         val where = Option(whereRaw).map(_.trim).filter(_.nonEmpty)
         if (where.exists(w => !deterministicWhere(w))) return None
         val groupBy = groupList.split(",").map(_.trim).toSeq
@@ -1134,7 +1187,8 @@ class Store(spark: SparkSession, warehouse: String) {
         }
         if (groups.sorted != groupBy.sorted || counts.size != 1) None
         else Some(IvmMeta(base, groupBy, sums.map(_._1), counts.head,
-          sums.map(_._2), outCols, baseVersion, mins, maxs, avgs, devs, where))
+          sums.map(_._2), outCols, baseVersion, mins, maxs, avgs, devs, where,
+          joins, joins.map(j => j._1 -> versions(j._1)).toMap))
       case _ => None
     }
   }
@@ -1165,12 +1219,24 @@ class Store(spark: SparkSession, warehouse: String) {
     val meta = ivmViews.getOrElse(view,
       throw new IllegalArgumentException(s"$view is not an incremental matview"))
     val curV = versions(meta.base)
+    def curDimVersions: Map[String, Int] =
+      meta.joins.map { case (d, _) => d -> versions.getOrElse(d, -1) }.toMap
+    def reflectedMeta: IvmMeta =
+      meta.copy(reflected = curV, dimVersions = curDimVersions)
     val newFiles = dataFilesRelative(versionPath(meta.base, curV))
+    // a changed DIM invalidates every joined row, not just changed fact
+    // files — the delta algebra only holds for static dims, so rebuild
+    if (meta.joins.nonEmpty && curDimVersions != meta.dimVersions) {
+      replace(view, ivmAggregate(ivmJoined(read(meta.base), meta), meta, 1))
+      ivmViews(view) = reflectedMeta
+      persistCatalog()
+      return (newFiles.size, newFiles.size)
+    }
     if (curV == meta.reflected) return (0, newFiles.size)
     val oldDir = versionPath(meta.base, meta.reflected)
     if (!fs.exists(oldDir)) { // reflected version expired -> full rebuild
-      replace(view, ivmAggregate(read(meta.base), meta, 1))
-      ivmViews(view) = meta.copy(reflected = curV)
+      replace(view, ivmAggregate(ivmJoined(read(meta.base), meta), meta, 1))
+      ivmViews(view) = reflectedMeta
       persistCatalog()
       return (newFiles.size, newFiles.size)
     }
@@ -1183,8 +1249,8 @@ class Store(spark: SparkSession, warehouse: String) {
     // (append-only refreshes — the common incremental-sync case — stay
     // O(new files)); count/sum retract exactly with sign -1
     if (removed.nonEmpty && (meta.minCols.nonEmpty || meta.maxCols.nonEmpty)) {
-      replace(view, ivmAggregate(read(meta.base), meta, 1))
-      ivmViews(view) = meta.copy(reflected = curV)
+      replace(view, ivmAggregate(ivmJoined(read(meta.base), meta), meta, 1))
+      ivmViews(view) = reflectedMeta
       persistCatalog()
       return (newFiles.size, newFiles.size)
     }
@@ -1194,9 +1260,9 @@ class Store(spark: SparkSession, warehouse: String) {
     // leaf-file read would null it out of the aggregation
     def deltaAgg(paths: Seq[String], dir: HadoopPath, sign: Int): Option[DataFrame] =
       if (paths.isEmpty) None
-      else Some(ivmAggregate(
+      else Some(ivmAggregate(ivmJoined(
         spark.read.option("basePath", fs.makeQualified(dir).toString)
-          .schema(schema).parquet(paths: _*),
+          .schema(schema).parquet(paths: _*), meta),
         meta, sign))
     val deltas = Seq(
       deltaAgg(added, versionPath(meta.base, curV), 1),
@@ -1214,7 +1280,7 @@ class Store(spark: SparkSession, warehouse: String) {
           .filter(col(meta.countAlias) > 0), meta)
       replace(view, merged)
     }
-    ivmViews(view) = meta.copy(reflected = curV)
+    ivmViews(view) = reflectedMeta
     persistCatalog()
     (added.size + removed.size, newFiles.size)
   }
@@ -1229,13 +1295,22 @@ class Store(spark: SparkSession, warehouse: String) {
     * live data) and unfiltered (a view-side WHERE would drop rows the
     * query expects). Hidden avg/dev state columns are part of the
     * published view, so coarser-granularity re-aggregation stays exact. */
-  def rollupViews(base: String): Seq[Store.RollupView] = ivmViews.toSeq.collect {
-    case (v, m) if m.base == base && m.where.isEmpty &&
-        versions.get(m.base).contains(m.reflected) =>
-      Store.RollupView(v, m.groupCols, m.countAlias,
-        m.sumCols.zip(m.sumAliases).toMap, m.minCols.toMap, m.maxCols.toMap,
-        m.avgCols.toMap, m.devCols.map { case (c, a, k) => c -> (a, k) }.toMap)
-  }
+  def rollupViews(base: String): Seq[Store.RollupView] =
+    rollupProjection(base, fresh = true)
+
+  /** Qualifying-but-STALE views — the rewriter's opt-in auto-refresh path
+    * brings one up to date (O(changed files)) and then answers from it. */
+  def staleRollupViews(base: String): Seq[Store.RollupView] =
+    rollupProjection(base, fresh = false)
+
+  private def rollupProjection(base: String, fresh: Boolean): Seq[Store.RollupView] =
+    ivmViews.toSeq.collect {
+      case (v, m) if m.base == base && m.where.isEmpty && m.joins.isEmpty &&
+          versions.get(m.base).contains(m.reflected) == fresh =>
+        Store.RollupView(v, m.groupCols, m.countAlias,
+          m.sumCols.zip(m.sumAliases).toMap, m.minCols.toMap, m.maxCols.toMap,
+          m.avgCols.toMap, m.devCols.map { case (c, a, k) => c -> (a, k) }.toMap)
+    }
 }
 
 object Store {

@@ -111,7 +111,7 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
           tpe.toChar match {
             case 'Q' =>
               val sql = new String(body, 0, body.length - 1, UTF_8) // NUL-terminated
-              runQuery(out, sql, cursors)
+              runQuery(out, sql, cursors, statements)
               readyForQuery(out)
             case 'P' if !errorSkip => // Parse
               try {
@@ -439,13 +439,66 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
   private val fetchRe =
     "(?is)^(FETCH|MOVE)\\s+(?:FORWARD\\s+)?(ALL\\b|\\d+)?\\s*(?:FROM\\s+|IN\\s+)?(\"[^\"]+\"|[\\w$]+)$".r
   private val closeRe = "(?is)^CLOSE\\s+(ALL\\b|\"[^\"]+\"|[\\w$]+)$".r
+  // SQL-level prepared statements (PREPARE / EXECUTE / DEALLOCATE — the
+  // psql-side twins of the extended protocol's Parse/Bind/Close, sharing
+  // the same per-connection statement map)
+  private val prepareRe =
+    "(?is)^PREPARE\\s+(\"[^\"]+\"|[\\w$]+)\\s*(?:\\(([^)]*)\\))?\\s+AS\\s+(.*)$".r
+  private val executeRe =
+    "(?is)^EXECUTE\\s+(\"[^\"]+\"|[\\w$]+)\\s*(?:\\((.*)\\))?\\s*$".r
+  private val deallocRe =
+    "(?is)^DEALLOCATE\\s+(?:PREPARE\\s+)?(ALL\\b|\"[^\"]+\"|[\\w$]+)\\s*$".r
 
   private def unq(n: String): String =
     if (n.startsWith("\"")) n.stripPrefix("\"").stripSuffix("\"") else n.toLowerCase
 
-  /** DECLARE / FETCH / MOVE / CLOSE against the per-connection cursor map;
-    * None when the statement is not cursor syntax. */
+  /** DECLARE / FETCH / MOVE / CLOSE against the per-connection cursor map,
+    * and PREPARE / EXECUTE / DEALLOCATE against the per-connection
+    * statement map; false when the statement is neither. */
   private def cursorStatement(out: DataOutputStream, stmt: String,
+      cursors: scala.collection.mutable.Map[String, Portal],
+      statements: scala.collection.mutable.Map[String, String] =
+        scala.collection.mutable.Map.empty): Boolean = stmt.trim match {
+    case prepareRe(name, _, query) =>
+      if (statements.contains(unq(name)))
+        throw PgDialect.UnsupportedQuery(
+          s"""prepared statement "${unq(name)}" already exists""")
+      statements(unq(name)) = query
+      commandComplete(out, "PREPARE")
+      true
+    case executeRe(name, argsRaw) =>
+      val query = statements.getOrElse(unq(name),
+        throw PgDialect.UnsupportedQuery(
+          s"""prepared statement "${unq(name)}" does not exist"""))
+      // EXECUTE arguments are SQL literals; decode to the text values
+      // substituteParams expects (it re-quotes strings itself)
+      val args = Option(argsRaw).map(PgDialect.splitTopLevel(_).map(_.trim))
+        .getOrElse(Nil).map {
+          case a if a.equalsIgnoreCase("NULL") => null
+          case a if a.startsWith("'") && a.endsWith("'") && a.length >= 2 =>
+            a.substring(1, a.length - 1).replace("''", "'")
+          case a => a
+        }
+      PgDialect.execute(spark, store, substituteParams(query, args)) match {
+        case PgDialect.Rows(df, _) => sendRows(out, df)
+        case PgDialect.CopyOut(df, csv, header) => sendCopyOut(out, df, csv, header)
+        case PgDialect.Command(tag) => commandComplete(out, tag)
+        case PgDialect.Empty => msg(out, 'I') { _ => }
+      }
+      true
+    case deallocRe(name) =>
+      if (name.equalsIgnoreCase("ALL")) { statements.clear(); commandComplete(out, "DEALLOCATE ALL") }
+      else {
+        if (statements.remove(unq(name)).isEmpty)
+          throw PgDialect.UnsupportedQuery(
+            s"""prepared statement "${unq(name)}" does not exist""")
+        commandComplete(out, "DEALLOCATE")
+      }
+      true
+    case _ => cursorOnlyStatement(out, stmt, cursors)
+  }
+
+  private def cursorOnlyStatement(out: DataOutputStream, stmt: String,
       cursors: scala.collection.mutable.Map[String, Portal]): Boolean = stmt.trim match {
     case declareRe(name, query) =>
       val df = PgDialect.cachedPlan(spark, PgDialect.translateSelectCached(query))
@@ -480,12 +533,14 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
 
   private def runQuery(out: DataOutputStream, sql: String,
       cursors: scala.collection.mutable.Map[String, Portal] =
+        scala.collection.mutable.Map.empty,
+      statements: scala.collection.mutable.Map[String, String] =
         scala.collection.mutable.Map.empty): Unit =
     try {
       val stmts = PgDialect.splitStatements(sql)
       if (stmts.isEmpty) msg(out, 'I') { _ => } // EmptyQueryResponse
       else stmts.foreach { stmt =>
-        if (!cursorStatement(out, stmt, cursors))
+        if (!cursorStatement(out, stmt, cursors, statements))
           PgDialect.execute(spark, store, stmt) match {
             case PgDialect.Rows(df, _) => sendRows(out, df)
             case PgDialect.CopyOut(df, csv, header) => sendCopyOut(out, df, csv, header)

@@ -724,4 +724,26 @@ class PgDialectSpec extends SparkSpecBase {
     assert(got.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))) ==
       Seq(("s1", 2L, 9L, 3L), ("s2", 3L, 11L, 3L)))
   }
+
+  test("rollup auto-refresh brings a stale view current, then answers from it") {
+    import spark.implicits._
+    Tables.registerAll(spark, sfDir)
+    store.append("ru_obs", Seq(("s1", "2026", 20L)).toDF("station", "yr", "temp"))
+    val q = """SELECT station, max(temp) AS hi, count(*) AS n FROM ru_obs
+      GROUP BY station ORDER BY station"""
+    val expect = Seq(("s1", 20L, 4L), ("s2", 11L, 3L))
+    // default off: the stale view is skipped, the base answers
+    val r0 = RollupRewrite.rewrites.get
+    assert(rows(q).map(r => (r.getString(0), r.getLong(1), r.getLong(2))) == expect)
+    assert(RollupRewrite.rewrites.get == r0)
+    assert(store.rollupViews("ru_obs").isEmpty && store.staleRollupViews("ru_obs").nonEmpty)
+    // opted in: the view refreshes incrementally and serves the same rows
+    PgDialect.execute(spark, store, "SET graft.rollup_auto_refresh = on")
+    try {
+      val r1 = RollupRewrite.rewrites.get
+      assert(rows(q).map(r => (r.getString(0), r.getLong(1), r.getLong(2))) == expect)
+      assert(RollupRewrite.rewrites.get == r1 + 1, "auto-refresh rollup must fire")
+      assert(store.rollupViews("ru_obs").nonEmpty, "view must now be fresh")
+    } finally PgDialect.execute(spark, store, "RESET graft.rollup_auto_refresh")
+  }
 }

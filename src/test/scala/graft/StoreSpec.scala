@@ -663,4 +663,60 @@ class StoreSpec extends SparkSpecBase {
     st2.drop("synced_tbl")
     intercept[Exception] { spark.sql("SELECT 1 FROM synced_tbl").collect() }
   }
+
+  test("star-join matviews maintain from fact-file diffs while dims hold") {
+    import spark.implicits._
+    val st = freshStore()
+    def facts(r: Range) = r.map(k =>
+      (k.toLong, k.toLong % 7, k.toLong % 5, k.toLong * 2)).toDF("k", "cust", "prod", "amt")
+    st.appendCompacting("jfact", facts(1 to 300), maxFileBytes = 1L)
+    st.replace("jcust", (0L to 6L).map(c => (c, s"region${c % 3}")).toDF("c_id", "region"))
+    st.replace("jprod", (0L to 4L).map(p => (p, s"cat${p % 2}")).toDF("p_id", "cat"))
+    st.createMatview("jagg", """SELECT region, cat, count(*) AS n_rows,
+      sum(amt) AS sum_amt, avg(amt) AS avg_amt
+      FROM jfact JOIN jcust ON jfact.cust = jcust.c_id
+      JOIN jprod ON jfact.prod = jprod.p_id
+      WHERE cat <> 'cat9' GROUP BY region, cat""")
+    def fullRecompute(s: Store = st) = s.read("jfact").as("jfact")
+      .join(s.read("jcust").as("jcust"), expr("jfact.cust = jcust.c_id"))
+      .join(s.read("jprod").as("jprod"), expr("jfact.prod = jprod.p_id"))
+      .filter("cat <> 'cat9'")
+      .groupBy("region", "cat")
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum($"amt").as("sum_amt"), avg($"amt").as("avg_amt"))
+    def check() = assert(
+      st.read("jagg").orderBy("region", "cat").collect().toSeq ==
+        fullRecompute().orderBy("region", "cat").collect().toSeq)
+    check()
+    // append-only fact refresh: incremental, O(new fact files)
+    st.appendCompacting("jfact", facts(301 to 360), maxFileBytes = 1L)
+    st.refreshMatview("jagg")
+    assert(st.lastRefreshIncremental, "star defn must take the IVM path")
+    check()
+    // fact delete: exact retraction through the joined delta (keys within
+    // one file's range, so the diff touches that file, not the table)
+    st.deleteByKey("jfact", Seq(3L, 5L, 77L).toDF("k"), "k")
+    val (readN, totalN) = st.incrementalRefresh("jagg")
+    assert(readN > 0 && readN < totalN,
+      s"fact delete should stay incremental: read $readN of $totalN")
+    check()
+    // a DIM change invalidates joined rows everywhere: full rebuild, still
+    // correct, and the next fact-only refresh is incremental again
+    st.upsert("jcust", Seq((2L, "region9")).toDF("c_id", "region"), "c_id")
+    val (readAll, totalAll) = st.incrementalRefresh("jagg")
+    assert(readAll == totalAll, "dim change must force a full rebuild")
+    check()
+    st.appendCompacting("jfact", facts(361 to 380), maxFileBytes = 1L)
+    st.refreshMatview("jagg")
+    assert(st.lastRefreshIncremental, "fact-only refresh incremental after dim rebuild")
+    check()
+    // durability: a fresh store instance restores the join meta and keeps
+    // maintaining incrementally
+    val st2 = new Store(spark, st.warehouse)
+    st2.appendCompacting("jfact", facts(381 to 400), maxFileBytes = 1L)
+    st2.refreshMatview("jagg")
+    assert(st2.lastRefreshIncremental, "restored join meta must stay incremental")
+    assert(st2.read("jagg").orderBy("region", "cat").collect().toSeq ==
+      fullRecompute(st2).orderBy("region", "cat").collect().toSeq)
+  }
 }

@@ -684,6 +684,30 @@ class WireSpec extends SparkSpecBase {
     c.close()
   }
 
+  test("sql-level PREPARE / EXECUTE / DEALLOCATE share the statement map") {
+    val c = new Client(server._2); c.startup()
+    def tag(ms: Seq[(Char, Array[Byte])]): String =
+      new String(ms.find(_._1 == 'C').get._2, UTF_8).stripSuffix("\u0000")
+    assert(tag(c.query(
+      "PREPARE nat (int, text) AS SELECT n_name FROM nation WHERE n_nationkey = $1 OR n_name = $2"))
+      == "PREPARE")
+    val r1 = c.query("EXECUTE nat(3, 'NATION_7')")
+    assert(r1.filter(_._1 == 'D').map(m => dataRowValues(m._2).head).sorted
+      == Seq("NATION_3", "NATION_7"))
+    // string literal with an embedded quote survives the round trip
+    assert(tag(c.query("PREPARE one AS SELECT $1 AS v")) == "PREPARE")
+    val r2 = c.query("EXECUTE one('it''s')")
+    assert(r2.filter(_._1 == 'D').map(m => dataRowValues(m._2).head) == Seq("it's"))
+    // duplicate name errors like PG; DEALLOCATE frees it
+    assert(c.query("PREPARE one AS SELECT 2 AS v").exists(_._1 == 'E'))
+    assert(tag(c.query("DEALLOCATE one")) == "DEALLOCATE")
+    assert(tag(c.query("PREPARE one AS SELECT 2 AS v")) == "PREPARE")
+    // DEALLOCATE ALL clears; executing a freed statement errors
+    assert(tag(c.query("DEALLOCATE ALL")) == "DEALLOCATE ALL")
+    assert(c.query("EXECUTE nat(1, 'x')").exists(_._1 == 'E'))
+    c.close()
+  }
+
   test("a synced store table is queryable over the wire and in pg_tables") {
     import spark.implicits._
     val port = server._2
