@@ -34,12 +34,24 @@ object RollupRewrite {
   private[graft] val rewrites = new java.util.concurrent.atomic.AtomicLong()
 
   // reject outright: shapes whose semantics the rollup cannot preserve
+  // (INNER equi-join chains are handled — they can match a star view)
   private val unsupported =
-    "(?is).*\\b(JOIN|UNION|INTERSECT|EXCEPT|HAVING|DISTINCT|OVER|WINDOW|WITH|LATERAL|VALUES)\\b.*".r
+    ("(?is).*\\b(UNION|INTERSECT|EXCEPT|HAVING|DISTINCT|OVER|WINDOW|WITH" +
+      "|LATERAL|VALUES|LEFT|RIGHT|FULL|CROSS|OUTER|SEMI|ANTI|USING)\\b.*").r
   private val shape =
     ("(?is)\\s*SELECT\\s+(.*?)\\s+FROM\\s+([A-Za-z_]\\w*)" +
+      "((?:\\s+(?:INNER\\s+)?JOIN\\s+\\w+\\s+ON\\s+\\w+\\.\\w+\\s*=\\s*\\w+\\.\\w+)*)" +
       "(?:\\s+WHERE\\s+(.*?))?\\s+GROUP\\s+BY\\s+(.*?)" +
       "(\\s+ORDER\\s+BY\\s+.*?)?(\\s+LIMIT\\s+\\d+)?\\s*;?\\s*").r
+  private val joinRe =
+    "(?is)JOIN\\s+(\\w+)\\s+ON\\s+(\\w+\\.\\w+)\\s*=\\s*(\\w+\\.\\w+)".r
+
+  /** Canonical form of a join set: (dim, sorted ON sides), order-free. */
+  private def joinKey(joins: Seq[(String, String)]): Set[(String, String)] =
+    joins.map { case (dim, on) =>
+      val sides = on.toLowerCase.split("=").map(_.trim).sorted
+      (dim.toLowerCase, sides.mkString("="))
+    }.toSet
 
   private val BareCol = "(?is)([A-Za-z_]\\w*)".r
   private val CountStar = "(?is)count\\(\\s*\\*\\s*\\)(?:\\s+AS\\s+(\\w+))?".r
@@ -61,7 +73,9 @@ object RollupRewrite {
     // exactly one SELECT (no subqueries anywhere)
     if ("(?i)\\bSELECT\\b".r.findAllIn(sql).size != 1) return None
     sql match {
-      case shape(selectList, base, whereRaw, groupRaw, orderTail, limitTail) =>
+      case shape(selectList, base, joinsRaw, whereRaw, groupRaw, orderTail, limitTail) =>
+        val queryJoins = joinRe.findAllMatchIn(Option(joinsRaw).getOrElse(""))
+          .map(m => (m.group(1), s"${m.group(2)} = ${m.group(3)}")).toSeq
         val groupCols = groupRaw.split(",").map(_.trim).toSeq
         if (!groupCols.forall(g => g.matches("[A-Za-z_]\\w*"))) return None
         val where = Option(whereRaw).map(_.trim).filter(_.nonEmpty)
@@ -76,11 +90,15 @@ object RollupRewrite {
           case _ => None
         }.toSet
         if (!orderRefsOnly(Option(orderTail), aliases ++ groupCols)) return None
+        val qKey = joinKey(queryJoins)
         def attempt(views: Seq[Store.RollupView]): Option[(Store.RollupView, String)] =
-          // smallest qualifying view first: fewer rows to re-aggregate
-          views.sortBy(_.groupCols.size).flatMap { v =>
-            rewriteWith(v, items, groupCols, where).map(v -> _)
-          }.headOption
+          // the view must aggregate the SAME joined relation (identical
+          // dim set and ON conditions — a differing join changes row
+          // multiplicity); then smallest group set first
+          views.filter(v => joinKey(v.joins) == qKey)
+            .sortBy(_.groupCols.size).flatMap { v =>
+              rewriteWith(v, items, groupCols, where).map(v -> _)
+            }.headOption
         attempt(store.rollupViews(base))
           .orElse {
             if (!autoRefresh) None

@@ -1305,11 +1305,16 @@ class Store(spark: SparkSession, val warehouse: String) {
 
   private def rollupProjection(base: String, fresh: Boolean): Seq[Store.RollupView] =
     ivmViews.toSeq.collect {
-      case (v, m) if m.base == base && m.where.isEmpty && m.joins.isEmpty &&
-          versions.get(m.base).contains(m.reflected) == fresh =>
+      case (v, m) if m.base == base && m.where.isEmpty && {
+          // a star view is fresh only if its pinned dim versions hold too
+          val isFresh = versions.get(m.base).contains(m.reflected) &&
+            m.dimVersions.forall { case (d, dv) => versions.get(d).contains(dv) }
+          isFresh == fresh
+        } =>
         Store.RollupView(v, m.groupCols, m.countAlias,
           m.sumCols.zip(m.sumAliases).toMap, m.minCols.toMap, m.maxCols.toMap,
-          m.avgCols.toMap, m.devCols.map { case (c, a, k) => c -> (a, k) }.toMap)
+          m.avgCols.toMap, m.devCols.map { case (c, a, k) => c -> (a, k) }.toMap,
+          m.joins)
     }
 }
 
@@ -1326,5 +1331,6 @@ object Store {
   case class RollupView(view: String, groupCols: Seq[String],
       countAlias: String, sums: Map[String, String], mins: Map[String, String],
       maxs: Map[String, String], avgs: Map[String, String],
-      devs: Map[String, (String, String)])
+      devs: Map[String, (String, String)],
+      joins: Seq[(String, String)] = Nil) // star views: (dim, ON expr)
 }

@@ -725,6 +725,44 @@ class PgDialectSpec extends SparkSpecBase {
       Seq(("s1", 2L, 9L, 3L), ("s2", 3L, 11L, 3L)))
   }
 
+  test("rollup answers star-join queries from a matching star matview") {
+    import spark.implicits._
+    Tables.registerAll(spark, sfDir)
+    store.replace("rs_fact", (1L to 200L).map(k =>
+      (k, k % 6, k % 4, k * 3)).toDF("k", "cust", "prod", "amt"))
+    store.replace("rs_cust", (0L to 5L).map(c => (c, s"region${c % 3}")).toDF("c_id", "region"))
+    store.replace("rs_prod", (0L to 3L).map(p => (p, s"cat${p % 2}")).toDF("p_id", "cat"))
+    store.createMatview("rs_mv", """SELECT region, cat, count(*) AS n_rows,
+      sum(amt) AS sum_amt FROM rs_fact
+      JOIN rs_cust ON rs_fact.cust = rs_cust.c_id
+      JOIN rs_prod ON rs_fact.prod = rs_prod.p_id
+      GROUP BY region, cat""")
+    val q = """SELECT region, count(*) AS n, sum(amt) AS total FROM rs_fact
+      JOIN rs_cust ON rs_fact.cust = rs_cust.c_id
+      JOIN rs_prod ON rs_fact.prod = rs_prod.p_id
+      GROUP BY region ORDER BY region"""
+    val direct = spark.sql("""SELECT region, count(*) AS n, sum(amt) AS total
+      FROM rs_fact JOIN rs_cust ON rs_fact.cust = rs_cust.c_id
+      JOIN rs_prod ON rs_fact.prod = rs_prod.p_id
+      GROUP BY region ORDER BY region""").collect().toSeq
+    val r0 = RollupRewrite.rewrites.get
+    assert(rows(q) == direct)
+    assert(RollupRewrite.rewrites.get == r0 + 1, "star rollup must fire")
+    // a query over a DIFFERENT joined relation (one dim missing) must not
+    // match the star view — row multiplicity differs
+    val r1 = RollupRewrite.rewrites.get
+    assert(rows("""SELECT region, count(*) AS n FROM rs_fact
+      JOIN rs_cust ON rs_fact.cust = rs_cust.c_id
+      GROUP BY region ORDER BY region""").nonEmpty)
+    assert(RollupRewrite.rewrites.get == r1, "differing join set must not rewrite")
+    // a dim change makes the star view stale: falls back to the base plan
+    store.upsert("rs_cust", Seq((1L, "regionX")).toDF("c_id", "region"), "c_id")
+    val r2 = RollupRewrite.rewrites.get
+    val live = rows(q)
+    assert(RollupRewrite.rewrites.get == r2, "dim-stale star view must not rewrite")
+    assert(live.exists(_.getString(0) == "regionX"))
+  }
+
   test("rollup auto-refresh brings a stale view current, then answers from it") {
     import spark.implicits._
     Tables.registerAll(spark, sfDir)
