@@ -51,6 +51,21 @@ object PgDialect {
       translationSettingsKey + "\n" + sql, _ => translateSelect(sql))
   }
 
+  /** Translated SQL → analyzed plan through the aggregate-rollup rewrite
+    * (RollupRewrite): a GROUP BY over a base table with a FRESH incremental
+    * matview answers from the view. The rewrite decision depends only on
+    * catalog state, which is part of the plan-cache key via catalogEpoch.
+    * `allowAutoRefresh` gates the SET graft.rollup_auto_refresh = on
+    * stale-view refresh (false on paths that must not mutate, e.g.
+    * Describe). Shared by the simple-protocol execute and the extended
+    * protocol's Bind/Describe. */
+  def planWithRollup(spark: SparkSession, store: Store, translated: String,
+      allowAutoRefresh: Boolean = true): DataFrame =
+    cachedPlan(spark, RollupRewrite(store, translated,
+      autoRefresh = allowAutoRefresh &&
+        SessionSettings.get("graft.rollup_auto_refresh").contains("on"))
+      .getOrElse(translated))
+
   /** Parse/analyze `finalSql` once per (epoch, timezone); later identical
     * statements reuse the analyzed DataFrame. */
   def cachedPlan(spark: SparkSession, finalSql: String): DataFrame = {
@@ -167,15 +182,7 @@ object PgDialect {
       if (upper.contains("INFORMATION_SCHEMA"))
         PgCatalog.refreshInfoSchema(spark)
       val translated = applyPermissions(translateSelectCached(stmt), perms)
-      // aggregate-rollup: a GROUP BY over a base table with a FRESH
-      // incremental matview answers from the view (RollupRewrite; the
-      // rewrite decision depends only on catalog state, which is part of
-      // the plan-cache key via catalogEpoch). Opt-in: a stale view is
-      // incrementally refreshed first and then answers.
-      val finalSql = RollupRewrite(store, translated,
-        autoRefresh = SessionSettings.get("graft.rollup_auto_refresh").contains("on"))
-        .getOrElse(translated)
-      return Rows(retagJson(cachedPlan(spark, finalSql)), "SELECT")
+      return Rows(retagJson(planWithRollup(spark, store, translated)), "SELECT")
     }
     // EXPLAIN [ANALYZE|VERBOSE|(opts)] SELECT … -> Spark's formatted plan as
     // PG-style "QUERY PLAN" text rows (the reference delegates to DuckDB's

@@ -149,10 +149,11 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
                 val resFmts =
                   try { val n = b.readShort(); (0 until n).map(_ => b.readShort()) }
                   catch { case _: java.io.IOException => Seq.empty[Short] }
-                // cached translate+plan: re-executing a prepared statement
-                // with the same arguments skips translation AND analysis
+                // cached translate+plan (through the rollup rewrite):
+                // re-executing a prepared statement with the same
+                // arguments skips translation AND analysis
                 portals(portal) = new Portal(
-                  PgDialect.cachedPlan(spark,
+                  PgDialect.planWithRollup(spark, store,
                     PgDialect.translateSelectCached(sql)), resFmts)
                 msg(out, '2') { _ => } // BindComplete
               } catch { case e: Throwable => sendError(out, e); errorSkip = true }
@@ -161,9 +162,11 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
                 val kind = b.read().toChar
                 val name = readCStr()
                 val df = if (kind == 'P') portals(name).df
-                  else PgDialect.cachedPlan(spark, PgDialect.translateSelectCached(
-                    substituteParams(statements(name),
-                      Seq.fill(countParams(statements(name)))(null))))
+                  else PgDialect.planWithRollup(spark, store,
+                    PgDialect.translateSelectCached(
+                      substituteParams(statements(name),
+                        Seq.fill(countParams(statements(name)))(null))),
+                    allowAutoRefresh = false) // Describe must not mutate
                 if (kind == 'S') msg(out, 't') { bb => // ParameterDescription
                   val n = countParams(statements(name))
                   val declared = declaredParamOids.getOrElse(name, Nil)
@@ -501,7 +504,8 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
   private def cursorOnlyStatement(out: DataOutputStream, stmt: String,
       cursors: scala.collection.mutable.Map[String, Portal]): Boolean = stmt.trim match {
     case declareRe(name, query) =>
-      val df = PgDialect.cachedPlan(spark, PgDialect.translateSelectCached(query))
+      val df = PgDialect.planWithRollup(spark, store,
+        PgDialect.translateSelectCached(query))
       cursors(unq(name)) = new Portal(df)
       commandComplete(out, "DECLARE CURSOR")
       true
