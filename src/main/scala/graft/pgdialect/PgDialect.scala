@@ -78,6 +78,27 @@ object PgDialect {
     })
   }
 
+  // ---- pg_stat_statements ------------------------------------------------
+  // Per-statement execution stats, fed by the wire server where rows
+  // actually stream to a client (time-to-last-row, not plan time). Served
+  // as the pg_stat_statements catalog view (PgCatalog.refreshDynamic).
+  private val stmtStats =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]() // calls, totalMicros, rows
+  private[graft] def noteStatement(query: String, micros: Long, rows: Long): Unit = {
+    if (stmtStats.size > 4096) stmtStats.clear()
+    stmtStats.compute(query.trim, (_, v) => {
+      val a = if (v == null) Array(0L, 0L, 0L) else v
+      a(0) += 1; a(1) += micros; a(2) += rows; a
+    })
+    ()
+  }
+  /** (query, calls, totalMicros, rows) snapshot. */
+  private[graft] def statementStats: Seq[(String, Long, Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    stmtStats.asScala.toSeq.map { case (q, a) => (q, a(0), a(1), a(2)) }
+  }
+  private[graft] def resetStatementStats(): Unit = stmtStats.clear()
+
   sealed trait PgResult
   final case class Rows(df: DataFrame, tag: String) extends PgResult
   final case class Command(tag: String) extends PgResult
@@ -171,11 +192,18 @@ object PgDialect {
       case _ =>
     }
 
+    if ("(?is)SELECT\\s+pg_stat_statements_reset\\s*\\(\\s*\\)\\s*;?\\s*".r
+        .matches(stmt)) {
+      resetStatementStats()
+      import spark.implicits._
+      return Rows(Seq(Option.empty[String]).toDF("pg_stat_statements_reset"), "SELECT")
+    }
     if (upper.startsWith("SELECT") || upper.startsWith("WITH") ||
         upper.startsWith("VALUES") || upper.startsWith("TABLE ")) {
       // catalog refresh trigger: these three relations reflect live DDL
       // state (query_remapper_table.go:46-62)
       if (upper.contains("PG_MATVIEWS") || upper.contains("PG_STAT_USER_TABLES")
+          || upper.contains("PG_STAT_STATEMENTS")
           || upper.contains("PG_CLASS") || upper.contains("PG_ATTRIBUTE")
           || "(?<![A-Z_])PG_TABLES(?![A-Z_])".r.findFirstIn(upper).isDefined)
         PgCatalog.refreshDynamic(spark, store)

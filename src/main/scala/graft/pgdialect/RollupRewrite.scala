@@ -53,9 +53,12 @@ object RollupRewrite {
       (dim.toLowerCase, sides.mkString("="))
     }.toSet
 
-  private val BareCol = "(?is)([A-Za-z_]\\w*)".r
+  // columns may be table-qualified (fact.col) — the qualifier is dropped
+  // after validating it names a table in the query's FROM (the view's
+  // columns are the bare output names)
+  private val BareCol = "(?is)(?:([A-Za-z_]\\w*)\\.)?([A-Za-z_]\\w*)".r
   private val CountStar = "(?is)count\\(\\s*\\*\\s*\\)(?:\\s+AS\\s+(\\w+))?".r
-  private val AggCol = "(?is)(sum|min|max|avg|stddev|stddev_samp|variance|var_samp)\\(\\s*([A-Za-z_]\\w*)\\s*\\)(?:\\s+AS\\s+(\\w+))?".r
+  private val AggCol = "(?is)(sum|min|max|avg|stddev|stddev_samp|variance|var_samp)\\(\\s*(?:([A-Za-z_]\\w*)\\.)?([A-Za-z_]\\w*)\\s*\\)(?:\\s+AS\\s+(\\w+))?".r
 
   // identifiers allowed in a WHERE clause besides the view's group columns
   private val whereKeywords = Set(
@@ -76,8 +79,12 @@ object RollupRewrite {
       case shape(selectList, base, joinsRaw, whereRaw, groupRaw, orderTail, limitTail) =>
         val queryJoins = joinRe.findAllMatchIn(Option(joinsRaw).getOrElse(""))
           .map(m => (m.group(1), s"${m.group(2)} = ${m.group(3)}")).toSeq
-        val groupCols = groupRaw.split(",").map(_.trim).toSeq
-        if (!groupCols.forall(g => g.matches("[A-Za-z_]\\w*"))) return None
+        val tables = (base +: queryJoins.map(_._1)).map(_.toLowerCase).toSet
+        def known(q: String): Boolean = q == null || tables(q.toLowerCase)
+        val groupCols = groupRaw.split(",").map(_.trim).toSeq.map {
+          case BareCol(q, c) if known(q) => c
+          case _ => return None
+        }
         val where = Option(whereRaw).map(_.trim).filter(_.nonEmpty)
         val items = selectList.split(",").map(_.trim).toSeq
         // an ORDER BY may only name select aliases / group columns — an
@@ -85,8 +92,8 @@ object RollupRewrite {
         // rewritten query no longer has
         val aliases = items.flatMap {
           case CountStar(a) => Option(a)
-          case AggCol(_, _, a) => Option(a)
-          case BareCol(c) => Some(c)
+          case AggCol(_, _, _, a) => Option(a)
+          case BareCol(q, c) if known(q) => Some(c)
           case _ => None
         }.toSet
         if (!orderRefsOnly(Option(orderTail), aliases ++ groupCols)) return None
@@ -97,7 +104,7 @@ object RollupRewrite {
           // multiplicity); then smallest group set first
           views.filter(v => joinKey(v.joins) == qKey)
             .sortBy(_.groupCols.size).flatMap { v =>
-              rewriteWith(v, items, groupCols, where).map(v -> _)
+              rewriteWith(v, items, groupCols, where, tables).map(v -> _)
             }.headOption
         attempt(store.rollupViews(base))
           .orElse {
@@ -125,17 +132,24 @@ object RollupRewrite {
     }
 
   private def rewriteWith(v: Store.RollupView, items: Seq[String],
-      groupCols: Seq[String], where: Option[String]): Option[String] = {
+      groupCols: Seq[String], where0: Option[String],
+      tables: Set[String]): Option[String] = {
     val viewGroups = v.groupCols.toSet
+    def known(q: String): Boolean = q == null || tables(q.toLowerCase)
+    // strip known table qualifiers: the view's columns are bare output
+    // names, so `fact.region` in a predicate must become `region`
+    val where = where0.map(_.replaceAll(
+      "(?i)\\b(" + tables.mkString("|") + ")\\.", ""))
     if (!groupCols.forall(viewGroups)) return None
     if (!where.forall(w => whereRefsOnly(w, viewGroups))) return None
     val selects = items.map {
-      case BareCol(c) if groupCols.contains(c) && viewGroups(c) => Some(c)
+      case BareCol(q, c) if known(q) && groupCols.contains(c) && viewGroups(c) =>
+        Some(c)
       // aggregates must be explicitly aliased: an unaliased rewrite would
       // surface the view's internal column names
       case CountStar(alias) if alias != null =>
         Some(s"sum(${v.countAlias}) AS $alias")
-      case AggCol(fn, c, alias) if alias != null =>
+      case AggCol(fn, q, c, alias) if alias != null && known(q) =>
         val out = s" AS $alias"
         fn.toLowerCase match {
           case "sum" => v.sums.get(c).map(a => s"sum($a)$out")

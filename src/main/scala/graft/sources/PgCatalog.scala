@@ -669,6 +669,16 @@ object PgCatalog {
     (Tables.names ++ stTables).map(n => ("public", n, "graft", false))
       .toDF("schemaname", "tablename", "tableowner", "hasindexes")
       .asCatalogView("pg_tables")
+    // pg_stat_statements (extension view surface): fed by the wire server
+    // with time-to-last-row per executed statement
+    PgDialect.statementStats
+      .map { case (q, calls, micros, rows) =>
+        (10L, 16384L, q.hashCode.toLong, q, calls, micros / 1000.0,
+          if (calls > 0) micros / 1000.0 / calls else 0.0, rows)
+      }
+      .toDF("userid", "dbid", "queryid", "query", "calls",
+        "total_exec_time", "mean_exec_time", "rows")
+      .asCatalogView("pg_stat_statements")
     // anything else registered in the session is an ad-hoc VIEW (relkind
     // 'v') — a client's CREATE TEMP VIEW or another component's transient
     // publication, never a table row the oracles pin

@@ -59,8 +59,11 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
   /** A portal/cursor: a bound query plus its partially-drained row iterator
     * (Execute and FETCH carry row counts; a drained-to-limit portal suspends
     * and resumes on the next Execute/FETCH — JDBC fetchSize drives this). */
-  private final class Portal(val df: DataFrame, val resultFormats: Seq[Short] = Nil) {
+  private final class Portal(val df: DataFrame, val resultFormats: Seq[Short] = Nil,
+      val query: String = "") {
     lazy val rows: java.util.Iterator[Row] = df.toLocalIterator()
+    var sent = 0L // rows streamed so far (pg_stat_statements feed)
+    val bound: Long = System.nanoTime()
     /** format code for column i: one code applies to all, else per-column */
     def fmt(i: Int): Int = resultFormats match {
       case Nil => 0
@@ -154,7 +157,8 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
                 // arguments skips translation AND analysis
                 portals(portal) = new Portal(
                   PgDialect.planWithRollup(spark, store,
-                    PgDialect.translateSelectCached(sql)), resFmts)
+                    PgDialect.translateSelectCached(sql)), resFmts,
+                  statements(stmt))
                 msg(out, '2') { _ => } // BindComplete
               } catch { case e: Throwable => sendError(out, e); errorSkip = true }
             case 'D' if !errorSkip => // Describe
@@ -191,8 +195,16 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
                   dataRow(out, p.rows.next(), schema, p.fmt)
                   n += 1
                 }
+                p.sent += n
                 if (p.rows.hasNext) msg(out, 's') { _ => } // PortalSuspended
-                else commandComplete(out, s"SELECT $n")
+                else {
+                  commandComplete(out, s"SELECT $n")
+                  // extended-protocol statement completed: record the
+                  // bind-to-last-row time (once per portal drain)
+                  if (p.query.nonEmpty)
+                    PgDialect.noteStatement(p.query,
+                      (System.nanoTime() - p.bound) / 1000, p.sent)
+                }
               } catch { case e: Throwable => sendError(out, e); errorSkip = true }
             case 'C' if !errorSkip => // Close: drop the named statement/portal
               val kind = b.read().toChar
@@ -544,13 +556,18 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
       val stmts = PgDialect.splitStatements(sql)
       if (stmts.isEmpty) msg(out, 'I') { _ => } // EmptyQueryResponse
       else stmts.foreach { stmt =>
+        // pg_stat_statements feed: time-to-last-row as the client saw it
+        val t0 = System.nanoTime()
+        var rows = 0L
         if (!cursorStatement(out, stmt, cursors, statements))
           PgDialect.execute(spark, store, stmt) match {
-            case PgDialect.Rows(df, _) => sendRows(out, df)
-            case PgDialect.CopyOut(df, csv, header) => sendCopyOut(out, df, csv, header)
+            case PgDialect.Rows(df, _) => rows = sendRows(out, df)
+            case PgDialect.CopyOut(df, csv, header) =>
+              rows = sendCopyOut(out, df, csv, header)
             case PgDialect.Command(tag) => commandComplete(out, tag)
             case PgDialect.Empty => msg(out, 'I') { _ => }
           }
+        PgDialect.noteStatement(stmt, (System.nanoTime() - t0) / 1000, rows)
       }
       // TimeZone has GUC_REPORT: PG pushes a ParameterStatus after SET,
       // RESET timezone, and RESET ALL alike
@@ -586,7 +603,8 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
       b.writeByte(0)
     }
 
-  private def sendRows(out: DataOutputStream, df: DataFrame): Unit = {
+  /** Returns the number of rows streamed (pg_stat_statements feed). */
+  private def sendRows(out: DataOutputStream, df: DataFrame): Long = {
     rowDescription(out, df.schema)
     sendDataRows(out, df)
   }
@@ -655,7 +673,7 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
     * format: tab-delimited with \N nulls and backslash escapes; or CSV with
     * RFC quoting + optional header), CopyDone, CommandComplete "COPY n". */
   private def sendCopyOut(out: DataOutputStream, df: DataFrame,
-      csv: Boolean, header: Boolean): Unit = {
+      csv: Boolean, header: Boolean): Long = {
     val schema = df.schema
     msg(out, 'H') { b =>
       b.writeByte(0) // overall text format
@@ -686,6 +704,7 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
     }
     msg(out, 'c') { _ => }
     commandComplete(out, s"COPY $n")
+    n.toLong
   }
 
   /** One DataRow; `fmt(i)` = 1 requests PG binary encoding for column i
@@ -766,7 +785,7 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
     out.array()
   }
 
-  private def sendDataRows(out: DataOutputStream, df: DataFrame): Unit = {
+  private def sendDataRows(out: DataOutputStream, df: DataFrame): Long = {
     val schema = df.schema
     var n = 0
     df.toLocalIterator().forEachRemaining { row =>
@@ -774,6 +793,7 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
       n += 1
     }
     commandComplete(out, s"SELECT $n")
+    n.toLong
   }
 
   private val tsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")

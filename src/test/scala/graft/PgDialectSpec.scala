@@ -748,6 +748,17 @@ class PgDialectSpec extends SparkSpecBase {
     val r0 = RollupRewrite.rewrites.get
     assert(rows(q) == direct)
     assert(RollupRewrite.rewrites.get == r0 + 1, "star rollup must fire")
+    // qualified columns resolve through the same match (and the qualifier
+    // is stripped for the view-side predicate)
+    val rq = RollupRewrite.rewrites.get
+    val qualified = rows("""SELECT rs_cust.region, sum(rs_fact.amt) AS total
+      FROM rs_fact JOIN rs_cust ON rs_fact.cust = rs_cust.c_id
+      JOIN rs_prod ON rs_fact.prod = rs_prod.p_id
+      WHERE rs_cust.region = 'region1'
+      GROUP BY rs_cust.region""")
+    assert(RollupRewrite.rewrites.get == rq + 1, "qualified star rollup must fire")
+    assert(qualified.map(r => (r.getString(0), r.getLong(1))) ==
+      direct.collect { case r if r.getString(0) == "region1" => ("region1", r.getLong(2)) })
     // a query over a DIFFERENT joined relation (one dim missing) must not
     // match the star view — row multiplicity differs
     val r1 = RollupRewrite.rewrites.get

@@ -684,6 +684,24 @@ class WireSpec extends SparkSpecBase {
     c.close()
   }
 
+  test("pg_stat_statements tracks calls, rows and time over the socket") {
+    val c = new Client(server._2); c.startup()
+    c.query("SELECT pg_stat_statements_reset()")
+    val probe = "SELECT n_nationkey FROM nation WHERE n_nationkey < 7 ORDER BY n_nationkey"
+    c.query(probe); c.query(probe) // two executions of the same statement
+    val msgs = c.query(
+      """SELECT calls, rows, mean_exec_time > 0 AS timed FROM pg_stat_statements
+         WHERE query LIKE '%n_nationkey < 7%' AND query NOT LIKE '%pg_stat%'""")
+    val rows = msgs.filter(_._1 == 'D').map(m => dataRowValues(m._2))
+    assert(rows == Seq(Seq("2", "14", "t")), rows)
+    // reset zeroes the view
+    c.query("SELECT pg_stat_statements_reset()")
+    val after = c.query(
+      "SELECT count(*) AS n FROM pg_stat_statements WHERE query NOT LIKE '%pg_stat%'")
+    assert(after.filter(_._1 == 'D').map(m => dataRowValues(m._2).head) == Seq("0"))
+    c.close()
+  }
+
   test("sql-level PREPARE / EXECUTE / DEALLOCATE share the statement map") {
     val c = new Client(server._2); c.startup()
     def tag(ms: Seq[(Char, Array[Byte])]): String =
