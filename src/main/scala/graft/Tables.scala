@@ -116,6 +116,22 @@ object Tables {
     * cache transparently via [[df]]. */
   def prime(spark: SparkSession, dir: String, parts: Int): Unit = synchronized {
     import org.apache.spark.storage.StorageLevel
+    // Eviction policy for a dir the heap cannot hold: MEMORY_ONLY is the
+    // hot-cache layout for bench-scale inputs, but a 100x-larger dir primed
+    // the same way would evict blocks and silently recompute. Above a
+    // budget (default: a quarter of the driver heap — parquet expands
+    // roughly 2-4x into the columnar cache), fall back to
+    // MEMORY_AND_DISK_SER: bounded memory, spilled columns, no recompute
+    // storms. At real cluster scale priming is replaced by
+    // bucketing/page-cache anyway (see Bench notes).
+    val inputBytes = names.map { n =>
+      scala.util.Try(new java.io.File(s"$dir/$n.parquet").length).getOrElse(0L)
+    }.sum
+    val budget = sys.env.get("SPARK_GRAFT_CACHE_BUDGET").map(_.toLong)
+      .getOrElse(Runtime.getRuntime.maxMemory() / 4)
+    val level =
+      if (inputBytes * 3 > budget) StorageLevel.MEMORY_AND_DISK_SER
+      else StorageLevel.MEMORY_ONLY
     names.foreach { n =>
       val base = load(spark, dir, n)
       val laid = clusterKey.get(n) match {
@@ -123,7 +139,7 @@ object Tables {
         case None if broadcastable(n) => base.coalesce(1)
         case None => base.repartition(parts)
       }
-      val cached = laid.persist(StorageLevel.MEMORY_ONLY)
+      val cached = laid.persist(level)
       cached.count()
       primed += (dir, n) -> cached
     }

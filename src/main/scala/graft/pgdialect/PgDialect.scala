@@ -51,6 +51,33 @@ object PgDialect {
       translationSettingsKey + "\n" + sql, _ => translateSelect(sql))
   }
 
+  // ---- time travel -------------------------------------------------------
+  private val travelRe =
+    ("(?is)\\b(FROM|JOIN)\\s+([\\w.\"]+)\\s+FOR\\s+(?:SYSTEM_)?" +
+      "(VERSION|TIMESTAMP)\\s+AS\\s+OF\\s+('[^']*'|\\d+)").r
+
+  /** `FROM t FOR VERSION AS OF n` / `FOR TIMESTAMP AS OF 'ts'` (the
+    * Iceberg/Delta SQL time-travel surface) over STORE tables: the clause
+    * resolves to the immutable snapshot version dir ([[Store.readVersion]])
+    * registered as a session view, and the statement proceeds through the
+    * normal translate/plan path. A non-store relation in the clause errors
+    * (snapshots only exist for versioned store tables). */
+  private[graft] def rewriteTimeTravel(store: Store, stmt: String): String =
+    travelRe.replaceAllIn(stmt, m => {
+      val tbl = unquoteName(m.group(2))
+      if (!store.exists(tbl))
+        throw UnsupportedQuery(s"time travel requires a versioned store table: $tbl")
+      val v =
+        if (m.group(3).equalsIgnoreCase("VERSION")) m.group(4).toInt
+        else {
+          val raw = m.group(4).stripPrefix("'").stripSuffix("'").trim
+          val tsText = if (raw.matches("\\d{4}-\\d{2}-\\d{2}")) raw + " 00:00:00" else raw
+          store.versionAt(tbl, java.sql.Timestamp.valueOf(tsText))
+        }
+      scala.util.matching.Regex.quoteReplacement(
+        m.group(1) + " " + store.snapshotView(tbl, v))
+    })
+
   /** Translated SQL → analyzed plan through the aggregate-rollup rewrite
     * (RollupRewrite): a GROUP BY over a base table with a FRESH incremental
     * matview answers from the view. The rewrite decision depends only on
@@ -209,7 +236,8 @@ object PgDialect {
         PgCatalog.refreshDynamic(spark, store)
       if (upper.contains("INFORMATION_SCHEMA"))
         PgCatalog.refreshInfoSchema(spark)
-      val translated = applyPermissions(translateSelectCached(stmt), perms)
+      val traveled = rewriteTimeTravel(store, stmt)
+      val translated = applyPermissions(translateSelectCached(traveled), perms)
       return Rows(retagJson(planWithRollup(spark, store, translated)), "SELECT")
     }
     // EXPLAIN [ANALYZE|VERBOSE|(opts)] SELECT … -> Spark's formatted plan as

@@ -290,6 +290,29 @@ class Store(spark: SparkSession, val warehouse: String) {
     spark.read.parquet(versionDir(name, v))
   }
 
+  /** Idempotently register and return a session view over `name` at
+    * snapshot version `v` — the FROM … FOR VERSION AS OF surface
+    * (PgDialect.rewriteTimeTravel). Version dirs are immutable, so the
+    * registration never goes stale. */
+  def snapshotView(name: String, v: Int): String = {
+    val vn = s"${name}__asof_v$v"
+    if (!spark.catalog.tableExists(vn))
+      readVersion(name, v).createOrReplaceTempView(vn)
+    vn
+  }
+
+  /** Highest version of `name` committed at or before `ts` (version-dir
+    * commit time) — the FOR TIMESTAMP AS OF resolution. */
+  def versionAt(name: String, ts: java.sql.Timestamp): Int = {
+    require(exists(name), s"unknown table $name")
+    val at = (0 to versions(name))
+      .filter(v => fs.exists(versionPath(name, v)))
+      .filter(v => fs.getFileStatus(versionPath(name, v))
+        .getModificationTime <= ts.getTime)
+    require(at.nonEmpty, s"table $name has no snapshot at or before $ts")
+    at.max
+  }
+
   /** The current version's parquet data files, stat-listed once. */
   private def dataFiles(dir: HadoopPath): Seq[FileStatus] =
     fs.listStatus(dir).toSeq

@@ -774,6 +774,26 @@ class PgDialectSpec extends SparkSpecBase {
     assert(live.exists(_.getString(0) == "regionX"))
   }
 
+  test("time travel: FOR VERSION / TIMESTAMP AS OF reads immutable snapshots") {
+    import spark.implicits._
+    Tables.registerAll(spark, sfDir)
+    store.replace("tt7", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val snap = store.currentVersion("tt7")
+    store.upsert("tt7", Seq((2L, "B2"), (3L, "c")).toDF("k", "v"), "k")
+    val old = rows(s"SELECT k, v FROM tt7 FOR VERSION AS OF $snap ORDER BY k")
+    assert(old.map(r => (r.getLong(0), r.getString(1))) ==
+      Seq((1L, "a"), (2L, "b")), "snapshot read must see the pre-upsert rows")
+    val cur = rows("SELECT k, v FROM tt7 FOR TIMESTAMP AS OF '2100-01-01' ORDER BY k")
+    assert(cur.map(r => (r.getLong(0), r.getString(1))) ==
+      Seq((1L, "a"), (2L, "B2"), (3L, "c")), "future timestamp resolves to current")
+    // the live name still serves the live table
+    assert(rows("SELECT count(*) AS n FROM tt7").head.getLong(0) == 3)
+    // a non-store relation has no snapshots
+    intercept[PgDialect.UnsupportedQuery] {
+      rows("SELECT 1 AS x FROM nation FOR VERSION AS OF 1")
+    }
+  }
+
   test("rollup auto-refresh brings a stale view current, then answers from it") {
     import spark.implicits._
     Tables.registerAll(spark, sfDir)
