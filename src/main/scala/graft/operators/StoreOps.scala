@@ -378,6 +378,37 @@ object StoreOps {
       }
     },
 
+    // Time-hierarchy rollup: the view is day-grained (GROUP BY
+    // o_orderdate); the month query's bucket is a deterministic function
+    // of the day value, so the dialect answers it from the view —
+    // date_trunc('month', …) re-applied over the view's group column, the
+    // classic time-dimension rollup (PgDialectSpec asserts the rewrite
+    // fires). The oracle recomputes from the base table.
+    Q("st_rollup_time", Some("""
+      SELECT date_trunc('month', o_orderdate) AS m,
+        CAST(count(*) AS BIGINT) AS n_orders,
+        CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+      FROM orders WHERE o_orderkey <= 6000
+      GROUP BY 1 ORDER BY m""")) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-rut").toString
+      val store = new Store(s, wh)
+      store.replace("ru8_orders", t(s, dir, "orders")
+        .filter(col("o_orderkey") <= 6000)
+        .select(col("o_orderdate"), col("o_custkey").cast("long").as("o_custkey")))
+      store.createMatview("ru8_mv", """SELECT o_orderdate,
+        count(*) AS n_rows, sum(o_custkey) AS sum_c
+        FROM ru8_orders GROUP BY o_orderdate""")
+      PgDialect.execute(s, store, """SELECT date_trunc('month', o_orderdate) AS m,
+        count(*) AS n_orders, sum(o_custkey) AS sum_cust
+        FROM ru8_orders GROUP BY date_trunc('month', o_orderdate)
+        ORDER BY m""") match {
+        case PgDialect.Rows(df, _) =>
+          df.select(col("m"), col("n_orders"),
+            col("sum_cust").cast("long").as("sum_cust"))
+        case other => sys.error(s"expected rows, got $other")
+      }
+    },
+
     // REAL Iceberg v2 round-trip: publish the store table as a
     // spec-conformant Iceberg snapshot (metadata.json + Avro manifest tree,
     // sources/Iceberg.scala), then read it back planning the scan purely

@@ -59,6 +59,17 @@ object RollupRewrite {
   private val BareCol = "(?is)(?:([A-Za-z_]\\w*)\\.)?([A-Za-z_]\\w*)".r
   private val CountStar = "(?is)count\\(\\s*\\*\\s*\\)(?:\\s+AS\\s+(\\w+))?".r
   private val AggCol = "(?is)(sum|min|max|avg|stddev|stddev_samp|variance|var_samp)\\(\\s*(?:([A-Za-z_]\\w*)\\.)?([A-Za-z_]\\w*)\\s*\\)(?:\\s+AS\\s+(\\w+))?".r
+  // time-hierarchy group expressions: deterministic scalar functions of ONE
+  // group column (a month bucket is a function of the day value, so a
+  // day-grained view rolls up to months exactly)
+  private val GroupExpr =
+    ("(?is)(?:date_trunc\\(\\s*('\\w+')\\s*,\\s*(?:([A-Za-z_]\\w*)\\.)?([A-Za-z_]\\w*)\\s*\\)" +
+      "|(year|month|quarter|day|dayofweek|to_date)\\(\\s*(?:([A-Za-z_]\\w*)\\.)?([A-Za-z_]\\w*)\\s*\\))").r
+  private val AliasedItem = "(?is)(.+?)\\s+AS\\s+([A-Za-z_]\\w*)".r
+
+  /** One GROUP BY item: canonical (qualifier-stripped) text + the single
+    * view group column it is a function of. */
+  private case class GItem(text: String, src: String)
 
   // identifiers allowed in a WHERE clause besides the view's group columns
   private val whereKeywords = Set(
@@ -81,22 +92,32 @@ object RollupRewrite {
           .map(m => (m.group(1), s"${m.group(2)} = ${m.group(3)}")).toSeq
         val tables = (base +: queryJoins.map(_._1)).map(_.toLowerCase).toSet
         def known(q: String): Boolean = q == null || tables(q.toLowerCase)
-        val groupCols = groupRaw.split(",").map(_.trim).toSeq.map {
-          case BareCol(q, c) if known(q) => c
-          case _ => return None
+        def parseGroup(s: String): Option[GItem] = s.trim match {
+          case BareCol(q, c) if known(q) => Some(GItem(c, c))
+          case GroupExpr(unit, q1, c1, fn, q2, c2) =>
+            if (unit != null && known(q1)) Some(GItem(s"date_trunc($unit, $c1)", c1))
+            else if (fn != null && known(q2)) Some(GItem(s"${fn.toLowerCase}($c2)", c2))
+            else None
+          case _ => None
         }
+        // NOTE: split is safe for the accepted grammar — a comma inside
+        // date_trunc('m', d) sits inside parens, so splitTopLevel is used
+        val groupItems = PgDialect.splitTopLevel(groupRaw)
+          .map(g => parseGroup(g).getOrElse(return None))
         val where = Option(whereRaw).map(_.trim).filter(_.nonEmpty)
-        val items = selectList.split(",").map(_.trim).toSeq
+        val items = PgDialect.splitTopLevel(selectList).map(_.trim)
         // an ORDER BY may only name select aliases / group columns — an
         // aggregate expression in it would reference base columns the
         // rewritten query no longer has
         val aliases = items.flatMap {
           case CountStar(a) => Option(a)
           case AggCol(_, _, _, a) => Option(a)
+          case AliasedItem(_, a) => Some(a)
           case BareCol(q, c) if known(q) => Some(c)
           case _ => None
         }.toSet
-        if (!orderRefsOnly(Option(orderTail), aliases ++ groupCols)) return None
+        val plainGroupNames = groupItems.collect { case GItem(t, s) if t == s => t }
+        if (!orderRefsOnly(Option(orderTail), aliases ++ plainGroupNames)) return None
         val qKey = joinKey(queryJoins)
         def attempt(views: Seq[Store.RollupView]): Option[(Store.RollupView, String)] =
           // the view must aggregate the SAME joined relation (identical
@@ -104,7 +125,7 @@ object RollupRewrite {
           // multiplicity); then smallest group set first
           views.filter(v => joinKey(v.joins) == qKey)
             .sortBy(_.groupCols.size).flatMap { v =>
-              rewriteWith(v, items, groupCols, where, tables).map(v -> _)
+              rewriteWith(v, items, groupItems, where, tables).map(v -> _)
             }.headOption
         attempt(store.rollupViews(base))
           .orElse {
@@ -132,19 +153,21 @@ object RollupRewrite {
     }
 
   private def rewriteWith(v: Store.RollupView, items: Seq[String],
-      groupCols: Seq[String], where0: Option[String],
+      groupItems: Seq[GItem], where0: Option[String],
       tables: Set[String]): Option[String] = {
     val viewGroups = v.groupCols.toSet
     def known(q: String): Boolean = q == null || tables(q.toLowerCase)
     // strip known table qualifiers: the view's columns are bare output
     // names, so `fact.region` in a predicate must become `region`
-    val where = where0.map(_.replaceAll(
-      "(?i)\\b(" + tables.mkString("|") + ")\\.", ""))
-    if (!groupCols.forall(viewGroups)) return None
+    def strip(s: String): String =
+      s.replaceAll("(?i)\\b(" + tables.mkString("|") + ")\\.", "")
+    val where = where0.map(strip)
+    // every group item must be a (function of a) view group column
+    if (!groupItems.forall(g => viewGroups(g.src))) return None
     if (!where.forall(w => whereRefsOnly(w, viewGroups))) return None
+    val groupTexts = groupItems.map(_.text)
     val selects = items.map {
-      case BareCol(q, c) if known(q) && groupCols.contains(c) && viewGroups(c) =>
-        Some(c)
+      case BareCol(q, c) if known(q) && groupTexts.contains(c) => Some(c)
       // aggregates must be explicitly aliased: an unaliased rewrite would
       // surface the view's internal column names
       case CountStar(alias) if alias != null =>
@@ -161,6 +184,18 @@ object RollupRewrite {
           case _ => // variance | var_samp
             v.devs.get(c).collect { case (a, "variance") => devSql(a, sqrt = false) + out }
         }
+      // an aliased group EXPRESSION (e.g. date_trunc('month', d) AS m):
+      // must canonicalize to one of the GROUP BY items
+      case AliasedItem(expr, alias) =>
+        expr.trim match {
+          case GroupExpr(unit, q1, c1, fn, q2, c2) =>
+            val canon =
+              if (unit != null && known(q1)) Some(s"date_trunc($unit, $c1)")
+              else if (fn != null && known(q2)) Some(s"${fn.toLowerCase}($c2)")
+              else None
+            canon.filter(groupTexts.contains).map(t => s"$t AS $alias")
+          case _ => None
+        }
       case _ => None
     }
     if (selects.exists(_.isEmpty)) return None
@@ -168,7 +203,7 @@ object RollupRewrite {
     // the companion __state view exposes the hidden sum/count/sumsq
     // columns alongside the visible ones (Store.publish)
     Some(s"SELECT ${selects.flatten.mkString(", ")} FROM ${v.view}__state$wherePart" +
-      s" GROUP BY ${groupCols.mkString(", ")}")
+      s" GROUP BY ${groupTexts.mkString(", ")}")
   }
 
   /** avg re-derived from hidden sum/count state: exact at any rollup

@@ -774,6 +774,34 @@ class PgDialectSpec extends SparkSpecBase {
     assert(live.exists(_.getString(0) == "regionX"))
   }
 
+  test("rollup rolls a day-grained view up to month buckets") {
+    import spark.implicits._
+    Tables.registerAll(spark, sfDir)
+    store.replace("rh_fact", (1 to 120).map { i =>
+      (java.sql.Date.valueOf(f"2024-${i % 6 + 1}%02d-${i % 27 + 1}%02d"), i.toLong)
+    }.toDF("d", "x"))
+    store.createMatview("rh_mv",
+      "SELECT d, count(*) AS n_rows, sum(x) AS sum_x FROM rh_fact GROUP BY d")
+    val q = """SELECT date_trunc('month', d) AS m, count(*) AS n,
+      sum(x) AS total FROM rh_fact GROUP BY date_trunc('month', d) ORDER BY m"""
+    val direct = spark.sql("""SELECT date_trunc('month', d) AS m,
+      count(*) AS n, sum(x) AS total FROM rh_fact
+      GROUP BY date_trunc('month', d) ORDER BY m""").collect().toSeq
+    val r0 = RollupRewrite.rewrites.get
+    assert(rows(q) == direct)
+    assert(RollupRewrite.rewrites.get == r0 + 1, "time-hierarchy rollup must fire")
+    // year() over the same view also rolls up; an expression over a
+    // NON-group column does not
+    val r1 = RollupRewrite.rewrites.get
+    assert(rows("""SELECT year(d) AS y, sum(x) AS total FROM rh_fact
+      GROUP BY year(d)""").nonEmpty)
+    assert(RollupRewrite.rewrites.get == r1 + 1)
+    val r2 = RollupRewrite.rewrites.get
+    assert(rows("""SELECT x % 2 AS parity, count(*) AS n FROM rh_fact
+      GROUP BY x % 2""").nonEmpty)
+    assert(RollupRewrite.rewrites.get == r2, "arbitrary group expression must not rewrite")
+  }
+
   test("time travel: FOR VERSION / TIMESTAMP AS OF reads immutable snapshots") {
     import spark.implicits._
     Tables.registerAll(spark, sfDir)
