@@ -36,12 +36,13 @@ object RollupRewrite {
   // reject outright: shapes whose semantics the rollup cannot preserve
   // (INNER equi-join chains are handled — they can match a star view)
   private val unsupported =
-    ("(?is).*\\b(UNION|INTERSECT|EXCEPT|HAVING|DISTINCT|OVER|WINDOW|WITH" +
+    ("(?is).*\\b(UNION|INTERSECT|EXCEPT|DISTINCT|OVER|WINDOW|WITH" +
       "|LATERAL|VALUES|LEFT|RIGHT|FULL|CROSS|OUTER|SEMI|ANTI|USING)\\b.*").r
   private val shape =
     ("(?is)\\s*SELECT\\s+(.*?)\\s+FROM\\s+([A-Za-z_]\\w*)" +
       "((?:\\s+(?:INNER\\s+)?JOIN\\s+\\w+\\s+ON\\s+\\w+\\.\\w+\\s*=\\s*\\w+\\.\\w+)*)" +
       "(?:\\s+WHERE\\s+(.*?))?\\s+GROUP\\s+BY\\s+(.*?)" +
+      "(?:\\s+HAVING\\s+(.*?))?" +
       "(\\s+ORDER\\s+BY\\s+.*?)?(\\s+LIMIT\\s+\\d+)?\\s*;?\\s*").r
   private val joinRe =
     "(?is)JOIN\\s+(\\w+)\\s+ON\\s+(\\w+\\.\\w+)\\s*=\\s*(\\w+\\.\\w+)".r
@@ -87,7 +88,8 @@ object RollupRewrite {
     // exactly one SELECT (no subqueries anywhere)
     if ("(?i)\\bSELECT\\b".r.findAllIn(sql).size != 1) return None
     sql match {
-      case shape(selectList, base, joinsRaw, whereRaw, groupRaw, orderTail, limitTail) =>
+      case shape(selectList, base, joinsRaw, whereRaw, groupRaw, havingRaw,
+          orderTail, limitTail) =>
         val queryJoins = joinRe.findAllMatchIn(Option(joinsRaw).getOrElse(""))
           .map(m => (m.group(1), s"${m.group(2)} = ${m.group(3)}")).toSeq
         val tables = (base +: queryJoins.map(_._1)).map(_.toLowerCase).toSet
@@ -105,6 +107,7 @@ object RollupRewrite {
         val groupItems = PgDialect.splitTopLevel(groupRaw)
           .map(g => parseGroup(g).getOrElse(return None))
         val where = Option(whereRaw).map(_.trim).filter(_.nonEmpty)
+        val having = Option(havingRaw).map(_.trim).filter(_.nonEmpty)
         val items = PgDialect.splitTopLevel(selectList).map(_.trim)
         // an ORDER BY may only name select aliases / group columns — an
         // aggregate expression in it would reference base columns the
@@ -125,7 +128,7 @@ object RollupRewrite {
           // multiplicity); then smallest group set first
           views.filter(v => joinKey(v.joins) == qKey)
             .sortBy(_.groupCols.size).flatMap { v =>
-              rewriteWith(v, items, groupItems, where, tables).map(v -> _)
+              rewriteWith(v, items, groupItems, where, having, tables).map(v -> _)
             }.headOption
         attempt(store.rollupViews(base))
           .orElse {
@@ -152,8 +155,52 @@ object RollupRewrite {
           names(id) || orderKeywords(id.toLowerCase))
     }
 
+  /** Derive an aggregate CALL (no alias) against the view's columns;
+    * None when the view cannot supply it. */
+  private def deriveAgg(v: Store.RollupView, fn: String, c: String): Option[String] =
+    fn.toLowerCase match {
+      case "count(*)" => Some(s"sum(${v.countAlias})")
+      case "sum" => v.sums.get(c).map(a => s"sum($a)")
+      case "min" => v.mins.get(c).map(a => s"min($a)")
+      case "max" => v.maxs.get(c).map(a => s"max($a)")
+      case "avg" => v.avgs.get(c).map(avgSql)
+      case "stddev" | "stddev_samp" =>
+        v.devs.get(c).collect { case (a, "stddev") => devSql(a, sqrt = true) }
+      case "variance" | "var_samp" =>
+        v.devs.get(c).collect { case (a, "variance") => devSql(a, sqrt = false) }
+      case _ => None
+    }
+
+  // aggregate calls embedded in a HAVING clause
+  private val HavingAgg =
+    ("(?is)\\b(?:count\\(\\s*\\*\\s*\\)" +
+      "|(sum|min|max|avg|stddev|stddev_samp|variance|var_samp)" +
+      "\\(\\s*(?:([A-Za-z_]\\w*)\\.)?([A-Za-z_]\\w*)\\s*\\))").r
+
+  /** Rewrite a HAVING clause onto the view: every aggregate call derives
+    * like a select item; every remaining identifier must be a group column
+    * or keyword. */
+  private def rewriteHaving(v: Store.RollupView, h: String,
+      viewGroups: Set[String]): Option[String] = {
+    var ok = true
+    // validate residue first: with agg calls blanked, only group
+    // cols/keywords/literals may remain
+    val blanked = HavingAgg.replaceAllIn(h, "0")
+    if (!whereRefsOnly(blanked, viewGroups)) return None
+    val rewritten = HavingAgg.replaceAllIn(h, m => {
+      val derived =
+        if (m.group(1) == null) deriveAgg(v, "count(*)", "")
+        else deriveAgg(v, m.group(1), m.group(3))
+      derived match {
+        case Some(d) => scala.util.matching.Regex.quoteReplacement(s"($d)")
+        case None => ok = false; "0"
+      }
+    })
+    if (ok) Some(rewritten) else None
+  }
+
   private def rewriteWith(v: Store.RollupView, items: Seq[String],
-      groupItems: Seq[GItem], where0: Option[String],
+      groupItems: Seq[GItem], where0: Option[String], having0: Option[String],
       tables: Set[String]): Option[String] = {
     val viewGroups = v.groupCols.toSet
     def known(q: String): Boolean = q == null || tables(q.toLowerCase)
@@ -171,19 +218,9 @@ object RollupRewrite {
       // aggregates must be explicitly aliased: an unaliased rewrite would
       // surface the view's internal column names
       case CountStar(alias) if alias != null =>
-        Some(s"sum(${v.countAlias}) AS $alias")
+        deriveAgg(v, "count(*)", "").map(d => s"$d AS $alias")
       case AggCol(fn, q, c, alias) if alias != null && known(q) =>
-        val out = s" AS $alias"
-        fn.toLowerCase match {
-          case "sum" => v.sums.get(c).map(a => s"sum($a)$out")
-          case "min" => v.mins.get(c).map(a => s"min($a)$out")
-          case "max" => v.maxs.get(c).map(a => s"max($a)$out")
-          case "avg" => v.avgs.get(c).map(a => avgSql(a) + out)
-          case "stddev" | "stddev_samp" =>
-            v.devs.get(c).collect { case (a, "stddev") => devSql(a, sqrt = true) + out }
-          case _ => // variance | var_samp
-            v.devs.get(c).collect { case (a, "variance") => devSql(a, sqrt = false) + out }
-        }
+        deriveAgg(v, fn, c).map(d => s"$d AS $alias")
       // an aliased group EXPRESSION (e.g. date_trunc('month', d) AS m):
       // must canonicalize to one of the GROUP BY items
       case AliasedItem(expr, alias) =>
@@ -200,10 +237,17 @@ object RollupRewrite {
     }
     if (selects.exists(_.isEmpty)) return None
     val wherePart = where.map(w => s" WHERE $w").getOrElse("")
+    val havingPart = having0.map(strip) match {
+      case None => ""
+      case Some(h) => rewriteHaving(v, h, viewGroups) match {
+        case Some(rh) => s" HAVING $rh"
+        case None => return None
+      }
+    }
     // the companion __state view exposes the hidden sum/count/sumsq
     // columns alongside the visible ones (Store.publish)
     Some(s"SELECT ${selects.flatten.mkString(", ")} FROM ${v.view}__state$wherePart" +
-      s" GROUP BY ${groupTexts.mkString(", ")}")
+      s" GROUP BY ${groupTexts.mkString(", ")}$havingPart")
   }
 
   /** avg re-derived from hidden sum/count state: exact at any rollup

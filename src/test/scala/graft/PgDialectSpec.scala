@@ -802,6 +802,26 @@ class PgDialectSpec extends SparkSpecBase {
     assert(RollupRewrite.rewrites.get == r2, "arbitrary group expression must not rewrite")
   }
 
+  test("rollup carries HAVING onto the view when every aggregate derives") {
+    import spark.implicits._
+    Tables.registerAll(spark, sfDir)
+    // rh_fact/rh_mv from the time-hierarchy test: sum/count derivable
+    val q = """SELECT year(d) AS y, sum(x) AS total FROM rh_fact
+      GROUP BY year(d) HAVING sum(x) > 2000 AND count(*) >= 10 ORDER BY y"""
+    val direct = spark.sql("""SELECT year(d) AS y, sum(x) AS total FROM rh_fact
+      GROUP BY year(d) HAVING sum(x) > 2000 AND count(*) >= 10 ORDER BY y""")
+      .collect().toSeq
+    val r0 = RollupRewrite.rewrites.get
+    assert(rows(q) == direct)
+    assert(RollupRewrite.rewrites.get == r0 + 1, "HAVING rollup must fire")
+    // an underivable aggregate in HAVING (min over a sum-only view):
+    // falls through to the base, still correct
+    val r1 = RollupRewrite.rewrites.get
+    assert(rows("""SELECT year(d) AS y, sum(x) AS total FROM rh_fact
+      GROUP BY year(d) HAVING min(x) > 0 ORDER BY y""").nonEmpty)
+    assert(RollupRewrite.rewrites.get == r1, "underivable HAVING must not rewrite")
+  }
+
   test("time travel: FOR VERSION / TIMESTAMP AS OF reads immutable snapshots") {
     import spark.implicits._
     Tables.registerAll(spark, sfDir)
