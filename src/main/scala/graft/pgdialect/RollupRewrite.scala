@@ -274,7 +274,10 @@ object RollupRewrite {
     * keyword; function calls (ident followed by `(`) disqualify. */
   private def whereRefsOnly(w: String, groupCols: Set[String]): Boolean = {
     val noStrings = w.replaceAll("'(?:[^']|'')*'", " ")
-    if ("(?s)[A-Za-z_]\\w*\\s*\\(".r.findFirstIn(noStrings).isDefined) return false
+    // a function CALL disqualifies — but `IN (...)` / `NOT (...)` are
+    // keyword-parenthesis sequences, not calls
+    val calls = "([A-Za-z_]\\w*)\\s*\\(".r.findAllMatchIn(noStrings).map(_.group(1))
+    if (calls.exists(id => !whereKeywords(id.toLowerCase))) return false
     "[A-Za-z_]\\w*".r.findAllIn(noStrings).forall { id =>
       groupCols(id) || whereKeywords(id.toLowerCase)
     }

@@ -822,6 +822,47 @@ class PgDialectSpec extends SparkSpecBase {
     assert(RollupRewrite.rewrites.get == r1, "underivable HAVING must not rewrite")
   }
 
+  test("rollup equivalence property: 40 random derivable queries match the base") {
+    import spark.implicits._
+    Tables.registerAll(spark, sfDir)
+    store.replace("pp_fact", (1 to 400).map { i =>
+      (s"a${i % 3}", s"b${i % 5}",
+        java.sql.Date.valueOf(f"202${i % 2}%d-${i % 7 + 1}%02d-${i % 25 + 1}%02d"),
+        (i % 97).toLong, (i % 89).toDouble) // integral double: exact rollup sums
+    }.toDF("g1", "g2", "d", "x", "y"))
+    store.createMatview("pp_mv", """SELECT g1, g2, d, count(*) AS n_rows,
+      sum(x) AS sum_x, sum(y) AS sum_y, avg(y) AS avg_y,
+      min(x) AS min_x, max(x) AS max_x
+      FROM pp_fact GROUP BY g1, g2, d""")
+    val rnd = new scala.util.Random(42)
+    val groupPool = Seq("g1", "g2", "d", "year(d)", "date_trunc('month', d)")
+    val aggPool = Seq("count(*) AS n", "sum(x) AS sx", "sum(y) AS sy",
+      "avg(y) AS ay", "min(x) AS mnx", "max(x) AS mxx")
+    val wherePool = Seq(None, Some("g1 = 'a1'"), Some("g2 IN ('b0', 'b3')"))
+    val havingPool = Seq(None, Some("count(*) >= 2"), Some("sum(x) > 50"))
+    var fired = 0
+    val missed = Seq.newBuilder[String]
+    (1 to 40).foreach { _ =>
+      val groups = rnd.shuffle(groupPool).take(1 + rnd.nextInt(3)).distinct
+      val aggs = rnd.shuffle(aggPool).take(1 + rnd.nextInt(aggPool.size))
+      val where = wherePool(rnd.nextInt(wherePool.size))
+      val having = havingPool(rnd.nextInt(havingPool.size))
+      val groupSel = groups.map(g =>
+        if (g.contains("(")) s"$g AS ${g.takeWhile(_ != '(')}_b" else g)
+      val q = s"SELECT ${(groupSel ++ aggs).mkString(", ")} FROM pp_fact" +
+        where.map(w => s" WHERE $w").getOrElse("") +
+        s" GROUP BY ${groups.mkString(", ")}" +
+        having.map(h => s" HAVING $h").getOrElse("")
+      val r0 = RollupRewrite.rewrites.get
+      val got = rows(q).map(_.toString).sorted
+      if (RollupRewrite.rewrites.get == r0 + 1) fired += 1 else missed += q
+      val want = spark.sql(q).collect().toSeq.map(_.toString).sorted
+      assert(got == want, s"mismatch for: $q")
+    }
+    assert(fired == 40,
+      s"all 40 derivable queries must roll up, got $fired; missed:\n${missed.result().mkString("\n")}")
+  }
+
   test("time travel: FOR VERSION / TIMESTAMP AS OF reads immutable snapshots") {
     import spark.implicits._
     Tables.registerAll(spark, sfDir)
