@@ -378,6 +378,41 @@ object StoreOps {
       }
     },
 
+    // Star-join rollup end-to-end: the query joins fact ⋈ dim exactly like
+    // the star matview's definition, so the dialect answers it from the
+    // view (join chain canonicalized and matched; PgDialectSpec pins the
+    // counter). The oracle recomputes the joined aggregate from the base
+    // tables.
+    Q("st_rollup_star", Some("""
+      SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_orderkey <= 6000
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-rus").toString
+      val store = new Store(s, wh)
+      store.replace("ru9_orders", t(s, dir, "orders")
+        .filter(col("o_orderkey") <= 6000)
+        .select(col("o_orderstatus"), col("o_custkey").cast("long").as("o_custkey")))
+      store.replace("ru9_customer",
+        t(s, dir, "customer").select("c_custkey", "c_mktsegment"))
+      store.createMatview("ru9_mv", """SELECT c_mktsegment, o_orderstatus,
+        count(*) AS n_rows, sum(o_custkey) AS sum_c
+        FROM ru9_orders JOIN ru9_customer
+          ON ru9_orders.o_custkey = ru9_customer.c_custkey
+        GROUP BY c_mktsegment, o_orderstatus""")
+      PgDialect.execute(s, store, """SELECT c_mktsegment,
+        count(*) AS n_orders, sum(o_custkey) AS sum_cust
+        FROM ru9_orders JOIN ru9_customer
+          ON ru9_orders.o_custkey = ru9_customer.c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""") match {
+        case PgDialect.Rows(df, _) =>
+          df.select(col("c_mktsegment"), col("n_orders"),
+            col("sum_cust").cast("long").as("sum_cust"))
+        case other => sys.error(s"expected rows, got $other")
+      }
+    },
+
     // Time-hierarchy rollup: the view is day-grained (GROUP BY
     // o_orderdate); the month query's bucket is a deterministic function
     // of the day value, so the dialect answers it from the view —

@@ -194,6 +194,22 @@ class StreamingSpec extends SparkSpecBase {
       expect.orderBy("event_type").collect().toSeq)
     // and it is fully reflected: another refresh reads zero files
     assert(store.incrementalRefresh("sm_agg")._1 == 0)
+    // serving integration: a dashboard GROUP BY over the INGESTED table
+    // answers from the stream-maintained view (the rollup rewrite fires —
+    // continuous ingest keeps the view fresh, so the fact table is never
+    // re-scanned for covered aggregates)
+    val r0 = RollupRewrite.rewrites.get
+    val served = PgDialect.execute(spark, store,
+      """SELECT event_type, count(*) AS n, sum(user_id) AS su
+         FROM sm_events GROUP BY event_type ORDER BY event_type""") match {
+      case PgDialect.Rows(df, _) => df.collect().toSeq
+      case other => fail(s"expected rows, got $other")
+    }
+    assert(RollupRewrite.rewrites.get == r0 + 1,
+      "stream-maintained view must serve the rollup")
+    assert(served.map(r => (r.getString(0), r.getLong(1), r.getLong(2))) ==
+      expect.orderBy("event_type").collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
   }
 
   test("replayed matview micro-batch never double-appends, creates the view if missing") {
