@@ -59,7 +59,7 @@ object RollupRewrite {
   // columns are the bare output names)
   private val BareCol = "(?is)(?:([A-Za-z_]\\w*)\\.)?([A-Za-z_]\\w*)".r
   private val CountStar = "(?is)count\\(\\s*\\*\\s*\\)(?:\\s+AS\\s+(\\w+))?".r
-  private val AggCol = "(?is)(sum|min|max|avg|stddev|stddev_samp|variance|var_samp)\\(\\s*(?:([A-Za-z_]\\w*)\\.)?([A-Za-z_]\\w*)\\s*\\)(?:\\s+AS\\s+(\\w+))?".r
+  private val AggCol = "(?is)(sum|min|max|avg|count|stddev|stddev_samp|variance|var_samp)\\(\\s*(?:([A-Za-z_]\\w*)\\.)?([A-Za-z_]\\w*)\\s*\\)(?:\\s+AS\\s+(\\w+))?".r
   // time-hierarchy group expressions: deterministic scalar functions of ONE
   // group column (a month bucket is a function of the day value, so a
   // day-grained view rolls up to months exactly)
@@ -94,7 +94,21 @@ object RollupRewrite {
           .map(m => (m.group(1), s"${m.group(2)} = ${m.group(3)}")).toSeq
         val tables = (base +: queryJoins.map(_._1)).map(_.toLowerCase).toSet
         def known(q: String): Boolean = q == null || tables(q.toLowerCase)
+        lazy val selectItems = PgDialect.splitTopLevel(selectList).map(_.trim)
         def parseGroup(s: String): Option[GItem] = s.trim match {
+          // positional (GROUP BY 1): resolve to the Nth select item's
+          // expression (alias stripped)
+          case pos if pos.matches("\\d+") =>
+            val i = pos.toInt
+            if (i < 1 || i > selectItems.size) None
+            else {
+              val resolved = selectItems(i - 1) match {
+                case AliasedItem(e, _) => e.trim
+                case e => e
+              }
+              // a numeric select item would recurse forever (SELECT 1 ...)
+              if (resolved.matches("\\d+")) None else parseGroup(resolved)
+            }
           case BareCol(q, c) if known(q) => Some(GItem(c, c))
           case GroupExpr(unit, q1, c1, fn, q2, c2) =>
             if (unit != null && known(q1)) Some(GItem(s"date_trunc($unit, $c1)", c1))
@@ -160,6 +174,10 @@ object RollupRewrite {
   private def deriveAgg(v: Store.RollupView, fn: String, c: String): Option[String] =
     fn.toLowerCase match {
       case "count(*)" => Some(s"sum(${v.countAlias})")
+      // count(col) = non-null count: the hidden avg/dev state keeps it
+      case "count" =>
+        v.avgs.get(c).orElse(v.devs.get(c).map(_._1))
+          .map(a => s"sum(${Store.avgCntAlias(a)})")
       case "sum" => v.sums.get(c).map(a => s"sum($a)")
       case "min" => v.mins.get(c).map(a => s"min($a)")
       case "max" => v.maxs.get(c).map(a => s"max($a)")
@@ -174,7 +192,7 @@ object RollupRewrite {
   // aggregate calls embedded in a HAVING clause
   private val HavingAgg =
     ("(?is)\\b(?:count\\(\\s*\\*\\s*\\)" +
-      "|(sum|min|max|avg|stddev|stddev_samp|variance|var_samp)" +
+      "|(sum|min|max|avg|count|stddev|stddev_samp|variance|var_samp)" +
       "\\(\\s*(?:([A-Za-z_]\\w*)\\.)?([A-Za-z_]\\w*)\\s*\\))").r
 
   /** Rewrite a HAVING clause onto the view: every aggregate call derives

@@ -863,6 +863,29 @@ class PgDialectSpec extends SparkSpecBase {
       s"all 40 derivable queries must roll up, got $fired; missed:\n${missed.result().mkString("\n")}")
   }
 
+  test("rollup resolves GROUP BY positionals and count(col)") {
+    import spark.implicits._
+    Tables.registerAll(spark, sfDir)
+    // rh_fact/rh_mv (day-grained) and pp_fact/pp_mv (carries avg_y hidden
+    // state) from earlier tests in this suite
+    val r0 = RollupRewrite.rewrites.get
+    val byPos = rows("""SELECT date_trunc('month', d) AS m, sum(x) AS total
+      FROM rh_fact GROUP BY 1 ORDER BY m""")
+    assert(RollupRewrite.rewrites.get == r0 + 1, "positional group must fire")
+    assert(byPos == spark.sql("""SELECT date_trunc('month', d) AS m,
+      sum(x) AS total FROM rh_fact GROUP BY 1 ORDER BY m""").collect().toSeq)
+    // count(col) derives from the hidden non-null-count state
+    val r1 = RollupRewrite.rewrites.get
+    val cnt = rows("""SELECT g1, count(y) AS cy FROM pp_fact GROUP BY g1 ORDER BY g1""")
+    assert(RollupRewrite.rewrites.get == r1 + 1, "count(col) must fire")
+    assert(cnt == spark.sql(
+      "SELECT g1, count(y) AS cy FROM pp_fact GROUP BY g1 ORDER BY g1").collect().toSeq)
+    // count over a column without hidden state: falls through
+    val r2 = RollupRewrite.rewrites.get
+    assert(rows("""SELECT g1, count(x) AS cx FROM pp_fact GROUP BY g1""").nonEmpty)
+    assert(RollupRewrite.rewrites.get == r2, "stateless count(col) must not rewrite")
+  }
+
   test("time travel: FOR VERSION / TIMESTAMP AS OF reads immutable snapshots") {
     import spark.implicits._
     Tables.registerAll(spark, sfDir)
