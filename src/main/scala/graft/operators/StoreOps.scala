@@ -378,6 +378,30 @@ object StoreOps {
       }
     },
 
+    // Time-travel SQL surface end-to-end: v1 = orders subset, v2 = upsert
+    // on top; the dialect statement `FROM t FOR VERSION AS OF v1` must
+    // still see the pre-upsert rows (immutable version dirs). The oracle
+    // recomputes v1's content from the base table.
+    Q("st_timetravel_sql", Some("""
+      SELECT o_orderkey, o_orderstatus FROM orders
+      WHERE o_orderkey <= 3000 ORDER BY o_orderkey""")) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-ttsql").toString
+      val store = new Store(s, wh)
+      val v1 = t(s, dir, "orders")
+        .filter(col("o_orderkey") <= 3000)
+        .select("o_orderkey", "o_orderstatus")
+      store.replace("tts_orders", v1)
+      val snap = store.currentVersion("tts_orders")
+      store.upsert("tts_orders",
+        v1.limit(20).withColumn("o_orderstatus", lit("X")), "o_orderkey")
+      PgDialect.execute(s, store, s"""SELECT o_orderkey, o_orderstatus
+        FROM tts_orders FOR VERSION AS OF $snap
+        ORDER BY o_orderkey""") match {
+        case PgDialect.Rows(df, _) => df
+        case other => sys.error(s"expected rows, got $other")
+      }
+    },
+
     // Star-join rollup end-to-end: the query joins fact ⋈ dim exactly like
     // the star matview's definition, so the dialect answers it from the
     // view (join chain canonicalized and matched; PgDialectSpec pins the
