@@ -20,8 +20,14 @@ object Tables {
   val broadcastable: Set[String] =
     Set("region", "nation", "supplier", "part", "customer")
 
+  // memoized lazy frames per (dir, table): the testdata files are immutable
+  // for a session, and re-loading per reference would re-read footers and
+  // re-run the long-unit sniff job on every unprimed access
+  private val loaded = scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
+
   def df(spark: SparkSession, dir: String, name: String): DataFrame =
-    primed.getOrElse((dir, name), load(spark, dir, name))
+    primed.getOrElse((dir, name),
+      loaded.getOrElseUpdate((dir, name), load(spark, dir, name)))
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // The driver regenerates the parquet each round and varies encodings:
@@ -84,8 +90,13 @@ object Tables {
   }
 
   /** Micros expression for a long-encoded instant column: the unit is
-    * sniffed from one row's magnitude (1970–2100 instants: seconds < 5e9 <
-    * millis < 5e12 < micros < 5e15 < nanos). A streaming frame can't be
+    * sniffed from one row's magnitude. The units are only separable under
+    * a plausible-era assumption — for instants in 1975–2200 the four unit
+    * windows (seconds ~[1.6e8, 7.3e9], millis ~e11–e12, micros ~e14–e15,
+    * nanos ~e17–e18) are disjoint, so classify by DECADE of magnitude
+    * (boundaries at 1e10/1e13/1e16), not by a single ascending cutoff — a
+    * plain `>= 5e15 → nanos` rule would misread a 2024 micros value
+    * (1.7e15) whenever the boundary drifted. A streaming frame can't be
     * probed — there the only long source is nanosAsLong, so assume nanos. */
   private def longInstantMicros(df: DataFrame, c: String): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{abs, col, expr}
@@ -93,9 +104,9 @@ object Tables {
       if (df.isStreaming) Long.MaxValue
       else df.select(abs(col(c)).as("v")).filter(col("v").isNotNull)
         .limit(1).collect().headOption.map(_.getLong(0)).getOrElse(0L)
-    if (sample >= 5000000000000000L) expr(s"$c div 1000")     // nanos
-    else if (sample >= 5000000000000L) col(c)                 // micros
-    else if (sample >= 5000000000L) expr(s"$c * 1000")        // millis
+    if (sample >= 10000000000000000L) expr(s"$c div 1000")    // nanos  (>= 1e16)
+    else if (sample >= 10000000000000L) col(c)                // micros (>= 1e13)
+    else if (sample >= 10000000000L) expr(s"$c * 1000")       // millis (>= 1e10)
     else expr(s"$c * 1000000")                                // seconds
   }
 
@@ -155,8 +166,10 @@ object Tables {
       // with an unreadable encoding (or a catalog view that fails analysis
       // against it) costs the queries that touch it, not the whole round —
       // an uncaught throw here once zeroed an entire correctness run.
+      var failures = 0
       def step(what: String)(body: => Unit): Unit =
         try body catch { case e: Throwable =>
+          failures += 1
           System.err.println(s"[tables] $what failed: ${e.getMessage}") }
       PgDialect.catalogEpoch.incrementAndGet()
       names.foreach(n =>
@@ -164,7 +177,10 @@ object Tables {
       step("functions")(PgFunctions.register(spark))
       step("expressions")(GraftExpressions.register(spark))
       step("pg_catalog") { PgCatalog.noteDir(dir); PgCatalog.register(spark) }
-      registeredDir = dir
+      // only a CLEAN registration is remembered: a transient failure (e.g.
+      // a table mid-rewrite) retries on the next call instead of leaving
+      // the view missing for the rest of the session
+      if (failures == 0) registeredDir = dir
     }
   }
 

@@ -90,8 +90,15 @@ object PgDialect {
       allowAutoRefresh: Boolean = true): DataFrame =
     cachedPlan(spark, RollupRewrite(store, translated,
       autoRefresh = allowAutoRefresh &&
-        SessionSettings.get("graft.rollup_auto_refresh").contains("on"))
+        SessionSettings.get("graft.rollup_auto_refresh").contains("on"),
+      columnsOf = relationColumns(spark))
       .getOrElse(translated))
+
+  /** Column names of a session-resolvable relation (empty when absent) —
+    * the rollup rewriter's qualified-reference validator. */
+  private def relationColumns(spark: SparkSession)(name: String): Set[String] =
+    try spark.table(name).columns.toSet
+    catch { case _: Exception => Set.empty }
 
   /** Parse/analyze `finalSql` once per (epoch, timezone); later identical
     * statements reuse the analyzed DataFrame. */
@@ -250,10 +257,12 @@ object PgDialect {
         val analyze =
           "(?is)EXPLAIN\\s+(?:ANALYZE\\b|\\([^)]*\\bANALYZE\\b[^)]*\\))".r
             .findFirstIn(stmt).isDefined
-        // the plan a SELECT would actually run — including the rollup
-        // rewrite (no auto-refresh: EXPLAIN must not mutate)
-        val explainSql = applyPermissions(translateSelect(inner.trim), perms)
-        val df = spark.sql(RollupRewrite(store, explainSql).getOrElse(explainSql))
+        // the plan a SELECT would actually run — time travel + rollup
+        // rewrite included (no auto-refresh: EXPLAIN must not mutate)
+        val explainSql = applyPermissions(
+          translateSelect(rewriteTimeTravel(store, inner.trim)), perms)
+        val df = spark.sql(RollupRewrite(store, explainSql,
+          columnsOf = relationColumns(spark)).getOrElse(explainSql))
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
         val lines =

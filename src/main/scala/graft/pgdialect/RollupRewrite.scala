@@ -83,7 +83,12 @@ object RollupRewrite {
     * view is first brought to the base's current version through the
     * O(changed-files) incremental refresh and then answers — same result
     * as the base by construction, without the fact-table scan. */
-  def apply(store: Store, sql: String, autoRefresh: Boolean = false): Option[String] = {
+  /** `columnsOf(table)` = that relation's column names (empty when
+    * unresolvable): a qualified reference `t.c` only matches when `c`
+    * really is a column of `t`, so a query the base plan would REJECT is
+    * never silently answered by the view. */
+  def apply(store: Store, sql: String, autoRefresh: Boolean = false,
+      columnsOf: String => Set[String] = _ => Set.empty): Option[String] = {
     if (unsupported.matches(sql)) return None
     // exactly one SELECT (no subqueries anywhere)
     if ("(?i)\\bSELECT\\b".r.findAllIn(sql).size != 1) return None
@@ -93,8 +98,12 @@ object RollupRewrite {
         val queryJoins = joinRe.findAllMatchIn(Option(joinsRaw).getOrElse(""))
           .map(m => (m.group(1), s"${m.group(2)} = ${m.group(3)}")).toSeq
         val tables = (base +: queryJoins.map(_._1)).map(_.toLowerCase).toSet
-        def known(q: String): Boolean = q == null || tables(q.toLowerCase)
-        lazy val selectItems = PgDialect.splitTopLevel(selectList).map(_.trim)
+        // a qualifier must name a query table AND actually own the column
+        // (a dangling t.c would error in the base plan; the rewrite must
+        // not mask that)
+        def known(q: String, c: String): Boolean = q == null ||
+          (tables(q.toLowerCase) && columnsOf(q).contains(c))
+        val selectItems = PgDialect.splitTopLevel(selectList).map(_.trim)
         def parseGroup(s: String): Option[GItem] = s.trim match {
           // positional (GROUP BY 1): resolve to the Nth select item's
           // expression (alias stripped)
@@ -109,10 +118,10 @@ object RollupRewrite {
               // a numeric select item would recurse forever (SELECT 1 ...)
               if (resolved.matches("\\d+")) None else parseGroup(resolved)
             }
-          case BareCol(q, c) if known(q) => Some(GItem(c, c))
+          case BareCol(q, c) if known(q, c) => Some(GItem(c, c))
           case GroupExpr(unit, q1, c1, fn, q2, c2) =>
-            if (unit != null && known(q1)) Some(GItem(s"date_trunc($unit, $c1)", c1))
-            else if (fn != null && known(q2)) Some(GItem(s"${fn.toLowerCase}($c2)", c2))
+            if (unit != null && known(q1, c1)) Some(GItem(s"date_trunc($unit, $c1)", c1))
+            else if (fn != null && known(q2, c2)) Some(GItem(s"${fn.toLowerCase}($c2)", c2))
             else None
           case _ => None
         }
@@ -122,7 +131,7 @@ object RollupRewrite {
           .map(g => parseGroup(g).getOrElse(return None))
         val where = Option(whereRaw).map(_.trim).filter(_.nonEmpty)
         val having = Option(havingRaw).map(_.trim).filter(_.nonEmpty)
-        val items = PgDialect.splitTopLevel(selectList).map(_.trim)
+        val items = selectItems
         // an ORDER BY may only name select aliases / group columns — an
         // aggregate expression in it would reference base columns the
         // rewritten query no longer has
@@ -130,7 +139,7 @@ object RollupRewrite {
           case CountStar(a) => Option(a)
           case AggCol(_, _, _, a) => Option(a)
           case AliasedItem(_, a) => Some(a)
-          case BareCol(q, c) if known(q) => Some(c)
+          case BareCol(q, c) if known(q, c) => Some(c)
           case _ => None
         }.toSet
         val plainGroupNames = groupItems.collect { case GItem(t, s) if t == s => t }
@@ -142,7 +151,7 @@ object RollupRewrite {
           // multiplicity); then smallest group set first
           views.filter(v => joinKey(v.joins) == qKey)
             .sortBy(_.groupCols.size).flatMap { v =>
-              rewriteWith(v, items, groupItems, where, having, tables).map(v -> _)
+              rewriteWith(v, items, groupItems, where, having, tables, columnsOf).map(v -> _)
             }.headOption
         attempt(store.rollupViews(base))
           .orElse {
@@ -219,25 +228,30 @@ object RollupRewrite {
 
   private def rewriteWith(v: Store.RollupView, items: Seq[String],
       groupItems: Seq[GItem], where0: Option[String], having0: Option[String],
-      tables: Set[String]): Option[String] = {
+      tables: Set[String], columnsOf: String => Set[String]): Option[String] = {
     val viewGroups = v.groupCols.toSet
-    def known(q: String): Boolean = q == null || tables(q.toLowerCase)
-    // strip known table qualifiers: the view's columns are bare output
-    // names, so `fact.region` in a predicate must become `region`
+    def known(q: String, c: String): Boolean = q == null ||
+      (tables(q.toLowerCase) && columnsOf(q).contains(c))
+    // strip known table qualifiers OUTSIDE string literals: the view's
+    // columns are bare output names, so `fact.region` in a predicate must
+    // become `region` — but 'fact.region' as DATA must survive untouched
     def strip(s: String): String =
-      s.replaceAll("(?i)\\b(" + tables.mkString("|") + ")\\.", "")
+      "'(?:[^']|'')*'".r.split(s).map(
+        _.replaceAll("(?i)\\b(" + tables.mkString("|") + ")\\.", ""))
+        .zipAll("'(?:[^']|'')*'".r.findAllIn(s).toSeq, "", "")
+        .map { case (code, lit) => code + lit }.mkString
     val where = where0.map(strip)
     // every group item must be a (function of a) view group column
     if (!groupItems.forall(g => viewGroups(g.src))) return None
     if (!where.forall(w => whereRefsOnly(w, viewGroups))) return None
     val groupTexts = groupItems.map(_.text)
     val selects = items.map {
-      case BareCol(q, c) if known(q) && groupTexts.contains(c) => Some(c)
+      case BareCol(q, c) if known(q, c) && groupTexts.contains(c) => Some(c)
       // aggregates must be explicitly aliased: an unaliased rewrite would
       // surface the view's internal column names
       case CountStar(alias) if alias != null =>
         deriveAgg(v, "count(*)", "").map(d => s"$d AS $alias")
-      case AggCol(fn, q, c, alias) if alias != null && known(q) =>
+      case AggCol(fn, q, c, alias) if alias != null && known(q, c) =>
         deriveAgg(v, fn, c).map(d => s"$d AS $alias")
       // an aliased group EXPRESSION (e.g. date_trunc('month', d) AS m):
       // must canonicalize to one of the GROUP BY items
@@ -245,8 +259,8 @@ object RollupRewrite {
         expr.trim match {
           case GroupExpr(unit, q1, c1, fn, q2, c2) =>
             val canon =
-              if (unit != null && known(q1)) Some(s"date_trunc($unit, $c1)")
-              else if (fn != null && known(q2)) Some(s"${fn.toLowerCase}($c2)")
+              if (unit != null && known(q1, c1)) Some(s"date_trunc($unit, $c1)")
+              else if (fn != null && known(q2, c2)) Some(s"${fn.toLowerCase}($c2)")
               else None
             canon.filter(groupTexts.contains).map(t => s"$t AS $alias")
           case _ => None

@@ -290,14 +290,19 @@ class Store(spark: SparkSession, val warehouse: String) {
     spark.read.parquet(versionDir(name, v))
   }
 
-  /** Idempotently register and return a session view over `name` at
-    * snapshot version `v` — the FROM … FOR VERSION AS OF surface
-    * (PgDialect.rewriteTimeTravel). Version dirs are immutable, so the
-    * registration never goes stale. */
+  /** Register and return a session view over `name` at snapshot version
+    * `v` — the FROM … FOR VERSION AS OF surface
+    * (PgDialect.rewriteTimeTravel). Registered UNCONDITIONALLY on every
+    * call: a cached registration could outlive a drop/re-create of the
+    * table (version counters restart) or collide with another Store on
+    * the same session — the warehouse tag in the name disambiguates
+    * stores, the re-registration guarantees the view points at THIS
+    * store's (immutable) version dir, and readVersion fails loudly if the
+    * snapshot no longer exists. */
   def snapshotView(name: String, v: Int): String = {
-    val vn = s"${name}__asof_v$v"
-    if (!spark.catalog.tableExists(vn))
-      readVersion(name, v).createOrReplaceTempView(vn)
+    val tag = Integer.toHexString(root.toString.hashCode)
+    val vn = s"${name}__asof_${tag}_v$v"
+    readVersion(name, v).createOrReplaceTempView(vn)
     vn
   }
 

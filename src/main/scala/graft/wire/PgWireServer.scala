@@ -63,6 +63,7 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
       val query: String = "") {
     lazy val rows: java.util.Iterator[Row] = df.toLocalIterator()
     var sent = 0L // rows streamed so far (pg_stat_statements feed)
+    var noted = false // stats recorded once per portal drain
     val bound: Long = System.nanoTime()
     /** format code for column i: one code applies to all, else per-column */
     def fmt(i: Int): Int = resultFormats match {
@@ -157,7 +158,8 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
                 // arguments skips translation AND analysis
                 portals(portal) = new Portal(
                   PgDialect.planWithRollup(spark, store,
-                    PgDialect.translateSelectCached(sql)), resFmts,
+                    PgDialect.translateSelectCached(
+                      PgDialect.rewriteTimeTravel(store, sql))), resFmts,
                   statements(stmt))
                 msg(out, '2') { _ => } // BindComplete
               } catch { case e: Throwable => sendError(out, e); errorSkip = true }
@@ -167,9 +169,9 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
                 val name = readCStr()
                 val df = if (kind == 'P') portals(name).df
                   else PgDialect.planWithRollup(spark, store,
-                    PgDialect.translateSelectCached(
+                    PgDialect.translateSelectCached(PgDialect.rewriteTimeTravel(store,
                       substituteParams(statements(name),
-                        Seq.fill(countParams(statements(name)))(null))),
+                        Seq.fill(countParams(statements(name)))(null)))),
                     allowAutoRefresh = false) // Describe must not mutate
                 if (kind == 'S') msg(out, 't') { bb => // ParameterDescription
                   val n = countParams(statements(name))
@@ -200,10 +202,13 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
                 else {
                   commandComplete(out, s"SELECT $n")
                   // extended-protocol statement completed: record the
-                  // bind-to-last-row time (once per portal drain)
-                  if (p.query.nonEmpty)
+                  // bind-to-last-row time ONCE per portal (a repeated
+                  // Execute on a drained portal must not re-count)
+                  if (p.query.nonEmpty && !p.noted) {
+                    p.noted = true
                     PgDialect.noteStatement(p.query,
                       (System.nanoTime() - p.bound) / 1000, p.sent)
+                  }
                 }
               } catch { case e: Throwable => sendError(out, e); errorSkip = true }
             case 'C' if !errorSkip => // Close: drop the named statement/portal
@@ -469,18 +474,19 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
 
   /** DECLARE / FETCH / MOVE / CLOSE against the per-connection cursor map,
     * and PREPARE / EXECUTE / DEALLOCATE against the per-connection
-    * statement map; false when the statement is neither. */
+    * statement map; None when the statement is neither, Some(rows
+    * streamed) when handled (the pg_stat_statements feed). */
   private def cursorStatement(out: DataOutputStream, stmt: String,
       cursors: scala.collection.mutable.Map[String, Portal],
       statements: scala.collection.mutable.Map[String, String] =
-        scala.collection.mutable.Map.empty): Boolean = stmt.trim match {
+        scala.collection.mutable.Map.empty): Option[Long] = stmt.trim match {
     case prepareRe(name, _, query) =>
       if (statements.contains(unq(name)))
         throw PgDialect.UnsupportedQuery(
           s"""prepared statement "${unq(name)}" already exists""")
       statements(unq(name)) = query
       commandComplete(out, "PREPARE")
-      true
+      Some(0L)
     case executeRe(name, argsRaw) =>
       val query = statements.getOrElse(unq(name),
         throw PgDialect.UnsupportedQuery(
@@ -494,13 +500,12 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
             a.substring(1, a.length - 1).replace("''", "'")
           case a => a
         }
-      PgDialect.execute(spark, store, substituteParams(query, args)) match {
+      Some(PgDialect.execute(spark, store, substituteParams(query, args)) match {
         case PgDialect.Rows(df, _) => sendRows(out, df)
         case PgDialect.CopyOut(df, csv, header) => sendCopyOut(out, df, csv, header)
-        case PgDialect.Command(tag) => commandComplete(out, tag)
-        case PgDialect.Empty => msg(out, 'I') { _ => }
-      }
-      true
+        case PgDialect.Command(tag) => commandComplete(out, tag); 0L
+        case PgDialect.Empty => msg(out, 'I') { _ => }; 0L
+      })
     case deallocRe(name) =>
       if (name.equalsIgnoreCase("ALL")) { statements.clear(); commandComplete(out, "DEALLOCATE ALL") }
       else {
@@ -509,18 +514,18 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
             s"""prepared statement "${unq(name)}" does not exist""")
         commandComplete(out, "DEALLOCATE")
       }
-      true
+      Some(0L)
     case _ => cursorOnlyStatement(out, stmt, cursors)
   }
 
   private def cursorOnlyStatement(out: DataOutputStream, stmt: String,
-      cursors: scala.collection.mutable.Map[String, Portal]): Boolean = stmt.trim match {
+      cursors: scala.collection.mutable.Map[String, Portal]): Option[Long] = stmt.trim match {
     case declareRe(name, query) =>
       val df = PgDialect.planWithRollup(spark, store,
-        PgDialect.translateSelectCached(query))
+        PgDialect.translateSelectCached(PgDialect.rewriteTimeTravel(store, query)))
       cursors(unq(name)) = new Portal(df)
       commandComplete(out, "DECLARE CURSOR")
-      true
+      Some(0L)
     case fetchRe(verb, count, name) =>
       val p = cursors.getOrElse(unq(name),
         throw PgDialect.UnsupportedQuery(s"cursor \"${unq(name)}\" does not exist"))
@@ -538,13 +543,13 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
         sent += 1
       }
       commandComplete(out, s"${verb.toUpperCase} $sent")
-      true
+      Some(if (move) 0L else sent.toLong)
     case closeRe(name) =>
       if (name.equalsIgnoreCase("ALL")) cursors.clear()
       else cursors.remove(unq(name))
       commandComplete(out, "CLOSE CURSOR")
-      true
-    case _ => false
+      Some(0L)
+    case _ => None
   }
 
   private def runQuery(out: DataOutputStream, sql: String,
@@ -558,15 +563,15 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
       else stmts.foreach { stmt =>
         // pg_stat_statements feed: time-to-last-row as the client saw it
         val t0 = System.nanoTime()
-        var rows = 0L
-        if (!cursorStatement(out, stmt, cursors, statements))
+        val rows = cursorStatement(out, stmt, cursors, statements).getOrElse {
           PgDialect.execute(spark, store, stmt) match {
-            case PgDialect.Rows(df, _) => rows = sendRows(out, df)
+            case PgDialect.Rows(df, _) => sendRows(out, df)
             case PgDialect.CopyOut(df, csv, header) =>
-              rows = sendCopyOut(out, df, csv, header)
-            case PgDialect.Command(tag) => commandComplete(out, tag)
-            case PgDialect.Empty => msg(out, 'I') { _ => }
+              sendCopyOut(out, df, csv, header)
+            case PgDialect.Command(tag) => commandComplete(out, tag); 0L
+            case PgDialect.Empty => msg(out, 'I') { _ => }; 0L
           }
+        }
         PgDialect.noteStatement(stmt, (System.nanoTime() - t0) / 1000, rows)
       }
       // TimeZone has GUC_REPORT: PG pushes a ParameterStatus after SET,

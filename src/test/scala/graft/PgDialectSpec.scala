@@ -766,6 +766,26 @@ class PgDialectSpec extends SparkSpecBase {
       JOIN rs_cust ON rs_fact.cust = rs_cust.c_id
       GROUP BY region ORDER BY region""").nonEmpty)
     assert(RollupRewrite.rewrites.get == r1, "differing join set must not rewrite")
+    // a table-name prefix INSIDE a string literal is data, not a
+    // qualifier: the rewrite fires and the literal survives verbatim
+    val rl = RollupRewrite.rewrites.get
+    val litRows = rows("""SELECT region, count(*) AS n FROM rs_fact
+      JOIN rs_cust ON rs_fact.cust = rs_cust.c_id
+      JOIN rs_prod ON rs_fact.prod = rs_prod.p_id
+      WHERE region <> 'rs_fact.region1' GROUP BY region ORDER BY region""")
+    assert(RollupRewrite.rewrites.get == rl + 1)
+    assert(litRows.map(_.getString(0)).contains("region1"),
+      "literal containing a table prefix must not be rewritten away")
+    // a DANGLING qualified column (rs_prod has no region) must not be
+    // silently answered: the rewrite declines and the base plan errors
+    val rd = RollupRewrite.rewrites.get
+    intercept[Exception] {
+      rows("""SELECT rs_prod.region, count(*) AS n FROM rs_fact
+        JOIN rs_cust ON rs_fact.cust = rs_cust.c_id
+        JOIN rs_prod ON rs_fact.prod = rs_prod.p_id
+        GROUP BY rs_prod.region""")
+    }
+    assert(RollupRewrite.rewrites.get == rd, "dangling qualifier must not rewrite")
     // a dim change makes the star view stale: falls back to the base plan
     store.upsert("rs_cust", Seq((1L, "regionX")).toDF("c_id", "region"), "c_id")
     val r2 = RollupRewrite.rewrites.get
