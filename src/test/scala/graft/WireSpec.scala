@@ -702,6 +702,31 @@ class WireSpec extends SparkSpecBase {
     c.close()
   }
 
+  test("time travel works through the extended protocol") {
+    import spark.implicits._
+    store.replace("wire_tt", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val snap = store.currentVersion("wire_tt")
+    store.upsert("wire_tt", Seq((2L, "B2")).toDF("k", "v"), "k")
+    val c = new Client(server._2); c.startup()
+    def send(tpe: Char, body: Array[Byte]): Unit = {
+      c.out.writeByte(tpe); c.out.writeInt(4 + body.length); c.out.write(body)
+    }
+    def bb(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
+    def cstr(str: String) = (str + "\u0000").getBytes(UTF_8)
+    def i16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+    def i32(v: Int) = java.nio.ByteBuffer.allocate(4).putInt(v).array()
+    send('P', bb(cstr(""),
+      cstr(s"SELECT v FROM wire_tt FOR VERSION AS OF $snap WHERE k = 2"), i16(0)))
+    send('B', bb(cstr(""), cstr(""), i16(0), i16(0), i16(0)))
+    send('E', bb(cstr(""), i32(0)))
+    send('S', Array.emptyByteArray)
+    c.out.flush()
+    val msgs = c.drainUntilReady()
+    val vals = msgs.filter(_._1 == 'D').map(m => dataRowValues(m._2).head)
+    assert(vals == Seq("b"), s"snapshot read over extended protocol got $vals")
+    c.close()
+  }
+
   test("sql-level PREPARE / EXECUTE / DEALLOCATE share the statement map") {
     val c = new Client(server._2); c.startup()
     def tag(ms: Seq[(Char, Array[Byte])]): String =
