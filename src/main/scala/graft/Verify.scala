@@ -39,6 +39,15 @@ object Verify {
             .parquet(s"$outDir/$name")
           catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            // remove any STALE output from a previous run: a leftover dir
+            // would make the driver compare an old result and false-pass
+            // the very query that just broke
+            try {
+              def rm(f: java.io.File): Unit = {
+                Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+              }
+              rm(new java.io.File(s"$outDir/$name"))
+            } catch { case _: Throwable => () }
           }
       })
     }
