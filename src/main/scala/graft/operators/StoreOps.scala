@@ -378,6 +378,40 @@ object StoreOps {
       }
     },
 
+    // Approx-distinct matview: the view keeps a mergeable HLL sketch per
+    // group as hidden state; appends union sketches incrementally, deletes
+    // force a rebuild (sketches don't retract), and the visible column is
+    // the estimate. DataSketches HLL has no cross-engine twin, so the
+    // oracle follows the established approx pattern: exact distinct counts
+    // plus an error-bound boolean the estimate must satisfy.
+    Q("st_ivm_hll", Some("""
+      SELECT o_orderpriority, CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_nd,
+        TRUE AS within_5pct
+      FROM orders WHERE o_orderkey <= 6000
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-hll").toString
+      val store = new Store(s, wh)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_custkey")
+      store.replaceSorted("hll_orders",
+        orders.filter(col("o_orderkey") <= 4000), "o_orderkey", numFiles = 8)
+      store.createMatview("hll_mv", """SELECT o_orderpriority,
+        count(*) AS n_rows, approx_count_distinct(o_custkey) AS nd_cust
+        FROM hll_orders GROUP BY o_orderpriority""")
+      store.appendCompacting("hll_orders",
+        orders.filter(col("o_orderkey") > 4000 && col("o_orderkey") <= 6000),
+        maxFileBytes = 1L)
+      store.refreshMatview("hll_mv") // append: sketch union, incremental
+      val exact = store.read("hll_orders").groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("exact_nd"))
+      store.read("hll_mv")
+        .join(exact, "o_orderpriority")
+        .select(col("o_orderpriority"), col("exact_nd"),
+          (abs(col("nd_cust") - col("exact_nd")).cast("double") /
+            col("exact_nd") <= 0.05).as("within_5pct"))
+        .orderBy("o_orderpriority")
+    },
+
     // Time-travel SQL surface end-to-end: v1 = orders subset, v2 = upsert
     // on top; the dialect statement `FROM t FOR VERSION AS OF v1` must
     // still see the pre-upsert rows (immutable version dirs). The oracle

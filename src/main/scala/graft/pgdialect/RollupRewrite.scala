@@ -59,7 +59,7 @@ object RollupRewrite {
   // columns are the bare output names)
   private val BareCol = "(?is)(?:([A-Za-z_]\\w*)\\.)?([A-Za-z_]\\w*)".r
   private val CountStar = "(?is)count\\(\\s*\\*\\s*\\)(?:\\s+AS\\s+(\\w+))?".r
-  private val AggCol = "(?is)(sum|min|max|avg|count|stddev|stddev_samp|variance|var_samp)\\(\\s*(?:([A-Za-z_]\\w*)\\.)?([A-Za-z_]\\w*)\\s*\\)(?:\\s+AS\\s+(\\w+))?".r
+  private val AggCol = "(?is)(sum|min|max|avg|count|approx_count_distinct|stddev|stddev_samp|variance|var_samp)\\(\\s*(?:([A-Za-z_]\\w*)\\.)?([A-Za-z_]\\w*)\\s*\\)(?:\\s+AS\\s+(\\w+))?".r
   // time-hierarchy group expressions: deterministic scalar functions of ONE
   // group column (a month bucket is a function of the day value, so a
   // day-grained view rolls up to months exactly)
@@ -188,6 +188,12 @@ object RollupRewrite {
         v.avgs.get(c).orElse(v.devs.get(c).map(_._1))
           .map(a => s"sum(${Store.avgCntAlias(a)})")
       case "sum" => v.sums.get(c).map(a => s"sum($a)")
+      // approx distinct re-derives by UNIONING the view's mergeable HLL
+      // sketches — the estimate carries the sketch's documented error
+      // bound at any rollup granularity, never a join-order artifact
+      case "approx_count_distinct" =>
+        v.hlls.get(c).map(a =>
+          s"hll_sketch_estimate(hll_union_agg(${Store.hllAlias(a)}))")
       case "min" => v.mins.get(c).map(a => s"min($a)")
       case "max" => v.maxs.get(c).map(a => s"max($a)")
       case "avg" => v.avgs.get(c).map(avgSql)
@@ -201,7 +207,7 @@ object RollupRewrite {
   // aggregate calls embedded in a HAVING clause
   private val HavingAgg =
     ("(?is)\\b(?:count\\(\\s*\\*\\s*\\)" +
-      "|(sum|min|max|avg|count|stddev|stddev_samp|variance|var_samp)" +
+      "|(sum|min|max|avg|count|approx_count_distinct|stddev|stddev_samp|variance|var_samp)" +
       "\\(\\s*(?:([A-Za-z_]\\w*)\\.)?([A-Za-z_]\\w*)\\s*\\))").r
 
   /** Rewrite a HAVING clause onto the view: every aggregate call derives

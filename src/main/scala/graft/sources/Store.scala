@@ -80,7 +80,11 @@ class Store(spark: SparkSession, val warehouse: String) {
       // is Δfact ⋈ dims as long as the dims are unchanged — dimVersions
       // pins the dim versions the view reflects (mismatch → full rebuild).
       joins: Seq[(String, String)] = Nil,
-      dimVersions: Map[String, Int] = Map.empty)
+      dimVersions: Map[String, Int] = Map.empty,
+      // approx-distinct aggregates: mergeable HLL sketch per group as
+      // hidden state (sketches union for adds but cannot retract, so
+      // removals force a full rebuild like min/max)
+      hllCols: Seq[(String, String)] = Nil)
   private val ivmViews = TrieMap[String, IvmMeta]()
 
   /** Last-applied streaming batch id per stream key (checkpoint-scoped).
@@ -149,6 +153,7 @@ class Store(spark: SparkSession, val warehouse: String) {
       o.put("maxs", m.maxCols.map { case (c, a) => s"$c:$a" }.mkString(","))
       o.put("avgs", m.avgCols.map { case (c, a) => s"$c:$a" }.mkString(","))
       o.put("devs", m.devCols.map { case (c, a, k) => s"$c:$a:$k" }.mkString(","))
+      o.put("hlls", m.hllCols.map { case (c, a) => s"$c:$a" }.mkString(","))
       m.where.foreach(o.put("where", _))
       if (m.joins.nonEmpty) {
         val ja = o.putArray("joins")
@@ -221,7 +226,7 @@ class Store(spark: SparkSession, val warehouse: String) {
           cols("sumAliases"), cols("outCols"), o.get("reflected").asInt,
           pairs("mins"), pairs("maxs"), pairs("avgs"), devs,
           Option(o.get("where")).map(_.asText).filter(_.nonEmpty),
-          joins, dimVersions)
+          joins, dimVersions, pairs("hlls"))
       })
       Option(rootNode.get("streamBatches")).foreach(_.fields.asScala.foreach(e =>
         streamBatchIds(e.getKey) = e.getValue.asLong))
@@ -926,7 +931,7 @@ class Store(spark: SparkSession, val warehouse: String) {
     // view registers on its first (full) refresh instead.
     val metaOpt = if (withData) ivmMetaFromDefn(defn, 0) else None
     metaOpt match {
-      case Some(m) if m.avgCols.nonEmpty || m.devCols.nonEmpty =>
+      case Some(m) if m.avgCols.nonEmpty || m.devCols.nonEmpty || m.hllCols.nonEmpty =>
         replace(name, ivmAggregate(ivmJoined(read(m.base), m), m, 1))
       case _ if withData => replace(name, spark.sql(defn))
       case _ => replace(name, spark.sql(defn).limit(0))
@@ -953,7 +958,8 @@ class Store(spark: SparkSession, val warehouse: String) {
         // sum/count columns the plain SQL recompute would not produce.
         val metaOpt = ivmMetaFromDefn(defn, 0)
         metaOpt match {
-          case Some(m) if exists(m.base) && (m.avgCols.nonEmpty || m.devCols.nonEmpty) =>
+          case Some(m) if exists(m.base) &&
+              (m.avgCols.nonEmpty || m.devCols.nonEmpty || m.hllCols.nonEmpty) =>
             replace(name, ivmAggregate(ivmJoined(read(m.base), m), m, 1))
           case _ => replace(name, spark.sql(defn))
         }
@@ -1026,10 +1032,12 @@ class Store(spark: SparkSession, val warehouse: String) {
   private def avgSumAlias(a: String) = Store.avgSumAlias(a)
   private def avgCntAlias(a: String) = Store.avgCntAlias(a)
   private def devSqAlias(a: String) = Store.devSqAlias(a)
+  private def hllAlias(a: String) = Store.hllAlias(a)
   private def ivmHiddenCols(m: IvmMeta): Seq[String] =
     m.avgCols.flatMap { case (_, a) => Seq(avgSumAlias(a), avgCntAlias(a)) } ++
       m.devCols.flatMap { case (_, a, _) =>
-        Seq(avgSumAlias(a), avgCntAlias(a), devSqAlias(a)) }
+        Seq(avgSumAlias(a), avgCntAlias(a), devSqAlias(a)) } ++
+      m.hllCols.map { case (_, a) => hllAlias(a) }
 
   /** Recompute visible avg/stddev/variance columns from hidden state and
     * project the stored layout: visible outCols, then hidden state. */
@@ -1046,7 +1054,10 @@ class Store(spark: SparkSession, val warehouse: String) {
       d.withColumn(a, when(col(avgCntAlias(a)) >= 2L,
         if (kind == "stddev") sqrt(variance) else variance))
     }
-    withDevs.select((m.outCols ++ ivmHiddenCols(m)).map(col): _*)
+    val withHlls = m.hllCols.foldLeft(withDevs) { case (d, (_, a)) =>
+      d.withColumn(a, expr(s"hll_sketch_estimate(${hllAlias(a)})"))
+    }
+    withHlls.select((m.outCols ++ ivmHiddenCols(m)).map(col): _*)
   }
 
   /** The view's input frame for a given fact frame: the fact rows joined
@@ -1076,7 +1087,11 @@ class Store(spark: SparkSession, val warehouse: String) {
         (sum(col(c).cast("double")) * sign).as(avgSumAlias(a)),
         (count(col(c)) * sign).cast("long").as(avgCntAlias(a)),
         (sum(col(c).cast("double") * col(c).cast("double")) * sign)
-          .as(devSqAlias(a))) }
+          .as(devSqAlias(a))) } ++
+      // sign is always +1 here for sketch views: removals take the full
+      // rebuild path (sketches are mergeable, not retractable)
+      m.hllCols.map { case (c, a) =>
+        expr(s"hll_sketch_agg($c)").as(hllAlias(a)) }
     ivmFinish(df.groupBy(m.groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*), m)
   }
 
@@ -1174,6 +1189,7 @@ class Store(spark: SparkSession, val warehouse: String) {
         // sample forms only: PG's bare stddev/variance ARE the sample
         // aggregates, and the hidden-state finish divides by (n-1)
         val StdItem = "(?is)stddev(?:_samp)?\\(\\s*(\\w+)\\s*\\)\\s+AS\\s+(\\w+)".r
+        val HllItem = "(?is)approx_count_distinct\\(\\s*(\\w+)\\s*\\)\\s+AS\\s+(\\w+)".r
         val VarItem = "(?is)(?:variance|var_samp)\\(\\s*(\\w+)\\s*\\)\\s+AS\\s+(\\w+)".r
         sealed trait Item
         case class G(g: String) extends Item
@@ -1183,6 +1199,7 @@ class Store(spark: SparkSession, val warehouse: String) {
         case class Mx(c: String, a: String) extends Item
         case class Av(c: String, a: String) extends Item
         case class Dv(c: String, a: String, kind: String) extends Item
+        case class Hl(c: String, a: String) extends Item
         val items = selectList.split(",").map(_.trim).toSeq
         val parsed: Seq[Option[Item]] = items.map {
           case CountItem(a) => Some(Cn(a))
@@ -1190,6 +1207,7 @@ class Store(spark: SparkSession, val warehouse: String) {
           case MinItem(c, a) => Some(Mn(c, a))
           case MaxItem(c, a) => Some(Mx(c, a))
           case AvgItem(c, a) => Some(Av(c, a))
+          case HllItem(c, a) => Some(Hl(c, a))
           case StdItem(c, a) => Some(Dv(c, a, "stddev"))
           case VarItem(c, a) => Some(Dv(c, a, "variance"))
           case GroupItem(g) if groupBy.contains(g) => Some(G(g))
@@ -1204,6 +1222,7 @@ class Store(spark: SparkSession, val warehouse: String) {
         val maxs = flat.collect { case Mx(c, a) => (c, a) }
         val avgs = flat.collect { case Av(c, a) => (c, a) }
         val devs = flat.collect { case Dv(c, a, k) => (c, a, k) }
+        val hlls = flat.collect { case Hl(c, a) => (c, a) }
         val outCols = flat.map {
           case G(g) => g
           case Cn(a) => a
@@ -1212,11 +1231,12 @@ class Store(spark: SparkSession, val warehouse: String) {
           case Mx(_, a) => a
           case Av(_, a) => a
           case Dv(_, a, _) => a
+          case Hl(_, a) => a
         }
         if (groups.sorted != groupBy.sorted || counts.size != 1) None
         else Some(IvmMeta(base, groupBy, sums.map(_._1), counts.head,
           sums.map(_._2), outCols, baseVersion, mins, maxs, avgs, devs, where,
-          joins, joins.map(j => j._1 -> versions(j._1)).toMap))
+          joins, joins.map(j => j._1 -> versions(j._1)).toMap, hlls))
       case _ => None
     }
   }
@@ -1276,7 +1296,8 @@ class Store(spark: SparkSession, val warehouse: String) {
     // min/max are not retractable: any removed file forces a full rebuild
     // (append-only refreshes — the common incremental-sync case — stay
     // O(new files)); count/sum retract exactly with sign -1
-    if (removed.nonEmpty && (meta.minCols.nonEmpty || meta.maxCols.nonEmpty)) {
+    if (removed.nonEmpty && (meta.minCols.nonEmpty || meta.maxCols.nonEmpty
+        || meta.hllCols.nonEmpty)) {
       replace(view, ivmAggregate(ivmJoined(read(meta.base), meta), meta, 1))
       ivmViews(view) = reflectedMeta
       persistCatalog()
@@ -1300,7 +1321,10 @@ class Store(spark: SparkSession, val warehouse: String) {
         meta.sumAliases.map(a => sum(col(a)).as(a))) ++
         meta.minCols.map { case (_, a) => min(col(a)).as(a) } ++
         meta.maxCols.map { case (_, a) => max(col(a)).as(a) } ++
-        ivmHiddenCols(meta).map(h => sum(col(h)).as(h))
+        (ivmHiddenCols(meta).toSet -- meta.hllCols.map(p => hllAlias(p._2)))
+          .toSeq.sorted.map(h => sum(col(h)).as(h)) ++
+        meta.hllCols.map { case (_, a) =>
+          expr(s"hll_union_agg(${hllAlias(a)})").as(hllAlias(a)) }
       val merged = ivmFinish(
         deltas.foldLeft(readRaw(view))(_ unionByName _)
           .groupBy(meta.groupCols.map(col): _*)
@@ -1342,7 +1366,7 @@ class Store(spark: SparkSession, val warehouse: String) {
         Store.RollupView(v, m.groupCols, m.countAlias,
           m.sumCols.zip(m.sumAliases).toMap, m.minCols.toMap, m.maxCols.toMap,
           m.avgCols.toMap, m.devCols.map { case (c, a, k) => c -> (a, k) }.toMap,
-          m.joins)
+          m.joins, m.hllCols.toMap)
     }
 }
 
@@ -1352,6 +1376,7 @@ object Store {
   private[graft] def avgSumAlias(a: String) = s"__ivm_s_$a"
   private[graft] def avgCntAlias(a: String) = s"__ivm_c_$a"
   private[graft] def devSqAlias(a: String) = s"__ivm_q_$a"
+  private[graft] def hllAlias(a: String) = s"__ivm_h_$a"
 
   /** Catalog projection of one qualifying view for the rollup rewriter:
     * aggregate source column -> the view's visible alias (devs also carry
@@ -1360,5 +1385,6 @@ object Store {
       countAlias: String, sums: Map[String, String], mins: Map[String, String],
       maxs: Map[String, String], avgs: Map[String, String],
       devs: Map[String, (String, String)],
-      joins: Seq[(String, String)] = Nil) // star views: (dim, ON expr)
+      joins: Seq[(String, String)] = Nil, // star views: (dim, ON expr)
+      hlls: Map[String, String] = Map.empty) // approx-distinct: col -> alias
 }

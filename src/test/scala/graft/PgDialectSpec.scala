@@ -822,6 +822,27 @@ class PgDialectSpec extends SparkSpecBase {
     assert(RollupRewrite.rewrites.get == r2, "arbitrary group expression must not rewrite")
   }
 
+  test("rollup unions HLL sketches for approx_count_distinct") {
+    import spark.implicits._
+    Tables.registerAll(spark, sfDir)
+    store.replace("hd_fact", (1 to 600).map(i =>
+      (s"g${i % 4}", s"h${i % 2}", s"user${i % 83}")).toDF("g", "h", "u"))
+    store.createMatview("hd_mv", """SELECT g, h, count(*) AS n_rows,
+      approx_count_distinct(u) AS nd_u FROM hd_fact GROUP BY g, h""")
+    val r0 = RollupRewrite.rewrites.get
+    val got = rows("""SELECT g, approx_count_distinct(u) AS nd
+      FROM hd_fact GROUP BY g ORDER BY g""")
+    assert(RollupRewrite.rewrites.get == r0 + 1, "hll rollup must fire")
+    val exact = spark.sql(
+      "SELECT g, count(DISTINCT u) AS nd FROM hd_fact GROUP BY g ORDER BY g")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { r =>
+      val (g, est) = (r.getString(0), r.getLong(1))
+      assert(math.abs(est - exact(g)).toDouble / exact(g) <= 0.05,
+        s"group $g: unioned estimate $est vs exact ${exact(g)}")
+    }
+  }
+
   test("rollup carries HAVING onto the view when every aggregate derives") {
     import spark.implicits._
     Tables.registerAll(spark, sfDir)

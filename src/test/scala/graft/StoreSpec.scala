@@ -664,6 +664,43 @@ class StoreSpec extends SparkSpecBase {
     intercept[Exception] { spark.sql("SELECT 1 FROM synced_tbl").collect() }
   }
 
+  test("approx-distinct matviews maintain mergeable HLL sketch state") {
+    import spark.implicits._
+    val st = freshStore()
+    def rows(r: Range) = r.map(k => (k.toLong, s"g${k % 3}", s"u${k % 40}"))
+      .toDF("k", "g", "u")
+    st.appendCompacting("hbase", rows(1 to 200), maxFileBytes = 1L)
+    st.createMatview("hagg", """SELECT g, count(*) AS n_rows,
+      approx_count_distinct(u) AS nd_u FROM hbase GROUP BY g""")
+    def check(tolerance: Double = 0.05) = {
+      val got = st.read("hagg").orderBy("g").collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      val exact = st.read("hbase").groupBy("g")
+        .agg(countDistinct($"u").as("nd")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      exact.foreach { case (g, e) =>
+        assert(math.abs(got(g) - e).toDouble / e <= tolerance,
+          s"group $g: estimate ${got(g)} vs exact $e") }
+      assert(!spark.table("hagg").columns.exists(_.startsWith("__ivm_")))
+    }
+    check()
+    // append-only refresh merges sketches incrementally
+    st.appendCompacting("hbase", rows(201 to 280), maxFileBytes = 1L)
+    st.refreshMatview("hagg")
+    assert(st.lastRefreshIncremental, "hll defn must take the IVM path")
+    check()
+    // a delete cannot retract a sketch: full rebuild, still correct
+    st.deleteByKey("hbase", (1L to 150L).toSeq.toDF("k"), "k")
+    val (readN, totalN) = st.incrementalRefresh("hagg")
+    assert(readN == totalN, "removal must force a full rebuild for sketches")
+    check()
+    // restart durability: a fresh instance keeps maintaining
+    val st2 = new Store(spark, st.warehouse)
+    st2.appendCompacting("hbase", rows(281 to 300), maxFileBytes = 1L)
+    st2.refreshMatview("hagg")
+    assert(st2.lastRefreshIncremental)
+  }
+
   test("star-join matviews maintain from fact-file diffs while dims hold") {
     import spark.implicits._
     val st = freshStore()
