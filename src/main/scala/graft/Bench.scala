@@ -79,14 +79,18 @@ object Bench {
     def exec(df: org.apache.spark.sql.DataFrame): Unit =
       try df.write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
-    // warmup (untimed): JIT + whole-stage codegen compilation
+    // warmup (untimed): JIT + whole-stage codegen compilation. Two passes —
+    // measured on a cold VM the first timed sample after a single warmup
+    // still ran ~2x the steady state (C2 compilation of the generated code
+    // finishes during it); the second pass absorbs that.
+    queries.foreach { case (_, df) => exec(df) }
     queries.foreach { case (_, df) => exec(df) }
 
     // Every timed number is the MEDIAN of `samples` runs: single-run
     // local-mode numbers swing ±30% with JIT/GC/scheduler noise, which
     // made round-over-round comparison ambiguous. Raw per-sample totals
     // are published alongside so the spread is visible.
-    val samples = math.max(1, sys.env.getOrElse("SPARK_GRAFT_SAMPLES", "3").toInt)
+    val samples = math.max(1, sys.env.getOrElse("SPARK_GRAFT_SAMPLES", "5").toInt)
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.isEmpty) 0.0
@@ -115,7 +119,10 @@ object Bench {
     // scheduler saturating all cores across queries, which is also how the
     // 1000-executor deployment processes a workload.
     val conc = sys.env.getOrElse("SPARK_GRAFT_CONC", "16").toInt
-    val wallSamples = (1 to samples).map { _ =>
+    // one untimed concurrent pass: the scheduler/memory-manager contention
+    // paths the wall samples exercise are cold until the first concurrent
+    // run (the sequential passes above never hit them)
+    val wallSamples = (0 to samples).map { _ =>
       val pool = java.util.concurrent.Executors.newFixedThreadPool(conc)
       val t0 = System.nanoTime()
       val futures = queries.map { case (_, df) =>
@@ -124,7 +131,7 @@ object Bench {
       futures.foreach(_.get())
       pool.shutdown()
       (System.nanoTime() - t0) / 1e9
-    }
+    }.drop(1) // sample 0 is the untimed concurrent warmup
     val workloadWall = median(wallSamples)
 
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")

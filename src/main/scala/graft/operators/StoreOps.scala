@@ -579,6 +579,118 @@ object StoreOps {
         numFiles = 8)
       val (df, _, _) = store.readRange("zo_orders", "o_custkey", 100L, 199L)
       df.orderBy("o_orderkey")
+    },
+
+    // SQL write surface end-to-end (PgDml → Store copy-on-write engine;
+    // beyond the reference, which rejects every write): CTAS + INSERT
+    // VALUES + INSERT SELECT, read back through the dialect. The oracle
+    // recomputes the post-state as pure SQL over the base tables.
+    Q("st_sql_insert", Some("""
+      WITH base AS (SELECT r_regionkey, r_name FROM region),
+      ins AS (SELECT CAST(90 AS BIGINT) AS r_regionkey, 'ad-hoc' AS r_name
+              UNION ALL
+              SELECT r_regionkey + 100, lower(r_name) FROM region)
+      SELECT r_regionkey, r_name FROM base
+      UNION ALL SELECT r_regionkey, r_name FROM ins
+      ORDER BY r_regionkey, r_name""")) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-sqlins").toString
+      val store = new Store(s, wh)
+      store.replace("sqlins_region", t(s, dir, "region")
+        .select(col("r_regionkey").cast("long").as("r_regionkey"), col("r_name")))
+      Tables.registerAll(s, dir)
+      PgDialect.execute(s, store,
+        "INSERT INTO sqlins_region VALUES (90, 'ad-hoc')")
+      PgDialect.execute(s, store,
+        "INSERT INTO sqlins_region SELECT r_regionkey + 100, lower(r_name) FROM region")
+      PgDialect.execute(s, store,
+        "SELECT r_regionkey, r_name FROM sqlins_region ORDER BY r_regionkey, r_name") match {
+        case PgDialect.Rows(df, _) => df
+        case other => sys.error(s"expected rows, got $other")
+      }
+    },
+
+    // Copy-on-write UPDATE through SQL: assignment-cast SET + WHERE, the
+    // oracle is the CASE projection of the same predicate.
+    Q("st_sql_update", Some("""
+      SELECT o_orderkey,
+        CASE WHEN o_orderstatus = 'P' THEN o_totalprice + 100000.0
+             ELSE o_totalprice END AS o_totalprice,
+        CASE WHEN o_orderstatus = 'P' THEN 'X' ELSE o_orderstatus END AS o_orderstatus
+      FROM orders WHERE o_orderkey <= 4000
+      ORDER BY o_orderkey""")) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-sqlupd").toString
+      val store = new Store(s, wh)
+      store.replace("squ_orders", t(s, dir, "orders")
+        .filter(col("o_orderkey") <= 4000)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus"))
+      PgDialect.execute(s, store, """UPDATE squ_orders
+        SET o_totalprice = o_totalprice + 100000.0, o_orderstatus = 'X'
+        WHERE o_orderstatus = 'P'""")
+      PgDialect.execute(s, store,
+        "SELECT o_orderkey, o_totalprice, o_orderstatus FROM squ_orders ORDER BY o_orderkey") match {
+        case PgDialect.Rows(df, _) => df
+        case other => sys.error(s"expected rows, got $other")
+      }
+    },
+
+    // Copy-on-write DELETE through SQL.
+    Q("st_sql_delete", Some("""
+      SELECT o_orderkey, o_orderstatus FROM orders
+      WHERE o_orderkey <= 4000 AND NOT (o_orderstatus = 'O' AND o_orderkey % 2 = 0)
+      ORDER BY o_orderkey""")) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-sqldel").toString
+      val store = new Store(s, wh)
+      store.replace("sqd_orders", t(s, dir, "orders")
+        .filter(col("o_orderkey") <= 4000)
+        .select("o_orderkey", "o_orderstatus"))
+      PgDialect.execute(s, store,
+        "DELETE FROM sqd_orders WHERE o_orderstatus = 'O' AND o_orderkey % 2 = 0")
+      PgDialect.execute(s, store,
+        "SELECT o_orderkey, o_orderstatus FROM sqd_orders ORDER BY o_orderkey") match {
+        case PgDialect.Rows(df, _) => df
+        case other => sys.error(s"expected rows, got $other")
+      }
+    },
+
+    // MERGE INTO through SQL (equi-key, clause order, delete/update/insert
+    // legs): target = orders ≤ 3000, source = orders in (2000, 4000] with
+    // transformed totals; the oracle recomputes all three legs.
+    Q("st_sql_merge", Some("""
+      WITH tgt AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+                   WHERE o_orderkey <= 3000),
+      src AS (SELECT o_orderkey, o_totalprice FROM orders
+              WHERE o_orderkey > 2000 AND o_orderkey <= 4000)
+      SELECT t.o_orderkey,
+             CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice * 2
+                  ELSE t.o_totalprice END AS o_totalprice,
+             CASE WHEN s.o_orderkey IS NOT NULL THEN 'M'
+                  ELSE t.o_orderstatus END AS o_orderstatus
+      FROM tgt t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+      WHERE NOT (s.o_orderkey IS NOT NULL AND s.o_totalprice < 50000)
+      UNION ALL
+      SELECT s.o_orderkey, s.o_totalprice, 'NEW'
+      FROM src s WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM tgt)
+      ORDER BY o_orderkey""")) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-sqlmrg").toString
+      val store = new Store(s, wh)
+      val orders = t(s, dir, "orders")
+      store.replace("sqm_t", orders.filter(col("o_orderkey") <= 3000)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus"))
+      store.replace("sqm_s", orders
+        .filter(col("o_orderkey") > 2000 && col("o_orderkey") <= 4000)
+        .select("o_orderkey", "o_totalprice"))
+      PgDialect.execute(s, store, """MERGE INTO sqm_t t USING sqm_s s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND s.o_totalprice < 50000 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice * 2,
+          o_orderstatus = 'M'
+        WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice, o_orderstatus)
+          VALUES (s.o_orderkey, s.o_totalprice, 'NEW')""")
+      PgDialect.execute(s, store,
+        "SELECT o_orderkey, o_totalprice, o_orderstatus FROM sqm_t ORDER BY o_orderkey") match {
+        case PgDialect.Rows(df, _) => df
+        case other => sys.error(s"expected rows, got $other")
+      }
     }
   )
 }

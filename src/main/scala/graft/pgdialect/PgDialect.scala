@@ -292,8 +292,13 @@ object PgDialect {
         return CopyOut(df, csv = o.contains("CSV"), header = o.contains("HEADER"))
       case _ =>
     }
-    // everything else (INSERT/UPDATE/DELETE/DDL/COPY FROM…) mirrors
-    // query_remapper.go:180-184
+    // DML over STORE tables only (PgDml — beyond-parity write surface);
+    // everything else (writes on non-store relations, COPY FROM, DDL we
+    // don't model) mirrors query_remapper.go:180-184
+    PgDml.execute(spark, store, stmt) match {
+      case Some(r) => return r
+      case None =>
+    }
     throw UnsupportedQuery("unsupported query type: " + stmt.split("\\s+")(0))
   }
 
@@ -1550,6 +1555,20 @@ object PgDialect {
   private def stripComments(sql: String): String =
     sql.replaceAll("(?s)/\\*.*?\\*/", " ").replaceAll("--[^\n]*", " ")
 
-  private def unquoteName(n: String): String =
+  /** Expression-fragment translation for the DML surface (SET values,
+    * WHERE predicates, VALUES rows, MERGE conditions): the PG-isms that
+    * occur INSIDE scalar expressions, same rewrites the SELECT translator
+    * applies, minus everything statement-shaped. */
+  private[graft] def translateExpr(fragment: String): String = {
+    var s = fragment
+    s = s.replaceAll("(?i)\\bpg_catalog\\s*\\.\\s*", "")
+    s = rewriteAnyAll(s)
+    s = rewriteJsonArrows(s)
+    s = rewriteContainment(s)
+    s = rewriteCasts(s)
+    s
+  }
+
+  private[graft] def unquoteName(n: String): String =
     n.replace("\"", "").split('.').last
 }

@@ -1,0 +1,339 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.StructType
+
+/** SQL write surface over STORE tables — beyond the reference, which
+  * rejects every write (`/root/reference/src/server/query_remapper.go:
+  * 180-184`). The parity contract is preserved exactly: DML against
+  * anything that is NOT a store-managed table (testdata views, catalog
+  * relations, unknown names) still raises the reference's "unsupported
+  * query type" error; store tables — the engine's own Iceberg-style
+  * format — accept the full lifecycle:
+  *
+  *   CREATE TABLE t (col type, …) | CREATE TABLE t AS SELECT …
+  *   INSERT INTO t [(cols)] VALUES …|SELECT …
+  *   UPDATE t SET c = e[, …] [WHERE p]
+  *   DELETE FROM t [WHERE p]
+  *   MERGE INTO t [AS a] USING src|(query) [AS b] ON a.k = b.k WHEN …
+  *   TRUNCATE [TABLE] t
+  *
+  * Execution is the Store's copy-on-write engine: UPDATE/DELETE rewrite
+  * only the parquet files that contain matching rows (discovered by one
+  * predicate-pushed scan), MERGE prunes by footer key stats like upsert,
+  * INSERT appends with small-file compaction. Command tags match PG
+  * (`INSERT 0 n`, `UPDATE n`, `MERGE n`, `SELECT n` for CTAS).
+  */
+object PgDml {
+  import PgDialect.{Command, PgResult, Rows, UnsupportedQuery, unquoteName}
+
+  /** Try to execute `stmt` as DML/DDL on a store table. None = not a DML
+    * statement shape (caller falls through to its own error). */
+  def execute(spark: SparkSession, store: Store, stmt: String): Option[PgResult] = {
+    val s = stmt.trim.stripSuffix(";").trim
+    firstWord(s).toUpperCase match {
+      case "INSERT" => Some(insert(spark, store, s))
+      case "UPDATE" => Some(update(spark, store, s))
+      case "DELETE" => Some(delete(spark, store, s))
+      case "MERGE" => Some(merge(spark, store, s))
+      case "TRUNCATE" => Some(truncate(spark, store, s))
+      case "CREATE" => createTable(spark, store, s)
+      case _ => None
+    }
+  }
+
+  private def firstWord(s: String): String = s.split("\\s+", 2)(0)
+
+  /** A write may only touch a store table; everything else keeps the
+    * reference's exact error (query_remapper.go:180-184). */
+  private def requireStoreTable(store: Store, name: String, verb: String): String = {
+    val t = unquoteName(name)
+    if (!store.exists(t)) throw UnsupportedQuery(s"unsupported query type: $verb")
+    t
+  }
+
+  // ---- CREATE TABLE ------------------------------------------------------
+
+  private val ctasRe =
+    "(?is)CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.\"]+)\\s+AS\\s+(.*)".r
+  private val createRe =
+    "(?is)CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.\"]+)\\s*\\((.*)\\)\\s*".r
+
+  private def createTable(spark: SparkSession, store: Store,
+      s: String): Option[PgResult] = s match {
+    case ctasRe(ifNotExists, name, defn) =>
+      val t = unquoteName(name)
+      if (store.exists(t) && ifNotExists != null) return Some(Command("CREATE TABLE"))
+      if (store.exists(t)) throw UnsupportedQuery(s"""relation "$t" already exists""")
+      val df = spark.sql(PgDialect.translateSelect(defn))
+      store.replace(t, df)
+      Some(Command(s"SELECT ${store.read(t).count()}"))
+    case createRe(ifNotExists, name, colDefs) =>
+      val t = unquoteName(name)
+      if (store.exists(t) && ifNotExists != null) return Some(Command("CREATE TABLE"))
+      if (store.exists(t)) throw UnsupportedQuery(s"""relation "$t" already exists""")
+      val fields = splitTop(colDefs).map { d =>
+        val parts = d.trim.split("\\s+", 2)
+        require(parts.length == 2, s"bad column definition: $d")
+        val (tpe, prec, scale) = parseTypeName(parts(1))
+        PgTypes.toSpark(tpe, prec, scale).copy(name = unquoteName(parts(0)))
+      }
+      store.createEmpty(t, StructType(fields))
+      Some(Command("CREATE TABLE"))
+    case _ => None // CREATE INDEX / VIEW / … — not ours
+  }
+
+  /** "numeric(10,2) not null" → ("numeric", 10, 2); constraint tail and
+    * quoting dropped (the store keeps no constraints — reference tables
+    * carry them only as unique-index metadata). */
+  private def parseTypeName(raw: String): (String, Int, Int) = {
+    val cleaned = raw.trim
+      .replaceAll("(?i)\\s+(NOT\\s+NULL|NULL|PRIMARY\\s+KEY|UNIQUE|DEFAULT\\s+.*)$", "")
+      .trim
+    val m = "([\\w ]+?)\\s*(?:\\(\\s*(\\d+)\\s*(?:,\\s*(\\d+))?\\s*\\))?\\s*(\\[\\s*\\])?".r
+    cleaned match {
+      case m(base, p, sc, _) =>
+        (base.trim.toLowerCase,
+          Option(p).map(_.toInt).getOrElse(0),
+          Option(sc).map(_.toInt).getOrElse(0))
+      case other => (other.toLowerCase, 0, 0)
+    }
+  }
+
+  // ---- INSERT ------------------------------------------------------------
+
+  private val insertRe =
+    "(?is)INSERT\\s+INTO\\s+([\\w.\"]+)\\s*(\\([^)]*\\))?\\s*(VALUES\\s+.*|SELECT\\s+.*|WITH\\s+.*|TABLE\\s+.*)".r
+
+  private def insert(spark: SparkSession, store: Store, s: String): PgResult = s match {
+    case insertRe(name, colsRaw, body) =>
+      val t = requireStoreTable(store, name, "INSERT")
+      val target = store.read(t).schema
+      val cols = Option(colsRaw).map(c =>
+        splitTop(c.trim.stripPrefix("(").stripSuffix(")")).map(x => unquoteName(x.trim)))
+        .getOrElse(Seq.empty)
+      val src =
+        if (body.trim.toUpperCase.startsWith("VALUES"))
+          spark.sql("SELECT * FROM " + PgDialect.translateExpr(body))
+        else spark.sql(PgDialect.translateSelect(body))
+      val aligned = align(src, target, cols)
+      val n = aligned.count()
+      store.appendCompacting(t, aligned)
+      Command(s"INSERT 0 $n")
+    case _ => throw UnsupportedQuery("unsupported query type: INSERT")
+  }
+
+  /** Position/name-align an insert source onto the target schema: named
+    * columns map by name, everything absent becomes NULL, every value gets
+    * PG's assignment cast to the column type. */
+  private def align(src: DataFrame, target: StructType, cols: Seq[String]): DataFrame = {
+    val names =
+      if (cols.nonEmpty) cols
+      else target.fields.map(_.name).take(src.columns.length).toSeq
+    require(names.length == src.columns.length,
+      s"INSERT has ${src.columns.length} expressions for ${names.length} target columns")
+    val renamed = src.toDF(names: _*)
+    renamed.select(target.fields.map { f =>
+      if (names.exists(_.equalsIgnoreCase(f.name)))
+        col(s"`${f.name}`").cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+  }
+
+  // ---- UPDATE / DELETE ---------------------------------------------------
+
+  private val updateRe =
+    "(?is)UPDATE\\s+(?:ONLY\\s+)?([\\w.\"]+)\\s+SET\\s+(.*?)(?:\\s+WHERE\\s+(.*))?".r
+  private val deleteRe =
+    "(?is)DELETE\\s+FROM\\s+(?:ONLY\\s+)?([\\w.\"]+)(?:\\s+WHERE\\s+(.*))?".r
+
+  private def update(spark: SparkSession, store: Store, s: String): PgResult = s match {
+    case updateRe(name, setRaw, whereRaw) =>
+      if (hasTopLevelWord(setRaw, "FROM"))
+        throw UnsupportedQuery(
+          "UPDATE … FROM is not supported; use MERGE INTO with USING")
+      val t = requireStoreTable(store, name, "UPDATE")
+      val sets = splitTop(setRaw).map { a =>
+        val eq = topLevelEq(a)
+        require(eq > 0, s"bad SET assignment: $a")
+        unquoteName(a.substring(0, eq).trim) ->
+          PgDialect.translateExpr(a.substring(eq + 1).trim)
+      }
+      val (n, _, _) = store.updateWhere(t, sets,
+        Option(whereRaw).map(w => PgDialect.translateExpr(w.trim)))
+      Command(s"UPDATE $n")
+    case _ => throw UnsupportedQuery("unsupported query type: UPDATE")
+  }
+
+  private def delete(spark: SparkSession, store: Store, s: String): PgResult = s match {
+    case deleteRe(name, whereRaw) =>
+      val t = requireStoreTable(store, name, "DELETE")
+      val (n, _, _) = store.deleteWhere(t,
+        Option(whereRaw).map(w => PgDialect.translateExpr(w.trim)))
+      Command(s"DELETE $n")
+    case _ => throw UnsupportedQuery("unsupported query type: DELETE")
+  }
+
+  private def truncate(spark: SparkSession, store: Store, s: String): PgResult = {
+    val m = "(?is)TRUNCATE\\s+(?:TABLE\\s+)?(?:ONLY\\s+)?([\\w.\"]+)\\s*".r
+    s match {
+      case m(name) =>
+        val t = requireStoreTable(store, name, "TRUNCATE")
+        store.truncate(t)
+        Command("TRUNCATE TABLE")
+      case _ => throw UnsupportedQuery("unsupported query type: TRUNCATE")
+    }
+  }
+
+  // ---- MERGE -------------------------------------------------------------
+
+  private val mergeRe =
+    ("(?is)MERGE\\s+INTO\\s+([\\w.\"]+)(?:\\s+(?:AS\\s+)?(\\w+))?\\s+USING\\s+" +
+      "(\\([^)]*(?:\\([^)]*\\)[^)]*)*\\)|[\\w.\"]+)(?:\\s+(?:AS\\s+)?(\\w+))?\\s+" +
+      "ON\\s+(.*?)\\s+(WHEN\\s+.*)").r
+  private val onRe =
+    "(?is)\\s*([\\w\"]+)\\.([\\w\"]+)\\s*=\\s*([\\w\"]+)\\.([\\w\"]+)\\s*".r
+
+  private def merge(spark: SparkSession, store: Store, s: String): PgResult = s match {
+    case mergeRe(name, tAliasRaw, usingRaw, sAliasRaw, onRaw, whensRaw) =>
+      val t = requireStoreTable(store, name, "MERGE")
+      val tAlias = Option(tAliasRaw).getOrElse(unquoteName(name))
+      val sAlias = Option(sAliasRaw).getOrElse(
+        if (usingRaw.startsWith("(")) "__src" else unquoteName(usingRaw))
+      val source =
+        if (usingRaw.startsWith("(")) spark.sql(PgDialect.translateSelect(
+          usingRaw.substring(1, usingRaw.length - 1)))
+        else if (store.exists(unquoteName(usingRaw))) store.read(unquoteName(usingRaw))
+        else spark.table(unquoteName(usingRaw))
+      // equi-key ON (the mergeable shape; the reference's write model is
+      // merge-by-unique-key): `a.k1 = b.k2` with one side per relation
+      val (tKey, sKey) = PgDialect.translateExpr(onRaw) match {
+        case onRe(q1, c1, q2, c2) =>
+          if (unquoteName(q1).equalsIgnoreCase(tAlias) &&
+            unquoteName(q2).equalsIgnoreCase(sAlias))
+            (unquoteName(c1), unquoteName(c2))
+          else if (unquoteName(q1).equalsIgnoreCase(sAlias) &&
+            unquoteName(q2).equalsIgnoreCase(tAlias))
+            (unquoteName(c2), unquoteName(c1))
+          else throw UnsupportedQuery(
+            s"MERGE ON must reference $tAlias and $sAlias")
+        case _ => throw UnsupportedQuery(
+          "MERGE supports an equi-join ON target.key = source.key")
+      }
+      val clauses = parseWhens(whensRaw, store.read(t).schema)
+      val (u, d, i) = store.merge(t, source, tKey, sKey, clauses,
+        targetAlias = tAlias, sourceAlias = sAlias)
+      Command(s"MERGE ${u + d + i}")
+    case _ => throw UnsupportedQuery("unsupported query type: MERGE")
+  }
+
+  private val whenRe =
+    ("(?is)WHEN\\s+(NOT\\s+)?MATCHED\\s*(?:AND\\s+(.*?))?\\s*THEN\\s+" +
+      "(UPDATE\\s+SET\\s+.*?|DELETE|INSERT\\s*.*?|DO\\s+NOTHING)\\s*(?=WHEN\\s+(?:NOT\\s+)?MATCHED|$)").r
+
+  private def parseWhens(raw: String, target: StructType): Seq[Store.MergeClause] =
+    whenRe.findAllMatchIn(raw).flatMap { m =>
+      val notMatched = m.group(1) != null
+      val cond = Option(m.group(2)).map(c => PgDialect.translateExpr(c.trim))
+      val action = m.group(3).trim
+      val up = action.toUpperCase
+      if (up.startsWith("DO")) None
+      else if (up == "DELETE") {
+        require(!notMatched, "WHEN NOT MATCHED cannot DELETE")
+        Some(Store.MatchedDelete(cond))
+      } else if (up.startsWith("UPDATE")) {
+        require(!notMatched, "WHEN NOT MATCHED cannot UPDATE")
+        val sets = splitTop(action.replaceFirst("(?is)UPDATE\\s+SET\\s+", "")).map { a =>
+          val eq = topLevelEq(a)
+          require(eq > 0, s"bad SET assignment: $a")
+          unquoteName(a.substring(0, eq).trim) ->
+            PgDialect.translateExpr(a.substring(eq + 1).trim)
+        }
+        Some(Store.MatchedUpdate(cond, sets))
+      } else {
+        require(notMatched, "WHEN MATCHED cannot INSERT")
+        val insRe = "(?is)INSERT\\s*(\\([^)]*\\))?\\s*VALUES\\s*\\((.*)\\)\\s*".r
+        action match {
+          case insRe(colsRaw, valsRaw) =>
+            val vals = splitTop(valsRaw).map(v => PgDialect.translateExpr(v.trim))
+            val cols = Option(colsRaw)
+              .map(c => splitTop(c.stripPrefix("(").stripSuffix(")"))
+                .map(x => unquoteName(x.trim)))
+              .getOrElse(target.fields.map(_.name).take(vals.length).toSeq)
+            require(cols.length == vals.length,
+              s"INSERT has ${vals.length} values for ${cols.length} columns")
+            Some(Store.NotMatchedInsert(cond, cols, vals))
+          case _ => throw UnsupportedQuery(s"unparseable MERGE insert: $action")
+        }
+      }
+    }.toSeq
+
+  // ---- tiny lexers -------------------------------------------------------
+
+  /** Split on top-level commas (paren- and quote-aware). */
+  private[graft] def splitTop(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var inStr = false; var last = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(last, i); last = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(last)
+    out.result().filter(_.trim.nonEmpty)
+  }
+
+  /** True when `word` appears outside every paren/string nesting level —
+    * a FROM inside `(SELECT … FROM u)` does not count. */
+  private def hasTopLevelWord(s: String, word: String): Boolean = {
+    var depth = 0; var inStr = false
+    var i = 0
+    val w = word.toUpperCase
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ if depth == 0 && s.regionMatches(true, i, w, 0, w.length) &&
+            (i == 0 || !s.charAt(i - 1).isLetterOrDigit) &&
+            (i + w.length >= s.length || !s.charAt(i + w.length).isLetterOrDigit) =>
+          return true
+        case _ =>
+      }
+      i += 1
+    }
+    false
+  }
+
+  /** Index of the first top-level `=` that is an assignment (not part of
+    * `<=`, `>=`, `!=`, `<>`). */
+  private def topLevelEq(s: String): Int = {
+    var depth = 0; var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case '=' if depth == 0 &&
+            (i == 0 || !"<>!".contains(s.charAt(i - 1))) => return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+}

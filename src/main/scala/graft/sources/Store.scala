@@ -557,6 +557,196 @@ class Store(spark: SparkSession, val warehouse: String) {
   def deleteByKey(name: String, keys: DataFrame, key: String): (Int, Int) =
     prunedRewrite(name, keys.select(col(key)), key, appendIncoming = false)
 
+  // ---- SQL DML engine (beyond the reference, which rejects writes;
+  // PgDml routes INSERT/UPDATE/DELETE/MERGE on store tables here) ---------
+
+  /** Copy-on-write UPDATE … SET … [WHERE]: one discovery pass finds the
+    * data files that actually contain matching rows (the predicate pushes
+    * into the parquet scan and only per-file match counts reach the
+    * driver); only those files are read back and rewritten with the SET
+    * projection applied, every other file carries into the new version
+    * untouched (metadata-only at object-store scale — the Iceberg
+    * copy-on-write shape). All SET expressions see the OLD row (PG
+    * semantics: `SET a = b, b = a` swaps) and each value is cast to its
+    * column's type (PG's assignment cast).
+    * Returns (rowsUpdated, filesRewritten, filesTotal). */
+  def updateWhere(name: String, sets: Seq[(String, String)],
+      where: Option[String]): (Long, Int, Int) = {
+    val bySet = sets.toMap
+    require(bySet.size == sets.size, "multiple assignments to the same column")
+    cowRewrite(name, where) { (src, cond) =>
+      src.select(src.schema.fields.map { f =>
+        bySet.get(f.name) match {
+          case Some(e) => when(cond, expr(e).cast(f.dataType))
+            .otherwise(col(s"`${f.name}`")).as(f.name)
+          case None => col(s"`${f.name}`")
+        }
+      }.toSeq: _*)
+    }
+  }
+
+  /** Copy-on-write DELETE … [WHERE]: same file-level discovery as
+    * [[updateWhere]]; hit files are rewritten keeping only rows where the
+    * predicate is not TRUE (NULL keeps the row, like SQL WHERE). */
+  def deleteWhere(name: String, where: Option[String]): (Long, Int, Int) =
+    cowRewrite(name, where)((src, cond) => src.filter(!coalesce(cond, lit(false))))
+
+  private def cowRewrite(name: String, where: Option[String])(
+      transform: (DataFrame, org.apache.spark.sql.Column) => DataFrame): (Long, Int, Int) = {
+    require(exists(name), s"no such store table: $name")
+    val cur = versionPath(name, versions(name))
+    val files = dataFiles(cur)
+    val cond = where.map(expr).getOrElse(lit(true))
+    val raw = readRaw(name)
+    // discovery: predicate-pushed scan → per-file match counts; the driver
+    // sees O(files) rows, never data rows
+    val hits = raw.filter(cond)
+      .groupBy(input_file_name().as("__file")).count()
+      .collect().map(r => baseName(r.getString(0)) -> r.getLong(1)).toMap
+    val matched = hits.values.sum
+    if (matched == 0) return (0L, 0, files.length)
+    val (hit, carried) =
+      files.map(_.getPath).partition(f => hits.contains(f.getName))
+    val next = versions(name) + 1
+    val dir = versionPath(name, next)
+    fs.mkdirs(dir)
+    carried.foreach(carryFile(_, dir))
+    val src = spark.read.schema(raw.schema).parquet(hit.map(_.toString): _*)
+    writeInto(transform(src, cond), name, dir, s"cow-$next")
+    versions(name) = next
+    persistCatalog()
+    publish(name)
+    (matched, hit.length, files.length)
+  }
+
+  private def baseName(uri: String): String =
+    uri.substring(uri.lastIndexOf('/') + 1)
+
+  /** Schema-only CREATE TABLE (the DDL companion of the CTAS path). */
+  def createEmpty(name: String, schema: org.apache.spark.sql.types.StructType): Unit =
+    replace(name, spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+
+  /** TRUNCATE: an atomic replace with the empty frame — prior versions
+    * stay time-travelable like any other snapshot. */
+  def truncate(name: String): Unit = replace(name, read(name).limit(0))
+
+  /** MERGE INTO target USING source ON target.key = source.key — Iceberg
+    * copy-on-write MERGE restricted to the equi-key shape (the reference's
+    * whole write model is merge-by-unique-key,
+    * iceberg_table_writer.go:304-378). File-level pruning is the same
+    * footer-stats path upsert uses: only key-overlapping files are read
+    * back and rewritten, everything else carries. WHEN clauses apply in
+    * textual order, first match wins per row; several source rows hitting
+    * one target key error like PG's "cannot affect row a second time".
+    * Expressions reference the two sides through `targetAlias`/
+    * `sourceAlias`. Returns (updated, deleted, inserted). */
+  def merge(name: String, source0: DataFrame, targetKey: String,
+      sourceKey: String, clauses: Seq[Store.MergeClause],
+      targetAlias: String = "t", sourceAlias: String = "s"): (Long, Long, Long) = {
+    require(exists(name), s"no such store table: $name")
+    require(clauses.nonEmpty, "MERGE requires at least one WHEN clause")
+    val source = source0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dup = source.groupBy(col(s"`$sourceKey`")).count()
+        .filter(col("count") > 1).limit(1).count()
+      require(dup == 0,
+        "MERGE command cannot affect row a second time (duplicate source keys)")
+      val cur = versionPath(name, versions(name))
+      val files = dataFiles(cur).map(_.getPath)
+      val keyed = source.select(col(s"`$sourceKey`").as(targetKey))
+      val (hit, carried) = overlapPartition(cur, files, keyed, targetKey)
+      val tgtSchema = readRaw(name).schema
+      val matchedClauses = clauses.filter(!_.isInstanceOf[Store.NotMatchedInsert])
+      val insertClauses = clauses.collect { case c: Store.NotMatchedInsert => c }
+
+      def condExpr(c: Option[String]) = c.map(expr).getOrElse(lit(true))
+      // per-row index of the first applicable clause, -1 = keep unchanged
+      def actionIndex(cs: Seq[Store.MergeClause], gate: org.apache.spark.sql.Column) =
+        cs.zipWithIndex.foldRight(lit(-1)) { case ((c, i), rest) =>
+          val cnd = c match {
+            case Store.MatchedUpdate(w, _) => condExpr(w)
+            case Store.MatchedDelete(w) => condExpr(w)
+            case Store.NotMatchedInsert(w, _, _) => condExpr(w)
+          }
+          when(gate && coalesce(cnd, lit(false)), lit(i)).otherwise(rest)
+        }
+
+      // rewritten target rows: hit files left-joined to the source; first
+      // applicable matched clause applies, one codegen'd projection
+      val rewritten = if (hit.isEmpty) None else {
+        val back = spark.read.schema(tgtSchema).parquet(hit.map(_.toString): _*)
+        val joined = back.alias(targetAlias).join(source.alias(sourceAlias),
+          col(s"$targetAlias.$targetKey") === col(s"$sourceAlias.$sourceKey"), "left")
+        val matched = col(s"$sourceAlias.$sourceKey").isNotNull
+        val act = actionIndex(matchedClauses, matched).as("__act")
+        val deleteIdx = matchedClauses.zipWithIndex.collect {
+          case (Store.MatchedDelete(_), i) => i }
+        val out = joined.withColumn("__act", act)
+          .filter(!col("__act").isin(deleteIdx: _*))
+        Some(out.select(tgtSchema.fields.map { f =>
+          matchedClauses.zipWithIndex.foldRight(
+            col(s"$targetAlias.`${f.name}`")) { case ((c, i), rest) =>
+            c match {
+              case Store.MatchedUpdate(_, sets) if sets.exists(_._1 == f.name) =>
+                when(col("__act") === i,
+                  expr(sets.find(_._1 == f.name).get._2).cast(f.dataType))
+                  .otherwise(rest)
+              case _ => rest
+            }
+          }.as(f.name)
+        }.toSeq: _*))
+      }
+      // NOT MATCHED inserts: source keys absent from the WHOLE target (one
+      // key-column scan — the same join Iceberg MERGE plans)
+      val inserts = if (insertClauses.isEmpty) None else {
+        val tgtKeys = read(name).select(col(s"`$targetKey`").as("__tk"))
+        val missing = source.alias(sourceAlias).join(tgtKeys,
+          col(s"$sourceAlias.$sourceKey") === col("__tk"), "left_anti")
+        val withAct = missing.withColumn("__act",
+          actionIndex(insertClauses, lit(true))).filter(col("__act") >= 0)
+        Some(withAct.select(tgtSchema.fields.map { f =>
+          insertClauses.zipWithIndex.foldRight(
+            lit(null).cast(f.dataType)) { case ((c, i), rest) =>
+            val j = c.cols.indexWhere(_.equalsIgnoreCase(f.name))
+            if (j < 0) rest
+            else when(col("__act") === i, expr(c.vals(j)).cast(f.dataType))
+              .otherwise(rest)
+          }.as(f.name)
+        }.toSeq: _*))
+      }
+      // observability counts (one small aggregate per leg, pruned scans)
+      val (nUpd, nDel) = rewritten match {
+        case None => (0L, 0L)
+        case Some(_) =>
+          val back = spark.read.schema(tgtSchema).parquet(hit.map(_.toString): _*)
+          val joined = back.alias(targetAlias).join(source.alias(sourceAlias),
+            col(s"$targetAlias.$targetKey") === col(s"$sourceAlias.$sourceKey"), "left")
+          val matched = col(s"$sourceAlias.$sourceKey").isNotNull
+          val acts = joined.select(actionIndex(matchedClauses, matched).as("__act"))
+            .groupBy("__act").count().collect()
+            .map(r => r.getInt(0) -> r.getLong(1)).toMap
+          val isDel = matchedClauses.map(_.isInstanceOf[Store.MatchedDelete])
+          (acts.collect { case (i, n) if i >= 0 && !isDel(i) => n }.sum,
+            acts.collect { case (i, n) if i >= 0 && isDel(i) => n }.sum)
+      }
+      val nIns = inserts.map(_.count()).getOrElse(0L)
+      val next = versions(name) + 1
+      val dir = versionPath(name, next)
+      fs.mkdirs(dir)
+      carried.foreach(carryFile(_, dir))
+      val out = (rewritten, inserts) match {
+        case (Some(r), Some(i)) => Some(r.unionByName(i))
+        case (r, i) => r.orElse(i)
+      }
+      out.foreach(writeInto(_, name, dir, s"merge-$next"))
+      versions(name) = next
+      persistCatalog()
+      publish(name)
+      (nUpd, nDel, nIns)
+    } finally { source.unpersist(); () }
+  }
+
   /** Shared engine for upsert/deleteByKey: partition the current version's
     * data files into footer-overlap hits (rewritten without the incoming
     * keys) and misses (carried into the new version by name). Pruning
@@ -567,6 +757,31 @@ class Store(spark: SparkSession, val warehouse: String) {
       appendIncoming: Boolean): (Int, Int) = {
     val cur = versionPath(name, versions(name))
     val files = dataFiles(cur).map(_.getPath)
+    val (hit, carried) = overlapPartition(cur, files, incoming, key)
+    val next = versions(name) + 1
+    val dir = versionPath(name, next)
+    fs.mkdirs(dir)
+    carried.foreach(carryFile(_, dir))
+    val kept =
+      if (hit.isEmpty) None
+      else Some(spark.read.parquet(hit.map(_.toString): _*)
+        .join(incoming.select(col(key)).distinct(), Seq(key), "left_anti"))
+    val out =
+      if (appendIncoming) Some(kept.fold(incoming)(_.unionByName(incoming)))
+      else kept
+    out.foreach(writeInto(_, name, dir, s"rw-$next"))
+    versions(name) = next
+    persistCatalog()
+    publish(name)
+    (hit.length, files.length)
+  }
+
+  /** Partition a version's data files into footer-overlap hits vs misses
+    * for `incoming`'s `key` values — shared by upsert/deleteByKey/merge.
+    * Pruning runs only for integral/string keys with usable footer stats;
+    * anything else degrades to everything-hits (the correct fallback). */
+  private def overlapPartition(cur: HadoopPath, files: Seq[HadoopPath],
+      incoming: DataFrame, key: String): (Seq[HadoopPath], Seq[HadoopPath]) = {
     val prunable = incoming.schema(key).dataType match {
       case IntegerType | LongType | ShortType | ByteType | StringType => true
       case _ => false
@@ -584,42 +799,25 @@ class Store(spark: SparkSession, val warehouse: String) {
         .limit(math.min(maxDriverPruneKeys + 1, Int.MaxValue).toInt).collect()
         .map(r => normKey(r.get(0)))
     lastPruneViaJoin = prunable && probe.length > maxDriverPruneKeys
-    val (hit, carried) =
-      if (!prunable) (files, Seq.empty[HadoopPath])
-      else try {
-        val stats = fileStats(cur, key).toMap
-        if (!lastPruneViaJoin) {
-          val inKeys: Array[Any] = probe.sorted(keyOrdering)
-          def overlaps(range: Option[(Any, Any)]): Boolean = range match {
-            case None => true // no usable stats: must assume the file is hit
-            case Some((lo, hi)) =>
-              val i = lowerBound(inKeys, lo)
-              i < inKeys.length && keyOrdering.compare(inKeys(i), hi) <= 0
-          }
-          files.partition(f => overlaps(stats.getOrElse(f, None)))
-        } else {
-          val hits = overlapHitsByJoin(incoming, key,
-            stats.collect { case (p, Some(r)) => (p, r) }.toSeq)
-          files.partition(f => stats.getOrElse(f, None).isEmpty
-            || hits.contains(f.getName))
+    if (!prunable) (files, Seq.empty[HadoopPath])
+    else try {
+      val stats = fileStats(cur, key).toMap
+      if (!lastPruneViaJoin) {
+        val inKeys: Array[Any] = probe.sorted(keyOrdering)
+        def overlaps(range: Option[(Any, Any)]): Boolean = range match {
+          case None => true // no usable stats: must assume the file is hit
+          case Some((lo, hi)) =>
+            val i = lowerBound(inKeys, lo)
+            i < inKeys.length && keyOrdering.compare(inKeys(i), hi) <= 0
         }
-      } catch { case _: ClassCastException => (files, Seq.empty[HadoopPath]) }
-    val next = versions(name) + 1
-    val dir = versionPath(name, next)
-    fs.mkdirs(dir)
-    carried.foreach(carryFile(_, dir))
-    val kept =
-      if (hit.isEmpty) None
-      else Some(spark.read.parquet(hit.map(_.toString): _*)
-        .join(incoming.select(col(key)).distinct(), Seq(key), "left_anti"))
-    val out =
-      if (appendIncoming) Some(kept.fold(incoming)(_.unionByName(incoming)))
-      else kept
-    out.foreach(writeInto(_, name, dir, s"rw-$next"))
-    versions(name) = next
-    persistCatalog()
-    publish(name)
-    (hit.length, files.length)
+        files.partition(f => overlaps(stats.getOrElse(f, None)))
+      } else {
+        val hits = overlapHitsByJoin(incoming, key,
+          stats.collect { case (p, Some(r)) => (p, r) }.toSeq)
+        files.partition(f => stats.getOrElse(f, None).isEmpty
+          || hits.contains(f.getName))
+      }
+    } catch { case _: ClassCastException => (files, Seq.empty[HadoopPath]) }
   }
 
   /** Per-file min/max stats for every prunable column of a version dir,
@@ -1371,6 +1569,16 @@ class Store(spark: SparkSession, val warehouse: String) {
 }
 
 object Store {
+  /** One WHEN clause of a MERGE, in the statement's textual order; the
+    * expression strings are Spark SQL resolving against the
+    * target/source aliases of [[Store.merge]]. */
+  sealed trait MergeClause
+  final case class MatchedUpdate(cond: Option[String],
+      sets: Seq[(String, String)]) extends MergeClause
+  final case class MatchedDelete(cond: Option[String]) extends MergeClause
+  final case class NotMatchedInsert(cond: Option[String],
+      cols: Seq[String], vals: Seq[String]) extends MergeClause
+
   // hidden IVM state column naming (shared with the rollup rewriter): per
   // visible alias `a`, sum / non-null-count / sum-of-squares
   private[graft] def avgSumAlias(a: String) = s"__ivm_s_$a"

@@ -1,0 +1,150 @@
+package graft
+
+import graft.PgDialect._
+
+/** SQL write surface (PgDml + Store's copy-on-write DML engine): the
+  * lifecycle a lakehouse client runs — CREATE TABLE / CTAS, INSERT,
+  * UPDATE, DELETE, MERGE, TRUNCATE — plus the parity guard (writes on
+  * non-store relations still error exactly like the reference,
+  * query_remapper.go:180-184) and the file-level copy-on-write invariants
+  * that make the surface scale-shaped. */
+class DmlSpec extends SparkSpecBase {
+
+  private lazy val store: Store =
+    new Store(spark, java.nio.file.Files.createTempDirectory("graft-dml").toString)
+
+  private def exec(sql: String): PgResult = PgDialect.execute(spark, store, sql)
+  private def tag(sql: String): String = exec(sql) match {
+    case Command(t) => t
+    case other => fail(s"expected command, got $other")
+  }
+  private def rows(sql: String): Seq[org.apache.spark.sql.Row] = exec(sql) match {
+    case Rows(df, _) => df.collect().toSeq
+    case other => fail(s"expected rows, got $other")
+  }
+
+  test("create table, insert values, select back") {
+    assert(tag("CREATE TABLE dml_t (k int8, name text, price numeric(10,2), ts timestamp)")
+      == "CREATE TABLE")
+    assert(tag("INSERT INTO dml_t VALUES (1, 'ann', 10.50, '2024-01-01 00:00:00'), " +
+      "(2, 'bob', 20.00, '2024-01-02 00:00:00')") == "INSERT 0 2")
+    // named-column insert: absent columns become NULL
+    assert(tag("INSERT INTO dml_t (k, name) VALUES (3, 'cyn')") == "INSERT 0 1")
+    val got = rows("SELECT k::int AS k, name, price FROM dml_t ORDER BY k")
+    assert(got.map(r => (r.getInt(0), r.getString(1))) ==
+      Seq((1, "ann"), (2, "bob"), (3, "cyn")))
+    assert(got(2).isNullAt(2), "unlisted column must be NULL")
+  }
+
+  test("ctas + insert select + truncate") {
+    import spark.implicits._
+    Tables.registerAll(spark, sfDir)
+    val t = tag("CREATE TABLE dml_regions AS SELECT r_regionkey, r_name FROM region")
+    assert(t.startsWith("SELECT "))
+    val n0 = rows("SELECT count(*) AS n FROM dml_regions").head.getLong(0)
+    assert(n0 == 5)
+    assert(tag("INSERT INTO dml_regions SELECT r_regionkey + 100, upper(r_name) FROM region")
+      == "INSERT 0 5")
+    assert(rows("SELECT count(*) AS n FROM dml_regions").head.getLong(0) == 10)
+    assert(tag("TRUNCATE dml_regions") == "TRUNCATE TABLE")
+    assert(rows("SELECT count(*) AS n FROM dml_regions").head.getLong(0) == 0)
+  }
+
+  test("update is copy-on-write: untouched files carry, SET sees the old row") {
+    import spark.implicits._
+    // 4 files keyed by disjoint ranges; update touches only one range
+    val df = (1 to 400).map(i => (i.toLong, i.toLong, "x")).toDF("k", "v", "s")
+    store.replaceSorted("dml_cow", df, "k", 4)
+    val vBefore = store.currentVersion("dml_cow")
+    assert(tag("UPDATE dml_cow SET v = v + 1000, s = 'hit' WHERE k BETWEEN 10 AND 20")
+      == "UPDATE 11")
+    // only the file holding k∈[10,20] was rewritten
+    val dirAfter = new java.io.File(store.warehouse, s"dml_cow/v${vBefore + 1}")
+    val carried = dirAfter.listFiles().filter(_.getName.endsWith(".parquet"))
+      .count(!_.getName.startsWith("cow-"))
+    assert(carried == 3, s"3 of 4 files must carry untouched, carried=$carried")
+    val got = rows("SELECT v FROM dml_cow WHERE k = 15").head.getLong(0)
+    assert(got == 1015L)
+    assert(rows("SELECT count(*) AS n FROM dml_cow WHERE s = 'hit'").head.getLong(0) == 11)
+    // SET sees the OLD row: swap semantics
+    store.replace("dml_swap", Seq((1L, 2L)).toDF("a", "b"))
+    assert(tag("UPDATE dml_swap SET a = b, b = a") == "UPDATE 1")
+    val r = rows("SELECT a, b FROM dml_swap").head
+    assert((r.getLong(0), r.getLong(1)) == (2L, 1L))
+  }
+
+  test("delete where; null predicate keeps rows") {
+    import spark.implicits._
+    store.replace("dml_del",
+      Seq((1L, Some(1L)), (2L, None), (3L, Some(3L))).toDF("k", "v"))
+    // v > 2 is NULL for k=2 — SQL keeps it (not TRUE)
+    assert(tag("DELETE FROM dml_del WHERE v > 2") == "DELETE 1")
+    assert(rows("SELECT k FROM dml_del ORDER BY k").map(_.getLong(0)) == Seq(1L, 2L))
+    assert(tag("DELETE FROM dml_del") == "DELETE 2")
+    assert(rows("SELECT count(*) AS n FROM dml_del").head.getLong(0) == 0)
+  }
+
+  test("merge: update + delete + insert clauses in order, pruned rewrite") {
+    import spark.implicits._
+    store.replace("dml_m",
+      Seq((1L, 10L, "keep"), (2L, 20L, "upd"), (3L, 30L, "del")).toDF("k", "v", "s"))
+    store.replace("dml_src",
+      Seq((2L, 200L), (3L, 0L), (4L, 400L)).toDF("k", "nv"))
+    val t = tag("""MERGE INTO dml_m AS t USING dml_src AS s ON t.k = s.k
+      WHEN MATCHED AND s.nv = 0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = s.nv, s = 'merged'
+      WHEN NOT MATCHED THEN INSERT (k, v, s) VALUES (s.k, s.nv, 'new')""")
+    assert(t == "MERGE 3", s"got $t")
+    val got = rows("SELECT k, v, s FROM dml_m ORDER BY k")
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got == Seq((1L, 10L, "keep"), (2L, 200L, "merged"), (4L, 400L, "new")))
+    // duplicate source keys error like PG
+    store.replace("dml_dup", Seq((2L, 1L), (2L, 2L)).toDF("k", "nv"))
+    val e = intercept[Exception] {
+      exec("MERGE INTO dml_m t USING dml_dup s ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.nv")
+    }
+    assert(e.getMessage.contains("second time"))
+  }
+
+  test("merge using a subquery source") {
+    import spark.implicits._
+    store.replace("dml_m2", Seq((1L, 1L), (2L, 2L)).toDF("k", "v"))
+    Tables.registerAll(spark, sfDir)
+    assert(tag("""MERGE INTO dml_m2 t
+      USING (SELECT r_regionkey AS k, r_regionkey * 10 AS nv FROM region) s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.nv
+      WHEN NOT MATCHED THEN INSERT VALUES (s.k, s.nv)""") == "MERGE 5")
+    val got = rows("SELECT k, v FROM dml_m2 ORDER BY k")
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got == Seq((0L, 0L), (1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
+  }
+
+  test("writes on non-store relations keep the reference error") {
+    Tables.registerAll(spark, sfDir)
+    // region IS a resolvable view, but not a store table: reference parity
+    val e = intercept[UnsupportedQuery] {
+      exec("INSERT INTO region VALUES (9, 'x', 'y')")
+    }
+    assert(e.getMessage.contains("unsupported query type"))
+    intercept[UnsupportedQuery] { exec("UPDATE region SET r_name = 'x'") }
+    intercept[UnsupportedQuery] { exec("DELETE FROM nosuch") }
+    intercept[UnsupportedQuery] { exec("TRUNCATE region") }
+    intercept[UnsupportedQuery] {
+      exec("MERGE INTO region t USING region s ON t.r_regionkey = s.r_regionkey " +
+        "WHEN MATCHED THEN UPDATE SET r_name = s.r_name")
+    }
+  }
+
+  test("dml invalidates cached plans and reflects in time travel") {
+    import spark.implicits._
+    store.replace("dml_tt", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val v1 = store.currentVersion("dml_tt")
+    val q = "SELECT count(*) AS n FROM dml_tt"
+    assert(rows(q).head.getLong(0) == 2)
+    assert(tag("DELETE FROM dml_tt WHERE k = 1") == "DELETE 1")
+    assert(rows(q).head.getLong(0) == 1, "cached plan must not serve stale data")
+    assert(rows(s"SELECT count(*) AS n FROM dml_tt FOR VERSION AS OF $v1")
+      .head.getLong(0) == 2, "pre-DML snapshot stays readable")
+  }
+}
