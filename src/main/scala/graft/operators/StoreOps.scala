@@ -652,6 +652,35 @@ object StoreOps {
       }
     },
 
+    // Metadata-only schema evolution end-to-end: ADD COLUMN (null-fill on
+    // old files, no rewrite), RENAME COLUMN, DROP COLUMN, then writes
+    // through the evolved schema. The oracle recomputes the visible
+    // post-state in pure SQL.
+    Q("st_sql_evolve", Some("""
+      WITH base AS (SELECT n_nationkey AS nation_id, n_name FROM nation),
+      ins AS (SELECT CAST(90 AS BIGINT) AS nation_id, 'newland' AS n_name,
+                     'extra' AS note)
+      SELECT nation_id, n_name, CAST(NULL AS VARCHAR) AS note FROM base
+      WHERE nation_id <> 3
+      UNION ALL SELECT nation_id, n_name, note FROM ins
+      ORDER BY nation_id""")) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-sqlevo").toString
+      val store = new Store(s, wh)
+      store.replace("sqe_nation", t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"), col("n_regionkey")))
+      def run(q: String) = PgDialect.execute(s, store, q)
+      run("ALTER TABLE sqe_nation ADD COLUMN note text")
+      run("ALTER TABLE sqe_nation RENAME COLUMN n_nationkey TO nation_id")
+      run("ALTER TABLE sqe_nation DROP COLUMN n_regionkey")
+      run("INSERT INTO sqe_nation (nation_id, n_name, note) VALUES (90, 'newland', 'extra')")
+      run("DELETE FROM sqe_nation WHERE nation_id = 3")
+      run("SELECT nation_id, n_name, note FROM sqe_nation ORDER BY nation_id") match {
+        case PgDialect.Rows(df, _) => df
+        case other => sys.error(s"expected rows, got $other")
+      }
+    },
+
     // MERGE INTO through SQL (equi-key, clause order, delete/update/insert
     // legs): target = orders ≤ 3000, source = orders in (2000, 4000] with
     // transformed totals; the oracle recomputes all three legs.

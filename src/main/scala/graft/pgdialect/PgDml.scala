@@ -39,8 +39,41 @@ object PgDml {
       case "MERGE" => Some(merge(spark, store, s))
       case "TRUNCATE" => Some(truncate(spark, store, s))
       case "CREATE" => createTable(spark, store, s)
+      case "ALTER" => alterColumn(spark, store, s)
       case _ => None
     }
+  }
+
+  // ---- ALTER TABLE … COLUMN (metadata-only schema evolution) -------------
+
+  private val addColRe =
+    "(?is)ALTER\\s+TABLE\\s+(?:ONLY\\s+)?([\\w.\"]+)\\s+ADD\\s+(?:COLUMN\\s+)?(IF\\s+NOT\\s+EXISTS\\s+)?([\\w\"]+)\\s+(.+)".r
+  private val dropColRe =
+    "(?is)ALTER\\s+TABLE\\s+(?:ONLY\\s+)?([\\w.\"]+)\\s+DROP\\s+(?:COLUMN\\s+)?(IF\\s+EXISTS\\s+)?([\\w\"]+)\\s*".r
+  private val renameColRe =
+    "(?is)ALTER\\s+TABLE\\s+(?:ONLY\\s+)?([\\w.\"]+)\\s+RENAME\\s+(?:COLUMN\\s+)?([\\w\"]+)\\s+TO\\s+([\\w\"]+)\\s*".r
+
+  /** ADD/DROP/RENAME COLUMN on store tables — zero data files touched
+    * (Store's evolution record; `ALTER … RENAME TO` is table rename and
+    * is handled upstream in PgDialect). */
+  private def alterColumn(spark: SparkSession, store: Store,
+      s: String): Option[PgResult] = s match {
+    case addColRe(name, ifNot, colName, typeRaw) =>
+      val t = requireStoreTable(store, name, "ALTER")
+      val (tpe, p, sc) = parseTypeName(typeRaw)
+      store.addColumn(t, unquoteName(colName),
+        PgTypes.toSpark(tpe, p, sc).copy(name = unquoteName(colName)),
+        ifNotExists = ifNot != null)
+      Some(Command("ALTER TABLE"))
+    case dropColRe(name, ifEx, colName) =>
+      val t = requireStoreTable(store, name, "ALTER")
+      store.dropColumn(t, unquoteName(colName), ifExists = ifEx != null)
+      Some(Command("ALTER TABLE"))
+    case renameColRe(name, from, to) =>
+      val t = requireStoreTable(store, name, "ALTER")
+      store.renameColumn(t, unquoteName(from), unquoteName(to))
+      Some(Command("ALTER TABLE"))
+    case _ => None
   }
 
   private def firstWord(s: String): String = s.split("\\s+", 2)(0)

@@ -93,6 +93,10 @@ class Store(spark: SparkSession, val warehouse: String) {
     * micro-batch replayed after a crash either sees neither (re-applies)
     * or both (skips) — never a double append. */
   private val streamBatchIds = TrieMap[String, Long]()
+  // metadata-only schema evolution per table — see the ALTER section below
+  private case class Evo(physical: org.apache.spark.sql.types.StructType,
+      logical: Seq[(String, String)])
+  private val evolution = TrieMap[String, Evo]()
 
   private def readBytes(p: HadoopPath): Array[Byte] = {
     val in = fs.open(p)
@@ -165,6 +169,14 @@ class Store(spark: SparkSession, val warehouse: String) {
     }
     val sb = rootNode.putObject("streamBatches")
     streamBatchIds.toSeq.sortBy(_._1).foreach { case (k, v) => sb.put(k, v) }
+    val ev = rootNode.putObject("evo")
+    evolution.toSeq.sortBy(_._1).foreach { case (t, e) =>
+      val o = ev.putObject(t)
+      o.put("physical", e.physical.json)
+      val la = o.putArray("logical")
+      e.logical.foreach { case (p, l) =>
+        val x = la.addArray(); x.add(p); x.add(l); () }
+    }
     val bytes = om.writerWithDefaultPrettyPrinter.writeValueAsBytes(rootNode)
     // rename from a dot-tmp to a FRESH name: atomic on posix/HDFS, and on a
     // copy+delete store the destination never pre-exists so the worst case
@@ -230,6 +242,14 @@ class Store(spark: SparkSession, val warehouse: String) {
       })
       Option(rootNode.get("streamBatches")).foreach(_.fields.asScala.foreach(e =>
         streamBatchIds(e.getKey) = e.getValue.asLong))
+      Option(rootNode.get("evo")).foreach(_.fields.asScala.foreach { e =>
+        val o = e.getValue
+        evolution(e.getKey) = Evo(
+          org.apache.spark.sql.types.DataType.fromJson(o.get("physical").asText)
+            .asInstanceOf[org.apache.spark.sql.types.StructType],
+          o.get("logical").asScala.toSeq.map(a =>
+            (a.get(0).asText, a.get(1).asText)))
+      })
       // every catalog table (not just matviews) is SQL-resolvable, like the
       // reference's runtime shell tables (query_remapper_table.go:141-178)
       versions.keys.foreach(publish)
@@ -280,9 +300,16 @@ class Store(spark: SparkSession, val warehouse: String) {
     else df.select(visible.map(c => col(s"`$c`")): _*)
   }
 
-  /** Stored bytes as-is, hidden IVM state included (refresh merge input). */
-  private def readRaw(name: String): DataFrame =
-    spark.read.parquet(versionDir(name, versions(name)))
+  /** Stored bytes as-is, hidden IVM state included (refresh merge input).
+    * An ALTERed table surfaces its LOGICAL schema: files are read under
+    * the physical union schema (absent columns null-fill) and projected
+    * through the rename/drop mapping. */
+  private def readRaw(name: String): DataFrame = evolution.get(name) match {
+    case None => spark.read.parquet(versionDir(name, versions(name)))
+    case Some(e) =>
+      spark.read.schema(e.physical).parquet(versionDir(name, versions(name)))
+        .select(e.logical.map { case (p, l) => col(s"`$p`").as(l) }.toSeq: _*)
+  }
 
   def currentVersion(name: String): Int = versions(name)
 
@@ -336,7 +363,7 @@ class Store(spark: SparkSession, val warehouse: String) {
     * win is skipping whole files, not just row groups. */
   def readRange(name: String, key: String, lo: Any, hi: Any): (DataFrame, Int, Int) = {
     val cur = versionPath(name, versions(name))
-    val stats = fileStats(cur, key)
+    val stats = fileStats(cur, physicalName(name, key))
     val lon = normKey(lo)
     val hin = normKey(hi)
     def overlaps(range: Option[(Any, Any)]): Boolean = range match {
@@ -349,12 +376,13 @@ class Store(spark: SparkSession, val warehouse: String) {
       catch { case _: ClassCastException => stats.map(_._1) }
     val base =
       if (hit.isEmpty) read(name).limit(0)
-      else spark.read.parquet(hit.map(_.toString): _*)
+      else readLogicalFiles(name, hit.map(_.toString))
     (base.filter(col(key) >= lit(lo) && col(key) <= lit(hi)), hit.length, stats.length)
   }
 
   /** Atomic replace: write v(n+1), then flip the pointer. */
   def replace(name: String, df: DataFrame): Unit = {
+    evolution.remove(name) // full rewrite: new files define the schema baseline
     val next = versions.getOrElse(name, 0) + 1
     df.write.mode(SaveMode.Overwrite).option("compression", "zstd")
       .parquet(versionDir(name, next))
@@ -370,6 +398,7 @@ class Store(spark: SparkSession, val warehouse: String) {
     * for tables whose hot filter is a range on `key` — at 100 TB a point
     * or range query then touches O(range / file-span) files, not all. */
   def replaceSorted(name: String, df: DataFrame, key: String, numFiles: Int): Unit = {
+    evolution.remove(name) // full rewrite: new files define the schema baseline
     val next = versions.getOrElse(name, 0) + 1
     df.repartitionByRange(numFiles, col(key))
       .sortWithinPartitions(key)
@@ -391,6 +420,7 @@ class Store(spark: SparkSession, val warehouse: String) {
     * min/max aggregate (a 2-row driver hop) + the same range shuffle a
     * sorted write pays. */
   def replaceZOrdered(name: String, df: DataFrame, keys: Seq[String], numFiles: Int): Unit = {
+    evolution.remove(name) // full rewrite: new files define the schema baseline
     require(keys.size >= 2, "z-order needs at least two keys")
     val aggs = keys.flatMap(k =>
       Seq(min(col(k)).cast("double"), max(col(k)).cast("double")))
@@ -430,6 +460,7 @@ class Store(spark: SparkSession, val warehouse: String) {
     * Iceberg hidden partitioning; the reference leaves tables unpartitioned
     * (roadmap item), so this is a beyond-parity scale feature. */
   def replacePartitioned(name: String, df: DataFrame, partitionCols: String*): Unit = {
+    evolution.remove(name) // full rewrite: new files define the schema baseline
     val next = versions.getOrElse(name, 0) + 1
     df.write.mode(SaveMode.Overwrite).option("compression", "zstd")
       .partitionBy(partitionCols: _*)
@@ -447,6 +478,7 @@ class Store(spark: SparkSession, val warehouse: String) {
     * the cluster-side equivalent). Registers in the session catalog because
     * bucket metadata lives there, not in the files. */
   def replaceBucketed(name: String, df: DataFrame, key: String, numBuckets: Int): Unit = {
+    evolution.remove(name) // full rewrite: new files define the schema baseline
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
     // clear any plain temp view published for this name (e.g. by a catalog
     // reload before the bucketed registration existed): the catalog table
@@ -473,8 +505,9 @@ class Store(spark: SparkSession, val warehouse: String) {
     * Steady-state incremental syncs therefore keep O(total/maxFileBytes)
     * files instead of one sliver per batch — at 100 TB this is the
     * difference between thousands and millions of manifest entries. */
-  def appendCompacting(name: String, df: DataFrame, maxFileBytes: Long = 100L << 20): Unit = {
-    if (!exists(name)) { replace(name, df); return }
+  def appendCompacting(name: String, df0: DataFrame, maxFileBytes: Long = 100L << 20): Unit = {
+    if (!exists(name)) { replace(name, df0); return }
+    val df = toPhysical(name, df0) // ALTERed tables: files stay physical
     val cur = versionPath(name, versions(name))
     val files = dataFiles(cur)
     val (full, small) = files.partition(_.getLen >= maxFileBytes)
@@ -549,13 +582,16 @@ class Store(spark: SparkSession, val warehouse: String) {
     * key set. Returns (filesRewritten, filesTotal) for observability. */
   def upsert(name: String, incoming: DataFrame, key: String): (Int, Int) = {
     if (!exists(name)) { replace(name, incoming); return (0, 0) }
-    prunedRewrite(name, incoming, key, appendIncoming = true)
+    prunedRewrite(name, toPhysical(name, incoming),
+      physicalName(name, key), appendIncoming = true)
   }
 
   /** Delete rows matching `keys`, rewriting only footer-overlapping files
     * (iceberg_table_writer.go:380-452). Returns (filesRewritten, filesTotal). */
   def deleteByKey(name: String, keys: DataFrame, key: String): (Int, Int) =
-    prunedRewrite(name, keys.select(col(key)), key, appendIncoming = false)
+    prunedRewrite(name,
+      keys.select(col(key).as(physicalName(name, key))),
+      physicalName(name, key), appendIncoming = false)
 
   // ---- SQL DML engine (beyond the reference, which rejects writes;
   // PgDml routes INSERT/UPDATE/DELETE/MERGE on store tables here) ---------
@@ -611,8 +647,8 @@ class Store(spark: SparkSession, val warehouse: String) {
     val dir = versionPath(name, next)
     fs.mkdirs(dir)
     carried.foreach(carryFile(_, dir))
-    val src = spark.read.schema(raw.schema).parquet(hit.map(_.toString): _*)
-    writeInto(transform(src, cond), name, dir, s"cow-$next")
+    val src = readLogicalFiles(name, hit.map(_.toString))
+    writeInto(toPhysical(name, transform(src, cond)), name, dir, s"cow-$next")
     versions(name) = next
     persistCatalog()
     publish(name)
@@ -621,6 +657,140 @@ class Store(spark: SparkSession, val warehouse: String) {
 
   private def baseName(uri: String): String =
     uri.substring(uri.lastIndexOf('/') + 1)
+
+  // ---- metadata-only schema evolution (ALTER TABLE … COLUMN) ------------
+  //
+  // Iceberg evolves schemas without touching data files (field-id mapping);
+  // this store gets the same property with a persisted per-table record:
+  // `physical` is the union schema data files may carry (grows on ADD,
+  // never shrinks — a file written before an ADD simply misses the column
+  // and the reader null-fills it), `logical` the visible
+  // (physicalName -> logicalName) projection in order. DROP removes the
+  // logical entry — the bytes stay in old files but column pruning never
+  // reads them; RENAME rewrites only the logical name; ADD appends (a
+  // re-added name after a DROP gets a fresh physical name so old bytes
+  // can never resurface). Writes convert logical -> physical so every
+  // data file stays homogeneous; a replace() is a full rewrite and RESETS
+  // the record (the new files' schema becomes the baseline).
+  private def currentEvo(name: String): Evo = evolution.getOrElse(name, {
+    val s = spark.read.parquet(versionDir(name, versions(name))).schema
+    Evo(s, s.fields.map(f => f.name -> f.name).toSeq)
+  })
+
+  /** Incoming logical-space rows -> the table's physical file schema
+    * (identity for never-altered tables). */
+  private def toPhysical(name: String, df: DataFrame): DataFrame =
+    evolution.get(name) match {
+      case None => df
+      case Some(e) =>
+        df.select(e.physical.fields.map { pf =>
+          e.logical.find(_._1 == pf.name).map(_._2) match {
+            case Some(l) if df.columns.contains(l) =>
+              col(s"`$l`").cast(pf.dataType).as(pf.name)
+            case _ => lit(null).cast(pf.dataType).as(pf.name)
+          }
+        }.toSeq: _*)
+    }
+
+  /** Physical file-column name behind a logical column (identity when the
+    * table was never altered). */
+  private[graft] def physicalName(name: String, logical: String): String =
+    evolution.get(name).flatMap(_.logical.find(_._2 == logical).map(_._1))
+      .getOrElse(logical)
+
+  /** Read specific data files of `name` under the PHYSICAL file schema
+    * (missing-in-file columns of an ALTERed table null-fill). */
+  private def physicalRead(name: String, paths: Seq[String]): DataFrame =
+    evolution.get(name) match {
+      case Some(e) => spark.read.schema(e.physical).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+
+  /** Read specific data files of `name` surfacing the LOGICAL schema
+    * (missing-in-file physical columns null-fill). */
+  private def readLogicalFiles(name: String, paths: Seq[String]): DataFrame =
+    evolution.get(name) match {
+      case None =>
+        spark.read.schema(readRaw(name).schema).parquet(paths: _*)
+      case Some(e) =>
+        physicalRead(name, paths)
+          .select(e.logical.map { case (p, l) => col(s"`$p`").as(l) }.toSeq: _*)
+    }
+
+  private def assertEvolvable(name: String): Unit = {
+    require(exists(name), s"no such store table: $name")
+    require(!matviewDefs.contains(name) && !ivmViews.contains(name),
+      s"cannot alter a materialized view: $name")
+    val word = ("(?i)\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
+    val dep = matviewDefs.collectFirst {
+      case (v, d) if word.findFirstIn(d).isDefined => v
+    }.orElse(ivmViews.collectFirst {
+      case (v, m) if m.base == name || m.joins.exists(_._1 == name) => v
+    })
+    require(dep.isEmpty,
+      s"materialized view ${dep.getOrElse("")} depends on $name; drop it first")
+  }
+
+  /** ALTER TABLE … ADD COLUMN: pure catalog write, zero data files touched.
+    * Returns false when IF NOT EXISTS suppressed a duplicate. */
+  def addColumn(name: String, colName: String,
+      field: org.apache.spark.sql.types.StructField,
+      ifNotExists: Boolean = false): Boolean = synchronized {
+    assertEvolvable(name)
+    val e = currentEvo(name)
+    if (e.logical.exists(_._2.equalsIgnoreCase(colName))) {
+      if (ifNotExists) return false
+      throw new IllegalArgumentException(
+        s"""column "$colName" of relation "$name" already exists""")
+    }
+    val phys =
+      if (e.physical.fieldNames.exists(_.equalsIgnoreCase(colName)))
+        s"__evo${e.physical.length}_$colName"
+      else colName
+    evolution(name) = Evo(
+      org.apache.spark.sql.types.StructType(
+        e.physical.fields :+ field.copy(name = phys)),
+      e.logical :+ (phys -> colName))
+    persistCatalog()
+    publish(name)
+    true
+  }
+
+  /** ALTER TABLE … DROP COLUMN: catalog-only; old bytes stay in files but
+    * parquet column pruning never reads them again. */
+  def dropColumn(name: String, colName: String,
+      ifExists: Boolean = false): Boolean = synchronized {
+    assertEvolvable(name)
+    val e = currentEvo(name)
+    if (!e.logical.exists(_._2.equalsIgnoreCase(colName))) {
+      if (ifExists) return false
+      throw new IllegalArgumentException(
+        s"""column "$colName" of relation "$name" does not exist""")
+    }
+    require(e.logical.size > 1, s"cannot drop the only column of $name")
+    evolution(name) =
+      e.copy(logical = e.logical.filterNot(_._2.equalsIgnoreCase(colName)))
+    persistCatalog()
+    publish(name)
+    true
+  }
+
+  /** ALTER TABLE … RENAME COLUMN a TO b: catalog-only (the Iceberg
+    * field-id rename — files keep the physical name forever). */
+  def renameColumn(name: String, from: String, to: String): Unit = synchronized {
+    assertEvolvable(name)
+    val e = currentEvo(name)
+    require(e.logical.exists(_._2.equalsIgnoreCase(from)),
+      s"""column "$from" of relation "$name" does not exist""")
+    require(!e.logical.exists(_._2.equalsIgnoreCase(to)),
+      s"""column "$to" of relation "$name" already exists""")
+    evolution(name) = e.copy(logical = e.logical.map {
+      case (p, l) if l.equalsIgnoreCase(from) => (p, to)
+      case x => x
+    })
+    persistCatalog()
+    publish(name)
+  }
 
   /** Schema-only CREATE TABLE (the DDL companion of the CTAS path). */
   def createEmpty(name: String, schema: org.apache.spark.sql.types.StructType): Unit =
@@ -654,8 +824,9 @@ class Store(spark: SparkSession, val warehouse: String) {
         "MERGE command cannot affect row a second time (duplicate source keys)")
       val cur = versionPath(name, versions(name))
       val files = dataFiles(cur).map(_.getPath)
-      val keyed = source.select(col(s"`$sourceKey`").as(targetKey))
-      val (hit, carried) = overlapPartition(cur, files, keyed, targetKey)
+      val physKey = physicalName(name, targetKey)
+      val keyed = source.select(col(s"`$sourceKey`").as(physKey))
+      val (hit, carried) = overlapPartition(cur, files, keyed, physKey)
       val tgtSchema = readRaw(name).schema
       val matchedClauses = clauses.filter(!_.isInstanceOf[Store.NotMatchedInsert])
       val insertClauses = clauses.collect { case c: Store.NotMatchedInsert => c }
@@ -675,7 +846,7 @@ class Store(spark: SparkSession, val warehouse: String) {
       // rewritten target rows: hit files left-joined to the source; first
       // applicable matched clause applies, one codegen'd projection
       val rewritten = if (hit.isEmpty) None else {
-        val back = spark.read.schema(tgtSchema).parquet(hit.map(_.toString): _*)
+        val back = readLogicalFiles(name, hit.map(_.toString))
         val joined = back.alias(targetAlias).join(source.alias(sourceAlias),
           col(s"$targetAlias.$targetKey") === col(s"$sourceAlias.$sourceKey"), "left")
         val matched = col(s"$sourceAlias.$sourceKey").isNotNull
@@ -719,7 +890,7 @@ class Store(spark: SparkSession, val warehouse: String) {
       val (nUpd, nDel) = rewritten match {
         case None => (0L, 0L)
         case Some(_) =>
-          val back = spark.read.schema(tgtSchema).parquet(hit.map(_.toString): _*)
+          val back = readLogicalFiles(name, hit.map(_.toString))
           val joined = back.alias(targetAlias).join(source.alias(sourceAlias),
             col(s"$targetAlias.$targetKey") === col(s"$sourceAlias.$sourceKey"), "left")
           val matched = col(s"$sourceAlias.$sourceKey").isNotNull
@@ -739,7 +910,7 @@ class Store(spark: SparkSession, val warehouse: String) {
         case (Some(r), Some(i)) => Some(r.unionByName(i))
         case (r, i) => r.orElse(i)
       }
-      out.foreach(writeInto(_, name, dir, s"merge-$next"))
+      out.foreach(o => writeInto(toPhysical(name, o), name, dir, s"merge-$next"))
       versions(name) = next
       persistCatalog()
       publish(name)
@@ -764,7 +935,7 @@ class Store(spark: SparkSession, val warehouse: String) {
     carried.foreach(carryFile(_, dir))
     val kept =
       if (hit.isEmpty) None
-      else Some(spark.read.parquet(hit.map(_.toString): _*)
+      else Some(physicalRead(name, hit.map(_.toString))
         .join(incoming.select(col(key)).distinct(), Seq(key), "left_anti"))
     val out =
       if (appendIncoming) Some(kept.fold(incoming)(_.unionByName(incoming)))
@@ -988,6 +1159,11 @@ class Store(spark: SparkSession, val warehouse: String) {
     * id = store version (deterministic). Returns the metadata.json path. */
   def publishIceberg(name: String): HadoopPath = {
     require(exists(name), s"unknown table $name")
+    // an ALTERed table's files carry pre-rename/pre-drop physical names;
+    // true Iceberg carries the mapping as field-ids — this emitter writes
+    // name-keyed schemas, so compact first (any replace) to re-baseline
+    require(!evolution.contains(name),
+      s"$name has pending column evolution; rewrite it (replace) before Iceberg publish")
     val cur = fs.makeQualified(versionPath(name, versions(name)))
     // recursive listing covers hive-partitioned layouts (key=value subdirs)
     val buf = scala.collection.mutable.ArrayBuffer[HadoopPath]()
@@ -1201,6 +1377,7 @@ class Store(spark: SparkSession, val warehouse: String) {
   def drop(name: String): Unit = {
     versions.remove(name)
     ivmViews.remove(name)
+    evolution.remove(name)
     spark.catalog.dropTempView(name)
     fs.delete(tablePath(name), true)
     persistCatalog()

@@ -136,6 +136,63 @@ class DmlSpec extends SparkSpecBase {
     }
   }
 
+  test("add column is metadata-only: no files touched, null-fill, writable") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, s"n$i")).toDF("k", "nm")
+    store.replaceSorted("evo_t", df, "k", 4)
+    val vBefore = store.currentVersion("evo_t")
+    assert(tag("ALTER TABLE evo_t ADD COLUMN score float8") == "ALTER TABLE")
+    assert(store.currentVersion("evo_t") == vBefore,
+      "ADD COLUMN must not write a new version (zero data files touched)")
+    assert(rows("SELECT count(*) AS n FROM evo_t WHERE score IS NULL")
+      .head.getLong(0) == 100)
+    assert(tag("INSERT INTO evo_t VALUES (101, 'new', 9.5)") == "INSERT 0 1")
+    assert(tag("UPDATE evo_t SET score = k * 1.0 WHERE k <= 3") == "UPDATE 3")
+    val got = rows("SELECT k, score FROM evo_t WHERE score IS NOT NULL ORDER BY k")
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (101L, 9.5)))
+  }
+
+  test("rename column is metadata-only; upsert by the renamed key still prunes") {
+    import spark.implicits._
+    store.replaceSorted("evo_r",
+      (1 to 200).map(i => (i.toLong, i * 10L)).toDF("id", "v"), "id", 4)
+    assert(tag("ALTER TABLE evo_r RENAME COLUMN id TO ext_id") == "ALTER TABLE")
+    assert(rows("SELECT ext_id FROM evo_r WHERE ext_id = 7").head.getLong(0) == 7L)
+    val (rewritten, total) =
+      store.upsert("evo_r", Seq((5L, 999L)).toDF("ext_id", "v"), "ext_id")
+    assert(total == 4 && rewritten == 1,
+      s"footer pruning must survive the rename: $rewritten of $total")
+    assert(rows("SELECT v FROM evo_r WHERE ext_id = 5").head.getLong(0) == 999L)
+    // the old name is gone from the visible surface
+    intercept[Exception] { rows("SELECT id FROM evo_r") }
+  }
+
+  test("drop column hides old bytes forever; re-added name starts fresh") {
+    import spark.implicits._
+    store.replace("evo_d", Seq((1L, "secret"), (2L, "hidden")).toDF("k", "s"))
+    assert(tag("ALTER TABLE evo_d DROP COLUMN s") == "ALTER TABLE")
+    assert(rows("SELECT * FROM evo_d ORDER BY k").head.length == 1)
+    assert(tag("ALTER TABLE evo_d ADD COLUMN s text") == "ALTER TABLE")
+    val got = rows("SELECT k, s FROM evo_d ORDER BY k")
+    assert(got.forall(_.isNullAt(1)),
+      "re-added column must NOT resurface dropped bytes")
+    // evolution survives a store restart (catalog-persisted)
+    val store2 = new Store(spark, store.warehouse)
+    assert(store2.read("evo_d").columns.toSeq == Seq("k", "s"))
+    assert(store2.read("evo_d").collect().forall(_.isNullAt(1)))
+  }
+
+  test("alter refuses when a matview depends on the table") {
+    import spark.implicits._
+    store.replace("evo_g", Seq((1L, 2L)).toDF("g", "x"))
+    store.createMatview("evo_g_mv", "SELECT g, sum(x) AS sx FROM evo_g GROUP BY g")
+    val e = intercept[Exception] { exec("ALTER TABLE evo_g ADD COLUMN y int4") }
+    assert(e.getMessage.contains("depends"))
+    store.dropMatview("evo_g_mv")
+    assert(tag("ALTER TABLE evo_g ADD COLUMN y int4") == "ALTER TABLE")
+  }
+
   test("dml invalidates cached plans and reflects in time travel") {
     import spark.implicits._
     store.replace("dml_tt", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
