@@ -138,6 +138,11 @@ object PgDialect {
   final case class Command(tag: String) extends PgResult
   /** COPY … TO STDOUT: rows stream through the COPY-out subprotocol. */
   final case class CopyOut(df: DataFrame, csv: Boolean, header: Boolean) extends PgResult
+  /** COPY table FROM STDIN: the wire server runs the copy-in subprotocol
+    * and appends into the store table (store tables only — the psql \copy
+    * ingestion path; the reference errors on all COPY). */
+  final case class CopyIn(table: String, cols: Seq[String], csv: Boolean,
+      header: Boolean, delimiter: Char, nullStr: String) extends PgResult
   case object Empty extends PgResult
 
   final case class UnsupportedQuery(msg: String) extends RuntimeException(msg)
@@ -290,6 +295,25 @@ object PgDialect {
         val df = spark.sql(applyPermissions(translateSelect(inner), perms))
         val o = opts.toUpperCase
         return CopyOut(df, csv = o.contains("CSV"), header = o.contains("HEADER"))
+      case _ =>
+    }
+    // COPY table [(cols)] FROM STDIN [...] — ingestion into store tables
+    // (the write-side twin of the COPY TO above; non-store targets keep
+    // the reference's COPY error)
+    val copyIn = "(?is)COPY\\s+([\\w.\"]+)\\s*(\\([^)]*\\))?\\s+FROM\\s+STDIN\\s*(.*)".r
+    stmt match {
+      case copyIn(nameRaw, colsRaw, optsRaw) if store.exists(unquoteName(nameRaw)) =>
+        val cols = Option(colsRaw).map(c =>
+          PgDml.splitTop(c.trim.stripPrefix("(").stripSuffix(")"))
+            .map(x => unquoteName(x.trim))).getOrElse(Seq.empty)
+        val o = optsRaw.toUpperCase
+        val csv = o.contains("CSV")
+        val delim = "(?i)DELIMITER\\s+'(.)'".r.findFirstMatchIn(optsRaw)
+          .map(_.group(1).charAt(0)).getOrElse(if (csv) ',' else '\t')
+        val nul = "(?i)NULL\\s+'([^']*)'".r.findFirstMatchIn(optsRaw)
+          .map(_.group(1)).getOrElse(if (csv) "" else "\\N")
+        return CopyIn(unquoteName(nameRaw), cols, csv, o.contains("HEADER"),
+          delim, nul)
       case _ =>
     }
     // DML over STORE tables only (PgDml — beyond-parity write surface);

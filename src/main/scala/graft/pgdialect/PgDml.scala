@@ -139,28 +139,34 @@ object PgDml {
   private val insertRe =
     "(?is)INSERT\\s+INTO\\s+([\\w.\"]+)\\s*(\\([^)]*\\))?\\s*(VALUES\\s+.*|SELECT\\s+.*|WITH\\s+.*|TABLE\\s+.*)".r
 
-  private def insert(spark: SparkSession, store: Store, s: String): PgResult = s match {
-    case insertRe(name, colsRaw, body) =>
-      val t = requireStoreTable(store, name, "INSERT")
-      val target = store.read(t).schema
-      val cols = Option(colsRaw).map(c =>
-        splitTop(c.trim.stripPrefix("(").stripSuffix(")")).map(x => unquoteName(x.trim)))
-        .getOrElse(Seq.empty)
-      val src =
-        if (body.trim.toUpperCase.startsWith("VALUES"))
-          spark.sql("SELECT * FROM " + PgDialect.translateExpr(body))
-        else spark.sql(PgDialect.translateSelect(body))
-      val aligned = align(src, target, cols)
-      val n = aligned.count()
-      store.appendCompacting(t, aligned)
-      Command(s"INSERT 0 $n")
-    case _ => throw UnsupportedQuery("unsupported query type: INSERT")
+  private def insert(spark: SparkSession, store: Store, s0: String): PgResult = {
+    val (s, returning) = splitReturning(s0)
+    s match {
+      case insertRe(name, colsRaw, body) =>
+        val t = requireStoreTable(store, name, "INSERT")
+        val target = store.read(t).schema
+        val cols = Option(colsRaw).map(c =>
+          splitTop(c.trim.stripPrefix("(").stripSuffix(")")).map(x => unquoteName(x.trim)))
+          .getOrElse(Seq.empty)
+        val src =
+          if (body.trim.toUpperCase.startsWith("VALUES"))
+            spark.sql("SELECT * FROM " + PgDialect.translateExpr(body))
+          else spark.sql(PgDialect.translateSelect(body))
+        val aligned = align(src, target, cols)
+        val n = aligned.count()
+        store.appendCompacting(t, aligned)
+        returning match {
+          case Some(rets) => Rows(aligned.selectExpr(rets: _*), "INSERT 0")
+          case None => Command(s"INSERT 0 $n")
+        }
+      case _ => throw UnsupportedQuery("unsupported query type: INSERT")
+    }
   }
 
   /** Position/name-align an insert source onto the target schema: named
     * columns map by name, everything absent becomes NULL, every value gets
     * PG's assignment cast to the column type. */
-  private def align(src: DataFrame, target: StructType, cols: Seq[String]): DataFrame = {
+  private[graft] def align(src: DataFrame, target: StructType, cols: Seq[String]): DataFrame = {
     val names =
       if (cols.nonEmpty) cols
       else target.fields.map(_.name).take(src.columns.length).toSeq
@@ -181,31 +187,68 @@ object PgDml {
   private val deleteRe =
     "(?is)DELETE\\s+FROM\\s+(?:ONLY\\s+)?([\\w.\"]+)(?:\\s+WHERE\\s+(.*))?".r
 
-  private def update(spark: SparkSession, store: Store, s: String): PgResult = s match {
-    case updateRe(name, setRaw, whereRaw) =>
-      if (hasTopLevelWord(setRaw, "FROM"))
-        throw UnsupportedQuery(
-          "UPDATE … FROM is not supported; use MERGE INTO with USING")
-      val t = requireStoreTable(store, name, "UPDATE")
-      val sets = splitTop(setRaw).map { a =>
-        val eq = topLevelEq(a)
-        require(eq > 0, s"bad SET assignment: $a")
-        unquoteName(a.substring(0, eq).trim) ->
-          PgDialect.translateExpr(a.substring(eq + 1).trim)
-      }
-      val (n, _, _) = store.updateWhere(t, sets,
-        Option(whereRaw).map(w => PgDialect.translateExpr(w.trim)))
-      Command(s"UPDATE $n")
-    case _ => throw UnsupportedQuery("unsupported query type: UPDATE")
+  private def update(spark: SparkSession, store: Store, s0: String): PgResult = {
+    val (s, returning) = splitReturning(s0)
+    s match {
+      case updateRe(name, setRaw, whereRaw) =>
+        if (hasTopLevelWord(setRaw, "FROM"))
+          throw UnsupportedQuery(
+            "UPDATE … FROM is not supported; use MERGE INTO with USING")
+        val t = requireStoreTable(store, name, "UPDATE")
+        val sets = splitTop(setRaw).map { a =>
+          val eq = topLevelEq(a)
+          require(eq > 0, s"bad SET assignment: $a")
+          unquoteName(a.substring(0, eq).trim) ->
+            PgDialect.translateExpr(a.substring(eq + 1).trim)
+        }
+        val where = Option(whereRaw).map(w => PgDialect.translateExpr(w.trim))
+        // RETURNING reads the PRE-commit snapshot (immutable version dir)
+        // with the SET projection applied — the post-update image
+        val ret = returning.map(rs =>
+          store.previewUpdate(t, sets, where).selectExpr(rs: _*))
+        val (n, _, _) = store.updateWhere(t, sets, where)
+        ret.map(Rows(_, "UPDATE")).getOrElse(Command(s"UPDATE $n"))
+      case _ => throw UnsupportedQuery("unsupported query type: UPDATE")
+    }
   }
 
-  private def delete(spark: SparkSession, store: Store, s: String): PgResult = s match {
-    case deleteRe(name, whereRaw) =>
-      val t = requireStoreTable(store, name, "DELETE")
-      val (n, _, _) = store.deleteWhere(t,
-        Option(whereRaw).map(w => PgDialect.translateExpr(w.trim)))
-      Command(s"DELETE $n")
-    case _ => throw UnsupportedQuery("unsupported query type: DELETE")
+  private def delete(spark: SparkSession, store: Store, s0: String): PgResult = {
+    val (s, returning) = splitReturning(s0)
+    s match {
+      case deleteRe(name, whereRaw) =>
+        val t = requireStoreTable(store, name, "DELETE")
+        val where = Option(whereRaw).map(w => PgDialect.translateExpr(w.trim))
+        val ret = returning.map(rs =>
+          store.previewMatching(t, where).selectExpr(rs: _*))
+        val (n, _, _) = store.deleteWhere(t, where)
+        ret.map(Rows(_, "DELETE")).getOrElse(Command(s"DELETE $n"))
+      case _ => throw UnsupportedQuery("unsupported query type: DELETE")
+    }
+  }
+
+  /** Split a trailing top-level RETURNING list off a DML statement. */
+  private def splitReturning(s: String): (String, Option[Seq[String]]) = {
+    var depth = 0; var inStr = false; var i = 0; var at = -1
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ if depth == 0 &&
+            s.regionMatches(true, i, "RETURNING", 0, 9) &&
+            (i == 0 || !s.charAt(i - 1).isLetterOrDigit) &&
+            (i + 9 >= s.length || !s.charAt(i + 9).isLetterOrDigit) =>
+          at = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (at < 0) (s, None)
+    else (s.substring(0, at).trim,
+      Some(splitTop(s.substring(at + 9))
+        .map(x => PgDialect.translateExpr(x.trim))))
   }
 
   private def truncate(spark: SparkSession, store: Store, s: String): PgResult = {

@@ -627,6 +627,25 @@ class Store(spark: SparkSession, val warehouse: String) {
   def deleteWhere(name: String, where: Option[String]): (Long, Int, Int) =
     cowRewrite(name, where)((src, cond) => src.filter(!coalesce(cond, lit(false))))
 
+  /** Post-UPDATE image of the matching rows, bound to the CURRENT
+    * (pre-commit) snapshot — version dirs are immutable, so the frame
+    * stays valid after the commit flips (the RETURNING surface). */
+  def previewUpdate(name: String, sets: Seq[(String, String)],
+      where: Option[String]): DataFrame = {
+    val src = previewMatching(name, where)
+    src.select(src.schema.fields.map { f =>
+      sets.find(_._1 == f.name)
+        .map(e => expr(e._2).cast(f.dataType).as(f.name))
+        .getOrElse(col(s"`${f.name}`"))
+    }.toSeq: _*)
+  }
+
+  /** Rows a WHERE matches in the current snapshot (DELETE … RETURNING). */
+  def previewMatching(name: String, where: Option[String]): DataFrame = {
+    require(exists(name), s"no such store table: $name")
+    where.map(w => read(name).filter(expr(w))).getOrElse(read(name))
+  }
+
   private def cowRewrite(name: String, where: Option[String])(
       transform: (DataFrame, org.apache.spark.sql.Column) => DataFrame): (Long, Int, Int) = {
     require(exists(name), s"no such store table: $name")

@@ -60,7 +60,11 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
     * (Execute and FETCH carry row counts; a drained-to-limit portal suspends
     * and resumes on the next Execute/FETCH — JDBC fetchSize drives this). */
   private final class Portal(val df: DataFrame, val resultFormats: Seq[Short] = Nil,
-      val query: String = "") {
+      val query: String = "",
+      /** Non-SELECT statement deferred to Execute (JDBC executeUpdate's
+        * Parse/Bind/Execute of INSERT/UPDATE/…); df is null then. */
+      val command: Option[String] = None) {
+    var ranTag: String = _ // command portals run once; re-Execute replays the tag
     lazy val rows: java.util.Iterator[Row] = df.toLocalIterator()
     var sent = 0L // rows streamed so far (pg_stat_statements feed)
     var noted = false // stats recorded once per portal drain
@@ -115,7 +119,7 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
           tpe.toChar match {
             case 'Q' =>
               val sql = new String(body, 0, body.length - 1, UTF_8) // NUL-terminated
-              runQuery(out, sql, cursors, statements)
+              runQuery(out, sql, cursors, statements, in)
               readyForQuery(out)
             case 'P' if !errorSkip => // Parse
               try {
@@ -153,62 +157,119 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
                 val resFmts =
                   try { val n = b.readShort(); (0 until n).map(_ => b.readShort()) }
                   catch { case _: java.io.IOException => Seq.empty[Short] }
-                // cached translate+plan (through the rollup rewrite):
-                // re-executing a prepared statement with the same
-                // arguments skips translation AND analysis
-                portals(portal) = new Portal(
-                  PgDialect.planWithRollup(spark, store,
-                    PgDialect.translateSelectCached(
-                      PgDialect.rewriteTimeTravel(store, sql))), resFmts,
-                  statements(stmt))
+                // SELECT-shaped statements get the cached translate+plan
+                // (through the rollup rewrite): re-executing a prepared
+                // statement with the same arguments skips translation AND
+                // analysis. Anything else (DML/DDL/SET — JDBC's
+                // executeUpdate flow) becomes a command portal whose
+                // execution defers to the Execute message.
+                val verb = sql.trim.split("\\s+|\\(", 2)(0).toUpperCase
+                portals(portal) =
+                  if (Set("SELECT", "WITH", "VALUES", "TABLE", "EXPLAIN",
+                    "SHOW")(verb))
+                    new Portal(
+                      PgDialect.planWithRollup(spark, store,
+                        PgDialect.translateSelectCached(
+                          PgDialect.rewriteTimeTravel(store, sql))), resFmts,
+                      statements(stmt))
+                  else new Portal(null, resFmts, statements(stmt), Some(sql))
                 msg(out, '2') { _ => } // BindComplete
               } catch { case e: Throwable => sendError(out, e); errorSkip = true }
             case 'D' if !errorSkip => // Describe
               try {
                 val kind = b.read().toChar
                 val name = readCStr()
-                val df = if (kind == 'P') portals(name).df
-                  else PgDialect.planWithRollup(spark, store,
-                    PgDialect.translateSelectCached(PgDialect.rewriteTimeTravel(store,
-                      substituteParams(statements(name),
-                        Seq.fill(countParams(statements(name)))(null)))),
-                    allowAutoRefresh = false) // Describe must not mutate
-                if (kind == 'S') msg(out, 't') { bb => // ParameterDescription
-                  val n = countParams(statements(name))
-                  val declared = declaredParamOids.getOrElse(name, Nil)
-                  bb.writeShort(n)
-                  (1 to n).foreach { i =>
-                    val oid =
-                      if (i <= declared.size && declared(i - 1) != 0) declared(i - 1)
-                      else inferParamOid(statements(name), i)
-                    bb.writeInt(oid)
-                  }
+                def isCommandSql(sqlText: String): Boolean = {
+                  val verb = sqlText.trim.split("\\s+|\\(", 2)(0).toUpperCase
+                  !Set("SELECT", "WITH", "VALUES", "TABLE", "EXPLAIN", "SHOW")(verb)
                 }
-                rowDescription(out, df.schema)
+                if ((kind == 'P' && portals.get(name).exists(_.command.isDefined))
+                    || (kind == 'S' && statements.get(name).exists(isCommandSql))) {
+                  // command statement/portal: row set unknown until Execute
+                  if (kind == 'S') msg(out, 't') { bb => // ParameterDescription
+                    val n = countParams(statements(name))
+                    val declared = declaredParamOids.getOrElse(name, Nil)
+                    bb.writeShort(n)
+                    (1 to n).foreach { i =>
+                      val oid =
+                        if (i <= declared.size && declared(i - 1) != 0) declared(i - 1)
+                        else inferParamOid(statements(name), i)
+                      bb.writeInt(oid)
+                    }
+                  }
+                  msg(out, 'n') { _ => } // NoData
+                } else {
+                  val df = if (kind == 'P') portals(name).df
+                    else PgDialect.planWithRollup(spark, store,
+                      PgDialect.translateSelectCached(PgDialect.rewriteTimeTravel(store,
+                        substituteParams(statements(name),
+                          Seq.fill(countParams(statements(name)))(null)))),
+                      allowAutoRefresh = false) // Describe must not mutate
+                  if (kind == 'S') msg(out, 't') { bb => // ParameterDescription
+                    val n = countParams(statements(name))
+                    val declared = declaredParamOids.getOrElse(name, Nil)
+                    bb.writeShort(n)
+                    (1 to n).foreach { i =>
+                      val oid =
+                        if (i <= declared.size && declared(i - 1) != 0) declared(i - 1)
+                        else inferParamOid(statements(name), i)
+                      bb.writeInt(oid)
+                    }
+                  }
+                  rowDescription(out, df.schema)
+                }
               } catch { case e: Throwable => sendError(out, e); errorSkip = true }
             case 'E' if !errorSkip => // Execute [maxRows]
               try {
                 val portal = readCStr()
                 val maxRows = try b.readInt() catch { case _: java.io.IOException => 0 }
                 val p = portals(portal)
-                val schema = p.df.schema
-                var n = 0
-                while (p.rows.hasNext && (maxRows <= 0 || n < maxRows)) {
-                  dataRow(out, p.rows.next(), schema, p.fmt)
-                  n += 1
-                }
-                p.sent += n
-                if (p.rows.hasNext) msg(out, 's') { _ => } // PortalSuspended
-                else {
-                  commandComplete(out, s"SELECT $n")
-                  // extended-protocol statement completed: record the
-                  // bind-to-last-row time ONCE per portal (a repeated
-                  // Execute on a drained portal must not re-count)
-                  if (p.query.nonEmpty && !p.noted) {
-                    p.noted = true
-                    PgDialect.noteStatement(p.query,
-                      (System.nanoTime() - p.bound) / 1000, p.sent)
-                  }
+                p.command match {
+                  case Some(cmdSql) =>
+                    // command portal (JDBC executeUpdate): run once; a
+                    // re-Execute of the drained portal replays the tag
+                    // without re-running the write (PG portal semantics)
+                    if (p.ranTag != null) commandComplete(out, p.ranTag)
+                    else {
+                      val t0 = System.nanoTime()
+                      val tag = PgDialect.execute(spark, store, cmdSql) match {
+                        case PgDialect.Rows(df, rtag) =>
+                          val n = sendRows(out, df, rtag)
+                          PgDialect.noteStatement(p.query,
+                            (System.nanoTime() - t0) / 1000, n)
+                          s"$rtag $n"
+                        case PgDialect.Command(ctag) =>
+                          commandComplete(out, ctag)
+                          PgDialect.noteStatement(p.query,
+                            (System.nanoTime() - t0) / 1000, 0)
+                          ctag
+                        case PgDialect.Empty =>
+                          msg(out, 'I') { _ => }; ""
+                        case _ => throw PgDialect.UnsupportedQuery(
+                          "COPY is not supported in the extended protocol")
+                      }
+                      p.ranTag = tag
+                    }
+                  case None =>
+                    val schema = p.df.schema
+                    var n = 0
+                    while (p.rows.hasNext && (maxRows <= 0 || n < maxRows)) {
+                      dataRow(out, p.rows.next(), schema, p.fmt)
+                      n += 1
+                    }
+                    p.sent += n
+                    if (p.rows.hasNext) msg(out, 's') { _ => } // PortalSuspended
+                    else {
+                      commandComplete(out, s"SELECT $n")
+                      // extended-protocol statement completed: record the
+                      // bind-to-last-row time ONCE per portal (a repeated
+                      // Execute on a drained portal must not re-count)
+                      if (p.query.nonEmpty && !p.noted) {
+                        p.noted = true
+                        PgDialect.noteStatement(p.query,
+                          (System.nanoTime() - p.bound) / 1000, p.sent)
+                      }
+                    }
                 }
               } catch { case e: Throwable => sendError(out, e); errorSkip = true }
             case 'C' if !errorSkip => // Close: drop the named statement/portal
@@ -501,8 +562,10 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
           case a => a
         }
       Some(PgDialect.execute(spark, store, substituteParams(query, args)) match {
-        case PgDialect.Rows(df, _) => sendRows(out, df)
+        case PgDialect.Rows(df, tag) => sendRows(out, df, tag)
         case PgDialect.CopyOut(df, csv, header) => sendCopyOut(out, df, csv, header)
+        case _: PgDialect.CopyIn => throw PgDialect.UnsupportedQuery(
+          "COPY FROM STDIN cannot run from EXECUTE")
         case PgDialect.Command(tag) => commandComplete(out, tag); 0L
         case PgDialect.Empty => msg(out, 'I') { _ => }; 0L
       })
@@ -556,7 +619,8 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
       cursors: scala.collection.mutable.Map[String, Portal] =
         scala.collection.mutable.Map.empty,
       statements: scala.collection.mutable.Map[String, String] =
-        scala.collection.mutable.Map.empty): Unit =
+        scala.collection.mutable.Map.empty,
+      in: DataInputStream = null): Unit =
     try {
       val stmts = PgDialect.splitStatements(sql)
       if (stmts.isEmpty) msg(out, 'I') { _ => } // EmptyQueryResponse
@@ -565,9 +629,13 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
         val t0 = System.nanoTime()
         val rows = cursorStatement(out, stmt, cursors, statements).getOrElse {
           PgDialect.execute(spark, store, stmt) match {
-            case PgDialect.Rows(df, _) => sendRows(out, df)
+            case PgDialect.Rows(df, tag) => sendRows(out, df, tag)
             case PgDialect.CopyOut(df, csv, header) =>
               sendCopyOut(out, df, csv, header)
+            case ci: PgDialect.CopyIn =>
+              if (in == null) throw PgDialect.UnsupportedQuery(
+                "COPY FROM STDIN requires the simple protocol")
+              receiveCopyIn(in, out, ci)
             case PgDialect.Command(tag) => commandComplete(out, tag); 0L
             case PgDialect.Empty => msg(out, 'I') { _ => }; 0L
           }
@@ -609,9 +677,16 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
     }
 
   /** Returns the number of rows streamed (pg_stat_statements feed). */
-  private def sendRows(out: DataOutputStream, df: DataFrame): Long = {
+  private def sendRows(out: DataOutputStream, df: DataFrame,
+      tag: String = "SELECT"): Long = {
     rowDescription(out, df.schema)
-    sendDataRows(out, df)
+    // DML … RETURNING keeps its own CommandComplete verb (PG: "UPDATE n");
+    // every other Rows result completes as a SELECT
+    val prefix =
+      if (tag.startsWith("INSERT") || tag.startsWith("UPDATE") ||
+        tag.startsWith("DELETE")) tag
+      else "SELECT"
+    sendDataRows(out, df, prefix)
   }
 
   private def rowDescription(out: DataOutputStream, schema: StructType): Unit =
@@ -672,6 +747,139 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
     case TimestampType => 1185
     case TimestampNTZType => 1115
     case _ => 2277
+  }
+
+  /** COPY-in subprotocol (COPY table FROM STDIN — the psql \copy ingestion
+    * path): CopyInResponse, then CopyData frames buffered and flushed into
+    * the store in bounded chunks (64 MB — the reference's 1 GB load-batch
+    * cap scaled to the wire; driver memory stays one chunk regardless of
+    * COPY size, the same shape as the HTTP syncer's page spool). Values
+    * parse from PG text format (tab/\N/backslash escapes) or CSV (RFC
+    * quoting, one record per line) and get PG's assignment cast onto the
+    * target schema. CopyFail (or a parse error) aborts with no partial
+    * chunk committed — each flushed chunk is an atomic store append. */
+  private def receiveCopyIn(in: DataInputStream, out: DataOutputStream,
+      ci: PgDialect.CopyIn): Long = {
+    val target = store.read(ci.table).schema
+    val cols =
+      if (ci.cols.nonEmpty) ci.cols else target.fields.map(_.name).toSeq
+    msg(out, 'G') { b =>
+      b.writeByte(0)
+      b.writeShort(cols.length)
+      cols.foreach(_ => b.writeShort(0))
+    }
+    out.flush()
+    val buf = new java.io.ByteArrayOutputStream()
+    var total = 0L
+    var headerPending = ci.header
+    val chunkBytes = 64 << 20
+
+    def unescape(v: String): String = {
+      val sb = new StringBuilder(v.length)
+      var i = 0
+      while (i < v.length) {
+        val c = v.charAt(i)
+        if (c == '\\' && i + 1 < v.length) {
+          v.charAt(i + 1) match {
+            case 't' => sb.append('\t'); case 'n' => sb.append('\n')
+            case 'r' => sb.append('\r'); case '\\' => sb.append('\\')
+            case o => sb.append(o)
+          }
+          i += 2
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+    def parseLine(l: String): Seq[String] =
+      if (ci.csv) parseCsvRecord(l, ci.delimiter, ci.nullStr)
+      else l.split(java.util.regex.Pattern.quote(ci.delimiter.toString), -1)
+        .toSeq.map {
+          case ci.nullStr => null
+          case v => unescape(v)
+        }
+
+    def flush(tail: Boolean): Unit = {
+      val text = new String(buf.toByteArray, UTF_8)
+      val cut = if (tail) text.length else text.lastIndexOf('\n') + 1
+      val (ready, rest) = text.splitAt(cut)
+      buf.reset()
+      buf.write(rest.getBytes(UTF_8))
+      var lines = ready.split("\n", -1).toSeq
+        .map(_.stripSuffix("\r")).filter(l => l.nonEmpty && l != "\\.")
+      if (headerPending && lines.nonEmpty) { lines = lines.tail; headerPending = false }
+      if (lines.isEmpty) return
+      val strSchema = org.apache.spark.sql.types.StructType(
+        cols.map(c => org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.StringType)))
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        new java.util.ArrayList[org.apache.spark.sql.Row](lines.length)
+      lines.foreach { l =>
+        val vals = parseLine(l)
+        if (vals.length != cols.length)
+          throw PgDialect.UnsupportedQuery(
+            s"COPY row has ${vals.length} fields, expected ${cols.length}: $l")
+        rows.add(org.apache.spark.sql.Row.fromSeq(vals))
+      }
+      store.appendCompacting(ci.table,
+        PgDml.align(spark.createDataFrame(rows, strSchema), target, cols))
+      total += lines.length
+    }
+
+    var done = false
+    var failMsg: Option[String] = None
+    while (!done) {
+      val tpe = in.read()
+      if (tpe < 0) throw new java.io.EOFException("connection closed during COPY")
+      val len = in.readInt()
+      val body = new Array[Byte](len - 4)
+      in.readFully(body)
+      tpe.toChar match {
+        case 'd' =>
+          buf.write(body)
+          if (buf.size > chunkBytes) flush(tail = false)
+        case 'c' => done = true
+        case 'f' =>
+          failMsg = Some(new String(body, UTF_8).takeWhile(_ != 0))
+          done = true
+        case _ => // Flush/Sync mid-copy: ignored like PG
+      }
+    }
+    failMsg.foreach(m =>
+      throw PgDialect.UnsupportedQuery(s"COPY from stdin failed: $m"))
+    flush(tail = true)
+    commandComplete(out, s"COPY $total")
+    total
+  }
+
+  /** One CSV record (no embedded newlines): RFC quoting, `""` escapes;
+    * an unquoted empty field (or the NULL marker) is NULL. */
+  private def parseCsvRecord(l: String, delim: Char, nullStr: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    var quoted = false
+    var wasQuoted = false
+    def emit(): Unit = {
+      val v = cur.toString
+      out += (if (!wasQuoted && (v == nullStr || v.isEmpty)) null else v)
+      cur.clear(); wasQuoted = false
+    }
+    while (i < l.length) {
+      val c = l.charAt(i)
+      if (quoted) {
+        if (c == '"') {
+          if (i + 1 < l.length && l.charAt(i + 1) == '"') { cur.append('"'); i += 1 }
+          else quoted = false
+        } else cur.append(c)
+      } else c match {
+        case '"' => quoted = true; wasQuoted = true
+        case `delim` => emit()
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    emit()
+    out.result()
   }
 
   /** COPY-out subprotocol: CopyOutResponse, one CopyData per line (PG text
@@ -790,14 +998,15 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
     out.array()
   }
 
-  private def sendDataRows(out: DataOutputStream, df: DataFrame): Long = {
+  private def sendDataRows(out: DataOutputStream, df: DataFrame,
+      tagPrefix: String = "SELECT"): Long = {
     val schema = df.schema
     var n = 0
     df.toLocalIterator().forEachRemaining { row =>
       dataRow(out, row, schema)
       n += 1
     }
-    commandComplete(out, s"SELECT $n")
+    commandComplete(out, s"$tagPrefix $n")
     n.toLong
   }
 

@@ -136,6 +136,38 @@ class DmlSpec extends SparkSpecBase {
     }
   }
 
+  test("returning clause streams the affected rows with the DML tag") {
+    import spark.implicits._
+    store.replace("ret_t", Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
+    val ins = exec("INSERT INTO ret_t VALUES (3, 30), (4, 40) RETURNING k, v * 2 AS v2")
+    ins match {
+      case Rows(df, tag) =>
+        assert(tag == "INSERT 0")
+        assert(df.orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+          == Seq((3L, 60L), (4L, 80L)))
+      case other => fail(s"expected rows, got $other")
+    }
+    val upd = exec("UPDATE ret_t SET v = v + 1 WHERE k >= 3 RETURNING k, v")
+    upd match {
+      case Rows(df, tag) =>
+        assert(tag == "UPDATE")
+        // RETURNING shows the POST-update image
+        assert(df.orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+          == Seq((3L, 31L), (4L, 41L)))
+      case other => fail(s"expected rows, got $other")
+    }
+    val del = exec("DELETE FROM ret_t WHERE v > 40 RETURNING *")
+    del match {
+      case Rows(df, tag) =>
+        assert(tag == "DELETE")
+        assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+          == Seq((4L, 41L)))
+      case other => fail(s"expected rows, got $other")
+    }
+    assert(rows("SELECT k FROM ret_t ORDER BY k").map(_.getLong(0))
+      == Seq(1L, 2L, 3L))
+  }
+
   test("add column is metadata-only: no files touched, null-fill, writable") {
     import spark.implicits._
     val df = (1 to 100).map(i => (i.toLong, s"n$i")).toDF("k", "nm")

@@ -809,4 +809,121 @@ class WireSpec extends SparkSpecBase {
     }
     c.close()
   }
+
+  test("extended protocol runs DML via command portals (JDBC executeUpdate)") {
+    import spark.implicits._
+    store.replace("xdml_t", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val c = new Client(server._2); c.startup()
+    def send(tpe: Char, body: Array[Byte]): Unit = {
+      c.out.writeByte(tpe); c.out.writeInt(4 + body.length); c.out.write(body)
+    }
+    def bb(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
+    def cstr(s: String) = (s + "\u0000").getBytes(UTF_8)
+    def i16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+    def i32(v: Int) = java.nio.ByteBuffer.allocate(4).putInt(v).array()
+
+    // INSERT with a $1 parameter — the JDBC executeUpdate shape
+    send('P', bb(cstr("ins"), cstr("INSERT INTO xdml_t VALUES (3, $1)"), i16(0)))
+    send('B', bb(cstr("pi"), cstr("ins"), i16(0),
+      i16(1), i32(1), "c".getBytes(UTF_8), i16(0)))
+    send('D', bb(Array('P'.toByte), cstr("pi"))) // Describe -> NoData
+    send('E', bb(cstr("pi"), i32(0)))
+    send('S', Array.emptyByteArray)
+    c.out.flush()
+    val msgs = c.drainUntilReady()
+    assert(msgs.map(_._1).containsSlice(Seq('1', '2', 'n', 'C')), msgs.map(_._1))
+    val tag = new String(msgs.find(_._1 == 'C').get._2, UTF_8).stripSuffix("\u0000")
+    assert(tag == "INSERT 0 1", tag)
+    // re-Execute of the drained command portal must NOT re-run the write
+    send('E', bb(cstr("pi"), i32(0)))
+    send('S', Array.emptyByteArray)
+    c.out.flush()
+    val replay = c.drainUntilReady()
+    assert(new String(replay.find(_._1 == 'C').get._2, UTF_8)
+      .stripSuffix("\u0000") == "INSERT 0 1")
+
+    // UPDATE … RETURNING through the extended protocol streams rows + tag
+    send('P', bb(cstr("upd"),
+      cstr("UPDATE xdml_t SET v = upper(v) WHERE k <= 2 RETURNING k, v"), i16(0)))
+    send('B', bb(cstr("pu"), cstr("upd"), i16(0), i16(0), i16(0)))
+    send('E', bb(cstr("pu"), i32(0)))
+    send('S', Array.emptyByteArray)
+    c.out.flush()
+    val umsgs = c.drainUntilReady()
+    val urows = umsgs.filter(_._1 == 'D').map(m => dataRowValues(m._2))
+    assert(urows == Seq(Seq("1", "A"), Seq("2", "B")), urows)
+    assert(new String(umsgs.find(_._1 == 'C').get._2, UTF_8)
+      .stripSuffix("\u0000") == "UPDATE 2")
+
+    val check = c.query("SELECT k, v FROM xdml_t ORDER BY k")
+    assert(check.filter(_._1 == 'D').map(m => dataRowValues(m._2)) ==
+      Seq(Seq("1", "A"), Seq("2", "B"), Seq("3", "c")))
+    c.close()
+  }
+
+  test("COPY FROM STDIN ingests into a store table over the socket") {
+    import spark.implicits._
+    store.replace("copyin_t",
+      Seq((0L, "seed", Option(1.5))).toDF("k", "nm", "score"))
+    val c = new Client(server._2); c.startup()
+
+    def copyData(s: String): Unit = {
+      val b = s.getBytes(UTF_8)
+      c.out.writeByte('d'); c.out.writeInt(4 + b.length); c.out.write(b)
+    }
+    def copyDone(): Seq[(Char, Array[Byte])] = {
+      c.out.writeByte('c'); c.out.writeInt(4); c.out.flush()
+      c.drainUntilReady()
+    }
+
+    // CSV with header, quoted field, empty-as-NULL
+    c.out.writeByte('Q')
+    val q1 = "COPY copyin_t FROM STDIN WITH (FORMAT CSV, HEADER)".getBytes(UTF_8)
+    c.out.writeInt(4 + q1.length + 1); c.out.write(q1); c.out.writeByte(0); c.out.flush()
+    // CopyInResponse arrives before any data is sent
+    val g = c.in.read().toChar
+    assert(g == 'G', s"expected CopyInResponse, got $g")
+    val glen = c.in.readInt(); c.in.readFully(new Array[Byte](glen - 4))
+    copyData("k,nm,score\n1,\"al,pha\",2.5\n")
+    copyData("2,beta,\n") // frame boundary mid-stream, NULL score
+    val msgs = copyDone()
+    val tag = new String(msgs.find(_._1 == 'C').get._2, UTF_8).stripSuffix("\u0000")
+    assert(tag == "COPY 2", tag)
+
+    // PG default text format: tab delimiter, \N nulls, backslash escapes
+    c.out.writeByte('Q')
+    val q2 = "COPY copyin_t (k, nm) FROM STDIN".getBytes(UTF_8)
+    c.out.writeInt(4 + q2.length + 1); c.out.write(q2); c.out.writeByte(0); c.out.flush()
+    val g2 = c.in.read().toChar
+    assert(g2 == 'G')
+    val g2len = c.in.readInt(); c.in.readFully(new Array[Byte](g2len - 4))
+    copyData("3\twith\\ttab\n4\t\\N\n")
+    val msgs2 = copyDone()
+    val tag2 = new String(msgs2.find(_._1 == 'C').get._2, UTF_8).stripSuffix("\u0000")
+    assert(tag2 == "COPY 2", tag2)
+
+    val sel = c.query("SELECT k, nm, score FROM copyin_t ORDER BY k")
+    val got = sel.filter(_._1 == 'D').map(m => dataRowValues(m._2))
+    assert(got == Seq(
+      Seq("0", "seed", "1.5"),
+      Seq("1", "al,pha", "2.5"),
+      Seq("2", "beta", null),
+      Seq("3", "with\ttab", null),
+      Seq("4", null, null)), got)
+
+    // CopyFail aborts cleanly and the session stays usable
+    c.out.writeByte('Q')
+    val q3 = "COPY copyin_t FROM STDIN".getBytes(UTF_8)
+    c.out.writeInt(4 + q3.length + 1); c.out.write(q3); c.out.writeByte(0); c.out.flush()
+    val g3 = c.in.read().toChar; assert(g3 == 'G')
+    val g3len = c.in.readInt(); c.in.readFully(new Array[Byte](g3len - 4))
+    copyData("9\tdoomed\t0\n")
+    c.out.writeByte('f'); c.out.writeInt(5); c.out.writeByte(0); c.out.flush()
+    val failMsgs = c.drainUntilReady()
+    assert(failMsgs.exists(_._1 == 'E'), "CopyFail must surface an error")
+    val after = c.query("SELECT count(*) AS n FROM copyin_t")
+    assert(after.filter(_._1 == 'D').map(m => dataRowValues(m._2)) == Seq(Seq("5")),
+      "failed COPY must not commit rows")
+    c.close()
+  }
 }
