@@ -270,6 +270,57 @@ object Dedup {
 
   val defs: Seq[Q] = Seq(
 
+    // Cross-document repeated-substring detection (the ExactSubstr signal
+    // of "Deduplicating Training Data Makes Language Models Better",
+    // Lee et al. 2022): CONTENT-DEFINED anchor sampling — every 24-char
+    // gram whose md5 starts with '0' (1/16 rate) is an anchor, so two
+    // documents sharing any ≥39-char run share the same anchors
+    // regardless of alignment (no winnowing window needed). Docs sharing
+    // ≥2 anchors are substring-duplicate candidates. Scale shape: grams
+    // are scan-side, the only shuffle carries (md5, doc_id) scalars, and
+    // the per-anchor df-cap (≤64 docs) kills boilerplate-anchor
+    // quadratics exactly like the n-gram stop-shingle cap.
+    Q("dd_substring", Some("""
+      WITH g AS (
+        SELECT doc_id, substr(text, CAST(i AS INT), 24) AS gram
+        FROM (SELECT doc_id, text, unnest(range(1, length(text) - 22)) AS i
+              FROM documents)),
+      anchors AS (
+        SELECT DISTINCT doc_id, md5(gram) AS h FROM g
+        WHERE substr(md5(gram), 1, 1) = '0'),
+      capped AS (
+        SELECT h FROM anchors GROUP BY h
+        HAVING count(*) BETWEEN 2 AND 64),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        FROM anchors a JOIN capped USING (h) JOIN anchors b USING (h)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+      SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared_anchors
+      FROM pairs WHERE shared >= 2 ORDER BY doc_a, doc_b""")) { (s, dir) =>
+      val g = t(s, dir, "documents")
+        .filter(length(col("text")) >= 24)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, length(text) - 23), i -> substring(text, i, 24))"))
+          .as("gram"))
+      val anchors = g.select(col("doc_id"), md5(col("gram")).as("h"))
+        .filter(substring(col("h"), 1, 1) === "0")
+        .distinct()
+      val capped = anchors.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= 64)
+        .select("h")
+      val aa = anchors.join(broadcast(capped), "h")
+        .select(col("h"), col("doc_id").as("doc_a"))
+      val bb = anchors.select(col("h"), col("doc_id").as("doc_b"))
+      aa.join(bb, "h")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 2)
+        .select(col("doc_a"), col("doc_b"), col("shared").as("shared_anchors"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // exact dedup: hash-groupBy on a canonical fingerprint (prefix-80 canon
     // catches the boilerplate-prefix family in this corpus)
     Q("dd_exact_groups", Some("""

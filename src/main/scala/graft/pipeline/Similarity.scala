@@ -200,6 +200,37 @@ object Similarity {
 
   val defs: Seq[Q] = Seq(
 
+    // k-NN GRAPH (per-node top-k neighbor lists — the SemDeDup/cluster
+    // pre-pass structure): exact graph over a deterministic bounded subset
+    // as the oracle; [[knnGraphLsh]] is the LSH-bucketed scale path
+    // (PipelineSpec recall pin; candidates dedup on scalar ids, arrays are
+    // join payload only, never shuffle keys).
+    Q("sim_knn_graph", Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                 WHERE vec_id % 5 = 0),
+      scored AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+          list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      ranked AS (SELECT src, dst, cos,
+          row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+        FROM scored)
+      SELECT src, dst, CAST(rn AS INT) AS rnk, round(cos, 6) AS cos
+      FROM ranked WHERE rn <= 3 ORDER BY src, rnk""")) { (s, dir) =>
+      val e = t(s, dir, "embeddings").filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val a = e.select(col("vec_id").as("src"), col("v").as("qv"))
+      val b = e.select(col("vec_id").as("dst"), col("v").as("nv"))
+      val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+      a.join(broadcast(b), col("src") =!= col("dst"))
+        .select(col("src"), col("dst"), expr(cosSql).as("cos"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("src"), col("dst"), col("rn").cast("int").as("rnk"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("src", "rnk")
+    },
+
     Q("sim_cosine_topk", Some("""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       scored AS (
@@ -674,5 +705,31 @@ object Similarity {
     }
     vm.unpersist()
     (centroids.toSeq.sortBy(_._1).map(_._2), inertias.result())
+  }
+
+  /** k-NN graph at scale: LSH-bucketed candidate edges, exact cosine
+    * rerank, per-node top-k. Signatures are scan-side codegen; candidate
+    * generation and dedup carry SCALAR (table, sig, id) keys only; the
+    * rerank joins co-partition by vec_id, so embedding arrays travel as
+    * join payload exactly once per side and never appear in a shuffle or
+    * aggregation KEY (PipelineSpec pins recall; PlanSpec pins the key
+    * shape). At 100 TB both joins become storage-partitioned over tables
+    * bucketed by vec_id — zero extra array movement. */
+  def knnGraphLsh(embeddings: DataFrame, k: Int): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val sigs = e.select(col("vec_id"),
+      posexplode(hyperplaneSigs(col("v"))).as(Seq("tbl", "sig")))
+    val cands = sigs.alias("x").join(sigs.alias("y"),
+        col("x.tbl") === col("y.tbl") && col("x.sig") === col("y.sig") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("src"), col("y.vec_id").as("dst"))
+      .distinct()
+    val scored = cands
+      .join(e.select(col("vec_id").as("src"), col("v").as("qv")), "src")
+      .join(e.select(col("vec_id").as("dst"), col("v").as("nv")), "dst")
+      .select(col("src"), col("dst"), expr(cosSql).as("cos"))
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("src"), col("dst"), col("rnk").cast("int").as("rnk"), col("cos"))
   }
 }

@@ -680,6 +680,54 @@ object TextAnalysis {
     // model (bigram + unigram counts) joins back broadcast-small — at
     // 100 TB the model tables stay tiny relative to the corpus, exactly
     // the shape of a real KenLM-filter stage.
+    // DSIR-style importance resampling score (Xie et al. 2023: select
+    // pretraining data whose hashed-unigram distribution matches a target
+    // domain): per-doc avg log-ratio of add-one-smoothed unigram
+    // likelihoods under the TARGET ('en' docs) vs the SOURCE (whole
+    // corpus) distributions; selected = positive score. Scale shape: one
+    // (word) shuffle for each distribution, both dictionaries broadcast
+    // back — identical to the txt_lm_score plan, corpus-size-independent
+    // driver state.
+    Q("txt_dsir", Some("""
+      WITH toks AS (SELECT doc_id, lang, string_split(text, chr(32)) AS w FROM documents),
+      uni AS (SELECT doc_id, lang, unnest(w) AS u FROM toks),
+      tgt AS (SELECT u, count(*) AS ct FROM uni WHERE lang = 'en' GROUP BY u),
+      src AS (SELECT u, count(*) AS cs FROM uni GROUP BY u),
+      tot AS (SELECT (SELECT count(*) FROM uni WHERE lang = 'en') AS t_tot,
+                     (SELECT count(*) FROM uni) AS s_tot,
+                     (SELECT count(DISTINCT u) FROM uni) AS vocab),
+      scored AS (
+        SELECT d.doc_id,
+          ln(CAST(coalesce(tgt.ct, 0) + 1 AS DOUBLE) / (tot.t_tot + tot.vocab))
+          - ln(CAST(src.cs + 1 AS DOUBLE) / (tot.s_tot + tot.vocab)) AS lr
+        FROM uni d LEFT JOIN tgt ON tgt.u = d.u JOIN src ON src.u = d.u, tot)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        round(avg(lr), 4) AS dsir_score,
+        (round(avg(lr), 4) > 0) AS selected
+      FROM scored GROUP BY doc_id ORDER BY doc_id""")) { (s, dir) =>
+      val uni = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("u"))
+      val tgt = uni.filter(col("lang") === "en")
+        .groupBy("u").agg(count(lit(1)).as("ct"))
+      val src = uni.groupBy("u").agg(count(lit(1)).as("cs"))
+      val tot = uni.agg(
+        count(when(col("lang") === "en", 1)).as("t_tot"),
+        count(lit(1)).as("s_tot"),
+        countDistinct(col("u")).as("vocab"))
+      uni.join(broadcast(tgt), Seq("u"), "left")
+        .join(broadcast(src), Seq("u"))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          (log((coalesce(col("ct"), lit(0)) + 1).cast("double") /
+            (col("t_tot") + col("vocab"))) -
+            log((col("cs") + 1).cast("double") /
+              (col("s_tot") + col("vocab")))).as("lr"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), round(avg(col("lr")), 4).as("dsir_score"))
+        .withColumn("selected", col("dsir_score") > 0)
+        .orderBy("doc_id")
+    },
+
     Q("txt_lm_score", Some("""
       WITH toks AS (SELECT doc_id, string_split(text, chr(32)) AS w FROM documents),
       bi AS (SELECT doc_id, w[CAST(i AS INT) + 1] AS w1, w[CAST(i AS INT) + 2] AS w2

@@ -53,6 +53,40 @@ class PipelineSpec extends SparkSpecBase {
     assert(mean >= 0.5, s"mean recall $mean")
   }
 
+  test("kNN-graph LSH recall@3 vs the exact graph >= 0.5") {
+    val exact = run("sim_knn_graph").select("src", "dst").collect()
+      .groupBy(_.getLong(0)).map { case (s, rs) => s -> rs.map(_.getLong(1)).toSet }
+    val sub = Tables.df(spark, sfDir, "embeddings")
+      .filter(col("vec_id") % 5 === 0)
+    val lsh = Similarity.knnGraphLsh(sub, 3).select("src", "dst").collect()
+      .groupBy(_.getLong(0)).map { case (s, rs) => s -> rs.map(_.getLong(1)).toSet }
+    val recalls = exact.map { case (s, ex) =>
+      lsh.getOrElse(s, Set.empty).intersect(ex).size.toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean recall $mean")
+  }
+
+  test("substring-anchor dedup is content-defined: shared runs survive a shift") {
+    import spark.implicits._
+    val subs = run("dd_substring").select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(subs.nonEmpty, "no substring pairs found in the corpus")
+    // alignment-independence: a doc sharing a long run at a DIFFERENT
+    // offset still pairs (content-defined anchors need no winnowing sync)
+    val shared = "x" * 30 + " the quick brown fox jumps over the lazy dog " + "y" * 30
+    val synth = Seq(
+      (1L, "AAAA " + shared),
+      (2L, "a completely different and much longer prefix here " + shared))
+      .toDF("doc_id", "text")
+    val g = synth.select(col("doc_id"), explode(expr(
+      "transform(sequence(1, length(text) - 23), i -> substring(text, i, 24))")).as("gram"))
+    val anchors = g.select(col("doc_id"), md5(col("gram")).as("h"))
+      .filter(substring(col("h"), 1, 1) === "0").distinct()
+    val common = anchors.groupBy("h").count().filter(col("count") === 2).count()
+    assert(common >= 2, s"shifted duplicates must share >= 2 anchors, got $common")
+  }
+
   test("exact dedup keeps one doc per fingerprint group") {
     val total = Tables.df(spark, sfDir, "documents").count()
     val groups = run("dd_exact_groups")
