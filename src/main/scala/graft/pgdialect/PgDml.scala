@@ -38,6 +38,7 @@ object PgDml {
       case "DELETE" => Some(delete(spark, store, s))
       case "MERGE" => Some(merge(spark, store, s))
       case "TRUNCATE" => Some(truncate(spark, store, s))
+      case "VACUUM" => Some(vacuum(spark, store, s))
       case "CREATE" => createTable(spark, store, s)
       case "ALTER" => alterColumn(spark, store, s)
       case _ => None
@@ -249,6 +250,19 @@ object PgDml {
     else (s.substring(0, at).trim,
       Some(splitTop(s.substring(at + 9))
         .map(x => PgDialect.translateExpr(x.trim))))
+  }
+
+  /** VACUUM [FULL] t — small-file compaction + snapshot expiry (the
+    * Iceberg maintenance pair behind the familiar PG spelling). */
+  private def vacuum(spark: SparkSession, store: Store, s: String): PgResult = {
+    val m = "(?is)VACUUM\\s+(FULL\\s+)?(?:ANALYZE\\s+)?([\\w.\"]+)\\s*".r
+    s match {
+      case m(full, name) =>
+        val t = requireStoreTable(store, name, "VACUUM")
+        store.vacuum(t, full = full != null)
+        Command("VACUUM")
+      case _ => throw UnsupportedQuery("unsupported query type: VACUUM")
+    }
   }
 
   private def truncate(spark: SparkSession, store: Store, s: String): PgResult = {

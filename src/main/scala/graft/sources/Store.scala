@@ -93,6 +93,14 @@ class Store(spark: SparkSession, val warehouse: String) {
     * micro-batch replayed after a crash either sees neither (re-applies)
     * or both (skips) — never a double append. */
   private val streamBatchIds = TrieMap[String, Long]()
+  // Per-table write serialization: every version-producing operation
+  // (replace/append/upsert/COW/merge/alter) runs under its table's monitor,
+  // so two in-process writers can never both compute v(n+1) and race the
+  // same directory. Cross-table writes stay concurrent; cross-PROCESS
+  // safety is the catalog CAS in persistCatalog.
+  private val tableLocks = TrieMap[String, Object]()
+  private def withTableLock[T](name: String)(body: => T): T =
+    tableLocks.getOrElseUpdate(name, new Object).synchronized(body)
   // metadata-only schema evolution per table — see the ALTER section below
   private case class Evo(physical: org.apache.spark.sql.types.StructType,
       logical: Seq[(String, String)])
@@ -381,7 +389,7 @@ class Store(spark: SparkSession, val warehouse: String) {
   }
 
   /** Atomic replace: write v(n+1), then flip the pointer. */
-  def replace(name: String, df: DataFrame): Unit = {
+  def replace(name: String, df: DataFrame): Unit = withTableLock(name) {
     evolution.remove(name) // full rewrite: new files define the schema baseline
     val next = versions.getOrElse(name, 0) + 1
     df.write.mode(SaveMode.Overwrite).option("compression", "zstd")
@@ -397,7 +405,7 @@ class Store(spark: SparkSession, val warehouse: String) {
     * skipping (the Iceberg sort-order + manifest-stats combination). Use
     * for tables whose hot filter is a range on `key` — at 100 TB a point
     * or range query then touches O(range / file-span) files, not all. */
-  def replaceSorted(name: String, df: DataFrame, key: String, numFiles: Int): Unit = {
+  def replaceSorted(name: String, df: DataFrame, key: String, numFiles: Int): Unit = withTableLock(name) {
     evolution.remove(name) // full rewrite: new files define the schema baseline
     val next = versions.getOrElse(name, 0) + 1
     df.repartitionByRange(numFiles, col(key))
@@ -419,7 +427,7 @@ class Store(spark: SparkSession, val warehouse: String) {
     * z-order clustering in their rewrite procedures). Cost: one extra
     * min/max aggregate (a 2-row driver hop) + the same range shuffle a
     * sorted write pays. */
-  def replaceZOrdered(name: String, df: DataFrame, keys: Seq[String], numFiles: Int): Unit = {
+  def replaceZOrdered(name: String, df: DataFrame, keys: Seq[String], numFiles: Int): Unit = withTableLock(name) {
     evolution.remove(name) // full rewrite: new files define the schema baseline
     require(keys.size >= 2, "z-order needs at least two keys")
     val aggs = keys.flatMap(k =>
@@ -459,7 +467,7 @@ class Store(spark: SparkSession, val warehouse: String) {
     * (PartitionFilters in the physical plan). Cluster-scale analog of
     * Iceberg hidden partitioning; the reference leaves tables unpartitioned
     * (roadmap item), so this is a beyond-parity scale feature. */
-  def replacePartitioned(name: String, df: DataFrame, partitionCols: String*): Unit = {
+  def replacePartitioned(name: String, df: DataFrame, partitionCols: String*): Unit = withTableLock(name) {
     evolution.remove(name) // full rewrite: new files define the schema baseline
     val next = versions.getOrElse(name, 0) + 1
     df.write.mode(SaveMode.Overwrite).option("compression", "zstd")
@@ -477,7 +485,7 @@ class Store(spark: SparkSession, val warehouse: String) {
     * (Iceberg bucket-transform partitioning / storage-partitioned joins are
     * the cluster-side equivalent). Registers in the session catalog because
     * bucket metadata lives there, not in the files. */
-  def replaceBucketed(name: String, df: DataFrame, key: String, numBuckets: Int): Unit = {
+  def replaceBucketed(name: String, df: DataFrame, key: String, numBuckets: Int): Unit = withTableLock(name) {
     evolution.remove(name) // full rewrite: new files define the schema baseline
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
     // clear any plain temp view published for this name (e.g. by a catalog
@@ -494,9 +502,10 @@ class Store(spark: SparkSession, val warehouse: String) {
     persistCatalog()
   }
 
-  def append(name: String, df: DataFrame): Unit =
+  def append(name: String, df: DataFrame): Unit = withTableLock(name) {
     if (!exists(name)) replace(name, df)
     else replace(name, read(name).unionByName(df))
+  }
 
   /** Append with small-file compaction (iceberg_table_writer.go:231-302):
     * data files already at/above `maxFileBytes` are carried into the new
@@ -505,7 +514,7 @@ class Store(spark: SparkSession, val warehouse: String) {
     * Steady-state incremental syncs therefore keep O(total/maxFileBytes)
     * files instead of one sliver per batch — at 100 TB this is the
     * difference between thousands and millions of manifest entries. */
-  def appendCompacting(name: String, df0: DataFrame, maxFileBytes: Long = 100L << 20): Unit = {
+  def appendCompacting(name: String, df0: DataFrame, maxFileBytes: Long = 100L << 20): Unit = withTableLock(name) {
     if (!exists(name)) { replace(name, df0); return }
     val df = toPhysical(name, df0) // ALTERed tables: files stay physical
     val cur = versionPath(name, versions(name))
@@ -568,9 +577,10 @@ class Store(spark: SparkSession, val warehouse: String) {
     * null-filled (the incremental-sync reality — upstream tables grow
     * columns; the reference re-introspects and rewrites whole tables,
     * Iceberg handles it as metadata-only evolution). */
-  def appendEvolving(name: String, df: DataFrame): Unit =
+  def appendEvolving(name: String, df: DataFrame): Unit = withTableLock(name) {
     if (!exists(name)) replace(name, df)
     else replace(name, read(name).unionByName(df, allowMissingColumns = true))
+  }
 
   /** MERGE-by-unique-key with file-level pruning (reference:
     * iceberg_table_writer.go:304-378): only data files whose parquet-footer
@@ -580,7 +590,7 @@ class Store(spark: SparkSession, val warehouse: String) {
     * therefore rewrites O(touched files), not the table. Driver memory is
     * O(distinct incoming keys) — the same order as Iceberg's equality-delete
     * key set. Returns (filesRewritten, filesTotal) for observability. */
-  def upsert(name: String, incoming: DataFrame, key: String): (Int, Int) = {
+  def upsert(name: String, incoming: DataFrame, key: String): (Int, Int) = withTableLock(name) {
     if (!exists(name)) { replace(name, incoming); return (0, 0) }
     prunedRewrite(name, toPhysical(name, incoming),
       physicalName(name, key), appendIncoming = true)
@@ -589,9 +599,11 @@ class Store(spark: SparkSession, val warehouse: String) {
   /** Delete rows matching `keys`, rewriting only footer-overlapping files
     * (iceberg_table_writer.go:380-452). Returns (filesRewritten, filesTotal). */
   def deleteByKey(name: String, keys: DataFrame, key: String): (Int, Int) =
-    prunedRewrite(name,
-      keys.select(col(key).as(physicalName(name, key))),
-      physicalName(name, key), appendIncoming = false)
+    withTableLock(name) {
+      prunedRewrite(name,
+        keys.select(col(key).as(physicalName(name, key))),
+        physicalName(name, key), appendIncoming = false)
+    }
 
   // ---- SQL DML engine (beyond the reference, which rejects writes;
   // PgDml routes INSERT/UPDATE/DELETE/MERGE on store tables here) ---------
@@ -647,7 +659,7 @@ class Store(spark: SparkSession, val warehouse: String) {
   }
 
   private def cowRewrite(name: String, where: Option[String])(
-      transform: (DataFrame, org.apache.spark.sql.Column) => DataFrame): (Long, Int, Int) = {
+      transform: (DataFrame, org.apache.spark.sql.Column) => DataFrame): (Long, Int, Int) = withTableLock(name) {
     require(exists(name), s"no such store table: $name")
     val cur = versionPath(name, versions(name))
     val files = dataFiles(cur)
@@ -754,7 +766,7 @@ class Store(spark: SparkSession, val warehouse: String) {
     * Returns false when IF NOT EXISTS suppressed a duplicate. */
   def addColumn(name: String, colName: String,
       field: org.apache.spark.sql.types.StructField,
-      ifNotExists: Boolean = false): Boolean = synchronized {
+      ifNotExists: Boolean = false): Boolean = withTableLock(name) {
     assertEvolvable(name)
     val e = currentEvo(name)
     if (e.logical.exists(_._2.equalsIgnoreCase(colName))) {
@@ -778,7 +790,7 @@ class Store(spark: SparkSession, val warehouse: String) {
   /** ALTER TABLE … DROP COLUMN: catalog-only; old bytes stay in files but
     * parquet column pruning never reads them again. */
   def dropColumn(name: String, colName: String,
-      ifExists: Boolean = false): Boolean = synchronized {
+      ifExists: Boolean = false): Boolean = withTableLock(name) {
     assertEvolvable(name)
     val e = currentEvo(name)
     if (!e.logical.exists(_._2.equalsIgnoreCase(colName))) {
@@ -796,7 +808,7 @@ class Store(spark: SparkSession, val warehouse: String) {
 
   /** ALTER TABLE … RENAME COLUMN a TO b: catalog-only (the Iceberg
     * field-id rename — files keep the physical name forever). */
-  def renameColumn(name: String, from: String, to: String): Unit = synchronized {
+  def renameColumn(name: String, from: String, to: String): Unit = withTableLock(name) {
     assertEvolvable(name)
     val e = currentEvo(name)
     require(e.logical.exists(_._2.equalsIgnoreCase(from)),
@@ -816,9 +828,26 @@ class Store(spark: SparkSession, val warehouse: String) {
     replace(name, spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
 
+  /** Maintenance behind one statement (the Iceberg rewrite_data_files +
+    * expire_snapshots pair, PG-spelled as VACUUM): compact the small-file
+    * tail into full-size files, then expire superseded snapshots. FULL
+    * forces a whole-table rewrite — which also re-baselines an ALTERed
+    * schema (evolution record folds into the files). Returns
+    * (filesBefore, filesAfter, versionsExpired). */
+  def vacuum(name: String, full: Boolean = false): (Int, Int, Int) = withTableLock(name) {
+    require(exists(name), s"no such store table: $name")
+    val before = dataFiles(versionPath(name, versions(name))).length
+    if (full) replace(name, read(name))
+    else appendCompacting(name, read(name).limit(0))
+    val expired = expireVersions(name).length
+    val after = dataFiles(versionPath(name, versions(name))).length
+    (before, after, expired)
+  }
+
   /** TRUNCATE: an atomic replace with the empty frame — prior versions
     * stay time-travelable like any other snapshot. */
-  def truncate(name: String): Unit = replace(name, read(name).limit(0))
+  def truncate(name: String): Unit =
+    withTableLock(name)(replace(name, read(name).limit(0)))
 
   /** MERGE INTO target USING source ON target.key = source.key — Iceberg
     * copy-on-write MERGE restricted to the equi-key shape (the reference's
@@ -832,7 +861,7 @@ class Store(spark: SparkSession, val warehouse: String) {
     * `sourceAlias`. Returns (updated, deleted, inserted). */
   def merge(name: String, source0: DataFrame, targetKey: String,
       sourceKey: String, clauses: Seq[Store.MergeClause],
-      targetAlias: String = "t", sourceAlias: String = "s"): (Long, Long, Long) = {
+      targetAlias: String = "t", sourceAlias: String = "s"): (Long, Long, Long) = withTableLock(name) {
     require(exists(name), s"no such store table: $name")
     require(clauses.nonEmpty, "MERGE requires at least one WHEN clause")
     val source = source0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1257,7 +1286,7 @@ class Store(spark: SparkSession, val warehouse: String) {
     * upserts in place (iceberg_table_writer.go:304-378); history tracking
     * is the warehouse-side extension. On Iceberg this is a single MERGE;
     * here: one anti/semi split + union, all hash joins on the key. */
-  def scd2Upsert(name: String, incoming: DataFrame, key: String, tsCol: String): Unit = {
+  def scd2Upsert(name: String, incoming: DataFrame, key: String, tsCol: String): Unit = withTableLock(name) {
     if (!exists(name)) {
       replace(name, incoming
         .withColumn("valid_from", col(tsCol)).drop(tsCol)
@@ -1286,7 +1315,7 @@ class Store(spark: SparkSession, val warehouse: String) {
   /** Cursor-based incremental append with overlap trim: rows of `incoming`
     * at/after the stored max(cursor) are appended unless their unique key is
     * already present (the reference's OverrideRows handling). */
-  def cursorAppend(name: String, incoming: DataFrame, cursorCol: String, key: String): Unit = {
+  def cursorAppend(name: String, incoming: DataFrame, cursorCol: String, key: String): Unit = withTableLock(name) {
     val cursor = read(name).agg(max(col(cursorCol))).collect()(0).get(0)
     val fresh = incoming.filter(col(cursorCol) >= lit(cursor))
       .join(read(name).select(key), Seq(key), "left_anti")

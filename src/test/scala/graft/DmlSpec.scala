@@ -225,6 +225,37 @@ class DmlSpec extends SparkSpecBase {
     assert(tag("ALTER TABLE evo_g ADD COLUMN y int4") == "ALTER TABLE")
   }
 
+  test("vacuum compacts the small-file tail and expires old snapshots") {
+    import spark.implicits._
+    store.replace("vac_t", Seq((0L, "base")).toDF("k", "v"))
+    (1 to 8).foreach(i =>
+      exec(s"INSERT INTO vac_t VALUES ($i, 'row$i')"))
+    val before = store.read("vac_t").count()
+    val (_, filesAfter, expired) = store.vacuum("vac_t")
+    assert(filesAfter <= 2, s"tail must compact, got $filesAfter files")
+    assert(expired > 0, "superseded snapshots must expire")
+    assert(store.read("vac_t").count() == before)
+    assert(tag("VACUUM vac_t") == "VACUUM")
+    intercept[UnsupportedQuery] { exec("VACUUM region") }
+  }
+
+  test("concurrent appends to one table serialize, none lost") {
+    import spark.implicits._
+    store.replace("conc_t", Seq((0L, 0L)).toDF("k", "v"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val futures = (1 to 16).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit =
+          store.appendCompacting("conc_t", Seq((i.toLong, i.toLong)).toDF("k", "v"))
+      })
+    }
+    futures.foreach(_.get())
+    pool.shutdown()
+    assert(store.read("conc_t").count() == 17,
+      "every concurrent append must land exactly once")
+    assert(store.read("conc_t").select("k").distinct().count() == 17)
+  }
+
   test("dml invalidates cached plans and reflects in time travel") {
     import spark.implicits._
     store.replace("dml_tt", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
