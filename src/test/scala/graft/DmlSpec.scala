@@ -256,6 +256,35 @@ class DmlSpec extends SparkSpecBase {
     assert(store.read("conc_t").select("k").distinct().count() == 17)
   }
 
+  test("incremental matviews refresh exactly across COW update/delete/merge") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    store.replace("ivmdml_t",
+      (1 to 300).map(i => (i.toLong, (i % 5).toString, i.toLong)).toDF("k", "g", "x"))
+    store.createIncrementalMatview("ivmdml_v", "ivmdml_t", Seq("g"), Seq("x"))
+    def recompute() = store.read("ivmdml_t").groupBy("g")
+      .agg(count(lit(1)).as("n_rows"), sum(col("x")).as("sum_x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def view() = store.read("ivmdml_v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    exec("UPDATE ivmdml_t SET x = x + 100 WHERE k <= 50")
+    store.incrementalRefresh("ivmdml_v")
+    assert(view() == recompute(), "after COW update")
+
+    exec("DELETE FROM ivmdml_t WHERE g = '3' AND k > 200")
+    store.incrementalRefresh("ivmdml_v")
+    assert(view() == recompute(), "after COW delete")
+
+    store.replace("ivmdml_src", Seq((10L, "9", 999L), (1000L, "9", 1L))
+      .toDF("k", "g", "x"))
+    exec("""MERGE INTO ivmdml_t t USING ivmdml_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET g = s.g, x = s.x
+      WHEN NOT MATCHED THEN INSERT VALUES (s.k, s.g, s.x)""")
+    store.incrementalRefresh("ivmdml_v")
+    assert(view() == recompute(), "after MERGE")
+  }
+
   test("dml invalidates cached plans and reflects in time travel") {
     import spark.implicits._
     store.replace("dml_tt", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
