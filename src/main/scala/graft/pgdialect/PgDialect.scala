@@ -147,12 +147,50 @@ object PgDialect {
 
   final case class UnsupportedQuery(msg: String) extends RuntimeException(msg)
 
+  /** Per-connection transaction over the write surface: BEGIN snapshots
+    * nothing up front; the FIRST write of each table inside the txn
+    * records its pre-write version, and ROLLBACK restores those version
+    * pointers (version dirs are immutable, so undo is a catalog flip —
+    * the Iceberg write-audit-publish shape). A table another writer
+    * committed on top of refuses to roll back rather than clobbering the
+    * concurrent commit. COMMIT is a no-op beyond clearing state: every
+    * statement already published durably (single-table commits compose;
+    * cross-table atomicity is rollback-only, like Iceberg WAP). Reads are
+    * NOT isolated (each statement sees the latest published state —
+    * matching the reference's read-committed surface) and matview DDL is
+    * out of txn scope. Callers without a connection (specs, CompatAudit)
+    * pass no txn and keep the reference's no-op BEGIN/COMMIT behavior. */
+  final class PgTxn {
+    private var active = false
+    // table -> (version before our first write (0 = created), last version we produced)
+    private val writes = scala.collection.mutable.LinkedHashMap[String, (Int, Int)]()
+    def inTxn: Boolean = active
+    def begin(): Unit = { active = true; writes.clear() }
+    def commit(): Unit = { active = false; writes.clear() }
+    private[graft] def noteWrite(table: String, from: Int, to: Int): Unit =
+      if (active) writes.get(table) match {
+        case Some((f, _)) => writes(table) = (f, to)
+        case None => writes(table) = (from, to)
+      }
+    def rollback(store: Store): Unit = {
+      val failures = writes.toSeq.reverse.flatMap { case (t, (from, to)) =>
+        try { store.restoreVersion(t, from, expectedCurrent = to); None }
+        catch { case e: Exception => Some(s"$t: ${e.getMessage}") }
+      }
+      active = false
+      writes.clear()
+      if (failures.nonEmpty) throw UnsupportedQuery(
+        "ROLLBACK could not undo all writes — " + failures.mkString("; "))
+    }
+  }
+
   /** Simple-protocol entry: split a multi-statement string and run each
     * (query_handler.go:75-107). */
   def executeAll(spark: SparkSession, store: Store, sql: String): Seq[PgResult] =
     splitStatements(sql).map(execute(spark, store, _))
 
-  def execute(spark: SparkSession, store: Store, statement: String): PgResult = {
+  def execute(spark: SparkSession, store: Store, statement: String,
+      txn: PgTxn = null): PgResult = {
     // permissions comment (query_remapper.go:70-77, parser_table.go:53-106):
     // /*BEMIDB_PERMISSIONS {"public.tbl": ["col", …]} BEMIDB_PERMISSIONS*/
     // restricts visible tables/columns for this statement
@@ -163,11 +201,21 @@ object PgDialect {
     if (upper.startsWith("SET ")) return executeSet(spark, stmt)
     if (upper.startsWith("RESET")) return executeReset(spark, stmt)
     if (upper.startsWith("SHOW ")) return executeShow(spark, stmt)
-    if (upper.matches("(?s)(BEGIN|COMMIT|END|ROLLBACK)\\b.*"))
-      return Command(upper.split("\\s+")(0) match {
+    if (upper.matches("(?s)(BEGIN|COMMIT|END|ROLLBACK)\\b.*")) {
+      val verb = upper.split("\\s+")(0) match {
         case "END" => "COMMIT"
         case t => t
-      })
+      }
+      // with a connection txn attached, these are REAL over the write
+      // surface (see PgTxn); otherwise the reference's no-op tags
+      if (txn != null) verb match {
+        case "BEGIN" => txn.begin()
+        case "COMMIT" => txn.commit()
+        case "ROLLBACK" => txn.rollback(store)
+        case _ =>
+      }
+      return Command(verb)
+    }
     if (upper.startsWith("DISCARD")) return Command("DISCARD ALL")
 
     val mvCreate =
@@ -318,9 +366,19 @@ object PgDialect {
     }
     // DML over STORE tables only (PgDml — beyond-parity write surface);
     // everything else (writes on non-store relations, COPY FROM, DDL we
-    // don't model) mirrors query_remapper.go:180-184
+    // don't model) mirrors query_remapper.go:180-184. Inside a txn the
+    // touched tables are discovered by diffing the (catalog-sized)
+    // version map around the statement — PgDml stays txn-agnostic.
+    val versionsBefore =
+      if (txn != null && txn.inTxn) store.versionSnapshot else null
     PgDml.execute(spark, store, stmt) match {
-      case Some(r) => return r
+      case Some(r) =>
+        if (versionsBefore != null)
+          store.versionSnapshot.foreach { case (t, v) =>
+            val before = versionsBefore.getOrElse(t, 0)
+            if (v != before) txn.noteWrite(t, before, v)
+          }
+        return r
       case None =>
     }
     throw UnsupportedQuery("unsupported query type: " + stmt.split("\\s+")(0))

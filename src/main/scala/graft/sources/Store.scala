@@ -828,6 +828,34 @@ class Store(spark: SparkSession, val warehouse: String) {
     replace(name, spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
 
+  /** Current version pointer of every table (txn write discovery). */
+  def versionSnapshot: Map[String, Int] = versions.toMap
+
+  /** Transactional undo: restore `name`'s version pointer to `v` (old
+    * dirs are immutable, so undo is a catalog flip), or drop the table
+    * when `v == 0` (it was created inside the txn). Refuses when the
+    * current version is not `expectedCurrent` — a concurrent writer
+    * committed on top and must not be clobbered. */
+  def restoreVersion(name: String, v: Int, expectedCurrent: Int): Unit =
+    withTableLock(name) {
+      require(exists(name), s"no such store table: $name")
+      require(versions(name) == expectedCurrent,
+        s"version ${versions(name)} != expected $expectedCurrent (concurrent write)")
+      if (v <= 0) drop(name)
+      else {
+        require(fs.exists(versionPath(name, v)),
+          s"version $v of $name has been expired")
+        versions(name) = v
+        // the undone dirs must not linger: the next write recomputes
+        // v+1 and would land files beside the rolled-back ones (same
+        // raced-reader hazard class as expireVersions)
+        ((v + 1) to expectedCurrent).foreach(i =>
+          fs.delete(versionPath(name, i), true))
+        persistCatalog()
+        publish(name)
+      }
+    }
+
   /** Maintenance behind one statement (the Iceberg rewrite_data_files +
     * expire_snapshots pair, PG-spelled as VACUUM): compact the small-file
     * tail into full-size files, then expire superseded snapshots. FULL

@@ -89,6 +89,9 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
     // and JDBC cursor-fetch drive these — beyond the reference, which
     // errors on DECLARE)
     val cursors = scala.collection.mutable.Map[String, Portal]()
+    // connection transaction over the write surface (PgDialect.PgTxn):
+    // BEGIN/COMMIT/ROLLBACK are real for store-table writes here
+    val txn = new PgDialect.PgTxn
     var errorSkip = false // error in extended flow: skip until Sync
 
     // one backend key per connection; queries run in this connection's job
@@ -119,8 +122,8 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
           tpe.toChar match {
             case 'Q' =>
               val sql = new String(body, 0, body.length - 1, UTF_8) // NUL-terminated
-              runQuery(out, sql, cursors, statements, in)
-              readyForQuery(out)
+              runQuery(out, sql, cursors, statements, in, txn)
+              readyForQuery(out, txn)
             case 'P' if !errorSkip => // Parse
               try {
                 val name = readCStr()
@@ -232,7 +235,7 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
                     if (p.ranTag != null) commandComplete(out, p.ranTag)
                     else {
                       val t0 = System.nanoTime()
-                      val tag = PgDialect.execute(spark, store, cmdSql) match {
+                      val tag = PgDialect.execute(spark, store, cmdSql, txn) match {
                         case PgDialect.Rows(df, rtag) =>
                           val n = sendRows(out, df, rtag)
                           PgDialect.noteStatement(p.query,
@@ -280,7 +283,7 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
               msg(out, '3') { _ => } // CloseComplete
             case 'S' => // Sync clears the error state (postgres_server.go:161-173)
               errorSkip = false
-              readyForQuery(out)
+              readyForQuery(out, txn)
             case 'H' => out.flush()
             case 'X' => open = false
             case _ => // P/B/D/E while errorSkip, or unknown: ignored
@@ -488,8 +491,10 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
     true
   }
 
-  private def readyForQuery(out: DataOutputStream): Unit = {
-    msg(out, 'Z') { b => b.writeByte('I') }
+  private def readyForQuery(out: DataOutputStream,
+      txn: PgDialect.PgTxn = null): Unit = {
+    val status = if (txn != null && txn.inTxn) 'T' else 'I'
+    msg(out, 'Z') { b => b.writeByte(status) }
     out.flush()
   }
 
@@ -620,7 +625,8 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
         scala.collection.mutable.Map.empty,
       statements: scala.collection.mutable.Map[String, String] =
         scala.collection.mutable.Map.empty,
-      in: DataInputStream = null): Unit =
+      in: DataInputStream = null,
+      txn: PgDialect.PgTxn = null): Unit =
     try {
       val stmts = PgDialect.splitStatements(sql)
       if (stmts.isEmpty) msg(out, 'I') { _ => } // EmptyQueryResponse
@@ -628,7 +634,7 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
         // pg_stat_statements feed: time-to-last-row as the client saw it
         val t0 = System.nanoTime()
         val rows = cursorStatement(out, stmt, cursors, statements).getOrElse {
-          PgDialect.execute(spark, store, stmt) match {
+          PgDialect.execute(spark, store, stmt, txn) match {
             case PgDialect.Rows(df, tag) => sendRows(out, df, tag)
             case PgDialect.CopyOut(df, csv, header) =>
               sendCopyOut(out, df, csv, header)

@@ -861,6 +861,42 @@ class WireSpec extends SparkSpecBase {
     c.close()
   }
 
+  test("BEGIN/ROLLBACK really undoes store writes on this connection") {
+    import spark.implicits._
+    store.replace("txn_t", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val c = new Client(server._2); c.startup()
+    def vals(msgs: Seq[(Char, Array[Byte])]) =
+      msgs.filter(_._1 == 'D').map(m => dataRowValues(m._2))
+    def status(msgs: Seq[(Char, Array[Byte])]) =
+      msgs.find(_._1 == 'Z').get._2(0).toChar
+
+    // autocommit unaffected: no txn -> write sticks
+    c.query("INSERT INTO txn_t VALUES (3, 'c')")
+    // txn: write + create-table, then roll both back
+    assert(status(c.query("BEGIN")) == 'T', "ReadyForQuery must show in-txn")
+    c.query("UPDATE txn_t SET v = 'XX' WHERE k = 1")
+    c.query("CREATE TABLE txn_new AS SELECT 1 AS one")
+    assert(vals(c.query("SELECT v FROM txn_t WHERE k = 1")) == Seq(Seq("XX")),
+      "txn sees its own writes")
+    assert(status(c.query("ROLLBACK")) == 'I')
+    assert(vals(c.query("SELECT v FROM txn_t WHERE k = 1")) == Seq(Seq("a")),
+      "rolled-back update must not stick")
+    assert(vals(c.query("SELECT count(*) AS n FROM txn_t")) == Seq(Seq("3")),
+      "pre-txn autocommit insert survives rollback")
+    val gone = c.query("SELECT * FROM txn_new")
+    assert(gone.exists(_._1 == 'E'), "table created in the txn must drop")
+
+    // txn: COMMIT keeps the writes
+    c.query("BEGIN")
+    val delMsgs = c.query("DELETE FROM txn_t WHERE k = 3")
+    assert(!delMsgs.exists(_._1 == 'E'),
+      "DELETE errored: " + delMsgs.filter(_._1 == 'E')
+        .map(m => new String(m._2, UTF_8)).mkString)
+    c.query("COMMIT")
+    assert(vals(c.query("SELECT count(*) AS n FROM txn_t")) == Seq(Seq("2")))
+    c.close()
+  }
+
   test("COPY FROM STDIN ingests into a store table over the socket") {
     import spark.implicits._
     store.replace("copyin_t",
