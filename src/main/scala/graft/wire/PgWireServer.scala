@@ -633,7 +633,8 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
       else stmts.foreach { stmt =>
         // pg_stat_statements feed: time-to-last-row as the client saw it
         val t0 = System.nanoTime()
-        val rows = cursorStatement(out, stmt, cursors, statements).getOrElse {
+        val rows = withStatementTimeout {
+          cursorStatement(out, stmt, cursors, statements).getOrElse {
           PgDialect.execute(spark, store, stmt, txn) match {
             case PgDialect.Rows(df, tag) => sendRows(out, df, tag)
             case PgDialect.CopyOut(df, csv, header) =>
@@ -645,6 +646,7 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
             case PgDialect.Command(tag) => commandComplete(out, tag); 0L
             case PgDialect.Empty => msg(out, 'I') { _ => }; 0L
           }
+        }
         }
         PgDialect.noteStatement(stmt, (System.nanoTime() - t0) / 1000, rows)
       }
@@ -662,6 +664,7 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
     * (42P01 undefined_table, 42703 undefined_column; reference returns
     * real PG codes via DuckDB the same way). */
   private def sqlState(e: Throwable): String = e match {
+    case _ if isCancellation(e) => "57014" // query_canceled (statement_timeout)
     case se: org.apache.spark.SparkThrowable if se.getCondition != null =>
       val c = se.getCondition
       if (c.startsWith("TABLE_OR_VIEW_NOT_FOUND")) "42P01"
@@ -674,11 +677,63 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
     case _ => "42601"
   }
 
+  private def isCancellation(e: Throwable): Boolean = {
+    var c = e
+    var depth = 0
+    while (c != null && depth < 8) {
+      val m = Option(c.getMessage).getOrElse("")
+      if (m.contains("cancelled") && m.contains("job group")) return true
+      c = c.getCause; depth += 1
+    }
+    false
+  }
+
+  /** `SET statement_timeout = '5s'|'500ms'|5000` (PG default unit ms;
+    * 0/off disables). Enforced by cancelling this connection's Spark job
+    * group when the watchdog fires — cooperative like PG's timeout, and
+    * scoped to the one running statement because each connection is one
+    * job group with one statement in flight. */
+  private def statementTimeoutMs: Long =
+    SessionSettings.get("statement_timeout").map(_.trim.toLowerCase) match {
+      case Some(v) if v.nonEmpty && v != "0" && v != "off" =>
+        val num = "(\\d+)\\s*(ms|s|min|h)?".r
+        v.replace("'", "") match {
+          case num(n, unit) => Option(unit).getOrElse("ms") match {
+            case "ms" => n.toLong
+            case "s" => n.toLong * 1000
+            case "min" => n.toLong * 60000
+            case "h" => n.toLong * 3600000
+          }
+          case _ => 0L
+        }
+      case _ => 0L
+    }
+
+  /** Run `body` under the statement-timeout watchdog (no-op when off). */
+  private def withStatementTimeout[T](body: => T): T = {
+    val ms = statementTimeoutMs
+    if (ms <= 0) body
+    else {
+      val group = spark.sparkContext.getLocalProperty("spark.jobGroup.id")
+      val timer = new java.util.Timer("stmt-timeout", true)
+      if (group != null)
+        // repeating: cancelJobGroup only kills ALREADY-RUNNING jobs, and a
+        // statement past its deadline may still be planning — keep firing
+        // until the statement returns and cancels the watchdog
+        timer.scheduleAtFixedRate(new java.util.TimerTask {
+          def run(): Unit = spark.sparkContext.cancelJobGroup(group)
+        }, ms, 100)
+      try body finally timer.cancel()
+    }
+  }
+
   private def sendError(out: DataOutputStream, e: Throwable): Unit =
     msg(out, 'E') { b =>
       b.writeByte('S'); cstr(b, "ERROR")
       b.writeByte('C'); cstr(b, sqlState(e))
-      b.writeByte('M'); cstr(b, Option(e.getMessage).getOrElse(e.toString).take(500))
+      b.writeByte('M'); cstr(b,
+        if (isCancellation(e)) "canceling statement due to user request or statement timeout"
+        else Option(e.getMessage).getOrElse(e.toString).take(500))
       b.writeByte(0)
     }
 

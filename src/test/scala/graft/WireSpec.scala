@@ -861,6 +861,23 @@ class WireSpec extends SparkSpecBase {
     c.close()
   }
 
+  test("statement_timeout cancels a runaway query with SQLSTATE 57014") {
+    val c = new Client(server._2); c.startup()
+    c.query("SET statement_timeout = '5ms'")
+    // a quadratic join the 5ms watchdog will certainly cancel mid-flight
+    val msgs = c.query(
+      "SELECT count(*) AS n FROM lineitem a JOIN lineitem b ON a.l_orderkey <> b.l_orderkey")
+    val err = msgs.find(_._1 == 'E')
+    assert(err.isDefined, "timed-out statement must error")
+    val fields = new String(err.get._2, UTF_8)
+    assert(fields.contains("57014"), s"want query_canceled, got: $fields")
+    // session stays usable and timeout resets cleanly
+    c.query("SET statement_timeout = 0")
+    val ok = c.query("SELECT 1 AS one")
+    assert(ok.filter(_._1 == 'D').map(m => dataRowValues(m._2)) == Seq(Seq("1")))
+    c.close()
+  }
+
   test("BEGIN/ROLLBACK really undoes store writes on this connection") {
     import spark.implicits._
     store.replace("txn_t", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
