@@ -164,14 +164,48 @@ object PgDialect {
     private var active = false
     // table -> (version before our first write (0 = created), last version we produced)
     private val writes = scala.collection.mutable.LinkedHashMap[String, (Int, Int)]()
+    // savepoint name -> the tables' (from, to) state when it was set
+    private val savepoints =
+      scala.collection.mutable.LinkedHashMap[String, Map[String, (Int, Int)]]()
     def inTxn: Boolean = active
-    def begin(): Unit = { active = true; writes.clear() }
-    def commit(): Unit = { active = false; writes.clear() }
+    def begin(): Unit = { active = true; writes.clear(); savepoints.clear() }
+    def commit(): Unit = { active = false; writes.clear(); savepoints.clear() }
     private[graft] def noteWrite(table: String, from: Int, to: Int): Unit =
       if (active) writes.get(table) match {
         case Some((f, _)) => writes(table) = (f, to)
         case None => writes(table) = (from, to)
       }
+    def savepoint(name: String): Unit = {
+      require(active, "SAVEPOINT can only be used in transaction blocks")
+      savepoints(name.toLowerCase) = writes.toMap
+    }
+    def releaseSavepoint(name: String): Unit = {
+      if (!savepoints.contains(name.toLowerCase))
+        throw UnsupportedQuery(s"""savepoint "$name" does not exist""")
+      // PG releases the named savepoint AND all established after it
+      val keys = savepoints.keys.toSeq
+      keys.drop(keys.indexOf(name.toLowerCase)).foreach(savepoints.remove)
+    }
+    /** ROLLBACK TO SAVEPOINT: undo only the writes made after the
+      * savepoint — restore each table to the version it had then (tables
+      * untouched since are left alone); the savepoint itself survives,
+      * like PG. */
+    def rollbackTo(store: Store, name: String): Unit = {
+      val base = savepoints.getOrElse(name.toLowerCase,
+        throw UnsupportedQuery(s"""savepoint "$name" does not exist"""))
+      val failures = writes.toSeq.reverse.flatMap { case (t, (from, to)) =>
+        val target = base.get(t).map(_._2).getOrElse(from)
+        if (target == to) None
+        else try { store.restoreVersion(t, target, expectedCurrent = to); None }
+        catch { case e: Exception => Some(s"$t: ${e.getMessage}") }
+      }
+      // state reverts to the savepoint's view; later savepoints die
+      writes.clear(); writes ++= base
+      val keys = savepoints.keys.toSeq
+      keys.drop(keys.indexOf(name.toLowerCase) + 1).foreach(savepoints.remove)
+      if (failures.nonEmpty) throw UnsupportedQuery(
+        "ROLLBACK TO SAVEPOINT could not undo all writes — " + failures.mkString("; "))
+    }
     def rollback(store: Store): Unit = {
       val failures = writes.toSeq.reverse.flatMap { case (t, (from, to)) =>
         try { store.restoreVersion(t, from, expectedCurrent = to); None }
@@ -179,6 +213,7 @@ object PgDialect {
       }
       active = false
       writes.clear()
+      savepoints.clear()
       if (failures.nonEmpty) throw UnsupportedQuery(
         "ROLLBACK could not undo all writes — " + failures.mkString("; "))
     }
@@ -201,6 +236,22 @@ object PgDialect {
     if (upper.startsWith("SET ")) return executeSet(spark, stmt)
     if (upper.startsWith("RESET")) return executeReset(spark, stmt)
     if (upper.startsWith("SHOW ")) return executeShow(spark, stmt)
+    val savepointRe = "(?is)SAVEPOINT\\s+([\\w\"]+)\\s*".r
+    val releaseRe = "(?is)RELEASE\\s+(?:SAVEPOINT\\s+)?([\\w\"]+)\\s*".r
+    val rollbackToRe =
+      "(?is)ROLLBACK\\s+(?:WORK\\s+)?TO\\s+(?:SAVEPOINT\\s+)?([\\w\"]+)\\s*".r
+    stmt match {
+      case savepointRe(n) =>
+        if (txn != null) txn.savepoint(unquoteName(n))
+        return Command("SAVEPOINT")
+      case releaseRe(n) =>
+        if (txn != null) txn.releaseSavepoint(unquoteName(n))
+        return Command("RELEASE")
+      case rollbackToRe(n) =>
+        if (txn != null) txn.rollbackTo(store, unquoteName(n))
+        return Command("ROLLBACK")
+      case _ =>
+    }
     if (upper.matches("(?s)(BEGIN|COMMIT|END|ROLLBACK)\\b.*")) {
       val verb = upper.split("\\s+")(0) match {
         case "END" => "COMMIT"

@@ -215,6 +215,23 @@ class DmlSpec extends SparkSpecBase {
     assert(store2.read("evo_d").collect().forall(_.isNullAt(1)))
   }
 
+  test("catalog views reflect evolved schemas") {
+    import spark.implicits._
+    store.replace("evo_cat", Seq((1L, "x")).toDF("k", "old_name"))
+    exec("ALTER TABLE evo_cat RENAME COLUMN old_name TO new_name")
+    exec("ALTER TABLE evo_cat ADD COLUMN extra int4")
+    val cols = rows("""SELECT column_name FROM information_schema.columns
+      WHERE table_name = 'evo_cat' ORDER BY ordinal_position""")
+      .map(_.getString(0))
+    assert(cols == Seq("k", "new_name", "extra"),
+      s"information_schema must show the LOGICAL schema, got $cols")
+    val att = rows("""SELECT a.attname FROM pg_attribute a
+      JOIN pg_class c ON a.attrelid = c.oid
+      WHERE c.relname = 'evo_cat' AND a.attnum > 0 ORDER BY a.attnum""")
+      .map(_.getString(0))
+    assert(att == Seq("k", "new_name", "extra"), s"pg_attribute: $att")
+  }
+
   test("alter refuses when a matview depends on the table") {
     import spark.implicits._
     store.replace("evo_g", Seq((1L, 2L)).toDF("g", "x"))

@@ -903,6 +903,20 @@ class WireSpec extends SparkSpecBase {
     val gone = c.query("SELECT * FROM txn_new")
     assert(gone.exists(_._1 == 'E'), "table created in the txn must drop")
 
+    // savepoints: partial rollback inside the txn
+    c.query("BEGIN")
+    c.query("UPDATE txn_t SET v = 'sp0' WHERE k = 1")
+    c.query("SAVEPOINT s1")
+    c.query("UPDATE txn_t SET v = 'sp1' WHERE k = 2")
+    c.query("ROLLBACK TO SAVEPOINT s1")
+    assert(vals(c.query("SELECT v FROM txn_t WHERE k = 2")) == Seq(Seq("b")),
+      "post-savepoint write must undo")
+    assert(vals(c.query("SELECT v FROM txn_t WHERE k = 1")) == Seq(Seq("sp0")),
+      "pre-savepoint write must survive ROLLBACK TO")
+    c.query("COMMIT")
+    assert(vals(c.query("SELECT v FROM txn_t WHERE k = 1")) == Seq(Seq("sp0")))
+    c.query("UPDATE txn_t SET v = 'a' WHERE k = 1") // restore for the next leg
+
     // txn: COMMIT keeps the writes
     c.query("BEGIN")
     val delMsgs = c.query("DELETE FROM txn_t WHERE k = 3")
