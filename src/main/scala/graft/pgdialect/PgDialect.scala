@@ -162,14 +162,19 @@ object PgDialect {
     * pass no txn and keep the reference's no-op BEGIN/COMMIT behavior. */
   final class PgTxn {
     private var active = false
+    // error inside the txn -> aborted: everything except ROLLBACK (and
+    // COMMIT, which then rolls back) is refused with PG's 25P02 message
+    private var failed = false
     // table -> (version before our first write (0 = created), last version we produced)
     private val writes = scala.collection.mutable.LinkedHashMap[String, (Int, Int)]()
     // savepoint name -> the tables' (from, to) state when it was set
     private val savepoints =
       scala.collection.mutable.LinkedHashMap[String, Map[String, (Int, Int)]]()
     def inTxn: Boolean = active
-    def begin(): Unit = { active = true; writes.clear(); savepoints.clear() }
-    def commit(): Unit = { active = false; writes.clear(); savepoints.clear() }
+    def isAborted: Boolean = active && failed
+    private[graft] def markFailed(): Unit = if (active) failed = true
+    def begin(): Unit = { active = true; failed = false; writes.clear(); savepoints.clear() }
+    def commit(): Unit = { active = false; failed = false; writes.clear(); savepoints.clear() }
     private[graft] def noteWrite(table: String, from: Int, to: Int): Unit =
       if (active) writes.get(table) match {
         case Some((f, _)) => writes(table) = (f, to)
@@ -199,7 +204,9 @@ object PgDialect {
         else try { store.restoreVersion(t, target, expectedCurrent = to); None }
         catch { case e: Exception => Some(s"$t: ${e.getMessage}") }
       }
-      // state reverts to the savepoint's view; later savepoints die
+      // state reverts to the savepoint's view; later savepoints die,
+      // and the aborted state clears (PG: ROLLBACK TO revives the txn)
+      failed = false
       writes.clear(); writes ++= base
       val keys = savepoints.keys.toSeq
       keys.drop(keys.indexOf(name.toLowerCase) + 1).foreach(savepoints.remove)
@@ -212,6 +219,7 @@ object PgDialect {
         catch { case e: Exception => Some(s"$t: ${e.getMessage}") }
       }
       active = false
+      failed = false
       writes.clear()
       savepoints.clear()
       if (failures.nonEmpty) throw UnsupportedQuery(
@@ -233,6 +241,12 @@ object PgDialect {
     val stmt = stripComments(statement).trim
     if (stmt.isEmpty) return Empty
     val upper = stmt.toUpperCase
+    // PG 25P02: an aborted transaction block refuses everything except
+    // ROLLBACK [TO] / COMMIT (which then rolls back)
+    if (txn != null && txn.isAborted &&
+        !upper.matches("(?s)(ROLLBACK|COMMIT|END|ABORT)\\b.*"))
+      throw UnsupportedQuery(
+        "current transaction is aborted, commands ignored until end of transaction block")
     if (upper.startsWith("SET ")) return executeSet(spark, stmt)
     if (upper.startsWith("RESET")) return executeReset(spark, stmt)
     if (upper.startsWith("SHOW ")) return executeShow(spark, stmt)
@@ -261,7 +275,10 @@ object PgDialect {
       // surface (see PgTxn); otherwise the reference's no-op tags
       if (txn != null) verb match {
         case "BEGIN" => txn.begin()
-        case "COMMIT" => txn.commit()
+        case "COMMIT" =>
+          // PG: COMMIT of an aborted transaction rolls back and reports it
+          if (txn.isAborted) { txn.rollback(store); return Command("ROLLBACK") }
+          txn.commit()
         case "ROLLBACK" => txn.rollback(store)
         case _ =>
       }

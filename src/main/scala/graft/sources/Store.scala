@@ -1358,7 +1358,7 @@ class Store(spark: SparkSession, val warehouse: String) {
   // (query_remapper_table.go:141-178). replaceBucketed is the exception:
   // it registers a real catalog table (bucket metadata lives there) and a
   // temp view would shadow it.
-  private def publish(name: String): Unit =
+  private def publish(name: String): Unit = {
     // a bucketed table lives in the session catalog (bucket metadata only
     // exists there) — registering a temp view over it would shadow the
     // bucket layout AND go stale on the next bucketed replace
@@ -1371,6 +1371,13 @@ class Store(spark: SparkSession, val warehouse: String) {
       if (ivmViews.contains(name))
         readRaw(name).createOrReplaceTempView(name + "__state")
     }
+    // second epoch bump AFTER the view rebind: a statement analyzed in the
+    // window between persistCatalog's bump and the rebind would otherwise
+    // cache a plan bound to the PREVIOUS version's files under the new
+    // epoch — served stale (or failing, post-rollback) forever
+    PgDialect.catalogEpoch.incrementAndGet()
+    ()
+  }
 
   def createMatview(name: String, defn: String, withData: Boolean = true): Unit = {
     matviewDefs(name) = defn

@@ -291,7 +291,13 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
         }
       }
     } catch { case _: Throwable => () }
-    finally { backends.remove(pid); sock.close() }
+    finally {
+      // PG aborts an open transaction when the client disappears: undo
+      // this connection's uncommitted writes best-effort
+      if (txn.inTxn)
+        try txn.rollback(store) catch { case _: Exception => () }
+      backends.remove(pid); sock.close()
+    }
   }
 
   /** Text params pass through; binary int4/int8/uuid decoded by length, the
@@ -658,13 +664,20 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
         SessionSettings.get("timezone").foreach { tz =>
           msg(out, 'S') { b => cstr(b, "TimeZone"); cstr(b, tz) }
         }
-    } catch { case e: Throwable => sendError(out, e) }
+    } catch { case e: Throwable =>
+      // PG: an error inside a transaction block aborts it — everything
+      // until ROLLBACK is then refused with 25P02
+      if (txn != null) txn.markFailed()
+      sendError(out, e)
+    }
 
   /** Map Spark error conditions to the SQLSTATEs PG clients branch on
     * (42P01 undefined_table, 42703 undefined_column; reference returns
     * real PG codes via DuckDB the same way). */
   private def sqlState(e: Throwable): String = e match {
     case _ if isCancellation(e) => "57014" // query_canceled (statement_timeout)
+    case _ if Option(e.getMessage).exists(_.contains("transaction is aborted")) =>
+      "25P02" // in_failed_sql_transaction
     case se: org.apache.spark.SparkThrowable if se.getCondition != null =>
       val c = se.getCondition
       if (c.startsWith("TABLE_OR_VIEW_NOT_FOUND")) "42P01"

@@ -861,6 +861,44 @@ class WireSpec extends SparkSpecBase {
     c.close()
   }
 
+  test("aborted txn refuses statements until ROLLBACK; disconnect rolls back") {
+    import spark.implicits._
+    store.replace("ab_t", Seq((1L, "a")).toDF("k", "v"))
+    val c = new Client(server._2); c.startup()
+    c.query("BEGIN")
+    c.query("UPDATE ab_t SET v = 'dirty' WHERE k = 1")
+    val boom = c.query("SELECT * FROM no_such_table_xyz")
+    assert(boom.exists(_._1 == 'E'))
+    // aborted: ordinary statements refuse with 25P02
+    val refused = c.query("SELECT 1 AS one")
+    val err = new String(refused.find(_._1 == 'E').get._2, UTF_8)
+    assert(err.contains("25P02") && err.contains("aborted"), err)
+    // COMMIT of an aborted txn rolls back (PG reports ROLLBACK)
+    val cm = c.query("COMMIT")
+    val tag = new String(cm.find(_._1 == 'C').get._2, UTF_8).stripSuffix("\u0000")
+    assert(tag == "ROLLBACK", tag)
+    val v = c.query("SELECT v FROM ab_t WHERE k = 1")
+    assert(v.filter(_._1 == 'D').map(m => dataRowValues(m._2)) == Seq(Seq("a")),
+      "aborted txn's write must be undone")
+
+    // disconnect mid-txn: the server rolls the open txn back
+    val c2 = new Client(server._2); c2.startup()
+    c2.query("BEGIN")
+    c2.query("UPDATE ab_t SET v = 'zombie' WHERE k = 1")
+    c2.sock.close() // vanish without COMMIT
+    val c3 = new Client(server._2); c3.startup()
+    val deadline = System.currentTimeMillis() + 10000
+    var rolled = false
+    while (!rolled && System.currentTimeMillis() < deadline) {
+      val got = c3.query("SELECT v FROM ab_t WHERE k = 1")
+        .filter(_._1 == 'D').map(m => dataRowValues(m._2))
+      rolled = got == Seq(Seq("a"))
+      if (!rolled) Thread.sleep(200)
+    }
+    assert(rolled, "disconnect must roll the open txn back")
+    c.close(); c3.close()
+  }
+
   test("statement_timeout cancels a runaway query with SQLSTATE 57014") {
     val c = new Client(server._2); c.startup()
     c.query("SET statement_timeout = '5ms'")
