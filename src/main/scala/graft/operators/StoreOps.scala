@@ -720,6 +720,54 @@ object StoreOps {
         case PgDialect.Rows(df, _) => df
         case other => sys.error(s"expected rows, got $other")
       }
+    },
+
+    // Row-level change feed (Delta-CDF analog) through a REAL Store: from
+    // a sorted multi-file base, append new keys (existing files carry by
+    // name), delete three keys and upsert a status flip (each a COW
+    // rewrite of only the hit files), then diff the two snapshots. The
+    // feed must be the LOGICAL row diff — rows merely rewritten into new
+    // files cancel — and reads only the changed files (pinned in
+    // StoreSpec). The oracle computes the same diff as EXCEPT ALL between
+    // the reconstructed before/after states.
+    Q("st_changefeed", Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_orderstatus, CAST(o_custkey AS BIGINT) AS o_custkey
+        FROM orders WHERE o_orderkey <= 3000),
+      appended AS (
+        SELECT o_orderkey, o_orderstatus, CAST(o_custkey AS BIGINT) AS o_custkey
+        FROM orders WHERE o_orderkey > 3000 AND o_orderkey <= 4000),
+      fin AS (
+        SELECT o_orderkey,
+          CASE WHEN o_custkey % 17 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+          o_custkey
+        FROM (SELECT * FROM base UNION ALL SELECT * FROM appended)
+        WHERE o_orderkey NOT IN (11, 12, 13))
+      SELECT * FROM (
+        SELECT *, 'insert' AS _change_type FROM
+          (SELECT * FROM fin EXCEPT ALL SELECT * FROM base)
+        UNION ALL
+        SELECT *, 'delete' AS _change_type FROM
+          (SELECT * FROM base EXCEPT ALL SELECT * FROM fin))
+      ORDER BY o_orderkey, _change_type""")) { (s, dir) =>
+      import s.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("graft-cf").toString
+      val store = new Store(s, wh)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_custkey").cast("long").as("o_custkey"))
+      store.replaceSorted("cf_orders",
+        orders.filter(col("o_orderkey") <= 3000), "o_orderkey", numFiles = 8)
+      val v0 = store.currentVersion("cf_orders")
+      store.appendCompacting("cf_orders",
+        orders.filter(col("o_orderkey") > 3000 && col("o_orderkey") <= 4000),
+        maxFileBytes = 1L) // carry existing files: the delta is the appended files
+      store.deleteByKey("cf_orders", Seq(11L, 12L, 13L).toDF("o_orderkey"), "o_orderkey")
+      val ups = store.read("cf_orders").filter(col("o_custkey") % 17 === 0)
+        .withColumn("o_orderstatus", lit("X"))
+      store.upsert("cf_orders", ups, "o_orderkey")
+      store.changesSince("cf_orders", v0)
+        .orderBy("o_orderkey", "_change_type")
     }
   )
 }

@@ -645,6 +645,45 @@ class StoreSpec extends SparkSpecBase {
     }
   }
 
+  test("change feed is the logical row diff, reading only changed files") {
+    import spark.implicits._
+    val st = freshStore()
+    val base = (1L to 1000L).map(k => (k, s"v$k")).toDF("k", "v")
+    st.replaceSorted("cf", base, "k", numFiles = 8)
+    val v0 = st.currentVersion("cf")
+    // no writes yet: empty feed (and the schema still carries _change_type)
+    val empty = st.changesSince("cf", v0)
+    assert(empty.isEmpty && empty.columns.contains("_change_type"))
+    // append new keys (existing files carry by name), then COW-delete two
+    // keys — the delete rewrites ONLY the file(s) holding them
+    st.appendCompacting("cf",
+      (1001L to 1100L).map(k => (k, s"v$k")).toDF("k", "v"), maxFileBytes = 1L)
+    st.deleteByKey("cf", Seq(5L, 6L).toDF("k"), "k")
+    val feed = st.readChanges("cf", v0, st.currentVersion("cf"))
+    val ins = feed.filter($"_change_type" === "insert")
+      .select("k").as[Long].collect().toSet
+    val del = feed.filter($"_change_type" === "delete")
+      .select("k").as[Long].collect().toSet
+    assert(ins == (1001L to 1100L).toSet,
+      s"rewritten-but-unchanged rows must cancel; got ${ins.size} inserts")
+    assert(del == Set(5L, 6L))
+    // O(delta), not O(table): the diff touched fewer files than the table
+    val (changed, total) = st.lastChangeFiles
+    assert(changed < total, s"change feed read $changed of $total files")
+    // reversed bounds swap insert/delete (a rollback's view of the diff)
+    val rev = st.readChanges("cf", st.currentVersion("cf"), v0)
+    assert(rev.filter($"_change_type" === "insert")
+      .select("k").as[Long].collect().toSet == Set(5L, 6L))
+    // a rename between the snapshots is metadata-only: the feed reads both
+    // sides under the physical union schema and surfaces LOGICAL names
+    // (appendCompacting keeps the mapping; a full replace would reset it)
+    st.renameColumn("cf", "v", "w")
+    st.appendCompacting("cf", Seq((2000L, "new")).toDF("k", "w"))
+    val evolved = st.changesSince("cf", v0)
+    assert(evolved.columns.toSeq == Seq("k", "w", "_change_type"))
+    assert(evolved.filter($"_change_type" === "insert" && $"k" === 2000L).count() == 1)
+  }
+
   test("store tables are SQL-resolvable like the reference's shell tables") {
     import spark.implicits._
     val st = freshStore()
