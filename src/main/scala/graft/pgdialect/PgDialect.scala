@@ -56,14 +56,23 @@ object PgDialect {
     ("(?is)\\b(FROM|JOIN)\\s+([\\w.\"]+)\\s+FOR\\s+(?:SYSTEM_)?" +
       "(VERSION|TIMESTAMP)\\s+AS\\s+OF\\s+('[^']*'|\\d+)").r
 
+  // `FROM table_changes('t', from[, to])` — the Delta SQL CDC surface over
+  // the store's snapshot change feed (Store.readChanges)
+  private val changesRe =
+    ("(?is)\\b(FROM|JOIN)\\s+table_changes\\s*\\(\\s*'([^']+)'\\s*," +
+      "\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*)?\\)").r
+
   /** `FROM t FOR VERSION AS OF n` / `FOR TIMESTAMP AS OF 'ts'` (the
-    * Iceberg/Delta SQL time-travel surface) over STORE tables: the clause
-    * resolves to the immutable snapshot version dir ([[Store.readVersion]])
-    * registered as a session view, and the statement proceeds through the
-    * normal translate/plan path. A non-store relation in the clause errors
-    * (snapshots only exist for versioned store tables). */
+    * Iceberg/Delta SQL time-travel surface) and `FROM table_changes('t',
+    * from[, to])` (the Delta CDC surface; `_change_type` column, to
+    * defaults to the current version) over STORE tables: each clause
+    * resolves to a session view over the immutable snapshot dirs
+    * ([[Store.readVersion]] / [[Store.readChanges]]) and the statement
+    * proceeds through the normal translate/plan path. A non-store
+    * relation in either clause errors (snapshots only exist for
+    * versioned store tables). */
   private[graft] def rewriteTimeTravel(store: Store, stmt: String): String =
-    travelRe.replaceAllIn(stmt, m => {
+    rewriteTableChanges(store, travelRe.replaceAllIn(stmt, m => {
       val tbl = unquoteName(m.group(2))
       if (!store.exists(tbl))
         throw UnsupportedQuery(s"time travel requires a versioned store table: $tbl")
@@ -76,6 +85,23 @@ object PgDialect {
         }
       scala.util.matching.Regex.quoteReplacement(
         m.group(1) + " " + store.snapshotView(tbl, v))
+    }))
+
+  private def rewriteTableChanges(store: Store, stmt: String): String =
+    changesRe.replaceAllIn(stmt, m => {
+      val tbl = unquoteName(m.group(2))
+      if (!store.exists(tbl))
+        throw UnsupportedQuery(
+          s"table_changes requires a versioned store table: $tbl")
+      val from = m.group(3).toInt
+      val to = Option(m.group(4)).map(_.toInt)
+        .getOrElse(store.currentVersion(tbl))
+      // warehouse-tagged like snapshotView, re-registered every call for
+      // the same staleness reasons (see snapshotView's scaladoc)
+      val tag = Integer.toHexString(store.warehouse.hashCode)
+      val vn = s"${tbl}__changes_${tag}_${from}_$to"
+      store.readChanges(tbl, from, to).createOrReplaceTempView(vn)
+      scala.util.matching.Regex.quoteReplacement(m.group(1) + " " + vn)
     })
 
   /** Translated SQL → analyzed plan through the aggregate-rollup rewrite

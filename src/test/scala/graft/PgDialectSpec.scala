@@ -947,6 +947,27 @@ class PgDialectSpec extends SparkSpecBase {
     }
   }
 
+  test("table_changes() surfaces the snapshot change feed through SQL") {
+    import spark.implicits._
+    Tables.registerAll(spark, sfDir)
+    store.replace("cf7", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val snap = store.currentVersion("cf7")
+    store.upsert("cf7", Seq((2L, "B2"), (3L, "c")).toDF("k", "v"), "k")
+    val feed = rows(s"SELECT _change_type, k, v FROM table_changes('cf7', $snap) " +
+      "ORDER BY k, _change_type")
+    assert(feed.map(r => (r.getString(0), r.getLong(1), r.getString(2))) ==
+      Seq(("delete", 2L, "b"), ("insert", 2L, "B2"), ("insert", 3L, "c")),
+      s"got $feed")
+    // explicit to-version + filtering/aggregation compose like any relation
+    val n = rows(s"SELECT count(*) AS n FROM table_changes('cf7', $snap, " +
+      s"${store.currentVersion("cf7")}) WHERE _change_type = 'insert'")
+    assert(n.head.getLong(0) == 2)
+    // a non-store relation has no change feed
+    intercept[PgDialect.UnsupportedQuery] {
+      rows("SELECT * FROM table_changes('nation', 0)")
+    }
+  }
+
   test("rollup auto-refresh brings a stale view current, then answers from it") {
     import spark.implicits._
     Tables.registerAll(spark, sfDir)
