@@ -697,6 +697,7 @@ object PgDialect {
     // BETWEEN SYMMETRIC swaps bounds when reversed (PG); Spark lacks it
     s = s.replaceAll("(?i)\\bBETWEEN\\s+SYMMETRIC\\s+(\\S+)\\s+AND\\s+(\\S+)",
       "BETWEEN least($1, $2) AND greatest($1, $2)")
+    s = rewriteSimilarTo(s)
     // PG numeric/bit operators: `^` is POWER in PG but XOR in Spark, and
     // `#` is PG's XOR — translate power FIRST so the emitted `^` survives;
     // shifts become the shiftleft/shiftright functions. (`&`/`|` agree.)
@@ -1250,6 +1251,59 @@ object PgDialect {
     }
   }
 
+  /** `expr [NOT] SIMILAR TO 'pat' [ESCAPE 'c']` -> `expr [NOT] RLIKE
+    * '^(?:regex)$'`. PG's SIMILAR TO mixes SQL wildcards (% _) with a regex
+    * subset (| * + ? {m,n} () […]) and matches the WHOLE string; chars that
+    * are regex metacharacters but NOT SIMILAR TO metacharacters (. ^ $) are
+    * literals and get escaped. Spark has no SIMILAR TO at all (and DuckDB's
+    * is a plain full-regex match — different semantics), so the translation
+    * happens here, on the literal pattern, at rewrite time. */
+  private def rewriteSimilarTo(sql: String): String = {
+    val re = ("(?is)\\b(NOT\\s+)?SIMILAR\\s+TO\\s+'((?:[^']|'')*)'" +
+      "(?:\\s+ESCAPE\\s+'((?:[^']|'')+)')?").r
+    re.replaceAllIn(sql, m => {
+      val pat = m.group(2).replace("''", "'")
+      val esc = Option(m.group(3)).map(_.replace("''", "'").charAt(0))
+      // Spark string literals process backslash escapes, so every regex
+      // backslash is doubled to survive the SQL parser
+      val regex = ("^(?:" + similarToRegex(pat, esc) + ")$")
+        .replace("\\", "\\\\").replace("'", "''")
+      val not = if (m.group(1) != null) "NOT " else ""
+      java.util.regex.Matcher.quoteReplacement(s"${not}RLIKE '$regex'")
+    })
+  }
+
+  /** The PG SIMILAR TO pattern -> Java regex translation itself. */
+  private[graft] def similarToRegex(pat: String, esc: Option[Char]): String = {
+    val escape = esc.getOrElse('\\')
+    val regexSpecials = "\\^$.|?*+()[]{}"
+    val sb = new StringBuilder
+    var i = 0
+    var inClass = false
+    while (i < pat.length) {
+      val c = pat.charAt(i)
+      if (!inClass && c == escape && i + 1 < pat.length) {
+        // escaped char is a literal; guard regex metachars, emit the rest
+        // bare (escaping a letter could form a regex class like \d)
+        val n = pat.charAt(i + 1)
+        if (regexSpecials.indexOf(n.toInt) >= 0) sb.append('\\')
+        sb.append(n); i += 2
+      } else if (inClass) {
+        sb.append(c); if (c == ']') inClass = false; i += 1
+      } else {
+        c match {
+          case '%' => sb.append(".*")
+          case '_' => sb.append('.')
+          case '[' => sb.append('['); inClass = true
+          case '.' | '^' | '$' => sb.append('\\').append(c)
+          case other => sb.append(other)
+        }
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
   /** SELECT DISTINCT ON (k…) cols FROM … ORDER BY k…, tie… ->
     * row_number window (Spark has no DISTINCT ON; SURVEY §2.B). */
   private def rewriteDistinctOn(sql: String): String = {
@@ -1561,7 +1615,11 @@ object PgDialect {
     // ::timestamp is tz-less (rendered without offset); ::timestamptz is the
     // session-zone type the reference renders with a +00:00 suffix
     "date" -> "DATE", "timestamp" -> "TIMESTAMP_NTZ",
-    "timestamptz" -> "TIMESTAMP", "time" -> "STRING", "interval" -> "STRING")
+    "timestamptz" -> "TIMESTAMP", "time" -> "STRING", "interval" -> "STRING",
+    // two-word PG spellings (rewriteCasts consumes them whole)
+    "double precision" -> "DOUBLE", "character varying" -> "STRING",
+    "timestamp without time zone" -> "TIMESTAMP_NTZ",
+    "timestamp with time zone" -> "TIMESTAMP")
 
   /** `operand::type` (optionally `[]`) -> CAST(operand AS sparkType),
     * left-to-right, operand = literal, number, dotted ident, or balanced
@@ -1590,10 +1648,16 @@ object PgDialect {
         while (i >= 0 && (s.charAt(i).isLetterOrDigit || "._".contains(s.charAt(i)))) i -= 1
         start = i + 1
       }
-      // type name after ::
+      // type name after :: (PG two-word spellings — double precision,
+      // character varying, timestamp with[out] time zone — consume whole)
       var e = idx + 2
       while (e < s.length && (s.charAt(e).isLetterOrDigit || s.charAt(e) == '_')) e += 1
-      val pgType = s.substring(idx + 2, e).toLowerCase
+      var pgType = s.substring(idx + 2, e).toLowerCase
+      val twoWord = "(?is)^(\\s+precision|\\s+varying|\\s+with(?:out)?\\s+time\\s+zone)\\b".r
+      twoWord.findFirstMatchIn(s.substring(e)).foreach { m2 =>
+        pgType = pgType + m2.group(1).toLowerCase.replaceAll("\\s+", " ")
+        e += m2.group(1).length
+      }
       // optional (precision[,scale]) suffix
       var args: Option[String] = None
       if (e < s.length && s.charAt(e) == '(') {
@@ -1742,6 +1806,7 @@ object PgDialect {
     s = rewriteJsonArrows(s)
     s = rewriteContainment(s)
     s = rewriteCasts(s)
+    s = rewriteSimilarTo(s)
     s
   }
 

@@ -145,6 +145,69 @@ object PgDialectOps {
         WHERE n_nationkey BETWEEN SYMMETRIC 12 AND 3 ORDER BY n_nationkey""")
     },
 
+    // SIMILAR TO: PG's SQL-wildcard/regex hybrid, translated to an anchored
+    // RLIKE. The oracle is regexp_full_match on the hand-translated regex
+    // (DuckDB's own SIMILAR TO is a plain full-regex match — different
+    // semantics from PG, so it cannot be the oracle).
+    Q("pd_similar_to", Some("""
+      SELECT n_name,
+        regexp_full_match(n_name, 'NATION_1.*') AS m1,
+        regexp_full_match(n_name, 'NATION_(1|2)') AS m2,
+        NOT regexp_full_match(n_name, '(NATION|REGION).*') AS m3,
+        regexp_full_match(n_name, 'NATION.1') AS m4
+      FROM nation ORDER BY n_name""")) { (s, dir) =>
+      run(s, """
+        SELECT n_name,
+          n_name SIMILAR TO 'NATION\_1%' AS m1,
+          n_name SIMILAR TO 'NATION\_(1|2)' AS m2,
+          n_name NOT SIMILAR TO '(NATION|REGION)%' AS m3,
+          n_name SIMILAR TO 'NATION_1' AS m4
+        FROM nation ORDER BY n_name""")
+    },
+
+    // ILIKE / NOT ILIKE: native in both engines; the gate pins that the
+    // translator leaves them intact (and that `~~*` already maps here)
+    Q("pd_ilike", Some("""
+      SELECT doc_id, lang, source FROM documents
+      WHERE lang ILIKE 'E%' AND source NOT ILIKE '%1%'
+      ORDER BY doc_id LIMIT 50""")) { (s, dir) =>
+      run(s, """
+        SELECT doc_id, lang, source FROM documents
+        WHERE lang ILIKE 'E%' AND source NOT ILIKE '%1%'
+        ORDER BY doc_id LIMIT 50""")
+    },
+
+    // Ordered-set aggregates: percentile_cont/percentile_disc WITHIN GROUP
+    // (native in Spark 4 and DuckDB). Inputs are integer-valued quantities
+    // and quarter fractions so every interpolated value is exactly
+    // representable — bit-equal across engines regardless of each engine's
+    // interpolation formula.
+    Q("pd_within_group", Some("""
+      SELECT l_returnflag,
+        percentile_cont(0.5) WITHIN GROUP (ORDER BY CAST(l_quantity AS DOUBLE)) AS p50,
+        percentile_cont(0.25) WITHIN GROUP (ORDER BY CAST(l_quantity AS DOUBLE) DESC) AS p75_desc,
+        percentile_disc(0.9) WITHIN GROUP (ORDER BY CAST(l_quantity AS DOUBLE)) AS p90d
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, dir) =>
+      run(s, """
+        SELECT l_returnflag,
+          percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity::double precision) AS p50,
+          percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity::double precision DESC) AS p75_desc,
+          percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity::double precision) AS p90d
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+
+    // mode() WITHIN GROUP over constructed values with a unique per-group
+    // mode (cross-engine tie-breaking is not contract-stable)
+    Q("pd_mode", Some("""
+      SELECT g, mode() WITHIN GROUP (ORDER BY v) AS m
+      FROM (VALUES (1,10),(1,10),(1,20),(2,7),(2,7),(2,9)) t(g,v)
+      GROUP BY g ORDER BY g""")) { (s, dir) =>
+      run(s, """
+        SELECT g, mode() WITHIN GROUP (ORDER BY v) AS m
+        FROM (VALUES (1,10),(1,10),(1,20),(2,7),(2,7),(2,9)) t(g,v)
+        GROUP BY g ORDER BY g""")
+    },
+
     Q("pd_distinct_on", Some("""
       SELECT DISTINCT ON (user_id) user_id, event_id
       FROM events ORDER BY user_id, event_id DESC""")) { (s, dir) =>

@@ -220,6 +220,39 @@ class PgDialectSpec extends SparkSpecBase {
     assert(rewritten > 0, "expected at least one golden sublink to be rewritten")
   }
 
+  test("SIMILAR TO translates to an anchored RLIKE with PG semantics") {
+    // wildcards become regex, regex subset passes through, . is literal
+    assert(similarToRegex("NATION_1%", None) == "NATION.1.*")
+    assert(similarToRegex("NATION\\_1%", None) == "NATION_1.*")
+    assert(similarToRegex("(a|b)+x", None) == "(a|b)+x")
+    assert(similarToRegex("v1.2_%", None) == "v1\\.2..*")
+    assert(similarToRegex("a[0-9_]b", None) == "a[0-9_]b")
+    assert(similarToRegex("10#%", Some('#')) == "10%")
+    val out = translateSelect("SELECT x SIMILAR TO 'a%' AS m FROM t")
+    assert(out.contains("RLIKE '^(?:a.*)$'"), out)
+    val not = translateSelect("SELECT * FROM t WHERE x NOT SIMILAR TO 'a_b'")
+    assert(not.contains("NOT RLIKE '^(?:a.b)$'"), not)
+    // literal dot: emitted regex backslash survives Spark's string parser
+    // via doubling
+    assert(translateSelect("SELECT x SIMILAR TO 'a.b' AS m FROM t")
+      .contains("RLIKE '^(?:a\\\\.b)$'"))
+    // end-to-end through the engine
+    import spark.implicits._
+    Seq("abc", "axc", "a.c").toDF("v").createOrReplaceTempView("simto_t")
+    val got = rows("SELECT v FROM simto_t WHERE v SIMILAR TO 'a.c' ORDER BY v")
+    assert(got.map(_.getString(0)) == Seq("a.c"))
+    val wild = rows("SELECT v FROM simto_t WHERE v SIMILAR TO 'a_c' ORDER BY v")
+    assert(wild.map(_.getString(0)) == Seq("a.c", "abc", "axc"))
+  }
+
+  test("two-word PG type names cast correctly") {
+    val out = translateSelect("SELECT x::double precision AS d, " +
+      "y::character varying AS s, z::timestamp without time zone AS ts FROM t")
+    assert(out.contains("CAST(x AS DOUBLE)"), out)
+    assert(out.contains("CAST(y AS STRING)"), out)
+    assert(out.contains("CAST(z AS TIMESTAMP_NTZ)"), out)
+  }
+
   test("unaliased targets get PG auto-aliases like the reference remapper") {
     // f(x) -> AS f (query_remapper_select.go:68-76)
     assert(
