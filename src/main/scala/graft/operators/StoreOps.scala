@@ -585,6 +585,37 @@ object StoreOps {
     // beyond the reference, which rejects every write): CTAS + INSERT
     // VALUES + INSERT SELECT, read back through the dialect. The oracle
     // recomputes the post-state as pure SQL over the base tables.
+    // CREATE VIEW through the dialect: a plain SQL view over a store table,
+    // proven to track the base across a later UPDATE (views re-bind on every
+    // version flip — a pinned-plan temp view would serve the old snapshot)
+    Q("st_sql_view", Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey <= 4000),
+      cur AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey <= 200 THEN 'X' ELSE o_orderstatus END AS o_orderstatus
+        FROM base)
+      SELECT o_orderstatus, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      FROM cur GROUP BY o_orderstatus ORDER BY o_orderstatus""")) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-sqlvw").toString
+      val store = new Store(s, wh)
+      store.replace("vw_orders", t(s, dir, "orders")
+        .filter(col("o_orderkey") <= 4000)
+        .select("o_orderkey", "o_orderstatus"))
+      PgDialect.execute(s, store, """
+        CREATE OR REPLACE VIEW vw_status AS
+        SELECT o_orderstatus, count(*) AS n,
+          CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        FROM vw_orders GROUP BY o_orderstatus""")
+      PgDialect.execute(s, store,
+        "UPDATE vw_orders SET o_orderstatus = 'X' WHERE o_orderkey <= 200")
+      PgDialect.execute(s, store,
+        "SELECT o_orderstatus, n, key_sum FROM vw_status ORDER BY o_orderstatus") match {
+        case PgDialect.Rows(df, _) => df
+        case other => sys.error(s"expected rows, got $other")
+      }
+    },
+
     Q("st_sql_insert", Some("""
       WITH base AS (SELECT r_regionkey, r_name FROM region),
       ins AS (SELECT CAST(90 AS BIGINT) AS r_regionkey, 'ad-hoc' AS r_name

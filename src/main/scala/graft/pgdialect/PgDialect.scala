@@ -323,6 +323,28 @@ object PgDialect {
         return Command("CREATE MATERIALIZED VIEW")
       case _ =>
     }
+    // plain SQL views (beyond the reference, which has no view DDL): the
+    // stored definition keeps the user's PG dialect; TEMP scopes to this
+    // engine session (not persisted)
+    val vCreate = ("(?is)CREATE\\s+(OR\\s+REPLACE\\s+)?(TEMP(?:ORARY)?\\s+)?VIEW\\s+" +
+      "([\\w.\"]+)\\s*(\\(([^)]*)\\))?\\s+AS\\s+(.*?)\\s*$").r
+    stmt match {
+      case vCreate(orReplace, temp, name, _, colsRaw, defn) =>
+        val cols = Option(colsRaw).map(_.split(",").toSeq
+          .map(c => unquoteName(c.trim)).filter(_.nonEmpty)).getOrElse(Nil)
+        store.createView(unquoteName(name), defn.trim, cols,
+          orReplace = orReplace != null, durable = temp == null)
+        return Command("CREATE VIEW")
+      case _ =>
+    }
+    val vDrop = "(?is)DROP\\s+VIEW\\s+(IF\\s+EXISTS\\s+)?([\\w.\",\\s]+?)\\s*".r
+    stmt match {
+      case vDrop(ifExists, names) =>
+        names.split(",").map(n => unquoteName(n.trim)).foreach(v =>
+          store.dropView(v, ifExists = ifExists != null))
+        return Command("DROP VIEW")
+      case _ =>
+    }
     val mvRefresh = "(?is)REFRESH\\s+MATERIALIZED\\s+VIEW\\s+(CONCURRENTLY\\s+)?([\\w.\"]+)\\s*".r
     stmt match {
       case mvRefresh(concurrently, name) =>
@@ -386,7 +408,8 @@ object PgDialect {
       if (upper.contains("PG_MATVIEWS") || upper.contains("PG_STAT_USER_TABLES")
           || upper.contains("PG_STAT_STATEMENTS")
           || upper.contains("PG_CLASS") || upper.contains("PG_ATTRIBUTE")
-          || "(?<![A-Z_])PG_TABLES(?![A-Z_])".r.findFirstIn(upper).isDefined)
+          || "(?<![A-Z_])PG_TABLES(?![A-Z_])".r.findFirstIn(upper).isDefined
+          || "(?<![A-Z_])PG_VIEWS(?![A-Z_])".r.findFirstIn(upper).isDefined)
         PgCatalog.refreshDynamic(spark, store)
       if (upper.contains("INFORMATION_SCHEMA"))
         PgCatalog.refreshInfoSchema(spark)

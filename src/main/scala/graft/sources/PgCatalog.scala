@@ -662,6 +662,11 @@ object PgCatalog {
     mvs.map(n => ("public", n, store.matviewDefinition(n).getOrElse("")))
       .toDF("schemaname", "matviewname", "definition")
       .asCatalogView("pg_matviews")
+    // plain SQL views, with the user's original definition text
+    store.viewNames
+      .map(n => ("public", n, "graft", store.viewDefinition(n).getOrElse("")))
+      .toDF("schemaname", "viewname", "viewowner", "definition")
+      .asCatalogView("pg_views")
     (Tables.names.map(n => ("public", n, 0L)) ++ mvs.map(n => ("public", n, 0L)) ++
       stTables.map(n => ("public", n, 0L)))
       .toDF("schemaname", "relname", "n_live_tup")

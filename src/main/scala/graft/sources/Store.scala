@@ -61,6 +61,13 @@ class Store(spark: SparkSession, val warehouse: String) {
 
   private val versions = TrieMap[String, Int]()
   private val matviewDefs = TrieMap[String, String]()
+  /** Plain (non-materialized) SQL views: name -> (PG-SQL definition,
+    * column aliases, durable?). Durable views persist in the catalog and
+    * re-register on mount; TEMP views live only in this session. The
+    * definition is stored in its ORIGINAL PG dialect (pg_views.definition
+    * shows what the user wrote) and re-translated at registration time. */
+  private case class ViewDef(defn: String, cols: Seq[String], durable: Boolean)
+  private val viewDefs = TrieMap[String, ViewDef]()
 
   /** Metadata of an incrementally-maintained aggregate view (see the
     * incremental-matview section at the bottom of this class). Declared
@@ -175,6 +182,12 @@ class Store(spark: SparkSession, val warehouse: String) {
         m.dimVersions.toSeq.sortBy(_._1).foreach { case (d, v) => dv.put(d, v) }
       }
     }
+    val vw = rootNode.putObject("views")
+    viewDefs.toSeq.filter(_._2.durable).sortBy(_._1).foreach { case (k, d) =>
+      val o = vw.putObject(k)
+      o.put("defn", d.defn)
+      if (d.cols.nonEmpty) o.put("cols", d.cols.mkString(","))
+    }
     val sb = rootNode.putObject("streamBatches")
     streamBatchIds.toSeq.sortBy(_._1).foreach { case (k, v) => sb.put(k, v) }
     val ev = rootNode.putObject("evo")
@@ -258,9 +271,19 @@ class Store(spark: SparkSession, val warehouse: String) {
           o.get("logical").asScala.toSeq.map(a =>
             (a.get(0).asText, a.get(1).asText)))
       })
+      Option(rootNode.get("views")).foreach(_.fields.asScala.foreach { e =>
+        val o = e.getValue
+        viewDefs(e.getKey) = ViewDef(o.get("defn").asText,
+          Option(o.get("cols")).map(_.asText.split(",").toSeq.filter(_.nonEmpty))
+            .getOrElse(Nil), durable = true)
+      })
       // every catalog table (not just matviews) is SQL-resolvable, like the
       // reference's runtime shell tables (query_remapper_table.go:141-178)
       versions.keys.foreach(publish)
+      // views re-register after every base table is published (a view's
+      // bases may themselves be store tables); failures degrade per-view
+      // (a view over a table this mount no longer has costs that view only)
+      registerViews()
     }
   }
 
@@ -1445,6 +1468,9 @@ class Store(spark: SparkSession, val warehouse: String) {
       if (ivmViews.contains(name))
         readRaw(name).createOrReplaceTempView(name + "__state")
     }
+    // SQL views re-bind so they read the new snapshot (their temp views
+    // pinned the previous version's plan); analysis-only, no jobs run
+    if (viewDefs.nonEmpty) registerViews()
     // second epoch bump AFTER the view rebind: a statement analyzed in the
     // window between persistCatalog's bump and the rebind would otherwise
     // cache a plan bound to the PREVIOUS version's files under the new
@@ -1525,6 +1551,63 @@ class Store(spark: SparkSession, val warehouse: String) {
 
   /** Registered matview names (catalog listing order). */
   def matviewNames: Seq[String] = matviewDefs.keys.toSeq.sorted
+
+  // ---- plain (non-materialized) SQL views --------------------------------
+  // A view is a named query, not data: creation validates + registers a
+  // session temp view over the translated definition, and every store
+  // version flip re-registers all views (publish -> registerViews), so a
+  // view over a store table always reads the CURRENT snapshot — Spark temp
+  // views pin the analyzed plan at registration, which would otherwise
+  // serve the version the base had at CREATE VIEW time. At cluster scale
+  // views are catalog entries resolved per-query the same way; the
+  // re-registration is analysis-only (no data touched, no jobs run).
+
+  /** Create (or replace) a SQL view. `defn` is the ORIGINAL PG-dialect
+    * SELECT; `cols` optionally renames the output columns positionally
+    * (PG's `CREATE VIEW v (a, b) AS …`). Durable views survive restarts
+    * via the catalog; temp views are session-only. */
+  def createView(name: String, defn: String, cols: Seq[String] = Nil,
+      orReplace: Boolean = false, durable: Boolean = true): Unit = {
+    if (!orReplace && viewDefs.contains(name))
+      throw new IllegalStateException(s"""relation "$name" already exists""")
+    if (exists(name) || spark.catalog.tableExists(name) && !viewDefs.contains(name))
+      throw new IllegalStateException(s"""relation "$name" already exists""")
+    val vd = ViewDef(defn, cols, durable)
+    registerView(name, vd) // validates by analyzing; throws before any state
+    viewDefs(name) = vd
+    if (durable) persistCatalog()
+    else PgDialect.catalogEpoch.incrementAndGet()
+    ()
+  }
+
+  def dropView(name: String, ifExists: Boolean = false): Unit = {
+    val known = viewDefs.remove(name).isDefined
+    if (!known && !ifExists)
+      throw new IllegalStateException(s"""view "$name" does not exist""")
+    if (known) {
+      spark.catalog.dropTempView(name)
+      persistCatalog()
+    }
+  }
+
+  def viewDefinition(name: String): Option[String] = viewDefs.get(name).map(_.defn)
+  def viewNames: Seq[String] = viewDefs.keys.toSeq.sorted
+
+  private def registerView(name: String, vd: ViewDef): Unit = {
+    val df = spark.sql(PgDialect.translateSelect(vd.defn))
+    val named = if (vd.cols.nonEmpty) df.toDF(vd.cols: _*) else df
+    named.createOrReplaceTempView(name)
+  }
+
+  /** Re-register every view against the current base-table bindings.
+    * Per-view degradation: a view whose base is gone (dropped table,
+    * partial mount) costs that view, not the catalog. */
+  private def registerViews(): Unit =
+    viewDefs.foreach { case (n, vd) =>
+      try registerView(n, vd)
+      catch { case e: Exception =>
+        System.err.println(s"[store] view $n failed to register: ${e.getMessage}") }
+    }
 
   /** Plain (non-matview) table names — the synced-table population the
     * catalog emulation lists as relkind 'r'. */

@@ -220,6 +220,51 @@ class PgDialectSpec extends SparkSpecBase {
     assert(rewritten > 0, "expected at least one golden sublink to be rewritten")
   }
 
+  test("CREATE VIEW lifecycle: create, replace, reflect, drop, durability") {
+    Tables.registerAll(spark, sfDir)
+    val wh = java.nio.file.Files.createTempDirectory("graft-vw").toString
+    val st = new Store(spark, wh)
+    import org.apache.spark.sql.functions._
+    st.replace("vwt", spark.range(10).select(col("id"),
+      (col("id") % 3).as("g")))
+    def exec(sql: String) = PgDialect.execute(spark, st, sql)
+    assert(exec("CREATE VIEW vw_g AS SELECT g, count(*) AS n FROM vwt GROUP BY g")
+      == Command("CREATE VIEW"))
+    def viewRows() = exec("SELECT g, n FROM vw_g ORDER BY g") match {
+      case Rows(df, _) => df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      case other => fail(s"$other")
+    }
+    assert(viewRows() == Seq((0L, 4L), (1L, 3L), (2L, 3L)))
+    // duplicate without OR REPLACE refuses; OR REPLACE swaps the definition
+    intercept[Exception](exec("CREATE VIEW vw_g AS SELECT 1 AS x"))
+    exec("CREATE OR REPLACE VIEW vw_g AS SELECT g, count(*) AS n FROM vwt WHERE g > 0 GROUP BY g")
+    assert(viewRows() == Seq((1L, 3L), (2L, 3L)))
+    // the view tracks base-table writes (re-bound on version flips)
+    exec("DELETE FROM vwt WHERE g = 2")
+    assert(viewRows() == Seq((1L, 3L)))
+    // pg_views lists it with the original definition text
+    exec("SELECT viewname FROM pg_views") match {
+      case Rows(df, _) =>
+        assert(df.collect().map(_.getString(0)).contains("vw_g"))
+      case other => fail(s"$other")
+    }
+    // column-alias form + TEMP views are session-only
+    exec("CREATE TEMP VIEW vw_tmp (a, b) AS SELECT g, count(*) FROM vwt GROUP BY g")
+    exec("SELECT a, b FROM vw_tmp ORDER BY a") match {
+      case Rows(df, _) => assert(df.columns.toSeq == Seq("a", "b"))
+      case other => fail(s"$other")
+    }
+    // durable views survive a fresh mount of the same warehouse; temp do not
+    val st2 = new Store(spark, wh)
+    assert(st2.viewNames.contains("vw_g") && !st2.viewNames.contains("vw_tmp"))
+    assert(viewRows() == Seq((1L, 3L)))
+    assert(exec("DROP VIEW vw_g") == Command("DROP VIEW"))
+    intercept[Exception](exec("DROP VIEW vw_g"))
+    assert(exec("DROP VIEW IF EXISTS vw_g") == Command("DROP VIEW"))
+    spark.catalog.dropTempView("vw_tmp")
+    st.drop("vwt")
+  }
+
   test("SIMILAR TO translates to an anchored RLIKE with PG semantics") {
     // wildcards become regex, regex subset passes through, . is literal
     assert(similarToRegex("NATION_1%", None) == "NATION.1.*")
