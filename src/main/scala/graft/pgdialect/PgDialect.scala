@@ -566,6 +566,7 @@ object PgDialect {
     s = autoAliasTargets(s)
     s = rewriteArraySubquery(s)
     s = rewriteDistinctOn(s)
+    s = rewriteGroupsFrame(s)
     // PG's aggregate-internal ORDER BY -> Spark's WITHIN GROUP form:
     // string_agg(x, d ORDER BY y[,z]) / listagg(...) — the common psql
     // idiom; arguments with nested parens pass through untouched
@@ -1272,6 +1273,77 @@ object PgDialect {
           s"FROM (SELECT $cols FROM $from)) WHERE __rk <= $n ORDER BY $keys"
       case _ => sql
     }
+  }
+
+  /** PG GROUPS window frames -> RANGE over a pre-computed dense_rank.
+    * `f(x) OVER ([PARTITION BY p] ORDER BY k GROUPS BETWEEN a AND b)` counts
+    * frame offsets in PEER GROUPS; Spark has no GROUPS mode, but a group's
+    * ordinal IS dense_rank() over the same (partition, order), and a RANGE
+    * frame over that integer with the same offsets — including CURRENT ROW,
+    * whose RANGE meaning "all peers" matches its GROUPS meaning exactly —
+    * reproduces the semantics. The rewrite wraps the source in a subquery
+    * computing `__gdr` (the WHERE moves inside: windows evaluate after
+    * filtering) and retargets the frame. Single-window SELECTs over one
+    * relation only; anything more complex passes through untouched (and
+    * fails loudly in the parser rather than silently misanswering). */
+  private def rewriteGroupsFrame(sql: String): String = {
+    if ("(?i)GROUPS\\s+BETWEEN".r.findFirstIn(sql).isEmpty) return sql
+    val bound = "UNBOUNDED\\s+PRECEDING|UNBOUNDED\\s+FOLLOWING|CURRENT\\s+ROW|" +
+      "\\d+\\s+PRECEDING|\\d+\\s+FOLLOWING"
+    val over = ("(?is)OVER\\s*\\(\\s*(?:PARTITION\\s+BY\\s+(.+?)\\s+)?ORDER\\s+BY\\s+(.+?)\\s+" +
+      s"GROUPS\\s+BETWEEN\\s+($bound)\\s+AND\\s+($bound)\\s*\\)").r
+    val ms = over.findAllMatchIn(sql).toList
+    if (ms.size != 1) return sql
+    val m = ms.head
+    val part = Option(m.group(1)).map(_.trim).filter(_.nonEmpty)
+    val keys = m.group(2).trim
+    val lo = m.group(3).toUpperCase.replaceAll("\\s+", " ")
+    val hi = m.group(4).toUpperCase.replaceAll("\\s+", " ")
+    // top-level clause split (paren/quote aware)
+    def topIndexOf(s: String, word: String, from: Int): Int = {
+      val u = s.toUpperCase; val w = word.toUpperCase
+      var depth = 0; var inStr = false; var i = from
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (inStr) { if (c == '\'') inStr = false }
+        else c match {
+          case '\'' => inStr = true
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ =>
+            if (depth == 0 && u.startsWith(w, i) &&
+                (i == 0 || !u.charAt(i - 1).isLetterOrDigit) &&
+                (i + w.length >= s.length || !u.charAt(i + w.length).isLetterOrDigit))
+              return i
+        }
+        i += 1
+      }
+      -1
+    }
+    if (!sql.trim.toUpperCase.startsWith("SELECT")) return sql
+    val fromIdx = topIndexOf(sql, "FROM", 0)
+    if (fromIdx < 0) return sql
+    if (topIndexOf(sql, "GROUP", fromIdx) >= 0) return sql
+    val whereIdx = topIndexOf(sql, "WHERE", fromIdx)
+    val orderIdx = topIndexOf(sql, "ORDER", fromIdx)
+    val limitIdx = topIndexOf(sql, "LIMIT", fromIdx)
+    val srcEnd = Seq(whereIdx, orderIdx, limitIdx).filter(_ >= 0)
+      .minOption.getOrElse(sql.length)
+    val whereEnd = Seq(orderIdx, limitIdx).filter(_ >= 0)
+      .minOption.getOrElse(sql.length)
+    val src = sql.substring(fromIdx + 4, srcEnd).trim
+    val where = if (whereIdx >= 0) " " + sql.substring(whereIdx, whereEnd).trim else ""
+    val tail = if (srcEnd == sql.length) ""
+      else " " + sql.substring(math.max(whereEnd, srcEnd)).trim
+    val selList0 = sql.substring(sql.toUpperCase.indexOf("SELECT") + 6, fromIdx)
+    val pby = part.map(p => s"PARTITION BY $p ").getOrElse("")
+    val newOver = s"OVER (${pby}ORDER BY __gdr RANGE BETWEEN $lo AND $hi)"
+    var selList = over.replaceAllIn(selList0,
+      java.util.regex.Matcher.quoteReplacement(newOver))
+    if (selList.trim.startsWith("*"))
+      selList = selList.replaceFirst("\\*", "* EXCEPT(__gdr)")
+    s"SELECT $selList FROM (SELECT *, dense_rank() OVER (${pby}ORDER BY $keys)" +
+      s" AS __gdr FROM $src$where)$tail"
   }
 
   /** `expr [NOT] SIMILAR TO 'pat' [ESCAPE 'c']` -> `expr [NOT] RLIKE

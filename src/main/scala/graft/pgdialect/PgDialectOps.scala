@@ -208,6 +208,49 @@ object PgDialectOps {
         GROUP BY g ORDER BY g""")
     },
 
+    // correlated LATERAL subquery in FROM (top-2-per-group via LIMIT inside
+    // the lateral): native in Spark 3.2+ and DuckDB — the gate pins that
+    // the translator leaves the shape intact end-to-end
+    Q("pd_lateral_subquery", Some("""
+      SELECT c_custkey, t.o_orderkey, t.o_totalprice
+      FROM customer, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      WHERE c_custkey <= 200
+      ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")) { (s, dir) =>
+      run(s, """
+        SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c_custkey <= 200
+        ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
+    },
+
+    // GROUPS window frame -> RANGE over dense_rank (DuckDB lacks GROUPS
+    // too, so the oracle hand-writes the peer-group semantics with its own
+    // dense_rank + RANGE formulation — same math, independent execution)
+    Q("pd_groups_frame", Some("""
+      SELECT o_custkey, d, CAST(s AS BIGINT) AS s FROM (
+        SELECT o_custkey, CAST(o_orderdate AS VARCHAR) AS d,
+          sum(o_orderkey) OVER (PARTITION BY o_custkey
+            ORDER BY gdr RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS s
+        FROM (SELECT o_custkey, o_orderdate, o_orderkey,
+                dense_rank() OVER (PARTITION BY o_custkey
+                  ORDER BY CAST(o_orderdate AS VARCHAR)) AS gdr
+              FROM orders WHERE o_custkey <= 100) t) u
+      ORDER BY o_custkey, d, s""")) { (s, dir) =>
+      run(s, """
+        SELECT o_custkey, o_orderdate::text AS d,
+          CAST(sum(o_orderkey) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate::text
+            GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+        FROM orders WHERE o_custkey <= 100
+        ORDER BY o_custkey, d, s""")
+    },
+
     Q("pd_distinct_on", Some("""
       SELECT DISTINCT ON (user_id) user_id, event_id
       FROM events ORDER BY user_id, event_id DESC""")) { (s, dir) =>

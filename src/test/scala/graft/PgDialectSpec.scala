@@ -290,6 +290,23 @@ class PgDialectSpec extends SparkSpecBase {
     assert(wild.map(_.getString(0)) == Seq("a.c", "abc", "axc"))
   }
 
+  test("GROUPS frame translates to RANGE over dense_rank") {
+    val out = translateSelect("SELECT k, sum(v) OVER (PARTITION BY p ORDER BY k " +
+      "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s FROM t WHERE v > 0 ORDER BY k")
+    assert(out.contains("RANGE BETWEEN 1 PRECEDING AND CURRENT ROW"), out)
+    assert(out.contains("dense_rank() OVER (PARTITION BY p ORDER BY k"), out)
+    // the WHERE moves inside the dense_rank subquery (windows run post-filter)
+    assert(out.contains("FROM t WHERE v > 0)"), out)
+    // SELECT * keeps its schema (helper rank column excluded)
+    val star = translateSelect(
+      "SELECT *, sum(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS s FROM t")
+    assert(star.contains("* EXCEPT(__gdr)"), star)
+    // two GROUPS windows or GROUP BY: pass through untouched (fail loudly)
+    val two = "SELECT sum(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS a, " +
+      "max(v) OVER (ORDER BY j GROUPS BETWEEN 2 PRECEDING AND CURRENT ROW) AS b FROM t"
+    assert(translateSelect(two).toUpperCase.contains("GROUPS"))
+  }
+
   test("two-word PG type names cast correctly") {
     val out = translateSelect("SELECT x::double precision AS d, " +
       "y::character varying AS s, z::timestamp without time zone AS ts FROM t")
