@@ -416,6 +416,30 @@ object StoreOps {
     // on top; the dialect statement `FROM t FOR VERSION AS OF v1` must
     // still see the pre-upsert rows (immutable version dirs). The oracle
     // recomputes v1's content from the base table.
+    // hidden day-partitioned Iceberg layout: the query predicates on ts,
+    // planning prunes via the day-transform partition values in the
+    // manifest (bounds are relative to min(ts) so the oracle is stable
+    // across driver-regenerated data)
+    Q("st_iceberg_transform", Some("""
+      SELECT event_id, user_id, CAST(ts AS VARCHAR) AS t
+      FROM events
+      WHERE ts >= (SELECT min(ts) + INTERVAL 2 DAY FROM events)
+        AND ts <= (SELECT min(ts) + INTERVAL 4 DAY FROM events)
+      ORDER BY event_id""")) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-icet").toString
+      val store = new Store(s, wh)
+      val ev = t(s, dir, "events").select("event_id", "user_id", "ts")
+      store.replaceTransformPartitioned("icet_events", ev, "ts", "day")
+      store.publishIceberg("icet_events")
+      val minTs = ev.agg(min(col("ts"))).collect()(0)
+        .getAs[java.time.LocalDateTime](0)
+      val (df, scanned, total) = store.readIcebergTransformRange(
+        "icet_events", "ts", minTs.plusDays(2), minTs.plusDays(4))
+      require(scanned < total, s"day pruning must skip files: $scanned/$total")
+      df.select(col("event_id"), col("user_id"),
+        col("ts").cast("string").as("t")).orderBy("event_id")
+    },
+
     Q("st_timetravel_sql", Some("""
       SELECT o_orderkey, o_orderstatus FROM orders
       WHERE o_orderkey <= 3000 ORDER BY o_orderkey""")) { (s, dir) =>

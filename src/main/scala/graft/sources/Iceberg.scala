@@ -8,6 +8,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types._
 
 import java.nio.ByteBuffer
@@ -221,6 +222,122 @@ object Iceberg {
   private def leInt(a: Array[Byte]): Int =
     ByteBuffer.wrap(a).order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
 
+  // ---- partition spec fields + transforms --------------------------------
+
+  /** One partition-spec field. `name` is the spec field name (identity
+    * fields use the column name; transformed fields use the
+    * `<col>_<transform>` convention, with bucket/truncate widths inlined —
+    * `ts_day`, `id_bucket16`, `s_trunc4` — so a hive layout is
+    * self-describing), `transform` the Iceberg transform string (identity,
+    * day, month, year, hour, bucket[N], truncate[W]), `sourceCol` the
+    * schema column it derives from, `resultType` the transform result type
+    * (controls the Avro partition-value encoding). */
+  final case class SpecField(name: String, transform: String,
+      sourceCol: String, sourceType: DataType) {
+    def resultType: DataType = transformResultType(transform, sourceType)
+  }
+  object SpecField {
+    def identity(n: String, dt: DataType): SpecField =
+      SpecField(n, "identity", n, dt)
+    /** Spec field name for a transform over a column (`ts_day`,
+      * `id_bucket16`, `s_trunc4`) — also the hive dir key the writer emits,
+      * so a layout is self-describing for [[Store.publishIceberg]]. */
+    def fieldName(column: String, transform: String): String = transform match {
+      case "identity" => column
+      case bucketRe(n) => s"${column}_bucket$n"
+      case truncRe(w) => s"${column}_trunc$w"
+      case t => s"${column}_$t"
+    }
+  }
+
+  private val bucketRe = "bucket\\[(\\d+)\\]".r
+  private val truncRe = "truncate\\[(\\d+)\\]".r
+
+  /** Iceberg bucket hash (spec Appendix B): murmur3_x86_32 with seed 0 over
+    * the spec'd byte layout — ints/longs/dates/timestamps as 8-byte
+    * little-endian longs, strings as UTF-8 bytes. Spark bundles the same
+    * x86 32-bit murmur3; hashLong matches the 8-byte-LE layout directly and
+    * hashUnsafeBytes2 is its Guava-compatible byte variant (the plain
+    * hashUnsafeBytes mixes tail bytes one block each — NOT murmur3).
+    * IcebergSpec pins the spec's published test vectors. */
+  def bucketHash(v: Any, dt: DataType): Int = {
+    import org.apache.spark.unsafe.hash.Murmur3_x86_32
+    import org.apache.spark.unsafe.Platform
+    dt match {
+      case IntegerType | ShortType | ByteType | LongType =>
+        Murmur3_x86_32.hashLong(v.asInstanceOf[Number].longValue, 0)
+      case DateType => Murmur3_x86_32.hashLong(v match {
+        case d: java.sql.Date => d.toLocalDate.toEpochDay
+        case d: java.time.LocalDate => d.toEpochDay
+        case n: Number => n.longValue
+      }, 0)
+      case TimestampType | TimestampNTZType =>
+        Murmur3_x86_32.hashLong(microsOf(v), 0)
+      case StringType =>
+        val b = v.toString.getBytes(UTF_8)
+        Murmur3_x86_32.hashUnsafeBytes2(b, Platform.BYTE_ARRAY_OFFSET, b.length, 0)
+      case other => throw new IllegalArgumentException(s"bucket over $other")
+    }
+  }
+
+  private def microsOf(v: Any): Long = v match {
+    case t: java.sql.Timestamp =>
+      t.getTime / 1000 * 1000000 + t.getNanos / 1000
+    case t: java.time.Instant =>
+      t.getEpochSecond * 1000000L + t.getNano / 1000
+    case t: java.time.LocalDateTime =>
+      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000
+    case n: Number => n.longValue
+  }
+
+  private def epochDayOf(v: Any, dt: DataType): Long = dt match {
+    case DateType => v match {
+      case d: java.sql.Date => d.toLocalDate.toEpochDay
+      case d: java.time.LocalDate => d.toEpochDay
+      case n: Number => n.longValue
+    }
+    case _ => Math.floorDiv(microsOf(v), 86400000000L)
+  }
+
+  /** Apply a transform to a literal — the pruning-side twin of the layout
+    * the writer produced. */
+  def transformValue(transform: String, v: Any, dt: DataType): Any =
+    transform match {
+      case "identity" => v
+      case "day" => epochDayOf(v, dt).toInt
+      case "hour" => Math.floorDiv(microsOf(v), 3600000000L).toInt
+      case "month" =>
+        val d = java.time.LocalDate.ofEpochDay(epochDayOf(v, dt))
+        (d.getYear - 1970) * 12 + d.getMonthValue - 1
+      case "year" =>
+        java.time.LocalDate.ofEpochDay(epochDayOf(v, dt)).getYear - 1970
+      case bucketRe(n) => (bucketHash(v, dt) & Int.MaxValue) % n.toInt
+      case truncRe(w) => dt match {
+        case StringType =>
+          val s = v.toString; s.substring(0, math.min(s.length, w.toInt))
+        case LongType | IntegerType =>
+          val l = v.asInstanceOf[Number].longValue
+          val r = l - Math.floorMod(l, w.toLong)
+          if (dt == IntegerType) r.toInt else r
+        case other => throw new IllegalArgumentException(s"truncate over $other")
+      }
+      case other => throw new IllegalArgumentException(s"transform $other")
+    }
+
+  def transformResultType(transform: String, src: DataType): DataType =
+    transform match {
+      case "identity" => src
+      case "day" | "hour" | "month" | "year" => IntegerType
+      case bucketRe(_) => IntegerType
+      case truncRe(_) => src
+      case other => throw new IllegalArgumentException(s"transform $other")
+    }
+
+  /** Monotone transforms map a source range to a transform-value range, so
+    * range predicates prune partitions; bucket does not (equality only). */
+  def transformMonotone(transform: String): Boolean =
+    transform match { case bucketRe(_) => false; case _ => true }
+
   // ---- Avro schemas (Iceberg v2 spec, field-ids as avro props) -----------
 
   private def kvArray(name: String, keyId: Int, valId: Int, valType: String) =
@@ -318,7 +435,7 @@ object Iceberg {
     * reference's wall-clock ids, so tests and oracles can pin them. */
   def commit(spark: SparkSession, tableDir: Path, schema: StructType,
       dataFiles: Seq[Path], snapshotId: Long,
-      specCols: Seq[(String, DataType)] = Nil,
+      spec: Seq[SpecField] = Nil,
       partitionOf: Path => Seq[(String, Any)] = _ => Nil): Path = {
     val conf = spark.sessionState.newHadoopConf()
     val fs = fsOf(tableDir, conf)
@@ -331,7 +448,7 @@ object Iceberg {
 
     // manifest
     val manifestPath = new Path(metaDir, f"snap-$snapshotId-manifest.avro")
-    writeManifest(fs, manifestPath, schema, stats, snapshotId, seq, specCols, parts)
+    writeManifest(fs, manifestPath, schema, stats, snapshotId, seq, spec, parts)
     val manifestLen = fs.getFileStatus(manifestPath).getLen
 
     // manifest list
@@ -359,15 +476,15 @@ object Iceberg {
     val spec0 = specs.addObject()
     spec0.put("spec-id", 0)
     val specFields = spec0.putArray("fields")
-    specCols.zipWithIndex.foreach { case ((n, _), i) =>
+    spec.zipWithIndex.foreach { case (sf, i) =>
       val f = specFields.addObject()
-      f.put("name", n)
-      f.put("transform", "identity")
-      f.put("source-id", schema.fieldIndex(n) + 1)
+      f.put("name", sf.name)
+      f.put("transform", sf.transform)
+      f.put("source-id", schema.fieldIndex(sf.sourceCol) + 1)
       f.put("field-id", 1000 + i)
     }
     root.put("default-spec-id", 0)
-    root.put("last-partition-id", 999 + specCols.size)
+    root.put("last-partition-id", 999 + spec.size)
     val orders = root.putArray("sort-orders")
     val order0 = orders.addObject()
     order0.put("order-id", 0)
@@ -480,13 +597,13 @@ object Iceberg {
 
   private def writeManifest(fs: FileSystem, path: Path, schema: StructType,
       stats: Seq[FileStats], snapshotId: Long, seq: Long,
-      specCols: Seq[(String, DataType)], parts: Seq[Seq[(String, Any)]]): Unit = {
-    val mSchema = manifestSchema(specCols)
+      spec: Seq[SpecField], parts: Seq[Seq[(String, Any)]]): Unit = {
+    val mSchema = manifestSchema(spec.map(sf => sf.name -> sf.resultType))
     val dataFileSchema = mSchema.getField("data_file").schema
     val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](mSchema))
     writer.setMeta("schema", om.writeValueAsString(schemaJson(schema)))
-    val specJson = specCols.zipWithIndex.map { case ((n, _), i) =>
-      s"""{"name": "$n", "transform": "identity", "source-id": ${schema.fieldIndex(n) + 1}, "field-id": ${1000 + i}}"""
+    val specJson = spec.zipWithIndex.map { case (sf, i) =>
+      s"""{"name": "${sf.name}", "transform": "${sf.transform}", "source-id": ${schema.fieldIndex(sf.sourceCol) + 1}, "field-id": ${1000 + i}}"""
     }.mkString("[", ", ", "]")
     writer.setMeta("partition-spec", specJson)
     writer.setMeta("partition-spec-id", "0")
@@ -714,16 +831,20 @@ object Iceberg {
     * partitioned snapshot reads with basePath so the identity-partition
     * columns (present in paths, not data files) are restored. */
   def readTable(spark: SparkSession, tableDir: Path,
-      snapshotId: Option[Long] = None): DataFrame =
-    readFromPlan(spark, planFiles(tableDir, snapshotId,
-      spark.sessionState.newHadoopConf()), tableDir.toString)
+      snapshotId: Option[Long] = None): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    dropHidden(readFromPlan(spark, planFiles(tableDir, snapshotId, conf),
+      tableDir.toString), partitionSpec(tableDir, conf))
+  }
 
   /** Read through an explicit metadata.json location (what a JDBC catalog's
     * `metadata_location` column points at). */
   def readTableAt(spark: SparkSession, metadataLocation: Path,
-      snapshotId: Option[Long] = None): DataFrame =
-    readFromPlan(spark, planFilesAt(metadataLocation, snapshotId,
-      spark.sessionState.newHadoopConf()), metadataLocation.toString)
+      snapshotId: Option[Long] = None): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    dropHidden(readFromPlan(spark, planFilesAt(metadataLocation, snapshotId,
+      conf), metadataLocation.toString), partitionSpecAt(metadataLocation, conf))
+  }
 
   private def readFromPlan(spark: SparkSession, files: Seq[PlannedFile],
       what: String): DataFrame = {
@@ -781,5 +902,111 @@ object Iceberg {
       else readFiles(hit)
     (df.filter(col(column) >= lit(lo) && col(column) <= lit(hi)),
       hit.length, files.length)
+  }
+
+  // ---- hidden partitioning (transform-aware planning) --------------------
+
+  private def icebergTypeToSpark(t: com.fasterxml.jackson.databind.JsonNode): DataType =
+    t.asText match {
+      case "int" => IntegerType
+      case "long" => LongType
+      case "string" => StringType
+      case "date" => DateType
+      case "timestamp" | "timestamptz" => TimestampType
+      case "double" => DoubleType
+      case "float" => FloatType
+      case "boolean" => org.apache.spark.sql.types.BooleanType
+      case _ => StringType
+    }
+
+  /** The current partition spec, read back from metadata.json (the reader
+    * side never assumes it wrote the table — foreign metadata works too). */
+  def partitionSpecAt(mdPath: Path,
+      conf: Configuration = new Configuration()): Seq[SpecField] = {
+    val fs = fsOf(mdPath, conf)
+    val md = om.readTree(readBytes(fs, mdPath))
+    val schemaNode = Option(md.get("current-schema-id")).map(_.asInt) match {
+      case Some(id) => md.get("schemas").elements.asScala
+        .find(s => Option(s.get("schema-id")).exists(_.asInt == id))
+        .getOrElse(md.get("schemas").get(0))
+      case None => md.get("schemas").get(0)
+    }
+    val idToField = schemaNode.get("fields").elements.asScala
+      .map(f => f.get("id").asInt -> (f.get("name").asText, f.get("type"))).toMap
+    val specId = Option(md.get("default-spec-id")).map(_.asInt).getOrElse(0)
+    md.get("partition-specs").elements.asScala
+      .find(_.get("spec-id").asInt == specId)
+      .map(_.get("fields").elements.asScala.map { f =>
+        val (srcName, srcType) = idToField(f.get("source-id").asInt)
+        SpecField(f.get("name").asText, f.get("transform").asText, srcName,
+          icebergTypeToSpark(srcType))
+      }.toSeq).getOrElse(Nil)
+  }
+
+  def partitionSpec(tableDir: Path,
+      conf: Configuration = new Configuration()): Seq[SpecField] =
+    currentMetadataFile(tableDir, conf)
+      .map(partitionSpecAt(_, conf)).getOrElse(Nil)
+
+  private def pvCompare(a: Any, b: Any): Int = (a, b) match {
+    case (x: Number, y: Number) => java.lang.Long.compare(x.longValue, y.longValue)
+    case _ => String.valueOf(a).compareTo(String.valueOf(b))
+  }
+
+  /** Drop hidden-partition columns (transform-derived hive dirs surface as
+    * extra columns under a basePath read) so results keep the logical
+    * schema. */
+  private def dropHidden(df: DataFrame, spec: Seq[SpecField]): DataFrame = {
+    val hidden = spec.filter(_.transform != "identity").map(_.name)
+    if (hidden.isEmpty) df else df.drop(hidden: _*)
+  }
+
+  /** Transform-partition-pruned reads over a hidden-partitioned table: the
+    * caller predicates on the SOURCE column; planning maps it through the
+    * spec's transform and keeps only manifest entries whose partition value
+    * matches — the Iceberg "hidden partitioning" contract, where queries
+    * never mention the derived field. Equality works for any transform
+    * (incl. bucket); range needs a monotone one. Residual filters re-apply
+    * the exact predicate. Returns (df, filesScanned, filesTotal). */
+  def readTransformEqPruned(spark: SparkSession, tableDir: Path,
+      sourceCol: String, value: Any): (DataFrame, Int, Int) =
+    transformPruned(spark, tableDir, sourceCol, requireMonotone = false) {
+      (sf, pv) => pvCompare(pv, transformValue(sf.transform, value, sf.sourceType)) == 0
+    }.map3(_.filter(col(sourceCol) === lit(value)))
+
+  def readTransformRangePruned(spark: SparkSession, tableDir: Path,
+      sourceCol: String, lo: Any, hi: Any): (DataFrame, Int, Int) =
+    transformPruned(spark, tableDir, sourceCol, requireMonotone = true) {
+      (sf, pv) =>
+        pvCompare(pv, transformValue(sf.transform, lo, sf.sourceType)) >= 0 &&
+        pvCompare(pv, transformValue(sf.transform, hi, sf.sourceType)) <= 0
+    }.map3(_.filter(col(sourceCol) >= lit(lo) && col(sourceCol) <= lit(hi)))
+
+  private implicit class Map3(t: (DataFrame, Int, Int)) {
+    def map3(f: DataFrame => DataFrame): (DataFrame, Int, Int) =
+      (f(t._1), t._2, t._3)
+  }
+
+  private def transformPruned(spark: SparkSession, tableDir: Path,
+      sourceCol: String, requireMonotone: Boolean)(
+      keep: (SpecField, Any) => Boolean): (DataFrame, Int, Int) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val spec = partitionSpec(tableDir, conf)
+    val sf = spec.find(s => s.sourceCol == sourceCol &&
+        (!requireMonotone || transformMonotone(s.transform)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no usable partition transform over $sourceCol in $tableDir"))
+    val files = planFiles(tableDir, None, conf)
+    if (files.isEmpty) throw new IllegalStateException(s"empty snapshot in $tableDir")
+    val hit = files.filter(f =>
+      f.partition.get(sf.name).forall(pv => pv == null || keep(sf, pv)))
+    def readFiles(fs: Seq[PlannedFile]): DataFrame =
+      if (fs.head.partition.isEmpty) spark.read.parquet(fs.map(_.path): _*)
+      else spark.read.option("basePath", baseOf(new Path(fs.head.path)).toString)
+        .parquet(fs.map(_.path): _*)
+    val df = dropHidden(
+      if (hit.isEmpty) readFiles(Seq(files.head)).limit(0) else readFiles(hit),
+      spec)
+    (df, hit.length, files.length)
   }
 }

@@ -4,9 +4,9 @@ import org.apache.hadoop.fs.{FileStatus, FileSystem, FileUtil, Path => HadoopPat
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.io.api.Binary
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, ShortType, StringType}
 
 import scala.collection.concurrent.TrieMap
 import scala.jdk.CollectionConverters._
@@ -1363,21 +1363,113 @@ class Store(spark: SparkSession, val warehouse: String) {
       }
       acc.toList
     }
-    val specCols: Seq[(String, org.apache.spark.sql.types.DataType)] =
-      segs(files.head).map { case (k, _) => k -> schema(k).dataType }
-    def typed(k: String, v: String): Any = schema(k).dataType match {
+    // spec fields from the hive keys: a key that IS a schema column is an
+    // identity partition; a `<col>_<transform>` key (the self-describing
+    // names replaceTransformPartitioned emits) is a hidden partition
+    // NOTE on precedence: a hive dir key surfaces as a read-schema column
+    // (Spark infers partition dirs), so a transform-named key like `ts_day`
+    // is in `schema` too — the transform interpretation wins whenever its
+    // SOURCE column exists in the data, and the derived field is dropped
+    // from the logical schema the metadata declares.
+    val transformKey = "^(.*)_(day|month|year|hour|bucket(\\d+)|trunc(\\d+))$".r
+    def specFieldFor(key: String): Iceberg.SpecField = key match {
+      case transformKey(colName, t, bn, tn) if schema.fieldNames.contains(colName) =>
+        val tr =
+          if (bn != null) s"bucket[$bn]"
+          else if (tn != null) s"truncate[$tn]"
+          else t
+        Iceberg.SpecField(key, tr, colName, schema(colName).dataType)
+      case _ if schema.fieldNames.contains(key) =>
+        Iceberg.SpecField.identity(key, schema(key).dataType)
+      case _ => throw new IllegalArgumentException(
+        s"partition dir $key matches no column or transform of $name")
+    }
+    val spec: Seq[Iceberg.SpecField] = segs(files.head).map(s => specFieldFor(s._1))
+    val hidden = spec.filter(_.transform != "identity").map(_.name).toSet
+    val logical = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(f => hidden.contains(f.name)))
+    val byName = spec.map(sf => sf.name -> sf).toMap
+    def typed(k: String, v: String): Any = byName(k).resultType match {
       case IntegerType | ShortType | ByteType => v.toInt
       case LongType => v.toLong
       case _ => v
     }
-    Iceberg.commit(spark, tablePath(name), schema,
-      files, versions(name), specCols,
+    Iceberg.commit(spark, tablePath(name), logical,
+      files, versions(name), spec,
       f => segs(f).map { case (k, v) => k -> typed(k, v) })
+  }
+
+  /** Replace with an Iceberg hidden-partitioned layout: rows land in hive
+    * dirs keyed by `transform(column)` under the spec's field-name
+    * convention (`ts_day=…`, `id_bucket16=…`), while the SOURCE column
+    * stays in the data files — queries never mention the derived field.
+    * publishIceberg then emits the matching transform spec, and the
+    * transform-pruned readers plan on the manifest partition values.
+    * Scale shape: one shuffle on the derived value (same as any
+    * partitioned write); day/month grained dirs bound file counts on
+    * time-ordered data, bucket[N] bounds them on high-cardinality keys. */
+  def replaceTransformPartitioned(name: String, df: DataFrame, column: String,
+      transform: String): Unit = {
+    val srcType = df.schema(column).dataType
+    val fieldName = Iceberg.SpecField.fieldName(column, transform)
+    val bucketN = "bucket\\[(\\d+)\\]".r
+    val truncW = "truncate\\[(\\d+)\\]".r
+    val pcol: Column = transform match {
+      case "day" | "month" | "year" | "hour" => srcType match {
+        case DateType => transform match {
+          case "day" => datediff(col(column), lit("1970-01-01")).cast("int")
+          case "month" => expr(s"(year($column) - 1970) * 12 + month($column) - 1")
+          case "year" => expr(s"year($column) - 1970")
+          case other => throw new IllegalArgumentException(s"$other over DATE")
+        }
+        case _ =>
+          val micros = expr(s"unix_micros(CAST($column AS TIMESTAMP))")
+          transform match {
+            case "day" => floor(micros / lit(86400000000L)).cast("int")
+            case "hour" => floor(micros / lit(3600000000L)).cast("int")
+            case "month" => expr(s"(year($column) - 1970) * 12 + month($column) - 1")
+            case "year" => expr(s"year($column) - 1970")
+          }
+      }
+      case bucketN(n) =>
+        // murmur3 bucket per the Iceberg spec — a scalar UDF is fine here:
+        // this is the WRITE path laying files out, not a query hot loop
+        val nb = n.toInt
+        srcType match {
+          case LongType | IntegerType =>
+            udf((v: java.lang.Long) => if (v == null) null
+              else Int.box((Iceberg.bucketHash(v, LongType) & Int.MaxValue) % nb))
+              .apply(col(column).cast("long"))
+          case StringType =>
+            udf((v: String) => if (v == null) null
+              else Int.box((Iceberg.bucketHash(v, StringType) & Int.MaxValue) % nb))
+              .apply(col(column))
+          case other => throw new IllegalArgumentException(s"bucket over $other")
+        }
+      case truncW(w) => srcType match {
+        case StringType => substring(col(column), 1, w.toInt)
+        case LongType | IntegerType =>
+          (col(column) - pmod(col(column), lit(w.toLong))).cast(srcType.sql.toLowerCase)
+        case other => throw new IllegalArgumentException(s"truncate over $other")
+      }
+      case other => throw new IllegalArgumentException(s"transform $other")
+    }
+    replacePartitioned(name, df.withColumn(fieldName, pcol), fieldName)
   }
 
   /** Read through the Iceberg metadata tree (optionally a past snapshot). */
   def readIceberg(name: String, snapshotId: Option[Long] = None): DataFrame =
     Iceberg.readTable(spark, tablePath(name), snapshotId)
+
+  /** Hidden-partition pruned reads (see Iceberg.readTransform*Pruned):
+    * predicates on the SOURCE column, planned via the spec's transform. */
+  def readIcebergTransformRange(name: String, column: String, lo: Any,
+      hi: Any): (DataFrame, Int, Int) =
+    Iceberg.readTransformRangePruned(spark, tablePath(name), column, lo, hi)
+
+  def readIcebergTransformEq(name: String, column: String,
+      value: Any): (DataFrame, Int, Int) =
+    Iceberg.readTransformEqPruned(spark, tablePath(name), column, value)
 
   /** Publish the current version as an Iceberg snapshot AND advance the
     * table's pointer in a reference-layout JDBC catalog (iceberg_tables

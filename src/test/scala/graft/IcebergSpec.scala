@@ -213,6 +213,87 @@ class IcebergSpec extends SparkSpecBase {
     assert(one.count() == df.filter(col("part") === "p1").count())
   }
 
+  test("bucket hash matches the Iceberg spec's published test vectors") {
+    import org.apache.spark.sql.types._
+    assert(Iceberg.bucketHash(34, IntegerType) == 2017239379,
+      s"int: ${Iceberg.bucketHash(34, IntegerType)}")
+    assert(Iceberg.bucketHash(34L, LongType) == 2017239379,
+      s"long: ${Iceberg.bucketHash(34L, LongType)}")
+    assert(Iceberg.bucketHash("iceberg", StringType) == 1210000089,
+      s"string: ${Iceberg.bucketHash("iceberg", StringType)}")
+    assert(Iceberg.bucketHash(java.time.LocalDate.of(2017, 11, 16), DateType)
+      == -653330422,
+      s"date: ${Iceberg.bucketHash(java.time.LocalDate.of(2017, 11, 16), DateType)}")
+    val ts = java.time.LocalDateTime.of(2017, 11, 16, 22, 31, 8)
+    assert(Iceberg.bucketHash(ts, TimestampNTZType) == -2047944441,
+      s"timestamp: ${Iceberg.bucketHash(ts, TimestampNTZType)}")
+  }
+
+  test("hidden day partitioning: spec emission, logical schema, range prune") {
+    val (store, dir) = freshStore()
+    val ev = Tables.df(spark, sfDir, "events")
+      .select("event_id", "user_id", "ts")
+    store.replaceTransformPartitioned("evd", ev, "ts", "day")
+    store.publishIceberg("evd")
+    // spec carries the transform, named by convention, sourced to ts
+    val spec = mdJson(dir.resolve("evd")).get("partition-specs").get(0)
+      .get("fields").get(0)
+    assert(spec.get("name").asText == "ts_day")
+    assert(spec.get("transform").asText == "day")
+    // metadata read keeps the LOGICAL schema (ts_day dropped) and the rows
+    val back = store.readIceberg("evd")
+    assert(back.columns.toSeq.sorted == Seq("event_id", "ts", "user_id"))
+    assert(back.count() == ev.count())
+    // range pruning: a 2-day slice plans a strict subset of files and the
+    // result matches the exact filter
+    import org.apache.spark.sql.functions._
+    val minTs = ev.agg(min("ts")).collect()(0)
+      .getAs[java.time.LocalDateTime](0)
+    val lo = minTs.plusDays(2)
+    val hi = minTs.plusDays(4)
+    val (df, scanned, total) = store.readIcebergTransformRange("evd", "ts", lo, hi)
+    assert(scanned < total, s"scanned $scanned of $total")
+    val expect = ev.filter(col("ts") >= lit(lo) && col("ts") <= lit(hi))
+    assert(df.count() == expect.count() && df.count() > 0)
+    assert(df.except(expect).count() == 0)
+    store.drop("evd")
+  }
+
+  test("bucket partitioning prunes an equality probe to one bucket") {
+    val (store, dir) = freshStore()
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    store.replaceTransformPartitioned("ob", ord, "o_custkey", "bucket[8]")
+    store.publishIceberg("ob")
+    val spec = mdJson(dir.resolve("ob")).get("partition-specs").get(0)
+      .get("fields").get(0)
+    assert(spec.get("name").asText == "o_custkey_bucket8")
+    assert(spec.get("transform").asText == "bucket[8]")
+    import org.apache.spark.sql.functions._
+    val key = ord.select("o_custkey").first().getLong(0)
+    val (df, scanned, total) = store.readIcebergTransformEq("ob", "o_custkey", key)
+    assert(scanned < total, s"scanned $scanned of $total")
+    val expect = ord.filter(col("o_custkey") === key)
+    assert(df.count() == expect.count() && df.count() > 0)
+    assert(df.except(expect).count() == 0)
+    store.drop("ob")
+  }
+
+  test("string truncate partitioning prunes by prefix bucket") {
+    val (store, dir) = freshStore()
+    val part = spark.read.parquet(s"$sfDir/part.parquet")
+      .select("p_partkey", "p_name")
+    store.replaceTransformPartitioned("pt", part, "p_name", "truncate[4]")
+    store.publishIceberg("pt")
+    import org.apache.spark.sql.functions._
+    val name = part.select("p_name").first().getString(0)
+    val (df, scanned, total) = store.readIcebergTransformEq("pt", "p_name", name)
+    assert(scanned < total, s"scanned $scanned of $total")
+    val expect = part.filter(col("p_name") === name)
+    assert(df.count() == expect.count() && df.count() > 0)
+    store.drop("pt")
+  }
+
   test("negative float/double bounds order correctly (typed compare)") {
     import spark.implicits._
     val (store, dir) = freshStore()
