@@ -32,6 +32,35 @@ object FnQueries {
                jsonb_pretty('{"b":[1,2],"a":"x"}') AS pretty""")
     },
 
+    // age(ts, ts): calendar-aware interval text with PG's borrow rules —
+    // the VALUES rows pin month-length borrowing (Jan vs Feb-leap), exact
+    // negation, pluralization, fraction trimming, and the all-zero form
+    Q("fn_age", Some("""
+      SELECT i, age(a, b)::varchar AS ag FROM (VALUES
+        (1, TIMESTAMP '2024-03-01 00:00:00', TIMESTAMP '2024-01-15 00:00:00'),
+        (2, TIMESTAMP '2024-01-15 00:00:00', TIMESTAMP '2024-03-01 00:00:00'),
+        (3, TIMESTAMP '2024-03-30 14:30:15', TIMESTAMP '2024-01-31 10:00:00'),
+        (4, TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-01 00:00:00'),
+        (5, TIMESTAMP '2025-07-01 00:00:00', TIMESTAMP '2024-01-01 00:00:00'),
+        (6, TIMESTAMP '2024-02-29 00:00:00', TIMESTAMP '2023-02-28 00:00:00'),
+        (7, TIMESTAMP '2024-01-01 00:00:00.123', TIMESTAMP '2024-01-01 00:00:00'),
+        (8, TIMESTAMP '2024-03-01 00:00:01', TIMESTAMP '2024-02-29 23:59:00'),
+        (9, TIMESTAMP '2024-06-15 10:00:00', TIMESTAMP '2023-06-15 11:30:00')
+      ) t(i, a, b) ORDER BY i""")) { (s, dir) =>
+      s.sql("""
+        SELECT i, age(a, b) AS ag FROM VALUES
+          (1, TIMESTAMP_NTZ '2024-03-01 00:00:00', TIMESTAMP_NTZ '2024-01-15 00:00:00'),
+          (2, TIMESTAMP_NTZ '2024-01-15 00:00:00', TIMESTAMP_NTZ '2024-03-01 00:00:00'),
+          (3, TIMESTAMP_NTZ '2024-03-30 14:30:15', TIMESTAMP_NTZ '2024-01-31 10:00:00'),
+          (4, TIMESTAMP_NTZ '2024-01-01 00:00:00', TIMESTAMP_NTZ '2024-01-01 00:00:00'),
+          (5, TIMESTAMP_NTZ '2025-07-01 00:00:00', TIMESTAMP_NTZ '2024-01-01 00:00:00'),
+          (6, TIMESTAMP_NTZ '2024-02-29 00:00:00', TIMESTAMP_NTZ '2023-02-28 00:00:00'),
+          (7, TIMESTAMP_NTZ '2024-01-01 00:00:00.123', TIMESTAMP_NTZ '2024-01-01 00:00:00'),
+          (8, TIMESTAMP_NTZ '2024-03-01 00:00:01', TIMESTAMP_NTZ '2024-02-29 23:59:00'),
+          (9, TIMESTAMP_NTZ '2024-06-15 10:00:00', TIMESTAMP_NTZ '2023-06-15 11:30:00')
+        AS t(i, a, b) ORDER BY i""")
+    },
+
     Q("fn_quote_ident", Some("""
       SELECT '"' || replace(n_name, '"', '""') || '"' AS qname FROM nation ORDER BY qname""")) { (s, dir) =>
       s.sql("SELECT quote_ident(n_name) AS qname FROM nation ORDER BY qname")

@@ -168,6 +168,15 @@ object PgFunctions {
     // %N$s positional forms PG emits.
     fn(spark, "pg_format") { exprs => FormatString(exprs: _*) }
 
+    // age(ts, ts): PG's calendar-aware interval, rendered as the interval
+    // TEXT the reference's embedded DuckDB produces over the wire
+    // ("1 month 17 days 04:30:15", zero components omitted, trailing
+    // fraction zeros trimmed, each component sign-prefixed when negative,
+    // all-zero -> "00:00:00"). Field-wise diff with PG's borrow rules:
+    // time borrows a day, days borrow the SECOND argument's month length.
+    spark.udf.register("age",
+      (a: java.time.LocalDateTime, b: java.time.LocalDateTime) => pgAge(a, b))
+
     // array_to_string / sha256 under their PG spellings (whitelisted
     // builtins in the reference, query_remapper_function.go:114-117)
     fn(spark, "array_to_string") { exprs =>
@@ -410,5 +419,39 @@ object PgFunctions {
     }
     render(root, 0)
     sb.toString
+  }
+
+  /** PG `age(ts1, ts2)` semantics + the reference engine's interval text.
+    * Sign handling: the negative direction is the exact negation of the
+    * positive one (pinned against the embedded engine's output). */
+  private[graft] def pgAge(a: java.time.LocalDateTime,
+      b: java.time.LocalDateTime): String = {
+    if (a == null || b == null) return null
+    val neg = a.isBefore(b)
+    val (t1, t2) = if (neg) (b, a) else (a, b)
+    var years = t1.getYear - t2.getYear
+    var months = t1.getMonthValue - t2.getMonthValue
+    var days = t1.getDayOfMonth - t2.getDayOfMonth
+    var micros = (t1.toLocalTime.toNanoOfDay - t2.toLocalTime.toNanoOfDay) / 1000
+    if (micros < 0) { micros += 86400000000L; days -= 1 }
+    if (days < 0) {
+      days += java.time.YearMonth.of(t2.getYear, t2.getMonthValue).lengthOfMonth
+      months -= 1
+    }
+    if (months < 0) { months += 12; years -= 1 }
+    val sign = if (neg) "-" else ""
+    val parts = Seq(years -> "year", months -> "month", days -> "day")
+      .collect { case (v, u) if v != 0 =>
+        s"$sign$v $u${if (v != 1) "s" else ""}" }
+    val time =
+      if (micros == 0 && parts.nonEmpty) None
+      else {
+        val s = micros / 1000000
+        val f = micros % 1000000
+        val base = f"$sign${s / 3600}%02d:${s / 60 % 60}%02d:${s % 60}%02d"
+        Some(if (f == 0) base
+        else base + "." + f"$f%06d".reverse.dropWhile(_ == '0').reverse)
+      }
+    (parts ++ time).mkString(" ")
   }
 }
