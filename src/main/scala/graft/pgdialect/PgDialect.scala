@@ -409,7 +409,8 @@ object PgDialect {
           || upper.contains("PG_STAT_STATEMENTS")
           || upper.contains("PG_CLASS") || upper.contains("PG_ATTRIBUTE")
           || "(?<![A-Z_])PG_TABLES(?![A-Z_])".r.findFirstIn(upper).isDefined
-          || "(?<![A-Z_])PG_VIEWS(?![A-Z_])".r.findFirstIn(upper).isDefined)
+          || "(?<![A-Z_])PG_VIEWS(?![A-Z_])".r.findFirstIn(upper).isDefined
+          || upper.contains("PG_GET_VIEWDEF"))
         PgCatalog.refreshDynamic(spark, store)
       if (upper.contains("INFORMATION_SCHEMA"))
         PgCatalog.refreshInfoSchema(spark)
@@ -589,6 +590,14 @@ object PgDialect {
       "information_schema_$1")
     s = s.replaceAll("(?i)\\s+COLLATE\\s+(\"[^\"]+\"|[\\w.]+)", "")
     s = s.replaceAll("(?i)OPERATOR\\s*\\(\\s*~\\s*\\)", "RLIKE")
+    // pg_get_viewdef over a LITERAL view name (the psql \d+ / BI-tool
+    // form): answer from the live pg_views/pg_matviews definitions. Must
+    // run before rewriteRegclass eats the ::regclass. Non-literal
+    // arguments keep the reference's empty-string stub.
+    s = s.replaceAll(
+      "(?i)\\bpg_get_viewdef\\s*\\(\\s*'(\\w+)'(?:\\s*::\\s*regclass)?\\s*(?:,\\s*\\w+\\s*)?\\)",
+      "(SELECT coalesce((SELECT definition FROM pg_views WHERE viewname = '$1'), " +
+        "(SELECT definition FROM pg_matviews WHERE matviewname = '$1'), ''))")
     s = rewriteRegclass(s)
     // pg table functions over the settings/keywords views
     // (query_remapper_function.go:75-100)

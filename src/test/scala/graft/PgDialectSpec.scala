@@ -258,6 +258,12 @@ class PgDialectSpec extends SparkSpecBase {
     val st2 = new Store(spark, wh)
     assert(st2.viewNames.contains("vw_g") && !st2.viewNames.contains("vw_tmp"))
     assert(viewRows() == Seq((1L, 3L)))
+    // pg_get_viewdef over a literal name answers with the definition
+    exec("SELECT pg_get_viewdef('vw_g'::regclass) AS d") match {
+      case Rows(df, _) =>
+        assert(df.collect()(0).getString(0).contains("FROM vwt WHERE g > 0"))
+      case other => fail(s"$other")
+    }
     assert(exec("DROP VIEW vw_g") == Command("DROP VIEW"))
     intercept[Exception](exec("DROP VIEW vw_g"))
     assert(exec("DROP VIEW IF EXISTS vw_g") == Command("DROP VIEW"))
