@@ -231,6 +231,39 @@ object Similarity {
         .orderBy("src", "rnk")
     },
 
+    // Semantic decontamination: flag corpus docs whose embedding is within
+    // cosine threshold of ANY probe (benchmark) embedding. Scale shape: the
+    // probe set (an eval suite — thousands of rows at most) broadcasts; the
+    // corpus is scanned once, the per-(doc, probe) scores partial-aggregate
+    // map-side to one (vec_id, best) row per doc, so the only shuffle is
+    // scalar and corpus-sized. 100 TB path: probe sets beyond broadcast
+    // size route through the hyperplane-LSH bucketed join (dd_embedding_lsh
+    // machinery) instead of the exact broadcast.
+    Q("sim_semantic_decon", Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id IN (0, 1, 2, 3, 4)),
+      c AS (SELECT vec_id, v AS cv FROM e WHERE vec_id NOT IN (0, 1, 2, 3, 4)),
+      hits AS (
+        SELECT c.vec_id, max(list_dot_product(cv, pv)
+          / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(pv, pv)))) AS best
+        FROM c CROSS JOIN p GROUP BY c.vec_id)
+      SELECT vec_id, round(best, 6) AS best,
+        round(best, 6) >= 0.3 AS contaminated
+      FROM hits ORDER BY vec_id""")) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val probes = e.filter(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+      val corpus = e.filter(!col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id"), col("v").as("cv"))
+      corpus.crossJoin(broadcast(probes))
+        .select(col("vec_id"), expr(sparkCos("cv", "pv")).as("cos"))
+        .groupBy("vec_id").agg(max(col("cos")).as("b"))
+        .select(col("vec_id"), round(col("b"), 6).as("best"),
+          (round(col("b"), 6) >= 0.3).as("contaminated"))
+        .orderBy("vec_id")
+    },
+
     Q("sim_cosine_topk", Some("""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       scored AS (

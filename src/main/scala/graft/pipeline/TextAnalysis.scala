@@ -321,6 +321,36 @@ object TextAnalysis {
 
     // quality score: identical arithmetic on both sides (ratios of exact
     // ints -> single double ops in a fixed order)
+    // fastText-shaped hashed linear classifier: token -> hashed feature id
+    // (md5 16-bit prefix mod D) -> weight lookup -> summed doc score + bias.
+    // Weights here are a deterministic synthetic table (w[i] = i % 7 - 3,
+    // integer) so the gate is exact; a trained model swaps in a broadcast
+    // weight array with the identical plumbing. Scale shape: pure scan-side
+    // higher-order functions (split/filter/aggregate), whole-stage codegen,
+    // ZERO shuffle — the classifier runs at scan speed on any corpus size.
+    Q("txt_classifier_score", Some("""
+      SELECT doc_id,
+        CAST(1 + coalesce(list_sum(list_transform(
+          list_filter(string_split(lower(text), ' '), t -> t <> ''),
+          t -> (CAST('0x' || substr(md5(t), 1, 4) AS INT) % 256) % 7 - 3)), 0)
+          AS BIGINT) AS score,
+        CAST(1 + coalesce(list_sum(list_transform(
+          list_filter(string_split(lower(text), ' '), t -> t <> ''),
+          t -> (CAST('0x' || substr(md5(t), 1, 4) AS INT) % 256) % 7 - 3)), 0)
+          AS BIGINT) > 0 AS keep
+      FROM documents ORDER BY doc_id""")) { (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("score", expr("""
+          CAST(aggregate(
+            filter(split(lower(text), ' '), t -> t != ''),
+            1L,
+            (acc, t) -> acc +
+              (CAST(conv(substr(md5(t), 1, 4), 16, 10) AS INT) % 256) % 7 - 3
+          ) AS BIGINT)"""))
+        .select(col("doc_id"), col("score"), (col("score") > 0).as("keep"))
+        .orderBy("doc_id")
+    },
+
     Q("txt_quality_score", Some("""
       SELECT doc_id,
         CAST(len(list_filter(toks, x -> list_contains(['the','a'], x))) AS DOUBLE) / len(toks) AS stop_ratio,

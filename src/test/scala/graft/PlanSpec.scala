@@ -43,6 +43,23 @@ class PlanSpec extends SparkSpecBase {
     assert(countOf("Exchange hashpartitioning", p) == 0, p)
   }
 
+  test("classifier scoring is scan-side: no exchange before the sort") {
+    val p = plan("txt_classifier_score")
+    // the only exchange allowed is the final presentation ORDER BY's range
+    // partitioning — scoring itself must be shuffle-free scan work
+    assert(countOf("Exchange hashpartitioning", p) == 0, p)
+  }
+
+  test("semantic decontamination broadcasts probes, aggregates scalars") {
+    val p = plan("sim_semantic_decon")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    // the grouped max shuffles (vec_id, cos) scalars only — embedding
+    // arrays never enter an exchange key or value
+    val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.forall(k => !k.contains("pv") && !k.contains("cv")), p)
+  }
+
   test("tfidf broadcasts the term dictionary") {
     val p = plan("txt_tfidf")
     assert(p.contains("BroadcastHashJoin"), p)
