@@ -105,7 +105,17 @@ class JdbcSource(spark: SparkSession, url: String,
   private def quoted(conn: java.sql.Connection, id: String): String = {
     val q = Option(conn.getMetaData.getIdentifierQuoteString)
       .map(_.trim).filter(_.nonEmpty).getOrElse("\"")
-    id.split('.').map(p => q + p.replace(q, q + q) + q).mkString(".")
+    // a caller addressing a mixed-case/reserved name must pass it
+    // PRE-quoted (Spark's JDBC dbtable/partitionColumn options interpolate
+    // verbatim, so that is the working spelling) — strip the existing
+    // quotes per segment before re-quoting or they would double
+    id.split('.').map { p0 =>
+      val p =
+        if (p0.length >= 2 * q.length && p0.startsWith(q) && p0.endsWith(q))
+          p0.substring(q.length, p0.length - q.length)
+        else p0
+      q + p.replace(q, q + q) + q
+    }.mkString(".")
   }
 
   /** min/max of the key, via one driver-side JDBC query. None when the

@@ -287,6 +287,40 @@ class SyncSpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(perPartition.max <= 150, s"skewed strides: ${perPartition.toSeq}")
   }
 
+  test("keyBounds survives case folding and quoted identifiers") {
+    val url = derbyUrl()
+    withDerby(url) { c =>
+      // a quoted mixed-case table + reserved-word-ish column: the probe's
+      // quoted form must hit it
+      c.createStatement().execute(
+        "CREATE TABLE \"CaseSensitive\" (\"Order\" BIGINT PRIMARY KEY, v INT)")
+      val ps = c.prepareStatement("INSERT INTO \"CaseSensitive\" VALUES (?, ?)")
+      (500 until 700).foreach { i => ps.setLong(1, i.toLong); ps.setInt(2, i); ps.addBatch() }
+      ps.executeBatch()
+      // a folded-case table the user addresses in lowercase: the quoted
+      // probe fails ("casefolded" ≠ CASEFOLDED) and the unquoted retry
+      // must resolve through Derby's own folding
+      c.createStatement().execute(
+        "CREATE TABLE casefolded (id BIGINT PRIMARY KEY, v INT)")
+      val p2 = c.prepareStatement("INSERT INTO casefolded VALUES (?, ?)")
+      (0 until 100).foreach { i => p2.setLong(1, i.toLong); p2.setInt(2, i); p2.addBatch() }
+      p2.executeBatch()
+    }
+    // the working Spark-JDBC spelling for a mixed-case/reserved name is the
+    // PRE-quoted one (dbtable/partitionColumn interpolate verbatim); the
+    // probe must not double-quote it
+    val exact = new JdbcSource(spark, url, numPartitions = 4,
+      keys = Map("\"CaseSensitive\"" -> "\"Order\""))
+    val df = exact.read("\"CaseSensitive\"")
+    assert(df.count() == 200)
+    assert(df.rdd.getNumPartitions == 4, "quoted-identifier bounds must partition")
+    val folded = new JdbcSource(spark, url, numPartitions = 4,
+      keys = Map("casefolded" -> "id"))
+    val df2 = folded.read("casefolded")
+    assert(df2.count() == 100)
+    assert(df2.rdd.getNumPartitions == 4, "unquoted retry must partition")
+  }
+
   test("jdbc source full-refreshes into the store end to end") {
     val url = derbyUrl()
     withDerby(url) { c =>
