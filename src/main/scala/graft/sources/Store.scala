@@ -318,6 +318,15 @@ class Store(spark: SparkSession, val warehouse: String) {
 
   def streamBatchKeys: Seq[String] = streamBatchIds.keys.toSeq
 
+  /** Set a marker AND commit the catalog now — for progress markers that
+    * must become durable without a guarded table write to ride (e.g. the
+    * change-feed follower's applied-version watermark, committed after its
+    * idempotent apply). */
+  def commitStreamBatch(streamKey: String, batchId: Long): Unit = synchronized {
+    streamBatchIds(streamKey) = batchId
+    persistCatalog()
+  }
+
   def lastStreamBatch(streamKey: String): Option[Long] =
     streamBatchIds.get(streamKey)
 

@@ -192,6 +192,66 @@ object Streams {
       }
     } catch { case _: Exception => "" }
 
+  // ---- change-feed replication (downstream CDC) --------------------------
+  // The consumer half of the store's row-level change feed: a mirror table
+  // follows a source table by applying each version span's NET delta —
+  // O(changed files) per poll via the carried-file diff, never a full copy.
+  // Convergence is by IDEMPOTENCE, not coordination: the net delta between
+  // two snapshots re-applies harmlessly (upsert of identical rows and
+  // delete of absent keys are no-ops), so any crash window replays to the
+  // same mirror state; the durable watermark only bounds how far back a
+  // replay re-reads. At 100 TB this is the cross-warehouse replication
+  // shape: the feed ships only changed files' rows, and the apply is the
+  // same footer-pruned upsert/delete the write path uses.
+
+  /** Seed `mirror` as a copy of `source` and set the follower watermark, so
+    * the first [[applyChanges]] starts from the copied version. */
+  def initMirror(store: Store, source: String, mirror: String, key: String): Unit = {
+    store.replace(mirror, store.read(source))
+    store.commitStreamBatch(s"cf:$source->$mirror", store.currentVersion(source))
+  }
+
+  /** Apply all source versions past the watermark to the mirror; returns
+    * the number of change rows applied (0 when already caught up). */
+  def applyChanges(store: Store, source: String, mirror: String,
+      key: String): Long = {
+    val marker = s"cf:$source->$mirror"
+    val from = store.lastStreamBatch(marker).map(_.toInt).getOrElse(
+      throw new IllegalStateException(s"mirror $mirror not initialized (initMirror)"))
+    val to = store.currentVersion(source)
+    if (to <= from) return 0L
+    val delta = store.readChanges(source, from, to).cache()
+    try {
+      val applied = delta.count()
+      val ups = delta.filter(col("_change_type") === "insert").drop("_change_type")
+      // a key both deleted and (re)inserted in the span nets to the insert
+      val dels = delta.filter(col("_change_type") === "delete").select(col(key))
+        .except(ups.select(col(key)))
+      if (!ups.isEmpty) store.upsert(mirror, ups, key)
+      if (!dels.isEmpty) store.deleteByKey(mirror, dels, key)
+      // watermark commits LAST: a crash anywhere above replays the same
+      // net delta idempotently instead of losing the tail
+      store.commitStreamBatch(marker, to)
+      applied
+    } finally { delta.unpersist(); () }
+  }
+
+  /** Always-on follower: a rate ticker drives [[applyChanges]] polling.
+    * The checkpoint only pins the ticker; correctness lives in the store
+    * watermark + idempotent apply, so the checkpoint can be discarded
+    * freely. */
+  def changeFeedStream(spark: org.apache.spark.sql.SparkSession, store: Store,
+      source: String, mirror: String, key: String, checkpoint: String,
+      intervalMs: Long = 500): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("rate").option("rowsPerSecond", "2").load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(intervalMs))
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        applyChanges(store, source, mirror, key); ()
+      }
+      .start()
+
   def streamingMatview(rows: DataFrame, store: Store, table: String,
       view: String, groupCols: Seq[String], sumCols: Seq[String],
       checkpoint: String,

@@ -250,6 +250,51 @@ class StreamingSpec extends SparkSpecBase {
     assert(st.read("rt").count() == 70)
   }
 
+  test("change-feed follower replicates a table through net deltas") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-cfrep").toString
+    val st = new Store(spark, wh)
+    st.replace("cf_src", spark.range(100)
+      .select(col("id"), (col("id") % 10).as("v")))
+    Streams.initMirror(st, "cf_src", "cf_mir", "id")
+    val seeded = st.currentVersion("cf_src")
+    // caught up: nothing to apply
+    assert(Streams.applyChanges(st, "cf_src", "cf_mir", "id") == 0L)
+    // mutate the source: update 5 rows, insert 10 new, delete 7 keys
+    st.upsert("cf_src", spark.range(95, 110)
+      .select(col("id"), lit(99L).as("v")), "id")
+    st.deleteByKey("cf_src", spark.range(0, 7).toDF("id"), "id")
+    def mirrored(): Boolean = {
+      val s = st.read("cf_src"); val m = st.read("cf_mir")
+      s.except(m).isEmpty && m.except(s).isEmpty
+    }
+    assert(!mirrored())
+    assert(Streams.applyChanges(st, "cf_src", "cf_mir", "id") > 0L)
+    assert(mirrored())
+    assert(Streams.applyChanges(st, "cf_src", "cf_mir", "id") == 0L)
+    // idempotent replay: rewinding the watermark re-applies the SAME net
+    // delta and converges to the identical mirror (the crash-window story)
+    st.commitStreamBatch("cf:cf_src->cf_mir", seeded.toLong)
+    assert(Streams.applyChanges(st, "cf_src", "cf_mir", "id") > 0L)
+    assert(mirrored())
+    // watermark survives a fresh mount of the warehouse
+    val st2 = new Store(spark, wh)
+    assert(st2.lastStreamBatch("cf:cf_src->cf_mir")
+      .contains(st2.currentVersion("cf_src").toLong))
+    // always-on wrapper: the ticker-driven follower converges on its own
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cfckpt").toString
+    val q = Streams.changeFeedStream(spark, st, "cf_src", "cf_mir", "id",
+      ckpt, intervalMs = 200)
+    try {
+      st.upsert("cf_src", spark.range(200, 220)
+        .select(col("id"), lit(7L).as("v")), "id")
+      val deadline = System.currentTimeMillis + 30000
+      while (!mirrored() && System.currentTimeMillis < deadline)
+        Thread.sleep(250)
+      assert(mirrored(), "follower did not converge within 30s")
+    } finally q.stop()
+    st.drop("cf_src"); st.drop("cf_mir")
+  }
+
   test("CDC apply stream folds keyed changes into the store") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
