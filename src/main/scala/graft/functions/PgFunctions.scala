@@ -168,6 +168,13 @@ object PgFunctions {
     // %N$s positional forms PG emits.
     fn(spark, "pg_format") { exprs => FormatString(exprs: _*) }
 
+    // regexp_replace with PG/DuckDB semantics: first match unless 'g',
+    // i/m/n/s/x flags, \N backreferences (the dialect routes both the
+    // 3- and 4-argument spellings here)
+    spark.udf.register("pg_regexp_replace",
+      (s: String, pat: String, repl: String, flags: String) =>
+        pgRegexpReplace(s, pat, repl, flags))
+
     // age(ts, ts): PG's calendar-aware interval, rendered as the interval
     // TEXT the reference's embedded DuckDB produces over the wire
     // ("1 month 17 days 04:30:15", zero components omitted, trailing
@@ -419,6 +426,23 @@ object PgFunctions {
     }
     render(root, 0)
     sb.toString
+  }
+
+  /** PG regexp_replace: first match unless 'g'; flags i (case), m/n
+    * (multiline), s (dotall), x (comments); \N backreferences in the
+    * replacement (translated to Java's $N; literal $ escaped). */
+  private[graft] def pgRegexpReplace(s: String, pat: String, repl: String,
+      flags: String): String = {
+    if (s == null || pat == null || repl == null) return null
+    val fl = if (flags == null) "" else flags
+    var f = 0
+    if (fl.contains('i')) f |= java.util.regex.Pattern.CASE_INSENSITIVE
+    if (fl.contains('m') || fl.contains('n')) f |= java.util.regex.Pattern.MULTILINE
+    if (fl.contains('s')) f |= java.util.regex.Pattern.DOTALL
+    if (fl.contains('x')) f |= java.util.regex.Pattern.COMMENTS
+    val javaRepl = repl.replace("$", "\\$").replaceAll("\\\\(\\d)", "\\$$1")
+    val m = java.util.regex.Pattern.compile(pat, f).matcher(s)
+    if (fl.contains('g')) m.replaceAll(javaRepl) else m.replaceFirst(javaRepl)
   }
 
   /** PG `age(ts1, ts2)` semantics + the reference engine's interval text.

@@ -667,6 +667,24 @@ object PgDialect {
     s = s.replaceAll(
       "(?i)\\bencode\\s*\\(\\s*sha256\\s*\\(([^()]*)\\)\\s*,\\s*'hex'(?:\\s*::\\s*text)?\\s*\\)",
       "sha2($1, 256)")
+    // regexp_replace: PG/DuckDB replace the FIRST match unless the 'g' flag
+    // is given and take an optional flags argument; Spark's builtin is
+    // always-global and flagless — route through the pg_regexp_replace shim
+    // (3-arg calls get flags ''), preserving \N backreferences
+    s = rewriteRegexpReplace(s)
+    // extract(epoch from x) -> seconds as double (PG numeric; the embedded
+    // engine returns the same fractional seconds)
+    s = s.replaceAll(
+      "(?i)\\bEXTRACT\\s*\\(\\s*EPOCH\\s+FROM\\s+((?:[^()]|\\([^()]*\\))*)\\)",
+      "(unix_micros(CAST($1 AS TIMESTAMP)) / 1000000.0)")
+    // to_hex -> hex (the embedded engine's uppercase form)
+    s = s.replaceAll("(?i)\\bto_hex\\s*\\(((?:[^()]|\\([^()]*\\))*)\\)", "hex($1)")
+    // single-argument numeric trunc (toward zero); Spark's trunc is
+    // date-only. Two-argument forms pass through untouched.
+    s = "(?i)\\btrunc\\s*\\(((?:[^(),]|\\([^()]*\\))*)\\)".r.replaceAllIn(s, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"(CASE WHEN (${m.group(1)}) < 0 THEN ceil(${m.group(1)}) " +
+          s"ELSE floor(${m.group(1)}) END)"))
     // VARIADIC ARRAY[a, b, ...] argument splat -> a, b, ...
     s = s.replaceAll("(?i)\\bVARIADIC\\s+ARRAY\\s*\\[([^\\]]*)\\]", "$1")
     s = s.replaceAll("(?i)\\bVARIADIC\\s+array\\s*\\(([^()]*)\\)", "$1")
@@ -753,11 +771,38 @@ object PgDialect {
     if (SessionSettings.get("graft.scalar_subquery_first_row")
         .exists(v => v.equalsIgnoreCase("on") || v.equalsIgnoreCase("true")))
       s = rewriteScalarSublinks(s)
+    // PG standard_conforming_strings: a backslash inside a '' literal is a
+    // LITERAL character; Spark's parser processes escapes. Double every
+    // literal backslash so the parser hands back exactly what the client
+    // wrote — regex character classes ('\d'), Windows paths, LIKE escapes.
+    s = escapeLiteralBackslashes(s)
     // LAST: PG double-quoted identifiers -> Spark backticks ('' strings are
     // untouched; "" inside an identifier unescapes). Every earlier pass
     // matches against the PG-style quoting.
     s = pgQuotedToBacktick(s)
     s
+  }
+
+  /** Double backslashes INSIDE single-quoted literals only ('' stays the
+    * quote escape; text outside literals is untouched). */
+  private def escapeLiteralBackslashes(sql: String): String = {
+    if (!sql.contains('\\')) return sql
+    val sb = new StringBuilder(sql.length + 8)
+    var inStr = false
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (!inStr) { if (c == '\'') inStr = true; sb.append(c) }
+      else c match {
+        case '\'' if i + 1 < sql.length && sql.charAt(i + 1) == '\'' =>
+          sb.append("''"); i += 1
+        case '\'' => inStr = false; sb.append(c)
+        case '\\' => sb.append("\\\\")
+        case other => sb.append(other)
+      }
+      i += 1
+    }
+    sb.toString
   }
 
   /** Same-length copy with string-literal CONTENTS blanked to spaces (both
@@ -1355,6 +1400,36 @@ object PgDialect {
       s" AS __gdr FROM $src$where)$tail"
   }
 
+  /** regexp_replace calls -> the pg_regexp_replace shim (PG/DuckDB
+    * semantics: first match unless 'g', flag argument, \N backreferences);
+    * 3-argument calls get an empty flags argument appended. Paren- and
+    * quote-aware so patterns containing commas or parens survive. */
+  private def rewriteRegexpReplace(sql: String): String = {
+    val m = "(?i)(?<![\\w.])regexp_replace\\s*\\(".r.findFirstMatchIn(sql)
+      .getOrElse(return sql)
+    val open = sql.indexOf('(', m.start)
+    var depth = 1; var inStr = false; var i = open + 1
+    while (i < sql.length && depth > 0) {
+      val c = sql.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    if (depth != 0) return sql
+    val inner = rewriteRegexpReplace(sql.substring(open + 1, i - 1))
+    val args = PgDml.splitTop(inner).map(_.trim)
+    val call =
+      if (args.length == 3) s"pg_regexp_replace(${args.mkString(", ")}, '')"
+      else if (args.length == 4) s"pg_regexp_replace(${args.mkString(", ")})"
+      else sql.substring(m.start, open) + "(" + inner + ")"
+    sql.substring(0, m.start) + call + rewriteRegexpReplace(sql.substring(i))
+  }
+
   /** `expr [NOT] SIMILAR TO 'pat' [ESCAPE 'c']` -> `expr [NOT] RLIKE
     * '^(?:regex)$'`. PG's SIMILAR TO mixes SQL wildcards (% _) with a regex
     * subset (| * + ? {m,n} () […]) and matches the WHOLE string; chars that
@@ -1368,10 +1443,9 @@ object PgDialect {
     re.replaceAllIn(sql, m => {
       val pat = m.group(2).replace("''", "'")
       val esc = Option(m.group(3)).map(_.replace("''", "'").charAt(0))
-      // Spark string literals process backslash escapes, so every regex
-      // backslash is doubled to survive the SQL parser
-      val regex = ("^(?:" + similarToRegex(pat, esc) + ")$")
-        .replace("\\", "\\\\").replace("'", "''")
+      // regex backslashes survive Spark's escape-processing parser via the
+      // pipeline-final literal backslash doubling (escapeLiteralBackslashes)
+      val regex = ("^(?:" + similarToRegex(pat, esc) + ")$").replace("'", "''")
       val not = if (m.group(1) != null) "NOT " else ""
       java.util.regex.Matcher.quoteReplacement(s"${not}RLIKE '$regex'")
     })

@@ -251,6 +251,35 @@ object PgDialectOps {
         ORDER BY o_custkey, d, s""")
     },
 
+    // PG regexp_replace semantics (first match unless 'g', flags, \N
+    // backrefs) and literal backslashes in strings (standard_conforming)
+    Q("pd_regexp_flags", Some("""
+      SELECT n_name,
+        regexp_replace(n_name, 'N', '*') AS first_only,
+        regexp_replace(n_name, 'n', '*', 'gi') AS all_ci,
+        regexp_replace(n_name, '(\d)', '[\1]', 'g') AS digits
+      FROM nation ORDER BY n_name""")) { (s, dir) =>
+      run(s, """
+        SELECT n_name,
+          regexp_replace(n_name, 'N', '*') AS first_only,
+          regexp_replace(n_name, 'n', '*', 'gi') AS all_ci,
+          regexp_replace(n_name, '(\d)', '[\1]', 'g') AS digits
+        FROM nation ORDER BY n_name""")
+    },
+
+    // extract(epoch), to_hex, single-argument numeric trunc
+    Q("pd_fn_misc", Some("""
+      SELECT CAST(extract(epoch from TIMESTAMP '2024-01-01 00:00:00.5') AS DOUBLE) AS ep,
+        to_hex(255) AS hx,
+        CAST(trunc(4.7) AS BIGINT) AS t1,
+        CAST(trunc(-4.7) AS BIGINT) AS t2""")) { (s, dir) =>
+      run(s, """
+        SELECT CAST(extract(epoch from TIMESTAMP '2024-01-01 00:00:00.5') AS DOUBLE) AS ep,
+          to_hex(255) AS hx,
+          CAST(trunc(4.7) AS BIGINT) AS t1,
+          CAST(trunc(-4.7) AS BIGINT) AS t2""")
+    },
+
     Q("pd_distinct_on", Some("""
       SELECT DISTINCT ON (user_id) user_id, event_id
       FROM events ORDER BY user_id, event_id DESC""")) { (s, dir) =>
