@@ -574,6 +574,15 @@ object PgDialect {
     s = s.replaceAll(
       "(?i)\\b(string_agg|listagg)\\s*\\(\\s*([^(),]+),\\s*([^()]+?)\\s+ORDER\\s+BY\\s+([^()]+)\\)",
       "$1($2, $3) WITHIN GROUP (ORDER BY $4)")
+    // array_agg(DISTINCT x ORDER BY x [ASC|DESC]) -> sorted set (Spark's
+    // parser rejects DISTINCT + internal ORDER BY together; when the sort
+    // key IS the distinct expression the sorted-set form is equivalent)
+    s = s.replaceAll(
+      "(?i)\\barray_agg\\s*\\(\\s*DISTINCT\\s+([\\w.]+)\\s+ORDER\\s+BY\\s+\\1\\s*(?:ASC\\b)?\\s*\\)",
+      "sort_array(collect_set($1))")
+    s = s.replaceAll(
+      "(?i)\\barray_agg\\s*\\(\\s*DISTINCT\\s+([\\w.]+)\\s+ORDER\\s+BY\\s+\\1\\s+DESC\\s*\\)",
+      "sort_array(collect_set($1), false)")
     s = s.replaceAll("(?i)\\bpg_catalog\\s*\\.\\s*", "")
     // user-schema qualification: the reference resolves schema.table for
     // its synced schemas (query_remapper_table.go:93-110); our registered

@@ -280,6 +280,38 @@ object PgDialectOps {
           CAST(trunc(-4.7) AS BIGINT) AS t2""")
     },
 
+    // array_agg(DISTINCT x ORDER BY x) -> sorted set; DuckDB runs the PG
+    // form natively so the oracle verifies the equivalence
+    Q("pd_array_agg_distinct", Some("""
+      SELECT l_returnflag,
+        array_to_string(array_agg(DISTINCT l_linestatus ORDER BY l_linestatus), ',') AS st,
+        array_to_string(array_agg(DISTINCT l_linestatus ORDER BY l_linestatus DESC), ',') AS st_desc
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, dir) =>
+      run(s, """
+        SELECT l_returnflag,
+          array_to_string(array_agg(DISTINCT l_linestatus ORDER BY l_linestatus), ',') AS st,
+          array_to_string(array_agg(DISTINCT l_linestatus ORDER BY l_linestatus DESC), ',') AS st_desc
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+
+    // named WINDOW clause (PG surface; native in both engines — the gate
+    // pins that the translator's null-ordering/alias passes leave it whole)
+    Q("pd_named_window", Some("""
+      SELECT o_custkey, o_orderkey,
+        CAST(sum(o_orderkey) OVER w AS BIGINT) AS run,
+        CAST(rank() OVER w AS BIGINT) AS rk
+      FROM orders WHERE o_custkey <= 50
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+      ORDER BY o_custkey, o_orderkey""")) { (s, dir) =>
+      run(s, """
+        SELECT o_custkey, o_orderkey,
+          CAST(sum(o_orderkey) OVER w AS BIGINT) AS run,
+          CAST(rank() OVER w AS BIGINT) AS rk
+        FROM orders WHERE o_custkey <= 50
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        ORDER BY o_custkey, o_orderkey""")
+    },
+
     Q("pd_distinct_on", Some("""
       SELECT DISTINCT ON (user_id) user_id, event_id
       FROM events ORDER BY user_id, event_id DESC""")) { (s, dir) =>
