@@ -754,6 +754,30 @@ object PgDialect {
     // ANSI FETCH FIRST/NEXT (PG accepts both) -> LIMIT; Spark has LIMIT only
     s = s.replaceAll("(?i)\\bFETCH\\s+(?:FIRST|NEXT)\\s+(\\d+)\\s+ROWS?\\s+ONLY", "LIMIT $1")
     s = s.replaceAll("(?i)\\bFETCH\\s+(?:FIRST|NEXT)\\s+ROWS?\\s+ONLY", "LIMIT 1")
+    // Window frame EXCLUDE CURRENT ROW (PG 11+) for the invertible
+    // aggregates sum/count/avg: Spark has no EXCLUDE mode, but the
+    // exclusive result is the inclusive one minus the current row's
+    // contribution — with the empty-exclusive-frame case mapped to NULL
+    // (count: 0), matching PG/DuckDB. Non-invertible aggregates (min/max)
+    // pass through and fail loudly in the parser.
+    val excl = ("(?is)\\b(sum|count|avg)\\s*\\(\\s*(\\*|(?:[^()]|\\([^()]*\\))+?)\\s*\\)\\s+OVER\\s*" +
+      "\\(((?:[^()]|\\([^()]*\\))*?)\\s+EXCLUDE\\s+CURRENT\\s+ROW\\s*\\)").r
+    s = excl.replaceAllIn(s, m => {
+      val (fn, arg, body) = (m.group(1).toLowerCase, m.group(2), m.group(3))
+      val out =
+        if (fn == "count" && arg == "*") s"(count(*) OVER ($body) - 1)"
+        else {
+          val cnt = s"(count($arg) OVER ($body) - " +
+            s"(CASE WHEN ($arg) IS NULL THEN 0 ELSE 1 END))"
+          val sum = s"(sum($arg) OVER ($body) - coalesce($arg, 0))"
+          fn match {
+            case "count" => cnt
+            case "sum" => s"(CASE WHEN $cnt = 0 THEN NULL ELSE $sum END)"
+            case _ => s"(CASE WHEN $cnt = 0 THEN NULL ELSE $sum / $cnt END)"
+          }
+        }
+      java.util.regex.Matcher.quoteReplacement(out)
+    })
     // BETWEEN SYMMETRIC swaps bounds when reversed (PG); Spark lacks it
     s = s.replaceAll("(?i)\\bBETWEEN\\s+SYMMETRIC\\s+(\\S+)\\s+AND\\s+(\\S+)",
       "BETWEEN least($1, $2) AND greatest($1, $2)")

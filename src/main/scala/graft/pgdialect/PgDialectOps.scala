@@ -312,6 +312,30 @@ object PgDialectOps {
         ORDER BY o_custkey, o_orderkey""")
     },
 
+    // EXCLUDE CURRENT ROW frames (DuckDB runs EXCLUDE natively — the
+    // oracle verifies the subtraction rewrite incl. the empty-frame NULL)
+    Q("pd_exclude_frame", Some("""
+      SELECT o_custkey, o_orderkey,
+        CAST(sum(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+          ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS BIGINT) AS nbr_sum,
+        CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+          ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS BIGINT) AS nbr_n,
+        avg(CAST(o_orderkey AS DOUBLE)) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW) AS prev_avg
+      FROM orders WHERE o_custkey <= 60
+      ORDER BY o_custkey, o_orderkey""")) { (s, dir) =>
+      run(s, """
+        SELECT o_custkey, o_orderkey,
+          CAST(sum(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+            ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS BIGINT) AS nbr_sum,
+          CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+            ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS BIGINT) AS nbr_n,
+          avg(CAST(o_orderkey AS DOUBLE)) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW) AS prev_avg
+        FROM orders WHERE o_custkey <= 60
+        ORDER BY o_custkey, o_orderkey""")
+    },
+
     Q("pd_distinct_on", Some("""
       SELECT DISTINCT ON (user_id) user_id, event_id
       FROM events ORDER BY user_id, event_id DESC""")) { (s, dir) =>
