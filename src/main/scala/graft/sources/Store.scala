@@ -1417,10 +1417,27 @@ class Store(spark: SparkSession, val warehouse: String) {
     * Scale shape: one shuffle on the derived value (same as any
     * partitioned write); day/month grained dirs bound file counts on
     * time-ordered data, bucket[N] bounds them on high-cardinality keys. */
+  /** Multi-field hidden partitioning — e.g. `day(ts), bucket[8](user_id)`,
+    * the standard time-plus-key layout for a 100 TB fact table: a one-day
+    * one-key probe opens 1/(days·N) of the files. Field order = dir
+    * nesting order. */
+  def replaceTransformPartitioned(name: String, df: DataFrame,
+      specs: Seq[(String, String)]): Unit = {
+    val withCols = specs.foldLeft(df) { case (d, (column, transform)) =>
+      d.withColumn(Iceberg.SpecField.fieldName(column, transform),
+        transformPartitionCol(d, column, transform))
+    }
+    replacePartitioned(name, withCols,
+      specs.map { case (c, t) => Iceberg.SpecField.fieldName(c, t) }: _*)
+  }
+
   def replaceTransformPartitioned(name: String, df: DataFrame, column: String,
-      transform: String): Unit = {
+      transform: String): Unit =
+    replaceTransformPartitioned(name, df, Seq(column -> transform))
+
+  private def transformPartitionCol(df: DataFrame, column: String,
+      transform: String): Column = {
     val srcType = df.schema(column).dataType
-    val fieldName = Iceberg.SpecField.fieldName(column, transform)
     val bucketN = "bucket\\[(\\d+)\\]".r
     val truncW = "truncate\\[(\\d+)\\]".r
     val pcol: Column = transform match {
@@ -1463,7 +1480,7 @@ class Store(spark: SparkSession, val warehouse: String) {
       }
       case other => throw new IllegalArgumentException(s"transform $other")
     }
-    replacePartitioned(name, df.withColumn(fieldName, pcol), fieldName)
+    pcol
   }
 
   /** Read through the Iceberg metadata tree (optionally a past snapshot). */

@@ -279,6 +279,37 @@ class IcebergSpec extends SparkSpecBase {
     store.drop("ob")
   }
 
+  test("multi-field hidden partitioning prunes on either dimension") {
+    val (store, dir) = freshStore()
+    val ev = Tables.df(spark, sfDir, "events")
+      .select("event_id", "user_id", "ts")
+    store.replaceTransformPartitioned("evdb", ev,
+      Seq("ts" -> "day", "user_id" -> "bucket[4]"))
+    store.publishIceberg("evdb")
+    val fields = mdJson(dir.resolve("evdb")).get("partition-specs").get(0)
+      .get("fields")
+    assert(fields.get(0).get("transform").asText == "day")
+    assert(fields.get(1).get("transform").asText == "bucket[4]")
+    import org.apache.spark.sql.functions._
+    val back = store.readIceberg("evdb")
+    assert(back.columns.toSeq.sorted == Seq("event_id", "ts", "user_id"))
+    assert(back.count() == ev.count())
+    // time-dimension range prune skips files
+    val minTs = ev.agg(min("ts")).collect()(0)
+      .getAs[java.time.LocalDateTime](0)
+    val (d1, s1, t1) = store.readIcebergTransformRange("evdb", "ts",
+      minTs.plusDays(1), minTs.plusDays(2))
+    assert(s1 < t1, s"day prune $s1/$t1")
+    assert(d1.count() == ev.filter(col("ts") >= lit(minTs.plusDays(1)) &&
+      col("ts") <= lit(minTs.plusDays(2))).count())
+    // key-dimension equality prune skips files of the other buckets
+    val uid = ev.select("user_id").first().getLong(0)
+    val (d2, s2, t2) = store.readIcebergTransformEq("evdb", "user_id", uid)
+    assert(s2 < t2, s"bucket prune $s2/$t2")
+    assert(d2.count() == ev.filter(col("user_id") === uid).count())
+    store.drop("evdb")
+  }
+
   test("string truncate partitioning prunes by prefix bucket") {
     val (store, dir) = freshStore()
     val part = spark.read.parquet(s"$sfDir/part.parquet")
