@@ -925,6 +925,60 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair"))
         .limit(20)
+    },
+
+    // corpus heavy hitters: exact top-k terms by frequency, deterministic
+    // tie-break on the term. One (term) shuffle with map-side combine —
+    // this is the ORACLE formulation; topTermsSketch below is the
+    // fixed-memory scale path pinned row-identical to it (PipelineSpec).
+    Q("txt_heavy_hitters", Some("""
+      WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents)
+      SELECT term, count(*) AS n FROM w WHERE term <> ''
+      GROUP BY term ORDER BY n DESC, term LIMIT 25""")) { (s, dir) =>
+      topTermsExact(t(s, dir, "documents"), 25)
     }
   )
+
+  /** Exact corpus top-k terms (the oracle formulation). */
+  def topTermsExact(docs: DataFrame, k: Int): DataFrame =
+    docs.select(explode(split(lower(col("text")), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(k)
+
+  /** Heavy hitters via a count-min sketch — the 100 TB formulation. The
+    * corpus aggregates into ONE mergeable fixed-size sketch (Spark's
+    * CountMinSketch aggregate: d×w longs per partition, merged
+    * associatively — no per-term shuffle keys at all); candidate terms
+    * come from a deterministic md5 doc sample (a term with count ≥ N/k
+    * appears in a 1/`sampleMod` doc sample with probability ≈ 1), and each
+    * candidate's frequency is read from the broadcast sketch
+    * executor-side. Memory is O(d·w + candidates), independent of the
+    * corpus vocabulary — the regime where the exact groupBy's term shuffle
+    * (billions of distinct keys) is the bottleneck. CMS overestimates only,
+    * so the true top-k can never be displaced below rank k by noise; with
+    * eps small enough for the data volume the ranking is exact
+    * (PipelineSpec pins equality to [[topTermsExact]]). */
+  def topTermsSketch(docs: DataFrame, k: Int, eps: Double = 0.00001,
+      confidence: Double = 0.999, sampleMod: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.select(explode(split(lower(col("text")), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val sketchBytes = words
+      .select(expr(s"count_min_sketch(term, ${eps}d, ${confidence}d, 42)"))
+      .head().getAs[Array[Byte]](0)
+    val bc = spark.sparkContext.broadcast(sketchBytes)
+    val candidates = docs
+      .filter(expr(s"CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS INT) % $sampleMod = 0"))
+      .select(explode(split(lower(col("text")), " ")).as("term"))
+      .filter(col("term") =!= "").distinct()
+    candidates.as[String].mapPartitions { it =>
+      // one sketch deserialization per partition, probes are O(d) each
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(bc.value))
+      it.map(t => (t, cms.estimateCount(t)))
+    }.toDF("term", "n")
+      .orderBy(col("n").desc, col("term")).limit(k)
+  }
 }

@@ -23,6 +23,25 @@ class PipelineSpec extends SparkSpecBase {
     in1.zip(in1.tail).foreach { case (a, b) => assert(b <= a + 150000000000L, in1) }
   }
 
+  test("count-min heavy hitters match the exact top-k") {
+    val docs = Tables.df(spark, sfDir, "documents")
+    val exact = TextAnalysis.topTermsExact(docs, 25).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val sketch = TextAnalysis.topTermsSketch(docs, 25).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // eps is sized for this volume: the ranking and the counts are exact
+    assert(sketch.toSeq == exact.toSeq,
+      s"sketch ${sketch.take(5).toSeq} vs exact ${exact.take(5).toSeq}")
+    // CMS never underestimates: spot-probe some mid-frequency terms
+    val mids = TextAnalysis.topTermsExact(docs, 200).collect().drop(150)
+      .map(r => (r.getString(0), r.getLong(1)))
+    val bySketch = TextAnalysis.topTermsSketch(docs, 100000).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    mids.foreach { case (t, n) =>
+      bySketch.get(t).foreach(est => assert(est >= n, s"$t: $est < $n"))
+    }
+  }
+
   test("minhash LSH pairs equal exact jaccard pairs at this scale") {
     assert(pairSet("dd_minhash_lsh") == pairSet("dd_ngram_jaccard"))
   }
