@@ -1718,14 +1718,24 @@ class Store(spark: SparkSession, val warehouse: String) {
   }
 
   /** Re-register every view against the current base-table bindings.
-    * Per-view degradation: a view whose base is gone (dropped table,
-    * partial mount) costs that view, not the catalog. */
-  private def registerViews(): Unit =
-    viewDefs.foreach { case (n, vd) =>
-      try registerView(n, vd)
-      catch { case e: Exception =>
-        System.err.println(s"[store] view $n failed to register: ${e.getMessage}") }
+    * Views may reference other views, and the map carries no dependency
+    * order — iterate to a fixpoint (each pass registers at least the views
+    * whose bases are ready; N views need at most N passes). Per-view
+    * degradation: a view whose base is GONE (dropped table, partial mount)
+    * costs that view, not the catalog. */
+  private def registerViews(): Unit = {
+    var pending = viewDefs.toSeq
+    var progressed = true
+    while (pending.nonEmpty && progressed) {
+      progressed = false
+      pending = pending.flatMap { case e @ (n, vd) =>
+        try { registerView(n, vd); progressed = true; None }
+        catch { case _: Exception => Some(e) }
+      }
     }
+    pending.foreach { case (n, _) =>
+      System.err.println(s"[store] view $n failed to register (base missing?)") }
+  }
 
   /** Plain (non-matview) table names — the synced-table population the
     * catalog emulation lists as relkind 'r'. */

@@ -254,9 +254,17 @@ class PgDialectSpec extends SparkSpecBase {
       case Rows(df, _) => assert(df.columns.toSeq == Seq("a", "b"))
       case other => fail(s"$other")
     }
+    // a view over a view registers regardless of map iteration order
+    exec("CREATE VIEW vw_g2 AS SELECT sum(n) AS total FROM vw_g")
+    exec("SELECT total FROM vw_g2") match {
+      case Rows(df, _) => assert(df.collect()(0).getLong(0) == 3L)
+      case other => fail(s"$other")
+    }
     // durable views survive a fresh mount of the same warehouse; temp do not
     val st2 = new Store(spark, wh)
-    assert(st2.viewNames.contains("vw_g") && !st2.viewNames.contains("vw_tmp"))
+    assert(st2.viewNames.contains("vw_g") && st2.viewNames.contains("vw_g2")
+      && !st2.viewNames.contains("vw_tmp"))
+    exec("DROP VIEW vw_g2")
     assert(viewRows() == Seq((1L, 3L)))
     // pg_get_viewdef over a literal name answers with the definition
     exec("SELECT pg_get_viewdef('vw_g'::regclass) AS d") match {
