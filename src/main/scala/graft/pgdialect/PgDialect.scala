@@ -364,6 +364,11 @@ object PgDialect {
     stmt match {
       case tblDrop(ifExists, names) =>
         names.split(",").map(n => unquoteName(n.trim)).foreach { t =>
+          if (store.viewDefinition(t).isDefined)
+            // PG: wrong-object-type DDL refuses rather than half-dropping
+            // (the registered temp view would be resurrected by the next
+            // publish anyway)
+            throw UnsupportedQuery(s""""$t" is not a table""")
           if (store.exists(t)) {
             store.drop(t)
             spark.catalog.dropTempView(t)

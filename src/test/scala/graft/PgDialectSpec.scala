@@ -272,6 +272,9 @@ class PgDialectSpec extends SparkSpecBase {
         assert(df.collect()(0).getString(0).contains("FROM vwt WHERE g > 0"))
       case other => fail(s"$other")
     }
+    // DROP TABLE on a view refuses with PG's wrong-object error
+    val notTable = intercept[Exception](exec("DROP TABLE vw_g"))
+    assert(notTable.getMessage.contains("not a table"), notTable.getMessage)
     assert(exec("DROP VIEW vw_g") == Command("DROP VIEW"))
     intercept[Exception](exec("DROP VIEW vw_g"))
     assert(exec("DROP VIEW IF EXISTS vw_g") == Command("DROP VIEW"))
