@@ -17,7 +17,8 @@ object PipeBench {
     "txt_token_count", "txt_lang_id", "txt_quality_score", "txt_gopher_rules",
     "txt_tfidf", "txt_decontaminate", "txt_bloom_decontaminate",
     "txt_global_shuffle", "txt_seq_pack", "mm_batch_infer",
-    "dd_substring", "txt_dsir", "sim_knn_graph")
+    "dd_substring", "txt_dsir", "sim_knn_graph",
+    "txt_classifier_score", "sim_semantic_decon", "txt_heavy_hitters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
