@@ -729,6 +729,14 @@ object PgDialect {
     // with a literal delimiter -> split (regex-safe for plain delimiters)
     s = s.replaceAll("(?i)\\bunnest\\s*\\(", "explode(")
     s = s.replaceAll("(?i)\\bstring_to_array\\s*\\(", "split(")
+    // array_cat -> concat (array_position/remove/append and cardinality
+    // share names and 1-based semantics with Spark already);
+    // array_prepend's argument order is (elem, array) in PG but
+    // (array, elem) in Spark — swap
+    s = s.replaceAll("(?i)\\barray_cat\\s*\\(", "concat(")
+    s = s.replaceAll(
+      "(?i)\\barray_prepend\\s*\\(\\s*((?:[^(),]|\\([^()]*\\))+?)\\s*,\\s*((?:[^(),]|\\([^()]*\\))+?)\\s*\\)",
+      "array_prepend($2, $1)")
     // FILTER on the registered json aggregate shims -> CASE argument (the
     // shim expressions are not parser-level aggregates, so Spark's native
     // FILTER clause cannot attach to them); collect_list drops the NULLs

@@ -336,6 +336,25 @@ object PgDialectOps {
         ORDER BY o_custkey, o_orderkey""")
     },
 
+    // PG array function family: array_cat -> concat; the rest share names
+    // and 1-based indexing with Spark (DuckDB lacks array_remove and uses
+    // len — the oracle re-expresses those)
+    Q("pd_array_fns", Some("""
+      SELECT array_to_string(array_cat([1,2],[3]), ',') AS cat,
+        CAST(array_position([10,20,30], 20) AS BIGINT) AS pos,
+        array_to_string(list_filter([1,2,1,3], x -> x <> 1), ',') AS rm,
+        CAST(len([1,2,3]) AS INT) AS card,
+        array_to_string(array_append([1,2], 3), ',') AS app,
+        array_to_string(array_prepend(0, [1,2]), ',') AS pre""")) { (s, dir) =>
+      run(s, """
+        SELECT array_to_string(array_cat(ARRAY[1,2], ARRAY[3]), ',') AS cat,
+          array_position(ARRAY[10,20,30], 20) AS pos,
+          array_to_string(array_remove(ARRAY[1,2,1,3], 1), ',') AS rm,
+          cardinality(ARRAY[1,2,3]) AS card,
+          array_to_string(array_append(ARRAY[1,2], 3), ',') AS app,
+          array_to_string(array_prepend(0, ARRAY[1,2]), ',') AS pre""")
+    },
+
     Q("pd_distinct_on", Some("""
       SELECT DISTINCT ON (user_id) user_id, event_id
       FROM events ORDER BY user_id, event_id DESC""")) { (s, dir) =>
