@@ -196,11 +196,20 @@ object PgDialect {
     // savepoint name -> the tables' (from, to) state when it was set
     private val savepoints =
       scala.collection.mutable.LinkedHashMap[String, Map[String, (Int, Int)]]()
+    // view DDL undo log: name -> the view's state BEFORE our first change
+    // (None = did not exist). Restored on full ROLLBACK; savepoint-partial
+    // rollback intentionally leaves view DDL in place (version pointers
+    // have per-table granularity, view defs do not).
+    private val viewOps = scala.collection.mutable
+      .LinkedHashMap[String, Option[(String, Seq[String], Boolean)]]()
+    private[graft] def noteViewChange(name: String,
+        prior: Option[(String, Seq[String], Boolean)]): Unit =
+      if (active && !viewOps.contains(name)) viewOps(name) = prior
     def inTxn: Boolean = active
     def isAborted: Boolean = active && failed
     private[graft] def markFailed(): Unit = if (active) failed = true
-    def begin(): Unit = { active = true; failed = false; writes.clear(); savepoints.clear() }
-    def commit(): Unit = { active = false; failed = false; writes.clear(); savepoints.clear() }
+    def begin(): Unit = { active = true; failed = false; writes.clear(); savepoints.clear(); viewOps.clear() }
+    def commit(): Unit = { active = false; failed = false; writes.clear(); savepoints.clear(); viewOps.clear() }
     private[graft] def noteWrite(table: String, from: Int, to: Int): Unit =
       if (active) writes.get(table) match {
         case Some((f, _)) => writes(table) = (f, to)
@@ -244,10 +253,15 @@ object PgDialect {
         try { store.restoreVersion(t, from, expectedCurrent = to); None }
         catch { case e: Exception => Some(s"$t: ${e.getMessage}") }
       }
+      viewOps.toSeq.reverse.foreach { case (n, prior) =>
+        try store.restoreView(n, prior)
+        catch { case _: Exception => () } // base gone: nothing to restore onto
+      }
       active = false
       failed = false
       writes.clear()
       savepoints.clear()
+      viewOps.clear()
       if (failures.nonEmpty) throw UnsupportedQuery(
         "ROLLBACK could not undo all writes — " + failures.mkString("; "))
     }
@@ -332,7 +346,9 @@ object PgDialect {
       case vCreate(orReplace, temp, name, _, colsRaw, defn) =>
         val cols = Option(colsRaw).map(_.split(",").toSeq
           .map(c => unquoteName(c.trim)).filter(_.nonEmpty)).getOrElse(Nil)
-        store.createView(unquoteName(name), defn.trim, cols,
+        val vn = unquoteName(name)
+        if (txn != null && txn.inTxn) txn.noteViewChange(vn, store.viewState(vn))
+        store.createView(vn, defn.trim, cols,
           orReplace = orReplace != null, durable = temp == null)
         return Command("CREATE VIEW")
       case _ =>
@@ -340,8 +356,10 @@ object PgDialect {
     val vDrop = "(?is)DROP\\s+VIEW\\s+(IF\\s+EXISTS\\s+)?([\\w.\",\\s]+?)\\s*".r
     stmt match {
       case vDrop(ifExists, names) =>
-        names.split(",").map(n => unquoteName(n.trim)).foreach(v =>
-          store.dropView(v, ifExists = ifExists != null))
+        names.split(",").map(n => unquoteName(n.trim)).foreach { v =>
+          if (txn != null && txn.inTxn) txn.noteViewChange(v, store.viewState(v))
+          store.dropView(v, ifExists = ifExists != null)
+        }
         return Command("DROP VIEW")
       case _ =>
     }

@@ -1711,6 +1711,17 @@ class Store(spark: SparkSession, val warehouse: String) {
   def viewDefinition(name: String): Option[String] = viewDefs.get(name).map(_.defn)
   def viewNames: Seq[String] = viewDefs.keys.toSeq.sorted
 
+  /** Snapshot/restore of one view's full state — the transaction layer's
+    * undo unit for view DDL (CREATE [OR REPLACE]/DROP VIEW inside BEGIN). */
+  private[graft] def viewState(name: String): Option[(String, Seq[String], Boolean)] =
+    viewDefs.get(name).map(v => (v.defn, v.cols, v.durable))
+  private[graft] def restoreView(name: String,
+      prior: Option[(String, Seq[String], Boolean)]): Unit = prior match {
+    case Some((d, c, durable)) =>
+      createView(name, d, c, orReplace = true, durable = durable)
+    case None => dropView(name, ifExists = true)
+  }
+
   private def registerView(name: String, vd: ViewDef): Unit = {
     val df = spark.sql(PgDialect.translateSelect(vd.defn))
     val named = if (vd.cols.nonEmpty) df.toDF(vd.cols: _*) else df

@@ -282,6 +282,33 @@ class PgDialectSpec extends SparkSpecBase {
     st.drop("vwt")
   }
 
+  test("view DDL rolls back with the transaction") {
+    Tables.registerAll(spark, sfDir)
+    val wh = java.nio.file.Files.createTempDirectory("graft-vwtx").toString
+    val st = new Store(spark, wh)
+    import org.apache.spark.sql.functions._
+    st.replace("vtx_t", spark.range(10).select(col("id")))
+    val txn = new PgTxn
+    def exec(sql: String) = PgDialect.execute(spark, st, sql, txn)
+    exec("CREATE VIEW vtx_keep AS SELECT count(*) AS n FROM vtx_t")
+    exec("BEGIN")
+    exec("CREATE VIEW vtx_new AS SELECT id FROM vtx_t WHERE id > 5")
+    exec("CREATE OR REPLACE VIEW vtx_keep AS SELECT 0 AS n")
+    exec("DROP VIEW vtx_keep") // then drop the replaced one too
+    exec("ROLLBACK")
+    // created-in-txn view gone; replaced-then-dropped view back to original
+    assert(!st.viewNames.contains("vtx_new"))
+    assert(st.viewDefinition("vtx_keep").exists(_.contains("count(*)")))
+    exec("SELECT n FROM vtx_keep") match {
+      case Rows(df, _) => assert(df.collect()(0).getLong(0) == 10L)
+      case other => fail(s"$other")
+    }
+    // a committed txn keeps its view DDL
+    exec("BEGIN"); exec("DROP VIEW vtx_keep"); exec("COMMIT")
+    assert(!st.viewNames.contains("vtx_keep"))
+    st.drop("vtx_t")
+  }
+
   test("SIMILAR TO translates to an anchored RLIKE with PG semantics") {
     // wildcards become regex, regex subset passes through, . is literal
     assert(similarToRegex("NATION_1%", None) == "NATION.1.*")
