@@ -168,6 +168,10 @@ object PgFunctions {
     // %N$s positional forms PG emits.
     fn(spark, "pg_format") { exprs => FormatString(exprs: _*) }
 
+    // quote_literal: PG's string-literal quoting (embedded quotes double)
+    spark.udf.register("quote_literal",
+      (s: String) => if (s == null) null else "'" + s.replace("'", "''") + "'")
+
     // regexp_replace with PG/DuckDB semantics: first match unless 'g',
     // i/m/n/s/x flags, \N backreferences (the dialect routes both the
     // 3- and 4-argument spellings here)

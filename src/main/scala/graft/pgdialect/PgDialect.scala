@@ -747,6 +747,10 @@ object PgDialect {
     // with a literal delimiter -> split (regex-safe for plain delimiters)
     s = s.replaceAll("(?i)\\bunnest\\s*\\(", "explode(")
     s = s.replaceAll("(?i)\\bstring_to_array\\s*\\(", "split(")
+    // strpos -> instr (same 1-based/0-absent contract); starts_with ->
+    // startswith
+    s = s.replaceAll("(?i)\\bstrpos\\s*\\(", "instr(")
+    s = s.replaceAll("(?i)\\bstarts_with\\s*\\(", "startswith(")
     // array_cat -> concat (array_position/remove/append and cardinality
     // share names and 1-based semantics with Spark already);
     // array_prepend's argument order is (elem, array) in PG but

@@ -355,6 +355,25 @@ object PgDialectOps {
           array_to_string(array_prepend(0, ARRAY[1,2]), ',') AS pre""")
     },
 
+    // PG string functions: strpos -> instr, starts_with -> startswith,
+    // quote_literal shim; btrim/repeat/translate/chr/ascii pass through
+    // (DuckDB lacks btrim and quote_literal — the oracle re-expresses them)
+    Q("pd_string_fns", Some("""
+      SELECT strpos('abcdef', 'cd') AS sp, strpos('abc', 'x') AS sp0,
+        trim('xxabcxx', 'x') AS bt,
+        starts_with('abcdef', 'abc') AS sw,
+        repeat('ab', 3) AS rp, translate('abc', 'ab', 'xy') AS tr,
+        chr(65) AS ch, ascii('A') AS asc,
+        '''' || replace('it''s', '''', '''''') || '''' AS ql""")) { (s, dir) =>
+      run(s, """
+        SELECT strpos('abcdef', 'cd') AS sp, strpos('abc', 'x') AS sp0,
+          btrim('xxabcxx', 'x') AS bt,
+          starts_with('abcdef', 'abc') AS sw,
+          repeat('ab', 3) AS rp, translate('abc', 'ab', 'xy') AS tr,
+          chr(65) AS ch, ascii('A') AS asc,
+          quote_literal('it''s') AS ql""")
+    },
+
     Q("pd_distinct_on", Some("""
       SELECT DISTINCT ON (user_id) user_id, event_id
       FROM events ORDER BY user_id, event_id DESC""")) { (s, dir) =>
