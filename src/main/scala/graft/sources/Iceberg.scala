@@ -641,30 +641,121 @@ object Iceberg {
     } finally writer.close()
   }
 
+  /** One manifest-list row: content 0 = data manifest, 1 = delete
+    * manifest (v2 merge-on-read). */
+  private[graft] case class MLEntry(manifestPath: Path, length: Long,
+      content: Int, fileCount: Int, rowCount: Long)
+
   private def writeManifestList(fs: FileSystem, path: Path, manifestPath: Path,
       manifestLen: Long, snapshotId: Long, seq: Long, fileCount: Int,
-      rowCount: Long): Unit = {
+      rowCount: Long): Unit =
+    writeManifestListEntries(fs, path, snapshotId, seq,
+      Seq(MLEntry(manifestPath, manifestLen, 0, fileCount, rowCount)))
+
+  private def writeManifestListEntries(fs: FileSystem, path: Path,
+      snapshotId: Long, seq: Long, entries: Seq[MLEntry]): Unit = {
     val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](manifestListSchema))
     writer.setMeta("format-version", "2")
     writer.create(manifestListSchema, fs.create(path, true))
-    try {
+    try entries.foreach { e =>
       val r = new GenericData.Record(manifestListSchema)
-      r.put("manifest_path", fs.makeQualified(manifestPath).toUri.toString)
-      r.put("manifest_length", manifestLen)
+      r.put("manifest_path", fs.makeQualified(e.manifestPath).toUri.toString)
+      r.put("manifest_length", e.length)
       r.put("partition_spec_id", 0)
-      r.put("content", 0) // data
+      r.put("content", e.content)
       r.put("sequence_number", seq)
       r.put("min_sequence_number", seq)
       r.put("added_snapshot_id", snapshotId)
-      r.put("added_files_count", fileCount)
+      r.put("added_files_count", e.fileCount)
       r.put("existing_files_count", 0)
       r.put("deleted_files_count", 0)
-      r.put("added_rows_count", rowCount)
+      r.put("added_rows_count", e.rowCount)
       r.put("existing_rows_count", 0L)
       r.put("deleted_rows_count", 0L)
       r.put("partitions", new java.util.ArrayList[GenericRecord]())
       writer.append(r)
     } finally writer.close()
+  }
+
+  // ---- v2 merge-on-read: position deletes --------------------------------
+
+  /** Attach position deletes to the CURRENT snapshot — the v2 row-level
+    * delete that removes rows WITHOUT rewriting data files: a delete
+    * parquet of (file_path, pos) rows, a delete manifest (content=1), and
+    * a rewritten manifest list + metadata version. At 100 TB this is the
+    * low-latency delete path (GDPR erasure, CDC deletes) where rewriting a
+    * multi-GB data file for a handful of rows is unaffordable; readers
+    * apply the deletes as an anti-join at scan time and compaction folds
+    * them in later. Scope: deletes apply to the whole current snapshot
+    * (single-sequence tables — this emitter's commits always are). */
+  def attachPositionDeletes(spark: SparkSession, tableDir: Path,
+      deletes: Seq[(String, Seq[Long])]): Path = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = fsOf(tableDir, conf)
+    val mdPath = currentMetadataFile(tableDir, conf)
+      .getOrElse(throw new IllegalStateException(s"no iceberg metadata under $tableDir"))
+    val md = om.readTree(readBytes(fs, mdPath)).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val snapId = md.get("current-snapshot-id").asLong
+    val snap = md.get("snapshots").elements.asScala
+      .find(_.get("snapshot-id").asLong == snapId).get
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val metaDir = new Path(tableDir, "metadata")
+    // the delete parquet (spec: file_path asc, pos asc ordering)
+    import spark.implicits._
+    val rows = deletes.flatMap { case (f, ps) => ps.sorted.map(p => (f, p)) }
+      .sortBy(r => (r._1, r._2))
+    val delDir = new Path(metaDir, s"delete-$snapId-${System.nanoTime}")
+    rows.toDF("file_path", "pos").coalesce(1)
+      .write.mode("overwrite").parquet(delDir.toString)
+    val delParquet = fs.listStatus(delDir).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    // the delete manifest: same entry schema, data_file.content = 1
+    val delManifest = new Path(metaDir, s"snap-$snapId-deletes-manifest.avro")
+    val mSchema = manifestSchema(Nil)
+    val dataFileSchema = mSchema.getField("data_file").schema
+    val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](mSchema))
+    writer.setMeta("partition-spec", "[]")
+    writer.setMeta("partition-spec-id", "0")
+    writer.setMeta("format-version", "2")
+    writer.setMeta("content", "deletes")
+    writer.create(mSchema, fs.create(delManifest, true))
+    try {
+      val df = new GenericData.Record(dataFileSchema)
+      df.put("content", 1) // POSITION_DELETES
+      df.put("file_path", fs.makeQualified(delParquet).toUri.toString)
+      df.put("file_format", "PARQUET")
+      df.put("partition", new GenericData.Record(dataFileSchema.getField("partition").schema))
+      df.put("record_count", rows.length.toLong)
+      df.put("file_size_in_bytes", fs.getFileStatus(delParquet).getLen)
+      df.put("sort_order_id", 0)
+      val entry = new GenericData.Record(mSchema)
+      entry.put("status", 1)
+      entry.put("snapshot_id", snapId)
+      entry.put("sequence_number", snapId)
+      entry.put("file_sequence_number", snapId)
+      entry.put("data_file", df)
+      writer.append(entry)
+    } finally writer.close()
+    // rewrite the manifest list: keep existing entries, add the delete one
+    val oldList = new Path(java.net.URI.create(snap.get("manifest-list").asText))
+    val existing = readAvro(fs, oldList).map { r =>
+      MLEntry(new Path(java.net.URI.create(r.get("manifest_path").toString)),
+        r.get("manifest_length").asInstanceOf[Long],
+        r.get("content").asInstanceOf[Int],
+        r.get("added_files_count").asInstanceOf[Int],
+        r.get("added_rows_count").asInstanceOf[Long])
+    }
+    val newList = new Path(metaDir, s"snap-$snapId-mor.avro")
+    writeManifestListEntries(fs, newList, snapId, snapId,
+      existing :+ MLEntry(delManifest, fs.getFileStatus(delManifest).getLen, 1,
+        1, rows.length.toLong))
+    snap.put("manifest-list", fs.makeQualified(newList).toUri.toString)
+    val version = nextMetadataVersion(fs, metaDir)
+    writeBytes(fs, new Path(metaDir, s"v$version.metadata.json"),
+      om.writerWithDefaultPrettyPrinter.writeValueAsBytes(md))
+    writeBytes(fs, new Path(metaDir, "version-hint.text"),
+      version.toString.getBytes(UTF_8))
+    new Path(metaDir, s"v$version.metadata.json")
   }
 
   /** expire_snapshots: drop snapshots not in `liveIds` from the metadata
@@ -765,7 +856,14 @@ object Iceberg {
     * catalog (e.g. the reference's `iceberg_tables.metadata_location`
     * column) hands us, bypassing version-hint resolution. */
   def planFilesAt(mdPath: Path, snapshotId: Option[Long] = None,
-      conf: Configuration = new Configuration()): Seq[PlannedFile] = {
+      conf: Configuration = new Configuration()): Seq[PlannedFile] =
+    planScanAt(mdPath, snapshotId, conf)._1
+
+  /** Plan data AND position-delete files (v2 merge-on-read): entries with
+    * data_file.content = 1 are delete parquets of (file_path, pos) rows the
+    * reader must anti-join away. */
+  def planScanAt(mdPath: Path, snapshotId: Option[Long] = None,
+      conf: Configuration = new Configuration()): (Seq[PlannedFile], Seq[PlannedFile]) = {
     val fs = fsOf(mdPath, conf)
     val md = om.readTree(readBytes(fs, mdPath))
     val wanted = snapshotId.getOrElse(md.get("current-snapshot-id").asLong)
@@ -773,7 +871,7 @@ object Iceberg {
       .find(_.get("snapshot-id").asLong == wanted)
       .getOrElse(throw new IllegalArgumentException(s"snapshot $wanted not found"))
     val listPath = new Path(java.net.URI.create(snap.get("manifest-list").asText))
-    readAvro(fs, listPath).flatMap { mf =>
+    val all = readAvro(fs, listPath).flatMap { mf =>
       val manifestPath = new Path(java.net.URI.create(mf.get("manifest_path").toString))
       readAvro(fs, manifestPath).collect {
         case entry if entry.get("status").asInstanceOf[Int] != 2 => // not DELETED
@@ -793,7 +891,11 @@ object Iceberg {
               m.asScala.map { case (k, v) => k.toString -> cleanse(v) }.toMap
             case _ => Map.empty
           }
-          PlannedFile(
+          val content = df.getSchema.getField("content") match {
+            case null => 0
+            case _ => Option(df.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
+          }
+          content -> PlannedFile(
             new Path(java.net.URI.create(df.get("file_path").toString)).toString,
             df.get("record_count").asInstanceOf[Long],
             df.get("file_size_in_bytes").asInstanceOf[Long],
@@ -802,6 +904,25 @@ object Iceberg {
             part)
       }
     }
+    (all.collect { case (0, f) => f }, all.collect { case (c, f) if c != 0 => f })
+  }
+
+  /** Apply position-delete files to a data scan: anti-join on
+    * (file path, row position) using Spark's `_metadata` file columns.
+    * Paths normalize to a scheme-stripped form on both sides (writers'
+    * URI spellings differ in slash count). */
+  private def applyPositionDeletes(spark: SparkSession, df: DataFrame,
+      deleteFiles: Seq[PlannedFile]): DataFrame = {
+    if (deleteFiles.isEmpty) return df
+    import org.apache.spark.sql.functions.expr
+    def norm(c: String) = expr(s"regexp_replace($c, '^[a-zA-Z0-9]+:/+', '/')")
+    val dels = spark.read.parquet(deleteFiles.map(_.path): _*)
+      .select(norm("file_path").as("__dfp"), col("pos").as("__dpos"))
+    df.withColumn("__fp", norm("_metadata.file_path"))
+      .withColumn("__pos", col("_metadata.row_index"))
+      .join(dels, col("__fp") === col("__dfp") && col("__pos") === col("__dpos"),
+        "left_anti")
+      .drop("__fp", "__pos")
   }
 
   /** Decode an Iceberg single-value bound for a field. */
@@ -833,17 +954,21 @@ object Iceberg {
   def readTable(spark: SparkSession, tableDir: Path,
       snapshotId: Option[Long] = None): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
-    dropHidden(readFromPlan(spark, planFiles(tableDir, snapshotId, conf),
-      tableDir.toString), partitionSpec(tableDir, conf))
+    readTableAt(spark, currentMetadataFile(tableDir, conf)
+      .getOrElse(throw new IllegalStateException(s"no iceberg metadata under $tableDir")),
+      snapshotId)
   }
 
   /** Read through an explicit metadata.json location (what a JDBC catalog's
-    * `metadata_location` column points at). */
+    * `metadata_location` column points at). Position-delete files in the
+    * snapshot (v2 merge-on-read) are applied as a (path, pos) anti-join. */
   def readTableAt(spark: SparkSession, metadataLocation: Path,
       snapshotId: Option[Long] = None): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
-    dropHidden(readFromPlan(spark, planFilesAt(metadataLocation, snapshotId,
-      conf), metadataLocation.toString), partitionSpecAt(metadataLocation, conf))
+    val (data, dels) = planScanAt(metadataLocation, snapshotId, conf)
+    dropHidden(applyPositionDeletes(spark,
+      readFromPlan(spark, data, metadataLocation.toString), dels),
+      partitionSpecAt(metadataLocation, conf))
   }
 
   private def readFromPlan(spark: SparkSession, files: Seq[PlannedFile],

@@ -213,6 +213,37 @@ class IcebergSpec extends SparkSpecBase {
     assert(one.count() == df.filter(col("part") === "p1").count())
   }
 
+  test("position deletes: rows vanish at read time without a data rewrite") {
+    val (store, dir) = freshStore()
+    val li = lineitem.limit(5000)
+    store.replace("mor", li)
+    store.publishIceberg("mor")
+    val before = store.readIceberg("mor")
+    assert(before.count() == li.count())
+    // pick two data files and delete a few positions from each
+    val (files, _) = Iceberg.planScanAt(
+      Iceberg.currentMetadataFile(hp(dir.resolve("mor"))).get)
+    assert(files.nonEmpty)
+    val victims = files.take(2).map(f => f.path -> Seq(0L, 2L))
+    val dataBytesBefore = files.map(_.fileSize).sum
+    Iceberg.attachPositionDeletes(spark, hp(dir.resolve("mor")), victims)
+    val after = Iceberg.readTable(spark, hp(dir.resolve("mor")))
+    val removed = victims.map(_._2.size).sum
+    assert(after.count() == li.count() - removed,
+      s"expected ${li.count() - removed}, got ${after.count()}")
+    // merge-on-read: the DATA files are untouched (no rewrite happened)
+    val (files2, dels2) = Iceberg.planScanAt(
+      Iceberg.currentMetadataFile(hp(dir.resolve("mor"))).get)
+    assert(files2.map(_.path).sorted == files.map(_.path).sorted)
+    assert(files2.map(_.fileSize).sum == dataBytesBefore)
+    assert(dels2.nonEmpty && dels2.head.recordCount == removed)
+    // the deleted rows are exactly the first/third rows of the victim files
+    val kept = after.count()
+    val again = Iceberg.readTable(spark, hp(dir.resolve("mor"))).count()
+    assert(again == kept, "merge-on-read scan is deterministic")
+    store.drop("mor")
+  }
+
   test("bucket hash matches the Iceberg spec's published test vectors") {
     import org.apache.spark.sql.types._
     assert(Iceberg.bucketHash(34, IntegerType) == 2017239379,
