@@ -822,7 +822,10 @@ object Iceberg {
   /** One manifest entry as planned from metadata (no data-file access). */
   case class PlannedFile(path: String, recordCount: Long, fileSize: Long,
       lowerBounds: Map[Int, Array[Byte]], upperBounds: Map[Int, Array[Byte]],
-      partition: Map[String, Any])
+      partition: Map[String, Any],
+      // v2 merge-on-read: 0 = data, 1 = position deletes, 2 = equality
+      // deletes (equalityIds = the key columns' schema field ids)
+      content: Int = 0, equalityIds: Seq[Int] = Nil)
 
   private def readAvro(fs: FileSystem, path: Path): Seq[GenericRecord] = {
     // manifests are small (KBs); buffer once, seek in memory
@@ -895,16 +898,123 @@ object Iceberg {
             case null => 0
             case _ => Option(df.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
           }
-          content -> PlannedFile(
+          val eqIds = df.getSchema.getField("equality_ids") match {
+            case null => Nil
+            case _ => Option(df.get("equality_ids"))
+              .map(_.asInstanceOf[java.util.List[_]].asScala.toSeq
+                .map(_.asInstanceOf[Int])).getOrElse(Nil)
+          }
+          PlannedFile(
             new Path(java.net.URI.create(df.get("file_path").toString)).toString,
             df.get("record_count").asInstanceOf[Long],
             df.get("file_size_in_bytes").asInstanceOf[Long],
             bytesMap(df.get("lower_bounds")),
             bytesMap(df.get("upper_bounds")),
-            part)
+            part, content, eqIds)
       }
     }
-    (all.collect { case (0, f) => f }, all.collect { case (c, f) if c != 0 => f })
+    (all.filter(_.content == 0), all.filter(_.content != 0))
+  }
+
+  /** Attach EQUALITY deletes to the current snapshot — the v2 delete
+    * flavor keyed by column VALUES (content=2): any data row matching a
+    * delete-file row on the equality columns is removed at read time. The
+    * CDC-sink shape: a stream of deleted keys lands as a small parquet of
+    * key values, no positions needed, no data read at delete time at all
+    * (position deletes still need the writer to know file/row). */
+  def attachEqualityDeletes(spark: SparkSession, tableDir: Path,
+      schema: StructType, keys: DataFrame): Path = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = fsOf(tableDir, conf)
+    val mdPath = currentMetadataFile(tableDir, conf)
+      .getOrElse(throw new IllegalStateException(s"no iceberg metadata under $tableDir"))
+    val md = om.readTree(readBytes(fs, mdPath)).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val snapId = md.get("current-snapshot-id").asLong
+    val snap = md.get("snapshots").elements.asScala
+      .find(_.get("snapshot-id").asLong == snapId).get
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val metaDir = new Path(tableDir, "metadata")
+    val eqIds = keys.columns.toSeq.map(c => schema.fieldIndex(c) + 1)
+    val delDir = new Path(metaDir, s"eqdelete-$snapId-${System.nanoTime}")
+    val n = keys.count()
+    keys.coalesce(1).write.mode("overwrite").parquet(delDir.toString)
+    val delParquet = fs.listStatus(delDir).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    val delManifest = new Path(metaDir, s"snap-$snapId-eqdeletes-manifest.avro")
+    val mSchema = manifestSchema(Nil)
+    val dataFileSchema = mSchema.getField("data_file").schema
+    val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](mSchema))
+    writer.setMeta("partition-spec", "[]")
+    writer.setMeta("partition-spec-id", "0")
+    writer.setMeta("format-version", "2")
+    writer.setMeta("content", "deletes")
+    writer.create(mSchema, fs.create(delManifest, true))
+    try {
+      val df = new GenericData.Record(dataFileSchema)
+      df.put("content", 2) // EQUALITY_DELETES
+      df.put("file_path", fs.makeQualified(delParquet).toUri.toString)
+      df.put("file_format", "PARQUET")
+      df.put("partition", new GenericData.Record(dataFileSchema.getField("partition").schema))
+      df.put("record_count", n)
+      df.put("file_size_in_bytes", fs.getFileStatus(delParquet).getLen)
+      df.put("equality_ids", eqIds.map(Int.box).asJava)
+      df.put("sort_order_id", 0)
+      val entry = new GenericData.Record(mSchema)
+      entry.put("status", 1)
+      entry.put("snapshot_id", snapId)
+      entry.put("sequence_number", snapId)
+      entry.put("file_sequence_number", snapId)
+      entry.put("data_file", df)
+      writer.append(entry)
+    } finally writer.close()
+    val oldList = new Path(java.net.URI.create(snap.get("manifest-list").asText))
+    val existing = readAvro(fs, oldList).map { r =>
+      MLEntry(new Path(java.net.URI.create(r.get("manifest_path").toString)),
+        r.get("manifest_length").asInstanceOf[Long],
+        r.get("content").asInstanceOf[Int],
+        r.get("added_files_count").asInstanceOf[Int],
+        r.get("added_rows_count").asInstanceOf[Long])
+    }
+    val newList = new Path(metaDir, s"snap-$snapId-eqmor.avro")
+    writeManifestListEntries(fs, newList, snapId, snapId,
+      existing :+ MLEntry(delManifest, fs.getFileStatus(delManifest).getLen, 1, 1, n))
+    snap.put("manifest-list", fs.makeQualified(newList).toUri.toString)
+    val version = nextMetadataVersion(fs, metaDir)
+    writeBytes(fs, new Path(metaDir, s"v$version.metadata.json"),
+      om.writerWithDefaultPrettyPrinter.writeValueAsBytes(md))
+    writeBytes(fs, new Path(metaDir, "version-hint.text"),
+      version.toString.getBytes(UTF_8))
+    new Path(metaDir, s"v$version.metadata.json")
+  }
+
+  /** Schema field id -> name, from metadata.json (reader-side; works on
+    * foreign metadata too). */
+  private def fieldIdToName(mdPath: Path, conf: Configuration): Map[Int, String] = {
+    val fs = fsOf(mdPath, conf)
+    val md = om.readTree(readBytes(fs, mdPath))
+    val schemaNode = Option(md.get("current-schema-id")).map(_.asInt) match {
+      case Some(id) => md.get("schemas").elements.asScala
+        .find(s => Option(s.get("schema-id")).exists(_.asInt == id))
+        .getOrElse(md.get("schemas").get(0))
+      case None => md.get("schemas").get(0)
+    }
+    schemaNode.get("fields").elements.asScala
+      .map(f => f.get("id").asInt -> f.get("name").asText).toMap
+  }
+
+  /** Apply position (content=1) and equality (content=2) delete files:
+    * positions anti-join on Spark's `_metadata` (file path, row index);
+    * equality deletes anti-join on their key columns, grouped by id set. */
+  private def applyDeletes(spark: SparkSession, df: DataFrame,
+      deleteFiles: Seq[PlannedFile], idToName: Map[Int, String]): DataFrame = {
+    val (eq, pos) = deleteFiles.partition(_.content == 2)
+    val afterPos = applyPositionDeletes(spark, df, pos)
+    eq.groupBy(_.equalityIds).foldLeft(afterPos) { case (d, (ids, files)) =>
+      val cols = ids.map(idToName)
+      val keys = spark.read.parquet(files.map(_.path): _*)
+        .select(cols.map(col): _*).distinct()
+      d.join(keys, cols, "left_anti")
+    }
   }
 
   /** Apply position-delete files to a data scan: anti-join on
@@ -966,8 +1076,9 @@ object Iceberg {
       snapshotId: Option[Long] = None): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
     val (data, dels) = planScanAt(metadataLocation, snapshotId, conf)
-    dropHidden(applyPositionDeletes(spark,
-      readFromPlan(spark, data, metadataLocation.toString), dels),
+    dropHidden(applyDeletes(spark,
+      readFromPlan(spark, data, metadataLocation.toString), dels,
+      fieldIdToName(metadataLocation, conf)),
       partitionSpecAt(metadataLocation, conf))
   }
 

@@ -244,6 +244,32 @@ class IcebergSpec extends SparkSpecBase {
     store.drop("mor")
   }
 
+  test("equality deletes: keyed rows vanish with no positions needed") {
+    val (store, dir) = freshStore()
+    val li = lineitem.limit(3000)
+    store.replace("eqmor", li)
+    store.publishIceberg("eqmor")
+    import org.apache.spark.sql.functions._
+    // delete all rows of three order keys, by VALUE only
+    val victims = li.select("l_orderkey").distinct().limit(3)
+    val victimKeys = victims.collect().map(_.getLong(0)).toSet
+    Iceberg.attachEqualityDeletes(spark, hp(dir.resolve("eqmor")),
+      li.schema, victims)
+    val after = Iceberg.readTable(spark, hp(dir.resolve("eqmor")))
+    val expect = li.filter(!col("l_orderkey").isin(victimKeys.toSeq: _*))
+    assert(after.count() == expect.count(), s"${after.count()} vs ${expect.count()}")
+    assert(after.filter(col("l_orderkey").isin(victimKeys.toSeq: _*)).count() == 0)
+    // stacks with position deletes on the same snapshot
+    val (files, _) = Iceberg.planScanAt(
+      Iceberg.currentMetadataFile(hp(dir.resolve("eqmor"))).get)
+    Iceberg.attachPositionDeletes(spark, hp(dir.resolve("eqmor")),
+      Seq(files.head.path -> Seq(0L)))
+    val boths = Iceberg.readTable(spark, hp(dir.resolve("eqmor"))).count()
+    assert(boths == expect.count() - 1 || boths == expect.count(),
+      s"position delete on top of equality deletes: $boths")
+    store.drop("eqmor")
+  }
+
   test("bucket hash matches the Iceberg spec's published test vectors") {
     import org.apache.spark.sql.types._
     assert(Iceberg.bucketHash(34, IntegerType) == 2017239379,
