@@ -448,6 +448,33 @@ object Dedup {
     // rounds = graph diameter (dup clusters are shallow). At 100 TB this is
     // the standard alternating large-star/small-star shape. Oracle: DuckDB
     // recursive CTE computing min reachable id.
+    // Leakage-safe train/val/test split: a near-dup CLUSTER is assigned
+    // atomically to one split (bucketing on the cluster representative,
+    // not the doc), so two near-duplicate documents can never land in
+    // train and test — the eval-contamination failure mode a per-doc
+    // split has by construction. Same md5 buckets as txt_train_split.
+    Q("dd_cluster_split", Some(s"""
+      WITH RECURSIVE pairs AS (${jaccardPairsCte}),
+      edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+      nodes AS (SELECT DISTINCT doc_id FROM documents),
+      reach(src, node) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node),
+      labels AS (SELECT src AS doc_id, min(node) AS cluster_id
+                 FROM reach GROUP BY src),
+      b AS (SELECT doc_id, cluster_id,
+              CAST('0x' || substr(md5('cs-' || CAST(cluster_id AS VARCHAR)), 1, 4) AS INT) AS bucket
+            FROM labels)
+      SELECT doc_id, cluster_id,
+        CASE WHEN bucket < 58982 THEN 'train'
+             WHEN bucket < 62259 THEN 'val' ELSE 'test' END AS split
+      FROM b ORDER BY doc_id""")) { (s, dir) =>
+      clusterSplit(t(s, dir, "documents")).orderBy("doc_id")
+    },
+
     Q("dd_cluster_cc", Some(s"""
       WITH RECURSIVE pairs AS (${jaccardPairsCte}),
       edges AS (
@@ -460,39 +487,7 @@ object Dedup {
         SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node)
       SELECT src AS doc_id, min(node) AS cluster_id
       FROM reach GROUP BY src ORDER BY doc_id""")) { (s, dir) =>
-      // edges from the SCALE-path pair miner: minhash-LSH + exact verify
-      // returns the same >=0.9 pair set as the exact auditor (band miss
-      // ~2e-12, verified candidates only), at banded-join cost — the
-      // clustering step consumes pairs, it should never pay the auditor's
-      // capped shingle-equality join
-      val edges = minhashLshPairs(t(s, dir, "documents"), 0.9)
-        .select("id_a", "id_b")
-      val bidir = edges.select(col("id_a").as("a"), col("id_b").as("b"))
-        .unionByName(edges.select(col("id_b").as("a"), col("id_a").as("b")))
-        .cache()
-      var labels = t(s, dir, "documents")
-        .select(col("doc_id"), col("doc_id").as("cluster_id"))
-      var changed = 1L
-      try {
-        while (changed > 0) {
-          // candidate label for each node: min over self and neighbors' labels
-          val viaNeighbors = bidir
-            .join(labels.withColumnRenamed("doc_id", "a"), "a")
-            .groupBy(col("b").as("doc_id"))
-            .agg(min(col("cluster_id")).as("n_label"))
-          // localCheckpoint truncates the per-iteration lineage — without it
-          // the plan (and task closures) grow linearly with rounds, which is
-          // what kills long iterative jobs at scale
-          val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              least(col("cluster_id"), coalesce(col("n_label"), col("cluster_id"))).as("cluster_id"))
-            .localCheckpoint()
-          changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-            .filter(col("cluster_id") =!= col("old")).count()
-          labels = next
-        }
-        labels.orderBy("doc_id")
-      } finally bidir.unpersist(false)
+      clusterLabels(t(s, dir, "documents")).orderBy("doc_id")
     },
 
     // embedding-space near-dup: normalized cosine over double-cast vectors;
@@ -624,4 +619,48 @@ object Dedup {
         .orderBy("vec_id")
     }
   )
+
+  /** Connected-component labels over the near-dup pair graph: iterative
+    * min-label propagation with localCheckpoint-truncated lineage. Edges
+    * come from the SCALE-path pair miner (minhash-LSH + exact verify, the
+    * same ≥0.9 pair set as the exact auditor at banded-join cost). */
+  private[graft] def clusterLabels(docs: DataFrame): DataFrame = {
+    val edges = minhashLshPairs(docs, 0.9).select("id_a", "id_b")
+    val bidir = edges.select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionByName(edges.select(col("id_b").as("a"), col("id_a").as("b")))
+      .cache()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    var changed = 1L
+    try {
+      while (changed > 0) {
+        // candidate label for each node: min over self and neighbors' labels
+        val viaNeighbors = bidir
+          .join(labels.withColumnRenamed("doc_id", "a"), "a")
+          .groupBy(col("b").as("doc_id"))
+          .agg(min(col("cluster_id")).as("n_label"))
+        // localCheckpoint truncates the per-iteration lineage — without it
+        // the plan (and task closures) grow linearly with rounds, which is
+        // what kills long iterative jobs at scale
+        val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("n_label"), col("cluster_id"))).as("cluster_id"))
+          .localCheckpoint()
+        changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+          .filter(col("cluster_id") =!= col("old")).count()
+        labels = next
+      }
+      labels
+    } finally { bidir.unpersist(false); () }
+  }
+
+  /** Leakage-safe split: buckets on the near-dup CLUSTER representative so
+    * near-duplicates always share a split. Same md5 bucket thresholds as
+    * the per-doc split operator. */
+  private[graft] def clusterSplit(docs: DataFrame): DataFrame =
+    clusterLabels(docs)
+      .withColumn("bucket",
+        expr("CAST(conv(substr(md5(concat('cs-', CAST(cluster_id AS STRING))), 1, 4), 16, 10) AS INT)"))
+      .select(col("doc_id"), col("cluster_id"),
+        when(col("bucket") < 58982, "train")
+          .when(col("bucket") < 62259, "val").otherwise("test").as("split"))
 }

@@ -23,6 +23,19 @@ class PipelineSpec extends SparkSpecBase {
     in1.zip(in1.tail).foreach { case (a, b) => assert(b <= a + 150000000000L, in1) }
   }
 
+  test("cluster split is leakage-safe: every near-dup pair shares a split") {
+    val docs = Tables.df(spark, sfDir, "documents")
+    val split = Dedup.clusterSplit(docs)
+    val pairs = Dedup.minhashLshPairs(docs, 0.9).select("id_a", "id_b")
+    val leaked = pairs
+      .join(split.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
+      .join(split.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
+      .filter(col("sa") =!= col("sb"))
+    assert(leaked.count() == 0, "near-dup pair split across train/test")
+    // and the split covers every doc exactly once
+    assert(split.count() == docs.count())
+  }
+
   test("count-min heavy hitters match the exact top-k") {
     val docs = Tables.df(spark, sfDir, "documents")
     val exact = TextAnalysis.topTermsExact(docs, 25).collect()
