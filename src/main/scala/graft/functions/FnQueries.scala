@@ -727,6 +727,7 @@ object FnQueries {
         ('client_encoding', 'UTF8'), ('datestyle', 'ISO, MDY'),
         ('max_connections', '100'), ('search_path', '"$user", public'),
         ('server_encoding', 'UTF8'), ('server_version', '17.0'),
+        ('server_version_num', '170000'),
         ('standard_conforming_strings', 'on'), ('timezone', 'UTC'),
         ('transaction_isolation', 'read committed')) t(name, setting)
       ORDER BY name""")) { (s, dir) =>

@@ -19,6 +19,7 @@ import scala.jdk.CollectionConverters._
 object SessionSettings {
   val defaults: Map[String, String] = Map(
     "server_version" -> "17.0",
+    "server_version_num" -> "170000", // JDBC/ORM numeric version probe
     "server_encoding" -> "UTF8",
     "client_encoding" -> "UTF8",
     "timezone" -> "UTC",
