@@ -1090,19 +1090,33 @@ object Iceberg {
       .parquet(files.map(_.path): _*)
   }
 
+  /** (data files, delete files, id->name) for a table's current snapshot —
+    * what every pruned reader needs to stay merge-on-read-correct. */
+  private def planForPruning(spark: SparkSession, tableDir: Path)
+      : (Seq[PlannedFile], Seq[PlannedFile], Map[Int, String]) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val mdPath = currentMetadataFile(tableDir, conf)
+      .getOrElse(throw new IllegalStateException(s"no iceberg metadata under $tableDir"))
+    val (data, dels) = planScanAt(mdPath, None, conf)
+    (data, dels, if (dels.exists(_.content == 2)) fieldIdToName(mdPath, conf)
+                 else Map.empty)
+  }
+
   /** Partition-pruned read: keep only files whose manifest partition value
     * for `col` equals `value` — O(manifest entries) planning, then a
-    * basePath read of just those files. */
+    * basePath read of just those files. Position/equality deletes apply
+    * like any other read. */
   def readPartitionPruned(spark: SparkSession, tableDir: Path,
       col: String, value: Any): (DataFrame, Int, Int) = {
-    val files = planFiles(tableDir, None, spark.sessionState.newHadoopConf())
+    val (files, dels, idToName) = planForPruning(spark, tableDir)
     if (files.isEmpty) throw new IllegalStateException(s"empty snapshot in $tableDir")
     val hit = files.filter(_.partition.get(col).contains(value))
     val df =
       if (hit.isEmpty)
         readTable(spark, tableDir).limit(0)
-      else spark.read.option("basePath", baseOf(new Path(hit.head.path)).toString)
-        .parquet(hit.map(_.path): _*)
+      else applyDeletes(spark,
+        spark.read.option("basePath", baseOf(new Path(hit.head.path)).toString)
+          .parquet(hit.map(_.path): _*), dels, idToName)
     (df, hit.length, files.length)
   }
 
@@ -1114,7 +1128,7 @@ object Iceberg {
       column: String, lo: Any, hi: Any): (DataFrame, Int, Int) = {
     val fid = schema.fieldIndex(column) + 1
     val dt = schema(column).dataType
-    val files = planFiles(tableDir, None, spark.sessionState.newHadoopConf())
+    val (files, dels, idToName) = planForPruning(spark, tableDir)
     def cmp(a: Any, b: Any): Int =
       a.asInstanceOf[Comparable[Any]].compareTo(b)
     val hit = files.filter { f =>
@@ -1135,7 +1149,7 @@ object Iceberg {
         .parquet(fs.map(_.path): _*)
     val df =
       if (hit.isEmpty) readFiles(Seq(files.head)).limit(0)
-      else readFiles(hit)
+      else applyDeletes(spark, readFiles(hit), dels, idToName)
     (df.filter(col(column) >= lit(lo) && col(column) <= lit(hi)),
       hit.length, files.length)
   }
@@ -1232,7 +1246,7 @@ object Iceberg {
         (!requireMonotone || transformMonotone(s.transform)))
       .getOrElse(throw new IllegalArgumentException(
         s"no usable partition transform over $sourceCol in $tableDir"))
-    val files = planFiles(tableDir, None, conf)
+    val (files, dels, idToName) = planForPruning(spark, tableDir)
     if (files.isEmpty) throw new IllegalStateException(s"empty snapshot in $tableDir")
     val hit = files.filter(f =>
       f.partition.get(sf.name).forall(pv => pv == null || keep(sf, pv)))
@@ -1241,7 +1255,8 @@ object Iceberg {
       else spark.read.option("basePath", baseOf(new Path(fs.head.path)).toString)
         .parquet(fs.map(_.path): _*)
     val df = dropHidden(
-      if (hit.isEmpty) readFiles(Seq(files.head)).limit(0) else readFiles(hit),
+      if (hit.isEmpty) readFiles(Seq(files.head)).limit(0)
+      else applyDeletes(spark, readFiles(hit), dels, idToName),
       spec)
     (df, hit.length, files.length)
   }

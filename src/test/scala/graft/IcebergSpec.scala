@@ -244,6 +244,26 @@ class IcebergSpec extends SparkSpecBase {
     store.drop("mor")
   }
 
+  test("pruned reads honor merge-on-read deletes") {
+    val (store, dir) = freshStore()
+    val ev = Tables.df(spark, sfDir, "events")
+      .select("event_id", "user_id", "ts").limit(4000)
+    store.replaceTransformPartitioned("morp", ev, "ts", "day")
+    store.publishIceberg("morp")
+    import org.apache.spark.sql.functions._
+    val victims = ev.select("event_id").limit(5)
+    Iceberg.attachEqualityDeletes(spark, hp(dir.resolve("morp")),
+      store.readIceberg("morp").schema, victims)
+    val minTs = ev.agg(min("ts")).collect()(0).getAs[java.time.LocalDateTime](0)
+    val (df, _, _) = store.readIcebergTransformRange("morp", "ts",
+      minTs, minTs.plusDays(400))
+    val vset = victims.collect().map(_.getLong(0)).toSet
+    assert(df.filter(col("event_id").isin(vset.toSeq: _*)).count() == 0,
+      "transform-pruned read must not resurrect deleted rows")
+    assert(df.count() == ev.count() - vset.size)
+    store.drop("morp")
+  }
+
   test("equality deletes: keyed rows vanish with no positions needed") {
     val (store, dir) = freshStore()
     val li = lineitem.limit(3000)
