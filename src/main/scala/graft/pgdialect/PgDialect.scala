@@ -820,10 +820,12 @@ object PgDialect {
     // PG numeric/bit operators: `^` is POWER in PG but XOR in Spark, and
     // `#` is PG's XOR — translate power FIRST so the emitted `^` survives;
     // shifts become the shiftleft/shiftright functions. (`&`/`|` agree.)
-    s = s.replaceAll("([\\w.]+)\\s*\\^\\s*([\\w.]+)", "power($1, $2)")
-    s = s.replaceAll("([\\w.]+)\\s*#(?![>=])\\s*([\\w.]+)", "$1 ^ $2")
-    s = s.replaceAll("([\\w.]+)\\s*<<\\s*([\\w.]+)", "shiftleft($1, $2)")
-    s = s.replaceAll("([\\w.]+)\\s*>>\\s*([\\w.]+)", "shiftright($1, $2)")
+    // LITERAL-safe: these symbols appear inside strings too (LIKE ESCAPE
+    // '#', regex patterns with ^/#) and must not be rewritten there.
+    s = replaceOutsideStrings(s, "([\\w.]+)\\s*\\^\\s*([\\w.]+)", "power($1, $2)")
+    s = replaceOutsideStrings(s, "([\\w.]+)\\s*#(?![>=])\\s*([\\w.]+)", "$1 ^ $2")
+    s = replaceOutsideStrings(s, "([\\w.]+)\\s*<<\\s*([\\w.]+)", "shiftleft($1, $2)")
+    s = replaceOutsideStrings(s, "([\\w.]+)\\s*>>\\s*([\\w.]+)", "shiftright($1, $2)")
     // regex match operators (PG ~ family) — after arrows so ->> is gone
     s = s.replaceAll("!~~\\*", " NOT ILIKE ")
     s = s.replaceAll("!~~", " NOT LIKE ")

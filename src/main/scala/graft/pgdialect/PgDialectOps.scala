@@ -374,6 +374,18 @@ object PgDialectOps {
           quote_literal('it''s') AS ql""")
     },
 
+    // LIKE with an explicit ESCAPE character (incl. PG's literal backslash,
+    // which rides the standard_conforming_strings doubling)
+    Q("pd_like_escape", Some("""
+      SELECT v, v LIKE 'a\_%' ESCAPE '\' AS esc_bs,
+        v LIKE 'a#_%' ESCAPE '#' AS esc_hash
+      FROM (VALUES ('a_x'), ('abx'), ('a%x')) t(v) ORDER BY v""")) { (s, dir) =>
+      run(s, """
+        SELECT v, v LIKE 'a\_%' ESCAPE '\' AS esc_bs,
+          v LIKE 'a#_%' ESCAPE '#' AS esc_hash
+        FROM (VALUES ('a_x'), ('abx'), ('a%x')) t(v) ORDER BY v""")
+    },
+
     Q("pd_distinct_on", Some("""
       SELECT DISTINCT ON (user_id) user_id, event_id
       FROM events ORDER BY user_id, event_id DESC""")) { (s, dir) =>
