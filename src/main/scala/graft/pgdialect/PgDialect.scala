@@ -826,13 +826,14 @@ object PgDialect {
     s = replaceOutsideStrings(s, "([\\w.]+)\\s*#(?![>=])\\s*([\\w.]+)", "$1 ^ $2")
     s = replaceOutsideStrings(s, "([\\w.]+)\\s*<<\\s*([\\w.]+)", "shiftleft($1, $2)")
     s = replaceOutsideStrings(s, "([\\w.]+)\\s*>>\\s*([\\w.]+)", "shiftright($1, $2)")
-    // regex match operators (PG ~ family) — after arrows so ->> is gone
-    s = s.replaceAll("!~~\\*", " NOT ILIKE ")
-    s = s.replaceAll("!~~", " NOT LIKE ")
-    s = s.replaceAll("~~\\*", " ILIKE ")
-    s = s.replaceAll("~~", " LIKE ")
-    s = s.replaceAll("!~", " NOT RLIKE ")
-    s = s.replaceAll("(?<![!<>=~])~(?![~=])", " RLIKE ")
+    // regex match operators (PG ~ family) — after arrows so ->> is gone;
+    // literal-safe: a '~' INSIDE a pattern string must survive
+    s = replaceOutsideStrings(s, "!~~\\*", " NOT ILIKE ")
+    s = replaceOutsideStrings(s, "!~~", " NOT LIKE ")
+    s = replaceOutsideStrings(s, "~~\\*", " ILIKE ")
+    s = replaceOutsideStrings(s, "~~", " LIKE ")
+    s = replaceOutsideStrings(s, "!~", " NOT RLIKE ")
+    s = replaceOutsideStrings(s, "(?<![!<>=~])~(?![~=])", " RLIKE ")
     // multi-row scalar-subquery tolerance (off by default = PG-strict):
     // the reference boots DuckDB with
     // scalar_subquery_error_on_multiple_rows=false (main.go:67), so a

@@ -351,6 +351,16 @@ class PgDialectSpec extends SparkSpecBase {
     assert(translateSelect(two).toUpperCase.contains("GROUPS"))
   }
 
+  test("operator rewrites never touch string literals") {
+    // '~', '#', '^', '<<' inside literals survive; the operators outside
+    // still translate
+    val t1 = translateSelect("SELECT v ~ 'a~b#c^d<<e' AS m FROM t")
+    assert(t1.contains("RLIKE") && t1.contains("'a~b#c^d<<e'"), t1)
+    val t2 = translateSelect("SELECT 'x~~y' AS s, a ~~ 'p%' AS l FROM t")
+    assert(t2.contains("'x~~y'") && t2.contains("LIKE") &&
+      !t2.toUpperCase.contains("ILIKE"), t2)
+  }
+
   test("two-word PG type names cast correctly") {
     val out = translateSelect("SELECT x::double precision AS d, " +
       "y::character varying AS s, z::timestamp without time zone AS ts FROM t")
