@@ -640,6 +640,39 @@ object StoreOps {
       }
     },
 
+    // PG's join-update (UPDATE … FROM): assignments taken from the joined
+    // source row
+    Q("st_sql_update_from", Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        WHERE o_orderkey <= 2000),
+      upd AS (
+        SELECT b.o_orderkey, b.o_custkey,
+          CASE WHEN c.c_custkey IS NOT NULL THEN lower(c.c_mktsegment)
+               ELSE b.o_orderstatus END AS o_orderstatus
+        FROM base b LEFT JOIN customer c
+          ON c.c_custkey = b.o_custkey AND c.c_custkey % 3 = 0)
+      SELECT o_orderkey, o_custkey, o_orderstatus FROM upd
+      ORDER BY o_orderkey""")) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-updfrom").toString
+      val store = new Store(s, wh)
+      store.replace("uf_orders", t(s, dir, "orders")
+        .filter(col("o_orderkey") <= 2000)
+        .select("o_orderkey", "o_custkey", "o_orderstatus"))
+      Tables.registerAll(s, dir)
+      PgDialect.execute(s, store, """
+        UPDATE uf_orders SET o_orderstatus = lower(customer.c_mktsegment)
+        FROM customer
+        WHERE customer.c_custkey = uf_orders.o_custkey
+          AND customer.c_custkey % 3 = 0""")
+      PgDialect.execute(s, store, """
+        SELECT o_orderkey, o_custkey, o_orderstatus FROM uf_orders
+        ORDER BY o_orderkey""") match {
+        case PgDialect.Rows(df, _) => df
+        case other => sys.error(s"expected rows, got $other")
+      }
+    },
+
     Q("st_sql_insert", Some("""
       WITH base AS (SELECT r_regionkey, r_name FROM region),
       ins AS (SELECT CAST(90 AS BIGINT) AS r_regionkey, 'ad-hoc' AS r_name

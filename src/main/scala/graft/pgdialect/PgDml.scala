@@ -193,8 +193,7 @@ object PgDml {
     s match {
       case updateRe(name, setRaw, whereRaw) =>
         if (hasTopLevelWord(setRaw, "FROM"))
-          throw UnsupportedQuery(
-            "UPDATE … FROM is not supported; use MERGE INTO with USING")
+          return updateFrom(spark, store, name, setRaw, whereRaw, returning)
         val t = requireStoreTable(store, name, "UPDATE")
         val sets = splitTop(setRaw).map { a =>
           val eq = topLevelEq(a)
@@ -211,6 +210,71 @@ object PgDml {
         ret.map(Rows(_, "UPDATE")).getOrElse(Command(s"UPDATE $n"))
       case _ => throw UnsupportedQuery("unsupported query type: UPDATE")
     }
+  }
+
+  /** PG's join-update: `UPDATE t SET c = expr[, …] FROM src WHERE cond`.
+    * Each target row with >= 1 match takes its assignments from ONE match
+    * (PG leaves the pick unspecified on multi-match; here it is the first
+    * by the assigned values' order — deterministic). Executed as one
+    * relational plan — target rows get a synthetic id, matches reduce to
+    * one per id, and a left join applies the assignments — then an atomic
+    * replace; the matched-row count is the command tag. Scale shape: the
+    * synthetic-id window partitions by id (no global ordering), the join
+    * is the planner's choice (broadcast for small src), and the rewrite is
+    * a full-table COW — the per-file-pruned path stays the plain UPDATE's;
+    * PG's own UPDATE..FROM also rewrites every matched heap page. */
+  private def updateFrom(spark: SparkSession, store: Store, name: String,
+      setRaw: String, whereRaw: String, returning: Option[Seq[String]]): PgResult = {
+    require(whereRaw != null,
+      "UPDATE … FROM requires a WHERE join condition")
+    if (returning.isDefined)
+      throw UnsupportedQuery("RETURNING is not supported with UPDATE … FROM")
+    val t = requireStoreTable(store, name, "UPDATE")
+    val fromIdx = topLevelWordIndex(setRaw, "FROM")
+    val assignsRaw = setRaw.substring(0, fromIdx).trim
+    val srcRaw = setRaw.substring(fromIdx + 4).trim
+    val sets = splitTop(assignsRaw).map { a =>
+      val eq = topLevelEq(a)
+      require(eq > 0, s"bad SET assignment: $a")
+      unquoteName(a.substring(0, eq).trim) ->
+        PgDialect.translateExpr(a.substring(eq + 1).trim)
+    }
+    val src = PgDialect.translateExpr(srcRaw)
+    val cond = PgDialect.translateExpr(whereRaw.trim)
+    val cols = store.read(t).columns.toSeq
+    require(sets.forall(s => cols.contains(s._1)),
+      s"UPDATE $t: unknown column in SET")
+    val vAliases = sets.zipWithIndex.map { case (_, i) => s"__v$i" }
+    val setSelect = sets.zip(vAliases)
+      .map { case ((_, e), a) => s"($e) AS $a" }.mkString(", ")
+    val proj = cols.map { c =>
+      sets.indexWhere(_._1 == c) match {
+        case -1 => s"__upd_t.`$c`"
+        case i => s"CASE WHEN __m.__mrid IS NOT NULL THEN __m.__v$i " +
+          s"ELSE __upd_t.`$c` END AS `$c`"
+      }
+    }.mkString(", ")
+    val sql =
+      s"""WITH __upd_t AS (
+         |  SELECT *, monotonically_increasing_id() AS __rid FROM `$t`),
+         |__m0 AS (
+         |  SELECT `$t`.__rid AS __mrid, $setSelect
+         |  FROM __upd_t AS `$t`, $src WHERE $cond),
+         |__m AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY __mrid
+         |      ORDER BY ${vAliases.mkString(", ")}) AS __rn FROM __m0)
+         |  WHERE __rn = 1)
+         |SELECT $proj FROM __upd_t LEFT JOIN __m
+         |  ON __upd_t.__rid = __m.__mrid""".stripMargin
+    val result = spark.sql(sql)
+    val n = spark.sql(
+      "SELECT count(DISTINCT __mrid) FROM (" +
+        s"SELECT `$t`.__rid AS __mrid FROM (SELECT *, " +
+        s"monotonically_increasing_id() AS __rid FROM `$t`) AS `$t`, $src " +
+        s"WHERE $cond)").collect()(0).getLong(0)
+    store.replace(t, result)
+    Command(s"UPDATE $n")
   }
 
   private def delete(spark: SparkSession, store: Store, s0: String): PgResult = {
@@ -384,6 +448,28 @@ object PgDml {
 
   /** True when `word` appears outside every paren/string nesting level —
     * a FROM inside `(SELECT … FROM u)` does not count. */
+  private def topLevelWordIndex(s: String, word: String): Int = {
+    var depth = 0; var inStr = false
+    var i = 0
+    val w = word.toUpperCase
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ if depth == 0 && s.regionMatches(true, i, w, 0, w.length) &&
+            (i == 0 || !s.charAt(i - 1).isLetterOrDigit) &&
+            (i + w.length >= s.length || !s.charAt(i + w.length).isLetterOrDigit) =>
+          return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
   private def hasTopLevelWord(s: String, word: String): Boolean = {
     var depth = 0; var inStr = false
     var i = 0

@@ -73,6 +73,26 @@ class DmlSpec extends SparkSpecBase {
     assert((r.getLong(0), r.getLong(1)) == (2L, 1L))
   }
 
+  test("update from: join-update, multi-match picks one, tag counts targets") {
+    exec("CREATE TABLE uf_t (id int8, v text)")
+    exec("INSERT INTO uf_t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    exec("CREATE TABLE uf_s (id int8, nv text)")
+    // id=1 has TWO source matches, id=2 one, id=3 none
+    exec("INSERT INTO uf_s VALUES (1, 'x1'), (1, 'x2'), (2, 'y')")
+    val t = tag("UPDATE uf_t SET v = uf_s.nv FROM uf_s WHERE uf_s.id = uf_t.id")
+    assert(t == "UPDATE 2", t) // two TARGET rows updated, not three matches
+    val got = rows("SELECT id::int AS id, v FROM uf_t ORDER BY id")
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(got(1) == (2, "y") && got(2) == (3, "c"))
+    // multi-match picks the first by assigned value — deterministic
+    assert(got(0) == (1, "x1"), got.toString)
+    // expression assignments referencing both sides work
+    tag("UPDATE uf_t SET v = v || '-' || uf_s.nv FROM uf_s " +
+      "WHERE uf_s.id = uf_t.id AND uf_t.id = 2")
+    assert(rows("SELECT v FROM uf_t WHERE id = 2")(0).getString(0) == "y-y")
+    exec("DROP TABLE uf_t"); exec("DROP TABLE uf_s")
+  }
+
   test("delete where; null predicate keeps rows") {
     import spark.implicits._
     store.replace("dml_del",
