@@ -187,6 +187,8 @@ object PgDml {
     "(?is)UPDATE\\s+(?:ONLY\\s+)?([\\w.\"]+)\\s+SET\\s+(.*?)(?:\\s+WHERE\\s+(.*))?".r
   private val deleteRe =
     "(?is)DELETE\\s+FROM\\s+(?:ONLY\\s+)?([\\w.\"]+)(?:\\s+WHERE\\s+(.*))?".r
+  private val deleteUsingRe =
+    "(?is)DELETE\\s+FROM\\s+(?:ONLY\\s+)?([\\w.\"]+)\\s+USING\\s+(.*?)\\s+WHERE\\s+(.*)".r
 
   private def update(spark: SparkSession, store: Store, s0: String): PgResult = {
     val (s, returning) = splitReturning(s0)
@@ -280,6 +282,26 @@ object PgDml {
   private def delete(spark: SparkSession, store: Store, s0: String): PgResult = {
     val (s, returning) = splitReturning(s0)
     s match {
+      // PG's join-delete: rows with >= 1 source match go; executed as a
+      // synthetic-id anti-join + atomic replace (same shape as UPDATE…FROM)
+      case deleteUsingRe(name, srcRaw, whereRaw) =>
+        if (returning.isDefined)
+          throw UnsupportedQuery("RETURNING is not supported with DELETE … USING")
+        val t = requireStoreTable(store, name, "DELETE")
+        val src = PgDialect.translateExpr(srcRaw.trim)
+        val cond = PgDialect.translateExpr(whereRaw.trim)
+        val sql =
+          s"""WITH __del_t AS (
+             |  SELECT *, monotonically_increasing_id() AS __rid FROM `$t`),
+             |__hit AS (
+             |  SELECT DISTINCT `$t`.__rid AS __hrid
+             |  FROM __del_t AS `$t`, $src WHERE $cond)
+             |SELECT __del_t.* EXCEPT(__rid) FROM __del_t
+             |LEFT ANTI JOIN __hit ON __del_t.__rid = __hit.__hrid""".stripMargin
+        val before = store.read(t).count()
+        val result = spark.sql(sql)
+        store.replace(t, result)
+        Command(s"DELETE ${before - store.read(t).count()}")
       case deleteRe(name, whereRaw) =>
         val t = requireStoreTable(store, name, "DELETE")
         val where = Option(whereRaw).map(w => PgDialect.translateExpr(w.trim))

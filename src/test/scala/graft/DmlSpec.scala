@@ -93,6 +93,18 @@ class DmlSpec extends SparkSpecBase {
     exec("DROP TABLE uf_t"); exec("DROP TABLE uf_s")
   }
 
+  test("delete using: join-delete removes matched target rows once") {
+    exec("CREATE TABLE du_t (id int8, v text)")
+    exec("INSERT INTO du_t VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')")
+    exec("CREATE TABLE du_s (id int8)")
+    exec("INSERT INTO du_s VALUES (1), (1), (3)") // duplicate match counts once
+    val t = tag("DELETE FROM du_t USING du_s WHERE du_s.id = du_t.id")
+    assert(t == "DELETE 2", t)
+    assert(rows("SELECT id::int AS id FROM du_t ORDER BY id").map(_.getInt(0))
+      == Seq(2, 4))
+    exec("DROP TABLE du_t"); exec("DROP TABLE du_s")
+  }
+
   test("delete where; null predicate keeps rows") {
     import spark.implicits._
     store.replace("dml_del",
