@@ -673,6 +673,36 @@ object StoreOps {
       }
     },
 
+    // PG upsert: INSERT … ON CONFLICT DO UPDATE with the excluded row
+    Q("st_sql_on_conflict", Some("""
+      WITH base AS (SELECT r_regionkey, r_name FROM region),
+      inc AS (SELECT CAST(0 AS BIGINT) AS r_regionkey, 'ZERO' AS r_name
+              UNION ALL SELECT 90, 'NEW'),
+      merged AS (
+        SELECT b.r_regionkey,
+          CASE WHEN i.r_regionkey IS NOT NULL
+               THEN b.r_name || '/' || i.r_name ELSE b.r_name END AS r_name
+        FROM base b LEFT JOIN inc i USING (r_regionkey)
+        UNION ALL
+        SELECT i.r_regionkey, i.r_name
+        FROM inc i LEFT JOIN base b USING (r_regionkey)
+        WHERE b.r_regionkey IS NULL)
+      SELECT r_regionkey, r_name FROM merged ORDER BY r_regionkey""")) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-oc").toString
+      val store = new Store(s, wh)
+      store.replace("oc_region", t(s, dir, "region")
+        .select(col("r_regionkey").cast("long").as("r_regionkey"), col("r_name")))
+      PgDialect.execute(s, store, """
+        INSERT INTO oc_region VALUES (0, 'ZERO'), (90, 'NEW')
+        ON CONFLICT (r_regionkey) DO UPDATE
+        SET r_name = oc_region.r_name || '/' || excluded.r_name""")
+      PgDialect.execute(s, store,
+        "SELECT r_regionkey, r_name FROM oc_region ORDER BY r_regionkey") match {
+        case PgDialect.Rows(df, _) => df
+        case other => sys.error(s"expected rows, got $other")
+      }
+    },
+
     Q("st_sql_insert", Some("""
       WITH base AS (SELECT r_regionkey, r_name FROM region),
       ins AS (SELECT CAST(90 AS BIGINT) AS r_regionkey, 'ad-hoc' AS r_name

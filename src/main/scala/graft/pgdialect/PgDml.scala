@@ -140,20 +140,35 @@ object PgDml {
   private val insertRe =
     "(?is)INSERT\\s+INTO\\s+([\\w.\"]+)\\s*(\\([^)]*\\))?\\s*(VALUES\\s+.*|SELECT\\s+.*|WITH\\s+.*|TABLE\\s+.*)".r
 
+  private val onConflictRe =
+    "(?is)(.*?)\\s+ON\\s+CONFLICT\\s*(?:\\(([^)]*)\\))?\\s+DO\\s+(NOTHING|UPDATE\\s+SET\\s+.*)$".r
+
   private def insert(spark: SparkSession, store: Store, s0: String): PgResult = {
     val (s, returning) = splitReturning(s0)
     s match {
-      case insertRe(name, colsRaw, body) =>
+      case insertRe(name, colsRaw, body0) =>
         val t = requireStoreTable(store, name, "INSERT")
         val target = store.read(t).schema
         val cols = Option(colsRaw).map(c =>
           splitTop(c.trim.stripPrefix("(").stripSuffix(")")).map(x => unquoteName(x.trim)))
           .getOrElse(Seq.empty)
+        val (body, conflict) = body0 match {
+          case onConflictRe(core, tgt, action) =>
+            (core, Some((Option(tgt).map(_.trim).filter(_.nonEmpty), action)))
+          case other => (other, None)
+        }
         val src =
           if (body.trim.toUpperCase.startsWith("VALUES"))
             spark.sql("SELECT * FROM " + PgDialect.translateExpr(body))
           else spark.sql(PgDialect.translateSelect(body))
         val aligned = align(src, target, cols)
+        conflict match {
+          case Some((tgt, action)) =>
+            if (returning.isDefined)
+              throw UnsupportedQuery("RETURNING is not supported with ON CONFLICT")
+            return insertOnConflict(spark, store, t, target, aligned, tgt, action)
+          case None =>
+        }
         val n = aligned.count()
         store.appendCompacting(t, aligned)
         returning match {
@@ -161,6 +176,65 @@ object PgDml {
           case None => Command(s"INSERT 0 $n")
         }
       case _ => throw UnsupportedQuery("unsupported query type: INSERT")
+    }
+  }
+
+  /** PG upsert: `INSERT … ON CONFLICT (key) DO NOTHING | DO UPDATE SET …
+    * [WHERE cond]`. The conflict target must name ONE column (this store's
+    * unique-key unit; PG infers from an index instead). DO UPDATE
+    * assignments see the incoming row as `excluded` like PG; the batch is
+    * first reduced to one row per key (PG raises on a second same-key row
+    * mid-command — here the first wins, deterministically). The applied
+    * post-image rows route through the footer-pruned upsert, so a small
+    * conflict batch never rewrites the table. */
+  private def insertOnConflict(spark: SparkSession, store: Store, t: String,
+      target: org.apache.spark.sql.types.StructType,
+      aligned: org.apache.spark.sql.DataFrame,
+      tgt: Option[String], action: String): PgResult = {
+    val key = tgt.map(c => unquoteName(c.split(",")(0).trim)).getOrElse(
+      throw UnsupportedQuery(
+        "ON CONFLICT requires an explicit single-column conflict target"))
+    require(tgt.get.split(",").length == 1,
+      "ON CONFLICT supports a single-column conflict target")
+    val incoming = aligned.dropDuplicates(key)
+    if (action.equalsIgnoreCase("NOTHING")) {
+      val fresh = incoming.join(store.read(t).select(key), Seq(key), "left_anti")
+      val n = fresh.count()
+      store.appendCompacting(t, fresh)
+      Command(s"INSERT 0 $n")
+    } else {
+      val setsAndWhere = action.replaceFirst("(?is)^UPDATE\\s+SET\\s+", "")
+      val whereIdx = topLevelWordIndex(setsAndWhere, "WHERE")
+      val (setsRaw, whereOpt) =
+        if (whereIdx < 0) (setsAndWhere, None)
+        else (setsAndWhere.substring(0, whereIdx),
+          Some(PgDialect.translateExpr(setsAndWhere.substring(whereIdx + 5).trim)))
+      val sets = splitTop(setsRaw).map { a =>
+        val eq = topLevelEq(a)
+        require(eq > 0, s"bad SET assignment: $a")
+        unquoteName(a.substring(0, eq).trim) ->
+          PgDialect.translateExpr(a.substring(eq + 1).trim)
+      }
+      val view = s"__conflict_src_${System.nanoTime}"
+      incoming.createOrReplaceTempView(view)
+      try {
+        val proj = target.fields.map { f =>
+          sets.find(_._1 == f.name) match {
+            case Some((_, e)) => s"($e) AS `${f.name}`"
+            case None => s"`$t`.`${f.name}`"
+          }
+        }.mkString(", ")
+        val updated = spark.sql(
+          s"SELECT $proj FROM `$t` JOIN $view AS excluded " +
+            s"ON `$t`.`$key` = excluded.`$key`" +
+            whereOpt.map(w => s" WHERE $w").getOrElse(""))
+        val fresh = spark.table(view)
+          .join(store.read(t).select(key), Seq(key), "left_anti")
+        val up = updated.unionByName(fresh)
+        val n = up.count()
+        store.upsert(t, up, key)
+        Command(s"INSERT 0 $n")
+      } finally { spark.catalog.dropTempView(view); () }
     }
   }
 

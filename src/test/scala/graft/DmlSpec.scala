@@ -93,6 +93,31 @@ class DmlSpec extends SparkSpecBase {
     exec("DROP TABLE uf_t"); exec("DROP TABLE uf_s")
   }
 
+  test("insert on conflict: do nothing and do update with excluded") {
+    exec("CREATE TABLE oc_t (id int8, v text, n int8)")
+    exec("INSERT INTO oc_t VALUES (1, 'a', 10), (2, 'b', 20)")
+    // DO NOTHING: conflicting row skipped, fresh row lands, in-batch dup
+    // of a fresh key inserts once
+    val t1 = tag("INSERT INTO oc_t VALUES (1, 'x', 99), (3, 'c', 30), (3, 'cc', 33) " +
+      "ON CONFLICT (id) DO NOTHING")
+    assert(t1 == "INSERT 0 1", t1)
+    assert(rows("SELECT v FROM oc_t WHERE id = 1")(0).getString(0) == "a")
+    // DO UPDATE: excluded.* is the incoming row, existing cols readable
+    val t2 = tag("INSERT INTO oc_t VALUES (1, 'A', 100), (4, 'd', 40) " +
+      "ON CONFLICT (id) DO UPDATE SET v = excluded.v, n = oc_t.n + excluded.n")
+    assert(t2 == "INSERT 0 2", t2)
+    val got = rows("SELECT id::int AS id, v, n::int AS n FROM oc_t ORDER BY id")
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+    assert(got == Seq((1, "A", 110), (2, "b", 20), (3, "c", 30), (4, "d", 40)), got.toString)
+    // DO UPDATE ... WHERE: rows failing the condition stay untouched
+    val t3 = tag("INSERT INTO oc_t VALUES (2, 'B', 1), (3, 'C', 100) " +
+      "ON CONFLICT (id) DO UPDATE SET v = excluded.v WHERE excluded.n > 50")
+    assert(t3 == "INSERT 0 1", t3)
+    assert(rows("SELECT v FROM oc_t WHERE id = 2")(0).getString(0) == "b")
+    assert(rows("SELECT v FROM oc_t WHERE id = 3")(0).getString(0) == "C")
+    exec("DROP TABLE oc_t")
+  }
+
   test("delete using: join-delete removes matched target rows once") {
     exec("CREATE TABLE du_t (id int8, v text)")
     exec("INSERT INTO du_t VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')")
