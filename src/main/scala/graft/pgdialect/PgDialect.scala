@@ -287,6 +287,8 @@ object PgDialect {
         !upper.matches("(?s)(ROLLBACK|COMMIT|END|ABORT)\\b.*"))
       throw UnsupportedQuery(
         "current transaction is aborted, commands ignored until end of transaction block")
+    // SET CONSTRAINTS is a txn-scoped no-op, not a settings write
+    if (upper.startsWith("SET CONSTRAINTS")) return Command("SET CONSTRAINTS")
     if (upper.startsWith("SET ")) return executeSet(spark, stmt)
     if (upper.startsWith("RESET")) return executeReset(spark, stmt)
     if (upper.startsWith("SHOW ")) return executeShow(spark, stmt)
@@ -325,6 +327,13 @@ object PgDialect {
       return Command(verb)
     }
     if (upper.startsWith("DISCARD")) return Command("DISCARD ALL")
+    // migration-script noise a snapshot OLAP engine can accept as no-ops:
+    // COMMENT ON (metadata we don't store), LOCK TABLE (readers never
+    // block writers here), SET CONSTRAINTS (no deferred constraints),
+    // CHECKPOINT (every commit is durable)
+    if (upper.startsWith("COMMENT ")) return Command("COMMENT")
+    if (upper.startsWith("LOCK ")) return Command("LOCK TABLE")
+    if (upper.startsWith("CHECKPOINT")) return Command("CHECKPOINT")
 
     val mvCreate =
       "(?is)CREATE\\s+MATERIALIZED\\s+VIEW\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.\"]+)\\s+AS\\s+(.*?)(\\s+WITH\\s+(NO\\s+)?DATA)?\\s*$".r

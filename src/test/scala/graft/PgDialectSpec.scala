@@ -351,6 +351,20 @@ class PgDialectSpec extends SparkSpecBase {
     assert(translateSelect(two).toUpperCase.contains("GROUPS"))
   }
 
+  test("migration-script statements no-op with their PG tags") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-mig").toString
+    val st = new Store(spark, wh)
+    def exec(sql: String) = PgDialect.execute(spark, st, sql)
+    assert(exec("COMMENT ON TABLE region IS 'dims'") == Command("COMMENT"))
+    assert(exec("LOCK TABLE region IN ACCESS EXCLUSIVE MODE") == Command("LOCK TABLE"))
+    assert(exec("SET CONSTRAINTS ALL DEFERRED") == Command("SET CONSTRAINTS"))
+    assert(exec("CHECKPOINT") == Command("CHECKPOINT"))
+    // plain SET still reaches the settings registry
+    exec("SET graft.mig_probe = 'x'")
+    assert(SessionSettings.get("graft.mig_probe").contains("x"))
+    SessionSettings.reset("graft.mig_probe")
+  }
+
   test("operator rewrites never touch string literals") {
     // '~', '#', '^', '<<' inside literals survive; the operators outside
     // still translate
