@@ -732,7 +732,7 @@ object TextAnalysis {
           - ln(CAST(src.cs + 1 AS DOUBLE) / (tot.s_tot + tot.vocab)) AS lr
         FROM uni d LEFT JOIN tgt ON tgt.u = d.u JOIN src ON src.u = d.u, tot)
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-        round(avg(lr), 4) AS dsir_score,
+        round(avg(lr), 4) + 0 AS dsir_score,
         (round(avg(lr), 4) > 0) AS selected
       FROM scored GROUP BY doc_id ORDER BY doc_id""")) { (s, dir) =>
       val uni = t(s, dir, "documents")
@@ -753,7 +753,12 @@ object TextAnalysis {
             log((col("cs") + 1).cast("double") /
               (col("s_tot") + col("vocab")))).as("lr"))
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_words"), round(avg(col("lr")), 4).as("dsir_score"))
+        // `+ 0.0` normalizes IEEE -0.0 to +0.0 (and `+ 0` in the oracle SQL
+        // does the same for DuckDB): a tiny-negative avg log-ratio rounds to
+        // -0.0 in DuckDB but +0.0 via Spark's BigDecimal.setScale, and the
+        // driver's comparator hashes bits, not values.
+        .agg(count(lit(1)).as("n_words"),
+          (round(avg(col("lr")), 4) + lit(0.0)).as("dsir_score"))
         .withColumn("selected", col("dsir_score") > 0)
         .orderBy("doc_id")
     },
