@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{col, input_file_name, lit, monotonically_increasing_id, row_number}
 import org.apache.spark.sql.types.StructType
 
 /** SQL write surface over STORE tables — beyond the reference, which
@@ -102,7 +103,8 @@ object PgDml {
       if (store.exists(t)) throw UnsupportedQuery(s"""relation "$t" already exists""")
       val df = spark.sql(PgDialect.translateSelect(defn))
       store.replace(t, df)
-      Some(Command(s"SELECT ${store.read(t).count()}"))
+      // footer-metadata count — never re-scan what was just written
+      Some(Command(s"SELECT ${store.rowCountFast(t)}"))
     case createRe(ifNotExists, name, colDefs) =>
       val t = unquoteName(name)
       if (store.exists(t) && ifNotExists != null) return Some(Command("CREATE TABLE"))
@@ -169,8 +171,12 @@ object PgDml {
             return insertOnConflict(spark, store, t, target, aligned, tgt, action)
           case None =>
         }
-        val n = aligned.count()
+        // tag count from parquet-footer metadata before/after the append
+        // (compaction is row-preserving) — the insert SOURCE query runs
+        // once, for the write, never a second time for the tag
+        val before = store.rowCountFast(t)
         store.appendCompacting(t, aligned)
+        val n = store.rowCountFast(t) - before
         returning match {
           case Some(rets) => Rows(aligned.selectExpr(rets: _*), "INSERT 0")
           case None => Command(s"INSERT 0 $n")
@@ -184,7 +190,12 @@ object PgDml {
     * unique-key unit; PG infers from an index instead). DO UPDATE
     * assignments see the incoming row as `excluded` like PG; the batch is
     * first reduced to one row per key (PG raises on a second same-key row
-    * mid-command — here the first wins, deterministically). The applied
+    * mid-command — here the smallest row by the non-key columns' ordering
+    * wins, deterministically). Unqualified column refs in SET/WHERE
+    * resolve to the TARGET row like PG (`SET n = n + 1` reads the old n):
+    * the incoming side is joined under mangled `__excl_*` names and only
+    * explicit `excluded.c` refs are rewritten to them, so the target is
+    * the sole relation carrying the user-visible names. The applied
     * post-image rows route through the footer-pruned upsert, so a small
     * conflict batch never rewrites the table. */
   private def insertOnConflict(spark: SparkSession, store: Store, t: String,
@@ -196,27 +207,35 @@ object PgDml {
         "ON CONFLICT requires an explicit single-column conflict target"))
     require(tgt.get.split(",").length == 1,
       "ON CONFLICT supports a single-column conflict target")
-    val incoming = aligned.dropDuplicates(key)
+    val others = aligned.columns.filterNot(_ == key)
+    val incoming =
+      if (others.isEmpty) aligned.dropDuplicates(key)
+      else aligned.withColumn("__rn", row_number().over(
+          Window.partitionBy(col(s"`$key`"))
+            .orderBy(others.map(c => col(s"`$c`")).toSeq: _*)))
+        .filter(col("__rn") === 1).drop("__rn")
     if (action.equalsIgnoreCase("NOTHING")) {
       val fresh = incoming.join(store.read(t).select(key), Seq(key), "left_anti")
-      val n = fresh.count()
+      val before = store.rowCountFast(t)
       store.appendCompacting(t, fresh)
-      Command(s"INSERT 0 $n")
+      Command(s"INSERT 0 ${store.rowCountFast(t) - before}")
     } else {
       val setsAndWhere = action.replaceFirst("(?is)^UPDATE\\s+SET\\s+", "")
       val whereIdx = topLevelWordIndex(setsAndWhere, "WHERE")
       val (setsRaw, whereOpt) =
         if (whereIdx < 0) (setsAndWhere, None)
         else (setsAndWhere.substring(0, whereIdx),
-          Some(PgDialect.translateExpr(setsAndWhere.substring(whereIdx + 5).trim)))
+          Some(PgDialect.translateExpr(
+            rewriteExcluded(setsAndWhere.substring(whereIdx + 5).trim))))
       val sets = splitTop(setsRaw).map { a =>
         val eq = topLevelEq(a)
         require(eq > 0, s"bad SET assignment: $a")
         unquoteName(a.substring(0, eq).trim) ->
-          PgDialect.translateExpr(a.substring(eq + 1).trim)
+          PgDialect.translateExpr(rewriteExcluded(a.substring(eq + 1).trim))
       }
       val view = s"__conflict_src_${System.nanoTime}"
-      incoming.createOrReplaceTempView(view)
+      incoming.select(incoming.columns.map(c =>
+        col(s"`$c`").as(s"__excl_$c")).toSeq: _*).createOrReplaceTempView(view)
       try {
         val proj = target.fields.map { f =>
           sets.find(_._1 == f.name) match {
@@ -225,10 +244,10 @@ object PgDml {
           }
         }.mkString(", ")
         val updated = spark.sql(
-          s"SELECT $proj FROM `$t` JOIN $view AS excluded " +
-            s"ON `$t`.`$key` = excluded.`$key`" +
+          s"SELECT $proj FROM `$t` JOIN $view " +
+            s"ON `$t`.`$key` = $view.`__excl_$key`" +
             whereOpt.map(w => s" WHERE $w").getOrElse(""))
-        val fresh = spark.table(view)
+        val fresh = incoming
           .join(store.read(t).select(key), Seq(key), "left_anti")
         val up = updated.unionByName(fresh)
         val n = up.count()
@@ -236,6 +255,36 @@ object PgDml {
         Command(s"INSERT 0 $n")
       } finally { spark.catalog.dropTempView(view); () }
     }
+  }
+
+  /** Rewrite explicit `excluded.col` refs to the mangled `__excl_col`
+    * names the conflict-source view carries (quote-aware: occurrences
+    * inside string literals survive untouched). */
+  private def rewriteExcluded(s: String): String = {
+    val out = new StringBuilder
+    var i = 0; var inStr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { out.append(c); if (c == '\'') inStr = false; i += 1 }
+      else if (c == '\'') { out.append(c); inStr = true; i += 1 }
+      else if (s.regionMatches(true, i, "excluded.", 0, 9) &&
+          (i == 0 || { val p = s.charAt(i - 1)
+            !p.isLetterOrDigit && p != '_' && p != '.' && p != '"' })) {
+        i += 9
+        if (i < s.length && s.charAt(i) == '"') {
+          val end = s.indexOf('"', i + 1)
+          require(end > i, s"unterminated quoted identifier after excluded.")
+          out.append(s"`__excl_${s.substring(i + 1, end)}`")
+          i = end + 1
+        } else {
+          val start = i
+          while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+          require(i > start, "dangling excluded. reference")
+          out.append(s"`__excl_${s.substring(start, i)}`")
+        }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
   }
 
   /** Position/name-align an insert source onto the target schema: named
@@ -258,16 +307,19 @@ object PgDml {
   // ---- UPDATE / DELETE ---------------------------------------------------
 
   private val updateRe =
-    "(?is)UPDATE\\s+(?:ONLY\\s+)?([\\w.\"]+)\\s+SET\\s+(.*?)(?:\\s+WHERE\\s+(.*))?".r
+    "(?is)UPDATE\\s+(?:ONLY\\s+)?([\\w.\"]+)\\s+SET\\s+(.*)".r
   private val deleteRe =
-    "(?is)DELETE\\s+FROM\\s+(?:ONLY\\s+)?([\\w.\"]+)(?:\\s+WHERE\\s+(.*))?".r
-  private val deleteUsingRe =
-    "(?is)DELETE\\s+FROM\\s+(?:ONLY\\s+)?([\\w.\"]+)\\s+USING\\s+(.*?)\\s+WHERE\\s+(.*)".r
+    "(?is)DELETE\\s+FROM\\s+(?:ONLY\\s+)?([\\w.\"]+)(\\s+.*)?".r
 
   private def update(spark: SparkSession, store: Store, s0: String): PgResult = {
     val (s, returning) = splitReturning(s0)
     s match {
-      case updateRe(name, setRaw, whereRaw) =>
+      // split at the TOP-LEVEL WHERE (not the regex's first textual one —
+      // `SET c = x FROM (SELECT … WHERE …) s WHERE …` is PG-legal)
+      case updateRe(name, rest) =>
+        val wIdx = topLevelWordIndex(rest, "WHERE")
+        val setRaw = (if (wIdx < 0) rest else rest.substring(0, wIdx)).trim
+        val whereRaw = if (wIdx < 0) null else rest.substring(wIdx + 5).trim
         if (hasTopLevelWord(setRaw, "FROM"))
           return updateFrom(spark, store, name, setRaw, whereRaw, returning)
         val t = requireStoreTable(store, name, "UPDATE")
@@ -291,14 +343,19 @@ object PgDml {
   /** PG's join-update: `UPDATE t SET c = expr[, …] FROM src WHERE cond`.
     * Each target row with >= 1 match takes its assignments from ONE match
     * (PG leaves the pick unspecified on multi-match; here it is the first
-    * by the assigned values' order — deterministic). Executed as one
-    * relational plan — target rows get a synthetic id, matches reduce to
-    * one per id, and a left join applies the assignments — then an atomic
-    * replace; the matched-row count is the command tag. Scale shape: the
-    * synthetic-id window partitions by id (no global ordering), the join
-    * is the planner's choice (broadcast for small src), and the rewrite is
-    * a full-table COW — the per-file-pruned path stays the plain UPDATE's;
-    * PG's own UPDATE..FROM also rewrites every matched heap page. */
+    * by the assigned values' order — deterministic).
+    *
+    * Scale shape: ONE discovery job joins the target scan (tagged with
+    * input_file_name) against the source and aggregates per-file distinct
+    * matched rows — that single O(files)-row collect yields both the
+    * hit-file set AND the command-tag count, so the count can never desync
+    * from the rewrite and no second full scan runs. The rewrite then
+    * copy-on-writes ONLY the hit files (Store.rewriteFiles): target rows
+    * get a synthetic id, matches reduce to one per id, a left join applies
+    * the assignments; every untouched file carries into the new version as
+    * metadata. A 1%-selectivity join-update rewrites O(touched files), not
+    * the table. The synthetic ids are used only WITHIN one action over one
+    * deterministic file-list scan (never across jobs). */
   private def updateFrom(spark: SparkSession, store: Store, name: String,
       setRaw: String, whereRaw: String, returning: Option[Seq[String]]): PgResult = {
     require(whereRaw != null,
@@ -320,6 +377,8 @@ object PgDml {
     val cols = store.read(t).columns.toSeq
     require(sets.forall(s => cols.contains(s._1)),
       s"UPDATE $t: unknown column in SET")
+    val (hits, n) = joinDmlDiscover(spark, store, t, src, cond)
+    if (n == 0) return Command("UPDATE 0")
     val vAliases = sets.zipWithIndex.map { case (_, i) => s"__v$i" }
     val setSelect = sets.zip(vAliases)
       .map { case ((_, e), a) => s"($e) AS $a" }.mkString(", ")
@@ -330,61 +389,108 @@ object PgDml {
           s"ELSE __upd_t.`$c` END AS `$c`"
       }
     }.mkString(", ")
-    val sql =
-      s"""WITH __upd_t AS (
-         |  SELECT *, monotonically_increasing_id() AS __rid FROM `$t`),
-         |__m0 AS (
-         |  SELECT `$t`.__rid AS __mrid, $setSelect
-         |  FROM __upd_t AS `$t`, $src WHERE $cond),
-         |__m AS (
-         |  SELECT * FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY __mrid
-         |      ORDER BY ${vAliases.mkString(", ")}) AS __rn FROM __m0)
-         |  WHERE __rn = 1)
-         |SELECT $proj FROM __upd_t LEFT JOIN __m
-         |  ON __upd_t.__rid = __m.__mrid""".stripMargin
-    val result = spark.sql(sql)
-    val n = spark.sql(
-      "SELECT count(DISTINCT __mrid) FROM (" +
-        s"SELECT `$t`.__rid AS __mrid FROM (SELECT *, " +
-        s"monotonically_increasing_id() AS __rid FROM `$t`) AS `$t`, $src " +
-        s"WHERE $cond)").collect()(0).getLong(0)
-    store.replace(t, result)
+    val view = s"__dml_back_${System.nanoTime}"
+    try store.rewriteFiles(t, hits) { back =>
+      back.withColumn("__rid", monotonically_increasing_id())
+        .createOrReplaceTempView(view)
+      spark.sql(
+        s"""WITH __upd_t AS (SELECT * FROM $view),
+           |__m0 AS (
+           |  SELECT `$t`.__rid AS __mrid, $setSelect
+           |  FROM __upd_t AS `$t`, $src WHERE $cond),
+           |__m AS (
+           |  SELECT * FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY __mrid
+           |      ORDER BY ${vAliases.mkString(", ")}) AS __rn FROM __m0)
+           |  WHERE __rn = 1)
+           |SELECT $proj FROM __upd_t LEFT JOIN __m
+           |  ON __upd_t.__rid = __m.__mrid""".stripMargin)
+    } finally { spark.catalog.dropTempView(view); () }
     Command(s"UPDATE $n")
   }
+
+  /** One discovery job for the join-DML paths: join the target scan —
+    * tagged with its source file and an intra-job row id — against the
+    * source, aggregate distinct matched rows per file. The driver sees
+    * O(files) rows and gets the hit-file basenames AND the total affected
+    * count from the same plan. */
+  private def joinDmlDiscover(spark: SparkSession, store: Store, t: String,
+      src: String, cond: String): (Set[String], Long) = {
+    val view = s"__dml_scan_${System.nanoTime}"
+    store.read(t)
+      .withColumn("__file", input_file_name())
+      .withColumn("__rid", monotonically_increasing_id())
+      .createOrReplaceTempView(view)
+    try {
+      val perFile = spark.sql(
+        s"SELECT `$t`.__file AS __f, count(DISTINCT `$t`.__rid) AS __n " +
+          s"FROM $view AS `$t`, $src WHERE $cond GROUP BY `$t`.__file")
+        .collect().map(r => baseName(r.getString(0)) -> r.getLong(1))
+      (perFile.map(_._1).toSet, perFile.map(_._2).sum)
+    } finally { spark.catalog.dropTempView(view); () }
+  }
+
+  private def baseName(uri: String): String =
+    uri.substring(uri.lastIndexOf('/') + 1)
 
   private def delete(spark: SparkSession, store: Store, s0: String): PgResult = {
     val (s, returning) = splitReturning(s0)
     s match {
-      // PG's join-delete: rows with >= 1 source match go; executed as a
-      // synthetic-id anti-join + atomic replace (same shape as UPDATE…FROM)
-      case deleteUsingRe(name, srcRaw, whereRaw) =>
-        if (returning.isDefined)
-          throw UnsupportedQuery("RETURNING is not supported with DELETE … USING")
-        val t = requireStoreTable(store, name, "DELETE")
-        val src = PgDialect.translateExpr(srcRaw.trim)
-        val cond = PgDialect.translateExpr(whereRaw.trim)
-        val sql =
-          s"""WITH __del_t AS (
-             |  SELECT *, monotonically_increasing_id() AS __rid FROM `$t`),
-             |__hit AS (
-             |  SELECT DISTINCT `$t`.__rid AS __hrid
-             |  FROM __del_t AS `$t`, $src WHERE $cond)
-             |SELECT __del_t.* EXCEPT(__rid) FROM __del_t
-             |LEFT ANTI JOIN __hit ON __del_t.__rid = __hit.__hrid""".stripMargin
-        val before = store.read(t).count()
-        val result = spark.sql(sql)
-        store.replace(t, result)
-        Command(s"DELETE ${before - store.read(t).count()}")
-      case deleteRe(name, whereRaw) =>
-        val t = requireStoreTable(store, name, "DELETE")
-        val where = Option(whereRaw).map(w => PgDialect.translateExpr(w.trim))
-        val ret = returning.map(rs =>
-          store.previewMatching(t, where).selectExpr(rs: _*))
-        val (n, _, _) = store.deleteWhere(t, where)
-        ret.map(Rows(_, "DELETE")).getOrElse(Command(s"DELETE $n"))
+      case deleteRe(name, restRaw) =>
+        val rest = Option(restRaw).map(_.trim).getOrElse("")
+        val up = rest.toUpperCase
+        if (up.startsWith("USING") &&
+            (rest.length == 5 || rest.charAt(5).isWhitespace)) {
+          // split the USING body at the TOP-LEVEL WHERE — a filtered
+          // subquery source (`USING (SELECT … WHERE …) s WHERE …`) must
+          // not mis-split at its inner WHERE
+          if (returning.isDefined)
+            throw UnsupportedQuery("RETURNING is not supported with DELETE … USING")
+          val body = rest.substring(5).trim
+          val wIdx = topLevelWordIndex(body, "WHERE")
+          val srcRaw = (if (wIdx < 0) body else body.substring(0, wIdx)).trim
+          // PG allows USING without WHERE (cross-join delete)
+          val condRaw = if (wIdx < 0) "true" else body.substring(wIdx + 5).trim
+          deleteUsing(spark, store, name, srcRaw, condRaw)
+        } else if (rest.isEmpty || (up.startsWith("WHERE") &&
+            (rest.length == 5 || rest.charAt(5).isWhitespace))) {
+          val t = requireStoreTable(store, name, "DELETE")
+          val where =
+            if (rest.isEmpty) None
+            else Some(PgDialect.translateExpr(rest.substring(5).trim))
+          val ret = returning.map(rs =>
+            store.previewMatching(t, where).selectExpr(rs: _*))
+          val (n, _, _) = store.deleteWhere(t, where)
+          ret.map(Rows(_, "DELETE")).getOrElse(Command(s"DELETE $n"))
+        } else throw UnsupportedQuery("unsupported query type: DELETE")
       case _ => throw UnsupportedQuery("unsupported query type: DELETE")
     }
+  }
+
+  /** PG's join-delete: rows with >= 1 source match go. Same scale shape as
+    * [[updateFrom]]: one discovery job yields the hit files + the count,
+    * then only hit files rewrite (synthetic-id anti-join, ids intra-job
+    * only); untouched files carry as metadata. */
+  private def deleteUsing(spark: SparkSession, store: Store, name: String,
+      srcRaw: String, condRaw: String): PgResult = {
+    val t = requireStoreTable(store, name, "DELETE")
+    val src = PgDialect.translateExpr(srcRaw)
+    val cond = PgDialect.translateExpr(condRaw)
+    val (hits, n) = joinDmlDiscover(spark, store, t, src, cond)
+    if (n == 0) return Command("DELETE 0")
+    val view = s"__dml_back_${System.nanoTime}"
+    try store.rewriteFiles(t, hits) { back =>
+      back.withColumn("__rid", monotonically_increasing_id())
+        .createOrReplaceTempView(view)
+      spark.sql(
+        s"""WITH __del_t AS (SELECT * FROM $view),
+           |__hit AS (
+           |  SELECT DISTINCT `$t`.__rid AS __hrid
+           |  FROM __del_t AS `$t`, $src WHERE $cond)
+           |SELECT __del_t.* EXCEPT(__rid) FROM __del_t
+           |LEFT ANTI JOIN __hit ON __del_t.__rid = __hit.__hrid""".stripMargin)
+    } finally { spark.catalog.dropTempView(view); () }
+    Command(s"DELETE $n")
   }
 
   /** Split a trailing top-level RETURNING list off a DML statement. */

@@ -6,7 +6,7 @@ import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.io.api.Binary
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, ShortType, StringType}
+import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, ShortType, StringType, TimestampNTZType}
 
 import scala.collection.concurrent.TrieMap
 import scala.jdk.CollectionConverters._
@@ -767,29 +767,57 @@ class Store(spark: SparkSession, val warehouse: String) {
   private def cowRewrite(name: String, where: Option[String])(
       transform: (DataFrame, org.apache.spark.sql.Column) => DataFrame): (Long, Int, Int) = withTableLock(name) {
     require(exists(name), s"no such store table: $name")
-    val cur = versionPath(name, versions(name))
-    val files = dataFiles(cur)
     val cond = where.map(expr).getOrElse(lit(true))
-    val raw = readRaw(name)
     // discovery: predicate-pushed scan → per-file match counts; the driver
     // sees O(files) rows, never data rows
-    val hits = raw.filter(cond)
+    val hits = readRaw(name).filter(cond)
       .groupBy(input_file_name().as("__file")).count()
       .collect().map(r => baseName(r.getString(0)) -> r.getLong(1)).toMap
     val matched = hits.values.sum
-    if (matched == 0) return (0L, 0, files.length)
+    if (matched == 0)
+      return (0L, 0, dataFiles(versionPath(name, versions(name))).length)
+    val (rewrote, total) = rewriteFiles(name, hits.keySet)(transform(_, cond))
+    (matched, rewrote, total)
+  }
+
+  /** Copy-on-write rewrite of an EXPLICIT hit-file set: `transform` maps
+    * the hit files' logical rows to their replacement, every other file
+    * carries into the new version untouched (metadata-only at object-store
+    * scale). Callers that discover matches by their own means — the
+    * join-DML surface's one input_file_name() aggregate, for example —
+    * route here so a 1%-selectivity join-update rewrites O(touched files),
+    * never the table. Returns (filesRewritten, filesTotal). */
+  def rewriteFiles(name: String, hitNames: Set[String])(
+      transform: DataFrame => DataFrame): (Int, Int) = withTableLock(name) {
+    require(exists(name), s"no such store table: $name")
+    val files = dataFiles(versionPath(name, versions(name)))
     val (hit, carried) =
-      files.map(_.getPath).partition(f => hits.contains(f.getName))
+      files.map(_.getPath).partition(f => hitNames.contains(f.getName))
+    if (hit.isEmpty) return (0, files.length)
     val next = versions(name) + 1
     val dir = versionPath(name, next)
     fs.mkdirs(dir)
     carried.foreach(carryFile(_, dir))
     val src = readLogicalFiles(name, hit.map(_.toString))
-    writeInto(toPhysical(name, transform(src, cond)), name, dir, s"cow-$next")
+    writeInto(toPhysical(name, transform(src)), name, dir, s"cow-$next")
     versions(name) = next
     persistCatalog()
     publish(name)
-    (matched, hit.length, files.length)
+    (hit.length, files.length)
+  }
+
+  /** Exact row count of the current snapshot from parquet footers alone —
+    * O(files) metadata reads, zero data scanned (the Iceberg
+    * manifest-count analog; Spark's count(*) would materialize rows). The
+    * DML command tags use this so INSERT/CTAS never re-scan what they just
+    * wrote. */
+  def rowCountFast(name: String): Long = {
+    require(exists(name), s"no such store table: $name")
+    dataFiles(versionPath(name, versions(name))).map { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, hconf))
+      try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      finally reader.close()
+    }.sum
   }
 
   private def baseName(uri: String): String =
@@ -1441,6 +1469,12 @@ class Store(spark: SparkSession, val warehouse: String) {
     val bucketN = "bucket\\[(\\d+)\\]".r
     val truncW = "truncate\\[(\\d+)\\]".r
     val pcol: Column = transform match {
+      // Written partition values MUST agree with the read-side pruner
+      // (Iceberg.transformValue), which is session-timezone-FREE: NTZ wall
+      // times are epoch'd as-if-UTC, instants by their absolute micros.
+      // Every expression here is therefore pinned to the same definitions —
+      // a client's SET timezone can never skew writer vs pruner (a skew
+      // would silently drop rows near day/month boundaries on pruned reads).
       case "day" | "month" | "year" | "hour" => srcType match {
         case DateType => transform match {
           case "day" => datediff(col(column), lit("1970-01-01")).cast("int")
@@ -1448,13 +1482,30 @@ class Store(spark: SparkSession, val warehouse: String) {
           case "year" => expr(s"year($column) - 1970")
           case other => throw new IllegalArgumentException(s"$other over DATE")
         }
+        case _: TimestampNTZType =>
+          // wall-clock fields are the NTZ value's intrinsic content; field
+          // extraction and NTZ→DATE are timezone-free
+          val epochDay = datediff(col(column).cast(DateType), lit("1970-01-01"))
+          transform match {
+            case "day" => epochDay.cast("int")
+            case "hour" =>
+              (epochDay.cast("long") * 24 + expr(s"hour($column)")).cast("int")
+            case "month" => expr(s"(year($column) - 1970) * 12 + month($column) - 1")
+            case "year" => expr(s"year($column) - 1970")
+          }
         case _ =>
+          // instant (or castable) column: absolute epoch micros are
+          // intrinsic; month/year go through the UTC calendar date derived
+          // from them, never through session-zone year()/month()
           val micros = expr(s"unix_micros(CAST($column AS TIMESTAMP))")
+          val utcDate = expr("date_add(DATE '1970-01-01', " +
+            s"CAST(FLOOR(unix_micros(CAST($column AS TIMESTAMP)) / 86400000000) AS INT))")
           transform match {
             case "day" => floor(micros / lit(86400000000L)).cast("int")
             case "hour" => floor(micros / lit(3600000000L)).cast("int")
-            case "month" => expr(s"(year($column) - 1970) * 12 + month($column) - 1")
-            case "year" => expr(s"year($column) - 1970")
+            case "month" =>
+              ((year(utcDate) - lit(1970)) * 12 + month(utcDate) - 1).cast("int")
+            case "year" => (year(utcDate) - lit(1970)).cast("int")
           }
       }
       case bucketN(n) =>

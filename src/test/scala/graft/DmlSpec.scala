@@ -93,6 +93,55 @@ class DmlSpec extends SparkSpecBase {
     exec("DROP TABLE uf_t"); exec("DROP TABLE uf_s")
   }
 
+  test("join-update and join-delete rewrite only the hit files") {
+    import spark.implicits._
+    // 4 disjoint-range files; the join source touches only k∈[10,20]
+    val df = (1 to 400).map(i => (i.toLong, i.toLong, "x")).toDF("k", "v", "s")
+    store.replaceSorted("jdml_t", df, "k", 4)
+    store.replace("jdml_s", (10L to 20L).map(k => (k, k + 1000L)).toDF("k", "nv"))
+    val v0 = store.currentVersion("jdml_t")
+    assert(tag("UPDATE jdml_t SET v = jdml_s.nv FROM jdml_s WHERE jdml_s.k = jdml_t.k")
+      == "UPDATE 11")
+    val dir1 = new java.io.File(store.warehouse, s"jdml_t/v${v0 + 1}")
+    val carried1 = dir1.listFiles().filter(_.getName.endsWith(".parquet"))
+      .count(!_.getName.startsWith("cow-"))
+    assert(carried1 == 3, s"3 of 4 files must carry through join-update, carried=$carried1")
+    assert(rows("SELECT v FROM jdml_t WHERE k = 15").head.getLong(0) == 1015L)
+    // join-delete: same pruning, same single-discovery count
+    assert(tag("DELETE FROM jdml_t USING jdml_s WHERE jdml_s.k = jdml_t.k")
+      == "DELETE 11")
+    val dir2 = new java.io.File(store.warehouse, s"jdml_t/v${v0 + 2}")
+    val carried2 = dir2.listFiles().filter(_.getName.endsWith(".parquet"))
+      .count(!_.getName.startsWith("cow-"))
+    assert(carried2 == 3, s"3 of 4 files must carry through join-delete, carried=$carried2")
+    assert(rows("SELECT count(*) AS n FROM jdml_t").head.getLong(0) == 389)
+    // no-match join DML: zero files rewritten, version unchanged
+    store.replace("jdml_z", Seq((9999L, 0L)).toDF("k", "nv"))
+    val v2 = store.currentVersion("jdml_t")
+    assert(tag("UPDATE jdml_t SET v = jdml_z.nv FROM jdml_z WHERE jdml_z.k = jdml_t.k")
+      == "UPDATE 0")
+    assert(store.currentVersion("jdml_t") == v2, "no-op join-update must not version")
+    exec("DROP TABLE jdml_t"); exec("DROP TABLE jdml_s"); exec("DROP TABLE jdml_z")
+  }
+
+  test("join DML with filtered subquery sources splits at the top-level WHERE") {
+    exec("CREATE TABLE sq_t (id int8, v text)")
+    exec("INSERT INTO sq_t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    exec("CREATE TABLE sq_s (id int8, nv text, keep int8)")
+    exec("INSERT INTO sq_s VALUES (1, 'x', 1), (2, 'y', 0), (3, 'z', 1)")
+    // the subquery's inner WHERE must not be mistaken for the join WHERE
+    val t = tag("UPDATE sq_t SET v = s.nv FROM (SELECT id, nv FROM sq_s WHERE keep = 1) s " +
+      "WHERE s.id = sq_t.id")
+    assert(t == "UPDATE 2", t)
+    assert(rows("SELECT v FROM sq_t ORDER BY id").map(_.getString(0))
+      == Seq("x", "b", "z"))
+    val d = tag("DELETE FROM sq_t USING (SELECT id FROM sq_s WHERE keep = 1) s " +
+      "WHERE s.id = sq_t.id")
+    assert(d == "DELETE 2", d)
+    assert(rows("SELECT id::int AS id FROM sq_t").map(_.getInt(0)) == Seq(2))
+    exec("DROP TABLE sq_t"); exec("DROP TABLE sq_s")
+  }
+
   test("insert on conflict: do nothing and do update with excluded") {
     exec("CREATE TABLE oc_t (id int8, v text, n int8)")
     exec("INSERT INTO oc_t VALUES (1, 'a', 10), (2, 'b', 20)")
@@ -115,7 +164,38 @@ class DmlSpec extends SparkSpecBase {
     assert(t3 == "INSERT 0 1", t3)
     assert(rows("SELECT v FROM oc_t WHERE id = 2")(0).getString(0) == "b")
     assert(rows("SELECT v FROM oc_t WHERE id = 3")(0).getString(0) == "C")
+    // PG-legal unqualified target refs: SET n = n + 1 reads the OLD n,
+    // never the ambiguous excluded.n
+    val t4 = tag("INSERT INTO oc_t VALUES (1, 'ign', 5) " +
+      "ON CONFLICT (id) DO UPDATE SET n = n + 1")
+    assert(t4 == "INSERT 0 1", t4)
+    assert(rows("SELECT n::int AS n FROM oc_t WHERE id = 1")(0).getInt(0) == 111)
     exec("DROP TABLE oc_t")
+  }
+
+  test("on conflict in-batch duplicate keys resolve deterministically") {
+    exec("CREATE TABLE ocd_t (id int8, v text)")
+    exec("INSERT INTO ocd_t VALUES (1, 'orig')")
+    // two same-key rows in one batch: the smallest by the non-key columns
+    // wins — stable across repartitions, not a scan-order accident
+    val t = tag("INSERT INTO ocd_t VALUES (1, 'zz'), (1, 'aa'), (2, 'bb'), (2, 'ab') " +
+      "ON CONFLICT (id) DO UPDATE SET v = excluded.v")
+    assert(t == "INSERT 0 2", t)
+    assert(rows("SELECT v FROM ocd_t ORDER BY id").map(_.getString(0))
+      == Seq("aa", "ab"))
+    exec("DROP TABLE ocd_t")
+  }
+
+  test("drop view/table tolerate trailing CASCADE/RESTRICT") {
+    exec("CREATE TABLE casc_t (id int8)")
+    exec("CREATE VIEW casc_v AS SELECT id FROM casc_t")
+    assert(tag("DROP VIEW casc_v CASCADE") == "DROP VIEW")
+    assert(store.viewDefinition("casc_v").isEmpty, "CASCADE view must actually drop")
+    // without IF EXISTS a re-drop names the right relation
+    val e = intercept[Exception] { exec("DROP VIEW casc_v RESTRICT") }
+    assert(e.getMessage.contains("casc_v"), e.getMessage)
+    assert(tag("DROP TABLE casc_t CASCADE") == "DROP TABLE")
+    assert(!store.exists("casc_t"))
   }
 
   test("delete using: join-delete removes matched target rows once") {

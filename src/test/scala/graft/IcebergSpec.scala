@@ -336,6 +336,37 @@ class IcebergSpec extends SparkSpecBase {
     store.drop("evd")
   }
 
+  test("hidden-partition writes are session-timezone proof") {
+    // a client's SET timezone must not skew written partition values vs the
+    // always-UTC pruner: write day- and month-partitioned under a shifted
+    // session zone, then prune — boundary rows must all survive
+    val (store, _) = freshStore()
+    val ev = Tables.df(spark, sfDir, "events").select("event_id", "user_id", "ts")
+    val tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      store.replaceTransformPartitioned("evtz", ev, "ts", "day")
+      store.publishIceberg("evtz")
+      store.replaceTransformPartitioned("evtzm", ev, "ts", "month")
+      store.publishIceberg("evtzm")
+    } finally spark.conf.set("spark.sql.session.timeZone", tz0)
+    import org.apache.spark.sql.functions._
+    val minTs = ev.agg(min("ts")).collect()(0).getAs[java.time.LocalDateTime](0)
+    // an exact one-day slice starting at a UTC midnight — the window a
+    // NY-written layout silently clips near its 19:00 boundary
+    val lo = minTs.toLocalDate.plusDays(1).atStartOfDay
+    val hi = lo.plusDays(1).minusNanos(1000)
+    val (d1, _, _) = store.readIcebergTransformRange("evtz", "ts", lo, hi)
+    val expect = ev.filter(col("ts") >= lit(lo) && col("ts") <= lit(hi))
+    assert(expect.count() > 0, "slice must be non-empty to prove anything")
+    assert(d1.count() == expect.count(),
+      s"day prune lost rows: ${d1.count()} vs ${expect.count()}")
+    val (d2, _, _) = store.readIcebergTransformRange("evtzm", "ts", lo, hi)
+    assert(d2.count() == expect.count(),
+      s"month prune lost rows: ${d2.count()} vs ${expect.count()}")
+    store.drop("evtz"); store.drop("evtzm")
+  }
+
   test("bucket partitioning prunes an equality probe to one bucket") {
     val (store, dir) = freshStore()
     val ord = spark.read.parquet(s"$sfDir/orders.parquet")
