@@ -115,6 +115,11 @@ object PgFunctions {
     const(spark, "pg_get_viewdef", "", StringType)
     const(spark, "pg_get_expr", "", StringType)
     const(spark, "pg_get_indexdef", "", StringType)
+    // format_type(oid, typmod): JDBC getColumns / psql \d resolve column
+    // type names through it (answers from the pg_type rowset)
+    spark.udf.register("format_type",
+      (oid: java.lang.Long, typmod: java.lang.Integer) =>
+        PgCatalog.formatType(oid, typmod))
     const(spark, "pg_get_partkeydef", "", StringType)
     const(spark, "pg_get_function_identity_arguments", "", StringType)
     const(spark, "pg_get_statisticsobjdef_columns", null, IntegerType) // reference: null int4

@@ -44,6 +44,25 @@ object PgDialect {
     SessionSettings.get("graft.strip_schemas").getOrElse("public,main") + "|" +
       SessionSettings.get("graft.scalar_subquery_first_row").getOrElse("off")
 
+  /** Catalog refresh trigger (query_remapper_table.go:46-62,136-250): a
+    * statement touching the live-DDL-reflecting catalog relations sees the
+    * CURRENT table + matview population. Shared by the simple-query path
+    * AND the wire server's extended-protocol Bind path — pgjdbc issues
+    * every query (including DatabaseMetaData's) through Parse/Bind, so a
+    * trigger only on the simple path would serve JDBC clients a stale
+    * catalog. Takes the statement UPPERCASED (callers usually have it). */
+  def maybeRefreshCatalog(spark: SparkSession, store: Store, upper: String): Unit = {
+    if (upper.contains("PG_MATVIEWS") || upper.contains("PG_STAT_USER_TABLES")
+        || upper.contains("PG_STAT_STATEMENTS")
+        || upper.contains("PG_CLASS") || upper.contains("PG_ATTRIBUTE")
+        || "(?<![A-Z_])PG_TABLES(?![A-Z_])".r.findFirstIn(upper).isDefined
+        || "(?<![A-Z_])PG_VIEWS(?![A-Z_])".r.findFirstIn(upper).isDefined
+        || upper.contains("PG_GET_VIEWDEF"))
+      PgCatalog.refreshDynamic(spark, store)
+    if (upper.contains("INFORMATION_SCHEMA"))
+      PgCatalog.refreshInfoSchema(spark)
+  }
+
   /** [[translateSelect]] behind the text cache. */
   def translateSelectCached(sql: String): String = {
     if (translationCache.size > 4096) translationCache.clear()
@@ -362,7 +381,9 @@ object PgDialect {
         return Command("CREATE VIEW")
       case _ =>
     }
-    val vDrop = "(?is)DROP\\s+VIEW\\s+(IF\\s+EXISTS\\s+)?([\\w.\",\\s]+?)\\s*".r
+    // the name-list char class includes \s, so a trailing CASCADE/RESTRICT
+    // must be matched off explicitly or it silently joins the last name
+    val vDrop = "(?is)DROP\\s+VIEW\\s+(IF\\s+EXISTS\\s+)?([\\w.\",\\s]+?)(?:\\s+(?:CASCADE|RESTRICT))?\\s*".r
     stmt match {
       case vDrop(ifExists, names) =>
         names.split(",").map(n => unquoteName(n.trim)).foreach { v =>
@@ -387,7 +408,7 @@ object PgDialect {
       case _ =>
     }
     // DROP TABLE [IF EXISTS] name[, ...] (query_remapper.go:154-161)
-    val tblDrop = "(?is)DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?([\\w.\",\\s]+?)\\s*".r
+    val tblDrop = "(?is)DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?([\\w.\",\\s]+?)(?:\\s+(?:CASCADE|RESTRICT))?\\s*".r
     stmt match {
       case tblDrop(ifExists, names) =>
         names.split(",").map(n => unquoteName(n.trim)).foreach { t =>
@@ -408,7 +429,7 @@ object PgDialect {
         return Command("DROP TABLE")
       case _ =>
     }
-    val mvDrop = "(?is)DROP\\s+MATERIALIZED\\s+VIEW\\s+(IF\\s+EXISTS\\s+)?([\\w.\"]+)\\s*".r
+    val mvDrop = "(?is)DROP\\s+MATERIALIZED\\s+VIEW\\s+(IF\\s+EXISTS\\s+)?([\\w.\"]+)(?:\\s+(?:CASCADE|RESTRICT))?\\s*".r
     stmt match {
       case mvDrop(ifExists, name) =>
         val mv = unquoteName(name)
@@ -435,17 +456,7 @@ object PgDialect {
     }
     if (upper.startsWith("SELECT") || upper.startsWith("WITH") ||
         upper.startsWith("VALUES") || upper.startsWith("TABLE ")) {
-      // catalog refresh trigger: these three relations reflect live DDL
-      // state (query_remapper_table.go:46-62)
-      if (upper.contains("PG_MATVIEWS") || upper.contains("PG_STAT_USER_TABLES")
-          || upper.contains("PG_STAT_STATEMENTS")
-          || upper.contains("PG_CLASS") || upper.contains("PG_ATTRIBUTE")
-          || "(?<![A-Z_])PG_TABLES(?![A-Z_])".r.findFirstIn(upper).isDefined
-          || "(?<![A-Z_])PG_VIEWS(?![A-Z_])".r.findFirstIn(upper).isDefined
-          || upper.contains("PG_GET_VIEWDEF"))
-        PgCatalog.refreshDynamic(spark, store)
-      if (upper.contains("INFORMATION_SCHEMA"))
-        PgCatalog.refreshInfoSchema(spark)
+      maybeRefreshCatalog(spark, store, upper)
       val traveled = rewriteTimeTravel(store, stmt)
       val translated = applyPermissions(translateSelectCached(traveled), perms)
       return Rows(retagJson(planWithRollup(spark, store, translated)), "SELECT")

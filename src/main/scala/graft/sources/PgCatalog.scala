@@ -42,6 +42,42 @@ object PgCatalog {
     case _ => (25, "text")
   }
 
+  /** PG's format_type(oid, typmod): the display name of a type OID, with
+    * the typmod folded in for the length-carrying types. JDBC's
+    * getColumns and psql's \d both call it; resolved from the same
+    * [[typeRows]] set pg_type serves, internal name → SQL-standard display
+    * name like the real function (format_type.c's public behavior). */
+  def formatType(oid: java.lang.Long, typmod: java.lang.Integer): String = {
+    if (oid == null) return null
+    val display = Map(
+      "bool" -> "boolean", "int2" -> "smallint", "int4" -> "integer",
+      "int8" -> "bigint", "float4" -> "real", "float8" -> "double precision",
+      "varchar" -> "character varying", "bpchar" -> "character",
+      "timestamp" -> "timestamp without time zone",
+      "timestamptz" -> "timestamp with time zone",
+      "time" -> "time without time zone", "timetz" -> "time with time zone",
+      "char" -> "\"char\"", "decimal" -> "numeric")
+    def name(row: PgTypeRow): String = {
+      if (row.typname.startsWith("_"))
+        typeRows.find(_.typarray == row.oid)
+          .map(e => name(e) + "[]").getOrElse(row.typname)
+      else display.getOrElse(row.typname, row.typname)
+    }
+    typeRows.find(_.oid == oid.longValue) match {
+      case None => "???"
+      case Some(row) =>
+        val base = name(row)
+        val tm = if (typmod == null) -1 else typmod.intValue
+        if (tm < 4) base
+        else row.typname match {
+          case "varchar" | "bpchar" => s"$base(${tm - 4})"
+          case "numeric" | "decimal" =>
+            s"$base(${((tm - 4) >> 16) & 0xffff},${(tm - 4) & 0xffff})"
+          case _ => base
+        }
+    }
+  }
+
   /** One pg_type row with the metadata columns drivers and BI tools read. */
   case class PgTypeRow(oid: Long, typname: String, typlen: Int,
       typbyval: Boolean, typtype: String, typcategory: String,
@@ -709,9 +745,13 @@ object PgCatalog {
     // pg_attribute over every relation pg_class lists, so \d and
     // attrelid = '…'::regclass introspection covers ad-hoc views too
     val attrRows = rels.flatMap { case (oid, n, _, _) =>
+      // store-only tables are not session views — their schema comes from
+      // the store itself (JDBC getColumns must see synced tables' columns)
       val schema =
         try spark.table(n).schema
-        catch { case _: Throwable => new StructType() }
+        catch { case _: Throwable =>
+          try store.read(n).schema
+          catch { case _: Throwable => new StructType() } }
       schema.fields.zipWithIndex.map { case (f, i) =>
         val (toid, pgName) = pgTypeOf(f.dataType)
         (oid, f.name, i + 1, toid.toLong, pgName, false, false, false, -1, -1, "", "")

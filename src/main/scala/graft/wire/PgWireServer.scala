@@ -169,12 +169,16 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
                 val verb = sql.trim.split("\\s+|\\(", 2)(0).toUpperCase
                 portals(portal) =
                   if (Set("SELECT", "WITH", "VALUES", "TABLE", "EXPLAIN",
-                    "SHOW")(verb))
+                    "SHOW")(verb)) {
+                    // same live-catalog trigger as the simple-query path:
+                    // JDBC metadata queries arrive through Bind
+                    PgDialect.maybeRefreshCatalog(spark, store, sql.toUpperCase)
                     new Portal(
                       PgDialect.planWithRollup(spark, store,
                         PgDialect.translateSelectCached(
                           PgDialect.rewriteTimeTravel(store, sql))), resFmts,
                       statements(stmt))
+                  }
                   else new Portal(null, resFmts, statements(stmt), Some(sql))
                 msg(out, '2') { _ => } // BindComplete
               } catch { case e: Throwable => sendError(out, e); errorSkip = true }
@@ -487,8 +491,18 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
       return false
     }
     msg(out, 'R') { b => b.writeInt(0) } // AuthenticationOk
+    // the full GUC_REPORT parameter set a real PG sends at startup —
+    // pgjdbc/libpq read standard_conforming_strings, integer_datetimes and
+    // TimeZone during connection setup and break without them
     Seq("server_version" -> "17.0", "server_encoding" -> "UTF8",
-      "client_encoding" -> "UTF8", "DateStyle" -> "ISO") // ParameterStatus
+      "client_encoding" -> "UTF8", "DateStyle" -> "ISO, MDY",
+      "TimeZone" -> kv.getOrElse("TimeZone", "UTC"),
+      "standard_conforming_strings" -> "on", "integer_datetimes" -> "on",
+      "IntervalStyle" -> "postgres", "is_superuser" -> "on",
+      "session_authorization" -> clientUser,
+      "application_name" -> kv.getOrElse("application_name", ""),
+      "default_transaction_read_only" -> "off",
+      "in_hot_standby" -> "off") // ParameterStatus
       .foreach { case (k, v) =>
         msg(out, 'S') { b => cstr(b, k); cstr(b, v) }
       }
@@ -595,6 +609,7 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
   private def cursorOnlyStatement(out: DataOutputStream, stmt: String,
       cursors: scala.collection.mutable.Map[String, Portal]): Option[Long] = stmt.trim match {
     case declareRe(name, query) =>
+      PgDialect.maybeRefreshCatalog(spark, store, query.toUpperCase)
       val df = PgDialect.planWithRollup(spark, store,
         PgDialect.translateSelectCached(PgDialect.rewriteTimeTravel(store, query)))
       cursors(unq(name)) = new Portal(df)
