@@ -33,7 +33,9 @@ object Multimodal {
     while (y < h) {
       var x = 0
       while (x < w) {
-        img.setRGB(x, y, ((id + x * 31L + y * 7L) & 0xffffffL).toInt)
+        // Knuth-hash the id so every channel (incl. the high red byte)
+        // carries signal at small ids — mm_pixel_stats' oracle mirrors this
+        img.setRGB(x, y, ((id * 2654435761L + x * 31L + y * 7L) & 0xffffffL).toInt)
         x += 1
       }
       y += 1
@@ -328,6 +330,134 @@ object Multimodal {
           val (brand, ts, dur) = decodeVideoMeta(bytes).getOrElse(
             throw new IllegalStateException(s"undecodable mp4 for doc $id"))
           Row(id, brand, ts, dur, dur.toDouble / ts)
+        }
+      }(enc).orderBy("doc_id")
+    },
+
+    // RASTERIZING image decode: beyond the header parse, each synthetic PNG
+    // is decoded to pixels (ImageIO.read — a full IDAT inflate + defilter)
+    // and per-channel statistics computed from the raster: the
+    // quality-filter features (channel means, brightness extremes) a real
+    // pipeline gates images on. The oracle reproduces the expected stats
+    // from the deterministic pixel formula ((id + 31x + 7y) & 0xffffff)
+    // via a lateral range join — a decode that didn't truly rasterize the
+    // payload could not match the per-pixel aggregate. Exact integer sums
+    // are emitted alongside the rounded means so the hash check is
+    // bit-proof. Scale shape: decode is scan-side mapPartitions (codec
+    // state per partition), no shuffle — at 100 TB this runs wherever the
+    // binary column lives, one pass.
+    Q("mm_pixel_stats", Some("""
+      SELECT doc_id, width, height,
+        sum_r, sum_g, sum_b,
+        round(CAST(sum_r AS DOUBLE) / (width * height), 4) AS mean_r,
+        round(CAST(sum_g AS DOUBLE) / (width * height), 4) AS mean_g,
+        round(CAST(sum_b AS DOUBLE) / (width * height), 4) AS mean_b,
+        max_lum, min_lum
+      FROM (
+        SELECT d.doc_id,
+          CAST(d.doc_id % 48 + 8 AS INT) AS width,
+          CAST(d.doc_id % 32 + 8 AS INT) AS height,
+          CAST(sum(((d.doc_id * 2654435761 + x.x * 31 + y.y * 7) & 16777215) >> 16) AS BIGINT) AS sum_r,
+          CAST(sum((((d.doc_id * 2654435761 + x.x * 31 + y.y * 7) & 16777215) >> 8) & 255) AS BIGINT) AS sum_g,
+          CAST(sum(((d.doc_id * 2654435761 + x.x * 31 + y.y * 7) & 16777215) & 255) AS BIGINT) AS sum_b,
+          CAST(max((((d.doc_id * 2654435761 + x.x * 31 + y.y * 7) & 16777215) >> 16)
+            + ((((d.doc_id * 2654435761 + x.x * 31 + y.y * 7) & 16777215) >> 8) & 255)
+            + (((d.doc_id * 2654435761 + x.x * 31 + y.y * 7) & 16777215) & 255)) AS INT) AS max_lum,
+          CAST(min((((d.doc_id * 2654435761 + x.x * 31 + y.y * 7) & 16777215) >> 16)
+            + ((((d.doc_id * 2654435761 + x.x * 31 + y.y * 7) & 16777215) >> 8) & 255)
+            + (((d.doc_id * 2654435761 + x.x * 31 + y.y * 7) & 16777215) & 255)) AS INT) AS min_lum
+        FROM documents d, range(0, 55) x(x), range(0, 39) y(y)
+        WHERE x.x < d.doc_id % 48 + 8 AND y.y < d.doc_id % 32 + 8
+        GROUP BY d.doc_id) s
+      ORDER BY doc_id""")) { (s, dir) =>
+      val src = t(s, dir, "documents").select(col("doc_id"))
+      val outSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("width", IntegerType),
+        StructField("height", IntegerType),
+        StructField("sum_r", LongType), StructField("sum_g", LongType),
+        StructField("sum_b", LongType),
+        StructField("mean_r", DoubleType), StructField("mean_g", DoubleType),
+        StructField("mean_b", DoubleType),
+        StructField("max_lum", IntegerType), StructField("min_lum", IntegerType)))
+      val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      src.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(synthPng(id)))
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var maxLum = Int.MinValue; var minLum = Int.MaxValue
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = img.getRGB(x, y)
+              val (cr, cg, cb) = ((v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff)
+              sr += cr; sg += cg; sb += cb
+              val lum = cr + cg + cb
+              if (lum > maxLum) maxLum = lum
+              if (lum < minLum) minLum = lum
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          def mean(sum: Long) = BigDecimal(sum.toDouble / n)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Row(id, w, h, sr, sg, sb, mean(sr), mean(sg), mean(sb), maxLum, minLum)
+        }
+      }(enc).orderBy("doc_id")
+    },
+
+    // RASTERIZING audio decode: the WAV payload's PCM samples are actually
+    // read back (AudioSystem stream decode, not just the RIFF header) and
+    // amplitude statistics computed from them — the loudness/clipping
+    // features an audio pipeline gates clips on. The oracle reproduces the
+    // stats from the deterministic sample formula ((id·131 + i·17) mod
+    // 32768); only a real PCM decode matches the per-sample aggregate.
+    // Exact integer sums ride along so the hash check is bit-proof; rms is
+    // strictly positive so the rounded double carries no -0.0 trap.
+    Q("mm_audio_stats", Some("""
+      SELECT doc_id, n_frames, sum_amp, sum_sq, peak,
+        round(sqrt(CAST(sum_sq AS DOUBLE) / n_frames), 4) AS rms
+      FROM (
+        SELECT d.doc_id,
+          CAST(400 + d.doc_id % 100 AS BIGINT) AS n_frames,
+          CAST(sum((d.doc_id * 131 + i.i * 17) % 32768) AS BIGINT) AS sum_amp,
+          CAST(sum(((d.doc_id * 131 + i.i * 17) % 32768)
+            * ((d.doc_id * 131 + i.i * 17) % 32768)) AS BIGINT) AS sum_sq,
+          CAST(max((d.doc_id * 131 + i.i * 17) % 32768) AS INT) AS peak
+        FROM documents d, range(0, 500) i(i)
+        WHERE i.i < 400 + d.doc_id % 100
+        GROUP BY d.doc_id) s
+      ORDER BY doc_id""")) { (s, dir) =>
+      val src = t(s, dir, "documents").select(col("doc_id"))
+      val outSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("n_frames", LongType),
+        StructField("sum_amp", LongType), StructField("sum_sq", LongType),
+        StructField("peak", IntegerType), StructField("rms", DoubleType)))
+      val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      src.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(synthWav(id)))
+          val pcm = ais.readAllBytes()
+          val n = pcm.length / 2
+          var (sumAmp, sumSq) = (0L, 0L)
+          var peak = Int.MinValue
+          var i = 0
+          while (i < n) {
+            // 16-bit little-endian PCM, as the WAV format stores it
+            val s16 = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
+            sumAmp += s16; sumSq += s16.toLong * s16
+            if (s16 > peak) peak = s16
+            i += 1
+          }
+          val rms = BigDecimal(math.sqrt(sumSq.toDouble / n))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Row(id, n.toLong, sumAmp, sumSq, peak, rms)
         }
       }(enc).orderBy("doc_id")
     },
