@@ -50,6 +50,15 @@ class PlanSpec extends SparkSpecBase {
     assert(countOf("Exchange hashpartitioning", p) == 0, p)
   }
 
+  test("rasterizing media decodes are scan-side: no exchange before the sort") {
+    // pixel/PCM decode must run wherever the binary column lives — any
+    // hash exchange would ship payload bytes across the cluster at 100 TB
+    for (q <- Seq("mm_pixel_stats", "mm_audio_stats")) {
+      val p = plan(q)
+      assert(countOf("Exchange hashpartitioning", p) == 0, s"$q: $p")
+    }
+  }
+
   test("semantic decontamination broadcasts probes, aggregates scalars") {
     val p = plan("sim_semantic_decon")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
