@@ -144,6 +144,62 @@ object Multimodal {
     for ((ts, dur) <- mvhd) yield (brand.getOrElse(""), ts, dur)
   }
 
+  /** Deterministic clone-group PNG for perceptual dedup: docs in the same
+    * id/7 group render the SAME image except one watermark pixel at
+    * (w-1, h-1) carrying the doc id — byte-distinct files, perceptually
+    * identical content, the shape of re-uploaded/re-encoded duplicates in
+    * a crawl. The watermark sits off the dHash sample grid by
+    * construction (midpoint sampling never reaches the last pixel at
+    * these dimensions). */
+  private[graft] def synthPngClone(id: Long): Array[Byte] = {
+    val base = id / 7
+    val w = (base % 37 + 19).toInt
+    val h = (base % 21 + 17).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((base * 2654435761L + x * 31L + y * 7L) & 0xffffffL).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    img.setRGB(w - 1, h - 1, (id & 0xffffffL).toInt)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 56-bit gradient dHash over a decoded raster: luminance sampled at a
+    * 9x7 midpoint grid, one bit per horizontal neighbor comparison
+    * (lum(gx+1,gy) > lum(gx,gy)) — the public difference-hash design,
+    * nearest-neighbor sampling instead of area resize so the oracle can
+    * predict it exactly. Brightness-shift tolerant (gradients cancel
+    * constant offsets), byte-level-watermark tolerant (grid never touches
+    * edge pixels). */
+  private[graft] def dHash(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    def lum(gx: Int, gy: Int): Int = {
+      val x = (2 * gx + 1) * w / 18
+      val y = (2 * gy + 1) * h / 14
+      val v = img.getRGB(x, y)
+      ((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)
+    }
+    var hash = 0L
+    var gy = 0
+    while (gy < 7) {
+      var gx = 0
+      while (gx < 8) {
+        if (lum(gx + 1, gy) > lum(gx, gy)) hash |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    hash
+  }
+
   /** Header-only image metadata from real bytes: (width, height, format),
     * None when no installed reader claims the payload. Reads the header via
     * the SPI reader, not a full pixel decode — the 100 TB-scan shape where
@@ -460,6 +516,60 @@ object Multimodal {
           Row(id, n.toLong, sumAmp, sumSq, peak, rms)
         }
       }(enc).orderBy("doc_id")
+    },
+
+    // PERCEPTUAL image dedup: byte-distinct clone-group PNGs (id-watermark
+    // pixel) are really decoded, dHashed from the raster, and grouped on
+    // the hash — the multimodal analog of exact text dedup, catching
+    // re-uploaded copies whose bytes differ. The oracle predicts every
+    // dHash bit from the synthesis formula over the same 9x7 midpoint
+    // grid, so a decode that didn't rasterize (or sampled differently)
+    // cannot match. Scale shape: decode + hash are scan-side; the only
+    // shuffle keys an 8-byte scalar (never payload bytes) — identical to
+    // the exact-dedup contract at 100 TB.
+    Q("mm_image_dedup", Some("""
+      WITH grid AS (
+        SELECT d.doc_id, d.doc_id // 7 AS base, gx.gx, gy.gy,
+          ((d.doc_id // 7) % 37 + 19) AS w, ((d.doc_id // 7) % 21 + 17) AS h
+        FROM documents d, range(0, 9) gx(gx), range(0, 7) gy(gy)),
+      lum AS (
+        SELECT doc_id, gx, gy,
+          (((base * 2654435761 + ((2*gx+1)*w // 18) * 31 + ((2*gy+1)*h // 14) * 7) & 16777215) >> 16)
+          + ((((base * 2654435761 + ((2*gx+1)*w // 18) * 31 + ((2*gy+1)*h // 14) * 7) & 16777215) >> 8) & 255)
+          + (((base * 2654435761 + ((2*gx+1)*w // 18) * 31 + ((2*gy+1)*h // 14) * 7) & 16777215) & 255) AS v
+        FROM grid),
+      hashes AS (
+        SELECT a.doc_id,
+          CAST(sum(CASE WHEN b.v > a.v THEN (CAST(1 AS BIGINT) << (a.gy * 8 + a.gx)) ELSE 0 END) AS BIGINT) AS dhash
+        FROM lum a JOIN lum b
+          ON a.doc_id = b.doc_id AND a.gy = b.gy AND b.gx = a.gx + 1
+        WHERE a.gx < 8
+        GROUP BY a.doc_id)
+      SELECT doc_id, dhash,
+        CAST(count(*) OVER (PARTITION BY dhash) AS BIGINT) AS group_n,
+        CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY dhash)
+          THEN 1 ELSE 0 END AS keep
+      FROM hashes ORDER BY doc_id""")) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val src = t(s, dir, "documents").select(col("doc_id"))
+      val outSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("dhash", LongType)))
+      val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      val hashed = src.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(synthPngClone(id)))
+          Row(id, dHash(img))
+        }
+      }(enc)
+      val byHash = Window.partitionBy(col("dhash"))
+      hashed
+        .withColumn("group_n", count(lit(1)).over(byHash))
+        .withColumn("keep",
+          when(col("doc_id") === min(col("doc_id")).over(byHash), 1)
+            .otherwise(0))
+        .orderBy("doc_id")
     },
 
     // frame sampling: every 10th token as a "frame" (the explode shape a
