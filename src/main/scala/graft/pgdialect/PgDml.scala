@@ -239,7 +239,8 @@ object PgDml {
       try {
         val proj = target.fields.map { f =>
           sets.find(_._1 == f.name) match {
-            case Some((_, e)) => s"($e) AS `${f.name}`"
+            // PG's assignment cast: SET expressions land as the column type
+            case Some((_, e)) => s"CAST(($e) AS ${f.dataType.sql}) AS `${f.name}`"
             case None => s"`$t`.`${f.name}`"
           }
         }.mkString(", ")
@@ -374,7 +375,8 @@ object PgDml {
     }
     val src = PgDialect.translateExpr(srcRaw)
     val cond = PgDialect.translateExpr(whereRaw.trim)
-    val cols = store.read(t).columns.toSeq
+    val schema = store.read(t).schema
+    val cols = schema.fieldNames.toSeq
     require(sets.forall(s => cols.contains(s._1)),
       s"UPDATE $t: unknown column in SET")
     val (hits, n) = joinDmlDiscover(spark, store, t, src, cond)
@@ -382,11 +384,13 @@ object PgDml {
     val vAliases = sets.zipWithIndex.map { case (_, i) => s"__v$i" }
     val setSelect = sets.zip(vAliases)
       .map { case ((_, e), a) => s"($e) AS $a" }.mkString(", ")
+    // PG's assignment cast: the stored column type never drifts, however
+    // wide the source expression's literal type is
     val proj = cols.map { c =>
       sets.indexWhere(_._1 == c) match {
         case -1 => s"__upd_t.`$c`"
-        case i => s"CASE WHEN __m.__mrid IS NOT NULL THEN __m.__v$i " +
-          s"ELSE __upd_t.`$c` END AS `$c`"
+        case i => s"CAST(CASE WHEN __m.__mrid IS NOT NULL THEN __m.__v$i " +
+          s"ELSE __upd_t.`$c` END AS ${schema(c).dataType.sql}) AS `$c`"
       }
     }.mkString(", ")
     val view = s"__dml_back_${System.nanoTime}"

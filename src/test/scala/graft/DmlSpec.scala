@@ -198,6 +198,85 @@ class DmlSpec extends SparkSpecBase {
     assert(!store.exists("casc_t"))
   }
 
+  test("randomized DML sequences match an in-memory model exactly") {
+    // model-based check over the whole write surface: 80 random
+    // INSERT / upsert / UPDATE / DELETE / join-UPDATE / TRUNCATE
+    // statements run through the SQL layer AND mirrored on a plain Map;
+    // every command tag must equal the model's change count and the full
+    // table state must equal the model after every statement. Seeded —
+    // failures replay identically.
+    exec("CREATE TABLE dml_rand (k int8, v int8, s text)")
+    val rnd = new scala.util.Random(42)
+    var model = Map.empty[Long, (Long, String)]
+    def key(): Long = rnd.nextInt(40).toLong
+    def stateMatches(step: Int, op: String): Unit = {
+      // storage int8 is DECIMAL(38,0) by the engine's documented PG type
+      // mapping (PgTypes) — cast on read like any client; the cast also
+      // guards against type drift (a non-numeric v would fail here)
+      val got = rows("SELECT k::int AS k, v::int AS v, s FROM dml_rand ORDER BY k")
+        .map(r => r.getInt(0).toLong -> ((r.getInt(1).toLong, r.getString(2)))).toMap
+      assert(got == model, s"step $step ($op) diverged: got=$got model=$model")
+    }
+    for (step <- 1 to 80) {
+      val op = rnd.nextInt(6)
+      op match {
+        case 0 => // INSERT fresh keys only (table has no constraint; the
+          // model is keyed, so plain INSERT stays collision-free)
+          val fresh = (1 to 3).map(_ => key()).distinct.filterNot(model.contains)
+          if (fresh.nonEmpty) {
+            val vals = fresh.map(k => s"($k, ${k * 10}, 's$k')").mkString(", ")
+            assert(tag(s"INSERT INTO dml_rand VALUES $vals")
+              == s"INSERT 0 ${fresh.size}", s"step $step")
+            model ++= fresh.map(k => k -> ((k * 10, s"s$k")))
+          }
+        case 1 => // upsert via ON CONFLICT DO UPDATE
+          val ks = (1 to 3).map(_ => key()).distinct
+          val vals = ks.map(k => s"($k, ${step * 100 + k}, 'u$step')").mkString(", ")
+          assert(tag(s"INSERT INTO dml_rand VALUES $vals " +
+            "ON CONFLICT (k) DO UPDATE SET v = excluded.v, s = excluded.s")
+            == s"INSERT 0 ${ks.size}", s"step $step")
+          model ++= ks.map(k => k -> ((step * 100L + k, s"u$step")))
+        case 2 => // ON CONFLICT DO NOTHING: only fresh keys land
+          val ks = (1 to 2).map(_ => key()).distinct
+          val vals = ks.map(k => s"($k, ${step}, 'n$step')").mkString(", ")
+          val fresh = ks.filterNot(model.contains)
+          assert(tag(s"INSERT INTO dml_rand VALUES $vals ON CONFLICT (k) DO NOTHING")
+            == s"INSERT 0 ${fresh.size}", s"step $step")
+          model ++= fresh.map(k => k -> ((step.toLong, s"n$step")))
+        case 3 => // range UPDATE reading the old row
+          val (lo, hi) = { val a = key(); val b = key(); (a min b, a max b) }
+          val hits = model.keys.count(k => k >= lo && k <= hi)
+          assert(tag(s"UPDATE dml_rand SET v = v + 1, s = 'm$step' " +
+            s"WHERE k BETWEEN $lo AND $hi") == s"UPDATE $hits", s"step $step")
+          model = model.map { case (k, (v, s)) =>
+            if (k >= lo && k <= hi) k -> ((v + 1, s"m$step")) else k -> ((v, s)) }
+        case 4 => // range DELETE
+          val (lo, hi) = { val a = key(); val b = key(); (a min b, a max b) }
+          val hits = model.keys.count(k => k >= lo && k <= hi)
+          assert(tag(s"DELETE FROM dml_rand WHERE k >= $lo AND k <= $hi")
+            == s"DELETE $hits", s"step $step")
+          model = model.filterNot { case (k, _) => k >= lo && k <= hi }
+        case 5 =>
+          if (rnd.nextInt(10) == 0) { // rare TRUNCATE
+            assert(tag("TRUNCATE dml_rand") == "TRUNCATE TABLE", s"step $step")
+            model = Map.empty
+          } else { // join-UPDATE from a VALUES source
+            val ks = (1 to 2).map(_ => key()).distinct
+            val vals = ks.map(k => s"($k, ${step * 1000 + k})").mkString(", ")
+            val hits = ks.count(model.contains)
+            assert(tag(s"UPDATE dml_rand SET v = src.nv " +
+              s"FROM (VALUES $vals) AS src(k2, nv) WHERE src.k2 = dml_rand.k")
+              == s"UPDATE $hits", s"step $step")
+            model = model.map { case (k, (v, s)) =>
+              if (ks.contains(k)) k -> ((step * 1000L + k, s)) else k -> ((v, s)) }
+          }
+      }
+      stateMatches(step, op.toString)
+    }
+    assert(model.nonEmpty, "sequence should end with live rows (seed-dependent)")
+    exec("DROP TABLE dml_rand")
+  }
+
   test("delete using: join-delete removes matched target rows once") {
     exec("CREATE TABLE du_t (id int8, v text)")
     exec("INSERT INTO du_t VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')")
