@@ -111,6 +111,92 @@ object Multimodal {
     ftyp ++ moov
   }
 
+  /** Deterministic real MP4 WITH a sample table: ftyp + moov/mvhd plus a
+    * trak/mdia/{mdhd,minf/stbl/{stts,stsz}} subtree — the codec-level
+    * structures a real transcoder reads. Sample count, per-sample sizes
+    * and the uniform tick duration all derive from the id. */
+  private[graft] def synthMp4Track(id: Long): Array[Byte] = {
+    val n = (24 + id % 48).toInt           // samples
+    val timescale = 12800
+    val delta = 512                        // ticks per sample
+    def box(tpe: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+      bb.putInt(8 + body.length)
+      bb.put(tpe.getBytes("US-ASCII"))
+      bb.put(body)
+      bb.array()
+    }
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 2, 0) ++
+        "isomiso2".getBytes("US-ASCII"))
+    val mv = java.nio.ByteBuffer.allocate(100)
+    mv.putInt(0); mv.putInt(0); mv.putInt(0)
+    mv.putInt(timescale); mv.putInt(n * delta)
+    mv.putInt(0x00010000); mv.putShort(0x0100.toShort)
+    mv.putShort(0); mv.putInt(0); mv.putInt(0)
+    Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000).foreach(mv.putInt)
+    (0 until 6).foreach(_ => mv.putInt(0))
+    mv.putInt(2)
+    // mdhd v0: flags, times, timescale, duration, language, predefined
+    val md = java.nio.ByteBuffer.allocate(24)
+    md.putInt(0); md.putInt(0); md.putInt(0)
+    md.putInt(timescale); md.putInt(n * delta)
+    md.putShort(0x55c4.toShort); md.putShort(0)
+    // stts: one run of n samples at uniform delta
+    val st = java.nio.ByteBuffer.allocate(16)
+    st.putInt(0); st.putInt(1); st.putInt(n); st.putInt(delta)
+    // stsz: sample_size=0 -> per-sample table
+    val sz = java.nio.ByteBuffer.allocate(12 + 4 * n)
+    sz.putInt(0); sz.putInt(0); sz.putInt(n)
+    (0 until n).foreach(i => sz.putInt((200 + (id + i) % 800).toInt))
+    val stbl = box("stbl", box("stts", st.array()) ++ box("stsz", sz.array()))
+    val moov = box("moov", box("mvhd", mv.array()) ++
+      box("trak", box("mdia", box("mdhd", md.array()) ++ box("minf", stbl))))
+    ftyp ++ moov
+  }
+
+  /** Sample-table decode from real container bytes: walk to
+    * trak/mdia/minf/stbl and read the stts run lengths + stsz size table —
+    * what a transcoder or bitrate analyzer actually parses. Returns
+    * (trackTimescale, totalDurationTicks, sampleSizes). */
+  private[graft] def decodeSampleTable(bytes: Array[Byte]): Option[(Int, Long, Array[Int])] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    var timescale = 0
+    var durTicks = 0L
+    var sizes: Array[Int] = null
+    def walk(start: Int, end: Int): Unit = {
+      var pos = start
+      while (pos + 8 <= end) {
+        val size = bb.getInt(pos)
+        if (size < 8 || pos + size > end) return
+        new String(bytes, pos + 4, 4, "US-ASCII") match {
+          case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+            walk(pos + 8, pos + size)
+          case "mdhd" if size >= 8 + 24 && (bytes(pos + 8) & 0xff) == 0 =>
+            timescale = bb.getInt(pos + 20)
+          case "stts" if size >= 8 + 8 =>
+            val entries = bb.getInt(pos + 12)
+            var e = 0
+            while (e < entries) {
+              durTicks += bb.getInt(pos + 16 + 8 * e).toLong *
+                bb.getInt(pos + 20 + 8 * e)
+              e += 1
+            }
+          case "stsz" if size >= 8 + 12 =>
+            val fixed = bb.getInt(pos + 12)
+            val count = bb.getInt(pos + 16)
+            sizes =
+              if (fixed != 0) Array.fill(count)(fixed)
+              else Array.tabulate(count)(i => bb.getInt(pos + 20 + 4 * i))
+          case _ =>
+        }
+        pos += size
+      }
+    }
+    walk(0, bytes.length)
+    if (timescale > 0 && sizes != null) Some((timescale, durTicks, sizes)) else None
+  }
+
   /** Header-only video metadata from real bytes: walk the ISO-BMFF box
     * tree (the public MP4 container structure) to the moov/mvhd movie
     * header and read (majorBrand, timescale, durationTicks). No codec work
@@ -514,6 +600,49 @@ object Multimodal {
           val rms = BigDecimal(math.sqrt(sumSq.toDouble / n))
             .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
           Row(id, n.toLong, sumAmp, sumSq, peak, rms)
+        }
+      }(enc).orderBy("doc_id")
+    },
+
+    // SAMPLE-TABLE video decode: the codec-level tier for the video
+    // modality (the analog of pixel/PCM rasterizing) — a spec-valid MP4
+    // with a real trak/mdia/minf/stbl subtree is synthesized per row and
+    // its stts run-length + stsz size tables walked back; sample count,
+    // byte volume, peak sample and bitrate come from the actual container
+    // structures a transcoder parses. Oracle predicts them from the
+    // synthesis formulas; exact integer sums keep the hash bit-proof.
+    Q("mm_video_samples", Some("""
+      SELECT doc_id, n_samples, total_bytes, max_sample, duration_ticks,
+        round(CAST(duration_ticks AS DOUBLE) / 12800, 4) AS duration_s,
+        round(CAST(total_bytes AS DOUBLE) * 8 * 12800 / duration_ticks, 2) AS bitrate_bps
+      FROM (
+        SELECT d.doc_id,
+          CAST(24 + d.doc_id % 48 AS BIGINT) AS n_samples,
+          CAST(sum(200 + (d.doc_id + i.i) % 800) AS BIGINT) AS total_bytes,
+          CAST(max(200 + (d.doc_id + i.i) % 800) AS INT) AS max_sample,
+          CAST((24 + d.doc_id % 48) * 512 AS BIGINT) AS duration_ticks
+        FROM documents d, range(0, 72) i(i)
+        WHERE i.i < 24 + d.doc_id % 48
+        GROUP BY d.doc_id) s
+      ORDER BY doc_id""")) { (s, dir) =>
+      val src = t(s, dir, "documents").select(col("doc_id"))
+      val outSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("n_samples", LongType),
+        StructField("total_bytes", LongType), StructField("max_sample", IntegerType),
+        StructField("duration_ticks", LongType),
+        StructField("duration_s", DoubleType), StructField("bitrate_bps", DoubleType)))
+      val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      src.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val (ts, durTicks, sizes) = decodeSampleTable(synthMp4Track(id))
+            .getOrElse(throw new IllegalStateException(s"bad sample table for $id"))
+          val total = sizes.map(_.toLong).sum
+          def r2(x: Double, sc: Int) = BigDecimal(x)
+            .setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Row(id, sizes.length.toLong, total, sizes.max, durTicks,
+            r2(durTicks.toDouble / ts, 4),
+            r2(total.toDouble * 8 * ts / durTicks, 2))
         }
       }(enc).orderBy("doc_id")
     },

@@ -463,6 +463,10 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
       out.write('N'); out.flush()
       len = in.readInt(); proto = in.readInt()
     }
+    if (proto == 80877104) { // GSSENCRequest (libpq with GSS creds) -> refuse
+      out.write('N'); out.flush()
+      len = in.readInt(); proto = in.readInt()
+    }
     if (proto == 80877102) { // CancelRequest: pid + secret, then close
       val cpid = in.readInt()
       val csecret = in.readInt()

@@ -170,6 +170,20 @@ class JdbcClientSpec extends SparkSpecBase {
     c.close()
   }
 
+  test("SSL and GSS encryption probes refuse with 'N', then startup proceeds") {
+    // pgjdbc's default sslmode sends SSLRequest before startup; libpq with
+    // a kerberos cache sends GSSENCRequest — both must get a clean 'N' and
+    // leave the stream usable for the cleartext startup
+    for (magic <- Seq(80877103, 80877104)) {
+      val c = new Jdbc(port)
+      c.out.writeInt(8); c.out.writeInt(magic); c.out.flush()
+      assert(c.in.read() == 'N'.toInt, s"magic $magic must refuse with N")
+      val msgs = c.connect()
+      assert(msgs.head._1 == 'R' && msgs.last._1 == 'Z')
+      c.close()
+    }
+  }
+
   test("Statement.executeQuery: unnamed parse/bind/describe/execute/sync") {
     val c = new Jdbc(port); c.connect()
     val msgs = c.executeQuery(
