@@ -20,14 +20,20 @@ object Tables {
   val broadcastable: Set[String] =
     Set("region", "nation", "supplier", "part", "customer")
 
-  // memoized lazy frames per (dir, table): the testdata files are immutable
-  // for a session, and re-loading per reference would re-read footers and
-  // re-run the long-unit sniff job on every unprimed access
-  private val loaded = scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
+  // memoized lazy frames per (SESSION, dir, table): the testdata files are
+  // immutable for a session, and re-loading per reference would re-read
+  // footers and re-run the long-unit sniff job on every unprimed access.
+  // The session is part of the key because a DataFrame is bound to the
+  // session that created it — createOrReplaceTempView registers into THAT
+  // session's registry, so serving one session's cached frame to another
+  // (e.g. CompatAudit's derived session racing the shared test session)
+  // silently registers the view in the wrong session.
+  private val loaded =
+    scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
 
   def df(spark: SparkSession, dir: String, name: String): DataFrame =
     primed.getOrElse((dir, name),
-      loaded.getOrElseUpdate((dir, name), load(spark, dir, name)))
+      loaded.getOrElseUpdate((spark, dir, name), load(spark, dir, name)))
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // The driver regenerates the parquet each round and varies encodings:
@@ -158,10 +164,15 @@ object Tables {
 
   // Registration is idempotent and cheap, but skip re-registration for the
   // common case of many queries against the same sf dir in one session.
-  @volatile private var registeredDir: String = ""
+  // Tracked PER SESSION: temp views live in a session's own registry, so
+  // "already registered" by one session says nothing about another.
+  private val registeredDirs =
+    scala.collection.concurrent.TrieMap[SparkSession, String]()
+  private def registeredDir(spark: SparkSession): String =
+    registeredDirs.getOrElse(spark, "")
 
   def registerAll(spark: SparkSession, dir: String): Unit = synchronized {
-    if (registeredDir != dir) {
+    if (registeredDir(spark) != dir) {
       // Each step degrades independently: a table the driver regenerated
       // with an unreadable encoding (or a catalog view that fails analysis
       // against it) costs the queries that touch it, not the whole round —
@@ -180,11 +191,24 @@ object Tables {
       // only a CLEAN registration is remembered: a transient failure (e.g.
       // a table mid-rewrite) retries on the next call instead of leaving
       // the view missing for the rest of the session
-      if (failures == 0) registeredDir = dir
+      if (failures == 0) registeredDirs(spark) = dir
     }
   }
 
   /** Force the next registerAll to re-register (tests that publish store
     * tables shadowing a testdata view call this to restore it). */
-  def invalidate(): Unit = synchronized { registeredDir = "" }
+  def invalidate(): Unit = synchronized { registeredDirs.clear() }
+
+  /** Restore ONE testdata view after a store table that shadowed its name
+    * is dropped. Store.drop removes the temp view outright; without this,
+    * a dropped shadow leaves a hole where `nation`/`region` used to be and
+    * every concurrent reader of the base table fails until the next full
+    * re-registration. No-op for non-testdata names or before any
+    * registration. */
+  def restoreView(spark: SparkSession, name: String): Unit = synchronized {
+    if (registeredDir(spark).nonEmpty && names.contains(name))
+      try df(spark, registeredDir(spark), name).createOrReplaceTempView(name)
+      catch { case e: Throwable =>
+        System.err.println(s"[tables] restore $name failed: ${e.getMessage}") }
+  }
 }

@@ -57,7 +57,8 @@ object PgDialect {
         || upper.contains("PG_CLASS") || upper.contains("PG_ATTRIBUTE")
         || "(?<![A-Z_])PG_TABLES(?![A-Z_])".r.findFirstIn(upper).isDefined
         || "(?<![A-Z_])PG_VIEWS(?![A-Z_])".r.findFirstIn(upper).isDefined
-        || upper.contains("PG_GET_VIEWDEF"))
+        || upper.contains("PG_GET_VIEWDEF") || upper.contains("PG_DESCRIPTION")
+        || upper.contains("OBJ_DESCRIPTION") || upper.contains("COL_DESCRIPTION"))
       PgCatalog.refreshDynamic(spark, store)
     if (upper.contains("INFORMATION_SCHEMA"))
       PgCatalog.refreshInfoSchema(spark)
@@ -346,10 +347,29 @@ object PgDialect {
       return Command(verb)
     }
     if (upper.startsWith("DISCARD")) return Command("DISCARD ALL")
-    // migration-script noise a snapshot OLAP engine can accept as no-ops:
-    // COMMENT ON (metadata we don't store), LOCK TABLE (readers never
-    // block writers here), SET CONSTRAINTS (no deferred constraints),
-    // CHECKPOINT (every commit is durable)
+    // COMMENT ON TABLE/VIEW/COLUMN over known relations is real metadata:
+    // stored durably and surfaced through pg_description (JDBC getTables
+    // REMARKS, psql \d+, obj_description()). Other COMMENT targets stay
+    // migration-script no-ops; LOCK TABLE (readers never block writers
+    // here), SET CONSTRAINTS (no deferred constraints) and CHECKPOINT
+    // (every commit is durable) remain no-ops too.
+    val commentRe = ("(?is)COMMENT\\s+ON\\s+(TABLE|VIEW|MATERIALIZED\\s+VIEW|COLUMN)\\s+" +
+      "([\\w.\"]+)\\s+IS\\s+(NULL|'(?:[^']|'')*')\\s*").r
+    stmt match {
+      case commentRe(kind, target, text) =>
+        val value =
+          if (text.equalsIgnoreCase("NULL")) None
+          else Some(text.substring(1, text.length - 1).replace("''", "'"))
+        val key =
+          if (kind.equalsIgnoreCase("COLUMN")) {
+            val parts = target.split("\\.").map(unquoteName)
+            // strip a leading schema qualifier: rel.col stays rel.col
+            if (parts.length >= 2) parts.takeRight(2).mkString(".") else target
+          } else unquoteName(target.split("\\.").map(unquoteName).last)
+        store.setComment(key, value)
+        return Command("COMMENT")
+      case _ =>
+    }
     if (upper.startsWith("COMMENT ")) return Command("COMMENT")
     if (upper.startsWith("LOCK ")) return Command("LOCK TABLE")
     if (upper.startsWith("CHECKPOINT")) return Command("CHECKPOINT")
@@ -650,6 +670,14 @@ object PgDialect {
       "(?i)\\bpg_get_viewdef\\s*\\(\\s*'(\\w+)'(?:\\s*::\\s*regclass)?\\s*(?:,\\s*\\w+\\s*)?\\)",
       "(SELECT coalesce((SELECT definition FROM pg_views WHERE viewname = '$1'), " +
         "(SELECT definition FROM pg_matviews WHERE matviewname = '$1'), ''))")
+    // obj_description / col_description (psql \d+, BI REMARKS): answer as
+    // the live pg_description scalar subqueries PG defines them to be
+    s = s.replaceAll(
+      "(?i)\\bobj_description\\s*\\(\\s*([^,()]+?)\\s*(?:,\\s*'pg_class'\\s*)?\\)",
+      "(SELECT description FROM pg_description WHERE objoid = $1 AND objsubid = 0)")
+    s = s.replaceAll(
+      "(?i)\\bcol_description\\s*\\(\\s*([^,()]+?)\\s*,\\s*([^,()]+?)\\s*\\)",
+      "(SELECT description FROM pg_description WHERE objoid = $1 AND objsubid = $2)")
     s = rewriteRegclass(s)
     // pg table functions over the settings/keywords views
     // (query_remapper_function.go:75-100)

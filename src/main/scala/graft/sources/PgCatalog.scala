@@ -744,15 +744,16 @@ object PgCatalog {
       .asCatalogView("pg_class")
     // pg_attribute over every relation pg_class lists, so \d and
     // attrelid = '…'::regclass introspection covers ad-hoc views too
-    val attrRows = rels.flatMap { case (oid, n, _, _) =>
-      // store-only tables are not session views — their schema comes from
-      // the store itself (JDBC getColumns must see synced tables' columns)
-      val schema =
-        try spark.table(n).schema
+    // store-only tables are not session views — their schema comes from
+    // the store itself (JDBC getColumns must see synced tables' columns)
+    val relSchemas: Map[String, StructType] = rels.map { case (_, n, _, _) =>
+      n -> (try spark.table(n).schema
         catch { case _: Throwable =>
           try store.read(n).schema
-          catch { case _: Throwable => new StructType() } }
-      schema.fields.zipWithIndex.map { case (f, i) =>
+          catch { case _: Throwable => new StructType() } })
+    }.toMap
+    val attrRows = rels.flatMap { case (oid, n, _, _) =>
+      relSchemas(n).fields.zipWithIndex.map { case (f, i) =>
         val (toid, pgName) = pgTypeOf(f.dataType)
         (oid, f.name, i + 1, toid.toLong, pgName, false, false, false, -1, -1, "", "")
       }
@@ -762,5 +763,30 @@ object PgCatalog {
         "attnotnull", "atthasdef", "attisdropped",
         "atttypmod", "attlen", "attidentity", "attgenerated")
       .asCatalogView("pg_attribute")
+    // COMMENT ON metadata: "rel" → objsubid 0 (the relation row JDBC
+    // getTables REMARKS reads), "rel.col" → the column's attnum (psql \d+
+    // and getColumns REMARKS). classoid carries the oid THIS catalog
+    // assigns to relname 'pg_class' (the corpus pins the reference's
+    // DuckDB-style numbering from 1978, so the real 1259 is not available)
+    // — the ::regclass rewrite resolves 'pg_class' through the same
+    // numbering, so getTables' classoid join still closes.
+    val relByName = rels.map(r => r._2 -> r._1).toMap
+    val pgClassOid = systemRels(spark).find(_._2 == "pg_class")
+      .map(_._1).getOrElse(1259L)
+    val descRows = store.comments.toSeq.flatMap { case (key, text) =>
+      key.split("\\.", 2) match {
+        case Array(rel) =>
+          relByName.get(rel).map(oid => (oid, pgClassOid, 0L, text))
+        case Array(rel, colName) =>
+          for {
+            oid <- relByName.get(rel)
+            idx <- relSchemas.get(rel).flatMap(s =>
+              s.fieldNames.zipWithIndex.find(_._1 == colName).map(_._2))
+          } yield (oid, pgClassOid, (idx + 1).toLong, text)
+        case _ => None
+      }
+    }
+    descRows.toDF("objoid", "classoid", "objsubid", "description")
+      .asCatalogView("pg_description")
   }
 }

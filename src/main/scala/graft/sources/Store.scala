@@ -69,6 +69,20 @@ class Store(spark: SparkSession, val warehouse: String) {
   private case class ViewDef(defn: String, cols: Seq[String], durable: Boolean)
   private val viewDefs = TrieMap[String, ViewDef]()
 
+  /** SQL comments (COMMENT ON TABLE/COLUMN): "relname" or "relname.col" →
+    * description, durable in the catalog json, surfaced through
+    * pg_description so JDBC getTables REMARKS and psql \d+ answer. */
+  val comments = TrieMap[String, String]()
+
+  /** Set or clear (None) a COMMENT ON entry; persists immediately. */
+  def setComment(key: String, text: Option[String]): Unit = {
+    text match {
+      case Some(t) => comments(key) = t
+      case None => comments.remove(key)
+    }
+    persistCatalog()
+  }
+
   /** Metadata of an incrementally-maintained aggregate view (see the
     * incremental-matview section at the bottom of this class). Declared
     * before the catalog-reload initializer below, which restores it.
@@ -190,6 +204,8 @@ class Store(spark: SparkSession, val warehouse: String) {
     }
     val sb = rootNode.putObject("streamBatches")
     streamBatchIds.toSeq.sortBy(_._1).foreach { case (k, v) => sb.put(k, v) }
+    val cm = rootNode.putObject("comments")
+    comments.toSeq.sortBy(_._1).foreach { case (k, v) => cm.put(k, v) }
     val ev = rootNode.putObject("evo")
     evolution.toSeq.sortBy(_._1).foreach { case (t, e) =>
       val o = ev.putObject(t)
@@ -277,6 +293,8 @@ class Store(spark: SparkSession, val warehouse: String) {
           Option(o.get("cols")).map(_.asText.split(",").toSeq.filter(_.nonEmpty))
             .getOrElse(Nil), durable = true)
       })
+      Option(rootNode.get("comments")).foreach(_.fields.asScala.foreach(e =>
+        comments(e.getKey) = e.getValue.asText))
       // every catalog table (not just matviews) is SQL-resolvable, like the
       // reference's runtime shell tables (query_remapper_table.go:141-178)
       versions.keys.foreach(publish)
@@ -1809,6 +1827,10 @@ class Store(spark: SparkSession, val warehouse: String) {
     ivmViews.remove(name)
     evolution.remove(name)
     spark.catalog.dropTempView(name)
+    // if this table shadowed a registered testdata view, put the base
+    // view back — a dropped shadow must not leave a hole where readers of
+    // the base relation (other sessions, concurrent suites) expect it
+    Tables.restoreView(spark, name)
     fs.delete(tablePath(name), true)
     persistCatalog()
   }

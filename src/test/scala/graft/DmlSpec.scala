@@ -277,6 +277,31 @@ class DmlSpec extends SparkSpecBase {
     exec("DROP TABLE dml_rand")
   }
 
+  test("comment on table/column persists and answers through descriptions") {
+    exec("CREATE TABLE cmt_t (id int8, v text)")
+    assert(tag("COMMENT ON TABLE cmt_t IS 'it''s a test table'") == "COMMENT")
+    assert(tag("COMMENT ON COLUMN cmt_t.v IS 'payload'") == "COMMENT")
+    // obj_description / col_description answer from live pg_description
+    val od = rows("SELECT obj_description(c.oid, 'pg_class') AS d " +
+      "FROM pg_class c WHERE c.relname = 'cmt_t'")
+    assert(od.head.getString(0) == "it's a test table", od)
+    val cd = rows("SELECT col_description(c.oid, 2) AS d " +
+      "FROM pg_class c WHERE c.relname = 'cmt_t'")
+    assert(cd.head.getString(0) == "payload", cd)
+    // durable: a fresh Store over the same warehouse still has them
+    val reopened = new Store(spark, store.warehouse)
+    assert(reopened.comments.get("cmt_t").contains("it's a test table"))
+    assert(reopened.comments.get("cmt_t.v").contains("payload"))
+    // IS NULL clears
+    assert(tag("COMMENT ON TABLE cmt_t IS NULL") == "COMMENT")
+    val cleared = rows("SELECT obj_description(c.oid, 'pg_class') AS d " +
+      "FROM pg_class c WHERE c.relname = 'cmt_t'")
+    assert(cleared.head.isNullAt(0), cleared)
+    // other COMMENT targets remain accepted no-ops
+    assert(tag("COMMENT ON FUNCTION f(int) IS 'x'") == "COMMENT")
+    exec("DROP TABLE cmt_t")
+  }
+
   test("delete using: join-delete removes matched target rows once") {
     exec("CREATE TABLE du_t (id int8, v text)")
     exec("INSERT INTO du_t VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')")

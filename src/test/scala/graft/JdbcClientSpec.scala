@@ -301,7 +301,7 @@ class JdbcClientSpec extends SparkSpecBase {
       // the SELECT PgDatabaseMetaData.getTables issues (pgjdbc public
       // source), with the TABLE/VIEW filter a vanilla getTables(null, null,
       // "%", {"TABLE","VIEW"}) produces
-      val msgs = c.executeQuery("""
+      val getTablesSql = """
         SELECT NULL AS TABLE_CAT, n.nspname AS TABLE_SCHEM, c.relname AS TABLE_NAME,
           CASE n.nspname ~ '^pg_' OR n.nspname = 'information_schema'
             WHEN true THEN CASE WHEN n.nspname = 'pg_catalog' OR n.nspname = 'information_schema'
@@ -319,11 +319,17 @@ class JdbcClientSpec extends SparkSpecBase {
           AND c.relname LIKE '%'
           AND (false OR (c.relkind = 'r' AND n.nspname !~ '^pg_' AND n.nspname <> 'information_schema')
                OR (c.relkind = 'v' AND n.nspname <> 'pg_catalog' AND n.nspname <> 'information_schema'))
-        ORDER BY TABLE_TYPE, TABLE_SCHEM, TABLE_NAME""")
-      val got = rows(msgs)
+        ORDER BY TABLE_TYPE, TABLE_SCHEM, TABLE_NAME"""
+      val got = rows(c.executeQuery(getTablesSql))
       assert(got.exists(_.apply(2) == "jdbc_meta_t"),
         s"getTables must list the store table, got ${got.map(_.apply(2))}")
       assert(got.filter(_.apply(2) == "jdbc_meta_t").forall(_.apply(3) == "TABLE"))
+      // COMMENT ON lands in pg_description → the same getTables query's
+      // REMARKS column (the join closes through classoid = 1259)
+      tags(c.executeQuery("COMMENT ON TABLE jdbc_meta_t IS 'regions copy'"))
+      val again = rows(c.executeQuery(getTablesSql))
+      assert(again.find(_.apply(2) == "jdbc_meta_t").get.apply(4) == "regions copy",
+        again.find(_.apply(2) == "jdbc_meta_t").toString)
       c.close()
     } finally store.drop("jdbc_meta_t")
   }
