@@ -373,6 +373,12 @@ object PgDialect {
     if (upper.startsWith("COMMENT ")) return Command("COMMENT")
     if (upper.startsWith("LOCK ")) return Command("LOCK TABLE")
     if (upper.startsWith("CHECKPOINT")) return Command("CHECKPOINT")
+    // standalone ANALYZE [VERBOSE] [table[(cols)]]: planner statistics are
+    // Spark's concern here (AQE runtime stats), so accept the maintenance
+    // command migrations and BI tools routinely issue as a tagged no-op
+    if (upper.startsWith("ANALYZE") &&
+        "(?is)ANALYZE(\\s+VERBOSE)?(\\s+[\\w.\"]+(\\s*\\([^)]*\\))?)?\\s*".r
+          .matches(stmt)) return Command("ANALYZE")
 
     val mvCreate =
       "(?is)CREATE\\s+MATERIALIZED\\s+VIEW\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.\"]+)\\s+AS\\s+(.*?)(\\s+WITH\\s+(NO\\s+)?DATA)?\\s*$".r

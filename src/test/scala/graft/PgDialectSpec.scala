@@ -359,6 +359,9 @@ class PgDialectSpec extends SparkSpecBase {
     assert(exec("LOCK TABLE region IN ACCESS EXCLUSIVE MODE") == Command("LOCK TABLE"))
     assert(exec("SET CONSTRAINTS ALL DEFERRED") == Command("SET CONSTRAINTS"))
     assert(exec("CHECKPOINT") == Command("CHECKPOINT"))
+    assert(exec("ANALYZE") == Command("ANALYZE"))
+    assert(exec("ANALYZE VERBOSE region") == Command("ANALYZE"))
+    assert(exec("ANALYZE region (r_name)") == Command("ANALYZE"))
     // plain SET still reaches the settings registry
     exec("SET graft.mig_probe = 'x'")
     assert(SessionSettings.get("graft.mig_probe").contains("x"))
