@@ -218,7 +218,7 @@ class DmlSpec extends SparkSpecBase {
       assert(got == model, s"step $step ($op) diverged: got=$got model=$model")
     }
     for (step <- 1 to 80) {
-      val op = rnd.nextInt(6)
+      val op = rnd.nextInt(7)
       op match {
         case 0 => // INSERT fresh keys only (table has no constraint; the
           // model is keyed, so plain INSERT stays collision-free)
@@ -270,6 +270,13 @@ class DmlSpec extends SparkSpecBase {
             model = model.map { case (k, (v, s)) =>
               if (ks.contains(k)) k -> ((step * 1000L + k, s)) else k -> ((v, s)) }
           }
+        case 6 => // join-DELETE from a VALUES source
+          val ks = (1 to 2).map(_ => key()).distinct
+          val vals = ks.map(k => s"($k)").mkString(", ")
+          val hits = ks.count(model.contains)
+          assert(tag(s"DELETE FROM dml_rand USING (VALUES $vals) AS src(k2) " +
+            s"WHERE src.k2 = dml_rand.k") == s"DELETE $hits", s"step $step")
+          model = model.filterNot { case (k, _) => ks.contains(k) }
       }
       stateMatches(step, op.toString)
     }
