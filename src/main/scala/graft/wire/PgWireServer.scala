@@ -475,9 +475,23 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
       }
       return false
     }
-    if (proto != 196608) return false
+    // protocol 3.x with minor > 0 (libpq 18 / pgjdbc 42.7+ request 3.2):
+    // a 3.0 server must answer NegotiateProtocolVersion with the newest
+    // minor it speaks plus any _pq_.* options it doesn't recognize, then
+    // carry on in 3.0 — dying or hanging here strands every new client
+    val negotiateDown = (proto >>> 16) == 3 && (proto & 0xffff) > 0
+    if ((proto >>> 16) != 3) return false
     val params = new Array[Byte](len - 8)
     in.readFully(params)
+    if (negotiateDown) {
+      val unknownPq = parseStartupParams(params).keys
+        .filter(_.startsWith("_pq_.")).toSeq.sorted
+      msg(out, 'v') { b =>
+        b.writeInt(196608) // newest protocol this server speaks: 3.0
+        b.writeInt(unknownPq.size)
+        unknownPq.foreach(cstr(b, _))
+      }
+    }
     // credential validation before AuthenticationOk, like the reference
     // (postgres_server.go:219-228): the database must match; the user is
     // checked only when one is configured, and the system auth user always

@@ -184,6 +184,30 @@ class JdbcClientSpec extends SparkSpecBase {
     }
   }
 
+  test("protocol 3.2 request negotiates down to 3.0 and the session works") {
+    // libpq 18 / new pgjdbc open with protocol 3.2 (196610) and expect
+    // NegotiateProtocolVersion from a 3.0 server, then a normal session
+    val c = new Jdbc(port)
+    val params = Seq("user" -> "graft", "database" -> "graft",
+      "_pq_.fancy_new_option" -> "on")
+    val body = new java.io.ByteArrayOutputStream()
+    params.foreach { case (k, v) => body.write(c.cstr(k)); body.write(c.cstr(v)) }
+    body.write(0)
+    val b = body.toByteArray
+    c.out.writeInt(8 + b.length); c.out.writeInt((3 << 16) | 2)
+    c.out.write(b); c.out.flush()
+    val msgs = c.drainUntilReady()
+    val neg = msgs.find(_._1 == 'v')
+    assert(neg.isDefined, s"expected NegotiateProtocolVersion, got ${msgs.map(_._1)}")
+    val nb = new DataInputStream(new java.io.ByteArrayInputStream(neg.get._2))
+    assert(nb.readInt() == 196608, "server's newest protocol is 3.0")
+    assert(nb.readInt() == 1, "one unrecognized _pq_ option echoed")
+    assert(msgs.exists(_._1 == 'R') && msgs.last._1 == 'Z')
+    val run = c.executeQuery("SELECT 1 AS one")
+    assert(rows(run) == Seq(Seq("1")))
+    c.close()
+  }
+
   test("Statement.executeQuery: unnamed parse/bind/describe/execute/sync") {
     val c = new Jdbc(port); c.connect()
     val msgs = c.executeQuery(
