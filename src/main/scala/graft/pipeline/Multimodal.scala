@@ -67,6 +67,65 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic clone-group WAV for perceptual audio dedup: docs in the
+    * same id/5 group render the SAME 16-bit PCM stream except the LAST
+    * sample, which carries the doc id — byte-distinct clips, perceptually
+    * identical audio (re-uploaded copies). The watermark sits past the
+    * fingerprint's 512-sample window by construction (clips are >= 600
+    * frames). Samples mix base and index multiplicatively so window
+    * energies differ across groups. */
+  private[graft] def synthWavClone(id: Long): Array[Byte] = {
+    val base = id / 5
+    val frames = (600 + base % 200).toInt
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](frames * 2)
+    var i = 0
+    while (i < frames) {
+      val s = (((base + 7) * (i + 13) * 2654435761L) % 32768).toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val wm = (id % 32768).toShort
+    pcm(2 * (frames - 1)) = (wm & 0xff).toByte
+    pcm(2 * (frames - 1) + 1) = ((wm >> 8) & 0xff).toByte
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** 15-bit energy-gradient fingerprint over decoded PCM: the first 512
+    * samples split into 16 windows of 32; one bit per adjacent-window
+    * energy comparison (sum(w+1) > sum(w)) — the chromaprint-shaped
+    * design reduced to amplitude bands so the oracle can predict every
+    * bit. Constant-gain tolerant (gradients), watermark tolerant (the
+    * grid stops before the clip tail). */
+  private[graft] def audioFingerprint(pcm: Array[Byte]): Long = {
+    val sums = new Array[Long](16)
+    var w = 0
+    while (w < 16) {
+      var i = 0
+      var s = 0L
+      while (i < 32) {
+        val idx = w * 32 + i
+        s += ((pcm(2 * idx) & 0xff) | (pcm(2 * idx + 1) << 8)).toShort.toInt
+        i += 1
+      }
+      sums(w) = s
+      w += 1
+    }
+    var hash = 0L
+    var b = 0
+    while (b < 15) {
+      if (sums(b + 1) > sums(b)) hash |= 1L << b
+      b += 1
+    }
+    hash
+  }
+
   /** Header-only audio metadata from real bytes: (sampleRate, channels,
     * frames). Parses the RIFF/fmt header via the JDK's own reader — no
     * PCM decode, the shape for dimensioning millions of clips in a scan. */
@@ -602,6 +661,51 @@ object Multimodal {
           Row(id, n.toLong, sumAmp, sumSq, peak, rms)
         }
       }(enc).orderBy("doc_id")
+    },
+
+    // PERCEPTUAL audio dedup: byte-distinct clone-group WAVs (id-watermark
+    // last sample) are stream-decoded, fingerprinted from the PCM, and
+    // grouped on the fingerprint — re-uploaded audio copies collapse like
+    // mm_image_dedup's images. The oracle predicts every fingerprint bit
+    // from the synthesis formula over the same 16x32-sample windows; the
+    // dedup shuffle keys an 8-byte scalar, never payload bytes.
+    Q("mm_audio_dedup", Some("""
+      WITH win AS (
+        SELECT d.doc_id, i.i // 32 AS w,
+          sum(((d.doc_id // 5 + 7) * (i.i + 13) * 2654435761) % 32768) AS e
+        FROM documents d, range(0, 512) i(i)
+        GROUP BY d.doc_id, i.i // 32),
+      hashes AS (
+        SELECT a.doc_id,
+          CAST(sum(CASE WHEN b.e > a.e THEN (CAST(1 AS BIGINT) << a.w) ELSE 0 END) AS BIGINT) AS ahash
+        FROM win a JOIN win b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+        WHERE a.w < 15
+        GROUP BY a.doc_id)
+      SELECT doc_id, ahash,
+        CAST(count(*) OVER (PARTITION BY ahash) AS BIGINT) AS group_n,
+        CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY ahash)
+          THEN 1 ELSE 0 END AS keep
+      FROM hashes ORDER BY doc_id""")) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val src = t(s, dir, "documents").select(col("doc_id"))
+      val outSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("ahash", LongType)))
+      val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      val hashed = src.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(synthWavClone(id)))
+          Row(id, audioFingerprint(ais.readAllBytes()))
+        }
+      }(enc)
+      val byHash = Window.partitionBy(col("ahash"))
+      hashed
+        .withColumn("group_n", count(lit(1)).over(byHash))
+        .withColumn("keep",
+          when(col("doc_id") === min(col("doc_id")).over(byHash), 1)
+            .otherwise(0))
+        .orderBy("doc_id")
     },
 
     // SAMPLE-TABLE video decode: the codec-level tier for the video
