@@ -53,9 +53,21 @@ class PlanSpec extends SparkSpecBase {
   test("rasterizing media decodes are scan-side: no exchange before the sort") {
     // pixel/PCM decode must run wherever the binary column lives — any
     // hash exchange would ship payload bytes across the cluster at 100 TB
-    for (q <- Seq("mm_pixel_stats", "mm_audio_stats")) {
+    for (q <- Seq("mm_pixel_stats", "mm_audio_stats", "mm_video_samples")) {
       val p = plan(q)
       assert(countOf("Exchange hashpartitioning", p) == 0, s"$q: $p")
+    }
+  }
+
+  test("perceptual media dedups shuffle only the 8-byte fingerprint") {
+    // decode + hash stay scan-side; the ONLY hash exchange is the group
+    // window keyed on the fingerprint scalar — payload bytes never move
+    for ((q, key) <- Seq("mm_image_dedup" -> "dhash", "mm_audio_dedup" -> "ahash")) {
+      val p = plan(q)
+      val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
+        .findAllMatchIn(p).map(_.group(1)).toSeq
+      assert(exchanges.nonEmpty, s"$q: expected the fingerprint window shuffle")
+      exchanges.foreach(e => assert(e.contains(key), s"$q shuffled on: $e"))
     }
   }
 
