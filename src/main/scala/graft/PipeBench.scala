@@ -18,7 +18,9 @@ object PipeBench {
     "txt_tfidf", "txt_decontaminate", "txt_bloom_decontaminate",
     "txt_global_shuffle", "txt_seq_pack", "mm_batch_infer",
     "dd_substring", "txt_dsir", "sim_knn_graph",
-    "txt_classifier_score", "sim_semantic_decon", "txt_heavy_hitters")
+    "txt_classifier_score", "sim_semantic_decon", "txt_heavy_hitters",
+    "mm_pixel_stats", "mm_audio_stats", "mm_video_samples",
+    "mm_image_dedup", "mm_audio_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
