@@ -805,6 +805,79 @@ object Multimodal {
         .orderBy("doc_id")
     },
 
+    // PROGRESSIVE multimodal curation: the three-tier filter pipeline a
+    // media corpus runs, composed end-to-end — tier 1 header-parses every
+    // asset and gates on dimensions (O(KB)/asset); tier 2 RASTERIZES ONLY
+    // TIER-1 SURVIVORS and gates on mean blue channel (O(asset), the
+    // expensive tier the earlier gate shields); tier 3 gates the paired
+    // text on token count. Each tier is a separate mapPartitions over the
+    // shrinking survivor set, so the plan itself embodies "each tier cuts
+    // the bytes the next one touches". The oracle reproduces every gate
+    // from the synthesis formulas.
+    Q("mm_corpus_curation", Some("""
+      WITH t1 AS (
+        SELECT doc_id, text,
+          CAST(doc_id % 48 + 8 AS INT) AS width,
+          CAST(doc_id % 32 + 8 AS INT) AS height
+        FROM documents WHERE doc_id % 48 + 8 >= 20),
+      t2 AS (
+        SELECT t1.doc_id, t1.text, t1.width, t1.height,
+          round(CAST(sum(((t1.doc_id * 2654435761 + x.x * 31 + y.y * 7) & 16777215) & 255) AS DOUBLE)
+            / (t1.width * t1.height), 4) AS mean_b
+        FROM t1, range(0, 55) x(x), range(0, 39) y(y)
+        WHERE x.x < t1.width AND y.y < t1.height
+        GROUP BY t1.doc_id, t1.text, t1.width, t1.height),
+      t3 AS (
+        SELECT doc_id, width, height, mean_b,
+          CAST(len(string_split(text, chr(32))) AS BIGINT) AS n_tokens
+        FROM t2 WHERE mean_b <= 127.5)
+      SELECT doc_id, width, height, mean_b, n_tokens
+      FROM t3 WHERE n_tokens >= 10
+      ORDER BY doc_id""")) { (s, dir) =>
+      val src = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // tier 1: header parse only — real decodeImageMeta over real bytes
+      val s1 = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("width", IntegerType), StructField("height", IntegerType)))
+      val e1 = org.apache.spark.sql.Encoders.row(s1)
+      val tier1 = src.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val (w, h, _) = decodeImageMeta(synthPng(id)).getOrElse(
+            throw new IllegalStateException(s"undecodable payload for doc $id"))
+          Row(id, r.getString(1), w, h)
+        }
+      }(e1).filter(col("width") >= 20)
+      // tier 2: full rasterization, ONLY for tier-1 survivors
+      val s2 = StructType(s1.fields :+ StructField("mean_b", DoubleType))
+      val e2 = org.apache.spark.sql.Encoders.row(s2)
+      val tier2 = tier1.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(synthPng(id)))
+          var sb = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) { sb += img.getRGB(x, y) & 0xff; x += 1 }
+            y += 1
+          }
+          val n = img.getWidth.toLong * img.getHeight
+          Row(id, r.getString(1), r.getInt(2), r.getInt(3),
+            BigDecimal(sb.toDouble / n)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }(e2).filter(col("mean_b") <= 127.5)
+      // tier 3: text-quality gate over the paired text column
+      tier2
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .filter(col("n_tokens") >= 10)
+        .select(col("doc_id"), col("width"), col("height"),
+          col("mean_b"), col("n_tokens"))
+        .orderBy("doc_id")
+    },
+
     // frame sampling: every 10th token as a "frame" (the explode shape a
     // video frame-sampler produces: one row per sampled frame)
     Q("mm_frame_sample", Some("""
