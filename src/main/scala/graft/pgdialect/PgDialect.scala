@@ -366,6 +366,26 @@ object PgDialect {
             // strip a leading schema qualifier: rel.col stays rel.col
             if (parts.length >= 2) parts.takeRight(2).mkString(".") else target
           } else unquoteName(target.split("\\.").map(unquoteName).last)
+        // PG raises for unknown targets — a misspelled relation/column must
+        // not accumulate silently in the durable pg_description catalog
+        val (rel, colOpt) = key.split("\\.") match {
+          case Array(r, c) if kind.equalsIgnoreCase("COLUMN") => (r, Some(c))
+          case _ => (key, None)
+        }
+        val relKnown = store.exists(rel) ||
+          store.matviewDefinition(rel).isDefined ||
+          store.viewState(rel).isDefined ||
+          (try spark.catalog.tableExists(rel) catch { case _: Exception => false })
+        if (!relKnown)
+          throw UnsupportedQuery(s"""relation "$rel" does not exist""")
+        colOpt.foreach { c =>
+          val fields =
+            try spark.table(rel).schema.fieldNames.toSeq
+            catch { case _: Exception => Seq.empty[String] }
+          if (!fields.exists(_.equalsIgnoreCase(c)))
+            throw UnsupportedQuery(
+              s"""column "$c" of relation "$rel" does not exist""")
+        }
         store.setComment(key, value)
         return Command("COMMENT")
       case _ =>

@@ -171,12 +171,11 @@ object PgDml {
             return insertOnConflict(spark, store, t, target, aligned, tgt, action)
           case None =>
         }
-        // tag count from parquet-footer metadata before/after the append
-        // (compaction is row-preserving) — the insert SOURCE query runs
-        // once, for the write, never a second time for the tag
-        val before = store.rowCountFast(t)
-        store.appendCompacting(t, aligned)
-        val n = store.rowCountFast(t) - before
+        // tag count from parquet-footer metadata computed INSIDE the append's
+        // table lock (compaction is row-preserving) — the insert SOURCE query
+        // runs once, for the write, never a second time for the tag, and a
+        // concurrent session's same-table write cannot leak into this tag
+        val n = store.appendCompacting(t, aligned)
         returning match {
           case Some(rets) => Rows(aligned.selectExpr(rets: _*), "INSERT 0")
           case None => Command(s"INSERT 0 $n")
@@ -207,18 +206,24 @@ object PgDml {
         "ON CONFLICT requires an explicit single-column conflict target"))
     require(tgt.get.split(",").length == 1,
       "ON CONFLICT supports a single-column conflict target")
-    val others = aligned.columns.filterNot(_ == key)
+    // deterministic in-batch duplicate-key reduction: order by the
+    // ORDERABLE non-key columns only (a MAP column has no ordering and
+    // would fail window analysis); with none orderable, fall back to
+    // dropDuplicates(key) — arbitrary-but-single row per key, like before
+    val others = aligned.schema.fields.collect {
+      case f if f.name != key &&
+          org.apache.spark.sql.catalyst.expressions.RowOrdering
+            .isOrderable(f.dataType) => f.name
+    }.toSeq
     val incoming =
       if (others.isEmpty) aligned.dropDuplicates(key)
       else aligned.withColumn("__rn", row_number().over(
           Window.partitionBy(col(s"`$key`"))
-            .orderBy(others.map(c => col(s"`$c`")).toSeq: _*)))
+            .orderBy(others.map(c => col(s"`$c`")): _*)))
         .filter(col("__rn") === 1).drop("__rn")
     if (action.equalsIgnoreCase("NOTHING")) {
       val fresh = incoming.join(store.read(t).select(key), Seq(key), "left_anti")
-      val before = store.rowCountFast(t)
-      store.appendCompacting(t, fresh)
-      Command(s"INSERT 0 ${store.rowCountFast(t) - before}")
+      Command(s"INSERT 0 ${store.appendCompacting(t, fresh)}")
     } else {
       val setsAndWhere = action.replaceFirst("(?is)^UPDATE\\s+SET\\s+", "")
       val whereIdx = topLevelWordIndex(setsAndWhere, "WHERE")

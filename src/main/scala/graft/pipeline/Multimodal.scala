@@ -540,7 +540,9 @@ object Multimodal {
     // and per-channel statistics computed from the raster: the
     // quality-filter features (channel means, brightness extremes) a real
     // pipeline gates images on. The oracle reproduces the expected stats
-    // from the deterministic pixel formula ((id + 31x + 7y) & 0xffffff)
+    // from the deterministic pixel formula
+    // ((id * 2654435761 + 31x + 7y) & 0xffffff) — Knuth-hashed id so
+    // adjacent docs get unrelated rasters —
     // via a lateral range join — a decode that didn't truly rasterize the
     // payload could not match the per-pixel aggregate. Exact integer sums
     // are emitted alongside the rounded means so the hash check is

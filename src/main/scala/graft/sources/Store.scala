@@ -637,9 +637,15 @@ class Store(spark: SparkSession, val warehouse: String) {
     * tail files are read back and rewritten TOGETHER with the incoming rows.
     * Steady-state incremental syncs therefore keep O(total/maxFileBytes)
     * files instead of one sliver per batch — at 100 TB this is the
-    * difference between thousands and millions of manifest entries. */
-  def appendCompacting(name: String, df0: DataFrame, maxFileBytes: Long = 100L << 20): Unit = withTableLock(name) {
-    if (!exists(name)) { replace(name, df0); return }
+    * difference between thousands and millions of manifest entries.
+    *
+    * Returns the number of INCOMING rows appended, computed from parquet
+    * footers INSIDE the table lock (rows written this version minus the
+    * compacted small-file rows). The DML command tag uses this directly: a
+    * before/after rowCountFast delta outside the lock would count a
+    * concurrent session's insert/delete into this session's tag. */
+  def appendCompacting(name: String, df0: DataFrame, maxFileBytes: Long = 100L << 20): Long = withTableLock(name) {
+    if (!exists(name)) { replace(name, df0); return rowCountFast(name) }
     val df = toPhysical(name, df0) // ALTERed tables: files stay physical
     val cur = versionPath(name, versions(name))
     val files = dataFiles(cur)
@@ -664,10 +670,14 @@ class Store(spark: SparkSession, val warehouse: String) {
     val est = smallBytes +
       (if (incomingBytes > BigInt(1L << 40)) targetBytes else incomingBytes.toLong)
     val nParts = math.max(1, math.ceil(est.toDouble / targetBytes).toInt)
+    val compactedRows = footerRows(small.map(_.getPath))
     writeInto(tail.repartition(nParts), name, dir, s"compacted-$next")
+    val writtenRows = footerRows(dataFiles(dir)
+      .filter(_.getPath.getName.startsWith(s"compacted-$next-")).map(_.getPath))
     versions(name) = next
     persistCatalog()
     publish(name)
+    writtenRows - compactedRows
   }
 
   /** Carry a data file into a new version dir untouched: a hard link on a
@@ -831,12 +841,16 @@ class Store(spark: SparkSession, val warehouse: String) {
     * wrote. */
   def rowCountFast(name: String): Long = {
     require(exists(name), s"no such store table: $name")
-    dataFiles(versionPath(name, versions(name))).map { f =>
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, hconf))
+    footerRows(dataFiles(versionPath(name, versions(name))).map(_.getPath))
+  }
+
+  /** Exact row count of specific parquet files from footers alone. */
+  private def footerRows(paths: Seq[HadoopPath]): Long =
+    paths.map { p =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, hconf))
       try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
       finally reader.close()
     }.sum
-  }
 
   private def baseName(uri: String): String =
     uri.substring(uri.lastIndexOf('/') + 1)

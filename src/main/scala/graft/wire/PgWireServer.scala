@@ -459,13 +459,18 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
       pid: Int, secret: Int): Boolean = {
     var len = in.readInt()
     var proto = in.readInt()
-    if (proto == 80877103) { // SSLRequest -> refuse like the reference
+    // Encryption probes can arrive in ANY order: libpq with GSS creds sends
+    // GSSENCRequest FIRST and on 'N' retries SSLRequest on the same
+    // connection (and vice versa), so loop refusing probes until a startup
+    // or cancel packet arrives — a fixed SSL-then-GSS order would drop the
+    // post-refusal SSLRequest at the version check. Bounded so a client
+    // replaying probes forever cannot pin the thread.
+    var probes = 0
+    while ((proto == 80877103 /* SSLRequest */ ||
+            proto == 80877104 /* GSSENCRequest */) && probes < 4) {
       out.write('N'); out.flush()
       len = in.readInt(); proto = in.readInt()
-    }
-    if (proto == 80877104) { // GSSENCRequest (libpq with GSS creds) -> refuse
-      out.write('N'); out.flush()
-      len = in.readInt(); proto = in.readInt()
+      probes += 1
     }
     if (proto == 80877102) { // CancelRequest: pid + secret, then close
       val cpid = in.readInt()

@@ -186,6 +186,19 @@ class DmlSpec extends SparkSpecBase {
     exec("DROP TABLE ocd_t")
   }
 
+  test("on conflict dedup tolerates unorderable column types") {
+    import spark.implicits._
+    // a MAP column has no ordering: the in-batch duplicate-key window must
+    // order by the orderable non-key columns only (here: none besides the
+    // map -> dropDuplicates fallback), not fail analysis
+    store.replace("ocd_map", Seq((1L, Map("a" -> 1))).toDF("k", "m"))
+    val t = tag("INSERT INTO ocd_map VALUES (2, map('b', 2)), (2, map('c', 3)) " +
+      "ON CONFLICT (k) DO NOTHING")
+    assert(t == "INSERT 0 1", t)
+    assert(rows("SELECT count(*) AS n FROM ocd_map").head.getLong(0) == 2)
+    exec("DROP TABLE ocd_map")
+  }
+
   test("drop view/table tolerate trailing CASCADE/RESTRICT") {
     exec("CREATE TABLE casc_t (id int8)")
     exec("CREATE VIEW casc_v AS SELECT id FROM casc_t")

@@ -184,6 +184,22 @@ class JdbcClientSpec extends SparkSpecBase {
     }
   }
 
+  test("GSS probe then SSL probe on one connection both refuse, startup works") {
+    // libpq with GSS creds sends GSSENCRequest FIRST, and on 'N' falls back
+    // to SSLRequest on the SAME connection before the cleartext startup —
+    // the probe loop must answer both in either order
+    for (order <- Seq(Seq(80877104, 80877103), Seq(80877103, 80877104))) {
+      val c = new Jdbc(port)
+      order.foreach { magic =>
+        c.out.writeInt(8); c.out.writeInt(magic); c.out.flush()
+        assert(c.in.read() == 'N'.toInt, s"magic $magic must refuse with N")
+      }
+      val msgs = c.connect()
+      assert(msgs.head._1 == 'R' && msgs.last._1 == 'Z')
+      c.close()
+    }
+  }
+
   test("protocol 3.2 request negotiates down to 3.0 and the session works") {
     // libpq 18 / new pgjdbc open with protocol 3.2 (196610) and expect
     // NegotiateProtocolVersion from a 3.0 server, then a normal session

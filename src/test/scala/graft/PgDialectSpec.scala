@@ -354,8 +354,16 @@ class PgDialectSpec extends SparkSpecBase {
   test("migration-script statements no-op with their PG tags") {
     val wh = java.nio.file.Files.createTempDirectory("graft-mig").toString
     val st = new Store(spark, wh)
+    Tables.registerAll(spark, sfDir)
     def exec(sql: String) = PgDialect.execute(spark, st, sql)
     assert(exec("COMMENT ON TABLE region IS 'dims'") == Command("COMMENT"))
+    assert(exec("COMMENT ON COLUMN region.r_name IS 'the name'") == Command("COMMENT"))
+    // PG raises for unknown targets: misspelled relations/columns must not
+    // accumulate silently in the durable pg_description catalog
+    for (bad <- Seq("COMMENT ON TABLE regoin IS 'typo'",
+        "COMMENT ON COLUMN region.r_nmae IS 'typo'"))
+      assert(intercept[PgDialect.UnsupportedQuery](exec(bad))
+        .getMessage.contains("does not exist"), bad)
     assert(exec("LOCK TABLE region IN ACCESS EXCLUSIVE MODE") == Command("LOCK TABLE"))
     assert(exec("SET CONSTRAINTS ALL DEFERRED") == Command("SET CONSTRAINTS"))
     assert(exec("CHECKPOINT") == Command("CHECKPOINT"))
