@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.collection.concurrent.TrieMap
+
+/** ANALYZE-produced planner statistics.
+  *
+  * The reference delegates statistics to its embedded engine (ANALYZE
+  * reaches DuckDB as a maintenance no-op); here ANALYZE is a real
+  * statistics pass because the Spark side has a consumer the reference
+  * doesn't: explicit broadcast hints must be gated on a MEASURED input
+  * size to stay safe under unbounded scale-up (a hard `broadcast()` on a
+  * table that grows with the data is an executor-OOM at 100 TB). Results
+  * feed (a) the pg_stats-shaped catalog view and (b)
+  * [[Tables.broadcastSized]], which prefers analyzed stats over the
+  * on-disk fallback.
+  *
+  * Scale shape: one aggregate job per ANALYZE — a single scan with
+  * map-side partial aggregation computing every column's null count,
+  * approximate NDV (HLL++, the same sketch class PG/Spark ANALYZE use;
+  * never an exact count(DISTINCT) whose Expand multiplies the scan by the
+  * column count), min/max for orderable atomics, and mean byte width.
+  * The driver receives exactly one row regardless of table size.
+  */
+object TableStats {
+  final case class ColStats(column: String, nullFrac: Double, nDistinct: Long,
+      minVal: Option[String], maxVal: Option[String], avgWidth: Double)
+
+  final case class Stats(rows: Long, cols: Seq[ColStats]) {
+    /** Mean row width in bytes (sum of column mean widths). */
+    def rowWidth: Double = cols.map(_.avgWidth).sum
+    /** Estimated uncompressed bytes of the whole table — the quantity a
+      * broadcast would materialize per executor. */
+    def bytesEstimate: Long = (rows * rowWidth).toLong
+  }
+
+  // keyed by relation name — the engine's single-schema namespace, same
+  // resolution scope as the session temp-view registry
+  private val registry = TrieMap[String, Stats]()
+
+  def get(name: String): Option[Stats] = registry.get(name)
+  def put(name: String, s: Stats): Unit = { registry(name) = s; () }
+  def drop(name: String): Unit = { registry.remove(name); () }
+  def clear(): Unit = registry.clear()
+  def analyzedTables: Seq[String] = registry.keys.toSeq.sorted
+
+  private def orderableAtomic(dt: DataType): Boolean = dt match {
+    case _: NumericType | StringType | DateType | TimestampType |
+        TimestampNTZType | BooleanType => true
+    case _ => false
+  }
+
+  // NDV sketching needs a hashable type; atomic + array-of-atomic qualify
+  private def sketchable(dt: DataType): Boolean = dt match {
+    case ArrayType(e, _) => sketchable(e)
+    case MapType(_, _, _) => false
+    case _: StructType => false
+    case _ => true
+  }
+
+  private def widthExpr(f: StructField): Column = f.dataType match {
+    // variable-width: measured mean payload bytes (null-safe: avg skips
+    // nulls; an all-null column falls back to the fixed default)
+    case StringType => coalesce(avg(octet_length(col(s"`${f.name}`"))),
+      lit(f.dataType.defaultSize.toDouble))
+    case BinaryType => coalesce(avg(octet_length(col(s"`${f.name}`"))),
+      lit(f.dataType.defaultSize.toDouble))
+    case dt => lit(dt.defaultSize.toDouble)
+  }
+
+  /** Run the one-job statistics pass over `df`, register and return the
+    * result. `onlyCols` restricts to ANALYZE t(col, …)'s column list. */
+  def analyze(spark: SparkSession, name: String, df: DataFrame,
+      onlyCols: Seq[String] = Nil): Stats = {
+    val fields = df.schema.fields.toSeq.filter(f =>
+      onlyCols.isEmpty || onlyCols.exists(_.equalsIgnoreCase(f.name)))
+    val aggs: Seq[Column] = count(lit(1)).as("__n") +: fields.zipWithIndex.flatMap {
+      case (f, i) =>
+        val c = col(s"`${f.name}`")
+        Seq(
+          count(c).as(s"__nn_$i"),
+          (if (sketchable(f.dataType)) approx_count_distinct(c)
+           else lit(-1L)).as(s"__nd_$i"),
+          (if (orderableAtomic(f.dataType)) min(c).cast("string")
+           else lit(null).cast("string")).as(s"__mn_$i"),
+          (if (orderableAtomic(f.dataType)) max(c).cast("string")
+           else lit(null).cast("string")).as(s"__mx_$i"),
+          widthExpr(f).as(s"__w_$i"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val n = row.getLong(row.fieldIndex("__n"))
+    val cols = fields.zipWithIndex.map { case (f, i) =>
+      val nonNull = row.getLong(row.fieldIndex(s"__nn_$i"))
+      ColStats(
+        column = f.name,
+        nullFrac = if (n == 0) 0.0 else (n - nonNull).toDouble / n,
+        nDistinct = row.getLong(row.fieldIndex(s"__nd_$i")),
+        minVal = Option(row.get(row.fieldIndex(s"__mn_$i"))).map(_.toString),
+        maxVal = Option(row.get(row.fieldIndex(s"__mx_$i"))).map(_.toString),
+        avgWidth = row.getDouble(row.fieldIndex(s"__w_$i")))
+    }
+    val stats = Stats(n, cols)
+    registry(name) = stats
+    stats
+  }
+
+  /** The registry as pg_stats-shaped rows:
+    * (schemaname, tablename, attname, null_frac, avg_width, n_distinct,
+    * min_val, max_val) — PG's view plus the min/max PG hides inside
+    * histogram_bounds; n_distinct -1 means "not computable for this type"
+    * like PG's negative-ratio convention marks estimates. */
+  def pgStatsRows: Seq[(String, String, String, Double, Double, Long,
+      Option[String], Option[String])] =
+    registry.toSeq.sortBy(_._1).flatMap { case (t, s) =>
+      // raw doubles, no decorative rounding: null_frac/avg_width are single
+      // divisions of exact integer aggregates, so they reproduce
+      // bit-identically from the same data in any engine (the oracle gate
+      // recomputes them in DuckDB and hash-compares)
+      s.cols.map(c => ("public", t, c.column, c.nullFrac, c.avgWidth,
+        c.nDistinct, c.minVal, c.maxVal))
+    }
+}

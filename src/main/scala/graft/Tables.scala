@@ -20,6 +20,39 @@ object Tables {
   val broadcastable: Set[String] =
     Set("region", "nation", "supplier", "part", "customer")
 
+  /** Measured on-disk bytes of a testdata table (0 when unknown). */
+  def inputBytes(dir: String, name: String): Long =
+    scala.util.Try(new java.io.File(s"$dir/$name.parquet").length).getOrElse(0L)
+
+  /** Default in-memory broadcast ceiling for EXPLICIT hints: 1 GiB —
+    * comfortably inside a few-GB executor heap and Spark's 8 GB hard
+    * broadcast cap, far above autoBroadcastJoinThreshold's 10 MB (explicit
+    * hints exist precisely because dimension tables above that default are
+    * still profitable to broadcast). */
+  val BroadcastGateBytes: Long = 1L << 30
+
+  /** zstd-parquet → in-memory expansion estimate for the on-disk fallback
+    * when no ANALYZE stats exist (measured 3-4x on the testdata tables). */
+  private val ParquetExpansion = 4L
+
+  /** Should an explicit broadcast hint be placed on testdata table `name`?
+    * True only when the table's MEASURED size — analyzed stats
+    * (rows x mean row width) when ANALYZE ran, else on-disk parquet bytes
+    * x the compression expansion — fits the gate. Tables that grow with
+    * the scale factor (customer/part/supplier) therefore keep their exact
+    * broadcast plans at every benchmarked scale but fall back to
+    * AQE/autoBroadcastJoinThreshold once a scale-up would make the forced
+    * broadcast a multi-GB executor-OOM. An UNKNOWN size (no stats, no
+    * readable file) does NOT hint — unknown is exactly the case the gate
+    * exists for. Override the ceiling with spark.graft.broadcastGateBytes. */
+  def broadcastSized(spark: SparkSession, dir: String, name: String): Boolean = {
+    val gate = spark.conf.getOption("spark.graft.broadcastGateBytes")
+      .flatMap(_.toLongOption).getOrElse(BroadcastGateBytes)
+    val estimate = TableStats.get(name).map(_.bytesEstimate)
+      .getOrElse(inputBytes(dir, name) * ParquetExpansion)
+    estimate > 0 && estimate <= gate
+  }
+
   // memoized lazy frames per (SESSION, dir, table): the testdata files are
   // immutable for a session, and re-loading per reference would re-read
   // footers and re-run the long-unit sniff job on every unprimed access.

@@ -764,6 +764,37 @@ object FnQueries {
       s.sql("SELECT amname, amtype FROM pg_am ORDER BY amname")
     },
 
+    // ANALYZE produces REAL statistics (TableStats one-job aggregate) that
+    // surface through the pg_stats-shaped view; the oracle recomputes the
+    // deterministic columns (null_frac, min/max; avg_width for the
+    // variable-width column) from the same parquet — identical single
+    // divisions of exact integer aggregates, so the hash compare is exact.
+    // n_distinct is HLL-approximate by design (PG's n_distinct is an
+    // estimate too) and is pinned by StatsSpec instead.
+    Q("cat_pg_stats", Some("""
+      SELECT attname, null_frac, name_width, min_val, max_val FROM (
+        SELECT 'r_name' AS attname,
+          CAST(count(*) - count(r_name) AS DOUBLE) / count(*) AS null_frac,
+          CAST(sum(strlen(r_name)) AS DOUBLE) / count(r_name) AS name_width,
+          CAST(min(r_name) AS VARCHAR) AS min_val,
+          CAST(max(r_name) AS VARCHAR) AS max_val
+        FROM region
+        UNION ALL
+        SELECT 'r_regionkey',
+          CAST(count(*) - count(r_regionkey) AS DOUBLE) / count(*),
+          CAST(NULL AS DOUBLE),
+          CAST(min(r_regionkey) AS VARCHAR), CAST(max(r_regionkey) AS VARCHAR)
+        FROM region) s
+      ORDER BY attname""")) { (s, dir) =>
+      TableStats.analyze(s, "region", Tables.df(s, dir, "region"))
+      PgCatalog.refreshStats(s)
+      s.sql("""
+        SELECT attname, null_frac,
+          CASE WHEN attname = 'r_name' THEN avg_width END AS name_width,
+          min_val, max_val
+        FROM pg_stats WHERE tablename = 'region' ORDER BY attname""")
+    },
+
     // the round-3 catalog additions: pg_index/pg_attrdef/pg_depend/
     // pg_sequence and the stat/statio view families all resolve with their
     // documented shapes

@@ -95,6 +95,24 @@ object TpchQueries {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.df(s, dir, n)
 
+  /** Size-gated broadcast hint for a scale-factor-growing dimension
+    * (customer/part/supplier): apply `f` (filter/projection) and hint
+    * broadcast ONLY when [[Tables.broadcastSized]] approves the base
+    * table's measured size (analyzed stats first, on-disk bytes
+    * otherwise). Above the gate the frame returns unhinted and
+    * AQE/autoBroadcastJoinThreshold picks the join strategy at runtime —
+    * an explicit hint would override both unconditionally, turning a 100x
+    * scale-up into a forced multi-GB broadcast. Gating on the BASE size is
+    * conservative: filters only shrink the input, and a gated-out filtered
+    * dim can still broadcast at runtime once AQE sees its true size.
+    * nation/region (fixed-cardinality) and tiny derived aggregates keep
+    * their unconditional hints. */
+  private def bdim(s: SparkSession, dir: String, n: String)(
+      f: DataFrame => DataFrame = identity): DataFrame = {
+    val d = f(t(s, dir, n))
+    if (Tables.broadcastSized(s, dir, n)) broadcast(d) else d
+  }
+
   val defs: Seq[Q] = Seq(
     Q("q01_pricing_summary", Some(s"""
       SELECT l_returnflag, l_linestatus,
@@ -160,7 +178,7 @@ object TpchQueries {
         .filter(col("l_shipdate") > ts("1998-03-15"))
         .join(t(s, dir, "orders").filter(col("o_orderdate") < ts("1998-03-15")),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")),
+        .join(bdim(s, dir, "customer")(_.filter(col("c_mktsegment") === "BUILDING")),
           col("o_custkey") === col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(msum(discProd, 1e4).as("revenue"))
@@ -203,8 +221,8 @@ object TpchQueries {
         .join(t(s, dir, "orders")
             .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1997-01-01")),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t(s, dir, "supplier")),
+        .join(bdim(s, dir, "customer")(), col("o_custkey") === col("c_custkey"))
+        .join(bdim(s, dir, "supplier")(),
           col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
@@ -248,8 +266,8 @@ object TpchQueries {
       t(s, dir, "lineitem")
         .filter(col("l_shipdate").between(ts("1996-01-01"), ts("1997-12-31")))
         .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(t(s, dir, "supplier")), col("s_suppkey") === col("l_suppkey"))
-        .join(broadcast(t(s, dir, "customer")), col("c_custkey") === col("o_custkey"))
+        .join(bdim(s, dir, "supplier")(), col("s_suppkey") === col("l_suppkey"))
+        .join(bdim(s, dir, "customer")(), col("c_custkey") === col("o_custkey"))
         .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
         .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
         .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2")
@@ -281,13 +299,13 @@ object TpchQueries {
       val n2 = t(s, dir, "nation").select(
         col("n_nationkey").as("n2_key"), col("n_name").as("nation"))
       t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part").filter(col("p_type") === "ECONOMY")),
+        .join(bdim(s, dir, "part")(_.filter(col("p_type") === "ECONOMY")),
           col("p_partkey") === col("l_partkey"))
         .join(t(s, dir, "orders")
             .filter(col("o_orderdate").between(ts("1996-01-01"), ts("1997-12-31"))),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t(s, dir, "supplier")), col("s_suppkey") === col("l_suppkey"))
+        .join(bdim(s, dir, "customer")(), col("o_custkey") === col("c_custkey"))
+        .join(bdim(s, dir, "supplier")(), col("s_suppkey") === col("l_suppkey"))
         .join(broadcast(n1), col("c_nationkey") === col("n1_key"))
         .join(broadcast(t(s, dir, "region")), col("n1_region") === col("r_regionkey"))
         .filter(col("r_name") === "AMERICA")
@@ -313,9 +331,9 @@ object TpchQueries {
       val amount = discProd -
         cents(col("p_retailprice")) * col("l_quantity").cast("long") * lit(100L)
       t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part").filter(col("p_name").like("%widget%"))),
+        .join(bdim(s, dir, "part")(_.filter(col("p_name").like("%widget%"))),
           col("p_partkey") === col("l_partkey"))
-        .join(broadcast(t(s, dir, "supplier")), col("s_suppkey") === col("l_suppkey"))
+        .join(bdim(s, dir, "supplier")(), col("s_suppkey") === col("l_suppkey"))
         .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
         .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
         .select(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"),
@@ -339,7 +357,7 @@ object TpchQueries {
         .join(t(s, dir, "orders")
             .filter(col("o_orderdate") >= ts("1997-01-01") && col("o_orderdate") < ts("1997-04-01")),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(bdim(s, dir, "customer")(), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(msum(discProd, 1e4).as("revenue"))
@@ -421,7 +439,7 @@ object TpchQueries {
         AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""")) { (s, dir) =>
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= ts("1996-03-01") && col("l_shipdate") < ts("1996-04-01"))
-        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .join(bdim(s, dir, "part")(), col("l_partkey") === col("p_partkey"))
         .agg(((msum(when(col("p_type") === "PROMO", discProd).otherwise(0L), 1e4) * 100.0)
           / msum(discProd, 1e4)).as("promo_revenue"))
     },
@@ -464,8 +482,7 @@ object TpchQueries {
       ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")) { (s, dir) =>
       val badSupp = t(s, dir, "supplier").filter(col("s_acctbal") < 0).select("s_suppkey")
       t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")
-            .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO"
+        .join(bdim(s, dir, "part")(_.filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO"
               && col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))),
           col("p_partkey") === col("l_partkey"))
         .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
@@ -491,8 +508,7 @@ object TpchQueries {
       // avg(l_quantity) is exact: integral doubles sum exactly in any order.
       import org.apache.spark.sql.expressions.Window
       val brandLines = t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")
-            .filter(col("p_brand") === "Brand#3").select("p_partkey")),
+        .join(bdim(s, dir, "part")(_.filter(col("p_brand") === "Brand#3").select("p_partkey")),
           col("p_partkey") === col("l_partkey"))
       brandLines
         .withColumn("qty_thr",
@@ -522,7 +538,7 @@ object TpchQueries {
         .filter(col("total_qty") > 170)
       t(s, dir, "orders")
         .join(perOrder, col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(t(s, dir, "customer")), col("c_custkey") === col("o_custkey"))
+        .join(bdim(s, dir, "customer")(), col("c_custkey") === col("o_custkey"))
         .select(
           col("c_name"),
           col("c_custkey"),
@@ -548,7 +564,7 @@ object TpchQueries {
         (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) && col("l_quantity").between(10, 30)) ||
         (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) && col("l_quantity").between(20, 40))
       t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")), col("p_partkey") === col("l_partkey"))
+        .join(bdim(s, dir, "part")(), col("p_partkey") === col("l_partkey"))
         .filter(pred)
         .agg(msum(discProd, 1e4).as("revenue"))
     },
@@ -563,7 +579,7 @@ object TpchQueries {
                             AND l_quantity > 30)
       ORDER BY s_name""")) { (s, dir) =>
       val shippers = t(s, dir, "lineitem").filter(col("l_quantity") > 30)
-        .join(broadcast(t(s, dir, "part").filter(col("p_name").like("%bolt%"))),
+        .join(bdim(s, dir, "part")(_.filter(col("p_name").like("%bolt%"))),
           col("p_partkey") === col("l_partkey"))
         .select("l_suppkey")
       t(s, dir, "supplier")
@@ -613,7 +629,7 @@ object TpchQueries {
           col("o_orderkey") === col("l_orderkey"),
           "left_semi"
         )
-        .join(broadcast(t(s, dir, "supplier")), col("s_suppkey") === col("r_supp"))
+        .join(bdim(s, dir, "supplier")(), col("s_suppkey") === col("r_supp"))
         .join(
           broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_1")),
           col("s_nationkey") === col("n_nationkey")

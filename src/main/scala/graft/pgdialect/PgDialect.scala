@@ -393,12 +393,39 @@ object PgDialect {
     if (upper.startsWith("COMMENT ")) return Command("COMMENT")
     if (upper.startsWith("LOCK ")) return Command("LOCK TABLE")
     if (upper.startsWith("CHECKPOINT")) return Command("CHECKPOINT")
-    // standalone ANALYZE [VERBOSE] [table[(cols)]]: planner statistics are
-    // Spark's concern here (AQE runtime stats), so accept the maintenance
-    // command migrations and BI tools routinely issue as a tagged no-op
-    if (upper.startsWith("ANALYZE") &&
-        "(?is)ANALYZE(\\s+VERBOSE)?(\\s+[\\w.\"]+(\\s*\\([^)]*\\))?)?\\s*".r
-          .matches(stmt)) return Command("ANALYZE")
+    // standalone ANALYZE [VERBOSE] [table[(cols)]]: a REAL statistics pass
+    // (one aggregate job per table — see TableStats) whose results surface
+    // through the pg_stats-shaped view and feed the size-gated broadcast
+    // planner (Tables.broadcastSized). Bare ANALYZE covers the store's
+    // synced tables (the population PG's database-wide ANALYZE would);
+    // registered parquet views analyze on request by name.
+    if (upper.startsWith("ANALYZE")) {
+      val anRe =
+        "(?is)ANALYZE(?:\\s+VERBOSE)?(?:\\s+([\\w.\"]+)(\\s*\\([^)]*\\))?)?\\s*".r
+      stmt match {
+        case anRe(tblRaw, colsRaw) =>
+          val cols = Option(colsRaw).map(_.trim.stripPrefix("(").stripSuffix(")")
+            .split(",").toSeq.map(c => unquoteName(c.trim)).filter(_.nonEmpty))
+            .getOrElse(Nil)
+          val named = Option(tblRaw)
+            .map(x => unquoteName(x.split("\\.").map(unquoteName).last))
+          val targets = named.map(Seq(_)).getOrElse(store.tableNames)
+          targets.foreach { t =>
+            val df =
+              if (store.exists(t)) Some(store.read(t))
+              else try Some(spark.table(t)) catch { case _: Exception => None }
+            df match {
+              case Some(d) => TableStats.analyze(spark, t, d, cols)
+              case None if named.isDefined =>
+                throw UnsupportedQuery(s"""relation "$t" does not exist""")
+              case None =>
+            }
+          }
+          PgCatalog.refreshStats(spark)
+          return Command("ANALYZE")
+        case _ =>
+      }
+    }
 
     val mvCreate =
       "(?is)CREATE\\s+MATERIALIZED\\s+VIEW\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.\"]+)\\s+AS\\s+(.*?)(\\s+WITH\\s+(NO\\s+)?DATA)?\\s*$".r

@@ -570,6 +570,7 @@ object PgCatalog {
       .asCatalogView("pg_stat_user_tables")
 
     refreshInfoSchema(spark)
+    refreshStats(spark)
 
     // with every system view registered, rebuild pg_class to list them too:
     // the reference's pg_class carries the engine's own catalog relations
@@ -624,6 +625,21 @@ object PgCatalog {
       case ArrayType(e, _) => "_" + udtOf(f.copy(dataType = e))
       case _ => "text"
     }
+  }
+
+  /** pg_stats-shaped view over the ANALYZE registry (TableStats): PG's
+    * column set where the semantics map (schemaname/tablename/attname/
+    * null_frac/avg_width/n_distinct) plus explicit min_val/max_val — PG
+    * buries those in histogram_bounds; the broadcast size gate and ad-hoc
+    * inspection both want them first-class. Empty until the first ANALYZE,
+    * like a fresh PG database. */
+  def refreshStats(spark: SparkSession): Unit = synchronized {
+    PgDialect.catalogEpoch.incrementAndGet()
+    import spark.implicits._
+    TableStats.pgStatsRows
+      .toDF("schemaname", "tablename", "attname", "null_frac", "avg_width",
+        "n_distinct", "min_val", "max_val")
+      .asCatalogView("pg_stats")
   }
 
   /** information_schema.tables / .columns over every live relation in the

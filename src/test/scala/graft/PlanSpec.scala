@@ -169,6 +169,32 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("broadcast hints are size-gated: over-threshold dims plan without a forced broadcast") {
+    // with the gate forced shut (1-byte ceiling) and auto-broadcast off,
+    // queries whose only hints are on SF-growing dims (q3: customer,
+    // q14/q19: part) must plan WITHOUT any broadcast join — proving the
+    // hint is genuinely absent, not merely superseded, so at real scale
+    // AQE owns the choice instead of a forced multi-GB broadcast
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.graft.broadcastGateBytes", "1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (q <- Seq("q03_shipping_priority", "q14_promo_revenue",
+          "q19_discounted_revenue")) {
+        val p = plan(q)
+        assert(!p.contains("BroadcastHashJoin"),
+          s"$q kept a forced broadcast above the size gate: $p")
+      }
+    } finally {
+      spark.conf.unset("spark.graft.broadcastGateBytes")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+    }
+    // gate open again (default ceiling, tiny input): the exact broadcast
+    // plans return — the pins above ("q3 uses broadcast joins", q9, q17)
+    // re-verify this on the default path
+    assert(plan("q03_shipping_priority").contains("BroadcastHashJoin"))
+  }
+
   test("tpch q18 reads lineitem exactly once") {
     // the HAVING subquery and the outer per-order sum are one aggregate:
     // a second lineitem scan would double the dominant-table IO at scale
