@@ -53,20 +53,18 @@ object Tables {
     estimate > 0 && estimate <= gate
   }
 
-  // memoized lazy frames per (SESSION, dir, table): the testdata files are
-  // immutable for a session, and re-loading per reference would re-read
-  // footers and re-run the long-unit sniff job on every unprimed access.
-  // The session is part of the key because a DataFrame is bound to the
-  // session that created it — createOrReplaceTempView registers into THAT
-  // session's registry, so serving one session's cached frame to another
-  // (e.g. CompatAudit's derived session racing the shared test session)
-  // silently registers the view in the wrong session.
-  private val loaded =
-    scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
-
+  // Frames are rebuilt per call: a frame is CHEAP to construct (a
+  // footer-only spark.read plus column normalization, single-digit ms) —
+  // the one genuinely expensive step, the long-unit sniff's collect, is
+  // memoized session-FREE in [[sniffedSamples]] below. An earlier
+  // design memoized whole DataFrames keyed by (SparkSession, dir, table);
+  // a DataFrame strongly references its session, so every derived session
+  // (CompatAudit, per-connection sessions) was retained for process
+  // lifetime — a real leak in a long-lived server. The hot path is
+  // unaffected: [[prime]]'s cache (keyed (dir, table), one serving
+  // session by design) still answers bench/server reads.
   def df(spark: SparkSession, dir: String, name: String): DataFrame =
-    primed.getOrElse((dir, name),
-      loaded.getOrElseUpdate((spark, dir, name), load(spark, dir, name)))
+    primed.getOrElse((dir, name), load(spark, dir, name))
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // The driver regenerates the parquet each round and varies encodings:
@@ -77,9 +75,21 @@ object Tables {
     // never depends on this round's writer, and the UTC-pinned DuckDB
     // oracle agrees on the same micros.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/$name.parquet")
-    normalizeTemporal(raw, temporalCols.getOrElse(name, Nil))
+    val path = s"$dir/$name.parquet"
+    // schema inferred ONCE per file (a schema-less read launches a footer
+    // job per call; the testdata files are immutable for the process) —
+    // with both memos warm, frame construction is fully driver-side
+    val schema = fileSchemas.getOrElseUpdate(path,
+      spark.read.parquet(path).schema)
+    val raw = spark.read.schema(schema).parquet(path)
+    normalizeTemporal(raw, temporalCols.getOrElse(name, Nil),
+      sniffKey = Some(path))
   }
+
+  /** Session-free parquet schema memo per testdata file (a StructType
+    * holds no SparkSession reference). */
+  private val fileSchemas =
+    scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.types.StructType]()
 
   /** Temporal columns in the testdata contract, per table — the columns the
     * parquet writer might re-encode between rounds. DateType is left as-is
@@ -99,13 +109,15 @@ object Tables {
     * micros/millis/seconds int64), tz-tagged timestamps, or ISO strings.
     * With the session tz pinned to UTC every branch preserves the stored
     * micros, matching the DuckDB oracle's naive read of the same file. */
-  def normalizeTemporal(raw: DataFrame, cols: Seq[String]): DataFrame = {
+  def normalizeTemporal(raw: DataFrame, cols: Seq[String],
+      sniffKey: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, timestamp_micros, to_timestamp}
     import org.apache.spark.sql.types.{LongType, StringType, TimestampType}
     cols.filter(raw.columns.contains).foldLeft(raw) { (df, c) =>
       df.schema(c).dataType match {
         case LongType =>
-          df.withColumn(c, timestamp_micros(longInstantMicros(df, c)).cast("timestamp_ntz"))
+          df.withColumn(c,
+            timestamp_micros(longInstantMicros(df, c, sniffKey)).cast("timestamp_ntz"))
         case TimestampType => df.withColumn(c, col(c).cast("timestamp_ntz"))
         case StringType => df.withColumn(c, to_timestamp(col(c)).cast("timestamp_ntz"))
         case _ => df // TIMESTAMP_NTZ / DateType: already the stored shape
@@ -136,13 +148,27 @@ object Tables {
     * (boundaries at 1e10/1e13/1e16), not by a single ascending cutoff — a
     * plain `>= 5e15 → nanos` rule would misread a 2024 micros value
     * (1.7e15) whenever the boundary drifted. A streaming frame can't be
-    * probed — there the only long source is nanosAsLong, so assume nanos. */
-  private def longInstantMicros(df: DataFrame, c: String): org.apache.spark.sql.Column = {
+    * probed — there the only long source is nanosAsLong, so assume nanos.
+    *
+    * The sniff's collect is the one expensive step of frame construction;
+    * its RESULT is memoized per (file, column) — session-free (a sample
+    * magnitude, not a plan), so the memo retains no SparkSession however
+    * many derived sessions read the same testdata. */
+  private val sniffedSamples =
+    scala.collection.concurrent.TrieMap[(String, String), Long]()
+
+  private def longInstantMicros(df: DataFrame, c: String,
+      sniffKey: Option[String] = None): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{abs, col, expr}
+    def probe(): Long =
+      df.select(abs(col(c)).as("v")).filter(col("v").isNotNull)
+        .limit(1).collect().headOption.map(_.getLong(0)).getOrElse(0L)
     val sample =
       if (df.isStreaming) Long.MaxValue
-      else df.select(abs(col(c)).as("v")).filter(col("v").isNotNull)
-        .limit(1).collect().headOption.map(_.getLong(0)).getOrElse(0L)
+      else sniffKey match {
+        case Some(k) => sniffedSamples.getOrElseUpdate((k, c), probe())
+        case None => probe()
+      }
     if (sample >= 10000000000000000L) expr(s"$c div 1000")    // nanos  (>= 1e16)
     else if (sample >= 10000000000000L) col(c)                // micros (>= 1e13)
     else if (sample >= 10000000000L) expr(s"$c * 1000")       // millis (>= 1e10)
@@ -198,11 +224,19 @@ object Tables {
   // Registration is idempotent and cheap, but skip re-registration for the
   // common case of many queries against the same sf dir in one session.
   // Tracked PER SESSION: temp views live in a session's own registry, so
-  // "already registered" by one session says nothing about another.
+  // "already registered" by one session says nothing about another. WEAK
+  // keys + a String value (which holds no reference back to the session):
+  // a derived session that goes unreachable is evicted by GC instead of
+  // being retained for process lifetime.
   private val registeredDirs =
-    scala.collection.concurrent.TrieMap[SparkSession, String]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
   private def registeredDir(spark: SparkSession): String =
-    registeredDirs.getOrElse(spark, "")
+    Option(registeredDirs.get(spark)).getOrElse("")
+
+  /** Live entries in the per-session registration map (weak keys — the
+    * count shrinks as dead sessions collect; test hook). */
+  private[graft] def sessionCacheSize: Int = registeredDirs.size
 
   def registerAll(spark: SparkSession, dir: String): Unit = synchronized {
     if (registeredDir(spark) != dir) {
@@ -224,7 +258,7 @@ object Tables {
       // only a CLEAN registration is remembered: a transient failure (e.g.
       // a table mid-rewrite) retries on the next call instead of leaving
       // the view missing for the rest of the session
-      if (failures == 0) registeredDirs(spark) = dir
+      if (failures == 0) { registeredDirs.put(spark, dir); () }
     }
   }
 

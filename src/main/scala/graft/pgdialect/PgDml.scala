@@ -378,7 +378,8 @@ object PgDml {
       unquoteName(a.substring(0, eq).trim) ->
         PgDialect.translateExpr(a.substring(eq + 1).trim)
     }
-    val src = PgDialect.translateExpr(srcRaw)
+    val (src, srcCleanup) = cacheJoinSources(spark, PgDialect.translateExpr(srcRaw))
+    try {
     val cond = PgDialect.translateExpr(whereRaw.trim)
     val schema = store.read(t).schema
     val cols = schema.fieldNames.toSeq
@@ -416,6 +417,53 @@ object PgDml {
            |  ON __upd_t.__rid = __m.__mrid""".stripMargin)
     } finally { spark.catalog.dropTempView(view); () }
     Command(s"UPDATE $n")
+    } finally srcCleanup()
+  }
+
+  /** Persist the expensive part of a join-DML source across its TWO
+    * consumers (the discovery job and the rewrite job): each top-level
+    * parenthesized subquery in the FROM/USING list evaluates into a
+    * persisted temp view — computed once, during discovery — and the
+    * fragment is rewritten to reference the view. Plain table refs pass
+    * through untouched (re-scanning a table is cheap, and its bare name
+    * may qualify columns in the join condition). A subquery with a
+    * column-alias list (`(SELECT …) s(a, b)`) also passes through — rare,
+    * and the rename must stay inside the SQL. Returns the rewritten
+    * fragment and a cleanup thunk (drop views + unpersist). */
+  private def cacheJoinSources(spark: SparkSession, src: String)
+      : (String, () => Unit) = {
+    val cached = scala.collection.mutable.ArrayBuffer
+      .empty[(String, org.apache.spark.sql.DataFrame)]
+    val out = splitTop(src).map(_.trim).map { item =>
+      if (!item.startsWith("(")) item
+      else {
+        // find the subquery's closing paren (quote-aware)
+        var depth = 0; var inStr = false; var i = 0; var close = -1
+        while (i < item.length && close < 0) {
+          val ch = item.charAt(i)
+          if (inStr) { if (ch == '\'') inStr = false }
+          else ch match {
+            case '\'' => inStr = true
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) close = i
+            case _ =>
+          }
+          i += 1
+        }
+        val alias = if (close < 0) "" else
+          item.substring(close + 1).trim.replaceFirst("(?i)^AS\\s+", "").trim
+        if (close < 0 || alias.isEmpty || !alias.matches("[\\w\"]+")) item
+        else {
+          val view = s"__dml_src_${System.nanoTime}"
+          val df = spark.sql(item.substring(1, close)).persist()
+          df.createOrReplaceTempView(view)
+          cached += ((view, df))
+          s"$view AS $alias"
+        }
+      }
+    }.mkString(", ")
+    (out, () => cached.foreach { case (v, df) =>
+      spark.catalog.dropTempView(v); df.unpersist(); () })
   }
 
   /** One discovery job for the join-DML paths: join the target scan —
@@ -483,7 +531,8 @@ object PgDml {
   private def deleteUsing(spark: SparkSession, store: Store, name: String,
       srcRaw: String, condRaw: String): PgResult = {
     val t = requireStoreTable(store, name, "DELETE")
-    val src = PgDialect.translateExpr(srcRaw)
+    val (src, srcCleanup) = cacheJoinSources(spark, PgDialect.translateExpr(srcRaw))
+    try {
     val cond = PgDialect.translateExpr(condRaw)
     val (hits, n) = joinDmlDiscover(spark, store, t, src, cond)
     if (n == 0) return Command("DELETE 0")
@@ -500,6 +549,7 @@ object PgDml {
            |LEFT ANTI JOIN __hit ON __del_t.__rid = __hit.__hrid""".stripMargin)
     } finally { spark.catalog.dropTempView(view); () }
     Command(s"DELETE $n")
+    } finally srcCleanup()
   }
 
   /** Split a trailing top-level RETURNING list off a DML statement. */

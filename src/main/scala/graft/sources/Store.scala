@@ -126,6 +126,10 @@ class Store(spark: SparkSession, val warehouse: String) {
   private case class Evo(physical: org.apache.spark.sql.types.StructType,
       logical: Seq[(String, String)])
   private val evolution = TrieMap[String, Evo]()
+  // declared HERE (not next to inferredSchema): the constructor publishes
+  // restored tables below, which reads through the schema cache
+  private val dirSchemas =
+    TrieMap[String, org.apache.spark.sql.types.StructType]()
 
   private def readBytes(p: HadoopPath): Array[Byte] = {
     val in = fs.open(p)
@@ -363,10 +367,26 @@ class Store(spark: SparkSession, val warehouse: String) {
     * the physical union schema (absent columns null-fill) and projected
     * through the rename/drop mapping. */
   private def readRaw(name: String): DataFrame = evolution.get(name) match {
-    case None => spark.read.parquet(versionDir(name, versions(name)))
+    case None =>
+      val d = versionDir(name, versions(name))
+      spark.read.schema(inferredSchema(d)).parquet(d)
     case Some(e) =>
       spark.read.schema(e.physical).parquet(versionDir(name, versions(name)))
         .select(e.logical.map { case (p, l) => col(s"`$p`").as(l) }.toSeq: _*)
+  }
+
+  /** Parquet schema per version dir, inferred ONCE. A schema-less
+    * spark.read.parquet launches a footer-inference job on every call —
+    * pure scheduler overhead a busy server would pay per statement, since
+    * a version dir is immutable after publish. drop()/rename purge a
+    * table's entries: a re-created table reuses the same paths with a
+    * possibly different schema. */
+  private def inferredSchema(dir: String): org.apache.spark.sql.types.StructType =
+    dirSchemas.getOrElseUpdate(dir, spark.read.parquet(dir).schema)
+  private def invalidateSchemas(name: String): Unit = {
+    val prefix = s"$root/$name/"
+    dirSchemas.keysIterator.filter(_.startsWith(prefix)).toSeq
+      .foreach(dirSchemas.remove)
   }
 
   def currentVersion(name: String): Int = versions(name)
@@ -377,7 +397,8 @@ class Store(spark: SparkSession, val warehouse: String) {
     * alive until expiry; here version dirs play that role). */
   def readVersion(name: String, v: Int): DataFrame = {
     require(fs.exists(versionPath(name, v)), s"table $name has no version $v")
-    spark.read.parquet(versionDir(name, v))
+    val d = versionDir(name, v)
+    spark.read.schema(inferredSchema(d)).parquet(d)
   }
 
   /** Register and return a session view over `name` at snapshot version
@@ -870,7 +891,7 @@ class Store(spark: SparkSession, val warehouse: String) {
   // data file stays homogeneous; a replace() is a full rewrite and RESETS
   // the record (the new files' schema becomes the baseline).
   private def currentEvo(name: String): Evo = evolution.getOrElse(name, {
-    val s = spark.read.parquet(versionDir(name, versions(name))).schema
+    val s = inferredSchema(versionDir(name, versions(name)))
     Evo(s, s.fields.map(f => f.name -> f.name).toSeq)
   })
 
@@ -900,7 +921,11 @@ class Store(spark: SparkSession, val warehouse: String) {
   private def physicalRead(name: String, paths: Seq[String]): DataFrame =
     evolution.get(name) match {
       case Some(e) => spark.read.schema(e.physical).parquet(paths: _*)
-      case None => spark.read.parquet(paths: _*)
+      case None =>
+        // specific files of the current version: homogeneous with the
+        // version dir's (cached) schema — no per-call inference job
+        spark.read.schema(inferredSchema(versionDir(name, versions(name))))
+          .parquet(paths: _*)
     }
 
   /** Read specific data files of `name` surfacing the LOGICAL schema
@@ -1086,7 +1111,12 @@ class Store(spark: SparkSession, val warehouse: String) {
         }
 
       // rewritten target rows: hit files left-joined to the source; first
-      // applicable matched clause applies, one codegen'd projection
+      // applicable matched clause applies, one codegen'd projection. The
+      // command tag's nUpd/nDel come from a CollectMetrics observation
+      // placed BEFORE the delete filter — the counts ride the write job
+      // itself (one pass, guaranteed consistent with what was written)
+      // instead of re-running the matched join a second time.
+      val matchObs = org.apache.spark.sql.Observation()
       val rewritten = if (hit.isEmpty) None else {
         val back = readLogicalFiles(name, hit.map(_.toString))
         val joined = back.alias(targetAlias).join(source.alias(sourceAlias),
@@ -1095,7 +1125,11 @@ class Store(spark: SparkSession, val warehouse: String) {
         val act = actionIndex(matchedClauses, matched).as("__act")
         val deleteIdx = matchedClauses.zipWithIndex.collect {
           case (Store.MatchedDelete(_), i) => i }
+        val isDel = col("__act").isin(deleteIdx.map(Int.box): _*)
         val out = joined.withColumn("__act", act)
+          .observe(matchObs,
+            count(when(col("__act") >= 0 && !coalesce(isDel, lit(false)), 1)).as("n_upd"),
+            count(when(coalesce(isDel, lit(false)), 1)).as("n_del"))
           .filter(!col("__act").isin(deleteIdx: _*))
         Some(out.select(tgtSchema.fields.map { f =>
           matchedClauses.zipWithIndex.foldRight(
@@ -1111,13 +1145,16 @@ class Store(spark: SparkSession, val warehouse: String) {
         }.toSeq: _*))
       }
       // NOT MATCHED inserts: source keys absent from the WHOLE target (one
-      // key-column scan — the same join Iceberg MERGE plans)
+      // key-column scan — the same join Iceberg MERGE plans); nIns is an
+      // observation on the post-filter insert rows, again riding the write
+      val insObs = org.apache.spark.sql.Observation()
       val inserts = if (insertClauses.isEmpty) None else {
         val tgtKeys = read(name).select(col(s"`$targetKey`").as("__tk"))
         val missing = source.alias(sourceAlias).join(tgtKeys,
           col(s"$sourceAlias.$sourceKey") === col("__tk"), "left_anti")
         val withAct = missing.withColumn("__act",
           actionIndex(insertClauses, lit(true))).filter(col("__act") >= 0)
+          .observe(insObs, count(lit(1)).as("n_ins"))
         Some(withAct.select(tgtSchema.fields.map { f =>
           insertClauses.zipWithIndex.foldRight(
             lit(null).cast(f.dataType)) { case ((c, i), rest) =>
@@ -1128,22 +1165,6 @@ class Store(spark: SparkSession, val warehouse: String) {
           }.as(f.name)
         }.toSeq: _*))
       }
-      // observability counts (one small aggregate per leg, pruned scans)
-      val (nUpd, nDel) = rewritten match {
-        case None => (0L, 0L)
-        case Some(_) =>
-          val back = readLogicalFiles(name, hit.map(_.toString))
-          val joined = back.alias(targetAlias).join(source.alias(sourceAlias),
-            col(s"$targetAlias.$targetKey") === col(s"$sourceAlias.$sourceKey"), "left")
-          val matched = col(s"$sourceAlias.$sourceKey").isNotNull
-          val acts = joined.select(actionIndex(matchedClauses, matched).as("__act"))
-            .groupBy("__act").count().collect()
-            .map(r => r.getInt(0) -> r.getLong(1)).toMap
-          val isDel = matchedClauses.map(_.isInstanceOf[Store.MatchedDelete])
-          (acts.collect { case (i, n) if i >= 0 && !isDel(i) => n }.sum,
-            acts.collect { case (i, n) if i >= 0 && isDel(i) => n }.sum)
-      }
-      val nIns = inserts.map(_.count()).getOrElse(0L)
       val next = versions(name) + 1
       val dir = versionPath(name, next)
       fs.mkdirs(dir)
@@ -1153,6 +1174,15 @@ class Store(spark: SparkSession, val warehouse: String) {
         case (r, i) => r.orElse(i)
       }
       out.foreach(o => writeInto(toPhysical(name, o), name, dir, s"merge-$next"))
+      // the write action fired both CollectMetrics nodes; a leg that never
+      // planned (no hit files / no insert clauses) contributes zero
+      def metric(obs: org.apache.spark.sql.Observation, attached: Boolean,
+          key: String): Long =
+        if (!attached) 0L
+        else obs.get.get(key).map(_.asInstanceOf[Long]).getOrElse(0L)
+      val nUpd = metric(matchObs, rewritten.isDefined, "n_upd")
+      val nDel = metric(matchObs, rewritten.isDefined, "n_del")
+      val nIns = metric(insObs, inserts.isDefined, "n_ins")
       versions(name) = next
       persistCatalog()
       publish(name)
@@ -1740,6 +1770,7 @@ class Store(spark: SparkSession, val warehouse: String) {
     ivmViews.get(from).foreach { m => ivmViews(to) = m; ivmViews.remove(from) }
     versions.get(from).foreach { v =>
       fs.rename(tablePath(from), tablePath(to))
+      invalidateSchemas(from)
       versions(to) = v
       versions.remove(from)
       spark.catalog.dropTempView(from)
@@ -1840,6 +1871,7 @@ class Store(spark: SparkSession, val warehouse: String) {
     versions.remove(name)
     ivmViews.remove(name)
     evolution.remove(name)
+    invalidateSchemas(name)
     spark.catalog.dropTempView(name)
     // if this table shadowed a registered testdata view, put the base
     // view back — a dropped shadow must not leave a hole where readers of

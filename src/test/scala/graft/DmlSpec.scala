@@ -322,6 +322,33 @@ class DmlSpec extends SparkSpecBase {
     exec("DROP TABLE cmt_t")
   }
 
+  test("join-DML subquery sources evaluate once across discovery and rewrite") {
+    import spark.implicits._
+    // the translated FROM/USING subquery is persisted before the discovery
+    // job, so an expensive source computes ONCE even though two jobs (hit
+    // discovery + file rewrite) consume it — pinned with a counting UDF
+    store.replace("jsrc_t", (1L to 100L).map(k => (k, k)).toDF("k", "v"))
+    store.replace("jsrc_s", (10L to 19L).map(k => (k, k + 500L)).toDF("k", "nv"))
+    DmlSpec.probeCalls.set(0)
+    spark.udf.register("dml_probe", (x: Long) => {
+      DmlSpec.probeCalls.incrementAndGet(); x
+    })
+    assert(tag("UPDATE jsrc_t SET v = s.nv FROM " +
+      "(SELECT k, dml_probe(nv) AS nv FROM jsrc_s) s WHERE s.k = jsrc_t.k")
+      == "UPDATE 10")
+    assert(rows("SELECT v FROM jsrc_t WHERE k = 12").head.getLong(0) == 512L)
+    val calls = DmlSpec.probeCalls.get
+    assert(calls == 10, s"source must evaluate once per row (10), not $calls")
+    // join-delete through the same path
+    DmlSpec.probeCalls.set(0)
+    assert(tag("DELETE FROM jsrc_t USING " +
+      "(SELECT dml_probe(k) AS k FROM jsrc_s) s WHERE s.k = jsrc_t.k")
+      == "DELETE 10")
+    val dcalls = DmlSpec.probeCalls.get
+    assert(dcalls == 10, s"delete source must evaluate once per row, got $dcalls")
+    exec("DROP TABLE jsrc_t"); exec("DROP TABLE jsrc_s")
+  }
+
   test("delete using: join-delete removes matched target rows once") {
     exec("CREATE TABLE du_t (id int8, v text)")
     exec("INSERT INTO du_t VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')")
@@ -365,6 +392,58 @@ class DmlSpec extends SparkSpecBase {
       exec("MERGE INTO dml_m t USING dml_dup s ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.nv")
     }
     assert(e.getMessage.contains("second time"))
+  }
+
+  test("merge tag counts ride the write job — no extra count jobs") {
+    import spark.implicits._
+    // nUpd/nDel/nIns come from CollectMetrics observations on the write
+    // plan itself; the old design re-ran the matched join and the insert
+    // anti-join purely for the tag (+2 jobs). Expected jobs for a merge
+    // with both legs: duplicate-key guard, prune probe, the single write
+    // (both legs unioned) — anything beyond a small slack means a count
+    // job crept back in.
+    store.replace("mjc_t", (1L to 1000L).map(k => (k, k)).toDF("k", "v"))
+    store.replace("mjc_s", (900L to 1100L).map(k => (k, k * 2L)).toDF("k", "nv"))
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.add(j.stageInfos.map(_.name).mkString("|")); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // matched keys 900..1000 (101 updates, nv <= 2000 so no deletes);
+      // not-matched 1001..1100 (100 inserts) -> tag 201
+      val t = tag("MERGE INTO mjc_t t USING mjc_s s ON t.k = s.k " +
+        "WHEN MATCHED AND s.nv > 2100 THEN DELETE " +
+        "WHEN MATCHED THEN UPDATE SET v = s.nv " +
+        "WHEN NOT MATCHED THEN INSERT VALUES (s.k, s.nv)")
+      assert(t == "MERGE 201", t)
+      // settle the async listener bus, then pin the job budget
+      var tries = 0
+      var last = -1
+      while (tries < 20 && jobs.size != last) {
+        last = jobs.size; Thread.sleep(100); tries += 1
+      }
+      // the only aggregate-to-driver job is the duplicate-key guard; the
+      // old design added a matched-join groupBy.collect and an
+      // inserts.count purely for the tag
+      val sites = jobs.toArray.map(_.toString)
+      val tagJobs = sites.count(s =>
+        s.contains("count at Store") || s.contains("collect at Store"))
+      assert(tagJobs <= 1,
+        s"merge must not run tag-only count jobs, saw: " +
+          sites.mkString("[", ", ", "]"))
+      // remaining jobs are the write's AQE stage materializations plus at
+      // most two first-read schema loads — a gross-regression backstop
+      assert(sites.length <= 12,
+        s"merge job count regressed, saw ${sites.length}: " +
+          sites.mkString("[", ", ", "]"))
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val n = rows("SELECT count(*) AS n FROM mjc_t").head.getLong(0)
+    assert(n == 1100, s"1000 original + 100 inserts, got $n")
+    exec("DROP TABLE mjc_t"); exec("DROP TABLE mjc_s")
   }
 
   test("merge using a subquery source") {
@@ -574,4 +653,11 @@ class DmlSpec extends SparkSpecBase {
     assert(rows(s"SELECT count(*) AS n FROM dml_tt FOR VERSION AS OF $v1")
       .head.getLong(0) == 2, "pre-DML snapshot stays readable")
   }
+}
+
+object DmlSpec {
+  /** Shared counter for the source-evaluated-once pin: the counting UDF
+    * runs in executor threads of the local JVM, so a static atomic sees
+    * every invocation. */
+  val probeCalls = new java.util.concurrent.atomic.AtomicInteger(0)
 }
