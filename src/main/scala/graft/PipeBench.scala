@@ -20,7 +20,8 @@ object PipeBench {
     "dd_substring", "txt_dsir", "sim_knn_graph",
     "txt_classifier_score", "sim_semantic_decon", "txt_heavy_hitters",
     "mm_pixel_stats", "mm_audio_stats", "mm_video_samples",
-    "mm_image_dedup", "mm_audio_dedup")
+    "mm_image_dedup", "mm_audio_dedup", "mm_video_dedup",
+    "mm_corpus_curation")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

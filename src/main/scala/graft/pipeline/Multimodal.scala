@@ -366,6 +366,180 @@ object Multimodal {
     } finally iis.close()
   }
 
+  /** Deterministic clone-group MJPEG-style MP4 for perceptual video dedup:
+    * a spec-valid ISO-BMFF tree whose mdat holds REAL JPEG frames
+    * (encodable/decodable by the JDK's own ImageIO), with stts/stsz/stco
+    * sample tables describing them — the codec-level structure an MJPEG
+    * track carries. Docs in the same id/3 group render IDENTICAL frames
+    * (dims, count and pixels all derive from the base); byte-uniqueness
+    * comes from a trailing `free` box carrying the doc id — the shape of
+    * re-uploaded clips whose content matches but whose container metadata
+    * differs. JPEG is lossy, so pixel values cannot be oracle-predicted —
+    * but frame-identical clones decode to identical rasters, so the GROUP
+    * structure is exact. */
+  private[graft] def synthMjpegClone(id: Long): Array[Byte] = {
+    val base = id / 3
+    val nFrames = (3 + base % 3).toInt
+    val w = (base % 21 + 16).toInt
+    val h = (base % 13 + 12).toInt
+    def frame(f: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y,
+            ((base * 2654435761L + f * 97L + x * 31L + y * 7L) & 0xffffffL).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val frames = Array.tabulate(nFrames)(frame)
+    def box(tpe: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+      bb.putInt(8 + body.length)
+      bb.put(tpe.getBytes("US-ASCII"))
+      bb.put(body)
+      bb.array()
+    }
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 2, 0) ++
+        "isomiso2".getBytes("US-ASCII"))
+    val mdat = box("mdat", frames.flatten)
+    val chunkOffset = ftyp.length + 8 // first frame byte inside mdat
+    val timescale = 12800
+    val delta = 512
+    val mv = java.nio.ByteBuffer.allocate(100)
+    mv.putInt(0); mv.putInt(0); mv.putInt(0)
+    mv.putInt(timescale); mv.putInt(nFrames * delta)
+    mv.putInt(0x00010000); mv.putShort(0x0100.toShort)
+    mv.putShort(0); mv.putInt(0); mv.putInt(0)
+    Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000).foreach(mv.putInt)
+    (0 until 6).foreach(_ => mv.putInt(0))
+    mv.putInt(2)
+    val md = java.nio.ByteBuffer.allocate(24)
+    md.putInt(0); md.putInt(0); md.putInt(0)
+    md.putInt(timescale); md.putInt(nFrames * delta)
+    md.putShort(0x55c4.toShort); md.putShort(0)
+    val st = java.nio.ByteBuffer.allocate(16)
+    st.putInt(0); st.putInt(1); st.putInt(nFrames); st.putInt(delta)
+    val sz = java.nio.ByteBuffer.allocate(12 + 4 * nFrames)
+    sz.putInt(0); sz.putInt(0); sz.putInt(nFrames)
+    frames.foreach(f => sz.putInt(f.length))
+    val co = java.nio.ByteBuffer.allocate(12)
+    co.putInt(0); co.putInt(1); co.putInt(chunkOffset)
+    val stbl = box("stbl",
+      box("stts", st.array()) ++ box("stsz", sz.array()) ++ box("stco", co.array()))
+    val moov = box("moov", box("mvhd", mv.array()) ++
+      box("trak", box("mdia", box("mdhd", md.array()) ++ box("minf", stbl))))
+    val wm = java.nio.ByteBuffer.allocate(8)
+    wm.putLong(id)
+    ftyp ++ mdat ++ moov ++ box("free", wm.array())
+  }
+
+  /** Slice the JPEG frame payloads back out of real container bytes: walk
+    * to stbl, read the stsz size table and the stco chunk offset, cut
+    * consecutive frames from the mdat — what a frame extractor actually
+    * does with an MJPEG track. */
+  private[graft] def decodeMjpegFrames(bytes: Array[Byte]): Option[Array[Array[Byte]]] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    var sizes: Array[Int] = null
+    var chunkOff = -1
+    def walk(start: Int, end: Int): Unit = {
+      var pos = start
+      while (pos + 8 <= end) {
+        val size = bb.getInt(pos)
+        if (size < 8 || pos + size > end) return
+        new String(bytes, pos + 4, 4, "US-ASCII") match {
+          case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+            walk(pos + 8, pos + size)
+          case "stsz" if size >= 8 + 12 =>
+            val fixed = bb.getInt(pos + 12)
+            val count = bb.getInt(pos + 16)
+            sizes =
+              if (fixed != 0) Array.fill(count)(fixed)
+              else Array.tabulate(count)(i => bb.getInt(pos + 20 + 4 * i))
+          case "stco" if size >= 8 + 8 =>
+            if (bb.getInt(pos + 12) >= 1) chunkOff = bb.getInt(pos + 16)
+          case _ =>
+        }
+        pos += size
+      }
+    }
+    walk(0, bytes.length)
+    if (sizes == null || chunkOff < 0) None
+    else {
+      var off = chunkOff
+      Some(sizes.map { sz =>
+        val f = java.util.Arrays.copyOfRange(bytes, off, off + sz)
+        off += sz
+        f
+      })
+    }
+  }
+
+  /** Perceptual clip fingerprint: SAMPLED frames (every 2nd — the
+    * frame-sampling cost shape; decoding all frames of every clip is the
+    * 100 TB sin this avoids) are JPEG-decoded and dHashed, the sequence
+    * folded with the frame count into one 8-byte scalar. Returns
+    * (frameCount, fingerprint). */
+  private[graft] def videoFingerprint(bytes: Array[Byte]): Option[(Int, Long)] =
+    decodeMjpegFrames(bytes).map { frames =>
+      var fp = frames.length.toLong
+      var i = 0
+      while (i < frames.length) {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(frames(i)))
+        fp = fp * 1000003L ^ dHash(img)
+        i += 2
+      }
+      (frames.length, fp)
+    }
+
+  // ---- media payloads THROUGH the storage layer --------------------------
+
+  /** Binary payloads in a REAL stored column: the synthesized PNG/WAV/MP4
+    * bytes are written ONCE per (process, sf dir) into a store table whose
+    * binary columns ride the same parquet write path as any user `bytea`
+    * column (the reference maps bytea -> binary,
+    * pg_schema_column.go:89-90), and the rasterizing/dedup/curation tiers
+    * below read the STORED column back. Parquet binary-column IO — the
+    * dominant media cost at 100 TB — is therefore on the measured path;
+    * the header-parse tiers above keep the in-executor synthesis so
+    * PipeBench can compare the two shapes. Readers open a fresh Store
+    * handle on the CALLER's session, so the process-wide cache retains
+    * only a warehouse path string, never a session. */
+  private val mediaWh = scala.collection.concurrent.TrieMap[String, String]()
+
+  private[graft] def mediaAssets(s: SparkSession, dir: String): DataFrame = {
+    val wh = mediaWh.getOrElseUpdate(dir, {
+      val w = java.nio.file.Files.createTempDirectory("graft-media").toString
+      val docs = Tables.df(s, dir, "documents").select(col("doc_id"), col("text"))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("png", BinaryType), StructField("png_clone", BinaryType),
+        StructField("wav", BinaryType), StructField("wav_clone", BinaryType),
+        StructField("mp4_track", BinaryType), StructField("mjpeg", BinaryType)))
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      val payloads = docs.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id, r.getString(1), synthPng(id), synthPngClone(id),
+            synthWav(id), synthWavClone(id), synthMp4Track(id),
+            synthMjpegClone(id))
+        }
+      }(enc)
+      new Store(s, w).replace("media_assets", payloads)
+      w
+    })
+    new Store(s, wh).read("media_assets")
+  }
+
   val defs: Seq[Q] = Seq(
 
     // binary column + scan-side metadata (real: bytes, hash; fake: w/h
@@ -546,9 +720,11 @@ object Multimodal {
     // via a lateral range join — a decode that didn't truly rasterize the
     // payload could not match the per-pixel aggregate. Exact integer sums
     // are emitted alongside the rounded means so the hash check is
-    // bit-proof. Scale shape: decode is scan-side mapPartitions (codec
-    // state per partition), no shuffle — at 100 TB this runs wherever the
-    // binary column lives, one pass.
+    // bit-proof. Scale shape: the payload comes from the STORED binary
+    // column (mediaAssets — real parquet binary IO, not in-executor
+    // synthesis) and decode is scan-side mapPartitions (codec state per
+    // partition), no shuffle — at 100 TB this runs wherever the binary
+    // column lives, one pass.
     Q("mm_pixel_stats", Some("""
       SELECT doc_id, width, height,
         sum_r, sum_g, sum_b,
@@ -573,7 +749,7 @@ object Multimodal {
         WHERE x.x < d.doc_id % 48 + 8 AND y.y < d.doc_id % 32 + 8
         GROUP BY d.doc_id) s
       ORDER BY doc_id""")) { (s, dir) =>
-      val src = t(s, dir, "documents").select(col("doc_id"))
+      val src = mediaAssets(s, dir).select(col("doc_id"), col("png"))
       val outSchema = StructType(Seq(
         StructField("doc_id", LongType), StructField("width", IntegerType),
         StructField("height", IntegerType),
@@ -587,7 +763,7 @@ object Multimodal {
         rows.map { r =>
           val id = r.getLong(0)
           val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(synthPng(id)))
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
           val (w, h) = (img.getWidth, img.getHeight)
           var (sr, sg, sb) = (0L, 0L, 0L)
           var maxLum = Int.MinValue; var minLum = Int.MaxValue
@@ -635,7 +811,7 @@ object Multimodal {
         WHERE i.i < 400 + d.doc_id % 100
         GROUP BY d.doc_id) s
       ORDER BY doc_id""")) { (s, dir) =>
-      val src = t(s, dir, "documents").select(col("doc_id"))
+      val src = mediaAssets(s, dir).select(col("doc_id"), col("wav"))
       val outSchema = StructType(Seq(
         StructField("doc_id", LongType), StructField("n_frames", LongType),
         StructField("sum_amp", LongType), StructField("sum_sq", LongType),
@@ -645,7 +821,7 @@ object Multimodal {
         rows.map { r =>
           val id = r.getLong(0)
           val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(synthWav(id)))
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
           val pcm = ais.readAllBytes()
           val n = pcm.length / 2
           var (sumAmp, sumSq) = (0L, 0L)
@@ -689,7 +865,7 @@ object Multimodal {
           THEN 1 ELSE 0 END AS keep
       FROM hashes ORDER BY doc_id""")) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val src = t(s, dir, "documents").select(col("doc_id"))
+      val src = mediaAssets(s, dir).select(col("doc_id"), col("wav_clone"))
       val outSchema = StructType(Seq(
         StructField("doc_id", LongType), StructField("ahash", LongType)))
       val enc = org.apache.spark.sql.Encoders.row(outSchema)
@@ -697,7 +873,7 @@ object Multimodal {
         rows.map { r =>
           val id = r.getLong(0)
           val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(synthWavClone(id)))
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
           Row(id, audioFingerprint(ais.readAllBytes()))
         }
       }(enc)
@@ -731,7 +907,7 @@ object Multimodal {
         WHERE i.i < 24 + d.doc_id % 48
         GROUP BY d.doc_id) s
       ORDER BY doc_id""")) { (s, dir) =>
-      val src = t(s, dir, "documents").select(col("doc_id"))
+      val src = mediaAssets(s, dir).select(col("doc_id"), col("mp4_track"))
       val outSchema = StructType(Seq(
         StructField("doc_id", LongType), StructField("n_samples", LongType),
         StructField("total_bytes", LongType), StructField("max_sample", IntegerType),
@@ -741,7 +917,7 @@ object Multimodal {
       src.mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
-          val (ts, durTicks, sizes) = decodeSampleTable(synthMp4Track(id))
+          val (ts, durTicks, sizes) = decodeSampleTable(r.getAs[Array[Byte]](1))
             .getOrElse(throw new IllegalStateException(s"bad sample table for $id"))
           val total = sizes.map(_.toLong).sum
           def r2(x: Double, sc: Int) = BigDecimal(x)
@@ -786,7 +962,7 @@ object Multimodal {
           THEN 1 ELSE 0 END AS keep
       FROM hashes ORDER BY doc_id""")) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val src = t(s, dir, "documents").select(col("doc_id"))
+      val src = mediaAssets(s, dir).select(col("doc_id"), col("png_clone"))
       val outSchema = StructType(Seq(
         StructField("doc_id", LongType), StructField("dhash", LongType)))
       val enc = org.apache.spark.sql.Encoders.row(outSchema)
@@ -794,7 +970,7 @@ object Multimodal {
         rows.map { r =>
           val id = r.getLong(0)
           val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(synthPngClone(id)))
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
           Row(id, dHash(img))
         }
       }(enc)
@@ -804,6 +980,49 @@ object Multimodal {
         .withColumn("keep",
           when(col("doc_id") === min(col("doc_id")).over(byHash), 1)
             .otherwise(0))
+        .orderBy("doc_id")
+    },
+
+    // PERCEPTUAL video dedup — the third corner of the image/audio/video
+    // perceptual triangle: byte-distinct clone-group MJPEG clips (frames
+    // identical within an id/3 group, uniqueness in a trailing `free`
+    // metadata box) are read from the STORED binary column, their JPEG
+    // frames sliced back out via the stsz/stco sample tables, SAMPLED
+    // frames (every 2nd) really JPEG-decoded and dHashed, and the clip
+    // fingerprint (frame-hash sequence fold) drives the dedup. JPEG is
+    // lossy so the oracle cannot predict hash VALUES — but frame-identical
+    // clones decode identically, so it pins the exact GROUP structure
+    // (membership, size, keeper), which only a real frame decode + stable
+    // perceptual hash reproduces. The shuffle keys the 8-byte fingerprint
+    // scalar; payload bytes never enter an exchange.
+    Q("mm_video_dedup", Some("""
+      SELECT doc_id,
+        CAST(3 + (doc_id // 3) % 3 AS INT) AS n_frames,
+        CAST(count(*) OVER (PARTITION BY doc_id // 3) AS BIGINT) AS group_n,
+        CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY doc_id // 3)
+          THEN 1 ELSE 0 END AS keep
+      FROM documents ORDER BY doc_id""")) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val src = mediaAssets(s, dir).select(col("doc_id"), col("mjpeg"))
+      val outSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("n_frames", IntegerType),
+        StructField("vhash", LongType)))
+      val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      val hashed = src.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val (n, fp) = videoFingerprint(r.getAs[Array[Byte]](1)).getOrElse(
+            throw new IllegalStateException(s"undecodable clip for doc $id"))
+          Row(id, n, fp)
+        }
+      }(enc)
+      val byHash = Window.partitionBy(col("vhash"))
+      hashed
+        .withColumn("group_n", count(lit(1)).over(byHash))
+        .withColumn("keep",
+          when(col("doc_id") === min(col("doc_id")).over(byHash), 1)
+            .otherwise(0))
+        .select(col("doc_id"), col("n_frames"), col("group_n"), col("keep"))
         .orderBy("doc_id")
     },
 
@@ -836,28 +1055,37 @@ object Multimodal {
       SELECT doc_id, width, height, mean_b, n_tokens
       FROM t3 WHERE n_tokens >= 10
       ORDER BY doc_id""")) { (s, dir) =>
-      val src = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      // tier 1: header parse only — real decodeImageMeta over real bytes
+      // payload + paired text come from the STORED binary column; tier 1
+      // header-parses the stored bytes and carries them forward so tier 2
+      // rasterizes ONLY tier-1 survivors without re-reading the file —
+      // the payload never enters an exchange (dropped before the final
+      // ORDER BY's range partitioning)
+      val src = mediaAssets(s, dir).select(col("doc_id"), col("text"), col("png"))
       val s1 = StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType),
-        StructField("width", IntegerType), StructField("height", IntegerType)))
+        StructField("width", IntegerType), StructField("height", IntegerType),
+        StructField("png", BinaryType)))
       val e1 = org.apache.spark.sql.Encoders.row(s1)
       val tier1 = src.mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
-          val (w, h, _) = decodeImageMeta(synthPng(id)).getOrElse(
+          val bytes = r.getAs[Array[Byte]](2)
+          val (w, h, _) = decodeImageMeta(bytes).getOrElse(
             throw new IllegalStateException(s"undecodable payload for doc $id"))
-          Row(id, r.getString(1), w, h)
+          Row(id, r.getString(1), w, h, bytes)
         }
       }(e1).filter(col("width") >= 20)
       // tier 2: full rasterization, ONLY for tier-1 survivors
-      val s2 = StructType(s1.fields :+ StructField("mean_b", DoubleType))
+      val s2 = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("width", IntegerType), StructField("height", IntegerType),
+        StructField("mean_b", DoubleType)))
       val e2 = org.apache.spark.sql.Encoders.row(s2)
       val tier2 = tier1.mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
           val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(synthPng(id)))
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](4)))
           var sb = 0L
           var y = 0
           while (y < img.getHeight) {

@@ -693,8 +693,26 @@ class Store(spark: SparkSession, val warehouse: String) {
     val nParts = math.max(1, math.ceil(est.toDouble / targetBytes).toInt)
     val compactedRows = footerRows(small.map(_.getPath))
     writeInto(tail.repartition(nParts), name, dir, s"compacted-$next")
-    val writtenRows = footerRows(dataFiles(dir)
-      .filter(_.getPath.getName.startsWith(s"compacted-$next-")).map(_.getPath))
+    val writtenFiles = dataFiles(dir)
+      .filter(_.getPath.getName.startsWith(s"compacted-$next-"))
+    val writtenRows = footerRows(writtenFiles.map(_.getPath))
+    // Post-write cap verification: plan stats can under-estimate WIDE rows
+    // badly — a LocalRelation prices BinaryType at its 100-byte
+    // defaultSize, so a 64 KB media payload is 640x under and the write
+    // above lands in far too few, far too large files. The cap is a
+    // CONTRACT (the reference hard-caps batch files; downstream readers
+    // and manifest math assume it), so re-split by MEASURED on-disk bytes
+    // when the output overshoots by >1.5x — one extra pass over only the
+    // oversized output, never the carried files, and only when the
+    // estimate was wrong.
+    val writtenBytes = writtenFiles.map(_.getLen).sum
+    if (writtenBytes > writtenFiles.length.toLong * targetBytes * 3 / 2) {
+      val needed = math.max(1, math.ceil(writtenBytes.toDouble / targetBytes).toInt)
+      val re = spark.read.schema(df.schema)
+        .parquet(writtenFiles.map(_.getPath.toString): _*)
+      writeInto(re.repartition(needed), name, dir, s"resplit-$next")
+      writtenFiles.foreach(f => fs.delete(f.getPath, false))
+    }
     versions(name) = next
     persistCatalog()
     publish(name)

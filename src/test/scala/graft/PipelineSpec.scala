@@ -11,6 +11,29 @@ class PipelineSpec extends SparkSpecBase {
     run(name).select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("video fingerprint: clones collapse, bases separate, frames real JPEG") {
+    // ids 9,10 share base 3 (frame-identical, byte-distinct via the free
+    // box); id 12 is base 4 — only a real frame slice + JPEG decode +
+    // stable perceptual hash reproduces this structure
+    val a = Multimodal.synthMjpegClone(9)
+    val b = Multimodal.synthMjpegClone(10)
+    val c = Multimodal.synthMjpegClone(12)
+    assert(!java.util.Arrays.equals(a, b), "clones must be byte-distinct")
+    val (na, fa) = Multimodal.videoFingerprint(a).get
+    val (nb, fb) = Multimodal.videoFingerprint(b).get
+    val (_, fc) = Multimodal.videoFingerprint(c).get
+    assert(na == nb && fa == fb, "same-base clips must fingerprint identically")
+    assert(fa != fc, "different bases must fingerprint apart")
+    // the sliced frames are genuine JPEGs the JDK can decode
+    val frames = Multimodal.decodeMjpegFrames(a).get
+    assert(frames.length == na)
+    frames.foreach { f =>
+      assert((f(0) & 0xff) == 0xff && (f(1) & 0xff) == 0xd8, "JPEG SOI marker")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+      assert(img != null && img.getWidth == 19 && img.getHeight == 15)
+    }
+  }
+
   test("multi-iteration kmeans is bit-reproducible with monotone inertia") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))

@@ -61,8 +61,10 @@ class PlanSpec extends SparkSpecBase {
 
   test("perceptual media dedups shuffle only the 8-byte fingerprint") {
     // decode + hash stay scan-side; the ONLY hash exchange is the group
-    // window keyed on the fingerprint scalar — payload bytes never move
-    for ((q, key) <- Seq("mm_image_dedup" -> "dhash", "mm_audio_dedup" -> "ahash")) {
+    // window keyed on the fingerprint scalar — payload bytes (now read
+    // from the STORED binary column) never move
+    for ((q, key) <- Seq("mm_image_dedup" -> "dhash", "mm_audio_dedup" -> "ahash",
+        "mm_video_dedup" -> "vhash")) {
       val p = plan(q)
       val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
         .findAllMatchIn(p).map(_.group(1)).toSeq

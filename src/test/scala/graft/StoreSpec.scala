@@ -44,6 +44,37 @@ class StoreSpec extends SparkSpecBase {
     assert(st.read("t").inputFiles.length == 2)
   }
 
+  test("wide binary rows split under the append file cap and round-trip exactly") {
+    import spark.implicits._
+    val st = freshStore()
+    // the reference maps bytea -> binary (pg_schema_column.go:89-90): a
+    // media table's payload column makes rows ~64 KB wide. The append
+    // cap must size output files by BYTES (a row-count heuristic would
+    // blow the 100 MB contract by orders of magnitude on wide rows), and
+    // the payload must survive the parquet round-trip bit-exact.
+    // SplitMix64-finalized bytes so zstd can't compress the payload away
+    // (a linear-congruential ramp here deltas to near-constant bytes and
+    // the whole 4 MB shrinks under the resplit threshold).
+    def payload(i: Long): Array[Byte] = Array.tabulate(64 * 1024) { j =>
+      var z = i * 65536L + j + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      ((z ^ (z >>> 31)) & 0xff).toByte
+    }
+    st.replace("bin_t", Seq((0L, payload(0))).toDF("k", "payload"))
+    st.appendCompacting("bin_t",
+      (1L to 64L).map(i => (i, payload(i))).toDF("k", "payload"),
+      maxFileBytes = 1L << 20)
+    val files = st.read("bin_t").inputFiles.length
+    assert(files >= 3, s"1 MB cap over ~4 MB of binary rows must split, got $files files")
+    val got = st.read("bin_t").orderBy("k").collect()
+    assert(got.length == 65)
+    got.foreach { r =>
+      assert(java.util.Arrays.equals(r.getAs[Array[Byte]](1), payload(r.getLong(0))),
+        s"payload corrupted for k=${r.getLong(0)}")
+    }
+  }
+
   test("upsert by key: incoming wins, new keys appended") {
     val st = freshStore()
     import spark.implicits._
