@@ -181,7 +181,8 @@ object CompatAudit {
     * views pick the names up. */
   /** Reference test-config identity + catalog/function registration shared
     * by the in-process and socket replays. */
-  private def prepareSession(spark: SparkSession): Unit = {
+  private def prepareSession(spark: SparkSession): Unit =
+      SessionSettings.withSession(spark) {
     SessionSettings.set("graft.strip_schemas", "public,postgres,main")
     SessionSettings.set("graft.user", "user")
     SessionSettings.set("graft.database", "bemidb")

@@ -15,8 +15,44 @@ import scala.jdk.CollectionConverters._
   * `duckdb_settings()` surface plus its SET/SHOW no-op handling
   * (/root/reference/src/server/query_remapper.go:19-32,131-140,
   * parser_show.go:19-91). SET statements from the dialect layer land here.
+  *
+  * Overrides are scoped PER SparkSession (weakly keyed, so closed derived
+  * sessions drop off): each wire connection runs its own derived session,
+  * and PG semantics require one connection's `SET search_path`/`SET
+  * timezone` to be invisible to every other connection. A process-global
+  * map here was a real cross-session leak — CompatAudit's reference
+  * identity (schema_label=postgres) bled into concurrently running
+  * catalog queries on other sessions. The owning session resolves from
+  * the entry-point scope ([[withSession]] — PgDialect.execute, the wire
+  * server's connection loop, the audit) and falls back to the thread's
+  * active Spark session, so the dozens of read sites inside the
+  * translation pipeline stay signature-free.
   */
 object SessionSettings {
+  private val bySession = new java.util.WeakHashMap[SparkSession, TrieMap[String, String]]()
+  private val fallback = TrieMap[String, String]() // no session resolvable
+  private val current = new ThreadLocal[SparkSession]
+
+  /** Bind the settings scope for `f` to `s` (re-entrant; restores prior). */
+  def withSession[A](s: SparkSession)(f: => A): A = {
+    val prev = current.get()
+    current.set(s)
+    try f finally current.set(prev)
+  }
+
+  private def overrides: TrieMap[String, String] = {
+    val s = Option(current.get())
+      .orElse(SparkSession.getActiveSession)
+      .orElse(SparkSession.getDefaultSession)
+      .orNull
+    if (s == null) fallback
+    else bySession.synchronized {
+      var m = bySession.get(s)
+      if (m == null) { m = TrieMap[String, String](); bySession.put(s, m) }
+      m
+    }
+  }
+
   val defaults: Map[String, String] = Map(
     "server_version" -> "17.0",
     "server_version_num" -> "170000", // JDBC/ORM numeric version probe
@@ -28,7 +64,6 @@ object SessionSettings {
     "max_connections" -> "100",
     "transaction_isolation" -> "read committed",
     "standard_conforming_strings" -> "on")
-  private val overrides = TrieMap[String, String]()
   def get(name: String): Option[String] =
     overrides.get(name.toLowerCase).orElse(defaults.get(name.toLowerCase))
   def set(name: String, value: String): Unit = overrides.put(name.toLowerCase, value)
@@ -36,6 +71,8 @@ object SessionSettings {
   def resetAll(): Unit = overrides.clear()
   /** defaults merged with session overrides (SHOW ALL). */
   def all: Map[String, String] = defaults ++ overrides
+  /** Count of sessions holding overrides (hygiene tests). */
+  private[graft] def sessionCount: Int = bySession.synchronized(bySession.size)
 }
 
 /** Postgres-compat scalar/aggregate function shims (SURVEY.md §2.C; the

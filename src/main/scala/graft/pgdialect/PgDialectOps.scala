@@ -598,6 +598,7 @@ object PgDialectOps {
       FROM customer
       ORDER BY c_custkey""")
     ) { (s, dir) =>
+      SessionSettings.withSession(s) {
       SessionSettings.set("graft.scalar_subquery_first_row", "on")
       try run(
         s,
@@ -610,6 +611,7 @@ object PgDialectOps {
         ORDER BY c_custkey"""
       )
       finally SessionSettings.reset("graft.scalar_subquery_first_row")
+      }
     }
   )
 }

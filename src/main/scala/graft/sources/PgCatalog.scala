@@ -222,7 +222,10 @@ object PgCatalog {
   private val registered =
     java.util.Collections.newSetFromMap(new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
-  def register(spark: SparkSession): Unit = synchronized {
+  def register(spark: SparkSession): Unit =
+    SessionSettings.withSession(spark)(registerScoped(spark))
+
+  private def registerScoped(spark: SparkSession): Unit = synchronized {
     if (registered.add(spark)) registerAll(spark)
   }
 
@@ -259,6 +262,31 @@ object PgCatalog {
   private implicit class CatalogViewOps(df: DataFrame) {
     def asCatalogView(name: String): Unit =
       tagWireOids(name, df).createOrReplaceTempView(name)
+  }
+
+  /** Widen a 16-column pg_class frame to the full PG 15 column set with
+    * constant defaults — real libpq clients (psql \d) select columns like
+    * reltoastrelid/relreplident that the compat-corpus queries never
+    * touched, and an UNRESOLVED_COLUMN kills the whole describe. */
+  private def withFullPgClassColumns(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    df.withColumn("reltype", lit(0L))
+      .withColumn("reloftype", lit(0L))
+      .withColumn("relfilenode", col("oid"))
+      .withColumn("relallvisible", lit(0))
+      .withColumn("reltoastrelid", lit(0L))
+      .withColumn("relisshared", lit(false))
+      .withColumn("relnatts", lit(0))
+      .withColumn("relhasrules", lit(false))
+      .withColumn("relhastriggers", lit(false))
+      .withColumn("relhassubclass", lit(false))
+      .withColumn("relispopulated", lit(true))
+      .withColumn("relreplident", lit("d"))
+      .withColumn("relrewrite", lit(0L))
+      .withColumn("relfrozenxid", lit(0L))
+      .withColumn("relminmxid", lit(0L))
+      .withColumn("reloptions", lit(null).cast("array<string>"))
+      .withColumn("relpartbound", lit(null).cast("string"))
   }
 
   private def registerAll(spark: SparkSession): Unit = {
@@ -351,13 +379,14 @@ object PgCatalog {
         "relpages", "reltuples", "relhasindex", "relpersistence",
         "relispartition", "reltablespace", "relforcerowsecurity", "relrowsecurity",
         "relchecks", "relacl")
-    classDf.asCatalogView("pg_class")
+    withFullPgClassColumns(classDf).asCatalogView("pg_class")
     val relOid = Tables.names.zipWithIndex.map { case (n, i) => n -> (16384L + i) }.toMap
     cols.map { case (t, c, i, dt, oid) =>
         (relOid(t), c, i, oid.toLong, dt, false, false, false, -1, -1, "", "") }
       .toDF("attrelid", "attname", "attnum", "atttypid", "data_type",
         "attnotnull", "atthasdef", "attisdropped",
         "atttypmod", "attlen", "attidentity", "attgenerated")
+      .withColumn("attcollation", lit(0L)) // real libpq \d joins pg_collation on it
       .asCatalogView("pg_attribute")
 
     // remaining static probes BI tools and ORMs issue (the reference ships
@@ -584,6 +613,7 @@ object PgCatalog {
         "relpages", "reltuples", "relhasindex", "relpersistence",
         "relispartition", "reltablespace", "relforcerowsecurity", "relrowsecurity",
         "relchecks", "relacl")
+      .transform(withFullPgClassColumns)
       .asCatalogView("pg_class")
   }
 
@@ -633,7 +663,10 @@ object PgCatalog {
     * buries those in histogram_bounds; the broadcast size gate and ad-hoc
     * inspection both want them first-class. Empty until the first ANALYZE,
     * like a fresh PG database. */
-  def refreshStats(spark: SparkSession): Unit = synchronized {
+  def refreshStats(spark: SparkSession): Unit =
+    SessionSettings.withSession(spark)(refreshStatsScoped(spark))
+
+  private def refreshStatsScoped(spark: SparkSession): Unit = synchronized {
     PgDialect.catalogEpoch.incrementAndGet()
     import spark.implicits._
     TableStats.pgStatsRows
@@ -647,7 +680,10 @@ object PgCatalog {
     * wraps DuckDB's information_schema with added udt_* columns
     * (query_remapper_table.go:74-91,714-775); here the rows are built from
     * the live Spark schemas on every catalog-refresh trigger. */
-  def refreshInfoSchema(spark: SparkSession): Unit = synchronized {
+  def refreshInfoSchema(spark: SparkSession): Unit =
+    SessionSettings.withSession(spark)(refreshInfoSchemaScoped(spark))
+
+  private def refreshInfoSchemaScoped(spark: SparkSession): Unit = synchronized {
     PgDialect.catalogEpoch.incrementAndGet()
     import spark.implicits._
     val views = spark.catalog.listTables().collect().map(_.name)
@@ -703,7 +739,10 @@ object PgCatalog {
         && n != "user" && !known.contains(n))
       .sorted.toSeq
 
-  def refreshDynamic(spark: SparkSession, store: Store): Unit = synchronized {
+  def refreshDynamic(spark: SparkSession, store: Store): Unit =
+    SessionSettings.withSession(spark)(refreshDynamicScoped(spark, store))
+
+  private def refreshDynamicScoped(spark: SparkSession, store: Store): Unit = synchronized {
     PgDialect.catalogEpoch.incrementAndGet()
     import spark.implicits._
     val mvs = store.matviewNames
@@ -757,6 +796,7 @@ object PgCatalog {
         "relpages", "reltuples", "relhasindex", "relpersistence",
         "relispartition", "reltablespace", "relforcerowsecurity", "relrowsecurity",
         "relchecks", "relacl")
+      .transform(withFullPgClassColumns)
       .asCatalogView("pg_class")
     // pg_attribute over every relation pg_class lists, so \d and
     // attrelid = '…'::regclass introspection covers ad-hoc views too
@@ -778,6 +818,7 @@ object PgCatalog {
       .toDF("attrelid", "attname", "attnum", "atttypid", "data_type",
         "attnotnull", "atthasdef", "attisdropped",
         "atttypmod", "attlen", "attidentity", "attgenerated")
+      .withColumn("attcollation", lit(0L)) // real libpq \d joins pg_collation on it
       .asCatalogView("pg_attribute")
     // COMMENT ON metadata: "rel" → objsubid 0 (the relation row JDBC
     // getTables REMARKS reads), "rel.col" → the column's attnum (psql \d+

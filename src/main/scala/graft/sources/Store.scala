@@ -534,11 +534,27 @@ class Store(spark: SparkSession, val warehouse: String) {
   }
 
   /** Atomic replace: write v(n+1), then flip the pointer. */
-  def replace(name: String, df: DataFrame): Unit = withTableLock(name) {
+  def replace(name: String, df: DataFrame,
+      maxFileBytes: Long = 100L << 20): Unit = withTableLock(name) {
     evolution.remove(name) // full rewrite: new files define the schema baseline
     val next = versions.getOrElse(name, 0) + 1
     df.write.mode(SaveMode.Overwrite).option("compression", "zstd")
       .parquet(versionDir(name, next))
+    // Post-write cap verification, same contract as appendCompacting: the
+    // incoming partitioning decides the initial file count, and for WIDE
+    // rows (binary media payloads) a narrow-partitioned input lands files
+    // far over the 100 MB cap the reference enforces on every batch file.
+    // Re-split only the files that overshoot by >1.5x, by MEASURED bytes.
+    val dir = new HadoopPath(versionDir(name, next))
+    val over = dataFiles(dir).filter(_.getLen > maxFileBytes * 3 / 2)
+    if (over.nonEmpty) {
+      val overBytes = over.map(_.getLen).sum
+      val needed = math.max(1, math.ceil(overBytes.toDouble / maxFileBytes).toInt)
+      val re = spark.read.schema(df.schema)
+        .parquet(over.map(_.getPath.toString): _*)
+      writeInto(re.repartition(needed), name, dir, s"capped-$next")
+      over.foreach(f => fs.delete(f.getPath, false))
+    }
     versions(name) = next
     persistCatalog()
     publish(name)

@@ -77,7 +77,14 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
     }
   }
 
-  private def handle(sock: Socket): Unit = {
+  private def handle(sock: Socket): Unit =
+    // bind this connection thread's settings scope to the server's session:
+    // reads on this thread (statement_timeout, timezone reports, catalog
+    // identity) resolve against the session actually serving the client
+    // instead of whatever session happens to be thread-default
+    SessionSettings.withSession(spark)(handleScoped(sock))
+
+  private def handleScoped(sock: Socket): Unit = {
     val in = new DataInputStream(sock.getInputStream)
     val out = new DataOutputStream(sock.getOutputStream)
     // extended-protocol state (query_handler.go:112-238): prepared

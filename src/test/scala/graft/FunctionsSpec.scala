@@ -23,6 +23,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(SessionSettings.get("missing").isEmpty)
   }
 
+  test("settings are scoped per session: one connection's SET is invisible to others") {
+    val s1 = SparkSpecBase.session.newSession()
+    val s2 = SparkSpecBase.session.newSession()
+    SessionSettings.withSession(s1) {
+      SessionSettings.set("graft.schema_label", "postgres")
+      SessionSettings.set("application_name", "client_one")
+    }
+    SessionSettings.withSession(s2) {
+      // s2 sees defaults, not s1's overrides — the PG per-connection contract
+      assert(SessionSettings.get("graft.schema_label").isEmpty)
+      assert(SessionSettings.get("application_name").isEmpty)
+      SessionSettings.set("application_name", "client_two")
+    }
+    SessionSettings.withSession(s1) {
+      assert(SessionSettings.get("application_name").contains("client_one"))
+      assert(SessionSettings.get("graft.schema_label").contains("postgres"))
+    }
+    // the shared session's scope (active-session fallback) is untouched
+    assert(SessionSettings.get("graft.schema_label").isEmpty)
+  }
+
   test("pg type oids mirror the reference mapping") {
     assert(PgCatalog.pgTypeOf(IntegerType) == (23, "integer"))
     assert(PgCatalog.pgTypeOf(LongType) == (20, "bigint"))

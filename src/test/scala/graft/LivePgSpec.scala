@@ -1,0 +1,216 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** End-to-end smoke of the wire-protocol client + sync source against a
+  * REAL PostgreSQL server ([[LivePg]] boots one when the container ships
+  * the binaries; every test self-skips otherwise). This is the live half
+  * of the contract-tested sync seam: real auth exchanges, real
+  * introspection, real COPY framing, real exported-snapshot isolation.
+  */
+class LivePgSpec extends SparkSpecBase {
+
+  private def pg = LivePg.info
+
+  private def withClient[A](f: PgWireClient => A): A = {
+    val c = pg.get.connect()
+    try f(c) finally c.close()
+  }
+
+  private def source(tables: String*): PgWireSource =
+    new PgWireSource(spark, pg.get, tables = tables.toSeq)
+
+  test("trust auth + simple query: columns, rows, tags, parameters") {
+    assume(pg.isDefined, "no live Postgres in this environment")
+    withClient { c =>
+      assert(c.parameters.get("server_encoding").contains("UTF8"))
+      val r = c.query("SELECT 1 AS one, 'x' AS t, NULL::int AS n")
+      assert(r.cols.map(_.name) == Seq("one", "t", "n"))
+      assert(r.rows.head.toSeq == Seq("1", "x", null))
+      assert(r.tags == Seq("SELECT 1"))
+      // multi-statement: sequential tags, like any simple-protocol client
+      val m = c.query("SELECT 2; SELECT 3")
+      assert(m.tags == Seq("SELECT 1", "SELECT 1"))
+      // server errors surface with their SQLSTATE and don't wedge the link
+      val e = intercept[PgClientException](c.query("SELECT no_such_col"))
+      assert(e.sqlState == "42703")
+      assert(c.query("SELECT 7").scalar == "7")
+    }
+  }
+
+  test("SCRAM-SHA-256 auth succeeds with the right password, fails closed") {
+    assume(pg.isDefined, "no live Postgres in this environment")
+    val base = pg.get
+    val ok = base.copy(user = "scram_user", password = Some("scrampw")).connect()
+    try assert(ok.query("SELECT current_user").scalar == "scram_user")
+    finally ok.close()
+    val e = intercept[PgClientException] {
+      base.copy(user = "scram_user", password = Some("wrong")).connect()
+    }
+    assert(e.sqlState == "28P01", s"wanted invalid_password, got $e")
+  }
+
+  test("md5 and cleartext auth paths") {
+    assume(pg.isDefined, "no live Postgres in this environment")
+    val base = pg.get
+    val m = base.copy(user = "md5_user", password = Some("md5pw")).connect()
+    try assert(m.query("SELECT current_user").scalar == "md5_user")
+    finally m.close()
+    val p = base.copy(user = "password_user", password = Some("plainpw")).connect()
+    try assert(p.query("SELECT current_user").scalar == "password_user")
+    finally p.close()
+  }
+
+  test("introspected schema maps through PgTypes like the reference") {
+    assume(pg.isDefined, "no live Postgres in this environment")
+    withClient { c =>
+      c.query("DROP TABLE IF EXISTS t_types")
+      c.query("""CREATE TABLE t_types (
+        id bigint PRIMARY KEY, small int, flag boolean, f8 double precision,
+        price numeric(10,2), freeform numeric, body text, fixed char(8),
+        payload bytea, d date, ts timestamp, tstz timestamptz,
+        tags int4[], u uuid, j jsonb)""")
+    }
+    val s = source("t_types")
+    val got = s.sparkSchema("t_types")
+    def dt(n: String) = got(got.fieldIndex(n)).dataType
+    assert(dt("id") == DecimalType(38, 0)) // int8 widens, unsigned-range safe
+    assert(dt("small") == IntegerType)
+    assert(dt("flag") == BooleanType)
+    assert(dt("f8") == DoubleType)
+    assert(dt("price") == DecimalType(10, 2)) // typmod unpacked
+    assert(dt("freeform") == DecimalType(38, 6)) // unconstrained numeric clamps
+    assert(dt("body") == StringType && dt("fixed") == StringType)
+    assert(dt("payload") == BinaryType) // bytea -> binary
+    assert(dt("d") == DateType)
+    assert(dt("ts") == TimestampNTZType && dt("tstz") == TimestampType)
+    assert(dt("tags") == ArrayType(IntegerType))
+    assert(dt("u") == StringType && dt("j") == StringType)
+    assert(s.uniqueKey("t_types").contains("id")) // PK introspected
+  }
+
+  test("snapshot-consistent partitioned sync: bounds, parallel COPY, isolation") {
+    assume(pg.isDefined, "no live Postgres in this environment")
+    withClient { c =>
+      c.query("DROP TABLE IF EXISTS t_big")
+      c.query("CREATE TABLE t_big (k bigint PRIMARY KEY, v text)")
+      c.query("INSERT INTO t_big SELECT g, 'v' || g FROM generate_series(1, 10000) g")
+    }
+    val s = source("t_big")
+    val df = s.read("t_big") // snapshot exported HERE
+    try {
+      assert(df.rdd.getNumPartitions > 1, "keyed table must read in parallel")
+      // rows inserted AFTER the export must be invisible to every partition,
+      // no matter when its task runs — the repeatable-read sync contract
+      withClient(_.query(
+        "INSERT INTO t_big SELECT g, 'late' FROM generate_series(10001, 11000) g"))
+      assert(df.count() == 10000)
+      assert(df.agg(sum(col("k"))).head.getDecimal(0).longValueExact()
+        == 10000L * 10001 / 2)
+      // a fresh read (fresh snapshot) sees the late rows
+      val again = s.read("t_big")
+      assert(again.count() == 11000)
+    } finally s.releaseStaging()
+  }
+
+  test("keyless table: single-COPY path round-trips hostile text exactly") {
+    assume(pg.isDefined, "no live Postgres in this environment")
+    withClient { c =>
+      c.query("DROP TABLE IF EXISTS t_text")
+      c.query("CREATE TABLE t_text (v text)")
+      c.query("INSERT INTO t_text VALUES " +
+        "(E'tab\\there'), (E'nl\\nthere'), (E'back\\\\slash'), " +
+        "('καλημέρα'), (''), (NULL)")
+    }
+    val s = source("t_text")
+    val df = s.read("t_text")
+    try {
+      assert(df.rdd.getNumPartitions == 1, "keyless: one COPY stream")
+      val got = df.collect().map(r => Option(r.getString(0)))
+      assert(got.toSet == Set(Some("tab\there"), Some("nl\nthere"),
+        Some("back\\slash"), Some("καλημέρα"), Some(""), None))
+    } finally s.releaseStaging()
+  }
+
+  test("typed values survive the text protocol into Spark rows") {
+    assume(pg.isDefined, "no live Postgres in this environment")
+    withClient { c =>
+      c.query("DROP TABLE IF EXISTS t_vals")
+      c.query("""CREATE TABLE t_vals (
+        id bigint PRIMARY KEY, flag boolean, price numeric(10,2),
+        f8 double precision, d date, ts timestamp, tstz timestamptz,
+        payload bytea, tags int4[], words text[], fixed char(5))""")
+      c.query("""INSERT INTO t_vals VALUES
+        (1, true, 123.45, 2.5, '2026-08-14', '2026-08-14 10:30:00',
+         '2026-08-14 10:30:00+02', E'\\x00ff10', '{1,2,3}',
+         '{"a b","with,comma",NULL}', 'ab'),
+        (2, false, -0.01, 'NaN', NULL, NULL, NULL, NULL, '{}', NULL, NULL)""")
+    }
+    val s = source("t_vals")
+    val rows = try s.read("t_vals").orderBy("id").collect()
+    finally s.releaseStaging()
+    val r1 = rows(0)
+    assert(r1.getAs[Boolean]("flag"))
+    assert(r1.getAs[java.math.BigDecimal]("price").toString == "123.45")
+    assert(r1.getAs[Double]("f8") == 2.5)
+    assert(r1.getAs[java.sql.Date]("d").toString == "2026-08-14")
+    assert(r1.getAs[java.time.LocalDateTime]("ts").toString == "2026-08-14T10:30")
+    // +02 input, UTC session: instants agree
+    assert(r1.getAs[java.sql.Timestamp]("tstz").toInstant
+      == java.time.Instant.parse("2026-08-14T08:30:00Z"))
+    assert(r1.getAs[Array[Byte]]("payload").toSeq == Seq(0x00, 0xff, 0x10).map(_.toByte))
+    assert(r1.getSeq[Int](r1.fieldIndex("tags")) == Seq(1, 2, 3))
+    assert(r1.getSeq[String](r1.fieldIndex("words")) == Seq("a b", "with,comma", null))
+    assert(r1.getAs[String]("fixed") == "ab") // bpchar right-trimmed
+    val r2 = rows(1)
+    assert(!r2.getAs[Boolean]("flag"))
+    assert(r2.getAs[Double]("f8").isNaN)
+    assert(r2.isNullAt(r2.fieldIndex("d")) && r2.isNullAt(r2.fieldIndex("payload")))
+    assert(r2.getSeq[Int](r2.fieldIndex("tags")) == Nil)
+  }
+
+  test("full refresh + cursor incremental sync land in the store") {
+    assume(pg.isDefined, "no live Postgres in this environment")
+    withClient { c =>
+      c.query("DROP TABLE IF EXISTS t_sync")
+      c.query("CREATE TABLE t_sync (k bigint PRIMARY KEY, ts bigint, v text)")
+      c.query("INSERT INTO t_sync SELECT g, g, 'a' || g FROM generate_series(1, 500) g")
+    }
+    val store = new Store(spark,
+      java.nio.file.Files.createTempDirectory("graft-livepg-store").toString)
+    val s = new PgWireSource(spark, pg.get, tables = Seq("t_sync"),
+      cursors = Map("t_sync" -> "ts"))
+    val syncer = new Syncer(store, s)
+    assert(syncer.fullRefresh() == Seq("t_sync"))
+    assert(store.read("t_sync").count() == 500)
+    // upstream moves: overlap at the cursor frontier + fresh rows. The
+    // cursor contract is APPEND-ONLY (the reference's event-stream shape):
+    // re-fetched frontier rows dedup by key with the EXISTING row winning,
+    // new keys land once.
+    withClient { c =>
+      c.query("UPDATE t_sync SET v = 'mutated' WHERE k = 500")
+      c.query("INSERT INTO t_sync SELECT g, g, 'b' || g FROM generate_series(501, 700) g")
+    }
+    syncer.incrementalSync("t_sync")
+    val after = store.read("t_sync")
+    assert(after.count() == 700)
+    assert(after.filter(col("k") === 500).head.getString(2) == "a500")
+    assert(after.filter(col("k") === 700).head.getString(2) == "b700")
+  }
+
+  test("table list excludes views; unique-index fallback when no PK") {
+    assume(pg.isDefined, "no live Postgres in this environment")
+    withClient { c =>
+      c.query("DROP VIEW IF EXISTS v_masked")
+      c.query("DROP TABLE IF EXISTS t_uniq")
+      c.query("CREATE TABLE t_uniq (a bigint, b text)")
+      c.query("CREATE UNIQUE INDEX ON t_uniq (a)")
+      c.query("CREATE VIEW v_masked AS SELECT a FROM t_uniq")
+    }
+    val s = new PgWireSource(spark, pg.get)
+    val ts = s.listTables()
+    assert(ts.contains("t_uniq") && !ts.contains("v_masked"))
+    assert(s.uniqueKey("t_uniq").contains("a"))
+  }
+}

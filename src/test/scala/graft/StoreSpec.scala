@@ -75,6 +75,32 @@ class StoreSpec extends SparkSpecBase {
     }
   }
 
+  test("replace re-splits cap-overshooting files from a narrow-partitioned input") {
+    import spark.implicits._
+    val st = freshStore()
+    def payload(i: Long): Array[Byte] = Array.tabulate(64 * 1024) { j =>
+      var z = i * 65536L + j + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      ((z ^ (z >>> 31)) & 0xff).toByte
+    }
+    // coalesce(1): the caller's partitioning would land ONE ~4 MB file;
+    // the post-write cap check must catch the measured overshoot and
+    // re-split without touching correctly-sized tables.
+    st.replace("bin_r",
+      (0L until 64L).map(i => (i, payload(i))).toDF("k", "payload").coalesce(1),
+      maxFileBytes = 1L << 20)
+    val files = st.read("bin_r").inputFiles.length
+    assert(files >= 3, s"1 MB cap over ~4 MB in one input partition must split, got $files")
+    val got = st.read("bin_r").orderBy("k").collect()
+    assert(got.length == 64)
+    got.foreach(r => assert(
+      java.util.Arrays.equals(r.getAs[Array[Byte]](1), payload(r.getLong(0)))))
+    // a table whose files respect the cap keeps its exact layout
+    st.replace("ok_r", (0L until 100L).map(i => (i, i * 2)).toDF("k", "v").repartition(2))
+    assert(st.read("ok_r").inputFiles.length == 2)
+  }
+
   test("upsert by key: incoming wins, new keys appended") {
     val st = freshStore()
     import spark.implicits._
