@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Change-data-capture ingestion from live PostgreSQL logical decoding —
+  * the incremental-sync upgrade the reference lacks (its Postgres syncer
+  * is full-refresh / cursor-column only, `syncer-postgres/lib/config.go:88`;
+  * cursor sync needs a monotonic column and misses UPDATE/DELETE; CDC
+  * needs neither).
+  *
+  * Uses the `test_decoding` output plugin that ships with every Postgres
+  * ≥ 9.4 via the SQL functions (`pg_create_logical_replication_slot`,
+  * `pg_logical_slot_get_changes`) over the in-repo wire client, so no
+  * replication-protocol connection and no driver jar are needed. The slot
+  * is created BEFORE the initial snapshot sync, so every change after the
+  * snapshot is captured; the apply path is keyed (upsert / delete-by-key,
+  * both COW with footer pruning), which makes replay across the
+  * slot-vs-snapshot boundary idempotent.
+  *
+  * Scale shape: each poll pulls a BOUNDED batch (`upto_nchanges`) to the
+  * driver — O(batch), never O(table) — then compacts it scan-side
+  * (last-wins per key by slot order) and applies via the store's pruned
+  * COW merge, so a steady trickle of changes against a 100 TB table
+  * rewrites O(touched files) per poll. The poll itself is one connection;
+  * the heavy lifting (join to locate hit files, rewrite) is distributed.
+  */
+class PgCdc(spark: SparkSession, conn: PgConnInfo, store: Store,
+    slot: String = "graft_cdc") {
+
+  import PgCdc._
+
+  private def withClient[A](f: PgWireClient => A): A = {
+    val c = conn.connect()
+    try f(c) finally c.close()
+  }
+
+  /** Create the logical slot (idempotent). Must precede [[initialSync]]
+    * so no change between snapshot and first poll is lost. */
+  def createSlot(): Unit = withClient { c =>
+    val exists = c.query(
+      s"SELECT 1 FROM pg_replication_slots WHERE slot_name = ${lit(slot)}")
+      .rows.nonEmpty
+    if (!exists)
+      c.query(s"SELECT pg_create_logical_replication_slot(${lit(slot)}, 'test_decoding')")
+  }
+
+  def dropSlot(): Unit = withClient { c =>
+    val exists = c.query(
+      s"SELECT 1 FROM pg_replication_slots WHERE slot_name = ${lit(slot)}")
+      .rows.nonEmpty
+    if (exists) c.query(s"SELECT pg_drop_replication_slot(${lit(slot)})")
+  }
+
+  /** Snapshot-load `table` through the partitioned sync source. Changes
+    * decoded later may overlap the snapshot edge; keyed apply absorbs the
+    * overlap. */
+  def initialSync(source: PgWireSource, table: String): Unit = {
+    store.replace(table, source.read(table))
+    source.releaseStaging()
+  }
+
+  /** Poll one bounded batch of decoded changes and apply them. Returns
+    * (upserts, deletes) applied. Loop until (0,0) to drain. */
+  def pump(table: String, key: String, batch: Int = 10000): (Long, Long) = {
+    def poll(): Seq[String] = withClient { c =>
+      c.query(
+        s"""SELECT data FROM pg_logical_slot_get_changes(
+            ${lit(slot)}, NULL, $batch)""").rows.map(_(0)).toSeq
+    }
+    // keep polling past batches that decode only OTHER tables' traffic (or
+    // bare BEGIN/COMMIT markers) — stopping there would strand this
+    // table's changes behind a burst of foreign ones
+    var lines = poll()
+    var changes = lines.flatMap(parseChange).filter(_.table == table)
+    while (changes.isEmpty && lines.nonEmpty) {
+      lines = poll()
+      changes = lines.flatMap(parseChange).filter(_.table == table)
+    }
+    if (changes.isEmpty) return (0L, 0L)
+
+    // last-wins compaction per key IN SLOT ORDER: a key inserted then
+    // deleted in one batch must apply as a delete, and vice versa
+    val lastByKey = scala.collection.mutable.LinkedHashMap.empty[String, Change]
+    changes.foreach { ch => ch.cols.get(key).foreach(k => lastByKey(k) = ch) }
+    val (dels, ups) = lastByKey.values.toSeq.partition(_.op == "DELETE")
+
+    val schema = store.read(table).schema
+    if (ups.nonEmpty) {
+      // text values -> typed columns via Spark casts against the store
+      // schema (same coercion path the COPY sync reader uses)
+      val strSchema = StructType(schema.fields.map(f =>
+        StructField(f.name, StringType, nullable = true)))
+      val rows = ups.map(ch =>
+        Row.fromSeq(schema.fields.toIndexedSeq.map(f => ch.cols.get(f.name).orNull)))
+      val strDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), strSchema)
+      val typed = strDf.select(schema.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      store.upsert(table, typed, key)
+    }
+    if (dels.nonEmpty) {
+      val keyField = schema(schema.fieldIndex(key))
+      val keysDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          dels.map(ch => Row(ch.cols(key))), 1),
+        StructType(Seq(StructField(key, StringType))))
+        .select(col(key).cast(keyField.dataType).as(key))
+      store.deleteByKey(table, keysDf, key)
+    }
+    (ups.size.toLong, dels.size.toLong)
+  }
+
+  /** Drain the slot completely (poll until a batch comes back empty). */
+  def drain(table: String, key: String): (Long, Long) = {
+    var (u, d) = (0L, 0L)
+    var go = true
+    while (go) {
+      val (pu, pd) = pump(table, key)
+      u += pu; d += pd
+      go = pu + pd > 0
+    }
+    (u, d)
+  }
+
+  private def lit(s: String): String = "'" + s.replace("'", "''") + "'"
+}
+
+object PgCdc {
+
+  /** One decoded row change: `cols` holds column name → text value
+    * (DELETE carries only the replica identity / key columns). */
+  final case class Change(table: String, op: String, cols: Map[String, String])
+
+  private val head = """table\s+(?:"?[\w$]+"?)\.("?[\w$]+"?):\s+(INSERT|UPDATE|DELETE):\s*(.*)""".r
+
+  /** Parse one `test_decoding` data line. BEGIN/COMMIT markers and other
+    * tables' messages return None. Format (public, stable since 9.4):
+    * `table public.t: INSERT: k[bigint]:7 v[text]:'a b' n[integer]:null` */
+  private[graft] def parseChange(line: String): Option[Change] = line match {
+    case head(tbl, op, rest) =>
+      Some(Change(tbl.replace("\"", ""), op, parseCols(rest)))
+    case _ => None
+  }
+
+  /** Tokenize `name[type]:value ...` — values are either unquoted (up to
+    * the next space) or ''-escaped quoted strings that may contain spaces
+    * and colons. `null` (unquoted) means SQL NULL and is omitted. */
+  private[graft] def parseCols(s: String): Map[String, String] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && s.charAt(i) == ' ') i += 1
+      if (i >= n) return out.toMap
+      val br = s.indexOf('[', i)
+      if (br < 0) return out.toMap
+      val name = s.substring(i, br).replace("\"", "")
+      val close = s.indexOf(']', br)
+      if (close < 0 || close + 1 >= n || s.charAt(close + 1) != ':') return out.toMap
+      i = close + 2
+      if (i < n && s.charAt(i) == '\'') { // quoted value, '' escapes
+        val sb = new java.lang.StringBuilder()
+        i += 1
+        var done = false
+        while (i < n && !done) {
+          val c = s.charAt(i)
+          if (c == '\'') {
+            if (i + 1 < n && s.charAt(i + 1) == '\'') { sb.append('\''); i += 2 }
+            else { done = true; i += 1 }
+          } else { sb.append(c); i += 1 }
+        }
+        out(name) = sb.toString
+      } else {
+        val sp = s.indexOf(' ', i)
+        val raw = if (sp < 0) s.substring(i) else s.substring(i, sp)
+        i = if (sp < 0) n else sp
+        if (raw != "null") out(name) = raw
+      }
+    }
+    out.toMap
+  }
+}

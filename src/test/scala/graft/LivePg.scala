@@ -71,7 +71,9 @@ object LivePg {
       try ss.getLocalPort finally ss.close()
     }
     val (src, sout) = sh(priv(Seq(pgCtl, "-D", data, "-l", s"$dir/log",
-      "-o", s"-p $port -k $dir -c listen_addresses=127.0.0.1", "start")))
+      "-o", s"-p $port -k $dir -c listen_addresses=127.0.0.1" +
+        " -c wal_level=logical -c max_replication_slots=4 -c max_wal_senders=4",
+      "start")))
     require(src == 0, s"pg_ctl start failed: ${sout.takeRight(400)}")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       sh(priv(Seq(pgCtl, "-D", data, "-m", "immediate", "stop")))

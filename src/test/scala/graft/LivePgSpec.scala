@@ -199,6 +199,62 @@ class LivePgSpec extends SparkSpecBase {
     assert(after.filter(col("k") === 700).head.getString(2) == "b700")
   }
 
+  test("test_decoding change lines parse: quoting, nulls, colons, escapes") {
+    val c = PgCdc.parseChange(
+      "table public.t_cdc: INSERT: k[bigint]:7 v[text]:'a b: ''q'' c' n[integer]:null w[text]:x").get
+    assert(c.table == "t_cdc" && c.op == "INSERT")
+    assert(c.cols == Map("k" -> "7", "v" -> "a b: 'q' c", "w" -> "x")) // null omitted
+    val d = PgCdc.parseChange("table public.t_cdc: DELETE: k[bigint]:7").get
+    assert(d.op == "DELETE" && d.cols == Map("k" -> "7"))
+    assert(PgCdc.parseChange("BEGIN 1234").isEmpty)
+    assert(PgCdc.parseChange("COMMIT 1234").isEmpty)
+  }
+
+  test("CDC via logical decoding: slot-captured INSERT/UPDATE/DELETE converge the mirror") {
+    assume(pg.isDefined, "no live Postgres in this environment")
+    withClient { c =>
+      c.query("DROP TABLE IF EXISTS t_cdc")
+      c.query("CREATE TABLE t_cdc (k bigint PRIMARY KEY, v text, q numeric(10,2))")
+      c.query("INSERT INTO t_cdc SELECT g, 'v' || g, g * 1.5 FROM generate_series(1, 200) g")
+    }
+    val store = new Store(spark,
+      java.nio.file.Files.createTempDirectory("graft-cdc-store").toString)
+    val cdc = new PgCdc(spark, pg.get, store, slot = "graft_cdc_test")
+    try {
+      cdc.createSlot() // BEFORE the snapshot: nothing after it can be missed
+      val src = source("t_cdc")
+      cdc.initialSync(src, "t_cdc")
+      assert(store.read("t_cdc").count() == 200)
+      // upstream churn: inserts, updates, deletes — no cursor column needed
+      withClient { c =>
+        c.query("INSERT INTO t_cdc SELECT g, 'new' || g, 0 FROM generate_series(201, 250) g")
+        c.query("UPDATE t_cdc SET v = 'upd' || k, q = q + 1 WHERE k <= 20")
+        c.query("DELETE FROM t_cdc WHERE k BETWEEN 51 AND 70")
+        // churn WITHIN one batch: insert then delete must land as absent,
+        // delete then re-insert as present (slot-order last-wins)
+        c.query("INSERT INTO t_cdc VALUES (999, 'ghost', 0)")
+        c.query("DELETE FROM t_cdc WHERE k = 999")
+        c.query("DELETE FROM t_cdc WHERE k = 100")
+        c.query("INSERT INTO t_cdc VALUES (100, 'reborn', 7.25)")
+      }
+      val (u, d) = cdc.drain("t_cdc", "k")
+      assert(u > 0 && d > 0, s"expected both upserts and deletes, got ($u, $d)")
+      // mirror must now equal upstream exactly, value for value
+      val upstream = withClient(_.query(
+        "SELECT k, v, q::text FROM t_cdc ORDER BY k").rows.map(_.toList).toList)
+      val mirror = store.read("t_cdc").orderBy("k").collect().toList
+        .map(r => List(r.getAs[java.math.BigDecimal]("k").toBigInteger.toString,
+          r.getString(1), r.getAs[java.math.BigDecimal]("q").toPlainString))
+      assert(mirror.length == upstream.length,
+        s"row counts differ: mirror ${mirror.length} vs upstream ${upstream.length}")
+      upstream.zip(mirror).foreach { case (up, mi) =>
+        assert(up == mi, s"row mismatch: upstream $up vs mirror $mi")
+      }
+      // slot drained: nothing further to apply
+      assert(cdc.pump("t_cdc", "k") == ((0L, 0L)))
+    } finally cdc.dropSlot()
+  }
+
   test("table list excludes views; unique-index fallback when no PK") {
     assume(pg.isDefined, "no live Postgres in this environment")
     withClient { c =>
