@@ -29,29 +29,61 @@ import scala.jdk.CollectionConverters._
   * translation pipeline stay signature-free.
   */
 object SessionSettings {
-  private val bySession = new java.util.WeakHashMap[SparkSession, TrieMap[String, String]]()
-  private val fallback = TrieMap[String, String]() // no session resolvable
-  private val current = new ThreadLocal[SparkSession]
+  /** One override layer; reads fall through to `parent` (a wire
+    * connection's scope chains to its serving session's scope, so
+    * server-level identity settings stay visible while each connection's
+    * own SETs stay private to it — the PG per-connection contract). */
+  private final class Scope(val parent: Scope) {
+    val map: TrieMap[String, String] = TrieMap[String, String]()
+    def lookup(name: String): Option[String] =
+      map.get(name).orElse(if (parent == null) None else parent.lookup(name))
+    def merged: Map[String, String] =
+      (if (parent == null) Map.empty[String, String] else parent.merged) ++ map
+  }
+  private val byKey = new java.util.WeakHashMap[AnyRef, Scope]()
+  private val fallback = new Scope(null) // no session resolvable
+  private val current = new ThreadLocal[Scope]
 
-  /** Bind the settings scope for `f` to `s` (re-entrant; restores prior). */
+  private def scopeFor(key: AnyRef, parent: Scope): Scope = byKey.synchronized {
+    var s = byKey.get(key)
+    if (s == null) { s = new Scope(parent); byKey.put(key, s) }
+    s
+  }
+
+  /** Bind the settings scope for `f` to session `s` (re-entrant). */
   def withSession[A](s: SparkSession)(f: => A): A = {
     val prev = current.get()
-    current.set(s)
+    current.set(scopeFor(s, null))
     try f finally current.set(prev)
   }
 
-  private def overrides: TrieMap[String, String] = {
-    val s = Option(current.get())
-      .orElse(SparkSession.getActiveSession)
-      .orElse(SparkSession.getDefaultSession)
-      .orNull
-    if (s == null) fallback
-    else bySession.synchronized {
-      var m = bySession.get(s)
-      if (m == null) { m = TrieMap[String, String](); bySession.put(s, m) }
-      m
+  /** Bind `s`'s scope only when this thread has none — entry points
+    * reached from an already-scoped context (a wire connection thread)
+    * keep the finer scope instead of clobbering it. */
+  def withSessionIfUnbound[A](s: SparkSession)(f: => A): A =
+    if (current.get() != null) f else withSession(s)(f)
+
+  /** Bind a PER-CONNECTION scope (keyed by `connKey`'s identity, weakly
+    * held) layered over `session`'s scope: the connection's own SETs are
+    * invisible to every other connection, while settings established on
+    * the serving session (catalog identity et al.) remain readable. */
+  def withConnectionScope[A](connKey: AnyRef, session: SparkSession)(f: => A): A = {
+    val prev = current.get()
+    current.set(scopeFor(connKey, scopeFor(session, null)))
+    try f finally current.set(prev)
+  }
+
+  private def resolveScope: Scope = {
+    val c = current.get()
+    if (c != null) c
+    else {
+      val s = SparkSession.getActiveSession
+        .orElse(SparkSession.getDefaultSession).orNull
+      if (s == null) fallback else scopeFor(s, null)
     }
   }
+
+  private def overrides: TrieMap[String, String] = resolveScope.map
 
   val defaults: Map[String, String] = Map(
     "server_version" -> "17.0",
@@ -65,14 +97,14 @@ object SessionSettings {
     "transaction_isolation" -> "read committed",
     "standard_conforming_strings" -> "on")
   def get(name: String): Option[String] =
-    overrides.get(name.toLowerCase).orElse(defaults.get(name.toLowerCase))
+    resolveScope.lookup(name.toLowerCase).orElse(defaults.get(name.toLowerCase))
   def set(name: String, value: String): Unit = overrides.put(name.toLowerCase, value)
   def reset(name: String): Unit = overrides.remove(name.toLowerCase)
   def resetAll(): Unit = overrides.clear()
-  /** defaults merged with session overrides (SHOW ALL). */
-  def all: Map[String, String] = defaults ++ overrides
-  /** Count of sessions holding overrides (hygiene tests). */
-  private[graft] def sessionCount: Int = bySession.synchronized(bySession.size)
+  /** defaults merged with scope-chain overrides (SHOW ALL). */
+  def all: Map[String, String] = defaults ++ resolveScope.merged
+  /** Count of scopes holding overrides (hygiene tests). */
+  private[graft] def sessionCount: Int = byKey.synchronized(byKey.size)
 }
 
 /** Postgres-compat scalar/aggregate function shims (SURVEY.md §2.C; the

@@ -295,8 +295,10 @@ object PgDialect {
   def execute(spark: SparkSession, store: Store, statement: String,
       txn: PgTxn = null): PgResult =
     // bind the settings scope: every SET/SHOW/translation-flag read below
-    // must hit THIS session's overrides, not another connection's
-    SessionSettings.withSession(spark)(
+    // must hit THIS session's overrides, not another connection's. If the
+    // caller already bound a finer scope (the wire server binds one per
+    // CONNECTION), keep it.
+    SessionSettings.withSessionIfUnbound(spark)(
       executeScoped(spark, store, statement, txn))
 
   private def executeScoped(spark: SparkSession, store: Store, statement: String,

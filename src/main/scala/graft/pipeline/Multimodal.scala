@@ -517,7 +517,10 @@ object Multimodal {
   private val mediaWh = scala.collection.concurrent.TrieMap[String, String]()
 
   private[graft] def mediaAssets(s: SparkSession, dir: String): DataFrame = {
-    val wh = mediaWh.getOrElseUpdate(dir, {
+    // synchronized: TrieMap.getOrElseUpdate may evaluate the builder twice
+    // under contention — two concurrent first-callers would each write the
+    // full fixture and orphan one temp warehouse
+    val wh = mediaWh.synchronized { mediaWh.getOrElseUpdate(dir, {
       val w = java.nio.file.Files.createTempDirectory("graft-media").toString
       val docs = Tables.df(s, dir, "documents").select(col("doc_id"), col("text"))
       val schema = StructType(Seq(
@@ -536,7 +539,7 @@ object Multimodal {
       }(enc)
       new Store(s, w).replace("media_assets", payloads)
       w
-    })
+    }) }
     new Store(s, wh).read("media_assets")
   }
 

@@ -223,7 +223,7 @@ object PgCatalog {
     java.util.Collections.newSetFromMap(new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
   def register(spark: SparkSession): Unit =
-    SessionSettings.withSession(spark)(registerScoped(spark))
+    SessionSettings.withSessionIfUnbound(spark)(registerScoped(spark))
 
   private def registerScoped(spark: SparkSession): Unit = synchronized {
     if (registered.add(spark)) registerAll(spark)
@@ -664,7 +664,7 @@ object PgCatalog {
     * inspection both want them first-class. Empty until the first ANALYZE,
     * like a fresh PG database. */
   def refreshStats(spark: SparkSession): Unit =
-    SessionSettings.withSession(spark)(refreshStatsScoped(spark))
+    SessionSettings.withSessionIfUnbound(spark)(refreshStatsScoped(spark))
 
   private def refreshStatsScoped(spark: SparkSession): Unit = synchronized {
     PgDialect.catalogEpoch.incrementAndGet()
@@ -681,7 +681,7 @@ object PgCatalog {
     * (query_remapper_table.go:74-91,714-775); here the rows are built from
     * the live Spark schemas on every catalog-refresh trigger. */
   def refreshInfoSchema(spark: SparkSession): Unit =
-    SessionSettings.withSession(spark)(refreshInfoSchemaScoped(spark))
+    SessionSettings.withSessionIfUnbound(spark)(refreshInfoSchemaScoped(spark))
 
   private def refreshInfoSchemaScoped(spark: SparkSession): Unit = synchronized {
     PgDialect.catalogEpoch.incrementAndGet()
@@ -740,7 +740,7 @@ object PgCatalog {
       .sorted.toSeq
 
   def refreshDynamic(spark: SparkSession, store: Store): Unit =
-    SessionSettings.withSession(spark)(refreshDynamicScoped(spark, store))
+    SessionSettings.withSessionIfUnbound(spark)(refreshDynamicScoped(spark, store))
 
   private def refreshDynamicScoped(spark: SparkSession, store: Store): Unit = synchronized {
     PgDialect.catalogEpoch.incrementAndGet()

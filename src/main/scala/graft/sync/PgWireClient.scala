@@ -16,10 +16,13 @@ import java.nio.charset.StandardCharsets.UTF_8
   * 5802/7677 for SCRAM) — ~300 lines buys the whole sync seam.
   *
   * Scale shape: ONE client per Spark task (PgWireSource opens one per
-  * partition inside mapPartitions), so a 1000-executor sync is 1000
-  * sockets each pulling its own key range under one exported snapshot —
-  * the parallel form of the reference's single-COPY-connection sync.
-  * Results stream row-at-a-time off the socket (no whole-table buffering).
+  * partition inside mapPartitions), all under one exported snapshot — the
+  * parallel form of the reference's single-COPY-connection sync. The
+  * partition count is the CONNECTION BUDGET, deliberately independent of
+  * executor count: a Postgres server caps at max_connections (typically
+  * 100-500), so a 1000-executor cluster still opens only `numPartitions`
+  * sockets and the remaining executors take other work. Results stream
+  * row-at-a-time off the socket (no whole-partition buffering).
   */
 class PgWireClient(host: String, port: Int, user: String, database: String,
     password: Option[String] = None) extends AutoCloseable {

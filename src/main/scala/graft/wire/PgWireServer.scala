@@ -78,11 +78,11 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
   }
 
   private def handle(sock: Socket): Unit =
-    // bind this connection thread's settings scope to the server's session:
-    // reads on this thread (statement_timeout, timezone reports, catalog
-    // identity) resolve against the session actually serving the client
-    // instead of whatever session happens to be thread-default
-    SessionSettings.withSession(spark)(handleScoped(sock))
+    // bind a PER-CONNECTION settings scope chained to the server session:
+    // this connection's SET statement_timeout/search_path/... are invisible
+    // to every other connection (the PG contract), while identity settings
+    // established on the serving session stay readable underneath
+    SessionSettings.withConnectionScope(new Object, spark)(handleScoped(sock))
 
   private def handleScoped(sock: Socket): Unit = {
     val in = new DataInputStream(sock.getInputStream)

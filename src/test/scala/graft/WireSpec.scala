@@ -1031,4 +1031,26 @@ class WireSpec extends SparkSpecBase {
       "failed COPY must not commit rows")
     c.close()
   }
+
+  test("SET on one connection is invisible to a concurrent connection") {
+    // the PG per-connection contract: each backend has its own GUC state
+    val c1 = new Client(server._2); c1.startup()
+    val c2 = new Client(server._2); c2.startup()
+    def shown(c: Client, name: String): String =
+      c.query(s"SHOW $name").filter(_._1 == 'D')
+        .map(m => dataRowValues(m._2).head).head
+    c1.query("SET application_name = 'conn_one'")
+    c1.query("SET statement_timeout = '30s'")
+    assert(shown(c1, "application_name") == "conn_one")
+    assert(shown(c2, "application_name") == "", "c1's SET leaked into c2")
+    assert(shown(c2, "statement_timeout") == "", "c1's timeout leaked into c2")
+    c2.query("SET application_name = 'conn_two'")
+    assert(shown(c1, "application_name") == "conn_one",
+      "c2's SET clobbered c1's value")
+    // RESET ALL clears only this connection's overrides
+    c1.query("RESET ALL")
+    assert(shown(c1, "application_name") == "")
+    assert(shown(c2, "application_name") == "conn_two")
+    c1.close(); c2.close()
+  }
 }
