@@ -63,23 +63,59 @@ class PgCdc(spark: SparkSession, conn: PgConnInfo, store: Store,
 
   /** Poll one bounded batch of decoded changes and apply them. Returns
     * (upserts, deletes) applied. Loop until (0,0) to drain. */
-  def pump(table: String, key: String, batch: Int = 10000): (Long, Long) = {
-    def poll(): Seq[String] = withClient { c =>
-      c.query(
-        s"""SELECT data FROM pg_logical_slot_get_changes(
-            ${lit(slot)}, NULL, $batch)""").rows.map(_(0)).toSeq
+  def pump(table: String, key: String, batch: Int = 10000): (Long, Long) =
+    pumpAll(Map(table -> key), batch)
+
+  /** Poll one bounded batch and apply EVERY mirrored table's changes.
+    *
+    * Delivery discipline: the batch is PEEKed (non-destructive), applied
+    * through the keyed idempotent store ops, and only then the slot is
+    * advanced past the applied LSN — so a crash between apply and advance
+    * re-applies the same batch (at-least-once delivery, exactly-once
+    * effect), and a decoded change for a table absent from `keys` raises
+    * BEFORE anything is consumed (a destructive read there would be
+    * silent data loss; mirror the table or keep it out of the slot). */
+  def pumpAll(keys: Map[String, String], batch: Int = 10000): (Long, Long) = {
+    def peek(): (Seq[String], String) = withClient { c =>
+      val r = c.query(
+        s"""SELECT lsn::text, data FROM pg_logical_slot_peek_changes(
+            ${lit(slot)}, NULL, $batch)""").rows
+      (r.map(_(1)).toSeq, r.lastOption.map(_(0)).getOrElse(""))
     }
-    // keep polling past batches that decode only OTHER tables' traffic (or
-    // bare BEGIN/COMMIT markers) — stopping there would strand this
-    // table's changes behind a burst of foreign ones
-    var lines = poll()
-    var changes = lines.flatMap(parseChange).filter(_.table == table)
+    // advance past fully-applied WAL. peek/get stop only at transaction
+    // boundaries, so upto_lsn = last peeked lsn consumes exactly the
+    // peeked batch (later commits have strictly higher lsns)
+    def advance(upto: String): Unit = {
+      require(upto.matches("[0-9A-Fa-f]+/[0-9A-Fa-f]+"), s"unexpected lsn: $upto")
+      withClient(_.query(
+        s"""SELECT count(*) FROM pg_logical_slot_get_changes(
+            ${lit(slot)}, '$upto'::pg_lsn, NULL)"""))
+    }
+    // keep polling past batches that decode only BEGIN/COMMIT markers —
+    // stopping there would strand real changes behind a marker burst
+    var (lines, lastLsn) = peek()
+    var changes = lines.flatMap(parseChange)
     while (changes.isEmpty && lines.nonEmpty) {
-      lines = poll()
-      changes = lines.flatMap(parseChange).filter(_.table == table)
+      advance(lastLsn) // markers only: consume them, look further
+      val n = peek()
+      lines = n._1; lastLsn = n._2
+      changes = lines.flatMap(parseChange)
     }
     if (changes.isEmpty) return (0L, 0L)
+    val unmirrored = changes.map(_.table).distinct.filterNot(keys.contains)
+    require(unmirrored.isEmpty,
+      s"slot '$slot' decoded changes for unmirrored tables ${unmirrored.mkString(", ")} — " +
+        "consuming them would lose data; add them to the keys map")
+    var (u, d) = (0L, 0L)
+    for ((table, group) <- changes.groupBy(_.table)) {
+      val (au, ad) = apply(table, keys(table), group)
+      u += au; d += ad
+    }
+    advance(lastLsn)
+    (u, d)
+  }
 
+  private def apply(table: String, key: String, changes: Seq[Change]): (Long, Long) = {
     // last-wins compaction per key IN SLOT ORDER: a key inserted then
     // deleted in one batch must apply as a delete, and vice versa
     val lastByKey = scala.collection.mutable.LinkedHashMap.empty[String, Change]
@@ -113,11 +149,13 @@ class PgCdc(spark: SparkSession, conn: PgConnInfo, store: Store,
   }
 
   /** Drain the slot completely (poll until a batch comes back empty). */
-  def drain(table: String, key: String): (Long, Long) = {
+  def drain(table: String, key: String): (Long, Long) = drainAll(Map(table -> key))
+
+  def drainAll(keys: Map[String, String]): (Long, Long) = {
     var (u, d) = (0L, 0L)
     var go = true
     while (go) {
-      val (pu, pd) = pump(table, key)
+      val (pu, pd) = pumpAll(keys)
       u += pu; d += pd
       go = pu + pd > 0
     }

@@ -255,6 +255,38 @@ class LivePgSpec extends SparkSpecBase {
     } finally cdc.dropSlot()
   }
 
+  test("CDC multi-table: unmirrored changes raise BEFORE consumption; peek loses nothing") {
+    assume(pg.isDefined, "no live Postgres in this environment")
+    withClient { c =>
+      c.query("DROP TABLE IF EXISTS t_g1; DROP TABLE IF EXISTS t_g2")
+      c.query("CREATE TABLE t_g1 (k bigint PRIMARY KEY, v text)")
+      c.query("CREATE TABLE t_g2 (k bigint PRIMARY KEY, v text)")
+    }
+    val store = new Store(spark,
+      java.nio.file.Files.createTempDirectory("graft-cdc-guard").toString)
+    val cdc = new PgCdc(spark, pg.get, store, slot = "graft_cdc_guard")
+    try {
+      cdc.createSlot()
+      val src = new PgWireSource(spark, pg.get, tables = Seq("t_g1", "t_g2"))
+      cdc.initialSync(src, "t_g1")
+      cdc.initialSync(src, "t_g2")
+      withClient { c =>
+        c.query("INSERT INTO t_g1 SELECT g, 'a' || g FROM generate_series(1, 30) g")
+        c.query("INSERT INTO t_g2 SELECT g, 'b' || g FROM generate_series(1, 40) g")
+      }
+      // the slot holds BOTH tables' changes: a single-table apply must
+      // refuse rather than destructively skip t_g2's rows
+      val e = intercept[IllegalArgumentException](cdc.pumpAll(Map("t_g1" -> "k")))
+      assert(e.getMessage.contains("t_g2"), e.getMessage)
+      // nothing was consumed by the refusal (peek-validate-apply-advance):
+      // the full map now applies every change of both tables
+      val (u, d) = cdc.drainAll(Map("t_g1" -> "k", "t_g2" -> "k"))
+      assert(u == 70 && d == 0, s"expected all 70 inserts to survive, got ($u, $d)")
+      assert(store.read("t_g1").count() == 30)
+      assert(store.read("t_g2").count() == 40)
+    } finally cdc.dropSlot()
+  }
+
   test("table list excludes views; unique-index fallback when no PK") {
     assume(pg.isDefined, "no live Postgres in this environment")
     withClient { c =>
