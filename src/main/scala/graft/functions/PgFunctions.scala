@@ -191,6 +191,25 @@ object PgFunctions {
         PgCatalog.formatType(oid, typmod))
     const(spark, "pg_get_partkeydef", "", StringType)
     const(spark, "pg_get_function_identity_arguments", "", StringType)
+    const(spark, "pg_get_function_result", "", StringType) // psql \df
+    const(spark, "pg_get_function_arguments", "", StringType)
+    const(spark, "pg_function_is_visible", true, BooleanType)
+    // psql \dt+ / \l+ size column — PG's bytes->human rendering
+    // (dbsize.c public behavior: <10 of the next unit stays in the
+    // current one, half-up rounding at each /1024 step)
+    spark.udf.register("pg_size_pretty", (bytes: java.lang.Long) => {
+      if (bytes == null) null
+      else {
+        var v = bytes.longValue
+        val units = Seq("bytes", "kB", "MB", "GB", "TB", "PB")
+        var u = 0
+        while (math.abs(v) >= 10 * 1024 && u < units.length - 1) {
+          v = (v + (if (v >= 0) 512 else -512)) / 1024
+          u += 1
+        }
+        s"$v ${units(u)}"
+      }
+    })
     const(spark, "pg_get_statisticsobjdef_columns", null, IntegerType) // reference: null int4
     const(spark, "pg_relation_is_publishable", null, IntegerType) // reference: null int4
     const(spark, "has_database_privilege", true, BooleanType)

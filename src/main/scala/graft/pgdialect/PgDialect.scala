@@ -689,6 +689,10 @@ object PgDialect {
   def translateSelect(sql: String): String = {
     translations.incrementAndGet()
     var s = sql.trim.stripSuffix(";")
+    // FIRST: E'...' escape strings decode to plain literals before any
+    // pass inspects quotes (psql's \l, \z, \dn+ and friends are full of
+    // E'\\n'); later passes then see only standard '' literals
+    s = decodeEscapeStrings(s)
     s = autoAliasTargets(s)
     s = rewriteArraySubquery(s)
     s = rewriteDistinctOn(s)
@@ -735,7 +739,7 @@ object PgDialect {
     // obj_description / col_description (psql \d+, BI REMARKS): answer as
     // the live pg_description scalar subqueries PG defines them to be
     s = s.replaceAll(
-      "(?i)\\bobj_description\\s*\\(\\s*([^,()]+?)\\s*(?:,\\s*'pg_class'\\s*)?\\)",
+      "(?i)\\bobj_description\\s*\\(\\s*([^,()]+?)\\s*(?:,\\s*'[a-z_]+'\\s*)?\\)",
       "(SELECT description FROM pg_description WHERE objoid = $1 AND objsubid = 0)")
     s = s.replaceAll(
       "(?i)\\bcol_description\\s*\\(\\s*([^,()]+?)\\s*,\\s*([^,()]+?)\\s*\\)",
@@ -870,6 +874,21 @@ object PgDialect {
     // LIMIT ALL = no limit; ANSI `OFFSET n ROWS` -> OFFSET n
     s = s.replaceAll("(?i)\\s+LIMIT\\s+ALL\\b", "")
     s = s.replaceAll("(?i)\\b(OFFSET\\s+\\d+)\\s+ROWS?\\b", "$1")
+    // FROM-position `unnest(arr) x` names the COLUMN x in PG (single-column
+    // table alias); Spark's explode keeps column `col` unless given a
+    // column-alias list — emit `explode(arr) x(x)` (psql \d+ builds
+    // `'toast.' || x FROM unnest(tc.reloptions) x`)
+    locally {
+      val kw = Set("where", "order", "group", "having", "limit", "offset",
+        "union", "intersect", "except", "join", "on", "using", "left",
+        "right", "inner", "cross", "full", "as", "fetch")
+      val p = ("(?i)\\b(FROM|JOIN)(\\s+)unnest\\s*\\(([^()]*(?:\\([^()]*\\)[^()]*)*)\\)" +
+        "\\s+(?:AS\\s+)?([A-Za-z_]\\w*)\\b(?!\\s*\\()").r
+      s = p.replaceAllIn(s, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          if (kw(m.group(4).toLowerCase)) m.matched
+          else s"${m.group(1)}${m.group(2)}explode(${m.group(3)}) ${m.group(4)}(${m.group(4)})"))
+    }
     // set-returning unnest in the select list -> explode; string_to_array
     // with a literal delimiter -> split (regex-safe for plain delimiters)
     s = s.replaceAll("(?i)\\bunnest\\s*\\(", "explode(")
@@ -979,6 +998,83 @@ object PgDialect {
     // matches against the PG-style quoting.
     s = pgQuotedToBacktick(s)
     s
+  }
+
+  /** PG `E'...'` escape-string literals -> standard literals with the
+    * escapes DECODED (PG lexer semantics: \n,\t,\r,\b,\f,\v, \\, \' and
+    * '' as quote escapes, \o/\oo/\ooo octal, \xh[h] hex, \uXXXX /
+    * \UXXXXXXXX unicode; any other backslashed char is itself). The `E`
+    * must be a standalone token — `LIKE'x'` keeps its identifier-trailing
+    * E. Decoded quotes re-escape as ''; decoded backslashes stay single
+    * (the pipeline-final escapeLiteralBackslashes doubles them for
+    * Spark's parser). Ordinary literals pass through untouched. */
+  private[graft] def decodeEscapeStrings(sql: String): String = {
+    if (!sql.contains('\'')) return sql
+    val sb = new StringBuilder(sql.length)
+    val n = sql.length
+    var i = 0
+    while (i < n) {
+      val c = sql.charAt(i)
+      val isE = (c == 'E' || c == 'e') && i + 1 < n && sql.charAt(i + 1) == '\'' &&
+        (i == 0 || !Character.isLetterOrDigit(sql.charAt(i - 1)) &&
+          sql.charAt(i - 1) != '_' && sql.charAt(i - 1) != '$')
+      if (isE) {
+        val body = new StringBuilder()
+        i += 2
+        var done = false
+        while (i < n && !done) {
+          val ch = sql.charAt(i)
+          if (ch == '\'') {
+            if (i + 1 < n && sql.charAt(i + 1) == '\'') { body.append('\''); i += 2 }
+            else { done = true; i += 1 }
+          } else if (ch == '\\' && i + 1 < n) {
+            val e = sql.charAt(i + 1)
+            i += 2
+            e match {
+              case 'n' => body.append('\n')
+              case 't' => body.append('\t')
+              case 'r' => body.append('\r')
+              case 'b' => body.append('\b')
+              case 'f' => body.append('\f')
+              case 'v' => body.append('\u000b')
+              case 'x' =>
+                var h = 0; var k = 0
+                while (k < 2 && i < n && Character.digit(sql.charAt(i), 16) >= 0) {
+                  h = h * 16 + Character.digit(sql.charAt(i), 16); i += 1; k += 1
+                }
+                body.append(h.toChar)
+              case 'u' | 'U' =>
+                val width = if (e == 'u') 4 else 8
+                var cp = 0; var k = 0
+                while (k < width && i < n && Character.digit(sql.charAt(i), 16) >= 0) {
+                  cp = cp * 16 + Character.digit(sql.charAt(i), 16); i += 1; k += 1
+                }
+                body.appendAll(Character.toChars(cp))
+              case d if d >= '0' && d <= '7' =>
+                var o = d - '0'; var k = 0
+                while (k < 2 && i < n && sql.charAt(i) >= '0' && sql.charAt(i) <= '7') {
+                  o = o * 8 + (sql.charAt(i) - '0'); i += 1; k += 1
+                }
+                body.append(o.toChar)
+              case other => body.append(other) // incl. \\ -> \ and \' -> '
+            }
+          } else { body.append(ch); i += 1 }
+        }
+        sb.append('\'').append(body.toString.replace("'", "''")).append('\'')
+      } else if (c == '\'') { // ordinary literal: copy verbatim incl. '' pairs
+        sb.append(c); i += 1
+        var done = false
+        while (i < n && !done) {
+          sb.append(sql.charAt(i))
+          if (sql.charAt(i) == '\'') {
+            if (i + 1 < n && sql.charAt(i + 1) == '\'') { sb.append('\''); i += 1 }
+            else done = true
+          }
+          i += 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** Double backslashes INSIDE single-quoted literals only ('' stays the
@@ -1701,17 +1797,17 @@ object PgDialect {
     * (the reference special-cases client introspection SQL the same way,
     * query_remapper.go), literal-safe via quote parity. */
   private[graft] def rewritePolicyRolesLiteral(sql: String): String = {
-    val p = "((?:\\w+\\.)?polroles)\\s*=\\s*'\\{([-0-9,\\s]*)\\}'".r
+    val p = "((?:\\w+\\.)?polroles)\\s*(=|<>|!=)\\s*'\\{([-0-9,\\s]*)\\}'".r
     p.replaceAllIn(sql, m => {
       val insideString = sql.substring(0, m.start).count(_ == '\'') % 2 == 1
       val out =
         if (insideString) m.matched
         else {
-          val elems = m.group(2).split(",").map(_.trim).filter(_.nonEmpty)
+          val elems = m.group(3).split(",").map(_.trim).filter(_.nonEmpty)
           val arr =
             if (elems.isEmpty) "CAST(array() AS ARRAY<BIGINT>)"
             else elems.map(e => s"CAST($e AS BIGINT)").mkString("array(", ", ", ")")
-          s"${m.group(1)} = $arr"
+          s"${m.group(1)} ${m.group(2)} $arr"
         }
       java.util.regex.Matcher.quoteReplacement(out)
     })
@@ -2199,6 +2295,7 @@ object PgDialect {
     * applies, minus everything statement-shaped. */
   private[graft] def translateExpr(fragment: String): String = {
     var s = fragment
+    s = decodeEscapeStrings(s)
     s = s.replaceAll("(?i)\\bpg_catalog\\s*\\.\\s*", "")
     s = rewriteAnyAll(s)
     s = rewriteJsonArrows(s)

@@ -307,6 +307,14 @@ object PgCatalog {
     Seq((1L, dbName, true, 10L, Option.empty[String], -1, false, 1663L))
       .toDF("oid", "datname", "datallowconn", "datdba", "datacl",
         "datconnlimit", "datistemplate", "dattablespace")
+      // the rest of the PG 15 column set — psql \l reads encoding/collation
+      .withColumn("encoding", lit(6)) // 6 = UTF8 (pg_encoding_to_char)
+      .withColumn("datcollate", lit("C"))
+      .withColumn("datctype", lit("C"))
+      .withColumn("datlocprovider", lit("c"))
+      .withColumn("daticulocale", lit(null).cast("string"))
+      .withColumn("datfrozenxid", lit(0L))
+      .withColumn("datminmxid", lit(0L))
       .asCatalogView("pg_database")
     Seq((10L, userName, true, false, true, true, true, true, false, -1))
       .toDF("oid", "rolname", "rolsuper", "rolreplication", "rolinherit",
@@ -323,6 +331,10 @@ object PgCatalog {
       .withColumn("useconfig", lit(null).cast("array<string>"))
       .asCatalogView("pg_user")
     spark.emptyDataFrame.withColumn("oid", lit(0L)).withColumn("extname", lit(""))
+      .withColumn("extowner", lit(0L)).withColumn("extnamespace", lit(0L))
+      .withColumn("extrelocatable", lit(false)).withColumn("extversion", lit(""))
+      .withColumn("extconfig", lit(null).cast("array<bigint>"))
+      .withColumn("extcondition", lit(null).cast("array<string>"))
       .limit(0).asCatalogView("pg_extension")
     SessionSettings.defaults.toSeq.sorted.toDF("name", "setting")
       .asCatalogView("pg_settings")
@@ -386,7 +398,16 @@ object PgCatalog {
       .toDF("attrelid", "attname", "attnum", "atttypid", "data_type",
         "attnotnull", "atthasdef", "attisdropped",
         "atttypmod", "attlen", "attidentity", "attgenerated")
-      .withColumn("attcollation", lit(0L)) // real libpq \d joins pg_collation on it
+      // real libpq describe columns: \d joins pg_collation on attcollation,
+      // \d+ reads storage/stats targets, \z/\dp read per-column ACLs
+      .withColumn("attcollation", lit(0L))
+      .withColumn("attstorage", lit("p"))
+      .withColumn("attstattarget", lit(-1))
+      .withColumn("attcompression", lit(""))
+      .withColumn("attacl", lit(null).cast("array<string>"))
+      .withColumn("attndims", lit(0))
+      .withColumn("attislocal", lit(true))
+      .withColumn("attinhcount", lit(0))
       .asCatalogView("pg_attribute")
 
     // remaining static probes BI tools and ORMs issue (the reference ships
@@ -818,7 +839,16 @@ object PgCatalog {
       .toDF("attrelid", "attname", "attnum", "atttypid", "data_type",
         "attnotnull", "atthasdef", "attisdropped",
         "atttypmod", "attlen", "attidentity", "attgenerated")
-      .withColumn("attcollation", lit(0L)) // real libpq \d joins pg_collation on it
+      // real libpq describe columns: \d joins pg_collation on attcollation,
+      // \d+ reads storage/stats targets, \z/\dp read per-column ACLs
+      .withColumn("attcollation", lit(0L))
+      .withColumn("attstorage", lit("p"))
+      .withColumn("attstattarget", lit(-1))
+      .withColumn("attcompression", lit(""))
+      .withColumn("attacl", lit(null).cast("array<string>"))
+      .withColumn("attndims", lit(0))
+      .withColumn("attislocal", lit(true))
+      .withColumn("attinhcount", lit(0))
       .asCatalogView("pg_attribute")
     // COMMENT ON metadata: "rel" → objsubid 0 (the relation row JDBC
     // getTables REMARKS reads), "rel.col" → the column's attnum (psql \d+

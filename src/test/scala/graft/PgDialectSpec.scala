@@ -803,6 +803,22 @@ class PgDialectSpec extends SparkSpecBase {
         .orderBy("g").collect().toSeq)
   }
 
+  test("E'' escape strings decode like the PG lexer") {
+    def one(sql: String): String = rows(sql).head.getString(0)
+    assert(one("SELECT E'a\\nb' AS v") == "a\nb")
+    assert(one("SELECT E'tab\\there' AS v") == "tab\there")
+    assert(one("SELECT E'it''s' AS v") == "it's")
+    assert(one("SELECT E'it\\'s' AS v") == "it's") // \' quote escape
+    assert(one("SELECT E'back\\\\slash' AS v") == "back\\slash")
+    assert(one("SELECT E'\\x41\\101\\u0041' AS v") == "AAA") // hex, octal, unicode
+    assert(one("SELECT E'\\q' AS v") == "q") // unknown escape = the char
+    assert(one("SELECT e'lower\\ncase' AS v") == "lower\ncase")
+    // an identifier-trailing E must NOT trigger: LIKE'x' is keyword+string
+    assert(rows("SELECT 1 AS v WHERE 'axb' LIKE'%x%'").nonEmpty)
+    // and a plain literal's backslashes stay LITERAL (PG standard strings)
+    assert(one("SELECT 'raw\\d+' AS v") == "raw\\d+")
+  }
+
   test("pg-flavored query end-to-end: casts + json ops + ANY") {
     val r = rows("""
       SELECT event_id, (props ->> 'k')::int4 AS k

@@ -118,6 +118,31 @@ class PsqlServerSpec extends SparkSpecBase {
     assert(out.contains("n_nationkey") && out.contains("n_name"), out)
   }
 
+  test("the psql describe-family meta-commands all succeed off the live catalog") {
+    assume(psqlBin.isDefined, "no psql in this environment")
+    // every one of these fires a distinct psql introspection query set
+    // (E'' escape strings, pg_size_pretty, policy/ACL probes, unnest
+    // aliasing, pg_database locale columns …) — a regression in any of
+    // those rewrites turns the whole meta-command into an ERROR
+    val expectations = Seq(
+      "\\d+ nation" -> "n_nationkey", // describe+ with storage/stats cols
+      "\\l" -> "graft",               // database list (encoding/collation)
+      "\\z nation" -> "nation",       // ACL + policy probes
+      "\\dp nation" -> "nation",
+      "\\dn+" -> "public",            // schemas with E'\n' ACL joins
+      "\\dt+" -> "lineitem",          // sizes via pg_size_pretty
+      "\\df sum" -> "",               // empty set in -At mode: no-error is the point
+      "\\dT int4" -> "integer",       // pg_type row formats through format_type
+      "\\du" -> "graft",              // roles
+      "\\dx" -> "",                   // no extensions installed: no-error
+      "\\sv pg_tables" -> "CREATE OR REPLACE VIEW")
+    for ((cmd, needle) <- expectations) {
+      val (rc, out) = psql("-c", cmd)
+      assert(rc == 0 && !out.contains("ERROR"), s"$cmd failed:\n$out")
+      assert(out.contains(needle), s"$cmd output missing '$needle':\n$out")
+    }
+  }
+
   test("SQL-level PREPARE / EXECUTE round-trips through a real client") {
     assume(psqlBin.isDefined, "no psql in this environment")
     val (rc, out) = psql("-c",
