@@ -728,6 +728,12 @@ object PgDialect {
       "information_schema_$1")
     s = s.replaceAll("(?i)\\s+COLLATE\\s+(\"[^\"]+\"|[\\w.]+)", "")
     s = s.replaceAll("(?i)OPERATOR\\s*\\(\\s*~\\s*\\)", "RLIKE")
+    // general OPERATOR(op) explicit-operator syntax (pg_dump emits
+    // OPERATOR(pg_catalog.=) everywhere; the schema prefix is already
+    // stripped above) -> the bare operator, which later passes translate
+    // like any other spelling
+    s = s.replaceAll(
+      "(?i)\\bOPERATOR\\s*\\(\\s*(!?~~?\\*?|[=<>!+*/%^|&#-]+)\\s*\\)", " $1 ")
     // pg_get_viewdef over a LITERAL view name (the psql \d+ / BI-tool
     // form): answer from the live pg_views/pg_matviews definitions. Must
     // run before rewriteRegclass eats the ::regclass. Non-literal
@@ -1817,7 +1823,15 @@ object PgDialect {
     val anyLit = "(?is)(\\S+)\\s*=\\s*ANY\\s*\\(\\s*'\\{([^}]*)\\}'(?:::[\\w\\[\\]]+)?\\s*\\)".r
     val allLit = "(?is)(\\S+)\\s*<>\\s*ALL\\s*\\(\\s*'\\{([^}]*)\\}'(?:::[\\w\\[\\]]+)?\\s*\\)".r
     val anyCol = "(?is)(\\S+)\\s*=\\s*ANY\\s*\\(\\s*([\\w.]+)\\s*\\)".r
+    // ANY over an ARRAY constructor (pg_dump: `relkind = ANY (ARRAY['r','v'])`)
+    // -> IN list (no array build; IN's null semantics match PG's ANY)
+    val anyArr = "(?is)(\\S+)\\s*=\\s*ANY\\s*\\(\\s*array\\s*[\\[(]([^\\]()]*)[\\])]\\s*\\)".r
+    val allArr = "(?is)(\\S+)\\s*<>\\s*ALL\\s*\\(\\s*array\\s*[\\[(]([^\\]()]*)[\\])]\\s*\\)".r
     var s = rewriteAnySubquery(sql)
+    s = anyArr.replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+      m.group(1) + " IN (" + m.group(2) + ")"))
+    s = allArr.replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+      m.group(1) + " NOT IN (" + m.group(2) + ")"))
     s = anyLit.replaceAllIn(s, m =>
       m.group(1) + " IN (" + splitArrayLiteral(m.group(2)) + ")")
     s = allLit.replaceAllIn(s, m =>

@@ -32,7 +32,8 @@ object PgWireServer {
 }
 
 class PgWireServer(spark: SparkSession, store: Store, port: Int,
-    database: String = "graft", user: String = "") {
+    database: String = "graft", user: String = "",
+    serverVersion: String = "17.0") {
   import PgWireServer._
   @volatile private var running = true
   private var server: ServerSocket = _
@@ -524,7 +525,7 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
     // the full GUC_REPORT parameter set a real PG sends at startup —
     // pgjdbc/libpq read standard_conforming_strings, integer_datetimes and
     // TimeZone during connection setup and break without them
-    Seq("server_version" -> "17.0", "server_encoding" -> "UTF8",
+    Seq("server_version" -> serverVersion, "server_encoding" -> "UTF8",
       "client_encoding" -> "UTF8", "DateStyle" -> "ISO, MDY",
       "TimeZone" -> kv.getOrElse("TimeZone", "UTC"),
       "standard_conforming_strings" -> "on", "integer_datetimes" -> "on",

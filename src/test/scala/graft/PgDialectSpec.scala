@@ -819,6 +819,20 @@ class PgDialectSpec extends SparkSpecBase {
     assert(one("SELECT 'raw\\d+' AS v") == "raw\\d+")
   }
 
+  test("OPERATOR(op) explicit syntax and ANY over ARRAY constructors") {
+    // pg_dump spells every comparison OPERATOR(pg_catalog.=) and filters
+    // relkind with = ANY (ARRAY['r','v']); SQLAlchemy emits the same ANY
+    val r = rows("""SELECT c.relname FROM pg_catalog.pg_class c
+      WHERE c.relname OPERATOR(pg_catalog.=) 'nation'
+        AND c.relkind OPERATOR(pg_catalog.=) ANY (ARRAY['r', 'S', 'v'])
+        AND c.relname OPERATOR(pg_catalog.~) '^nat' COLLATE pg_catalog.default""")
+    assert(r.map(_.getString(0)) == Seq("nation"))
+    val none = rows(
+      "SELECT 1 AS v WHERE 'x' OPERATOR(<>) ALL (ARRAY['x', 'y'])")
+    assert(none.isEmpty)
+    assert(rows("SELECT 2 OPERATOR(pg_catalog.+) 3 AS s").head.get(0).toString == "5")
+  }
+
   test("pg-flavored query end-to-end: casts + json ops + ANY") {
     val r = rows("""
       SELECT event_id, (props ->> 'k')::int4 AS k
