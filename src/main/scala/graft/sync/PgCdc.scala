@@ -116,10 +116,16 @@ class PgCdc(spark: SparkSession, conn: PgConnInfo, store: Store,
   }
 
   private def apply(table: String, key: String, changes: Seq[Change]): (Long, Long) = {
+    // TRUNCATE wipes everything decoded before it: clear the mirror and
+    // apply only the changes after the LAST truncate in slot order
+    val lastTrunc = changes.lastIndexWhere(_.op == "TRUNCATE")
+    val effective =
+      if (lastTrunc < 0) changes
+      else { store.truncate(table); changes.drop(lastTrunc + 1) }
     // last-wins compaction per key IN SLOT ORDER: a key inserted then
     // deleted in one batch must apply as a delete, and vice versa
     val lastByKey = scala.collection.mutable.LinkedHashMap.empty[String, Change]
-    changes.foreach { ch => ch.cols.get(key).foreach(k => lastByKey(k) = ch) }
+    effective.foreach { ch => ch.cols.get(key).foreach(k => lastByKey(k) = ch) }
     val (dels, ups) = lastByKey.values.toSeq.partition(_.op == "DELETE")
 
     val schema = store.read(table).schema
@@ -171,14 +177,17 @@ object PgCdc {
     * (DELETE carries only the replica identity / key columns). */
   final case class Change(table: String, op: String, cols: Map[String, String])
 
-  private val head = """table\s+(?:"?[\w$]+"?)\.("?[\w$]+"?):\s+(INSERT|UPDATE|DELETE):\s*(.*)""".r
+  private val head = """table\s+(?:"?[\w$]+"?)\.("?[\w$]+"?):\s+(INSERT|UPDATE|DELETE|TRUNCATE):\s*(.*)""".r
 
-  /** Parse one `test_decoding` data line. BEGIN/COMMIT markers and other
-    * tables' messages return None. Format (public, stable since 9.4):
-    * `table public.t: INSERT: k[bigint]:7 v[text]:'a b' n[integer]:null` */
+  /** Parse one `test_decoding` data line. BEGIN/COMMIT markers return
+    * None. Format (public, stable since 9.4):
+    * `table public.t: INSERT: k[bigint]:7 v[text]:'a b' n[integer]:null`;
+    * TRUNCATE decodes as `table public.t: TRUNCATE: (no-flags)` — dropping
+    * it silently would leave the mirror holding rows upstream wiped. */
   private[graft] def parseChange(line: String): Option[Change] = line match {
     case head(tbl, op, rest) =>
-      Some(Change(tbl.replace("\"", ""), op, parseCols(rest)))
+      Some(Change(tbl.replace("\"", ""), op,
+        if (op == "TRUNCATE") Map.empty else parseCols(rest)))
     case _ => None
   }
 

@@ -252,6 +252,16 @@ class LivePgSpec extends SparkSpecBase {
       }
       // slot drained: nothing further to apply
       assert(cdc.pump("t_cdc", "k") == ((0L, 0L)))
+      // TRUNCATE decodes too: pre-truncate rows vanish, post-truncate
+      // rows land — dropping the marker would strand the old rows forever
+      withClient { c =>
+        c.query("TRUNCATE t_cdc")
+        c.query("INSERT INTO t_cdc VALUES (1, 'fresh', 1.00), (2, 'start', 2.00)")
+      }
+      cdc.drain("t_cdc", "k")
+      val post = store.read("t_cdc").orderBy("k").collect()
+      assert(post.length == 2, s"mirror must hold only post-truncate rows, got ${post.length}")
+      assert(post.map(_.getString(1)).toSeq == Seq("fresh", "start"))
     } finally cdc.dropSlot()
   }
 
