@@ -191,7 +191,16 @@ object PgFunctions {
         PgCatalog.formatType(oid, typmod))
     const(spark, "pg_get_partkeydef", "", StringType)
     const(spark, "pg_get_function_identity_arguments", "", StringType)
+    // pg_dump reads default ACLs as acldefault(objtype, owner); a null
+    // means "built-in defaults apply" — same answer as our always-null
+    // acl columns. STRING (the aclitem[] text rendering) so it unions
+    // with the '{}' literals pg_dump CASEs it against.
+    const(spark, "acldefault", null, StringType)
     const(spark, "pg_get_function_result", "", StringType) // psql \df
+    const(spark, "pg_get_constraintdef", "", StringType) // pg_dump indexes
+    const(spark, "pg_get_triggerdef", "", StringType)
+    const(spark, "pg_get_ruledef", "", StringType)
+    const(spark, "pg_get_serial_sequence", null, StringType)
     const(spark, "pg_get_function_arguments", "", StringType)
     const(spark, "pg_function_is_visible", true, BooleanType)
     // psql \dt+ / \l+ size column — PG's bytes->human rendering

@@ -577,12 +577,18 @@ object PgDialect {
     // COPY (query)|table TO STDOUT [WITH (FORMAT CSV[, HEADER])] — the
     // psql \copy export path (beyond the reference, which errors on COPY);
     // COPY … FROM stays unsupported like every other write
-    val copyOut = "(?is)COPY\\s+(\\(.*\\)|[\\w.\"]+)\\s+TO\\s+STDOUT\\s*(.*)".r
+    val copyOut =
+      "(?is)COPY\\s+(\\(.*\\)|[\\w.\"]+)\\s*(\\([^)]*\\))?\\s+TO\\s+STDOUT\\s*(.*)".r
     stmt match {
-      case copyOut(src, opts) =>
+      case copyOut(src, colsRaw, opts) =>
+        // pg_dump's data phase: COPY table (col, …) TO stdout — the column
+        // list projects and orders the output
+        val cols = Option(colsRaw).map(c =>
+          PgDml.splitTop(c.trim.stripPrefix("(").stripSuffix(")"))
+            .map(_.trim).mkString(", "))
         val inner =
           if (src.startsWith("(")) src.substring(1, src.length - 1)
-          else s"SELECT * FROM $src"
+          else s"SELECT ${cols.getOrElse("*")} FROM $src"
         val df = spark.sql(applyPermissions(translateSelect(inner), perms))
         val o = opts.toUpperCase
         return CopyOut(df, csv = o.contains("CSV"), header = o.contains("HEADER"))
@@ -712,7 +718,34 @@ object PgDialect {
     s = s.replaceAll(
       "(?i)\\barray_agg\\s*\\(\\s*DISTINCT\\s+([\\w.]+)\\s+ORDER\\s+BY\\s+\\1\\s+DESC\\s*\\)",
       "sort_array(collect_set($1), false)")
+    // array_agg(x ORDER BY x [ASC]) keeping duplicates (pg_dump's index
+    // stat-column lists) — sorting by the aggregated expression itself is
+    // the sorted-list form
+    s = s.replaceAll(
+      "(?i)\\barray_agg\\s*\\(\\s*([\\w.]+)\\s+ORDER\\s+BY\\s+\\1\\s*(?:ASC\\b)?\\s*\\)",
+      "sort_array(collect_list($1))")
+    s = s.replaceAll(
+      "(?i)\\barray_agg\\s*\\(\\s*([\\w.]+)\\s+ORDER\\s+BY\\s+\\1\\s+DESC\\s*\\)",
+      "sort_array(collect_list($1), false)")
+    // array_agg(x ORDER BY y) with a DIFFERENT sort key: collect (y, x)
+    // structs, sort (struct order = field order, y leads), project x back
+    locally {
+      val p = "(?i)\\barray_agg\\s*\\(\\s*([\\w.]+)\\s+ORDER\\s+BY\\s+([\\w.]+)\\s*(?:ASC\\b)?\\s*\\)".r
+      s = p.replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement {
+        val field = m.group(1).split('.').last
+        s"transform(array_sort(collect_list(struct(${m.group(2)}, ${m.group(1)}))), _s -> _s.$field)"
+      })
+    }
     s = s.replaceAll("(?i)\\bpg_catalog\\s*\\.\\s*", "")
+    // pg_dump-mode catalog: swap in the real-PG namespace set (system rows
+    // included) and the pg_class variant that homes anonymous session
+    // views under pg_temp, for clients that opted into
+    // graft.system_catalog=full (the rewritten names can't re-match:
+    // the trailing `_` defeats the \b)
+    if (SessionSettings.get("graft.system_catalog").contains("full")) {
+      s = s.replaceAll("(?i)\\bpg_namespace\\b", "pg_namespace_full")
+      s = s.replaceAll("(?i)\\bpg_class\\b", "pg_class_dump")
+    }
     // user-schema qualification: the reference resolves schema.table for
     // its synced schemas (query_remapper_table.go:93-110); our registered
     // views are flat, so configured schema prefixes are stripped the same
@@ -738,6 +771,9 @@ object PgDialect {
     // form): answer from the live pg_views/pg_matviews definitions. Must
     // run before rewriteRegclass eats the ::regclass. Non-literal
     // arguments keep the reference's empty-string stub.
+    s = s.replaceAll(
+      "(?i)\\bpg_get_viewdef\\s*\\(\\s*'(\\d+)'\\s*::\\s*(?:pg_catalog\\.)?oid\\s*(?:,\\s*\\w+\\s*)?\\)",
+      "(SELECT definition FROM pg_viewdefs WHERE oid = $1)")
     s = s.replaceAll(
       "(?i)\\bpg_get_viewdef\\s*\\(\\s*'(\\w+)'(?:\\s*::\\s*regclass)?\\s*(?:,\\s*\\w+\\s*)?\\)",
       "(SELECT coalesce((SELECT definition FROM pg_views WHERE viewname = '$1'), " +
@@ -841,6 +877,53 @@ object PgDialect {
     s = s.replaceAll("(?i)\\bVARIADIC\\s+ARRAY\\s*\\[([^\\]]*)\\]", "$1")
     s = s.replaceAll("(?i)\\bVARIADIC\\s+array\\s*\\(([^()]*)\\)", "$1")
     s = rewriteValuesRow(s)
+    // PG's `name` type subscripts like a C char array (0-based) and
+    // pg_dump probes array types with `typname[0] = '_'` — first char
+    s = s.replaceAll("(?i)\\btypname\\s*\\[\\s*0\\s*\\]", "substr(typname, 1, 1)")
+    // Spark's recursive CTEs accept only UNION ALL; pg_dump's matview
+    // dependency walk uses plain UNION. Rewrite ONLY when the CTE walks
+    // pg_depend — always empty here, so dedup-vs-all is indistinguishable
+    // and termination is guaranteed (never applied to user queries, where
+    // UNION's dedup can be the loop breaker)
+    if (("(?is).*\\bWITH\\s+RECURSIVE\\b.*".r.matches(s)) &&
+        ("(?is).*\\bpg_depend\\b.*".r.matches(s)))
+      s = s.replaceAll("(?i)\\bUNION\\b(?!\\s+ALL)", "UNION ALL")
+    // pg_options_to_table(col): every *options column this catalog serves
+    // is NULL (no FDW/server options exist), so the expansion is exactly
+    // the empty (option_name, option_value) relation — correlation dropped
+    s = s.replaceAll("(?i)\\bpg_options_to_table\\s*\\(([^()]*)\\)",
+      "(SELECT CAST(NULL AS STRING) AS option_name, " +
+        "CAST(NULL AS STRING) AS option_value WHERE 1=0)")
+    // tableoid over golden-pinned catalog views: those views can't grow the
+    // system column (SELECT * parity is pinned by the corpus), so a query
+    // selecting it gets PG's real catalog oid as a literal — pg_dump only
+    // reads tableoid in select lists
+    locally {
+      val oids = Map("pg_opclass" -> 2616L, "pg_opfamily" -> 2753L,
+        "pg_policy" -> 3256L, "pg_rewrite" -> 2618L, "pg_publication" -> 6104L,
+        "pg_publication_rel" -> 6106L, "pg_publication_namespace" -> 6237L,
+        "pg_inherits" -> 2611L, "pg_statistic_ext" -> 3381L)
+      val kw = Set("on", "where", "join", "left", "right", "inner", "cross",
+        "full", "group", "order", "using", "as")
+      val pinned = ("(?is)\\b(?:FROM|JOIN)\\s+(?:pg_catalog\\.)?(" +
+        oids.keys.mkString("|") + ")\\b(?:\\s+(?:AS\\s+)?([A-Za-z_]\\w*))?").r
+      for (m <- pinned.findAllMatchIn(s).toSeq) {
+        val oid = oids(m.group(1).toLowerCase)
+        val alias = Option(m.group(2)).filterNot(a => kw(a.toLowerCase))
+          .getOrElse(m.group(1))
+        // qualified by THIS view's alias only — other relations in the
+        // query may own a real tableoid column
+        s = s.replaceAll(s"(?i)\\b$alias\\.tableoid\\s+AS\\s+(\\w+)", s"$oid AS $$1")
+        s = s.replaceAll(s"(?i)\\b$alias\\.tableoid\\b", s"$oid AS tableoid")
+      }
+      // bare (unqualified) tableoid is unambiguous only in single-relation
+      // queries over a pinned view
+      if (!"(?is).*\\bJOIN\\b.*".r.matches(s))
+        pinned.findFirstMatchIn(s).foreach { m =>
+          s = s.replaceAll("(?i)(SELECT\\s+|,\\s*)tableoid\\b(\\s+AS\\s+\\w+)?",
+            s"$$1${oids(m.group(1).toLowerCase)} AS tableoid")
+        }
+    }
     s = rewritePolicyRolesLiteral(s)
     // psql's publication describe uses the publishable stub as a PREDICATE
     // (`p.puballtables AND pg_relation_is_publishable('oid')`); the golden
@@ -1828,6 +1911,32 @@ object PgDialect {
     val anyArr = "(?is)(\\S+)\\s*=\\s*ANY\\s*\\(\\s*array\\s*[\\[(]([^\\]()]*)[\\])]\\s*\\)".r
     val allArr = "(?is)(\\S+)\\s*<>\\s*ALL\\s*\\(\\s*array\\s*[\\[(]([^\\]()]*)[\\])]\\s*\\)".r
     var s = rewriteAnySubquery(sql)
+    // paren-LHS form: `(SELECT …) = ANY(col)` — balanced-scan the LHS
+    // (the \S+ capture below would bite into the subquery otherwise)
+    locally {
+      val anyColParen = "(?is)\\G\\s*=\\s*ANY\\s*\\(\\s*([\\w.]+)\\s*\\)".r
+      var search = s.indexOf(')')
+      while (search >= 0) {
+        anyColParen.findPrefixMatchOf(s.subSequence(search + 1, s.length)) match {
+          case Some(m) =>
+            var depth = 1; var i = search - 1
+            while (i >= 0 && depth > 0) {
+              val c = s.charAt(i)
+              if (c == ')') depth += 1 else if (c == '(') depth -= 1
+              if (depth > 0) i -= 1
+            }
+            val open = i
+            if (open >= 0) {
+              val lhs = s.substring(open, search + 1)
+              s = s.substring(0, open) +
+                "array_contains(" + m.group(1) + ", " + lhs + ")" +
+                s.substring(search + 1 + m.end)
+              search = s.indexOf(')', open)
+            } else search = s.indexOf(')', search + 1)
+          case None => search = s.indexOf(')', search + 1)
+        }
+      }
+    }
     s = anyArr.replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
       m.group(1) + " IN (" + m.group(2) + ")"))
     s = allArr.replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
@@ -2159,8 +2268,15 @@ object PgDialect {
       // type name after :: (PG two-word spellings — double precision,
       // character varying, timestamp with[out] time zone — consume whole)
       var e = idx + 2
-      while (e < s.length && (s.charAt(e).isLetterOrDigit || s.charAt(e) == '_')) e += 1
-      var pgType = s.substring(idx + 2, e).toLowerCase
+      var pgType = ""
+      if (e < s.length && s.charAt(e) == '"') {
+        // quoted type name — pg_dump writes 'r'::"char" (the 1-byte type)
+        val close = s.indexOf('"', e + 1)
+        if (close > 0) { pgType = s.substring(e + 1, close).toLowerCase; e = close + 1 }
+      } else {
+        while (e < s.length && (s.charAt(e).isLetterOrDigit || s.charAt(e) == '_')) e += 1
+        pgType = s.substring(idx + 2, e).toLowerCase
+      }
       val twoWord = "(?is)^(\\s+precision|\\s+varying|\\s+with(?:out)?\\s+time\\s+zone)\\b".r
       twoWord.findFirstMatchIn(s.substring(e)).foreach { m2 =>
         pgType = pgType + m2.group(1).toLowerCase.replaceAll("\\s+", " ")
@@ -2183,13 +2299,31 @@ object PgDialect {
       val sparkType = if (isArray) s"ARRAY<$sparkType0>" else sparkType0
       val typeEnd = if (isArray) e + 2 else e
       val operand = s.substring(start, idx)
+      // PG array-LITERAL cast: '{a,b}'::type[] — Spark cannot cast a
+      // string to an array, so build the typed array() constructor from
+      // the parsed elements (pg_dump: unnest('{16385}'::oid[]))
+      val arrayLit = "(?s)^'\\{(.*)\\}'$".r
+      val litElems: Option[Seq[String]] =
+        if (!isArray) None
+        else operand.trim match {
+          case arrayLit(body) =>
+            Some(if (body.trim.isEmpty) Nil
+              else body.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
+          case _ => None
+        }
       // ::json[b] produces a COMPUTED json value -> Go-marshal normalization
       // (compact, sorted keys), like DuckDB JSON through the reference's
       // NullJson path (response_handler.go:317-327)
-      val replacement =
-        if (!isArray && (pgType == "json" || pgType == "jsonb"))
-          s"jsonb_norm($operand)"
-        else s"CAST($operand AS $sparkType)"
+      val replacement = litElems match {
+        case Some(Nil) => s"CAST(array() AS $sparkType)"
+        case Some(elems) =>
+          elems.map(el => s"CAST('${el.replace("'", "''")}' AS $sparkType0)")
+            .mkString("array(", ", ", ")")
+        case None =>
+          if (!isArray && (pgType == "json" || pgType == "jsonb"))
+            s"jsonb_norm($operand)"
+          else s"CAST($operand AS $sparkType)"
+      }
       s = s.substring(0, start) + replacement + s.substring(typeEnd)
       idx = s.indexOf("::")
     }

@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{col, input_file_name, lit, monotonically_increasing_id, row_number}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{array, col, input_file_name, lit, monotonically_increasing_id, regexp_replace, row_number, split, substring, transform, trim, unhex, when}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, StringType, StructType}
 
 /** SQL write surface over STORE tables — beyond the reference, which
   * rejects every write (`/root/reference/src/server/query_remapper.go:
@@ -75,8 +76,22 @@ object PgDml {
       val t = requireStoreTable(store, name, "ALTER")
       store.renameColumn(t, unquoteName(from), unquoteName(to))
       Some(Command("ALTER TABLE"))
+    // pg_dump writes one per table; single-role store → nothing to record
+    case ownerRe(name) =>
+      requireStoreTable(store, name, "ALTER")
+      Some(Command("ALTER TABLE"))
+    // physical-layout knobs from foreign dumps (SET STORAGE/STATISTICS/
+    // COMPRESSION) — parquet storage has no equivalent; accepted no-ops
+    case storageRe(name) =>
+      requireStoreTable(store, name, "ALTER")
+      Some(Command("ALTER TABLE"))
     case _ => None
   }
+
+  private val ownerRe =
+    "(?is)ALTER\\s+TABLE\\s+(?:ONLY\\s+)?([\\w.\"]+)\\s+OWNER\\s+TO\\s+[\\w\"]+\\s*".r
+  private val storageRe =
+    "(?is)ALTER\\s+TABLE\\s+(?:ONLY\\s+)?([\\w.\"]+)\\s+ALTER\\s+(?:COLUMN\\s+)?[\\w\"]+\\s+SET\\s+(?:STORAGE|STATISTICS|COMPRESSION)\\s+.*".r
 
   private def firstWord(s: String): String = s.split("\\s+", 2)(0)
 
@@ -122,15 +137,24 @@ object PgDml {
 
   /** "numeric(10,2) not null" → ("numeric", 10, 2); constraint tail and
     * quoting dropped (the store keeps no constraints — reference tables
-    * carry them only as unique-index metadata). */
+    * carry them only as unique-index metadata). PG's multi-word spellings
+    * (pg_dump always writes them) normalize to the internal names, and an
+    * array suffix comes back `_`-prefixed — PgTypes.toSpark's array
+    * convention. */
   private def parseTypeName(raw: String): (String, Int, Int) = {
     val cleaned = raw.trim
       .replaceAll("(?i)\\s+(NOT\\s+NULL|NULL|PRIMARY\\s+KEY|UNIQUE|DEFAULT\\s+.*)$", "")
       .trim
+      .replaceAll("(?i)^timestamp\\s+without\\s+time\\s+zone", "timestamp")
+      .replaceAll("(?i)^timestamp\\s+with\\s+time\\s+zone", "timestamptz")
+      .replaceAll("(?i)^time\\s+without\\s+time\\s+zone", "time")
+      .replaceAll("(?i)^time\\s+with\\s+time\\s+zone", "timetz")
+      .replaceAll("(?i)^character\\s+varying", "varchar")
+      .replaceAll("(?i)^character\\b", "bpchar")
     val m = "([\\w ]+?)\\s*(?:\\(\\s*(\\d+)\\s*(?:,\\s*(\\d+))?\\s*\\))?\\s*(\\[\\s*\\])?".r
     cleaned match {
-      case m(base, p, sc, _) =>
-        (base.trim.toLowerCase,
+      case m(base, p, sc, arr) =>
+        ((if (arr != null) "_" else "") + base.trim.toLowerCase,
           Option(p).map(_.toInt).getOrElse(0),
           Option(sc).map(_.toInt).getOrElse(0))
       case other => (other.toLowerCase, 0, 0)
@@ -304,10 +328,35 @@ object PgDml {
       s"INSERT has ${src.columns.length} expressions for ${names.length} target columns")
     val renamed = src.toDF(names: _*)
     renamed.select(target.fields.map { f =>
-      if (names.exists(_.equalsIgnoreCase(f.name)))
-        col(s"`${f.name}`").cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      if (names.exists(_.equalsIgnoreCase(f.name))) {
+        val c = col(s"`${f.name}`")
+        val srcIsString = renamed.schema.fields
+          .find(_.name.equalsIgnoreCase(f.name)).exists(_.dataType == StringType)
+        (if (srcIsString) pgTextCast(c, f.dataType)
+         else c.cast(f.dataType)).as(f.name)
+      } else lit(null).cast(f.dataType).as(f.name)
     }.toSeq: _*)
+  }
+
+  /** PG's text rendering assigned onto a typed column — the COPY FROM /
+    * VALUES ingest cast. Scalars use Spark's cast; `{a,"b",NULL}` array
+    * text and `\x…` bytea hex need hand-parsing (Spark has no
+    * string→array/binary cast). */
+  private def pgTextCast(c: Column, dt: DataType): Column = dt match {
+    case ArrayType(et, _) =>
+      val body = regexp_replace(c, "^\\{|\\}$", "")
+      val elems = transform(split(body, ","), x =>
+        when(trim(x) === "NULL", lit(null).cast(StringType))
+          .otherwise(regexp_replace(trim(x), "^\"|\"$", "")))
+      when(c.isNull, lit(null).cast(ArrayType(et)))
+        .when(trim(body) === "", array().cast(ArrayType(et)))
+        .otherwise(elems.cast(ArrayType(et)))
+    case BinaryType =>
+      when(c.isNull, lit(null).cast(BinaryType))
+        .when(substring(c, 1, 2) === "\\x",
+          unhex(substring(c, 3, Int.MaxValue)))
+        .otherwise(c.cast(BinaryType))
+    case other => c.cast(other)
   }
 
   // ---- UPDATE / DELETE ---------------------------------------------------

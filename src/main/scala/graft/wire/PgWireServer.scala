@@ -510,6 +510,15 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
     // checked only when one is configured, and the system auth user always
     // connects (the reference's SYSTEM_AUTH_USER backdoor for its own CLI)
     val kv = parseStartupParams(params)
+    // pg_dump/pg_restore need the REAL-PG catalog surface (pg_namespace
+    // incl. oid 11 for built-in typnamespace resolution) rather than the
+    // reference's filtered view; libpq identifies them via
+    // fallback_application_name, and `SET graft.system_catalog = 'full'`
+    // opts any other client in
+    val appName = kv.getOrElse("application_name",
+      kv.getOrElse("fallback_application_name", ""))
+    if (appName.contains("pg_dump") || appName.contains("pg_restore"))
+      SessionSettings.set("graft.system_catalog", "full")
     // the protocol documents `database` as optional, defaulting to the user
     val clientDb = kv.get("database").orElse(kv.get("user")).getOrElse("")
     if (clientDb != database) {

@@ -26,7 +26,8 @@ object ServeMain {
     // database always validated, user only when configured
     val bound = new PgWireServer(spark, store, port,
       database = sys.env.getOrElse("GRAFT_DATABASE", "graft"),
-      user = sys.env.getOrElse("GRAFT_USER", "")).start()
+      user = sys.env.getOrElse("GRAFT_USER", ""),
+      serverVersion = sys.env.getOrElse("GRAFT_SERVER_VERSION", "17.0")).start()
     println(s"graft server ready on port $bound (sf=$sfDir)")
     Thread.currentThread.join()
   }

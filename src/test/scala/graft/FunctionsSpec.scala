@@ -50,7 +50,8 @@ class FunctionsSpec extends AnyFunSuite {
     assert(PgCatalog.pgTypeOf(DoubleType) == (701, "double precision"))
     assert(PgCatalog.pgTypeOf(StringType) == (25, "text"))
     assert(PgCatalog.pgTypeOf(TimestampType)._1 == 1184)
-    assert(PgCatalog.pgTypeOf(ArrayType(FloatType))._1 == 2277)
+    assert(PgCatalog.pgTypeOf(ArrayType(FloatType)) == (1021, "real[]"))
+    assert(PgCatalog.pgTypeOf(ArrayType(StringType))._1 == 1009)
     assert(PgCatalog.pgTypeOf(DecimalType(12, 2)) == (1700, "numeric"))
   }
 }

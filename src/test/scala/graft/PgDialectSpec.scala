@@ -487,8 +487,15 @@ class PgDialectSpec extends SparkSpecBase {
       == "SELECT CAST((1 + 2) AS STRING)")
     assert(translateSelect("SELECT x::numeric(10,2) FROM t")
       == "SELECT CAST(x AS DECIMAL(10,2)) FROM t")
+    // array-LITERAL casts expand to typed array() constructors — Spark has
+    // no string→array cast, so the old CAST(... AS ARRAY<…>) form failed
+    // at analysis (pg_dump probes unnest('{16385}'::oid[]))
     assert(translateSelect("SELECT '{a,b}'::text[]")
-      == "SELECT CAST('{a,b}' AS ARRAY<STRING>)")
+      == "SELECT array(CAST('a' AS STRING), CAST('b' AS STRING))")
+    assert(translateSelect("SELECT '{}'::int4[]")
+      == "SELECT CAST(array() AS ARRAY<INT>)")
+    assert(translateSelect("SELECT col::text[] FROM t")
+      == "SELECT CAST(col AS ARRAY<STRING>) FROM t")
     assert(translateSelect("SELECT a.b::int8 FROM t a")
       == "SELECT CAST(a.b AS BIGINT) FROM t a")
   }
