@@ -196,6 +196,9 @@ object PgFunctions {
     // acl columns. STRING (the aclitem[] text rendering) so it unions
     // with the '{}' literals pg_dump CASEs it against.
     const(spark, "acldefault", null, StringType)
+    // shared-object comments (pg_dump -Fc reads database/role comments);
+    // none exist — same null contract as obj_description on unknown oids
+    const(spark, "shobj_description", null, StringType)
     const(spark, "pg_get_function_result", "", StringType) // psql \df
     const(spark, "pg_get_constraintdef", "", StringType) // pg_dump indexes
     const(spark, "pg_get_triggerdef", "", StringType)

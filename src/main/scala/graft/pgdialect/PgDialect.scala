@@ -745,6 +745,7 @@ object PgDialect {
     if (SessionSettings.get("graft.system_catalog").contains("full")) {
       s = s.replaceAll("(?i)\\bpg_namespace\\b", "pg_namespace_full")
       s = s.replaceAll("(?i)\\bpg_class\\b", "pg_class_dump")
+      s = s.replaceAll("(?i)\\bpg_description\\b", "pg_description_dump")
     }
     // user-schema qualification: the reference resolves schema.table for
     // its synced schemas (query_remapper_table.go:93-110); our registered

@@ -297,7 +297,8 @@ object PgCatalog {
     "pg_largeobject" -> 2613L, "pg_largeobject_metadata" -> 2995L,
     "pg_transform" -> 3576L, "pg_range" -> 3541L, "pg_enum" -> 3501L,
     "pg_amop" -> 2602L, "pg_amproc" -> 2603L, "pg_subscription" -> 6100L,
-    "pg_description" -> 2609L, "pg_database" -> 1262L, "pg_sequence" -> 2224L,
+    "pg_description" -> 2609L, "pg_description_dump" -> 2609L,
+    "pg_database" -> 1262L, "pg_sequence" -> 2224L,
     "pg_trigger" -> 2620L, "pg_event_trigger" -> 3466L)
 
   /** createOrReplaceTempView with reference wire-OID tags applied. */
@@ -373,6 +374,7 @@ object PgCatalog {
       .withColumn("daticulocale", lit(null).cast("string"))
       .withColumn("datfrozenxid", lit(0L))
       .withColumn("datminmxid", lit(0L))
+      .withColumn("datcollversion", lit(null).cast("string")) // pg_dump -Fc
       .asCatalogView("pg_database")
     Seq((10L, userName, true, false, true, true, true, true, false, -1))
       .toDF("oid", "rolname", "rolsuper", "rolreplication", "rolinherit",
@@ -527,6 +529,9 @@ object PgCatalog {
     Seq.empty[(Long, Long, Long, String)]
       .toDF("objoid", "classoid", "objsubid", "description")
       .asCatalogView("pg_description")
+    Seq.empty[(Long, Long, Long, String)]
+      .toDF("objoid", "classoid", "objsubid", "description")
+      .asCatalogView("pg_description_dump")
     Seq((10L, userName, Option("SCRAM-SHA-256$4096:c2FsdA==$c3Q=:c2s=")))
       .toDF("usesysid", "usename", "passwd").asCatalogView("pg_shadow")
     // `SELECT * FROM user` works in PG (the user keyword-view)
@@ -665,7 +670,8 @@ object PgCatalog {
       "trffromsql" -> L, "trftosql" -> L)
     shell("pg_auth_members", "oid" -> L, "roleid" -> L, "member" -> L, "grantor" -> L,
       "admin_option" -> B, "inherit_option" -> B, "set_option" -> B)
-    shell("pg_db_role_setting", "setdatabase" -> L, "setrole" -> L)
+    shell("pg_db_role_setting", "setdatabase" -> L, "setrole" -> L,
+      "setconfig" -> ArrayType(StringType))
     shell("pg_default_acl", "oid" -> L, "defaclrole" -> L,
       "defaclnamespace" -> L, "defaclobjtype" -> S,
       "defaclacl" -> ArrayType(StringType))
@@ -1058,5 +1064,11 @@ object PgCatalog {
     }
     descRows.toDF("objoid", "classoid", "objsubid", "description")
       .asCatalogView("pg_description")
+    // dump-mode variant: pg_dump matches a comment to its relation by
+    // (classoid, objoid) == (pg_class's REAL oid 1259, c.tableoid-row oid);
+    // the default view keeps the reference's 1978-numbered classoid
+    descRows.map { case (oid, _, sub, text) => (oid, 1259L, sub, text) }
+      .toDF("objoid", "classoid", "objsubid", "description")
+      .asCatalogView("pg_description_dump")
   }
 }

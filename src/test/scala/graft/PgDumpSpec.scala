@@ -152,6 +152,70 @@ class PgDumpSpec extends SparkSpecBase {
     }
   }
 
+  test("custom-format dump (-Fc) feeds pg_restore into a real PostgreSQL") {
+    assume(bin("pg_dump").isDefined, "no pg_dump in this environment")
+    assume(bin("pg_restore").isDefined, "no pg_restore in this environment")
+    assume(LivePg.info.isDefined, "no live PostgreSQL in this environment")
+    val f = java.nio.file.Files.createTempFile("graft-dump", ".pgc")
+    val (rc, out) = dump("-Fc", "-t", "nation", "-t", "orders",
+      "-f", f.toString)
+    assert(rc == 0, out.takeRight(1200))
+    val pg = LivePg.info.get
+    def psqlLive(db: String, args: String*): (Int, String) =
+      run(Seq(bin("psql").get, "-h", pg.host, "-p", pg.port.toString,
+        "-U", pg.user, "-d", db, "-X", "-A", "-t") ++ args)
+    val dbName = "graft_fc_restored"
+    psqlLive("postgres", "-c", s"DROP DATABASE IF EXISTS $dbName")
+    val (crc, cout) = psqlLive("postgres", "-c", s"CREATE DATABASE $dbName")
+    assert(crc == 0, cout)
+    val (rrc, rout) = run(Seq(bin("pg_restore").get, "-h", pg.host,
+      "-p", pg.port.toString, "-U", pg.user, "-d", dbName,
+      "--no-owner", f.toString))
+    assert(rrc == 0, "pg_restore failed:\n" + rout.takeRight(1500))
+    for (t <- Seq("nation", "orders")) {
+      val (qrc, qout) = psqlLive(dbName, "-c", s"SELECT count(*) FROM $t")
+      assert(qrc == 0, qout)
+      assert(qout.trim == spark.table(t).count().toString, s"$t: ${qout.trim}")
+    }
+  }
+
+  test("pg_dump carries table and column comments, and a commented store " +
+      "table round-trips through the dump") {
+    assume(bin("pg_dump").isDefined, "no pg_dump in this environment")
+    assume(bin("psql").isDefined, "no psql in this environment")
+    def psqlSelf(args: String*): (Int, String) =
+      run(Seq(bin("psql").get, "-h", "127.0.0.1", "-p", server.toString,
+        "-U", "graft", "-d", "graft", "-X", "-A", "-t", "-v",
+        "ON_ERROR_STOP=1") ++ args)
+    val (src, sout) = psqlSelf("-c",
+      "CREATE TABLE cdump (id bigint, note text);" +
+        "INSERT INTO cdump VALUES (1, 'a'), (2, 'b');" +
+        "COMMENT ON TABLE cdump IS 'the comment table';" +
+        "COMMENT ON COLUMN cdump.note IS 'free text'")
+    assert(src == 0, sout)
+    try {
+      val (rc, out) = dump("-t", "cdump")
+      assert(rc == 0, out.takeRight(1200))
+      assert(out.contains("COMMENT ON TABLE public.cdump IS 'the comment table';"),
+        out.takeRight(800))
+      assert(out.contains("COMMENT ON COLUMN public.cdump.note IS 'free text';"),
+        out.takeRight(800))
+      // and the dump lands back in a store table, comments applied
+      val renamed = out.replaceAll("\\bpublic\\.", "public.rt2_")
+      val f = java.nio.file.Files.createTempFile("graft-cdump", ".sql")
+      java.nio.file.Files.write(f, renamed.getBytes("UTF-8"))
+      val (rrc, rout) = psqlSelf("-f", f.toString)
+      assert(rrc == 0, "restore failed:\n" + rout.takeRight(1200))
+      val (qrc, qout) = psqlSelf("-c",
+        "SELECT count(*), obj_description('rt2_cdump'::regclass) FROM rt2_cdump")
+      assert(qrc == 0, qout)
+      assert(qout.trim == "2|the comment table", qout)
+    } finally {
+      psqlSelf("-c", "DROP TABLE cdump")
+      psqlSelf("-c", "DROP TABLE IF EXISTS rt2_cdump")
+    }
+  }
+
   test("pg_dump output restores into graft itself (store tables)") {
     assume(bin("pg_dump").isDefined, "no pg_dump in this environment")
     assume(bin("psql").isDefined, "no psql in this environment")
