@@ -61,6 +61,13 @@ object PgDml {
     * is handled upstream in PgDialect). */
   private def alterColumn(spark: SparkSession, store: Store,
       s: String): Option[PgResult] = s match {
+    // constraint DDL (pgbench -i: `add primary key (bid)`) — the store
+    // keeps no constraints (reference tables carry them only as
+    // unique-index metadata), accepted as a no-op; MUST precede the ADD
+    // COLUMN case, which would otherwise read `primary` as a column name
+    case constraintRe(name) =>
+      requireStoreTable(store, name, "ALTER")
+      Some(Command("ALTER TABLE"))
     case addColRe(name, ifNot, colName, typeRaw) =>
       val t = requireStoreTable(store, name, "ALTER")
       val (tpe, p, sc) = parseTypeName(typeRaw)
@@ -90,6 +97,9 @@ object PgDml {
 
   private val ownerRe =
     "(?is)ALTER\\s+TABLE\\s+(?:ONLY\\s+)?([\\w.\"]+)\\s+OWNER\\s+TO\\s+[\\w\"]+\\s*".r
+  private val constraintRe =
+    ("(?is)ALTER\\s+TABLE\\s+(?:ONLY\\s+)?([\\w.\"]+)\\s+ADD\\s+" +
+      "(?:CONSTRAINT\\s+[\\w\"]+\\s+)?(?:PRIMARY\\s+KEY|UNIQUE|FOREIGN\\s+KEY|CHECK)\\b.*").r
   private val storageRe =
     "(?is)ALTER\\s+TABLE\\s+(?:ONLY\\s+)?([\\w.\"]+)\\s+ALTER\\s+(?:COLUMN\\s+)?[\\w\"]+\\s+SET\\s+(?:STORAGE|STATISTICS|COMPRESSION)\\s+.*".r
 
@@ -164,7 +174,7 @@ object PgDml {
   // ---- INSERT ------------------------------------------------------------
 
   private val insertRe =
-    "(?is)INSERT\\s+INTO\\s+([\\w.\"]+)\\s*(\\([^)]*\\))?\\s*(VALUES\\s+.*|SELECT\\s+.*|WITH\\s+.*|TABLE\\s+.*)".r
+    "(?is)INSERT\\s+INTO\\s+([\\w.\"]+)\\s*(\\([^)]*\\))?\\s*(VALUES\\b.*|SELECT\\s+.*|WITH\\s+.*|TABLE\\s+.*)".r
 
   private val onConflictRe =
     "(?is)(.*?)\\s+ON\\s+CONFLICT\\s*(?:\\(([^)]*)\\))?\\s+DO\\s+(NOTHING|UPDATE\\s+SET\\s+.*)$".r
@@ -640,11 +650,18 @@ object PgDml {
   }
 
   private def truncate(spark: SparkSession, store: Store, s: String): PgResult = {
-    val m = "(?is)TRUNCATE\\s+(?:TABLE\\s+)?(?:ONLY\\s+)?([\\w.\"]+)\\s*".r
+    // PG accepts a table LIST (pgbench -i: `truncate table a, b, c, d`)
+    // plus trailing RESTART IDENTITY / CASCADE options (no sequences or
+    // FKs in the store — accepted and inert, like PG with none defined)
+    val m = ("(?is)TRUNCATE\\s+(?:TABLE\\s+)?(?:ONLY\\s+)?" +
+      "([\\w.\"]+(?:\\s*,\\s*[\\w.\"]+)*)" +
+      "(?:\\s+(?:RESTART|CONTINUE)\\s+IDENTITY)?(?:\\s+(?:CASCADE|RESTRICT))?\\s*").r
     s match {
-      case m(name) =>
-        val t = requireStoreTable(store, name, "TRUNCATE")
-        store.truncate(t)
+      case m(names) =>
+        // validate the whole list before truncating any member — PG's
+        // statement atomicity for the common missing-table case
+        val ts = names.split(",").map(n => requireStoreTable(store, n.trim, "TRUNCATE"))
+        ts.foreach(store.truncate)
         Command("TRUNCATE TABLE")
       case _ => throw UnsupportedQuery("unsupported query type: TRUNCATE")
     }

@@ -50,6 +50,29 @@ class DmlSpec extends SparkSpecBase {
     assert(rows("SELECT count(*) AS n FROM dml_regions").head.getLong(0) == 0)
   }
 
+  test("TRUNCATE accepts a table list and trailing options like PG " +
+      "(pgbench -i issues `truncate table a, b, c, d`)") {
+    import spark.implicits._
+    tag("CREATE TABLE dml_tl1 AS SELECT r_regionkey FROM region")
+    tag("CREATE TABLE dml_tl2 AS SELECT n_nationkey FROM nation")
+    assert(tag("TRUNCATE TABLE dml_tl1, dml_tl2 RESTART IDENTITY CASCADE")
+      == "TRUNCATE TABLE")
+    assert(rows("SELECT count(*) AS n FROM dml_tl1").head.getLong(0) == 0)
+    assert(rows("SELECT count(*) AS n FROM dml_tl2").head.getLong(0) == 0)
+    // the whole list validates before any member truncates
+    tag("INSERT INTO dml_tl1 SELECT r_regionkey FROM region")
+    val e = intercept[PgDialect.UnsupportedQuery](
+      exec("TRUNCATE dml_tl1, not_a_store_table"))
+    assert(e.getMessage.contains("TRUNCATE"))
+    assert(rows("SELECT count(*) AS n FROM dml_tl1").head.getLong(0) == 5)
+    // constraint DDL is a recorded no-op (pgbench's ADD PRIMARY KEY),
+    // never a mis-parsed ADD COLUMN named `primary`
+    assert(tag("ALTER TABLE dml_tl1 ADD PRIMARY KEY (r_regionkey)")
+      == "ALTER TABLE")
+    assert(rows("SELECT * FROM dml_tl1").head.schema.fieldNames.toSeq
+      == Seq("r_regionkey"))
+  }
+
   test("update is copy-on-write: untouched files carry, SET sees the old row") {
     import spark.implicits._
     // 4 files keyed by disjoint ranges; update touches only one range
