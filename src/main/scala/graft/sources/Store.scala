@@ -312,6 +312,20 @@ class Store(spark: SparkSession, val warehouse: String) {
   private def versionDir(name: String, v: Int): String = s"$root/$name/v$v"
   private def versionPath(name: String, v: Int): HadoopPath =
     new HadoopPath(versionDir(name, v))
+
+  /** Open version dir `next` for a carry-based write. The catalog pointer
+    * says `next` was never published, so an existing directory can only be
+    * a crash orphan (a writer died between its data write and the catalog
+    * commit); cleared first, or its ghost files would silently merge into
+    * this version's carried file set — phantom rows after recovery. The
+    * Overwrite-mode replace paths clear implicitly; every carryFile path
+    * must come through here. */
+  private def freshVersionDir(name: String, next: Int): HadoopPath = {
+    val dir = versionPath(name, next)
+    if (fs.exists(dir)) fs.delete(dir, true)
+    fs.mkdirs(dir)
+    dir
+  }
   private def tablePath(name: String): HadoopPath = new HadoopPath(root, name)
 
   def exists(name: String): Boolean = versions.contains(name)
@@ -688,8 +702,7 @@ class Store(spark: SparkSession, val warehouse: String) {
     val files = dataFiles(cur)
     val (full, small) = files.partition(_.getLen >= maxFileBytes)
     val next = versions.getOrElse(name, 0) + 1
-    val dir = versionPath(name, next)
-    fs.mkdirs(dir)
+    val dir = freshVersionDir(name, next)
     full.foreach(f => carryFile(f.getPath, dir))
     val tail =
       if (small.isEmpty) df
@@ -878,8 +891,7 @@ class Store(spark: SparkSession, val warehouse: String) {
       files.map(_.getPath).partition(f => hitNames.contains(f.getName))
     if (hit.isEmpty) return (0, files.length)
     val next = versions(name) + 1
-    val dir = versionPath(name, next)
-    fs.mkdirs(dir)
+    val dir = freshVersionDir(name, next)
     carried.foreach(carryFile(_, dir))
     val src = readLogicalFiles(name, hit.map(_.toString))
     writeInto(toPhysical(name, transform(src)), name, dir, s"cow-$next")
@@ -1092,6 +1104,13 @@ class Store(spark: SparkSession, val warehouse: String) {
     val before = dataFiles(versionPath(name, versions(name))).length
     if (full) replace(name, read(name))
     else appendCompacting(name, read(name).limit(0))
+    // crashed writers leave `.<prefix>-tmp` spool dirs (writeInto renames
+    // out of them before deleting) and version dirs above the published
+    // pointer; both are invisible to readers — vacuum reclaims the bytes
+    fs.listStatus(tablePath(name)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".") &&
+        s.getPath.getName.endsWith("-tmp"))
+      .foreach(s => fs.delete(s.getPath, true))
     val expired = expireVersions(name).length
     val after = dataFiles(versionPath(name, versions(name))).length
     (before, after, expired)
@@ -1200,8 +1219,7 @@ class Store(spark: SparkSession, val warehouse: String) {
         }.toSeq: _*))
       }
       val next = versions(name) + 1
-      val dir = versionPath(name, next)
-      fs.mkdirs(dir)
+      val dir = freshVersionDir(name, next)
       carried.foreach(carryFile(_, dir))
       val out = (rewritten, inserts) match {
         case (Some(r), Some(i)) => Some(r.unionByName(i))
@@ -1236,8 +1254,7 @@ class Store(spark: SparkSession, val warehouse: String) {
     val files = dataFiles(cur).map(_.getPath)
     val (hit, carried) = overlapPartition(cur, files, incoming, key)
     val next = versions(name) + 1
-    val dir = versionPath(name, next)
-    fs.mkdirs(dir)
+    val dir = freshVersionDir(name, next)
     carried.foreach(carryFile(_, dir))
     val kept =
       if (hit.isEmpty) None
@@ -1388,7 +1405,11 @@ class Store(spark: SparkSession, val warehouse: String) {
     val all = fs.listStatus(tablePath(name)).toSeq
       .map(_.getPath.getName)
       .filter(_.matches("v\\d+")).map(_.drop(1).toInt).sorted
-    val doomed = all.filter(_ <= versions(name)).dropRight(math.max(keep, 1))
+    // above-pointer dirs are crash orphans (never published — a writer
+    // died before its catalog commit); below-pointer beyond `keep` are
+    // expired time-travel snapshots
+    val doomed = all.filter(_ <= versions(name)).dropRight(math.max(keep, 1)) ++
+      all.filter(_ > versions(name))
     doomed.foreach(v => fs.delete(versionPath(name, v), true))
     // keep the Iceberg metadata tree consistent: snapshots over expired
     // version dirs reference deleted data files, so expire them too

@@ -325,6 +325,40 @@ class StoreSpec extends SparkSpecBase {
     assert(!st3.exists("t1") && st3.exists("mv_persist"))
   }
 
+  test("crash orphans never resurface: unpublished version dirs and tmp " +
+      "spools are invisible, cleared on the next write, reclaimed by vacuum") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-crash").toString
+    val st = new Store(spark, dir)
+    import spark.implicits._
+    st.replace("ct", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    st.appendCompacting("ct", Seq((3L, "c")).toDF("k", "v")) // published v2
+    // simulate a writer that died between its data write and the catalog
+    // commit: a v3 dir full of ghost rows, plus a half-written tmp spool
+    val ghost = new java.io.File(s"$dir/ct/v3"); ghost.mkdirs()
+    Seq((100L, "ghost"), (101L, "ghost")).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$dir/ct/v3")
+    new java.io.File(s"$dir/ct/.compacted-9-tmp").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/ct/.compacted-9-tmp/junk.parquet"),
+      Array[Byte](1, 2, 3))
+    // a fresh Store trusts the catalog pointer, not the directory listing
+    val st2 = new Store(spark, dir)
+    assert(st2.read("ct").count() == 3, "ghost rows leaked into reads")
+    // the next write reuses version number 3 and must CLEAR the orphan
+    // rather than merge its files into the carried set
+    st2.appendCompacting("ct", Seq((4L, "d")).toDF("k", "v"))
+    val rows = st2.read("ct").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows == Seq(1L, 2L, 3L, 4L), s"ghost resurrection: $rows")
+    // vacuum reclaims crash artifacts: tmp spools and any orphan above
+    // the published pointer
+    new java.io.File(s"$dir/ct/v99").mkdirs()
+    st2.vacuum("ct")
+    val names = new java.io.File(s"$dir/ct").listFiles.map(_.getName).toSet
+    assert(!names.contains(".compacted-9-tmp"), names.mkString(","))
+    assert(!names.contains("v99"), names.mkString(","))
+    assert(st2.read("ct").count() == 4)
+  }
+
   test("create matview WITH NO DATA is empty until refresh") {
     val st = freshStore()
     Tables.registerAll(spark, sfDir)
