@@ -616,20 +616,25 @@ object PgDialect {
     // DML over STORE tables only (PgDml — beyond-parity write surface);
     // everything else (writes on non-store relations, COPY FROM, DDL we
     // don't model) mirrors query_remapper.go:180-184. Inside a txn the
-    // touched tables are discovered by diffing the (catalog-sized)
-    // version map around the statement — PgDml stays txn-agnostic.
-    val versionsBefore =
-      if (txn != null && txn.inTxn) store.versionSnapshot else null
-    PgDml.execute(spark, store, stmt) match {
-      case Some(r) =>
-        if (versionsBefore != null)
-          store.versionSnapshot.foreach { case (t, v) =>
-            val before = versionsBefore.getOrElse(t, 0)
-            if (v != before) txn.noteWrite(t, before, v)
+    // touched tables come from the store's per-THREAD write journal —
+    // PgDml stays txn-agnostic, and another connection's concurrent
+    // commit can never be blamed on (and rolled back with) this txn,
+    // which a global version-map diff around the statement would do.
+    val journaling = txn != null && txn.inTxn
+    if (journaling) store.beginWriteJournal()
+    try {
+      PgDml.execute(spark, store, stmt) match {
+        case Some(r) =>
+          if (journaling) {
+            val now = store.versionSnapshot
+            store.drainWriteJournal().foreach { case (t, before) =>
+              txn.noteWrite(t, before, now.getOrElse(t, before))
+            }
           }
-        return r
-      case None =>
-    }
+          return r
+        case None =>
+      }
+    } finally if (journaling) store.drainWriteJournal()
     throw UnsupportedQuery("unsupported query type: " + stmt.split("\\s+")(0))
   }
 

@@ -60,6 +60,30 @@ class Store(spark: SparkSession, val warehouse: String) {
   private def isLocalFs: Boolean = "file" == root.toUri.getScheme
 
   private val versions = TrieMap[String, Int]()
+
+  /** Per-THREAD write journal: (table, version-before) recorded at each
+    * version publish on this thread. The transaction layer attributes a
+    * statement's writes from here — diffing the global version map around
+    * the statement would blame OTHER connections' concurrent commits on
+    * this transaction, and its ROLLBACK would then restore (destroy) their
+    * committed writes. Spark actions block on the calling thread, so every
+    * publish a statement causes lands on the connection thread running it. */
+  private val writeJournal =
+    new ThreadLocal[scala.collection.mutable.ListBuffer[(String, Int)]]
+  private[graft] def beginWriteJournal(): Unit =
+    writeJournal.set(scala.collection.mutable.ListBuffer())
+  private[graft] def drainWriteJournal(): Seq[(String, Int)] = {
+    val l = writeJournal.get(); writeJournal.remove()
+    if (l == null) Nil else l.toSeq
+  }
+  /** Every forward version bump comes through here (rollback's pointer
+    * restore intentionally does not — undo is not a write to attribute). */
+  private def publishVersion(name: String, next: Int): Unit = {
+    val l = writeJournal.get()
+    if (l != null) l += ((name, versions.getOrElse(name, 0)))
+    versions(name) = next
+  }
+
   private val matviewDefs = TrieMap[String, String]()
   /** Plain (non-materialized) SQL views: name -> (PG-SQL definition,
     * column aliases, durable?). Durable views persist in the catalog and
@@ -569,7 +593,7 @@ class Store(spark: SparkSession, val warehouse: String) {
       writeInto(re.repartition(needed), name, dir, s"capped-$next")
       over.foreach(f => fs.delete(f.getPath, false))
     }
-    versions(name) = next
+    publishVersion(name, next)
     persistCatalog()
     publish(name)
   }
@@ -587,7 +611,7 @@ class Store(spark: SparkSession, val warehouse: String) {
       .sortWithinPartitions(key)
       .write.mode(SaveMode.Overwrite).option("compression", "zstd")
       .parquet(versionDir(name, next))
-    versions(name) = next
+    publishVersion(name, next)
     persistCatalog()
     publish(name)
   }
@@ -632,7 +656,7 @@ class Store(spark: SparkSession, val warehouse: String) {
       .drop("__zkey")
       .write.mode(SaveMode.Overwrite).option("compression", "zstd")
       .parquet(versionDir(name, next))
-    versions(name) = next
+    publishVersion(name, next)
     persistCatalog()
     publish(name)
   }
@@ -648,7 +672,7 @@ class Store(spark: SparkSession, val warehouse: String) {
     df.write.mode(SaveMode.Overwrite).option("compression", "zstd")
       .partitionBy(partitionCols: _*)
       .parquet(versionDir(name, next))
-    versions(name) = next
+    publishVersion(name, next)
     persistCatalog()
     publish(name)
   }
@@ -673,7 +697,7 @@ class Store(spark: SparkSession, val warehouse: String) {
       .option("path", versionDir(name, next))
       .bucketBy(numBuckets, key).sortBy(key)
       .saveAsTable(name)
-    versions(name) = next
+    publishVersion(name, next)
     persistCatalog()
   }
 
@@ -742,7 +766,7 @@ class Store(spark: SparkSession, val warehouse: String) {
       writeInto(re.repartition(needed), name, dir, s"resplit-$next")
       writtenFiles.foreach(f => fs.delete(f.getPath, false))
     }
-    versions(name) = next
+    publishVersion(name, next)
     persistCatalog()
     publish(name)
     writtenRows - compactedRows
@@ -895,7 +919,7 @@ class Store(spark: SparkSession, val warehouse: String) {
     carried.foreach(carryFile(_, dir))
     val src = readLogicalFiles(name, hit.map(_.toString))
     writeInto(toPhysical(name, transform(src)), name, dir, s"cow-$next")
-    versions(name) = next
+    publishVersion(name, next)
     persistCatalog()
     publish(name)
     (hit.length, files.length)
@@ -1235,7 +1259,7 @@ class Store(spark: SparkSession, val warehouse: String) {
       val nUpd = metric(matchObs, rewritten.isDefined, "n_upd")
       val nDel = metric(matchObs, rewritten.isDefined, "n_del")
       val nIns = metric(insObs, inserts.isDefined, "n_ins")
-      versions(name) = next
+      publishVersion(name, next)
       persistCatalog()
       publish(name)
       (nUpd, nDel, nIns)
@@ -1264,7 +1288,7 @@ class Store(spark: SparkSession, val warehouse: String) {
       if (appendIncoming) Some(kept.fold(incoming)(_.unionByName(incoming)))
       else kept
     out.foreach(writeInto(_, name, dir, s"rw-$next"))
-    versions(name) = next
+    publishVersion(name, next)
     persistCatalog()
     publish(name)
     (hit.length, files.length)

@@ -5,6 +5,10 @@ import graft.PgDialect._
 /** Golden statements for the PG-dialect front end, modeled on the
   * reference's server test corpus
   * (/root/reference/src/server/query_handler_test.go). */
+/** Cross-thread write trigger for the txn-isolation test: a static seam so
+  * the UDF closure stays serializable (a captured Store would not be). */
+object TxIsoHook { @volatile var hook: () => Unit = null }
+
 class PgDialectSpec extends SparkSpecBase {
 
   private lazy val store: Store =
@@ -307,6 +311,41 @@ class PgDialectSpec extends SparkSpecBase {
     exec("BEGIN"); exec("DROP VIEW vtx_keep"); exec("COMMIT")
     assert(!st.viewNames.contains("vtx_keep"))
     st.drop("vtx_t")
+  }
+
+  test("ROLLBACK never destroys a concurrent session's mid-statement commit") {
+    Tables.registerAll(spark, sfDir)
+    val wh = java.nio.file.Files.createTempDirectory("graft-txiso").toString
+    val st = new Store(spark, wh)
+    import spark.implicits._
+    st.replace("txi_mine", Seq(1L, 2L).toDF("id"))
+    st.replace("txi_other", Seq(1L).toDF("id"))
+    // the cross-thread write lands INSIDE this txn's statement window —
+    // exactly the overlap where a global version diff would blame the
+    // other session's commit on this txn and roll it back with it. The
+    // static hook keeps the non-serializable Store out of the UDF closure.
+    TxIsoHook.hook = () =>
+      st.appendCompacting("txi_other", Seq(99L).toDF("id"))
+    spark.udf.register("txi_cross", (x: Long) => {
+      val h = TxIsoHook.hook
+      if (h != null) {
+        val t = new Thread(() => h())
+        t.start(); t.join()
+        TxIsoHook.hook = null // fire once: re-runs of the plan are no-ops
+      }
+      x
+    })
+    val txn = new PgTxn
+    def exec(sql: String) = PgDialect.execute(spark, st, sql, txn)
+    exec("BEGIN")
+    exec("INSERT INTO txi_mine SELECT txi_cross(7)")
+    assert(st.read("txi_mine").count() == 3)
+    assert(st.read("txi_other").count() == 2)
+    exec("ROLLBACK")
+    assert(st.read("txi_mine").count() == 2, "own write must roll back")
+    assert(st.read("txi_other").count() == 2,
+      "the other session's committed write must SURVIVE this rollback")
+    st.drop("txi_mine"); st.drop("txi_other")
   }
 
   test("SIMILAR TO translates to an anchored RLIKE with PG semantics") {

@@ -325,6 +325,26 @@ class StoreSpec extends SparkSpecBase {
     assert(!st3.exists("t1") && st3.exists("mv_persist"))
   }
 
+  test("write journal is per-thread: another session's concurrent commit " +
+      "is never attributed to this thread's transaction") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wj").toString
+    val st = new Store(spark, dir)
+    import spark.implicits._
+    st.replace("wj_mine", Seq((1L, "a")).toDF("k", "v"))
+    st.replace("wj_other", Seq((1L, "x")).toDF("k", "v"))
+    st.beginWriteJournal()
+    // another connection (thread) commits while this journal is open —
+    // under the old global version-map diff this write would be blamed on
+    // (and rolled back with) this thread's transaction
+    val t = new Thread(() =>
+      st.appendCompacting("wj_other", Seq((2L, "y")).toDF("k", "v")))
+    t.start(); t.join()
+    st.appendCompacting("wj_mine", Seq((2L, "b")).toDF("k", "v"))
+    val mine = st.drainWriteJournal()
+    assert(mine.map(_._1) == Seq("wj_mine"), mine.mkString(","))
+    assert(st.read("wj_other").count() == 2)
+  }
+
   test("crash orphans never resurface: unpublished version dirs and tmp " +
       "spools are invisible, cleared on the next write, reclaimed by vacuum") {
     val dir = java.nio.file.Files.createTempDirectory("graft-crash").toString
