@@ -42,7 +42,8 @@ object PgDialect {
 
   private def translationSettingsKey: String =
     SessionSettings.get("graft.strip_schemas").getOrElse("public,main") + "|" +
-      SessionSettings.get("graft.scalar_subquery_first_row").getOrElse("off")
+      SessionSettings.get("graft.scalar_subquery_first_row").getOrElse("off") + "|" +
+      SessionSettings.get("graft.system_catalog").getOrElse("")
 
   /** Catalog refresh trigger (query_remapper_table.go:46-62,136-250): a
     * statement touching the live-DDL-reflecting catalog relations sees the

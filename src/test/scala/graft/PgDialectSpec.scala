@@ -313,6 +313,27 @@ class PgDialectSpec extends SparkSpecBase {
     st.drop("vtx_t")
   }
 
+  test("SET graft.system_catalog = 'full' opts any client into the " +
+      "real-PG catalog surface (pg_dump's automatic mode, by hand)") {
+    Tables.registerAll(spark, sfDir)
+    val wh = java.nio.file.Files.createTempDirectory("graft-syscat").toString
+    val st = new Store(spark, wh)
+    def exec(sql: String) = PgDialect.execute(spark, st, sql)
+    SessionSettings.withSession(spark) {
+      def nspnames() = exec("SELECT nspname FROM pg_namespace ORDER BY 1") match {
+        case Rows(df, _) => df.collect().map(_.getString(0)).toSeq
+        case other => fail(s"$other")
+      }
+      // default: the reference's filtered view — no system schemas
+      assert(!nspnames().contains("pg_catalog"))
+      try {
+        exec("SET graft.system_catalog = 'full'")
+        assert(nspnames().take(2) == Seq("pg_catalog", "pg_temp_1"))
+      } finally exec("RESET graft.system_catalog")
+      assert(!nspnames().contains("pg_catalog"))
+    }
+  }
+
   test("ROLLBACK never destroys a concurrent session's mid-statement commit") {
     Tables.registerAll(spark, sfDir)
     val wh = java.nio.file.Files.createTempDirectory("graft-txiso").toString
