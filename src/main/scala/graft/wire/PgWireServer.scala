@@ -703,7 +703,21 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
             case ci: PgDialect.CopyIn =>
               if (in == null) throw PgDialect.UnsupportedQuery(
                 "COPY FROM STDIN requires the simple protocol")
-              receiveCopyIn(in, out, ci)
+              // inside an explicit txn the ingested chunks must roll back
+              // with it, like any other write — journal the appends the
+              // same way the dialect journals PgDml statements
+              val journaling = txn != null && txn.inTxn
+              if (journaling) store.beginWriteJournal()
+              try {
+                val n = receiveCopyIn(in, out, ci)
+                if (journaling) {
+                  val now = store.versionSnapshot
+                  store.drainWriteJournal().foreach { case (t, before) =>
+                    txn.noteWrite(t, before, now.getOrElse(t, before))
+                  }
+                }
+                n
+              } finally if (journaling) store.drainWriteJournal()
             case PgDialect.Command(tag) => commandComplete(out, tag); 0L
             case PgDialect.Empty => msg(out, 'I') { _ => }; 0L
           }

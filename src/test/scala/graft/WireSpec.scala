@@ -1032,6 +1032,44 @@ class WireSpec extends SparkSpecBase {
     c.close()
   }
 
+  test("COPY FROM STDIN inside a transaction rolls back with it") {
+    import spark.implicits._
+    store.replace("copytx_t", Seq((0L, "seed")).toDF("k", "nm"))
+    val c = new Client(server._2); c.startup()
+    def copyData(s: String): Unit = {
+      val b = s.getBytes(UTF_8)
+      c.out.writeByte('d'); c.out.writeInt(4 + b.length); c.out.write(b)
+    }
+    def vals(msgs: Seq[(Char, Array[Byte])]) =
+      msgs.filter(_._1 == 'D').map(m => dataRowValues(m._2))
+    c.query("BEGIN")
+    c.out.writeByte('Q')
+    val q = "COPY copytx_t FROM STDIN".getBytes(UTF_8)
+    c.out.writeInt(4 + q.length + 1); c.out.write(q); c.out.writeByte(0); c.out.flush()
+    assert(c.in.read().toChar == 'G')
+    val glen = c.in.readInt(); c.in.readFully(new Array[Byte](glen - 4))
+    copyData("1\tone\n2\ttwo\n")
+    c.out.writeByte('c'); c.out.writeInt(4); c.out.flush()
+    c.drainUntilReady()
+    // visible inside the txn…
+    assert(vals(c.query("SELECT count(*) AS n FROM copytx_t")) == Seq(Seq("3")))
+    c.query("ROLLBACK")
+    // …and gone after ROLLBACK, like any other write in the txn
+    assert(vals(c.query("SELECT count(*) AS n FROM copytx_t")) == Seq(Seq("1")))
+    // a committed txn keeps its COPY
+    c.query("BEGIN")
+    c.out.writeByte('Q')
+    c.out.writeInt(4 + q.length + 1); c.out.write(q); c.out.writeByte(0); c.out.flush()
+    assert(c.in.read().toChar == 'G')
+    val g2 = c.in.readInt(); c.in.readFully(new Array[Byte](g2 - 4))
+    copyData("5\tkept\n")
+    c.out.writeByte('c'); c.out.writeInt(4); c.out.flush()
+    c.drainUntilReady()
+    c.query("COMMIT")
+    assert(vals(c.query("SELECT count(*) AS n FROM copytx_t")) == Seq(Seq("2")))
+    c.close()
+  }
+
   test("SET on one connection is invisible to a concurrent connection") {
     // the PG per-connection contract: each backend has its own GUC state
     val c1 = new Client(server._2); c1.startup()
