@@ -25,6 +25,11 @@ object PgWireServer {
   /** Always-accepted user, the analog of the reference's SYSTEM_AUTH_USER
     * (postgres_server.go:18) its own CLI connects as. */
   val SystemAuthUser = "graft"
+  /** Largest accepted frontend frame body. PG caps its frontend messages
+    * around 1 GB; nothing legitimate here (queries, COPY chunks, Bind
+    * params) approaches this — beyond it is a corrupt or hostile length
+    * field, refused BEFORE the allocation it names. */
+  val MaxFrameBytes: Int = 512 << 20
   private val pidCounter = new java.util.concurrent.atomic.AtomicInteger(1000)
   /** backend pid -> (secret, Spark job group) for CancelRequest routing */
   private val backends =
@@ -118,6 +123,22 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
         if (tpe < 0) open = false
         else {
           val len = in.readInt()
+          // frame sanity before allocating: a corrupt/hostile length would
+          // otherwise allocate up to 2 GB per connection (PG itself caps
+          // frontend messages ~1 GB; nothing legitimate here approaches it)
+          if (len < 4 || len - 4 > PgWireServer.MaxFrameBytes) {
+            // no ReadyForQuery: framing is lost, the connection terminates
+            // (PG's FATAL protocol-violation shape)
+            msg(out, 'E') { b =>
+              b.writeByte('S'); cstr(b, "FATAL")
+              b.writeByte('C'); cstr(b, "08P01")
+              b.writeByte('M'); cstr(b,
+                s"invalid message length $len for type ${tpe.toChar}")
+              b.writeByte(0)
+            }
+            out.flush()
+            return
+          }
           val body = new Array[Byte](len - 4)
           in.readFully(body)
           val b = new DataInputStream(new java.io.ByteArrayInputStream(body))
@@ -494,6 +515,9 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
     // carry on in 3.0 — dying or hanging here strands every new client
     val negotiateDown = (proto >>> 16) == 3 && (proto & 0xffff) > 0
     if ((proto >>> 16) != 3) return false
+    // startup length sanity before allocating (same guard as the message
+    // loop's — a real startup packet is a few hundred bytes of k/v pairs)
+    if (len < 8 || len - 8 > PgWireServer.MaxFrameBytes) return false
     val params = new Array[Byte](len - 8)
     in.readFully(params)
     if (negotiateDown) {

@@ -1032,6 +1032,30 @@ class WireSpec extends SparkSpecBase {
     c.close()
   }
 
+  test("a corrupt frame length is refused before the allocation it names") {
+    val c = new Client(server._2); c.startup()
+    // type 'Q' with a 2 GB length field: must answer a protocol-violation
+    // error and close, never attempt the allocation or hang the read loop
+    c.out.writeByte('Q'); c.out.writeInt(Int.MaxValue); c.out.flush()
+    val tpe = c.in.read().toChar
+    assert(tpe == 'E', s"expected ErrorResponse, got $tpe")
+    val len = c.in.readInt()
+    val body = new Array[Byte](len - 4); c.in.readFully(body)
+    val err = new String(body, UTF_8)
+    assert(err.contains("08P01") && err.contains("invalid message length"), err)
+    assert(c.in.read() == -1, "connection must close after a corrupt frame")
+    c.sock.close()
+    // negative body length on a fresh connection: same refusal
+    val c2 = new Client(server._2); c2.startup()
+    c2.out.writeByte('Q'); c2.out.writeInt(3); c2.out.flush()
+    assert(c2.in.read().toChar == 'E')
+    c2.sock.close()
+    // the server still accepts new connections afterwards
+    val c3 = new Client(server._2); c3.startup()
+    assert(c3.query("SELECT 1").exists(_._1 == 'D'))
+    c3.close()
+  }
+
   test("COPY FROM STDIN inside a transaction rolls back with it") {
     import spark.implicits._
     store.replace("copytx_t", Seq((0L, "seed")).toDF("k", "nm"))
