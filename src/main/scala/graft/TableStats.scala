@@ -37,15 +37,24 @@ object TableStats {
     def bytesEstimate: Long = (rows * rowWidth).toLong
   }
 
-  // keyed by relation name — the engine's single-schema namespace, same
-  // resolution scope as the session temp-view registry
-  private val registry = TrieMap[String, Stats]()
+  /** Namespace of store-managed tables; testdata parquet views use their
+    * dir path as the namespace. The split exists because the gate consumer
+    * resolves by (dir, name): an ANALYZE of a store/synced table that
+    * happens to share a name with a testdata table ("customer") must not
+    * feed that unrelated relation's size into the broadcast decision. */
+  val StoreNs = "store"
 
-  def get(name: String): Option[Stats] = registry.get(name)
-  def put(name: String, s: Stats): Unit = { registry(name) = s; () }
-  def drop(name: String): Unit = { registry.remove(name); () }
+  // keyed (namespace, relation name)
+  private val registry = TrieMap[(String, String), Stats]()
+
+  def get(name: String, ns: String = StoreNs): Option[Stats] =
+    registry.get((ns, name))
+  def put(name: String, s: Stats, ns: String = StoreNs): Unit =
+    { registry((ns, name)) = s; () }
+  def drop(name: String, ns: String = StoreNs): Unit =
+    { registry.remove((ns, name)); () }
   def clear(): Unit = registry.clear()
-  def analyzedTables: Seq[String] = registry.keys.toSeq.sorted
+  def analyzedTables: Seq[String] = registry.keys.map(_._2).toSeq.distinct.sorted
 
   private def orderableAtomic(dt: DataType): Boolean = dt match {
     case _: NumericType | StringType | DateType | TimestampType |
@@ -74,7 +83,7 @@ object TableStats {
   /** Run the one-job statistics pass over `df`, register and return the
     * result. `onlyCols` restricts to ANALYZE t(col, …)'s column list. */
   def analyze(spark: SparkSession, name: String, df: DataFrame,
-      onlyCols: Seq[String] = Nil): Stats = {
+      onlyCols: Seq[String] = Nil, ns: String = StoreNs): Stats = {
     val fields = df.schema.fields.toSeq.filter(f =>
       onlyCols.isEmpty || onlyCols.exists(_.equalsIgnoreCase(f.name)))
     val aggs: Seq[Column] = count(lit(1)).as("__n") +: fields.zipWithIndex.flatMap {
@@ -103,7 +112,7 @@ object TableStats {
         avgWidth = row.getDouble(row.fieldIndex(s"__w_$i")))
     }
     val stats = Stats(n, cols)
-    registry(name) = stats
+    registry((ns, name)) = stats
     stats
   }
 
@@ -114,7 +123,15 @@ object TableStats {
     * like PG's negative-ratio convention marks estimates. */
   def pgStatsRows: Seq[(String, String, String, Double, Double, Long,
       Option[String], Option[String])] =
-    registry.toSeq.sortBy(_._1).flatMap { case (t, s) =>
+    registry.toSeq
+      // one row set per relation NAME (the view has no namespace column);
+      // on a collision the store relation wins — it also shadows the
+      // same-named testdata view in name resolution
+      .groupBy(_._1._2).toSeq
+      .map { case (_, entries) =>
+        entries.find(_._1._1 == StoreNs).getOrElse(entries.head) }
+      .sortBy(_._1._2)
+      .flatMap { case ((_, t), s) =>
       // raw doubles, no decorative rounding: null_frac/avg_width are single
       // divisions of exact integer aggregates, so they reproduce
       // bit-identically from the same data in any engine (the oracle gate

@@ -48,9 +48,29 @@ object Tables {
   def broadcastSized(spark: SparkSession, dir: String, name: String): Boolean = {
     val gate = spark.conf.getOption("spark.graft.broadcastGateBytes")
       .flatMap(_.toLongOption).getOrElse(BroadcastGateBytes)
-    val estimate = TableStats.get(name).map(_.bytesEstimate)
+    // stats resolved under the DIR namespace: an analyzed store table that
+    // merely shares the name must not decide this relation's broadcast
+    val estimate = TableStats.get(name, ns = dir).map(_.bytesEstimate)
       .getOrElse(inputBytes(dir, name) * ParquetExpansion)
     estimate > 0 && estimate <= gate
+  }
+
+  /** Size-gated broadcast hint for a scale-factor-growing dimension:
+    * apply `f` (filter/projection) and hint broadcast ONLY when
+    * [[broadcastSized]] approves the BASE table's measured size (analyzed
+    * stats first, on-disk bytes otherwise). Above the gate the frame
+    * returns unhinted and AQE/autoBroadcastJoinThreshold picks the join
+    * strategy at runtime — an explicit hint would override both
+    * unconditionally, turning a 100x scale-up into a forced multi-GB
+    * broadcast. Gating on the BASE size is conservative: filters only
+    * shrink the input, and a gated-out filtered dim can still broadcast
+    * at runtime once AQE sees its true size. */
+  def bdim(spark: SparkSession, dir: String, name: String)(
+      f: DataFrame => DataFrame = identity): DataFrame = {
+    val d = f(df(spark, dir, name))
+    if (broadcastSized(spark, dir, name))
+      org.apache.spark.sql.functions.broadcast(d)
+    else d
   }
 
   // Frames are rebuilt per call: a frame is CHEAP to construct (a
@@ -233,6 +253,10 @@ object Tables {
       new java.util.WeakHashMap[SparkSession, String]())
   private def registeredDir(spark: SparkSession): String =
     Option(registeredDirs.get(spark)).getOrElse("")
+
+  /** The testdata dir this session registered ("" before registerAll) —
+    * the TableStats namespace for parquet-view relations. */
+  private[graft] def dirOf(spark: SparkSession): String = registeredDir(spark)
 
   /** Live entries in the per-session registration map (weak keys — the
     * count shrinks as dead sessions collect; test hook). */

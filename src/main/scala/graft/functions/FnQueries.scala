@@ -786,7 +786,7 @@ object FnQueries {
           CAST(min(r_regionkey) AS VARCHAR), CAST(max(r_regionkey) AS VARCHAR)
         FROM region) s
       ORDER BY attname""")) { (s, dir) =>
-      TableStats.analyze(s, "region", Tables.df(s, dir, "region"))
+      TableStats.analyze(s, "region", Tables.df(s, dir, "region"), ns = dir)
       PgCatalog.refreshStats(s)
       s.sql("""
         SELECT attname, null_frac,

@@ -85,8 +85,10 @@ object StoreOps {
       WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
       GROUP BY n_name
       ORDER BY n_name""")) { (s, dir) =>
+      // supplier grows with SF: size-gated hint (nation is fixed 25 rows —
+      // its unconditional broadcast is safe at any scale)
       t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.bdim(s, dir, "supplier")(), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
         .agg(msum(discProd, 1e4).as("revenue"))

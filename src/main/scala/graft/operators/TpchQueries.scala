@@ -108,10 +108,7 @@ object TpchQueries {
     * nation/region (fixed-cardinality) and tiny derived aggregates keep
     * their unconditional hints. */
   private def bdim(s: SparkSession, dir: String, n: String)(
-      f: DataFrame => DataFrame = identity): DataFrame = {
-    val d = f(t(s, dir, n))
-    if (Tables.broadcastSized(s, dir, n)) broadcast(d) else d
-  }
+      f: DataFrame => DataFrame = identity): DataFrame = Tables.bdim(s, dir, n)(f)
 
   val defs: Seq[Q] = Seq(
     Q("q01_pricing_summary", Some(s"""
@@ -480,12 +477,17 @@ object TpchQueries {
         AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
       GROUP BY p_brand, p_type, p_size
       ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")) { (s, dir) =>
-      val badSupp = t(s, dir, "supplier").filter(col("s_acctbal") < 0).select("s_suppkey")
+      // badSupp is ~10% of supplier and GROWS with SF — gate its broadcast
+      // on the base table's measured size like every other sf-growing dim
+      // (an ungated hint here is tens of millions of rows per executor at
+      // 100 TB-class SF); above the gate the anti-join shuffles on the key
+      val badSupp = bdim(s, dir, "supplier")(
+        _.filter(col("s_acctbal") < 0).select("s_suppkey"))
       t(s, dir, "lineitem")
         .join(bdim(s, dir, "part")(_.filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO"
               && col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))),
           col("p_partkey") === col("l_partkey"))
-        .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(badSupp, col("l_suppkey") === col("s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
         .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))

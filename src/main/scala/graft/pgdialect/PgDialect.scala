@@ -29,10 +29,34 @@ object PgDialect {
   //    flip, DDL, catalog-view refresh, base-table re-registration) bumps
   //    [[catalogEpoch]] and orphans older entries; the session timezone is
   //    part of the key because Catalyst folds it into timestamp exprs.
-  private val translationCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val planCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  /** Thread-safe access-order LRU. Eviction is PER ENTRY (eldest out), not
+    * a full flush: a busy multi-tenant server crossing the old size-capped
+    * `clear()` re-translated/re-planned every cached statement at once —
+    * a latency cliff exactly when the server is hottest. The compute runs
+    * OUTSIDE the lock (plan analysis is ms-scale); a racing duplicate
+    * compute is benign — both produce the same pure value, last put wins. */
+  private[graft] final class LruCache[K, V <: AnyRef](capacity: Int) {
+    private val map = new java.util.LinkedHashMap[K, V](capacity, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+        this.size() > capacity
+    }
+    def computeIfAbsent(k: K)(f: => V): V = {
+      val hit = map.synchronized(map.get(k))
+      if (hit != null) hit
+      else {
+        val nv = f
+        map.synchronized {
+          val cur = map.get(k)
+          if (cur != null) cur else { map.put(k, nv); nv }
+        }
+      }
+    }
+    def size: Int = map.synchronized(map.size())
+    def clear(): Unit = map.synchronized(map.clear())
+  }
+
+  private val translationCache = new LruCache[String, String](4096)
+  private val planCache = new LruCache[String, DataFrame](1024)
   /** Counter hooks (specs assert cache hits skip work). */
   private[graft] val translations = new java.util.concurrent.atomic.AtomicLong()
   private[graft] val planBuilds = new java.util.concurrent.atomic.AtomicLong()
@@ -65,12 +89,11 @@ object PgDialect {
       PgCatalog.refreshInfoSchema(spark)
   }
 
-  /** [[translateSelect]] behind the text cache. */
-  def translateSelectCached(sql: String): String = {
-    if (translationCache.size > 4096) translationCache.clear()
+  /** [[translateSelect]] behind the text cache (LRU — a hot statement
+    * survives eviction pressure from a churn of one-off statements). */
+  def translateSelectCached(sql: String): String =
     translationCache.computeIfAbsent(
-      translationSettingsKey + "\n" + sql, _ => translateSelect(sql))
-  }
+      translationSettingsKey + "\n" + sql)(translateSelect(sql))
 
   // ---- time travel -------------------------------------------------------
   private val travelRe =
@@ -150,13 +173,12 @@ object PgDialect {
   /** Parse/analyze `finalSql` once per (epoch, timezone); later identical
     * statements reuse the analyzed DataFrame. */
   def cachedPlan(spark: SparkSession, finalSql: String): DataFrame = {
-    if (planCache.size > 1024) planCache.clear()
     val key = catalogEpoch.get + "\n" +
       spark.conf.get("spark.sql.session.timeZone", "") + "\n" + finalSql
-    planCache.computeIfAbsent(key, _ => {
+    planCache.computeIfAbsent(key) {
       planBuilds.incrementAndGet()
       spark.sql(finalSql)
-    })
+    }
   }
 
   // ---- pg_stat_statements ------------------------------------------------
@@ -425,7 +447,14 @@ object PgDialect {
               if (store.exists(t)) Some(store.read(t))
               else try Some(spark.table(t)) catch { case _: Exception => None }
             df match {
-              case Some(d) => TableStats.analyze(spark, t, d, cols)
+              case Some(d) =>
+                // store tables register under the store namespace; a bare
+                // spark.table resolves a testdata view — its stats key
+                // under the session's dir so the broadcast gate for that
+                // dir (and only it) sees them
+                val ns = if (store.exists(t)) TableStats.StoreNs
+                         else Tables.dirOf(spark)
+                TableStats.analyze(spark, t, d, cols, ns = ns)
               case None if named.isDefined =>
                 throw UnsupportedQuery(s"""relation "$t" does not exist""")
               case None =>
@@ -625,17 +654,19 @@ object PgDialect {
     if (journaling) store.beginWriteJournal()
     try {
       PgDml.execute(spark, store, stmt) match {
-        case Some(r) =>
-          if (journaling) {
-            val now = store.versionSnapshot
-            store.drainWriteJournal().foreach { case (t, before) =>
-              txn.noteWrite(t, before, now.getOrElse(t, before))
-            }
-          }
-          return r
+        case Some(r) => return r
         case None =>
       }
-    } finally if (journaling) store.drainWriteJournal()
+    } finally if (journaling) {
+      // drain in the FINALLY so a statement that dies mid-sequence (e.g.
+      // multi-table TRUNCATE failing on table 3 of 5) still notes its
+      // partial publishes into the txn — ROLLBACK must revert those too,
+      // not just the writes of statements that completed
+      val now = store.versionSnapshot
+      store.drainWriteJournal().foreach { case (t, before) =>
+        txn.noteWrite(t, before, now.getOrElse(t, before))
+      }
+    }
     throw UnsupportedQuery("unsupported query type: " + stmt.split("\\s+")(0))
   }
 
@@ -921,7 +952,26 @@ object PgDialect {
         // qualified by THIS view's alias only — other relations in the
         // query may own a real tableoid column
         s = s.replaceAll(s"(?i)\\b$alias\\.tableoid\\s+AS\\s+(\\w+)", s"$oid AS $$1")
-        s = s.replaceAll(s"(?i)\\b$alias\\.tableoid\\b", s"$oid AS tableoid")
+        // remaining occurrences: only a SELECT-list item gets the output
+        // alias; a predicate/expression position (WHERE x.tableoid = n,
+        // CASE WHEN …, join conditions) takes the bare literal — `2616 AS
+        // tableoid = 2616` is not SQL. Position = nearest preceding clause
+        // keyword, operator-adjacency short-circuits to bare.
+        locally {
+          val occRe = s"(?i)\\b$alias\\.tableoid\\b".r
+          val cur = s
+          s = occRe.replaceAllIn(cur, m => {
+            val before = cur.substring(0, m.start)
+            val after = cur.substring(m.end)
+            val opAdj =
+              after.dropWhile(_.isWhitespace).headOption.exists("=<>!+-*/|".contains(_)) ||
+              before.reverse.dropWhile(_.isWhitespace).headOption.exists("=<>!+-*/|".contains(_))
+            val lastKw =
+              "(?i)\\b(SELECT|FROM|WHERE|ON|GROUP|ORDER|HAVING|RETURNING|WHEN|THEN|ELSE|USING|BY)\\b".r
+                .findAllMatchIn(before).foldLeft("")((_, k) => k.group(1).toUpperCase)
+            if (!opAdj && lastKw == "SELECT") s"$oid AS tableoid" else s"$oid"
+          })
+        }
       }
       // bare (unqualified) tableoid is unambiguous only in single-relation
       // queries over a pinned view
@@ -2457,6 +2507,12 @@ object PgDialect {
     s = rewriteContainment(s)
     s = rewriteCasts(s)
     s = rewriteSimilarTo(s)
+    // same pipeline-final pass as translateSelect: PG '' literals keep
+    // backslashes LITERAL (standard_conforming_strings) but Spark's parser
+    // processes escapes — without the doubling, every DML fragment (INSERT
+    // VALUES array text, UPDATE SET paths, WHERE regexes) silently loses
+    // its backslashes
+    s = escapeLiteralBackslashes(s)
     s
   }
 

@@ -351,16 +351,20 @@ object PgDml {
   /** PG's text rendering assigned onto a typed column — the COPY FROM /
     * VALUES ingest cast. Scalars use Spark's cast; `{a,"b",NULL}` array
     * text and `\x…` bytea hex need hand-parsing (Spark has no
-    * string→array/binary cast). */
+    * string→array/binary cast). Array text goes through the PG-aware
+    * tokenizer (PgWireSource.parseArray) — a split-on-comma would corrupt
+    * quoted elements containing commas, escaped quotes, or backslash
+    * escapes. The UDF is ingest-path-only (never in a read plan), so the
+    * codegen break is confined to the row-arrival cast, exactly where the
+    * reference also runs a per-row text parser. */
+  private val parsePgArrayText =
+    org.apache.spark.sql.functions.udf((s: String) =>
+      if (s == null) null
+      else graft.PgWireSource.parseArray(s.trim, trimUnquoted = true))
+
   private def pgTextCast(c: Column, dt: DataType): Column = dt match {
     case ArrayType(et, _) =>
-      val body = regexp_replace(c, "^\\{|\\}$", "")
-      val elems = transform(split(body, ","), x =>
-        when(trim(x) === "NULL", lit(null).cast(StringType))
-          .otherwise(regexp_replace(trim(x), "^\"|\"$", "")))
-      when(c.isNull, lit(null).cast(ArrayType(et)))
-        .when(trim(body) === "", array().cast(ArrayType(et)))
-        .otherwise(elems.cast(ArrayType(et)))
+      parsePgArrayText(c).cast(ArrayType(et))
     case BinaryType =>
       when(c.isNull, lit(null).cast(BinaryType))
         .when(substring(c, 1, 2) === "\\x",

@@ -104,10 +104,18 @@ object Streams {
       .dropDuplicatesWithinWatermark("event_id")
 
   /** Stream-static join: the streaming fact side joins a static dimension;
-    * Catalyst broadcasts the dim like any batch join, no state needed. */
-  def enrich(events: DataFrame, customer: DataFrame): DataFrame =
-    events.join(broadcast(customer), col("user_id") === col("c_custkey"))
+    * Catalyst broadcasts the dim like any batch join, no state needed.
+    * The hint is gated on the static side's own plan-stats size estimate —
+    * customer grows with SF, and stream-static joins see no AQE, so an
+    * unconditional hint would force a multi-GB broadcast every micro-batch
+    * at 100 TB-class scale; above the gate the planner's threshold rules
+    * decide. */
+  def enrich(events: DataFrame, customer: DataFrame): DataFrame = {
+    val est = customer.queryExecution.optimizedPlan.stats.sizeInBytes
+    val dim = if (est <= Tables.BroadcastGateBytes) broadcast(customer) else customer
+    events.join(dim, col("user_id") === col("c_custkey"))
       .select(col("event_id"), col("user_id"), col("c_mktsegment"), col("value"))
+  }
 
   /** Watermarked stream-stream interval join: each `view` event joins the
     * same user's `purchase` events that land within [view_ts, view_ts + 30

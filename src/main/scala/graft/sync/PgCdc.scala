@@ -94,12 +94,12 @@ class PgCdc(spark: SparkSession, conn: PgConnInfo, store: Store,
     // keep polling past batches that decode only BEGIN/COMMIT markers —
     // stopping there would strand real changes behind a marker burst
     var (lines, lastLsn) = peek()
-    var changes = lines.flatMap(parseChange)
+    var changes = lines.flatMap(parseChanges)
     while (changes.isEmpty && lines.nonEmpty) {
       advance(lastLsn) // markers only: consume them, look further
       val n = peek()
       lines = n._1; lastLsn = n._2
-      changes = lines.flatMap(parseChange)
+      changes = lines.flatMap(parseChanges)
     }
     if (changes.isEmpty) return (0L, 0L)
     val unmirrored = changes.map(_.table).distinct.filterNot(keys.contains)
@@ -184,38 +184,68 @@ object PgCdc {
     * `table public.t: INSERT: k[bigint]:7 v[text]:'a b' n[integer]:null`;
     * TRUNCATE decodes as `table public.t: TRUNCATE: (no-flags)` — dropping
     * it silently would leave the mirror holding rows upstream wiped. */
-  private[graft] def parseChange(line: String): Option[Change] = line match {
+  private[graft] def parseChange(line: String): Option[Change] =
+    parseChanges(line).headOption
+
+  /** Full parse of one line — a KEY-CHANGING UPDATE (`UPDATE: old-key:
+    * k[int]:1 new-tuple: k[int]:2 …`) decodes as TWO effects: the old
+    * identity's row is deleted and the new tuple upserts under the new
+    * key. Collapsing it to one change (or worse, dropping the mangled
+    * line) leaves the mirror holding the stale old-key row forever —
+    * silent divergence. */
+  private[graft] def parseChanges(line: String): Seq[Change] = line match {
     case head(tbl, op, rest) =>
-      Some(Change(tbl.replace("\"", ""), op,
-        if (op == "TRUNCATE") Map.empty else parseCols(rest)))
-    case _ => None
+      val t = tbl.replace("\"", "")
+      if (op == "TRUNCATE") Seq(Change(t, op, Map.empty))
+      else {
+        val (oldKey, cols) = parseColsSeg(rest)
+        if (op == "UPDATE" && oldKey.nonEmpty)
+          Seq(Change(t, "DELETE", oldKey), Change(t, "UPDATE", cols))
+        else Seq(Change(t, op, cols))
+      }
+    case _ => Nil
   }
 
   /** Tokenize `name[type]:value ...` — values are either unquoted (up to
     * the next space) or ''-escaped quoted strings that may contain spaces
     * and colons. `null` (unquoted) means SQL NULL and is omitted. */
-  private[graft] def parseCols(s: String): Map[String, String] = {
-    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+  private[graft] def parseCols(s: String): Map[String, String] =
+    parseColsSeg(s)._2
+
+  /** Segment-aware tokenizer: `old-key:` / `new-tuple:` markers (emitted
+    * by test_decoding only for key-changing UPDATEs) switch the target
+    * map. The markers can only match at a token-start position followed
+    * by a space — a real column name is always followed by `[type]`, and
+    * a quoted value's content never reaches this scanner — so no payload
+    * can spoof them. Returns (old-key cols, tuple cols). */
+  private[graft] def parseColsSeg(s: String): (Map[String, String], Map[String, String]) = {
+    val oldKey = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val tuple = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var out = tuple
     var i = 0
     val n = s.length
+    def done() = (oldKey.toMap, tuple.toMap)
     while (i < n) {
       while (i < n && s.charAt(i) == ' ') i += 1
-      if (i >= n) return out.toMap
+      if (i >= n) return done()
+      if (s.startsWith("old-key:", i)) { out = oldKey; i += 8 }
+      else if (s.startsWith("new-tuple:", i)) { out = tuple; i += 10 }
+      else {
       val br = s.indexOf('[', i)
-      if (br < 0) return out.toMap
+      if (br < 0) return done()
       val name = s.substring(i, br).replace("\"", "")
       val close = s.indexOf(']', br)
-      if (close < 0 || close + 1 >= n || s.charAt(close + 1) != ':') return out.toMap
+      if (close < 0 || close + 1 >= n || s.charAt(close + 1) != ':') return done()
       i = close + 2
       if (i < n && s.charAt(i) == '\'') { // quoted value, '' escapes
         val sb = new java.lang.StringBuilder()
         i += 1
-        var done = false
-        while (i < n && !done) {
+        var closed = false
+        while (i < n && !closed) {
           val c = s.charAt(i)
           if (c == '\'') {
             if (i + 1 < n && s.charAt(i + 1) == '\'') { sb.append('\''); i += 2 }
-            else { done = true; i += 1 }
+            else { closed = true; i += 1 }
           } else { sb.append(c); i += 1 }
         }
         out(name) = sb.toString
@@ -225,7 +255,8 @@ object PgCdc {
         i = if (sp < 0) n else sp
         if (raw != "null") out(name) = raw
       }
+      }
     }
-    out.toMap
+    done()
   }
 }

@@ -275,28 +275,43 @@ object PgWireSource {
     BigDecimal((months * 30 + days) * 86400000000L + sign * timeMicros)
   }
 
-  /** "{a,b,NULL,"c,d"}" → elements (null for NULL), PG array text rules. */
-  private[graft] def parseArray(s: String): Seq[String] = {
-    require(s.startsWith("{") && s.endsWith("}"), s"unexpected array text: $s")
+  /** "{a,b,NULL,"c,d"}" → elements (null for NULL), PG array text rules.
+    * `trimUnquoted` is the INGEST mode (user-typed literals: PG ignores
+    * whitespace around elements, and around the quotes of a quoted
+    * element); the default (false) is the wire mode, where PG's canonical
+    * output never pads and every byte is payload. */
+  private[graft] def parseArray(s: String, trimUnquoted: Boolean = false): Seq[String] = {
+    require(s.startsWith("{") && s.endsWith("}"),
+      s"malformed array literal: ${s.take(32)}")
     val body = s.substring(1, s.length - 1)
-    if (body.isEmpty) return Nil
+    if (body.trim.isEmpty) return Nil
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new java.lang.StringBuilder()
     var quoted = false; var wasQuoted = false
+    var qs = -1; var qe = -1 // cur offsets of the quoted span's bounds
     var i = 0
     def flush(): Unit = {
-      val v = cur.toString
+      var v = cur.toString
+      if (trimUnquoted) {
+        if (!wasQuoted) v = v.trim
+        // whitespace around a quoted span sits OUTSIDE the quotes — strip
+        // only that, preserving significant spaces the quoting protects
+        else v = v.substring(0, qs).trim + v.substring(qs, qe) + v.substring(qe).trim
+      }
       out += (if (!wasQuoted && v == "NULL") null else v)
-      cur.setLength(0); wasQuoted = false
+      cur.setLength(0); wasQuoted = false; qs = -1; qe = -1
     }
     while (i < body.length) {
       val c = body.charAt(i)
       if (quoted) c match {
         case '\\' => cur.append(body.charAt(i + 1)); i += 1
-        case '"' => quoted = false
+        case '"' => quoted = false; qe = cur.length
         case _ => cur.append(c)
       } else c match {
-        case '"' => quoted = true; wasQuoted = true
+        case '"' =>
+          quoted = true
+          if (!wasQuoted) qs = cur.length
+          wasQuoted = true
         case ',' => flush()
         case '\\' => cur.append(body.charAt(i + 1)); i += 1
         case _ => cur.append(c)

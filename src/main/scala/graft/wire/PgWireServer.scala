@@ -732,16 +732,17 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
               // same way the dialect journals PgDml statements
               val journaling = txn != null && txn.inTxn
               if (journaling) store.beginWriteJournal()
-              try {
-                val n = receiveCopyIn(in, out, ci)
-                if (journaling) {
-                  val now = store.versionSnapshot
-                  store.drainWriteJournal().foreach { case (t, before) =>
-                    txn.noteWrite(t, before, now.getOrElse(t, before))
-                  }
+              try receiveCopyIn(in, out, ci)
+              finally if (journaling) {
+                // drain in the FINALLY: a COPY that dies in a later 64MB
+                // chunk (malformed row, CopyFail) has already published
+                // the earlier chunk appends — they must be noted into the
+                // txn so ROLLBACK can revert them, not silently dropped
+                val now = store.versionSnapshot
+                store.drainWriteJournal().foreach { case (t, before) =>
+                  txn.noteWrite(t, before, now.getOrElse(t, before))
                 }
-                n
-              } finally if (journaling) store.drainWriteJournal()
+              }
             case PgDialect.Command(tag) => commandComplete(out, tag); 0L
             case PgDialect.Empty => msg(out, 'I') { _ => }; 0L
           }
@@ -939,7 +940,11 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
     val buf = new java.io.ByteArrayOutputStream()
     var total = 0L
     var headerPending = ci.header
-    val chunkBytes = 64 << 20
+    // chunked publish bounds driver memory for arbitrarily large COPYs;
+    // the sys-prop override exists so tests can force multi-chunk behavior
+    // (partial-publish + rollback) without shipping 64MB of rows
+    val chunkBytes = sys.props.get("graft.copy.chunkBytes")
+      .flatMap(_.toIntOption).getOrElse(64 << 20)
 
     def unescape(v: String): String = {
       val sb = new StringBuilder(v.length)

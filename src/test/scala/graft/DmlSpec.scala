@@ -36,6 +36,27 @@ class DmlSpec extends SparkSpecBase {
     assert(got(2).isNullAt(2), "unlisted column must be NULL")
   }
 
+  test("array-text ingest parses PG quoting: commas, escaped quotes, backslashes") {
+    assert(tag("CREATE TABLE dml_arr (k int8, tags text[], ns int4[])")
+      == "CREATE TABLE")
+    // quoted elements with commas, '' (SQL) + \" (array) escapes, \\ escapes,
+    // unquoted NULL vs quoted "NULL", whitespace around elements
+    assert(tag("""INSERT INTO dml_arr VALUES
+      (1, '{"a,b",c}', '{1, 2 ,3}'),
+      (2, '{"he said \"hi\"","back\\slash"}', '{}'),
+      (3, '{NULL,"NULL", plain }', NULL)""") == "INSERT 0 3")
+    val got = rows("SELECT k::int AS k, tags, ns FROM dml_arr ORDER BY k")
+    assert(got(0).getSeq[String](1) == Seq("a,b", "c"), got(0).toString)
+    assert(got(0).getSeq[Int](2) == Seq(1, 2, 3), "whitespace-padded ints parse")
+    assert(got(1).getSeq[String](1) == Seq("he said \"hi\"", "back\\slash"),
+      got(1).toString)
+    assert(got(1).getSeq[Int](2) == Seq.empty, "empty array")
+    assert(got(2).getSeq[String](1) == Seq(null, "NULL", "plain"),
+      "unquoted NULL is SQL NULL; quoted \"NULL\" is the string")
+    assert(got(2).isNullAt(2), "NULL array stays NULL")
+    tag("DROP TABLE dml_arr")
+  }
+
   test("ctas + insert select + truncate") {
     import spark.implicits._
     Tables.registerAll(spark, sfDir)

@@ -210,6 +210,27 @@ class LivePgSpec extends SparkSpecBase {
     assert(PgCdc.parseChange("COMMIT 1234").isEmpty)
   }
 
+  test("key-changing UPDATE decodes as delete(old key) + upsert(new tuple)") {
+    // test_decoding emits old-key:/new-tuple: segments when the replica
+    // identity changes; merging them into one change (or dropping the
+    // line) leaves the stale old-key row in the mirror forever
+    val cs = PgCdc.parseChanges(
+      "table public.t_cdc: UPDATE: old-key: k[integer]:1 new-tuple: k[integer]:2 v[text]:'x, y'")
+    assert(cs.map(_.op) == Seq("DELETE", "UPDATE"), cs.toString)
+    assert(cs.head.cols == Map("k" -> "1"), "old identity deletes")
+    assert(cs(1).cols == Map("k" -> "2", "v" -> "x, y"), "new tuple upserts")
+    // a non-key UPDATE (no segments) still decodes as one change
+    val plain = PgCdc.parseChanges(
+      "table public.t_cdc: UPDATE: k[integer]:3 v[text]:'z'")
+    assert(plain.map(_.op) == Seq("UPDATE") &&
+      plain.head.cols == Map("k" -> "3", "v" -> "z"))
+    // marker text inside a quoted VALUE must not split segments
+    val tricky = PgCdc.parseChanges(
+      "table public.t_cdc: UPDATE: k[integer]:4 v[text]:'old-key: fake new-tuple: fake'")
+    assert(tricky.map(_.op) == Seq("UPDATE") &&
+      tricky.head.cols("v") == "old-key: fake new-tuple: fake")
+  }
+
   test("CDC via logical decoding: slot-captured INSERT/UPDATE/DELETE converge the mirror") {
     assume(pg.isDefined, "no live Postgres in this environment")
     withClient { c =>

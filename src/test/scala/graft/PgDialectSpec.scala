@@ -52,6 +52,24 @@ class PgDialectSpec extends SparkSpecBase {
     PgDialect.execute(spark, store, "RESET graft.strip_schemas")
   }
 
+  test("cache eviction is per-entry LRU: a hot entry survives churn pressure") {
+    val c = new PgDialect.LruCache[String, String](4)
+    var builds = 0
+    def getv(k: String): String = c.computeIfAbsent(k) { builds += 1; "v" + k }
+    getv("hot")
+    // 100 one-off statements churn through a capacity-4 cache; the hot
+    // statement is re-accessed between them (access-order LRU keeps it).
+    // The old size-capped clear() flushed EVERYTHING at the threshold —
+    // every cached statement re-translated at once on a busy server.
+    for (i <- 1 to 100) { getv("cold" + i); getv("hot") }
+    val b = builds
+    getv("hot")
+    assert(builds == b, "the hot entry must survive eviction pressure")
+    assert(c.size <= 4, s"capacity bound: ${c.size}")
+    getv("cold1")
+    assert(builds == b + 1, "an evicted cold entry recomputes")
+  }
+
   test("pg_matviews and pg_class reflect live matview DDL on access") {
     Tables.registerAll(spark, sfDir)
     PgDialect.execute(spark, store,

@@ -182,10 +182,18 @@ class PlanSpec extends SparkSpecBase {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       for (q <- Seq("q03_shipping_priority", "q14_promo_revenue",
-          "q19_discounted_revenue")) {
+          "q19_discounted_revenue", "q16_supplier_part_counts")) {
         val p = plan(q)
         assert(!p.contains("BroadcastHashJoin"),
           s"$q kept a forced broadcast above the size gate: $p")
+      }
+      // st_matview_content: supplier (sf-growing) must lose its hint; the
+      // one remaining BroadcastExchange is nation's (fixed 25 rows, its
+      // unconditional hint is safe at any scale)
+      locally {
+        val p = plan("st_matview_content")
+        assert(countOf("BroadcastExchange", p) == 1,
+          s"st_matview_content must broadcast only nation above the gate: $p")
       }
     } finally {
       spark.conf.unset("spark.graft.broadcastGateBytes")

@@ -54,21 +54,46 @@ class StatsSpec extends SparkSpecBase {
 
   test("analyzed stats drive the broadcast size gate, on-disk bytes otherwise") {
     // no stats: the sf0.001 parquet is tiny -> gate approves the hint
-    TableStats.drop("part")
+    TableStats.drop("part", ns = sfDir)
     assert(Tables.broadcastSized(spark, sfDir, "part"),
       "tiny measured input must keep the broadcast hint")
     // analyzed-huge: stats take precedence over the file size and close
-    // the gate — the 100x-scale-up protection the hint planner relies on
+    // the gate — the 100x-scale-up protection the hint planner relies on.
+    // Stats register under the DIR namespace the gate resolves.
     TableStats.put("part", TableStats.Stats(1L << 33,
-      Seq(TableStats.ColStats("p_partkey", 0.0, 1L << 33, None, None, 64.0))))
+      Seq(TableStats.ColStats("p_partkey", 0.0, 1L << 33, None, None, 64.0))),
+      ns = sfDir)
     try {
       assert(!Tables.broadcastSized(spark, sfDir, "part"),
         "a table ANALYZE measured as multi-GB must not be hint-broadcast")
-    } finally TableStats.drop("part")
+    } finally TableStats.drop("part", ns = sfDir)
     // conf override: a 1-byte ceiling closes the gate for any real input
     spark.conf.set("spark.graft.broadcastGateBytes", "1")
     try assert(!Tables.broadcastSized(spark, sfDir, "part"))
     finally spark.conf.unset("spark.graft.broadcastGateBytes")
+  }
+
+  test("same-named store stats cannot cross-contaminate the dir's broadcast gate") {
+    import spark.implicits._
+    // an ANALYZE of a STORE table that merely shares the name "part"
+    // registers under the store namespace — the gate for the testdata dir
+    // must keep reading ITS relation's measured size (tiny -> hint stays)
+    store.replace("part", Seq((1L, "huge-elsewhere")).toDF("p", "x"))
+    try {
+      exec("ANALYZE part")
+      assert(TableStats.get("part").isDefined, "store ns holds the analyzed stats")
+      assert(TableStats.get("part", ns = sfDir).isEmpty,
+        "dir ns untouched by the store table's ANALYZE")
+      // even with absurd store-side stats the dir gate stays open
+      TableStats.put("part", TableStats.Stats(1L << 33,
+        Seq(TableStats.ColStats("p", 0.0, 1L << 33, None, None, 64.0))))
+      assert(Tables.broadcastSized(spark, sfDir, "part"),
+        "a same-named store relation's size must not close the dir's gate")
+    } finally {
+      TableStats.drop("part")
+      store.drop("part")
+      Tables.restoreView(spark, "part")
+    }
   }
 
   test("stats registry survives into the catalog view across refreshes") {

@@ -1094,6 +1094,39 @@ class WireSpec extends SparkSpecBase {
     c.close()
   }
 
+  test("COPY failing in a later chunk still rolls back its published chunks") {
+    import spark.implicits._
+    // statement/txn atomicity for partial COPY: earlier 64MB-chunk appends
+    // publish before a later malformed row errors — those appends must be
+    // journaled into the txn so ROLLBACK reverts them, not stranded
+    store.replace("copytx_f", Seq((0L, "seed")).toDF("k", "nm"))
+    sys.props("graft.copy.chunkBytes") = "8" // force per-frame chunk flushes
+    try {
+      val c = new Client(server._2); c.startup()
+      def copyData(s: String): Unit = {
+        val b = s.getBytes(UTF_8)
+        c.out.writeByte('d'); c.out.writeInt(4 + b.length); c.out.write(b)
+      }
+      def vals(msgs: Seq[(Char, Array[Byte])]) =
+        msgs.filter(_._1 == 'D').map(m => dataRowValues(m._2))
+      c.query("BEGIN")
+      c.out.writeByte('Q')
+      val q = "COPY copytx_f FROM STDIN".getBytes(UTF_8)
+      c.out.writeInt(4 + q.length + 1); c.out.write(q); c.out.writeByte(0); c.out.flush()
+      assert(c.in.read().toChar == 'G')
+      val glen = c.in.readInt(); c.in.readFully(new Array[Byte](glen - 4))
+      copyData("1\tone\n2\ttwo\n") // > 8 bytes: chunk publishes on arrival
+      copyData("malformed-single-field\n") // wrong arity: errors at the tail
+      c.out.writeByte('c'); c.out.writeInt(4); c.out.flush()
+      val msgs = c.drainUntilReady()
+      assert(msgs.exists(_._1 == 'E'), "the malformed row must error the COPY")
+      c.query("ROLLBACK")
+      assert(vals(c.query("SELECT count(*) AS n FROM copytx_f")) == Seq(Seq("1")),
+        "ROLLBACK must revert the chunk that published before the failure")
+      c.close()
+    } finally sys.props.remove("graft.copy.chunkBytes")
+  }
+
   test("SET on one connection is invisible to a concurrent connection") {
     // the PG per-connection contract: each backend has its own GUC state
     val c1 = new Client(server._2); c1.startup()
