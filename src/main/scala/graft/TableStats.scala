@@ -29,12 +29,34 @@ object TableStats {
   final case class ColStats(column: String, nullFrac: Double, nDistinct: Long,
       minVal: Option[String], maxVal: Option[String], avgWidth: Double)
 
-  final case class Stats(rows: Long, cols: Seq[ColStats]) {
+  final case class Stats(rows: Long, cols: Seq[ColStats],
+      measuredBytes: Option[Long] = None) {
     /** Mean row width in bytes (sum of column mean widths). */
     def rowWidth: Double = cols.map(_.avgWidth).sum
     /** Estimated uncompressed bytes of the whole table — the quantity a
-      * broadcast would materialize per executor. */
-    def bytesEstimate: Long = (rows * rowWidth).toLong
+      * broadcast would materialize per executor. Write-path size stats
+      * (no column pass) carry a measured-bytes estimate directly. */
+    def bytesEstimate: Long =
+      measuredBytes.getOrElse((rows * rowWidth).toLong)
+  }
+
+  /** zstd-parquet → in-memory expansion estimate applied to on-disk bytes
+    * when no column-width pass ran (measured 3-4x on the testdata). */
+  val ParquetExpansion = 4L
+
+  /** Write-path size publication: exact rows + on-disk bytes from the
+    * just-committed snapshot's footers. Keeps any ANALYZE-produced column
+    * stats (they go stale like PG's until the next ANALYZE), refreshes
+    * the row count and the size the broadcast gate reads. */
+  def noteWriteSize(name: String, rows: Long, diskBytes: Long,
+      ns: String = StoreNs): Unit = {
+    val inMem = Some(diskBytes * ParquetExpansion)
+    registry.get((ns, name)) match {
+      case Some(prev) =>
+        registry((ns, name)) = prev.copy(rows = rows, measuredBytes = inMem)
+      case None => registry((ns, name)) = Stats(rows, Nil, inMem)
+    }
+    ()
   }
 
   /** Namespace of store-managed tables; testdata parquet views use their
@@ -111,7 +133,13 @@ object TableStats {
         maxVal = Option(row.get(row.fieldIndex(s"__mx_$i"))).map(_.toString),
         avgWidth = row.getDouble(row.fieldIndex(s"__w_$i")))
     }
-    val stats = Stats(n, cols)
+    // a full-table ANALYZE supersedes any write-path size estimate (the
+    // column pass measures true in-memory width); a column-RESTRICTED
+    // ANALYZE keeps it — partial widths would understate the table
+    val keepMeasured =
+      if (onlyCols.nonEmpty) registry.get((ns, name)).flatMap(_.measuredBytes)
+      else None
+    val stats = Stats(n, cols, keepMeasured)
     registry((ns, name)) = stats
     stats
   }

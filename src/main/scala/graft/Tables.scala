@@ -32,8 +32,8 @@ object Tables {
   val BroadcastGateBytes: Long = 1L << 30
 
   /** zstd-parquet → in-memory expansion estimate for the on-disk fallback
-    * when no ANALYZE stats exist (measured 3-4x on the testdata tables). */
-  private val ParquetExpansion = 4L
+    * when no ANALYZE stats exist (shared with the write-path size feed). */
+  private def ParquetExpansion = TableStats.ParquetExpansion
 
   /** Should an explicit broadcast hint be placed on testdata table `name`?
     * True only when the table's MEASURED size — analyzed stats

@@ -82,7 +82,26 @@ class Store(spark: SparkSession, val warehouse: String) {
     val l = writeJournal.get()
     if (l != null) l += ((name, versions.getOrElse(name, 0)))
     versions(name) = next
+    publishSizeStats(name, next)
   }
+
+  /** Auto-feed planner statistics from the write path: every commit
+    * publishes the new snapshot's exact row count and measured bytes into
+    * [[TableStats]], so the broadcast gate and join-order choices see
+    * fresh sizes WITHOUT an explicit ANALYZE (PG's autovacuum-analyze
+    * role). Cost: one footer-metadata pass over the snapshot's files —
+    * the write itself just produced most of them, and at cluster scale
+    * this is the Iceberg manifest's record_count, free at commit.
+    * Column-level stats (NDV/min-max/null_frac) still come only from a
+    * real ANALYZE; an analyzed table keeps its columns and refreshes
+    * rows/bytes. Best-effort: a stats failure never fails the write. */
+  private def publishSizeStats(name: String, v: Int): Unit =
+    try {
+      val files = dataFiles(versionPath(name, v))
+      val rows = footerRows(files.map(_.getPath))
+      val diskBytes = files.map(_.getLen).sum
+      TableStats.noteWriteSize(name, rows, diskBytes)
+    } catch { case _: Exception => () }
 
   private val matviewDefs = TrieMap[String, String]()
   /** Plain (non-materialized) SQL views: name -> (PG-SQL definition,
@@ -1950,6 +1969,7 @@ class Store(spark: SparkSession, val warehouse: String) {
     versions.remove(name)
     ivmViews.remove(name)
     evolution.remove(name)
+    TableStats.drop(name) // planner stats die with the relation, like PG
     invalidateSchemas(name)
     spark.catalog.dropTempView(name)
     // if this table shadowed a registered testdata view, put the base

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.hadoop.fs.{Path => HadoopPath}
+import org.apache.spark.sql.functions._
+
+/** The Store/Iceberg core write/read/prune lifecycle over a NON-file
+  * Hadoop FileSystem with object-store semantics (copy+delete rename, no
+  * append, no hard links) — converting the "all IO tested only on
+  * file://" risk into a tested contract without an s3a jar. Everything
+  * here runs the exact same engine code paths as the posix suites; only
+  * the `warehouse` scheme differs. */
+class ObjectStoreFsSpec extends SparkSpecBase {
+
+  private lazy val base: java.nio.file.Path = {
+    ObjectStoreFs.register(spark)
+    java.nio.file.Files.createTempDirectory("graft-objstore")
+  }
+  private def objPath(sub: String) = s"graftobj://${base.resolve(sub)}"
+  private lazy val store: Store = new Store(spark, objPath("wh"))
+
+  test("the scheme genuinely lacks posix shortcuts: append refused, rename copies") {
+    val fs = new HadoopPath(objPath("probe")).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    assert(fs.isInstanceOf[ObjectStoreFs], s"wrong fs resolved: ${fs.getClass}")
+    val f = new HadoopPath(objPath("probe/a.txt"))
+    val o = fs.create(f); o.writeBytes("x"); o.close()
+    intercept[UnsupportedOperationException](fs.append(f))
+    // rename never clobbers
+    val g = new HadoopPath(objPath("probe/b.txt"))
+    val o2 = fs.create(g); o2.writeBytes("y"); o2.close()
+    assert(!fs.rename(f, g), "clobbering rename must refuse like S3A")
+    assert(fs.rename(f, new HadoopPath(objPath("probe/c.txt"))))
+    assert(!fs.exists(f))
+  }
+
+  test("replace + read round-trips through the object-store scheme") {
+    import spark.implicits._
+    ObjectStoreFs.renames.set(0L)
+    store.replace("os_t", (1L to 200L).map(i => (i, s"v$i")).toDF("k", "v"))
+    val got = store.read("os_t")
+    assert(got.count() == 200L)
+    assert(got.filter(col("k") === 137L).head.getString(1) == "v137")
+    assert(ObjectStoreFs.renames.get > 0,
+      "the write must have exercised this scheme's rename (commit protocol)")
+  }
+
+  test("append, upsert and delete-by-key COW over copy+delete renames") {
+    import spark.implicits._
+    store.replace("os_dml", (1L to 100L).map(i => (i, s"a$i")).toDF("k", "v"))
+    store.append("os_dml", Seq((101L, "a101")).toDF("k", "v"))
+    assert(store.read("os_dml").count() == 101L)
+    store.upsert("os_dml", Seq((50L, "UPDATED"), (102L, "a102")).toDF("k", "v"), "k")
+    val r = store.read("os_dml")
+    assert(r.count() == 102L)
+    assert(r.filter(col("k") === 50L).head.getString(1) == "UPDATED")
+    store.deleteByKey("os_dml", Seq(Tuple1(102L)).toDF("k"), "k")
+    assert(store.read("os_dml").count() == 101L)
+  }
+
+  test("footer-pruned range reads plan over the scheme's metadata IO") {
+    import spark.implicits._
+    store.replaceSorted("os_rng",
+      (1L to 1000L).map(i => (i, i % 7)).toDF("k", "m"), "k", numFiles = 4)
+    val (df, hit, total) = store.readRange("os_rng", "k", 10L, 40L)
+    assert(df.count() == 31L)
+    assert(hit < total, s"pruning must skip files: $hit/$total")
+  }
+
+  test("version history and rollback survive without atomic rename") {
+    import spark.implicits._
+    store.replace("os_tt", Seq((1L, "one")).toDF("k", "v"))
+    store.append("os_tt", Seq((2L, "two")).toDF("k", "v"))
+    assert(store.readVersion("os_tt", 1).count() == 1L)
+    assert(store.read("os_tt").count() == 2L)
+    store.restoreVersion("os_tt", 1, expectedCurrent = 2)
+    assert(store.read("os_tt").count() == 1L, "rollback is a pointer flip")
+  }
+
+  test("iceberg metadata tree publishes and plans pruned reads on the scheme") {
+    import spark.implicits._
+    store.replaceSorted("os_ice",
+      (1L to 500L).map(i => (i, s"r$i")).toDF("k", "v"), "k", numFiles = 4)
+    store.publishIceberg("os_ice")
+    val tdir = new HadoopPath(objPath("wh/os_ice"))
+    // pass the session conf explicitly: a bare `new Configuration()` knows
+    // nothing about the test scheme (same situation as a custom fs.s3a
+    // endpoint — callers hand the configured conf down)
+    val hconf = spark.sessionState.newHadoopConf()
+    val md = Iceberg.currentMetadataFile(tdir, hconf)
+    assert(md.isDefined, "metadata.json must exist under the table dir")
+    val planned = Iceberg.planFiles(tdir, conf = hconf)
+    assert(planned.nonEmpty && planned.size == 4, s"manifest plans files: $planned")
+    val back = Iceberg.readTable(spark, tdir)
+    assert(back.count() == 500L, "metadata-planned read over the scheme")
+  }
+
+  test("vacuum reclaims crash-orphaned dirs through FileSystem ops only") {
+    import spark.implicits._
+    store.replace("os_vac", (1L to 50L).map(i => (i, i)).toDF("k", "v"))
+    store.append("os_vac", Seq((51L, 51L)).toDF("k", "v"))
+    store.append("os_vac", Seq((52L, 52L)).toDF("k", "v"))
+    val (_, _, _) = store.vacuum("os_vac", full = true)
+    assert(store.read("os_vac").count() == 52L, "vacuum preserves the snapshot")
+  }
+}

@@ -96,6 +96,27 @@ class StatsSpec extends SparkSpecBase {
     }
   }
 
+  test("write path auto-feeds size stats: fresh tables have rows/bytes sans ANALYZE") {
+    import spark.implicits._
+    TableStats.drop("an_auto")
+    store.replace("an_auto", (1L to 500L).map(i => (i, s"row$i")).toDF("k", "v"))
+    val s0 = TableStats.get("an_auto")
+    assert(s0.isDefined, "replace must publish size stats at commit")
+    assert(s0.get.rows == 500L, s"exact footer row count: ${s0.get.rows}")
+    assert(s0.get.bytesEstimate > 0, "measured bytes feed the gate")
+    // every later commit refreshes — append, delete
+    store.append("an_auto", Seq((501L, "more")).toDF("k", "v"))
+    assert(TableStats.get("an_auto").get.rows == 501L, "append refreshes rows")
+    exec("DELETE FROM an_auto WHERE k > 400")
+    assert(TableStats.get("an_auto").get.rows == 400L, "DML refreshes rows")
+    // ANALYZE upgrades to column stats without losing freshness
+    exec("ANALYZE an_auto")
+    val s1 = TableStats.get("an_auto").get
+    assert(s1.rows == 400L && s1.cols.nonEmpty)
+    store.drop("an_auto")
+    assert(TableStats.get("an_auto").isEmpty, "stats die with the relation")
+  }
+
   test("stats registry survives into the catalog view across refreshes") {
     import spark.implicits._
     store.replace("an_keep", Seq((7L, "z")).toDF("k", "s"))
