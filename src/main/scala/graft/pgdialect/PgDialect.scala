@@ -57,6 +57,12 @@ object PgDialect {
 
   private val translationCache = new LruCache[String, String](4096)
   private val planCache = new LruCache[String, DataFrame](1024)
+  // exported-snapshot registry for parallel pg_dump (id -> version map at
+  // export time); bounded — ids are short-lived within one dump run
+  private val snapshotSeq = new java.util.concurrent.atomic.AtomicLong()
+  private val exportedSnapshots =
+    scala.collection.concurrent.TrieMap[String, Map[String, Int]]()
+
   /** Counter hooks (specs assert cache hits skip work). */
   private[graft] val translations = new java.util.concurrent.atomic.AtomicLong()
   private[graft] val planBuilds = new java.util.concurrent.atomic.AtomicLong()
@@ -341,6 +347,40 @@ object PgDialect {
         "current transaction is aborted, commands ignored until end of transaction block")
     // SET CONSTRAINTS is a txn-scoped no-op, not a settings write
     if (upper.startsWith("SET CONSTRAINTS")) return Command("SET CONSTRAINTS")
+    // ---- synchronized snapshots (parallel pg_dump -Fd -j) ---------------
+    // pg_export_snapshot(): the leader exports its view of the store's
+    // version map under a fresh id; each -j worker connection adopts it
+    // with SET TRANSACTION SNAPSHOT. Adoption is GENUINE by equality: the
+    // store's current version map must still equal the exported one —
+    // always true while pg_dump holds its locks over a quiescent catalog
+    // — and any concurrent commit since export REFUSES the adoption
+    // (PG's "snapshot is not available" shape) rather than serving a
+    // different snapshot under the adopted id. Per-connection version
+    // pinning would lift that refusal; the refusal keeps adoption honest
+    // until then.
+    locally {
+      val expRe = "(?is)SELECT\\s+(?:pg_catalog\\.)?pg_export_snapshot\\s*\\(\\s*\\)\\s*;?\\s*".r
+      if (expRe.matches(stmt)) {
+        val id = f"${snapshotSeq.incrementAndGet()}%08X-${store.hashCode & 0xffff}%04X-1"
+        if (exportedSnapshots.size > 1024) exportedSnapshots.clear()
+        exportedSnapshots(id) = store.versionSnapshot
+        return Rows(cachedPlan(spark, s"SELECT '$id' AS pg_export_snapshot"),
+          "SELECT 1")
+      }
+      val adoptRe = "(?is)SET\\s+TRANSACTION\\s+SNAPSHOT\\s+'([^']+)'\\s*;?\\s*".r
+      stmt match {
+        case adoptRe(id) =>
+          val exported = exportedSnapshots.getOrElse(id,
+            throw UnsupportedQuery(s"""snapshot "$id" does not exist"""))
+          if (exported != store.versionSnapshot)
+            throw UnsupportedQuery(
+              s"""snapshot "$id" is not available: the store advanced since it was exported""")
+          return Command("SET")
+        case _ =>
+      }
+      // SET TRANSACTION ISOLATION LEVEL / READ ONLY etc: txn-scoped no-op
+      if (upper.startsWith("SET TRANSACTION")) return Command("SET")
+    }
     if (upper.startsWith("SET ")) return executeSet(spark, stmt)
     if (upper.startsWith("RESET")) return executeReset(spark, stmt)
     if (upper.startsWith("SHOW ")) return executeShow(spark, stmt)

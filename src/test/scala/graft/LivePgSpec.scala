@@ -286,6 +286,81 @@ class LivePgSpec extends SparkSpecBase {
     } finally cdc.dropSlot()
   }
 
+  test("CDC key-changing UPDATE on a live slot migrates the mirror row") {
+    assume(pg.isDefined, "no live Postgres in this environment")
+    withClient { c =>
+      c.query("DROP TABLE IF EXISTS t_keymove")
+      c.query("CREATE TABLE t_keymove (k bigint PRIMARY KEY, v text)")
+      c.query("INSERT INTO t_keymove VALUES (1, 'one'), (2, 'two'), (3, 'three')")
+    }
+    val store = new Store(spark,
+      java.nio.file.Files.createTempDirectory("graft-cdc-keymove").toString)
+    val cdc = new PgCdc(spark, pg.get, store, slot = "graft_cdc_keymove")
+    try {
+      cdc.createSlot()
+      cdc.initialSync(source("t_keymove"), "t_keymove")
+      // a PRIMARY KEY update: test_decoding emits old-key:/new-tuple:
+      // segments — the mirror must DELETE key 2 and land key 2002, not
+      // keep the stale row (the silent-divergence bug class)
+      withClient(_.query("UPDATE t_keymove SET k = 2002, v = 'moved' WHERE k = 2"))
+      cdc.drain("t_keymove", "k")
+      val rows = store.read("t_keymove").orderBy("k").collect()
+        .map(r => (r.getAs[java.math.BigDecimal]("k").longValue, r.getString(1))).toSeq
+      assert(rows == Seq((1L, "one"), (3L, "three"), (2002L, "moved")),
+        s"mirror after key move: $rows")
+    } finally cdc.dropSlot()
+  }
+
+  test("CDC slot hygiene: restart_lsn advances as batches drain (WAL retention)") {
+    assume(pg.isDefined, "no live Postgres in this environment")
+    // the design risk the polling consumer carries: if draining never let
+    // the slot's restart_lsn move, upstream WAL would grow without bound
+    // (max_slot_wal_keep_size or disk-full kills the slot). Pin that each
+    // peek→apply→advance cycle lets PG release WAL: restart_lsn strictly
+    // advances once decoding passes a new restart point.
+    withClient { c =>
+      c.query("DROP TABLE IF EXISTS t_wal")
+      c.query("CREATE TABLE t_wal (k bigint PRIMARY KEY, v text)")
+    }
+    val store = new Store(spark,
+      java.nio.file.Files.createTempDirectory("graft-cdc-wal").toString)
+    val cdc = new PgCdc(spark, pg.get, store, slot = "graft_cdc_wal")
+    def lsn(col: String): Long = withClient { c =>
+      val v = c.query(
+        s"SELECT $col::text FROM pg_replication_slots WHERE slot_name = 'graft_cdc_wal'")
+        .rows.head.head
+      val Array(hi, lo) = v.split("/")
+      (java.lang.Long.parseLong(hi, 16) << 32) | java.lang.Long.parseLong(lo, 16)
+    }
+    try {
+      cdc.createSlot()
+      cdc.initialSync(source("t_wal"), "t_wal")
+      val restart0 = lsn("restart_lsn")
+      val flush0 = lsn("confirmed_flush_lsn")
+      // restart_lsn only moves when decoding crosses a later restart point
+      // (xl_running_xacts, logged at checkpoints / by bgwriter) — force
+      // checkpoints between drains and require a strict advance
+      var advanced = false
+      var i = 0
+      while (!advanced && i < 10) {
+        withClient { c =>
+          c.query(s"INSERT INTO t_wal SELECT g, 'w' || g FROM " +
+            s"generate_series(${i * 100 + 1}, ${i * 100 + 100}) g")
+          c.query("CHECKPOINT")
+        }
+        cdc.drain("t_wal", "k")
+        advanced = lsn("restart_lsn") > restart0
+        i += 1
+      }
+      assert(advanced,
+        s"restart_lsn never advanced past ${restart0} after $i drain cycles — " +
+          "the slot would retain WAL forever")
+      assert(lsn("confirmed_flush_lsn") > flush0,
+        "confirmed_flush_lsn must advance with every drained batch")
+      assert(store.read("t_wal").count() == i * 100L)
+    } finally cdc.dropSlot()
+  }
+
   test("CDC multi-table: unmirrored changes raise BEFORE consumption; peek loses nothing") {
     assume(pg.isDefined, "no live Postgres in this environment")
     withClient { c =>

@@ -216,6 +216,81 @@ class PgDumpSpec extends SparkSpecBase {
     }
   }
 
+  test("directory-format dump with parallel workers restores with pg_restore -j") {
+    assume(bin("pg_dump").isDefined, "no pg_dump in this environment")
+    assume(bin("pg_restore").isDefined, "no pg_restore in this environment")
+    assume(LivePg.info.isDefined, "no live PostgreSQL in this environment")
+    // -Fd -j2: each parallel dump worker opens its OWN connection,
+    // re-introspects the catalog and adopts the leader's exported snapshot
+    // — a different access pattern from the single-connection formats
+    val d = java.nio.file.Files.createTempDirectory("graft-dump-fd")
+    java.nio.file.Files.delete(d) // pg_dump insists on creating the dir
+    val (rc, out) = dump("-Fd", "-j", "2", "-t", "nation", "-t", "orders",
+      "-t", "supplier", "-f", d.toString)
+    assert(rc == 0, "parallel -Fd dump failed:\n" + out.takeRight(1500))
+    assert(java.nio.file.Files.exists(d.resolve("toc.dat")), "directory TOC")
+    val pg = LivePg.info.get
+    def psqlLive(db: String, args: String*): (Int, String) =
+      run(Seq(bin("psql").get, "-h", pg.host, "-p", pg.port.toString,
+        "-U", pg.user, "-d", db, "-X", "-A", "-t") ++ args)
+    val dbName = "graft_fd_restored"
+    psqlLive("postgres", "-c", s"DROP DATABASE IF EXISTS $dbName")
+    val (crc, cout) = psqlLive("postgres", "-c", s"CREATE DATABASE $dbName")
+    assert(crc == 0, cout)
+    // pg_restore -j2: parallel restore workers replay the TOC concurrently
+    val (rrc, rout) = run(Seq(bin("pg_restore").get, "-h", pg.host,
+      "-p", pg.port.toString, "-U", pg.user, "-d", dbName,
+      "-j", "2", "--no-owner", d.toString))
+    assert(rrc == 0, "pg_restore -j failed:\n" + rout.takeRight(1500))
+    for (t <- Seq("nation", "orders", "supplier")) {
+      val (qrc, qout) = psqlLive(dbName,
+        "-c", s"SELECT count(*) FROM $t")
+      assert(qrc == 0, qout)
+      assert(qout.trim == spark.table(t).count().toString, s"$t: ${qout.trim}")
+    }
+    // checksum-grade parity beyond counts: aggregate over every orders row
+    val (src, sout) = psqlLive(dbName,
+      "-c", "SELECT sum(o_orderkey), sum(o_custkey), md5(string_agg(o_orderstatus, '' ORDER BY o_orderkey)) FROM orders")
+    assert(src == 0, sout)
+    import org.apache.spark.sql.functions._
+    val parts = sout.trim.split("\\|")
+    val lr = spark.table("orders")
+      .agg(sum("o_orderkey").cast("string"), sum("o_custkey").cast("string"))
+      .head()
+    assert(parts(0) == lr.getString(0) && parts(1) == lr.getString(1),
+      s"orders sums diverge: ${sout.trim}")
+    val localMd5 = spark.table("orders").sort("o_orderkey")
+      .agg(md5(concat_ws("", collect_list("o_orderstatus"))).as("h"))
+      .head().getString(0)
+    assert(parts(2) == localMd5, s"orders status md5 diverges: ${sout.trim}")
+  }
+
+  test("tar-format dump (-Ft) round-trips through pg_restore") {
+    assume(bin("pg_dump").isDefined, "no pg_dump in this environment")
+    assume(bin("pg_restore").isDefined, "no pg_restore in this environment")
+    assume(LivePg.info.isDefined, "no live PostgreSQL in this environment")
+    val f = java.nio.file.Files.createTempFile("graft-dump", ".tar")
+    val (rc, out) = dump("-Ft", "-t", "region", "-t", "events", "-f", f.toString)
+    assert(rc == 0, "tar dump failed:\n" + out.takeRight(1500))
+    val pg = LivePg.info.get
+    def psqlLive(db: String, args: String*): (Int, String) =
+      run(Seq(bin("psql").get, "-h", pg.host, "-p", pg.port.toString,
+        "-U", pg.user, "-d", db, "-X", "-A", "-t") ++ args)
+    val dbName = "graft_ft_restored"
+    psqlLive("postgres", "-c", s"DROP DATABASE IF EXISTS $dbName")
+    val (crc, cout) = psqlLive("postgres", "-c", s"CREATE DATABASE $dbName")
+    assert(crc == 0, cout)
+    val (rrc, rout) = run(Seq(bin("pg_restore").get, "-h", pg.host,
+      "-p", pg.port.toString, "-U", pg.user, "-d", dbName,
+      "--no-owner", f.toString))
+    assert(rrc == 0, "tar pg_restore failed:\n" + rout.takeRight(1500))
+    for (t <- Seq("region", "events")) {
+      val (qrc, qout) = psqlLive(dbName, "-c", s"SELECT count(*) FROM $t")
+      assert(qrc == 0, qout)
+      assert(qout.trim == spark.table(t).count().toString, s"$t: ${qout.trim}")
+    }
+  }
+
   test("pg_dump output restores into graft itself (store tables)") {
     assume(bin("pg_dump").isDefined, "no pg_dump in this environment")
     assume(bin("psql").isDefined, "no psql in this environment")
