@@ -262,4 +262,54 @@ class PlanSpec extends SparkSpecBase {
       .groupBy("b").count()
     assert(delta.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
+
+  test("AQE splits a skewed join partition: final plan carries skew=true") {
+    // The hot-key story at 100 TB: one orderkey holding ~20% of lineitem
+    // lands one shuffle partition far over its peers, and the q03/q18-shape
+    // sort-merge join stalls on the straggler unless AQE's skew-join splits
+    // it. Pin that it ENGAGES (the executed plan's SMJ is marked
+    // skew=true), not just that the setting is on. Thresholds are scaled
+    // to test volume the same way production would scale them to partition
+    // size; the MECHANISM (OptimizeSkewedJoin splitting the oversized
+    // partition into parallel sub-reads) is volume-independent.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val prev = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64k")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64k")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // lineitem-shaped fact: hot orderkey 0 holds 50% of 200k rows — its
+      // shuffle partition lands ~5x the median, far over factor 2
+      val fact = spark.range(200000)
+        .select(when(col("id") % 2 === 0, 0L).otherwise(col("id") % 997).as("okey"),
+          col("id").as("qty"),
+          lpad(col("id").cast("string"), 64, "x").as("pad"))
+      val dim = spark.range(1000).select(col("id").as("okey"),
+        concat(lit("prio"), col("id") % 5).as("prio"))
+      val joined = fact.join(dim, "okey")
+        .groupBy("prio").agg(sum("qty").as("s"), count(lit(1)).as("n"))
+      assert(joined.collect().map(_.getLong(2)).sum == 200000L)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE skew-join must have split the hot partition:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
