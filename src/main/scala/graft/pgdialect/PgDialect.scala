@@ -367,6 +367,20 @@ object PgDialect {
         return Rows(cachedPlan(spark, s"SELECT '$id' AS pg_export_snapshot"),
           "SELECT 1")
       }
+      // standalone set_config (pg_dump/psql/pools): handled HERE, on the
+      // connection-scoped thread, NOT via the set_config UDF — a UDF
+      // evaluates on a task thread where the connection scope is unbound,
+      // so its write lands in the shared SESSION scope and one client's
+      // `set_config('search_path', …)` leaks into every other connection.
+      val setCfgRe = ("(?is)SELECT\\s+(?:pg_catalog\\.)?set_config\\s*\\(" +
+        "\\s*'([^']*)'\\s*,\\s*'([^']*)'\\s*,\\s*\\S+\\s*\\)\\s*;?\\s*").r
+      stmt match {
+        case setCfgRe(name, value) =>
+          SessionSettings.set(name, value)
+          return Rows(cachedPlan(spark,
+            s"SELECT '${value.replace("'", "''")}' AS set_config"), "SELECT 1")
+        case _ =>
+      }
       val adoptRe = "(?is)SET\\s+TRANSACTION\\s+SNAPSHOT\\s+'([^']+)'\\s*;?\\s*".r
       stmt match {
         case adoptRe(id) =>

@@ -154,6 +154,44 @@ class PgCdc(spark: SparkSession, conn: PgConnInfo, store: Store,
     (ups.size.toLong, dels.size.toLong)
   }
 
+  /** Drain the slot via the STREAMING replication protocol
+    * (START_REPLICATION + standby feedback) instead of SQL polling — the
+    * production CDC transport. The server pushes XLogData as WAL commits;
+    * this consumer applies each pushed batch through the same keyed
+    * idempotent store ops and only then acknowledges the applied LSN, so
+    * a crash between apply and ack replays the batch (at-least-once
+    * delivery, exactly-once keyed effect — the polling path's exact
+    * discipline). The win over polling is WAL-retention: feedback flows
+    * continuously, so `restart_lsn`/`confirmed_flush_lsn` advance at
+    * APPLY speed and upstream WAL never accumulates behind a poll
+    * cadence. Returns (upserts, deletes); stops once the stream idles
+    * with nothing new for `idleMillis`. */
+  def streamDrain(keys: Map[String, String], idleMillis: Int = 500): (Long, Long) = {
+    val rep = new PgReplicationClient(conn, slot)
+    try {
+      rep.start() // "0/0": the server clamps to the slot's confirmed_flush
+      var (u, d) = (0L, 0L)
+      var go = true
+      while (go) {
+        val lines = rep.poll(idleMillis)
+        val changes = lines.flatMap(PgCdc.parseChanges)
+        if (changes.nonEmpty) {
+          val unmirrored = changes.map(_.table).distinct.filterNot(keys.contains)
+          require(unmirrored.isEmpty,
+            s"slot '$slot' streamed changes for unmirrored tables ${unmirrored.mkString(", ")}")
+          for ((table, group) <- changes.groupBy(_.table)) {
+            val (au, ad) = apply(table, keys(table), group)
+            u += au; d += ad
+          }
+        } else if (lines.isEmpty) go = false
+        // acknowledge everything received ONLY after it is applied
+        // (marker-only batches — BEGIN/COMMIT — acknowledge immediately)
+        rep.sendStandbyStatus(rep.walEnd)
+      }
+      (u, d)
+    } finally rep.close()
+  }
+
   /** Drain the slot completely (poll until a batch comes back empty). */
   def drain(table: String, key: String): (Long, Long) = drainAll(Map(table -> key))
 

@@ -25,7 +25,8 @@ import java.nio.charset.StandardCharsets.UTF_8
   * row-at-a-time off the socket (no whole-partition buffering).
   */
 class PgWireClient(host: String, port: Int, user: String, database: String,
-    password: Option[String] = None) extends AutoCloseable {
+    password: Option[String] = None,
+    extraParams: Seq[(String, String)] = Nil) extends AutoCloseable {
 
   import PgWireClient._
 
@@ -46,7 +47,7 @@ class PgWireClient(host: String, port: Int, user: String, database: String,
     val b = new DataOutputStream(body)
     b.writeInt(196608) // protocol 3.0
     for ((k, v) <- Seq("user" -> user, "database" -> database,
-        "application_name" -> "graft-sync")) {
+        "application_name" -> "graft-sync") ++ extraParams) {
       b.write(k.getBytes(UTF_8)); b.write(0)
       b.write(v.getBytes(UTF_8)); b.write(0)
     }
@@ -246,20 +247,24 @@ class PgWireClient(host: String, port: Int, user: String, database: String,
 
   private var pendingLen = 0
 
-  private def readType(): Char = {
+  private[graft] def readType(): Char = {
     val t = in.read()
     if (t < 0) throw new java.io.EOFException("server closed connection")
     pendingLen = in.readInt() - 4
     t.toChar
   }
 
-  private def readBody(): Array[Byte] = {
+  private[graft] def readBody(): Array[Byte] = {
     val b = new Array[Byte](pendingLen)
     in.readFully(b)
     b
   }
 
-  private def sendMsg(t: Char)(write: DataOutputStream => Unit): Unit = {
+  /** Socket read timeout (ms; 0 = infinite) — the replication stream uses
+    * a bounded timeout as its idle-detection mechanism. */
+  private[graft] def setSoTimeout(ms: Int): Unit = socket.setSoTimeout(ms)
+
+  private[graft] def sendMsg(t: Char)(write: DataOutputStream => Unit): Unit = {
     val body = new java.io.ByteArrayOutputStream()
     write(new DataOutputStream(body))
     out.writeByte(t)
@@ -334,7 +339,7 @@ object PgWireClient {
     }
   }
 
-  private def errorFrom(body: Array[Byte]): PgClientException = {
+  private[graft] def errorFrom(body: Array[Byte]): PgClientException = {
     var severity = "ERROR"; var code = "XX000"; var msg = ""
     var i = 0
     while (i < body.length && body(i) != 0) {

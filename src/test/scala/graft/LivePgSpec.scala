@@ -361,6 +361,58 @@ class LivePgSpec extends SparkSpecBase {
     } finally cdc.dropSlot()
   }
 
+  test("CDC via START_REPLICATION: pushed stream converges the mirror, feedback advances the slot") {
+    assume(pg.isDefined, "no live Postgres in this environment")
+    withClient { c =>
+      c.query("DROP TABLE IF EXISTS t_stream")
+      c.query("CREATE TABLE t_stream (k bigint PRIMARY KEY, v text)")
+      c.query("INSERT INTO t_stream SELECT g, 'v' || g FROM generate_series(1, 100) g")
+    }
+    val store = new Store(spark,
+      java.nio.file.Files.createTempDirectory("graft-cdc-stream").toString)
+    val cdc = new PgCdc(spark, pg.get, store, slot = "graft_cdc_stream")
+    def slotCol(col: String): String = withClient(_.query(
+      s"SELECT $col::text FROM pg_replication_slots WHERE slot_name = 'graft_cdc_stream'")
+      .rows.head.head)
+    def lsnVal(v: String): Long = {
+      val Array(hi, lo) = v.split("/")
+      (java.lang.Long.parseLong(hi, 16) << 32) | java.lang.Long.parseLong(lo, 16)
+    }
+    try {
+      cdc.createSlot()
+      cdc.initialSync(source("t_stream"), "t_stream")
+      val flush0 = lsnVal(slotCol("confirmed_flush_lsn"))
+      withClient { c =>
+        c.query("INSERT INTO t_stream SELECT g, 'new' || g FROM generate_series(101, 150) g")
+        c.query("UPDATE t_stream SET v = 'upd' || k WHERE k <= 10")
+        c.query("DELETE FROM t_stream WHERE k BETWEEN 41 AND 50")
+        c.query("UPDATE t_stream SET k = 9001 WHERE k = 20") // key move
+      }
+      val (u, d) = cdc.streamDrain(Map("t_stream" -> "k"))
+      assert(u > 0 && d > 0, s"pushed stream must apply upserts and deletes: ($u, $d)")
+      // mirror equals upstream value-for-value
+      val upstream = withClient(_.query(
+        "SELECT k, v FROM t_stream ORDER BY k").rows.map(_.toList).toList)
+      val mirror = store.read("t_stream").orderBy("k").collect().toList
+        .map(r => List(r.getAs[java.math.BigDecimal]("k").toBigInteger.toString,
+          r.getString(1)))
+      assert(mirror == upstream, s"mirror $mirror vs upstream $upstream")
+      // the streaming FEEDBACK alone advanced the slot (no SQL get_changes
+      // ran): confirmed_flush must be past every applied commit, so the
+      // polling path now sees nothing
+      var advanced = false
+      var i = 0
+      while (!advanced && i < 20) { // walsender applies feedback async
+        advanced = lsnVal(slotCol("confirmed_flush_lsn")) > flush0
+        if (!advanced) Thread.sleep(250)
+        i += 1
+      }
+      assert(advanced, "standby feedback must advance confirmed_flush_lsn")
+      assert(cdc.pump("t_stream", "k") == ((0L, 0L)),
+        "acknowledged WAL must not replay through the polling path")
+    } finally cdc.dropSlot()
+  }
+
   test("CDC multi-table: unmirrored changes raise BEFORE consumption; peek loses nothing") {
     assume(pg.isDefined, "no live Postgres in this environment")
     withClient { c =>

@@ -1127,6 +1127,27 @@ class WireSpec extends SparkSpecBase {
     } finally sys.props.remove("graft.copy.chunkBytes")
   }
 
+  test("set_config on one connection is invisible to a concurrent connection") {
+    // pg_dump opens with SELECT pg_catalog.set_config('search_path', '', false);
+    // handled at the dialect layer on the connection-scoped thread — the UDF
+    // path would evaluate on a task thread and leak into the session scope
+    val c1 = new Client(server._2); c1.startup()
+    val c2 = new Client(server._2); c2.startup()
+    def shown(c: Client, name: String): String =
+      c.query(s"SHOW $name").filter(_._1 == 'D')
+        .map(m => dataRowValues(m._2).head).head
+    val before = shown(c2, "search_path")
+    val r = c1.query("SELECT pg_catalog.set_config('search_path', 'graft_x, public', false)")
+      .filter(_._1 == 'D').map(m => dataRowValues(m._2).head).head
+    assert(r == "graft_x, public", "set_config returns the new value")
+    // SHOW prefixes "$user" like the reference (query_remapper_show.go:26)
+    assert(shown(c1, "search_path") == "\"$user\", graft_x, public",
+      "visible to its own connection")
+    assert(shown(c2, "search_path") == before,
+      "c1's set_config leaked into c2's scope")
+    c1.close(); c2.close()
+  }
+
   test("SET on one connection is invisible to a concurrent connection") {
     // the PG per-connection contract: each backend has its own GUC state
     val c1 = new Client(server._2); c1.startup()
