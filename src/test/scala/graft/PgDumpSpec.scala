@@ -291,6 +291,55 @@ class PgDumpSpec extends SparkSpecBase {
     }
   }
 
+  test("parallel -Fd dump of store tables restores into graft itself with pg_restore -j") {
+    assume(bin("pg_dump").isDefined, "no pg_dump in this environment")
+    assume(bin("pg_restore").isDefined, "no pg_restore in this environment")
+    def psqlSelf(args: String*): (Int, String) =
+      run(Seq(bin("psql").get, "-h", "127.0.0.1", "-p", server.toString,
+        "-U", "graft", "-d", "graft", "-X", "-A", "-t", "-v",
+        "ON_ERROR_STOP=1") ++ args)
+    // store tables sourced from the views (a -Fd archive can't be
+    // text-rewritten like the plain-format self-restore, so dump real
+    // store tables, drop them, and restore them back)
+    psqlSelf("-c", "CREATE TABLE rt2_nation AS SELECT * FROM nation")
+    psqlSelf("-c", "CREATE TABLE rt2_orders AS SELECT * FROM orders")
+    val origN = spark.table("nation").count()
+    val origO = spark.table("orders").count()
+    val d = java.nio.file.Files.createTempDirectory("graft-selfdump-fd")
+    java.nio.file.Files.delete(d)
+    // parallel dump FROM graft: workers adopt the exported snapshot
+    val (rc, out) = dump("-Fd", "-j", "2", "-t", "rt2_nation",
+      "-t", "rt2_orders", "-f", d.toString)
+    assert(rc == 0, "parallel self-dump failed:\n" + out.takeRight(1500))
+    psqlSelf("-c", "DROP TABLE rt2_nation")
+    psqlSelf("-c", "DROP TABLE rt2_orders")
+    // parallel restore INTO graft: 2 concurrent wire connections replay
+    // CREATE TABLE + COPY FROM STDIN through the store write path
+    val (rrc, rout) = run(Seq(bin("pg_restore").get, "-h", "127.0.0.1",
+      "-p", server.toString, "-U", "graft", "-d", "graft",
+      "-j", "2", "--no-owner", d.toString))
+    assert(rrc == 0, "pg_restore -j into graft failed:\n" + rout.takeRight(1500))
+    for ((t, orig) <- Seq("rt2_nation" -> origN, "rt2_orders" -> origO)) {
+      val (qrc, qout) = psqlSelf("-c", s"SELECT count(*) FROM $t")
+      assert(qrc == 0, qout)
+      assert(qout.trim == orig.toString, s"$t count: ${qout.trim} vs $orig")
+    }
+    // value-level checksum over orders through our own server. ::bigint on
+    // both sides: the restored table's int8 columns live as numeric
+    // (unsigned-range-safe ingest mapping) and the reference renders every
+    // DECIMAL through Go float formatting ("1.12425e+06"), while the
+    // source view's long renders plain — cast to compare values, not
+    // type-specific renderings.
+    val (arc, aout) = psqlSelf("-c",
+      "SELECT sum(o_orderkey)::bigint, sum(o_custkey)::bigint FROM rt2_orders")
+    val (brc, bout) = psqlSelf("-c",
+      "SELECT sum(o_orderkey)::bigint, sum(o_custkey)::bigint FROM orders")
+    assert(arc == 0 && brc == 0, aout + bout)
+    assert(aout.trim == bout.trim, s"restored ${aout.trim} vs source ${bout.trim}")
+    psqlSelf("-c", "DROP TABLE rt2_nation")
+    psqlSelf("-c", "DROP TABLE rt2_orders")
+  }
+
   test("pg_dump output restores into graft itself (store tables)") {
     assume(bin("pg_dump").isDefined, "no pg_dump in this environment")
     assume(bin("psql").isDefined, "no psql in this environment")
