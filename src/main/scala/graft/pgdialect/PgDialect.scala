@@ -51,6 +51,8 @@ object PgDialect {
         }
       }
     }
+    def get(k: K): Option[V] = map.synchronized(Option(map.get(k)))
+    def put(k: K, v: V): Unit = map.synchronized { map.put(k, v); () }
     def size: Int = map.synchronized(map.size())
     def clear(): Unit = map.synchronized(map.clear())
   }
@@ -58,10 +60,10 @@ object PgDialect {
   private val translationCache = new LruCache[String, String](4096)
   private val planCache = new LruCache[String, DataFrame](1024)
   // exported-snapshot registry for parallel pg_dump (id -> version map at
-  // export time); bounded — ids are short-lived within one dump run
+  // export time); LRU-bounded — a full flush could strand a RUNNING
+  // parallel dump's id mid-run, failing its workers' adoptions
   private val snapshotSeq = new java.util.concurrent.atomic.AtomicLong()
-  private val exportedSnapshots =
-    scala.collection.concurrent.TrieMap[String, Map[String, Int]]()
+  private val exportedSnapshots = new LruCache[String, Map[String, Int]](1024)
 
   /** Counter hooks (specs assert cache hits skip work). */
   private[graft] val translations = new java.util.concurrent.atomic.AtomicLong()
@@ -362,8 +364,7 @@ object PgDialect {
       val expRe = "(?is)SELECT\\s+(?:pg_catalog\\.)?pg_export_snapshot\\s*\\(\\s*\\)\\s*;?\\s*".r
       if (expRe.matches(stmt)) {
         val id = f"${snapshotSeq.incrementAndGet()}%08X-${store.hashCode & 0xffff}%04X-1"
-        if (exportedSnapshots.size > 1024) exportedSnapshots.clear()
-        exportedSnapshots(id) = store.versionSnapshot
+        exportedSnapshots.put(id, store.versionSnapshot)
         return Rows(cachedPlan(spark, s"SELECT '$id' AS pg_export_snapshot"),
           "SELECT 1")
       }
@@ -384,7 +385,7 @@ object PgDialect {
       val adoptRe = "(?is)SET\\s+TRANSACTION\\s+SNAPSHOT\\s+'([^']+)'\\s*;?\\s*".r
       stmt match {
         case adoptRe(id) =>
-          val exported = exportedSnapshots.getOrElse(id,
+          val exported = exportedSnapshots.get(id).getOrElse(
             throw UnsupportedQuery(s"""snapshot "$id" does not exist"""))
           if (exported != store.versionSnapshot)
             throw UnsupportedQuery(

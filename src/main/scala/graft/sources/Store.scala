@@ -1126,6 +1126,9 @@ class Store(spark: SparkSession, val warehouse: String) {
         require(fs.exists(versionPath(name, v)),
           s"version $v of $name has been expired")
         versions(name) = v
+        // the pointer flip is not a write to journal, but the planner
+        // stats must track the now-current snapshot, not the undone one
+        publishSizeStats(name, v)
         // the undone dirs must not linger: the next write recomputes
         // v+1 and would land files beside the rolled-back ones (same
         // raced-reader hazard class as expireVersions)
