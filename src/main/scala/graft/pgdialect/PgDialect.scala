@@ -139,6 +139,39 @@ object PgDialect {
         m.group(1) + " " + store.snapshotView(tbl, v))
     }))
 
+  /** Pin store-table reads of a REPEATABLE READ txn to its snapshot:
+    * `FROM t` / `JOIN t` gains `FOR VERSION AS OF v` (then resolved by
+    * [[rewriteTimeTravel]] into a view over the immutable version dir).
+    * Scope: SELECT / EXPLAIN / COPY TO — the read surface; DML targets the
+    * latest version under first-updater-wins conflict detection (see the
+    * journaling block). CTE names shadow store tables like in PG, and a
+    * reference already carrying an AS OF clause keeps it (explicit time
+    * travel wins). Matching runs on the literal-blanked copy so table
+    * names inside strings/comments are never touched. */
+  private def rewritePinnedReads(store: Store, txn: PgTxn, stmt: String): String = {
+    if (txn == null || !txn.inTxn) return stmt
+    val pin = txn.readSnapshot(store) match {
+      case Some(p) if p.nonEmpty => p
+      case _ => return stmt
+    }
+    val blanked = new String(blankStrings(stmt))
+    val cte = "(?i)\\b(\\w+)\\s+AS\\s*\\(".r
+      .findAllMatchIn(blanked).map(_.group(1).toLowerCase).toSet
+    val ref = "(?i)\\b(FROM|JOIN)\\s+(?:public\\.)?(\\w+)\\b".r
+    val out = new StringBuilder(stmt)
+    // splice right-to-left so earlier offsets stay valid
+    ref.findAllMatchIn(blanked).toSeq.reverseIterator.foreach { m =>
+      val t = m.group(2)
+      if (!cte(t.toLowerCase)) pin.get(t).orElse(pin.get(t.toLowerCase)).foreach { v =>
+        val after = blanked.substring(m.end).dropWhile(_.isWhitespace).toUpperCase
+        if (!after.startsWith("FOR VERSION") && !after.startsWith("FOR TIMESTAMP")
+            && !after.startsWith("FOR SYSTEM_"))
+          out.insert(m.end, s" FOR VERSION AS OF $v")
+      }
+    }
+    out.toString
+  }
+
   private def rewriteTableChanges(store: Store, stmt: String): String =
     changesRe.replaceAllIn(stmt, m => {
       val tbl = unquoteName(m.group(2))
@@ -256,11 +289,37 @@ object PgDialect {
     private[graft] def noteViewChange(name: String,
         prior: Option[(String, Seq[String], Boolean)]): Unit =
       if (active && !viewOps.contains(name)) viewOps(name) = prior
+    // ---- repeatable-read snapshot isolation ------------------------------
+    // BEGIN ISOLATION LEVEL REPEATABLE READ|SERIALIZABLE (or SET
+    // TRANSACTION …) pins the store's version map at the FIRST data
+    // statement (PG's rule); every read of a store table inside the txn
+    // then resolves to its pinned immutable version dir, whatever other
+    // connections commit. Writes use PG's first-updater-wins: a write to a
+    // table someone else moved since the pin raises serialization_failure
+    // (the txn aborts; ROLLBACK reverts its own writes). A successful own
+    // write advances the pin for that table, so the txn sees its own
+    // writes — PG semantics.
+    private var repeatable = false
+    private var pinned: Option[Map[String, Int]] = None
+    private[graft] def setRepeatable(): Unit = if (active) repeatable = true
+    private[graft] def adoptSnapshot(snap: Map[String, Int]): Unit =
+      if (active) { repeatable = true; pinned = Some(snap) }
+    /** The read snapshot (pins lazily on first use). None = read-committed. */
+    private[graft] def readSnapshot(store: Store): Option[Map[String, Int]] = {
+      if (!active || !repeatable) None
+      else { if (pinned.isEmpty) pinned = Some(store.versionSnapshot); pinned }
+    }
+    private[graft] def pinnedVersion(table: String): Option[Int] =
+      if (active && repeatable) pinned.flatMap(_.get(table)) else None
+    private[graft] def notePinAdvance(table: String, v: Int): Unit =
+      if (active && repeatable) pinned = pinned.map(_.updated(table, v))
+    private[graft] def isRepeatable: Boolean = active && repeatable
+
     def inTxn: Boolean = active
     def isAborted: Boolean = active && failed
     private[graft] def markFailed(): Unit = if (active) failed = true
-    def begin(): Unit = { active = true; failed = false; writes.clear(); savepoints.clear(); viewOps.clear() }
-    def commit(): Unit = { active = false; failed = false; writes.clear(); savepoints.clear(); viewOps.clear() }
+    def begin(): Unit = { active = true; failed = false; repeatable = false; pinned = None; writes.clear(); savepoints.clear(); viewOps.clear() }
+    def commit(): Unit = { active = false; failed = false; repeatable = false; pinned = None; writes.clear(); savepoints.clear(); viewOps.clear() }
     private[graft] def noteWrite(table: String, from: Int, to: Int): Unit =
       if (active) writes.get(table) match {
         case Some((f, _)) => writes(table) = (f, to)
@@ -310,6 +369,8 @@ object PgDialect {
       }
       active = false
       failed = false
+      repeatable = false
+      pinned = None
       writes.clear()
       savepoints.clear()
       viewOps.clear()
@@ -387,14 +448,25 @@ object PgDialect {
         case adoptRe(id) =>
           val exported = exportedSnapshots.get(id).getOrElse(
             throw UnsupportedQuery(s"""snapshot "$id" does not exist"""))
-          if (exported != store.versionSnapshot)
+          // REAL adoption: the worker's reads pin to the exported version
+          // map (immutable snapshot dirs), so a parallel dump stays
+          // consistent even while other connections commit
+          if (txn != null && txn.inTxn) txn.adoptSnapshot(exported)
+          else if (exported != store.versionSnapshot)
             throw UnsupportedQuery(
-              s"""snapshot "$id" is not available: the store advanced since it was exported""")
+              "SET TRANSACTION SNAPSHOT must run inside a transaction block")
           return Command("SET")
         case _ =>
       }
-      // SET TRANSACTION ISOLATION LEVEL / READ ONLY etc: txn-scoped no-op
-      if (upper.startsWith("SET TRANSACTION")) return Command("SET")
+      // SET TRANSACTION ISOLATION LEVEL: upgrades the open txn's reads to
+      // snapshot isolation (PG allows this before the first query); other
+      // SET TRANSACTION forms (READ ONLY/WRITE, DEFERRABLE) are no-ops
+      if (upper.startsWith("SET TRANSACTION")) {
+        if (txn != null && txn.inTxn &&
+            "(?s).*(REPEATABLE\\s+READ|SERIALIZABLE).*".r.matches(upper))
+          txn.setRepeatable()
+        return Command("SET")
+      }
     }
     if (upper.startsWith("SET ")) return executeSet(spark, stmt)
     if (upper.startsWith("RESET")) return executeReset(spark, stmt)
@@ -415,15 +487,21 @@ object PgDialect {
         return Command("ROLLBACK")
       case _ =>
     }
-    if (upper.matches("(?s)(BEGIN|COMMIT|END|ROLLBACK)\\b.*")) {
+    if (upper.matches("(?s)(BEGIN|START\\s+TRANSACTION|COMMIT|END|ROLLBACK)\\b.*")) {
       val verb = upper.split("\\s+")(0) match {
         case "END" => "COMMIT"
+        case "START" => "BEGIN"
         case t => t
       }
       // with a connection txn attached, these are REAL over the write
       // surface (see PgTxn); otherwise the reference's no-op tags
       if (txn != null) verb match {
-        case "BEGIN" => txn.begin()
+        case "BEGIN" =>
+          txn.begin()
+          // BEGIN ISOLATION LEVEL REPEATABLE READ|SERIALIZABLE: snapshot-
+          // isolated reads (PgTxn pins the version map at first statement)
+          if ("(?s).*(REPEATABLE\\s+READ|SERIALIZABLE).*".r.matches(upper))
+            txn.setRepeatable()
         case "COMMIT" =>
           // PG: COMMIT of an aborted transaction rolls back and reports it
           if (txn.isAborted) { txn.rollback(store); return Command("ROLLBACK") }
@@ -624,7 +702,7 @@ object PgDialect {
     if (upper.startsWith("SELECT") || upper.startsWith("WITH") ||
         upper.startsWith("VALUES") || upper.startsWith("TABLE ")) {
       maybeRefreshCatalog(spark, store, upper)
-      val traveled = rewriteTimeTravel(store, stmt)
+      val traveled = rewriteTimeTravel(store, rewritePinnedReads(store, txn, stmt))
       val translated = applyPermissions(translateSelectCached(traveled), perms)
       return Rows(retagJson(planWithRollup(spark, store, translated)), "SELECT")
     }
@@ -641,7 +719,8 @@ object PgDialect {
         // the plan a SELECT would actually run — time travel + rollup
         // rewrite included (no auto-refresh: EXPLAIN must not mutate)
         val explainSql = applyPermissions(
-          translateSelect(rewriteTimeTravel(store, inner.trim)), perms)
+          translateSelect(rewriteTimeTravel(store,
+            rewritePinnedReads(store, txn, inner.trim))), perms)
         val df = spark.sql(RollupRewrite(store, explainSql,
           columnsOf = relationColumns(spark)).getOrElse(explainSql))
         val plan = df.queryExecution.explainString(
@@ -674,7 +753,10 @@ object PgDialect {
         val inner =
           if (src.startsWith("(")) src.substring(1, src.length - 1)
           else s"SELECT ${cols.getOrElse("*")} FROM $src"
-        val df = spark.sql(applyPermissions(translateSelect(inner), perms))
+        // pg_dump's parallel data phase reads through here: the adopted
+        // snapshot must pin the COPY source like any SELECT
+        val df = spark.sql(applyPermissions(translateSelect(
+          rewriteTimeTravel(store, rewritePinnedReads(store, txn, inner))), perms))
         val o = opts.toUpperCase
         return CopyOut(df, csv = o.contains("CSV"), header = o.contains("HEADER"))
       case _ =>
@@ -707,20 +789,39 @@ object PgDialect {
     // which a global version-map diff around the statement would do.
     val journaling = txn != null && txn.inTxn
     if (journaling) store.beginWriteJournal()
-    try {
-      PgDml.execute(spark, store, stmt) match {
-        case Some(r) => return r
-        case None =>
-      }
-    } finally if (journaling) {
+    var dmlResult: Option[PgResult] = None
+    var written: Seq[(String, Int)] = Nil
+    try dmlResult = PgDml.execute(spark, store, stmt)
+    finally if (journaling) {
       // drain in the FINALLY so a statement that dies mid-sequence (e.g.
       // multi-table TRUNCATE failing on table 3 of 5) still notes its
       // partial publishes into the txn — ROLLBACK must revert those too,
       // not just the writes of statements that completed
       val now = store.versionSnapshot
-      store.drainWriteJournal().foreach { case (t, before) =>
+      written = store.drainWriteJournal().map { case (t, before) =>
         txn.noteWrite(t, before, now.getOrElse(t, before))
+        (t, before)
       }
+    }
+    dmlResult match {
+      case Some(r) =>
+        // repeatable-read write conflicts, PG's first-updater-wins: a
+        // write to a table another connection moved since OUR pin aborts
+        // with serialization_failure (the writes stay journaled — the
+        // mandatory ROLLBACK reverts them); a successful own write
+        // advances the pin so the txn sees its own writes
+        if (journaling && txn.isRepeatable) written.foreach { case (t, before) =>
+          txn.pinnedVersion(t) match {
+            case Some(pv) if pv != before =>
+              txn.markFailed()
+              throw UnsupportedQuery(
+                "could not serialize access due to concurrent update")
+            case Some(_) => txn.notePinAdvance(t, store.currentVersion(t))
+            case None => // created inside the txn: latest IS the txn's view
+          }
+        }
+        return r
+      case None =>
     }
     throw UnsupportedQuery("unsupported query type: " + stmt.split("\\s+")(0))
   }

@@ -70,6 +70,101 @@ class PgDialectSpec extends SparkSpecBase {
     assert(builds == b + 1, "an evicted cold entry recomputes")
   }
 
+  test("repeatable read pins reads; own writes visible; conflicts abort") {
+    import spark.implicits._
+    def execT(sql: String, t: PgDialect.PgTxn): PgResult =
+      PgDialect.execute(spark, store, sql, t)
+    def exec(sql: String): PgResult = PgDialect.execute(spark, store, sql)
+    def count(sql: String, t: PgDialect.PgTxn = null): Long =
+      (if (t == null) exec(sql) else execT(sql, t)) match {
+        case Rows(df, _) => df.collect()(0).getLong(0)
+        case other => fail(s"expected rows: $other")
+      }
+    store.replace("rr_t", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val txn = new PgDialect.PgTxn
+    assert(execT("BEGIN ISOLATION LEVEL REPEATABLE READ", txn) == Command("BEGIN"))
+    // first statement pins the snapshot
+    assert(count("SELECT count(*) AS n FROM rr_t", txn) == 2L)
+    // a concurrent (txn-less) commit lands on the latest version…
+    exec("INSERT INTO rr_t VALUES (3, 'c')")
+    assert(count("SELECT count(*) AS n FROM rr_t") == 3L,
+      "read-committed readers see the new row")
+    // …but the pinned txn keeps reading ITS snapshot
+    assert(count("SELECT count(*) AS n FROM rr_t", txn) == 2L,
+      "repeatable read must not see post-pin commits")
+    execT("COMMIT", txn)
+    assert(count("SELECT count(*) AS n FROM rr_t") == 3L)
+
+    // own writes are visible inside the txn (pin advances with the write)
+    val txn2 = new PgDialect.PgTxn
+    execT("BEGIN ISOLATION LEVEL REPEATABLE READ", txn2)
+    assert(count("SELECT count(*) AS n FROM rr_t", txn2) == 3L)
+    execT("INSERT INTO rr_t VALUES (4, 'd')", txn2)
+    assert(count("SELECT count(*) AS n FROM rr_t", txn2) == 4L,
+      "a txn sees its own writes")
+    execT("ROLLBACK", txn2)
+    assert(count("SELECT count(*) AS n FROM rr_t") == 3L, "rollback reverts")
+
+    // first-updater-wins: write to a table moved since OUR pin -> 40001
+    val txn3 = new PgDialect.PgTxn
+    execT("BEGIN ISOLATION LEVEL REPEATABLE READ", txn3)
+    assert(count("SELECT count(*) AS n FROM rr_t", txn3) == 3L) // pin here
+    exec("UPDATE rr_t SET v = 'clobber' WHERE k = 1") // concurrent commit
+    val e = intercept[UnsupportedQuery](
+      execT("UPDATE rr_t SET v = 'mine' WHERE k = 2", txn3))
+    assert(e.getMessage.contains("could not serialize access"), e.getMessage)
+    assert(txn3.isAborted, "serialization failure aborts the txn")
+    execT("ROLLBACK", txn3)
+    // the failed txn's write was reverted with the rollback; the
+    // concurrent writer's clobber survives
+    exec("SELECT v FROM rr_t WHERE k = 1") match {
+      case Rows(df, _) => assert(df.collect()(0).getString(0) == "clobber")
+      case other => fail(other.toString)
+    }
+    exec("SELECT v FROM rr_t WHERE k = 2") match {
+      case Rows(df, _) => assert(df.collect()(0).getString(0) == "b",
+        "the aborted txn's update must not survive its rollback")
+      case other => fail(other.toString)
+    }
+    exec("DROP TABLE rr_t")
+  }
+
+  test("adopted snapshots survive concurrent commits (parallel-dump isolation)") {
+    import spark.implicits._
+    def execT(sql: String, t: PgDialect.PgTxn): PgResult =
+      PgDialect.execute(spark, store, sql, t)
+    def exec(sql: String): PgResult = PgDialect.execute(spark, store, sql)
+    store.replace("snap_t", (1L to 50L).map(i => (i, s"v$i")).toDF("k", "v"))
+    // leader exports its snapshot
+    val id = exec("SELECT pg_export_snapshot()") match {
+      case Rows(df, _) => df.collect()(0).getString(0)
+      case other => fail(other.toString)
+    }
+    // a writer commits AFTER the export
+    exec("INSERT INTO snap_t VALUES (51, 'late')")
+    // the worker adopts the exported snapshot and must read the OLD state
+    // (pre-round-10 behavior refused a diverged adoption outright)
+    val w = new PgDialect.PgTxn
+    execT("BEGIN", w)
+    assert(execT(s"SET TRANSACTION SNAPSHOT '$id'", w) == Command("SET"))
+    execT("SELECT count(*) AS n FROM snap_t", w) match {
+      case Rows(df, _) => assert(df.collect()(0).getLong(0) == 50L,
+        "the adopted snapshot must serve the exported version")
+      case other => fail(other.toString)
+    }
+    // COPY TO (pg_dump's data phase) honors the same pin
+    execT("COPY snap_t TO STDOUT", w) match {
+      case PgDialect.CopyOut(df, _, _) => assert(df.count() == 50L)
+      case other => fail(other.toString)
+    }
+    execT("COMMIT", w)
+    assert(exec("SELECT count(*) AS n FROM snap_t") match {
+      case Rows(df, _) => df.collect()(0).getLong(0) == 51L
+      case _ => false
+    })
+    exec("DROP TABLE snap_t")
+  }
+
   test("pg_matviews and pg_class reflect live matview DDL on access") {
     Tables.registerAll(spark, sfDir)
     PgDialect.execute(spark, store,
