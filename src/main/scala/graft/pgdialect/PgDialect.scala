@@ -265,11 +265,13 @@ object PgDialect {
     * committed on top of refuses to roll back rather than clobbering the
     * concurrent commit. COMMIT is a no-op beyond clearing state: every
     * statement already published durably (single-table commits compose;
-    * cross-table atomicity is rollback-only, like Iceberg WAP). Reads are
-    * NOT isolated (each statement sees the latest published state —
-    * matching the reference's read-committed surface) and matview DDL is
-    * out of txn scope. Callers without a connection (specs, CompatAudit)
-    * pass no txn and keep the reference's no-op BEGIN/COMMIT behavior. */
+    * cross-table atomicity is rollback-only, like Iceberg WAP). Default
+    * reads are READ COMMITTED (each statement sees the latest published
+    * state — the reference's surface); BEGIN ISOLATION LEVEL REPEATABLE
+    * READ upgrades to snapshot-isolated reads over the pinned version map
+    * (see the repeatable-read block below). Matview DDL stays out of txn
+    * scope. Callers without a connection (specs, CompatAudit) pass no txn
+    * and keep the reference's no-op BEGIN/COMMIT behavior. */
   final class PgTxn {
     private var active = false
     // error inside the txn -> aborted: everything except ROLLBACK (and
@@ -470,7 +472,16 @@ object PgDialect {
     }
     if (upper.startsWith("SET ")) return executeSet(spark, stmt)
     if (upper.startsWith("RESET")) return executeReset(spark, stmt)
-    if (upper.startsWith("SHOW ")) return executeShow(spark, stmt)
+    if (upper.startsWith("SHOW ")) {
+      // an open snapshot-isolated txn reports its real level (pools and
+      // ORMs branch on this before relying on repeatable reads)
+      if (txn != null && txn.isRepeatable &&
+          "(?is)SHOW\\s+transaction_isolation\\s*;?\\s*".r.matches(stmt)) {
+        import spark.implicits._
+        return Rows(Seq("repeatable read").toDF("transaction_isolation"), "SHOW")
+      }
+      return executeShow(spark, stmt)
+    }
     val savepointRe = "(?is)SAVEPOINT\\s+([\\w\"]+)\\s*".r
     val releaseRe = "(?is)RELEASE\\s+(?:SAVEPOINT\\s+)?([\\w\"]+)\\s*".r
     val rollbackToRe =

@@ -83,6 +83,10 @@ class PgDialectSpec extends SparkSpecBase {
     store.replace("rr_t", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
     val txn = new PgDialect.PgTxn
     assert(execT("BEGIN ISOLATION LEVEL REPEATABLE READ", txn) == Command("BEGIN"))
+    execT("SHOW transaction_isolation", txn) match {
+      case Rows(df, _) => assert(df.collect()(0).getString(0) == "repeatable read")
+      case other => fail(other.toString)
+    }
     // first statement pins the snapshot
     assert(count("SELECT count(*) AS n FROM rr_t", txn) == 2L)
     // a concurrent (txn-less) commit lands on the latest version…
