@@ -340,6 +340,68 @@ class PgDumpSpec extends SparkSpecBase {
     psqlSelf("-c", "DROP TABLE rt2_orders")
   }
 
+  test("parallel dump under live concurrent writes captures one consistent snapshot") {
+    assume(bin("pg_dump").isDefined, "no pg_dump in this environment")
+    assume(bin("pg_restore").isDefined, "no pg_restore in this environment")
+    assume(LivePg.info.isDefined, "no live PostgreSQL in this environment")
+    // sum-preserving churn: every UPDATE is one statement = one atomic
+    // version flip, so EVERY version of the table holds sum(val) = 0.
+    // The -Fd -j2 dump exports a snapshot, a churner keeps committing
+    // while the workers read — the restored table must be internally
+    // consistent (the invariant holds), proving the workers adopted ONE
+    // version instead of reading whatever was latest mid-dump.
+    def psqlSelf(args: String*): (Int, String) =
+      run(Seq(bin("psql").get, "-h", "127.0.0.1", "-p", server.toString,
+        "-U", "graft", "-d", "graft", "-X", "-A", "-t", "-v",
+        "ON_ERROR_STOP=1") ++ args)
+    psqlSelf("-c", "CREATE TABLE churn_acct AS " +
+      "SELECT g AS k, CAST(0 AS BIGINT) AS val FROM generate_series(1, 200) g")
+    @volatile var churning = true
+    @volatile var churnErr: Throwable = null
+    val churner = new Thread(() => {
+      try {
+        var i = 0
+        while (churning) {
+          // moves value between rows, never changes the sum
+          val (rc, out) = psqlSelf("-c",
+            s"UPDATE churn_acct SET val = val + CASE WHEN k % 2 = 0 THEN ${i + 1} ELSE -${i + 1} END")
+          require(rc == 0, out.takeRight(300))
+          i += 1
+        }
+      } catch { case t: Throwable => churnErr = t }
+    })
+    churner.start()
+    try {
+      Thread.sleep(300) // let some churn land before the export
+      val d = java.nio.file.Files.createTempDirectory("graft-dump-churn")
+      java.nio.file.Files.delete(d)
+      val (rc, out) = dump("-Fd", "-j", "2", "-t", "churn_acct", "-f", d.toString)
+      assert(rc == 0, "dump under churn failed:\n" + out.takeRight(1500))
+      churning = false; churner.join(30000)
+      assert(churnErr == null, s"churner died: $churnErr")
+      val pg = LivePg.info.get
+      def psqlLive(db: String, args: String*): (Int, String) =
+        run(Seq(bin("psql").get, "-h", pg.host, "-p", pg.port.toString,
+          "-U", pg.user, "-d", db, "-X", "-A", "-t") ++ args)
+      val dbName = "graft_churn_restored"
+      psqlLive("postgres", "-c", s"DROP DATABASE IF EXISTS $dbName")
+      assert(psqlLive("postgres", "-c", s"CREATE DATABASE $dbName")._1 == 0)
+      val (rrc, rout) = run(Seq(bin("pg_restore").get, "-h", pg.host,
+        "-p", pg.port.toString, "-U", pg.user, "-d", dbName,
+        "-j", "2", "--no-owner", d.toString))
+      assert(rrc == 0, "restore failed:\n" + rout.takeRight(1500))
+      val (qrc, qout) = psqlLive(dbName,
+        "-c", "SELECT count(*), sum(val)::bigint FROM churn_acct")
+      assert(qrc == 0, qout)
+      assert(qout.trim == "200|0",
+        s"restored snapshot must be internally consistent: ${qout.trim}")
+    } finally {
+      churning = false
+      churner.join(30000)
+      psqlSelf("-c", "DROP TABLE churn_acct")
+    }
+  }
+
   test("pg_dump output restores into graft itself (store tables)") {
     assume(bin("pg_dump").isDefined, "no pg_dump in this environment")
     assume(bin("psql").isDefined, "no psql in this environment")
