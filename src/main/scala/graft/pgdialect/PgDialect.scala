@@ -147,7 +147,11 @@ object PgDialect {
     * journaling block). CTE names shadow store tables like in PG, and a
     * reference already carrying an AS OF clause keeps it (explicit time
     * travel wins). Matching runs on the literal-blanked copy so table
-    * names inside strings/comments are never touched. */
+    * names inside strings/comments are never touched. Known gap: a SQL
+    * VIEW over a store table resolves through its registration-time
+    * binding, which reads the CURRENT snapshot — view reads inside an RR
+    * txn are read-committed (PG pins those too; direct table reads, the
+    * pg_dump/BI path, are fully pinned). */
   private def rewritePinnedReads(store: Store, txn: PgTxn, stmt: String): String = {
     if (txn == null || !txn.inTxn) return stmt
     val pin = txn.readSnapshot(store) match {

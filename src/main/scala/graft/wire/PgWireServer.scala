@@ -732,17 +732,34 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
               // same way the dialect journals PgDml statements
               val journaling = txn != null && txn.inTxn
               if (journaling) store.beginWriteJournal()
-              try receiveCopyIn(in, out, ci)
+              var copied = -1L
+              var written: Seq[(String, Int)] = Nil
+              try copied = receiveCopyIn(in, out, ci)
               finally if (journaling) {
                 // drain in the FINALLY: a COPY that dies in a later 64MB
                 // chunk (malformed row, CopyFail) has already published
                 // the earlier chunk appends — they must be noted into the
                 // txn so ROLLBACK can revert them, not silently dropped
                 val now = store.versionSnapshot
-                store.drainWriteJournal().foreach { case (t, before) =>
+                written = store.drainWriteJournal().map { case (t, before) =>
                   txn.noteWrite(t, before, now.getOrElse(t, before))
+                  (t, before)
                 }
               }
+              // same first-updater-wins rule as the DML path: COPY into a
+              // repeatable-read txn whose pinned table moved underneath
+              // aborts (ROLLBACK reverts the journaled chunks)
+              if (journaling && txn.isRepeatable) written.foreach { case (t, before) =>
+                txn.pinnedVersion(t) match {
+                  case Some(pv) if pv != before =>
+                    txn.markFailed()
+                    throw PgDialect.UnsupportedQuery(
+                      "could not serialize access due to concurrent update")
+                  case Some(_) => txn.notePinAdvance(t, store.currentVersion(t))
+                  case None =>
+                }
+              }
+              copied
             case PgDialect.Command(tag) => commandComplete(out, tag); 0L
             case PgDialect.Empty => msg(out, 'I') { _ => }; 0L
           }
