@@ -53,6 +53,10 @@ object PgDialect {
     }
     def get(k: K): Option[V] = map.synchronized(Option(map.get(k)))
     def put(k: K, v: V): Unit = map.synchronized { map.put(k, v); () }
+    def entries: Seq[(K, V)] = map.synchronized {
+      import scala.jdk.CollectionConverters._
+      map.entrySet().asScala.toSeq.map(e => e.getKey -> e.getValue)
+    }
     def size: Int = map.synchronized(map.size())
     def clear(): Unit = map.synchronized(map.clear())
   }
@@ -104,8 +108,10 @@ object PgDialect {
       translationSettingsKey + "\n" + sql)(translateSelect(sql))
 
   // ---- time travel -------------------------------------------------------
+  // the comma alternative resolves comma-separated FROM lists — the
+  // repeatable-read pin rewrite places AS OF clauses on every list entry
   private val travelRe =
-    ("(?is)\\b(FROM|JOIN)\\s+([\\w.\"]+)\\s+FOR\\s+(?:SYSTEM_)?" +
+    ("(?is)(\\bFROM|\\bJOIN|,)\\s*([\\w.\"]+)\\s+FOR\\s+(?:SYSTEM_)?" +
       "(VERSION|TIMESTAMP)\\s+AS\\s+OF\\s+('[^']*'|\\d+)").r
 
   // `FROM table_changes('t', from[, to])` — the Delta SQL CDC surface over
@@ -161,18 +167,74 @@ object PgDialect {
     val blanked = new String(blankStrings(stmt))
     val cte = "(?i)\\b(\\w+)\\s+AS\\s*\\(".r
       .findAllMatchIn(blanked).map(_.group(1).toLowerCase).toSet
-    val ref = "(?i)\\b(FROM|JOIN)\\s+(?:public\\.)?(\\w+)\\b".r
-    val out = new StringBuilder(stmt)
-    // splice right-to-left so earlier offsets stay valid
-    ref.findAllMatchIn(blanked).toSeq.reverseIterator.foreach { m =>
-      val t = m.group(2)
-      if (!cte(t.toLowerCase)) pin.get(t).orElse(pin.get(t.toLowerCase)).foreach { v =>
-        val after = blanked.substring(m.end).dropWhile(_.isWhitespace).toUpperCase
-        if (!after.startsWith("FOR VERSION") && !after.startsWith("FOR TIMESTAMP")
-            && !after.startsWith("FOR SYSTEM_"))
-          out.insert(m.end, s" FOR VERSION AS OF $v")
+    val n = blanked.length
+    def identChar(c: Char) = c.isLetterOrDigit || c == '_'
+    // words that terminate a FROM list / can't be aliases
+    val stop = Set("where", "group", "order", "having", "limit", "offset",
+      "on", "using", "inner", "left", "right", "full", "cross", "join",
+      "union", "intersect", "except", "window", "for", "fetch", "natural",
+      "lateral", "returning", "as")
+    val splices = scala.collection.mutable.ArrayBuffer[(Int, Int)]() // (pos, version)
+    // token-walk each FROM's COMMA-SEPARATED list (a single-ref regex
+    // missed `FROM a, b` — b read the live snapshot mid-txn) and each
+    // JOIN's single ref; quoted identifiers included
+    for (m <- "(?i)\\b(FROM|JOIN)\\s".r.findAllMatchIn(blanked)) {
+      val isJoin = blanked.charAt(m.start).toUpper == 'J'
+      var i = m.end
+      var more = true
+      while (more) {
+        more = false
+        while (i < n && blanked.charAt(i).isWhitespace) i += 1
+        if (i < n && (identChar(blanked.charAt(i)) || blanked.charAt(i) == '"')) {
+          def readIdent(): String =
+            if (blanked.charAt(i) == '"') {
+              val s0 = i + 1; i += 1
+              while (i < n && blanked.charAt(i) != '"') i += 1
+              val r = blanked.substring(s0, math.min(i, n)); if (i < n) i += 1; r
+            } else {
+              val s0 = i
+              while (i < n && identChar(blanked.charAt(i))) i += 1
+              blanked.substring(s0, i)
+            }
+          var ident = readIdent()
+          if (i < n && blanked.charAt(i) == '.') { i += 1; ident = readIdent() }
+          val refEnd = i
+          var j = i
+          while (j < n && blanked.charAt(j).isWhitespace) j += 1
+          val isFn = j < n && blanked.charAt(j) == '(' // table function
+          val afterU = blanked.substring(j, math.min(n, j + 16)).toUpperCase
+          val traveled = afterU.startsWith("FOR VERSION") ||
+            afterU.startsWith("FOR TIMESTAMP") || afterU.startsWith("FOR SYSTEM_")
+          if (!isFn && !traveled && !cte(ident.toLowerCase))
+            pin.get(ident).orElse(pin.get(ident.toLowerCase))
+              .foreach(v => splices += ((refEnd, v)))
+          if (!isJoin) {
+            // optional [AS] alias, then a comma continues the FROM list
+            var k = j
+            if (k < n && (identChar(blanked.charAt(k)) || blanked.charAt(k) == '"')) {
+              val save = k
+              val w = new StringBuilder
+              if (blanked.charAt(k) == '"') {
+                k += 1; while (k < n && blanked.charAt(k) != '"') { w.append(blanked.charAt(k)); k += 1 }
+                if (k < n) k += 1
+              } else while (k < n && identChar(blanked.charAt(k))) { w.append(blanked.charAt(k)); k += 1 }
+              if (w.toString.equalsIgnoreCase("as")) {
+                while (k < n && blanked.charAt(k).isWhitespace) k += 1
+                if (k < n && blanked.charAt(k) == '"') {
+                  k += 1; while (k < n && blanked.charAt(k) != '"') k += 1
+                  if (k < n) k += 1
+                } else while (k < n && identChar(blanked.charAt(k))) k += 1
+              } else if (stop(w.toString.toLowerCase)) k = save
+            }
+            while (k < n && blanked.charAt(k).isWhitespace) k += 1
+            if (k < n && blanked.charAt(k) == ',') { i = k + 1; more = true }
+          }
+        }
       }
     }
+    val out = new StringBuilder(stmt)
+    splices.sortBy(-_._1).foreach { case (pos, v) =>
+      out.insert(pos, s" FOR VERSION AS OF $v") }
     out.toString
   }
 
@@ -218,7 +280,7 @@ object PgDialect {
   /** Parse/analyze `finalSql` once per (epoch, timezone); later identical
     * statements reuse the analyzed DataFrame. */
   def cachedPlan(spark: SparkSession, finalSql: String): DataFrame = {
-    val key = catalogEpoch.get + "\n" +
+    val key = s"${catalogEpoch.get}\n" +
       spark.conf.get("spark.sql.session.timeZone", "") + "\n" + finalSql
     planCache.computeIfAbsent(key) {
       planBuilds.incrementAndGet()
@@ -230,21 +292,18 @@ object PgDialect {
   // Per-statement execution stats, fed by the wire server where rows
   // actually stream to a client (time-to-last-row, not plan time). Served
   // as the pg_stat_statements catalog view (PgCatalog.refreshDynamic).
-  private val stmtStats =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]() // calls, totalMicros, rows
+  // LRU like the translation/plan caches: the old size-capped clear()
+  // dropped EVERY statement's stats at the threshold — pg_stat_statements
+  // deallocates least-used entries instead, and so does this
+  private val stmtStats = new LruCache[String, Array[Long]](4096) // calls, totalMicros, rows
   private[graft] def noteStatement(query: String, micros: Long, rows: Long): Unit = {
-    if (stmtStats.size > 4096) stmtStats.clear()
-    stmtStats.compute(query.trim, (_, v) => {
-      val a = if (v == null) Array(0L, 0L, 0L) else v
-      a(0) += 1; a(1) += micros; a(2) += rows; a
-    })
-    ()
+    val a = stmtStats.computeIfAbsent(query.trim)(Array(0L, 0L, 0L))
+    a.synchronized { a(0) += 1; a(1) += micros; a(2) += rows }
   }
   /** (query, calls, totalMicros, rows) snapshot. */
-  private[graft] def statementStats: Seq[(String, Long, Long, Long)] = {
-    import scala.jdk.CollectionConverters._
-    stmtStats.asScala.toSeq.map { case (q, a) => (q, a(0), a(1), a(2)) }
-  }
+  private[graft] def statementStats: Seq[(String, Long, Long, Long)] =
+    stmtStats.entries.map { case (q, a) =>
+      a.synchronized((q, a(0), a(1), a(2))) }
   private[graft] def resetStatementStats(): Unit = stmtStats.clear()
 
   sealed trait PgResult
@@ -321,11 +380,27 @@ object PgDialect {
       if (active && repeatable) pinned = pinned.map(_.updated(table, v))
     private[graft] def isRepeatable: Boolean = active && repeatable
 
+    // SET LOCAL / set_config(…, true): the setting reverts at txn END
+    // (commit or rollback alike — PG semantics). Restores run on the
+    // connection thread, inside its bound settings scope.
+    private val localSettings =
+      scala.collection.mutable.LinkedHashMap[String, Option[String]]()
+    private[graft] def noteLocalSet(name: String): Unit =
+      if (active && !localSettings.contains(name))
+        localSettings(name) = SessionSettings.get(name)
+    private def restoreLocalSettings(): Unit = {
+      localSettings.foreach {
+        case (n, Some(v)) => SessionSettings.set(n, v)
+        case (n, None) => SessionSettings.reset(n)
+      }
+      localSettings.clear()
+    }
+
     def inTxn: Boolean = active
     def isAborted: Boolean = active && failed
     private[graft] def markFailed(): Unit = if (active) failed = true
-    def begin(): Unit = { active = true; failed = false; repeatable = false; pinned = None; writes.clear(); savepoints.clear(); viewOps.clear() }
-    def commit(): Unit = { active = false; failed = false; repeatable = false; pinned = None; writes.clear(); savepoints.clear(); viewOps.clear() }
+    def begin(): Unit = { active = true; failed = false; repeatable = false; pinned = None; localSettings.clear(); writes.clear(); savepoints.clear(); viewOps.clear() }
+    def commit(): Unit = { restoreLocalSettings(); active = false; failed = false; repeatable = false; pinned = None; writes.clear(); savepoints.clear(); viewOps.clear() }
     private[graft] def noteWrite(table: String, from: Int, to: Int): Unit =
       if (active) writes.get(table) match {
         case Some((f, _)) => writes(table) = (f, to)
@@ -373,6 +448,7 @@ object PgDialect {
         try store.restoreView(n, prior)
         catch { case _: Exception => () } // base gone: nothing to restore onto
       }
+      restoreLocalSettings()
       active = false
       failed = false
       repeatable = false
@@ -432,8 +508,11 @@ object PgDialect {
       if (expRe.matches(stmt)) {
         val id = f"${snapshotSeq.incrementAndGet()}%08X-${store.hashCode & 0xffff}%04X-1"
         exportedSnapshots.put(id, store.versionSnapshot)
-        return Rows(cachedPlan(spark, s"SELECT '$id' AS pg_export_snapshot"),
-          "SELECT 1")
+        // local one-row frame, not cachedPlan: ids are globally unique, so
+        // a cached plan could never hit again and would only evict real
+        // entries from the LRU
+        import spark.implicits._
+        return Rows(Seq(id).toDF("pg_export_snapshot"), "SELECT 1")
       }
       // standalone set_config (pg_dump/psql/pools): handled HERE, on the
       // connection-scoped thread, NOT via the set_config UDF — a UDF
@@ -441,12 +520,26 @@ object PgDialect {
       // so its write lands in the shared SESSION scope and one client's
       // `set_config('search_path', …)` leaks into every other connection.
       val setCfgRe = ("(?is)SELECT\\s+(?:pg_catalog\\.)?set_config\\s*\\(" +
-        "\\s*'([^']*)'\\s*,\\s*'([^']*)'\\s*,\\s*\\S+\\s*\\)\\s*;?\\s*").r
+        "\\s*'((?:[^']|'')*)'\\s*,\\s*'((?:[^']|'')*)'\\s*,\\s*(\\S+?)\\s*\\)\\s*;?\\s*").r
       stmt match {
-        case setCfgRe(name, value) =>
-          SessionSettings.set(name, value)
-          return Rows(cachedPlan(spark,
-            s"SELECT '${value.replace("'", "''")}' AS set_config"), "SELECT 1")
+        case setCfgRe(nameRaw, valueRaw, localRaw) =>
+          val name = nameRaw.replace("''", "'")
+          val value = valueRaw.replace("''", "'")
+          // is_local=true: PG reverts the setting at txn END (SET LOCAL);
+          // outside a txn a local set has no lasting effect (PG warns)
+          val isLocal = Set("true", "'t'", "'true'", "'on'", "'yes'", "'1'", "1")
+            .contains(localRaw.toLowerCase)
+          if (isLocal) {
+            if (txn != null && txn.inTxn) {
+              txn.noteLocalSet(name)
+              SessionSettings.set(name, value)
+            }
+          } else SessionSettings.set(name, value)
+          // a plain one-row local frame — NOT via cachedPlan: every call
+          // has a distinct value and would evict real hot plans from the
+          // LRU with entries that can never hit again
+          import spark.implicits._
+          return Rows(Seq(value).toDF("set_config"), "SELECT 1")
         case _ =>
       }
       val adoptRe = "(?is)SET\\s+TRANSACTION\\s+SNAPSHOT\\s+'([^']+)'\\s*;?\\s*".r
@@ -456,11 +549,14 @@ object PgDialect {
             throw UnsupportedQuery(s"""snapshot "$id" does not exist"""))
           // REAL adoption: the worker's reads pin to the exported version
           // map (immutable snapshot dirs), so a parallel dump stays
-          // consistent even while other connections commit
-          if (txn != null && txn.inTxn) txn.adoptSnapshot(exported)
-          else if (exported != store.versionSnapshot)
+          // consistent even while other connections commit. Outside a txn
+          // PG errors unconditionally — silently returning SET when the
+          // maps happen to match would leave the caller UNPINNED and
+          // every later commit would leak into its "snapshot" reads.
+          if (txn == null || !txn.inTxn)
             throw UnsupportedQuery(
-              "SET TRANSACTION SNAPSHOT must run inside a transaction block")
+              "SET TRANSACTION SNAPSHOT can only be used in transaction blocks")
+          txn.adoptSnapshot(exported)
           return Command("SET")
         case _ =>
       }
@@ -803,9 +899,13 @@ object PgDialect {
     // commit can never be blamed on (and rolled back with) this txn,
     // which a global version-map diff around the statement would do.
     val journaling = txn != null && txn.inTxn
+    // PG pins the RR snapshot at the FIRST statement of any kind — a txn
+    // whose first statement is a WRITE must pin BEFORE that write, or
+    // first-updater-wins has no baseline and lost updates slip through
+    if (journaling && txn.isRepeatable) txn.readSnapshot(store)
     if (journaling) store.beginWriteJournal()
     var dmlResult: Option[PgResult] = None
-    var written: Seq[(String, Int)] = Nil
+    var written: Seq[(String, Int, Int)] = Nil
     try dmlResult = PgDml.execute(spark, store, stmt)
     finally if (journaling) {
       // drain in the FINALLY so a statement that dies mid-sequence (e.g.
@@ -814,8 +914,9 @@ object PgDialect {
       // not just the writes of statements that completed
       val now = store.versionSnapshot
       written = store.drainWriteJournal().map { case (t, before) =>
-        txn.noteWrite(t, before, now.getOrElse(t, before))
-        (t, before)
+        val after = now.getOrElse(t, before)
+        txn.noteWrite(t, before, after)
+        (t, before, after)
       }
     }
     dmlResult match {
@@ -824,14 +925,17 @@ object PgDialect {
         // write to a table another connection moved since OUR pin aborts
         // with serialization_failure (the writes stay journaled — the
         // mandatory ROLLBACK reverts them); a successful own write
-        // advances the pin so the txn sees its own writes
-        if (journaling && txn.isRepeatable) written.foreach { case (t, before) =>
+        // advances the pin so the txn sees its own writes. The pin
+        // advances to the JOURNALED after-version — re-reading the live
+        // version here could adopt a concurrent commit that landed in the
+        // window since the drain.
+        if (journaling && txn.isRepeatable) written.foreach { case (t, before, after) =>
           txn.pinnedVersion(t) match {
             case Some(pv) if pv != before =>
               txn.markFailed()
               throw UnsupportedQuery(
                 "could not serialize access due to concurrent update")
-            case Some(_) => txn.notePinAdvance(t, store.currentVersion(t))
+            case Some(_) => txn.notePinAdvance(t, after)
             case None => // created inside the txn: latest IS the txn's view
           }
         }
@@ -1134,9 +1238,11 @@ object PgDialect {
           s = occRe.replaceAllIn(cur, m => {
             val before = cur.substring(0, m.start)
             val after = cur.substring(m.end)
+            // ':' after = a ::cast; '(' before = inside function args —
+            // both are expression positions needing the bare literal
             val opAdj =
-              after.dropWhile(_.isWhitespace).headOption.exists("=<>!+-*/|".contains(_)) ||
-              before.reverse.dropWhile(_.isWhitespace).headOption.exists("=<>!+-*/|".contains(_))
+              after.dropWhile(_.isWhitespace).headOption.exists("=<>!+-*/|:".contains(_)) ||
+              before.reverse.dropWhile(_.isWhitespace).headOption.exists("=<>!+-*/|(".contains(_))
             val lastKw =
               "(?i)\\b(SELECT|FROM|WHERE|ON|GROUP|ORDER|HAVING|RETURNING|WHEN|THEN|ELSE|USING|BY)\\b".r
                 .findAllMatchIn(before).foldLeft("")((_, k) => k.group(1).toUpperCase)

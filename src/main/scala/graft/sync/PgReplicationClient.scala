@@ -88,14 +88,15 @@ class PgReplicationClient(conn: PgConnInfo, slot: String)
     require(streaming, "not streaming")
     val out = Seq.newBuilder[String]
     var n = 0
-    client.setSoTimeout(idleMillis)
     try {
       var go = true
       while (go && n < maxMessages) {
-        val t =
-          try client.readType()
-          catch { case _: java.net.SocketTimeoutException => go = false; ' ' }
-        if (go) {
+        // idle-aware read: a timeout is only "idle" BEFORE any byte of a
+        // frame arrives — mid-frame stalls raise instead of desyncing
+        val tOpt = client.readTypeIdle(idleMillis)
+        if (tOpt.isEmpty) go = false
+        else {
+          val t = tOpt.get
           val body = client.readBody()
           t match {
             case 'd' if body.nonEmpty && body(0) == 'w' =>

@@ -264,6 +264,25 @@ class PgWireClient(host: String, port: Int, user: String, database: String,
     * a bounded timeout as its idle-detection mechanism. */
   private[graft] def setSoTimeout(ms: Int): Unit = socket.setSoTimeout(ms)
 
+  /** Idle-aware frame-type read: wait up to `idleMillis` for the FIRST
+    * byte (None = genuinely idle); once it arrives, the rest of the frame
+    * header completes under a generous timeout — a timeout BETWEEN the
+    * type byte and the length field must be a hard error, never a silent
+    * return, or the consumed byte desynchronizes every later frame. */
+  private[graft] def readTypeIdle(idleMillis: Int): Option[Char] = {
+    socket.setSoTimeout(idleMillis)
+    val t =
+      try in.read()
+      catch { case _: java.net.SocketTimeoutException => -2 }
+      finally socket.setSoTimeout(30000)
+    if (t == -2) None
+    else if (t < 0) throw new java.io.EOFException("server closed connection")
+    else {
+      pendingLen = in.readInt() - 4
+      Some(t.toChar)
+    }
+  }
+
   private[graft] def sendMsg(t: Char)(write: DataOutputStream => Unit): Unit = {
     val body = new java.io.ByteArrayOutputStream()
     write(new DataOutputStream(body))

@@ -318,6 +318,9 @@ object PgWireSource {
       }
       i += 1
     }
+    // an unterminated quote would leave qe at -1 and the trim-mode
+    // substring math out of bounds — raise PG's error instead
+    require(!quoted, s"malformed array literal: ${s.take(32)}")
     flush()
     out.toSeq
   }

@@ -731,9 +731,12 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
               // with it, like any other write — journal the appends the
               // same way the dialect journals PgDml statements
               val journaling = txn != null && txn.inTxn
+              // pin BEFORE the write — a COPY-first RR txn needs the
+              // baseline for first-updater-wins (see the DML path)
+              if (journaling && txn.isRepeatable) txn.readSnapshot(store)
               if (journaling) store.beginWriteJournal()
               var copied = -1L
-              var written: Seq[(String, Int)] = Nil
+              var written: Seq[(String, Int, Int)] = Nil
               try copied = receiveCopyIn(in, out, ci)
               finally if (journaling) {
                 // drain in the FINALLY: a COPY that dies in a later 64MB
@@ -742,20 +745,22 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
                 // txn so ROLLBACK can revert them, not silently dropped
                 val now = store.versionSnapshot
                 written = store.drainWriteJournal().map { case (t, before) =>
-                  txn.noteWrite(t, before, now.getOrElse(t, before))
-                  (t, before)
+                  val after = now.getOrElse(t, before)
+                  txn.noteWrite(t, before, after)
+                  (t, before, after)
                 }
               }
               // same first-updater-wins rule as the DML path: COPY into a
               // repeatable-read txn whose pinned table moved underneath
-              // aborts (ROLLBACK reverts the journaled chunks)
-              if (journaling && txn.isRepeatable) written.foreach { case (t, before) =>
+              // aborts (ROLLBACK reverts the journaled chunks); the pin
+              // advances to the JOURNALED after-version, never a re-read
+              if (journaling && txn.isRepeatable) written.foreach { case (t, before, after) =>
                 txn.pinnedVersion(t) match {
                   case Some(pv) if pv != before =>
                     txn.markFailed()
                     throw PgDialect.UnsupportedQuery(
                       "could not serialize access due to concurrent update")
-                  case Some(_) => txn.notePinAdvance(t, store.currentVersion(t))
+                  case Some(_) => txn.notePinAdvance(t, after)
                   case None =>
                 }
               }
@@ -789,6 +794,8 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
     case _ if isCancellation(e) => "57014" // query_canceled (statement_timeout)
     case _ if Option(e.getMessage).exists(_.contains("transaction is aborted")) =>
       "25P02" // in_failed_sql_transaction
+    case _ if Option(e.getMessage).exists(_.contains("could not serialize access")) =>
+      "40001" // serialization_failure — drivers/pools retry on this code
     case se: org.apache.spark.SparkThrowable if se.getCondition != null =>
       val c = se.getCondition
       if (c.startsWith("TABLE_OR_VIEW_NOT_FOUND")) "42P01"

@@ -54,6 +54,14 @@ class DmlSpec extends SparkSpecBase {
     assert(got(2).getSeq[String](1) == Seq(null, "NULL", "plain"),
       "unquoted NULL is SQL NULL; quoted \"NULL\" is the string")
     assert(got(2).isNullAt(2), "NULL array stays NULL")
+    // malformed literals raise PG's error, not an index-out-of-bounds from
+    // the tokenizer (unterminated quote)
+    val e = intercept[Exception](
+      exec("""INSERT INTO dml_arr VALUES (9, '{"abc}', NULL)"""))
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.toLowerCase.contains("malformed array literal")),
+      s"unterminated quote must raise cleanly: ${messages(e).mkString(" | ")}")
     tag("DROP TABLE dml_arr")
   }
 

@@ -130,6 +130,47 @@ class PgDialectSpec extends SparkSpecBase {
         "the aborted txn's update must not survive its rollback")
       case other => fail(other.toString)
     }
+    // comma-separated FROM lists pin EVERY table, not just the first —
+    // a half-pinned join would mix two snapshots mid-transaction
+    val txnC = new PgDialect.PgTxn
+    execT("BEGIN ISOLATION LEVEL REPEATABLE READ", txnC)
+    store.replace("rr_u", Seq((1L, 10L), (2L, 20L)).toDF("k", "amt"))
+    assert(count(
+      "SELECT count(*) AS n FROM rr_t a, rr_u b WHERE a.k = b.k", txnC) == 2L)
+    exec("INSERT INTO rr_u VALUES (3, 30)")
+    exec("INSERT INTO rr_t VALUES (99, 'x')")
+    assert(count(
+      "SELECT count(*) AS n FROM rr_t a, rr_u b WHERE a.k = b.k", txnC) == 2L,
+      "both comma-list tables must read the pinned snapshot")
+    assert(count("SELECT count(*) AS n FROM rr_u", txnC) == 2L)
+    execT("COMMIT", txnC)
+    exec("DROP TABLE rr_u")
+    exec("DELETE FROM rr_t WHERE k = 99")
+
+    // a WRITE-first RR txn pins before its write: the conflict baseline
+    // exists even when no read ever ran (the lost-update hole)
+    val txn4 = new PgDialect.PgTxn
+    execT("BEGIN ISOLATION LEVEL REPEATABLE READ", txn4)
+    execT("UPDATE rr_t SET v = 'first' WHERE k = 3", txn4) // pins + writes
+    exec("UPDATE rr_t SET v = 'other' WHERE k = 1")        // concurrent commit
+    val e2 = intercept[UnsupportedQuery](
+      execT("UPDATE rr_t SET v = 'second' WHERE k = 2", txn4))
+    assert(e2.getMessage.contains("could not serialize access"),
+      s"write-first txn must still detect conflicts: ${e2.getMessage}")
+    execT("ROLLBACK", txn4)
+
+    // set_config(..., true) is txn-LOCAL: reverts at COMMIT like SET LOCAL
+    val txn5 = new PgDialect.PgTxn
+    execT("BEGIN", txn5)
+    execT("SELECT set_config('application_name', 'o''brien', true)", txn5) match {
+      case Rows(df, _) => assert(df.collect()(0).getString(0) == "o'brien",
+        "doubled quotes in the value must unescape, not fall through")
+      case other => fail(other.toString)
+    }
+    assert(SessionSettings.get("application_name").contains("o'brien"))
+    execT("COMMIT", txn5)
+    assert(!SessionSettings.get("application_name").contains("o'brien"),
+      "a local set_config must revert at transaction end")
     exec("DROP TABLE rr_t")
   }
 

@@ -1127,6 +1127,28 @@ class WireSpec extends SparkSpecBase {
     } finally sys.props.remove("graft.copy.chunkBytes")
   }
 
+  test("repeatable-read conflicts surface SQLSTATE 40001 on the wire") {
+    import spark.implicits._
+    store.replace("rrw_t", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val c1 = new Client(server._2); c1.startup()
+    val c2 = new Client(server._2); c2.startup()
+    c1.query("BEGIN ISOLATION LEVEL REPEATABLE READ")
+    c1.query("SELECT count(*) FROM rrw_t") // pins
+    c2.query("UPDATE rrw_t SET v = 'moved' WHERE k = 1") // concurrent commit
+    val msgs = c1.query("UPDATE rrw_t SET v = 'mine' WHERE k = 2")
+    val err = msgs.find(_._1 == 'E').map(m => new String(m._2, UTF_8))
+    assert(err.isDefined, "conflicting write must error")
+    assert(err.get.contains("40001"),
+      s"drivers retry on SQLSTATE 40001, got: ${err.get}")
+    c1.query("ROLLBACK")
+    // session stays usable and read-committed again
+    val after = c1.query("SELECT v FROM rrw_t WHERE k = 1")
+      .filter(_._1 == 'D').map(m => dataRowValues(m._2).head)
+    assert(after == Seq("moved"))
+    c1.close(); c2.close()
+    store.drop("rrw_t")
+  }
+
   test("set_config on one connection is invisible to a concurrent connection") {
     // pg_dump opens with SELECT pg_catalog.set_config('search_path', '', false);
     // handled at the dialect layer on the connection-scoped thread — the UDF
