@@ -145,6 +145,36 @@ object PgDialect {
         m.group(1) + " " + store.snapshotView(tbl, v))
     }))
 
+  /** Repeatable-read write conflicts, PG's first-updater-wins, over one
+    * statement's journaled publishes: per TABLE (a multi-publish statement
+    * — chunked COPY, compacting append — journals several entries whose
+    * own versions must not read as conflicts), a conflict is (a) the first
+    * pre-write version differing from the pin, or (b) a GAP between the
+    * statement's own publishes, meaning another connection committed
+    * mid-statement. On conflict the txn aborts (the writes stay journaled
+    * — the mandatory ROLLBACK reverts them); on success the pin advances
+    * to the statement's own final version so the txn sees its writes. */
+  private[graft] def checkWriteConflicts(txn: PgTxn, journaling: Boolean,
+      written: Seq[(String, Int, Int)]): Unit = {
+    if (!journaling || txn == null || !txn.isRepeatable || written.isEmpty) return
+    written.groupBy(_._1).foreach { case (t, entries) =>
+      txn.pinnedVersion(t) match {
+        case Some(pv) =>
+          val contiguous = entries.sliding(2).forall {
+            case Seq((_, _, a1), (_, b2, _)) => b2 == a1
+            case _ => true
+          }
+          if (pv != entries.head._2 || !contiguous) {
+            txn.markFailed()
+            throw UnsupportedQuery(
+              "could not serialize access due to concurrent update")
+          }
+          txn.notePinAdvance(t, entries.last._3)
+        case None => // created inside the txn: latest IS the txn's view
+      }
+    }
+  }
+
   /** Pin store-table reads of a REPEATABLE READ txn to its snapshot:
     * `FROM t` / `JOIN t` gains `FOR VERSION AS OF v` (then resolved by
     * [[rewriteTimeTravel]] into a view over the immutable version dir).
@@ -158,14 +188,16 @@ object PgDialect {
     * binding, which reads the CURRENT snapshot — view reads inside an RR
     * txn are read-committed (PG pins those too; direct table reads, the
     * pg_dump/BI path, are fully pinned). */
-  private def rewritePinnedReads(store: Store, txn: PgTxn, stmt: String): String = {
+  private[graft] def rewritePinnedReads(store: Store, txn: PgTxn, stmt: String): String = {
     if (txn == null || !txn.inTxn) return stmt
     val pin = txn.readSnapshot(store) match {
       case Some(p) if p.nonEmpty => p
       case _ => return stmt
     }
     val blanked = new String(blankStrings(stmt))
-    val cte = "(?i)\\b(\\w+)\\s+AS\\s*\\(".r
+    // the optional (col, …) list covers WITH name(cols) AS (…) — without
+    // it such a CTE would fail to shadow a same-named store table
+    val cte = "(?i)\\b(\\w+)\\s*(?:\\([^()]*\\))?\\s+AS\\s*\\(".r
       .findAllMatchIn(blanked).map(_.group(1).toLowerCase).toSet
     val n = blanked.length
     def identChar(c: Char) = c.isLetterOrDigit || c == '_'
@@ -185,7 +217,36 @@ object PgDialect {
       while (more) {
         more = false
         while (i < n && blanked.charAt(i).isWhitespace) i += 1
-        if (i < n && (identChar(blanked.charAt(i)) || blanked.charAt(i) == '"')) {
+        if (i < n && blanked.charAt(i) == '(') {
+          // derived table / subquery entry: its inner FROMs match on their
+          // own — skip the balanced group (plus optional alias) so a comma
+          // AFTER it still continues this list
+          var depth = 0
+          var done = false
+          while (i < n && !done) {
+            if (blanked.charAt(i) == '(') depth += 1
+            else if (blanked.charAt(i) == ')') { depth -= 1; done = depth == 0 }
+            i += 1
+          }
+          var k = i
+          while (k < n && blanked.charAt(k).isWhitespace) k += 1
+          // optional [AS] alias word
+          if (k < n && (identChar(blanked.charAt(k)) || blanked.charAt(k) == '"')) {
+            val save = k
+            val w = new StringBuilder
+            if (blanked.charAt(k) == '"') {
+              k += 1; while (k < n && blanked.charAt(k) != '"') { w.append(blanked.charAt(k)); k += 1 }
+              if (k < n) k += 1
+            } else while (k < n && identChar(blanked.charAt(k))) { w.append(blanked.charAt(k)); k += 1 }
+            if (w.toString.equalsIgnoreCase("as")) {
+              while (k < n && blanked.charAt(k).isWhitespace) k += 1
+              while (k < n && identChar(blanked.charAt(k))) k += 1
+            } else if (stop(w.toString.toLowerCase)) k = save
+          }
+          while (k < n && blanked.charAt(k).isWhitespace) k += 1
+          if (k < n && blanked.charAt(k) == ',') { i = k + 1; more = true }
+        }
+        else if (i < n && (identChar(blanked.charAt(i)) || blanked.charAt(i) == '"')) {
           def readIdent(): String =
             if (blanked.charAt(i) == '"') {
               val s0 = i + 1; i += 1
@@ -208,6 +269,13 @@ object PgDialect {
           if (!isFn && !traveled && !cte(ident.toLowerCase))
             pin.get(ident).orElse(pin.get(ident.toLowerCase))
               .foreach(v => splices += ((refEnd, v)))
+          // an explicitly-traveled entry: step past its AS OF clause so a
+          // comma after it still continues this FROM list
+          if (traveled) {
+            "(?is)^FOR\\s+(?:SYSTEM_)?(?:VERSION|TIMESTAMP)\\s+AS\\s+OF\\s+('[^']*'|\\d+)".r
+              .findFirstMatchIn(blanked.substring(j))
+              .foreach(tm => j += tm.end)
+          }
           if (!isJoin) {
             // optional [AS] alias, then a comma continues the FROM list
             var k = j
@@ -365,8 +433,13 @@ object PgDialect {
     // write advances the pin for that table, so the txn sees its own
     // writes — PG semantics.
     private var repeatable = false
+    private var levelName = "read committed"
     private var pinned: Option[Map[String, Int]] = None
-    private[graft] def setRepeatable(): Unit = if (active) repeatable = true
+    private[graft] def setRepeatable(level: String = "repeatable read"): Unit =
+      if (active) { repeatable = true; levelName = level }
+    /** The granted isolation level, as PG reports it. */
+    private[graft] def isolationLevel: String =
+      if (active && repeatable) levelName else "read committed"
     private[graft] def adoptSnapshot(snap: Map[String, Int]): Unit =
       if (active) { repeatable = true; pinned = Some(snap) }
     /** The read snapshot (pins lazily on first use). None = read-committed. */
@@ -564,21 +637,25 @@ object PgDialect {
       // snapshot isolation (PG allows this before the first query); other
       // SET TRANSACTION forms (READ ONLY/WRITE, DEFERRABLE) are no-ops
       if (upper.startsWith("SET TRANSACTION")) {
-        if (txn != null && txn.inTxn &&
-            "(?s).*(REPEATABLE\\s+READ|SERIALIZABLE).*".r.matches(upper))
-          txn.setRepeatable()
+        if (txn != null && txn.inTxn) {
+          if ("(?s).*SERIALIZABLE.*".r.matches(upper))
+            txn.setRepeatable("serializable")
+          else if ("(?s).*REPEATABLE\\s+READ.*".r.matches(upper))
+            txn.setRepeatable()
+        }
         return Command("SET")
       }
     }
-    if (upper.startsWith("SET ")) return executeSet(spark, stmt)
+    if (upper.startsWith("SET ")) return executeSet(spark, stmt, txn)
     if (upper.startsWith("RESET")) return executeReset(spark, stmt)
     if (upper.startsWith("SHOW ")) {
       // an open snapshot-isolated txn reports its real level (pools and
       // ORMs branch on this before relying on repeatable reads)
       if (txn != null && txn.isRepeatable &&
-          "(?is)SHOW\\s+transaction_isolation\\s*;?\\s*".r.matches(stmt)) {
+          "(?is)SHOW\\s+(transaction_isolation|TRANSACTION\\s+ISOLATION\\s+LEVEL)\\s*;?\\s*".r
+            .matches(stmt)) {
         import spark.implicits._
-        return Rows(Seq("repeatable read").toDF("transaction_isolation"), "SHOW")
+        return Rows(Seq(txn.isolationLevel).toDF("transaction_isolation"), "SHOW")
       }
       return executeShow(spark, stmt)
     }
@@ -610,8 +687,11 @@ object PgDialect {
         case "BEGIN" =>
           txn.begin()
           // BEGIN ISOLATION LEVEL REPEATABLE READ|SERIALIZABLE: snapshot-
-          // isolated reads (PgTxn pins the version map at first statement)
-          if ("(?s).*(REPEATABLE\\s+READ|SERIALIZABLE).*".r.matches(upper))
+          // isolated reads (PgTxn pins the version map at first statement);
+          // the granted LEVEL NAME is kept for SHOW transaction_isolation
+          if ("(?s).*SERIALIZABLE.*".r.matches(upper))
+            txn.setRepeatable("serializable")
+          else if ("(?s).*REPEATABLE\\s+READ.*".r.matches(upper))
             txn.setRepeatable()
         case "COMMIT" =>
           // PG: COMMIT of an aborted transaction rolls back and reports it
@@ -912,33 +992,18 @@ object PgDialect {
       // multi-table TRUNCATE failing on table 3 of 5) still notes its
       // partial publishes into the txn — ROLLBACK must revert those too,
       // not just the writes of statements that completed
-      val now = store.versionSnapshot
       written = store.drainWriteJournal().map { case (t, before) =>
-        val after = now.getOrElse(t, before)
-        txn.noteWrite(t, before, after)
-        (t, before, after)
+        // each publish produced exactly before+1 — deriving "after" from a
+        // LIVE version re-read could adopt a concurrent commit that landed
+        // in the window, poisoning both the pin and ROLLBACK's
+        // expectedCurrent guard
+        txn.noteWrite(t, before, before + 1)
+        (t, before, before + 1)
       }
     }
     dmlResult match {
       case Some(r) =>
-        // repeatable-read write conflicts, PG's first-updater-wins: a
-        // write to a table another connection moved since OUR pin aborts
-        // with serialization_failure (the writes stay journaled — the
-        // mandatory ROLLBACK reverts them); a successful own write
-        // advances the pin so the txn sees its own writes. The pin
-        // advances to the JOURNALED after-version — re-reading the live
-        // version here could adopt a concurrent commit that landed in the
-        // window since the drain.
-        if (journaling && txn.isRepeatable) written.foreach { case (t, before, after) =>
-          txn.pinnedVersion(t) match {
-            case Some(pv) if pv != before =>
-              txn.markFailed()
-              throw UnsupportedQuery(
-                "could not serialize access due to concurrent update")
-            case Some(_) => txn.notePinAdvance(t, after)
-            case None => // created inside the txn: latest IS the txn's view
-          }
-        }
+        checkWriteConflicts(txn, journaling, written)
         return r
       case None =>
     }
@@ -946,11 +1011,28 @@ object PgDialect {
   }
 
   // ---- SET / SHOW ------------------------------------------------------
-  private def executeSet(spark: SparkSession, stmt: String): PgResult = {
-    val m = "(?is)SET\\s+(?:SESSION\\s+|LOCAL\\s+)?([\\w.]+)\\s*(?:=|TO)\\s*(.+)".r
+  private def executeSet(spark: SparkSession, stmt: String,
+      txn: PgTxn = null): PgResult = {
+    val m = "(?is)SET\\s+(SESSION\\s+|LOCAL\\s+)?([\\w.]+)\\s*(?:=|TO)\\s*(.+)".r
     stmt match {
-      case m(name, rawValue) =>
+      case m(scopeKw, name, rawValue) =>
         val value = rawValue.trim.stripPrefix("'").stripSuffix("'")
+        val isLocal = scopeKw != null && scopeKw.trim.equalsIgnoreCase("LOCAL")
+        if (isLocal) {
+          // SET LOCAL reverts at txn END (PgTxn restores the prior value
+          // at COMMIT and ROLLBACK alike); outside a transaction block PG
+          // warns and the set has no lasting effect
+          if (txn != null && txn.inTxn) {
+            txn.noteLocalSet(name)
+            SessionSettings.set(name, value)
+            // the Spark session-tz conf applies for the txn; the settings
+            // registry reverts at txn end (the conf re-syncs on the next
+            // SET/RESET timezone — SHOW answers from the registry either way)
+            if (name.equalsIgnoreCase("timezone"))
+              spark.conf.set("spark.sql.session.timeZone", value)
+          }
+          return Command("SET")
+        }
         SessionSettings.set(name, value)
         if (name.equalsIgnoreCase("timezone"))
           spark.conf.set("spark.sql.session.timeZone", value)

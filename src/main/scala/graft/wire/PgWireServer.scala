@@ -205,7 +205,10 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
                     new Portal(
                       PgDialect.planWithRollup(spark, store,
                         PgDialect.translateSelectCached(
-                          PgDialect.rewriteTimeTravel(store, sql))), resFmts,
+                          PgDialect.rewriteTimeTravel(store,
+                            // repeatable-read pinning applies to the
+                            // extended protocol too — JDBC's default path
+                            PgDialect.rewritePinnedReads(store, txn, sql)))), resFmts,
                       statements(stmt))
                   }
                   else new Portal(null, resFmts, statements(stmt), Some(sql))
@@ -629,7 +632,8 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
   private def cursorStatement(out: DataOutputStream, stmt: String,
       cursors: scala.collection.mutable.Map[String, Portal],
       statements: scala.collection.mutable.Map[String, String] =
-        scala.collection.mutable.Map.empty): Option[Long] = stmt.trim match {
+        scala.collection.mutable.Map.empty,
+      txn: PgDialect.PgTxn = null): Option[Long] = stmt.trim match {
     case prepareRe(name, _, query) =>
       if (statements.contains(unq(name)))
         throw PgDialect.UnsupportedQuery(
@@ -650,7 +654,9 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
             a.substring(1, a.length - 1).replace("''", "'")
           case a => a
         }
-      Some(PgDialect.execute(spark, store, substituteParams(query, args)) match {
+      // the connection txn rides along: EXECUTE of a prepared DML must
+      // journal (ROLLBACK reverts it) and reads must honor the RR pin
+      Some(PgDialect.execute(spark, store, substituteParams(query, args), txn) match {
         case PgDialect.Rows(df, tag) => sendRows(out, df, tag)
         case PgDialect.CopyOut(df, csv, header) => sendCopyOut(out, df, csv, header)
         case _: PgDialect.CopyIn => throw PgDialect.UnsupportedQuery(
@@ -667,15 +673,17 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
         commandComplete(out, "DEALLOCATE")
       }
       Some(0L)
-    case _ => cursorOnlyStatement(out, stmt, cursors)
+    case _ => cursorOnlyStatement(out, stmt, cursors, txn)
   }
 
   private def cursorOnlyStatement(out: DataOutputStream, stmt: String,
-      cursors: scala.collection.mutable.Map[String, Portal]): Option[Long] = stmt.trim match {
+      cursors: scala.collection.mutable.Map[String, Portal],
+      txn: PgDialect.PgTxn = null): Option[Long] = stmt.trim match {
     case declareRe(name, query) =>
       PgDialect.maybeRefreshCatalog(spark, store, query.toUpperCase)
       val df = PgDialect.planWithRollup(spark, store,
-        PgDialect.translateSelectCached(PgDialect.rewriteTimeTravel(store, query)))
+        PgDialect.translateSelectCached(PgDialect.rewriteTimeTravel(store,
+          PgDialect.rewritePinnedReads(store, txn, query))))
       cursors(unq(name)) = new Portal(df)
       commandComplete(out, "DECLARE CURSOR")
       Some(0L)
@@ -719,7 +727,7 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
         // pg_stat_statements feed: time-to-last-row as the client saw it
         val t0 = System.nanoTime()
         val rows = withStatementTimeout {
-          cursorStatement(out, stmt, cursors, statements).getOrElse {
+          cursorStatement(out, stmt, cursors, statements, txn).getOrElse {
           PgDialect.execute(spark, store, stmt, txn) match {
             case PgDialect.Rows(df, tag) => sendRows(out, df, tag)
             case PgDialect.CopyOut(df, csv, header) =>
@@ -742,28 +750,20 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
                 // drain in the FINALLY: a COPY that dies in a later 64MB
                 // chunk (malformed row, CopyFail) has already published
                 // the earlier chunk appends — they must be noted into the
-                // txn so ROLLBACK can revert them, not silently dropped
-                val now = store.versionSnapshot
+                // txn so ROLLBACK can revert them, not silently dropped.
+                // "after" derives from the journal (each publish = its
+                // before+1), never a live re-read (see checkWriteConflicts)
                 written = store.drainWriteJournal().map { case (t, before) =>
-                  val after = now.getOrElse(t, before)
-                  txn.noteWrite(t, before, after)
-                  (t, before, after)
+                  txn.noteWrite(t, before, before + 1)
+                  (t, before, before + 1)
                 }
               }
-              // same first-updater-wins rule as the DML path: COPY into a
-              // repeatable-read txn whose pinned table moved underneath
-              // aborts (ROLLBACK reverts the journaled chunks); the pin
-              // advances to the JOURNALED after-version, never a re-read
-              if (journaling && txn.isRepeatable) written.foreach { case (t, before, after) =>
-                txn.pinnedVersion(t) match {
-                  case Some(pv) if pv != before =>
-                    txn.markFailed()
-                    throw PgDialect.UnsupportedQuery(
-                      "could not serialize access due to concurrent update")
-                  case Some(_) => txn.notePinAdvance(t, after)
-                  case None =>
-                }
-              }
+              // first-updater-wins BEFORE CommandComplete: a conflicting
+              // COPY must never report success then error — per-table
+              // coalescing keeps a multi-chunk COPY's own sequential
+              // publishes from reading as conflicts
+              PgDialect.checkWriteConflicts(txn, journaling, written)
+              commandComplete(out, s"COPY $copied")
               copied
             case PgDialect.Command(tag) => commandComplete(out, tag); 0L
             case PgDialect.Empty => msg(out, 'I') { _ => }; 0L
@@ -1043,7 +1043,9 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
     failMsg.foreach(m =>
       throw PgDialect.UnsupportedQuery(s"COPY from stdin failed: $m"))
     flush(tail = true)
-    commandComplete(out, s"COPY $total")
+    // CommandComplete is the CALLER's to send — post-COPY transaction
+    // checks (serialization conflicts) must be able to fail the statement
+    // before any success tag reaches the client
     total
   }
 

@@ -159,6 +159,44 @@ class PgDialectSpec extends SparkSpecBase {
       s"write-first txn must still detect conflicts: ${e2.getMessage}")
     execT("ROLLBACK", txn4)
 
+    // SERIALIZABLE reports its own name; the multi-word JDBC SHOW form
+    // (Connection.getTransactionIsolation) answers from the txn too
+    val txnS = new PgDialect.PgTxn
+    execT("BEGIN ISOLATION LEVEL SERIALIZABLE", txnS)
+    execT("SHOW TRANSACTION ISOLATION LEVEL", txnS) match {
+      case Rows(df, _) => assert(df.collect()(0).getString(0) == "serializable")
+      case other => fail(other.toString)
+    }
+    execT("ROLLBACK", txnS)
+
+    // SET LOCAL reverts at txn end (commit AND rollback)
+    val txnL = new PgDialect.PgTxn
+    execT("BEGIN", txnL)
+    execT("SET LOCAL statement_timeout = '1s'", txnL)
+    assert(SessionSettings.get("statement_timeout").contains("1s"))
+    execT("COMMIT", txnL)
+    assert(!SessionSettings.get("statement_timeout").contains("1s"),
+      "SET LOCAL must not leak past COMMIT")
+
+    // CTE with a column list shadows a same-named store table under RR
+    val txnW = new PgDialect.PgTxn
+    execT("BEGIN ISOLATION LEVEL REPEATABLE READ", txnW)
+    execT("WITH rr_t(z) AS (SELECT 99) SELECT z FROM rr_t", txnW) match {
+      case Rows(df, _) => assert(df.collect()(0).getInt(0) == 99,
+        "the CTE must shadow the store table, not resolve to its snapshot")
+      case other => fail(other.toString)
+    }
+    // a derived-table entry doesn't stop the comma list: the store table
+    // after it still pins
+    assert(count(
+      "SELECT count(*) AS n FROM (SELECT 1 AS one) x, rr_t", txnW) == 3L)
+    exec("INSERT INTO rr_t VALUES (77, 'post-pin')")
+    assert(count(
+      "SELECT count(*) AS n FROM (SELECT 1 AS one) x, rr_t", txnW) == 3L,
+      "the table after a derived-table comma entry must read the pin")
+    execT("COMMIT", txnW)
+    exec("DELETE FROM rr_t WHERE k = 77")
+
     // set_config(..., true) is txn-LOCAL: reverts at COMMIT like SET LOCAL
     val txn5 = new PgDialect.PgTxn
     execT("BEGIN", txn5)

@@ -1149,6 +1149,88 @@ class WireSpec extends SparkSpecBase {
     store.drop("rrw_t")
   }
 
+  test("repeatable read pins the extended protocol (JDBC's Parse/Bind path)") {
+    import spark.implicits._
+    store.replace("rrx_t", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val c = new Client(server._2); c.startup()
+    val c2 = new Client(server._2); c2.startup()
+    def send(tpe: Char, body: Array[Byte]): Unit = {
+      c.out.writeByte(tpe); c.out.writeInt(4 + body.length); c.out.write(body)
+    }
+    def bb(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
+    def cstr(s: String) = (s + "\u0000").getBytes(UTF_8)
+    def i16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+    def i32(v: Int) = java.nio.ByteBuffer.allocate(4).putInt(v).array()
+    def runCount(): String = {
+      // unnamed statement/portal — rebound each call like pgjdbc
+      send('P', bb(cstr(""), cstr("SELECT count(*) FROM rrx_t"), i16(0)))
+      send('B', bb(cstr(""), cstr(""), i16(0), i16(0), i16(0)))
+      send('E', bb(cstr(""), i32(0)))
+      send('S', Array.emptyByteArray)
+      c.out.flush()
+      c.drainUntilReady().filter(_._1 == 'D').map(m => dataRowValues(m._2).head).head
+    }
+    c.query("BEGIN ISOLATION LEVEL REPEATABLE READ")
+    assert(runCount() == "2") // pins at the first (extended) statement
+    c2.query("INSERT INTO rrx_t VALUES (3, 'late')") // concurrent commit
+    assert(runCount() == "2",
+      "Parse/Bind reads must honor the repeatable-read pin like simple queries")
+    c.query("COMMIT")
+    assert(runCount() == "3")
+    c.close(); c2.close()
+    store.drop("rrx_t")
+  }
+
+  test("multi-chunk COPY inside repeatable read commits without spurious conflicts") {
+    import spark.implicits._
+    store.replace("rrc_t", Seq((0L, "seed")).toDF("k", "nm"))
+    sys.props("graft.copy.chunkBytes") = "8" // every frame publishes a chunk
+    try {
+      val c = new Client(server._2); c.startup()
+      def copyData(s: String): Unit = {
+        val b = s.getBytes(UTF_8)
+        c.out.writeByte('d'); c.out.writeInt(4 + b.length); c.out.write(b)
+      }
+      c.query("BEGIN ISOLATION LEVEL REPEATABLE READ")
+      c.query("SELECT count(*) FROM rrc_t") // pin
+      c.out.writeByte('Q')
+      val q = "COPY rrc_t FROM STDIN".getBytes(UTF_8)
+      c.out.writeInt(4 + q.length + 1); c.out.write(q); c.out.writeByte(0); c.out.flush()
+      assert(c.in.read().toChar == 'G')
+      val glen = c.in.readInt(); c.in.readFully(new Array[Byte](glen - 4))
+      copyData("1\tone\n2\ttwo\n")   // chunk 1 publishes
+      copyData("3\tthree\n4\tfour\n") // chunk 2 publishes — own versions, no conflict
+      c.out.writeByte('c'); c.out.writeInt(4); c.out.flush()
+      val msgs = c.drainUntilReady()
+      assert(!msgs.exists(_._1 == 'E'),
+        "a multi-chunk COPY's own sequential publishes must not read as conflicts: " +
+          msgs.filter(_._1 == 'E').map(m => new String(m._2, UTF_8)).mkString)
+      assert(msgs.exists(m => m._1 == 'C' &&
+        new String(m._2, UTF_8).startsWith("COPY 4")), "completion tag after checks")
+      c.query("COMMIT")
+      val n = c.query("SELECT count(*) FROM rrc_t")
+        .filter(_._1 == 'D').map(m => dataRowValues(m._2).head).head
+      assert(n == "5")
+      c.close()
+    } finally { sys.props.remove("graft.copy.chunkBytes"); store.drop("rrc_t") }
+  }
+
+  test("EXECUTE of a prepared DML joins the transaction: ROLLBACK reverts it") {
+    import spark.implicits._
+    store.replace("rre_t", Seq((1L, "a")).toDF("k", "v"))
+    val c = new Client(server._2); c.startup()
+    c.query("BEGIN")
+    c.query("PREPARE rre_ins AS INSERT INTO rre_t VALUES (2, 'ghost')")
+    c.query("EXECUTE rre_ins")
+    def count(): String = c.query("SELECT count(*) FROM rre_t")
+      .filter(_._1 == 'D').map(m => dataRowValues(m._2).head).head
+    assert(count() == "2", "the executed insert is visible in the txn")
+    c.query("ROLLBACK")
+    assert(count() == "1",
+      "a prepared-statement write must journal into the txn and revert")
+    c.close(); store.drop("rre_t")
+  }
+
   test("set_config on one connection is invisible to a concurrent connection") {
     // pg_dump opens with SELECT pg_catalog.set_config('search_path', '', false);
     // handled at the dialect layer on the connection-scoped thread — the UDF
