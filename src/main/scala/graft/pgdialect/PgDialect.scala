@@ -145,6 +145,17 @@ object PgDialect {
         m.group(1) + " " + store.snapshotView(tbl, v))
     }))
 
+  /** Drain the statement's write journal into the txn. "after" derives
+    * from the journal itself — each publish produced exactly its observed
+    * before+1 under the table lock — never from a live version re-read,
+    * which could adopt a concurrent commit into the pin and let ROLLBACK
+    * destroy it (see [[checkWriteConflicts]]). */
+  private[graft] def noteJournaledWrites(store: Store, txn: PgTxn): Seq[(String, Int, Int)] =
+    store.drainWriteJournal().map { case (t, before) =>
+      txn.noteWrite(t, before, before + 1)
+      (t, before, before + 1)
+    }
+
   /** Repeatable-read write conflicts, PG's first-updater-wins, over one
     * statement's journaled publishes: per TABLE (a multi-publish statement
     * — chunked COPY, compacting append — journals several entries whose
@@ -206,45 +217,66 @@ object PgDialect {
       "on", "using", "inner", "left", "right", "full", "cross", "join",
       "union", "intersect", "except", "window", "for", "fetch", "natural",
       "lateral", "returning", "as")
+    def skipWs(p0: Int): Int = {
+      var p = p0; while (p < n && blanked.charAt(p).isWhitespace) p += 1; p }
+    def skipBalanced(p0: Int): Int = { // p0 at '('; returns past its ')'
+      var p = p0; var depth = 0; var done = false
+      while (p < n && !done) {
+        if (blanked.charAt(p) == '(') depth += 1
+        else if (blanked.charAt(p) == ')') { depth -= 1; done = depth == 0 }
+        p += 1
+      }
+      p
+    }
+    // optional [AS] alias (quoted or bare) + optional column list / call
+    // args; returns p0 untouched when the next word is a clause keyword
+    def skipAlias(p0: Int): Int = {
+      var k = skipWs(p0)
+      if (k < n && (identChar(blanked.charAt(k)) || blanked.charAt(k) == '"')) {
+        val save = k
+        val w = new StringBuilder
+        if (blanked.charAt(k) == '"') {
+          k += 1; while (k < n && blanked.charAt(k) != '"') { w.append(blanked.charAt(k)); k += 1 }
+          if (k < n) k += 1
+        } else while (k < n && identChar(blanked.charAt(k))) { w.append(blanked.charAt(k)); k += 1 }
+        if (w.toString.equalsIgnoreCase("as")) {
+          k = skipWs(k)
+          if (k < n && blanked.charAt(k) == '"') {
+            k += 1; while (k < n && blanked.charAt(k) != '"') k += 1
+            if (k < n) k += 1
+          } else while (k < n && identChar(blanked.charAt(k))) k += 1
+        } else if (stop(w.toString.toLowerCase)) return save
+      }
+      // alias column list `v(x, y)` or a table function's argument list
+      val k2 = skipWs(k)
+      if (k2 < n && blanked.charAt(k2) == '(') skipBalanced(k2) else k
+    }
     val splices = scala.collection.mutable.ArrayBuffer[(Int, Int)]() // (pos, version)
     // token-walk each FROM's COMMA-SEPARATED list (a single-ref regex
     // missed `FROM a, b` — b read the live snapshot mid-txn) and each
-    // JOIN's single ref; quoted identifiers included
+    // JOIN's single ref; quoted identifiers included. Known gap (needs an
+    // expression parser, documented): a comma continuing the list AFTER a
+    // join's ON condition (`FROM a JOIN b ON …, c`) is not walked.
     for (m <- "(?i)\\b(FROM|JOIN)\\s".r.findAllMatchIn(blanked)) {
       val isJoin = blanked.charAt(m.start).toUpper == 'J'
       var i = m.end
       var more = true
       while (more) {
         more = false
-        while (i < n && blanked.charAt(i).isWhitespace) i += 1
+        i = skipWs(i)
         if (i < n && blanked.charAt(i) == '(') {
-          // derived table / subquery entry: its inner FROMs match on their
-          // own — skip the balanced group (plus optional alias) so a comma
-          // AFTER it still continues this list
-          var depth = 0
-          var done = false
-          while (i < n && !done) {
-            if (blanked.charAt(i) == '(') depth += 1
-            else if (blanked.charAt(i) == ')') { depth -= 1; done = depth == 0 }
-            i += 1
-          }
-          var k = i
-          while (k < n && blanked.charAt(k).isWhitespace) k += 1
-          // optional [AS] alias word
-          if (k < n && (identChar(blanked.charAt(k)) || blanked.charAt(k) == '"')) {
-            val save = k
-            val w = new StringBuilder
-            if (blanked.charAt(k) == '"') {
-              k += 1; while (k < n && blanked.charAt(k) != '"') { w.append(blanked.charAt(k)); k += 1 }
-              if (k < n) k += 1
-            } else while (k < n && identChar(blanked.charAt(k))) { w.append(blanked.charAt(k)); k += 1 }
-            if (w.toString.equalsIgnoreCase("as")) {
-              while (k < n && blanked.charAt(k).isWhitespace) k += 1
-              while (k < n && identChar(blanked.charAt(k))) k += 1
-            } else if (stop(w.toString.toLowerCase)) k = save
-          }
-          while (k < n && blanked.charAt(k).isWhitespace) k += 1
-          if (k < n && blanked.charAt(k) == ',') { i = k + 1; more = true }
+          // peek the first word: a subquery head skips as a unit (its
+          // inner FROMs match on their own); anything else is a
+          // parenthesized JOIN TREE whose FIRST table must pin like any
+          // other reference — treat the paren as transparent
+          var q = skipWs(i + 1)
+          val head = new StringBuilder
+          while (q < n && identChar(blanked.charAt(q))) { head.append(blanked.charAt(q)); q += 1 }
+          if (Set("select", "with", "values", "table")(head.toString.toLowerCase)) {
+            i = skipBalanced(i)
+            val k = skipWs(skipAlias(i))
+            if (k < n && blanked.charAt(k) == ',') { i = k + 1; more = true }
+          } else { i += 1; more = true }
         }
         else if (i < n && (identChar(blanked.charAt(i)) || blanked.charAt(i) == '"')) {
           def readIdent(): String =
@@ -260,8 +292,7 @@ object PgDialect {
           var ident = readIdent()
           if (i < n && blanked.charAt(i) == '.') { i += 1; ident = readIdent() }
           val refEnd = i
-          var j = i
-          while (j < n && blanked.charAt(j).isWhitespace) j += 1
+          var j = skipWs(i)
           val isFn = j < n && blanked.charAt(j) == '(' // table function
           val afterU = blanked.substring(j, math.min(n, j + 16)).toUpperCase
           val traveled = afterU.startsWith("FOR VERSION") ||
@@ -277,24 +308,9 @@ object PgDialect {
               .foreach(tm => j += tm.end)
           }
           if (!isJoin) {
-            // optional [AS] alias, then a comma continues the FROM list
-            var k = j
-            if (k < n && (identChar(blanked.charAt(k)) || blanked.charAt(k) == '"')) {
-              val save = k
-              val w = new StringBuilder
-              if (blanked.charAt(k) == '"') {
-                k += 1; while (k < n && blanked.charAt(k) != '"') { w.append(blanked.charAt(k)); k += 1 }
-                if (k < n) k += 1
-              } else while (k < n && identChar(blanked.charAt(k))) { w.append(blanked.charAt(k)); k += 1 }
-              if (w.toString.equalsIgnoreCase("as")) {
-                while (k < n && blanked.charAt(k).isWhitespace) k += 1
-                if (k < n && blanked.charAt(k) == '"') {
-                  k += 1; while (k < n && blanked.charAt(k) != '"') k += 1
-                  if (k < n) k += 1
-                } else while (k < n && identChar(blanked.charAt(k))) k += 1
-              } else if (stop(w.toString.toLowerCase)) k = save
-            }
-            while (k < n && blanked.charAt(k).isWhitespace) k += 1
+            var k = skipWs(skipAlias(j))
+            // closing parens of a transparent join tree may precede the comma
+            while (k < n && blanked.charAt(k) == ')') k = skipWs(k + 1)
             if (k < n && blanked.charAt(k) == ',') { i = k + 1; more = true }
           }
         }
@@ -441,7 +457,11 @@ object PgDialect {
     private[graft] def isolationLevel: String =
       if (active && repeatable) levelName else "read committed"
     private[graft] def adoptSnapshot(snap: Map[String, Int]): Unit =
-      if (active) { repeatable = true; pinned = Some(snap) }
+      if (active) {
+        repeatable = true
+        if (levelName == "read committed") levelName = "repeatable read"
+        pinned = Some(snap)
+      }
     /** The read snapshot (pins lazily on first use). None = read-committed. */
     private[graft] def readSnapshot(store: Store): Option[Map[String, Int]] = {
       if (!active || !repeatable) None
@@ -458,6 +478,11 @@ object PgDialect {
     // connection thread, inside its bound settings scope.
     private val localSettings =
       scala.collection.mutable.LinkedHashMap[String, Option[String]]()
+    private val endHooks = scala.collection.mutable.ListBuffer[() => Unit]()
+    /** Run `f` at txn end, AFTER the local-settings registry restore —
+      * e.g. re-syncing a Spark conf that mirrors a restored setting. */
+    private[graft] def onTxnEnd(f: () => Unit): Unit =
+      if (active) { endHooks += f; () }
     private[graft] def noteLocalSet(name: String): Unit =
       if (active && !localSettings.contains(name))
         localSettings(name) = SessionSettings.get(name)
@@ -467,12 +492,14 @@ object PgDialect {
         case (n, None) => SessionSettings.reset(n)
       }
       localSettings.clear()
+      endHooks.foreach(f => try f() catch { case _: Exception => () })
+      endHooks.clear()
     }
 
     def inTxn: Boolean = active
     def isAborted: Boolean = active && failed
     private[graft] def markFailed(): Unit = if (active) failed = true
-    def begin(): Unit = { active = true; failed = false; repeatable = false; pinned = None; localSettings.clear(); writes.clear(); savepoints.clear(); viewOps.clear() }
+    def begin(): Unit = { active = true; failed = false; repeatable = false; levelName = "read committed"; pinned = None; localSettings.clear(); endHooks.clear(); writes.clear(); savepoints.clear(); viewOps.clear() }
     def commit(): Unit = { restoreLocalSettings(); active = false; failed = false; repeatable = false; pinned = None; writes.clear(); savepoints.clear(); viewOps.clear() }
     private[graft] def noteWrite(table: String, from: Int, to: Int): Unit =
       if (active) writes.get(table) match {
@@ -992,14 +1019,7 @@ object PgDialect {
       // multi-table TRUNCATE failing on table 3 of 5) still notes its
       // partial publishes into the txn — ROLLBACK must revert those too,
       // not just the writes of statements that completed
-      written = store.drainWriteJournal().map { case (t, before) =>
-        // each publish produced exactly before+1 — deriving "after" from a
-        // LIVE version re-read could adopt a concurrent commit that landed
-        // in the window, poisoning both the pin and ROLLBACK's
-        // expectedCurrent guard
-        txn.noteWrite(t, before, before + 1)
-        (t, before, before + 1)
-      }
+      written = noteJournaledWrites(store, txn)
     }
     dmlResult match {
       case Some(r) =>
@@ -1025,11 +1045,13 @@ object PgDialect {
           if (txn != null && txn.inTxn) {
             txn.noteLocalSet(name)
             SessionSettings.set(name, value)
-            // the Spark session-tz conf applies for the txn; the settings
-            // registry reverts at txn end (the conf re-syncs on the next
-            // SET/RESET timezone — SHOW answers from the registry either way)
-            if (name.equalsIgnoreCase("timezone"))
+            if (name.equalsIgnoreCase("timezone")) {
               spark.conf.set("spark.sql.session.timeZone", value)
+              // the conf mirrors the registry: re-sync at txn end so query
+              // evaluation and SHOW never disagree after COMMIT/ROLLBACK
+              txn.onTxnEnd(() => spark.conf.set("spark.sql.session.timeZone",
+                SessionSettings.get("timezone").getOrElse("UTC")))
+            }
           }
           return Command("SET")
         }

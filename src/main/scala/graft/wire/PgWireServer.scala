@@ -197,8 +197,19 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
                 // execution defers to the Execute message.
                 val verb = sql.trim.split("\\s+|\\(", 2)(0).toUpperCase
                 portals(portal) =
-                  if (Set("SELECT", "WITH", "VALUES", "TABLE", "EXPLAIN",
-                    "SHOW")(verb)) {
+                  if (verb == "SHOW") {
+                    // settings-backed SHOWs (incl. the txn-aware
+                    // transaction_isolation) answer through the dialect,
+                    // not the Spark SQL parser
+                    PgDialect.execute(spark, store, sql, txn) match {
+                      case PgDialect.Rows(df, _) =>
+                        new Portal(df, resFmts, statements(stmt))
+                      case _ =>
+                        new Portal(null, resFmts, statements(stmt), Some(sql))
+                    }
+                  }
+                  else if (Set("SELECT", "WITH", "VALUES", "TABLE",
+                    "EXPLAIN")(verb)) {
                     // same live-catalog trigger as the simple-query path:
                     // JDBC metadata queries arrive through Bind
                     PgDialect.maybeRefreshCatalog(spark, store, sql.toUpperCase)
@@ -753,10 +764,7 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
                 // txn so ROLLBACK can revert them, not silently dropped.
                 // "after" derives from the journal (each publish = its
                 // before+1), never a live re-read (see checkWriteConflicts)
-                written = store.drainWriteJournal().map { case (t, before) =>
-                  txn.noteWrite(t, before, before + 1)
-                  (t, before, before + 1)
-                }
+                written = PgDialect.noteJournaledWrites(store, txn)
               }
               // first-updater-wins BEFORE CommandComplete: a conflicting
               // COPY must never report success then error — per-table

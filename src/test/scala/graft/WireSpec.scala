@@ -1161,16 +1161,19 @@ class WireSpec extends SparkSpecBase {
     def cstr(s: String) = (s + "\u0000").getBytes(UTF_8)
     def i16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
     def i32(v: Int) = java.nio.ByteBuffer.allocate(4).putInt(v).array()
-    def runCount(): String = {
+    def runSql(sql: String): String = {
       // unnamed statement/portal — rebound each call like pgjdbc
-      send('P', bb(cstr(""), cstr("SELECT count(*) FROM rrx_t"), i16(0)))
+      send('P', bb(cstr(""), cstr(sql), i16(0)))
       send('B', bb(cstr(""), cstr(""), i16(0), i16(0), i16(0)))
       send('E', bb(cstr(""), i32(0)))
       send('S', Array.emptyByteArray)
       c.out.flush()
       c.drainUntilReady().filter(_._1 == 'D').map(m => dataRowValues(m._2).head).head
     }
+    def runCount(): String = runSql("SELECT count(*) FROM rrx_t")
     c.query("BEGIN ISOLATION LEVEL REPEATABLE READ")
+    // JDBC's getTransactionIsolation goes through Parse/Bind too
+    assert(runSql("SHOW TRANSACTION ISOLATION LEVEL") == "repeatable read")
     assert(runCount() == "2") // pins at the first (extended) statement
     c2.query("INSERT INTO rrx_t VALUES (3, 'late')") // concurrent commit
     assert(runCount() == "2",
