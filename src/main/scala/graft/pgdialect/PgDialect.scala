@@ -108,10 +108,11 @@ object PgDialect {
       translationSettingsKey + "\n" + sql)(translateSelect(sql))
 
   // ---- time travel -------------------------------------------------------
-  // the comma alternative resolves comma-separated FROM lists — the
-  // repeatable-read pin rewrite places AS OF clauses on every list entry
+  // the comma and '(' alternatives resolve comma-separated FROM lists and
+  // parenthesized join trees — the repeatable-read pin rewrite places
+  // AS OF clauses on every list entry
   private val travelRe =
-    ("(?is)(\\bFROM|\\bJOIN|,)\\s*([\\w.\"]+)\\s+FOR\\s+(?:SYSTEM_)?" +
+    ("(?is)(\\bFROM|\\bJOIN|,|\\()\\s*([\\w.\"]+)\\s+FOR\\s+(?:SYSTEM_)?" +
       "(VERSION|TIMESTAMP)\\s+AS\\s+OF\\s+('[^']*'|\\d+)").r
 
   // `FROM table_changes('t', from[, to])` — the Delta SQL CDC surface over
@@ -252,13 +253,34 @@ object PgDialect {
       if (k2 < n && blanked.charAt(k2) == '(') skipBalanced(k2) else k
     }
     val splices = scala.collection.mutable.ArrayBuffer[(Int, Int)]() // (pos, version)
+    // after a JOIN's ref: scan the ON/USING condition at TOP paren level
+    // for a ',' continuing the enclosing FROM list (`FROM a JOIN b ON …,
+    // c`) — ON takes a boolean expression, so any top-level comma there
+    // belongs to the list, commas inside call parens sit at depth > 0
+    val fromEnders = Set("where", "group", "order", "having", "limit",
+      "offset", "union", "intersect", "except", "window", "returning",
+      "fetch", "for")
+    def scanListComma(p0: Int): Int = {
+      var k = p0
+      var depth = 0
+      while (k < n) {
+        val ch = blanked.charAt(k)
+        if (ch == '(') { depth += 1; k += 1 }
+        else if (ch == ')') { if (depth == 0) return -1 else { depth -= 1; k += 1 } }
+        else if (ch == ',' && depth == 0) return k
+        else if (depth == 0 && (identChar(ch))) {
+          val s0 = k
+          while (k < n && identChar(blanked.charAt(k))) k += 1
+          if (fromEnders(blanked.substring(s0, k).toLowerCase)) return -1
+        } else k += 1
+      }
+      -1
+    }
     // token-walk each FROM's COMMA-SEPARATED list (a single-ref regex
     // missed `FROM a, b` — b read the live snapshot mid-txn) and each
-    // JOIN's single ref; quoted identifiers included. Known gap (needs an
-    // expression parser, documented): a comma continuing the list AFTER a
-    // join's ON condition (`FROM a JOIN b ON …, c`) is not walked.
+    // JOIN's single ref; quoted identifiers included
     for (m <- "(?i)\\b(FROM|JOIN)\\s".r.findAllMatchIn(blanked)) {
-      val isJoin = blanked.charAt(m.start).toUpper == 'J'
+      var isJoin = blanked.charAt(m.start).toUpper == 'J'
       var i = m.end
       var more = true
       while (more) {
@@ -312,12 +334,18 @@ object PgDialect {
             // closing parens of a transparent join tree may precede the comma
             while (k < n && blanked.charAt(k) == ')') k = skipWs(k + 1)
             if (k < n && blanked.charAt(k) == ',') { i = k + 1; more = true }
+          } else {
+            // the FROM list may continue after this join's ON condition;
+            // entries found there are plain list entries (overlapping JOIN
+            // matches can re-find the same comma — splices dedup below)
+            val commaAt = scanListComma(skipWs(skipAlias(j)))
+            if (commaAt >= 0) { i = commaAt + 1; more = true; isJoin = false }
           }
         }
       }
     }
     val out = new StringBuilder(stmt)
-    splices.sortBy(-_._1).foreach { case (pos, v) =>
+    splices.distinct.sortBy(-_._1).foreach { case (pos, v) =>
       out.insert(pos, s" FOR VERSION AS OF $v") }
     out.toString
   }

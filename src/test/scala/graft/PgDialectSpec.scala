@@ -194,6 +194,17 @@ class PgDialectSpec extends SparkSpecBase {
     assert(count(
       "SELECT count(*) AS n FROM (SELECT 1 AS one) x, rr_t", txnW) == 3L,
       "the table after a derived-table comma entry must read the pin")
+    // …nor does a JOIN's ON condition stop it (`FROM a JOIN b ON …, c`):
+    // the table after the ON-comma must read the pin too
+    assert(count(
+      """SELECT count(*) AS n
+         FROM rr_t a JOIN rr_t b ON a.k = b.k, rr_t c
+         WHERE c.k = 1""", txnW) == 3L,
+      "the table after a JOIN ... ON comma must read the pin")
+    // the first table INSIDE a parenthesized join tree pins as well
+    assert(count(
+      "SELECT count(*) AS n FROM (rr_t a JOIN rr_t b ON a.k = b.k)", txnW) == 3L,
+      "a parenthesized join tree's first table must read the pin")
     execT("COMMIT", txnW)
     exec("DELETE FROM rr_t WHERE k = 77")
 
