@@ -555,7 +555,14 @@ object PgDialect {
       val failures = writes.toSeq.reverse.flatMap { case (t, (from, to)) =>
         val target = base.get(t).map(_._2).getOrElse(from)
         if (target == to) None
-        else try { store.restoreVersion(t, target, expectedCurrent = to); None }
+        else try {
+          store.restoreVersion(t, target, expectedCurrent = to)
+          // the repeatable-read pin advanced with the now-undone writes;
+          // restoreVersion DELETES the undone dirs, so a stale pin would
+          // point reads at versions that no longer exist
+          if (repeatable) pinned = pinned.map(_.updated(t, target))
+          None
+        }
         catch { case e: Exception => Some(s"$t: ${e.getMessage}") }
       }
       // state reverts to the savepoint's view; later savepoints die,

@@ -208,6 +208,20 @@ class PgDialectSpec extends SparkSpecBase {
     execT("COMMIT", txnW)
     exec("DELETE FROM rr_t WHERE k = 77")
 
+    // ROLLBACK TO SAVEPOINT rewinds the pin with the undone writes —
+    // restoreVersion deletes the undone dirs, so a stale pin would point
+    // reads at versions that no longer exist
+    val txnP = new PgDialect.PgTxn
+    execT("BEGIN ISOLATION LEVEL REPEATABLE READ", txnP)
+    assert(count("SELECT count(*) AS n FROM rr_t", txnP) == 3L) // pin
+    execT("SAVEPOINT sp1", txnP)
+    execT("INSERT INTO rr_t VALUES (88, 'undone')", txnP) // pin advances
+    assert(count("SELECT count(*) AS n FROM rr_t", txnP) == 4L)
+    execT("ROLLBACK TO SAVEPOINT sp1", txnP)
+    assert(count("SELECT count(*) AS n FROM rr_t", txnP) == 3L,
+      "reads after ROLLBACK TO must resolve the rewound pin, not a deleted dir")
+    execT("COMMIT", txnP)
+
     // set_config(..., true) is txn-LOCAL: reverts at COMMIT like SET LOCAL
     val txn5 = new PgDialect.PgTxn
     execT("BEGIN", txn5)
