@@ -195,11 +195,15 @@ object PgDialect {
     * journaling block). CTE names shadow store tables like in PG, and a
     * reference already carrying an AS OF clause keeps it (explicit time
     * travel wins). Matching runs on the literal-blanked copy so table
-    * names inside strings/comments are never touched. Known gap: a SQL
-    * VIEW over a store table resolves through its registration-time
+    * names inside strings/comments are never touched. Known gaps: (a) a
+    * SQL VIEW over a store table resolves through its registration-time
     * binding, which reads the CURRENT snapshot — view reads inside an RR
     * txn are read-committed (PG pins those too; direct table reads, the
-    * pg_dump/BI path, are fully pinned). */
+    * pg_dump/BI path, are fully pinned); (b) a concurrent VACUUM/
+    * expireVersions can delete a version an open txn has pinned — the
+    * read then errors instead of returning wrong data (PG's vacuum holds
+    * tuples for open snapshots; a version-retention registry would be the
+    * equivalent here). */
   private[graft] def rewritePinnedReads(store: Store, txn: PgTxn, stmt: String): String = {
     if (txn == null || !txn.inTxn) return stmt
     val pin = txn.readSnapshot(store) match {
