@@ -63,6 +63,22 @@ object PgDialect {
 
   private val translationCache = new LruCache[String, String](4096)
   private val planCache = new LruCache[String, DataFrame](1024)
+  // version-retention registry: open snapshot-isolated txns register here
+  // so VACUUM/expireVersions never deletes a version a live txn has
+  // pinned (PG's vacuum holds tuples for open snapshots the same way).
+  // WEAK keys: an abandoned txn object stops holding versions once GC'd
+  // even if its connection died without the rollback path running.
+  private val activePins =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[PgTxn, Unit]())
+  private[graft] def registerPins(t: PgTxn): Unit = { activePins.put(t, ()); () }
+  private[graft] def unregisterPins(t: PgTxn): Unit = { activePins.remove(t); () }
+  /** Versions of `table` pinned by any open snapshot-isolated txn. */
+  def pinnedVersionsOf(table: String): Set[Int] = activePins.synchronized {
+    import scala.jdk.CollectionConverters._
+    activePins.keySet.asScala.flatMap(_.pinnedVersion(table)).toSet
+  }
+
   // exported-snapshot registry for parallel pg_dump (id -> version map at
   // export time); LRU-bounded — a full flush could strand a RUNNING
   // parallel dump's id mid-run, failing its workers' adoptions
@@ -199,11 +215,12 @@ object PgDialect {
     * SQL VIEW over a store table resolves through its registration-time
     * binding, which reads the CURRENT snapshot — view reads inside an RR
     * txn are read-committed (PG pins those too; direct table reads, the
-    * pg_dump/BI path, are fully pinned); (b) a concurrent VACUUM/
-    * expireVersions can delete a version an open txn has pinned — the
-    * read then errors instead of returning wrong data (PG's vacuum holds
-    * tuples for open snapshots; a version-retention registry would be the
-    * equivalent here). */
+    * pg_dump/BI path, are fully pinned); (b) another txn's ROLLBACK can
+    * destroy a version this txn pinned after observing the other's
+    * published-but-uncommitted write (per-statement publishing has no
+    * undo-invisible buffer) — the read then errors instead of returning
+    * wrong data. VACUUM/expireVersions, by contrast, DO hold pinned
+    * versions via the retention registry ([[pinnedVersionsOf]]). */
   private[graft] def rewritePinnedReads(store: Store, txn: PgTxn, stmt: String): String = {
     if (txn == null || !txn.inTxn) return stmt
     val pin = txn.readSnapshot(store) match {
@@ -493,11 +510,18 @@ object PgDialect {
         repeatable = true
         if (levelName == "read committed") levelName = "repeatable read"
         pinned = Some(snap)
+        registerPins(this) // hold the pinned versions against VACUUM
       }
     /** The read snapshot (pins lazily on first use). None = read-committed. */
     private[graft] def readSnapshot(store: Store): Option[Map[String, Int]] = {
       if (!active || !repeatable) None
-      else { if (pinned.isEmpty) pinned = Some(store.versionSnapshot); pinned }
+      else {
+        if (pinned.isEmpty) {
+          pinned = Some(store.versionSnapshot)
+          registerPins(this) // hold the pinned versions against VACUUM
+        }
+        pinned
+      }
     }
     private[graft] def pinnedVersion(table: String): Option[Int] =
       if (active && repeatable) pinned.flatMap(_.get(table)) else None
@@ -532,7 +556,7 @@ object PgDialect {
     def isAborted: Boolean = active && failed
     private[graft] def markFailed(): Unit = if (active) failed = true
     def begin(): Unit = { active = true; failed = false; repeatable = false; levelName = "read committed"; pinned = None; localSettings.clear(); endHooks.clear(); writes.clear(); savepoints.clear(); viewOps.clear() }
-    def commit(): Unit = { restoreLocalSettings(); active = false; failed = false; repeatable = false; pinned = None; writes.clear(); savepoints.clear(); viewOps.clear() }
+    def commit(): Unit = { unregisterPins(this); restoreLocalSettings(); active = false; failed = false; repeatable = false; pinned = None; writes.clear(); savepoints.clear(); viewOps.clear() }
     private[graft] def noteWrite(table: String, from: Int, to: Int): Unit =
       if (active) writes.get(table) match {
         case Some((f, _)) => writes(table) = (f, to)
@@ -587,6 +611,7 @@ object PgDialect {
         try store.restoreView(n, prior)
         catch { case _: Exception => () } // base gone: nothing to restore onto
       }
+      unregisterPins(this)
       restoreLocalSettings()
       active = false
       failed = false

@@ -1453,9 +1453,12 @@ class Store(spark: SparkSession, val warehouse: String) {
       .filter(_.matches("v\\d+")).map(_.drop(1).toInt).sorted
     // above-pointer dirs are crash orphans (never published — a writer
     // died before its catalog commit); below-pointer beyond `keep` are
-    // expired time-travel snapshots
-    val doomed = all.filter(_ <= versions(name)).dropRight(math.max(keep, 1)) ++
-      all.filter(_ > versions(name))
+    // expired time-travel snapshots. Versions PINNED by an open
+    // snapshot-isolated txn are retained whatever `keep` says — PG's
+    // vacuum holds tuples for open snapshots the same way.
+    val held = PgDialect.pinnedVersionsOf(name)
+    val doomed = (all.filter(_ <= versions(name)).dropRight(math.max(keep, 1)) ++
+      all.filter(_ > versions(name))).filterNot(held.contains)
     doomed.foreach(v => fs.delete(versionPath(name, v), true))
     // keep the Iceberg metadata tree consistent: snapshots over expired
     // version dirs reference deleted data files, so expire them too

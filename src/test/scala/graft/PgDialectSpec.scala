@@ -237,6 +237,33 @@ class PgDialectSpec extends SparkSpecBase {
     exec("DROP TABLE rr_t")
   }
 
+  test("version expiry holds a live transaction's pinned snapshot (vacuum safety)") {
+    import spark.implicits._
+    def execT(sql: String, t: PgDialect.PgTxn): PgResult =
+      PgDialect.execute(spark, store, sql, t)
+    def exec(sql: String): PgResult = PgDialect.execute(spark, store, sql)
+    store.replace("vp_t", Seq((1L, "a")).toDF("k", "v"))          // v1
+    exec("INSERT INTO vp_t VALUES (2, 'b')")                       // v2
+    val txn = new PgDialect.PgTxn
+    execT("BEGIN ISOLATION LEVEL REPEATABLE READ", txn)
+    execT("SELECT count(*) FROM vp_t", txn)                        // pins v2
+    exec("INSERT INTO vp_t VALUES (3, 'c')")                       // v3
+    exec("INSERT INTO vp_t VALUES (4, 'd')")                       // v4
+    // keep=1 would normally reclaim v1..v3; the open txn holds v2
+    val doomed = store.expireVersions("vp_t", keep = 1)
+    assert(!doomed.contains(2), s"the pinned version must be retained: $doomed")
+    execT("SELECT count(*) FROM vp_t", txn) match {
+      case Rows(df, _) => assert(df.collect()(0).getLong(0) == 2L,
+        "the pinned read must still resolve after expiry")
+      case other => fail(other.toString)
+    }
+    execT("COMMIT", txn)
+    // with the txn gone, the version is reclaimable
+    assert(store.expireVersions("vp_t", keep = 1).contains(2),
+      "a closed txn releases its hold")
+    store.drop("vp_t")
+  }
+
   test("adopted snapshots survive concurrent commits (parallel-dump isolation)") {
     import spark.implicits._
     def execT(sql: String, t: PgDialect.PgTxn): PgResult =
