@@ -410,10 +410,14 @@ object PgDialect {
     try spark.table(name).columns.toSet
     catch { case _: Exception => Set.empty }
 
-  /** Parse/analyze `finalSql` once per (epoch, timezone); later identical
-    * statements reuse the analyzed DataFrame. */
+  /** Parse/analyze `finalSql` once per (session, epoch, timezone); later
+    * identical statements reuse the analyzed DataFrame. The SESSION identity
+    * is part of the key: a DataFrame is bound to the SparkSession that
+    * analyzed it, so a second session in the same JVM (tests, embedded
+    * tooling) must never be handed a frame whose plan resolves the OTHER
+    * session's temp views. */
   def cachedPlan(spark: SparkSession, finalSql: String): DataFrame = {
-    val key = s"${catalogEpoch.get}\n" +
+    val key = s"${System.identityHashCode(spark)}\n${catalogEpoch.get}\n" +
       spark.conf.get("spark.sql.session.timeZone", "") + "\n" + finalSql
     planCache.computeIfAbsent(key) {
       planBuilds.incrementAndGet()

@@ -70,6 +70,25 @@ class PgDialectSpec extends SparkSpecBase {
     assert(builds == b + 1, "an evicted cold entry recomputes")
   }
 
+  test("plan cache is session-keyed: a second session never receives a foreign frame") {
+    Tables.registerAll(spark, sfDir)
+    val q = "SELECT 41 + 1 AS answer"
+    val d1 = PgDialect.cachedPlan(spark, q)
+    val p = PgDialect.planBuilds.get
+    assert(PgDialect.cachedPlan(spark, q) eq d1,
+      "the same session must reuse its cached frame")
+    assert(PgDialect.planBuilds.get == p)
+    // a sibling session in the same JVM: same SQL, DIFFERENT plan — the
+    // cached frame binds the analyzing session's temp views and must never
+    // cross sessions
+    val s2 = spark.newSession()
+    val d2 = PgDialect.cachedPlan(s2, q)
+    assert(!(d2 eq d1), "a different session must build its own plan")
+    assert(d2.sparkSession eq s2, "the frame must belong to the asking session")
+    assert(PgDialect.planBuilds.get == p + 1)
+    assert(PgDialect.cachedPlan(s2, q) eq d2, "…and then reuse it")
+  }
+
   test("repeatable read pins reads; own writes visible; conflicts abort") {
     import spark.implicits._
     def execT(sql: String, t: PgDialect.PgTxn): PgResult =
