@@ -125,8 +125,8 @@ object PgDialect {
 
   // ---- time travel -------------------------------------------------------
   // the comma and '(' alternatives resolve comma-separated FROM lists and
-  // parenthesized join trees — the repeatable-read pin rewrite places
-  // AS OF clauses on every list entry
+  // parenthesized join trees, so every list entry can carry its own
+  // explicit AS OF clause
   private val travelRe =
     ("(?is)(\\bFROM|\\bJOIN|,|\\()\\s*([\\w.\"]+)\\s+FOR\\s+(?:SYSTEM_)?" +
       "(VERSION|TIMESTAMP)\\s+AS\\s+OF\\s+('[^']*'|\\d+)").r
@@ -166,10 +166,14 @@ object PgDialect {
     * from the journal itself — each publish produced exactly its observed
     * before+1 under the table lock — never from a live version re-read,
     * which could adopt a concurrent commit into the pin and let ROLLBACK
-    * destroy it (see [[checkWriteConflicts]]). */
+    * destroy it (see [[checkWriteConflicts]]). STAGED publishes are already
+    * tracked by the txn's staging context (their undo is a staged-dir
+    * discard, not a version restore), so only direct publishes — the
+    * CREATE TABLE [AS] path — enter the txn's restore list; both kinds
+    * flow to the conflict check. */
   private[graft] def noteJournaledWrites(store: Store, txn: PgTxn): Seq[(String, Int, Int)] =
-    store.drainWriteJournal().map { case (t, before) =>
-      txn.noteWrite(t, before, before + 1)
+    store.drainWriteJournal().map { case (t, before, staged) =>
+      if (!staged) txn.noteWrite(t, before, before + 1)
       (t, before, before + 1)
     }
 
@@ -203,172 +207,112 @@ object PgDialect {
     }
   }
 
-  /** Pin store-table reads of a REPEATABLE READ txn to its snapshot:
-    * `FROM t` / `JOIN t` gains `FOR VERSION AS OF v` (then resolved by
-    * [[rewriteTimeTravel]] into a view over the immutable version dir).
-    * Scope: SELECT / EXPLAIN / COPY TO — the read surface; DML targets the
-    * latest version under first-updater-wins conflict detection (see the
-    * journaling block). CTE names shadow store tables like in PG, and a
-    * reference already carrying an AS OF clause keeps it (explicit time
-    * travel wins). Matching runs on the literal-blanked copy so table
-    * names inside strings/comments are never touched. Known gaps: (a) a
-    * SQL VIEW over a store table resolves through its registration-time
-    * binding, which reads the CURRENT snapshot — view reads inside an RR
-    * txn are read-committed (PG pins those too; direct table reads, the
-    * pg_dump/BI path, are fully pinned); (b) another txn's ROLLBACK can
-    * destroy a version this txn pinned after observing the other's
-    * published-but-uncommitted write (per-statement publishing has no
-    * undo-invisible buffer) — the read then errors instead of returning
-    * wrong data. VACUUM/expireVersions, by contrast, DO hold pinned
-    * versions via the retention registry ([[pinnedVersionsOf]]). */
-  private[graft] def rewritePinnedReads(store: Store, txn: PgTxn, stmt: String): String = {
-    if (txn == null || !txn.inTxn) return stmt
-    val pin = txn.readSnapshot(store) match {
-      case Some(p) if p.nonEmpty => p
-      case _ => return stmt
+  // ---- transaction snapshot rebind ---------------------------------------
+  // Pin store-table reads of a REPEATABLE READ txn to its snapshot — on the
+  // ANALYZED PLAN, not on SQL text. The analyzer has already resolved CTE
+  // shadowing, aliases, quoted identifiers, comma lists, join trees, views
+  // and subqueries, so the rebind is a single well-defined operation: every
+  // parquet relation whose path is a store version dir and whose version
+  // differs from the pin is swapped for a relation over the pinned
+  // immutable dir (same schema, original attribute ids preserved). This
+  // replaced a ~150-line token walker over SQL text that needed a fix per
+  // newly-discovered syntax shape; the plan walk is syntax-complete by
+  // construction. Because views INLINE their analyzed plans, view reads
+  // inside an RR txn now pin exactly like direct table reads (PG
+  // semantics) — the old text rewriter could not see through them.
+  // Explicit time travel still wins: a `FOR VERSION/TIMESTAMP AS OF`
+  // clause resolves through a `…__asof_…` snapshot view whose View node is
+  // skipped whole, as is the `…__changes_…` feed of table_changes().
+
+  /** Rebind `df`'s analyzed plan to the transaction's view of the store:
+    * tables with txn-staged (uncommitted) writes read their private staged
+    * snapshot; under REPEATABLE READ everything else reads the pinned
+    * version. No-op (and zero-cost) outside a transaction or when neither
+    * applies. Runs AFTER the plan cache: the cached frame is the shared-
+    * current plan, the rebind is a cheap per-execution tree walk. */
+  private[graft] def bindTxnReads(spark: SparkSession, store: Store,
+      txn: PgTxn, df: DataFrame): DataFrame = {
+    if (txn == null || !txn.inTxn) return df
+    val staged = txn.stagedReadDirs(store)
+    val pin = txn.readSnapshot(store).getOrElse(Map.empty)
+    if (staged.isEmpty && pin.isEmpty) return df
+    val analyzed = df.queryExecution.analyzed
+    val bound = rebindPlan(spark, store, staged, pin, analyzed)
+    if (bound eq analyzed) df
+    else org.apache.spark.sql.GraftSql.ofRows(spark, bound)
+  }
+
+  // PgDml builds its source frames (INSERT…SELECT bodies, UPDATE…FROM /
+  // MERGE USING sources, subqueries) through spark.sql over the session
+  // views — which resolve the SHARED current snapshot. The current-txn
+  // scope, bound around each DML statement, lets PgDml rebind those frames
+  // to the txn's view (own staged writes + RR pin) without threading the
+  // txn through its whole surface.
+  private val currentTxnTL = new ThreadLocal[(SparkSession, Store, PgTxn)]
+  private[graft] def withCurrentTxn[T](spark: SparkSession, store: Store,
+      txn: PgTxn)(body: => T): T = {
+    currentTxnTL.set((spark, store, txn))
+    try body finally currentTxnTL.remove()
+  }
+  /** Rebind `df` to the currently-bound txn scope (identity outside one). */
+  private[graft] def bindCurrentTxn(df: DataFrame): DataFrame =
+    currentTxnTL.get() match {
+      case null => df
+      case (spark, store, txn) => bindTxnReads(spark, store, txn, df)
     }
-    val blanked = new String(blankStrings(stmt))
-    // the optional (col, …) list covers WITH name(cols) AS (…) — without
-    // it such a CTE would fail to shadow a same-named store table
-    val cte = "(?i)\\b(\\w+)\\s*(?:\\([^()]*\\))?\\s+AS\\s*\\(".r
-      .findAllMatchIn(blanked).map(_.group(1).toLowerCase).toSet
-    val n = blanked.length
-    def identChar(c: Char) = c.isLetterOrDigit || c == '_'
-    // words that terminate a FROM list / can't be aliases
-    val stop = Set("where", "group", "order", "having", "limit", "offset",
-      "on", "using", "inner", "left", "right", "full", "cross", "join",
-      "union", "intersect", "except", "window", "for", "fetch", "natural",
-      "lateral", "returning", "as")
-    def skipWs(p0: Int): Int = {
-      var p = p0; while (p < n && blanked.charAt(p).isWhitespace) p += 1; p }
-    def skipBalanced(p0: Int): Int = { // p0 at '('; returns past its ')'
-      var p = p0; var depth = 0; var done = false
-      while (p < n && !done) {
-        if (blanked.charAt(p) == '(') depth += 1
-        else if (blanked.charAt(p) == ')') { depth -= 1; done = depth == 0 }
-        p += 1
-      }
-      p
-    }
-    // optional [AS] alias (quoted or bare) + optional column list / call
-    // args; returns p0 untouched when the next word is a clause keyword
-    def skipAlias(p0: Int): Int = {
-      var k = skipWs(p0)
-      if (k < n && (identChar(blanked.charAt(k)) || blanked.charAt(k) == '"')) {
-        val save = k
-        val w = new StringBuilder
-        if (blanked.charAt(k) == '"') {
-          k += 1; while (k < n && blanked.charAt(k) != '"') { w.append(blanked.charAt(k)); k += 1 }
-          if (k < n) k += 1
-        } else while (k < n && identChar(blanked.charAt(k))) { w.append(blanked.charAt(k)); k += 1 }
-        if (w.toString.equalsIgnoreCase("as")) {
-          k = skipWs(k)
-          if (k < n && blanked.charAt(k) == '"') {
-            k += 1; while (k < n && blanked.charAt(k) != '"') k += 1
-            if (k < n) k += 1
-          } else while (k < n && identChar(blanked.charAt(k))) k += 1
-        } else if (stop(w.toString.toLowerCase)) return save
-      }
-      // alias column list `v(x, y)` or a table function's argument list
-      val k2 = skipWs(k)
-      if (k2 < n && blanked.charAt(k2) == '(') skipBalanced(k2) else k
-    }
-    val splices = scala.collection.mutable.ArrayBuffer[(Int, Int)]() // (pos, version)
-    // after a JOIN's ref: scan the ON/USING condition at TOP paren level
-    // for a ',' continuing the enclosing FROM list (`FROM a JOIN b ON …,
-    // c`) — ON takes a boolean expression, so any top-level comma there
-    // belongs to the list, commas inside call parens sit at depth > 0
-    val fromEnders = Set("where", "group", "order", "having", "limit",
-      "offset", "union", "intersect", "except", "window", "returning",
-      "fetch", "for")
-    def scanListComma(p0: Int): Int = {
-      var k = p0
-      var depth = 0
-      while (k < n) {
-        val ch = blanked.charAt(k)
-        if (ch == '(') { depth += 1; k += 1 }
-        else if (ch == ')') { if (depth == 0) return -1 else { depth -= 1; k += 1 } }
-        else if (ch == ',' && depth == 0) return k
-        else if (depth == 0 && (identChar(ch))) {
-          val s0 = k
-          while (k < n && identChar(blanked.charAt(k))) k += 1
-          if (fromEnders(blanked.substring(s0, k).toLowerCase)) return -1
-        } else k += 1
-      }
-      -1
-    }
-    // token-walk each FROM's COMMA-SEPARATED list (a single-ref regex
-    // missed `FROM a, b` — b read the live snapshot mid-txn) and each
-    // JOIN's single ref; quoted identifiers included
-    for (m <- "(?i)\\b(FROM|JOIN)\\s".r.findAllMatchIn(blanked)) {
-      var isJoin = blanked.charAt(m.start).toUpper == 'J'
-      var i = m.end
-      var more = true
-      while (more) {
-        more = false
-        i = skipWs(i)
-        if (i < n && blanked.charAt(i) == '(') {
-          // peek the first word: a subquery head skips as a unit (its
-          // inner FROMs match on their own); anything else is a
-          // parenthesized JOIN TREE whose FIRST table must pin like any
-          // other reference — treat the paren as transparent
-          var q = skipWs(i + 1)
-          val head = new StringBuilder
-          while (q < n && identChar(blanked.charAt(q))) { head.append(blanked.charAt(q)); q += 1 }
-          if (Set("select", "with", "values", "table")(head.toString.toLowerCase)) {
-            i = skipBalanced(i)
-            val k = skipWs(skipAlias(i))
-            if (k < n && blanked.charAt(k) == ',') { i = k + 1; more = true }
-          } else { i += 1; more = true }
-        }
-        else if (i < n && (identChar(blanked.charAt(i)) || blanked.charAt(i) == '"')) {
-          def readIdent(): String =
-            if (blanked.charAt(i) == '"') {
-              val s0 = i + 1; i += 1
-              while (i < n && blanked.charAt(i) != '"') i += 1
-              val r = blanked.substring(s0, math.min(i, n)); if (i < n) i += 1; r
-            } else {
-              val s0 = i
-              while (i < n && identChar(blanked.charAt(i))) i += 1
-              blanked.substring(s0, i)
+
+  private def rebindPlan(spark: SparkSession, store: Store,
+      staged: Map[String, String], pin: Map[String, Int],
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, View}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression, SubqueryExpression}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+    def substitute(lr: LogicalRelation): LogicalPlan = lr.relation match {
+      case h: HadoopFsRelation if h.location.rootPaths.size == 1 =>
+        store.parseVersionDir(h.location.rootPaths.head) match {
+          case Some((t, k)) =>
+            // staged-own-writes first (a txn sees its writes whatever the
+            // isolation level), then the RR pin
+            val targetDf: Option[DataFrame] = staged.get(t) match {
+              case Some(dir) => Some(store.readStagedDir(dir, h.schema))
+              case None => pin.get(t).filter(_ != k)
+                .map(p => store.readVersionAs(t, p, h.schema))
             }
-          var ident = readIdent()
-          if (i < n && blanked.charAt(i) == '.') { i += 1; ident = readIdent() }
-          val refEnd = i
-          var j = skipWs(i)
-          val isFn = j < n && blanked.charAt(j) == '(' // table function
-          val afterU = blanked.substring(j, math.min(n, j + 16)).toUpperCase
-          val traveled = afterU.startsWith("FOR VERSION") ||
-            afterU.startsWith("FOR TIMESTAMP") || afterU.startsWith("FOR SYSTEM_")
-          if (!isFn && !traveled && !cte(ident.toLowerCase))
-            pin.get(ident).orElse(pin.get(ident.toLowerCase))
-              .foreach(v => splices += ((refEnd, v)))
-          // an explicitly-traveled entry: step past its AS OF clause so a
-          // comma after it still continues this FROM list
-          if (traveled) {
-            "(?is)^FOR\\s+(?:SYSTEM_)?(?:VERSION|TIMESTAMP)\\s+AS\\s+OF\\s+('[^']*'|\\d+)".r
-              .findFirstMatchIn(blanked.substring(j))
-              .foreach(tm => j += tm.end)
-          }
-          if (!isJoin) {
-            var k = skipWs(skipAlias(j))
-            // closing parens of a transparent join tree may precede the comma
-            while (k < n && blanked.charAt(k) == ')') k = skipWs(k + 1)
-            if (k < n && blanked.charAt(k) == ',') { i = k + 1; more = true }
-          } else {
-            // the FROM list may continue after this join's ON condition;
-            // entries found there are plain list entries (overlapping JOIN
-            // matches can re-find the same comma — splices dedup below)
-            val commaAt = scanListComma(skipWs(skipAlias(j)))
-            if (commaAt >= 0) { i = commaAt + 1; more = true; isJoin = false }
-          }
+            targetDf match {
+              case None => lr
+              case Some(nd) =>
+                val np = nd.queryExecution.analyzed
+                // keep the ORIGINAL attribute ids so every upstream
+                // reference in the plan still resolves
+                val proj: Seq[NamedExpression] = lr.output.map { old =>
+                  val nu = np.output.find(_.name == old.name).getOrElse(
+                    return lr) // schema drift between versions: leave as-is
+                  Alias(nu, old.name)(exprId = old.exprId,
+                    qualifier = old.qualifier)
+                }
+                Project(proj, np)
+            }
+          case None => lr
         }
-      }
+      case _ => lr
     }
-    val out = new StringBuilder(stmt)
-    splices.distinct.sortBy(-_._1).foreach { case (pos, v) =>
-      out.insert(pos, s" FOR VERSION AS OF $v") }
-    out.toString
+
+    def rebind(p: LogicalPlan): LogicalPlan = p match {
+      // an explicit time-travel or change-feed view IS a resolved snapshot
+      // choice — leave its whole subtree alone
+      case v: View if v.desc.identifier.table.contains("__asof_") ||
+          v.desc.identifier.table.contains("__changes_") => v
+      case lr: LogicalRelation => substitute(lr)
+      case other =>
+        // children first, then plans nested inside expressions (scalar/
+        // EXISTS/IN subqueries — a plain tree walk never reaches those)
+        other.mapChildren(rebind).transformExpressions {
+          case se: SubqueryExpression => se.withNewPlan(rebind(se.plan))
+        }
+    }
+    rebind(plan)
   }
 
   private def rewriteTableChanges(store: Store, stmt: String): String =
@@ -457,31 +401,51 @@ object PgDialect {
 
   final case class UnsupportedQuery(msg: String) extends RuntimeException(msg)
 
-  /** Per-connection transaction over the write surface: BEGIN snapshots
-    * nothing up front; the FIRST write of each table inside the txn
-    * records its pre-write version, and ROLLBACK restores those version
-    * pointers (version dirs are immutable, so undo is a catalog flip —
-    * the Iceberg write-audit-publish shape). A table another writer
-    * committed on top of refuses to roll back rather than clobbering the
-    * concurrent commit. COMMIT is a no-op beyond clearing state: every
-    * statement already published durably (single-table commits compose;
-    * cross-table atomicity is rollback-only, like Iceberg WAP). Default
-    * reads are READ COMMITTED (each statement sees the latest published
-    * state — the reference's surface); BEGIN ISOLATION LEVEL REPEATABLE
-    * READ upgrades to snapshot-isolated reads over the pinned version map
-    * (see the repeatable-read block below). Matview DDL stays out of txn
-    * scope. Callers without a connection (specs, CompatAudit) pass no txn
-    * and keep the reference's no-op BEGIN/COMMIT behavior. */
+  /** Per-connection transaction over the write surface, PG MVCC shape:
+    * DML inside the txn STAGES its writes in txn-private version dirs
+    * (Store.TxnStaging) — invisible to every other connection until
+    * COMMIT atomically swaps them into the shared chain (one catalog
+    * commit covers every staged table, so cross-table commits are atomic
+    * too — the Iceberg write-audit-publish shape, with the publish step
+    * deferred to COMMIT). ROLLBACK discards the staged dirs: it can never
+    * fail on concurrent activity and never destroys another session's
+    * committed (or pinned) version. Writers coordinate through per-table
+    * write gates — a txn's first staged write claims the table's gate to
+    * COMMIT/ROLLBACK and other writers queue, PG's writer-blocks-writer.
+    * Default reads are READ COMMITTED (each statement sees the latest
+    * published state, plus this txn's own staged writes via the plan
+    * rebind); BEGIN ISOLATION LEVEL REPEATABLE READ upgrades to
+    * snapshot-isolated reads over the pinned version map with
+    * first-updater-wins write conflicts. Matview DDL and CREATE TABLE
+    * [AS] stay out of staged scope (published directly; CREATE TABLE
+    * remains journal-undoable). Callers without a connection (specs,
+    * CompatAudit) pass no txn and keep the reference's no-op BEGIN/COMMIT
+    * behavior. */
   final class PgTxn {
     private var active = false
     // error inside the txn -> aborted: everything except ROLLBACK (and
     // COMMIT, which then rolls back) is refused with PG's 25P02 message
     private var failed = false
-    // table -> (version before our first write (0 = created), last version we produced)
+    // ---- txn-private write staging ----------------------------------------
+    // The txn's DML writes stage in private version dirs (Store.TxnStaging)
+    // — invisible to every other connection until COMMIT swaps them into
+    // the shared chain, discarded in O(1) catalog work at ROLLBACK. The
+    // `writes` map below tracks only DIRECT publishes (CREATE TABLE [AS],
+    // which must be SQL-resolvable inside the txn and therefore publishes
+    // immediately); its restore-based undo is safe there because a table
+    // created by this txn has no concurrent writers.
+    private[graft] var staging: Store.TxnStaging = null
+    /** The txn's staging context, created at its first DML statement. */
+    private[graft] def stagingFor(store: Store): Store.TxnStaging = {
+      if (staging == null) staging = store.newStaging()
+      staging
+    }
+    // table -> (version before our first DIRECT write (0 = created), last
+    // version we produced) — see the staging note above
     private val writes = scala.collection.mutable.LinkedHashMap[String, (Int, Int)]()
-    // savepoint name -> the tables' (from, to) state when it was set
-    private val savepoints =
-      scala.collection.mutable.LinkedHashMap[String, Map[String, (Int, Int)]]()
+    // savepoint name -> (direct-write state, staged chain heads) when set
+    private val savepoints = scala.collection.mutable
+      .LinkedHashMap[String, (Map[String, (Int, Int)], Map[String, Int])]()
     // view DDL undo log: name -> the view's state BEFORE our first change
     // (None = did not exist). Restored on full ROLLBACK; savepoint-partial
     // rollback intentionally leaves view DDL in place (version pointers
@@ -529,6 +493,12 @@ object PgDialect {
     }
     private[graft] def pinnedVersion(table: String): Option[Int] =
       if (active && repeatable) pinned.flatMap(_.get(table)) else None
+    /** table → staged-current dir for every table this txn has staged
+      * (uncommitted) writes on — the bindTxnReads own-writes overlay.
+      * Empty until the txn's first staged write. */
+    private[graft] def stagedReadDirs(store: Store): Map[String, String] =
+      if (!active || staging == null) Map.empty
+      else store.stagedReadDirs(staging)
     private[graft] def notePinAdvance(table: String, v: Int): Unit =
       if (active && repeatable) pinned = pinned.map(_.updated(table, v))
     private[graft] def isRepeatable: Boolean = active && repeatable
@@ -559,16 +529,35 @@ object PgDialect {
     def inTxn: Boolean = active
     def isAborted: Boolean = active && failed
     private[graft] def markFailed(): Unit = if (active) failed = true
-    def begin(): Unit = { active = true; failed = false; repeatable = false; levelName = "read committed"; pinned = None; localSettings.clear(); endHooks.clear(); writes.clear(); savepoints.clear(); viewOps.clear() }
-    def commit(): Unit = { unregisterPins(this); restoreLocalSettings(); active = false; failed = false; repeatable = false; pinned = None; writes.clear(); savepoints.clear(); viewOps.clear() }
+    def begin(): Unit = { active = true; failed = false; staging = null; repeatable = false; levelName = "read committed"; pinned = None; localSettings.clear(); endHooks.clear(); writes.clear(); savepoints.clear(); viewOps.clear() }
+    /** COMMIT: atomically publish the staged writes into the shared chain
+      * (Store.commitStaging — one catalog commit covers every staged
+      * table). A publish failure rolls the whole txn back and re-raises,
+      * PG's failed-COMMIT contract. Direct (CREATE TABLE) writes are
+      * already durable. */
+    def commit(store: Store): Unit = {
+      val st = staging
+      staging = null
+      if (st != null) {
+        try store.commitStaging(st)
+        catch {
+          case e: Exception =>
+            // failed COMMIT = ROLLBACK (PG); staged dirs are already
+            // discarded by commitStaging's conflict path
+            try rollback(store) catch { case _: Exception => () }
+            throw UnsupportedQuery(e.getMessage)
+        }
+      }
+      unregisterPins(this); restoreLocalSettings(); active = false; failed = false; repeatable = false; pinned = None; writes.clear(); savepoints.clear(); viewOps.clear()
+    }
     private[graft] def noteWrite(table: String, from: Int, to: Int): Unit =
       if (active) writes.get(table) match {
         case Some((f, _)) => writes(table) = (f, to)
         case None => writes(table) = (from, to)
       }
-    def savepoint(name: String): Unit = {
+    def savepoint(store: Store, name: String): Unit = {
       require(active, "SAVEPOINT can only be used in transaction blocks")
-      savepoints(name.toLowerCase) = writes.toMap
+      savepoints(name.toLowerCase) = (writes.toMap, store.stagedMarks(staging))
     }
     def releaseSavepoint(name: String): Unit = {
       if (!savepoints.contains(name.toLowerCase))
@@ -578,18 +567,39 @@ object PgDialect {
       keys.drop(keys.indexOf(name.toLowerCase)).foreach(savepoints.remove)
     }
     /** ROLLBACK TO SAVEPOINT: undo only the writes made after the
-      * savepoint — restore each table to the version it had then (tables
-      * untouched since are left alone); the savepoint itself survives,
-      * like PG. */
+      * savepoint — staged writes rewind by deleting the staged dirs above
+      * the savepoint's chain heads (Store.rollbackStagedTo — never touches
+      * the shared chain, never fails on concurrent commits); direct writes
+      * restore their version pointers. The savepoint itself survives, like
+      * PG, and the write gates stay held. */
     def rollbackTo(store: Store, name: String): Unit = {
-      val base = savepoints.getOrElse(name.toLowerCase,
+      val (base, marks) = savepoints.getOrElse(name.toLowerCase,
         throw UnsupportedQuery(s"""savepoint "$name" does not exist"""))
+      if (staging != null) {
+        staging.tables.keys.toSeq.foreach { t =>
+          // absent from the marks = first staged after the savepoint:
+          // rewind to its base (removing its staged state); the effective
+          // floor comes back from the store (it knows the base)
+          store.rollbackStagedTo(staging, t, marks.getOrElse(t, 0)).foreach {
+            floor =>
+              // the repeatable-read pin advanced with the now-undone staged
+              // writes (conflict baseline); rewind it with them or the next
+              // write's first-updater check would compare against a version
+              // this txn no longer holds — but never ADD a pin for a table
+              // the snapshot never contained (created inside the txn)
+              if (repeatable)
+                pinned = pinned.map(m => m.get(t) match {
+                  case Some(p) if p > floor => m.updated(t, floor)
+                  case _ => m
+                })
+          }
+        }
+      }
       val failures = writes.toSeq.reverse.flatMap { case (t, (from, to)) =>
         val target = base.get(t).map(_._2).getOrElse(from)
         if (target == to) None
         else try {
           store.restoreVersion(t, target, expectedCurrent = to)
-          // the repeatable-read pin advanced with the now-undone writes;
           // restoreVersion DELETES the undone dirs, so a stale pin would
           // point reads at versions that no longer exist
           if (repeatable) pinned = pinned.map(_.updated(t, target))
@@ -607,6 +617,12 @@ object PgDialect {
         "ROLLBACK TO SAVEPOINT could not undo all writes — " + failures.mkString("; "))
     }
     def rollback(store: Store): Unit = {
+      // staged writes: O(1) discard of the private dirs — by construction
+      // this can neither fail on a concurrent commit nor destroy one
+      val st = staging
+      staging = null
+      if (st != null)
+        try store.abortStaging(st) catch { case _: Exception => () }
       val failures = writes.toSeq.reverse.flatMap { case (t, (from, to)) =>
         try { store.restoreVersion(t, from, expectedCurrent = to); None }
         catch { case e: Exception => Some(s"$t: ${e.getMessage}") }
@@ -663,14 +679,10 @@ object PgDialect {
     // ---- synchronized snapshots (parallel pg_dump -Fd -j) ---------------
     // pg_export_snapshot(): the leader exports its view of the store's
     // version map under a fresh id; each -j worker connection adopts it
-    // with SET TRANSACTION SNAPSHOT. Adoption is GENUINE by equality: the
-    // store's current version map must still equal the exported one —
-    // always true while pg_dump holds its locks over a quiescent catalog
-    // — and any concurrent commit since export REFUSES the adoption
-    // (PG's "snapshot is not available" shape) rather than serving a
-    // different snapshot under the adopted id. Per-connection version
-    // pinning would lift that refusal; the refusal keeps adoption honest
-    // until then.
+    // with SET TRANSACTION SNAPSHOT. Adoption is REAL per-connection
+    // pinning: the worker's reads resolve the exported version map's
+    // immutable snapshot dirs (bindTxnReads), so a parallel dump stays
+    // consistent even while other connections keep committing.
     locally {
       val expRe = "(?is)SELECT\\s+(?:pg_catalog\\.)?pg_export_snapshot\\s*\\(\\s*\\)\\s*;?\\s*".r
       if (expRe.matches(stmt)) {
@@ -760,7 +772,7 @@ object PgDialect {
       "(?is)ROLLBACK\\s+(?:WORK\\s+)?TO\\s+(?:SAVEPOINT\\s+)?([\\w\"]+)\\s*".r
     stmt match {
       case savepointRe(n) =>
-        if (txn != null) txn.savepoint(unquoteName(n))
+        if (txn != null) txn.savepoint(store, unquoteName(n))
         return Command("SAVEPOINT")
       case releaseRe(n) =>
         if (txn != null) txn.releaseSavepoint(unquoteName(n))
@@ -791,7 +803,7 @@ object PgDialect {
         case "COMMIT" =>
           // PG: COMMIT of an aborted transaction rolls back and reports it
           if (txn.isAborted) { txn.rollback(store); return Command("ROLLBACK") }
-          txn.commit()
+          txn.commit(store)
         case "ROLLBACK" => txn.rollback(store)
         case _ =>
       }
@@ -988,9 +1000,13 @@ object PgDialect {
     if (upper.startsWith("SELECT") || upper.startsWith("WITH") ||
         upper.startsWith("VALUES") || upper.startsWith("TABLE ")) {
       maybeRefreshCatalog(spark, store, upper)
-      val traveled = rewriteTimeTravel(store, rewritePinnedReads(store, txn, stmt))
+      val traveled = rewriteTimeTravel(store, stmt)
       val translated = applyPermissions(translateSelectCached(traveled), perms)
-      return Rows(retagJson(planWithRollup(spark, store, translated)), "SELECT")
+      // the txn snapshot rebind runs on the ANALYZED plan, after the plan
+      // cache: staged own-writes + repeatable-read pins (incl. through
+      // views) resolve here
+      return Rows(retagJson(bindTxnReads(spark, store, txn,
+        planWithRollup(spark, store, translated))), "SELECT")
     }
     // EXPLAIN [ANALYZE|VERBOSE|(opts)] SELECT … -> Spark's formatted plan as
     // PG-style "QUERY PLAN" text rows (the reference delegates to DuckDB's
@@ -1005,10 +1021,10 @@ object PgDialect {
         // the plan a SELECT would actually run — time travel + rollup
         // rewrite included (no auto-refresh: EXPLAIN must not mutate)
         val explainSql = applyPermissions(
-          translateSelect(rewriteTimeTravel(store,
-            rewritePinnedReads(store, txn, inner.trim))), perms)
-        val df = spark.sql(RollupRewrite(store, explainSql,
-          columnsOf = relationColumns(spark)).getOrElse(explainSql))
+          translateSelect(rewriteTimeTravel(store, inner.trim)), perms)
+        val df = bindTxnReads(spark, store, txn,
+          spark.sql(RollupRewrite(store, explainSql,
+            columnsOf = relationColumns(spark)).getOrElse(explainSql)))
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
         val lines =
@@ -1041,8 +1057,8 @@ object PgDialect {
           else s"SELECT ${cols.getOrElse("*")} FROM $src"
         // pg_dump's parallel data phase reads through here: the adopted
         // snapshot must pin the COPY source like any SELECT
-        val df = spark.sql(applyPermissions(translateSelect(
-          rewriteTimeTravel(store, rewritePinnedReads(store, txn, inner))), perms))
+        val df = bindTxnReads(spark, store, txn, spark.sql(applyPermissions(
+          translateSelect(rewriteTimeTravel(store, inner)), perms)))
         val o = opts.toUpperCase
         return CopyOut(df, csv = o.contains("CSV"), header = o.contains("HEADER"))
       case _ =>
@@ -1074,6 +1090,10 @@ object PgDialect {
     // commit can never be blamed on (and rolled back with) this txn,
     // which a global version-map diff around the statement would do.
     val journaling = txn != null && txn.inTxn
+    // PG refuses VACUUM inside a transaction block — and staging a
+    // maintenance compaction would be meaningless anyway
+    if (journaling && upper.startsWith("VACUUM"))
+      throw UnsupportedQuery("VACUUM cannot run inside a transaction block")
     // PG pins the RR snapshot at the FIRST statement of any kind — a txn
     // whose first statement is a WRITE must pin BEFORE that write, or
     // first-updater-wins has no baseline and lost updates slip through
@@ -1081,7 +1101,15 @@ object PgDialect {
     if (journaling) store.beginWriteJournal()
     var dmlResult: Option[PgResult] = None
     var written: Seq[(String, Int, Int)] = Nil
-    try dmlResult = PgDml.execute(spark, store, stmt)
+    // inside a txn the statement's writes STAGE in txn-private version
+    // dirs (invisible to other connections until COMMIT); the bound
+    // current-txn scope lets PgDml's source subqueries resolve this txn's
+    // own staged writes + RR pins
+    try dmlResult =
+      if (journaling)
+        store.withStaging(txn.stagingFor(store))(
+          withCurrentTxn(spark, store, txn)(PgDml.execute(spark, store, stmt)))
+      else PgDml.execute(spark, store, stmt)
     finally if (journaling) {
       // drain in the FINALLY so a statement that dies mid-sequence (e.g.
       // multi-table TRUNCATE failing on table 3 of 5) still notes its

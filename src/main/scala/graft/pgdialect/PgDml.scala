@@ -126,8 +126,13 @@ object PgDml {
       val t = unquoteName(name)
       if (store.exists(t) && ifNotExists != null) return Some(Command("CREATE TABLE"))
       if (store.exists(t)) throw UnsupportedQuery(s"""relation "$t" already exists""")
-      val df = spark.sql(PgDialect.translateSelect(defn))
-      store.replace(t, df)
+      val df = PgDialect.bindCurrentTxn(spark.sql(PgDialect.translateSelect(defn)))
+      // CREATE TABLE AS publishes DIRECTLY even inside a txn: the new
+      // relation must be SQL-resolvable by the txn's own later statements,
+      // which a never-published staged table cannot be. Its undo is the
+      // journal + restoreVersion path — safe, the table has no concurrent
+      // writers (the journal still records the publish for ROLLBACK).
+      store.withoutStaging(store.replace(t, df))
       // footer-metadata count — never re-scan what was just written
       Some(Command(s"SELECT ${store.rowCountFast(t)}"))
     case createRe(ifNotExists, name, colDefs) =>
@@ -140,7 +145,7 @@ object PgDml {
         val (tpe, prec, scale) = parseTypeName(parts(1))
         PgTypes.toSpark(tpe, prec, scale).copy(name = unquoteName(parts(0)))
       }
-      store.createEmpty(t, StructType(fields))
+      store.withoutStaging(store.createEmpty(t, StructType(fields)))
       Some(Command("CREATE TABLE"))
     case _ => None // CREATE INDEX / VIEW / … — not ours
   }
@@ -193,10 +198,10 @@ object PgDml {
             (core, Some((Option(tgt).map(_.trim).filter(_.nonEmpty), action)))
           case other => (other, None)
         }
-        val src =
+        val src = PgDialect.bindCurrentTxn(
           if (body.trim.toUpperCase.startsWith("VALUES"))
             spark.sql("SELECT * FROM " + PgDialect.translateExpr(body))
-          else spark.sql(PgDialect.translateSelect(body))
+          else spark.sql(PgDialect.translateSelect(body)))
         val aligned = align(src, target, cols)
         conflict match {
           case Some((tgt, action)) =>
@@ -283,10 +288,10 @@ object PgDml {
             case None => s"`$t`.`${f.name}`"
           }
         }.mkString(", ")
-        val updated = spark.sql(
+        val updated = PgDialect.bindCurrentTxn(spark.sql(
           s"SELECT $proj FROM `$t` JOIN $view " +
             s"ON `$t`.`$key` = $view.`__excl_$key`" +
-            whereOpt.map(w => s" WHERE $w").getOrElse(""))
+            whereOpt.map(w => s" WHERE $w").getOrElse("")))
         val fresh = incoming
           .join(store.read(t).select(key), Seq(key), "left_anti")
         val up = updated.unionByName(fresh)
@@ -466,7 +471,7 @@ object PgDml {
     try store.rewriteFiles(t, hits) { back =>
       back.withColumn("__rid", monotonically_increasing_id())
         .createOrReplaceTempView(view)
-      spark.sql(
+      PgDialect.bindCurrentTxn(spark.sql(
         s"""WITH __upd_t AS (SELECT * FROM $view),
            |__m0 AS (
            |  SELECT `$t`.__rid AS __mrid, $setSelect
@@ -477,7 +482,7 @@ object PgDml {
            |      ORDER BY ${vAliases.mkString(", ")}) AS __rn FROM __m0)
            |  WHERE __rn = 1)
            |SELECT $proj FROM __upd_t LEFT JOIN __m
-           |  ON __upd_t.__rid = __m.__mrid""".stripMargin)
+           |  ON __upd_t.__rid = __m.__mrid""".stripMargin))
     } finally { spark.catalog.dropTempView(view); () }
     Command(s"UPDATE $n")
     } finally srcCleanup()
@@ -518,7 +523,8 @@ object PgDml {
         if (close < 0 || alias.isEmpty || !alias.matches("[\\w\"]+")) item
         else {
           val view = s"__dml_src_${System.nanoTime}"
-          val df = spark.sql(item.substring(1, close)).persist()
+          val df = PgDialect.bindCurrentTxn(
+            spark.sql(item.substring(1, close))).persist()
           df.createOrReplaceTempView(view)
           cached += ((view, df))
           s"$view AS $alias"
@@ -542,9 +548,9 @@ object PgDml {
       .withColumn("__rid", monotonically_increasing_id())
       .createOrReplaceTempView(view)
     try {
-      val perFile = spark.sql(
+      val perFile = PgDialect.bindCurrentTxn(spark.sql(
         s"SELECT `$t`.__file AS __f, count(DISTINCT `$t`.__rid) AS __n " +
-          s"FROM $view AS `$t`, $src WHERE $cond GROUP BY `$t`.__file")
+          s"FROM $view AS `$t`, $src WHERE $cond GROUP BY `$t`.__file"))
         .collect().map(r => baseName(r.getString(0)) -> r.getLong(1))
       (perFile.map(_._1).toSet, perFile.map(_._2).sum)
     } finally { spark.catalog.dropTempView(view); () }
@@ -603,13 +609,13 @@ object PgDml {
     try store.rewriteFiles(t, hits) { back =>
       back.withColumn("__rid", monotonically_increasing_id())
         .createOrReplaceTempView(view)
-      spark.sql(
+      PgDialect.bindCurrentTxn(spark.sql(
         s"""WITH __del_t AS (SELECT * FROM $view),
            |__hit AS (
            |  SELECT DISTINCT `$t`.__rid AS __hrid
            |  FROM __del_t AS `$t`, $src WHERE $cond)
            |SELECT __del_t.* EXCEPT(__rid) FROM __del_t
-           |LEFT ANTI JOIN __hit ON __del_t.__rid = __hit.__hrid""".stripMargin)
+           |LEFT ANTI JOIN __hit ON __del_t.__rid = __hit.__hrid""".stripMargin))
     } finally { spark.catalog.dropTempView(view); () }
     Command(s"DELETE $n")
     } finally srcCleanup()
@@ -687,8 +693,9 @@ object PgDml {
       val sAlias = Option(sAliasRaw).getOrElse(
         if (usingRaw.startsWith("(")) "__src" else unquoteName(usingRaw))
       val source =
-        if (usingRaw.startsWith("(")) spark.sql(PgDialect.translateSelect(
-          usingRaw.substring(1, usingRaw.length - 1)))
+        if (usingRaw.startsWith("(")) PgDialect.bindCurrentTxn(
+          spark.sql(PgDialect.translateSelect(
+            usingRaw.substring(1, usingRaw.length - 1))))
         else if (store.exists(unquoteName(usingRaw))) store.read(unquoteName(usingRaw))
         else spark.table(unquoteName(usingRaw))
       // equi-key ON (the mergeable shape; the reference's write model is

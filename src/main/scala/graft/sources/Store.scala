@@ -61,29 +61,175 @@ class Store(spark: SparkSession, val warehouse: String) {
 
   private val versions = TrieMap[String, Int]()
 
-  /** Per-THREAD write journal: (table, version-before) recorded at each
-    * version publish on this thread. The transaction layer attributes a
-    * statement's writes from here — diffing the global version map around
+  /** Per-THREAD write journal: (table, version-before, staged?) recorded at
+    * each version publish on this thread. The transaction layer attributes
+    * a statement's writes from here — diffing the global version map around
     * the statement would blame OTHER connections' concurrent commits on
     * this transaction, and its ROLLBACK would then restore (destroy) their
     * committed writes. Spark actions block on the calling thread, so every
-    * publish a statement causes lands on the connection thread running it. */
+    * publish a statement causes lands on the connection thread running it.
+    * Staged publishes record their OVERLAY before-version (the txn's
+    * private chain head) — the repeatable-read conflict check compares the
+    * first one against the pin, exactly as it did for shared publishes. */
   private val writeJournal =
-    new ThreadLocal[scala.collection.mutable.ListBuffer[(String, Int)]]
+    new ThreadLocal[scala.collection.mutable.ListBuffer[(String, Int, Boolean)]]
   private[graft] def beginWriteJournal(): Unit =
     writeJournal.set(scala.collection.mutable.ListBuffer())
-  private[graft] def drainWriteJournal(): Seq[(String, Int)] = {
+  private[graft] def drainWriteJournal(): Seq[(String, Int, Boolean)] = {
     val l = writeJournal.get(); writeJournal.remove()
     if (l == null) Nil else l.toSeq
   }
-  /** Every forward version bump comes through here (rollback's pointer
-    * restore intentionally does not — undo is not a write to attribute). */
-  private def publishVersion(name: String, next: Int): Unit = {
-    val l = writeJournal.get()
-    if (l != null) l += ((name, versions.getOrElse(name, 0)))
-    versions(name) = next
-    publishSizeStats(name, next)
+
+  // ---- transaction-private write staging ----------------------------------
+  // See Store.TxnStaging. The staging context binds to the CONNECTION
+  // thread for the duration of one DML statement (PgDialect/PgWireServer);
+  // while bound, version allocation, version-dir resolution and the
+  // current-version/exists/evolution reads below all resolve through the
+  // txn's private overlay, so the existing write operators (replace /
+  // append / upsert / COW / merge) stage without knowing it. Everything
+  // NOT bound — other connections, the Syncer, streaming, matview
+  // refresh — sees only the shared chain.
+  private val stagingSeq = new java.util.concurrent.atomic.AtomicLong()
+  private val stagingTL = new ThreadLocal[Store.TxnStaging]
+  // live staging ids (this process): vacuum's staged-orphan sweep must
+  // never reclaim a LIVE transaction's staged dirs
+  private val activeStagings =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[graft] def newStaging(): Store.TxnStaging = {
+    val st = new Store.TxnStaging(
+      java.lang.Long.toHexString(stagingSeq.incrementAndGet()) + "-" +
+        Integer.toHexString(System.identityHashCode(this)))
+    activeStagings.add(st.id)
+    st
   }
+  private[graft] def withStaging[T](st: Store.TxnStaging)(body: => T): T = {
+    val prev = stagingTL.get()
+    stagingTL.set(st)
+    try body
+    finally { if (prev == null) stagingTL.remove() else stagingTL.set(prev) }
+  }
+  /** Run `body` with staging suppressed — for statements inside a txn that
+    * intentionally publish directly (CREATE TABLE [AS]: the new relation
+    * must be SQL-resolvable by the txn's own later statements, which a
+    * never-published staged table cannot be; its undo is the journal +
+    * restoreVersion path, safe because a table created by this txn has no
+    * concurrent writers). */
+  private[graft] def withoutStaging[T](body: => T): T = {
+    val prev = stagingTL.get()
+    if (prev != null) stagingTL.remove()
+    try body finally { if (prev != null) stagingTL.set(prev) }
+  }
+  private def staging(): Store.TxnStaging = stagingTL.get()
+  private def stagedEntry(name: String): Option[Store.StagedTable] =
+    Option(staging()).flatMap(_.tables.get(name))
+  /** Does THIS thread's bound staging hold uncommitted writes on `name`? */
+  private def stagedHere(name: String): Boolean =
+    stagedEntry(name).exists(_.count > 0)
+  private def stagedDirName(id: String, v: Int) = s".txn$id-v$v"
+  private def stagedPath(id: String, name: String, v: Int): HadoopPath =
+    new HadoopPath(tablePath(name), stagedDirName(id, v))
+
+  // ---- per-table transaction write gates -----------------------------------
+  // PG's writer-blocks-writer, at the granularity this COW store actually
+  // writes: a transaction's first staged write to a table claims the
+  // table's gate and holds it to COMMIT/ROLLBACK; any other writer — a
+  // second transaction or an autocommit statement — BLOCKS until then,
+  // exactly like PG sessions queueing on row locks (pgbench's concurrent
+  // BEGIN…UPDATE…COMMIT clients serialize instead of aborting). Because
+  // the gate freezes the shared version while held, a REPEATABLE READ txn
+  // that wakes from the gate and finds the table moved past its pin raises
+  // PG's serialization_failure at the STATEMENT — and a commit-time
+  // conflict becomes impossible by construction. Waits are bounded
+  // (PG's lock_timeout shape) so lock cycles abort instead of hanging.
+  private final class TxnGate { var owner: String = null }
+  private val txnGates = TrieMap[String, TxnGate]()
+  /** Gate wait bound (ms); tests shrink it to exercise the timeout path. */
+  private[graft] var gateTimeoutMs: Long = 30000L
+  private def gateAcquire(name: String): Unit = {
+    val st = staging()
+    val g = txnGates.getOrElseUpdate(name, new TxnGate)
+    g.synchronized {
+      val me = if (st == null) null else st.id
+      val deadline = System.currentTimeMillis() + gateTimeoutMs
+      while (g.owner != null && g.owner != me) {
+        val left = deadline - System.currentTimeMillis()
+        if (left <= 0)
+          throw new IllegalStateException(
+            s"canceling statement due to lock timeout on relation " +
+              s""""$name" (another transaction holds its write lock)""")
+        g.wait(left)
+      }
+      if (st != null && g.owner == null) { g.owner = st.id; st.gates += name; () }
+    }
+  }
+  private def gateRelease(st: Store.TxnStaging): Unit = {
+    st.gates.foreach { name =>
+      txnGates.get(name).foreach { g =>
+        g.synchronized { if (g.owner == st.id) { g.owner = null; g.notifyAll() } }
+      }
+    }
+    st.gates.clear()
+  }
+  /** Table lock for VERSION-PRODUCING operations: the txn write gate first
+    * (blocks while another transaction holds uncommitted writes on the
+    * table — and claims it when WE are that transaction), then the plain
+    * per-table monitor. Gate-before-monitor ordering is load-bearing: a
+    * committing transaction holds gates and takes monitors, so a writer
+    * taking the monitor first could deadlock it. */
+  private def withWriteLock[T](name: String)(body: => T): T = {
+    gateAcquire(name)
+    withTableLock(name)(body)
+  }
+
+  /** Allocate the version number the write on THIS thread will produce.
+    * Under an active staging context this registers the table (capturing
+    * the shared base under the table lock — the repeatable-read conflict
+    * baseline) and returns the next STAGED version; [[versionDir]] then
+    * maps it to the txn-private dir. Callers hold the table lock. */
+  private def nextVersion(name: String): Int = {
+    val st = staging()
+    if (st == null) versions.getOrElse(name, 0) + 1
+    else {
+      val e = st.tables.getOrElseUpdate(name,
+        new Store.StagedTable(versions.getOrElse(name, 0)))
+      e.base + e.count + 1
+    }
+  }
+
+  /** Current version as seen on THIS thread: a table with staged writes
+    * reads its txn-private chain head; everything else the shared pointer. */
+  private def curVersion(name: String): Int = stagedEntry(name) match {
+    case Some(e) if e.count > 0 => e.base + e.count
+    case Some(e) => e.base
+    case None => versions(name)
+  }
+
+  /** Every forward version bump comes through here (rollback's pointer
+    * restore intentionally does not — undo is not a write to attribute).
+    * A STAGED publish advances only the txn's private chain head; the
+    * shared pointer, planner stats and catalog stay untouched until
+    * [[commitStaging]]. */
+  private def publishVersion(name: String, next: Int): Unit = {
+    val st = staging()
+    val e = if (st != null) st.tables.get(name).orNull else null
+    val l = writeJournal.get()
+    if (e != null) {
+      if (l != null) l += ((name, e.base + e.count, true))
+      e.count += 1
+    } else {
+      if (l != null) l += ((name, versions.getOrElse(name, 0), false))
+      versions(name) = next
+      publishSizeStats(name, next)
+    }
+  }
+
+  /** Post-publish durability + visibility of a write: one catalog snapshot
+    * and the temp-view re-registration. A STAGED write skips both —
+    * re-publishing the session view would leak uncommitted rows to every
+    * other connection; durability and visibility happen together at
+    * [[commitStaging]]. */
+  private def commitWrite(name: String): Unit =
+    if (!stagedHere(name)) { persistCatalog(); publish(name) }
 
   /** Auto-feed planner statistics from the write path: every commit
     * publishes the new snapshot's exact row count and measured bytes into
@@ -352,7 +498,19 @@ class Store(spark: SparkSession, val warehouse: String) {
     }
   }
 
-  private def versionDir(name: String, v: Int): String = s"$root/$name/v$v"
+  private def sharedVersionDir(name: String, v: Int): String = s"$root/$name/v$v"
+  /** Version-dir resolution, staged-overlay-aware: on a thread with a bound
+    * staging context, a staged table's versions ABOVE its base resolve to
+    * the txn-private dirs; everything else (other tables, versions at or
+    * below the base — time travel) resolves the shared chain. */
+  private def versionDir(name: String, v: Int): String = {
+    val st = staging()
+    if (st != null) st.tables.get(name) match {
+      case Some(e) if v > e.base => return stagedPath(st.id, name, v).toString
+      case _ =>
+    }
+    sharedVersionDir(name, v)
+  }
   private def versionPath(name: String, v: Int): HadoopPath =
     new HadoopPath(versionDir(name, v))
 
@@ -371,7 +529,11 @@ class Store(spark: SparkSession, val warehouse: String) {
   }
   private def tablePath(name: String): HadoopPath = new HadoopPath(root, name)
 
-  def exists(name: String): Boolean = versions.contains(name)
+  /** Staged-overlay-aware: a table with staged writes on this thread
+    * exists for the txn's own statements even before COMMIT publishes it
+    * (every other thread sees only the shared map). */
+  def exists(name: String): Boolean =
+    versions.contains(name) || stagedHere(name)
 
   /** Mark `batchId` as applied for `streamKey` in memory only — the marker
     * becomes durable on the NEXT catalog commit (i.e. the append it guards),
@@ -423,12 +585,12 @@ class Store(spark: SparkSession, val warehouse: String) {
     * An ALTERed table surfaces its LOGICAL schema: files are read under
     * the physical union schema (absent columns null-fill) and projected
     * through the rename/drop mapping. */
-  private def readRaw(name: String): DataFrame = evolution.get(name) match {
+  private def readRaw(name: String): DataFrame = evoGet(name) match {
     case None =>
-      val d = versionDir(name, versions(name))
+      val d = versionDir(name, curVersion(name))
       spark.read.schema(inferredSchema(d)).parquet(d)
     case Some(e) =>
-      spark.read.schema(e.physical).parquet(versionDir(name, versions(name)))
+      spark.read.schema(e.physical).parquet(versionDir(name, curVersion(name)))
         .select(e.logical.map { case (p, l) => col(s"`$p`").as(l) }.toSeq: _*)
   }
 
@@ -456,6 +618,33 @@ class Store(spark: SparkSession, val warehouse: String) {
     require(fs.exists(versionPath(name, v)), s"table $name has no version $v")
     val d = versionDir(name, v)
     spark.read.schema(inferredSchema(d)).parquet(d)
+  }
+
+  /** (table, version) behind a store-owned version-dir path, if `p` is one.
+    * Drives the transaction snapshot rebind (PgDialect.bindTxnReads): an
+    * analyzed plan's parquet relations are matched back to their table +
+    * version by path alone — CTEs, aliases, quoting, views and subqueries
+    * have all been resolved away by the analyzer at that point. */
+  private[graft] def parseVersionDir(p: HadoopPath): Option[(String, Int)] = {
+    val q = fs.makeQualified(p).toString
+    val prefix = root.toString + "/"
+    if (!q.startsWith(prefix)) None
+    else q.substring(prefix.length).split("/") match {
+      case Array(t, v) if v.matches("v\\d+") && exists(t) =>
+        Some((t, v.drop(1).toInt))
+      case _ => None
+    }
+  }
+
+  /** Snapshot read under an EXPLICIT schema — the txn rebind keeps the
+    * original relation's schema so upstream attribute references stay
+    * valid; files missing a later-added column null-fill (the same
+    * union-schema contract the evolution reader uses). */
+  private[graft] def readVersionAs(name: String, v: Int,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    require(fs.exists(versionPath(name, v)),
+      s"version $v of $name has been expired")
+    spark.read.schema(schema).parquet(versionDir(name, v))
   }
 
   /** Register and return a session view over `name` at snapshot version
@@ -572,7 +761,7 @@ class Store(spark: SparkSession, val warehouse: String) {
     * Returns (filtered frame, files scanned, files total); at 100 TB the
     * win is skipping whole files, not just row groups. */
   def readRange(name: String, key: String, lo: Any, hi: Any): (DataFrame, Int, Int) = {
-    val cur = versionPath(name, versions(name))
+    val cur = versionPath(name, curVersion(name))
     val stats = fileStats(cur, physicalName(name, key))
     val lon = normKey(lo)
     val hin = normKey(hi)
@@ -592,9 +781,9 @@ class Store(spark: SparkSession, val warehouse: String) {
 
   /** Atomic replace: write v(n+1), then flip the pointer. */
   def replace(name: String, df: DataFrame,
-      maxFileBytes: Long = 100L << 20): Unit = withTableLock(name) {
-    evolution.remove(name) // full rewrite: new files define the schema baseline
-    val next = versions.getOrElse(name, 0) + 1
+      maxFileBytes: Long = 100L << 20): Unit = withWriteLock(name) {
+    evoClear(name) // full rewrite: new files define the schema baseline
+    val next = nextVersion(name)
     df.write.mode(SaveMode.Overwrite).option("compression", "zstd")
       .parquet(versionDir(name, next))
     // Post-write cap verification, same contract as appendCompacting: the
@@ -613,8 +802,7 @@ class Store(spark: SparkSession, val warehouse: String) {
       over.foreach(f => fs.delete(f.getPath, false))
     }
     publishVersion(name, next)
-    persistCatalog()
-    publish(name)
+    commitWrite(name)
   }
 
   /** Range-partitioned, sorted-within-partition replace: every output file
@@ -623,16 +811,15 @@ class Store(spark: SparkSession, val warehouse: String) {
     * skipping (the Iceberg sort-order + manifest-stats combination). Use
     * for tables whose hot filter is a range on `key` — at 100 TB a point
     * or range query then touches O(range / file-span) files, not all. */
-  def replaceSorted(name: String, df: DataFrame, key: String, numFiles: Int): Unit = withTableLock(name) {
-    evolution.remove(name) // full rewrite: new files define the schema baseline
-    val next = versions.getOrElse(name, 0) + 1
+  def replaceSorted(name: String, df: DataFrame, key: String, numFiles: Int): Unit = withWriteLock(name) {
+    evoClear(name) // full rewrite: new files define the schema baseline
+    val next = nextVersion(name)
     df.repartitionByRange(numFiles, col(key))
       .sortWithinPartitions(key)
       .write.mode(SaveMode.Overwrite).option("compression", "zstd")
       .parquet(versionDir(name, next))
     publishVersion(name, next)
-    persistCatalog()
-    publish(name)
+    commitWrite(name)
   }
 
   /** Z-order clustered replace: rows are laid out along a Morton curve over
@@ -645,8 +832,8 @@ class Store(spark: SparkSession, val warehouse: String) {
     * z-order clustering in their rewrite procedures). Cost: one extra
     * min/max aggregate (a 2-row driver hop) + the same range shuffle a
     * sorted write pays. */
-  def replaceZOrdered(name: String, df: DataFrame, keys: Seq[String], numFiles: Int): Unit = withTableLock(name) {
-    evolution.remove(name) // full rewrite: new files define the schema baseline
+  def replaceZOrdered(name: String, df: DataFrame, keys: Seq[String], numFiles: Int): Unit = withWriteLock(name) {
+    evoClear(name) // full rewrite: new files define the schema baseline
     require(keys.size >= 2, "z-order needs at least two keys")
     val aggs = keys.flatMap(k =>
       Seq(min(col(k)).cast("double"), max(col(k)).cast("double")))
@@ -668,7 +855,7 @@ class Store(spark: SparkSession, val warehouse: String) {
         shiftleft(shiftright(s, b).bitwiseAND(lit(1L)), b * n + j)
       }
     }.reduce((a, c) => a.bitwiseOR(c))
-    val next = versions.getOrElse(name, 0) + 1
+    val next = nextVersion(name)
     df.withColumn("__zkey", zkey)
       .repartitionByRange(numFiles, col("__zkey"))
       .sortWithinPartitions("__zkey")
@@ -676,8 +863,7 @@ class Store(spark: SparkSession, val warehouse: String) {
       .write.mode(SaveMode.Overwrite).option("compression", "zstd")
       .parquet(versionDir(name, next))
     publishVersion(name, next)
-    persistCatalog()
-    publish(name)
+    commitWrite(name)
   }
 
   /** Replace with hive-style partition directories on `partitionCols` —
@@ -685,15 +871,14 @@ class Store(spark: SparkSession, val warehouse: String) {
     * (PartitionFilters in the physical plan). Cluster-scale analog of
     * Iceberg hidden partitioning; the reference leaves tables unpartitioned
     * (roadmap item), so this is a beyond-parity scale feature. */
-  def replacePartitioned(name: String, df: DataFrame, partitionCols: String*): Unit = withTableLock(name) {
-    evolution.remove(name) // full rewrite: new files define the schema baseline
-    val next = versions.getOrElse(name, 0) + 1
+  def replacePartitioned(name: String, df: DataFrame, partitionCols: String*): Unit = withWriteLock(name) {
+    evoClear(name) // full rewrite: new files define the schema baseline
+    val next = nextVersion(name)
     df.write.mode(SaveMode.Overwrite).option("compression", "zstd")
       .partitionBy(partitionCols: _*)
       .parquet(versionDir(name, next))
     publishVersion(name, next)
-    persistCatalog()
-    publish(name)
+    commitWrite(name)
   }
 
   /** Bucketed replace: pays one hash shuffle at write time to pin a fixed
@@ -703,14 +888,18 @@ class Store(spark: SparkSession, val warehouse: String) {
     * (Iceberg bucket-transform partitioning / storage-partitioned joins are
     * the cluster-side equivalent). Registers in the session catalog because
     * bucket metadata lives there, not in the files. */
-  def replaceBucketed(name: String, df: DataFrame, key: String, numBuckets: Int): Unit = withTableLock(name) {
-    evolution.remove(name) // full rewrite: new files define the schema baseline
+  def replaceBucketed(name: String, df: DataFrame, key: String, numBuckets: Int): Unit = withWriteLock(name) {
+    evoClear(name) // full rewrite: new files define the schema baseline
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
     // clear any plain temp view published for this name (e.g. by a catalog
     // reload before the bucketed registration existed): the catalog table
     // must win resolution
     spark.catalog.dropTempView(name)
-    val next = versions.getOrElse(name, 0) + 1
+    // saveAsTable registers a session-catalog table IMMEDIATELY — there is
+    // no invisible staging for catalog metadata, so refuse inside a txn
+    require(staging() == null,
+      "bucketed replace cannot run inside a transaction block")
+    val next = nextVersion(name)
     df.write.mode(SaveMode.Overwrite)
       .option("compression", "zstd")
       .option("path", versionDir(name, next))
@@ -720,7 +909,7 @@ class Store(spark: SparkSession, val warehouse: String) {
     persistCatalog()
   }
 
-  def append(name: String, df: DataFrame): Unit = withTableLock(name) {
+  def append(name: String, df: DataFrame): Unit = withWriteLock(name) {
     if (!exists(name)) replace(name, df)
     else replace(name, read(name).unionByName(df))
   }
@@ -738,13 +927,13 @@ class Store(spark: SparkSession, val warehouse: String) {
     * compacted small-file rows). The DML command tag uses this directly: a
     * before/after rowCountFast delta outside the lock would count a
     * concurrent session's insert/delete into this session's tag. */
-  def appendCompacting(name: String, df0: DataFrame, maxFileBytes: Long = 100L << 20): Long = withTableLock(name) {
+  def appendCompacting(name: String, df0: DataFrame, maxFileBytes: Long = 100L << 20): Long = withWriteLock(name) {
     if (!exists(name)) { replace(name, df0); return rowCountFast(name) }
     val df = toPhysical(name, df0) // ALTERed tables: files stay physical
-    val cur = versionPath(name, versions(name))
+    val cur = versionPath(name, curVersion(name))
     val files = dataFiles(cur)
     val (full, small) = files.partition(_.getLen >= maxFileBytes)
-    val next = versions.getOrElse(name, 0) + 1
+    val next = nextVersion(name)
     val dir = freshVersionDir(name, next)
     full.foreach(f => carryFile(f.getPath, dir))
     val tail =
@@ -786,8 +975,7 @@ class Store(spark: SparkSession, val warehouse: String) {
       writtenFiles.foreach(f => fs.delete(f.getPath, false))
     }
     publishVersion(name, next)
-    persistCatalog()
-    publish(name)
+    commitWrite(name)
     writtenRows - compactedRows
   }
 
@@ -822,7 +1010,7 @@ class Store(spark: SparkSession, val warehouse: String) {
     * null-filled (the incremental-sync reality — upstream tables grow
     * columns; the reference re-introspects and rewrites whole tables,
     * Iceberg handles it as metadata-only evolution). */
-  def appendEvolving(name: String, df: DataFrame): Unit = withTableLock(name) {
+  def appendEvolving(name: String, df: DataFrame): Unit = withWriteLock(name) {
     if (!exists(name)) replace(name, df)
     else replace(name, read(name).unionByName(df, allowMissingColumns = true))
   }
@@ -835,7 +1023,7 @@ class Store(spark: SparkSession, val warehouse: String) {
     * therefore rewrites O(touched files), not the table. Driver memory is
     * O(distinct incoming keys) — the same order as Iceberg's equality-delete
     * key set. Returns (filesRewritten, filesTotal) for observability. */
-  def upsert(name: String, incoming: DataFrame, key: String): (Int, Int) = withTableLock(name) {
+  def upsert(name: String, incoming: DataFrame, key: String): (Int, Int) = withWriteLock(name) {
     if (!exists(name)) { replace(name, incoming); return (0, 0) }
     prunedRewrite(name, toPhysical(name, incoming),
       physicalName(name, key), appendIncoming = true)
@@ -844,7 +1032,7 @@ class Store(spark: SparkSession, val warehouse: String) {
   /** Delete rows matching `keys`, rewriting only footer-overlapping files
     * (iceberg_table_writer.go:380-452). Returns (filesRewritten, filesTotal). */
   def deleteByKey(name: String, keys: DataFrame, key: String): (Int, Int) =
-    withTableLock(name) {
+    withWriteLock(name) {
       prunedRewrite(name,
         keys.select(col(key).as(physicalName(name, key))),
         physicalName(name, key), appendIncoming = false)
@@ -904,7 +1092,7 @@ class Store(spark: SparkSession, val warehouse: String) {
   }
 
   private def cowRewrite(name: String, where: Option[String])(
-      transform: (DataFrame, org.apache.spark.sql.Column) => DataFrame): (Long, Int, Int) = withTableLock(name) {
+      transform: (DataFrame, org.apache.spark.sql.Column) => DataFrame): (Long, Int, Int) = withWriteLock(name) {
     require(exists(name), s"no such store table: $name")
     val cond = where.map(expr).getOrElse(lit(true))
     // discovery: predicate-pushed scan → per-file match counts; the driver
@@ -914,7 +1102,7 @@ class Store(spark: SparkSession, val warehouse: String) {
       .collect().map(r => baseName(r.getString(0)) -> r.getLong(1)).toMap
     val matched = hits.values.sum
     if (matched == 0)
-      return (0L, 0, dataFiles(versionPath(name, versions(name))).length)
+      return (0L, 0, dataFiles(versionPath(name, curVersion(name))).length)
     val (rewrote, total) = rewriteFiles(name, hits.keySet)(transform(_, cond))
     (matched, rewrote, total)
   }
@@ -927,20 +1115,19 @@ class Store(spark: SparkSession, val warehouse: String) {
     * route here so a 1%-selectivity join-update rewrites O(touched files),
     * never the table. Returns (filesRewritten, filesTotal). */
   def rewriteFiles(name: String, hitNames: Set[String])(
-      transform: DataFrame => DataFrame): (Int, Int) = withTableLock(name) {
+      transform: DataFrame => DataFrame): (Int, Int) = withWriteLock(name) {
     require(exists(name), s"no such store table: $name")
-    val files = dataFiles(versionPath(name, versions(name)))
+    val files = dataFiles(versionPath(name, curVersion(name)))
     val (hit, carried) =
       files.map(_.getPath).partition(f => hitNames.contains(f.getName))
     if (hit.isEmpty) return (0, files.length)
-    val next = versions(name) + 1
+    val next = nextVersion(name)
     val dir = freshVersionDir(name, next)
     carried.foreach(carryFile(_, dir))
     val src = readLogicalFiles(name, hit.map(_.toString))
     writeInto(toPhysical(name, transform(src)), name, dir, s"cow-$next")
     publishVersion(name, next)
-    persistCatalog()
-    publish(name)
+    commitWrite(name)
     (hit.length, files.length)
   }
 
@@ -951,7 +1138,7 @@ class Store(spark: SparkSession, val warehouse: String) {
     * wrote. */
   def rowCountFast(name: String): Long = {
     require(exists(name), s"no such store table: $name")
-    footerRows(dataFiles(versionPath(name, versions(name))).map(_.getPath))
+    footerRows(dataFiles(versionPath(name, curVersion(name))).map(_.getPath))
   }
 
   /** Exact row count of specific parquet files from footers alone. */
@@ -979,15 +1166,34 @@ class Store(spark: SparkSession, val warehouse: String) {
   // can never resurface). Writes convert logical -> physical so every
   // data file stays homogeneous; a replace() is a full rewrite and RESETS
   // the record (the new files' schema becomes the baseline).
-  private def currentEvo(name: String): Evo = evolution.getOrElse(name, {
-    val s = inferredSchema(versionDir(name, versions(name)))
+  /** Evolution record as seen on THIS thread: a staged REPLACE clears it
+    * for the txn only (the staged files define their own baseline); the
+    * shared record survives untouched until COMMIT applies the clear. */
+  private def evoGet(name: String): Option[Evo] = {
+    val st = staging()
+    if (st != null && st.evoCleared.contains(name)) None
+    else evolution.get(name)
+  }
+  /** A full-rewrite REPLACE resets the evolution baseline; staged, the
+    * reset is itself staged (keyed by the staged version that caused it,
+    * so a savepoint rewind un-stages it with the write). */
+  private def evoClear(name: String): Unit = staging() match {
+    case null => evolution.remove(name); ()
+    case st =>
+      val e = st.tables.getOrElseUpdate(name,
+        new Store.StagedTable(versions.getOrElse(name, 0)))
+      st.evoCleared(name) = e.base + e.count + 1
+  }
+
+  private def currentEvo(name: String): Evo = evoGet(name).getOrElse {
+    val s = inferredSchema(versionDir(name, curVersion(name)))
     Evo(s, s.fields.map(f => f.name -> f.name).toSeq)
-  })
+  }
 
   /** Incoming logical-space rows -> the table's physical file schema
     * (identity for never-altered tables). */
   private def toPhysical(name: String, df: DataFrame): DataFrame =
-    evolution.get(name) match {
+    evoGet(name) match {
       case None => df
       case Some(e) =>
         df.select(e.physical.fields.map { pf =>
@@ -1002,25 +1208,25 @@ class Store(spark: SparkSession, val warehouse: String) {
   /** Physical file-column name behind a logical column (identity when the
     * table was never altered). */
   private[graft] def physicalName(name: String, logical: String): String =
-    evolution.get(name).flatMap(_.logical.find(_._2 == logical).map(_._1))
+    evoGet(name).flatMap(_.logical.find(_._2 == logical).map(_._1))
       .getOrElse(logical)
 
   /** Read specific data files of `name` under the PHYSICAL file schema
     * (missing-in-file columns of an ALTERed table null-fill). */
   private def physicalRead(name: String, paths: Seq[String]): DataFrame =
-    evolution.get(name) match {
+    evoGet(name) match {
       case Some(e) => spark.read.schema(e.physical).parquet(paths: _*)
       case None =>
         // specific files of the current version: homogeneous with the
         // version dir's (cached) schema — no per-call inference job
-        spark.read.schema(inferredSchema(versionDir(name, versions(name))))
+        spark.read.schema(inferredSchema(versionDir(name, curVersion(name))))
           .parquet(paths: _*)
     }
 
   /** Read specific data files of `name` surfacing the LOGICAL schema
     * (missing-in-file physical columns null-fill). */
   private def readLogicalFiles(name: String, paths: Seq[String]): DataFrame =
-    evolution.get(name) match {
+    evoGet(name) match {
       case None =>
         spark.read.schema(readRaw(name).schema).parquet(paths: _*)
       case Some(e) =>
@@ -1046,7 +1252,7 @@ class Store(spark: SparkSession, val warehouse: String) {
     * Returns false when IF NOT EXISTS suppressed a duplicate. */
   def addColumn(name: String, colName: String,
       field: org.apache.spark.sql.types.StructField,
-      ifNotExists: Boolean = false): Boolean = withTableLock(name) {
+      ifNotExists: Boolean = false): Boolean = withWriteLock(name) {
     assertEvolvable(name)
     val e = currentEvo(name)
     if (e.logical.exists(_._2.equalsIgnoreCase(colName))) {
@@ -1070,7 +1276,7 @@ class Store(spark: SparkSession, val warehouse: String) {
   /** ALTER TABLE … DROP COLUMN: catalog-only; old bytes stay in files but
     * parquet column pruning never reads them again. */
   def dropColumn(name: String, colName: String,
-      ifExists: Boolean = false): Boolean = withTableLock(name) {
+      ifExists: Boolean = false): Boolean = withWriteLock(name) {
     assertEvolvable(name)
     val e = currentEvo(name)
     if (!e.logical.exists(_._2.equalsIgnoreCase(colName))) {
@@ -1088,7 +1294,7 @@ class Store(spark: SparkSession, val warehouse: String) {
 
   /** ALTER TABLE … RENAME COLUMN a TO b: catalog-only (the Iceberg
     * field-id rename — files keep the physical name forever). */
-  def renameColumn(name: String, from: String, to: String): Unit = withTableLock(name) {
+  def renameColumn(name: String, from: String, to: String): Unit = withWriteLock(name) {
     assertEvolvable(name)
     val e = currentEvo(name)
     require(e.logical.exists(_._2.equalsIgnoreCase(from)),
@@ -1110,6 +1316,138 @@ class Store(spark: SparkSession, val warehouse: String) {
 
   /** Current version pointer of every table (txn write discovery). */
   def versionSnapshot: Map[String, Int] = versions.toMap
+
+  // ---- staging commit / abort ---------------------------------------------
+
+  /** Atomically publish a transaction's staged writes into the shared
+    * chain: under ALL touched tables' locks (taken in sorted order — no
+    * lock cycles), verify every staged table still sits at the base the
+    * txn staged from (the write gates make a violation impossible in this
+    * process; the check guards the invariant), rename the staged dirs into
+    * their shared `v<N>` slots, flip the pointers and evolution records,
+    * then ONE durable catalog snapshot and temp-view publish covering every
+    * table — cross-table commits are atomic at the catalog. On a posix/
+    * HDFS warehouse the renames are O(1) metadata ops whatever the staged
+    * volume; on an object-store scheme rename is copy+delete (the S3A
+    * contract ObjectStoreFs models), where the production-scale answer is
+    * an Iceberg-style manifest re-point — the catalog-flip design here is
+    * deliberately one indirection away from that. */
+  private[graft] def commitStaging(st: Store.TxnStaging): Unit = {
+    val names = st.tables.keys.toSeq.sorted
+    def locked[T](rest: Seq[String])(body: => T): T = rest match {
+      case Seq() => body
+      case h +: t => withTableLock(h)(locked(t)(body))
+    }
+    try locked(names) {
+      val conflicted = st.tables.collect {
+        case (n, e) if e.count > 0 && versions.getOrElse(n, 0) != e.base => n
+      }
+      if (conflicted.nonEmpty) {
+        abortStagedDirs(st)
+        throw new IllegalStateException(
+          "could not serialize access due to concurrent update (" +
+            conflicted.mkString(", ") + ")")
+      }
+      val touched = st.tables.toSeq.filter(_._2.count > 0)
+      touched.foreach { case (n, e) =>
+        (1 to e.count).foreach { k =>
+          val v = e.base + k
+          val src = stagedPath(st.id, n, v)
+          val dst = new HadoopPath(sharedVersionDir(n, v))
+          if (fs.exists(dst)) fs.delete(dst, true) // crash orphan in the slot
+          if (!fs.rename(src, dst))
+            throw new java.io.IOException(s"staged commit rename failed: $src -> $dst")
+          // carry the staged dir's cached schema to its committed path
+          dirSchemas.remove(src.toString)
+            .foreach(s => dirSchemas.put(dst.toString, s))
+        }
+      }
+      touched.foreach { case (n, e) => versions(n) = e.base + e.count }
+      st.evoCleared.keys.foreach(evolution.remove)
+      // clear the overlay BEFORE stats/publish: both read through the
+      // version resolution and must see the now-shared chain
+      st.tables.clear(); st.evoCleared.clear()
+      touched.foreach { case (n, e) => publishSizeStats(n, e.base + e.count) }
+      if (touched.nonEmpty) {
+        persistCatalog()
+        touched.foreach { case (n, _) => publish(n) }
+      }
+    } finally {
+      gateRelease(st)
+      activeStagings.remove(st.id)
+    }
+  }
+
+  /** Discard a transaction's staged writes: delete the staged dirs, drop
+    * the overlay, release the write gates. The shared chain was never
+    * touched, so rollback can NEVER fail on concurrent activity and never
+    * destroys another session's committed version (or a pinned one). */
+  private[graft] def abortStaging(st: Store.TxnStaging): Unit = {
+    try abortStagedDirs(st)
+    finally {
+      gateRelease(st)
+      activeStagings.remove(st.id)
+    }
+  }
+
+  private def abortStagedDirs(st: Store.TxnStaging): Unit = {
+    st.tables.foreach { case (n, e) =>
+      (1 to e.count).foreach { k =>
+        val p = stagedPath(st.id, n, e.base + k)
+        dirSchemas.remove(p.toString)
+        try fs.delete(p, true) catch { case _: Exception => () }
+      }
+      // a table whose whole existence was staged leaves no empty shell dir
+      if (e.base == 0 && !versions.contains(n))
+        try {
+          if (Option(fs.listStatus(tablePath(n))).forall(_.isEmpty))
+            fs.delete(tablePath(n), true)
+        } catch { case _: Exception => () }
+    }
+    st.tables.clear(); st.evoCleared.clear()
+  }
+
+  /** Savepoint rewind WITHIN the stage: delete staged versions above
+    * `target` (overlay numbering) and reset the chain head; a target at or
+    * below the base removes the table's staged state entirely. Never
+    * touches the shared chain, so it cannot fail on concurrent commits.
+    * The write gate stays held — PG keeps row locks across ROLLBACK TO.
+    * Returns the effective floor the table rewound to (its base when the
+    * target lay below it), None when the table holds no staged state. */
+  private[graft] def rollbackStagedTo(st: Store.TxnStaging, name: String,
+      target: Int): Option[Int] =
+    st.tables.get(name).map { e =>
+      val floor = math.max(target, e.base)
+      ((floor + 1) to (e.base + e.count)).foreach { k =>
+        val p = stagedPath(st.id, name, k)
+        dirSchemas.remove(p.toString)
+        try fs.delete(p, true) catch { case _: Exception => () }
+      }
+      // an evolution clear staged by a now-undone REPLACE must not apply
+      st.evoCleared.filterInPlace((t, v) => t != name || v <= floor)
+      if (floor <= e.base) { st.tables.remove(name); () }
+      else e.count = floor - e.base
+      floor
+    }
+
+  /** Per-table staged chain heads (overlay numbering) — the savepoint
+    * snapshot of the staged side. */
+  private[graft] def stagedMarks(st: Store.TxnStaging): Map[String, Int] =
+    if (st == null) Map.empty
+    else st.tables.iterator.map { case (n, e) => n -> (e.base + e.count) }.toMap
+
+  /** table → staged-current dir for every table with staged writes — the
+    * bindTxnReads own-writes overlay (resolved WITHOUT the thread-local:
+    * the SELECT path never binds the staging context). */
+  private[graft] def stagedReadDirs(st: Store.TxnStaging): Map[String, String] =
+    st.tables.iterator.collect { case (n, e) if e.count > 0 =>
+      n -> stagedPath(st.id, n, e.base + e.count).toString
+    }.toMap
+
+  /** Read a staged dir under an explicit schema (see [[readVersionAs]]). */
+  private[graft] def readStagedDir(dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).parquet(dir)
 
   /** Transactional undo: restore `name`'s version pointer to `v` (old
     * dirs are immutable, so undo is a catalog flip), or drop the table
@@ -1145,9 +1483,9 @@ class Store(spark: SparkSession, val warehouse: String) {
     * forces a whole-table rewrite — which also re-baselines an ALTERed
     * schema (evolution record folds into the files). Returns
     * (filesBefore, filesAfter, versionsExpired). */
-  def vacuum(name: String, full: Boolean = false): (Int, Int, Int) = withTableLock(name) {
+  def vacuum(name: String, full: Boolean = false): (Int, Int, Int) = withWriteLock(name) {
     require(exists(name), s"no such store table: $name")
-    val before = dataFiles(versionPath(name, versions(name))).length
+    val before = dataFiles(versionPath(name, curVersion(name))).length
     if (full) replace(name, read(name))
     else appendCompacting(name, read(name).limit(0))
     // crashed writers leave `.<prefix>-tmp` spool dirs (writeInto renames
@@ -1157,15 +1495,27 @@ class Store(spark: SparkSession, val warehouse: String) {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(".") &&
         s.getPath.getName.endsWith("-tmp"))
       .foreach(s => fs.delete(s.getPath, true))
+    // crashed transactions leave `.txn<id>-v<k>` staged dirs — invisible to
+    // every reader, reclaimed here unless the staging is LIVE in this
+    // process (the warehouse is single-writer-per-process by design, see
+    // persistCatalog)
+    fs.listStatus(tablePath(name)).toSeq
+      .filter { s =>
+        val n = s.getPath.getName
+        s.isDirectory && n.startsWith(".txn") &&
+          !activeStagings.contains(
+            n.stripPrefix(".txn").replaceAll("-v\\d+$", ""))
+      }
+      .foreach(s => fs.delete(s.getPath, true))
     val expired = expireVersions(name).length
-    val after = dataFiles(versionPath(name, versions(name))).length
+    val after = dataFiles(versionPath(name, curVersion(name))).length
     (before, after, expired)
   }
 
   /** TRUNCATE: an atomic replace with the empty frame — prior versions
     * stay time-travelable like any other snapshot. */
   def truncate(name: String): Unit =
-    withTableLock(name)(replace(name, read(name).limit(0)))
+    withWriteLock(name)(replace(name, read(name).limit(0)))
 
   /** MERGE INTO target USING source ON target.key = source.key — Iceberg
     * copy-on-write MERGE restricted to the equi-key shape (the reference's
@@ -1179,7 +1529,7 @@ class Store(spark: SparkSession, val warehouse: String) {
     * `sourceAlias`. Returns (updated, deleted, inserted). */
   def merge(name: String, source0: DataFrame, targetKey: String,
       sourceKey: String, clauses: Seq[Store.MergeClause],
-      targetAlias: String = "t", sourceAlias: String = "s"): (Long, Long, Long) = withTableLock(name) {
+      targetAlias: String = "t", sourceAlias: String = "s"): (Long, Long, Long) = withWriteLock(name) {
     require(exists(name), s"no such store table: $name")
     require(clauses.nonEmpty, "MERGE requires at least one WHEN clause")
     val source = source0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1188,7 +1538,7 @@ class Store(spark: SparkSession, val warehouse: String) {
         .filter(col("count") > 1).limit(1).count()
       require(dup == 0,
         "MERGE command cannot affect row a second time (duplicate source keys)")
-      val cur = versionPath(name, versions(name))
+      val cur = versionPath(name, curVersion(name))
       val files = dataFiles(cur).map(_.getPath)
       val physKey = physicalName(name, targetKey)
       val keyed = source.select(col(s"`$sourceKey`").as(physKey))
@@ -1264,7 +1614,7 @@ class Store(spark: SparkSession, val warehouse: String) {
           }.as(f.name)
         }.toSeq: _*))
       }
-      val next = versions(name) + 1
+      val next = nextVersion(name)
       val dir = freshVersionDir(name, next)
       carried.foreach(carryFile(_, dir))
       val out = (rewritten, inserts) match {
@@ -1282,8 +1632,7 @@ class Store(spark: SparkSession, val warehouse: String) {
       val nDel = metric(matchObs, rewritten.isDefined, "n_del")
       val nIns = metric(insObs, inserts.isDefined, "n_ins")
       publishVersion(name, next)
-      persistCatalog()
-      publish(name)
+      commitWrite(name)
       (nUpd, nDel, nIns)
     } finally { source.unpersist(); () }
   }
@@ -1296,10 +1645,10 @@ class Store(spark: SparkSession, val warehouse: String) {
     * behavior. */
   private def prunedRewrite(name: String, incoming: DataFrame, key: String,
       appendIncoming: Boolean): (Int, Int) = {
-    val cur = versionPath(name, versions(name))
+    val cur = versionPath(name, curVersion(name))
     val files = dataFiles(cur).map(_.getPath)
     val (hit, carried) = overlapPartition(cur, files, incoming, key)
-    val next = versions(name) + 1
+    val next = nextVersion(name)
     val dir = freshVersionDir(name, next)
     carried.foreach(carryFile(_, dir))
     val kept =
@@ -1311,8 +1660,7 @@ class Store(spark: SparkSession, val warehouse: String) {
       else kept
     out.foreach(writeInto(_, name, dir, s"rw-$next"))
     publishVersion(name, next)
-    persistCatalog()
-    publish(name)
+    commitWrite(name)
     (hit.length, files.length)
   }
 
@@ -1540,7 +1888,7 @@ class Store(spark: SparkSession, val warehouse: String) {
     // name-keyed schemas, so compact first (any replace) to re-baseline
     require(!evolution.contains(name),
       s"$name has pending column evolution; rewrite it (replace) before Iceberg publish")
-    val cur = fs.makeQualified(versionPath(name, versions(name)))
+    val cur = fs.makeQualified(versionPath(name, curVersion(name)))
     // recursive listing covers hive-partitioned layouts (key=value subdirs)
     val buf = scala.collection.mutable.ArrayBuffer[HadoopPath]()
     val it = fs.listFiles(cur, true)
@@ -1746,7 +2094,7 @@ class Store(spark: SparkSession, val warehouse: String) {
     * upserts in place (iceberg_table_writer.go:304-378); history tracking
     * is the warehouse-side extension. On Iceberg this is a single MERGE;
     * here: one anti/semi split + union, all hash joins on the key. */
-  def scd2Upsert(name: String, incoming: DataFrame, key: String, tsCol: String): Unit = withTableLock(name) {
+  def scd2Upsert(name: String, incoming: DataFrame, key: String, tsCol: String): Unit = withWriteLock(name) {
     if (!exists(name)) {
       replace(name, incoming
         .withColumn("valid_from", col(tsCol)).drop(tsCol)
@@ -1775,7 +2123,7 @@ class Store(spark: SparkSession, val warehouse: String) {
   /** Cursor-based incremental append with overlap trim: rows of `incoming`
     * at/after the stored max(cursor) are appended unless their unique key is
     * already present (the reference's OverrideRows handling). */
-  def cursorAppend(name: String, incoming: DataFrame, cursorCol: String, key: String): Unit = withTableLock(name) {
+  def cursorAppend(name: String, incoming: DataFrame, cursorCol: String, key: String): Unit = withWriteLock(name) {
     val cursor = read(name).agg(max(col(cursorCol))).collect()(0).get(0)
     val fresh = incoming.filter(col(cursorCol) >= lit(cursor))
       .join(read(name).select(key), Seq(key), "left_anti")
@@ -2349,6 +2697,36 @@ class Store(spark: SparkSession, val warehouse: String) {
 }
 
 object Store {
+  /** Transaction-private write staging (PG MVCC visibility over the store's
+    * version chain — reference contract: an open transaction's writes are
+    * invisible to every other connection until COMMIT). Writes made while a
+    * staging context is bound land in txn-suffixed dirs
+    * (`<table>/.txn<id>-v<k>`) instead of the shared `v<k>` slots; the
+    * shared version map, the durable catalog and the session temp views
+    * stay untouched, so no other connection can observe them. COMMIT swaps
+    * the staged dirs into the shared chain under the table locks and
+    * publishes once ([[Store.commitStaging]]); ROLLBACK deletes the staged
+    * dirs ([[Store.abortStaging]]) — an O(files-own) discard that can never
+    * fail on concurrent activity and never touches another session's
+    * committed versions (both were real hazards of the old
+    * publish-per-statement + restore-on-rollback model). */
+  final class TxnStaging private[graft] (private[graft] val id: String) {
+    // table -> staged chain state, in first-write order
+    private[graft] val tables =
+      scala.collection.mutable.LinkedHashMap[String, StagedTable]()
+    // per-table txn write gates this txn holds (released at commit/abort)
+    private[graft] val gates = scala.collection.mutable.LinkedHashSet[String]()
+    // table -> staged version whose REPLACE cleared the evolution record
+    // (applied to the shared record only at COMMIT, and only if that staged
+    // version survived savepoint rewinds)
+    private[graft] val evoCleared =
+      scala.collection.mutable.LinkedHashMap[String, Int]()
+    /** Tables with at least one staged (uncommitted) write. */
+    def stagedTables: Seq[String] =
+      tables.iterator.collect { case (n, e) if e.count > 0 => n }.toSeq
+  }
+  private[graft] final class StagedTable(val base: Int) { var count: Int = 0 }
+
   /** One WHEN clause of a MERGE, in the statement's textual order; the
     * expression strings are Spark SQL resolving against the
     * target/source aliases of [[Store.merge]]. */

@@ -214,12 +214,13 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
                     // JDBC metadata queries arrive through Bind
                     PgDialect.maybeRefreshCatalog(spark, store, sql.toUpperCase)
                     new Portal(
-                      PgDialect.planWithRollup(spark, store,
-                        PgDialect.translateSelectCached(
-                          PgDialect.rewriteTimeTravel(store,
-                            // repeatable-read pinning applies to the
-                            // extended protocol too — JDBC's default path
-                            PgDialect.rewritePinnedReads(store, txn, sql)))), resFmts,
+                      // repeatable-read pinning + staged own-writes apply
+                      // to the extended protocol too (JDBC's default path):
+                      // the txn snapshot rebind runs on the analyzed plan
+                      PgDialect.bindTxnReads(spark, store, txn,
+                        PgDialect.planWithRollup(spark, store,
+                          PgDialect.translateSelectCached(
+                            PgDialect.rewriteTimeTravel(store, sql)))), resFmts,
                       statements(stmt))
                   }
                   else new Portal(null, resFmts, statements(stmt), Some(sql))
@@ -692,9 +693,10 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
       txn: PgDialect.PgTxn = null): Option[Long] = stmt.trim match {
     case declareRe(name, query) =>
       PgDialect.maybeRefreshCatalog(spark, store, query.toUpperCase)
-      val df = PgDialect.planWithRollup(spark, store,
-        PgDialect.translateSelectCached(PgDialect.rewriteTimeTravel(store,
-          PgDialect.rewritePinnedReads(store, txn, query))))
+      val df = PgDialect.bindTxnReads(spark, store, txn,
+        PgDialect.planWithRollup(spark, store,
+          PgDialect.translateSelectCached(
+            PgDialect.rewriteTimeTravel(store, query))))
       cursors(unq(name)) = new Portal(df)
       commandComplete(out, "DECLARE CURSOR")
       Some(0L)
@@ -756,7 +758,14 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
               if (journaling) store.beginWriteJournal()
               var copied = -1L
               var written: Seq[(String, Int, Int)] = Nil
-              try copied = receiveCopyIn(in, out, ci)
+              // chunk appends STAGE in the txn's private version dirs —
+              // invisible to other connections until COMMIT, discarded
+              // wholesale at ROLLBACK (same contract as the DML path)
+              try copied =
+                if (journaling)
+                  store.withStaging(txn.stagingFor(store))(
+                    receiveCopyIn(in, out, ci))
+                else receiveCopyIn(in, out, ci)
               finally if (journaling) {
                 // drain in the FINALLY: a COPY that dies in a later 64MB
                 // chunk (malformed row, CopyFail) has already published

@@ -167,16 +167,21 @@ class PgDialectSpec extends SparkSpecBase {
     exec("DELETE FROM rr_t WHERE k = 99")
 
     // a WRITE-first RR txn pins before its write: the conflict baseline
-    // exists even when no read ever ran (the lost-update hole)
+    // exists even when no read ever ran (the lost-update hole). The
+    // concurrent commit lands on a table the txn has NOT written yet —
+    // a table it HAS written is gate-locked and the other writer would
+    // queue, exactly like PG sessions queueing on row locks.
+    store.replace("rr_w", Seq((1L, "x")).toDF("k", "v"))
     val txn4 = new PgDialect.PgTxn
     execT("BEGIN ISOLATION LEVEL REPEATABLE READ", txn4)
-    execT("UPDATE rr_t SET v = 'first' WHERE k = 3", txn4) // pins + writes
+    execT("UPDATE rr_w SET v = 'first' WHERE k = 1", txn4) // pins + writes rr_w
     exec("UPDATE rr_t SET v = 'other' WHERE k = 1")        // concurrent commit
     val e2 = intercept[UnsupportedQuery](
       execT("UPDATE rr_t SET v = 'second' WHERE k = 2", txn4))
     assert(e2.getMessage.contains("could not serialize access"),
       s"write-first txn must still detect conflicts: ${e2.getMessage}")
     execT("ROLLBACK", txn4)
+    exec("DROP TABLE rr_w")
 
     // SERIALIZABLE reports its own name; the multi-word JDBC SHOW form
     // (Connection.getTransactionIsolation) answers from the txn too
@@ -254,6 +259,43 @@ class PgDialectSpec extends SparkSpecBase {
     assert(!SessionSettings.get("application_name").contains("o'brien"),
       "a local set_config must revert at transaction end")
     exec("DROP TABLE rr_t")
+  }
+
+  test("repeatable read pins VIEW reads like table reads (plans inline)") {
+    import spark.implicits._
+    def execT(sql: String, t: PgDialect.PgTxn): PgResult =
+      PgDialect.execute(spark, store, sql, t)
+    def exec(sql: String): PgResult = PgDialect.execute(spark, store, sql)
+    def count(sql: String, t: PgDialect.PgTxn = null): Long =
+      (if (t == null) exec(sql) else execT(sql, t)) match {
+        case Rows(df, _) => df.collect()(0).getLong(0)
+        case other => fail(s"expected rows: $other")
+      }
+    store.replace("vrr_base", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    exec("CREATE VIEW vrr_view AS SELECT k, v FROM vrr_base WHERE k > 0")
+    val txn = new PgDialect.PgTxn
+    execT("BEGIN ISOLATION LEVEL REPEATABLE READ", txn)
+    assert(count("SELECT count(*) AS n FROM vrr_view", txn) == 2L) // pins
+    exec("INSERT INTO vrr_base VALUES (3, 'c')") // concurrent commit
+    assert(count("SELECT count(*) AS n FROM vrr_view") == 3L,
+      "read-committed view readers see the new row")
+    // the old text rewriter could not see through a view's registration-
+    // time binding — view reads inside RR were read-committed; the plan
+    // rebind pins the INLINED base relation like any direct table read
+    assert(count("SELECT count(*) AS n FROM vrr_view", txn) == 2L,
+      "a view read inside REPEATABLE READ must serve the pinned snapshot")
+    assert(count("SELECT count(*) AS n FROM vrr_base", txn) == 2L)
+    execT("COMMIT", txn)
+    // …and a view read sees the txn's OWN staged writes too (table-level
+    // first-updater-wins means the write needs a fresh, unmoved pin)
+    val txn2 = new PgDialect.PgTxn
+    execT("BEGIN ISOLATION LEVEL REPEATABLE READ", txn2)
+    execT("INSERT INTO vrr_base VALUES (4, 'd')", txn2)
+    assert(count("SELECT count(*) AS n FROM vrr_view", txn2) == 4L,
+      "a view read inside a txn must include its own staged writes")
+    execT("ROLLBACK", txn2)
+    assert(count("SELECT count(*) AS n FROM vrr_view") == 3L)
+    exec("DROP VIEW vrr_view"); exec("DROP TABLE vrr_base")
   }
 
   test("version expiry holds a live transaction's pinned snapshot (vacuum safety)") {
@@ -627,7 +669,10 @@ class PgDialectSpec extends SparkSpecBase {
     def exec(sql: String) = PgDialect.execute(spark, st, sql, txn)
     exec("BEGIN")
     exec("INSERT INTO txi_mine SELECT txi_cross(7)")
-    assert(st.read("txi_mine").count() == 3)
+    // the txn's own INSERT is STAGED: invisible to any other reader (this
+    // assertion runs outside the txn's scope, like another session would)
+    assert(st.read("txi_mine").count() == 2,
+      "uncommitted writes must be invisible outside the transaction")
     assert(st.read("txi_other").count() == 2)
     exec("ROLLBACK")
     assert(st.read("txi_mine").count() == 2, "own write must roll back")

@@ -861,6 +861,139 @@ class WireSpec extends SparkSpecBase {
     c.close()
   }
 
+  test("uncommitted writes are invisible to other connections until COMMIT") {
+    val c1 = new Client(server._2); c1.startup()
+    val c2 = new Client(server._2); c2.startup()
+    def count(c: Client, sql: String): Long = {
+      val rows = c.query(sql).filter(_._1 == 'D')
+      assert(rows.size == 1, s"expected one row from $sql")
+      dataRowValues(rows.head._2).head.toLong
+    }
+    try {
+      c1.query("CREATE TABLE txv_t (k bigint, v text)")
+      c1.query("INSERT INTO txv_t VALUES (1, 'a')")
+      c1.query("BEGIN")
+      c1.query("INSERT INTO txv_t VALUES (2, 'b')")
+      // the txn sees its own staged write…
+      assert(count(c1, "SELECT count(*) AS n FROM txv_t") == 2L,
+        "a txn must see its own uncommitted writes")
+      // …but NO other connection does — PG never permits dirty reads at
+      // any isolation level (this was the old model's structural gap:
+      // per-statement publishing leaked uncommitted rows)
+      assert(count(c2, "SELECT count(*) AS n FROM txv_t") == 1L,
+        "an open txn's INSERT must be invisible to other connections")
+      c1.query("COMMIT")
+      assert(count(c2, "SELECT count(*) AS n FROM txv_t") == 2L,
+        "COMMIT publishes atomically")
+      // ROLLBACK: the staged delete evaporates without ever being seen —
+      // and the concurrent commit below can never make it throw (staged
+      // dirs are private; nothing shared needs restoring)
+      c1.query("BEGIN")
+      c1.query("DELETE FROM txv_t WHERE k = 1")
+      assert(count(c1, "SELECT count(*) AS n FROM txv_t") == 1L)
+      assert(count(c2, "SELECT count(*) AS n FROM txv_t") == 2L,
+        "an open txn's DELETE must be invisible to other connections")
+      // a concurrent commit on ANOTHER table while the txn is open
+      c2.query("CREATE TABLE txv_u (k bigint)")
+      c2.query("INSERT INTO txv_u VALUES (1)")
+      val rb = c1.query("ROLLBACK")
+      assert(rb.exists(m => m._1 == 'C' &&
+        new String(m._2, UTF_8).startsWith("ROLLBACK")),
+        "ROLLBACK must succeed under concurrent commits, never error")
+      assert(count(c2, "SELECT count(*) AS n FROM txv_t") == 2L)
+      assert(count(c1, "SELECT count(*) AS n FROM txv_t") == 2L)
+      c1.query("DROP TABLE txv_t"); c2.query("DROP TABLE txv_u")
+    } finally { c1.close(); c2.close() }
+  }
+
+  test("a second writer queues on the txn write gate and proceeds after COMMIT") {
+    val c1 = new Client(server._2); c1.startup()
+    val c2 = new Client(server._2); c2.startup()
+    try {
+      c1.query("CREATE TABLE gate_t (k bigint, v text)")
+      c1.query("INSERT INTO gate_t VALUES (1, 'orig')")
+      c1.query("BEGIN")
+      c1.query("UPDATE gate_t SET v = 'mine' WHERE k = 1") // claims the gate
+      // a second connection's autocommit write QUEUES (PG sessions queue
+      // on row locks the same way) instead of interleaving or aborting
+      @volatile var done = false
+      @volatile var err: Throwable = null
+      val t = new Thread(() => {
+        try { c2.query("UPDATE gate_t SET v = 'late' WHERE k = 1"); done = true }
+        catch { case x: Throwable => err = x }
+      })
+      t.start()
+      Thread.sleep(700)
+      assert(!done && err == null,
+        "the second writer must block while the txn holds the gate")
+      c1.query("COMMIT")
+      t.join(30000)
+      assert(done && err == null, s"queued writer must proceed after COMMIT: $err")
+      val rows = c1.query("SELECT v FROM gate_t WHERE k = 1").filter(_._1 == 'D')
+      assert(dataRowValues(rows.head._2).head == "late",
+        "the queued write applies AFTER the committed one, PG lock order")
+      c1.query("DROP TABLE gate_t")
+    } finally { c1.close(); c2.close() }
+  }
+
+  test("exported snapshot adopted ACROSS connections pins both to one version") {
+    val leader = new Client(server._2); leader.startup()
+    val worker = new Client(server._2); worker.startup()
+    def one(c: Client, sql: String): String = {
+      val rows = c.query(sql).filter(_._1 == 'D')
+      assert(rows.size == 1, s"expected one row from $sql")
+      dataRowValues(rows.head._2).head
+    }
+    try {
+      leader.query("CREATE TABLE snapw_t (k bigint)")
+      leader.query("INSERT INTO snapw_t VALUES (1), (2), (3)")
+      // the leader opens a txn, pins, and exports its snapshot — the
+      // pg_dump -j leader/worker handshake over real sockets
+      leader.query("BEGIN ISOLATION LEVEL REPEATABLE READ")
+      assert(one(leader, "SELECT count(*) AS n FROM snapw_t") == "3")
+      val id = one(leader, "SELECT pg_export_snapshot()")
+      // a third connection commits more rows AFTER the export
+      val writer = new Client(server._2); writer.startup()
+      writer.query("INSERT INTO snapw_t VALUES (4)")
+      writer.close()
+      // the worker adopts the exported snapshot: both connections now read
+      // the SAME pinned version, whatever committed since
+      worker.query("BEGIN")
+      worker.query(s"SET TRANSACTION SNAPSHOT '$id'")
+      assert(one(worker, "SELECT count(*) AS n FROM snapw_t") == "3",
+        "the adopting connection must read the exported version")
+      assert(one(leader, "SELECT count(*) AS n FROM snapw_t") == "3",
+        "the exporting connection keeps its pin")
+      worker.query("COMMIT"); leader.query("COMMIT")
+      assert(one(leader, "SELECT count(*) AS n FROM snapw_t") == "4")
+      leader.query("DROP TABLE snapw_t")
+    } finally { leader.close(); worker.close() }
+  }
+
+  test("a writer that cannot get the gate times out with PG's lock-timeout error") {
+    val c1 = new Client(server._2); c1.startup()
+    val c2 = new Client(server._2); c2.startup()
+    val saved = store.gateTimeoutMs
+    try {
+      c1.query("CREATE TABLE gto_t (k bigint)")
+      c1.query("INSERT INTO gto_t VALUES (1)")
+      c1.query("BEGIN")
+      c1.query("UPDATE gto_t SET k = 2") // claims the gate, never commits
+      store.gateTimeoutMs = 300L
+      val msgs = c2.query("UPDATE gto_t SET k = 3")
+      val err = msgs.find(_._1 == 'E').map(m => new String(m._2, UTF_8))
+      assert(err.exists(_.contains("lock timeout")),
+        s"blocked writer must fail with the lock-timeout error, got: $err")
+      c1.query("ROLLBACK")
+      // gate released: the same write now proceeds
+      store.gateTimeoutMs = saved
+      c2.query("UPDATE gto_t SET k = 3")
+      val rows = c2.query("SELECT k FROM gto_t").filter(_._1 == 'D')
+      assert(dataRowValues(rows.head._2).head == "3")
+      c1.query("DROP TABLE gto_t")
+    } finally { store.gateTimeoutMs = saved; c1.close(); c2.close() }
+  }
+
   test("aborted txn refuses statements until ROLLBACK; disconnect rolls back") {
     import spark.implicits._
     store.replace("ab_t", Seq((1L, "a")).toDF("k", "v"))
