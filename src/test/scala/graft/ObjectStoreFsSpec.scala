@@ -103,3 +103,16 @@ class ObjectStoreFsSpec extends SparkSpecBase {
     assert(store.read("os_vac").count() == 52L, "vacuum preserves the snapshot")
   }
 }
+
+/** The ENTIRE StoreSpec lifecycle suite re-run with the warehouse on the
+  * object-store-semantics scheme: replace/append/upsert/COW/merge/matview/
+  * IVM/time-travel/txn-staging machinery over copy+delete rename, refused
+  * append and no hard links — the production write target's contract
+  * (reference: src/common/storage_utils.go:75-91), promoted from the seven
+  * targeted cases above to the full lifecycle suite. */
+class StoreObjectStoreSpec extends StoreSpec {
+  override protected def wh(dir: String): String = {
+    ObjectStoreFs.register(spark)
+    "graftobj://" + dir
+  }
+}

@@ -7,9 +7,12 @@ import org.apache.spark.sql.functions._
   * (CREATE/REFRESH/DROP/RENAME). */
 class StoreSpec extends SparkSpecBase {
 
+  /** Warehouse URI mapping — the object-store twin suite overrides this
+    * to re-run the whole lifecycle over `graftobj://` (S3A semantics). */
+  protected def wh(dir: String): String = dir
   private def freshStore(): Store = {
     val dir = java.nio.file.Files.createTempDirectory("graft-store").toString
-    new Store(spark, dir)
+    new Store(spark, wh(dir))
   }
 
   test("replace is versioned and atomic-by-pointer") {
@@ -305,14 +308,14 @@ class StoreSpec extends SparkSpecBase {
 
   test("catalog survives restart: a new Store over the same warehouse sees everything") {
     val dir = java.nio.file.Files.createTempDirectory("graft-store").toString
-    val st = new Store(spark, dir)
+    val st = new Store(spark, wh(dir))
     import spark.implicits._
     st.replace("t1", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
     st.upsert("t1", Seq((3L, "c")).toDF("k", "v"), "k")
     Tables.registerAll(spark, sfDir)
     st.createMatview("mv_persist", "SELECT count(*) AS n FROM region")
     // simulate a crash/restart: fresh Store instance, no in-memory state
-    val st2 = new Store(spark, dir)
+    val st2 = new Store(spark, wh(dir))
     assert(st2.exists("t1") && st2.read("t1").count() == 3)
     assert(st2.matviewDefinition("mv_persist")
       .contains("SELECT count(*) AS n FROM region"))
@@ -321,14 +324,14 @@ class StoreSpec extends SparkSpecBase {
     assert(spark.sql("SELECT n FROM mv_persist").head.getLong(0) == 5)
     // mutations through the new instance persist too
     st2.drop("t1")
-    val st3 = new Store(spark, dir)
+    val st3 = new Store(spark, wh(dir))
     assert(!st3.exists("t1") && st3.exists("mv_persist"))
   }
 
   test("write journal is per-thread: another session's concurrent commit " +
       "is never attributed to this thread's transaction") {
     val dir = java.nio.file.Files.createTempDirectory("graft-wj").toString
-    val st = new Store(spark, dir)
+    val st = new Store(spark, wh(dir))
     import spark.implicits._
     st.replace("wj_mine", Seq((1L, "a")).toDF("k", "v"))
     st.replace("wj_other", Seq((1L, "x")).toDF("k", "v"))
@@ -348,7 +351,7 @@ class StoreSpec extends SparkSpecBase {
   test("crash orphans never resurface: unpublished version dirs and tmp " +
       "spools are invisible, cleared on the next write, reclaimed by vacuum") {
     val dir = java.nio.file.Files.createTempDirectory("graft-crash").toString
-    val st = new Store(spark, dir)
+    val st = new Store(spark, wh(dir))
     import spark.implicits._
     st.replace("ct", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
     st.appendCompacting("ct", Seq((3L, "c")).toDF("k", "v")) // published v2
@@ -362,7 +365,7 @@ class StoreSpec extends SparkSpecBase {
       java.nio.file.Paths.get(s"$dir/ct/.compacted-9-tmp/junk.parquet"),
       Array[Byte](1, 2, 3))
     // a fresh Store trusts the catalog pointer, not the directory listing
-    val st2 = new Store(spark, dir)
+    val st2 = new Store(spark, wh(dir))
     assert(st2.read("ct").count() == 3, "ghost rows leaked into reads")
     // the next write reuses version number 3 and must CLEAR the orphan
     // rather than merge its files into the carried set
@@ -422,7 +425,7 @@ class StoreSpec extends SparkSpecBase {
   test("first pruned read writes a manifest; stale manifests rebuild") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-store").toString
-    val st = new Store(spark, dir)
+    val st = new Store(spark, wh(dir))
     for (b <- 0 until 3)
       st.append("t", (b * 100 until (b + 1) * 100).map(_.toLong).toDF("k").coalesce(1))
     val (_, s1, t1) = st.readRange("t", "k", 0L, 99L)
@@ -529,7 +532,7 @@ class StoreSpec extends SparkSpecBase {
   test("catalog commit skips past a sequence taken by another writer") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-store-race")
-    val st = new Store(spark, dir.toString)
+    val st = new Store(spark, wh(dir.toString))
     st.replace("t", Seq((1L, "a")).toDF("k", "v")) // commits _catalog.v1
     // simulate a second writer landing the next fresh name first
     java.nio.file.Files.write(dir.resolve("_catalog.v2.json"),
@@ -542,7 +545,7 @@ class StoreSpec extends SparkSpecBase {
       .map(_.getFileName.toString).toSeq
     assert(names.contains("_catalog.v2.json"), names.toString)
     assert(names.exists(_.matches("_catalog\\.v[3-9]\\.json")), names.toString)
-    val st2 = new Store(spark, dir.toString)
+    val st2 = new Store(spark, wh(dir.toString))
     assert(st2.currentVersion("t") == 2)
     assert(st2.read("t").count() == 2)
   }
