@@ -214,6 +214,73 @@ object Bench {
       if (p.waitFor() == 0) out else "unknown"
     }.getOrElse("unknown")
 
+    // ---- wire-path throughput -------------------------------------------
+    // The reference's 2.3 s baseline is `time psql < queries.sql`: it
+    // includes wire text-encode + client drain, which the in-process query
+    // timings above do not. Measure that funnel directly: COPY the fat
+    // table TO STDOUT through a REAL socket (the pg_dump data path — one
+    // CopyData message per row through the text encoder) and drain it
+    // client-side, against an in-process toLocalIterator drain of the same
+    // rows as the no-encode/no-socket control.
+    val wireBlock = scala.util.Try {
+      Tables.registerAll(spark, sfDir)
+      val store = new Store(spark,
+        java.nio.file.Files.createTempDirectory("graft-bench-wh").toString)
+      val server = new PgWireServer(spark, store, 0)
+      val port = server.start()
+      val copySql = "COPY (SELECT * FROM lineitem) TO STDOUT"
+      def drain(): (Long, Long, Double) = {
+        val sock = new java.net.Socket("127.0.0.1", port)
+        sock.setTcpNoDelay(true)
+        val in = new java.io.DataInputStream(
+          new java.io.BufferedInputStream(sock.getInputStream, 1 << 20))
+        val out = new java.io.DataOutputStream(sock.getOutputStream)
+        val params = "user\u0000graft\u0000database\u0000graft\u0000\u0000"
+          .getBytes("UTF-8")
+        out.writeInt(8 + params.length); out.writeInt(196608)
+        out.write(params); out.flush()
+        var ready = false
+        while (!ready) { // drain startup until ReadyForQuery
+          val t = in.read().toChar; val n = in.readInt()
+          in.skipNBytes(n - 4); if (t == 'Z') ready = true
+        }
+        val q = copySql.getBytes("UTF-8")
+        val t0 = System.nanoTime()
+        out.writeByte('Q'); out.writeInt(4 + q.length + 1)
+        out.write(q); out.writeByte(0); out.flush()
+        var rows = 0L; var bytes = 0L; var done = false
+        while (!done) {
+          val t = in.read().toChar; val n = in.readInt()
+          if (t == 'd') { rows += 1; bytes += n - 4 }
+          in.skipNBytes(n - 4)
+          if (t == 'Z') done = true
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        sock.close()
+        (rows, bytes, sec)
+      }
+      drain() // untimed warmup (encoder JIT, scan cache)
+      val best = (1 to 3).map(_ => drain()).minBy(_._3)
+      // control: same rows to the driver, no text encode, no socket
+      val df = spark.sql("SELECT * FROM lineitem")
+      def rawDrain(): Double = {
+        val t0 = System.nanoTime()
+        val it = df.toLocalIterator()
+        while (it.hasNext) it.next()
+        (System.nanoTime() - t0) / 1e9
+      }
+      rawDrain()
+      val raw = (1 to 3).map(_ => rawDrain()).min
+      val (rows, bytes, sec) = best
+      f""""wire":{"copy":"$copySql","rows":$rows,"bytes":$bytes,""" +
+        f""""sec":$sec%.3f,"rows_per_sec":${rows / sec}%.0f,""" +
+        f""""mb_per_sec":${bytes / sec / 1e6}%.1f,""" +
+        f""""raw_drain_sec":$raw%.3f,"vs_raw":${sec / raw}%.2f},"""
+    }.recover { case e =>
+      System.err.println(s"[bench] wire block failed: ${e.getMessage}")
+      ""
+    }.get
+
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // wall_min / sequential_min: the quiet-machine estimate. Host CPU bursts
@@ -229,6 +296,7 @@ object Bench {
       (if (buildErrors.isEmpty) ""
        else s""""build_errors":${buildErrors.map { case (n, e) => "\"" + n + "\":\"" + e + "\"" }.mkString("{", ",", "}")},""") +
       s""""shuffle_partitions":$parts,"aqe":$aqe,""" +
+      wireBlock +
       s""""ab":{"control_wall":${median(ctrlTotals)},""" +
       s""""control_samples":${arr(ctrlTotals)},""" +
       s""""control_queries":${ctrlPerQ.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},""" +
