@@ -166,13 +166,27 @@ class PgCdc(spark: SparkSession, conn: PgConnInfo, store: Store,
     * APPLY speed and upstream WAL never accumulates behind a poll
     * cadence. Returns (upserts, deletes); stops once the stream idles
     * with nothing new for `idleMillis`. */
-  def streamDrain(keys: Map[String, String], idleMillis: Int = 500): (Long, Long) = {
+  def streamDrain(keys: Map[String, String], idleMillis: Int = 500): (Long, Long) =
+    streamCore(keys, idleMillis, stopOnIdle = true, stop = () => false)
+
+  /** CONTINUOUS streaming mirror: one replication connection held open,
+    * applying pushed batches until `stop()` flips — the long-running
+    * Syncer transport ([[Syncer.cdcMirror]]). Idle periods just wait for
+    * the next push (and keep feedback flowing so the walsender never
+    * times the standby out); the drain variant above instead returns on
+    * the first idle window. */
+  def streamMirror(keys: Map[String, String], stop: () => Boolean,
+      idleMillis: Int = 500): (Long, Long) =
+    streamCore(keys, idleMillis, stopOnIdle = false, stop)
+
+  private def streamCore(keys: Map[String, String], idleMillis: Int,
+      stopOnIdle: Boolean, stop: () => Boolean): (Long, Long) = {
     val rep = new PgReplicationClient(conn, slot)
     try {
       rep.start() // "0/0": the server clamps to the slot's confirmed_flush
       var (u, d) = (0L, 0L)
       var go = true
-      while (go) {
+      while (go && !stop()) {
         val lines = rep.poll(idleMillis)
         val changes = lines.flatMap(PgCdc.parseChanges)
         if (changes.nonEmpty) {
@@ -183,13 +197,40 @@ class PgCdc(spark: SparkSession, conn: PgConnInfo, store: Store,
             val (au, ad) = apply(table, keys(table), group)
             u += au; d += ad
           }
-        } else if (lines.isEmpty) go = false
+        } else if (lines.isEmpty && stopOnIdle) go = false
         // acknowledge everything received ONLY after it is applied
         // (marker-only batches — BEGIN/COMMIT — acknowledge immediately)
         rep.sendStandbyStatus(rep.walEnd)
       }
       (u, d)
     } finally rep.close()
+  }
+
+  /** The continuous mirror loop, transport-negotiated: STREAMING
+    * replication by default — standby feedback advances the slot at APPLY
+    * speed, so a mirror that runs for months never lets upstream WAL
+    * accumulate behind a poll cadence — degrading to bounded SQL polling
+    * of the same slot when the server refuses replication connections
+    * (pg_hba without a `replication` line, missing REPLICATION privilege).
+    * The fallback decision is made at stream OPEN; a mid-stream failure
+    * propagates (the operator should see a dying transport, not a silent
+    * downgrade). Both transports apply through the same keyed idempotent
+    * store ops, so switching transports can never double-apply. */
+  def mirror(keys: Map[String, String], stop: () => Boolean,
+      idleMillis: Int = 500): (Long, Long) = {
+    val streamable =
+      try { new PgReplicationClient(conn, slot).probe(); true }
+      catch { case _: Exception => false }
+    if (streamable) streamMirror(keys, stop, idleMillis)
+    else {
+      var (u, d) = (0L, 0L)
+      while (!stop()) {
+        val (a, b) = drainAll(keys)
+        u += a; d += b
+        if (a + b == 0) Thread.sleep(idleMillis.toLong)
+      }
+      (u, d)
+    }
   }
 
   /** Drain the slot completely (poll until a batch comes back empty). */

@@ -45,6 +45,26 @@ class PgReplicationClient(conn: PgConnInfo, slot: String)
 
   def lsnText(l: Long): String = f"${l >>> 32}%X/${l & 0xffffffffL}%X"
 
+  /** Cheap transport probe: the walsender connection is already
+    * authenticated by construction (a pg_hba without a replication entry
+    * fails right there); IDENTIFY_SYSTEM round-trips it to prove the
+    * walsender command surface answers. [[PgCdc.mirror]] uses this to pick
+    * streaming vs SQL-polling BEFORE committing to a transport. Closes the
+    * connection — a probe is not a stream. */
+  def probe(): Unit =
+    try {
+      client.sendMsg('Q')(b => {
+        b.write("IDENTIFY_SYSTEM".getBytes("UTF-8")); b.write(0)
+      })
+      var done = false
+      while (!done) {
+        val t = client.readType()
+        val body = client.readBody()
+        if (t == 'E') throw PgWireClient.errorFrom(body)
+        if (t == 'Z') done = true
+      }
+    } finally close()
+
   /** Enter CopyBoth streaming from `startLsn` ("0/0" = the slot's own
     * confirmed_flush position — the server clamps forward, so a restart
     * never re-reads acknowledged WAL). */

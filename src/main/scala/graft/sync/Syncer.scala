@@ -270,6 +270,27 @@ class Syncer(store: Store, source: SyncSource,
     ts
   }
 
+  /** Continuous CDC mirror (the live-Postgres shape, superseding cursor
+    * polling for sources that can decode WAL): create the slot FIRST, then
+    * snapshot-load any table the store does not hold yet (the slot-first
+    * order means the snapshot edge is covered; the keyed apply absorbs the
+    * overlap), then keep applying decoded changes until `stop()` flips.
+    * Transport is negotiated by [[PgCdc.mirror]]: STREAMING replication by
+    * default — standby feedback advances `restart_lsn` at apply speed, so
+    * however long the mirror runs (and however slow the consumer), the
+    * upstream's retained-WAL footprint stays bounded by the in-flight
+    * batch, not by a poll cadence — with SQL slot polling as the fallback
+    * when the server refuses replication connections. Returns the applied
+    * (upserts, deletes) totals. */
+  def cdcMirror(cdc: PgCdc, wireSource: PgWireSource,
+      keys: Map[String, String], stop: () => Boolean,
+      idleMillis: Int = 500): (Long, Long) = {
+    cdc.createSlot()
+    keys.keys.toSeq.sorted.filterNot(store.exists)
+      .foreach(t => cdc.initialSync(wireSource, t))
+    cdc.mirror(keys, stop, idleMillis)
+  }
+
   /** Cursor-based append (the Amplitude shape): new rows at/after the stored
     * max(cursor), overlap deduplicated by unique key. First sync of a table
     * degenerates to full refresh. */

@@ -413,6 +413,73 @@ class LivePgSpec extends SparkSpecBase {
     } finally cdc.dropSlot()
   }
 
+  test("continuous streaming mirror (Syncer transport): WAL footprint stays bounded under churn") {
+    assume(pg.isDefined, "no live Postgres in this environment")
+    withClient { c =>
+      c.query("DROP TABLE IF EXISTS t_mirror")
+      c.query("CREATE TABLE t_mirror (k bigint PRIMARY KEY, v text)")
+      c.query("INSERT INTO t_mirror SELECT g, 'v' || g FROM generate_series(1, 50) g")
+    }
+    val store = new Store(spark,
+      java.nio.file.Files.createTempDirectory("graft-cdc-mirror").toString)
+    val cdc = new PgCdc(spark, pg.get, store, slot = "graft_cdc_mirror")
+    def lsn(sql: String): Long = withClient { c =>
+      val v = c.query(sql).rows.head.head
+      val Array(hi, lo) = v.split("/")
+      (java.lang.Long.parseLong(hi, 16) << 32) | java.lang.Long.parseLong(lo, 16)
+    }
+    def slotFlush(): Long = lsn("SELECT confirmed_flush_lsn::text FROM " +
+      "pg_replication_slots WHERE slot_name = 'graft_cdc_mirror'")
+    try {
+      val src = source("t_mirror")
+      val syncer = new Syncer(store, src)
+      @volatile var stop = false
+      @volatile var totals: (Long, Long) = null
+      @volatile var err: Throwable = null
+      // the long-running Syncer transport on its own thread: slot +
+      // snapshot + continuous STREAMING apply (this server's pg_hba allows
+      // replication, so PgCdc.mirror negotiates the streaming path)
+      val t = new Thread(() => {
+        try totals = syncer.cdcMirror(cdc, src,
+          Map("t_mirror" -> "k"), () => stop, idleMillis = 200)
+        catch { case x: Throwable => err = x }
+      })
+      t.start()
+      var i = 0
+      while (!store.exists("t_mirror") && err == null && i < 200) {
+        Thread.sleep(100); i += 1
+      }
+      assert(err == null, s"mirror died during snapshot: $err")
+      assert(store.exists("t_mirror"), "mirror never completed its snapshot load")
+      // churn: after EVERY committed batch, the slot's confirmed_flush
+      // must catch the WAL head captured at commit time — i.e. upstream
+      // retained WAL is bounded by the in-flight batch, whatever the
+      // churn volume, because standby feedback flows at apply speed
+      (1 to 4).foreach { b =>
+        withClient(_.query("INSERT INTO t_mirror SELECT g, 'c' || g FROM " +
+          s"generate_series(${b * 1000 + 1}, ${b * 1000 + 300}) g"))
+        val head = lsn("SELECT pg_current_wal_lsn()::text")
+        var j = 0
+        while (slotFlush() < head && err == null && j < 100) {
+          Thread.sleep(150); j += 1
+        }
+        assert(err == null, s"mirror died mid-churn: $err")
+        assert(slotFlush() >= head,
+          s"batch $b: confirmed_flush ${slotFlush()} never caught the " +
+            s"commit-time WAL head $head — the slot is retaining WAL")
+      }
+      stop = true
+      t.join(30000)
+      assert(!t.isAlive, "mirror thread must stop when asked")
+      assert(err == null, s"mirror failed: $err")
+      assert(totals != null && totals._1 >= 1200L,
+        s"expected the 4x300 churned rows applied, got $totals")
+      val upstream = withClient(_.query("SELECT count(*) FROM t_mirror").scalar).toLong
+      assert(store.read("t_mirror").count() == upstream,
+        "mirror must converge to the upstream row count")
+    } finally cdc.dropSlot()
+  }
+
   test("CDC multi-table: unmirrored changes raise BEFORE consumption; peek loses nothing") {
     assume(pg.isDefined, "no live Postgres in this environment")
     withClient { c =>
