@@ -61,6 +61,17 @@ class Store(spark: SparkSession, val warehouse: String) {
 
   private val versions = TrieMap[String, Int]()
 
+  // ---- version-dir aliases (declared before the catalog-reload
+  // initializer below, which restores it) ----------------------------------
+  // (table, version) -> actual dir NAME when it differs from `v<N>`. On a
+  // scheme without atomic rename (object stores: rename = copy + delete),
+  // commitStaging records the staged dir as the committed version's alias
+  // instead of copying its data — COMMIT stays a pure metadata operation
+  // on EVERY warehouse, the Iceberg manifest-re-point shape expressed in
+  // this store's catalog. Persisted in the catalog snapshot, atomically
+  // with the version pointers it supports.
+  private val dirAliases = TrieMap[(String, Int), String]()
+
   /** Per-THREAD write journal: (table, version-before, staged?) recorded at
     * each version publish on this thread. The transaction layer attributes
     * a statement's writes from here — diffing the global version map around
@@ -399,6 +410,9 @@ class Store(spark: SparkSession, val warehouse: String) {
     streamBatchIds.toSeq.sortBy(_._1).foreach { case (k, v) => sb.put(k, v) }
     val cm = rootNode.putObject("comments")
     comments.toSeq.sortBy(_._1).foreach { case (k, v) => cm.put(k, v) }
+    val da = rootNode.putObject("dirAliases")
+    dirAliases.toSeq.sortBy(x => (x._1._1, x._1._2)).foreach { case ((t, v), d) =>
+      da.put(s"$t/$v", d) }
     val ev = rootNode.putObject("evo")
     evolution.toSeq.sortBy(_._1).foreach { case (t, e) =>
       val o = ev.putObject(t)
@@ -472,6 +486,10 @@ class Store(spark: SparkSession, val warehouse: String) {
       })
       Option(rootNode.get("streamBatches")).foreach(_.fields.asScala.foreach(e =>
         streamBatchIds(e.getKey) = e.getValue.asLong))
+      Option(rootNode.get("dirAliases")).foreach(_.fields.asScala.foreach { e =>
+        val Array(t, v) = e.getKey.split("/", 2)
+        dirAliases((t, v.toInt)) = e.getValue.asText
+      })
       Option(rootNode.get("evo")).foreach(_.fields.asScala.foreach { e =>
         val o = e.getValue
         evolution(e.getKey) = Evo(
@@ -498,7 +516,11 @@ class Store(spark: SparkSession, val warehouse: String) {
     }
   }
 
-  private def sharedVersionDir(name: String, v: Int): String = s"$root/$name/v$v"
+  private def sharedVersionDir(name: String, v: Int): String =
+    dirAliases.get((name, v)) match {
+      case Some(d) => s"$root/$name/$d"
+      case None => s"$root/$name/v$v"
+    }
   /** Version-dir resolution, staged-overlay-aware: on a thread with a bound
     * staging context, a staged table's versions ABOVE its base resolve to
     * the txn-private dirs; everything else (other tables, versions at or
@@ -1353,13 +1375,23 @@ class Store(spark: SparkSession, val warehouse: String) {
         (1 to e.count).foreach { k =>
           val v = e.base + k
           val src = stagedPath(st.id, n, v)
-          val dst = new HadoopPath(sharedVersionDir(n, v))
-          if (fs.exists(dst)) fs.delete(dst, true) // crash orphan in the slot
-          if (!fs.rename(src, dst))
-            throw new java.io.IOException(s"staged commit rename failed: $src -> $dst")
-          // carry the staged dir's cached schema to its committed path
-          dirSchemas.remove(src.toString)
-            .foreach(s => dirSchemas.put(dst.toString, s))
+          if (isLocalFs) {
+            // posix/HDFS: an O(1) atomic rename into the `v<N>` slot
+            val dst = new HadoopPath(sharedVersionDir(n, v))
+            if (fs.exists(dst)) fs.delete(dst, true) // crash orphan in the slot
+            if (!fs.rename(src, dst))
+              throw new java.io.IOException(s"staged commit rename failed: $src -> $dst")
+            // carry the staged dir's cached schema to its committed path
+            dirSchemas.remove(src.toString)
+              .foreach(s => dirSchemas.put(dst.toString, s))
+          } else {
+            // object store: rename would COPY every data byte — record the
+            // staged dir as the committed version's alias instead. COMMIT
+            // stays metadata-only at any staged volume; the alias persists
+            // with the catalog snapshot below (the Iceberg manifest
+            // re-point shape).
+            dirAliases((n, v)) = stagedDirName(st.id, v)
+          }
         }
       }
       touched.foreach { case (n, e) => versions(n) = e.base + e.count }
@@ -1470,8 +1502,10 @@ class Store(spark: SparkSession, val warehouse: String) {
         // the undone dirs must not linger: the next write recomputes
         // v+1 and would land files beside the rolled-back ones (same
         // raced-reader hazard class as expireVersions)
-        ((v + 1) to expectedCurrent).foreach(i =>
-          fs.delete(versionPath(name, i), true))
+        ((v + 1) to expectedCurrent).foreach { i =>
+          fs.delete(versionPath(name, i), true)
+          dirAliases.remove((name, i))
+        }
         persistCatalog()
         publish(name)
       }
@@ -1499,14 +1533,18 @@ class Store(spark: SparkSession, val warehouse: String) {
     // every reader, reclaimed here unless the staging is LIVE in this
     // process (the warehouse is single-writer-per-process by design, see
     // persistCatalog)
-    fs.listStatus(tablePath(name)).toSeq
-      .filter { s =>
-        val n = s.getPath.getName
-        s.isDirectory && n.startsWith(".txn") &&
-          !activeStagings.contains(
-            n.stripPrefix(".txn").replaceAll("-v\\d+$", ""))
-      }
-      .foreach(s => fs.delete(s.getPath, true))
+    locally {
+      val aliased =
+        dirAliases.iterator.collect { case ((t, _), d) if t == name => d }.toSet
+      fs.listStatus(tablePath(name)).toSeq
+        .filter { s =>
+          val n = s.getPath.getName
+          s.isDirectory && n.startsWith(".txn") && !aliased.contains(n) &&
+            !activeStagings.contains(
+              n.stripPrefix(".txn").replaceAll("-v\\d+$", ""))
+        }
+        .foreach(s => fs.delete(s.getPath, true))
+    }
     val expired = expireVersions(name).length
     val after = dataFiles(versionPath(name, curVersion(name))).length
     (before, after, expired)
@@ -1796,9 +1834,11 @@ class Store(spark: SparkSession, val warehouse: String) {
     * expired version numbers. */
   def expireVersions(name: String, keep: Int = 2): Seq[Int] = {
     require(exists(name), s"unknown table $name")
-    val all = fs.listStatus(tablePath(name)).toSeq
+    val all = (fs.listStatus(tablePath(name)).toSeq
       .map(_.getPath.getName)
-      .filter(_.matches("v\\d+")).map(_.drop(1).toInt).sorted
+      .filter(_.matches("v\\d+")).map(_.drop(1).toInt) ++
+      dirAliases.keysIterator.collect { case (t, v) if t == name => v })
+      .distinct.sorted
     // above-pointer dirs are crash orphans (never published — a writer
     // died before its catalog commit); below-pointer beyond `keep` are
     // expired time-travel snapshots. Versions PINNED by an open
@@ -1807,7 +1847,10 @@ class Store(spark: SparkSession, val warehouse: String) {
     val held = PgDialect.pinnedVersionsOf(name)
     val doomed = (all.filter(_ <= versions(name)).dropRight(math.max(keep, 1)) ++
       all.filter(_ > versions(name))).filterNot(held.contains)
-    doomed.foreach(v => fs.delete(versionPath(name, v), true))
+    doomed.foreach { v =>
+      fs.delete(versionPath(name, v), true)
+      dirAliases.remove((name, v)) // durable on the next catalog commit
+    }
     // keep the Iceberg metadata tree consistent: snapshots over expired
     // version dirs reference deleted data files, so expire them too
     // (snapshot id == store version)
@@ -2223,6 +2266,9 @@ class Store(spark: SparkSession, val warehouse: String) {
     versions.get(from).foreach { v =>
       fs.rename(tablePath(from), tablePath(to))
       invalidateSchemas(from)
+      dirAliases.keysIterator.filter(_._1 == from).toSeq.foreach { k =>
+        dirAliases((to, k._2)) = dirAliases(k); dirAliases.remove(k)
+      }
       versions(to) = v
       versions.remove(from)
       spark.catalog.dropTempView(from)
@@ -2330,6 +2376,8 @@ class Store(spark: SparkSession, val warehouse: String) {
     // view back — a dropped shadow must not leave a hole where readers of
     // the base relation (other sessions, concurrent suites) expect it
     Tables.restoreView(spark, name)
+    dirAliases.keysIterator.filter(_._1 == name).toSeq
+      .foreach(dirAliases.remove)
     fs.delete(tablePath(name), true)
     persistCatalog()
   }

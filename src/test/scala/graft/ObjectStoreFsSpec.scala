@@ -102,6 +102,43 @@ class ObjectStoreFsSpec extends SparkSpecBase {
     val (_, _, _) = store.vacuum("os_vac", full = true)
     assert(store.read("os_vac").count() == 52L, "vacuum preserves the snapshot")
   }
+
+  test("staged COMMIT is metadata-only on the object-store scheme (alias, no data copy)") {
+    import spark.implicits._
+    store.replace("os_txn", Seq((1L, "a")).toDF("k", "v"))
+    val txn = new PgDialect.PgTxn
+    def exec(sql: String) = PgDialect.execute(spark, store, sql, txn)
+    exec("BEGIN")
+    exec("INSERT INTO os_txn VALUES (2, 'b')")
+    assert(store.read("os_txn").count() == 1,
+      "staged writes stay invisible on this scheme too")
+    ObjectStoreFs.renames.set(0L)
+    exec("COMMIT")
+    // rename = copy+delete here, so a data-moving commit would copy every
+    // staged byte; the alias commit renames ONLY the catalog json (1)
+    assert(ObjectStoreFs.renames.get <= 1,
+      s"COMMIT must not copy staged data dirs: ${ObjectStoreFs.renames.get} renames")
+    assert(store.read("os_txn").count() == 2)
+    // structurally: the committed version still LIVES in its staged dir
+    // (an alias), no v2 dir was materialized
+    val fs = new HadoopPath(store.warehouse).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val names = fs.listStatus(new HadoopPath(store.warehouse + "/os_txn"))
+      .map(_.getPath.getName).toSeq
+    assert(names.exists(n => n.startsWith(".txn") && n.endsWith("-v2")),
+      s"expected the aliased staged dir to remain: $names")
+    assert(!names.contains("v2"), s"no copied v2 dir may exist: $names")
+    // a FRESH mount resolves the alias from the persisted catalog
+    val st2 = new Store(spark, store.warehouse)
+    assert(st2.read("os_txn").count() == 2)
+    assert(st2.readVersion("os_txn", st2.currentVersion("os_txn")).count() == 2,
+      "time travel to the aliased version must resolve")
+    // vacuum's staged-orphan sweep must NOT reclaim the aliased dir, and
+    // post-vacuum reads stay whole
+    store.vacuum("os_txn")
+    assert(store.read("os_txn").count() == 2,
+      "vacuum must not reclaim an aliased committed version")
+  }
 }
 
 /** The ENTIRE StoreSpec lifecycle suite re-run with the warehouse on the
