@@ -341,12 +341,28 @@ object PgDialect {
     * Describe). Shared by the simple-protocol execute and the extended
     * protocol's Bind/Describe. */
   def planWithRollup(spark: SparkSession, store: Store, translated: String,
-      allowAutoRefresh: Boolean = true): DataFrame =
+      allowAutoRefresh: Boolean = true, txn: PgTxn = null): DataFrame = {
+    // Inside a snapshot-pinned or write-staging txn the rewrite must NOT
+    // fire: it would swap the base-table aggregate for a matview scan
+    // whose freshness was judged against the SHARED chain — bypassing the
+    // plan rebind, it could serve state that misses the txn's own staged
+    // writes or predates/postdates the pin. The base relation itself
+    // rebinds correctly, so the un-rewritten plan is always right there.
+    if (txnSnapshotBound(store, txn)) return cachedPlan(spark, translated)
     cachedPlan(spark, RollupRewrite(store, translated,
       autoRefresh = allowAutoRefresh &&
         SessionSettings.get("graft.rollup_auto_refresh").contains("on"),
       columnsOf = relationColumns(spark))
       .getOrElse(translated))
+  }
+
+  /** Does `txn` read through a private snapshot (RR pin or staged
+    * writes)? Establishes the RR pin as a side effect — any statement
+    * pins, PG's rule. */
+  private def txnSnapshotBound(store: Store, txn: PgTxn): Boolean =
+    txn != null && txn.inTxn &&
+      (txn.readSnapshot(store).exists(_.nonEmpty) ||
+        txn.stagedReadDirs(store).nonEmpty)
 
   /** Column names of a session-resolvable relation (empty when absent) —
     * the rollup rewriter's qualified-reference validator. */
@@ -1006,7 +1022,7 @@ object PgDialect {
       // cache: staged own-writes + repeatable-read pins (incl. through
       // views) resolve here
       return Rows(retagJson(bindTxnReads(spark, store, txn,
-        planWithRollup(spark, store, translated))), "SELECT")
+        planWithRollup(spark, store, translated, txn = txn))), "SELECT")
     }
     // EXPLAIN [ANALYZE|VERBOSE|(opts)] SELECT … -> Spark's formatted plan as
     // PG-style "QUERY PLAN" text rows (the reference delegates to DuckDB's
@@ -1023,7 +1039,8 @@ object PgDialect {
         val explainSql = applyPermissions(
           translateSelect(rewriteTimeTravel(store, inner.trim)), perms)
         val df = bindTxnReads(spark, store, txn,
-          spark.sql(RollupRewrite(store, explainSql,
+          if (txnSnapshotBound(store, txn)) spark.sql(explainSql)
+          else spark.sql(RollupRewrite(store, explainSql,
             columnsOf = relationColumns(spark)).getOrElse(explainSql)))
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))

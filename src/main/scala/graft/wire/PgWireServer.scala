@@ -220,7 +220,8 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
                       PgDialect.bindTxnReads(spark, store, txn,
                         PgDialect.planWithRollup(spark, store,
                           PgDialect.translateSelectCached(
-                            PgDialect.rewriteTimeTravel(store, sql)))), resFmts,
+                            PgDialect.rewriteTimeTravel(store, sql)),
+                          txn = txn)), resFmts,
                       statements(stmt))
                   }
                   else new Portal(null, resFmts, statements(stmt), Some(sql))
@@ -696,7 +697,7 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
       val df = PgDialect.bindTxnReads(spark, store, txn,
         PgDialect.planWithRollup(spark, store,
           PgDialect.translateSelectCached(
-            PgDialect.rewriteTimeTravel(store, query))))
+            PgDialect.rewriteTimeTravel(store, query)), txn = txn))
       cursors(unq(name)) = new Portal(df)
       commandComplete(out, "DECLARE CURSOR")
       Some(0L)

@@ -1551,6 +1551,45 @@ class PgDialectSpec extends SparkSpecBase {
     }
   }
 
+  test("rollup rewrite yields to a txn snapshot: staged writes and pins never read stale views") {
+    import spark.implicits._
+    Tables.registerAll(spark, sfDir)
+    def execT(sql: String, t: PgDialect.PgTxn): PgResult =
+      PgDialect.execute(spark, store, sql, t)
+    def sumOf(t: PgDialect.PgTxn): Long =
+      execT("SELECT g, sum(x) AS s FROM rb_base GROUP BY g ORDER BY g", t) match {
+        case Rows(df, _) => df.collect().map(_.getLong(1)).sum
+        case other => fail(s"$other")
+      }
+    store.replace("rb_base", Seq(("a", 10L), ("b", 5L)).toDF("g", "x"))
+    store.createIncrementalMatview("rb_view", "rb_base", Seq("g"), Seq("x"))
+    // outside a txn the FRESH view answers the aggregate (the rewrite)
+    val r0 = RollupRewrite.rewrites.get
+    PgDialect.execute(spark, store,
+      "SELECT g, sum(x) AS s FROM rb_base GROUP BY g")
+    assert(RollupRewrite.rewrites.get == r0 + 1, "baseline: the rewrite fires")
+    // inside a txn with STAGED writes on the base, the shared-chain view
+    // still looks fresh — the rewrite must yield, or the txn's own writes
+    // vanish from its own aggregate
+    val txn = new PgDialect.PgTxn
+    execT("BEGIN", txn)
+    execT("INSERT INTO rb_base VALUES ('a', 100)", txn)
+    assert(sumOf(txn) == 115L,
+      "the txn's aggregate must include its own staged rows")
+    execT("ROLLBACK", txn)
+    // and under REPEATABLE READ, a post-pin refresh must not leak newer
+    // (or older) view state into the pinned aggregate
+    val txn2 = new PgDialect.PgTxn
+    execT("BEGIN ISOLATION LEVEL REPEATABLE READ", txn2)
+    assert(sumOf(txn2) == 15L) // pins
+    PgDialect.execute(spark, store, "INSERT INTO rb_base VALUES ('b', 1000)")
+    store.incrementalRefresh("rb_view") // view now reflects the post-pin commit
+    assert(sumOf(txn2) == 15L,
+      "a pinned aggregate must not be answered by a post-pin view refresh")
+    execT("COMMIT", txn2)
+    store.drop("rb_view"); store.drop("rb_base")
+  }
+
   test("rollup auto-refresh brings a stale view current, then answers from it") {
     import spark.implicits._
     Tables.registerAll(spark, sfDir)
