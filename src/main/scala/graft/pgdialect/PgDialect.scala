@@ -977,7 +977,12 @@ object PgDialect {
             // publish anyway)
             throw UnsupportedQuery(s""""$t" is not a table""")
           if (store.exists(t)) {
-            store.drop(t)
+            // bind the txn's staging scope so DROP of a table THIS txn has
+            // staged writes on passes its own gate (and discards the
+            // staged state with the table); a foreign txn's gate queues
+            if (txn != null && txn.inTxn)
+              store.withStaging(txn.stagingFor(store))(store.drop(t))
+            else store.drop(t)
             spark.catalog.dropTempView(t)
           } else if (spark.catalog.tableExists(t)) {
             spark.catalog.dropTempView(t)

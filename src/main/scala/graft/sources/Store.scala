@@ -2264,6 +2264,9 @@ class Store(spark: SparkSession, val warehouse: String) {
     matviewDefs.get(from).foreach { d => matviewDefs(to) = d; matviewDefs.remove(from) }
     ivmViews.get(from).foreach { m => ivmViews(to) = m; ivmViews.remove(from) }
     versions.get(from).foreach { v =>
+      // both names gate like any write: a rename must neither move a
+      // table out from under a staging txn nor land on one
+      gateAcquire(from); gateAcquire(to)
       fs.rename(tablePath(from), tablePath(to))
       invalidateSchemas(from)
       dirAliases.keysIterator.filter(_._1 == from).toSeq.foreach { k =>
@@ -2366,6 +2369,13 @@ class Store(spark: SparkSession, val warehouse: String) {
     (versions.keySet -- matviewDefs.keySet).toSeq.sorted
 
   def drop(name: String): Unit = {
+    // a table another transaction is STAGING on must not be deleted out
+    // from under it (PG: DROP TABLE queues on the owner's locks); our own
+    // txn's gate passes, and its staged state for the table dies with it
+    gateAcquire(name)
+    Option(staging()).foreach { st =>
+      st.tables.remove(name); st.evoCleared.remove(name); ()
+    }
     versions.remove(name)
     ivmViews.remove(name)
     evolution.remove(name)

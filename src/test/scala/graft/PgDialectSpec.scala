@@ -1551,6 +1551,40 @@ class PgDialectSpec extends SparkSpecBase {
     }
   }
 
+  test("DROP TABLE queues on a foreign txn's write gate; own-txn drop passes") {
+    import spark.implicits._
+    def execT(sql: String, t: PgDialect.PgTxn): PgResult =
+      PgDialect.execute(spark, store, sql, t)
+    def exec(sql: String): PgResult = PgDialect.execute(spark, store, sql)
+    // foreign txn holds the gate: a concurrent DROP must wait (here: time
+    // out), never delete the live staged dirs out from under it
+    store.replace("dt_t", Seq((1L, "a")).toDF("k", "v"))
+    val txn = new PgDialect.PgTxn
+    execT("BEGIN", txn)
+    execT("INSERT INTO dt_t VALUES (2, 'b')", txn)
+    val saved = store.gateTimeoutMs
+    store.gateTimeoutMs = 300L
+    try {
+      val e = intercept[Exception](exec("DROP TABLE dt_t"))
+      assert(e.getMessage.contains("lock timeout"), e.getMessage)
+    } finally store.gateTimeoutMs = saved
+    execT("COMMIT", txn)
+    assert(exec("SELECT count(*) AS n FROM dt_t") match {
+      case Rows(df, _) => df.collect()(0).getLong(0) == 2L
+      case _ => false
+    }, "the staged write must have survived the refused drop")
+    exec("DROP TABLE dt_t") // gate released: now it drops
+    // a txn dropping a table IT staged writes on passes its own gate and
+    // commits cleanly (the staged state dies with the table)
+    store.replace("dt_u", Seq((1L, "x")).toDF("k", "v"))
+    val txn2 = new PgDialect.PgTxn
+    execT("BEGIN", txn2)
+    execT("INSERT INTO dt_u VALUES (2, 'y')", txn2)
+    assert(execT("DROP TABLE dt_u", txn2) == Command("DROP TABLE"))
+    execT("COMMIT", txn2)
+    assert(!store.exists("dt_u"))
+  }
+
   test("rollup rewrite yields to a txn snapshot: staged writes and pins never read stale views") {
     import spark.implicits._
     Tables.registerAll(spark, sfDir)
