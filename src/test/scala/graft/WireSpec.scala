@@ -970,6 +970,43 @@ class WireSpec extends SparkSpecBase {
     } finally { leader.close(); worker.close() }
   }
 
+  test("an RR writer queued on the gate wakes to a serialization failure, PG-exactly") {
+    val c1 = new Client(server._2); c1.startup()
+    val c2 = new Client(server._2); c2.startup()
+    try {
+      c1.query("CREATE TABLE srl_t (k bigint, v text)")
+      c1.query("INSERT INTO srl_t VALUES (1, 'a')")
+      // c1 pins its snapshot, c2 claims the write gate
+      c1.query("BEGIN ISOLATION LEVEL REPEATABLE READ")
+      c1.query("SELECT count(*) FROM srl_t") // pin
+      c2.query("BEGIN")
+      c2.query("UPDATE srl_t SET v = 'theirs' WHERE k = 1") // gate claimed
+      // c1's write queues behind the gate on its own thread…
+      @volatile var errMsg: String = null
+      @volatile var done = false
+      val t = new Thread(() => {
+        val msgs = c1.query("UPDATE srl_t SET v = 'mine' WHERE k = 1")
+        errMsg = msgs.find(_._1 == 'E').map(m => new String(m._2, UTF_8)).orNull
+        done = true
+      })
+      t.start()
+      Thread.sleep(600)
+      assert(!done, "the RR writer must be queued while the gate is held")
+      // …c2 commits, c1 wakes, finds the table moved past its pin: PG's
+      // first-updater-wins raises serialization_failure AT THE STATEMENT
+      c2.query("COMMIT")
+      t.join(30000)
+      assert(done, "queued writer must wake after the commit")
+      assert(errMsg != null && errMsg.contains("could not serialize access"),
+        s"woken RR writer must raise serialization failure, got: $errMsg")
+      c1.query("ROLLBACK")
+      val rows = c1.query("SELECT v FROM srl_t WHERE k = 1").filter(_._1 == 'D')
+      assert(dataRowValues(rows.head._2).head == "theirs",
+        "the first updater's committed write wins")
+      c1.query("DROP TABLE srl_t")
+    } finally { c1.close(); c2.close() }
+  }
+
   test("a writer that cannot get the gate times out with PG's lock-timeout error") {
     val c1 = new Client(server._2); c1.startup()
     val c2 = new Client(server._2); c2.startup()
