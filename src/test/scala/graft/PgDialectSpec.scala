@@ -1551,6 +1551,66 @@ class PgDialectSpec extends SparkSpecBase {
     }
   }
 
+  test("a staged REPLACE's evolution reset stays txn-private until COMMIT") {
+    import spark.implicits._
+    def execT(sql: String, t: PgDialect.PgTxn): PgResult =
+      PgDialect.execute(spark, store, sql, t)
+    def exec(sql: String): PgResult = PgDialect.execute(spark, store, sql)
+    def cols(t: PgDialect.PgTxn): Seq[String] =
+      (if (t == null) exec("SELECT * FROM evs_t LIMIT 0")
+       else execT("SELECT * FROM evs_t LIMIT 0", t)) match {
+        case Rows(df, _) => df.columns.toSeq
+        case other => fail(s"$other")
+      }
+    store.replace("evs_t", Seq((1L, "a")).toDF("k", "v"))
+    // evolve the table: ALTER is catalog-only, files keep the old physical
+    // shape and readers null-fill
+    exec("ALTER TABLE evs_t ADD COLUMN c bigint")
+    exec("UPDATE evs_t SET c = 7 WHERE k = 1")
+    assert(cols(null) == Seq("k", "v", "c"))
+    // a txn TRUNCATE routes through replace(), whose evolution reset must
+    // stage WITH the write: the txn reads the new baseline, everyone else
+    // keeps the evolved view of the old files
+    val txn = new PgDialect.PgTxn
+    execT("BEGIN", txn)
+    execT("TRUNCATE evs_t", txn)
+    execT("INSERT INTO evs_t VALUES (2, 'b', 9)", txn)
+    assert(cols(txn) == Seq("k", "v", "c"), "txn reads its staged baseline")
+    execT("SELECT c::bigint AS c FROM evs_t", txn) match {
+      case Rows(df, _) => assert(df.collect()(0).getLong(0) == 9L)
+      case other => fail(s"$other")
+    }
+    // outside: untouched evolved table, rows intact
+    exec("SELECT k, v, c::bigint AS c FROM evs_t") match {
+      case Rows(df, _) =>
+        assert(df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+          .toSeq == Seq((1L, "a", 7L)))
+      case other => fail(s"$other")
+    }
+    // ROLLBACK: the staged reset evaporates, the shared evolution record
+    // still maps the old physical files
+    execT("ROLLBACK", txn)
+    exec("SELECT k, v, c::bigint AS c FROM evs_t") match {
+      case Rows(df, _) =>
+        assert(df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+          .toSeq == Seq((1L, "a", 7L)), "rollback must restore the evolved view")
+      case other => fail(s"$other")
+    }
+    // COMMIT variant: the reset applies with the rows, atomically
+    val txn2 = new PgDialect.PgTxn
+    execT("BEGIN", txn2)
+    execT("TRUNCATE evs_t", txn2)
+    execT("INSERT INTO evs_t VALUES (3, 'c', 11)", txn2)
+    execT("COMMIT", txn2)
+    exec("SELECT k, v, c::bigint AS c FROM evs_t") match {
+      case Rows(df, _) =>
+        assert(df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+          .toSeq == Seq((3L, "c", 11L)))
+      case other => fail(s"$other")
+    }
+    exec("DROP TABLE evs_t")
+  }
+
   test("DROP TABLE queues on a foreign txn's write gate; own-txn drop passes") {
     import spark.implicits._
     def execT(sql: String, t: PgDialect.PgTxn): PgResult =
