@@ -1101,6 +1101,12 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
   /** COPY-out subprotocol: CopyOutResponse, one CopyData per line (PG text
     * format: tab-delimited with \N nulls and backslash escapes; or CSV with
     * RFC quoting + optional header), CopyDone, CommandComplete "COPY n". */
+  // COPY-out parallel-path tuning (private[graft]: specs shrink them to
+  // force the batched path over small tables)
+  private[graft] var copyParallelMinBytes: Long = 8L << 20
+  private[graft] var copyTaskBytes: Long = 24L << 20
+  private[graft] var copyJobBytes: Long = 256L << 20
+
   private def sendCopyOut(out: DataOutputStream, df: DataFrame,
       csv: Boolean, header: Boolean): Long = {
     val schema = df.schema
@@ -1142,7 +1148,7 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
       }
     }
     val bigUnsorted = !topSorted &&
-      df.queryExecution.optimizedPlan.stats.sizeInBytes > (8L << 20)
+      df.queryExecution.optimizedPlan.stats.sizeInBytes > copyParallelMinBytes
     def chunked(d: DataFrame) = d.mapPartitions(
       rows => PgText.encodeCopyChunks(rows, fields, csv))(
       org.apache.spark.sql.Encoders.tuple(
@@ -1150,22 +1156,37 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
         org.apache.spark.sql.Encoders.BINARY))
     var n = 0L
     if (bigUnsorted) {
-      // output order is free: ONE job over all partitions, results PIPELINE
-      // to the socket as each task finishes (toLocalIterator would run one
-      // sequential job per partition — all parallelism lost). Each task
-      // result buffers one partition's framed text, the same driver-memory
-      // shape as Spark's collect of that partition.
+      // Output order is free: runJob batches pipeline results to the
+      // socket as tasks finish (toLocalIterator would run one sequential
+      // job per partition — all parallelism lost). Every job collects its
+      // tasks' results on the driver, and Spark counts the WHOLE job
+      // against spark.driver.maxResultSize — a single job over a fat
+      // export dies at ~1 GiB and silently truncates the COPY (caught at
+      // SF10: 11M of 60M rows). So: partition the export finely enough
+      // that one task's framed text is ~24 MiB, then run PARTITION
+      // BATCHES sized to ~256 MiB of results per job — parallel encode
+      // inside each job, bounded driver buffering, any export size.
       val sc = df.sparkSession.sparkContext
+      val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        .max(BigInt(1))
+      val wantParts = BigInt(sc.defaultParallelism)
+        .max(est / copyTaskBytes + 1).min(4096).toInt
       val src =
-        if (df.rdd.getNumPartitions < sc.defaultParallelism / 2)
-          df.repartition(sc.defaultParallelism)
+        if (df.rdd.getNumPartitions < wantParts) df.repartition(wantParts)
         else df
+      val rdd = chunked(src).rdd
+      val parts = rdd.getNumPartitions
+      val perJob = (BigInt(parts) * copyJobBytes / est).min(64).max(1).toInt
       val lock = new Object
-      sc.runJob(chunked(src).rdd,
-        (it: Iterator[(Long, Array[Byte])]) => it.toArray,
-        (_: Int, res: Array[(Long, Array[Byte])]) => lock.synchronized {
-          res.foreach { case (cnt, blob) => bout.write(blob); n += cnt }
-        })
+      (0 until parts).grouped(perJob).foreach { batch =>
+        sc.runJob(rdd,
+          (_: org.apache.spark.TaskContext,
+              it: Iterator[(Long, Array[Byte])]) => it.toArray,
+          batch.toSeq,
+          (_: Int, res: Array[(Long, Array[Byte])]) => lock.synchronized {
+            res.foreach { case (cnt, blob) => bout.write(blob); n += cnt }
+          })
+      }
     } else {
       // sorted or small: stream partitions in order (a global sort is
       // range-partitioned, so in-order concatenation IS the sorted output)

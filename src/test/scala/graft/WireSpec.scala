@@ -970,6 +970,39 @@ class WireSpec extends SparkSpecBase {
     } finally { leader.close(); worker.close() }
   }
 
+  test("fat COPY streams as bounded partition-batched jobs, never truncating") {
+    val c = new Client(server._2); c.startup()
+    val srv = server._1
+    val (m0, t0, j0) =
+      (srv.copyParallelMinBytes, srv.copyTaskBytes, srv.copyJobBytes)
+    try {
+      c.query("CREATE TABLE fatcopy_t AS SELECT g AS k, 'v' || g AS v " +
+        "FROM generate_series(1, 5000) g")
+      // shrink the thresholds so this small table exercises the SAME
+      // partition-batched multi-job path a 100 GB export takes (one job
+      // collecting everything trips spark.driver.maxResultSize and
+      // silently truncates — the SF10 bug this pins)
+      srv.copyParallelMinBytes = 1L
+      srv.copyTaskBytes = 4096L
+      srv.copyJobBytes = 8192L
+      val msgs = c.query("COPY (SELECT * FROM fatcopy_t) TO STDOUT")
+      val rows = msgs.count(_._1 == 'd')
+      assert(rows == 5000, s"batched COPY must deliver every row: $rows")
+      val tag = msgs.reverse.collectFirst {
+        case ('C', b) => new String(b, UTF_8).takeWhile(_ != ' ') }
+      assert(tag.contains("COPY 5000"), s"tag: $tag")
+      // content integrity across the batch boundaries: ids must cover the
+      // full range exactly once
+      val ids = msgs.filter(_._1 == 'd').map(m =>
+        new String(m._2, UTF_8).split("\t")(0).trim.toLong).sorted
+      assert(ids == (1L to 5000L), "no row may duplicate or vanish")
+      c.query("DROP TABLE fatcopy_t")
+    } finally {
+      srv.copyParallelMinBytes = m0; srv.copyTaskBytes = t0; srv.copyJobBytes = j0
+      c.close()
+    }
+  }
+
   test("an RR writer queued on the gate wakes to a serialization failure, PG-exactly") {
     val c1 = new Client(server._2); c1.startup()
     val c2 = new Client(server._2); c2.startup()
