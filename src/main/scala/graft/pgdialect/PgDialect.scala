@@ -146,8 +146,9 @@ object PgDialect {
     * proceeds through the normal translate/plan path. A non-store
     * relation in either clause errors (snapshots only exist for
     * versioned store tables). */
-  private[graft] def rewriteTimeTravel(store: Store, stmt: String): String =
-    rewriteTableChanges(store, travelRe.replaceAllIn(stmt, m => {
+  private[graft] def rewriteTimeTravel(store: Store, stmt: String,
+      txn: PgTxn = null): String =
+    rewriteTableChanges(store, txn, travelRe.replaceAllIn(stmt, m => {
       val tbl = unquoteName(m.group(2))
       if (!store.exists(tbl))
         throw UnsupportedQuery(s"time travel requires a versioned store table: $tbl")
@@ -315,14 +316,21 @@ object PgDialect {
     rebind(plan)
   }
 
-  private def rewriteTableChanges(store: Store, stmt: String): String =
+  private def rewriteTableChanges(store: Store, txn: PgTxn, stmt: String): String =
     changesRe.replaceAllIn(stmt, m => {
       val tbl = unquoteName(m.group(2))
       if (!store.exists(tbl))
         throw UnsupportedQuery(
           s"table_changes requires a versioned store table: $tbl")
       val from = m.group(3).toInt
+      // a defaulted upper bound inside a snapshot-pinned txn stops at the
+      // PIN — the feed must not leak commits the txn cannot see (an
+      // explicit `to` stays explicit, like explicit AS OF time travel)
+      val pinTo =
+        if (txn != null && txn.inTxn)
+          txn.readSnapshot(store).flatMap(_.get(tbl)) else None
       val to = Option(m.group(4)).map(_.toInt)
+        .orElse(pinTo)
         .getOrElse(store.currentVersion(tbl))
       // warehouse-tagged like snapshotView, re-registered every call for
       // the same staleness reasons (see snapshotView's scaladoc)
@@ -1021,7 +1029,7 @@ object PgDialect {
     if (upper.startsWith("SELECT") || upper.startsWith("WITH") ||
         upper.startsWith("VALUES") || upper.startsWith("TABLE ")) {
       maybeRefreshCatalog(spark, store, upper)
-      val traveled = rewriteTimeTravel(store, stmt)
+      val traveled = rewriteTimeTravel(store, stmt, txn)
       val translated = applyPermissions(translateSelectCached(traveled), perms)
       // the txn snapshot rebind runs on the ANALYZED plan, after the plan
       // cache: staged own-writes + repeatable-read pins (incl. through
@@ -1042,7 +1050,7 @@ object PgDialect {
         // the plan a SELECT would actually run — time travel + rollup
         // rewrite included (no auto-refresh: EXPLAIN must not mutate)
         val explainSql = applyPermissions(
-          translateSelect(rewriteTimeTravel(store, inner.trim)), perms)
+          translateSelect(rewriteTimeTravel(store, inner.trim, txn)), perms)
         val df = bindTxnReads(spark, store, txn,
           if (txnSnapshotBound(store, txn)) spark.sql(explainSql)
           else spark.sql(RollupRewrite(store, explainSql,
@@ -1080,7 +1088,7 @@ object PgDialect {
         // pg_dump's parallel data phase reads through here: the adopted
         // snapshot must pin the COPY source like any SELECT
         val df = bindTxnReads(spark, store, txn, spark.sql(applyPermissions(
-          translateSelect(rewriteTimeTravel(store, inner)), perms)))
+          translateSelect(rewriteTimeTravel(store, inner, txn)), perms)))
         val o = opts.toUpperCase
         return CopyOut(df, csv = o.contains("CSV"), header = o.contains("HEADER"))
       case _ =>

@@ -220,7 +220,7 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
                       PgDialect.bindTxnReads(spark, store, txn,
                         PgDialect.planWithRollup(spark, store,
                           PgDialect.translateSelectCached(
-                            PgDialect.rewriteTimeTravel(store, sql)),
+                            PgDialect.rewriteTimeTravel(store, sql, txn)),
                           txn = txn)), resFmts,
                       statements(stmt))
                   }
@@ -697,7 +697,7 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
       val df = PgDialect.bindTxnReads(spark, store, txn,
         PgDialect.planWithRollup(spark, store,
           PgDialect.translateSelectCached(
-            PgDialect.rewriteTimeTravel(store, query)), txn = txn))
+            PgDialect.rewriteTimeTravel(store, query, txn)), txn = txn))
       cursors(unq(name)) = new Portal(df)
       commandComplete(out, "DECLARE CURSOR")
       Some(0L)

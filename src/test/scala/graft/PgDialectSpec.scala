@@ -1551,6 +1551,34 @@ class PgDialectSpec extends SparkSpecBase {
     }
   }
 
+  test("table_changes' defaulted upper bound stops at the RR pin") {
+    import spark.implicits._
+    def execT(sql: String, t: PgDialect.PgTxn): PgResult =
+      PgDialect.execute(spark, store, sql, t)
+    def exec(sql: String): PgResult = PgDialect.execute(spark, store, sql)
+    def n(sql: String, t: PgDialect.PgTxn = null): Long =
+      (if (t == null) exec(sql) else execT(sql, t)) match {
+        case Rows(df, _) => df.collect()(0).getLong(0)
+        case other => fail(s"$other")
+      }
+    store.replace("tcp_t", Seq((1L, "a")).toDF("k", "v")) // v1
+    exec("INSERT INTO tcp_t VALUES (2, 'b')")             // v2
+    val txn = new PgDialect.PgTxn
+    execT("BEGIN ISOLATION LEVEL REPEATABLE READ", txn)
+    assert(n("SELECT count(*) AS c FROM tcp_t", txn) == 2L) // pin at v2
+    exec("INSERT INTO tcp_t VALUES (3, 'c')")               // v3, post-pin
+    // read-committed feed sees the post-pin commit…
+    assert(n("SELECT count(*) AS c FROM table_changes('tcp_t', 2)") == 1L)
+    // …the pinned txn's DEFAULTED bound stops at the pin: no leakage of a
+    // commit the txn cannot see
+    assert(n("SELECT count(*) AS c FROM table_changes('tcp_t', 2)", txn) == 0L,
+      "a defaulted table_changes bound inside RR must stop at the pin")
+    // an EXPLICIT bound stays explicit, like explicit AS OF time travel
+    assert(n("SELECT count(*) AS c FROM table_changes('tcp_t', 2, 3)", txn) == 1L)
+    execT("COMMIT", txn)
+    exec("DROP TABLE tcp_t")
+  }
+
   test("a staged REPLACE's evolution reset stays txn-private until COMMIT") {
     import spark.implicits._
     def execT(sql: String, t: PgDialect.PgTxn): PgResult =
