@@ -15,6 +15,55 @@ class PlanSpec extends SparkSpecBase {
   private def countOf(pattern: String, s: String): Int =
     pattern.r.findAllIn(s).length
 
+  test("txn snapshot rebind swaps relation PATHS to the pinned version dirs") {
+    import spark.implicits._
+    val store = new Store(spark,
+      java.nio.file.Files.createTempDirectory("graft-planpin").toString)
+    def relPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+      }.flatten
+    store.replace("pin_t", Seq((1L, "a")).toDF("k", "v")) // v1
+    val txn = new PgDialect.PgTxn
+    def execT(sql: String) = PgDialect.execute(spark, store, sql, txn)
+    execT("BEGIN ISOLATION LEVEL REPEATABLE READ")
+    execT("SELECT count(*) FROM pin_t") // pin at v1
+    PgDialect.execute(spark, store, "INSERT INTO pin_t VALUES (2, 'b')") // v2
+    // structural proof, not just values: the statement's ANALYZED plan must
+    // scan the PINNED dir even though the session view now binds v2
+    val pinned = execT("SELECT k FROM pin_t") match {
+      case PgDialect.Rows(df, _) => relPaths(df)
+      case other => fail(s"$other")
+    }
+    assert(pinned.nonEmpty && pinned.forall(_.endsWith("/pin_t/v1")),
+      s"pinned statement must scan v1: $pinned")
+    execT("COMMIT")
+    val unpinned = PgDialect.execute(spark, store, "SELECT k FROM pin_t") match {
+      case PgDialect.Rows(df, _) => relPaths(df)
+      case other => fail(s"$other")
+    }
+    assert(unpinned.nonEmpty && unpinned.forall(_.endsWith("/pin_t/v2")),
+      s"outside the txn the plan scans the current dir: $unpinned")
+    // staged own-writes rebind to the txn-private dir
+    val txn2 = new PgDialect.PgTxn
+    def execT2(sql: String) = PgDialect.execute(spark, store, sql, txn2)
+    execT2("BEGIN")
+    execT2("INSERT INTO pin_t VALUES (3, 'c')")
+    val staged = execT2("SELECT k FROM pin_t") match {
+      case PgDialect.Rows(df, _) => relPaths(df)
+      case other => fail(s"$other")
+    }
+    assert(staged.nonEmpty && staged.forall(_.contains("/pin_t/.txn")),
+      s"a staging txn's plan must scan its private dir: $staged")
+    execT2("ROLLBACK")
+    store.drop("pin_t")
+  }
+
   test("as-of join is one hash shuffle plus a window, no join node at all") {
     val p = plan("op_join_asof")
     assert(countOf("Exchange hashpartitioning", p) == 1, p)
