@@ -262,6 +262,34 @@ object PgDialect {
       case (spark, store, txn) => bindTxnReads(spark, store, txn, df)
     }
 
+  // Pinned-relation reuse: a rebind builds a fresh file index per pinned
+  // dir per statement, and a long-lived pinned txn (a BI dashboard, a
+  // pg_dump) re-lists the same IMMUTABLE dir on every statement — on an
+  // object store that's a LIST round-trip each. Version dirs never change
+  // after publish, so the analyzed relation (with its file index) is
+  // cached per (session, dir, schema) and re-issued with FRESH attribute
+  // ids via newInstance() — the same discipline the analyzer applies to
+  // self-joins, so `FROM t a, t b` under a pin gets distinct ids. Non-
+  // relation plans (never expected) fall through uncached.
+  private val snapshotRelCache =
+    new LruCache[String, org.apache.spark.sql.execution.datasources.LogicalRelation](256)
+  private def snapshotRelation(spark: SparkSession, store: Store,
+      dir: String, schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val key =
+      s"${System.identityHashCode(spark)}\n$dir\n${schema.catalogString}"
+    snapshotRelCache.get(key) match {
+      case Some(r) => r.newInstance()
+      case None =>
+        store.readStagedDir(dir, schema).queryExecution.analyzed match {
+          case r: LogicalRelation =>
+            snapshotRelCache.put(key, r); r.newInstance()
+          case other => other // not expected for a parquet dir; uncached
+        }
+    }
+  }
+
   private def rebindPlan(spark: SparkSession, store: Store,
       staged: Map[String, String], pin: Map[String, Int],
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
@@ -275,16 +303,20 @@ object PgDialect {
         store.parseVersionDir(h.location.rootPaths.head) match {
           case Some((t, k)) =>
             // staged-own-writes first (a txn sees its writes whatever the
-            // isolation level), then the RR pin
-            val targetDf: Option[DataFrame] = staged.get(t) match {
-              case Some(dir) => Some(store.readStagedDir(dir, h.schema))
-              case None => pin.get(t).filter(_ != k)
-                .map(p => store.readVersionAs(t, p, h.schema))
-            }
-            targetDf match {
+            // isolation level), then the RR pin. Staged dirs are txn-
+            // transient (savepoint rewinds can delete and RECREATE the
+            // same dir name), so only PINNED shared dirs — immutable for
+            // life — go through the relation cache.
+            val targetDir: Option[(String, Boolean)] =
+              staged.get(t).map((_, false)).orElse(
+                pin.get(t).filter(_ != k)
+                  .map(p => (store.versionDirChecked(t, p), true)))
+            targetDir match {
               case None => lr
-              case Some(nd) =>
-                val np = nd.queryExecution.analyzed
+              case Some((dir, cacheable)) =>
+                val np =
+                  if (cacheable) snapshotRelation(spark, store, dir, h.schema)
+                  else store.readStagedDir(dir, h.schema).queryExecution.analyzed
                 // keep the ORIGINAL attribute ids so every upstream
                 // reference in the plan still resolves
                 val proj: Seq[NamedExpression] = lr.output.map { old =>

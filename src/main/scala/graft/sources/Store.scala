@@ -663,10 +663,16 @@ class Store(spark: SparkSession, val warehouse: String) {
     * valid; files missing a later-added column null-fill (the same
     * union-schema contract the evolution reader uses). */
   private[graft] def readVersionAs(name: String, v: Int,
-      schema: org.apache.spark.sql.types.StructType): DataFrame = {
-    require(fs.exists(versionPath(name, v)),
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).parquet(versionDirChecked(name, v))
+
+  /** Resolved dir of a committed version, existence-checked — the loud
+    * "expired" error instead of a confusing empty scan. */
+  private[graft] def versionDirChecked(name: String, v: Int): String = {
+    val d = versionDir(name, v)
+    require(fs.exists(new HadoopPath(d)),
       s"version $v of $name has been expired")
-    spark.read.schema(schema).parquet(versionDir(name, v))
+    d
   }
 
   /** Register and return a session view over `name` at snapshot version
