@@ -272,14 +272,19 @@ object Bench {
       rawDrain()
       val raw = (1 to 3).map(_ => rawDrain()).min
       val (rows, bytes, sec) = best
-      f""""wire":{"copy":"$copySql","rows":$rows,"bytes":$bytes,""" +
-        f""""sec":$sec%.3f,"rows_per_sec":${rows / sec}%.0f,""" +
-        f""""mb_per_sec":${bytes / sec / 1e6}%.1f,""" +
-        f""""raw_drain_sec":$raw%.3f,"vs_raw":${sec / raw}%.2f},"""
+      val detail =
+        f""""wire":{"copy":"$copySql","rows":$rows,"bytes":$bytes,""" +
+          f""""sec":$sec%.3f,"rows_per_sec":${rows / sec}%.0f,""" +
+          f""""mb_per_sec":${bytes / sec / 1e6}%.1f,""" +
+          f""""raw_drain_sec":$raw%.3f,"vs_raw":${sec / raw}%.2f},"""
+      val compact =
+        f""""wire_rows_per_sec":${rows / sec}%.0f,"wire_vs_raw":${sec / raw}%.2f,"""
+      (detail, compact)
     }.recover { case e =>
       System.err.println(s"[bench] wire block failed: ${e.getMessage}")
-      ""
+      ("", "")
     }.get
+    val (wireDetail, wireCompact) = wireBlock
 
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -287,7 +292,10 @@ object Bench {
     // on this VM are strictly additive (they only ever inflate a sample), so
     // the minimum over samples is the standard estimator of true compute
     // cost under external contention; the median stays the headline value.
-    println(s"""{"metric":"total","value":$workloadWall,"unit":"sec","queries":$qs,""" +
+    // Full-detail payload on a PRECEDING line; a compact machine block goes
+    // LAST (the driver tail-captures ~2000 chars and parses the final line —
+    // r11's single fat line outgrew that window and parsed as null).
+    println(s"""{"metric":"detail","value":$workloadWall,"unit":"sec","queries":$qs,""" +
       s""""wall_min":${wallSamples.min},"sequential_min":${seqTotals.min},""" +
       s""""sequential_total":$sequentialTotal,"samples":$samples,""" +
       s""""wall_samples":${arr(wallSamples)},"sequential_samples":${arr(seqTotals)},""" +
@@ -296,13 +304,21 @@ object Bench {
       (if (buildErrors.isEmpty) ""
        else s""""build_errors":${buildErrors.map { case (n, e) => "\"" + n + "\":\"" + e + "\"" }.mkString("{", ",", "}")},""") +
       s""""shuffle_partitions":$parts,"aqe":$aqe,""" +
-      wireBlock +
+      wireDetail +
       s""""ab":{"control_wall":${median(ctrlTotals)},""" +
       s""""control_samples":${arr(ctrlTotals)},""" +
       s""""control_queries":${ctrlPerQ.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},""" +
       s""""commit":"$gitCommit",""" +
       s""""rule":"pinned raw-Spark control (no graft code in its path): control moved across rounds => host drift; headline moved with control flat => tree change"},""" +
       s""""mode":"22-query workload wall time, $conc-way inter-query concurrency; value is the median of $wallN runs, 'queries' medians of $samples runs","sf":"$sfDir"}""")
+    // Compact machine block, FINAL line, well under the driver's tail window.
+    val qsCompact = results
+      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$workloadWall%.3f,"unit":"sec",""" +
+      f""""queries":$qsCompact,"sequential_total":$sequentialTotal%.3f,""" +
+      f""""wall_min":${wallSamples.min}%.3f,"sequential_min":${seqTotals.min}%.3f,""" +
+      f""""control_wall":${median(ctrlTotals)}%.3f,""" + wireCompact +
+      s""""commit":"$gitCommit","sf":"$sfDir","detail":"see preceding line"}""")
     spark.stop()
   }
 }

@@ -52,6 +52,18 @@ object PgText {
     if (temporalMemo.size > 65536) temporalMemo.clear()
     temporalMemo.computeIfAbsent((kind, key), _ => render)
   }
+  // Injective nanosecond key for the memo: sec*1e9 + nanos. Outside the
+  // ~±292-year Long-nanos range the multiply wraps and distinct instants
+  // could collide, so signal the caller to skip the memo (PG timestamps
+  // reach year 294276). NOTE: never key on getTime*1e6 + getNanos —
+  // getTime already carries the millis, so that form double-counts them
+  // and collides (e.g. 10:00:00.600 vs 10:00:01.100).
+  private final val NoMemo = Long.MinValue
+  private def nanoKey(epochSecond: Long, nanos: Int): Long =
+    if (epochSecond > 9000000000L || epochSecond < -9000000000L) NoMemo
+    else epochSecond * 1000000000L + nanos
+  private def memoizedNs(kind: Int, key: Long)(render: => String): String =
+    if (key == NoMemo) render else memoized(kind, key)(render)
 
   /** PG text-format value encoding (response_handler.go:148-233). */
   private[graft] def textEncode(row: Row, i: Int, dt: DataType): String = dt match {
@@ -62,13 +74,13 @@ object PgText {
       // live TIMESTAMPTZ values render with the normalized-UTC offset
       // (response_handler.go:196: "2006-01-02 15:04:05.999999-07:00")
       val ts = row.getAs[java.sql.Timestamp](i)
-      memoized(1, ts.getTime * 1000000 + ts.getNanos) {
+      memoizedNs(1, nanoKey(Math.floorDiv(ts.getTime, 1000L), ts.getNanos)) {
         tsFmt.format(ts.toInstant.atZone(java.time.ZoneOffset.UTC))
           .replaceAll("\\.?0+$", "") + "+00:00"
       }
     case TimestampNTZType => { // surfaces as LocalDateTime, not Timestamp
       val ldt = row.getAs[java.time.LocalDateTime](i)
-      memoized(2, ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000 + ldt.getNano) {
+      memoizedNs(2, nanoKey(ldt.toEpochSecond(java.time.ZoneOffset.UTC), ldt.getNano)) {
         tsFmt.format(ldt).replaceAll("\\.?0+$", "")
       }
     }
