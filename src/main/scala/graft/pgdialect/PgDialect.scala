@@ -277,8 +277,12 @@ object PgDialect {
       dir: String, schema: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     import org.apache.spark.sql.execution.datasources.LogicalRelation
+    // schema.json, not catalogString: the key must carry StructField
+    // METADATA (PgTypes.LogicalKey tags time/timetz stored as LongType) or
+    // two schemas differing only in a logical tag would share one cached
+    // relation and the wire encoder would render raw micros.
     val key =
-      s"${System.identityHashCode(spark)}\n$dir\n${schema.catalogString}"
+      s"${System.identityHashCode(spark)}\n$dir\n${schema.json}"
     snapshotRelCache.get(key) match {
       case Some(r) => r.newInstance()
       case None =>

@@ -654,6 +654,14 @@ class Store(spark: SparkSession, val warehouse: String) {
     else q.substring(prefix.length).split("/") match {
       case Array(t, v) if v.matches("v\\d+") && exists(t) =>
         Some((t, v.drop(1).toInt))
+      case Array(t, d) if d.matches("\\.txn.+-v\\d+") && exists(t) =>
+        // Staged/aliased dirs carry their version in the name (`.txn<id>-
+        // v<N>`, stagedDirName): on object-store schemes a committed
+        // version STAYS in its staged dir (commitStaging records an alias
+        // instead of a byte-copying rename), and a txn's own staged writes
+        // bind these dirs directly — both must map back to (table, version)
+        // or RR pinning and read-own-writes silently skip the table.
+        Some((t, d.substring(d.lastIndexOf("-v") + 2).toInt))
       case _ => None
     }
   }

@@ -139,6 +139,51 @@ class ObjectStoreFsSpec extends SparkSpecBase {
     assert(store.read("os_txn").count() == 2,
       "vacuum must not reclaim an aliased committed version")
   }
+
+  test("RR pin + read-own-writes survive a table whose current version is ALIASED") {
+    import spark.implicits._
+    def execT(sql: String, t: PgDialect.PgTxn): PgDialect.PgResult =
+      PgDialect.execute(spark, store, sql, t)
+    def count(t: PgDialect.PgTxn): Long =
+      execT("SELECT count(*) AS n FROM os_rr", t) match {
+        case PgDialect.Rows(df, _) => df.collect()(0).getLong(0)
+        case other => fail(s"expected rows: $other")
+      }
+    store.replace("os_rr", Seq((1L, "a")).toDF("k", "v"))
+    // staged commit #1 leaves the CURRENT version in an aliased .txn dir
+    val w1 = new PgDialect.PgTxn
+    execT("BEGIN", w1)
+    execT("INSERT INTO os_rr VALUES (2, 'b')", w1)
+    execT("COMMIT", w1)
+    val fs = new HadoopPath(store.warehouse).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val names = fs.listStatus(new HadoopPath(store.warehouse + "/os_rr"))
+      .map(_.getPath.getName).toSeq
+    assert(names.exists(n => n.startsWith(".txn") && n.endsWith("-v2")) &&
+      !names.contains("v2"), s"precondition: v2 must be aliased, got $names")
+    // an RR reader pins at the ALIASED v2 — parseVersionDir must map the
+    // .txn dir back to (os_rr, 2) or this txn silently reads the live chain
+    val rr = new PgDialect.PgTxn
+    execT("BEGIN ISOLATION LEVEL REPEATABLE READ", rr)
+    assert(count(rr) == 2L) // pin lands here
+    // concurrent commit moves the table to another aliased version (v3)
+    val w2 = new PgDialect.PgTxn
+    execT("BEGIN", w2)
+    execT("INSERT INTO os_rr VALUES (3, 'c')", w2)
+    execT("COMMIT", w2)
+    assert(store.read("os_rr").count() == 3L)
+    assert(count(rr) == 2L,
+      "RR must keep reading its aliased pin, not the live aliased chain")
+    // read-own-writes with an aliased base: the statement's fresh plan
+    // binds the aliased current dir; the staged overlay must still engage
+    val w3 = new PgDialect.PgTxn
+    execT("BEGIN", w3)
+    execT("INSERT INTO os_rr VALUES (4, 'd')", w3)
+    assert(count(w3) == 4L, "a txn over an aliased base sees its own writes")
+    execT("ROLLBACK", w3)
+    execT("COMMIT", rr)
+    assert(store.read("os_rr").count() == 3L)
+  }
 }
 
 /** The ENTIRE StoreSpec lifecycle suite re-run with the warehouse on the
