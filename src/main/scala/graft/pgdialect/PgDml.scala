@@ -262,7 +262,10 @@ object PgDml {
         .filter(col("__rn") === 1).drop("__rn")
     if (action.equalsIgnoreCase("NOTHING")) {
       val fresh = incoming.join(store.read(t).select(key), Seq(key), "left_anti")
-      Command(s"INSERT 0 ${store.appendCompacting(t, fresh)}")
+      // txnConcurrent=false: the conflict check above is only sound while
+      // the base stays gate-frozen to COMMIT — a concurrent insert could
+      // otherwise land a conflicting key between check and publish
+      Command(s"INSERT 0 ${store.appendCompacting(t, fresh, txnConcurrent = false)}")
     } else {
       val setsAndWhere = action.replaceFirst("(?is)^UPDATE\\s+SET\\s+", "")
       val whereIdx = topLevelWordIndex(setsAndWhere, "WHERE")

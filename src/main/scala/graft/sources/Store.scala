@@ -102,15 +102,16 @@ class Store(spark: SparkSession, val warehouse: String) {
   // refresh — sees only the shared chain.
   private val stagingSeq = new java.util.concurrent.atomic.AtomicLong()
   private val stagingTL = new ThreadLocal[Store.TxnStaging]
-  // live staging ids (this process): vacuum's staged-orphan sweep must
-  // never reclaim a LIVE transaction's staged dirs
-  private val activeStagings =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // live stagings (this process): vacuum's staged-orphan sweep must never
+  // reclaim a LIVE transaction's staged dirs, and DDL (DROP/RENAME) must
+  // see gateless insert-only stagings it can no longer detect via gate
+  // ownership
+  private val activeStagings = TrieMap[String, Store.TxnStaging]()
   private[graft] def newStaging(): Store.TxnStaging = {
     val st = new Store.TxnStaging(
       java.lang.Long.toHexString(stagingSeq.incrementAndGet()) + "-" +
         Integer.toHexString(System.identityHashCode(this)))
-    activeStagings.add(st.id)
+    activeStagings.put(st.id, st)
     st
   }
   private[graft] def withStaging[T](st: Store.TxnStaging)(body: => T): T = {
@@ -181,6 +182,43 @@ class Store(spark: SparkSession, val warehouse: String) {
     }
     st.gates.clear()
   }
+  /** Does any OTHER live transaction hold uncommitted staged writes on
+    * `name`? Insert-only stagings never claim the write gate, so DDL
+    * (DROP/RENAME) can no longer rely on gate ownership alone to detect
+    * them. Reads the concurrent staged-name sets, never the owner-thread
+    * mutable maps. */
+  private def stagedByOther(name: String): Boolean = {
+    val mine = Option(staging()).map(_.id).orNull
+    activeStagings.values.exists(s =>
+      s.id != mine && s.stagedNames.contains(name))
+  }
+  /** Bounded wait (gate-timeout shape) until no FOREIGN transaction has
+    * staged writes on `name` — the DDL guard for gateless insert-only
+    * stagings. Polling: DDL is rare, insert commits don't signal a
+    * monitor. */
+  private def awaitNoForeignStaging(name: String): Unit = {
+    val deadline = System.currentTimeMillis() + gateTimeoutMs
+    while (stagedByOther(name)) {
+      if (System.currentTimeMillis() >= deadline)
+        throw new IllegalStateException(
+          s"canceling statement due to lock timeout on relation " +
+            s""""$name" (another transaction holds uncommitted writes)""")
+      Thread.sleep(25)
+    }
+  }
+
+  // Pure-insert commit registry: shared versions whose ENTIRE delta vs
+  // their predecessor is the listed set of ADDED parquet files (no file
+  // rewritten or removed). This is what makes concurrent same-table
+  // insert transactions commit without serializing: a committing txn
+  // whose base moved only past registered versions links exactly those
+  // delta files into its staged head — PG row-locking's insert-insert
+  // (and RR insert-vs-update) non-conflict, expressed at file granularity.
+  // In-memory like the gates (all write concurrency is in-process by the
+  // single-writer-per-process warehouse design); invalidated on
+  // restore/drop/rename so reused version numbers can never resurrect a
+  // stale delta.
+  private val committedInsertDeltas = TrieMap[(String, Int), Seq[String]]()
   /** Table lock for VERSION-PRODUCING operations: the txn write gate first
     * (blocks while another transaction holds uncommitted writes on the
     * table — and claims it when WE are that transaction), then the plain
@@ -220,16 +258,26 @@ class Store(spark: SparkSession, val warehouse: String) {
     * A STAGED publish advances only the txn's private chain head; the
     * shared pointer, planner stats and catalog stay untouched until
     * [[commitStaging]]. */
-  private def publishVersion(name: String, next: Int): Unit = {
+  private def publishVersion(name: String, next: Int,
+      insertNames: Seq[String] = null): Unit = {
     val st = staging()
     val e = if (st != null) st.tables.get(name).orNull else null
     val l = writeJournal.get()
     if (e != null) {
       if (l != null) l += ((name, e.base + e.count, true))
       e.count += 1
+      if (insertNames != null && e.insertOnly)
+        e.deltaNames(e.base + e.count) = insertNames
+      else { e.insertOnly = false; e.deltaNames.clear() }
+      st.stagedNames.add(name)
     } else {
       if (l != null) l += ((name, versions.getOrElse(name, 0), false))
       versions(name) = next
+      // an autocommit pure-carry append is itself a registerable insert
+      // delta (interleaves safely with in-flight insert txns); any other
+      // write de-registers the slot it occupies
+      if (insertNames != null) committedInsertDeltas((name, next)) = insertNames
+      else committedInsertDeltas.remove((name, next))
       publishSizeStats(name, next)
     }
   }
@@ -963,12 +1011,29 @@ class Store(spark: SparkSession, val warehouse: String) {
     * compacted small-file rows). The DML command tag uses this directly: a
     * before/after rowCountFast delta outside the lock would count a
     * concurrent session's insert/delete into this session's tag. */
-  def appendCompacting(name: String, df0: DataFrame, maxFileBytes: Long = 100L << 20): Long = withWriteLock(name) {
+  def appendCompacting(name: String, df0: DataFrame,
+      maxFileBytes: Long = 100L << 20,
+      txnConcurrent: Boolean = true): Long = {
+    // A transaction's plain INSERT takes the GATELESS pure-delta path: no
+    // write-gate claim (concurrent insert txns and updaters proceed, PG
+    // row-lock semantics), no small-file compaction (the delta must stay
+    // pure so COMMIT can merge it past a moved base; the shared-chain
+    // autocommit path keeps compacting), delta files named by txn id so
+    // merged dirs never collide. ON CONFLICT passes txnConcurrent=false:
+    // its conflict check is only sound while the base is gate-frozen.
+    val insertPath = staging() != null && txnConcurrent
+    if (insertPath) withTableLock(name)(appendBody(name, df0, maxFileBytes, insertPath = true))
+    else withWriteLock(name)(appendBody(name, df0, maxFileBytes, insertPath = false))
+  }
+  private def appendBody(name: String, df0: DataFrame, maxFileBytes: Long,
+      insertPath: Boolean): Long = {
     if (!exists(name)) { replace(name, df0); return rowCountFast(name) }
     val df = toPhysical(name, df0) // ALTERed tables: files stay physical
     val cur = versionPath(name, curVersion(name))
     val files = dataFiles(cur)
-    val (full, small) = files.partition(_.getLen >= maxFileBytes)
+    val (full, small) =
+      if (insertPath) (files, Seq.empty[FileStatus])
+      else files.partition(_.getLen >= maxFileBytes)
     val next = nextVersion(name)
     val dir = freshVersionDir(name, next)
     full.foreach(f => carryFile(f.getPath, dir))
@@ -989,9 +1054,14 @@ class Store(spark: SparkSession, val warehouse: String) {
       (if (incomingBytes > BigInt(1L << 40)) targetBytes else incomingBytes.toLong)
     val nParts = math.max(1, math.ceil(est.toDouble / targetBytes).toInt)
     val compactedRows = footerRows(small.map(_.getPath))
-    writeInto(tail.repartition(nParts), name, dir, s"compacted-$next")
-    val writtenFiles = dataFiles(dir)
-      .filter(_.getPath.getName.startsWith(s"compacted-$next-"))
+    // delta files carry the txn id on the insert path: two txns staged
+    // from the same base write the same version NUMBER, and their deltas
+    // must coexist by name in a merged commit dir
+    val prefix =
+      if (insertPath) s"ins-${staging().id}-$next" else s"compacted-$next"
+    writeInto(tail.repartition(nParts), name, dir, prefix)
+    var writtenFiles = dataFiles(dir)
+      .filter(_.getPath.getName.startsWith(s"$prefix-"))
     val writtenRows = footerRows(writtenFiles.map(_.getPath))
     // Post-write cap verification: plan stats can under-estimate WIDE rows
     // badly — a LocalRelation prices BinaryType at its 100-byte
@@ -1007,10 +1077,19 @@ class Store(spark: SparkSession, val warehouse: String) {
       val needed = math.max(1, math.ceil(writtenBytes.toDouble / targetBytes).toInt)
       val re = spark.read.schema(df.schema)
         .parquet(writtenFiles.map(_.getPath.toString): _*)
-      writeInto(re.repartition(needed), name, dir, s"resplit-$next")
+      val rePrefix = if (insertPath) s"insr-${staging().id}-$next" else s"resplit-$next"
+      writeInto(re.repartition(needed), name, dir, rePrefix)
       writtenFiles.foreach(f => fs.delete(f.getPath, false))
+      writtenFiles = dataFiles(dir).filter(_.getPath.getName.startsWith(s"$rePrefix-"))
     }
-    publishVersion(name, next)
+    // a pure-carry append's delta is exactly its written files — the
+    // registerable shape whether staged (insert path) or autocommit
+    // (small.isEmpty: nothing compacted away)
+    val insertNames =
+      if (insertPath || (staging() == null && small.isEmpty))
+        writtenFiles.map(_.getPath.getName)
+      else null
+    publishVersion(name, next, insertNames)
     commitWrite(name)
     writtenRows - compactedRows
   }
@@ -1375,8 +1454,26 @@ class Store(spark: SparkSession, val warehouse: String) {
       case h +: t => withTableLock(h)(locked(t)(body))
     }
     try locked(names) {
+      def cur(n: String) = versions.getOrElse(n, 0)
+      // Merge eligibility when the shared chain moved past the txn's base:
+      // (a) every interleaved version is a REGISTERED pure-insert delta —
+      //     any entry (insert or update/delete COW) merges by linking
+      //     exactly those delta files into its staged head: the updater
+      //     never saw those rows (PG REPEATABLE READ: concurrently-
+      //     inserted rows are invisible to an update and survive it), and
+      //     an insert txn's own rows conflict with nothing;
+      // (b) the entry itself is insert-only — merges against ANY
+      //     interleaving (compaction, update, replace) by carrying the
+      //     current version and adding its own delta files.
+      // Only a non-insert entry straddling a non-insert interleave aborts —
+      // first-updater-wins, unchanged.
+      def interleaved(n: String, e: Store.StagedTable): Seq[Int] =
+        ((e.base + 1) to cur(n)).toSeq
+      def registered(n: String, e: Store.StagedTable): Boolean =
+        interleaved(n, e).forall(v => committedInsertDeltas.contains((n, v)))
       val conflicted = st.tables.collect {
-        case (n, e) if e.count > 0 && versions.getOrElse(n, 0) != e.base => n
+        case (n, e) if e.count > 0 && cur(n) != e.base &&
+          !e.insertOnly && !registered(n, e) => n
       }
       if (conflicted.nonEmpty) {
         abortStagedDirs(st)
@@ -1385,35 +1482,95 @@ class Store(spark: SparkSession, val warehouse: String) {
             conflicted.mkString(", ") + ")")
       }
       val touched = st.tables.toSeq.filter(_._2.count > 0)
+      // (table, final shared version) decided per entry below
+      val finals = scala.collection.mutable.LinkedHashMap[String, Int]()
+      def publishDirAs(n: String, src: HadoopPath, stagedName: String, v: Int): Unit =
+        if (isLocalFs) {
+          // posix/HDFS: an O(1) atomic rename into the `v<N>` slot
+          val dst = new HadoopPath(s"$root/$n/v$v")
+          if (fs.exists(dst)) fs.delete(dst, true) // crash orphan in the slot
+          if (!fs.rename(src, dst))
+            throw new java.io.IOException(s"staged commit rename failed: $src -> $dst")
+          // carry the staged dir's cached schema to its committed path
+          dirSchemas.remove(src.toString)
+            .foreach(s => dirSchemas.put(dst.toString, s))
+        } else {
+          // object store: rename would COPY every data byte — record the
+          // staged dir as the committed version's alias instead. COMMIT
+          // stays metadata-only at any staged volume; the alias persists
+          // with the catalog snapshot below (the Iceberg manifest
+          // re-point shape).
+          dirAliases((n, v)) = stagedName
+        }
       touched.foreach { case (n, e) =>
-        (1 to e.count).foreach { k =>
-          val v = e.base + k
-          val src = stagedPath(st.id, n, v)
-          if (isLocalFs) {
-            // posix/HDFS: an O(1) atomic rename into the `v<N>` slot
-            val dst = new HadoopPath(sharedVersionDir(n, v))
-            if (fs.exists(dst)) fs.delete(dst, true) // crash orphan in the slot
-            if (!fs.rename(src, dst))
-              throw new java.io.IOException(s"staged commit rename failed: $src -> $dst")
-            // carry the staged dir's cached schema to its committed path
-            dirSchemas.remove(src.toString)
-              .foreach(s => dirSchemas.put(dst.toString, s))
-          } else {
-            // object store: rename would COPY every data byte — record the
-            // staged dir as the committed version's alias instead. COMMIT
-            // stays metadata-only at any staged volume; the alias persists
-            // with the catalog snapshot below (the Iceberg manifest
-            // re-point shape).
-            dirAliases((n, v)) = stagedDirName(st.id, v)
+        val c = cur(n)
+        if (c == e.base) {
+          // base unmoved: staged dirs take their slots 1:1
+          (1 to e.count).foreach { k =>
+            publishDirAs(n, stagedPath(st.id, n, e.base + k),
+              stagedDirName(st.id, e.base + k), e.base + k)
           }
+          if (e.insertOnly) e.deltaNames.foreach { case (v, names) =>
+            committedInsertDeltas((n, v)) = names
+          }
+          finals(n) = e.base + e.count
+        } else {
+          // base moved: merge. The staged HEAD dir holds the txn's whole
+          // private chain; interleaved registered deltas all exist BY NAME
+          // in the current shared dir (pure-insert commits carry every
+          // prior file), so dir(cur) is the single link source.
+          val head = stagedPath(st.id, n, e.base + e.count)
+          val headNames = dataFiles(head).map(_.getPath.getName).toSet
+          val curDir = new HadoopPath(sharedVersionDir(n, c))
+          val linkable = registered(n, e) && {
+            val names = interleaved(n, e).flatMap(v => committedInsertDeltas((n, v)))
+            names.forall(!headNames.contains(_)) // paranoia: never clobber
+          }
+          val v = c + 1
+          if (linkable) {
+            // metadata-only merge: link the interleaved delta files into
+            // the staged head, publish the head as cur+1 (rename on posix,
+            // alias + delta-sized copies on an object store)
+            interleaved(n, e).flatMap(x => committedInsertDeltas((n, x)))
+              .foreach(nm => carryFile(new HadoopPath(curDir, nm), head))
+            publishDirAs(n, head, stagedDirName(st.id, e.base + e.count), v)
+          } else {
+            // insert-only entry over an unregistered interleave (a
+            // compacting autocommit append, a committed updater): build
+            // cur+1 = carry(cur) + own delta files. Hard links on posix;
+            // a real copy of the carried files on an object store — the
+            // documented COW fallback, same cost class as any autocommit
+            // append there.
+            val dir = new HadoopPath(s"$root/$n/v$v")
+            if (fs.exists(dir)) fs.delete(dir, true)
+            fs.mkdirs(dir)
+            dataFiles(curDir).foreach(f => carryFile(f.getPath, dir))
+            e.deltaNames.values.flatten.foreach { nm =>
+              if (!fs.rename(new HadoopPath(head, nm), new HadoopPath(dir, nm)))
+                throw new java.io.IOException(s"staged merge move failed: $nm")
+            }
+            // the head's leftovers (carried base files) are now orphans
+            dirSchemas.remove(head.toString)
+            try fs.delete(head, true) catch { case _: Exception => () }
+          }
+          // only the head was published (or consumed); the chain's earlier
+          // staged dirs are orphans either way
+          (1 until e.count).foreach { k =>
+            val p = stagedPath(st.id, n, e.base + k)
+            dirSchemas.remove(p.toString)
+            try fs.delete(p, true) catch { case _: Exception => () }
+          }
+          if (e.insertOnly)
+            committedInsertDeltas((n, v)) = e.deltaNames.values.flatten.toSeq
+          finals(n) = v
         }
       }
-      touched.foreach { case (n, e) => versions(n) = e.base + e.count }
+      touched.foreach { case (n, _) => versions(n) = finals(n) }
       st.evoCleared.keys.foreach(evolution.remove)
       // clear the overlay BEFORE stats/publish: both read through the
       // version resolution and must see the now-shared chain
-      st.tables.clear(); st.evoCleared.clear()
-      touched.foreach { case (n, e) => publishSizeStats(n, e.base + e.count) }
+      st.tables.clear(); st.evoCleared.clear(); st.stagedNames.clear()
+      touched.foreach { case (n, _) => publishSizeStats(n, finals(n)) }
       if (touched.nonEmpty) {
         persistCatalog()
         touched.foreach { case (n, _) => publish(n) }
@@ -1450,7 +1607,7 @@ class Store(spark: SparkSession, val warehouse: String) {
             fs.delete(tablePath(n), true)
         } catch { case _: Exception => () }
     }
-    st.tables.clear(); st.evoCleared.clear()
+    st.tables.clear(); st.evoCleared.clear(); st.stagedNames.clear()
   }
 
   /** Savepoint rewind WITHIN the stage: delete staged versions above
@@ -1471,7 +1628,8 @@ class Store(spark: SparkSession, val warehouse: String) {
       }
       // an evolution clear staged by a now-undone REPLACE must not apply
       st.evoCleared.filterInPlace((t, v) => t != name || v <= floor)
-      if (floor <= e.base) { st.tables.remove(name); () }
+      e.deltaNames.filterInPlace((v, _) => v <= floor)
+      if (floor <= e.base) { st.tables.remove(name); st.stagedNames.remove(name); () }
       else e.count = floor - e.base
       floor
     }
@@ -1519,6 +1677,9 @@ class Store(spark: SparkSession, val warehouse: String) {
         ((v + 1) to expectedCurrent).foreach { i =>
           fs.delete(versionPath(name, i), true)
           dirAliases.remove((name, i))
+          // the slot may be re-published by a later write: a stale
+          // pure-insert registration must not survive into the reuse
+          committedInsertDeltas.remove((name, i))
         }
         persistCatalog()
         publish(name)
@@ -2281,10 +2442,15 @@ class Store(spark: SparkSession, val warehouse: String) {
       // both names gate like any write: a rename must neither move a
       // table out from under a staging txn nor land on one
       gateAcquire(from); gateAcquire(to)
+      awaitNoForeignStaging(from); awaitNoForeignStaging(to)
       fs.rename(tablePath(from), tablePath(to))
       invalidateSchemas(from)
       dirAliases.keysIterator.filter(_._1 == from).toSeq.foreach { k =>
         dirAliases((to, k._2)) = dirAliases(k); dirAliases.remove(k)
+      }
+      committedInsertDeltas.keysIterator.filter(_._1 == from).toSeq.foreach { k =>
+        committedInsertDeltas((to, k._2)) = committedInsertDeltas(k)
+        committedInsertDeltas.remove(k)
       }
       versions(to) = v
       versions.remove(from)
@@ -2387,8 +2553,11 @@ class Store(spark: SparkSession, val warehouse: String) {
     // from under it (PG: DROP TABLE queues on the owner's locks); our own
     // txn's gate passes, and its staged state for the table dies with it
     gateAcquire(name)
+    // gateless insert-only stagings hold no gate — wait for them too
+    awaitNoForeignStaging(name)
     Option(staging()).foreach { st =>
-      st.tables.remove(name); st.evoCleared.remove(name); ()
+      st.tables.remove(name); st.evoCleared.remove(name)
+      st.stagedNames.remove(name); ()
     }
     versions.remove(name)
     ivmViews.remove(name)
@@ -2402,6 +2571,8 @@ class Store(spark: SparkSession, val warehouse: String) {
     Tables.restoreView(spark, name)
     dirAliases.keysIterator.filter(_._1 == name).toSeq
       .foreach(dirAliases.remove)
+    committedInsertDeltas.keysIterator.filter(_._1 == name).toSeq
+      .foreach(committedInsertDeltas.remove)
     fs.delete(tablePath(name), true)
     persistCatalog()
   }
@@ -2793,11 +2964,29 @@ object Store {
     // version survived savepoint rewinds)
     private[graft] val evoCleared =
       scala.collection.mutable.LinkedHashMap[String, Int]()
+    // concurrent mirror of tables-with-writes: read by OTHER threads
+    // (DDL's foreign-staging guard) — `tables` itself is owner-thread-only
+    private[graft] val stagedNames =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     /** Tables with at least one staged (uncommitted) write. */
     def stagedTables: Seq[String] =
       tables.iterator.collect { case (n, e) if e.count > 0 => n }.toSeq
   }
-  private[graft] final class StagedTable(val base: Int) { var count: Int = 0 }
+  private[graft] final class StagedTable(val base: Int) {
+    var count: Int = 0
+    // Does every staged write so far ADD rows only (plain INSERT / COPY
+    // FROM)? Such a txn never claims the write gate and its COMMIT merges
+    // instead of aborting when the shared chain moved. Any replace/upsert/
+    // delete/merge/ON CONFLICT write flips this false for the txn's
+    // remainder (a savepoint rewind does not un-flip it — conservative:
+    // the txn keeps gate-serialized first-updater-wins behavior).
+    var insertOnly: Boolean = true
+    // staged version (overlay numbering) -> parquet file names that
+    // version ADDED — the txn's pure deltas, published into
+    // committedInsertDeltas at COMMIT and linked by other txns' merges
+    private[graft] val deltaNames =
+      scala.collection.mutable.LinkedHashMap[Int, Seq[String]]()
+  }
 
   /** One WHEN clause of a MERGE, in the statement's textual order; the
     * expression strings are Spark SQL resolving against the

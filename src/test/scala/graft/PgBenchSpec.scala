@@ -77,4 +77,30 @@ class PgBenchSpec extends SparkSpecBase {
       s"ledger out of balance: accounts=${sums(0)} tellers=${sums(1)} " +
         s"branches=${sums(2)} history=${sums(3)}")
   }
+
+  test("hot-table ingest: concurrent insert-only txns from parallel clients all commit") {
+    assume(bin("pgbench").isDefined, "no pgbench in this environment")
+    assume(bin("psql").isDefined, "no psql in this environment")
+    sql("CREATE TABLE hot_ingest (client int, n int, payload text)")
+    // a custom pgbench script that ONLY inserts into one table inside an
+    // explicit txn — the shape a multi-client syncer fan-in drives. Before
+    // the merge-commit path, same-table insert txns serialized on the
+    // write gate (lock timeouts at any real client count); now they must
+    // ALL commit, losing nothing.
+    val script = java.nio.file.Files.createTempFile("ins", ".sql")
+    java.nio.file.Files.writeString(script,
+      """BEGIN;
+        |INSERT INTO hot_ingest VALUES (:client_id, :scale, 'x');
+        |INSERT INTO hot_ingest VALUES (:client_id, :scale + 1, 'y');
+        |END;
+        |""".stripMargin)
+    val (rc, out) = pgbench("-n", "-c", "6", "-t", "4", "-f", script.toString)
+    assert(rc == 0, out.takeRight(1200))
+    assert(out.contains("number of transactions actually processed: 24/24"),
+      out.takeRight(600))
+    assert(out.contains("number of failed transactions: 0"), out.takeRight(600))
+    assert(sql("SELECT count(*) FROM hot_ingest") == "48",
+      "every concurrent insert txn's rows must land exactly once")
+    sql("DROP TABLE hot_ingest")
+  }
 }

@@ -909,4 +909,67 @@ class StoreSpec extends SparkSpecBase {
     assert(st2.read("jagg").orderBy("region", "cat").collect().toSeq ==
       fullRecompute(st2).orderBy("region", "cat").collect().toSeq)
   }
+
+  test("concurrent insert-only stagings both COMMIT; the second merges") {
+    import spark.implicits._
+    val st = freshStore()
+    st.replace("ci_t", Seq((1L, "a")).toDF("k", "v"))
+    val s1 = st.newStaging(); val s2 = st.newStaging()
+    st.withStaging(s1)(st.appendCompacting("ci_t", Seq((2L, "b")).toDF("k", "v")))
+    st.withStaging(s2)(st.appendCompacting("ci_t", Seq((3L, "c")).toDF("k", "v")))
+    assert(st.read("ci_t").count() == 1, "both stagings invisible")
+    st.commitStaging(s1)
+    assert(st.read("ci_t").count() == 2)
+    // s2's base moved: the insert-only commit MERGES (links s1's delta
+    // into its head) instead of raising a serialization failure
+    st.commitStaging(s2)
+    assert(st.read("ci_t").select("k").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    val cur = st.currentVersion("ci_t")
+    assert(st.readVersion("ci_t", cur - 1).count() == 2,
+      "merged history stays contiguous (time travel to the mid version)")
+    // a fresh mount resolves the merged version from the persisted catalog
+    val st2 = new Store(spark, st.warehouse)
+    assert(st2.read("ci_t").count() == 3)
+  }
+
+  test("an updater merges past interleaved registered insert commits (PG RR shape)") {
+    import spark.implicits._
+    val st = freshStore()
+    st.replace("um_t", Seq((1L, "old"), (2L, "keep")).toDF("k", "v"))
+    val u = st.newStaging()
+    st.withStaging(u)(
+      st.upsert("um_t", Seq((1L, "new")).toDF("k", "v"), "k")) // claims gate
+    // two gateless insert txns commit while the updater is open
+    Seq((3L, "i1"), (4L, "i2")).foreach { r =>
+      val i = st.newStaging()
+      st.withStaging(i)(st.appendCompacting("um_t", Seq(r).toDF("k", "v")))
+      st.commitStaging(i)
+    }
+    assert(st.read("um_t").count() == 4)
+    assert(st.read("um_t").filter(col("k") === 1L).head.getString(1) == "old",
+      "updater still uncommitted")
+    // base moved only past REGISTERED pure-insert deltas: the updater's
+    // COMMIT links them into its COW head — PG RR: concurrently-inserted
+    // rows are invisible to the update and survive it
+    st.commitStaging(u)
+    val got = st.read("um_t").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "new"), (2L, "keep"), (3L, "i1"), (4L, "i2")), got)
+  }
+
+  test("insert-only staging commits past an UNREGISTERED interleave via carry") {
+    import spark.implicits._
+    val st = freshStore()
+    st.replace("cf_t", Seq((1L, "a")).toDF("k", "v"))
+    val s = st.newStaging()
+    st.withStaging(s)(st.appendCompacting("cf_t", Seq((2L, "b")).toDF("k", "v")))
+    // a compacting autocommit append rewrites small files — its delta is
+    // impure, so it does NOT register; the insert txn must fall back to
+    // carrying the current version + its own delta files
+    st.appendCompacting("cf_t", Seq((3L, "c")).toDF("k", "v"))
+    st.commitStaging(s)
+    assert(st.read("cf_t").select("k").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+  }
 }

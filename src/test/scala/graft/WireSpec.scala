@@ -936,6 +936,45 @@ class WireSpec extends SparkSpecBase {
     } finally { c1.close(); c2.close() }
   }
 
+  test("concurrent INSERT-only txns on one table both COMMIT (no serialization error)") {
+    val c1 = new Client(server._2); c1.startup()
+    val c2 = new Client(server._2); c2.startup()
+    val rr = new Client(server._2); rr.startup()
+    def count(c: Client): Long = {
+      val rows = c.query("SELECT count(*) AS n FROM cins_t").filter(_._1 == 'D')
+      dataRowValues(rows.head._2).head.toLong
+    }
+    def ok(c: Client, sql: String): Unit = {
+      val msgs = c.query(sql)
+      val err = msgs.find(_._1 == 'E').map(m => new String(m._2, UTF_8))
+      assert(err.isEmpty, s"'$sql' must not error: $err")
+    }
+    try {
+      ok(c1, "CREATE TABLE cins_t (k bigint, v text)")
+      ok(c1, "INSERT INTO cins_t VALUES (0, 'base')")
+      // an RR reader pins BEFORE either insert txn commits
+      ok(rr, "BEGIN ISOLATION LEVEL REPEATABLE READ")
+      assert(count(rr) == 1L) // pin
+      // both sockets open txns and INSERT into the SAME table — PG's
+      // row-level locking lets both proceed; neither blocks nor aborts
+      ok(c1, "BEGIN"); ok(c2, "BEGIN")
+      ok(c1, "INSERT INTO cins_t VALUES (1, 'a'), (2, 'a')")
+      ok(c2, "INSERT INTO cins_t VALUES (3, 'b')")
+      ok(c1, "COMMIT")
+      ok(c2, "COMMIT") // base moved: merge commit, NOT 40001
+      assert(count(c1) == 4L, "both txns' rows must survive the merge")
+      val ks = c1.query("SELECT k FROM cins_t ORDER BY k").filter(_._1 == 'D')
+        .map(m => dataRowValues(m._2).head)
+      assert(ks == Seq("0", "1", "2", "3"), ks)
+      // the pinned RR reader still sees NEITHER insert
+      assert(count(rr) == 1L,
+        "an RR txn pinned before both commits must see neither")
+      ok(rr, "COMMIT")
+      assert(count(rr) == 4L)
+      ok(c1, "DROP TABLE cins_t")
+    } finally { c1.close(); c2.close(); rr.close() }
+  }
+
   test("exported snapshot adopted ACROSS connections pins both to one version") {
     val leader = new Client(server._2); leader.startup()
     val worker = new Client(server._2); worker.startup()
