@@ -229,7 +229,8 @@ object Bench {
       val server = new PgWireServer(spark, store, 0)
       val port = server.start()
       val copySql = "COPY (SELECT * FROM lineitem) TO STDOUT"
-      def drain(): (Long, Long, Double) = {
+      val selectSql = "SELECT * FROM lineitem"
+      def drainSql(sql0: String): (Long, Long, Double) = {
         val sock = new java.net.Socket("127.0.0.1", port)
         sock.setTcpNoDelay(true)
         val in = new java.io.DataInputStream(
@@ -244,14 +245,14 @@ object Bench {
           val t = in.read().toChar; val n = in.readInt()
           in.skipNBytes(n - 4); if (t == 'Z') ready = true
         }
-        val q = copySql.getBytes("UTF-8")
+        val q = sql0.getBytes("UTF-8")
         val t0 = System.nanoTime()
         out.writeByte('Q'); out.writeInt(4 + q.length + 1)
         out.write(q); out.writeByte(0); out.flush()
         var rows = 0L; var bytes = 0L; var done = false
         while (!done) {
           val t = in.read().toChar; val n = in.readInt()
-          if (t == 'd') { rows += 1; bytes += n - 4 }
+          if (t == 'd' || t == 'D') { rows += 1; bytes += n - 4 }
           in.skipNBytes(n - 4)
           if (t == 'Z') done = true
         }
@@ -259,8 +260,13 @@ object Bench {
         sock.close()
         (rows, bytes, sec)
       }
+      def drain(): (Long, Long, Double) = drainSql(copySql)
       drain() // untimed warmup (encoder JIT, scan cache)
       val best = (1 to 3).map(_ => drain()).minBy(_._3)
+      // the plain-SELECT funnel (what a BI tool or bare psql uses):
+      // DataRow framing, executor-parallel since r12
+      drainSql(selectSql)
+      val selBest = (1 to 3).map(_ => drainSql(selectSql)).minBy(_._3)
       // control: same rows to the driver, no text encode, no socket
       val df = spark.sql("SELECT * FROM lineitem")
       def rawDrain(): Double = {
@@ -272,13 +278,18 @@ object Bench {
       rawDrain()
       val raw = (1 to 3).map(_ => rawDrain()).min
       val (rows, bytes, sec) = best
+      val (selRows, _, selSec) = selBest
       val detail =
         f""""wire":{"copy":"$copySql","rows":$rows,"bytes":$bytes,""" +
           f""""sec":$sec%.3f,"rows_per_sec":${rows / sec}%.0f,""" +
           f""""mb_per_sec":${bytes / sec / 1e6}%.1f,""" +
-          f""""raw_drain_sec":$raw%.3f,"vs_raw":${sec / raw}%.2f},"""
+          f""""raw_drain_sec":$raw%.3f,"vs_raw":${sec / raw}%.2f,""" +
+          f""""select_drain_sec":$selSec%.3f,""" +
+          f""""select_rows_per_sec":${selRows / selSec}%.0f,""" +
+          f""""select_vs_copy":${selSec / sec}%.2f},"""
       val compact =
-        f""""wire_rows_per_sec":${rows / sec}%.0f,"wire_vs_raw":${sec / raw}%.2f,"""
+        f""""wire_rows_per_sec":${rows / sec}%.0f,"wire_vs_raw":${sec / raw}%.2f,""" +
+        f""""select_rows_per_sec":${selRows / selSec}%.0f,"""
       (detail, compact)
     }.recover { case e =>
       System.err.println(s"[bench] wire block failed: ${e.getMessage}")

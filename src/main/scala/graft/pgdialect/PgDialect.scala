@@ -1624,6 +1624,13 @@ object PgDialect {
     // ANSI FETCH FIRST/NEXT (PG accepts both) -> LIMIT; Spark has LIMIT only
     s = s.replaceAll("(?i)\\bFETCH\\s+(?:FIRST|NEXT)\\s+(\\d+)\\s+ROWS?\\s+ONLY", "LIMIT $1")
     s = s.replaceAll("(?i)\\bFETCH\\s+(?:FIRST|NEXT)\\s+ROWS?\\s+ONLY", "LIMIT 1")
+    // the STANDARD pagination idiom puts OFFSET before the fetch clause
+    // (`OFFSET n [ROW|ROWS] FETCH FIRST m ROWS ONLY`); Spark's grammar
+    // only accepts LIMIT-then-OFFSET, so reorder what the rewrite above
+    // produced, and strip the ROW/ROWS noise word off a bare OFFSET
+    s = s.replaceAll("(?i)\\bOFFSET\\s+(\\d+)\\s+(?:ROWS?\\s+)?LIMIT\\s+(\\d+)",
+      "LIMIT $2 OFFSET $1")
+    s = s.replaceAll("(?i)\\bOFFSET\\s+(\\d+)\\s+ROWS?\\b(?!\\s*\\()", "OFFSET $1")
     // Window frame EXCLUDE CURRENT ROW (PG 11+) for the invertible
     // aggregates sum/count/avg: Spark has no EXCLUDE mode, but the
     // exclusive result is the inclusive one minus the current row's

@@ -51,6 +51,17 @@ object PgDialectOps {
         FETCH FIRST 15 ROWS ONLY""")
     },
 
+    // the STANDARD pagination idiom: OFFSET before FETCH (Spark grammar
+    // needs LIMIT-then-OFFSET, so the rewrite must reorder)
+    Q("pd_offset_fetch", Some("""
+      SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 5""")) { (s, dir) =>
+      run(s, """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        OFFSET 5 ROWS FETCH NEXT 20 ROWS ONLY""")
+    },
+
     // FILTER over a window -> CASE argument
     Q("pd_window_filter", Some("""
       SELECT event_id, user_id,

@@ -250,6 +250,44 @@ object PgText {
     * mapPartitions on executor tasks; the driver concatenates chunks in
     * partition order (which preserves any ORDER BY: a global sort
     * range-partitions, and within-partition order survives mapPartitions). */
+  /** Executor-side DataRow framing for fat plain-SELECT drains: encodes
+    * rows into ~1 MiB chunks of pre-framed 'D' (DataRow, text format)
+    * messages, the protocol twin of [[encodeCopyChunks]]. The driver's
+    * per-byte work collapses to pumping chunks into the socket — the same
+    * scaling property COPY got, for the path a BI tool or
+    * `psql -c "SELECT * FROM big"` actually uses. */
+  def encodeDataRowChunks(rows: Iterator[Row], fields: Array[StructField])
+      : Iterator[(Long, Array[Byte])] =
+    new Iterator[(Long, Array[Byte])] {
+      def hasNext: Boolean = rows.hasNext
+      def next(): (Long, Array[Byte]) = {
+        val buf = new java.io.ByteArrayOutputStream(1 << 20)
+        val d = new java.io.DataOutputStream(buf)
+        val cell = new java.io.ByteArrayOutputStream(256)
+        val cd = new java.io.DataOutputStream(cell)
+        var n = 0L
+        while (rows.hasNext && buf.size < (1 << 20)) {
+          val row = rows.next()
+          cell.reset()
+          cd.writeShort(fields.length)
+          var i = 0
+          while (i < fields.length) {
+            if (row.isNullAt(i)) cd.writeInt(-1)
+            else {
+              val bytes = textEncodeField(row, i, fields(i))
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              cd.writeInt(bytes.length); cd.write(bytes)
+            }
+            i += 1
+          }
+          d.writeByte('D'); d.writeInt(4 + cell.size())
+          cell.writeTo(buf)
+          n += 1
+        }
+        (n, buf.toByteArray)
+      }
+    }
+
   def encodeCopyChunks(rows: Iterator[Row], fields: Array[StructField],
       csv: Boolean): Iterator[(Long, Array[Byte])] =
     new Iterator[(Long, Array[Byte])] {

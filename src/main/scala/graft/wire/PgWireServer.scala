@@ -71,7 +71,9 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
         * Parse/Bind/Execute of INSERT/UPDATE/…); df is null then. */
       val command: Option[String] = None) {
     var ranTag: String = _ // command portals run once; re-Execute replays the tag
-    lazy val rows: java.util.Iterator[Row] = df.toLocalIterator()
+    var iterStarted = false // the suspendable per-row iterator was engaged
+    var exhausted = false // fully drained by the parallel chunk path
+    lazy val rows: java.util.Iterator[Row] = { iterStarted = true; df.toLocalIterator() }
     var sent = 0L // rows streamed so far (pg_stat_statements feed)
     var noted = false // stats recorded once per portal drain
     val bound: Long = System.nanoTime()
@@ -304,13 +306,27 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
                     }
                   case None =>
                     val schema = p.df.schema
-                    var n = 0
-                    while (p.rows.hasNext && (maxRows <= 0 || n < maxRows)) {
-                      dataRow(out, p.rows.next(), schema, p.fmt)
-                      n += 1
+                    var n = 0L
+                    // an UNLIMITED Execute of a fresh all-text portal is a
+                    // full drain: same executor-parallel chunk path as the
+                    // simple protocol (JDBC with fetchSize=0 lands here);
+                    // limited/binary/partially-drained portals keep the
+                    // suspendable per-row iterator
+                    val fullDrain = maxRows <= 0 && !p.iterStarted &&
+                      !p.exhausted && p.resultFormats.forall(_ == 0)
+                    if (fullDrain) {
+                      n = sendDataRowsBody(out, p.df)
+                      p.exhausted = true
+                    } else {
+                      while (!p.exhausted && p.rows.hasNext &&
+                          (maxRows <= 0 || n < maxRows)) {
+                        dataRow(out, p.rows.next(), schema, p.fmt)
+                        n += 1
+                      }
                     }
                     p.sent += n
-                    if (p.rows.hasNext) msg(out, 's') { _ => } // PortalSuspended
+                    if (!p.exhausted && p.rows.hasNext)
+                      msg(out, 's') { _ => } // PortalSuspended
                     else {
                       commandComplete(out, s"SELECT $n")
                       // extended-protocol statement completed: record the
@@ -1129,28 +1145,54 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
       bout.write(PgText.frameLine(
         schema.fieldNames.map(PgText.csvQuote).mkString(",")))
     val fields = schema.fields
+    val n = drainChunks(bout, df,
+      rows => PgText.encodeCopyChunks(rows, fields, csv))
+    bout.flush() // hand the (unbuffered) stream back in order
+    msg(out, 'c') { _ => }
+    commandComplete(out, s"COPY $n")
+    n
+  }
+
+  /** Is the frame's OUTPUT ordered by a top-level global Sort? Unwraps the
+    * order-preserving wrappers the analyzer leaves above it (projections,
+    * aliases, LIMIT/OFFSET/FETCH — a limit of sorted rows is sorted — and
+    * CTE scaffolding). Misclassifying sorted-as-unsorted would stream an
+    * ORDER BY out of order; the reverse only costs parallelism. */
+  private def topSorted(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      GlobalLimit, LocalLimit, LogicalPlan, Offset, Project, Sort,
+      SubqueryAlias, WithCTE}
+    def unwrap(p: LogicalPlan): LogicalPlan = p match {
+      case Project(_, c) => unwrap(c)
+      case SubqueryAlias(_, c) => unwrap(c)
+      case GlobalLimit(_, c) => unwrap(c)
+      case LocalLimit(_, c) => unwrap(c)
+      case Offset(_, c) => unwrap(c)
+      case WithCTE(c, _) => unwrap(c)
+      case other => other
+    }
+    unwrap(df.queryExecution.analyzed) match {
+      case s: Sort => s.global
+      case _ => false
+    }
+  }
+
+  /** Shared drain pump for executor-framed wire output (COPY CopyData
+    * chunks, fat-SELECT DataRow chunks): when the result is big and its
+    * order free, encode in parallel and pump partition batches; otherwise
+    * stream partitions in order (a global sort is range-partitioned, so
+    * in-order concatenation IS the sorted output — still executor-encoded).
+    * Returns rows written to `bout` (caller flushes). */
+  private def drainChunks(bout: java.io.BufferedOutputStream, df: DataFrame,
+      chunk: Iterator[Row] => Iterator[(Long, Array[Byte])]): Long = {
     // A bulk export that arrives as ONE scan partition (a single parquet
     // file) would encode on one task; round-robin it across the cores
     // first — UNLESS the query carries a top-level ORDER BY (whose
     // range-partitioned order must stream out intact) or is small enough
     // that a shuffle costs more than it buys.
-    val topSorted = {
-      import org.apache.spark.sql.catalyst.plans.logical.{Project, Sort, SubqueryAlias}
-      def unwrap(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
-          : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = p match {
-        case Project(_, c) => unwrap(c)
-        case SubqueryAlias(_, c) => unwrap(c)
-        case other => other
-      }
-      unwrap(df.queryExecution.analyzed) match {
-        case s: Sort => s.global
-        case _ => false
-      }
-    }
-    val bigUnsorted = !topSorted &&
+    val bigUnsorted = !topSorted(df) &&
       df.queryExecution.optimizedPlan.stats.sizeInBytes > copyParallelMinBytes
-    def chunked(d: DataFrame) = d.mapPartitions(
-      rows => PgText.encodeCopyChunks(rows, fields, csv))(
+    def chunked(d: DataFrame) = d.mapPartitions(chunk)(
       org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.BINARY))
@@ -1188,15 +1230,10 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
           })
       }
     } else {
-      // sorted or small: stream partitions in order (a global sort is
-      // range-partitioned, so in-order concatenation IS the sorted output)
       chunked(df).toLocalIterator().forEachRemaining { case (cnt, blob) =>
         bout.write(blob); n += cnt
       }
     }
-    bout.flush() // hand the (unbuffered) stream back in order
-    msg(out, 'c') { _ => }
-    commandComplete(out, s"COPY $n")
     n
   }
 
@@ -1281,13 +1318,34 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
   private def sendDataRows(out: DataOutputStream, df: DataFrame,
       tagPrefix: String = "SELECT"): Long = {
     val schema = df.schema
-    var n = 0
-    df.toLocalIterator().forEachRemaining { row =>
-      dataRow(out, row, schema)
-      n += 1
-    }
+    val n = sendDataRowsBody(out, df)
     commandComplete(out, s"$tagPrefix $n")
-    n.toLong
+    n
+  }
+
+  /** DataRow stream for a FULL drain (no portal row limit): fat results
+    * encode on executor tasks through the COPY chunk pump (the pre-r12
+    * per-row toLocalIterator funnel capped any BI tool or `psql -c
+    * "SELECT * FROM big"` at ~132k rows/s on one driver thread); small
+    * results keep the per-row path, whose latency is lower than a chunk
+    * job's scheduling floor. */
+  private def sendDataRowsBody(out: DataOutputStream, df: DataFrame): Long = {
+    val schema = df.schema
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes > copyParallelMinBytes) {
+      val fields = schema.fields
+      val bout = new java.io.BufferedOutputStream(out, 1 << 16)
+      val n = drainChunks(bout, df,
+        rows => PgText.encodeDataRowChunks(rows, fields))
+      bout.flush()
+      n
+    } else {
+      var n = 0L
+      df.toLocalIterator().forEachRemaining { row =>
+        dataRow(out, row, schema)
+        n += 1
+      }
+      n
+    }
   }
 
   // text-format value encoding lives in [[PgText]] (a serializable object,

@@ -1042,6 +1042,47 @@ class WireSpec extends SparkSpecBase {
     }
   }
 
+  test("fat plain SELECT drains executor-parallel; ORDER BY (even under FETCH) stays ordered") {
+    val c = new Client(server._2); c.startup()
+    val srv = server._1
+    val (m0, t0, j0) =
+      (srv.copyParallelMinBytes, srv.copyTaskBytes, srv.copyJobBytes)
+    try {
+      c.query("CREATE TABLE fatsel_t AS SELECT g AS k, 'v' || g AS v " +
+        "FROM generate_series(1, 5000) g")
+      // shrink the thresholds so this table takes the SAME chunked path a
+      // fat BI-tool SELECT takes
+      srv.copyParallelMinBytes = 1L
+      srv.copyTaskBytes = 4096L
+      srv.copyJobBytes = 8192L
+      // unordered: the parallel pump may emit any order, but every row
+      // exactly once, and the tag must count them all
+      val msgs = c.query("SELECT * FROM fatsel_t")
+      val ids = msgs.filter(_._1 == 'D').map(m =>
+        dataRowValues(m._2).head.toLong).sorted
+      assert(ids == (1L to 5000L), "no row may duplicate or vanish")
+      val tag = msgs.reverse.collectFirst {
+        case ('C', b) => new String(b, UTF_8).stripSuffix(" ") }
+      assert(tag.contains("SELECT 5000"), s"tag: $tag")
+      // ORDER BY: output must arrive IN ORDER (the sorted stream path)
+      val ordered = c.query("SELECT k FROM fatsel_t ORDER BY k DESC")
+        .filter(_._1 == 'D').map(m => dataRowValues(m._2).head.toLong)
+      assert(ordered == (5000L to 1L by -1L),
+        "a big ORDER BY drain must stream range-partition order intact")
+      // the detector must see a Sort under a FETCH/LIMIT wrapper too —
+      // misclassifying would emit the limited sort out of order
+      val fetched = c.query(
+        "SELECT k FROM fatsel_t ORDER BY k OFFSET 10 FETCH FIRST 200 ROWS ONLY")
+        .filter(_._1 == 'D').map(m => dataRowValues(m._2).head.toLong)
+      assert(fetched == (11L to 210L),
+        "LIMIT/OFFSET above a Sort must keep the ordered stream path")
+      c.query("DROP TABLE fatsel_t")
+    } finally {
+      srv.copyParallelMinBytes = m0; srv.copyTaskBytes = t0; srv.copyJobBytes = j0
+      c.close()
+    }
+  }
+
   test("an RR writer queued on the gate wakes to a serialization failure, PG-exactly") {
     val c1 = new Client(server._2); c1.startup()
     val c2 = new Client(server._2); c2.startup()
