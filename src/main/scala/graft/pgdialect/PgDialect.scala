@@ -238,7 +238,7 @@ object PgDialect {
     val pin = txn.readSnapshot(store).getOrElse(Map.empty)
     if (staged.isEmpty && pin.isEmpty) return df
     val analyzed = df.queryExecution.analyzed
-    val bound = rebindPlan(spark, store, staged, pin, analyzed)
+    val bound = rebindPlan(spark, store, staged, pin, analyzed, txn.noteRead)
     if (bound eq analyzed) df
     else org.apache.spark.sql.GraftSql.ofRows(spark, bound)
   }
@@ -296,7 +296,8 @@ object PgDialect {
 
   private def rebindPlan(spark: SparkSession, store: Store,
       staged: Map[String, String], pin: Map[String, Int],
-      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      noteRead: (String, Int) => Unit = (_, _) => ())
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, View}
     import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression, SubqueryExpression}
@@ -306,6 +307,10 @@ object PgDialect {
       case h: HadoopFsRelation if h.location.rootPaths.size == 1 =>
         store.parseVersionDir(h.location.rootPaths.head) match {
           case Some((t, k)) =>
+            // SSI read-set feed: reads of the SHARED chain record the
+            // version this txn logically reads (the pin); reads of the
+            // txn's own staged chain are no rw-antidependency
+            if (!staged.contains(t)) noteRead(t, pin.getOrElse(t, k))
             // staged-own-writes first (a txn sees its writes whatever the
             // isolation level), then the RR pin. Staged dirs are txn-
             // transient (savepoint rewinds can delete and RECREATE the
@@ -563,6 +568,26 @@ object PgDialect {
       if (active && repeatable) pinned = pinned.map(_.updated(table, v))
     private[graft] def isRepeatable: Boolean = active && repeatable
 
+    // ---- SERIALIZABLE read set (SSI, first-committer-wins) ---------------
+    // Under SERIALIZABLE the plan rebind records the SHARED version of
+    // every store relation a statement reads (first read wins; reads of
+    // the txn's own staged chain are no rw-antidependency and are not
+    // recorded). COMMIT re-checks the set under the table locks: a read
+    // table whose committed version moved raises PG's serialization
+    // failure. Conservative vs PG's SSI — PG aborts only when a full
+    // dangerous structure exists, this aborts on any rw-antidependency
+    // into a committed writer — but never wrong: every accepted schedule
+    // is serializable at the pin point. Cross-table write skew (A reads
+    // t1/writes t2, B reads t2/writes t1) now aborts one txn like PG,
+    // where REPEATABLE READ commits both.
+    private val readVersions = scala.collection.mutable.LinkedHashMap[String, Int]()
+    private[graft] def isSerializable: Boolean =
+      active && repeatable && levelName == "serializable"
+    private[graft] def noteRead(table: String, v: Int): Unit =
+      if (isSerializable && !readVersions.contains(table)) readVersions(table) = v
+    private[graft] def serializableReads: Map[String, Int] =
+      if (isSerializable) readVersions.toMap else Map.empty
+
     // SET LOCAL / set_config(…, true): the setting reverts at txn END
     // (commit or rollback alike — PG semantics). Restores run on the
     // connection thread, inside its bound settings scope.
@@ -589,7 +614,7 @@ object PgDialect {
     def inTxn: Boolean = active
     def isAborted: Boolean = active && failed
     private[graft] def markFailed(): Unit = if (active) failed = true
-    def begin(): Unit = { active = true; failed = false; staging = null; repeatable = false; levelName = "read committed"; pinned = None; localSettings.clear(); endHooks.clear(); writes.clear(); savepoints.clear(); viewOps.clear() }
+    def begin(): Unit = { active = true; failed = false; staging = null; repeatable = false; levelName = "read committed"; pinned = None; localSettings.clear(); endHooks.clear(); writes.clear(); savepoints.clear(); viewOps.clear(); readVersions.clear() }
     /** COMMIT: atomically publish the staged writes into the shared chain
       * (Store.commitStaging — one catalog commit covers every staged
       * table). A publish failure rolls the whole txn back and re-raises,
@@ -599,7 +624,7 @@ object PgDialect {
       val st = staging
       staging = null
       if (st != null) {
-        try store.commitStaging(st)
+        try store.commitStaging(st, serializableReads)
         catch {
           case e: Exception =>
             // failed COMMIT = ROLLBACK (PG); staged dirs are already
@@ -608,7 +633,7 @@ object PgDialect {
             throw UnsupportedQuery(e.getMessage)
         }
       }
-      unregisterPins(this); restoreLocalSettings(); active = false; failed = false; repeatable = false; pinned = None; writes.clear(); savepoints.clear(); viewOps.clear()
+      unregisterPins(this); restoreLocalSettings(); active = false; failed = false; repeatable = false; pinned = None; writes.clear(); savepoints.clear(); viewOps.clear(); readVersions.clear()
     }
     private[graft] def noteWrite(table: String, from: Int, to: Int): Unit =
       if (active) writes.get(table) match {
@@ -700,6 +725,7 @@ object PgDialect {
       writes.clear()
       savepoints.clear()
       viewOps.clear()
+      readVersions.clear()
       if (failures.nonEmpty) throw UnsupportedQuery(
         "ROLLBACK could not undo all writes — " + failures.mkString("; "))
     }

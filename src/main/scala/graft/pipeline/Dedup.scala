@@ -167,11 +167,19 @@ object Dedup {
   /** LSH candidate pairs from the cached shingle frame: per-band bucket
     * hashing, clique expansion in small buckets, star linking in oversized
     * ones. Exposed for the skew spec, which pins the candidate volume. */
-  private[graft] def lshCandidates(d: DataFrame): DataFrame = {
-    val sig = d.select(col("doc_id"), signatureCol.as("sig"))
-    val bands = sig.select(col("doc_id"),
-        posexplode(expr(s"transform(sequence(0, ${BANDS - 1}), " +
-          s"b -> hash(slice(sig, b * $R + 1, $R)))")).as(Seq("band", "bucket")))
+  private[graft] def lshCandidates(d: DataFrame): DataFrame =
+    lshCandidatesFromBands(
+      bandsFromSig(d.select(col("doc_id"), signatureCol.as("sig"))))
+
+  /** (doc_id, band, bucket) from a (doc_id, sig) frame — a pure column
+    * transform (16 hash slices of the stored signature), so re-deriving
+    * bands from a PERSISTED signature index never re-shingles anything. */
+  private[graft] def bandsFromSig(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"),
+      posexplode(expr(s"transform(sequence(0, ${BANDS - 1}), " +
+        s"b -> hash(slice(sig, b * $R + 1, $R)))")).as(Seq("band", "bucket")))
+
+  private[graft] def lshCandidatesFromBands(bands: DataFrame): DataFrame = {
     // occupancy + representative in one pass, same (band, bucket) key as
     // the join below — co-partitioned, no extra shuffle stage shape
     val sizes = bands.groupBy("band", "bucket")
@@ -193,6 +201,60 @@ object Dedup {
     * [[MinHashSigs]] expression (one array walk instead of K, no per-
     * (seed, shingle) concat allocation — see MinHashUtil.sigs). */
   private def signatureCol: Column = GraftExpressions.minhash_sigs(col("sh"), K)
+
+  // ---- incremental batch-vs-corpus dedup (persisted MinHash index) -------
+  // A training-data pipeline dedups each ingest batch against the standing
+  // corpus; re-shingling 100 TB per daily batch is the whole-corpus-
+  // recompute anti-pattern. The persisted index row is
+  // (doc_id, sh, sig): the signature drives LSH banding (bands re-derive
+  // from sig by a column transform — bandsFromSig), the shingle set drives
+  // the exact-Jaccard verify, so a batch probe touches ONLY the index and
+  // the batch — never the corpus documents table. At 100 TB the sh column
+  // dominates index size (~corpus text); the slim variant stores sig only
+  // and verifies by signature agreement, trading exactness for space —
+  // this one keeps the exact verify so probe output is bit-identical to a
+  // full recompute (the correctness gate proves that equivalence).
+
+  /** The per-doc index frame: (doc_id, sh, sig) from arbitrary id/text
+    * column names. Scan-side only — no shuffle. */
+  private[graft] def minhashIndexFrame(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    GraftExpressions.register(docs.sparkSession)
+    shingleSets(docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+      .select(col("doc_id"), col("sh"), signatureCol.as("sig"))
+  }
+
+  /** Near-dup pairs INVOLVING the batch, against a persisted index: LSH
+    * banding over (index ∪ batch) signatures — the index side is a column
+    * transform over stored sigs, zero re-shingling — then the exact
+    * Jaccard verify on the stored shingle sets. Corpus-internal pairs are
+    * excluded (they were reported when THEIR batch arrived), so across an
+    * ingest history the union of probe outputs equals a full recompute.
+    * Scale shape: the only shuffles carry (band, bucket, doc_id) scalars
+    * and the candidate id pairs; shingle arrays move only for matched ids.
+    * The batch side is a broadcast-sized semi-join filter. */
+  private[graft] def minhashProbe(idx: DataFrame, batch: DataFrame,
+      tau: Double): DataFrame = {
+    val all = idx.select("doc_id", "sh", "sig")
+      .unionByName(batch.select("doc_id", "sh", "sig"))
+    val cand = lshCandidatesFromBands(bandsFromSig(all.select("doc_id", "sig")))
+    val batchIds = batch.select(col("doc_id"))
+    // pairs with at least one batch member (id order from the LSH is
+    // id_a < id_b, so a cross pair can carry the batch id on either side)
+    val withBatch = SafeOps.distinctRows(
+      cand.join(broadcast(batchIds.select(col("doc_id").as("id_a"))), Seq("id_a"), "left_semi")
+        .select("id_a", "id_b")
+        .unionByName(
+          cand.join(broadcast(batchIds.select(col("doc_id").as("id_b"))), Seq("id_b"), "left_semi")
+            .select("id_a", "id_b")))
+    val withSets = withBatch
+      .join(all.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(all.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val j = inter / (size(col("sh_a")) + size(col("sh_b")) - inter)
+    withSets.filter(j >= tau)
+      .select(col("id_a"), col("id_b"), round(j, 6).as("jaccard"))
+  }
 
   /** (vec_id, v): embeddings double-cast for engine-identical arithmetic. */
   private def normalizedVecs(e: DataFrame): DataFrame =
@@ -384,6 +446,27 @@ object Dedup {
     // verify step removes false candidates, so LSH output == exact output.
     Q("dd_minhash_lsh", Some(jaccardOracle)) { (s, dir) =>
       minhashLshPairs(t(s, dir, "documents"), 0.9)
+    },
+
+    // Incremental batch-vs-corpus dedup, end to end through the WRITE
+    // PATH: documents arrive in three ingest batches; the Store's dedup
+    // hook keeps the persisted (sig, shingles) index and the verified
+    // pair table current after each commit, each batch PROBING the index
+    // (zero corpus re-shingling — PipelineSpec pins the probe plan reads
+    // no documents scan). The accumulated pair table must equal a full
+    // recompute over the union — the same exact-Jaccard oracle as
+    // dd_minhash_lsh.
+    Q("dd_incremental", Some(jaccardOracle)) { (s, dir) =>
+      val store = new Store(s,
+        java.nio.file.Files.createTempDirectory("graft-ddinc").toString)
+      val docs = t(s, dir, "documents")
+      store.replace("ddinc_docs", docs.filter(pmod(col("doc_id"), lit(3)) === 0))
+      store.enableDedupIndex("ddinc_docs", "doc_id", "text", 0.9)
+      (1L to 2L).foreach { i =>
+        store.appendCompacting("ddinc_docs",
+          docs.filter(pmod(col("doc_id"), lit(3)) === i))
+      }
+      store.read(store.dedupPairsTable("ddinc_docs")).orderBy("id_a", "id_b")
     },
 
     // SimHash: 60-bit signature from shingle-hash bit votes (shingles, not

@@ -288,7 +288,10 @@ class Store(spark: SparkSession, val warehouse: String) {
     * other connection; durability and visibility happen together at
     * [[commitStaging]]. */
   private def commitWrite(name: String): Unit =
-    if (!stagedHere(name)) { persistCatalog(); publish(name) }
+    if (!stagedHere(name)) {
+      persistCatalog(); publish(name)
+      maybeRefreshDedupIndex(name)
+    }
 
   /** Auto-feed planner statistics from the write path: every commit
     * publishes the new snapshot's exact row count and measured bytes into
@@ -1447,14 +1450,31 @@ class Store(spark: SparkSession, val warehouse: String) {
     * contract ObjectStoreFs models), where the production-scale answer is
     * an Iceberg-style manifest re-point — the catalog-flip design here is
     * deliberately one indirection away from that. */
-  private[graft] def commitStaging(st: Store.TxnStaging): Unit = {
-    val names = st.tables.keys.toSeq.sorted
+  private[graft] def commitStaging(st: Store.TxnStaging,
+      serialReads: Map[String, Int] = Map.empty): Unit = {
+    // SERIALIZABLE read-set tables lock too: the rw-antidependency check
+    // below must be atomic with this txn's publish
+    val names = (st.tables.keys ++ serialReads.keys).toSeq.distinct.sorted
     def locked[T](rest: Seq[String])(body: => T): T = rest match {
       case Seq() => body
       case h +: t => withTableLock(h)(locked(t)(body))
     }
     try locked(names) {
       def cur(n: String) = versions.getOrElse(n, 0)
+      // SSI first-committer-wins: a table this txn READ whose committed
+      // version moved past the read carries an rw-antidependency into a
+      // committed writer — abort with PG's serialization failure (the
+      // substring maps to SQLSTATE 40001 on the wire). Runs before any
+      // publish work so an abort leaves the shared chain untouched.
+      val rw = serialReads.collect {
+        case (t, v) if cur(t) != v => t
+      }
+      if (rw.nonEmpty) {
+        abortStagedDirs(st)
+        throw new IllegalStateException(
+          "could not serialize access due to read/write dependencies " +
+            "among transactions (" + rw.mkString(", ") + ")")
+      }
       // Merge eligibility when the shared chain moved past the txn's base:
       // (a) every interleaved version is a REGISTERED pure-insert delta —
       //     any entry (insert or update/delete COW) merges by linking
@@ -1574,6 +1594,7 @@ class Store(spark: SparkSession, val warehouse: String) {
       if (touched.nonEmpty) {
         persistCatalog()
         touched.foreach { case (n, _) => publish(n) }
+        touched.foreach { case (n, _) => maybeRefreshDedupIndex(n) }
       }
     } finally {
       gateRelease(st)
@@ -2452,6 +2473,8 @@ class Store(spark: SparkSession, val warehouse: String) {
         committedInsertDeltas((to, k._2)) = committedInsertDeltas(k)
         committedInsertDeltas.remove(k)
       }
+      dedupIndexes.remove(from).foreach(dedupIndexes(to) = _)
+      dedupIndexedVersion.remove(from).foreach(dedupIndexedVersion(to) = _)
       versions(to) = v
       versions.remove(from)
       spark.catalog.dropTempView(from)
@@ -2548,6 +2571,97 @@ class Store(spark: SparkSession, val warehouse: String) {
   def tableNames: Seq[String] =
     (versions.keySet -- matviewDefs.keySet).toSeq.sorted
 
+  // ---- near-duplicate (MinHash) index maintenance --------------------------
+  // The write path keeps a persisted signature/shingle index and a verified
+  // near-dup pair table current for registered document tables, so a daily
+  // ingest batch dedups against the standing corpus by PROBING the index —
+  // O(batch) work, zero corpus re-shingling (pipeline/Dedup.minhashProbe).
+  // Maintenance is change-feed driven: after any committed write the file
+  // diff between the last indexed version and the new one yields row-level
+  // inserts/deletes; deletes drop index rows and their pairs, inserts probe
+  // and append. Registration is session-scoped (the tables themselves are
+  // durable store tables; a fresh mount re-enables with one call, which
+  // resumes incrementally from the persisted index content).
+  private val dedupIndexes = TrieMap[String, (String, String, Double)]()
+  private val dedupIndexedVersion = TrieMap[String, Int]()
+  private[graft] def dedupIdxTable(name: String) = s"${name}__mh_idx"
+  private[graft] def dedupPairsTable(name: String) = s"${name}__mh_pairs"
+
+  /** Register `name` for incremental near-dup indexing and build/refresh
+    * the index to the table's current version. Idempotent; re-enabling on
+    * a fresh mount resumes from the persisted index (re-deriving the
+    * indexed watermark from the index content itself would need a scan, so
+    * the resume indexes the full current content minus what deletes say —
+    * here: a fresh enable on existing index tables re-builds them). */
+  def enableDedupIndex(name: String, idCol: String = "doc_id",
+      textCol: String = "text", tau: Double = 0.9): Unit = {
+    require(exists(name), s"no such store table: $name")
+    dedupIndexes(name) = (idCol, textCol, tau)
+    dedupIndexedVersion.remove(name)
+    refreshDedupIndex(name)
+  }
+
+  /** Bring `name`'s near-dup index + pair table up to its current version.
+    * Incremental via the change feed when a watermark exists; full build
+    * otherwise (first enable, or a schema-changing replace). */
+  def refreshDedupIndex(name: String): Unit = withoutStaging {
+    val (idCol, textCol, tau) = dedupIndexes.getOrElse(name, return)
+    val cur = versions.getOrElse(name, return)
+    val from = dedupIndexedVersion.getOrElse(name, 0)
+    if (cur == from) return
+    val idxT = dedupIdxTable(name); val pairsT = dedupPairsTable(name)
+    import org.apache.spark.sql.functions.{col, lit}
+    def fullBuild(): Unit = {
+      val idx = Dedup.minhashIndexFrame(readVersion(name, cur), idCol, textCol)
+      replace(idxT, idx)
+      // a full LSH over the fresh index = probing it as its own batch
+      // against an empty corpus
+      replace(pairsT, Dedup.minhashProbe(idx.limit(0), idx, tau)
+        .orderBy("id_a", "id_b"))
+    }
+    if (from == 0 || !exists(idxT)) fullBuild()
+    else {
+      val changes = try readChanges(name, from, cur) catch {
+        case _: Exception => fullBuild(); dedupIndexedVersion(name) = cur; return
+      }
+      val delIds = changes.filter(col("_change_type") === "delete")
+        .select(col(idCol).as("doc_id")).distinct()
+      val d = delIds.limit(100001).collect().map(_.get(0)).toSeq
+      if (d.length > 100000) {
+        // a delete set this big is a replace-shaped rewrite: a full
+        // rebuild beats 100k-key driver plumbing
+        fullBuild(); dedupIndexedVersion(name) = cur; return
+      }
+      if (d.nonEmpty) {
+        deleteByKey(idxT, delIds, "doc_id")
+        // pair rows die with either endpoint; O(pairs) rewrite — the pair
+        // table is the small output side (bounded by true near-dup volume)
+        replace(pairsT, read(pairsT)
+          .filter(!col("id_a").isin(d: _*) && !col("id_b").isin(d: _*)))
+      }
+      val ins = changes.filter(col("_change_type") === "insert")
+        .drop("_change_type")
+      val batch = Dedup.minhashIndexFrame(ins, idCol, textCol)
+      if (!batch.isEmpty) {
+        // probe BEFORE the index grows: new pairs involve >=1 batch doc
+        val newPairs = Dedup.minhashProbe(read(idxT), batch, tau)
+        appendCompacting(idxT, batch)
+        appendCompacting(pairsT, newPairs)
+      }
+    }
+    dedupIndexedVersion(name) = cur
+  }
+
+  /** Post-commit hook: keep registered near-dup indexes current. The index
+    * tables are ordinary store tables and are themselves unregistered, so
+    * the hook cannot recurse. */
+  private def maybeRefreshDedupIndex(name: String): Unit =
+    if (dedupIndexes.contains(name))
+      try refreshDedupIndex(name)
+      catch { case e: Exception =>
+        System.err.println(s"[store] dedup index refresh failed for $name: ${e.getMessage}")
+      }
+
   def drop(name: String): Unit = {
     // a table another transaction is STAGING on must not be deleted out
     // from under it (PG: DROP TABLE queues on the owner's locks); our own
@@ -2562,6 +2676,7 @@ class Store(spark: SparkSession, val warehouse: String) {
     versions.remove(name)
     ivmViews.remove(name)
     evolution.remove(name)
+    dedupIndexes.remove(name); dedupIndexedVersion.remove(name)
     TableStats.drop(name) // planner stats die with the relation, like PG
     invalidateSchemas(name)
     spark.catalog.dropTempView(name)

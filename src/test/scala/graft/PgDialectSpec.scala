@@ -1639,6 +1639,54 @@ class PgDialectSpec extends SparkSpecBase {
     exec("DROP TABLE evs_t")
   }
 
+  test("SERIALIZABLE aborts cross-table write skew with 40001; REPEATABLE READ commits it") {
+    import spark.implicits._
+    def execT(sql: String, t: PgDialect.PgTxn): PgResult =
+      PgDialect.execute(spark, store, sql, t)
+    def count(table: String, t: PgDialect.PgTxn): Long =
+      execT(s"SELECT count(*) AS n FROM $table", t) match {
+        case Rows(df, _) => df.collect()(0).getLong(0)
+        case other => fail(s"expected rows: $other")
+      }
+    def skew(level: String): (PgDialect.PgTxn => Unit) => Unit = { commitA =>
+      store.replace("ws_t1", Seq((1L, "a")).toDF("k", "v"))
+      store.replace("ws_t2", Seq((1L, "b")).toDF("k", "v"))
+      val a = new PgDialect.PgTxn; val b = new PgDialect.PgTxn
+      execT(s"BEGIN ISOLATION LEVEL $level", a)
+      execT(s"BEGIN ISOLATION LEVEL $level", b)
+      // the classic write-skew shape: A reads t1 / writes t2,
+      // B reads t2 / writes t1 — each write conditioned on the other's read
+      assert(count("ws_t1", a) == 1L)
+      execT("INSERT INTO ws_t2 SELECT k + 10, 'fromA' FROM ws_t1", a)
+      assert(count("ws_t2", b) == 1L)
+      execT("INSERT INTO ws_t1 SELECT k + 10, 'fromB' FROM ws_t2", b)
+      execT("COMMIT", b) // first committer wins
+      commitA(a)
+    }
+    // SERIALIZABLE: A's COMMIT must raise PG's serialization failure —
+    // its read of ws_t1 carries an rw-antidependency into B's commit
+    skew("SERIALIZABLE") { a =>
+      val e = intercept[Exception](execT("COMMIT", a))
+      assert(e.getMessage.contains("could not serialize access"), e.getMessage)
+      assert(store.read("ws_t1").count() == 2L, "B's commit stands")
+      assert(store.read("ws_t2").count() == 1L, "A's write must be discarded")
+    }
+    // REPEATABLE READ: both commit (PG RR permits write skew)
+    skew("REPEATABLE READ") { a =>
+      execT("COMMIT", a)
+      assert(store.read("ws_t1").count() == 2L)
+      assert(store.read("ws_t2").count() == 2L)
+    }
+    // a serializable txn whose reads saw nothing concurrent commits fine
+    val c = new PgDialect.PgTxn
+    execT("BEGIN ISOLATION LEVEL SERIALIZABLE", c)
+    assert(count("ws_t1", c) == 2L)
+    execT("INSERT INTO ws_t2 VALUES (99, 'ok')", c)
+    execT("COMMIT", c)
+    assert(store.read("ws_t2").count() == 3L)
+    store.drop("ws_t1"); store.drop("ws_t2")
+  }
+
   test("DROP TABLE queues on a foreign txn's write gate; own-txn drop passes") {
     import spark.implicits._
     def execT(sql: String, t: PgDialect.PgTxn): PgResult =

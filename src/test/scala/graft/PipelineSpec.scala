@@ -394,4 +394,60 @@ class PipelineSpec extends SparkSpecBase {
     // the lowest vec_id overall can never be dropped
     assert(!dropped.contains(rows.map(_.getLong(0)).min))
   }
+
+  test("incremental dedup probe plan never scans the corpus documents table") {
+    val store = new Store(spark,
+      java.nio.file.Files.createTempDirectory("graft-ddpin").toString)
+    val docs = Tables.df(spark, sfDir, "documents")
+    store.replace("ddpin_docs", docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+    store.enableDedupIndex("ddpin_docs", "doc_id", "text", 0.9)
+    val batch = Dedup.minhashIndexFrame(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text")
+    val probe = Dedup.minhashProbe(
+      store.read(store.dedupIdxTable("ddpin_docs")), batch, 0.9)
+    // structural pin: the probe's scans read the INDEX table (and the
+    // testdata batch), never any version dir of the corpus docs table
+    val paths = probe.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten
+    assert(paths.exists(_.contains("ddpin_docs__mh_idx")),
+      s"probe must read the persisted index: $paths")
+    assert(!paths.exists(p => p.contains("/ddpin_docs/") ),
+      s"probe must NOT rescan the corpus docs table: $paths")
+  }
+
+  test("dedup index stays current through append, upsert and delete") {
+    import spark.implicits._
+    val store = new Store(spark,
+      java.nio.file.Files.createTempDirectory("graft-ddmaint").toString)
+    def doc(id: Long, text: String): (Long, String) = (id, text)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    store.replace("ddm_docs", Seq(
+      doc(1, base), doc(2, base + " lambda")).toDF("doc_id", "text"))
+    store.enableDedupIndex("ddm_docs", "doc_id", "text", 0.5)
+    val pairsT = store.dedupPairsTable("ddm_docs")
+    def pairs(): Set[(Long, Long)] = store.read(pairsT)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs() == Set((1L, 2L)), s"initial build finds the near-dup: ${pairs()}")
+    // append a third near-dup: probe links it to both existing docs
+    store.appendCompacting("ddm_docs", Seq(doc(3, base + " mu")).toDF("doc_id", "text"))
+    assert(pairs() == Set((1L, 2L), (1L, 3L), (2L, 3L)), pairs().toString)
+    // delete doc 2: its pairs die with it
+    store.deleteByKey("ddm_docs", Seq(Tuple1(2L)).toDF("doc_id"), "doc_id")
+    assert(pairs() == Set((1L, 3L)), pairs().toString)
+    // upsert doc 3 to unrelated text: old pairs retract, no new ones
+    store.upsert("ddm_docs",
+      Seq(doc(3, "one two three four five six seven eight nine ten"))
+        .toDF("doc_id", "text"), "doc_id")
+    assert(pairs() == Set.empty, pairs().toString)
+    // and the index itself tracked membership
+    val idxIds = store.read(store.dedupIdxTable("ddm_docs"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(idxIds == Set(1L, 3L), idxIds.toString)
+  }
 }
