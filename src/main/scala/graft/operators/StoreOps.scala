@@ -729,6 +729,97 @@ object StoreOps {
       }
     },
 
+    // Transaction sequence end-state, oracle-gated: BEGIN (repeatable
+    // read) -> INSERT..SELECT reading the table itself (the pin) ->
+    // UPDATE touching only the txn's OWN staged rows (read-own-writes
+    // feeding a write) -> DELETE one of them -> COMMIT. The oracle is the
+    // same algebra composed as one DuckDB query over the seed parquet —
+    // the gate hashes the PUBLISHED final state, so commit-publish
+    // atomicity and the staged-read surface are what is being graded.
+    Q("st_txn_commit", Some("""
+      WITH base AS (SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region),
+      ins AS (SELECT r_regionkey + 100 AS r_regionkey, upper(r_name) AS r_name
+              FROM base WHERE r_regionkey + 100 <> 101)
+      SELECT r_regionkey, r_name FROM base
+      UNION ALL SELECT r_regionkey, r_name FROM ins
+      ORDER BY r_regionkey, r_name""")) { (s, dir) =>
+      val store = new Store(s,
+        java.nio.file.Files.createTempDirectory("graft-txnc").toString)
+      store.replace("txc_region", t(s, dir, "region")
+        .select(col("r_regionkey").cast("long").as("r_regionkey"), col("r_name")))
+      Tables.registerAll(s, dir)
+      val txn = new PgDialect.PgTxn
+      def exec(sql: String) = PgDialect.execute(s, store, sql, txn)
+      exec("BEGIN ISOLATION LEVEL REPEATABLE READ")
+      exec("INSERT INTO txc_region SELECT r_regionkey + 100, lower(r_name) FROM txc_region")
+      exec("UPDATE txc_region SET r_name = upper(r_name) WHERE r_regionkey >= 100")
+      exec("DELETE FROM txc_region WHERE r_regionkey = 101")
+      exec("COMMIT")
+      PgDialect.execute(s, store,
+        "SELECT r_regionkey, r_name FROM txc_region ORDER BY r_regionkey, r_name") match {
+        case PgDialect.Rows(df, _) => df
+        case other => sys.error(s"expected rows, got $other")
+      }
+    },
+
+    // ROLLBACK is a pure discard: the same staged write mix vanishes and
+    // the table keeps serving (one autocommit row after proves the chain
+    // is live). Oracle = seed + that row.
+    Q("st_txn_rollback", Some("""
+      WITH base AS (SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region)
+      SELECT r_regionkey, r_name FROM base
+      UNION ALL SELECT CAST(990 AS BIGINT), 'after-rollback'
+      ORDER BY r_regionkey, r_name""")) { (s, dir) =>
+      val store = new Store(s,
+        java.nio.file.Files.createTempDirectory("graft-txnr").toString)
+      store.replace("txr_region", t(s, dir, "region")
+        .select(col("r_regionkey").cast("long").as("r_regionkey"), col("r_name")))
+      Tables.registerAll(s, dir)
+      val txn = new PgDialect.PgTxn
+      def exec(sql: String) = PgDialect.execute(s, store, sql, txn)
+      exec("BEGIN")
+      exec("INSERT INTO txr_region SELECT r_regionkey + 100, lower(r_name) FROM txr_region")
+      exec("UPDATE txr_region SET r_name = upper(r_name) WHERE r_regionkey >= 100")
+      exec("ROLLBACK")
+      PgDialect.execute(s, store,
+        "INSERT INTO txr_region VALUES (990, 'after-rollback')")
+      PgDialect.execute(s, store,
+        "SELECT r_regionkey, r_name FROM txr_region ORDER BY r_regionkey, r_name") match {
+        case PgDialect.Rows(df, _) => df
+        case other => sys.error(s"expected rows, got $other")
+      }
+    },
+
+    // Two interleaved insert-only transactions on ONE table, both
+    // committing — the second commit lands on a moved base and MERGES
+    // (r12 gateless insert path). Oracle = seed plus both slices; the
+    // hash gate proves the merge loses and duplicates nothing.
+    Q("st_txn_concurrent_insert", Some("""
+      WITH base AS (SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name FROM nation)
+      SELECT n_nationkey, n_name FROM base
+      UNION ALL SELECT n_nationkey + 100, lower(n_name) FROM base
+      UNION ALL SELECT n_nationkey + 200, upper(n_name) FROM base
+      ORDER BY n_nationkey, n_name""")) { (s, dir) =>
+      val store = new Store(s,
+        java.nio.file.Files.createTempDirectory("graft-txni").toString)
+      store.replace("txi_nation", t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name")))
+      Tables.registerAll(s, dir)
+      val t1 = new PgDialect.PgTxn; val t2 = new PgDialect.PgTxn
+      def e1(sql: String) = PgDialect.execute(s, store, sql, t1)
+      def e2(sql: String) = PgDialect.execute(s, store, sql, t2)
+      e1("BEGIN"); e2("BEGIN")
+      e1("INSERT INTO txi_nation SELECT n_nationkey + 100, lower(n_name) FROM nation")
+      e2("INSERT INTO txi_nation SELECT n_nationkey + 200, upper(n_name) FROM nation")
+      e1("COMMIT")
+      e2("COMMIT") // base moved: merge commit
+      PgDialect.execute(s, store,
+        "SELECT n_nationkey, n_name FROM txi_nation ORDER BY n_nationkey, n_name") match {
+        case PgDialect.Rows(df, _) => df
+        case other => sys.error(s"expected rows, got $other")
+      }
+    },
+
     // Copy-on-write UPDATE through SQL: assignment-cast SET + WHERE, the
     // oracle is the CASE projection of the same predicate.
     Q("st_sql_update", Some("""
