@@ -85,6 +85,34 @@ object Dedup {
           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.9
       ORDER BY id_a, id_b"""
 
+  // Shared by dd_simhash and dd_incremental_simhash: the chunk-banded
+  // Hamming pair set is the same algebra whether computed in one pass or
+  // accumulated batch-by-batch through the persisted index.
+  private val simhashOracle = """
+      WITH d AS (SELECT doc_id,
+          list_distinct(list_transform(range(0, len(toks)-2),
+            i -> toks[i+1] || chr(32) || toks[i+2] || chr(32) || toks[i+3])) AS sh
+        FROM (SELECT doc_id, string_split(text, chr(32)) AS toks FROM documents) t
+        WHERE len(toks) >= 3),
+      h AS (SELECT doc_id,
+          list_transform(sh, t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hashes
+        FROM d),
+      s AS (SELECT doc_id,
+          CAST(list_sum(list_transform(range(0, 60), j ->
+            CASE WHEN 2 * list_sum(list_transform(hashes, h -> (h >> CAST(j AS INT)) & 1))
+                      > len(hashes)
+                 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END))
+            AS BIGINT) AS simhash
+        FROM h),
+      c AS (SELECT doc_id, simhash, CAST(r.range AS INT) AS chunk,
+          (simhash >> CAST(r.range * 8 AS INT)) & 255 AS cval
+        FROM s, range(0, 8) r)
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+        CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+      FROM c x JOIN c y ON x.chunk = y.chunk AND x.cval = y.cval AND x.doc_id < y.doc_id
+      WHERE bit_count(xor(x.simhash, y.simhash)) <= 12
+      ORDER BY id_a, id_b"""
+
   /** Exact pairwise Jaccard >= tau via distributed shingle self-join, with
     * stop-shingle skew control: shingles whose document frequency exceeds
     * `maxDf` are dropped from CANDIDATE GENERATION only (one boilerplate
@@ -237,16 +265,20 @@ object Dedup {
       tau: Double): DataFrame = {
     val all = idx.select("doc_id", "sh", "sig")
       .unionByName(batch.select("doc_id", "sh", "sig"))
-    val cand = lshCandidatesFromBands(bandsFromSig(all.select("doc_id", "sig")))
-    val batchIds = batch.select(col("doc_id"))
-    // pairs with at least one batch member (id order from the LSH is
-    // id_a < id_b, so a cross pair can carry the batch id on either side)
-    val withBatch = SafeOps.distinctRows(
-      cand.join(broadcast(batchIds.select(col("doc_id").as("id_a"))), Seq("id_a"), "left_semi")
-        .select("id_a", "id_b")
-        .unionByName(
-          cand.join(broadcast(batchIds.select(col("doc_id").as("id_b"))), Seq("id_b"), "left_semi")
-            .select("id_a", "id_b")))
+    // Candidate generation only inside buckets the BATCH touches: the
+    // batch's (band, bucket) keys broadcast as a semi-join filter over the
+    // union's band rows, so the candidate exchange carries hot-bucket rows
+    // only — O(batch × occupancy), not an O(corpus) band self-join. The
+    // semi-join keeps every member of a hot bucket, so per-bucket occupancy
+    // and min-id representative (the star-link guard) are computed on
+    // exactly the full bucket — cold buckets would only have produced
+    // pairs with no batch member, which pairsInvolving drops anyway.
+    val batchKeys = bandsFromSig(batch.select("doc_id", "sig"))
+      .select("band", "bucket").distinct()
+    val hot = bandsFromSig(all.select("doc_id", "sig"))
+      .join(broadcast(batchKeys), Seq("band", "bucket"), "left_semi")
+    val withBatch = pairsInvolving(
+      lshCandidatesFromBands(hot), batch.select("doc_id"))
     val withSets = withBatch
       .join(all.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(all.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -254,6 +286,117 @@ object Dedup {
     val j = inter / (size(col("sh_a")) + size(col("sh_b")) - inter)
     withSets.filter(j >= tau)
       .select(col("id_a"), col("id_b"), round(j, 6).as("jaccard"))
+  }
+
+  /** Candidate pairs with at least one member of the batch id set (pair
+    * order is id_a < id_b, so a cross pair can carry the batch id on
+    * either side). The batch side broadcasts — no corpus-sized shuffle. */
+  private def pairsInvolving(cand: DataFrame, batchIds: DataFrame): DataFrame = {
+    val cols = cand.columns.map(col).toSeq
+    SafeOps.distinctRows(
+      cand.join(broadcast(batchIds.select(col("doc_id").as("id_a"))), Seq("id_a"), "left_semi")
+        .select(cols: _*)
+        .unionByName(
+          cand.join(broadcast(batchIds.select(col("doc_id").as("id_b"))), Seq("id_b"), "left_semi")
+            .select(cols: _*)))
+  }
+
+  // ---- simhash family: (doc_id, simhash) index, chunk-band probe ---------
+  // Same incremental contract as the MinHash index, for the Hamming-space
+  // near-dup definition: the persisted row is just (doc_id, simhash) — 8
+  // bytes of signature per doc, no shingle storage — and a batch probe
+  // touches only chunk buckets the batch occupies. Union of probe outputs
+  // over an ingest history == the full dd_simhash recompute (pairs sharing
+  // >=1 of 8 8-bit chunks at bit_count(xor) <= maxHamming).
+
+  /** Per-doc 60-bit SimHash from arbitrary id/text columns: word-3-gram
+    * shingles, md5-top-60-bit shingle hashes (oracle-reproducible), bit-
+    * vote fold via the codegen'd SimHashUtil expression — all scan-side. */
+  private[graft] def simhashIndexFrame(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    GraftExpressions.register(docs.sparkSession)
+    shingleSets(docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+      .withColumn("hashes",
+        expr("transform(sh, t -> cast(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT))"))
+      .select(col("doc_id"), expr("simhash_sig(hashes)").as("simhash"))
+  }
+
+  /** Hamming near-dup pairs involving the batch, against a persisted
+    * simhash index: 8-bit chunk equality generates candidates (pigeonhole:
+    * hamming <= 7 always shares a chunk), verified at
+    * bit_count(xor) <= maxHamming. Only chunk buckets the batch occupies
+    * enter the candidate join (broadcast semi-join filter). */
+  private[graft] def simhashProbe(idx: DataFrame, batch: DataFrame,
+      maxHamming: Double): DataFrame = {
+    val all = idx.select("doc_id", "simhash")
+      .unionByName(batch.select("doc_id", "simhash"))
+    def chunksOf(d: DataFrame): DataFrame = d.select(col("doc_id"), col("simhash"),
+      posexplode(expr("transform(sequence(0, 7), " +
+        "c -> shiftright(simhash, cast(c * 8 AS INT)) & 255)")).as(Seq("chunk", "cval")))
+    val batchKeys = chunksOf(batch).select("chunk", "cval").distinct()
+    val hot = chunksOf(all).join(broadcast(batchKeys), Seq("chunk", "cval"), "left_semi")
+    val cand = SafeOps.distinctRows(hot.as("x").join(hot.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.cval") === col("y.cval")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("int").as("hamming")))
+      .filter(col("hamming") <= maxHamming.toInt)
+    pairsInvolving(cand, batch.select("doc_id"))
+  }
+
+  // ---- phash family: (doc_id, fp) index, exact-match probe ---------------
+  // Perceptual media dedup at ingest: the pipeline decodes each asset ONCE
+  // when it arrives (dHash / audio energy-gradient / video frame-hash fold
+  // — see Multimodal) and stores the 8-byte fingerprint as a column; the
+  // index persists (doc_id, fp) and a batch probe is an equality join on
+  // fingerprints the batch carries. Payload bytes never enter the index or
+  // any exchange, and no asset is ever re-decoded.
+
+  /** (doc_id, fp) from a table carrying a precomputed fingerprint column. */
+  private[graft] def phashIndexFrame(docs: DataFrame, idCol: String,
+      fpCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(fpCol).cast("long").as("fp"))
+
+  /** Exact-fingerprint clone pairs involving the batch: only fingerprint
+    * values the batch carries enter the join (broadcast semi-join). */
+  private[graft] def phashProbe(idx: DataFrame, batch: DataFrame,
+      tau: Double): DataFrame = {
+    val all = idx.select("doc_id", "fp").unionByName(batch.select("doc_id", "fp"))
+    val hot = all.join(broadcast(batch.select("fp").distinct()), Seq("fp"), "left_semi")
+    val cand = SafeOps.distinctRows(hot.as("x").join(hot.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("x.fp").as("fp")))
+    pairsInvolving(cand, batch.select("doc_id"))
+  }
+
+  // ---- family dispatch (Store's incremental index hooks) -----------------
+
+  /** Short table-name tag per fingerprint family. */
+  private[graft] def familyTag(family: String): String = family match {
+    case "minhash" => "mh"
+    case "simhash" => "sh"
+    case "phash"   => "ph"
+    case other => throw new IllegalArgumentException(s"unknown dedup family: $other")
+  }
+
+  /** Scan-side per-doc index frame for `family` (validates the family). */
+  private[graft] def indexFrame(family: String, docs: DataFrame,
+      idCol: String, valCol: String): DataFrame = family match {
+    case "minhash" => minhashIndexFrame(docs, idCol, valCol)
+    case "simhash" => simhashIndexFrame(docs, idCol, valCol)
+    case "phash"   => phashIndexFrame(docs, idCol, valCol)
+    case other => throw new IllegalArgumentException(s"unknown dedup family: $other")
+  }
+
+  /** Batch-vs-index probe for `family`; tau is the family's threshold
+    * (min Jaccard / max Hamming / unused for exact fingerprints). */
+  private[graft] def probe(family: String, idx: DataFrame, batch: DataFrame,
+      tau: Double): DataFrame = family match {
+    case "minhash" => minhashProbe(idx, batch, tau)
+    case "simhash" => simhashProbe(idx, batch, tau)
+    case "phash"   => phashProbe(idx, batch, tau)
+    case other => throw new IllegalArgumentException(s"unknown dedup family: $other")
   }
 
   /** (vec_id, v): embeddings double-cast for engine-identical arithmetic. */
@@ -469,6 +612,25 @@ object Dedup {
       store.read(store.dedupPairsTable("ddinc_docs")).orderBy("id_a", "id_b")
     },
 
+    // Incremental SIMHASH index through the same write path: the persisted
+    // row is 8 bytes of signature per doc (no shingle storage), each batch
+    // probes only the chunk buckets it occupies, and the accumulated pair
+    // table must equal the full dd_simhash recompute over the union.
+    Q("dd_incremental_simhash", Some(simhashOracle)) { (s, dir) =>
+      val store = new Store(s,
+        java.nio.file.Files.createTempDirectory("graft-ddincsh").toString)
+      val docs = t(s, dir, "documents")
+      store.replace("ddincsh_docs", docs.filter(pmod(col("doc_id"), lit(3)) === 0))
+      store.enableDedupIndex("ddincsh_docs", "doc_id", "text", 12,
+        family = "simhash")
+      (1L to 2L).foreach { i =>
+        store.appendCompacting("ddincsh_docs",
+          docs.filter(pmod(col("doc_id"), lit(3)) === i))
+      }
+      store.read(store.dedupPairsTable("ddincsh_docs", "simhash"))
+        .orderBy("id_a", "id_b")
+    },
+
     // SimHash: 60-bit signature from shingle-hash bit votes (shingles, not
     // bare tokens: the corpus vocabulary is tiny, so token-set simhash
     // cannot discriminate), candidates via 8-bit chunk banding (pigeonhole:
@@ -476,30 +638,7 @@ object Dedup {
     // bit_count(xor) <= 12. The shingle hash is the top 60 bits of md5 (not
     // xxhash64) so the DuckDB oracle can reproduce the signature bit-for-bit;
     // 60 bits also keeps every shift inside signed-i64 range on both engines.
-    Q("dd_simhash", Some("""
-      WITH d AS (SELECT doc_id,
-          list_distinct(list_transform(range(0, len(toks)-2),
-            i -> toks[i+1] || chr(32) || toks[i+2] || chr(32) || toks[i+3])) AS sh
-        FROM (SELECT doc_id, string_split(text, chr(32)) AS toks FROM documents) t
-        WHERE len(toks) >= 3),
-      h AS (SELECT doc_id,
-          list_transform(sh, t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hashes
-        FROM d),
-      s AS (SELECT doc_id,
-          CAST(list_sum(list_transform(range(0, 60), j ->
-            CASE WHEN 2 * list_sum(list_transform(hashes, h -> (h >> CAST(j AS INT)) & 1))
-                      > len(hashes)
-                 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END))
-            AS BIGINT) AS simhash
-        FROM h),
-      c AS (SELECT doc_id, simhash, CAST(r.range AS INT) AS chunk,
-          (simhash >> CAST(r.range * 8 AS INT)) & 255 AS cval
-        FROM s, range(0, 8) r)
-      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
-        CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
-      FROM c x JOIN c y ON x.chunk = y.chunk AND x.cval = y.cval AND x.doc_id < y.doc_id
-      WHERE bit_count(xor(x.simhash, y.simhash)) <= 12
-      ORDER BY id_a, id_b""")) { (s, dir) =>
+    Q("dd_simhash", Some(simhashOracle)) { (s, dir) =>
       GraftExpressions.register(s)
       val d = shingled(s, dir)
         .withColumn("hashes",

@@ -543,6 +543,27 @@ object Multimodal {
     new Store(s, wh).read("media_assets")
   }
 
+  // Shared by mm_image_dedup and mm_incremental_media_dedup: the oracle's
+  // closed-form prediction of every dHash bit from the PNG synthesis
+  // formula over the same 9x7 midpoint sampling grid the real decode uses.
+  private val dhashCte = """grid AS (
+        SELECT d.doc_id, d.doc_id // 7 AS base, gx.gx, gy.gy,
+          ((d.doc_id // 7) % 37 + 19) AS w, ((d.doc_id // 7) % 21 + 17) AS h
+        FROM documents d, range(0, 9) gx(gx), range(0, 7) gy(gy)),
+      lum AS (
+        SELECT doc_id, gx, gy,
+          (((base * 2654435761 + ((2*gx+1)*w // 18) * 31 + ((2*gy+1)*h // 14) * 7) & 16777215) >> 16)
+          + ((((base * 2654435761 + ((2*gx+1)*w // 18) * 31 + ((2*gy+1)*h // 14) * 7) & 16777215) >> 8) & 255)
+          + (((base * 2654435761 + ((2*gx+1)*w // 18) * 31 + ((2*gy+1)*h // 14) * 7) & 16777215) & 255) AS v
+        FROM grid),
+      hashes AS (
+        SELECT a.doc_id,
+          CAST(sum(CASE WHEN b.v > a.v THEN (CAST(1 AS BIGINT) << (a.gy * 8 + a.gx)) ELSE 0 END) AS BIGINT) AS dhash
+        FROM lum a JOIN lum b
+          ON a.doc_id = b.doc_id AND a.gy = b.gy AND b.gx = a.gx + 1
+        WHERE a.gx < 8
+        GROUP BY a.doc_id)"""
+
   val defs: Seq[Q] = Seq(
 
     // binary column + scan-side metadata (real: bytes, hash; fake: w/h
@@ -941,24 +962,8 @@ object Multimodal {
     // cannot match. Scale shape: decode + hash are scan-side; the only
     // shuffle keys an 8-byte scalar (never payload bytes) — identical to
     // the exact-dedup contract at 100 TB.
-    Q("mm_image_dedup", Some("""
-      WITH grid AS (
-        SELECT d.doc_id, d.doc_id // 7 AS base, gx.gx, gy.gy,
-          ((d.doc_id // 7) % 37 + 19) AS w, ((d.doc_id // 7) % 21 + 17) AS h
-        FROM documents d, range(0, 9) gx(gx), range(0, 7) gy(gy)),
-      lum AS (
-        SELECT doc_id, gx, gy,
-          (((base * 2654435761 + ((2*gx+1)*w // 18) * 31 + ((2*gy+1)*h // 14) * 7) & 16777215) >> 16)
-          + ((((base * 2654435761 + ((2*gx+1)*w // 18) * 31 + ((2*gy+1)*h // 14) * 7) & 16777215) >> 8) & 255)
-          + (((base * 2654435761 + ((2*gx+1)*w // 18) * 31 + ((2*gy+1)*h // 14) * 7) & 16777215) & 255) AS v
-        FROM grid),
-      hashes AS (
-        SELECT a.doc_id,
-          CAST(sum(CASE WHEN b.v > a.v THEN (CAST(1 AS BIGINT) << (a.gy * 8 + a.gx)) ELSE 0 END) AS BIGINT) AS dhash
-        FROM lum a JOIN lum b
-          ON a.doc_id = b.doc_id AND a.gy = b.gy AND b.gx = a.gx + 1
-        WHERE a.gx < 8
-        GROUP BY a.doc_id)
+    Q("mm_image_dedup", Some(s"""
+      WITH $dhashCte
       SELECT doc_id, dhash,
         CAST(count(*) OVER (PARTITION BY dhash) AS BIGINT) AS group_n,
         CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY dhash)
@@ -984,6 +989,47 @@ object Multimodal {
           when(col("doc_id") === min(col("doc_id")).over(byHash), 1)
             .otherwise(0))
         .orderBy("doc_id")
+    },
+
+    // INCREMENTAL perceptual media dedup through the write path: assets
+    // arrive in three ingest batches, each really PNG-decoded and dHashed
+    // ONCE at ingest (the fingerprint is a stored column — payload bytes
+    // never enter the store table, the index, or any exchange), and the
+    // Store's phash index accumulates exact-fingerprint clone pairs batch
+    // by batch. A probe touches only fingerprint values the batch carries;
+    // no asset is ever re-decoded. The accumulated pair table must equal
+    // the full clone-pair recompute the mm_image_dedup oracle predicts
+    // bit-for-bit from the synthesis formulas.
+    Q("mm_incremental_media_dedup", Some(s"""
+      WITH $dhashCte
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.dhash AS fp
+      FROM hashes x JOIN hashes y ON x.dhash = y.dhash AND x.doc_id < y.doc_id
+      ORDER BY id_a, id_b""")) { (s, dir) =>
+      val src = mediaAssets(s, dir).select(col("doc_id"), col("png_clone"))
+      val outSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("dhash", LongType)))
+      val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      // the ingest-batch filter sits BELOW the decode, so each asset is
+      // rasterized exactly once, in the batch that carries it
+      def batchHashed(i: Long): DataFrame = src
+        .filter(pmod(col("doc_id"), lit(3)) === i)
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            Row(id, dHash(img))
+          }
+        }(enc)
+      val store = new Store(s,
+        java.nio.file.Files.createTempDirectory("graft-mminc").toString)
+      store.replace("mminc_media", batchHashed(0))
+      store.enableDedupIndex("mminc_media", "doc_id", "dhash", 0, family = "phash")
+      (1L to 2L).foreach { i =>
+        store.appendCompacting("mminc_media", batchHashed(i))
+      }
+      store.read(store.dedupPairsTable("mminc_media", "phash"))
+        .orderBy("id_a", "id_b")
     },
 
     // PERCEPTUAL video dedup — the third corner of the image/audio/video

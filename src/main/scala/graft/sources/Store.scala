@@ -2473,8 +2473,11 @@ class Store(spark: SparkSession, val warehouse: String) {
         committedInsertDeltas((to, k._2)) = committedInsertDeltas(k)
         committedInsertDeltas.remove(k)
       }
-      dedupIndexes.remove(from).foreach(dedupIndexes(to) = _)
-      dedupIndexedVersion.remove(from).foreach(dedupIndexedVersion(to) = _)
+      dedupIndexes.keysIterator.filter(_._1 == from).toSeq.foreach { k =>
+        dedupIndexes.remove(k).foreach(dedupIndexes((to, k._2)) = _)
+        dedupIndexedVersion.remove(k)
+          .foreach(dedupIndexedVersion((to, k._2)) = _)
+      }
       versions(to) = v
       versions.remove(from)
       spark.catalog.dropTempView(from)
@@ -2582,81 +2585,98 @@ class Store(spark: SparkSession, val warehouse: String) {
   // and append. Registration is session-scoped (the tables themselves are
   // durable store tables; a fresh mount re-enables with one call, which
   // resumes incrementally from the persisted index content).
-  private val dedupIndexes = TrieMap[String, (String, String, Double)]()
-  private val dedupIndexedVersion = TrieMap[String, Int]()
-  private[graft] def dedupIdxTable(name: String) = s"${name}__mh_idx"
-  private[graft] def dedupPairsTable(name: String) = s"${name}__mh_pairs"
+  // keyed (table, family): one table can maintain several fingerprint
+  // indexes at once (text minhash + media phash is the realistic pairing)
+  private val dedupIndexes = TrieMap[(String, String), (String, String, Double)]()
+  private val dedupIndexedVersion = TrieMap[(String, String), Int]()
+  private[graft] def dedupIdxTable(name: String, family: String = "minhash") =
+    s"${name}__${Dedup.familyTag(family)}_idx"
+  private[graft] def dedupPairsTable(name: String, family: String = "minhash") =
+    s"${name}__${Dedup.familyTag(family)}_pairs"
 
-  /** Register `name` for incremental near-dup indexing and build/refresh
-    * the index to the table's current version. Idempotent; re-enabling on
-    * a fresh mount resumes from the persisted index (re-deriving the
-    * indexed watermark from the index content itself would need a scan, so
-    * the resume indexes the full current content minus what deletes say —
-    * here: a fresh enable on existing index tables re-builds them). */
+  /** Register `name` for incremental near-dup indexing under `family`
+    * (minhash | simhash | phash — see Dedup's family dispatch) and build/
+    * refresh the index to the table's current version. Idempotent;
+    * re-enabling on a fresh mount resumes from the persisted index
+    * (re-deriving the indexed watermark from the index content itself
+    * would need a scan, so the resume indexes the full current content
+    * minus what deletes say — here: a fresh enable on existing index
+    * tables re-builds them). `tau` is the family's threshold: min Jaccard
+    * (minhash), max Hamming (simhash), unused (phash exact match). */
   def enableDedupIndex(name: String, idCol: String = "doc_id",
-      textCol: String = "text", tau: Double = 0.9): Unit = {
+      valCol: String = "text", tau: Double = 0.9,
+      family: String = "minhash"): Unit = {
     require(exists(name), s"no such store table: $name")
-    dedupIndexes(name) = (idCol, textCol, tau)
-    dedupIndexedVersion.remove(name)
+    Dedup.familyTag(family) // validate up front
+    dedupIndexes((name, family)) = (idCol, valCol, tau)
+    dedupIndexedVersion.remove((name, family))
     refreshDedupIndex(name)
   }
 
-  /** Bring `name`'s near-dup index + pair table up to its current version.
-    * Incremental via the change feed when a watermark exists; full build
-    * otherwise (first enable, or a schema-changing replace). */
-  def refreshDedupIndex(name: String): Unit = withoutStaging {
-    val (idCol, textCol, tau) = dedupIndexes.getOrElse(name, return)
-    val cur = versions.getOrElse(name, return)
-    val from = dedupIndexedVersion.getOrElse(name, 0)
-    if (cur == from) return
-    val idxT = dedupIdxTable(name); val pairsT = dedupPairsTable(name)
-    import org.apache.spark.sql.functions.{col, lit}
-    def fullBuild(): Unit = {
-      val idx = Dedup.minhashIndexFrame(readVersion(name, cur), idCol, textCol)
-      replace(idxT, idx)
-      // a full LSH over the fresh index = probing it as its own batch
-      // against an empty corpus
-      replace(pairsT, Dedup.minhashProbe(idx.limit(0), idx, tau)
-        .orderBy("id_a", "id_b"))
+  /** Bring every registered near-dup index + pair table of `name` up to
+    * its current version. Incremental via the change feed when a watermark
+    * exists; full build otherwise (first enable, or a schema-changing
+    * replace). */
+  def refreshDedupIndex(name: String): Unit =
+    dedupIndexes.keysIterator.filter(_._1 == name).toSeq.sortBy(_._2)
+      .foreach { case (_, family) => refreshDedupFamily(name, family) }
+
+  private def refreshDedupFamily(name: String, family: String): Unit =
+    withoutStaging {
+      val (idCol, valCol, tau) = dedupIndexes.getOrElse((name, family), return)
+      val cur = versions.getOrElse(name, return)
+      val from = dedupIndexedVersion.getOrElse((name, family), 0)
+      if (cur == from) return
+      val idxT = dedupIdxTable(name, family)
+      val pairsT = dedupPairsTable(name, family)
+      import org.apache.spark.sql.functions.{col, lit}
+      def fullBuild(): Unit = {
+        val idx = Dedup.indexFrame(family, readVersion(name, cur), idCol, valCol)
+        replace(idxT, idx)
+        // a full probe of the fresh index against an empty corpus = every
+        // in-corpus pair (each doc is a batch member)
+        replace(pairsT, Dedup.probe(family, idx.limit(0), idx, tau)
+          .orderBy("id_a", "id_b"))
+      }
+      if (from == 0 || !exists(idxT)) fullBuild()
+      else {
+        val changes = try readChanges(name, from, cur) catch {
+          case _: Exception =>
+            fullBuild(); dedupIndexedVersion((name, family)) = cur; return
+        }
+        val delIds = changes.filter(col("_change_type") === "delete")
+          .select(col(idCol).as("doc_id")).distinct()
+        val d = delIds.limit(100001).collect().map(_.get(0)).toSeq
+        if (d.length > 100000) {
+          // a delete set this big is a replace-shaped rewrite: a full
+          // rebuild beats 100k-key driver plumbing
+          fullBuild(); dedupIndexedVersion((name, family)) = cur; return
+        }
+        if (d.nonEmpty) {
+          deleteByKey(idxT, delIds, "doc_id")
+          // pair rows die with either endpoint; O(pairs) rewrite — the pair
+          // table is the small output side (bounded by true near-dup volume)
+          replace(pairsT, read(pairsT)
+            .filter(!col("id_a").isin(d: _*) && !col("id_b").isin(d: _*)))
+        }
+        val ins = changes.filter(col("_change_type") === "insert")
+          .drop("_change_type")
+        val batch = Dedup.indexFrame(family, ins, idCol, valCol)
+        if (!batch.isEmpty) {
+          // probe BEFORE the index grows: new pairs involve >=1 batch doc
+          val newPairs = Dedup.probe(family, read(idxT), batch, tau)
+          appendCompacting(idxT, batch)
+          appendCompacting(pairsT, newPairs)
+        }
+      }
+      dedupIndexedVersion((name, family)) = cur
     }
-    if (from == 0 || !exists(idxT)) fullBuild()
-    else {
-      val changes = try readChanges(name, from, cur) catch {
-        case _: Exception => fullBuild(); dedupIndexedVersion(name) = cur; return
-      }
-      val delIds = changes.filter(col("_change_type") === "delete")
-        .select(col(idCol).as("doc_id")).distinct()
-      val d = delIds.limit(100001).collect().map(_.get(0)).toSeq
-      if (d.length > 100000) {
-        // a delete set this big is a replace-shaped rewrite: a full
-        // rebuild beats 100k-key driver plumbing
-        fullBuild(); dedupIndexedVersion(name) = cur; return
-      }
-      if (d.nonEmpty) {
-        deleteByKey(idxT, delIds, "doc_id")
-        // pair rows die with either endpoint; O(pairs) rewrite — the pair
-        // table is the small output side (bounded by true near-dup volume)
-        replace(pairsT, read(pairsT)
-          .filter(!col("id_a").isin(d: _*) && !col("id_b").isin(d: _*)))
-      }
-      val ins = changes.filter(col("_change_type") === "insert")
-        .drop("_change_type")
-      val batch = Dedup.minhashIndexFrame(ins, idCol, textCol)
-      if (!batch.isEmpty) {
-        // probe BEFORE the index grows: new pairs involve >=1 batch doc
-        val newPairs = Dedup.minhashProbe(read(idxT), batch, tau)
-        appendCompacting(idxT, batch)
-        appendCompacting(pairsT, newPairs)
-      }
-    }
-    dedupIndexedVersion(name) = cur
-  }
 
   /** Post-commit hook: keep registered near-dup indexes current. The index
     * tables are ordinary store tables and are themselves unregistered, so
     * the hook cannot recurse. */
   private def maybeRefreshDedupIndex(name: String): Unit =
-    if (dedupIndexes.contains(name))
+    if (dedupIndexes.keysIterator.exists(_._1 == name))
       try refreshDedupIndex(name)
       catch { case e: Exception =>
         System.err.println(s"[store] dedup index refresh failed for $name: ${e.getMessage}")
@@ -2676,7 +2696,8 @@ class Store(spark: SparkSession, val warehouse: String) {
     versions.remove(name)
     ivmViews.remove(name)
     evolution.remove(name)
-    dedupIndexes.remove(name); dedupIndexedVersion.remove(name)
+    dedupIndexes.keysIterator.filter(_._1 == name).toSeq
+      .foreach { k => dedupIndexes.remove(k); dedupIndexedVersion.remove(k) }
     TableStats.drop(name) // planner stats die with the relation, like PG
     invalidateSchemas(name)
     spark.catalog.dropTempView(name)

@@ -450,4 +450,65 @@ class PipelineSpec extends SparkSpecBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(idxIds == Set(1L, 3L), idxIds.toString)
   }
+
+  test("simhash probe plan never scans the corpus documents table") {
+    val store = new Store(spark,
+      java.nio.file.Files.createTempDirectory("graft-shpin").toString)
+    val docs = Tables.df(spark, sfDir, "documents")
+    store.replace("shpin_docs", docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+    store.enableDedupIndex("shpin_docs", "doc_id", "text", 12, family = "simhash")
+    val batch = Dedup.simhashIndexFrame(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text")
+    val probe = Dedup.simhashProbe(
+      store.read(store.dedupIdxTable("shpin_docs", "simhash")), batch, 12)
+    val paths = probe.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten
+    assert(paths.exists(_.contains("shpin_docs__sh_idx")),
+      s"probe must read the persisted simhash index: $paths")
+    assert(!paths.exists(p => p.contains("/shpin_docs/")),
+      s"probe must NOT rescan the corpus docs table: $paths")
+  }
+
+  test("multi-family dedup indexes coexist and stay current on one table") {
+    import spark.implicits._
+    val store = new Store(spark,
+      java.nio.file.Files.createTempDirectory("graft-ddfam").toString)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    store.replace("fam_docs", Seq(
+      (1L, base, 100L), (2L, base + " lambda", 200L))
+      .toDF("doc_id", "text", "fp"))
+    // one table, two fingerprint families: text near-dups via minhash,
+    // exact media clones via the stored fingerprint column
+    store.enableDedupIndex("fam_docs", "doc_id", "text", 0.5)
+    store.enableDedupIndex("fam_docs", "doc_id", "fp", 0, family = "phash")
+    def pairs(family: String): Set[(Long, Long)] =
+      store.read(store.dedupPairsTable("fam_docs", family))
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs("minhash") == Set((1L, 2L)), pairs("minhash").toString)
+    assert(pairs("phash") == Set.empty, pairs("phash").toString)
+    // doc 3 clones doc 1's fingerprint but carries unrelated text: the
+    // phash index links it, the minhash index must not
+    store.appendCompacting("fam_docs",
+      Seq((3L, "one two three four five six seven eight nine ten", 100L))
+        .toDF("doc_id", "text", "fp"))
+    assert(pairs("minhash") == Set((1L, 2L)), pairs("minhash").toString)
+    assert(pairs("phash") == Set((1L, 3L)), pairs("phash").toString)
+    // deleting doc 1 retracts its pairs from BOTH families
+    store.deleteByKey("fam_docs", Seq(Tuple1(1L)).toDF("doc_id"), "doc_id")
+    assert(pairs("minhash") == Set.empty, pairs("minhash").toString)
+    assert(pairs("phash") == Set.empty, pairs("phash").toString)
+    // both indexes tracked membership through the delete
+    Seq("minhash", "phash").foreach { fam =>
+      val ids = store.read(store.dedupIdxTable("fam_docs", fam))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(2L, 3L), s"$fam index: $ids")
+    }
+  }
 }
