@@ -113,6 +113,24 @@ object Dedup {
       WHERE bit_count(xor(x.simhash, y.simhash)) <= 12
       ORDER BY id_a, id_b"""
 
+  // Shared by dd_embedding_lsh and dd_incremental_embedding: the bucketed
+  // cosine pair set is the same algebra whether computed in one pass or
+  // accumulated batch-by-batch through the persisted (v, sigs) index.
+  private lazy val embeddingLshOracle = s"""
+      WITH pl AS (SELECT ${Similarity.planesSqlLiteral} AS p),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      sig AS (SELECT vec_id, v, CAST(t.range AS INT) AS tbl,
+          CAST(list_sum(list_transform(range(0, ${Similarity.PLANES_PER_TABLE}), i ->
+            CASE WHEN ${Similarity.duckDot("p[t.range + 1][i + 1]", "v")} > 0
+                 THEN (1 << CAST(i AS INT)) ELSE 0 END)) AS INT) AS bucket
+        FROM e, pl, range(0, ${Similarity.TABLES}) t),
+      cand AS (SELECT DISTINCT a.vec_id AS id_a, a.v AS va, b.vec_id AS id_b, b.v AS vb
+        FROM sig a JOIN sig b
+          ON b.tbl = a.tbl AND b.bucket = a.bucket AND a.vec_id < b.vec_id),
+      scored AS (SELECT id_a, id_b, ${Similarity.duckCos("va", "vb")} AS cos FROM cand)
+      SELECT id_a, id_b, round(cos, 6) AS cos FROM scored
+      WHERE cos >= 0.4 ORDER BY id_a, id_b"""
+
   /** Exact pairwise Jaccard >= tau via distributed shingle self-join, with
     * stop-shingle skew control: shingles whose document frequency exceeds
     * `maxDf` are dropped from CANDIDATE GENERATION only (one boilerplate
@@ -370,32 +388,83 @@ object Dedup {
     pairsInvolving(cand, batch.select("doc_id"))
   }
 
+  // ---- embedding family: (doc_id, v, sigs) index, hyperplane-LSH probe ---
+  // Semantic near-dup at ingest (the SemDeDup signal, incremental): the
+  // persisted row carries the double-cast vector (for the exact cosine
+  // verify) plus its precomputed random-hyperplane bucket per LSH table, so
+  // a probe never re-hashes the corpus — candidate generation explodes the
+  // STORED sigs column (parquet prunes the vector column out of that scan)
+  // and semi-join-filters to (tbl, bucket) keys the batch occupies. Vectors
+  // move only for matched ids. Union of probe outputs over an ingest
+  // history == the full dd_embedding_lsh recompute at the same tau.
+
+  /** Per-vector index frame: (doc_id, v, sigs) from arbitrary id/embedding
+    * column names; sigs(t) = the vector's bucket in hyperplane table t.
+    * Scan-side only — no shuffle. */
+  private[graft] def embeddingIndexFrame(docs: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    GraftExpressions.register(docs.sparkSession)
+    docs.select(col(idCol).as("doc_id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("sigs", Similarity.hyperplaneSigs(col("v")))
+  }
+
+  /** Cosine near-dup pairs involving the batch, against a persisted
+    * embedding index: bucket equality over the STORED sigs generates
+    * candidates (only buckets the batch occupies enter the join), the
+    * exact cosine >= tau verify joins vectors for matched ids only. */
+  private[graft] def embeddingProbe(idx: DataFrame, batch: DataFrame,
+      tau: Double): DataFrame = {
+    GraftExpressions.register(idx.sparkSession)
+    val all = idx.select("doc_id", "v", "sigs")
+      .unionByName(batch.select("doc_id", "v", "sigs"))
+    def sigRows(d: DataFrame): DataFrame = d.select(col("doc_id"),
+      posexplode(col("sigs")).as(Seq("tbl", "bucket")))
+    val batchKeys = sigRows(batch).select("tbl", "bucket").distinct()
+    val hot = sigRows(all).join(broadcast(batchKeys), Seq("tbl", "bucket"), "left_semi")
+    val cand = SafeOps.distinctRows(hot.as("x").join(hot.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b")))
+    val withVecs = pairsInvolving(cand, batch.select("doc_id"))
+      .join(all.select(col("doc_id").as("id_a"), col("v").as("va")), "id_a")
+      .join(all.select(col("doc_id").as("id_b"), col("v").as("vb")), "id_b")
+    val cos = expr("array_dot(va, vb)") /
+      (expr("sqrt(array_dot(va, va))") * expr("sqrt(array_dot(vb, vb))"))
+    withVecs.filter(cos >= tau)
+      .select(col("id_a"), col("id_b"), round(cos, 6).as("cos"))
+  }
+
   // ---- family dispatch (Store's incremental index hooks) -----------------
 
   /** Short table-name tag per fingerprint family. */
   private[graft] def familyTag(family: String): String = family match {
-    case "minhash" => "mh"
-    case "simhash" => "sh"
-    case "phash"   => "ph"
+    case "minhash"   => "mh"
+    case "simhash"   => "sh"
+    case "phash"     => "ph"
+    case "embedding" => "emb"
     case other => throw new IllegalArgumentException(s"unknown dedup family: $other")
   }
 
   /** Scan-side per-doc index frame for `family` (validates the family). */
   private[graft] def indexFrame(family: String, docs: DataFrame,
       idCol: String, valCol: String): DataFrame = family match {
-    case "minhash" => minhashIndexFrame(docs, idCol, valCol)
-    case "simhash" => simhashIndexFrame(docs, idCol, valCol)
-    case "phash"   => phashIndexFrame(docs, idCol, valCol)
+    case "minhash"   => minhashIndexFrame(docs, idCol, valCol)
+    case "simhash"   => simhashIndexFrame(docs, idCol, valCol)
+    case "phash"     => phashIndexFrame(docs, idCol, valCol)
+    case "embedding" => embeddingIndexFrame(docs, idCol, valCol)
     case other => throw new IllegalArgumentException(s"unknown dedup family: $other")
   }
 
   /** Batch-vs-index probe for `family`; tau is the family's threshold
-    * (min Jaccard / max Hamming / unused for exact fingerprints). */
+    * (min Jaccard / max Hamming / unused for exact fingerprints /
+    * min cosine). */
   private[graft] def probe(family: String, idx: DataFrame, batch: DataFrame,
       tau: Double): DataFrame = family match {
-    case "minhash" => minhashProbe(idx, batch, tau)
-    case "simhash" => simhashProbe(idx, batch, tau)
-    case "phash"   => phashProbe(idx, batch, tau)
+    case "minhash"   => minhashProbe(idx, batch, tau)
+    case "simhash"   => simhashProbe(idx, batch, tau)
+    case "phash"     => phashProbe(idx, batch, tau)
+    case "embedding" => embeddingProbe(idx, batch, tau)
     case other => throw new IllegalArgumentException(s"unknown dedup family: $other")
   }
 
@@ -733,21 +802,29 @@ object Dedup {
     // dd_embedding_cosine above is the all-pairs auditor at oracle scale;
     // recall of this bucketed variant against it is pinned in PipelineSpec.
     // The oracle reproduces the same hyperplanes/buckets/folds in DuckDB.
-    Q("dd_embedding_lsh", Some(s"""
-      WITH pl AS (SELECT ${Similarity.planesSqlLiteral} AS p),
-      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      sig AS (SELECT vec_id, v, CAST(t.range AS INT) AS tbl,
-          CAST(list_sum(list_transform(range(0, ${Similarity.PLANES_PER_TABLE}), i ->
-            CASE WHEN ${Similarity.duckDot("p[t.range + 1][i + 1]", "v")} > 0
-                 THEN (1 << CAST(i AS INT)) ELSE 0 END)) AS INT) AS bucket
-        FROM e, pl, range(0, ${Similarity.TABLES}) t),
-      cand AS (SELECT DISTINCT a.vec_id AS id_a, a.v AS va, b.vec_id AS id_b, b.v AS vb
-        FROM sig a JOIN sig b
-          ON b.tbl = a.tbl AND b.bucket = a.bucket AND a.vec_id < b.vec_id),
-      scored AS (SELECT id_a, id_b, ${Similarity.duckCos("va", "vb")} AS cos FROM cand)
-      SELECT id_a, id_b, round(cos, 6) AS cos FROM scored
-      WHERE cos >= 0.4 ORDER BY id_a, id_b""")) { (s, dir) =>
+    Q("dd_embedding_lsh", Some(embeddingLshOracle)) { (s, dir) =>
       embeddingCosineLsh(t(s, dir, "embeddings"))
+    },
+
+    // Incremental EMBEDDING index through the write path: vectors arrive in
+    // three ingest batches; the persisted index row carries the vector plus
+    // its precomputed hyperplane buckets (no probe ever re-hashes the
+    // corpus), each batch probes only buckets it occupies, and the
+    // accumulated pair table must equal the full dd_embedding_lsh recompute
+    // over the union at the same tau.
+    Q("dd_incremental_embedding", Some(embeddingLshOracle)) { (s, dir) =>
+      val store = new Store(s,
+        java.nio.file.Files.createTempDirectory("graft-ddincemb").toString)
+      val vecs = t(s, dir, "embeddings")
+      store.replace("ddincemb_vecs", vecs.filter(pmod(col("vec_id"), lit(3)) === 0))
+      store.enableDedupIndex("ddincemb_vecs", "vec_id", "embedding", 0.4,
+        family = "embedding")
+      (1L to 2L).foreach { i =>
+        store.appendCompacting("ddincemb_vecs",
+          vecs.filter(pmod(col("vec_id"), lit(3)) === i))
+      }
+      store.read(store.dedupPairsTable("ddincemb_vecs", "embedding"))
+        .orderBy("id_a", "id_b")
     },
 
     // line-level exact dedup (the RefinedWeb/CCNet pre-pass): cut each doc

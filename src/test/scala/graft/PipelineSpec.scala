@@ -475,6 +475,40 @@ class PipelineSpec extends SparkSpecBase {
       s"probe must NOT rescan the corpus docs table: $paths")
   }
 
+  test("embedding probe reads only the index; candidate gen never carries vectors") {
+    val store = new Store(spark,
+      java.nio.file.Files.createTempDirectory("graft-embpin").toString)
+    val vecs = Tables.df(spark, sfDir, "embeddings")
+    store.replace("embpin_vecs", vecs.filter(pmod(col("vec_id"), lit(2)) === 0))
+    store.enableDedupIndex("embpin_vecs", "vec_id", "embedding", 0.4,
+      family = "embedding")
+    val batch = Dedup.embeddingIndexFrame(
+      vecs.filter(pmod(col("vec_id"), lit(2)) === 1), "vec_id", "embedding")
+    val probe = Dedup.embeddingProbe(
+      store.read(store.dedupIdxTable("embpin_vecs", "embedding")), batch, 0.4)
+    val paths = probe.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten
+    assert(paths.exists(_.contains("embpin_vecs__emb_idx")),
+      s"probe must read the persisted embedding index: $paths")
+    assert(!paths.exists(p => p.contains("/embpin_vecs/")),
+      s"probe must NOT rescan the corpus vectors table: $paths")
+    // the repo invariant holds on the probe too: no shuffle KEYS on an
+    // embedding array — candidates move (tbl, bucket, id) scalars, vectors
+    // re-join by scalar id for the verify only
+    val p = probe.queryExecution.executedPlan.toString
+    "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).foreach { keys =>
+        Seq("v#", "va#", "vb#", "sigs#").foreach(c =>
+          assert(!keys.contains(c), s"array column in shuffle key: $keys"))
+      }
+  }
+
   test("multi-family dedup indexes coexist and stay current on one table") {
     import spark.implicits._
     val store = new Store(spark,
