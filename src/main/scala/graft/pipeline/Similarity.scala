@@ -463,6 +463,29 @@ object Similarity {
         .orderBy("query_id", "rnk")
     },
 
+    // INCREMENTAL IVF through the write path: vectors arrive in three
+    // ingest batches; centroids persist at enable time, each batch assigns
+    // ONLY its own rows (map-only — the Store's post-commit hook), and the
+    // query probes the persisted assignments with the top-nprobe cells
+    // pushed down as an In(cid) scan filter. Must equal the one-shot
+    // sim_ivf answer: a vector's cell depends only on itself and the fixed
+    // centroids, so incremental build == full build by construction — the
+    // oracle proves it end-to-end.
+    Q("sim_incremental_ivf", Some(ivfOracleSql)) { (s, dir) =>
+      val store = new Store(s,
+        java.nio.file.Files.createTempDirectory("graft-ivfinc").toString)
+      val e = t(s, dir, "embeddings")
+      // range split keeps the centroid/query seed rows in the first batch
+      store.replace("ivfinc_vecs", e.filter(col("vec_id") < 200))
+      val cents = e.filter(col("vec_id").isin(centroidIds: _*))
+        .select(col("vec_id").as("cid"), asDouble(col("embedding")).as("cv"))
+      store.enableAnnIndex("ivfinc_vecs", cents)
+      store.appendCompacting("ivfinc_vecs",
+        e.filter(col("vec_id") >= 200 && col("vec_id") < 400))
+      store.appendCompacting("ivfinc_vecs", e.filter(col("vec_id") >= 400))
+      store.annQuery("ivfinc_vecs", e.filter(col("vec_id").isin(queryIds: _*)))
+    },
+
     // product quantization (the IVF+PQ stack's compression half): 4
     // subspaces of 16 dims, 8 deterministic codewords per subspace (the
     // seed vectors' sub-slices, same fixed-seed convention as sim_ivf), per
@@ -689,6 +712,79 @@ object Similarity {
         .orderBy("vec_id")
     }
   )
+
+  // ---- incremental IVF: assignment at ingest, cell-pruned probe ----------
+  // The Faiss add-after-train contract over store tables: centroids are
+  // trained ONCE (offline / kmeansTrain) and persisted; every ingest batch
+  // assigns only its own vectors (a map-only fold against the broadcast
+  // centroid literal — zero shuffle at any batch size); a query ranks the
+  // k centroids, then scans ONLY the top-nprobe cells of the assignments
+  // table. Incremental build == one-shot build by construction: a vector's
+  // cell depends on nothing but the vector and the fixed centroids.
+
+  /** Argmax-cosine cell assignment — (vec_id, cid, nv). The centroid set
+    * collects to the driver (O(k·dims), the kmeansTrain bound) and folds
+    * scan-side as a literal array: assignment is map-only. Ties break to
+    * the lowest cid (cid-ordered fold with strict >), matching the
+    * oracle's ORDER BY ccos DESC, cid. Output files cluster by cid
+    * (sortWithinPartitions) so cell-filtered probes skip row groups via
+    * parquet min/max footers. */
+  private[graft] def ivfAssign(vecs: DataFrame, cents: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    GraftExpressions.register(vecs.sparkSession)
+    val cl = cents.select(col("cid").cast("long"), col("cv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    val centArr = array(cl.map { case (cid, cv) =>
+      struct(lit(cid).as("cid"), array(cv.map(x => lit(x)): _*).as("cv"))
+    }.toSeq: _*)
+    vecs.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("nv"))
+      .withColumn("__cents", centArr)
+      .withColumn("cid", expr(
+        """aggregate(__cents,
+             named_struct('best', CAST(-2.0 AS DOUBLE), 'cid', CAST(-1 AS BIGINT)),
+             (acc, c) -> if(array_cos(nv, c.cv) > acc.best,
+                            named_struct('best', array_cos(nv, c.cv), 'cid', c.cid),
+                            acc),
+             acc -> acc.cid)"""))
+      .select(col("vec_id"), col("cid"), col("nv"))
+      .sortWithinPartitions("cid")
+  }
+
+  /** Probe the persisted IVF index: rank cells per query against the
+    * centroid table, take the top `probes` cells, then scan ONLY those
+    * cells of the assignments table — the probed cell ids collect
+    * (O(queries × probes) scalars) and push down as an In(cid) filter, so
+    * parquet footers skip every non-probed cell's files — and exact-cosine
+    * rerank to the top `k`. Each vector lives in exactly one cell, so
+    * (query, neighbor) candidates are already distinct. */
+  private[graft] def ivfProbeQuery(assign: DataFrame, cents: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      probes: Int = PROBES, k: Int = TOPK): DataFrame = {
+    GraftExpressions.register(assign.sparkSession)
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+    val scored = q.crossJoin(broadcast(cents.select(col("cid"), col("cv"))))
+      .withColumn("ccos", expr(sparkCos("qv", "cv")))
+    val wCell = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val probeCells = scored.withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") <= probes)
+      .select(col("query_id"), col("qv"), col("cid"))
+    val cells = probeCells.select("cid").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val cand = broadcast(probeCells)
+      .join(assign.filter(col("cid").isin(cells: _*)), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr(cosSql).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rn").as("rnk"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy("query_id", "rnk")
+  }
 
   /** Multi-iteration Lloyd's k-means on the exact micros lattice: vectors
     * and centroids both live on the floor(x*1e6) integer grid, so distances

@@ -291,6 +291,7 @@ class Store(spark: SparkSession, val warehouse: String) {
     if (!stagedHere(name)) {
       persistCatalog(); publish(name)
       maybeRefreshDedupIndex(name)
+      maybeRefreshAnnIndex(name)
     }
 
   /** Auto-feed planner statistics from the write path: every commit
@@ -1595,6 +1596,7 @@ class Store(spark: SparkSession, val warehouse: String) {
         persistCatalog()
         touched.foreach { case (n, _) => publish(n) }
         touched.foreach { case (n, _) => maybeRefreshDedupIndex(n) }
+        touched.foreach { case (n, _) => maybeRefreshAnnIndex(n) }
       }
     } finally {
       gateRelease(st)
@@ -2478,6 +2480,8 @@ class Store(spark: SparkSession, val warehouse: String) {
         dedupIndexedVersion.remove(k)
           .foreach(dedupIndexedVersion((to, k._2)) = _)
       }
+      annIndexes.remove(from).foreach(annIndexes(to) = _)
+      annIndexedVersion.remove(from).foreach(annIndexedVersion(to) = _)
       versions(to) = v
       versions.remove(from)
       spark.catalog.dropTempView(from)
@@ -2682,6 +2686,82 @@ class Store(spark: SparkSession, val warehouse: String) {
         System.err.println(s"[store] dedup index refresh failed for $name: ${e.getMessage}")
       }
 
+  // ---- incremental ANN (IVF) index ---------------------------------------
+  // The Faiss add-after-train contract through the write path: centroids
+  // are trained once (offline or Similarity.kmeansTrain) and persisted at
+  // enable time; from then on every committed batch assigns ONLY its own
+  // vectors — a map-only fold against the broadcast centroid literal, no
+  // shuffle at any batch size — and deletes retract assignment rows by key.
+  // Queries probe the persisted assignments with the top-nprobe cells
+  // pushed down as an In(cid) scan filter (cell-clustered files, so parquet
+  // footers skip non-probed cells). Same registration contract as the
+  // dedup indexes: session-scoped registration, durable tables.
+  private val annIndexes = TrieMap[String, (String, String)]()
+  private val annIndexedVersion = TrieMap[String, Int]()
+  private[graft] def annIdxTable(name: String) = s"${name}__ivf_assign"
+  private[graft] def annCentsTable(name: String) = s"${name}__ivf_cents"
+
+  /** Register `name` for incremental IVF ANN indexing: persist `centroids`
+    * ((cid, cv) — cv array<double>), assign the full current content once,
+    * then keep assignments current through the write path. */
+  def enableAnnIndex(name: String, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    require(exists(name), s"no such store table: $name")
+    replace(annCentsTable(name), centroids.select(
+      org.apache.spark.sql.functions.col("cid").cast("long").as("cid"),
+      org.apache.spark.sql.functions.col("cv")))
+    annIndexes(name) = (idCol, vecCol)
+    annIndexedVersion.remove(name)
+    refreshAnnIndex(name)
+  }
+
+  /** Bring `name`'s IVF assignments up to its current version: incremental
+    * via the change feed when a watermark exists, full assign otherwise. */
+  def refreshAnnIndex(name: String): Unit = withoutStaging {
+    val (idCol, vecCol) = annIndexes.getOrElse(name, return)
+    val cur = versions.getOrElse(name, return)
+    val from = annIndexedVersion.getOrElse(name, 0)
+    if (cur == from) return
+    val aT = annIdxTable(name)
+    import org.apache.spark.sql.functions.col
+    def fullBuild(): Unit = replace(aT,
+      Similarity.ivfAssign(readVersion(name, cur), read(annCentsTable(name)),
+        idCol, vecCol))
+    if (from == 0 || !exists(aT)) fullBuild()
+    else {
+      val changes = try readChanges(name, from, cur) catch {
+        case _: Exception => fullBuild(); annIndexedVersion(name) = cur; return
+      }
+      val delIds = changes.filter(col("_change_type") === "delete")
+        .select(col(idCol).as("vec_id")).distinct()
+      if (!delIds.isEmpty) deleteByKey(aT, delIds, "vec_id")
+      val ins = changes.filter(col("_change_type") === "insert")
+        .drop("_change_type")
+      val batch = Similarity.ivfAssign(ins, read(annCentsTable(name)),
+        idCol, vecCol)
+      if (!batch.isEmpty) appendCompacting(aT, batch)
+    }
+    annIndexedVersion(name) = cur
+  }
+
+  /** Top-k ANN over `name`'s persisted IVF index for external `queries`
+    * (carrying the registered id/vector columns). */
+  def annQuery(name: String, queries: DataFrame,
+      probes: Int = Similarity.PROBES, k: Int = 10): DataFrame = {
+    val (idCol, vecCol) = annIndexes.getOrElse(name,
+      throw new IllegalArgumentException(s"no ANN index registered on $name"))
+    Similarity.ivfProbeQuery(read(annIdxTable(name)),
+      read(annCentsTable(name)), queries, idCol, vecCol, probes, k)
+  }
+
+  /** Post-commit hook twin of [[maybeRefreshDedupIndex]] for ANN. */
+  private def maybeRefreshAnnIndex(name: String): Unit =
+    if (annIndexes.contains(name))
+      try refreshAnnIndex(name)
+      catch { case e: Exception =>
+        System.err.println(s"[store] ANN index refresh failed for $name: ${e.getMessage}")
+      }
+
   def drop(name: String): Unit = {
     // a table another transaction is STAGING on must not be deleted out
     // from under it (PG: DROP TABLE queues on the owner's locks); our own
@@ -2698,6 +2778,7 @@ class Store(spark: SparkSession, val warehouse: String) {
     evolution.remove(name)
     dedupIndexes.keysIterator.filter(_._1 == name).toSeq
       .foreach { k => dedupIndexes.remove(k); dedupIndexedVersion.remove(k) }
+    annIndexes.remove(name); annIndexedVersion.remove(name)
     TableStats.drop(name) // planner stats die with the relation, like PG
     invalidateSchemas(name)
     spark.catalog.dropTempView(name)

@@ -509,6 +509,49 @@ class PipelineSpec extends SparkSpecBase {
       }
   }
 
+  test("ANN index probes only top-nprobe cells via pushed In(cid) filter") {
+    val store = new Store(spark,
+      java.nio.file.Files.createTempDirectory("graft-annpin").toString)
+    val vecs = Tables.df(spark, sfDir, "embeddings")
+    store.replace("annpin_vecs", vecs.filter(col("vec_id") < 200))
+    val cents = vecs.filter(col("vec_id").isin(Similarity.centroidIds: _*))
+      .select(col("vec_id").as("cid"),
+        expr("transform(embedding, x -> cast(x AS DOUBLE))").as("cv"))
+    store.enableAnnIndex("annpin_vecs", cents)
+    store.appendCompacting("annpin_vecs", vecs.filter(col("vec_id") >= 200))
+    val queries = vecs.filter(col("vec_id").isin(0L, 1L, 2L))
+    val res = store.annQuery("annpin_vecs", queries)
+    // the probe reads the assignments + centroid tables, never the corpus
+    val paths = res.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten
+    assert(paths.exists(_.contains("annpin_vecs__ivf_assign")), paths.toString)
+    assert(!paths.exists(p => p.contains("/annpin_vecs/")),
+      s"probe must NOT scan the corpus vector table: $paths")
+    // the cell restriction reaches the parquet scan as a pushed In filter
+    val formatted = res.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("PushedFilters") && formatted.contains("In(cid"),
+      formatted.take(4000))
+    // correctness of the probe itself: top-1 neighbor of each query exists
+    // and self never appears
+    val rows = res.collect()
+    assert(rows.nonEmpty)
+    assert(!rows.exists(r => r.getLong(0) == r.getLong(1)), "self-match leaked")
+
+    // deletes retract assignment rows through the write path
+    import spark.implicits._
+    store.deleteByKey("annpin_vecs", Seq(Tuple1(1L)).toDF("vec_id"), "vec_id")
+    val idxIds = store.read(store.annIdxTable("annpin_vecs"))
+      .filter(col("vec_id") === 1L).count()
+    assert(idxIds == 0L, "deleted vector still assigned")
+  }
+
   test("multi-family dedup indexes coexist and stay current on one table") {
     import spark.implicits._
     val store = new Store(spark,
