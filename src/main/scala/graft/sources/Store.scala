@@ -382,6 +382,13 @@ class Store(spark: SparkSession, val warehouse: String) {
   // restored tables below, which reads through the schema cache
   private val dirSchemas =
     TrieMap[String, org.apache.spark.sql.types.StructType]()
+  // incremental-index registrations + watermarks — declared ABOVE the
+  // catalog restore block (which repopulates them on mount); the API and
+  // refresh logic live in their own sections near the end of the file
+  private val dedupIndexes = TrieMap[(String, String), (String, String, Double)]()
+  private val dedupIndexedVersion = TrieMap[(String, String), Int]()
+  private val annIndexes = TrieMap[String, (String, String)]()
+  private val annIndexedVersion = TrieMap[String, Int]()
 
   private def readBytes(p: HadoopPath): Array[Byte] = {
     val in = fs.open(p)
@@ -465,6 +472,18 @@ class Store(spark: SparkSession, val warehouse: String) {
     val da = rootNode.putObject("dirAliases")
     dirAliases.toSeq.sortBy(x => (x._1._1, x._1._2)).foreach { case ((t, v), d) =>
       da.put(s"$t/$v", d) }
+    val di = rootNode.putObject("dedupIdx")
+    dedupIndexes.toSeq.sortBy(_._1).foreach { case ((t, fam), (idC, valC, tau)) =>
+      val o = di.putObject(s"$t/$fam")
+      o.put("idCol", idC); o.put("valCol", valC); o.put("tau", tau)
+      o.put("ver", dedupIndexedVersion.getOrElse((t, fam), 0))
+    }
+    val ai = rootNode.putObject("annIdx")
+    annIndexes.toSeq.sortBy(_._1).foreach { case (t, (idC, vecC)) =>
+      val o = ai.putObject(t)
+      o.put("idCol", idC); o.put("vecCol", vecC)
+      o.put("ver", annIndexedVersion.getOrElse(t, 0))
+    }
     val ev = rootNode.putObject("evo")
     evolution.toSeq.sortBy(_._1).foreach { case (t, e) =>
       val o = ev.putObject(t)
@@ -541,6 +560,18 @@ class Store(spark: SparkSession, val warehouse: String) {
       Option(rootNode.get("dirAliases")).foreach(_.fields.asScala.foreach { e =>
         val Array(t, v) = e.getKey.split("/", 2)
         dirAliases((t, v.toInt)) = e.getValue.asText
+      })
+      Option(rootNode.get("dedupIdx")).foreach(_.fields.asScala.foreach { e =>
+        val Array(t, fam) = e.getKey.split("/", 2)
+        val o = e.getValue
+        dedupIndexes((t, fam)) =
+          (o.get("idCol").asText, o.get("valCol").asText, o.get("tau").asDouble)
+        dedupIndexedVersion((t, fam)) = o.get("ver").asInt
+      })
+      Option(rootNode.get("annIdx")).foreach(_.fields.asScala.foreach { e =>
+        val o = e.getValue
+        annIndexes(e.getKey) = (o.get("idCol").asText, o.get("vecCol").asText)
+        annIndexedVersion(e.getKey) = o.get("ver").asInt
       })
       Option(rootNode.get("evo")).foreach(_.fields.asScala.foreach { e =>
         val o = e.getValue
@@ -2586,27 +2617,26 @@ class Store(spark: SparkSession, val warehouse: String) {
   // Maintenance is change-feed driven: after any committed write the file
   // diff between the last indexed version and the new one yields row-level
   // inserts/deletes; deletes drop index rows and their pairs, inserts probe
-  // and append. Registration is session-scoped (the tables themselves are
-  // durable store tables; a fresh mount re-enables with one call, which
-  // resumes incrementally from the persisted index content).
+  // and append. Registration + watermark persist in the catalog snapshot,
+  // so a fresh mount resumes maintenance INCREMENTALLY — no re-enable call,
+  // no rebuild (the maps themselves are declared above the restore block;
+  // see the init-order note there).
   // keyed (table, family): one table can maintain several fingerprint
   // indexes at once (text minhash + media phash is the realistic pairing)
-  private val dedupIndexes = TrieMap[(String, String), (String, String, Double)]()
-  private val dedupIndexedVersion = TrieMap[(String, String), Int]()
   private[graft] def dedupIdxTable(name: String, family: String = "minhash") =
     s"${name}__${Dedup.familyTag(family)}_idx"
   private[graft] def dedupPairsTable(name: String, family: String = "minhash") =
     s"${name}__${Dedup.familyTag(family)}_pairs"
 
   /** Register `name` for incremental near-dup indexing under `family`
-    * (minhash | simhash | phash — see Dedup's family dispatch) and build/
-    * refresh the index to the table's current version. Idempotent;
-    * re-enabling on a fresh mount resumes from the persisted index
-    * (re-deriving the indexed watermark from the index content itself
-    * would need a scan, so the resume indexes the full current content
-    * minus what deletes say — here: a fresh enable on existing index
-    * tables re-builds them). `tau` is the family's threshold: min Jaccard
-    * (minhash), max Hamming (simhash), unused (phash exact match). */
+    * (minhash | simhash | phash | embedding — see Dedup's family dispatch)
+    * and build/refresh the index to the table's current version. The
+    * registration and watermark persist in the catalog snapshot, so a
+    * restarted mount resumes maintenance incrementally with NO call here;
+    * calling enable again forces a full rebuild (the reindex-after-
+    * definition-change hatch). `tau` is the family's threshold: min
+    * Jaccard (minhash), max Hamming (simhash), unused (phash exact
+    * match), min cosine (embedding). */
   def enableDedupIndex(name: String, idCol: String = "doc_id",
       valCol: String = "text", tau: Double = 0.9,
       family: String = "minhash"): Unit = {
@@ -2634,6 +2664,12 @@ class Store(spark: SparkSession, val warehouse: String) {
       val idxT = dedupIdxTable(name, family)
       val pairsT = dedupPairsTable(name, family)
       import org.apache.spark.sql.functions.{col, lit}
+      // the watermark is DURABLE (catalog snapshot): a fresh mount resumes
+      // incrementally from here instead of rebuilding the index
+      def markIndexed(): Unit = {
+        dedupIndexedVersion((name, family)) = cur
+        persistCatalog()
+      }
       def fullBuild(): Unit = {
         val idx = Dedup.indexFrame(family, readVersion(name, cur), idCol, valCol)
         replace(idxT, idx)
@@ -2645,8 +2681,7 @@ class Store(spark: SparkSession, val warehouse: String) {
       if (from == 0 || !exists(idxT)) fullBuild()
       else {
         val changes = try readChanges(name, from, cur) catch {
-          case _: Exception =>
-            fullBuild(); dedupIndexedVersion((name, family)) = cur; return
+          case _: Exception => fullBuild(); markIndexed(); return
         }
         val delIds = changes.filter(col("_change_type") === "delete")
           .select(col(idCol).as("doc_id")).distinct()
@@ -2654,7 +2689,7 @@ class Store(spark: SparkSession, val warehouse: String) {
         if (d.length > 100000) {
           // a delete set this big is a replace-shaped rewrite: a full
           // rebuild beats 100k-key driver plumbing
-          fullBuild(); dedupIndexedVersion((name, family)) = cur; return
+          fullBuild(); markIndexed(); return
         }
         if (d.nonEmpty) {
           deleteByKey(idxT, delIds, "doc_id")
@@ -2667,13 +2702,23 @@ class Store(spark: SparkSession, val warehouse: String) {
           .drop("_change_type")
         val batch = Dedup.indexFrame(family, ins, idCol, valCol)
         if (!batch.isEmpty) {
-          // probe BEFORE the index grows: new pairs involve >=1 batch doc
-          val newPairs = Dedup.probe(family, read(idxT), batch, tau)
-          appendCompacting(idxT, batch)
-          appendCompacting(pairsT, newPairs)
+          // IDEMPOTENT re-application (a crash can land between the index
+          // writes and the watermark persist, so a restart may replay this
+          // batch): probe against the index MINUS the batch ids — correct
+          // on first application (probe before the index grows) and on
+          // replay (the half-applied batch rows don't double-count) —
+          // upsert the signatures by key, and anti-join new pairs against
+          // the pair table before appending.
+          val batchIds = batch.select("doc_id").distinct()
+          val idxSansBatch = read(idxT)
+            .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
+          val newPairs = Dedup.probe(family, idxSansBatch, batch, tau)
+          upsert(idxT, batch, "doc_id")
+          appendCompacting(pairsT,
+            newPairs.join(read(pairsT), Seq("id_a", "id_b"), "left_anti"))
         }
       }
-      dedupIndexedVersion((name, family)) = cur
+      markIndexed()
     }
 
   /** Post-commit hook: keep registered near-dup indexes current. The index
@@ -2695,9 +2740,8 @@ class Store(spark: SparkSession, val warehouse: String) {
   // Queries probe the persisted assignments with the top-nprobe cells
   // pushed down as an In(cid) scan filter (cell-clustered files, so parquet
   // footers skip non-probed cells). Same registration contract as the
-  // dedup indexes: session-scoped registration, durable tables.
-  private val annIndexes = TrieMap[String, (String, String)]()
-  private val annIndexedVersion = TrieMap[String, Int]()
+  // dedup indexes: catalog-persisted registration + watermark, durable
+  // tables, incremental resume on a fresh mount.
   private[graft] def annIdxTable(name: String) = s"${name}__ivf_assign"
   private[graft] def annCentsTable(name: String) = s"${name}__ivf_cents"
 
@@ -2716,7 +2760,11 @@ class Store(spark: SparkSession, val warehouse: String) {
   }
 
   /** Bring `name`'s IVF assignments up to its current version: incremental
-    * via the change feed when a watermark exists, full assign otherwise. */
+    * via the change feed when a watermark exists, full assign otherwise.
+    * The watermark persists in the catalog snapshot (incremental resume on
+    * a fresh mount); batch re-application is idempotent (upsert by key),
+    * so the crash window between the assignment write and the watermark
+    * persist replays safely. */
   def refreshAnnIndex(name: String): Unit = withoutStaging {
     val (idCol, vecCol) = annIndexes.getOrElse(name, return)
     val cur = versions.getOrElse(name, return)
@@ -2724,13 +2772,14 @@ class Store(spark: SparkSession, val warehouse: String) {
     if (cur == from) return
     val aT = annIdxTable(name)
     import org.apache.spark.sql.functions.col
+    def markIndexed(): Unit = { annIndexedVersion(name) = cur; persistCatalog() }
     def fullBuild(): Unit = replace(aT,
       Similarity.ivfAssign(readVersion(name, cur), read(annCentsTable(name)),
         idCol, vecCol))
     if (from == 0 || !exists(aT)) fullBuild()
     else {
       val changes = try readChanges(name, from, cur) catch {
-        case _: Exception => fullBuild(); annIndexedVersion(name) = cur; return
+        case _: Exception => fullBuild(); markIndexed(); return
       }
       val delIds = changes.filter(col("_change_type") === "delete")
         .select(col(idCol).as("vec_id")).distinct()
@@ -2739,9 +2788,9 @@ class Store(spark: SparkSession, val warehouse: String) {
         .drop("_change_type")
       val batch = Similarity.ivfAssign(ins, read(annCentsTable(name)),
         idCol, vecCol)
-      if (!batch.isEmpty) appendCompacting(aT, batch)
+      if (!batch.isEmpty) upsert(aT, batch, "vec_id")
     }
-    annIndexedVersion(name) = cur
+    markIndexed()
   }
 
   /** Top-k ANN over `name`'s persisted IVF index for external `queries`

@@ -552,6 +552,49 @@ class PipelineSpec extends SparkSpecBase {
     assert(idxIds == 0L, "deleted vector still assigned")
   }
 
+  test("index registrations survive a restart and resume incrementally") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-duridx").toString
+    val s1 = new Store(spark, wh)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    s1.replace("dur_docs",
+      Seq((1L, base), (2L, base + " lambda")).toDF("doc_id", "text"))
+    s1.enableDedupIndex("dur_docs", "doc_id", "text", 0.5)
+    val vecs = Tables.df(spark, sfDir, "embeddings")
+    s1.replace("dur_vecs", vecs.filter(col("vec_id") < 200))
+    val cents = vecs.filter(col("vec_id").isin(Similarity.centroidIds: _*))
+      .select(col("vec_id").as("cid"),
+        expr("transform(embedding, x -> cast(x AS DOUBLE))").as("cv"))
+    s1.enableAnnIndex("dur_vecs", cents)
+
+    // durability mechanics: the latest catalog snapshot carries both
+    // registrations with a non-zero watermark
+    val catFiles = new java.io.File(wh).listFiles()
+      .filter(_.getName.matches("_catalog\\.v\\d+\\.json"))
+      .sortBy(f => f.getName.stripPrefix("_catalog.v").stripSuffix(".json").toLong)
+    val cat = new String(java.nio.file.Files.readAllBytes(
+      catFiles.last.toPath), "UTF-8")
+    assert(cat.contains("\"dedupIdx\"") && cat.contains("dur_docs/minhash"), cat)
+    assert(cat.contains("\"annIdx\"") && cat.contains("\"dur_vecs\""), cat)
+
+    // a FRESH mount (no enable calls): maintenance resumes through the
+    // write path, and the ANN index answers queries immediately
+    val s2 = new Store(spark, wh)
+    s2.appendCompacting("dur_docs", Seq((3L, base + " mu")).toDF("doc_id", "text"))
+    val pairs = s2.read(s2.dedupPairsTable("dur_docs"))
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)), pairs.toString)
+    assert(s2.annQuery("dur_vecs",
+      vecs.filter(col("vec_id").isin(0L, 1L))).count() > 0)
+    // deletes retract through the restarted mount too
+    s2.deleteByKey("dur_docs", Seq(Tuple1(1L)).toDF("doc_id"), "doc_id")
+    val after = s2.read(s2.dedupPairsTable("dur_docs"))
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == Set((2L, 3L)), after.toString)
+  }
+
   test("multi-family dedup indexes coexist and stay current on one table") {
     import spark.implicits._
     val store = new Store(spark,
