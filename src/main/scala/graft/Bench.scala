@@ -260,6 +260,76 @@ object Bench {
         sock.close()
         (rows, bytes, sec)
       }
+      def connect(): (java.net.Socket, java.io.DataInputStream, java.io.DataOutputStream) = {
+        val sock = new java.net.Socket("127.0.0.1", port)
+        sock.setTcpNoDelay(true)
+        val in = new java.io.DataInputStream(
+          new java.io.BufferedInputStream(sock.getInputStream, 1 << 16))
+        val out = new java.io.DataOutputStream(sock.getOutputStream)
+        val params = "user\u0000graft\u0000database\u0000graft\u0000\u0000"
+          .getBytes("UTF-8")
+        out.writeInt(8 + params.length); out.writeInt(196608)
+        out.write(params); out.flush()
+        var ready = false
+        while (!ready) {
+          val t = in.read().toChar; val n = in.readInt()
+          in.skipNBytes(n - 4); if (t == 'Z') ready = true
+        }
+        (sock, in, out)
+      }
+      def execOn(in: java.io.DataInputStream, out: java.io.DataOutputStream,
+          sql0: String): Unit = {
+        val q = sql0.getBytes("UTF-8")
+        out.writeByte('Q'); out.writeInt(4 + q.length + 1)
+        out.write(q); out.writeByte(0); out.flush()
+        var done = false; var err: String = null
+        while (!done) {
+          val t = in.read().toChar; val n = in.readInt()
+          if (t == 'E' && err == null) {
+            val b = new Array[Byte](n - 4); in.readFully(b)
+            err = new String(b, "UTF-8").replace(' ', '|')
+          } else in.skipNBytes(n - 4)
+          if (t == 'Z') done = true
+        }
+        if (err != null) throw new RuntimeException(s"wire error on [$sql0]: $err")
+      }
+      // ---- concurrent same-table ingest (insert-only txns commit
+      // concurrently since r12; before that the per-table write gate
+      // serialized them, so scaling here was ~1.0 by construction) --------
+      def ingestRate(clients: Int, txns: Int, tag: String): Double = {
+        // fresh table per pass: append history grows the file set, so one
+        // shared table would bias the later pass slow (growth, not
+        // concurrency)
+        val tbl = s"bench_ingest_$tag"
+        val (s0, i0, o0) = connect()
+        execOn(i0, o0, s"CREATE TABLE $tbl (a int, b text)")
+        s0.close()
+        val conns = (1 to clients).map(_ => connect())
+        conns.foreach { case (_, i, o) =>
+          execOn(i, o, s"INSERT INTO $tbl VALUES (0, 'warm$tag')") }
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(clients)
+        val t0 = System.nanoTime()
+        val futs = conns.zipWithIndex.map { case ((_, i, o), ci) =>
+          pool.submit(new Runnable { def run(): Unit =
+            (1 to txns).foreach { k => execOn(i, o,
+              s"BEGIN; INSERT INTO $tbl VALUES ($k, '$tag-$ci'); " +
+              s"INSERT INTO $tbl VALUES (${k + txns}, '$tag-$ci-b'); COMMIT") }
+          })
+        }
+        futs.foreach(_.get()); pool.shutdown()
+        val sec = (System.nanoTime() - t0) / 1e9
+        conns.foreach(_._1.close())
+        clients * txns / sec
+      }
+      val ingest = scala.util.Try {
+        ingestRate(1, 2, "jit") // untimed warmup
+        val r1 = ingestRate(1, 6, "c1")
+        val r4 = ingestRate(4, 6, "c4")
+        (r1, r4)
+      }.recover { case e =>
+        System.err.println(s"[bench] ingest block failed: ${e.getMessage}")
+        (0.0, 0.0)
+      }.get
       def drain(): (Long, Long, Double) = drainSql(copySql)
       drain() // untimed warmup (encoder JIT, scan cache)
       val best = (1 to 3).map(_ => drain()).minBy(_._3)
@@ -286,10 +356,14 @@ object Bench {
           f""""raw_drain_sec":$raw%.3f,"vs_raw":${sec / raw}%.2f,""" +
           f""""select_drain_sec":$selSec%.3f,""" +
           f""""select_rows_per_sec":${selRows / selSec}%.0f,""" +
-          f""""select_vs_copy":${selSec / sec}%.2f},"""
+          f""""select_vs_copy":${selSec / sec}%.2f,""" +
+          f""""ingest_1c_txn_per_sec":${ingest._1}%.2f,""" +
+          f""""ingest_4c_txn_per_sec":${ingest._2}%.2f},"""
       val compact =
         f""""wire_rows_per_sec":${rows / sec}%.0f,"wire_vs_raw":${sec / raw}%.2f,""" +
-        f""""select_rows_per_sec":${selRows / selSec}%.0f,"""
+        f""""select_rows_per_sec":${selRows / selSec}%.0f,""" +
+        (if (ingest._1 > 0)
+          f""""ingest_scaling_4c":${ingest._2 / ingest._1}%.2f,""" else "")
       (detail, compact)
     }.recover { case e =>
       System.err.println(s"[bench] wire block failed: ${e.getMessage}")

@@ -307,10 +307,26 @@ class Store(spark: SparkSession, val warehouse: String) {
   private def publishSizeStats(name: String, v: Int): Unit =
     try {
       val files = dataFiles(versionPath(name, v))
-      val rows = footerRows(files.map(_.getPath))
+      val rows = files.map(cachedFooterRows(name, _)).sum
       val diskBytes = files.map(_.getLen).sum
       TableStats.noteWriteSize(name, rows, diskBytes)
     } catch { case _: Exception => () }
+
+  // Footer row counts memoized per immutable-file identity: a commit's
+  // stats pass re-visits mostly CARRIED files (hard links / metadata-only
+  // moves whose basename, length and mtime survive the carry), so without
+  // the memo every commit pays an O(table files) footer scan INSIDE the
+  // commit's table locks — the measured serializer of concurrent ingest,
+  // and quadratic over an append history. Keyed (table, basename, len,
+  // mtime) — planner-stat use only (best-effort by contract); row-count
+  // paths that feed command tags keep reading footers directly.
+  private val footerRowCache = TrieMap[(String, String, Long, Long), Long]()
+  private def cachedFooterRows(name: String, f: FileStatus): Long = {
+    if (footerRowCache.size > 65536) footerRowCache.clear()
+    footerRowCache.getOrElseUpdate(
+      (name, f.getPath.getName, f.getLen, f.getModificationTime),
+      footerRows(Seq(f.getPath)))
+  }
 
   private val matviewDefs = TrieMap[String, String]()
   /** Plain (non-materialized) SQL views: name -> (PG-SQL definition,
@@ -1057,8 +1073,62 @@ class Store(spark: SparkSession, val warehouse: String) {
     // merged dirs never collide. ON CONFLICT passes txnConcurrent=false:
     // its conflict check is only sound while the base is gate-frozen.
     val insertPath = staging() != null && txnConcurrent
-    if (insertPath) withTableLock(name)(appendBody(name, df0, maxFileBytes, insertPath = true))
+    if (insertPath) appendStagedInsert(name, df0, maxFileBytes)
     else withWriteLock(name)(appendBody(name, df0, maxFileBytes, insertPath = false))
+  }
+
+  /** Staged pure-insert append with the table lock held only for the
+    * metadata edges: slot allocation (base capture + staged version number
+    * + DDL-guard registration) and the staged-chain publish. The parquet
+    * write job itself runs OUTSIDE the lock — every staged dir is
+    * txn-private, the carried base files come from an immutable version
+    * dir, and the staging context is thread-bound, so concurrent insert
+    * transactions' data writes genuinely parallelize instead of queuing on
+    * the per-table monitor (same-table ingest scales with clients; the
+    * bench's ingest block measures it). Registering the staged name BEFORE
+    * the write also closes the DDL window: DROP/RENAME's foreign-staging
+    * wait now covers a first in-flight insert, not only published ones. */
+  private def appendStagedInsert(name: String, df0: DataFrame,
+      maxFileBytes: Long): Long = {
+    val st = staging()
+    val (dir, next, baseFiles, df) = withTableLock(name) {
+      if (!exists(name)) { replace(name, df0); return rowCountFast(name) }
+      val df = toPhysical(name, df0)
+      val cur = versionPath(name, curVersion(name))
+      val files = dataFiles(cur)
+      val next = nextVersion(name)
+      st.stagedNames.add(name)
+      (freshVersionDir(name, next), next, files, df)
+    }
+    baseFiles.foreach(f => carryFile(f.getPath, dir))
+    val targetBytes = math.max(maxFileBytes, 1L << 20)
+    val incomingBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val est =
+      if (incomingBytes > BigInt(1L << 40)) targetBytes else incomingBytes.toLong
+    val nParts = math.max(1, math.ceil(est.toDouble / targetBytes).toInt)
+    val prefix = s"ins-${st.id}-$next"
+    writeInto(df.repartition(nParts), name, dir, prefix)
+    var writtenFiles = dataFiles(dir)
+      .filter(_.getPath.getName.startsWith(s"$prefix-"))
+    val writtenRows = footerRows(writtenFiles.map(_.getPath))
+    // post-write cap verification — same contract as appendBody
+    val writtenBytes = writtenFiles.map(_.getLen).sum
+    if (writtenBytes > writtenFiles.length.toLong * targetBytes * 3 / 2) {
+      val needed = math.max(1,
+        math.ceil(writtenBytes.toDouble / targetBytes).toInt)
+      val re = spark.read.schema(df.schema)
+        .parquet(writtenFiles.map(_.getPath.toString): _*)
+      val rePrefix = s"insr-${st.id}-$next"
+      writeInto(re.repartition(needed), name, dir, rePrefix)
+      writtenFiles.foreach(f => fs.delete(f.getPath, false))
+      writtenFiles = dataFiles(dir)
+        .filter(_.getPath.getName.startsWith(s"$rePrefix-"))
+    }
+    withTableLock(name) {
+      publishVersion(name, next, writtenFiles.map(_.getPath.getName))
+      commitWrite(name)
+    }
+    writtenRows
   }
   private def appendBody(name: String, df0: DataFrame, maxFileBytes: Long,
       insertPath: Boolean): Long = {

@@ -319,4 +319,45 @@ class StreamingSpec extends SparkSpecBase {
     assert(out(1L) == "a" && out(2L) == "back" && out(3L) == "win"
       && out(21L) == "b" && out(4L) == "old")
   }
+
+  test("streaming ingest maintains the dedup index per micro-batch") {
+    import spark.implicits._
+    val store = new Store(spark,
+      java.nio.file.Files.createTempDirectory("graft-sdd").toString)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // batch 0 seeds the table + index registration through the batch path
+    store.replace("sdd_docs", Seq((1L, base)).toDF("doc_id", "text"))
+    store.enableDedupIndex("sdd_docs", "doc_id", "text", 0.5)
+    // two source files + maxFilesPerTrigger=1 -> two micro-batches, each
+    // committing through appendCompacting, whose post-commit hook must
+    // probe the batch against the standing index
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-sdd-src")
+    Seq((2L, base + " lambda")).toDF("doc_id", "text")
+      .write.parquet(srcDir.resolve("b1").toString)
+    Seq((3L, base + " mu"), (4L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+      .write.parquet(srcDir.resolve("b2").toString)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sdd-ck").toString
+    val q = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$srcDir/*")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        store.appendCompacting("sdd_docs", batch); ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    val pairs = store.read(store.dedupPairsTable("sdd_docs"))
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)), pairs.toString)
+    // the index tracked every streamed doc; the unrelated doc pairs with
+    // nothing
+    val ids = store.read(store.dedupIdxTable("sdd_docs"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 3L, 4L), ids.toString)
+  }
 }
