@@ -337,6 +337,76 @@ object Bench {
       // DataRow framing, executor-parallel since r12
       drainSql(selectSql)
       val selBest = (1 to 3).map(_ => drainSql(selectSql)).minBy(_._3)
+      // ---- COPY FROM STDIN: the bulk-LOAD funnel (executor-parallel
+      // decode since r12). Input bytes pre-captured from one COPY-out
+      // drain so only the ingest side is timed; fresh table per pass. ----
+      def captureCopy(sql0: String): Array[Byte] = {
+        val (sock, in, out) = connect()
+        val q = sql0.getBytes("UTF-8")
+        out.writeByte('Q'); out.writeInt(4 + q.length + 1)
+        out.write(q); out.writeByte(0); out.flush()
+        val bb = new java.io.ByteArrayOutputStream(64 << 20)
+        var done = false
+        while (!done) {
+          val t = in.read().toChar; val n = in.readInt()
+          if (t == 'd') {
+            val b = new Array[Byte](n - 4); in.readFully(b); bb.write(b)
+          } else in.skipNBytes(n - 4)
+          if (t == 'Z') done = true
+        }
+        sock.close(); bb.toByteArray
+      }
+      def copyInSec(tag: String, payload: Array[Byte]): Double = {
+        val tbl = s"bench_copyin_$tag"
+        val (s0, i0, o0) = connect()
+        execOn(i0, o0, s"CREATE TABLE $tbl AS SELECT * FROM lineitem LIMIT 0")
+        val q = s"COPY $tbl FROM STDIN".getBytes("UTF-8")
+        val t0 = System.nanoTime()
+        o0.writeByte('Q'); o0.writeInt(4 + q.length + 1)
+        o0.write(q); o0.writeByte(0); o0.flush()
+        var inCopy = false
+        while (!inCopy) {
+          val t = i0.read().toChar; val n = i0.readInt(); i0.skipNBytes(n - 4)
+          if (t == 'E') throw new RuntimeException("copy-in refused")
+          if (t == 'G') inCopy = true
+        }
+        var off = 0
+        while (off < payload.length) {
+          val len = math.min(1 << 20, payload.length - off)
+          o0.writeByte('d'); o0.writeInt(4 + len); o0.write(payload, off, len)
+          off += len
+        }
+        o0.writeByte('c'); o0.writeInt(4); o0.flush()
+        var done = false; var err: String = null
+        while (!done) {
+          val t = i0.read().toChar; val n = i0.readInt()
+          if (t == 'E' && err == null) {
+            val b = new Array[Byte](n - 4); i0.readFully(b)
+            err = new String(b, "UTF-8").replace(' ', '|')
+          } else i0.skipNBytes(n - 4)
+          if (t == 'Z') done = true
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (err != null) throw new RuntimeException(s"copy-in error: $err")
+        execOn(i0, o0, s"DROP TABLE $tbl")
+        s0.close()
+        sec
+      }
+      // payload bounded to 1M rows (~120 MB text): the measure is ingest
+      // THROUGHPUT, and an unbounded capture would buffer the whole SF10
+      // lineitem text (~7 GB) on the driver heap. Row count = newlines
+      // (exact in PG text format: data newlines are escaped as \n).
+      val copyIn = scala.util.Try {
+        val payload = captureCopy(
+          "COPY (SELECT * FROM lineitem LIMIT 1000000) TO STDOUT")
+        val rows = payload.count(_ == '\n').toLong
+        copyInSec("jit", payload) // untimed warmup
+        val sec = (1 to 2).map(k => copyInSec(s"s$k", payload)).min
+        (sec, payload.length.toLong, rows)
+      }.recover { case e =>
+        System.err.println(s"[bench] copy-in block failed: ${e.getMessage}")
+        (0.0, 0L, 0L)
+      }.get
       // control: same rows to the driver, no text encode, no socket
       val df = spark.sql("SELECT * FROM lineitem")
       def rawDrain(): Double = {
@@ -357,11 +427,18 @@ object Bench {
           f""""select_drain_sec":$selSec%.3f,""" +
           f""""select_rows_per_sec":${selRows / selSec}%.0f,""" +
           f""""select_vs_copy":${selSec / sec}%.2f,""" +
+          (if (copyIn._1 > 0)
+            f""""copy_in_sec":${copyIn._1}%.3f,"copy_in_rows":${copyIn._3},""" +
+            f""""copy_in_rows_per_sec":${copyIn._3 / copyIn._1}%.0f,""" +
+            f""""copy_in_mb_per_sec":${copyIn._2 / copyIn._1 / 1e6}%.1f,"""
+          else "") +
           f""""ingest_1c_txn_per_sec":${ingest._1}%.2f,""" +
           f""""ingest_4c_txn_per_sec":${ingest._2}%.2f},"""
       val compact =
         f""""wire_rows_per_sec":${rows / sec}%.0f,"wire_vs_raw":${sec / raw}%.2f,""" +
         f""""select_rows_per_sec":${selRows / selSec}%.0f,""" +
+        (if (copyIn._1 > 0)
+          f""""copy_in_rows_per_sec":${copyIn._3 / copyIn._1}%.0f,""" else "") +
         (if (ingest._1 > 0)
           f""""ingest_scaling_4c":${ingest._2 / ingest._1}%.2f,""" else "")
       (detail, compact)

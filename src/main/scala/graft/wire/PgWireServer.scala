@@ -36,6 +36,89 @@ object PgWireServer {
     new java.util.concurrent.ConcurrentHashMap[Int, (Int, String)]()
 }
 
+/** COPY FROM STDIN value parsing — a serializable object so bulk-ingest
+  * decode runs on EXECUTOR tasks (the COPY-in twin of [[PgText]]'s
+  * executor-side COPY-out encode). The connection thread only buffers raw
+  * wire bytes and slices complete lines; field split, backslash/CSV
+  * unescape and the assignment cast all run inside the write job's tasks,
+  * so a fat COPY load parallelizes across cores instead of funneling
+  * through one thread. */
+private[graft] object CopyParse extends Serializable {
+  /** PG text-format backslash unescape (COPY text format). */
+  def unescape(v: String): String = {
+    val sb = new StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c == '\\' && i + 1 < v.length) {
+        v.charAt(i + 1) match {
+          case 't' => sb.append('\t'); case 'n' => sb.append('\n')
+          case 'r' => sb.append('\r'); case '\\' => sb.append('\\')
+          case o => sb.append(o)
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** One CSV record (no embedded newlines): RFC quoting, `""` escapes;
+    * an unquoted empty field (or the NULL marker) is NULL. */
+  def parseCsvRecord(l: String, delim: Char, nullStr: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    var quoted = false
+    var wasQuoted = false
+    def emit(): Unit = {
+      val v = cur.toString
+      out += (if (!wasQuoted && (v == nullStr || v.isEmpty)) null else v)
+      cur.clear(); wasQuoted = false
+    }
+    while (i < l.length) {
+      val c = l.charAt(i)
+      if (quoted) {
+        if (c == '"') {
+          if (i + 1 < l.length && l.charAt(i + 1) == '"') { cur.append('"'); i += 1 }
+          else quoted = false
+        } else cur.append(c)
+      } else c match {
+        case '"' => quoted = true; wasQuoted = true
+        case `delim` => emit()
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    emit()
+    out.result()
+  }
+
+  /** One COPY line to its field values (NULL marker compared BEFORE
+    * unescape, as PG does — `\N` is the raw NULL token in text format). */
+  def parseLine(l: String, csv: Boolean, delim: Char, nullStr: String): Seq[String] =
+    if (csv) parseCsvRecord(l, delim, nullStr)
+    else l.split(java.util.regex.Pattern.quote(delim.toString), -1)
+      .toSeq.map(v => if (v == nullStr) null else unescape(v))
+
+  /** Slice a buffer of COMPLETE lines into ~`target`-byte blocks cut on
+    * line boundaries — the per-task unit of parallel COPY-in decode. */
+  def sliceLines(s: String, target: Int): Seq[String] = {
+    if (s.length <= target) return Seq(s)
+    val out = Seq.newBuilder[String]
+    var start = 0
+    while (start < s.length) {
+      var end = math.min(start + target, s.length)
+      if (end < s.length) {
+        val nl = s.indexOf('\n', end)
+        end = if (nl < 0) s.length else nl + 1
+      }
+      out += s.substring(start, end)
+      start = end
+    }
+    out.result()
+  }
+}
+
 class PgWireServer(spark: SparkSession, store: Store, port: Int,
     database: String = "graft", user: String = "",
     serverVersion: String = "17.0") {
@@ -1003,56 +1086,74 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
     // (partial-publish + rollback) without shipping 64MB of rows
     val chunkBytes = sys.props.get("graft.copy.chunkBytes")
       .flatMap(_.toIntOption).getOrElse(64 << 20)
-
-    def unescape(v: String): String = {
-      val sb = new StringBuilder(v.length)
-      var i = 0
-      while (i < v.length) {
-        val c = v.charAt(i)
-        if (c == '\\' && i + 1 < v.length) {
-          v.charAt(i + 1) match {
-            case 't' => sb.append('\t'); case 'n' => sb.append('\n')
-            case 'r' => sb.append('\r'); case '\\' => sb.append('\\')
-            case o => sb.append(o)
-          }
-          i += 2
-        } else { sb.append(c); i += 1 }
-      }
-      sb.toString
-    }
-    def parseLine(l: String): Seq[String] =
-      if (ci.csv) parseCsvRecord(l, ci.delimiter, ci.nullStr)
-      else l.split(java.util.regex.Pattern.quote(ci.delimiter.toString), -1)
-        .toSeq.map {
-          case ci.nullStr => null
-          case v => unescape(v)
-        }
+    // Below this, a driver-side decode beats job-scheduling overhead (the
+    // interactive psql \copy case); above it, decode parallelizes across
+    // executor tasks — the ingest twin of copyParallelMinBytes. Sys-prop
+    // override so specs can force the parallel path without fat fixtures.
+    val parallelMinBytes = sys.props.get("graft.copyIn.parallelMinBytes")
+      .flatMap(_.toIntOption).getOrElse(8 << 20)
+    val strSchema = org.apache.spark.sql.types.StructType(
+      cols.map(c => org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.StringType)))
+    val (csv, delim, nullStr, ncols) =
+      (ci.csv, ci.delimiter, ci.nullStr, cols.length)
 
     def flush(tail: Boolean): Unit = {
       val text = new String(buf.toByteArray, UTF_8)
       val cut = if (tail) text.length else text.lastIndexOf('\n') + 1
-      val (ready, rest) = text.splitAt(cut)
+      val (ready0, rest) = text.splitAt(cut)
       buf.reset()
       buf.write(rest.getBytes(UTF_8))
-      var lines = ready.split("\n", -1).toSeq
-        .map(_.stripSuffix("\r")).filter(l => l.nonEmpty && l != "\\.")
-      if (headerPending && lines.nonEmpty) { lines = lines.tail; headerPending = false }
-      if (lines.isEmpty) return
-      val strSchema = org.apache.spark.sql.types.StructType(
-        cols.map(c => org.apache.spark.sql.types.StructField(c,
-          org.apache.spark.sql.types.StringType)))
-      val rows: java.util.List[org.apache.spark.sql.Row] =
-        new java.util.ArrayList[org.apache.spark.sql.Row](lines.length)
-      lines.foreach { l =>
-        val vals = parseLine(l)
-        if (vals.length != cols.length)
-          throw PgDialect.UnsupportedQuery(
-            s"COPY row has ${vals.length} fields, expected ${cols.length}: $l")
-        rows.add(org.apache.spark.sql.Row.fromSeq(vals))
+      var ready = ready0
+      if (headerPending && ready.nonEmpty) {
+        val nl = ready.indexOf('\n')
+        ready = if (nl < 0) "" else ready.substring(nl + 1)
+        headerPending = false
       }
-      store.appendCompacting(ci.table,
-        PgDml.align(spark.createDataFrame(rows, strSchema), target, cols))
-      total += lines.length
+      if (ready.isEmpty) return
+      if (ready.length < parallelMinBytes) {
+        // small chunk: decode on the connection thread, local relation
+        val lines = ready.split("\n", -1).toSeq
+          .map(_.stripSuffix("\r")).filter(l => l.nonEmpty && l != "\\.")
+        if (lines.isEmpty) return
+        val rows: java.util.List[org.apache.spark.sql.Row] =
+          new java.util.ArrayList[org.apache.spark.sql.Row](lines.length)
+        lines.foreach { l =>
+          val vals = CopyParse.parseLine(l, csv, delim, nullStr)
+          if (vals.length != ncols)
+            throw PgDialect.UnsupportedQuery(
+              s"COPY row has ${vals.length} fields, expected $ncols: $l")
+          rows.add(org.apache.spark.sql.Row.fromSeq(vals))
+        }
+        store.appendCompacting(ci.table,
+          PgDml.align(spark.createDataFrame(rows, strSchema), target, cols))
+        total += lines.length
+      } else {
+        // fat chunk: slice complete lines into ~4 MB blocks and decode on
+        // executor tasks — split/unescape/cast never touch the connection
+        // thread, so bulk-load throughput scales with cores, not with one
+        // thread's parse speed. The appended-row return is the parsed line
+        // count (footer-measured), so the COPY tag stays exact.
+        val slices = CopyParse.sliceLines(ready, 4 << 20)
+        val rdd = spark.sparkContext
+          .parallelize(slices, slices.length)
+          .flatMap { block =>
+            block.split("\n", -1).iterator
+              .map(_.stripSuffix("\r"))
+              .filter(l => l.nonEmpty && l != "\\.")
+              .map { l =>
+                val vals = CopyParse.parseLine(l, csv, delim, nullStr)
+                if (vals.length != ncols)
+                  throw new IllegalArgumentException(
+                    s"COPY row has ${vals.length} fields, expected $ncols: $l")
+                org.apache.spark.sql.Row.fromSeq(vals)
+              }
+          }
+        total += unwrapCopyRowError {
+          store.appendCompacting(ci.table,
+            PgDml.align(spark.createDataFrame(rdd, strSchema), target, cols))
+        }
+      }
     }
 
     var done = false
@@ -1083,36 +1184,19 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
     total
   }
 
-  /** One CSV record (no embedded newlines): RFC quoting, `""` escapes;
-    * an unquoted empty field (or the NULL marker) is NULL. */
-  private def parseCsvRecord(l: String, delim: Char, nullStr: String): Seq[String] = {
-    val out = Seq.newBuilder[String]
-    val cur = new StringBuilder
-    var i = 0
-    var quoted = false
-    var wasQuoted = false
-    def emit(): Unit = {
-      val v = cur.toString
-      out += (if (!wasQuoted && (v == nullStr || v.isEmpty)) null else v)
-      cur.clear(); wasQuoted = false
+  /** A malformed COPY row detected inside an executor task surfaces as a
+    * SparkException wrapping our field-count error; unwrap it back to the
+    * clean PG-shaped message the driver-side decode path throws. */
+  private def unwrapCopyRowError[T](body: => T): T =
+    try body catch {
+      case e: Exception =>
+        var c: Throwable = e
+        while (c.getCause != null && (c.getCause ne c)) c = c.getCause
+        val m = c.getMessage
+        if (m != null && m.startsWith("COPY row has"))
+          throw PgDialect.UnsupportedQuery(m)
+        else throw e
     }
-    while (i < l.length) {
-      val c = l.charAt(i)
-      if (quoted) {
-        if (c == '"') {
-          if (i + 1 < l.length && l.charAt(i + 1) == '"') { cur.append('"'); i += 1 }
-          else quoted = false
-        } else cur.append(c)
-      } else c match {
-        case '"' => quoted = true; wasQuoted = true
-        case `delim` => emit()
-        case _ => cur.append(c)
-      }
-      i += 1
-    }
-    emit()
-    out.result()
-  }
 
   /** COPY-out subprotocol: CopyOutResponse, one CopyData per line (PG text
     * format: tab-delimited with \N nulls and backslash escapes; or CSV with

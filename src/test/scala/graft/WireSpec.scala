@@ -1315,6 +1315,72 @@ class WireSpec extends SparkSpecBase {
     c.close()
   }
 
+  test("fat COPY FROM STDIN decodes on executor tasks (parallel ingest path)") {
+    import spark.implicits._
+    store.replace("copyin_par",
+      Seq((0L, "seed", Option(1.0))).toDF("k", "nm", "score"))
+    // force EVERY chunk through the executor-parallel decode (the default
+    // 8 MB threshold would keep a test-size payload on the driver path)
+    sys.props("graft.copyIn.parallelMinBytes") = "1"
+    try {
+      val c = new Client(server._2); c.startup()
+      def copyData(s: String): Unit = {
+        val b = s.getBytes(UTF_8)
+        c.out.writeByte('d'); c.out.writeInt(4 + b.length); c.out.write(b)
+      }
+      def copyDone(): Seq[(Char, Array[Byte])] = {
+        c.out.writeByte('c'); c.out.writeInt(4); c.out.flush()
+        c.drainUntilReady()
+      }
+      def beginCopy(sql: String): Unit = {
+        c.out.writeByte('Q')
+        val q = sql.getBytes(UTF_8)
+        c.out.writeInt(4 + q.length + 1); c.out.write(q); c.out.writeByte(0)
+        c.out.flush()
+        val g = c.in.read().toChar
+        assert(g == 'G', s"expected CopyInResponse, got $g")
+        val glen = c.in.readInt(); c.in.readFully(new Array[Byte](glen - 4))
+      }
+
+      beginCopy("COPY copyin_par FROM STDIN")
+      val n = 500
+      val sb = new StringBuilder
+      (1 to n).foreach { i =>
+        sb.append(s"$i\tname\\t$i\t${if (i % 7 == 0) "\\N" else s"$i.5"}\n")
+      }
+      copyData(sb.toString)
+      val msgs = copyDone()
+      val tag = new String(msgs.find(_._1 == 'C').get._2, UTF_8)
+        .stripSuffix("\u0000")
+      assert(tag == s"COPY $n", tag)
+      // content through the executor decode: escapes, NULL markers, casts
+      val sel = c.query(
+        "SELECT nm, score FROM copyin_par WHERE k IN (1, 7) ORDER BY k")
+      val got = sel.filter(_._1 == 'D').map(m => dataRowValues(m._2))
+      assert(got == Seq(Seq("name\t1", "1.5"), Seq("name\t7", null)), got)
+      val cnt = c.query("SELECT count(*) AS n FROM copyin_par WHERE k > 0")
+      assert(cnt.filter(_._1 == 'D').map(m => dataRowValues(m._2)) ==
+        Seq(Seq(n.toString)), "all parallel-decoded rows committed")
+
+      // a malformed row inside an executor task surfaces the same
+      // PG-shaped error the driver path raises, and nothing commits
+      beginCopy("COPY copyin_par FROM STDIN")
+      copyData("901\tonly-two-fields\n")
+      val errMsgs = copyDone()
+      val err = errMsgs.filter(_._1 == 'E')
+        .map(m => new String(m._2, UTF_8)).mkString
+      assert(err.contains("COPY row has 2 fields, expected 3"), err)
+      val cnt2 = c.query("SELECT count(*) AS n FROM copyin_par WHERE k > 900")
+      assert(cnt2.filter(_._1 == 'D').map(m => dataRowValues(m._2)) ==
+        Seq(Seq("0")), "malformed COPY must not commit rows")
+      assert(c.query("SELECT 1").exists(_._1 == 'D'), "session stays usable")
+      c.close()
+    } finally {
+      sys.props.remove("graft.copyIn.parallelMinBytes")
+      store.drop("copyin_par")
+    }
+  }
+
   test("a corrupt frame length is refused before the allocation it names") {
     val c = new Client(server._2); c.startup()
     // type 'Q' with a 2 GB length field: must answer a protocol-violation
