@@ -607,6 +607,36 @@ object StoreOps {
       df.orderBy("o_orderkey")
     },
 
+    // Layout-preserving maintenance: a SORTED table takes unsorted appends
+    // (the clustering-decay tail), VACUUM FULL re-applies the declared
+    // layout, and the pruned range read still returns exactly the right
+    // rows. The oracle is the same union + range filter in plain SQL —
+    // the hash gate proves maintenance rewrote without losing, duplicating
+    // or reordering anything; the pruning effect itself is spec-pinned
+    // (StoreSpec "VACUUM FULL re-applies the declared layout").
+    Q("st_layout_vacuum", Some("""
+      WITH all_rows AS (
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_custkey FROM orders
+        UNION ALL
+        SELECT CAST(o_orderkey + 10000000 AS BIGINT), o_custkey FROM orders
+        WHERE o_orderkey <= 500)
+      SELECT o_orderkey, o_custkey FROM all_rows
+      WHERE o_orderkey BETWEEN 2000 AND 3000 ORDER BY o_orderkey""")) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-layvac").toString
+      val store = new Store(s, wh)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("o_orderkey"), col("o_custkey"))
+      store.replaceSorted("lv_orders", orders, "o_orderkey", 6)
+      store.appendCompacting("lv_orders",
+        orders.filter(col("o_orderkey") <= 500)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_custkey")),
+        maxFileBytes = 1L)
+      store.vacuum("lv_orders", full = true)
+      val (df, _, _) = store.readRange("lv_orders", "o_orderkey", 2000L, 3000L)
+      df.orderBy("o_orderkey")
+    },
+
     // SQL write surface end-to-end (PgDml → Store copy-on-write engine;
     // beyond the reference, which rejects every write): CTAS + INSERT
     // VALUES + INSERT SELECT, read back through the dialect. The oracle

@@ -225,10 +225,11 @@ class Store(spark: SparkSession, val warehouse: String) {
     * per-table monitor. Gate-before-monitor ordering is load-bearing: a
     * committing transaction holds gates and takes monitors, so a writer
     * taking the monitor first could deadlock it. */
-  private def withWriteLock[T](name: String)(body: => T): T = {
-    gateAcquire(name)
-    withTableLock(name)(body)
-  }
+  private def withWriteLock[T](name: String)(body: => T): T =
+    withIndexHookScope {
+      gateAcquire(name)
+      withTableLock(name)(body)
+    }
 
   /** Allocate the version number the write on THIS thread will produce.
     * Under an active staging context this registers the table (capturing
@@ -290,9 +291,51 @@ class Store(spark: SparkSession, val warehouse: String) {
   private def commitWrite(name: String): Unit =
     if (!stagedHere(name)) {
       persistCatalog(); publish(name)
-      maybeRefreshDedupIndex(name)
-      maybeRefreshAnnIndex(name)
+      // Index maintenance runs Spark jobs — never inside the table locks
+      // (it would serialize a registered table's concurrent ingest, the
+      // same serializer class profiled out of the staged-insert path).
+      // Inside a write scope the hook defers to the scope's post-lock
+      // drain; a bare call (no scope) runs it here.
+      if (hookDepth.get > 0) { pendingHookNames.get += name; () }
+      else runIndexHooks(name)
     }
+
+  // ---- deferred post-commit index hooks ----------------------------------
+  // The incremental dedup/ANN index hooks shingle and probe the committed
+  // batch with Spark jobs. Running them inside a write's table monitor (or
+  // commitStaging's sorted lock chain) re-serializes every concurrent
+  // writer of a registered table, so write scopes enqueue the table name
+  // in a thread-local set and drain it AFTER the outermost monitor
+  // releases. Names enqueued by a failed statement linger until the
+  // thread's next successful write — the change feed is cumulative, so a
+  // later refresh covers the earlier commit (the hook is best-effort by
+  // contract: failures already only warn). Refreshes themselves serialize
+  // per table on their own monitor: two post-lock drains may race, and the
+  // pair-table replace/append interleave is not commutative, nor may the
+  // durable watermark regress.
+  private val hookDepth = new ThreadLocal[Integer] {
+    override def initialValue: Integer = 0
+  }
+  private val pendingHookNames =
+    new ThreadLocal[scala.collection.mutable.LinkedHashSet[String]] {
+      override def initialValue = scala.collection.mutable.LinkedHashSet.empty[String]
+    }
+  private def runIndexHooks(name: String): Unit = {
+    maybeRefreshDedupIndex(name)
+    maybeRefreshAnnIndex(name)
+  }
+  private def withIndexHookScope[T](body: => T): T = {
+    hookDepth.set(hookDepth.get + 1)
+    val r = try body finally hookDepth.set(hookDepth.get - 1)
+    if (hookDepth.get == 0) {
+      val p = pendingHookNames.get
+      while (p.nonEmpty) { val n = p.head; p.remove(n); runIndexHooks(n) }
+    }
+    r
+  }
+  private val indexRefreshLocks = TrieMap[String, Object]()
+  private def withIndexRefreshLock[T](name: String)(body: => T): T =
+    indexRefreshLocks.getOrElseUpdate(name, new Object).synchronized(body)
 
   /** Auto-feed planner statistics from the write path: every commit
     * publishes the new snapshot's exact row count and measured bytes into
@@ -404,6 +447,21 @@ class Store(spark: SparkSession, val warehouse: String) {
   private val dedupIndexes = TrieMap[(String, String), (String, String, Double)]()
   private val dedupIndexedVersion = TrieMap[(String, String), Int]()
   private val annIndexes = TrieMap[String, (String, String)]()
+  // Declared physical layout per table (sorted / zorder / partitioned /
+  // bucketed), recorded by the clustered replace* writers and persisted in
+  // the catalog snapshot. The declaration is Iceberg's sort-order /
+  // partition-spec table metadata: appends may decay the clustering (the
+  // unsorted-tail shape), and VACUUM FULL re-applies the declared layout
+  // instead of rewriting the table into an unclustered heap — the
+  // rewrite_data_files-with-sort-order maintenance loop a 100 TB clustered
+  // fact table lives by. `n` is numBuckets for bucketed (MUST stay fixed —
+  // co-located joins key on it); for sorted/zorder the file count is
+  // re-derived from current bytes at rewrite time.
+  private[graft] case class Layout(kind: String, keys: Seq[String], n: Int)
+  private val layouts = TrieMap[String, Layout]()
+  /** The table's declared clustering, if any (None = heap). */
+  private[graft] def declaredLayout(name: String): Option[Layout] =
+    layouts.get(name)
   private val annIndexedVersion = TrieMap[String, Int]()
 
   private def readBytes(p: HadoopPath): Array[Byte] = {
@@ -500,6 +558,11 @@ class Store(spark: SparkSession, val warehouse: String) {
       o.put("idCol", idC); o.put("vecCol", vecC)
       o.put("ver", annIndexedVersion.getOrElse(t, 0))
     }
+    val lo = rootNode.putObject("layouts")
+    layouts.toSeq.sortBy(_._1).foreach { case (t, l) =>
+      val o = lo.putObject(t)
+      o.put("kind", l.kind); o.put("keys", l.keys.mkString(",")); o.put("n", l.n)
+    }
     val ev = rootNode.putObject("evo")
     evolution.toSeq.sortBy(_._1).foreach { case (t, e) =>
       val o = ev.putObject(t)
@@ -588,6 +651,12 @@ class Store(spark: SparkSession, val warehouse: String) {
         val o = e.getValue
         annIndexes(e.getKey) = (o.get("idCol").asText, o.get("vecCol").asText)
         annIndexedVersion(e.getKey) = o.get("ver").asInt
+      })
+      Option(rootNode.get("layouts")).foreach(_.fields.asScala.foreach { e =>
+        val o = e.getValue
+        layouts(e.getKey) = Layout(o.get("kind").asText,
+          o.get("keys").asText.split(",").toSeq.filter(_.nonEmpty),
+          o.get("n").asInt)
       })
       Option(rootNode.get("evo")).foreach(_.fields.asScala.foreach { e =>
         val o = e.getValue
@@ -918,6 +987,12 @@ class Store(spark: SparkSession, val warehouse: String) {
   def replace(name: String, df: DataFrame,
       maxFileBytes: Long = 100L << 20): Unit = withWriteLock(name) {
     evoClear(name) // full rewrite: new files define the schema baseline
+    // a declared clustering SURVIVES a plain full refresh (it is table
+    // metadata, like Iceberg's sort order — the data may drift, VACUUM
+    // FULL restores it) unless the new schema dropped its keys
+    layouts.get(name).foreach { l =>
+      if (!l.keys.forall(df.columns.contains)) layouts.remove(name)
+    }
     val next = nextVersion(name)
     df.write.mode(SaveMode.Overwrite).option("compression", "zstd")
       .parquet(versionDir(name, next))
@@ -953,6 +1028,7 @@ class Store(spark: SparkSession, val warehouse: String) {
       .sortWithinPartitions(key)
       .write.mode(SaveMode.Overwrite).option("compression", "zstd")
       .parquet(versionDir(name, next))
+    layouts(name) = Layout("sorted", Seq(key), numFiles)
     publishVersion(name, next)
     commitWrite(name)
   }
@@ -997,6 +1073,7 @@ class Store(spark: SparkSession, val warehouse: String) {
       .drop("__zkey")
       .write.mode(SaveMode.Overwrite).option("compression", "zstd")
       .parquet(versionDir(name, next))
+    layouts(name) = Layout("zorder", keys, numFiles)
     publishVersion(name, next)
     commitWrite(name)
   }
@@ -1012,6 +1089,7 @@ class Store(spark: SparkSession, val warehouse: String) {
     df.write.mode(SaveMode.Overwrite).option("compression", "zstd")
       .partitionBy(partitionCols: _*)
       .parquet(versionDir(name, next))
+    layouts(name) = Layout("partitioned", partitionCols, 0)
     publishVersion(name, next)
     commitWrite(name)
   }
@@ -1040,6 +1118,7 @@ class Store(spark: SparkSession, val warehouse: String) {
       .option("path", versionDir(name, next))
       .bucketBy(numBuckets, key).sortBy(key)
       .saveAsTable(name)
+    layouts(name) = Layout("bucketed", Seq(key), numBuckets)
     publishVersion(name, next)
     persistCatalog()
   }
@@ -1561,7 +1640,7 @@ class Store(spark: SparkSession, val warehouse: String) {
       case Seq() => body
       case h +: t => withTableLock(h)(locked(t)(body))
     }
-    try locked(names) {
+    val committedNames = try locked(names) {
       def cur(n: String) = versions.getOrElse(n, 0)
       // SSI first-committer-wins: a table this txn READ whose committed
       // version moved past the read carries an rw-antidependency into a
@@ -1696,13 +1775,18 @@ class Store(spark: SparkSession, val warehouse: String) {
       if (touched.nonEmpty) {
         persistCatalog()
         touched.foreach { case (n, _) => publish(n) }
-        touched.foreach { case (n, _) => maybeRefreshDedupIndex(n) }
-        touched.foreach { case (n, _) => maybeRefreshAnnIndex(n) }
       }
+      touched.map(_._1)
     } finally {
       gateRelease(st)
       activeStagings.remove(st.id)
     }
+    // Index maintenance AFTER the lock chain and gates release: a
+    // registered table's concurrent committers must not queue behind this
+    // txn's Spark index jobs. The refresh is per-table serialized and
+    // watermark-driven, so racing drains from interleaved commits are
+    // safe (a later commit's refresh covers this one via the change feed).
+    committedNames.foreach(runIndexHooks)
   }
 
   /** Discard a transaction's staged writes: delete the staged dirs, drop
@@ -1819,7 +1903,27 @@ class Store(spark: SparkSession, val warehouse: String) {
   def vacuum(name: String, full: Boolean = false): (Int, Int, Int) = withWriteLock(name) {
     require(exists(name), s"no such store table: $name")
     val before = dataFiles(versionPath(name, curVersion(name))).length
-    if (full) replace(name, read(name))
+    // FULL re-applies the table's DECLARED layout (Iceberg
+    // rewrite_data_files with the table's sort order / partition spec):
+    // appends decay clustering into an unsorted tail, and a heap rewrite
+    // here would throw the clustering away exactly when the user asked
+    // for maintenance. File count re-derives from CURRENT bytes (the
+    // declaration's count reflects the table size at declaration time);
+    // bucket count stays pinned — co-located joins key on it.
+    def clusterFiles(declared: Int): Int = math.max(math.max(1, declared),
+      math.ceil(dataFiles(versionPath(name, curVersion(name)))
+        .map(_.getLen).sum / (100 << 20).toDouble).toInt)
+    if (full) layouts.get(name) match {
+      case Some(Layout("sorted", Seq(k), n)) =>
+        replaceSorted(name, read(name), k, clusterFiles(n))
+      case Some(Layout("zorder", ks, n)) =>
+        replaceZOrdered(name, read(name), ks, clusterFiles(n))
+      case Some(Layout("partitioned", ks, _)) =>
+        replacePartitioned(name, read(name), ks: _*)
+      case Some(Layout("bucketed", Seq(k), nb)) =>
+        replaceBucketed(name, read(name), k, nb)
+      case _ => replace(name, read(name))
+    }
     else appendCompacting(name, read(name).limit(0))
     // crashed writers leave `.<prefix>-tmp` spool dirs (writeInto renames
     // out of them before deleting) and version dirs above the published
@@ -2583,6 +2687,7 @@ class Store(spark: SparkSession, val warehouse: String) {
       }
       annIndexes.remove(from).foreach(annIndexes(to) = _)
       annIndexedVersion.remove(from).foreach(annIndexedVersion(to) = _)
+      layouts.remove(from).foreach(layouts(to) = _)
       versions(to) = v
       versions.remove(from)
       spark.catalog.dropTempView(from)
@@ -2721,9 +2826,10 @@ class Store(spark: SparkSession, val warehouse: String) {
     * its current version. Incremental via the change feed when a watermark
     * exists; full build otherwise (first enable, or a schema-changing
     * replace). */
-  def refreshDedupIndex(name: String): Unit =
+  def refreshDedupIndex(name: String): Unit = withIndexRefreshLock(name) {
     dedupIndexes.keysIterator.filter(_._1 == name).toSeq.sortBy(_._2)
       .foreach { case (_, family) => refreshDedupFamily(name, family) }
+  }
 
   private def refreshDedupFamily(name: String, family: String): Unit =
     withoutStaging {
@@ -2835,7 +2941,8 @@ class Store(spark: SparkSession, val warehouse: String) {
     * a fresh mount); batch re-application is idempotent (upsert by key),
     * so the crash window between the assignment write and the watermark
     * persist replays safely. */
-  def refreshAnnIndex(name: String): Unit = withoutStaging {
+  def refreshAnnIndex(name: String): Unit =
+    withIndexRefreshLock(name)(withoutStaging {
     val (idCol, vecCol) = annIndexes.getOrElse(name, return)
     val cur = versions.getOrElse(name, return)
     val from = annIndexedVersion.getOrElse(name, 0)
@@ -2861,7 +2968,7 @@ class Store(spark: SparkSession, val warehouse: String) {
       if (!batch.isEmpty) upsert(aT, batch, "vec_id")
     }
     markIndexed()
-  }
+  })
 
   /** Top-k ANN over `name`'s persisted IVF index for external `queries`
     * (carrying the registered id/vector columns). */
@@ -2898,6 +3005,7 @@ class Store(spark: SparkSession, val warehouse: String) {
     dedupIndexes.keysIterator.filter(_._1 == name).toSeq
       .foreach { k => dedupIndexes.remove(k); dedupIndexedVersion.remove(k) }
     annIndexes.remove(name); annIndexedVersion.remove(name)
+    layouts.remove(name)
     TableStats.drop(name) // planner stats die with the relation, like PG
     invalidateSchemas(name)
     spark.catalog.dropTempView(name)

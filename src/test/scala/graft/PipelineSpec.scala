@@ -451,6 +451,40 @@ class PipelineSpec extends SparkSpecBase {
     assert(idxIds == Set(1L, 3L), idxIds.toString)
   }
 
+  test("concurrent insert txns into a REGISTERED table: deferred hooks keep the index current") {
+    import spark.implicits._
+    val store = new Store(spark,
+      java.nio.file.Files.createTempDirectory("graft-ddconc").toString)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    store.replace("ddc_docs", Seq((1L, base)).toDF("doc_id", "text"))
+    store.enableDedupIndex("ddc_docs", "doc_id", "text", 0.5)
+    // Two insert-only txns from two threads: both must commit (the index
+    // hooks run AFTER the commit lock chain releases, so neither queues
+    // behind the other's Spark index jobs), and the per-table-serialized
+    // watermark refresh must leave index + pair tables current whichever
+    // drain order the race produces.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val futs = Seq((2L, base + " lambda"), (3L, base + " mu")).map {
+      case (id, t) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            val s = store.newStaging()
+            store.withStaging(s)(store.appendCompacting(
+              "ddc_docs", Seq((id, t)).toDF("doc_id", "text")))
+            store.commitStaging(s)
+          }
+        })
+    }
+    futs.foreach(_.get()); pool.shutdown()
+    assert(store.read("ddc_docs").count() == 3)
+    val idxIds = store.read(store.dedupIdxTable("ddc_docs"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(idxIds == Set(1L, 2L, 3L), idxIds.toString)
+    val pairs = store.read(store.dedupPairsTable("ddc_docs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)), pairs.toString)
+  }
+
   test("simhash probe plan never scans the corpus documents table") {
     val store = new Store(spark,
       java.nio.file.Files.createTempDirectory("graft-shpin").toString)

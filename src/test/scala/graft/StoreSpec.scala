@@ -422,6 +422,51 @@ class StoreSpec extends SparkSpecBase {
     assert(s0 == 0 && none.count() == 0 && none.columns.toSeq == Seq("k"))
   }
 
+  test("VACUUM FULL re-applies the declared layout instead of heaping it") {
+    import spark.implicits._
+    val st = freshStore()
+    st.replaceSorted("lay_t",
+      (0L until 4000L).map(i => (i, s"v$i")).toDF("k", "v"), "k", 4)
+    assert(st.declaredLayout("lay_t").map(_.kind).contains("sorted"))
+    // unsorted appends decay the clustering: the tail file spans the whole
+    // key domain, so a narrow range scan can no longer prune it
+    // (maxFileBytes=1 carries the sorted files untouched — no compaction)
+    st.appendCompacting("lay_t",
+      Seq((99999L, "tail"), (-5L, "head")).toDF("k", "v"), maxFileBytes = 1L)
+    val (_, scanBefore, totBefore) = st.readRange("lay_t", "k", 10L, 20L)
+    assert(scanBefore >= 2,
+      s"decayed tail should defeat pruning: $scanBefore/$totBefore")
+    val (_, after, _) = st.vacuum("lay_t", full = true)
+    // content intact, clustering restored: the narrow range hits ONE file
+    assert(st.read("lay_t").count() == 4002)
+    val (q, scanAfter, totAfter) = st.readRange("lay_t", "k", 10L, 20L)
+    assert(totAfter == after && scanAfter == 1,
+      s"FULL must restore the sorted layout: scanned $scanAfter/$totAfter")
+    assert(q.count() == 11)
+    // the declaration (table metadata) survives a restart via the catalog
+    val st2 = new Store(spark, st.warehouse)
+    assert(st2.declaredLayout("lay_t").map(_.keys).contains(Seq("k")))
+    // a partitioned declaration routes FULL through partitionBy: the
+    // hive key=value directories survive maintenance
+    st.replacePartitioned("lay_p",
+      (0L until 100L).map(i => (i, s"p${i % 3}")).toDF("k", "p"), "p")
+    st.vacuum("lay_p", full = true)
+    assert(st.read("lay_p").count() == 100)
+    val vdir = new org.apache.hadoop.fs.Path(
+      s"${st.warehouse}/lay_p/v${st.currentVersion("lay_p")}")
+    val fs2 = vdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partDirs = fs2.listStatus(vdir).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("p=")).sorted
+    assert(partDirs.toSeq == Seq("p=p0", "p=p1", "p=p2"),
+      s"FULL must keep hive partition dirs: ${partDirs.toSeq}")
+    // a plain full refresh KEEPS the declaration (table metadata)…
+    st.replace("lay_t", Seq((1L, "x")).toDF("k", "v"))
+    assert(st.declaredLayout("lay_t").nonEmpty)
+    // …unless the schema drops its keys
+    st.replace("lay_t", Seq(Tuple1("only")).toDF("v"))
+    assert(st.declaredLayout("lay_t").isEmpty)
+  }
+
   test("first pruned read writes a manifest; stale manifests rebuild") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-store").toString
