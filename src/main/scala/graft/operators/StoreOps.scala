@@ -637,6 +637,54 @@ object StoreOps {
       df.orderBy("o_orderkey")
     },
 
+    // Hive-partitioned write path end-to-end: append + partition-moving
+    // UPDATE + DELETE on a partitionBy table, hash-compared against DuckDB
+    // computing the same algebra. Every one of these ops silently LOST the
+    // base rows before r12 (the non-recursive version listing enumerated a
+    // hive version dir as empty, so nothing was carried).
+    Q("st_partitioned_dml", Some("""
+      WITH base AS (
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+               CAST(o_custkey AS BIGINT) AS o_custkey
+        FROM orders WHERE o_orderkey <= 2000),
+      appended AS (
+        SELECT o_orderkey, o_orderstatus, o_custkey FROM base
+        UNION ALL
+        SELECT o_orderkey + 5000000, o_orderstatus, o_custkey FROM base
+        WHERE o_orderkey <= 200),
+      updated AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey BETWEEN 100 AND 120 THEN 'Z'
+               ELSE o_orderstatus END AS o_orderstatus,
+          o_custkey
+        FROM appended),
+      final AS (
+        SELECT * FROM updated WHERE o_orderkey NOT BETWEEN 300 AND 320)
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus""")) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-pdml").toString
+      val store = new Store(s, wh)
+      val base = t(s, dir, "orders")
+        .filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"), col("o_custkey").cast("long").as("o_custkey"))
+      store.replacePartitioned("pd_orders", base, "o_orderstatus")
+      store.appendCompacting("pd_orders",
+        base.filter(col("o_orderkey") <= 200)
+          .select((col("o_orderkey") + 5000000L).as("o_orderkey"),
+            col("o_orderstatus"), col("o_custkey")))
+      // the UPDATE moves rows ACROSS partition dirs (status -> 'Z')
+      store.updateWhere("pd_orders", Seq("o_orderstatus" -> "'Z'"),
+        Some("o_orderkey BETWEEN 100 AND 120"))
+      store.deleteWhere("pd_orders", Some("o_orderkey BETWEEN 300 AND 320"))
+      store.read("pd_orders")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum("o_orderkey").cast("long").as("key_sum"))
+        .orderBy("o_orderstatus")
+    },
+
     // SQL write surface end-to-end (PgDml → Store copy-on-write engine;
     // beyond the reference, which rejects every write): CTAS + INSERT
     // VALUES + INSERT SELECT, read back through the dialect. The oracle

@@ -457,8 +457,28 @@ class Store(spark: SparkSession, val warehouse: String) {
   // fact table lives by. `n` is numBuckets for bucketed (MUST stay fixed —
   // co-located joins key on it); for sorted/zorder the file count is
   // re-derived from current bytes at rewrite time.
-  private[graft] case class Layout(kind: String, keys: Seq[String], n: Int)
+  // `specs` (hive layouts only): (source column, transform) pairs — how a
+  // DELTA write re-derives each partition dir field from incoming rows.
+  // Identity partitioning: (key, "identity"); hidden partitioning: the
+  // replaceTransformPartitioned spec (day/bucket[N]/truncate[W]/...).
+  private[graft] case class Layout(kind: String, keys: Seq[String], n: Int,
+      specs: Seq[(String, String)] = Nil)
   private val layouts = TrieMap[String, Layout]()
+  /** Materialize any missing hive partition-dir fields on a delta frame
+    * from the layout's specs (identity fields are the column itself). */
+  private def withPartitionCols(df: DataFrame, l: Layout): DataFrame =
+    l.specs.foldLeft(df) { case (d, (c, t)) =>
+      val f = Iceberg.SpecField.fieldName(c, t)
+      if (t == "identity" || d.columns.contains(f)) d
+      else d.withColumn(f, transformPartitionCol(d, c, t))
+    }
+  /** Can a delta with `df`'s columns be written under layout `l`'s hive
+    * dirs? Every spec's SOURCE column must be present (derived fields are
+    * re-computed; identity fields are their own source). */
+  private def hiveWritable(df: DataFrame, l: Layout): Boolean =
+    l.kind == "partitioned" && l.specs.nonEmpty &&
+      l.specs.forall { case (c, _) => df.columns.contains(c) } &&
+      l.keys == l.specs.map { case (c, t) => Iceberg.SpecField.fieldName(c, t) }
   /** The table's declared clustering, if any (None = heap). */
   private[graft] def declaredLayout(name: String): Option[Layout] =
     layouts.get(name)
@@ -562,6 +582,8 @@ class Store(spark: SparkSession, val warehouse: String) {
     layouts.toSeq.sortBy(_._1).foreach { case (t, l) =>
       val o = lo.putObject(t)
       o.put("kind", l.kind); o.put("keys", l.keys.mkString(",")); o.put("n", l.n)
+      if (l.specs.nonEmpty)
+        o.put("specs", l.specs.map { case (c, tr) => s"$c:$tr" }.mkString(","))
     }
     val ev = rootNode.putObject("evo")
     evolution.toSeq.sortBy(_._1).foreach { case (t, e) =>
@@ -654,9 +676,15 @@ class Store(spark: SparkSession, val warehouse: String) {
       })
       Option(rootNode.get("layouts")).foreach(_.fields.asScala.foreach { e =>
         val o = e.getValue
-        layouts(e.getKey) = Layout(o.get("kind").asText,
-          o.get("keys").asText.split(",").toSeq.filter(_.nonEmpty),
-          o.get("n").asInt)
+        val keys = o.get("keys").asText.split(",").toSeq.filter(_.nonEmpty)
+        val specs = Option(o.get("specs")).map(_.asText).getOrElse("")
+          .split(",").toSeq.filter(_.contains(":")).map { kv =>
+            val Array(c, t) = kv.split(":", 2); (c, t) }
+        layouts(e.getKey) = Layout(o.get("kind").asText, keys, o.get("n").asInt,
+          // legacy snapshots lack specs: identity partitioning is the shape
+          // replacePartitioned records, synthesize it
+          if (specs.nonEmpty || o.get("kind").asText != "partitioned") specs
+          else keys.map((_, "identity")))
       })
       Option(rootNode.get("evo")).foreach(_.fields.asScala.foreach { e =>
         val o = e.getValue
@@ -954,10 +982,21 @@ class Store(spark: SparkSession, val warehouse: String) {
   @volatile private[graft] var lastChangeFiles: (Int, Int) = (0, 0)
 
   /** The current version's parquet data files, stat-listed once. */
-  private def dataFiles(dir: HadoopPath): Seq[FileStatus] =
-    fs.listStatus(dir).toSeq
-      .filter(_.getPath.getName.endsWith(".parquet"))
-      .sortBy(_.getPath.toString)
+  /** Every data file under a version dir, RECURSIVE: hive-partitioned
+    * layouts keep their files in key=value subdirs, and a non-recursive
+    * listing silently enumerated such a version as EMPTY — every carry,
+    * footer count, planner stat and prune over a partitioned table saw
+    * zero files (the r12 partitioned-write-path corruption class). Flat
+    * dirs have no subdirs, so recursion is behavior-identical there. */
+  private def dataFiles(dir: HadoopPath): Seq[FileStatus] = {
+    val buf = scala.collection.mutable.ArrayBuffer[FileStatus]()
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) buf += st
+    }
+    buf.sortBy(_.getPath.toString).toSeq
+  }
 
   /** Min/max-pruned range scan: parquet footer stats on `key` decide which
     * data files can contain [lo, hi] before Spark ever lists them — the
@@ -989,13 +1028,28 @@ class Store(spark: SparkSession, val warehouse: String) {
     evoClear(name) // full rewrite: new files define the schema baseline
     // a declared clustering SURVIVES a plain full refresh (it is table
     // metadata, like Iceberg's sort order — the data may drift, VACUUM
-    // FULL restores it) unless the new schema dropped its keys
+    // FULL restores it) unless the new schema dropped the columns it
+    // derives from (hive specs check their SOURCE columns: a transform
+    // table's dir fields are computed, never in the logical frame)
     layouts.get(name).foreach { l =>
-      if (!l.keys.forall(df.columns.contains)) layouts.remove(name)
+      val sources =
+        if (l.kind == "partitioned" && l.specs.nonEmpty) l.specs.map(_._1)
+        else l.keys
+      if (!sources.forall(df.columns.contains)) layouts.remove(name)
     }
     val next = nextVersion(name)
-    df.write.mode(SaveMode.Overwrite).option("compression", "zstd")
-      .parquet(versionDir(name, next))
+    layouts.get(name).filter(hiveWritable(df, _)) match {
+      case Some(l) =>
+        // a hive-declared table's FULL REFRESH keeps the hive shape: every
+        // version dir of a partitioned table is uniformly partitioned (a
+        // flat version would make the next delta append a mixed layout)
+        withPartitionCols(df, l).write.mode(SaveMode.Overwrite)
+          .option("compression", "zstd")
+          .partitionBy(l.keys: _*).parquet(versionDir(name, next))
+      case None =>
+        df.write.mode(SaveMode.Overwrite).option("compression", "zstd")
+          .parquet(versionDir(name, next))
+    }
     // Post-write cap verification, same contract as appendCompacting: the
     // incoming partitioning decides the initial file count, and for WIDE
     // rows (binary media payloads) a narrow-partitioned input lands files
@@ -1006,8 +1060,9 @@ class Store(spark: SparkSession, val warehouse: String) {
     if (over.nonEmpty) {
       val overBytes = over.map(_.getLen).sum
       val needed = math.max(1, math.ceil(overBytes.toDouble / maxFileBytes).toInt)
-      val re = spark.read.schema(df.schema)
-        .parquet(over.map(_.getPath.toString): _*)
+      // basePath: a hive write keeps partition values in dir names
+      val re = spark.read.option("basePath", fs.makeQualified(dir).toString)
+        .schema(df.schema).parquet(over.map(_.getPath.toString): _*)
       writeInto(re.repartition(needed), name, dir, s"capped-$next")
       over.foreach(f => fs.delete(f.getPath, false))
     }
@@ -1089,7 +1144,8 @@ class Store(spark: SparkSession, val warehouse: String) {
     df.write.mode(SaveMode.Overwrite).option("compression", "zstd")
       .partitionBy(partitionCols: _*)
       .parquet(versionDir(name, next))
-    layouts(name) = Layout("partitioned", partitionCols, 0)
+    layouts(name) = Layout("partitioned", partitionCols, 0,
+      partitionCols.map(c => (c, "identity")))
     publishVersion(name, next)
     commitWrite(name)
   }
@@ -1151,7 +1207,13 @@ class Store(spark: SparkSession, val warehouse: String) {
     // autocommit path keeps compacting), delta files named by txn id so
     // merged dirs never collide. ON CONFLICT passes txnConcurrent=false:
     // its conflict check is only sound while the base is gate-frozen.
-    val insertPath = staging() != null && txnConcurrent
+    // clustered layouts stay on the gate path: a hive delta is carried by
+    // relative path (the merge machinery carries registered deltas by
+    // basename), and a bucketed append demotes the catalog registration —
+    // both need the gate-frozen base
+    val clustered = layouts.get(name)
+      .exists(l => l.kind == "partitioned" || l.kind == "bucketed")
+    val insertPath = staging() != null && txnConcurrent && !clustered
     if (insertPath) appendStagedInsert(name, df0, maxFileBytes)
     else withWriteLock(name)(appendBody(name, df0, maxFileBytes, insertPath = false))
   }
@@ -1215,12 +1277,17 @@ class Store(spark: SparkSession, val warehouse: String) {
     val df = toPhysical(name, df0) // ALTERed tables: files stay physical
     val cur = versionPath(name, curVersion(name))
     val files = dataFiles(cur)
+    // hive layouts: carry EVERYTHING and write only the (partitioned)
+    // delta — the small-file union below reads leaf files flat, which
+    // would null the dir-borne partition columns. VACUUM FULL is the
+    // compactor for clustered tables (layout-preserving rewrite).
+    val hive = layouts.get(name).exists(_.kind == "partitioned")
     val (full, small) =
-      if (insertPath) (files, Seq.empty[FileStatus])
+      if (insertPath || hive) (files, Seq.empty[FileStatus])
       else files.partition(_.getLen >= maxFileBytes)
     val next = nextVersion(name)
     val dir = freshVersionDir(name, next)
-    full.foreach(f => carryFile(f.getPath, dir))
+    full.foreach(f => carryFileRel(cur, f.getPath, dir))
     val tail =
       if (small.isEmpty) df
       else spark.read.schema(df.schema)
@@ -1259,7 +1326,10 @@ class Store(spark: SparkSession, val warehouse: String) {
     val writtenBytes = writtenFiles.map(_.getLen).sum
     if (writtenBytes > writtenFiles.length.toLong * targetBytes * 3 / 2) {
       val needed = math.max(1, math.ceil(writtenBytes.toDouble / targetBytes).toInt)
-      val re = spark.read.schema(df.schema)
+      // basePath: hive delta files keep partition values in dir names
+      val re = spark.read
+        .option("basePath", fs.makeQualified(dir).toString)
+        .schema(df.schema)
         .parquet(writtenFiles.map(_.getPath.toString): _*)
       val rePrefix = if (insertPath) s"insr-${staging().id}-$next" else s"resplit-$next"
       writeInto(re.repartition(needed), name, dir, rePrefix)
@@ -1268,9 +1338,11 @@ class Store(spark: SparkSession, val warehouse: String) {
     }
     // a pure-carry append's delta is exactly its written files — the
     // registerable shape whether staged (insert path) or autocommit
-    // (small.isEmpty: nothing compacted away)
+    // (small.isEmpty: nothing compacted away). Hive deltas never register:
+    // the merge paths carry registered deltas by BASENAME, which would
+    // strip their partition dirs.
     val insertNames =
-      if (insertPath || (staging() == null && small.isEmpty))
+      if ((insertPath || (staging() == null && small.isEmpty)) && !hive)
         writtenFiles.map(_.getPath.getName)
       else null
     publishVersion(name, next, insertNames)
@@ -1283,8 +1355,23 @@ class Store(spark: SparkSession, val warehouse: String) {
     * move / Iceberg manifest re-reference), a FileSystem copy on any other
     * scheme — at object-store scale the Iceberg metadata layer is the real
     * zero-copy carry, this is the directory-layout fallback. */
-  private def carryFile(f: HadoopPath, dir: HadoopPath): Unit = {
-    val dst = new HadoopPath(dir, f.getName)
+  /** Carry preserving the file's path RELATIVE to its source version dir:
+    * hive-partitioned files keep their key=value subdirs (a basename carry
+    * would strip the partition value, which lives in the dir name, not the
+    * file). Flat layouts have rel == basename — identical to carryFile. */
+  private def carryFileRel(srcVer: HadoopPath, f: HadoopPath,
+      dir: HadoopPath): Unit = {
+    val base = fs.makeQualified(srcVer).toString.stripSuffix("/") + "/"
+    val rel = fs.makeQualified(f).toString.stripPrefix(base)
+    val dst = new HadoopPath(dir, rel)
+    if (rel.contains("/")) fs.mkdirs(dst.getParent)
+    carryTo(f, dst)
+  }
+
+  private def carryFile(f: HadoopPath, dir: HadoopPath): Unit =
+    carryTo(f, new HadoopPath(dir, f.getName))
+
+  private def carryTo(f: HadoopPath, dst: HadoopPath): Unit = {
     val linked = isLocalFs &&
       (try {
         java.nio.file.Files.createLink(
@@ -1295,12 +1382,35 @@ class Store(spark: SparkSession, val warehouse: String) {
   }
 
   /** Write `df` as parquet into `dir` beside any carried files, via a temp
-    * dir so partial writes never land in a published version. */
-  private def writeInto(df: DataFrame, name: String, dir: HadoopPath, prefix: String): Unit = {
+    * dir so partial writes never land in a published version. A table with
+    * a declared HIVE layout writes its delta partitionBy(keys) and the
+    * files move preserving their key=value subdirs — every version dir of
+    * a partitioned table stays uniformly hive-shaped, the invariant the
+    * read path's partition discovery depends on (a flat delta beside
+    * hive subdirs makes Spark drop paths silently). */
+  private def writeInto(df0: DataFrame, name: String, dir: HadoopPath, prefix: String): Unit = {
     val tmp = new HadoopPath(tablePath(name), s".$prefix-tmp")
-    df.write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(tmp.toString)
-    dataFiles(tmp).zipWithIndex.foreach { case (f, i) =>
-      fs.rename(f.getPath, new HadoopPath(dir, s"$prefix-$i.parquet"))
+    val hive = layouts.get(name).filter(hiveWritable(df0, _))
+    hive match {
+      case Some(l) =>
+        withPartitionCols(df0, l).write.mode(SaveMode.Overwrite)
+          .option("compression", "zstd")
+          .partitionBy(l.keys: _*).parquet(tmp.toString)
+        dataFilesRelative(tmp).zipWithIndex.foreach { case ((rel, full), i) =>
+          val parent = rel.lastIndexOf('/') match {
+            case -1 => ""
+            case k => rel.substring(0, k + 1)
+          }
+          val dst = new HadoopPath(dir, s"$parent$prefix-$i.parquet")
+          if (parent.nonEmpty) fs.mkdirs(dst.getParent)
+          fs.rename(new HadoopPath(full), dst)
+        }
+      case None =>
+        df0.write.mode(SaveMode.Overwrite)
+          .option("compression", "zstd").parquet(tmp.toString)
+        dataFiles(tmp).zipWithIndex.foreach { case (f, i) =>
+          fs.rename(f.getPath, new HadoopPath(dir, s"$prefix-$i.parquet"))
+        }
     }
     fs.delete(tmp, true)
   }
@@ -1416,13 +1526,14 @@ class Store(spark: SparkSession, val warehouse: String) {
   def rewriteFiles(name: String, hitNames: Set[String])(
       transform: DataFrame => DataFrame): (Int, Int) = withWriteLock(name) {
     require(exists(name), s"no such store table: $name")
-    val files = dataFiles(versionPath(name, curVersion(name)))
+    val cur = versionPath(name, curVersion(name))
+    val files = dataFiles(cur)
     val (hit, carried) =
       files.map(_.getPath).partition(f => hitNames.contains(f.getName))
     if (hit.isEmpty) return (0, files.length)
     val next = nextVersion(name)
     val dir = freshVersionDir(name, next)
-    carried.foreach(carryFile(_, dir))
+    carried.foreach(carryFileRel(cur, _, dir))
     val src = readLogicalFiles(name, hit.map(_.toString))
     writeInto(toPhysical(name, transform(src)), name, dir, s"cow-$next")
     publishVersion(name, next)
@@ -1512,22 +1623,35 @@ class Store(spark: SparkSession, val warehouse: String) {
 
   /** Read specific data files of `name` under the PHYSICAL file schema
     * (missing-in-file columns of an ALTERed table null-fill). */
-  private def physicalRead(name: String, paths: Seq[String]): DataFrame =
+  private def physicalRead(name: String, paths: Seq[String]): DataFrame = {
+    // basePath anchors partition discovery: on a hive-partitioned version
+    // dir a partition column lives in the key=value DIR NAME, not in the
+    // file — a bare leaf read under the full schema would silently null it
+    // (flat layouts: no-op, discovery finds no partition dirs)
+    val base = fs.makeQualified(
+      new HadoopPath(versionDir(name, curVersion(name)))).toString
     evoGet(name) match {
-      case Some(e) => spark.read.schema(e.physical).parquet(paths: _*)
+      case Some(e) => spark.read.option("basePath", base)
+        .schema(e.physical).parquet(paths: _*)
       case None =>
         // specific files of the current version: homogeneous with the
         // version dir's (cached) schema — no per-call inference job
-        spark.read.schema(inferredSchema(versionDir(name, curVersion(name))))
+        spark.read.option("basePath", base)
+          .schema(inferredSchema(versionDir(name, curVersion(name))))
           .parquet(paths: _*)
     }
+  }
 
   /** Read specific data files of `name` surfacing the LOGICAL schema
     * (missing-in-file physical columns null-fill). */
   private def readLogicalFiles(name: String, paths: Seq[String]): DataFrame =
     evoGet(name) match {
       case None =>
-        spark.read.schema(readRaw(name).schema).parquet(paths: _*)
+        // basePath: hive partition values come from the dir names — see
+        // physicalRead
+        spark.read.option("basePath", fs.makeQualified(
+            new HadoopPath(versionDir(name, curVersion(name)))).toString)
+          .schema(readRaw(name).schema).parquet(paths: _*)
       case Some(e) =>
         physicalRead(name, paths)
           .select(e.logical.map { case (p, l) => col(s"`$p`").as(l) }.toSeq: _*)
@@ -1745,7 +1869,7 @@ class Store(spark: SparkSession, val warehouse: String) {
             val dir = new HadoopPath(s"$root/$n/v$v")
             if (fs.exists(dir)) fs.delete(dir, true)
             fs.mkdirs(dir)
-            dataFiles(curDir).foreach(f => carryFile(f.getPath, dir))
+            dataFiles(curDir).foreach(f => carryFileRel(curDir, f.getPath, dir))
             e.deltaNames.values.flatten.foreach { nm =>
               if (!fs.rename(new HadoopPath(head, nm), new HadoopPath(dir, nm)))
                 throw new java.io.IOException(s"staged merge move failed: $nm")
@@ -1914,13 +2038,15 @@ class Store(spark: SparkSession, val warehouse: String) {
       math.ceil(dataFiles(versionPath(name, curVersion(name)))
         .map(_.getLen).sum / (100 << 20).toDouble).toInt)
     if (full) layouts.get(name) match {
-      case Some(Layout("sorted", Seq(k), n)) =>
+      case Some(Layout("sorted", Seq(k), n, _)) =>
         replaceSorted(name, read(name), k, clusterFiles(n))
-      case Some(Layout("zorder", ks, n)) =>
+      case Some(Layout("zorder", ks, n, _)) =>
         replaceZOrdered(name, read(name), ks, clusterFiles(n))
-      case Some(Layout("partitioned", ks, _)) =>
-        replacePartitioned(name, read(name), ks: _*)
-      case Some(Layout("bucketed", Seq(k), nb)) =>
+      case Some(l @ Layout("partitioned", _, _, _)) =>
+        // replace() itself routes a hive-declared table through the
+        // partitioned writer; transform specs re-derive their dir fields
+        replace(name, read(name))
+      case Some(Layout("bucketed", Seq(k), nb, _)) =>
         replaceBucketed(name, read(name), k, nb)
       case _ => replace(name, read(name))
     }
@@ -2057,7 +2183,7 @@ class Store(spark: SparkSession, val warehouse: String) {
       }
       val next = nextVersion(name)
       val dir = freshVersionDir(name, next)
-      carried.foreach(carryFile(_, dir))
+      carried.foreach(carryFileRel(cur, _, dir))
       val out = (rewritten, inserts) match {
         case (Some(r), Some(i)) => Some(r.unionByName(i))
         case (r, i) => r.orElse(i)
@@ -2084,14 +2210,19 @@ class Store(spark: SparkSession, val warehouse: String) {
     * runs only for integral/string keys with usable footer stats; anything
     * else degrades to rewrite-everything, which is the old (correct)
     * behavior. */
-  private def prunedRewrite(name: String, incoming: DataFrame, key: String,
+  private def prunedRewrite(name: String, incoming0: DataFrame, key: String,
       appendIncoming: Boolean): (Int, Int) = {
+    // hidden-partitioned tables: the kept side reads its derived dir
+    // fields back through partition discovery — materialize them on the
+    // incoming side too or the union below would mismatch
+    val incoming = layouts.get(name).filter(_.kind == "partitioned")
+      .map(withPartitionCols(incoming0, _)).getOrElse(incoming0)
     val cur = versionPath(name, curVersion(name))
     val files = dataFiles(cur).map(_.getPath)
     val (hit, carried) = overlapPartition(cur, files, incoming, key)
     val next = nextVersion(name)
     val dir = freshVersionDir(name, next)
-    carried.foreach(carryFile(_, dir))
+    carried.foreach(carryFileRel(cur, _, dir))
     val kept =
       if (hit.isEmpty) None
       else Some(physicalRead(name, hit.map(_.toString))
@@ -2417,6 +2548,10 @@ class Store(spark: SparkSession, val warehouse: String) {
     }
     replacePartitioned(name, withCols,
       specs.map { case (c, t) => Iceberg.SpecField.fieldName(c, t) }: _*)
+    // override the identity specs the delegation recorded: a DELTA write
+    // on this table re-derives the dir fields from the SOURCE columns
+    layouts(name) = Layout("partitioned",
+      specs.map { case (c, t) => Iceberg.SpecField.fieldName(c, t) }, 0, specs)
   }
 
   def replaceTransformPartitioned(name: String, df: DataFrame, column: String,
@@ -2587,7 +2722,27 @@ class Store(spark: SparkSession, val warehouse: String) {
   private def publish(name: String): Unit = {
     // a bucketed table lives in the session catalog (bucket metadata only
     // exists there) — registering a temp view over it would shadow the
-    // bucket layout AND go stale on the next bucketed replace
+    // bucket layout AND go stale on the next bucketed replace.
+    // DEMOTION: when the current version has moved past the dir the
+    // catalog table points at (an append/COW write landed after the
+    // bucketed replace), the bucket guarantee no longer holds for the
+    // live file set — Spark would keep PLANNING bucketed joins over it
+    // and silently drop the unbucketed delta rows (wrong join results).
+    // Drop the catalog registration and serve a plain view: reads stay
+    // CORRECT, joins pay their shuffle again, and VACUUM FULL re-applies
+    // the declared bucketing (catalog table included).
+    locally {
+      val ident = org.apache.spark.sql.catalyst.TableIdentifier(name)
+      val cat = spark.sessionState.catalog
+      if (cat.tableExists(ident)) {
+        val loc = try cat.getTableMetadata(ident).storage.locationUri
+          catch { case _: Exception => None }
+        val cur = fs.makeQualified(
+          new HadoopPath(versionDir(name, curVersion(name)))).toUri
+        if (loc.exists(_.getPath != cur.getPath))
+          spark.sql(s"DROP TABLE IF EXISTS `$name`")
+      }
+    }
     if (!spark.sessionState.catalog.tableExists(
         org.apache.spark.sql.catalyst.TableIdentifier(name))) {
       read(name).createOrReplaceTempView(name)
