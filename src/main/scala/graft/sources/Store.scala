@@ -819,7 +819,19 @@ class Store(spark: SparkSession, val warehouse: String) {
     * table's entries: a re-created table reuses the same paths with a
     * possibly different schema. */
   private def inferredSchema(dir: String): org.apache.spark.sql.types.StructType =
-    dirSchemas.getOrElseUpdate(dir, spark.read.parquet(dir).schema)
+    dirSchemas.getOrElseUpdate(dir,
+      try spark.read.parquet(dir).schema
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        // a truncated hive version has zero data files; its schema was
+        // persisted beside them at write time (restart-safe)
+        val marker = new HadoopPath(dir, "_schema.json")
+        if (fs.exists(marker))
+          org.apache.spark.sql.types.DataType
+            .fromJson(new String(readBytes(marker),
+              java.nio.charset.StandardCharsets.UTF_8))
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+        else throw e
+      })
   private def invalidateSchemas(name: String): Unit = {
     val prefix = s"$root/$name/"
     dirSchemas.keysIterator.filter(_.startsWith(prefix)).toSeq
@@ -1043,9 +1055,17 @@ class Store(spark: SparkSession, val warehouse: String) {
         // a hive-declared table's FULL REFRESH keeps the hive shape: every
         // version dir of a partitioned table is uniformly partitioned (a
         // flat version would make the next delta append a mixed layout)
-        withPartitionCols(df, l).write.mode(SaveMode.Overwrite)
+        val hdf = withPartitionCols(df, l)
+        hdf.write.mode(SaveMode.Overwrite)
           .option("compression", "zstd")
           .partitionBy(l.keys: _*).parquet(versionDir(name, next))
+        // an EMPTY hive write (TRUNCATE) lands zero data files and zero
+        // partition dirs — persist the schema beside them or the next
+        // read's inference has nothing to infer from
+        val vd = new HadoopPath(versionDir(name, next))
+        if (dataFiles(vd).isEmpty)
+          writeBytes(new HadoopPath(vd, "_schema.json"),
+            hdf.schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       case None =>
         df.write.mode(SaveMode.Overwrite).option("compression", "zstd")
           .parquet(versionDir(name, next))

@@ -114,6 +114,43 @@ class ClusteredWriteSpec extends SparkSpecBase {
       .count() == expected)
   }
 
+  test("hive edge cases: NULL / '='-bearing partition values, TRUNCATE, plain VACUUM") {
+    import spark.implicits._
+    val st = fresh("cwed")
+    st.replacePartitioned("cw_ed",
+      Seq((1L, "a"), (2L, null), (3L, "b c=d")).toDF("k", "p"), "p")
+    val r = st.read("cw_ed")
+    assert(r.count() == 3)
+    assert(r.filter(col("p").isNull).count() == 1,
+      "__HIVE_DEFAULT_PARTITION__ must round-trip as NULL")
+    assert(r.filter(col("p") === "b c=d").count() == 1,
+      "partition values escape '=' and spaces")
+    st.appendCompacting("cw_ed", Seq((4L, null), (5L, "a")).toDF("k", "p"))
+    assert(st.read("cw_ed").count() == 5)
+    assert(st.read("cw_ed").filter(col("p").isNull).count() == 2)
+    // TRUNCATE: an empty hive write has zero files and zero partition
+    // dirs — the persisted schema marker keeps the version readable,
+    // including from a FRESH mount (restart-safe)
+    st.truncate("cw_ed")
+    assert(st.read("cw_ed").count() == 0)
+    assert(st.read("cw_ed").columns.toSeq == Seq("k", "p"))
+    val st2 = new Store(spark, st.warehouse)
+    assert(st2.read("cw_ed").count() == 0)
+    st2.appendCompacting("cw_ed", Seq((9L, "z")).toDF("k", "p"))
+    assert(st2.read("cw_ed").count() == 1)
+    // plain (non-FULL) VACUUM walks the hive tree without corruption
+    val st3 = fresh("cwvc")
+    st3.replacePartitioned("cw_vc",
+      (0L until 50L).map(i => (i, s"p${i % 2}")).toDF("k", "p"), "p")
+    st3.appendCompacting("cw_vc", Seq((60L, "p0")).toDF("k", "p"))
+    st3.vacuum("cw_vc")
+    assert(st3.read("cw_vc").count() == 51)
+    // footer-range pruning sees files inside the partition dirs
+    val (rng, scanned, total) = st3.readRange("cw_vc", "k", 10L, 12L)
+    assert(rng.count() == 3 && scanned < total,
+      s"hive range read must prune: $scanned/$total")
+  }
+
   test("hive layouts survive the change feed and a fresh mount") {
     import spark.implicits._
     val st = fresh("cwcf")
