@@ -1001,12 +1001,18 @@ class Store(spark: SparkSession, val warehouse: String) {
     * zero files (the r12 partitioned-write-path corruption class). Flat
     * dirs have no subdirs, so recursion is behavior-identical there. */
   private def dataFiles(dir: HadoopPath): Seq[FileStatus] = {
+    // manual walk, NOT fs.listFiles(dir, recursive=true): the located-
+    // status iterator stats every file again for block locations, which
+    // measured ~3x the per-txn cost of the staged-insert path (ingest
+    // scaling collapsed 2.96x -> 1.0x). A flat version dir pays exactly
+    // one listStatus — identical to the non-recursive original.
     val buf = scala.collection.mutable.ArrayBuffer[FileStatus]()
-    val it = fs.listFiles(dir, true)
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.isFile && st.getPath.getName.endsWith(".parquet")) buf += st
-    }
+    def walk(d: HadoopPath): Unit =
+      fs.listStatus(d).foreach { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) buf += st
+      }
+    walk(dir)
     buf.sortBy(_.getPath.toString).toSeq
   }
 
@@ -3434,17 +3440,12 @@ class Store(spark: SparkSession, val warehouse: String) {
     * top-level-only listing would see an empty file set and silently skip
     * the refresh. */
   private def dataFilesRelative(dir: HadoopPath): Seq[(String, String)] = {
+    // same manual walk as dataFiles — see the located-status cost note
     val base = fs.makeQualified(dir).toString.stripSuffix("/") + "/"
-    val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
-    val it = fs.listFiles(dir, true)
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
-        val full = fs.makeQualified(st.getPath).toString
-        buf += ((full.stripPrefix(base), full))
-      }
-    }
-    buf.sortBy(_._1).toSeq
+    dataFiles(dir).map { st =>
+      val full = fs.makeQualified(st.getPath).toString
+      (full.stripPrefix(base), full)
+    }.sortBy(_._1)
   }
 
   /** Bring `view` up to the base table's current version by aggregating
