@@ -1053,19 +1053,41 @@ object Multimodal {
       FROM documents ORDER BY doc_id""")) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val src = mediaAssets(s, dir).select(col("doc_id"), col("mjpeg"))
+      // Candidate-then-verify, the same shape as the MinHash pipeline:
+      // the sampled-frame PERCEPTUAL fingerprint buckets candidates (an
+      // 8-byte shuffle key, never the payload), and a full-frame content
+      // hash computed in the same decode pass splits perceptual
+      // COLLISIONS apart (dHash over tiny frames genuinely collides
+      // across distinct clips at corpus scale — observed at sf0.1 — and
+      // a dedup that merges two different videos on a hash accident is
+      // wrong; at 100 TB this is exactly why LSH/perceptual buckets
+      // always get a verify stage). The verify hashes the DECODED frame
+      // payloads, not the container: clone clips share content but carry
+      // distinct container metadata (the watermark box) by design.
       val outSchema = StructType(Seq(
         StructField("doc_id", LongType), StructField("n_frames", IntegerType),
-        StructField("vhash", LongType)))
+        StructField("vhash", LongType), StructField("chash", LongType)))
       val enc = org.apache.spark.sql.Encoders.row(outSchema)
       val hashed = src.mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
-          val (n, fp) = videoFingerprint(r.getAs[Array[Byte]](1)).getOrElse(
+          val bytes = r.getAs[Array[Byte]](1)
+          val frames = decodeMjpegFrames(bytes).getOrElse(
             throw new IllegalStateException(s"undecodable clip for doc $id"))
-          Row(id, n, fp)
+          var fp = frames.length.toLong
+          var i = 0
+          while (i < frames.length) { // sampled frames: the candidate key
+            fp = fp * 1000003L ^ dHash(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(frames(i))))
+            i += 2
+          }
+          val md = java.security.MessageDigest.getInstance("MD5")
+          frames.foreach(md.update) // every frame: the verify key
+          Row(id, frames.length, fp,
+            java.nio.ByteBuffer.wrap(md.digest).getLong)
         }
       }(enc)
-      val byHash = Window.partitionBy(col("vhash"))
+      val byHash = Window.partitionBy(col("vhash"), col("chash"))
       hashed
         .withColumn("group_n", count(lit(1)).over(byHash))
         .withColumn("keep",
