@@ -1374,6 +1374,22 @@ class WireSpec extends SparkSpecBase {
       assert(cnt2.filter(_._1 == 'D').map(m => dataRowValues(m._2)) ==
         Seq(Seq("0")), "malformed COPY must not commit rows")
       assert(c.query("SELECT 1").exists(_._1 == 'D'), "session stays usable")
+
+      // the parallel decode path joins transactions like the driver path:
+      // staged while open, discarded by ROLLBACK
+      c.query("BEGIN")
+      beginCopy("COPY copyin_par FROM STDIN")
+      copyData((1 to 50).map(i => s"${1000 + i}\ttx$i\t$i.5\n").mkString)
+      val txMsgs = copyDone()
+      assert(new String(txMsgs.find(_._1 == 'C').get._2, UTF_8)
+        .stripSuffix("\u0000") == "COPY 50")
+      val inTx = c.query("SELECT count(*) AS n FROM copyin_par WHERE k > 1000")
+      assert(inTx.filter(_._1 == 'D').map(m => dataRowValues(m._2)) ==
+        Seq(Seq("50")), "txn reads its own parallel-decoded COPY rows")
+      c.query("ROLLBACK")
+      val gone = c.query("SELECT count(*) AS n FROM copyin_par WHERE k > 1000")
+      assert(gone.filter(_._1 == 'D').map(m => dataRowValues(m._2)) ==
+        Seq(Seq("0")), "ROLLBACK discards the parallel-decoded COPY")
       c.close()
     } finally {
       sys.props.remove("graft.copyIn.parallelMinBytes")
