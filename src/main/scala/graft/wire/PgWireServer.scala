@@ -1261,6 +1261,23 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
     }
   }
 
+  /** Output-size estimate for drain sizing. The PLAN-level sizeInBytes
+    * multiplies join cardinalities when column stats are absent and can
+    * land astronomically high for a small result — an unguarded read of it
+    * once classified every join query in the golden corpus as a fat
+    * export, repartitioned each to 4096 and drained it through 4096
+    * one-task jobs (hours for 271 sub-second queries). LEAF stats are real
+    * bytes (parquet file sizes, literal rows), so cap the plan estimate at
+    * 8x the summed leaves — text encoding of compressed parquet rarely
+    * expands more, and [[drainChunks]]'s observation-adaptive job sizing
+    * absorbs the residual error in either direction. */
+  private[graft] def estOutBytes(df: DataFrame): BigInt = {
+    val plan = df.queryExecution.optimizedPlan
+    val leafCap = plan.collectLeaves().map(_.stats.sizeInBytes).sum
+      .max(BigInt(1)) * 8
+    plan.stats.sizeInBytes.min(leafCap).max(BigInt(1))
+  }
+
   /** Shared drain pump for executor-framed wire output (COPY CopyData
     * chunks, fat-SELECT DataRow chunks): when the result is big and its
     * order free, encode in parallel and pump partition batches; otherwise
@@ -1275,7 +1292,7 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
     // range-partitioned order must stream out intact) or is small enough
     // that a shuffle costs more than it buys.
     val bigUnsorted = !topSorted(df) &&
-      df.queryExecution.optimizedPlan.stats.sizeInBytes > copyParallelMinBytes
+      estOutBytes(df) > copyParallelMinBytes
     def chunked(d: DataFrame) = d.mapPartitions(chunk)(
       org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaLong,
@@ -1293,8 +1310,7 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
       // BATCHES sized to ~256 MiB of results per job — parallel encode
       // inside each job, bounded driver buffering, any export size.
       val sc = df.sparkSession.sparkContext
-      val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-        .max(BigInt(1))
+      val est = estOutBytes(df)
       val wantParts = BigInt(sc.defaultParallelism)
         .max(est / copyTaskBytes + 1).min(4096).toInt
       val src =
@@ -1304,14 +1320,32 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
       val parts = rdd.getNumPartitions
       val perJob = (BigInt(parts) * copyJobBytes / est).min(64).max(1).toInt
       val lock = new Object
-      (0 until parts).grouped(perJob).foreach { batch =>
+      var bytesSeen = 0L
+      var tasksSeen = 0
+      var next = 0
+      // First job runs at a quarter of the estimate-derived batch: the
+      // estimate may UNDERSHOOT real output (explodes, extreme text
+      // expansion) and the first job has no observation to correct with.
+      var perJobDyn = math.max(1, perJob / 4)
+      while (next < parts) {
+        val batch = next until math.min(next + perJobDyn, parts)
         sc.runJob(rdd,
           (_: org.apache.spark.TaskContext,
               it: Iterator[(Long, Array[Byte])]) => it.toArray,
-          batch.toSeq,
+          batch,
           (_: Int, res: Array[(Long, Array[Byte])]) => lock.synchronized {
-            res.foreach { case (cnt, blob) => bout.write(blob); n += cnt }
+            res.foreach { case (cnt, blob) =>
+              bout.write(blob); n += cnt; bytesSeen += blob.length
+            }
           })
+        next = batch.end
+        tasksSeen += batch.size
+        // Re-size the next job from OBSERVED bytes/task: a residually
+        // wrong estimate must neither leave a small result draining
+        // through thousands of one-task jobs nor overrun the per-job
+        // driver buffer when tasks come back fatter than sized.
+        val avg = math.max(bytesSeen / tasksSeen, 64L << 10)
+        perJobDyn = math.min(math.max(copyJobBytes / avg, 1L), 512L).toInt
       }
     } else {
       chunked(df).toLocalIterator().forEachRemaining { case (cnt, blob) =>
@@ -1415,7 +1449,7 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
     * job's scheduling floor. */
   private def sendDataRowsBody(out: DataOutputStream, df: DataFrame): Long = {
     val schema = df.schema
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes > copyParallelMinBytes) {
+    if (estOutBytes(df) > copyParallelMinBytes) {
       val fields = schema.fields
       val bout = new java.io.BufferedOutputStream(out, 1 << 16)
       val n = drainChunks(bout, df,

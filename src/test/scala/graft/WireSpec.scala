@@ -1083,6 +1083,53 @@ class WireSpec extends SparkSpecBase {
     }
   }
 
+  test("join-inflated plan stats must not job-storm the DataRow drain") {
+    val c = new Client(server._2); c.startup()
+    val srv = server._1
+    try {
+      // A stat-less multi-join MULTIPLIES cardinality estimates: the raw
+      // plan sizeInBytes for this 3-way nation self-join lands in the
+      // gigabytes while the result is 25 rows. Before the leaf-bytes cap,
+      // that classified the query as a fat export, repartitioned it to
+      // 4096 and drained it through 4096 one-task jobs — ~30 s for a
+      // sub-second query, times 271 in the golden-corpus audit.
+      val joined = spark.sql(
+        """SELECT n1.n_name FROM nation n1
+          |JOIN nation n2 ON n1.n_regionkey = n2.n_regionkey
+          |JOIN nation n3 ON n2.n_regionkey = n3.n_regionkey
+          |WHERE n2.n_nationkey = n1.n_nationkey
+          |  AND n3.n_nationkey = n1.n_nationkey""".stripMargin)
+      val raw = joined.queryExecution.optimizedPlan.stats.sizeInBytes
+      assume(raw > srv.copyParallelMinBytes,
+        s"precondition: the join estimate must be inflated, got $raw")
+      assert(srv.estOutBytes(joined) <= srv.copyParallelMinBytes,
+        "leaf-bytes cap must route a small-leaf join to the per-row path")
+      // and through the socket: right answer, no job storm (the bug spent
+      // >=4096 jobs on this; parallel suites may add noise, so the bound
+      // is generous but far below the pathological count)
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val rows = c.query(
+          "SELECT n1.n_name FROM nation n1 " +
+            "JOIN nation n2 ON n1.n_regionkey = n2.n_regionkey " +
+            "JOIN nation n3 ON n2.n_regionkey = n3.n_regionkey " +
+            "WHERE n2.n_nationkey = n1.n_nationkey " +
+            "AND n3.n_nationkey = n1.n_nationkey").filter(_._1 == 'D')
+        assert(rows.size == 25, s"got ${rows.size} rows")
+        Thread.sleep(200) // listener events are async; a storm posts 1000s
+        assert(jobs.get < 1000,
+          s"drain ran ${jobs.get} jobs — estimate cap/adaptive batching lost")
+      } finally spark.sparkContext.removeSparkListener(listener)
+    } finally c.close()
+  }
+
   test("an RR writer queued on the gate wakes to a serialization failure, PG-exactly") {
     val c1 = new Client(server._2); c1.startup()
     val c2 = new Client(server._2); c2.startup()
