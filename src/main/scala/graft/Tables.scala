@@ -24,6 +24,21 @@ object Tables {
   def inputBytes(dir: String, name: String): Long =
     scala.util.Try(new java.io.File(s"$dir/$name.parquet").length).getOrElse(0L)
 
+  /** Plan-output byte estimate with join inflation capped. Catalyst
+    * MULTIPLIES cardinality estimates when column stats are absent — a
+    * stat-less multi-join can estimate gigabytes for a handful of rows —
+    * while LEAF stats are real bytes (parquet file sizes, literal rows).
+    * Cap the plan estimate at `factor` x the summed leaves; callers that
+    * size partitions or job batches from this must still tolerate residual
+    * error (post-write re-split, observation-adaptive batching). */
+  def cappedPlanBytes(df: org.apache.spark.sql.DataFrame,
+      factor: Int = 8): BigInt = {
+    val plan = df.queryExecution.optimizedPlan
+    val leafCap = plan.collectLeaves().map(_.stats.sizeInBytes).sum
+      .max(BigInt(1)) * factor
+    plan.stats.sizeInBytes.min(leafCap).max(BigInt(1))
+  }
+
   /** Default in-memory broadcast ceiling for EXPLICIT hints: 1 GiB —
     * comfortably inside a few-GB executor heap and Spark's 8 GB hard
     * broadcast cap, far above autoBroadcastJoinThreshold's 10 MB (explicit

@@ -1269,7 +1269,9 @@ class Store(spark: SparkSession, val warehouse: String) {
     }
     baseFiles.foreach(f => carryFile(f.getPath, dir))
     val targetBytes = math.max(maxFileBytes, 1L << 20)
-    val incomingBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // leaf-capped: a join-inflated estimate below the absurdity cutoff
+    // would still shred a small insert into hundreds of near-empty files
+    val incomingBytes = Tables.cappedPlanBytes(df)
     val est =
       if (incomingBytes > BigInt(1L << 40)) targetBytes else incomingBytes.toLong
     val nParts = math.max(1, math.ceil(est.toDouble / targetBytes).toInt)
@@ -1278,9 +1280,16 @@ class Store(spark: SparkSession, val warehouse: String) {
     var writtenFiles = dataFiles(dir)
       .filter(_.getPath.getName.startsWith(s"$prefix-"))
     val writtenRows = footerRows(writtenFiles.map(_.getPath))
-    // post-write cap verification — same contract as appendBody
+    // post-write size verification, BOTH directions — same contract as
+    // appendBody: oversized files violate the cap; a shredded write (an
+    // estimate far above the actual output — selective stat-less joins)
+    // leaves hundreds of near-empty files that tax every later scan's
+    // listing and footer reads
     val writtenBytes = writtenFiles.map(_.getLen).sum
-    if (writtenBytes > writtenFiles.length.toLong * targetBytes * 3 / 2) {
+    val wantFiles = math.max(1,
+      math.ceil(writtenBytes.toDouble / targetBytes).toInt)
+    if (writtenBytes > writtenFiles.length.toLong * targetBytes * 3 / 2 ||
+        (writtenFiles.length > 8 && writtenFiles.length > 4 * wantFiles)) {
       val needed = math.max(1,
         math.ceil(writtenBytes.toDouble / targetBytes).toInt)
       val re = spark.read.schema(df.schema)
@@ -1325,7 +1334,7 @@ class Store(spark: SparkSession, val warehouse: String) {
     // absurd estimate (stats unknown → 8 EiB default) falls back to one
     // target file's worth.
     val smallBytes = small.map(_.getLen).sum
-    val incomingBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val incomingBytes = Tables.cappedPlanBytes(df) // leaf-capped join inflation
     val targetBytes = math.max(maxFileBytes, 1L << 20)
     val est = smallBytes +
       (if (incomingBytes > BigInt(1L << 40)) targetBytes else incomingBytes.toLong)
@@ -1346,11 +1355,21 @@ class Store(spark: SparkSession, val warehouse: String) {
     // above lands in far too few, far too large files. The cap is a
     // CONTRACT (the reference hard-caps batch files; downstream readers
     // and manifest math assume it), so re-split by MEASURED on-disk bytes
-    // when the output overshoots by >1.5x — one extra pass over only the
-    // oversized output, never the carried files, and only when the
-    // estimate was wrong.
+    // when the output overshoots by >1.5x. The opposite miss matters too:
+    // an estimate far ABOVE the actual output (stat-less selective joins)
+    // shreds the write into near-empty files that tax every later scan's
+    // listing and footer reads — re-coalesce when the file count runs >4x
+    // what measured bytes need. One extra pass over only the miswritten
+    // output, never the carried files, and only when the estimate was
+    // wrong.
     val writtenBytes = writtenFiles.map(_.getLen).sum
-    if (writtenBytes > writtenFiles.length.toLong * targetBytes * 3 / 2) {
+    val wantFiles = math.max(1,
+      math.ceil(writtenBytes.toDouble / targetBytes).toInt)
+    if (writtenBytes > writtenFiles.length.toLong * targetBytes * 3 / 2 ||
+        // hive exempt from the shred guard: one file per partition dir is
+        // the layout's natural shape, and a re-coalesce can't reduce it
+        (!hive && writtenFiles.length > 8 &&
+          writtenFiles.length > 4 * wantFiles)) {
       val needed = math.max(1, math.ceil(writtenBytes.toDouble / targetBytes).toInt)
       // basePath: hive delta files keep partition values in dir names
       val re = spark.read

@@ -1271,12 +1271,8 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
     * 8x the summed leaves — text encoding of compressed parquet rarely
     * expands more, and [[drainChunks]]'s observation-adaptive job sizing
     * absorbs the residual error in either direction. */
-  private[graft] def estOutBytes(df: DataFrame): BigInt = {
-    val plan = df.queryExecution.optimizedPlan
-    val leafCap = plan.collectLeaves().map(_.stats.sizeInBytes).sum
-      .max(BigInt(1)) * 8
-    plan.stats.sizeInBytes.min(leafCap).max(BigInt(1))
-  }
+  private[graft] def estOutBytes(df: DataFrame): BigInt =
+    Tables.cappedPlanBytes(df)
 
   /** Shared drain pump for executor-framed wire output (COPY CopyData
     * chunks, fat-SELECT DataRow chunks): when the result is big and its

@@ -24,6 +24,26 @@ class StoreSpec extends SparkSpecBase {
     assert(st.read("t").count() == 25)
   }
 
+  test("a join-inflated write estimate must not shred a small insert into slivers") {
+    import spark.implicits._
+    val st = freshStore()
+    st.replace("shred_t", Seq(0L).toDF("n"))
+    // stat-less multi-join: the plan estimate multiplies to ~GBs, the
+    // leaf cap holds it to ~10 MB, but the ACTUAL output is 10 rows — the
+    // pre-guard write shredded that into one near-empty file per
+    // estimated megabyte
+    val joined = spark.range(50000).toDF("a")
+      .join(spark.range(50000).toDF("b"), $"a" === $"b")
+      .join(spark.range(50000).toDF("c"), $"a" === $"c")
+      .filter($"a" < 10).select($"a".as("n"))
+    st.appendCompacting("shred_t", joined, maxFileBytes = 1L << 20)
+    assert(st.read("shred_t").count() == 11)
+    assert(st.read("shred_t").agg(sum($"n")).head.getLong(0) == 45)
+    val files = st.read("shred_t").inputFiles
+    assert(files.length <= 4,
+      s"10-row append landed in ${files.length} files — shred guard lost")
+  }
+
   test("appendCompacting rewrites small tail files, carries full ones") {
     import spark.implicits._
     val st = freshStore()
