@@ -219,6 +219,32 @@ class Store(spark: SparkSession, val warehouse: String) {
   // restore/drop/rename so reused version numbers can never resurrect a
   // stale delta.
   private val committedInsertDeltas = TrieMap[(String, Int), Seq[String]]()
+
+  /** Drop pure-insert delta registrations no future merge can reference.
+    * Runs under the table lock at the publish points: when NO in-flight
+    * staging references `name` (the concurrent stagedNames mirror; first
+    * writes register under this same lock), every future staging's base
+    * will be captured at >= the current shared version, and a merge's
+    * interleave starts ABOVE its base — so every registered version at or
+    * below current is unreachable. Without this, a long-lived hot-ingest
+    * server grows one registration per insert transaction forever.
+    * Conservative: any in-flight staging on the table skips the prune
+    * (its base may reach arbitrarily far back); the next quiescent
+    * publish prunes. */
+  private def pruneInsertDeltas(name: String): Unit = {
+    val held = activeStagings.values.exists(_.stagedNames.contains(name))
+    if (!held) {
+      val cur = versions.getOrElse(name, 0)
+      committedInsertDeltas.keysIterator
+        .filter(k => k._1 == name && k._2 <= cur).toSeq
+        .foreach(committedInsertDeltas.remove)
+    }
+  }
+
+  /** Registered pure-insert delta count for `name` — spec probe for the
+    * prune's no-leak contract. */
+  private[graft] def insertDeltaCount(name: String): Int =
+    committedInsertDeltas.keysIterator.count(_._1 == name)
   /** Table lock for VERSION-PRODUCING operations: the txn write gate first
     * (blocks while another transaction holds uncommitted writes on the
     * table — and claims it when WE are that transaction), then the plain
@@ -279,6 +305,7 @@ class Store(spark: SparkSession, val warehouse: String) {
       // write de-registers the slot it occupies
       if (insertNames != null) committedInsertDeltas((name, next)) = insertNames
       else committedInsertDeltas.remove((name, next))
+      pruneInsertDeltas(name)
       publishSizeStats(name, next)
     }
   }
@@ -1940,7 +1967,9 @@ class Store(spark: SparkSession, val warehouse: String) {
       // clear the overlay BEFORE stats/publish: both read through the
       // version resolution and must see the now-shared chain
       st.tables.clear(); st.evoCleared.clear(); st.stagedNames.clear()
-      touched.foreach { case (n, _) => publishSizeStats(n, finals(n)) }
+      touched.foreach { case (n, _) =>
+        pruneInsertDeltas(n); publishSizeStats(n, finals(n))
+      }
       if (touched.nonEmpty) {
         persistCatalog()
         touched.foreach { case (n, _) => publish(n) }

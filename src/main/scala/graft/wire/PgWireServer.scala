@@ -1295,16 +1295,24 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
         org.apache.spark.sql.Encoders.BINARY))
     var n = 0L
     if (bigUnsorted) {
-      // Output order is free: runJob batches pipeline results to the
-      // socket as tasks finish (toLocalIterator would run one sequential
-      // job per partition — all parallelism lost). Every job collects its
-      // tasks' results on the driver, and Spark counts the WHOLE job
-      // against spark.driver.maxResultSize — a single job over a fat
-      // export dies at ~1 GiB and silently truncates the COPY (caught at
-      // SF10: 11M of 60M rows). So: partition the export finely enough
-      // that one task's framed text is ~24 MiB, then run PARTITION
-      // BATCHES sized to ~256 MiB of results per job — parallel encode
-      // inside each job, bounded driver buffering, any export size.
+      // Output order is free: submit PARTITION BATCHES as Spark jobs
+      // (toLocalIterator would run one sequential job per partition — all
+      // parallelism lost). Every job collects its tasks' results on the
+      // driver, and Spark counts the WHOLE job against
+      // spark.driver.maxResultSize — a single job over a fat export dies
+      // at ~1 GiB and silently truncates the COPY (caught at SF10: 11M of
+      // 60M rows). So: partition the export finely enough that one task's
+      // framed text is ~24 MiB, then batch ~256 MiB of results per job.
+      //
+      // The job's result handler MUST NOT touch the socket: Spark invokes
+      // it on the DAGScheduler event-loop thread (JobWaiter.taskSucceeded),
+      // and a socket write there blocks on the CLIENT's read pace —
+      // freezing all job scheduling in the SparkContext, every other
+      // connection included (caught live: one psql draining a 6M-row
+      // SELECT stalled the whole server). Handlers append to memory; the
+      // CONNECTION thread awaits the job and pumps the socket, double-
+      // buffered so batch N+1 encodes on executors while batch N drains
+      // (at most two job buffers in memory, ~2x copyJobBytes).
       val sc = df.sparkSession.sparkContext
       val est = estOutBytes(df)
       val wantParts = BigInt(sc.defaultParallelism)
@@ -1315,7 +1323,6 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
       val rdd = chunked(src).rdd
       val parts = rdd.getNumPartitions
       val perJob = (BigInt(parts) * copyJobBytes / est).min(64).max(1).toInt
-      val lock = new Object
       var bytesSeen = 0L
       var tasksSeen = 0
       var next = 0
@@ -1323,26 +1330,45 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
       // estimate may UNDERSHOOT real output (explodes, extreme text
       // expansion) and the first job has no observation to correct with.
       var perJobDyn = math.max(1, perJob / 4)
-      while (next < parts) {
-        val batch = next until math.min(next + perJobDyn, parts)
-        sc.runJob(rdd,
-          (_: org.apache.spark.TaskContext,
-              it: Iterator[(Long, Array[Byte])]) => it.toArray,
-          batch,
-          (_: Int, res: Array[(Long, Array[Byte])]) => lock.synchronized {
-            res.foreach { case (cnt, blob) =>
-              bout.write(blob); n += cnt; bytesSeen += blob.length
-            }
-          })
-        next = batch.end
-        tasksSeen += batch.size
-        // Re-size the next job from OBSERVED bytes/task: a residually
-        // wrong estimate must neither leave a small result draining
-        // through thousands of one-task jobs nor overrun the per-job
-        // driver buffer when tasks come back fatter than sized.
+      var pending: (org.apache.spark.FutureAction[Unit],
+        java.util.concurrent.ConcurrentLinkedQueue[(Long, Array[Byte])],
+        Int) = null
+      def flushPending(): Unit = if (pending != null) {
+        val (fut, buf, size) = pending
+        pending = null
+        scala.concurrent.Await.result(fut, scala.concurrent.duration.Duration.Inf)
+        var e = buf.poll()
+        while (e != null) {
+          bout.write(e._2); n += e._1; bytesSeen += e._2.length
+          e = buf.poll()
+        }
+        tasksSeen += size
+        // Re-size later jobs from OBSERVED bytes/task: a residually wrong
+        // estimate must neither leave a small result draining through
+        // thousands of one-task jobs nor overrun the per-job driver
+        // buffer when tasks come back fatter than sized.
         val avg = math.max(bytesSeen / tasksSeen, 64L << 10)
         perJobDyn = math.min(math.max(copyJobBytes / avg, 1L), 512L).toInt
       }
+      while (next < parts) {
+        val batch = next until math.min(next + perJobDyn, parts)
+        val buf =
+          new java.util.concurrent.ConcurrentLinkedQueue[(Long, Array[Byte])]()
+        val fut = sc.submitJob[(Long, Array[Byte]), Array[(Long, Array[Byte])], Unit](
+          rdd,
+          (it: Iterator[(Long, Array[Byte])]) => it.toArray,
+          batch,
+          (_: Int, res: Array[(Long, Array[Byte])]) =>
+            { res.foreach(buf.add); () },
+          ())
+        next = batch.end
+        // previous batch drains while this one computes; if it FAILED,
+        // cancel the just-submitted job before propagating
+        try flushPending()
+        catch { case t: Throwable => fut.cancel(); throw t }
+        pending = (fut, buf, batch.size)
+      }
+      flushPending()
     } else {
       chunked(df).toLocalIterator().forEachRemaining { case (cnt, blob) =>
         bout.write(blob); n += cnt

@@ -1083,6 +1083,43 @@ class WireSpec extends SparkSpecBase {
     }
   }
 
+  test("a stalled client draining a fat SELECT must not block other connections") {
+    val cA = new Client(server._2); cA.startup()
+    val cB = new Client(server._2); cB.startup()
+    val srv = server._1
+    val (m0, t0, j0) =
+      (srv.copyParallelMinBytes, srv.copyTaskBytes, srv.copyJobBytes)
+    try {
+      cA.query("CREATE TABLE stall_t AS SELECT g AS k, repeat('x', 200) AS v " +
+        "FROM generate_series(1, 20000) g")
+      srv.copyParallelMinBytes = 1L
+      srv.copyTaskBytes = 4096L
+      srv.copyJobBytes = 8192L
+      // A sends the fat SELECT but READS NOTHING: its kernel socket buffer
+      // fills and the server-side write blocks. Before r12 that write ran
+      // in the Spark job's RESULT HANDLER — on the DAGScheduler event-loop
+      // thread — so one stalled BI client froze job scheduling for every
+      // connection. Now the connection thread owns the socket and only
+      // memory-bounded buffers sit between job and writer.
+      val q = "SELECT * FROM stall_t".getBytes(UTF_8)
+      cA.out.writeByte('Q'); cA.out.writeInt(4 + q.length + 1)
+      cA.out.write(q); cA.out.writeByte(0); cA.out.flush()
+      Thread.sleep(1500) // let the drain start and the socket buffer fill
+      // B must still get scheduled and answered promptly
+      val t1 = System.nanoTime()
+      val msgs = cB.query("SELECT count(*) FROM nation")
+      val sec = (System.nanoTime() - t1) / 1e9
+      assert(msgs.exists(_._1 == 'D'), "B got no rows")
+      assert(sec < 30,
+        f"small query took $sec%.1fs behind a stalled drain — scheduler blocked")
+      cB.query("DROP TABLE stall_t")
+    } finally {
+      srv.copyParallelMinBytes = m0; srv.copyTaskBytes = t0; srv.copyJobBytes = j0
+      cA.sock.close() // abandon the stalled drain; the server must survive
+      cB.close()
+    }
+  }
+
   test("join-inflated plan stats must not job-storm the DataRow drain") {
     val c = new Client(server._2); c.startup()
     val srv = server._1
