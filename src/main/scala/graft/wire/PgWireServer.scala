@@ -1293,7 +1293,6 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
       org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.BINARY))
-    var n = 0L
     if (bigUnsorted) {
       // Output order is free: submit PARTITION BATCHES as Spark jobs
       // (toLocalIterator would run one sequential job per partition — all
@@ -1303,16 +1302,6 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
       // at ~1 GiB and silently truncates the COPY (caught at SF10: 11M of
       // 60M rows). So: partition the export finely enough that one task's
       // framed text is ~24 MiB, then batch ~256 MiB of results per job.
-      //
-      // The job's result handler MUST NOT touch the socket: Spark invokes
-      // it on the DAGScheduler event-loop thread (JobWaiter.taskSucceeded),
-      // and a socket write there blocks on the CLIENT's read pace —
-      // freezing all job scheduling in the SparkContext, every other
-      // connection included (caught live: one psql draining a 6M-row
-      // SELECT stalled the whole server). Handlers append to memory; the
-      // CONNECTION thread awaits the job and pumps the socket, double-
-      // buffered so batch N+1 encodes on executors while batch N drains
-      // (at most two job buffers in memory, ~2x copyJobBytes).
       val sc = df.sparkSession.sparkContext
       val est = estOutBytes(df)
       val wantParts = BigInt(sc.defaultParallelism)
@@ -1323,58 +1312,90 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
       val rdd = chunked(src).rdd
       val parts = rdd.getNumPartitions
       val perJob = (BigInt(parts) * copyJobBytes / est).min(64).max(1).toInt
-      var bytesSeen = 0L
-      var tasksSeen = 0
+      val pump = new ChunkPump(sc, rdd, bout)
       var next = 0
       // First job runs at a quarter of the estimate-derived batch: the
       // estimate may UNDERSHOOT real output (explodes, extreme text
       // expansion) and the first job has no observation to correct with.
       var perJobDyn = math.max(1, perJob / 4)
-      var pending: (org.apache.spark.FutureAction[Unit],
-        java.util.concurrent.ConcurrentLinkedQueue[(Long, Array[Byte])],
-        Int) = null
-      def flushPending(): Unit = if (pending != null) {
-        val (fut, buf, size) = pending
-        pending = null
-        scala.concurrent.Await.result(fut, scala.concurrent.duration.Duration.Inf)
-        var e = buf.poll()
-        while (e != null) {
-          bout.write(e._2); n += e._1; bytesSeen += e._2.length
-          e = buf.poll()
-        }
-        tasksSeen += size
+      while (next < parts) {
+        val batch = next until math.min(next + perJobDyn, parts)
+        pump.submit(batch)
+        next = batch.end
         // Re-size later jobs from OBSERVED bytes/task: a residually wrong
         // estimate must neither leave a small result draining through
         // thousands of one-task jobs nor overrun the per-job driver
         // buffer when tasks come back fatter than sized.
-        val avg = math.max(bytesSeen / tasksSeen, 64L << 10)
-        perJobDyn = math.min(math.max(copyJobBytes / avg, 1L), 512L).toInt
+        if (pump.tasks > 0) {
+          val avg = math.max(pump.bytes / pump.tasks, 64L << 10)
+          perJobDyn = math.min(math.max(copyJobBytes / avg, 1L), 512L).toInt
+        }
       }
-      while (next < parts) {
-        val batch = next until math.min(next + perJobDyn, parts)
-        val buf =
-          new java.util.concurrent.ConcurrentLinkedQueue[(Long, Array[Byte])]()
-        val fut = sc.submitJob[(Long, Array[Byte]), Array[(Long, Array[Byte])], Unit](
-          rdd,
-          (it: Iterator[(Long, Array[Byte])]) => it.toArray,
-          batch,
-          (_: Int, res: Array[(Long, Array[Byte])]) =>
-            { res.foreach(buf.add); () },
-          ())
-        next = batch.end
-        // previous batch drains while this one computes; if it FAILED,
-        // cancel the just-submitted job before propagating
-        try flushPending()
-        catch { case t: Throwable => fut.cancel(); throw t }
-        pending = (fut, buf, batch.size)
-      }
-      flushPending()
+      pump.finish()
     } else {
-      chunked(df).toLocalIterator().forEachRemaining { case (cnt, blob) =>
-        bout.write(blob); n += cnt
-      }
+      // Ordered output streams partitions IN ORDER (a global sort is
+      // range-partitioned, so in-order concatenation IS the sorted
+      // output) — but still through the pump with one-partition jobs:
+      // partition i+1 encodes on executors while i drains to the socket.
+      // toLocalIterator would leave the cluster idle during every socket
+      // write at the same one-collected-partition memory cost.
+      val rdd = chunked(df).rdd
+      val pump = new ChunkPump(df.sparkSession.sparkContext, rdd, bout)
+      (0 until rdd.getNumPartitions).foreach(p => pump.submit(Seq(p)))
+      pump.finish()
     }
-    n
+  }
+
+  /** Double-buffered executor→socket pump shared by the wire drains:
+    * `submit(batch)` starts encoding a partition batch on executors while
+    * the PREVIOUS batch's results drain to the socket on the calling
+    * (connection) thread.
+    *
+    * The job's result handler MUST NOT touch the socket: Spark invokes it
+    * on the DAGScheduler event-loop thread (JobWaiter.taskSucceeded), and
+    * a socket write there blocks on the CLIENT's read pace — freezing job
+    * scheduling for the whole SparkContext, every other connection
+    * included (caught live: one psql buffering a 6M-row SELECT stalled
+    * concurrent sub-second queries indefinitely). Handlers append to a
+    * memory queue only; at most two batches' results sit on the driver. */
+  private final class ChunkPump(sc: org.apache.spark.SparkContext,
+      rdd: org.apache.spark.rdd.RDD[(Long, Array[Byte])],
+      bout: java.io.BufferedOutputStream) {
+    var rows = 0L
+    var bytes = 0L
+    var tasks = 0
+    private var pending: (org.apache.spark.FutureAction[Unit],
+      java.util.concurrent.ConcurrentLinkedQueue[(Long, Array[Byte])],
+      Int) = null
+    private def flush(): Unit = if (pending != null) {
+      val (fut, buf, size) = pending
+      pending = null
+      scala.concurrent.Await.result(fut, scala.concurrent.duration.Duration.Inf)
+      var e = buf.poll()
+      while (e != null) {
+        bout.write(e._2); rows += e._1; bytes += e._2.length
+        e = buf.poll()
+      }
+      tasks += size
+    }
+    def submit(batch: Seq[Int]): Unit = {
+      val buf =
+        new java.util.concurrent.ConcurrentLinkedQueue[(Long, Array[Byte])]()
+      val fut = sc.submitJob[(Long, Array[Byte]), Array[(Long, Array[Byte])], Unit](
+        rdd,
+        (it: Iterator[(Long, Array[Byte])]) => it.toArray,
+        batch,
+        (_: Int, res: Array[(Long, Array[Byte])]) =>
+          { res.foreach(buf.add); () },
+        ())
+      // previous batch drains while this one computes; if it FAILED,
+      // cancel the just-submitted job before propagating
+      try flush()
+      catch { case t: Throwable => fut.cancel(); throw t }
+      pending = (fut, buf, batch.size)
+    }
+    /** Drain the last in-flight batch and return total rows written. */
+    def finish(): Long = { flush(); rows }
   }
 
   /** One DataRow; `fmt(i)` = 1 requests PG binary encoding for column i
