@@ -76,15 +76,28 @@ object Bench {
       n -> e.getClass.getSimpleName
     }
     val queries = built.collect { case (n, scala.util.Success(df)) => n -> df }
-    def exec(df: org.apache.spark.sql.DataFrame): Unit =
+    // A query that fails EXECUTION must be loud: exec still swallows the
+    // exception so one bad query cannot zero the artifact, but the failure
+    // lands in failed_queries on BOTH output lines — a timed sample of a
+    // query that aborted partway is a time-to-failure, not a result, and
+    // publishing it silently fakes sublinear scaling (caught at SF10:
+    // a Long-overflow in the money rounding aborted 14 queries mid-scan
+    // while the wall numbers read as if they had completed).
+    val failedQueries = scala.collection.concurrent.TrieMap[String, String]()
+    def exec(name: String, df: org.apache.spark.sql.DataFrame): Unit =
       try df.write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        failedQueries.putIfAbsent(name,
+          Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+            .takeWhile(_ != '\n').take(160))
+        ()
+      }
     // warmup (untimed): JIT + whole-stage codegen compilation. Two passes —
     // measured on a cold VM the first timed sample after a single warmup
     // still ran ~2x the steady state (C2 compilation of the generated code
     // finishes during it); the second pass absorbs that.
-    queries.foreach { case (_, df) => exec(df) }
-    queries.foreach { case (_, df) => exec(df) }
+    queries.foreach { case (n, df) => exec(n, df) }
+    queries.foreach { case (n, df) => exec(n, df) }
 
     // Every timed number is the MEDIAN of `samples` runs: single-run
     // local-mode numbers swing ±30% with JIT/GC/scheduler noise, which
@@ -102,7 +115,7 @@ object Bench {
     val seqSamples: Seq[Seq[(String, Double)]] = (1 to samples).map { _ =>
       queries.map { case (name, df) =>
         val t0 = System.nanoTime()
-        exec(df)
+        exec(name, df)
         name -> (System.nanoTime() - t0) / 1e9
       }
     }
@@ -133,8 +146,8 @@ object Bench {
     def wallSample(): Double = {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(conc)
       val t0 = System.nanoTime()
-      val futures = queries.map { case (_, df) =>
-        pool.submit(new Runnable { def run(): Unit = exec(df) })
+      val futures = queries.map { case (n, df) =>
+        pool.submit(new Runnable { def run(): Unit = exec(n, df) })
       }
       futures.foreach(_.get())
       pool.shutdown()
@@ -196,11 +209,11 @@ object Bench {
     val controlQs = controlDefs.map { case (n, f) =>
       n -> scala.util.Try(f()).toOption
     }.collect { case (n, Some(df)) => n -> df }
-    controlQs.foreach { case (_, df) => exec(df) } // untimed warmup
+    controlQs.foreach { case (n, df) => exec(n, df) } // untimed warmup
     val ctrlSamples: Seq[Seq[(String, Double)]] = (1 to samples).map { _ =>
       controlQs.map { case (n, df) =>
         val t0 = System.nanoTime()
-        exec(df)
+        exec(n, df)
         n -> (System.nanoTime() - t0) / 1e9
       }
     }
@@ -465,6 +478,8 @@ object Bench {
       s""""wall_rule":"median over samples <= 2x min; bursts discarded and resampled (max ${2 * wallN} attempts)",""" +
       (if (buildErrors.isEmpty) ""
        else s""""build_errors":${buildErrors.map { case (n, e) => "\"" + n + "\":\"" + e + "\"" }.mkString("{", ",", "}")},""") +
+      (if (failedQueries.isEmpty) ""
+       else s""""failed_queries":${failedQueries.toSeq.sortBy(_._1).map { case (n, e) => "\"" + n + "\":\"" + e.replace("\\", "\\\\").replace("\"", "'") + "\"" }.mkString("{", ",", "}")},""") +
       s""""shuffle_partitions":$parts,"aqe":$aqe,""" +
       wireDetail +
       s""""ab":{"control_wall":${median(ctrlTotals)},""" +
@@ -480,6 +495,7 @@ object Bench {
       f""""queries":$qsCompact,"sequential_total":$sequentialTotal%.3f,""" +
       f""""wall_min":${wallSamples.min}%.3f,"sequential_min":${seqTotals.min}%.3f,""" +
       f""""control_wall":${median(ctrlTotals)}%.3f,""" + wireCompact +
+      s""""failed_query_count":${failedQueries.size},""" +
       s""""commit":"$gitCommit","sf":"$sfDir","detail":"see preceding line"}""")
     spark.stop()
   }

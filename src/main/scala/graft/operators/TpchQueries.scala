@@ -51,9 +51,17 @@ object Qdsl {
     * q09 at sf0.001). Exact while |sum|*100 < 2^53. */
   def msum(c: Column, unit: Double): Column = {
     val u = unit.toLong
-    val s = sum(c)
-    val cents = floor((abs(s) * 100 + u / 2).cast("double") / u).cast("long")
-    (when(s < 0, -cents).otherwise(cents).cast("double") / 100.0)
+    // sum128, not sum: a BIGINT sum of 1e-6-dollar units stays in range
+    // to ~SF600 per group, but the rounding's *100 crossed 2^63 at SF10
+    // (observed live: ARITHMETIC_OVERFLOW aborted 14 bench queries at
+    // volume). The 128-bit DeclarativeAggregate keeps the whole chain
+    // exact to 1e38 with a codegen two-long buffer, the rounding stays in
+    // DECIMAL space, and the single integer->double conversion happens at
+    // the same point as the DuckDB oracle's HUGEINT->double — so the
+    // hash compare remains boundary-proof at every SF.
+    val s = call_function("sum128", c)
+    val cents = floor((abs(s) * 100 + lit(u / 2)).cast("double") / u).cast("long")
+    (when(s < lit(0), -cents).otherwise(cents).cast("double") / 100.0)
   }
   def ts(s: String): Column = lit(s).cast("timestamp")
 
