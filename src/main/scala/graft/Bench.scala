@@ -300,7 +300,7 @@ object Bench {
           val t = in.read().toChar; val n = in.readInt()
           if (t == 'E' && err == null) {
             val b = new Array[Byte](n - 4); in.readFully(b)
-            err = new String(b, "UTF-8").replace(' ', '|')
+            err = new String(b, "UTF-8").replace('\u0000', '|')
           } else in.skipNBytes(n - 4)
           if (t == 'Z') done = true
         }
@@ -462,6 +462,15 @@ object Bench {
     val (wireDetail, wireCompact) = wireBlock
 
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+    // Full JSON string escape (keys AND values): error text carries \r, \t
+    // and arbitrary control chars — exactly the payload that must stay
+    // machine-parseable when a failure is being reported.
+    def jstr(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }.mkString("\"", "", "\"")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // wall_min / sequential_min: the quiet-machine estimate. Host CPU bursts
     // on this VM are strictly additive (they only ever inflate a sample), so
@@ -477,9 +486,9 @@ object Bench {
       s""""wall_discarded":$wallDiscarded,"wall_attempt_loadavg":${arr(allWall.map(_._2).toSeq)},""" +
       s""""wall_rule":"median over samples <= 2x min; bursts discarded and resampled (max ${2 * wallN} attempts)",""" +
       (if (buildErrors.isEmpty) ""
-       else s""""build_errors":${buildErrors.map { case (n, e) => "\"" + n + "\":\"" + e + "\"" }.mkString("{", ",", "}")},""") +
+       else s""""build_errors":${buildErrors.map { case (n, e) => jstr(n) + ":" + jstr(e) }.mkString("{", ",", "}")},""") +
       (if (failedQueries.isEmpty) ""
-       else s""""failed_queries":${failedQueries.toSeq.sortBy(_._1).map { case (n, e) => "\"" + n + "\":\"" + e.replace("\\", "\\\\").replace("\"", "'") + "\"" }.mkString("{", ",", "}")},""") +
+       else s""""failed_queries":${failedQueries.toSeq.sortBy(_._1).map { case (n, e) => jstr(n) + ":" + jstr(e) }.mkString("{", ",", "}")},""") +
       s""""shuffle_partitions":$parts,"aqe":$aqe,""" +
       wireDetail +
       s""""ab":{"control_wall":${median(ctrlTotals)},""" +

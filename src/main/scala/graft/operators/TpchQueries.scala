@@ -43,22 +43,23 @@ object Qdsl {
     cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
   /** extendedprice * (1-discount) * (1+tax), exact, units of 1e-6 dollars */
   val chargeProd: Column = discProd * (lit(100L) + cents(col("l_tax")))
-  /** Exact integer sum -> dollars at 2 dp as double; `unit` = units per $.
-    * The 2-dp rounding happens in INTEGER space (half away from zero on the
-    * exact unit sum) before any double division: `round(sum/unit, 2)` on a
-    * double diverges between engines when the true value sits on a .xx5
-    * boundary (representation dust decides the direction — bit us on
-    * q09 at sf0.001). Exact while |sum|*100 < 2^53. */
+  /** Integer-exact sum -> dollars at 2 dp as double; `unit` = units per $.
+    * Contract: the SUM itself is exact to 1e38 (sum128, a two-long 128-bit
+    * DeclarativeAggregate), and the +u/2 half-adjust happens on the exact
+    * decimal sum — but the subsequent /u division and floor run in DOUBLE
+    * after the cast, so above 2^53 the result is not exact in the absolute
+    * sense; it is ENGINE-CONSISTENT: the single decimal->double conversion
+    * sits at the same point as the DuckDB oracle's HUGEINT->double (same
+    * IEEE op sequence), so hash compares stay boundary-proof at every SF.
+    * Rounding in integer space before any division avoids the classic
+    * `round(sum/unit, 2)` .xx5-boundary divergence (bit us on q09 at
+    * sf0.001). */
   def msum(c: Column, unit: Double): Column = {
     val u = unit.toLong
     // sum128, not sum: a BIGINT sum of 1e-6-dollar units stays in range
     // to ~SF600 per group, but the rounding's *100 crossed 2^63 at SF10
     // (observed live: ARITHMETIC_OVERFLOW aborted 14 bench queries at
-    // volume). The 128-bit DeclarativeAggregate keeps the whole chain
-    // exact to 1e38 with a codegen two-long buffer, the rounding stays in
-    // DECIMAL space, and the single integer->double conversion happens at
-    // the same point as the DuckDB oracle's HUGEINT->double — so the
-    // hash compare remains boundary-proof at every SF.
+    // volume).
     val s = call_function("sum128", c)
     val cents = floor((abs(s) * 100 + lit(u / 2)).cast("double") / u).cast("long")
     (when(s < lit(0), -cents).otherwise(cents).cast("double") / 100.0)

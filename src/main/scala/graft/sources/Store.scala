@@ -3090,18 +3090,28 @@ class Store(spark: SparkSession, val warehouse: String) {
         }
         val delIds = changes.filter(col("_change_type") === "delete")
           .select(col(idCol).as("doc_id")).distinct()
-        val d = delIds.limit(100001).collect().map(_.get(0)).toSeq
-        if (d.length > 100000) {
+        val nDel = delIds.limit(100001).count()
+        if (nDel > 100000) {
           // a delete set this big is a replace-shaped rewrite: a full
-          // rebuild beats 100k-key driver plumbing
+          // rebuild beats incremental retraction plumbing
           fullBuild(); markIndexed(); return
         }
-        if (d.nonEmpty) {
+        if (nDel > 0) {
           deleteByKey(idxT, delIds, "doc_id")
           // pair rows die with either endpoint; O(pairs) rewrite — the pair
-          // table is the small output side (bounded by true near-dup volume)
-          replace(pairsT, read(pairsT)
-            .filter(!col("id_a").isin(d: _*) && !col("id_b").isin(d: _*)))
+          // table is the small output side (bounded by true near-dup
+          // volume). Anti-join keeps the retraction a plan-side join (the
+          // old isin(...) built a 100k-literal In expression that stalled
+          // codegen right below the rebuild cutoff).
+          val oldPairs = read(pairsT)
+          // USING-joins hoist the key column first; restore the table's
+          // column order before the positional replace
+          replace(pairsT, oldPairs
+            .join(delIds.withColumnRenamed("doc_id", "id_a"),
+              Seq("id_a"), "left_anti")
+            .join(delIds.withColumnRenamed("doc_id", "id_b"),
+              Seq("id_b"), "left_anti")
+            .select(oldPairs.columns.map(col).toSeq: _*))
         }
         val ins = changes.filter(col("_change_type") === "insert")
           .drop("_change_type")
@@ -3114,9 +3124,20 @@ class Store(spark: SparkSession, val warehouse: String) {
           // replay (the half-applied batch rows don't double-count) —
           // upsert the signatures by key, and anti-join new pairs against
           // the pair table before appending.
+          // Broadcast the batch-id set only while it is broadcast-sized: a
+          // bulk append that takes the incremental path (watermark already
+          // set) can carry 100M+ ids, and an unconditional broadcast of
+          // that set is a multi-GiB ship that dies at exactly the ingest
+          // scale this index exists for. Above the row gate the anti-join
+          // falls back to a shuffle (sort-merge) join on doc_id.
           val batchIds = batch.select("doc_id").distinct()
+          val bcastGateRows = spark.conf
+            .getOption("spark.graft.dedupBroadcastIdRows")
+            .flatMap(_.toIntOption).getOrElse(2000000)
+          val batchSmall = batchIds.limit(bcastGateRows + 1).count() <= bcastGateRows
           val idxSansBatch = read(idxT)
-            .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
+            .join(if (batchSmall) broadcast(batchIds) else batchIds,
+              Seq("doc_id"), "left_anti")
           val newPairs = Dedup.probe(family, idxSansBatch, batch, tau)
           upsert(idxT, batch, "doc_id")
           appendCompacting(pairsT,

@@ -1274,6 +1274,17 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
   private[graft] def estOutBytes(df: DataFrame): BigInt =
     Tables.cappedPlanBytes(df)
 
+  /** Messages of `t` and every cause below it (cycle-bounded). */
+  private def causeChain(t: Throwable): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer[String]()
+    var cur = t; var depth = 0
+    while (cur != null && depth < 16) {
+      Option(cur.getMessage).foreach(out += _)
+      cur = cur.getCause; depth += 1
+    }
+    out.toSeq
+  }
+
   /** Shared drain pump for executor-framed wire output (COPY CopyData
     * chunks, fat-SELECT DataRow chunks): when the result is big and its
     * order free, encode in parallel and pump partition batches; otherwise
@@ -1304,34 +1315,62 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
       // framed text is ~24 MiB, then batch ~256 MiB of results per job.
       val sc = df.sparkSession.sparkContext
       val est = estOutBytes(df)
-      val wantParts = BigInt(sc.defaultParallelism)
-        .max(est / copyTaskBytes + 1).min(4096).toInt
-      val src =
-        if (df.rdd.getNumPartitions < wantParts) df.repartition(wantParts)
-        else df
-      val rdd = chunked(src).rdd
-      val parts = rdd.getNumPartitions
-      val perJob = (BigInt(parts) * copyJobBytes / est).min(64).max(1).toInt
-      val pump = new ChunkPump(sc, rdd, bout)
-      var next = 0
-      // First job runs at a quarter of the estimate-derived batch: the
-      // estimate may UNDERSHOOT real output (explodes, extreme text
-      // expansion) and the first job has no observation to correct with.
-      var perJobDyn = math.max(1, perJob / 4)
-      while (next < parts) {
-        val batch = next until math.min(next + perJobDyn, parts)
-        pump.submit(batch)
-        next = batch.end
-        // Re-size later jobs from OBSERVED bytes/task: a residually wrong
-        // estimate must neither leave a small result draining through
-        // thousands of one-task jobs nor overrun the per-job driver
-        // buffer when tasks come back fatter than sized.
-        if (pump.tasks > 0) {
-          val avg = math.max(pump.bytes / pump.tasks, 64L << 10)
-          perJobDyn = math.min(math.max(copyJobBytes / avg, 1L), 512L).toInt
+      // The leaf-capped estimate is right for fat/small CLASSIFICATION and
+      // job batching, but PARTITION sizing must survive a genuine >8x
+      // expansion (many-to-many join, explode, heavy text expansion): the
+      // adaptive loop below can only shrink to one partition per job,
+      // never split a partition, so a single under-partitioned task's
+      // framed text can cross spark.driver.maxResultSize and kill the
+      // export. When the leaf cap actually bit (raw plan estimate above
+      // it), size partitions for up to 64x the leaves (still bounded by
+      // the raw estimate) — over-partitioning an overestimate is cheap
+      // because observation-adaptive job sizing drains many partitions
+      // per job.
+      val raw = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val sizingEst = if (raw > est) (est * 8).min(raw) else est
+      def runDrain(fine: Int, maxParts: Int): Long = {
+        val wantParts = BigInt(sc.defaultParallelism)
+          .max(sizingEst * fine / copyTaskBytes + 1).min(maxParts).toInt
+        val src =
+          if (df.rdd.getNumPartitions < wantParts) df.repartition(wantParts)
+          else df
+        val rdd = chunked(src).rdd
+        val parts = rdd.getNumPartitions
+        val perJob = (BigInt(parts) * copyJobBytes / est).min(64).max(1).toInt
+        val pump = new ChunkPump(sc, rdd, bout)
+        var next = 0
+        // First job runs at a quarter of the estimate-derived batch: the
+        // estimate may UNDERSHOOT real output (explodes, extreme text
+        // expansion) and the first job has no observation to correct with.
+        var perJobDyn = math.max(1, perJob / 4)
+        try {
+          while (next < parts) {
+            val batch = next until math.min(next + perJobDyn, parts)
+            pump.submit(batch)
+            next = batch.end
+            // Re-size later jobs from OBSERVED bytes/task: a residually
+            // wrong estimate must neither leave a small result draining
+            // through thousands of one-task jobs nor overrun the per-job
+            // driver buffer when tasks come back fatter than sized.
+            if (pump.tasks > 0) {
+              val avg = math.max(pump.bytes / pump.tasks, 64L << 10)
+              perJobDyn = math.min(math.max(copyJobBytes / avg, 1L), 512L).toInt
+            }
+          }
+          pump.finish()
+        } catch {
+          // A 100-300x expansion can still cross the driver ceiling on the
+          // very first job. While NOTHING has reached the socket a full
+          // restart is safe (a repartition redistributes every row, so a
+          // mid-stream retry is not) — rerun the whole export 8x finer.
+          case e: Exception
+              if fine == 1 && pump.rows == 0 &&
+                causeChain(e).exists(m => m.contains("maxResultSize") ||
+                  m.contains("bigger than spark.driver")) =>
+            runDrain(fine = 8, maxParts = 16384)
         }
       }
-      pump.finish()
+      runDrain(fine = 1, maxParts = 4096)
     } else {
       // Ordered output streams partitions IN ORDER (a global sort is
       // range-partitioned, so in-order concatenation IS the sorted

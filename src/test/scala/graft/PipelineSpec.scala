@@ -421,6 +421,53 @@ class PipelineSpec extends SparkSpecBase {
       s"probe must NOT rescan the corpus docs table: $paths")
   }
 
+  test("incremental probe past the broadcast-id gate still matches; retraction plans anti-joins, not In-literals") {
+    import spark.implicits._
+    val store = new Store(spark,
+      java.nio.file.Files.createTempDirectory("graft-ddgate").toString)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    store.replace("ddg_docs", Seq(
+      (1L, base), (2L, base + " lambda")).toDF("doc_id", "text"))
+    store.enableDedupIndex("ddg_docs", "doc_id", "text", 0.5)
+    val pairsT = store.dedupPairsTable("ddg_docs")
+    def pairs(): Set[(Long, Long)] = store.read(pairsT)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs() == Set((1L, 2L)))
+    // Record every plan the refresh executes so the retraction shape and
+    // the join fallback are structurally pinned, not just behaviorally.
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // shrink the gate to 1 id: the 2-doc batch MUST take the shuffle-join
+      // fallback instead of broadcasting its id set
+      spark.conf.set("spark.graft.dedupBroadcastIdRows", "1")
+      store.appendCompacting("ddg_docs",
+        Seq((3L, base + " mu"), (4L, base + " nu")).toDF("doc_id", "text"))
+      assert(pairs() == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+        (2L, 4L), (3L, 4L)), s"gated probe must match full semantics: ${pairs()}")
+      // retraction: delete one doc; its pairs die via anti-joins
+      plans.clear()
+      store.deleteByKey("ddg_docs", Seq(Tuple1(2L)).toDF("doc_id"), "doc_id")
+      assert(pairs() == Set((1L, 3L), (1L, 4L), (3L, 4L)), pairs().toString)
+      import scala.jdk.CollectionConverters._
+      val pairPlans = plans.asScala.filter(_.contains("mh_pairs"))
+      assert(pairPlans.exists(_.contains("LeftAnti")),
+        "pair retraction must be an anti-join")
+      assert(!pairPlans.exists(p => p.contains("id_a#") && p.contains(" IN (")),
+        "pair retraction must not filter with an In-literal list")
+    } finally {
+      spark.conf.unset("spark.graft.dedupBroadcastIdRows")
+      spark.listenerManager.unregister(listener)
+    }
+  }
+
   test("dedup index stays current through append, upsert and delete") {
     import spark.implicits._
     val store = new Store(spark,

@@ -1028,7 +1028,7 @@ class WireSpec extends SparkSpecBase {
       val rows = msgs.count(_._1 == 'd')
       assert(rows == 5000, s"batched COPY must deliver every row: $rows")
       val tag = msgs.reverse.collectFirst {
-        case ('C', b) => new String(b, UTF_8).takeWhile(_ != ' ') }
+        case ('C', b) => new String(b, UTF_8).takeWhile(_ != '\u0000') }
       assert(tag.contains("COPY 5000"), s"tag: $tag")
       // content integrity across the batch boundaries: ids must cover the
       // full range exactly once
@@ -1062,7 +1062,7 @@ class WireSpec extends SparkSpecBase {
         dataRowValues(m._2).head.toLong).sorted
       assert(ids == (1L to 5000L), "no row may duplicate or vanish")
       val tag = msgs.reverse.collectFirst {
-        case ('C', b) => new String(b, UTF_8).stripSuffix(" ") }
+        case ('C', b) => new String(b, UTF_8).stripSuffix("\u0000") }
       assert(tag.contains("SELECT 5000"), s"tag: $tag")
       // ORDER BY: output must arrive IN ORDER (the sorted stream path)
       val ordered = c.query("SELECT k FROM fatsel_t ORDER BY k DESC")
