@@ -1057,6 +1057,46 @@ object StoreOps {
       store.upsert("cf_orders", ups, "o_orderkey")
       store.changesSince("cf_orders", v0)
         .orderBy("o_orderkey", "_change_type")
+    },
+
+    // Index-staleness lifecycle through the SQL surface: a failed ANN
+    // refresh leaves a visible stale row in graft_index_stats (watermark
+    // trailing the table version, failure recorded); the next commit's
+    // hook repairs it from the cumulative change feed. Two snapshots of
+    // the view, unioned — the oracle pins both states' exact versions.
+    Q("st_index_staleness", Some("""
+      SELECT * FROM (VALUES
+        ('healed', 'ann', 3, 3, FALSE, FALSE),
+        ('stale',  'ann', 1, 2, TRUE,  TRUE)
+      ) AS t(phase, index_kind, indexed_version, current_version, stale, had_error)
+      ORDER BY phase""")) { (s, dir) =>
+      import s.implicits._
+      val store = new Store(s,
+        java.nio.file.Files.createTempDirectory("graft-stx").toString)
+      Tables.registerAll(s, dir)
+      def vec(id: Long, x: Double, y: Double) = (id, Seq(x, y))
+      store.replace("stx_vecs",
+        Seq(vec(1, 1.0, 0.0), vec(2, 0.0, 1.0)).toDF("vec_id", "embedding"))
+      val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("cid", "cv")
+      store.enableAnnIndex("stx_vecs", cents)
+      def snap(phase: String): DataFrame = PgDialect.execute(s, store,
+        s"SELECT '$phase' AS phase, index_kind, indexed_version, " +
+          "current_version, stale, last_error <> '' AS had_error " +
+          "FROM graft_index_stats WHERE relname = 'stx_vecs'") match {
+        case PgDialect.Rows(df, _) => df
+        case other => sys.error(s"expected rows, got $other")
+      }
+      // sabotage: the refresh hook needs the centroids table; kill it and
+      // commit — the hook fails (warns), the watermark stays at v1
+      store.drop(store.annCentsTable("stx_vecs"))
+      store.appendCompacting("stx_vecs",
+        Seq(vec(3, 0.9, 0.1)).toDF("vec_id", "embedding"))
+      val staleSnap = snap("stale")
+      // heal: restore centroids; the NEXT commit's hook covers both batches
+      store.replace(store.annCentsTable("stx_vecs"), cents)
+      store.appendCompacting("stx_vecs",
+        Seq(vec(4, 0.1, 0.9)).toDF("vec_id", "embedding"))
+      staleSnap.union(snap("healed")).orderBy("phase")
     }
   )
 }

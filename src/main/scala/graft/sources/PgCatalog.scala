@@ -942,6 +942,13 @@ object PgCatalog {
       stTables.map(n => ("public", n, 0L)))
       .toDF("schemaname", "relname", "n_live_tup")
       .asCatalogView("pg_stat_user_tables")
+    // pg_stat-style incremental-index staleness (dedup/ANN watermarks vs
+    // table versions, plus the last refresh failure) — stale must be
+    // queryable, not buried in a server log
+    store.indexStaleness
+      .toDF("relname", "index_kind", "indexed_version", "current_version",
+        "stale", "last_error")
+      .asCatalogView("graft_index_stats")
     (Tables.names ++ stTables).map(n => ("public", n, "graft", false))
       .toDF("schemaname", "tablename", "tableowner", "hasindexes")
       .asCatalogView("pg_tables")

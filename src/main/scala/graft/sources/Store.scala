@@ -263,6 +263,10 @@ class Store(spark: SparkSession, val warehouse: String) {
     * baseline) and returns the next STAGED version; [[versionDir]] then
     * maps it to the txn-private dir. Callers hold the table lock. */
   private def nextVersion(name: String): Int = {
+    // the cross-process claim happens BEFORE any version math or staging
+    // registration: a lease steal may reload the catalog (adopting a dead
+    // writer's commits), which must precede this write's base capture
+    ensureLease()
     val st = staging()
     if (st == null) versions.getOrElse(name, 0) + 1
     else {
@@ -458,8 +462,14 @@ class Store(spark: SparkSession, val warehouse: String) {
   // same directory. Cross-table writes stay concurrent; cross-PROCESS
   // safety is the catalog CAS in persistCatalog.
   private val tableLocks = TrieMap[String, Object]()
-  private def withTableLock[T](name: String)(body: => T): T =
+  private def withTableLock[T](name: String)(body: => T): T = {
+    // every mutation enters through a table lock, so the cross-process
+    // lease claim lands here — BEFORE the body reads any catalog state
+    // (a lease steal reloads the catalog; version/file-list captures that
+    // preceded the reload would carry a dead writer's stale chain)
+    ensureLease()
     tableLocks.getOrElseUpdate(name, new Object).synchronized(body)
+  }
   // metadata-only schema evolution per table — see the ALTER section below
   private case class Evo(physical: org.apache.spark.sql.types.StructType,
       logical: Seq[(String, String)])
@@ -527,6 +537,194 @@ class Store(spark: SparkSession, val warehouse: String) {
     try out.write(bytes) finally out.close()
   }
 
+  /** Atomic create-if-absent: the warehouse's cross-process CAS primitive.
+    * On the local scheme this is O_CREAT|O_EXCL via nio (Hadoop's
+    * RawLocalFileSystem.rename REPLACES an existing destination on posix,
+    * so rename is NOT a usable cross-process CAS there); on HDFS-like
+    * schemes `create(overwrite = false)` is an atomic server-side check;
+    * on eventually-listing object stores neither holds and a real
+    * multi-writer deployment needs the JDBC catalog's CAS
+    * ([[JdbcIcebergCatalog.commitLocation]]) — same division of labor as
+    * the reference's PG-backed iceberg catalog. */
+  private def exclusiveCreate(p: HadoopPath, bytes: Array[Byte]): Boolean =
+    if (isLocalFs) {
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(p.toUri.getPath),
+          bytes, java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else {
+      try {
+        val out = fs.create(p, false)
+        try out.write(bytes) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
+
+  // ---- cross-process writer lease -----------------------------------
+  // Every in-JVM concurrency mechanism (txn gates, the pure-insert delta
+  // registry, SSI read-set checks, index watermark locks) assumes ONE
+  // writer process per warehouse. This lease makes that assumption a
+  // checked contract instead of a convention: the first write CLAIMS the
+  // warehouse for the whole process (epoch files, exclusive-create CAS),
+  // a second process's writes refuse with a clean lock-timeout-shaped
+  // error, and a crashed writer's lease is stolen by fencing — the next
+  // epoch supersedes it, and the fenced process's later commits fail
+  // loudly instead of interleaving (checked around every catalog commit).
+  // Liveness: heartbeats refresh the lease file's mtime; a same-host
+  // claimant also probes the holder pid so SIGKILL recovery is immediate
+  // rather than waiting out the TTL.
+  /** Lease staleness bound (ms); tests shrink it to exercise expiry. */
+  private[graft] var leaseTtlMs: Long = 15000L
+  @volatile private var leaseEpoch: Long = 0L
+  @volatile private var leaseLostReason: String = null
+  @volatile private var leaseTask: java.util.concurrent.ScheduledFuture[_] = null
+
+  private def leasePath(e: Long) = new HadoopPath(root, s"_lease.e$e.json")
+
+  private def leaseHead(): Option[(Long, FileStatus)] =
+    Option(fs.globStatus(new HadoopPath(root, "_lease.e*.json")))
+      .getOrElse(Array.empty[FileStatus]).toSeq
+      .flatMap { st =>
+        st.getPath.getName.stripPrefix("_lease.e").stripSuffix(".json")
+          .toLongOption.map(_ -> st)
+      }.sortBy(_._1).lastOption
+
+  /** (procNonce, pid, host) of a lease file; None = unreadable (a claim
+    * racing its own content write) — treated as live-and-foreign. */
+  private def leaseInfo(p: HadoopPath): Option[(String, Long, String)] =
+    try {
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(readBytes(p))
+      Some((n.get("proc").asText, n.get("pid").asLong, n.get("host").asText))
+    } catch { case _: Exception => None }
+
+  private def leaseBytes(): Array[Byte] = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = om.createObjectNode()
+    n.put("proc", Store.procNonce)
+    n.put("pid", ProcessHandle.current.pid)
+    n.put("host", Store.hostName)
+    n.put("ts", System.currentTimeMillis())
+    om.writeValueAsBytes(n)
+  }
+
+  private def pidAlive(pid: Long): Boolean =
+    try ProcessHandle.of(pid).map[java.lang.Boolean](_.isAlive)
+      .orElse(java.lang.Boolean.FALSE).booleanValue()
+    catch { case _: Exception => true } // unknown => conservative: alive
+
+  private def leaseOwned(e: Long): Unit = {
+    leaseEpoch = e
+    if (leaseTask == null) {
+      val period = math.max(leaseTtlMs / 3, 50L)
+      // the task must not pin this Store (it transitively holds the
+      // SparkSession — the same retention shape as the old memoized-
+      // DataFrame leak): weak ref, self-cancelling once collected. A
+      // collected Store can't write, so losing its heartbeats (and
+      // eventually the lease) is the correct outcome.
+      val ref = new java.lang.ref.WeakReference(this)
+      val holder = new java.util.concurrent.atomic.AtomicReference[
+        java.util.concurrent.ScheduledFuture[_]]()
+      val fut = Store.leaseHeartbeats.scheduleAtFixedRate(
+        () => ref.get match {
+          case null => Option(holder.get).foreach(_.cancel(false))
+          case s => s.leaseHeartbeat()
+        },
+        period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+      holder.set(fut)
+      leaseTask = fut
+    }
+  }
+
+  private def leaseHeartbeat(): Unit =
+    try {
+      val p = leasePath(leaseEpoch)
+      try fs.setTimes(p, System.currentTimeMillis(), -1)
+      catch { case _: UnsupportedOperationException => writeBytes(p, leaseBytes()) }
+    } catch { case _: Exception => () } // best-effort; fencing catches the rest
+
+  /** Claim (or confirm) this PROCESS's exclusive writer lease. Ownership
+    * is process-scoped: every Store instance in one JVM shares it (in-JVM
+    * write concurrency is the txn layer's job), so per-connection sessions
+    * and remount-shaped tests never self-contend. A live foreign lease
+    * refuses immediately in PG's lock-timeout shape; a stale (no heartbeat
+    * within [[leaseTtlMs]]) or dead-pid lease is fenced by claiming the
+    * next epoch. */
+  private def ensureLease(reloadOnAcquire: Boolean = true): Unit = {
+    if (leaseLostReason != null)
+      throw new IllegalStateException(
+        s"writer lease lost ($leaseLostReason); this process can no longer " +
+          s"commit to warehouse $warehouse")
+    if (leaseEpoch > 0L) return
+    synchronized {
+      if (leaseEpoch > 0L) return
+      var attempts = 0
+      while (leaseEpoch == 0L) {
+        attempts += 1
+        if (attempts > 64)
+          throw new IllegalStateException(
+            s"could not claim the writer lease on $warehouse after $attempts attempts")
+        leaseHead() match {
+          case None => if (exclusiveCreate(leasePath(1L), leaseBytes())) leaseOwned(1L)
+          case Some((e, st)) =>
+            val info = leaseInfo(st.getPath)
+            if (info.exists(_._1 == Store.procNonce)) leaseOwned(e)
+            else {
+              val age = System.currentTimeMillis() - st.getModificationTime
+              val holderDead = info.exists { case (_, pid, host) =>
+                host == Store.hostName && !pidAlive(pid) }
+              if (age < leaseTtlMs && !holderDead) {
+                val holder = info.map { case (_, pid, host) => s"pid $pid on $host" }
+                  .getOrElse("unknown process")
+                throw new IllegalStateException(
+                  s"canceling statement due to lock timeout on warehouse " +
+                    s""""$warehouse" (another writer process holds the lease: """ +
+                    s"$holder, epoch $e; this store is single-writer-per-warehouse)")
+              }
+              if (exclusiveCreate(leasePath(e + 1L), leaseBytes())) leaseOwned(e + 1L)
+            }
+        }
+      }
+      // First acquisition in this Store: commits may have landed since our
+      // mount (a writer that died after we mounted). Adopt them — refusing
+      // to write from a stale catalog is what keeps a takeover from
+      // reverting the dead writer's published state.
+      val diskSeq = catalogSnapshots().lastOption.map(_._1).getOrElse(0L)
+      if (diskSeq > catalogSeq) {
+        if (reloadOnAcquire) loadCatalogSnapshot(clear = true)
+        else throw new IllegalStateException(
+          s"warehouse $warehouse advanced (catalog v$diskSeq > mounted " +
+            s"v$catalogSeq) since this process mounted it; remount required")
+      }
+    }
+  }
+
+  /** Fence check: a foreign lease at a higher epoch means another process
+    * took over (this writer looked dead to it). Returns the reason. */
+  private def leaseFenced(): Option[String] =
+    leaseHead().flatMap { case (e, st) =>
+      if (e <= leaseEpoch) None
+      else leaseInfo(st.getPath) match {
+        case Some((proc, _, _)) if proc == Store.procNonce =>
+          leaseEpoch = e; None // a sibling Store in this process re-claimed
+        case info => Some(s"fenced at epoch $e by " +
+          info.map { case (_, pid, host) => s"pid $pid on $host" }
+            .getOrElse("an unknown process"))
+      }
+    }
+
+  private def leaseLost(reason: String): Nothing = {
+    leaseLostReason = reason
+    Option(leaseTask).foreach(_.cancel(false))
+    leaseTask = null
+    throw new IllegalStateException(
+      s"writer lease lost ($reason); this process can no longer commit to " +
+        s"warehouse $warehouse")
+  }
+
   // ---- catalog durability ------------------------------------------------
   // The reference keeps its catalog (table pointers + matview definitions)
   // in a PG JDBC database (iceberg_catalog.go); here the same durability is
@@ -547,6 +745,13 @@ class Store(spark: SparkSession, val warehouse: String) {
   private var catalogSeq: Long = 0L
 
   private def persistCatalog(): Unit = synchronized {
+    // cross-process safety: only the lease-holding process may commit, and
+    // a fenced writer must find out HERE, not corrupt the snapshot chain.
+    // No reload on acquisition here: callers already folded this commit
+    // into the in-memory maps, so a reload would drop it — the loud
+    // remount-required error is the safe degradation.
+    ensureLease(reloadOnAcquire = false)
+    leaseFenced().foreach(leaseLost)
     // every catalog mutation invalidates the dialect's analyzed-plan cache
     // (cached DataFrames bind the PRE-mutation temp-view plans)
     PgDialect.catalogEpoch.incrementAndGet()
@@ -621,36 +826,93 @@ class Store(spark: SparkSession, val warehouse: String) {
         val x = la.addArray(); x.add(p); x.add(l); () }
     }
     val bytes = om.writerWithDefaultPrettyPrinter.writeValueAsBytes(rootNode)
-    // rename from a dot-tmp to a FRESH name: atomic on posix/HDFS, and on a
-    // copy+delete store the destination never pre-exists so the worst case
-    // is a duplicate upload, never a torn catalog. A rename REFUSAL means
-    // the fresh name was taken — another writer committed that sequence —
-    // so re-sync past the observed max and retry with a higher one (the
-    // HDFS/posix CAS; true S3 multi-writer needs a catalog service and is
-    // out of scope — this store is single-writer-per-warehouse by design,
-    // the retry just keeps a misconfigured second writer from corrupting).
-    var committed = false
+    // Two-step publish per sequence: (1) CLAIM the sequence number with an
+    // exclusive-create `.lock` — the cross-process CAS (posix rename
+    // silently replaces, so rename alone cannot arbitrate two processes
+    // picking the same fresh name); (2) tmp-write + rename the `.json`
+    // into the claimed slot — content atomicity for readers, now
+    // contention-free. A crash between the steps orphans a lock; the
+    // sequence floor below skips past both jsons AND locks so claimants
+    // never spin on a dead claim.
+    def seqFloor(): Long = {
+      val locks = Option(fs.globStatus(new HadoopPath(root, "_catalog.v*.lock")))
+        .getOrElse(Array.empty[FileStatus]).toSeq
+        .flatMap(_.getPath.getName.stripPrefix("_catalog.v")
+          .stripSuffix(".lock").toLongOption)
+      (catalogSnapshots().map(_._1) ++ locks).maxOption.getOrElse(0L)
+    }
+    var committed: HadoopPath = null
     var attempts = 0
-    while (!committed) {
+    while (committed == null) {
       catalogSeq += 1
-      val tmp = new HadoopPath(root, s"._catalog-$catalogSeq.tmp")
-      writeBytes(tmp, bytes)
-      val dst = new HadoopPath(root, s"_catalog.v$catalogSeq.json")
-      if (fs.rename(tmp, dst)) committed = true
-      else {
-        fs.delete(tmp, false)
+      val lock = new HadoopPath(root, s"_catalog.v$catalogSeq.lock")
+      if (!exclusiveCreate(lock, Array.emptyByteArray)) {
         attempts += 1
-        if (attempts >= 5)
-          throw new java.io.IOException(s"catalog commit failed: $dst")
-        catalogSeq = math.max(catalogSeq,
-          catalogSnapshots().lastOption.map(_._1).getOrElse(0L))
+        if (attempts >= 50)
+          throw new java.io.IOException(
+            s"catalog commit failed: no free sequence after $attempts claims")
+        catalogSeq = math.max(catalogSeq, seqFloor())
+      } else {
+        val tmp = new HadoopPath(root, s"._catalog-$catalogSeq.tmp")
+        writeBytes(tmp, bytes)
+        val dst = new HadoopPath(root, s"_catalog.v$catalogSeq.json")
+        if (fs.rename(tmp, dst)) committed = dst
+        else {
+          // we hold the claim, so a refused rename means the json slot is
+          // occupied WITHOUT a lock (a pre-lock-era warehouse or manual
+          // tampering) — treat it like a lost claim: resync past and retry
+          fs.delete(tmp, false)
+          attempts += 1
+          if (attempts >= 50)
+            throw new java.io.IOException(s"catalog commit failed: $dst")
+          catalogSeq = math.max(catalogSeq, seqFloor())
+        }
       }
     }
-    // GC superseded snapshots (keep a couple for forensic/raced readers)
-    catalogSnapshots().dropRight(2).foreach { case (_, p) => fs.delete(p, false) }
+    // Post-publish fence check: a claimant fences, THEN reloads the
+    // catalog — so a commit it cannot have seen must not survive. If a
+    // higher foreign epoch appeared while this commit was in flight,
+    // retract the snapshot and fail loudly (the claimant either reloaded
+    // after our rename and adopted it, or never saw it; both are
+    // consistent once it is retracted here).
+    leaseFenced().foreach { reason =>
+      fs.delete(committed, false)
+      leaseLost(reason)
+    }
+    // GC superseded snapshots and their claim locks (keep a couple for
+    // forensic/raced readers)
+    val gone = catalogSnapshots().dropRight(2)
+    gone.foreach { case (s, p) =>
+      fs.delete(p, false)
+      fs.delete(new HadoopPath(root, s"_catalog.v$s.lock"), false)
+    }
+    // superseded lease epochs are dead weight too (keep the predecessor)
+    Option(fs.globStatus(new HadoopPath(root, "_lease.e*.json")))
+      .getOrElse(Array.empty[FileStatus]).toSeq
+      .flatMap(_.getPath.getName.stripPrefix("_lease.e")
+        .stripSuffix(".json").toLongOption)
+      .filter(_ < leaseEpoch - 1)
+      .foreach(e => fs.delete(leasePath(e), false))
   }
 
-  locally {
+  locally { loadCatalogSnapshot(clear = false) }
+
+  /** (Re)load the durable catalog snapshot into the in-memory maps.
+    * `clear = true` is the lease-steal reload: a process that fenced a
+    * dead writer must adopt every commit that writer published after this
+    * process mounted — state the snapshot fully owns is dropped first so
+    * tables the dead writer dropped don't resurrect; non-durable session
+    * views survive. */
+  private def loadCatalogSnapshot(clear: Boolean): Unit = synchronized {
+    if (clear) {
+      PgDialect.catalogEpoch.incrementAndGet()
+      versions.clear(); matviewDefs.clear(); ivmViews.clear()
+      streamBatchIds.clear(); dirAliases.clear(); dedupIndexes.clear()
+      dedupIndexedVersion.clear(); annIndexes.clear(); annIndexedVersion.clear()
+      layouts.clear(); evolution.clear(); comments.clear()
+      viewDefs.filterInPlace { case (_, d) => !d.durable }
+      committedInsertDeltas.clear()
+    }
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val legacy = new HadoopPath(root, "_catalog.json")
     val latest = catalogSnapshots().lastOption
@@ -767,6 +1029,8 @@ class Store(spark: SparkSession, val warehouse: String) {
     * Overwrite-mode replace paths clear implicitly; every carryFile path
     * must come through here. */
   private def freshVersionDir(name: String, next: Int): HadoopPath = {
+    // refuse BEFORE the heavy data write, not just at catalog publish
+    ensureLease()
     val dir = versionPath(name, next)
     if (fs.exists(dir)) fs.delete(dir, true)
     fs.mkdirs(dir)
@@ -1070,6 +1334,10 @@ class Store(spark: SparkSession, val warehouse: String) {
   /** Atomic replace: write v(n+1), then flip the pointer. */
   def replace(name: String, df: DataFrame,
       maxFileBytes: Long = 100L << 20): Unit = withWriteLock(name) {
+    // version allocation FIRST: its lease claim may reload the catalog on
+    // a takeover, which must precede this statement's metadata mutations
+    // (evoClear / layout drop) or the reload would silently undo them
+    val next = nextVersion(name)
     evoClear(name) // full rewrite: new files define the schema baseline
     // a declared clustering SURVIVES a plain full refresh (it is table
     // metadata, like Iceberg's sort order — the data may drift, VACUUM
@@ -1082,7 +1350,6 @@ class Store(spark: SparkSession, val warehouse: String) {
         else l.keys
       if (!sources.forall(df.columns.contains)) layouts.remove(name)
     }
-    val next = nextVersion(name)
     layouts.get(name).filter(hiveWritable(df, _)) match {
       case Some(l) =>
         // a hive-declared table's FULL REFRESH keeps the hive shape: every
@@ -3057,7 +3324,67 @@ class Store(spark: SparkSession, val warehouse: String) {
     * replace). */
   def refreshDedupIndex(name: String): Unit = withIndexRefreshLock(name) {
     dedupIndexes.keysIterator.filter(_._1 == name).toSeq.sortBy(_._2)
-      .foreach { case (_, family) => refreshDedupFamily(name, family) }
+      .foreach { case (_, family) =>
+        try {
+          refreshDedupFamily(name, family)
+          indexRefreshErrors.remove((name, s"dedup:$family")); ()
+        } catch { case e: Exception =>
+          indexRefreshErrors((name, s"dedup:$family")) =
+            Option(e.getMessage).getOrElse(e.getClass.getSimpleName).take(500)
+          throw e
+        }
+      }
+  }
+
+  // ---- index staleness surface --------------------------------------
+  // The refresh hooks are best-effort by contract (a failed refresh only
+  // warns and the watermark stays behind) — but stale must be VISIBLE,
+  // not silent: readers get a pg_stat-style report, and probes can be
+  // made to refuse (spark.graft.strictIndexProbes=true) instead of
+  // serving stale answers. Repair needs no bookkeeping: the change feed
+  // is cumulative, so the hook on the NEXT commit (or an explicit
+  // refreshDedupIndex/refreshAnnIndex call) covers every missed batch.
+  /** Last refresh failure per (table, kind); cleared by the next success. */
+  private val indexRefreshErrors = TrieMap[(String, String), String]()
+
+  /** Staleness report over every registered incremental index:
+    * (table, kind, indexed_version, current_version, stale, last_error).
+    * kind = "dedup:<family>" | "ann". Surfaced in SQL as the
+    * `graft_index_stats` catalog view. */
+  def indexStaleness: Seq[(String, String, Int, Int, Boolean, String)] = {
+    def row(t: String, kind: String, iv: Int) = {
+      val cv = versions.getOrElse(t, 0)
+      (t, kind, iv, cv, iv != cv, indexRefreshErrors.getOrElse((t, kind), ""))
+    }
+    (dedupIndexes.keysIterator.map { case (t, fam) =>
+      row(t, s"dedup:$fam", dedupIndexedVersion.getOrElse((t, fam), 0))
+    } ++ annIndexes.keysIterator.map { t =>
+      row(t, "ann", annIndexedVersion.getOrElse(t, 0))
+    }).toSeq.sortBy(r => (r._1, r._2))
+  }
+
+  /** Throw (strict mode) or warn when a probe is about to serve `kind` on
+    * `name` while its watermark is behind the table. */
+  private def guardStaleProbe(name: String, kind: String, iv: Int): Unit = {
+    val cv = versions.getOrElse(name, 0)
+    if (iv != cv) {
+      val msg = s"$kind index on $name is stale (indexed v$iv, table v$cv)" +
+        indexRefreshErrors.get((name, kind)).fold("")(e => s"; last refresh error: $e") +
+        " — the next commit (or an explicit refresh) repairs it"
+      if (spark.conf.getOption("spark.graft.strictIndexProbes")
+          .exists(_.toBoolean))
+        throw new IllegalStateException(msg)
+      System.err.println(s"[store] $msg")
+    }
+  }
+
+  /** Guarded accessor for a near-dup index's pair table: surfaces (and in
+    * strict mode refuses) staleness that a raw read() would serve
+    * silently. */
+  def dedupPairs(name: String, family: String = "minhash"): DataFrame = {
+    guardStaleProbe(name, s"dedup:$family",
+      dedupIndexedVersion.getOrElse((name, family), 0))
+    read(dedupPairsTable(name, family))
   }
 
   private def refreshDedupFamily(name: String, family: String): Unit =
@@ -3199,7 +3526,11 @@ class Store(spark: SparkSession, val warehouse: String) {
     if (cur == from) return
     val aT = annIdxTable(name)
     import org.apache.spark.sql.functions.col
-    def markIndexed(): Unit = { annIndexedVersion(name) = cur; persistCatalog() }
+    def markIndexed(): Unit = {
+      annIndexedVersion(name) = cur
+      indexRefreshErrors.remove((name, "ann"))
+      persistCatalog()
+    }
     def fullBuild(): Unit = replace(aT,
       Similarity.ivfAssign(readVersion(name, cur), read(annCentsTable(name)),
         idCol, vecCol))
@@ -3226,6 +3557,7 @@ class Store(spark: SparkSession, val warehouse: String) {
       probes: Int = Similarity.PROBES, k: Int = 10): DataFrame = {
     val (idCol, vecCol) = annIndexes.getOrElse(name,
       throw new IllegalArgumentException(s"no ANN index registered on $name"))
+    guardStaleProbe(name, "ann", annIndexedVersion.getOrElse(name, 0))
     Similarity.ivfProbeQuery(read(annIdxTable(name)),
       read(annCentsTable(name)), queries, idCol, vecCol, probes, k)
   }
@@ -3233,8 +3565,10 @@ class Store(spark: SparkSession, val warehouse: String) {
   /** Post-commit hook twin of [[maybeRefreshDedupIndex]] for ANN. */
   private def maybeRefreshAnnIndex(name: String): Unit =
     if (annIndexes.contains(name))
-      try refreshAnnIndex(name)
+      try { refreshAnnIndex(name); indexRefreshErrors.remove((name, "ann")); () }
       catch { case e: Exception =>
+        indexRefreshErrors((name, "ann")) =
+          Option(e.getMessage).getOrElse(e.getClass.getSimpleName).take(500)
         System.err.println(s"[store] ANN index refresh failed for $name: ${e.getMessage}")
       }
 
@@ -3629,6 +3963,21 @@ class Store(spark: SparkSession, val warehouse: String) {
 }
 
 object Store {
+  /** Process identity for warehouse writer leases: lease ownership is
+    * PROCESS-scoped (every Store instance in one JVM shares it — in-JVM
+    * write concurrency belongs to the txn gates/registries), so remounts
+    * and per-connection sessions never contend with themselves. */
+  private[graft] val procNonce: String = java.util.UUID.randomUUID().toString
+  private[graft] lazy val hostName: String =
+    try java.net.InetAddress.getLocalHost.getHostName
+    catch { case _: Exception => "unknown-host" }
+  /** One shared daemon thread heartbeats every owned lease (tasks are
+    * per-warehouse and cancel on fencing). */
+  private[graft] val leaseHeartbeats =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-lease-heartbeat"); t.setDaemon(true); t
+    })
+
   /** Transaction-private write staging (PG MVCC visibility over the store's
     * version chain — reference contract: an open transaction's writes are
     * invisible to every other connection until COMMIT). Writes made while a

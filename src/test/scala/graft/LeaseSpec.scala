@@ -1,0 +1,236 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Cross-process write coordination: one warehouse, two JVMs.
+  *
+  * Every in-JVM concurrency mechanism (txn gates, insert-delta registry,
+  * SSI) assumes a single writer process; the warehouse writer lease makes
+  * that a CHECKED contract. These specs drive the whole lifecycle:
+  *   - a second process's write refuses cleanly while the holder lives
+  *     (real forked JVM, not a simulation);
+  *   - SIGKILL of the holder mid-commit: a new writer fences the dead
+  *     lease immediately (same-host pid probe) and ADOPTS every commit the
+  *     dead writer published after the claimant mounted — no acknowledged
+  *     batch may be reverted by the takeover;
+  *   - a fenced writer's later commits fail loudly and permanently;
+  *   - lease ownership is process-scoped (remount-shaped double mounts in
+  *     one JVM never self-contend);
+  *   - a stale heartbeat (hung writer) is stolen after the TTL.
+  */
+class LeaseSpec extends SparkSpecBase {
+
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  private def forkWriter(wh: String, batch: Int): (Process, java.util.concurrent.atomic.AtomicInteger) = {
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx3g", "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.CrashWriter", wh, batch.toString)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val lastAcked = new java.util.concurrent.atomic.AtomicInteger(-1)
+    new Thread(() => {
+      try {
+        val r = new java.io.BufferedReader(
+          new java.io.InputStreamReader(proc.getInputStream))
+        var line = r.readLine()
+        while (line != null) {
+          if (line.startsWith("COMMITTED "))
+            lastAcked.set(line.substring(10).trim.toInt)
+          line = r.readLine()
+        }
+      } catch { case _: java.io.IOException => () }
+    }).start()
+    (proc, lastAcked)
+  }
+
+  test("two JVMs, one warehouse: live holder refuses the second writer; SIGKILL hands over without losing an acked commit") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-lease2jvm").toString
+    val batch = 2000
+    val (proc, lastAcked) = forkWriter(wh, batch)
+    try {
+      // wait until the forked writer owns the lease and has real commits
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (lastAcked.get < 2 && System.nanoTime() < deadline) Thread.sleep(10)
+      assert(lastAcked.get >= 2, "forked writer never committed")
+
+      // concurrent write from THIS (second) process: clean lease refusal,
+      // wire-error shaped, naming the holder
+      import spark.implicits._
+      val st = new Store(spark, wh)
+      val e = intercept[IllegalStateException] {
+        st.appendCompacting("crash_t", Seq((-1L, -1L)).toDF("k", "b"))
+      }
+      assert(e.getMessage.contains("another writer process holds the lease"),
+        e.getMessage)
+      assert(e.getMessage.contains("lock timeout"), e.getMessage)
+      // the refused write left no trace
+      assert(new Store(spark, wh).read("crash_t").count() % batch == 0)
+
+      // SIGKILL the holder mid-commit
+      Thread.sleep(scala.util.Random.nextInt(300).toLong)
+      proc.destroyForcibly(); proc.waitFor()
+      val acked = lastAcked.get
+
+      // the same refused Store instance now takes over: the dead pid is
+      // probed (no TTL wait), the lease is fenced, and the steal RELOADS
+      // the catalog so commits published after this Store mounted survive
+      st.appendCompacting("crash_t",
+        (0 until 10).map(i => (1000000L + i, -1L)).toDF("k", "b"))
+      val df = st.read("crash_t")
+      val n = df.count() - 10
+      assert(n % batch == 0, s"takeover must land on a whole batch: $n")
+      assert(n / batch >= acked + 1,
+        s"takeover reverted acked commits: ${n / batch} batches vs ${acked + 1} acked")
+      // content: every pre-takeover batch still complete
+      val bad = df.filter(col("b") >= 0).groupBy("b").count()
+        .filter(col("count") =!= batch).count()
+      assert(bad == 0, "a surviving batch is no longer complete")
+    } finally { proc.destroyForcibly(); () }
+  }
+
+  test("lease ownership is process-scoped: a remount in the same JVM shares it") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-leaseproc").toString
+    val st1 = new Store(spark, wh)
+    st1.replace("t", Seq((1L, "a")).toDF("k", "v"))
+    val st2 = new Store(spark, wh) // remount while st1 still holds the lease
+    st2.appendCompacting("t", Seq((2L, "b")).toDF("k", "v"))
+    assert(st2.read("t").count() == 2)
+  }
+
+  test("a foreign higher epoch fences this writer: loud, permanent, commit retracted") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-leasefence").toString
+    val st = new Store(spark, wh)
+    st.replace("t", Seq((1L, "a")).toDF("k", "v")) // claims epoch 1
+    // simulate a foreign process fencing us: epoch 2, alive pid (our own),
+    // different process nonce
+    val lease2 = java.nio.file.Paths.get(wh, "_lease.e2.json")
+    java.nio.file.Files.write(lease2,
+      s"""{"proc":"foreign-nonce","pid":${ProcessHandle.current.pid},"host":"${Store.hostName}","ts":${System.currentTimeMillis()}}"""
+        .getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] {
+      st.appendCompacting("t", Seq((2L, "b")).toDF("k", "v"))
+    }
+    assert(e.getMessage.contains("lease lost"), e.getMessage)
+    assert(e.getMessage.contains("fenced"), e.getMessage)
+    // sticky: every later write refuses too
+    val e2 = intercept[IllegalStateException] {
+      st.appendCompacting("t", Seq((3L, "c")).toDF("k", "v"))
+    }
+    assert(e2.getMessage.contains("lease lost"), e2.getMessage)
+    // the fenced commit was retracted: a fresh mount sees only row 1
+    assert(new Store(spark, wh).read("t").count() == 1)
+  }
+
+  test("a stale lease (hung writer, no heartbeat) is stolen after the TTL; a fresh one refuses") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-leasettl").toString
+    // foreign REMOTE holder (pid probe unavailable), fresh heartbeat
+    val lease = java.nio.file.Paths.get(wh, "_lease.e5.json")
+    java.nio.file.Files.write(lease,
+      """{"proc":"foreign-nonce","pid":1,"host":"some-other-host","ts":0}"""
+        .getBytes("UTF-8"))
+    val st = new Store(spark, wh)
+    // keep the lease fresh under the clock during the refusal attempt by
+    // re-touching it right before (the data write preceding the lease
+    // check can take arbitrarily long on a cold session)
+    lease.toFile.setLastModified(System.currentTimeMillis() + st.leaseTtlMs / 2)
+    val e = intercept[IllegalStateException] {
+      st.replace("t", Seq((1L, "a")).toDF("k", "v"))
+    }
+    assert(e.getMessage.contains("another writer process holds the lease"),
+      e.getMessage)
+    // ...until its heartbeat goes stale past the TTL (backdated mtime —
+    // deterministic, no sleep)
+    lease.toFile.setLastModified(System.currentTimeMillis() - 2 * st.leaseTtlMs)
+    st.replace("t", Seq((1L, "a")).toDF("k", "v"))
+    assert(st.read("t").count() == 1)
+    // the steal fenced epoch 5 with epoch 6
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(wh, "_lease.e6.json")))
+  }
+
+  test("N processes racing to steal a stale lease: exactly one wins, losers refuse cleanly") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-leaserace").toString
+    // seed the table from THIS process, then surrender the lease: fake a
+    // dead holder so every contender must go through the steal path
+    val st = new Store(spark, wh)
+    st.replace("probe_t", Seq((0L, 0L)).toDF("k", "b"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(wh, "_lease.e9.json"),
+      """{"proc":"dead-nonce","pid":999999999,"host":"elsewhere","ts":0}"""
+        .getBytes("UTF-8"))
+    new java.io.File(wh, "_lease.e9.json")
+      .setLastModified(System.currentTimeMillis() - 120000L)
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    // each probe HOLDS after reporting so later arrivals race a LIVE
+    // holder (an exited winner would be a legitimate dead-pid steal)
+    val procs = (1 to 3).map { _ =>
+      val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+        "-Xmx2g", "-Dspark.ui.enabled=false",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.LeaseProbe", wh, "600000")
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(true)
+      pb.start()
+    }
+    val outs = try {
+      procs.map { p =>
+        val r = new java.io.BufferedReader(
+          new java.io.InputStreamReader(p.getInputStream))
+        val deadline = System.nanoTime() + 300L * 1000000000L
+        var line = r.readLine()
+        while (line != null && !line.startsWith("PROBE_") &&
+            System.nanoTime() < deadline)
+          line = r.readLine()
+        Option(line).getOrElse("NO_OUTPUT")
+      }
+    } finally procs.foreach(_.destroyForcibly())
+    val committed = outs.count(_.contains("PROBE_COMMITTED"))
+    val refused = outs.count(_.contains("PROBE_REFUSED"))
+    assert(committed == 1,
+      s"exactly one steal may win, got $committed:\n${outs.mkString("---\n")}")
+    assert(refused == 2, s"losers must refuse cleanly:\n${outs.mkString("---\n")}")
+    assert(outs.filter(_.contains("PROBE_REFUSED"))
+      .forall(o => o.contains("lease") || o.contains("lock timeout")),
+      s"refusals must be lease-shaped:\n${outs.mkString("---\n")}")
+    // the winner's commit is whole: seed row + exactly one probe row
+    assert(new Store(spark, wh).read("probe_t").count() == 2)
+  }
+
+  test("catalog sequence claims are exclusive: orphaned claim locks are skipped, never spun on") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-leaselock").toString
+    val st = new Store(spark, wh)
+    st.replace("t", Seq((1L, "a")).toDF("k", "v"))
+    // orphan a claim at the NEXT sequence (a writer that died between
+    // claim and publish)
+    val seqs = new java.io.File(wh).listFiles.map(_.getName)
+      .filter(n => n.startsWith("_catalog.v") && n.endsWith(".json"))
+      .map(_.stripPrefix("_catalog.v").stripSuffix(".json").toLong)
+    val next = seqs.max + 1
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(wh, s"_catalog.v$next.lock"), Array.empty[Byte])
+    st.appendCompacting("t", Seq((2L, "b")).toDF("k", "v"))
+    assert(st.read("t").count() == 2)
+    // the commit landed ABOVE the orphaned claim
+    val after = new java.io.File(wh).listFiles.map(_.getName)
+      .filter(n => n.startsWith("_catalog.v") && n.endsWith(".json"))
+      .map(_.stripPrefix("_catalog.v").stripSuffix(".json").toLong)
+    assert(after.max > next, s"latest ${after.max} must skip orphaned claim $next")
+  }
+}

@@ -468,6 +468,56 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("index staleness is visible, probes can refuse (opt-in), and the next commit heals") {
+    import spark.implicits._
+    val store = new Store(spark,
+      java.nio.file.Files.createTempDirectory("graft-stale").toString)
+    def vec(id: Long, x: Double, y: Double) = (id, Seq(x, y))
+    store.replace("sv_vecs",
+      Seq(vec(1, 1.0, 0.0), vec(2, 0.0, 1.0)).toDF("vec_id", "embedding"))
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("cid", "cv")
+    store.enableAnnIndex("sv_vecs", cents)
+    def staleRow() = store.indexStaleness.find(_._2 == "ann").get
+    assert(!staleRow()._5, "fresh index must not read stale")
+    // force a refresh failure: kill the centroids table the incremental
+    // assign reads, then commit a batch — the hook fails, only warns
+    store.drop(store.annCentsTable("sv_vecs"))
+    store.appendCompacting("sv_vecs",
+      Seq(vec(3, 0.9, 0.1)).toDF("vec_id", "embedding"))
+    val r = staleRow()
+    assert(r._5, s"failed refresh must surface as stale: $r")
+    assert(r._3 < r._4, s"watermark must trail the table: $r")
+    assert(r._6.nonEmpty, s"the failure reason must be recorded: $r")
+    val q = Seq(vec(100, 1.0, 0.0)).toDF("vec_id", "embedding")
+    // strict mode: the stale probe refuses, naming the recorded failure
+    spark.conf.set("spark.graft.strictIndexProbes", "true")
+    try {
+      val e = intercept[IllegalStateException] {
+        store.annQuery("sv_vecs", q, probes = 2, k = 2)
+      }
+      assert(e.getMessage.contains("stale"), e.getMessage)
+      assert(e.getMessage.contains("last refresh error"), e.getMessage)
+      // restore the centroids: the index is SERVABLE again but still
+      // stale (the watermark trails until the next commit's hook runs)
+      store.replace(store.annCentsTable("sv_vecs"), cents)
+      assert(staleRow()._5, "restoring centroids alone must not clear staleness")
+      spark.conf.set("spark.graft.strictIndexProbes", "false")
+      // default mode: a stale probe serves (with a warning)
+      assert(store.annQuery("sv_vecs", q, probes = 2, k = 2).count() > 0)
+      spark.conf.set("spark.graft.strictIndexProbes", "true")
+      // heal: the NEXT commit's hook repairs (the cumulative change feed
+      // covers the missed batch too)
+      store.appendCompacting("sv_vecs",
+        Seq(vec(4, 0.1, 0.9)).toDF("vec_id", "embedding"))
+      val healed = staleRow()
+      assert(!healed._5 && healed._6.isEmpty, s"next commit must heal: $healed")
+      // the repaired index covers BOTH batches (3 and 4), and strict
+      // probes serve again
+      assert(store.read(store.annIdxTable("sv_vecs")).count() == 4)
+      assert(store.annQuery("sv_vecs", q, probes = 2, k = 2).count() > 0)
+    } finally spark.conf.unset("spark.graft.strictIndexProbes")
+  }
+
   test("dedup index stays current through append, upsert and delete") {
     import spark.implicits._
     val store = new Store(spark,
