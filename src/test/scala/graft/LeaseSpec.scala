@@ -212,6 +212,60 @@ class LeaseSpec extends SparkSpecBase {
     assert(new Store(spark, wh).read("probe_t").count() == 2)
   }
 
+  test("fencing mid-write-storm: every acked commit survives, later commits refuse, nothing partial") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-leasestorm").toString
+    val store = new Store(spark, wh)
+    store.replace("storm_t", Seq((0L, -1L)).toDF("k", "b"))
+    val acked = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val writers = (1 to 4).map { w =>
+      new Thread(() => {
+        var i = 0
+        var live = true
+        while (live && i < 200) {
+          val tag = w * 1000L + i
+          try {
+            store.appendCompacting("storm_t",
+              (0 until 50).map(j => (tag * 100 + j, tag)).toDF("k", "b"))
+            acked.add(tag)
+          } catch { case e: Exception =>
+            errors.add(Option(e.getMessage).getOrElse("?")); live = false
+          }
+          i += 1
+        }
+      })
+    }
+    writers.foreach(_.start())
+    // let commits land, then fence from a simulated foreign process
+    val deadline = System.nanoTime() + 60L * 1000000000L
+    while (acked.size < 6 && System.nanoTime() < deadline) Thread.sleep(10)
+    assert(acked.size >= 6, "storm never committed")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(wh, "_lease.e99.json"),
+      s"""{"proc":"foreign","pid":${ProcessHandle.current.pid},"host":"${Store.hostName}","ts":${System.currentTimeMillis()}}"""
+        .getBytes("UTF-8"))
+    writers.foreach(_.join(120000))
+    assert(writers.forall(!_.isAlive), "a writer hung after fencing")
+    assert(!errors.isEmpty, "fencing must stop the storm")
+    import scala.jdk.CollectionConverters._
+    assert(errors.asScala.forall(m => m.contains("lease") || m.contains("lock timeout")),
+      s"non-lease failure in the storm: ${errors.asScala.toSeq.distinct}")
+    // a FRESH mount sees exactly the acked ledger: every acked batch whole,
+    // and nothing beyond one unacked-but-published straggler per writer
+    // (an ack can be preempted after its publish won; retracted commits
+    // were never acked)
+    val df = new Store(spark, wh).read("storm_t").filter(col("b") >= 0)
+    val byTag = df.groupBy("b").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byTag.values.forall(_ == 50), "a surviving batch is partial")
+    val ackedSet = acked.asScala.toSet
+    assert(ackedSet.subsetOf(byTag.keySet),
+      s"acked commits lost: ${ackedSet -- byTag.keySet}")
+    val extras = byTag.keySet -- ackedSet
+    assert(extras.size <= 4, s"too many unacked batches survive: $extras")
+  }
+
   test("catalog sequence claims are exclusive: orphaned claim locks are skipped, never spun on") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft-leaselock").toString
