@@ -59,6 +59,13 @@ object LocalClusterSmoke {
       require(rows.length >= 4, s"q01 groups: ${rows.length}")
       println("SMOKE tpch-q01 OK")
 
+      // 1b. TPC-H q05: multi-join with size-gated BROADCAST hints —
+      // broadcast variables actually ship over the wire to executor JVMs
+      // here, which local[n] never exercises
+      val q05 = TpchQueries.defs.find(_.name == "q05_local_supplier_volume").get
+      require(q05.run(spark, sfDir).collect().nonEmpty, "q05 empty")
+      println("SMOKE tpch-q05-broadcast OK")
+
       // 2. staged txn commit + concurrent insert merge through the store
       val wh = java.nio.file.Files.createTempDirectory("graft-lc").toString
       val store = new Store(spark, wh)

@@ -57,8 +57,8 @@ class LocalClusterSpec extends SparkSpecBase {
     val tail = out.linesIterator.toSeq.takeRight(60).mkString("\n")
     assert(finished, s"local-cluster smoke timed out; tail:\n$tail")
     assert(proc.exitValue() == 0, s"smoke exit ${proc.exitValue()}; tail:\n$tail")
-    Seq("fork-isolation", "tpch-q01", "staged-txn", "dedup-probe",
-      "copy-out", "copy-in", "ALL").foreach { stage =>
+    Seq("fork-isolation", "tpch-q01", "tpch-q05-broadcast", "staged-txn",
+      "dedup-probe", "copy-out", "copy-in", "ALL").foreach { stage =>
       assert(out.contains(s"SMOKE $stage OK"), s"missing stage $stage; tail:\n$tail")
     }
   }

@@ -33,6 +33,26 @@ class ObjectStoreFsSpec extends SparkSpecBase {
     assert(!fs.exists(f))
   }
 
+  test("writer lease lifecycle works on the object-store scheme: claim, refuse, fence") {
+    import spark.implicits._
+    val st = new Store(spark, objPath("leasewh"))
+    st.replace("os_lease_t", Seq((1L, "a")).toDF("k", "v"))
+    // the claim landed as a lease object on the scheme
+    val fs = new HadoopPath(objPath("leasewh")).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    assert(fs.exists(new HadoopPath(objPath("leasewh/_lease.e1.json"))))
+    // a live foreign holder at a higher epoch fences this writer
+    val o = fs.create(new HadoopPath(objPath("leasewh/_lease.e2.json")))
+    o.writeBytes(s"""{"proc":"foreign","pid":${ProcessHandle.current.pid},"host":"${Store.hostName}","ts":0}""")
+    o.close()
+    val e = intercept[IllegalStateException] {
+      st.appendCompacting("os_lease_t", Seq((2L, "b")).toDF("k", "v"))
+    }
+    assert(e.getMessage.contains("lease lost"), e.getMessage)
+    // retraction held on the scheme too: a fresh mount sees only the seed
+    assert(new Store(spark, objPath("leasewh")).read("os_lease_t").count() == 1)
+  }
+
   test("replace + read round-trips through the object-store scheme") {
     import spark.implicits._
     ObjectStoreFs.renames.set(0L)
