@@ -1042,6 +1042,37 @@ class WireSpec extends SparkSpecBase {
     }
   }
 
+  test("COPY of a many-to-many expansion (output >> leaf bytes) delivers every row") {
+    val c = new Client(server._2); c.startup()
+    val srv = server._1
+    val (m0, t0, j0) =
+      (srv.copyParallelMinBytes, srv.copyTaskBytes, srv.copyJobBytes)
+    try {
+      // tiny leaves, huge output: a 200x200 cross join expands far past the
+      // 8x leaf cap that partition sizing uses for fat/small classification
+      // — the sizing floor (raw plan estimate, 64x-capped) must keep each
+      // task's framed text bounded so no job result crosses the driver
+      // ceiling (the advice-flagged explode/many-to-many cliff)
+      c.query("CREATE TABLE xa_t AS SELECT g AS k, repeat('x', 100) AS pad " +
+        "FROM generate_series(1, 200) g")
+      srv.copyParallelMinBytes = 1L
+      srv.copyTaskBytes = 4096L
+      srv.copyJobBytes = 8192L
+      val msgs = c.query(
+        "COPY (SELECT a.k AS ka, b.k AS kb, a.pad FROM xa_t a, xa_t b) TO STDOUT")
+      val rows = msgs.count(_._1 == 'd')
+      assert(rows == 40000, s"expansion COPY must deliver every row: $rows")
+      // every (ka, kb) pair exactly once
+      val pairs = msgs.filter(_._1 == 'd').map { m =>
+        val f = new String(m._2, UTF_8).split("\t"); (f(0).toInt, f(1).toInt) }
+      assert(pairs.distinct.length == 40000, "pairs must not duplicate")
+      c.query("DROP TABLE xa_t")
+    } finally {
+      srv.copyParallelMinBytes = m0; srv.copyTaskBytes = t0; srv.copyJobBytes = j0
+      c.close()
+    }
+  }
+
   test("fat plain SELECT drains executor-parallel; ORDER BY (even under FETCH) stays ordered") {
     val c = new Client(server._2); c.startup()
     val srv = server._1
