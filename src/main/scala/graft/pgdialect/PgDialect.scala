@@ -754,6 +754,10 @@ object PgDialect {
     val perms = parsePermissions(statement)
     val stmt = stripComments(statement).trim
     if (stmt.isEmpty) return Empty
+    // multi-process deployments: a pure READER process follows the commit
+    // chain (rate-limited catalog re-sync). Writer processes are always
+    // current, and statements inside a transaction keep their pins.
+    if (txn == null || !txn.inTxn) store.syncReadOnly()
     val upper = stmt.toUpperCase
     // PG 25P02: an aborted transaction block refuses everything except
     // ROLLBACK [TO] / COMMIT (which then rolls back)

@@ -702,6 +702,35 @@ class Store(spark: SparkSession, val warehouse: String) {
     }
   }
 
+  // ---- multi-process reader freshness ---------------------------------
+  // The realistic multi-node serving shape is ONE writer process (lease
+  // holder) + N read-only server processes. A reader mounts a snapshot;
+  // without this it would never see commits published after its mount.
+  @volatile private var lastReaderSync = 0L
+  /** Make a READ-ONLY mount follow the warehouse's commit chain: when this
+    * process holds no writer lease, reload the catalog if a newer snapshot
+    * was published — PG visibility, other sessions' commits appear once
+    * committed. Rate-limited (spark.graft.readerSyncMs, default 1000 ms)
+    * so hot statement streams don't pay a LIST per statement; in-txn
+    * statements never reach here (their version pins must hold). Writer
+    * processes skip entirely — the lease holder IS the chain's author.
+    * The in-place reload is briefly non-atomic for concurrent readers
+    * (TrieMap clear + repopulate); it only runs when the chain actually
+    * moved, and every map read below it is individually consistent. */
+  def syncReadOnly(): Unit = {
+    if (leaseEpoch > 0L || leaseLostReason != null) return
+    val interval = spark.conf.getOption("spark.graft.readerSyncMs")
+      .flatMap(_.toLongOption).getOrElse(1000L)
+    val now = System.currentTimeMillis()
+    if (now - lastReaderSync < interval) return
+    lastReaderSync = now
+    synchronized {
+      if (leaseEpoch > 0L) return
+      val disk = catalogSnapshots().lastOption.map(_._1).getOrElse(0L)
+      if (disk > catalogSeq) loadCatalogSnapshot(clear = true)
+    }
+  }
+
   /** Fence check: a foreign lease at a higher epoch means another process
     * took over (this writer looked dead to it). Returns the reason. */
   private def leaseFenced(): Option[String] =

@@ -100,6 +100,43 @@ class LeaseSpec extends SparkSpecBase {
     } finally { proc.destroyForcibly(); () }
   }
 
+  test("a read-only process follows a foreign writer's commit chain (reader freshness)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-leasereader").toString
+    val batch = 2000
+    val (proc, lastAcked) = forkWriter(wh, batch)
+    try {
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (lastAcked.get < 1 && System.nanoTime() < deadline) Thread.sleep(10)
+      assert(lastAcked.get >= 1, "forked writer never committed")
+      spark.conf.set("spark.graft.readerSyncMs", "0")
+      // this process never writes this warehouse: a pure reader mount
+      val reader = new Store(spark, wh)
+      def count(): Long = PgDialect.execute(spark, reader,
+        "SELECT count(*) AS n FROM crash_t") match {
+        case PgDialect.Rows(df, _) => df.head.getLong(0)
+        case other => sys.error(s"expected rows: $other")
+      }
+      val n1 = count()
+      assert(n1 > 0 && n1 % batch == 0, s"reader sees whole batches: $n1")
+      // wait for the writer to commit PAST what the reader mounted
+      val target = lastAcked.get + 2
+      while (lastAcked.get < target && System.nanoTime() < deadline)
+        Thread.sleep(10)
+      assert(lastAcked.get >= target, "writer stalled")
+      val n2 = count()
+      assert(n2 > n1,
+        s"reader must follow the commit chain without remounting: $n1 -> $n2")
+      assert(n2 % batch == 0, s"chain-follow sees whole batches only: $n2")
+      // and the reader never claimed the lease (it is not a writer)
+      val leases = new java.io.File(wh).listFiles.map(_.getName)
+        .filter(_.startsWith("_lease."))
+      assert(leases.length == 1, s"reader must not claim: ${leases.toSeq}")
+    } finally {
+      spark.conf.unset("spark.graft.readerSyncMs")
+      proc.destroyForcibly(); ()
+    }
+  }
+
   test("lease ownership is process-scoped: a remount in the same JVM shares it") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft-leaseproc").toString
