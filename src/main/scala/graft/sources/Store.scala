@@ -3393,26 +3393,36 @@ class Store(spark: SparkSession, val warehouse: String) {
   }
 
   /** Throw (strict mode) or warn when a probe is about to serve `kind` on
-    * `name` while its watermark is behind the table. */
-  private def guardStaleProbe(name: String, kind: String, iv: Int): Unit = {
-    val cv = versions.getOrElse(name, 0)
-    if (iv != cv) {
-      val msg = s"$kind index on $name is stale (indexed v$iv, table v$cv)" +
-        indexRefreshErrors.get((name, kind)).fold("")(e => s"; last refresh error: $e") +
-        " — the next commit (or an explicit refresh) repairs it"
-      if (spark.conf.getOption("spark.graft.strictIndexProbes")
-          .exists(_.toBoolean))
-        throw new IllegalStateException(msg)
-      System.err.println(s"[store] $msg")
+    * `name` while its watermark is behind the table; with
+    * spark.graft.repairIndexOnProbe=true, first attempt a READ-REPAIR
+    * (re-run the refresh — the cumulative change feed makes it cover
+    * every missed batch) and only complain if it still trails. */
+  private def guardStaleProbe(name: String, kind: String,
+      curWatermark: () => Int, repair: () => Unit): Unit = {
+    def stale = curWatermark() != versions.getOrElse(name, 0)
+    if (!stale) return
+    if (spark.conf.getOption("spark.graft.repairIndexOnProbe")
+        .exists(_.toBoolean)) {
+      repair() // the maybe* hooks swallow and RECORD failures
+      if (!stale) return
     }
+    val iv = curWatermark(); val cv = versions.getOrElse(name, 0)
+    val msg = s"$kind index on $name is stale (indexed v$iv, table v$cv)" +
+      indexRefreshErrors.get((name, kind)).fold("")(e => s"; last refresh error: $e") +
+      " — the next commit (or an explicit refresh) repairs it"
+    if (spark.conf.getOption("spark.graft.strictIndexProbes")
+        .exists(_.toBoolean))
+      throw new IllegalStateException(msg)
+    System.err.println(s"[store] $msg")
   }
 
   /** Guarded accessor for a near-dup index's pair table: surfaces (and in
-    * strict mode refuses) staleness that a raw read() would serve
-    * silently. */
+    * strict mode refuses, and with repairIndexOnProbe heals) staleness
+    * that a raw read() would serve silently. */
   def dedupPairs(name: String, family: String = "minhash"): DataFrame = {
     guardStaleProbe(name, s"dedup:$family",
-      dedupIndexedVersion.getOrElse((name, family), 0))
+      () => dedupIndexedVersion.getOrElse((name, family), 0),
+      () => maybeRefreshDedupIndex(name))
     read(dedupPairsTable(name, family))
   }
 
@@ -3586,7 +3596,9 @@ class Store(spark: SparkSession, val warehouse: String) {
       probes: Int = Similarity.PROBES, k: Int = 10): DataFrame = {
     val (idCol, vecCol) = annIndexes.getOrElse(name,
       throw new IllegalArgumentException(s"no ANN index registered on $name"))
-    guardStaleProbe(name, "ann", annIndexedVersion.getOrElse(name, 0))
+    guardStaleProbe(name, "ann",
+      () => annIndexedVersion.getOrElse(name, 0),
+      () => maybeRefreshAnnIndex(name))
     Similarity.ivfProbeQuery(read(annIdxTable(name)),
       read(annCentsTable(name)), queries, idCol, vecCol, probes, k)
   }

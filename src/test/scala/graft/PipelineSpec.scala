@@ -518,6 +518,37 @@ class PipelineSpec extends SparkSpecBase {
     } finally spark.conf.unset("spark.graft.strictIndexProbes")
   }
 
+  test("repairIndexOnProbe: a stale probe read-repairs before serving") {
+    import spark.implicits._
+    val store = new Store(spark,
+      java.nio.file.Files.createTempDirectory("graft-repair").toString)
+    def vec(id: Long, x: Double, y: Double) = (id, Seq(x, y))
+    store.replace("rp_vecs",
+      Seq(vec(1, 1.0, 0.0), vec(2, 0.0, 1.0)).toDF("vec_id", "embedding"))
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("cid", "cv")
+    store.enableAnnIndex("rp_vecs", cents)
+    // go stale: break the refresh, commit, restore the centroids — the
+    // watermark still trails (the hook only runs on rp_vecs commits)
+    store.drop(store.annCentsTable("rp_vecs"))
+    store.appendCompacting("rp_vecs",
+      Seq(vec(3, 0.9, 0.1)).toDF("vec_id", "embedding"))
+    store.replace(store.annCentsTable("rp_vecs"), cents)
+    assert(store.indexStaleness.find(_._2 == "ann").get._5, "precondition: stale")
+    // strict mode would refuse — but read-repair heals first and serves
+    spark.conf.set("spark.graft.strictIndexProbes", "true")
+    spark.conf.set("spark.graft.repairIndexOnProbe", "true")
+    try {
+      val q = Seq(vec(100, 1.0, 0.0)).toDF("vec_id", "embedding")
+      assert(store.annQuery("rp_vecs", q, probes = 2, k = 3).count() > 0)
+      val r = store.indexStaleness.find(_._2 == "ann").get
+      assert(!r._5 && r._6.isEmpty, s"probe must have healed the index: $r")
+      assert(store.read(store.annIdxTable("rp_vecs")).count() == 3)
+    } finally {
+      spark.conf.unset("spark.graft.strictIndexProbes")
+      spark.conf.unset("spark.graft.repairIndexOnProbe")
+    }
+  }
+
   test("dedup index stays current through append, upsert and delete") {
     import spark.implicits._
     val store = new Store(spark,
