@@ -702,6 +702,22 @@ class Store(spark: SparkSession, val warehouse: String) {
     }
   }
 
+  /** Graceful writer handoff (rolling deploys): stop heartbeating, delete
+    * this process's lease epoch and forget ownership — the next claimant
+    * (another process, or this one's next write) takes over immediately,
+    * no SIGKILL, no TTL wait. Safe at any point between statements: every
+    * later write here simply re-claims (and may now lose to the new
+    * holder, which is the point). No-op when this Store never claimed. */
+  def releaseLease(): Unit = synchronized {
+    if (leaseEpoch > 0L) {
+      Option(leaseTask).foreach(_.cancel(false))
+      leaseTask = null
+      try fs.delete(leasePath(leaseEpoch), false)
+      catch { case _: Exception => () } // worst case: TTL expiry takes over
+      leaseEpoch = 0L
+    }
+  }
+
   // ---- multi-process reader freshness ---------------------------------
   // The realistic multi-node serving shape is ONE writer process (lease
   // holder) + N read-only server processes. A reader mounts a snapshot;
@@ -731,18 +747,35 @@ class Store(spark: SparkSession, val warehouse: String) {
     }
   }
 
-  /** Fence check: a foreign lease at a higher epoch means another process
-    * took over (this writer looked dead to it). Returns the reason. */
+  /** Fence check around every catalog commit. Identity, not just epoch:
+    * after a graceful [[releaseLease]] a new claimant can legitimately
+    * re-use the SAME epoch number (the file was deleted), so a sibling
+    * Store that still remembers the old epoch must detect the foreign
+    * nonce, and a missing head while we think we own means our lease was
+    * released/removed out from under us. An unreadable head AT our epoch
+    * is treated as ours (an object-store heartbeat rewrite can be caught
+    * mid-flight; a genuine re-claim at our epoch only follows an explicit
+    * release). Returns the fencing reason. */
   private def leaseFenced(): Option[String] =
-    leaseHead().flatMap { case (e, st) =>
-      if (e <= leaseEpoch) None
-      else leaseInfo(st.getPath) match {
-        case Some((proc, _, _)) if proc == Store.procNonce =>
-          leaseEpoch = e; None // a sibling Store in this process re-claimed
-        case info => Some(s"fenced at epoch $e by " +
-          info.map { case (_, pid, host) => s"pid $pid on $host" }
-            .getOrElse("an unknown process"))
-      }
+    leaseHead() match {
+      case None =>
+        if (leaseEpoch > 0L)
+          Some("lease file missing (released or removed out of band)")
+        else None
+      case Some((e, st)) =>
+        if (e < leaseEpoch)
+          Some(s"lease epoch regressed to $e (ours was released or removed)")
+        else leaseInfo(st.getPath) match {
+          case Some((proc, pid, host)) if proc != Store.procNonce =>
+            if (e == leaseEpoch)
+              Some(s"lease epoch $e re-claimed by pid $pid on $host")
+            else Some(s"fenced at epoch $e by pid $pid on $host")
+          case None if e > leaseEpoch =>
+            Some(s"fenced at epoch $e by an unknown process")
+          case _ =>
+            if (e > leaseEpoch) leaseEpoch = e // sibling Store re-claimed
+            None
+        }
     }
 
   private def leaseLost(reason: String): Nothing = {

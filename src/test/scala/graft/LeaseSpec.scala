@@ -249,6 +249,37 @@ class LeaseSpec extends SparkSpecBase {
     assert(new Store(spark, wh).read("probe_t").count() == 2)
   }
 
+  test("graceful handoff: releaseLease lets a live second process claim immediately") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-leasehand").toString
+    val st = new Store(spark, wh)
+    st.replace("probe_t", Seq((0L, 0L)).toDF("k", "b")) // claims the lease
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    def probe(): String = {
+      val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+        "-Xmx2g", "-Dspark.ui.enabled=false",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.LeaseProbe", wh)
+      val pb = new ProcessBuilder(cmd: _*); pb.redirectErrorStream(true)
+      val p = pb.start()
+      assert(p.waitFor(5, java.util.concurrent.TimeUnit.MINUTES))
+      new String(p.getInputStream.readAllBytes(), "UTF-8")
+        .linesIterator.find(_.startsWith("PROBE_")).getOrElse("NO_OUTPUT")
+    }
+    // while this process holds the lease, the probe refuses
+    assert(probe().contains("PROBE_REFUSED"), "live holder must refuse")
+    // graceful handoff: release, and the next process claims with NO
+    // SIGKILL and NO TTL wait even though this process is alive
+    st.releaseLease()
+    val took = probe()
+    assert(took.contains("PROBE_COMMITTED"), s"handoff failed: $took")
+    // taking back: the probe exited (dead pid), so this process re-claims
+    // and the reload adopts the probe's commit instead of reverting it
+    st.appendCompacting("probe_t", Seq((-1L, -1L)).toDF("k", "b"))
+    assert(st.read("probe_t").count() == 3,
+      "re-claim must adopt the handed-off writer's commit")
+  }
+
   test("fencing mid-write-storm: every acked commit survives, later commits refuse, nothing partial") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft-leasestorm").toString
