@@ -533,6 +533,8 @@ object PgDialect {
     // writes — PG semantics.
     private var repeatable = false
     private var levelName = "read committed"
+    // PG READ ONLY transaction characteristic (SQLSTATE 25006 on writes)
+    private[graft] var readOnly = false
     private var pinned: Option[Map[String, Int]] = None
     private[graft] def setRepeatable(level: String = "repeatable read"): Unit =
       if (active) { repeatable = true; levelName = level }
@@ -615,7 +617,7 @@ object PgDialect {
     def inTxn: Boolean = active
     def isAborted: Boolean = active && failed
     private[graft] def markFailed(): Unit = if (active) failed = true
-    def begin(): Unit = { active = true; failed = false; staging = null; repeatable = false; levelName = "read committed"; pinned = None; localSettings.clear(); endHooks.clear(); writes.clear(); savepoints.clear(); viewOps.clear(); readVersions.clear() }
+    def begin(): Unit = { active = true; failed = false; staging = null; repeatable = false; levelName = "read committed"; readOnly = false; pinned = None; localSettings.clear(); endHooks.clear(); writes.clear(); savepoints.clear(); viewOps.clear(); readVersions.clear() }
     /** COMMIT: atomically publish the staged writes into the shared chain
       * (Store.commitStaging — one catalog commit covers every staged
       * table). A publish failure rolls the whole txn back and re-raises,
@@ -765,6 +767,33 @@ object PgDialect {
         !upper.matches("(?s)(ROLLBACK|COMMIT|END|ABORT)\\b.*"))
       throw UnsupportedQuery(
         "current transaction is aborted, commands ignored until end of transaction block")
+    // PG 25006: a read-only transaction (BEGIN ... READ ONLY / SET
+    // TRANSACTION READ ONLY) — or, outside a block, a session with
+    // default_transaction_read_only=on — refuses writes. PG's temp-table
+    // carve-out is honored (CREATE TEMP ... stays allowed).
+    locally {
+      val isWrite = (upper.matches(
+        "(?s)(INSERT|UPDATE|DELETE|MERGE|TRUNCATE|CREATE|DROP|ALTER|REFRESH|GRANT|REVOKE|IMPORT)\\b.*") &&
+        !upper.matches("(?s)CREATE\\s+(OR\\s+REPLACE\\s+)?TEMP(ORARY)?\\b.*")) ||
+        // COPY ... FROM STDIN only: a COPY-out's inner SELECT carries its
+        // own FROM, and reading is exactly what a read-only session is for
+        upper.matches("(?s)COPY\\b.*\\bFROM\\s+STDIN\\b.*")
+      if (isWrite) {
+        val ro =
+          if (txn != null && txn.inTxn) txn.readOnly
+          else SessionSettings.get("default_transaction_read_only")
+            .exists(v => v.equalsIgnoreCase("on") || v.equalsIgnoreCase("true") || v == "1")
+        if (ro) {
+          val words = upper.split("\\s+")
+          val verb =
+            if (Set("CREATE", "DROP", "ALTER").contains(words(0)) && words.length > 1)
+              s"${words(0)} ${words(1)}"
+            else words(0)
+          throw UnsupportedQuery(
+            s"cannot execute $verb in a read-only transaction")
+        }
+      }
+    }
     // SET CONSTRAINTS is a txn-scoped no-op, not a settings write
     if (upper.startsWith("SET CONSTRAINTS")) return Command("SET CONSTRAINTS")
     // ---- synchronized snapshots (parallel pg_dump -Fd -j) ---------------
@@ -832,14 +861,16 @@ object PgDialect {
         case _ =>
       }
       // SET TRANSACTION ISOLATION LEVEL: upgrades the open txn's reads to
-      // snapshot isolation (PG allows this before the first query); other
-      // SET TRANSACTION forms (READ ONLY/WRITE, DEFERRABLE) are no-ops
+      // snapshot isolation (PG allows this before the first query); READ
+      // ONLY/WRITE toggles the 25006 write refusal; DEFERRABLE is a no-op
       if (upper.startsWith("SET TRANSACTION")) {
         if (txn != null && txn.inTxn) {
           if ("(?s).*SERIALIZABLE.*".r.matches(upper))
             txn.setRepeatable("serializable")
           else if ("(?s).*REPEATABLE\\s+READ.*".r.matches(upper))
             txn.setRepeatable()
+          if ("(?s).*READ\\s+ONLY.*".r.matches(upper)) txn.readOnly = true
+          else if ("(?s).*READ\\s+WRITE.*".r.matches(upper)) txn.readOnly = false
         }
         return Command("SET")
       }
@@ -891,6 +922,11 @@ object PgDialect {
             txn.setRepeatable("serializable")
           else if ("(?s).*REPEATABLE\\s+READ.*".r.matches(upper))
             txn.setRepeatable()
+          txn.readOnly =
+            if ("(?s).*READ\\s+WRITE.*".r.matches(upper)) false
+            else "(?s).*READ\\s+ONLY.*".r.matches(upper) ||
+              SessionSettings.get("default_transaction_read_only")
+                .exists(v => v.equalsIgnoreCase("on") || v.equalsIgnoreCase("true") || v == "1")
         case "COMMIT" =>
           // PG: COMMIT of an aborted transaction rolls back and reports it
           if (txn.isAborted) { txn.rollback(store); return Command("ROLLBACK") }

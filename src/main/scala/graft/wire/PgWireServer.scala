@@ -913,6 +913,8 @@ class PgWireServer(spark: SparkSession, store: Store, port: Int,
       "25P02" // in_failed_sql_transaction
     case _ if Option(e.getMessage).exists(_.contains("could not serialize access")) =>
       "40001" // serialization_failure — drivers/pools retry on this code
+    case _ if Option(e.getMessage).exists(_.contains("in a read-only transaction")) =>
+      "25006" // read_only_sql_transaction
     case se: org.apache.spark.SparkThrowable if se.getCondition != null =>
       val c = se.getCondition
       if (c.startsWith("TABLE_OR_VIEW_NOT_FOUND")) "42P01"

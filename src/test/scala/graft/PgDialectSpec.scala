@@ -1639,6 +1639,67 @@ class PgDialectSpec extends SparkSpecBase {
     exec("DROP TABLE evs_t")
   }
 
+  test("READ ONLY transactions and default_transaction_read_only refuse writes (25006 shape)") {
+    import spark.implicits._
+    def execT(sql: String, t: PgDialect.PgTxn): PgResult =
+      PgDialect.execute(spark, store, sql, t)
+    store.replace("ro_t", Seq((1L, "a")).toDF("k", "v"))
+    // BEGIN READ ONLY: reads fine, writes refuse with the PG message
+    val t = new PgDialect.PgTxn
+    execT("BEGIN READ ONLY", t)
+    execT("SELECT count(*) AS n FROM ro_t", t) match {
+      case Rows(df, _) => assert(df.head.getLong(0) == 1L)
+      case other => fail(s"$other")
+    }
+    val e = intercept[Exception](execT("INSERT INTO ro_t VALUES (2, 'b')", t))
+    assert(e.getMessage.contains("cannot execute INSERT in a read-only transaction"),
+      e.getMessage)
+    execT("ROLLBACK", t)
+    // SET TRANSACTION toggles the characteristic mid-block
+    execT("BEGIN", t)
+    execT("SET TRANSACTION READ ONLY", t)
+    val e2 = intercept[Exception](execT("DELETE FROM ro_t WHERE k = 1", t))
+    assert(e2.getMessage.contains("cannot execute DELETE in a read-only transaction"),
+      e2.getMessage)
+    execT("ROLLBACK", t)
+    execT("BEGIN", t)
+    execT("SET TRANSACTION READ WRITE", t)
+    execT("INSERT INTO ro_t VALUES (2, 'b')", t)
+    execT("COMMIT", t)
+    assert(store.read("ro_t").count() == 2)
+    // session default: autocommit writes refuse; BEGIN inherits;
+    // BEGIN READ WRITE overrides; temp-view DDL keeps PG's carve-out
+    PgDialect.execute(spark, store, "SET default_transaction_read_only = on")
+    try {
+      val e3 = intercept[Exception](
+        PgDialect.execute(spark, store, "INSERT INTO ro_t VALUES (3, 'c')"))
+      assert(e3.getMessage.contains("in a read-only transaction"), e3.getMessage)
+      val e4 = intercept[Exception](
+        PgDialect.execute(spark, store, "CREATE TABLE ro_new (k BIGINT)"))
+      assert(e4.getMessage.contains("cannot execute CREATE TABLE"), e4.getMessage)
+      val t2 = new PgDialect.PgTxn
+      execT("BEGIN", t2)
+      val e5 = intercept[Exception](execT("UPDATE ro_t SET v = 'x'", t2))
+      assert(e5.getMessage.contains("in a read-only transaction"), e5.getMessage)
+      execT("ROLLBACK", t2)
+      execT("BEGIN READ WRITE", t2)
+      execT("INSERT INTO ro_t VALUES (3, 'c')", t2)
+      execT("COMMIT", t2)
+      assert(store.read("ro_t").count() == 3)
+      PgDialect.execute(spark, store,
+        "CREATE TEMP VIEW ro_tmpv AS SELECT * FROM ro_t") // PG temp carve-out
+      // COPY out (a read, even with an inner FROM) stays allowed; COPY in
+      // is the write
+      PgDialect.execute(spark, store,
+        "COPY (SELECT * FROM ro_t) TO STDOUT")
+      val e6 = intercept[Exception](
+        PgDialect.execute(spark, store, "COPY ro_t FROM STDIN"))
+      assert(e6.getMessage.contains("in a read-only transaction"), e6.getMessage)
+    } finally
+      PgDialect.execute(spark, store, "RESET default_transaction_read_only")
+    store.drop("ro_t")
+  }
+
   test("SERIALIZABLE aborts cross-table write skew with 40001; REPEATABLE READ commits it") {
     import spark.implicits._
     def execT(sql: String, t: PgDialect.PgTxn): PgResult =

@@ -1629,6 +1629,25 @@ class WireSpec extends SparkSpecBase {
     store.drop("rrw_t")
   }
 
+  test("READ ONLY transaction writes surface SQLSTATE 25006 on the wire") {
+    import spark.implicits._
+    store.replace("row_t", Seq((1L, "a")).toDF("k", "v"))
+    val c = new Client(server._2); c.startup()
+    c.query("BEGIN READ ONLY")
+    val msgs = c.query("INSERT INTO row_t VALUES (2, 'b')")
+    val err = msgs.find(_._1 == 'E').map(m => new String(m._2, UTF_8))
+    assert(err.isDefined, "read-only write must error")
+    assert(err.get.contains("25006"),
+      s"clients branch on read_only_sql_transaction, got: ${err.get}")
+    c.query("ROLLBACK")
+    // the session is writable again outside the read-only block
+    val ok = c.query("INSERT INTO row_t VALUES (2, 'b')")
+      .find(_._1 == 'C').map(m => new String(m._2, UTF_8))
+    assert(ok.exists(_.startsWith("INSERT 0 1")), s"tag: $ok")
+    c.close()
+    store.drop("row_t")
+  }
+
   test("repeatable read pins the extended protocol (JDBC's Parse/Bind path)") {
     import spark.implicits._
     store.replace("rrx_t", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
