@@ -21,7 +21,16 @@ object ServeMain {
     spark.sparkContext.setLogLevel("WARN")
     Tables.registerAll(spark, sfDir)
     val store = new Store(spark,
-      java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      sys.env.getOrElse("GRAFT_WAREHOUSE",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString))
+    // read-replica deployment: GRAFT_READ_ONLY=1 pins the SERVER scope's
+    // default_transaction_read_only, so every connection inherits the
+    // 25006 write refusal (a session may still SET it off, PG semantics);
+    // the writer lease independently protects the warehouse if a rogue
+    // write does land while another process is the writer
+    if (sys.env.get("GRAFT_READ_ONLY").exists(v => v == "1" || v == "on"))
+      SessionSettings.withSession(spark)(
+        SessionSettings.set("default_transaction_read_only", "on"))
     // credential config, like the reference's --database/--user flags:
     // database always validated, user only when configured
     val bound = new PgWireServer(spark, store, port,

@@ -249,6 +249,70 @@ class LeaseSpec extends SparkSpecBase {
     assert(new Store(spark, wh).read("probe_t").count() == 2)
   }
 
+  test("GRAFT_READ_ONLY server: every connection inherits the 25006 write refusal") {
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx3g", "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.ServeMain", "0", sfDir)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put("GRAFT_READ_ONLY", "1")
+    pb.environment().put("SPARK_GRAFT_CPUS", "2")
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    try {
+      // scrape the bound port from the ready line
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream))
+      var port = -1
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (port < 0 && System.nanoTime() < deadline) {
+        val line = r.readLine()
+        if (line == null) Thread.sleep(20)
+        else "ready on port (\\d+)".r.findFirstMatchIn(line)
+          .foreach(m => port = m.group(1).toInt)
+      }
+      assert(port > 0, "server never reported ready")
+      val sock = new java.net.Socket("127.0.0.1", port)
+      val out = new java.io.DataOutputStream(
+        new java.io.BufferedOutputStream(sock.getOutputStream))
+      val in = new java.io.DataInputStream(
+        new java.io.BufferedInputStream(sock.getInputStream))
+      val params = "user graft database graft  "
+        .getBytes("UTF-8")
+      out.writeInt(8 + params.length); out.writeInt(196608)
+      out.write(params); out.flush()
+      def drain(): Seq[(Char, Array[Byte])] = {
+        val buf = scala.collection.mutable.ArrayBuffer[(Char, Array[Byte])]()
+        var done = false
+        while (!done) {
+          val t = in.read().toChar; val n = in.readInt()
+          val b = new Array[Byte](n - 4); in.readFully(b)
+          buf += ((t, b)); if (t == 'Z') done = true
+        }
+        buf.toSeq
+      }
+      drain()
+      def query(sql: String): Seq[(Char, Array[Byte])] = {
+        val qb = (sql + " ").getBytes("UTF-8")
+        out.writeByte('Q'); out.writeInt(4 + qb.length); out.write(qb); out.flush()
+        drain()
+      }
+      // reads serve; writes refuse with 25006 on a fresh connection
+      assert(query("SELECT 1 AS one").exists(_._1 == 'D'))
+      val err = query("CREATE TABLE ro_server_t (k BIGINT)")
+        .find(_._1 == 'E').map(m => new String(m._2, "UTF-8"))
+      assert(err.exists(_.contains("25006")), s"got: $err")
+      assert(err.exists(_.contains("read-only transaction")), s"got: $err")
+      // PG semantics: a session may opt back to read-write explicitly
+      query("SET default_transaction_read_only = off")
+      val ok = query("CREATE TABLE ro_server_t (k BIGINT)")
+        .find(_._1 == 'C').map(m => new String(m._2, "UTF-8"))
+      assert(ok.exists(_.startsWith("CREATE")), s"got: $ok")
+      sock.close()
+    } finally { proc.destroyForcibly(); () }
+  }
+
   test("graceful handoff: releaseLease lets a live second process claim immediately") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft-leasehand").toString
