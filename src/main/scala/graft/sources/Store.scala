@@ -637,6 +637,26 @@ class Store(spark: SparkSession, val warehouse: String) {
       holder.set(fut)
       leaseTask = fut
     }
+    if (sweepTask == null) {
+      // follower-ingest adoption duty comes with the lease: a cheap
+      // periodic inbox listing (no-ops in microseconds when `_inbox` is
+      // absent), on its own thread so a long adoption can never starve
+      // the heartbeats. The flag gate lives in the runnable, not here, so
+      // enabling follower ingest at runtime needs no re-claim.
+      val period = math.max(confLong("spark.graft.inboxSweepMs", 250L), 20L)
+      val ref = new java.lang.ref.WeakReference(this)
+      val holder = new java.util.concurrent.atomic.AtomicReference[
+        java.util.concurrent.ScheduledFuture[_]]()
+      val fut = Store.inboxSweeper.scheduleAtFixedRate(
+        () => ref.get match {
+          case null => Option(holder.get).foreach(_.cancel(false))
+          case s => if (s.followerInsertsEnabled)
+            try s.sweepInbox() catch { case _: Exception => () }
+        },
+        period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+      holder.set(fut)
+      sweepTask = fut
+    }
   }
 
   private def leaseHeartbeat(): Unit =
@@ -712,6 +732,8 @@ class Store(spark: SparkSession, val warehouse: String) {
     if (leaseEpoch > 0L) {
       Option(leaseTask).foreach(_.cancel(false))
       leaseTask = null
+      Option(sweepTask).foreach(_.cancel(false))
+      sweepTask = null
       try fs.delete(leasePath(leaseEpoch), false)
       catch { case _: Exception => () } // worst case: TTL expiry takes over
       leaseEpoch = 0L
@@ -782,9 +804,395 @@ class Store(spark: SparkSession, val warehouse: String) {
     leaseLostReason = reason
     Option(leaseTask).foreach(_.cancel(false))
     leaseTask = null
+    Option(sweepTask).foreach(_.cancel(false))
+    sweepTask = null
     throw new IllegalStateException(
       s"writer lease lost ($reason); this process can no longer commit to " +
         s"warehouse $warehouse")
+  }
+
+  // ---- follower ingest: cross-process pure-insert commits ----------------
+  // The writer lease makes ONE process the commit-chain author; follower
+  // ingest lets every other process still commit pure inserts — the bulk-
+  // load shape a multi-node deployment actually needs to scale — without
+  // weakening that authorship. A follower spools its delta parquet files
+  // plus a manifest into `_inbox/` and waits; the lease holder's sweep
+  // ADOPTS pending deltas into the chain. All manifests of one table in a
+  // sweep cycle become ONE new version (commit batching: N followers cost
+  // one catalog commit, the map-side-combine of commit protocols), and the
+  // version registers as a pure-insert delta so in-flight staged
+  // transactions merge past it like any other insert.
+  //
+  // Exactly-once across writer crashes: adoption records every manifest id
+  // in the catalog snapshot itself (`inboxDone`), atomically with the
+  // version bump it describes — a successor holder that finds an id in the
+  // ledger only finishes the acknowledgement, never re-applies the delta.
+  // The follower's ack is a separate `<id>.done.json` file written AFTER
+  // persistCatalog returned, i.e. after the snapshot survived the
+  // post-publish fence check: a third party must never trust a snapshot
+  // its author may still retract. Claim files (`<id>.claim.json`,
+  // exclusive-create) arbitrate the one genuine race — a follower
+  // cancelling its timed-out request vs a holder starting to adopt it.
+  // If the holder dies, the waiting follower steals the lease through the
+  // existing fencing path and adopts its own manifest. Opt-in
+  // (spark.graft.followerInserts): by default a non-holder write keeps the
+  // clean lease refusal the single-writer contract pins.
+  private def inboxRoot = new HadoopPath(root, "_inbox")
+  private val inboxDone = TrieMap[String, Store.InboxDone]()
+  private val sweepBusy = new java.util.concurrent.atomic.AtomicBoolean(false)
+  @volatile private var sweepTask: java.util.concurrent.ScheduledFuture[_] = null
+
+  private def confLong(key: String, dflt: Long): Long =
+    spark.conf.getOption(key).flatMap(_.toLongOption).getOrElse(dflt)
+  private[graft] def followerInsertsEnabled: Boolean =
+    spark.conf.getOption("spark.graft.followerInserts")
+      .exists(_.equalsIgnoreCase("true"))
+
+  /** True when this process holds (or can claim) the writer lease; false
+    * exactly on the clean "another writer process holds it" refusal — the
+    * follower-ingest routing predicate. Fencing ("lease lost") still
+    * propagates: a fenced mount must remount, not spool deltas computed
+    * from a catalog it knows is stale. */
+  private def leaseObtainable(): Boolean =
+    try { ensureLease(); true }
+    catch {
+      case e: IllegalStateException
+          if Option(e.getMessage)
+            .exists(_.contains("another writer process holds the lease")) =>
+        false
+    }
+
+  private def jsonOm = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def claimBytes(cancel: Boolean): Array[Byte] = {
+    val om = jsonOm; val n = om.createObjectNode()
+    n.put("proc", Store.procNonce); n.put("pid", ProcessHandle.current.pid)
+    n.put("host", Store.hostName); n.put("cancel", cancel)
+    n.put("ts", System.currentTimeMillis())
+    om.writeValueAsBytes(n)
+  }
+  /** (proc, pid, host, cancel) of a claim; None = unreadable (a racing
+    * claimant's content write) — skip this cycle, reread next. */
+  private def claimInfo(p: HadoopPath): Option[(String, Long, String, Boolean)] =
+    try {
+      val n = jsonOm.readTree(readBytes(p))
+      Some((n.get("proc").asText, n.get("pid").asLong, n.get("host").asText,
+        Option(n.get("cancel")).exists(_.asBoolean)))
+    } catch { case _: Exception => None }
+
+  private def doneBytes(d: Store.InboxDone): Array[Byte] = {
+    val om = jsonOm; val n = om.createObjectNode()
+    n.put("table", d.table); n.put("version", d.version); n.put("rows", d.rows)
+    n.put("ok", d.ok); if (d.err.nonEmpty) n.put("err", d.err)
+    n.put("ts", d.ts)
+    om.writeValueAsBytes(n)
+  }
+  private def readDoneFile(p: HadoopPath): Option[Store.InboxDone] =
+    try {
+      if (!fs.exists(p)) None
+      else {
+        val n = jsonOm.readTree(readBytes(p))
+        Some(Store.InboxDone(n.get("table").asText, n.get("version").asInt,
+          n.get("rows").asLong, n.get("ok").asBoolean,
+          Option(n.get("err")).map(_.asText).getOrElse(""),
+          Option(n.get("ts")).map(_.asLong).getOrElse(0L)))
+      }
+    } catch { case _: Exception => None } // racing write; next poll rereads
+
+  /** Spool a pure-insert delta for `name` into the warehouse inbox and
+    * wait for the lease holder to adopt it into the commit chain. Returns
+    * the appended row count once the adoption's catalog snapshot is
+    * published and acknowledged. Routed from [[appendCompacting]] when
+    * another process holds the writer lease and follower ingest is on;
+    * callable directly (package-private) so single-JVM specs can drive the
+    * whole protocol with this process as its own adopter. */
+  private[graft] def followerAppend(name: String, df0: DataFrame,
+      maxFileBytes: Long = 100L << 20): Long = {
+    syncReadOnly()
+    if (!exists(name)) forceReaderSync() // created by the writer moments ago?
+    require(exists(name), s"no such store table: $name")
+    val df = toPhysical(name, df0)
+    val id = f"${System.currentTimeMillis()}%013d-${Store.procNonce.take(8)}" +
+      f"-${Store.inboxSeq.incrementAndGet()}%04d"
+    val dir = new HadoopPath(inboxRoot, id)
+    fs.mkdirs(dir)
+    // size the delta like the staged-insert path: leaf-capped estimate so
+    // a join-inflated plan can't shred a small insert into sliver files
+    val targetBytes = math.max(maxFileBytes, 1L << 20)
+    val incomingBytes = Tables.cappedPlanBytes(df)
+    val est =
+      if (incomingBytes > BigInt(1L << 40)) targetBytes else incomingBytes.toLong
+    val nParts = math.max(1, math.ceil(est.toDouble / targetBytes).toInt)
+    val tmp = new HadoopPath(inboxRoot, s".$id-tmp")
+    df.repartition(nParts).write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd").parquet(tmp.toString)
+    dataFiles(tmp).zipWithIndex.foreach { case (f, i) =>
+      if (!fs.rename(f.getPath, new HadoopPath(dir, s"fwd-$id-$i.parquet")))
+        throw new java.io.IOException(s"inbox spool rename failed: ${f.getPath}")
+    }
+    fs.delete(tmp, true)
+    val files = dataFiles(dir)
+    if (files.isEmpty) { fs.delete(dir, true); return 0L } // empty insert
+    val rows = footerRows(files.map(_.getPath))
+    val om = jsonOm; val n = om.createObjectNode()
+    n.put("table", name); n.put("rows", rows)
+    n.put("proc", Store.procNonce); n.put("pid", ProcessHandle.current.pid)
+    n.put("host", Store.hostName); n.put("ts", System.currentTimeMillis())
+    val fa = n.putArray("files")
+    files.foreach(f => fa.add(f.getPath.getName))
+    // the manifest goes last: a sweep that sees it sees complete data files
+    writeBytes(new HadoopPath(inboxRoot, s"$id.req.json"), om.writeValueAsBytes(n))
+    awaitAdoption(name, id, dir)
+  }
+
+  private def holderGone(): Boolean = leaseHead() match {
+    case None => true
+    case Some((_, st)) =>
+      val dead = leaseInfo(st.getPath).exists { case (_, pid, host) =>
+        host == Store.hostName && !pidAlive(pid) }
+      dead || System.currentTimeMillis() - st.getModificationTime >= leaseTtlMs
+  }
+
+  private def awaitAdoption(name: String, id: String,
+      dir: HadoopPath): Long = {
+    val req = new HadoopPath(inboxRoot, s"$id.req.json")
+    val done = new HadoopPath(inboxRoot, s"$id.done.json")
+    val waitMs = confLong("spark.graft.followerWaitMs", 60000L)
+    val deadline = System.currentTimeMillis() + waitMs
+    var outcome: Option[Store.InboxDone] = None
+    var lastLive = 0L
+    while (outcome.isEmpty && System.currentTimeMillis() < deadline) {
+      outcome = readDoneFile(done)
+      if (outcome.isEmpty) {
+        val now = System.currentTimeMillis()
+        if (now - lastLive >= 500L) {
+          lastLive = now
+          // writer death: step up through the normal fencing path and
+          // adopt our own manifest (plus anything else pending)
+          if (leaseEpoch == 0L && leaseLostReason == null && holderGone())
+            try ensureLease() catch { case _: IllegalStateException => () }
+        }
+        if (leaseEpoch > 0L && leaseLostReason == null) {
+          sweepInbox()
+          outcome = readDoneFile(done)
+        }
+        if (outcome.isEmpty) Thread.sleep(50L)
+      }
+    }
+    outcome match {
+      case Some(d) => finishAdoption(name, d, done)
+      case None =>
+        // timed out: a cancel claim wins iff no adoption claimed first
+        val claim = new HadoopPath(inboxRoot, s"$id.claim.json")
+        if (exclusiveCreate(claim, claimBytes(cancel = true))) {
+          // the adoption may have fully completed (its claim cleaned up)
+          // in the window before our cancel landed
+          readDoneFile(done) match {
+            case Some(d) =>
+              fs.delete(claim, false)
+              finishAdoption(name, d, done)
+            case None =>
+              fs.delete(req, false); fs.delete(dir, true)
+              fs.delete(claim, false)
+              throw new IllegalStateException(
+                "canceling statement due to lock timeout on relation " +
+                  s""""$name" (no writer process adopted this follower """ +
+                  s"insert within $waitMs ms)")
+          }
+        } else {
+          // an adoption claimed the manifest: bounded wait for its outcome
+          // (a crashed adopter is re-claimed by the next writer's sweep,
+          // which the loop's step-up path may make us)
+          val extra = System.currentTimeMillis() + waitMs
+          while (outcome.isEmpty && System.currentTimeMillis() < extra) {
+            outcome = readDoneFile(done)
+            if (outcome.isEmpty) {
+              if (leaseEpoch == 0L && leaseLostReason == null && holderGone())
+                try ensureLease() catch { case _: IllegalStateException => () }
+              if (leaseEpoch > 0L && leaseLostReason == null) sweepInbox()
+              if (outcome.isEmpty) Thread.sleep(50L)
+            }
+          }
+          outcome.map(finishAdoption(name, _, done)).getOrElse(
+            throw new IllegalStateException(
+              s"""follower insert on "$name" was claimed by a writer but """ +
+                "its outcome is unknown (the writer may have crashed " +
+                "mid-adoption; the next writer's sweep adopts or " +
+                "garbage-collects the delta)"))
+        }
+    }
+  }
+
+  private def finishAdoption(name: String, d: Store.InboxDone,
+      done: HadoopPath): Long = {
+    try fs.delete(done, false) catch { case _: Exception => () }
+    if (!d.ok)
+      throw new IllegalStateException(
+        s"""follower insert on "$name" refused by the writer: ${d.err}""")
+    // read-your-writes: adopt the snapshot carrying our version NOW, not at
+    // the next rate-limited reader sync
+    if (leaseEpoch == 0L) synchronized {
+      if (leaseEpoch == 0L) {
+        val disk = catalogSnapshots().lastOption.map(_._1).getOrElse(0L)
+        if (disk > catalogSeq) loadCatalogSnapshot(clear = true)
+      }
+    }
+    d.rows
+  }
+
+  private def forceReaderSync(): Unit = synchronized {
+    if (leaseEpoch > 0L) return
+    val disk = catalogSnapshots().lastOption.map(_._1).getOrElse(0L)
+    if (disk > catalogSeq) loadCatalogSnapshot(clear = true)
+  }
+
+  /** One adoption cycle: claim every pending manifest, adopt them grouped
+    * by table (one version + one catalog commit per table per cycle),
+    * acknowledge, and garbage-collect abandoned artifacts. Holder-only;
+    * non-reentrant (periodic task and a follower's direct step-up call can
+    * overlap). */
+  private[graft] def sweepInbox(): Unit = {
+    if (leaseEpoch == 0L || leaseLostReason != null) return
+    if (!sweepBusy.compareAndSet(false, true)) return
+    try {
+      val reqs = Option(fs.globStatus(new HadoopPath(inboxRoot, "*.req.json")))
+        .getOrElse(Array.empty[FileStatus]).toSeq.sortBy(_.getPath.getName)
+      val claimed = reqs.flatMap(st => claimOne(st.getPath))
+      claimed.groupBy(_.table).toSeq.sortBy(_._1).foreach { case (t, ms) =>
+        try adoptBatch(t, ms)
+        catch {
+          case e: Exception =>
+            val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+            ms.foreach(m => ackOne(m.id,
+              Store.InboxDone(t, 0, 0L, ok = false, msg,
+                System.currentTimeMillis())))
+        }
+      }
+      gcInbox()
+    } finally sweepBusy.set(false)
+  }
+
+  private def claimOne(req: HadoopPath): Option[Store.InboxReq] = {
+    val id = req.getName.stripSuffix(".req.json")
+    val claim = new HadoopPath(inboxRoot, s"$id.claim.json")
+    def parse(): Option[Store.InboxReq] =
+      try {
+        val n = jsonOm.readTree(readBytes(req))
+        Some(Store.InboxReq(id, n.get("table").asText, n.get("rows").asLong,
+          n.get("files").asScala.toSeq.map(_.asText)))
+      } catch { case _: Exception => None } // racing enqueue; next sweep
+    // a predecessor crashed between its catalog commit and the ack: the
+    // ledger remembers — finish the acknowledgement, never re-apply
+    inboxDone.get(id) match {
+      case Some(d) => ackOne(id, d); return None
+      case None =>
+    }
+    if (exclusiveCreate(claim, claimBytes(cancel = false))) return parse()
+    claimInfo(claim) match {
+      case Some((proc, pid, host, cancel)) =>
+        val dead = host == Store.hostName && !pidAlive(pid)
+        if (proc == Store.procNonce) parse() // our crashed sweep: resume
+        else if (cancel && dead) { cleanupInbox(id); None }
+        else if (cancel) None // the follower is cleaning up its timeout
+        else if (dead) {
+          // a dead previous holder's claim: take it over (the ledger check
+          // above already ruled out a completed-but-unacked adoption)
+          fs.delete(claim, false)
+          if (exclusiveCreate(claim, claimBytes(cancel = false))) parse()
+          else None
+        } else None // a live fenced holder: its publish retracts, or its
+                    // done ledger reaches us via the chain — next sweep
+      case None => None // unreadable mid-write; next sweep
+    }
+  }
+
+  /** Adopt every claimed manifest of `name` as ONE new pure-insert version:
+    * carry the current files, link each delta in, register the union as an
+    * insert delta, and write the `inboxDone` ledger entries in the same
+    * catalog snapshot as the version bump. */
+  private def adoptBatch(name: String, ms: Seq[Store.InboxReq]): Unit =
+    withWriteLock(name) {
+      def refuse(why: String): Unit = {
+        val now = System.currentTimeMillis()
+        ms.foreach(m => ackOne(m.id, Store.InboxDone(name, 0, 0L, ok = false,
+          why, now)))
+      }
+      if (!versions.contains(name)) { refuse(s"no such store table: $name"); return }
+      if (layouts.get(name).exists(l => l.kind == "partitioned" || l.kind == "bucketed")) {
+        refuse(s"""table "$name" has a clustered layout; follower ingest """ +
+          "supports unclustered tables only"); return
+      }
+      val phys = currentEvo(name).physical
+      val want = phys.fields.map(f => (f.name, f.dataType)).toSet
+      val (good, bad) = ms.partition { m =>
+        val src = new HadoopPath(inboxRoot, m.id)
+        m.files.nonEmpty && m.files.forall(nm =>
+          try fs.exists(new HadoopPath(src, nm))
+          catch { case _: Exception => false }) && {
+          try {
+            val got = spark.read.parquet(src.toString).schema
+              .fields.map(f => (f.name, f.dataType)).toSet
+            got == want
+          } catch { case _: Exception => false }
+        }
+      }
+      val now = System.currentTimeMillis()
+      bad.foreach(m => ackOne(m.id, Store.InboxDone(name, 0, 0L, ok = false,
+        s"""delta schema does not match table "$name" (or delta files """ +
+          "are missing); the follower's catalog view may be stale", now)))
+      if (good.isEmpty) return
+      val next = nextVersion(name)
+      val cur = versionPath(name, next - 1)
+      val dir = freshVersionDir(name, next)
+      dataFiles(cur).foreach(f => carryFileRel(cur, f.getPath, dir))
+      good.foreach { m =>
+        val src = new HadoopPath(inboxRoot, m.id)
+        m.files.foreach(nm => carryFile(new HadoopPath(src, nm), dir))
+      }
+      publishVersion(name, next, good.flatMap(_.files))
+      good.foreach(m => inboxDone(m.id) =
+        Store.InboxDone(name, next, m.rows, ok = true, "", now))
+      commitWrite(name) // catalog commit: version bump + ledger, atomically
+      good.foreach(m => ackOne(m.id, inboxDone(m.id)))
+    }
+
+  /** Acknowledge one manifest: done file first (the follower's signal),
+    * then remove the request, claim and delta dir. Safe to repeat. */
+  private def ackOne(id: String, d: Store.InboxDone): Unit = {
+    writeBytes(new HadoopPath(inboxRoot, s"$id.done.json"), doneBytes(d))
+    cleanupInbox(id, keepDone = true)
+  }
+  private def cleanupInbox(id: String, keepDone: Boolean = false): Unit = {
+    try {
+      fs.delete(new HadoopPath(inboxRoot, s"$id.req.json"), false)
+      fs.delete(new HadoopPath(inboxRoot, s"$id.claim.json"), false)
+      fs.delete(new HadoopPath(inboxRoot, id), true)
+      if (!keepDone)
+        fs.delete(new HadoopPath(inboxRoot, s"$id.done.json"), false)
+      ()
+    } catch { case _: Exception => () } // next sweep's gc retries
+  }
+
+  /** Bounded housekeeping for abandoned inbox artifacts: uncollected done
+    * files (their follower crashed) and manifest-less delta dirs (a
+    * follower died mid-enqueue) expire after the ledger TTL. */
+  private def gcInbox(): Unit = {
+    val ttl = confLong("spark.graft.inboxDoneTtlMs", 900000L)
+    val now = System.currentTimeMillis()
+    Option(fs.globStatus(new HadoopPath(inboxRoot, "*.done.json")))
+      .getOrElse(Array.empty[FileStatus])
+      .filter(st => now - st.getModificationTime > ttl)
+      .foreach(st => try fs.delete(st.getPath, false)
+        catch { case _: Exception => () })
+    // manifest-less delta dirs and abandoned spool tmp dirs (a follower
+    // died mid-enqueue); the TTL keeps an in-flight slow spool safe
+    Option(fs.globStatus(new HadoopPath(inboxRoot, "*")))
+      .getOrElse(Array.empty[FileStatus])
+      .filter(st => st.isDirectory &&
+        now - st.getModificationTime > ttl &&
+        !fs.exists(new HadoopPath(inboxRoot, s"${st.getPath.getName}.req.json")))
+      .foreach(st => try fs.delete(st.getPath, true)
+        catch { case _: Exception => () })
   }
 
   // ---- catalog durability ------------------------------------------------
@@ -887,6 +1295,23 @@ class Store(spark: SparkSession, val warehouse: String) {
       e.logical.foreach { case (p, l) =>
         val x = la.addArray(); x.add(p); x.add(l); () }
     }
+    // follower-ingest exactly-once ledger: adopted manifest ids ride in the
+    // same snapshot as the version bumps they describe. TTL-pruned — an
+    // entry only matters until its follower collects the ack or a
+    // successor holder finishes a crashed acknowledgement.
+    locally {
+      val ttl = confLong("spark.graft.inboxDoneTtlMs", 900000L)
+      val nowMs = System.currentTimeMillis()
+      inboxDone.filterInPlace((_, d) => nowMs - d.ts <= ttl)
+      val ib = rootNode.putObject("inboxDone")
+      inboxDone.toSeq.sortBy(_._1).foreach { case (id, d) =>
+        val o = ib.putObject(id)
+        o.put("table", d.table); o.put("version", d.version)
+        o.put("rows", d.rows); o.put("ok", d.ok)
+        if (d.err.nonEmpty) o.put("err", d.err)
+        o.put("ts", d.ts)
+      }
+    }
     val bytes = om.writerWithDefaultPrettyPrinter.writeValueAsBytes(rootNode)
     // Two-step publish per sequence: (1) CLAIM the sequence number with an
     // exclusive-create `.lock` — the cross-process CAS (posix rename
@@ -974,6 +1399,7 @@ class Store(spark: SparkSession, val warehouse: String) {
       layouts.clear(); evolution.clear(); comments.clear()
       viewDefs.filterInPlace { case (_, d) => !d.durable }
       committedInsertDeltas.clear()
+      inboxDone.clear()
     }
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val legacy = new HadoopPath(root, "_catalog.json")
@@ -1012,6 +1438,13 @@ class Store(spark: SparkSession, val warehouse: String) {
       Option(rootNode.get("dirAliases")).foreach(_.fields.asScala.foreach { e =>
         val Array(t, v) = e.getKey.split("/", 2)
         dirAliases((t, v.toInt)) = e.getValue.asText
+      })
+      Option(rootNode.get("inboxDone")).foreach(_.fields.asScala.foreach { e =>
+        val o = e.getValue
+        inboxDone(e.getKey) = Store.InboxDone(o.get("table").asText,
+          o.get("version").asInt, o.get("rows").asLong, o.get("ok").asBoolean,
+          Option(o.get("err")).map(_.asText).getOrElse(""),
+          o.get("ts").asLong)
       })
       Option(rootNode.get("dedupIdx")).foreach(_.fields.asScala.foreach { e =>
         val Array(t, fam) = e.getKey.split("/", 2)
@@ -1396,6 +1829,10 @@ class Store(spark: SparkSession, val warehouse: String) {
   /** Atomic replace: write v(n+1), then flip the pointer. */
   def replace(name: String, df: DataFrame,
       maxFileBytes: Long = 100L << 20): Unit = withWriteLock(name) {
+    // `_inbox` is the follower-ingest protocol directory at the warehouse
+    // root; every table-creation path funnels through replace, so this is
+    // the one choke point that keeps a table dir from shadowing it
+    require(name != "_inbox", "\"_inbox\" is reserved for follower ingest")
     // version allocation FIRST: its lease claim may reload the catalog on
     // a takeover, which must precede this statement's metadata mutations
     // (evoClear / layout drop) or the reload would silently undo them
@@ -1597,6 +2034,14 @@ class Store(spark: SparkSession, val warehouse: String) {
       .exists(l => l.kind == "partitioned" || l.kind == "bucketed")
     val insertPath = staging() != null && txnConcurrent && !clustered
     if (insertPath) appendStagedInsert(name, df0, maxFileBytes)
+    // follower ingest (opt-in): an autocommit pure insert from a process
+    // that is NOT the warehouse's writer spools its delta to the inbox and
+    // waits for the lease holder's adoption instead of refusing — the
+    // multi-node bulk-load shape. Everything else (DDL, updates, txn
+    // writes, clustered layouts, table creation) keeps the clean refusal.
+    else if (staging() == null && txnConcurrent && !clustered &&
+        followerInsertsEnabled && exists(name) && !leaseObtainable())
+      followerAppend(name, df0, maxFileBytes)
     else withWriteLock(name)(appendBody(name, df0, maxFileBytes, insertPath = false))
   }
 
@@ -4051,6 +4496,25 @@ object Store {
     java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
       val t = new Thread(r, "graft-lease-heartbeat"); t.setDaemon(true); t
     })
+
+  /** Follower-ingest adoption sweeps run off the heartbeat thread: an
+    * adoption takes table gates and publishes a catalog commit, either of
+    * which can block long enough to starve heartbeats into a TTL expiry. */
+  private[graft] val inboxSweeper =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-inbox-sweep"); t.setDaemon(true); t
+    })
+  private[graft] val inboxSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Outcome of one adopted (or refused) follower delta; `ok = true`
+    * entries also live in the catalog snapshot's `inboxDone` ledger —
+    * written atomically with the version bump they describe, which is
+    * what makes adoption exactly-once across writer crashes. */
+  private[graft] final case class InboxDone(table: String, version: Int,
+      rows: Long, ok: Boolean, err: String, ts: Long)
+  /** Parsed follower manifest: the delta files of `_inbox/<id>/`. */
+  private[graft] final case class InboxReq(id: String, table: String,
+      rows: Long, files: Seq[String])
 
   /** Transaction-private write staging (PG MVCC visibility over the store's
     * version chain — reference contract: an open transaction's writes are

@@ -31,6 +31,13 @@ object ServeMain {
     if (sys.env.get("GRAFT_READ_ONLY").exists(v => v == "1" || v == "on"))
       SessionSettings.withSession(spark)(
         SessionSettings.set("default_transaction_read_only", "on"))
+    // multi-node ingest: GRAFT_FOLLOWER_INSERTS=1 lets this process commit
+    // autocommit pure inserts through the lease holder's commit chain
+    // (inbox adoption) when another process is the warehouse writer — and,
+    // when this process IS the writer, makes it adopt followers' deltas.
+    // Set it on every participating server process.
+    if (sys.env.get("GRAFT_FOLLOWER_INSERTS").exists(v => v == "1" || v == "on"))
+      spark.conf.set("spark.graft.followerInserts", "true")
     // credential config, like the reference's --database/--user flags:
     // database always validated, user only when configured
     val bound = new PgWireServer(spark, store, port,

@@ -1,0 +1,316 @@
+package graft
+
+import org.apache.hadoop.fs.{Path => HadoopPath}
+import org.apache.spark.sql.functions._
+
+/** Follower ingest: cross-process pure-insert commits through the lease
+  * holder's commit chain (`_inbox/` spool -> sweep adoption -> done-file
+  * ack, exactly-once via the catalog's `inboxDone` ledger).
+  *
+  * The in-JVM cases drive the protocol deterministically (hand-crafted
+  * manifests + direct sweep calls, periodic sweep disabled); the forked-JVM
+  * cases prove the real multi-process shapes: a follower committing through
+  * a LIVE foreign writer, and a follower stepping up when the writer dies
+  * mid-wait. Everything here is opt-in (spark.graft.followerInserts) — the
+  * default remains the clean single-writer lease refusal LeaseSpec pins. */
+class FollowerIngestSpec extends SparkSpecBase {
+
+  private def withConf(kvs: (String, String)*)(body: => Unit): Unit = {
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally kvs.foreach { case (k, _) => spark.conf.unset(k) }
+  }
+
+  /** Hand-craft one inbox manifest + delta dir, exactly the follower's
+    * spool format, without blocking on adoption. Returns the row count. */
+  private def enqueueRaw(wh: String, id: String, table: String,
+      df: org.apache.spark.sql.DataFrame): Long = {
+    val inbox = java.nio.file.Paths.get(wh, "_inbox")
+    val dir = inbox.resolve(id)
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = inbox.resolve(s".$id-raw")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val parts = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).sorted
+    val names = parts.zipWithIndex.map { case (p, i) =>
+      val nm = s"fwd-$id-$i.parquet"
+      java.nio.file.Files.move(java.nio.file.Paths.get(p), dir.resolve(nm))
+      nm
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    val rows = df.count()
+    val manifest = s"""{"table":"$table","rows":$rows,"files":[${
+      names.map(n => s""""$n"""").mkString(",")}]}"""
+    java.nio.file.Files.write(inbox.resolve(s"$id.req.json"),
+      manifest.getBytes("UTF-8"))
+    rows
+  }
+
+  private def inboxEntries(wh: String): Seq[String] = {
+    val d = new java.io.File(wh, "_inbox")
+    if (!d.exists) Seq.empty else d.listFiles.map(_.getName).toSeq.sorted
+  }
+
+  test("spool -> sweep -> ack -> visibility, one process end to end") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-fwd1").toString
+    withConf("spark.graft.followerInserts" -> "true",
+        "spark.graft.inboxSweepMs" -> "600000") {
+      val st = new Store(spark, wh)
+      st.replace("t", Seq((1L, "a"), (2L, "b")).toDF("k", "v")) // claims lease
+      val v0 = st.currentVersion("t")
+      val n = st.followerAppend("t", Seq((3L, "c"), (4L, "d")).toDF("k", "v"))
+      assert(n == 2)
+      assert(st.currentVersion("t") == v0 + 1)
+      assert(st.read("t").count() == 4)
+      assert(st.read("t").filter(col("k") === 3L).count() == 1)
+      // fully acknowledged: nothing left in the inbox
+      assert(inboxEntries(wh).isEmpty, inboxEntries(wh).toString)
+    }
+  }
+
+  test("one sweep cycle adopts every pending manifest of a table as ONE version (commit batching)") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-fwd2").toString
+    withConf("spark.graft.followerInserts" -> "true",
+        "spark.graft.inboxSweepMs" -> "600000") {
+      val st = new Store(spark, wh)
+      st.replace("ta", Seq((1L, 1L)).toDF("k", "n"))
+      st.replace("tb", Seq((1L, "x")).toDF("k", "s"))
+      val va = st.currentVersion("ta"); val vb = st.currentVersion("tb")
+      enqueueRaw(wh, "00000000000m1-aaaa-0001", "ta",
+        Seq((2L, 2L), (3L, 3L)).toDF("k", "n"))
+      enqueueRaw(wh, "00000000000m2-bbbb-0001", "ta",
+        Seq((4L, 4L)).toDF("k", "n"))
+      enqueueRaw(wh, "00000000000m3-cccc-0001", "tb",
+        Seq((2L, "y")).toDF("k", "s"))
+      st.sweepInbox()
+      // two ta manifests -> one new version; tb independently +1
+      assert(st.currentVersion("ta") == va + 1,
+        s"batching must publish ONE version, got ${st.currentVersion("ta")}")
+      assert(st.currentVersion("tb") == vb + 1)
+      assert(st.read("ta").count() == 4)
+      assert(st.read("tb").count() == 2)
+      // both ta done-files report the SAME adopted version
+      val dones = inboxEntries(wh).filter(_.endsWith(".done.json"))
+      assert(dones.size == 3, dones.toString)
+      val texts = dones.map(f => new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(wh, "_inbox", f)), "UTF-8"))
+      assert(texts.forall(_.contains(""""ok":true""")), texts.mkString("\n"))
+      val taVers = texts.filter(_.contains(""""table":"ta"""))
+        .map(t => """"version":(\d+)""".r.findFirstMatchIn(t).get.group(1))
+      assert(taVers.distinct.size == 1, taVers.toString)
+    }
+  }
+
+  test("adoption is exactly-once across a crashed acknowledgement (catalog ledger)") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-fwd3").toString
+    withConf("spark.graft.followerInserts" -> "true",
+        "spark.graft.inboxSweepMs" -> "600000") {
+      val st = new Store(spark, wh)
+      st.replace("t", Seq((1L, 1L)).toDF("k", "n"))
+      val id = "00000000000x1-dddd-0001"
+      enqueueRaw(wh, id, "t", Seq((2L, 2L)).toDF("k", "n"))
+      st.sweepInbox()
+      val v1 = st.currentVersion("t")
+      assert(st.read("t").count() == 2)
+      // simulate a holder that crashed between its catalog commit and the
+      // inbox cleanup: the request file reappears (cleanup never ran) ...
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(wh, "_inbox", s"$id.req.json"),
+        s"""{"table":"t","rows":1,"files":["fwd-$id-0.parquet"]}"""
+          .getBytes("UTF-8"))
+      // ... and a RESTARTED writer process sweeps: the ledger (persisted in
+      // the catalog snapshot) must finish the ack without re-applying
+      val st2 = new Store(spark, wh)
+      st2.appendCompacting("other", Seq((1L, 1L)).toDF("k", "n")) // claims
+      st2.sweepInbox()
+      assert(st2.currentVersion("t") == v1, "re-adoption must not happen")
+      assert(st2.read("t").count() == 2)
+      assert(!inboxEntries(wh).contains(s"$id.req.json"))
+    }
+  }
+
+  test("a schema-mismatched delta is refused via the done file; the chain is untouched") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-fwd4").toString
+    withConf("spark.graft.followerInserts" -> "true",
+        "spark.graft.inboxSweepMs" -> "600000") {
+      val st = new Store(spark, wh)
+      st.replace("t", Seq((1L, 1L)).toDF("k", "n"))
+      val v0 = st.currentVersion("t")
+      val id = "00000000000y1-eeee-0001"
+      enqueueRaw(wh, id, "t", Seq(("wrong", 2L)).toDF("s", "n"))
+      st.sweepInbox()
+      assert(st.currentVersion("t") == v0)
+      assert(st.read("t").count() == 1)
+      val done = java.nio.file.Paths.get(wh, "_inbox", s"$id.done.json")
+      assert(java.nio.file.Files.exists(done))
+      val txt = new String(java.nio.file.Files.readAllBytes(done), "UTF-8")
+      assert(txt.contains(""""ok":false"""), txt)
+      assert(txt.contains("schema"), txt)
+      // request + delta dir were cleaned; only the (uncollected) ack stays
+      assert(inboxEntries(wh) == Seq(s"$id.done.json"), inboxEntries(wh))
+    }
+  }
+
+  test("timeout under a live foreign writer that never adopts: clean cancel, no phantom commit") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-fwd5").toString
+    withConf("spark.graft.followerInserts" -> "true",
+        "spark.graft.followerWaitMs" -> "400",
+        "spark.graft.inboxSweepMs" -> "600000") {
+      val st = new Store(spark, wh)
+      st.replace("t", Seq((1L, 1L)).toDF("k", "n"))
+      st.releaseLease()
+      // a live remote holder (pid probe unavailable), heartbeat kept fresh
+      val lease = java.nio.file.Paths.get(wh, "_lease.e7.json")
+      java.nio.file.Files.write(lease,
+        """{"proc":"foreign-nonce","pid":1,"host":"some-other-host","ts":0}"""
+          .getBytes("UTF-8"))
+      lease.toFile.setLastModified(System.currentTimeMillis() + st.leaseTtlMs / 2)
+      val e = intercept[IllegalStateException] {
+        st.appendCompacting("t", Seq((2L, 2L)).toDF("k", "n"))
+      }
+      assert(e.getMessage.contains("lock timeout"), e.getMessage)
+      assert(e.getMessage.contains("no writer process adopted"), e.getMessage)
+      // the cancel cleaned everything; nothing for a later writer to adopt
+      assert(inboxEntries(wh).isEmpty, inboxEntries(wh).toString)
+      assert(st.read("t").count() == 1)
+      // follower routing covers pure inserts ONLY: a replace still refuses
+      val e2 = intercept[IllegalStateException] {
+        st.replace("t", Seq((9L, 9L)).toDF("k", "n"))
+      }
+      assert(e2.getMessage.contains("another writer process holds the lease"),
+        e2.getMessage)
+      java.nio.file.Files.delete(lease)
+    }
+  }
+
+  // ---- forked-JVM cases ---------------------------------------------------
+
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  private def forkWriter(wh: String, batch: Int, followerFlag: Boolean)
+      : (Process, java.util.concurrent.atomic.AtomicInteger) = {
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val flag =
+      if (followerFlag) Seq("-Dspark.graft.followerInserts=true") else Seq.empty
+    val cmd = Seq(javaBin) ++ addOpens ++ flag ++ Seq(
+      "-Xmx3g", "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.CrashWriter", wh, batch.toString)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val lastAcked = new java.util.concurrent.atomic.AtomicInteger(-1)
+    new Thread(() => {
+      try {
+        val r = new java.io.BufferedReader(
+          new java.io.InputStreamReader(proc.getInputStream))
+        var line = r.readLine()
+        while (line != null) {
+          if (line.startsWith("COMMITTED "))
+            lastAcked.set(line.substring(10).trim.toInt)
+          line = r.readLine()
+        }
+      } catch { case _: java.io.IOException => () }
+    }).start()
+    (proc, lastAcked)
+  }
+
+  test("two JVMs: a follower commits through a LIVE foreign writer's chain") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-fwd2jvm").toString
+    val batch = 2000
+    val (proc, lastAcked) = forkWriter(wh, batch, followerFlag = true)
+    try {
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (lastAcked.get < 2 && System.nanoTime() < deadline) Thread.sleep(10)
+      assert(lastAcked.get >= 2, "forked writer never committed")
+      withConf("spark.graft.followerInserts" -> "true") {
+        import spark.implicits._
+        val st = new Store(spark, wh)
+        val n = st.appendCompacting("crash_t",
+          (0 until 10).map(i => (9000000L + i, -5L)).toDF("k", "b"))
+        assert(n == 10, s"follower ack must report its own rows, got $n")
+        val df = st.read("crash_t")
+        assert(df.filter(col("b") === -5L).count() == 10,
+          "follower rows missing after adoption")
+        // the snapshot interleaves whole writer batches with our delta
+        assert((df.count() - 10) % batch == 0)
+        // and the follower never took the lease: the chain's author is
+        // still the forked writer
+        val leases = new java.io.File(wh).listFiles.map(_.getName)
+          .filter(_.startsWith("_lease."))
+        assert(leases.length == 1, leases.toSeq.toString)
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(wh, leases.head)), "UTF-8")
+        assert(txt.contains(s""""pid":${proc.pid}"""),
+          s"lease must still name the forked writer: $txt")
+      }
+    } finally { proc.destroyForcibly(); () }
+  }
+
+  test("two JVMs: the writer dies while a follower waits — the follower steps up and adopts its own delta") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-fwdkill").toString
+    val batch = 2000
+    // holder WITHOUT the flag: it never adopts, so the follower genuinely
+    // waits until the SIGKILL, then must finish through the step-up path
+    val (proc, lastAcked) = forkWriter(wh, batch, followerFlag = false)
+    try {
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (lastAcked.get < 2 && System.nanoTime() < deadline) Thread.sleep(10)
+      assert(lastAcked.get >= 2, "forked writer never committed")
+      val killer = new Thread(() => {
+        Thread.sleep(1500L); proc.destroyForcibly(); ()
+      })
+      killer.start()
+      withConf("spark.graft.followerInserts" -> "true") {
+        import spark.implicits._
+        val st = new Store(spark, wh)
+        val n = st.appendCompacting("crash_t",
+          (0 until 10).map(i => (9500000L + i, -7L)).toDF("k", "b"))
+        assert(n == 10)
+        killer.join()
+        val acked = lastAcked.get
+        val df = st.read("crash_t")
+        assert(df.filter(col("b") === -7L).count() == 10)
+        val rest = df.count() - 10
+        assert(rest % batch == 0, s"takeover must land whole batches: $rest")
+        assert(rest / batch >= acked,
+          s"takeover reverted acked commits: ${rest / batch} vs $acked acked")
+        assert(inboxEntries(wh).isEmpty, inboxEntries(wh).toString)
+      }
+    } finally { proc.destroyForcibly(); () }
+  }
+
+  test("follower ingest runs on the object-store scheme (no posix shortcuts)") {
+    import spark.implicits._
+    ObjectStoreFs.register(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft-fwdobj")
+    val wh = s"graftobj://${base.resolve("wh")}"
+    withConf("spark.graft.followerInserts" -> "true",
+        "spark.graft.inboxSweepMs" -> "600000") {
+      val st = new Store(spark, wh)
+      st.replace("t", Seq((1L, "a")).toDF("k", "v"))
+      val v0 = st.currentVersion("t")
+      val n = st.followerAppend("t", Seq((2L, "b"), (3L, "c")).toDF("k", "v"))
+      assert(n == 2)
+      assert(st.currentVersion("t") == v0 + 1)
+      assert(st.read("t").count() == 3)
+      val fs = new HadoopPath(wh).getFileSystem(
+        spark.sessionState.newHadoopConf())
+      val left = Option(fs.globStatus(new HadoopPath(s"$wh/_inbox/*")))
+        .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+      assert(left.isEmpty, left.map(_.getPath.getName).toSeq.toString)
+    }
+  }
+}
