@@ -1097,6 +1097,48 @@ object StoreOps {
       store.appendCompacting("stx_vecs",
         Seq(vec(4, 0.1, 0.9)).toDF("vec_id", "embedding"))
       staleSnap.union(snap("healed")).orderBy("phase")
+    },
+
+    // Warehouse-coordination lifecycle through the SQL surface: a fresh
+    // mount is a reader; the first write claims the writer lease (epoch
+    // 1); a spooled follower manifest is a visible adoption backlog; the
+    // sweep drains it (here by refusing an unknown table — cleanup
+    // included). Four snapshots of graft_warehouse_stats, unioned;
+    // host/pid/catalog-version columns are process-specific and stay out
+    // of the pin.
+    Q("st_warehouse_stats", Some("""
+      SELECT phase, role, CAST(lease_epoch AS BIGINT) AS lease_epoch,
+             CAST(inbox_pending AS BIGINT) AS inbox_pending
+      FROM (VALUES
+        ('a_fresh',  'reader', 0, 0),
+        ('b_writer', 'writer', 1, 0),
+        ('c_queued', 'writer', 1, 1),
+        ('d_swept',  'writer', 1, 0)
+      ) AS t(phase, role, lease_epoch, inbox_pending)
+      ORDER BY phase""")) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-stw").toString
+      val store = new Store(s, wh)
+      Tables.registerAll(s, dir)
+      def snap(phase: String): DataFrame = PgDialect.execute(s, store,
+        s"SELECT '$phase' AS phase, role, lease_epoch, inbox_pending " +
+          "FROM graft_warehouse_stats") match {
+        case PgDialect.Rows(df, _) => df
+        case other => sys.error(s"expected rows, got $other")
+      }
+      val fresh = snap("a_fresh")
+      import s.implicits._
+      store.replace("stw_t", Seq((1L, "a")).toDF("k", "v"))
+      val writer = snap("b_writer")
+      val inbox = java.nio.file.Paths.get(wh, "_inbox")
+      java.nio.file.Files.createDirectories(inbox)
+      java.nio.file.Files.write(
+        inbox.resolve("0000000000000-probe-0001.req.json"),
+        """{"table":"stw_missing","rows":1,"files":["f.parquet"]}"""
+          .getBytes("UTF-8"))
+      val queued = snap("c_queued")
+      store.sweepInbox()
+      val swept = snap("d_swept")
+      fresh.union(writer).union(queued).union(swept).orderBy("phase")
     }
   )
 }

@@ -108,6 +108,7 @@ object PgDialect {
     if (upper.contains("PG_MATVIEWS") || upper.contains("PG_STAT_USER_TABLES")
         || upper.contains("PG_STAT_STATEMENTS")
         || upper.contains("GRAFT_INDEX_STATS")
+        || upper.contains("GRAFT_WAREHOUSE_STATS")
         || upper.contains("PG_CLASS") || upper.contains("PG_ATTRIBUTE")
         || "(?<![A-Z_])PG_TABLES(?![A-Z_])".r.findFirstIn(upper).isDefined
         || "(?<![A-Z_])PG_VIEWS(?![A-Z_])".r.findFirstIn(upper).isDefined

@@ -949,6 +949,14 @@ object PgCatalog {
       .toDF("relname", "index_kind", "indexed_version", "current_version",
         "stale", "last_error")
       .asCatalogView("graft_index_stats")
+    // pg_stat-style warehouse coordination snapshot: who authors the
+    // commit chain, this process's role, and follower-ingest backlog —
+    // the multi-process questions an operator otherwise answers by
+    // reading lease files off the warehouse by hand
+    store.warehouseStats
+      .toDF("warehouse", "role", "lease_epoch", "holder_pid", "holder_host",
+        "catalog_version", "inbox_pending", "follower_inserts")
+      .asCatalogView("graft_warehouse_stats")
     (Tables.names ++ stTables).map(n => ("public", n, "graft", false))
       .toDF("schemaname", "tablename", "tableowner", "hasindexes")
       .asCatalogView("pg_tables")

@@ -1173,6 +1173,26 @@ class Store(spark: SparkSession, val warehouse: String) {
     } catch { case _: Exception => () } // next sweep's gc retries
   }
 
+  /** One-row operational snapshot for the `graft_warehouse_stats` catalog
+    * view: who authors this warehouse's commit chain (the lease head),
+    * what THIS process's role is (writer / reader / fenced), how far the
+    * catalog has advanced, and whether follower deltas await adoption. */
+  def warehouseStats: Seq[(String, String, Long, Long, String, Long, Long, Boolean)] = {
+    val head = leaseHead()
+    val info = head.flatMap { case (_, st) => leaseInfo(st.getPath) }
+    val role =
+      if (leaseLostReason != null) "fenced"
+      else if (leaseEpoch > 0L) "writer"
+      else "reader"
+    val pending =
+      try Option(fs.globStatus(new HadoopPath(inboxRoot, "*.req.json")))
+        .map(_.length.toLong).getOrElse(0L)
+      catch { case _: Exception => 0L }
+    Seq((warehouse, role, head.map(_._1).getOrElse(0L),
+      info.map(_._2).getOrElse(0L), info.map(_._3).getOrElse(""),
+      catalogSeq, pending, followerInsertsEnabled))
+  }
+
   /** Bounded housekeeping for abandoned inbox artifacts: uncollected done
     * files (their follower crashed) and manifest-less delta dirs (a
     * follower died mid-enqueue) expire after the ledger TTL. */
@@ -1403,10 +1423,24 @@ class Store(spark: SparkSession, val warehouse: String) {
     }
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val legacy = new HadoopPath(root, "_catalog.json")
-    val latest = catalogSnapshots().lastOption
+    // A reader following a HOT foreign writer can list a snapshot that two
+    // later commits garbage-collect before the read lands (the GC keeps 2).
+    // Re-list and retry: the head it finds next is strictly newer, so this
+    // terminates, and a retracted head (post-publish fence) degrades to the
+    // predecessor the same way.
+    var latest = catalogSnapshots().lastOption
+    var bytes: Option[Array[Byte]] = None
+    var attempts = 0
+    while (bytes.isEmpty && latest.nonEmpty && attempts < 5) {
+      attempts += 1
+      try bytes = latest.map { case (_, p) => readBytes(p) }
+      catch { case _: java.io.FileNotFoundException =>
+        latest = catalogSnapshots().lastOption
+      }
+    }
     latest.foreach { case (seq, _) => catalogSeq = seq }
-    val bytes = latest.map { case (_, p) => readBytes(p) }
-      .orElse(if (fs.exists(legacy)) Some(readBytes(legacy)) else None)
+    if (bytes.isEmpty)
+      bytes = if (fs.exists(legacy)) Some(readBytes(legacy)) else None
     bytes.foreach { bs =>
       val rootNode = om.readTree(bs)
       rootNode.get("versions").fields.asScala.foreach(e => versions(e.getKey) = e.getValue.asInt)

@@ -292,6 +292,87 @@ class FollowerIngestSpec extends SparkSpecBase {
     } finally { proc.destroyForcibly(); () }
   }
 
+  test("three JVMs: two follower processes storm one live writer — every acked batch lands whole") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-fwdstorm").toString
+    val batch = 1000
+    val (proc, lastAcked) = forkWriter(wh, batch, followerFlag = true)
+    val followers = scala.collection.mutable.ArrayBuffer[Process]()
+    try {
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (lastAcked.get < 2 && System.nanoTime() < deadline) Thread.sleep(10)
+      assert(lastAcked.get >= 2, "forked writer never committed")
+      val javaBin = s"${System.getProperty("java.home")}/bin/java"
+      val fwdBatches = 3; val fwdRows = 500
+      // negative tags: the writer's own batch ids are non-negative
+      val outs = Seq(-11L, -12L).map { tag =>
+        val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+          "-Xmx2g", "-Dspark.ui.enabled=false",
+          "-cp", System.getProperty("java.class.path"),
+          "graft.FollowerWriter", wh, tag.toString,
+          fwdBatches.toString, fwdRows.toString)
+        val pb = new ProcessBuilder(cmd: _*); pb.redirectErrorStream(true)
+        val p = pb.start(); followers += p; (tag, p)
+      }.map { case (tag, p) =>
+        assert(p.waitFor(5, java.util.concurrent.TimeUnit.MINUTES),
+          s"follower $tag hung")
+        (tag, new String(p.getInputStream.readAllBytes(), "UTF-8"))
+      }
+      outs.foreach { case (tag, out) =>
+        assert(out.contains(s"FWD_DONE $tag"),
+          s"follower $tag failed:\n${out.linesIterator.take(30).mkString("\n")}")
+      }
+      // final state: every follower batch whole, writer batches whole, and
+      // the chain's author is STILL the forked writer (followers never
+      // stole the lease)
+      val st = new Store(spark, wh)
+      val df = st.read("crash_t")
+      Seq(-11L, -12L).foreach { tag =>
+        assert(df.filter(col("b") === tag).count() == fwdBatches.toLong * fwdRows,
+          s"follower $tag rows incomplete")
+      }
+      val writerRows = df.filter(col("b") >= 0).count()
+      assert(writerRows % batch == 0, s"writer batches not whole: $writerRows")
+      val bad = df.filter(col("b") >= 0).groupBy("b").count()
+        .filter(col("count") =!= batch).count()
+      assert(bad == 0, "a writer batch is partial")
+      val leases = new java.io.File(wh).listFiles.map(_.getName)
+        .filter(_.startsWith("_lease."))
+      assert(leases.length == 1, leases.toSeq.toString)
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(wh, leases.head)), "UTF-8")
+      assert(txt.contains(s""""pid":${proc.pid}"""),
+        s"lease must still name the forked writer: $txt")
+      assert(inboxEntries(wh).isEmpty, inboxEntries(wh).toString)
+    } finally {
+      proc.destroyForcibly(); followers.foreach(_.destroyForcibly()); ()
+    }
+  }
+
+  test("graft_warehouse_stats reflects role, lease epoch and adoption backlog") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-fwdview").toString
+    withConf("spark.graft.followerInserts" -> "true",
+        "spark.graft.inboxSweepMs" -> "600000") {
+      val st = new Store(spark, wh)
+      def snap(): (String, Long, Long) = PgDialect.execute(spark, st,
+        "SELECT role, lease_epoch, inbox_pending FROM graft_warehouse_stats"
+      ) match {
+        case PgDialect.Rows(df, _) =>
+          val r = df.head; (r.getString(0), r.getLong(1), r.getLong(2))
+        case other => sys.error(s"expected rows: $other")
+      }
+      assert(snap() == ("reader", 0L, 0L))
+      st.replace("t", Seq((1L, "a")).toDF("k", "v"))
+      assert(snap() == ("writer", 1L, 0L))
+      enqueueRaw(wh, "00000000000v1-ffff-0001", "t",
+        Seq((2L, "b")).toDF("k", "v"))
+      assert(snap() == ("writer", 1L, 1L))
+      st.sweepInbox()
+      assert(snap() == ("writer", 1L, 0L))
+      assert(st.read("t").count() == 2)
+    }
+  }
+
   test("follower ingest runs on the object-store scheme (no posix shortcuts)") {
     import spark.implicits._
     ObjectStoreFs.register(spark)
