@@ -187,6 +187,61 @@ class FollowerIngestSpec extends SparkSpecBase {
     }
   }
 
+  test("a staged insert transaction merges past a follower adoption that landed mid-txn") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-fwdmerge").toString
+    withConf("spark.graft.followerInserts" -> "true",
+        "spark.graft.inboxSweepMs" -> "600000") {
+      val st = new Store(spark, wh)
+      st.replace("mi_t", Seq((1L, "a")).toDF("k", "v"))
+      val s = st.newStaging()
+      st.withStaging(s)(
+        st.appendCompacting("mi_t", Seq((2L, "txn")).toDF("k", "v")))
+      enqueueRaw(wh, "00000000000z1-gggg-0001", "mi_t",
+        Seq((3L, "fwd")).toDF("k", "v"))
+      st.sweepInbox()
+      // adoption is a committed shared version; the staged row stays private
+      assert(st.read("mi_t").count() == 2)
+      // the txn's base moved past a REGISTERED pure-insert delta: COMMIT
+      // links it instead of raising a serialization failure
+      st.commitStaging(s)
+      assert(st.read("mi_t").select("k").as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L, 3L))
+    }
+  }
+
+  test("adoption queues behind an open updater's write gate and lands after its commit") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-fwdgate").toString
+    withConf("spark.graft.followerInserts" -> "true",
+        "spark.graft.inboxSweepMs" -> "600000") {
+      val st = new Store(spark, wh)
+      st.replace("ug_t", Seq((1L, "old"), (2L, "keep")).toDF("k", "v"))
+      val u = st.newStaging()
+      st.withStaging(u)(
+        st.upsert("ug_t", Seq((1L, "new")).toDF("k", "v"), "k")) // claims gate
+      enqueueRaw(wh, "00000000000z2-hhhh-0001", "ug_t",
+        Seq((3L, "fwd")).toDF("k", "v"))
+      val sweeper = new Thread(() => st.sweepInbox())
+      sweeper.start()
+      Thread.sleep(400)
+      assert(st.read("ug_t").count() == 2,
+        "adoption must not land while the updater holds the write gate")
+      st.commitStaging(u)
+      sweeper.join(60000)
+      assert(!sweeper.isAlive, "sweep hung on the released gate")
+      val got = st.read("ug_t").orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got == Seq((1L, "new"), (2L, "keep"), (3L, "fwd")), got.toString)
+      // the follower was acked success, not a gate error
+      val done = inboxEntries(wh).filter(_.endsWith(".done.json"))
+      assert(done.size == 1, done.toString)
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(wh, "_inbox", done.head)), "UTF-8")
+      assert(txt.contains(""""ok":true"""), txt)
+    }
+  }
+
   // ---- forked-JVM cases ---------------------------------------------------
 
   private val addOpens = Seq(
