@@ -428,6 +428,76 @@ class FollowerIngestSpec extends SparkSpecBase {
     }
   }
 
+  test("wire end-to-end: INSERT on a follower SERVER process commits through this process's chain") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-fwdwire").toString
+    withConf("spark.graft.followerInserts" -> "true") {
+      val holder = new Store(spark, wh)
+      holder.replace("fw_t", Seq((1L, "seed")).toDF("k", "v")) // claims lease
+      val javaBin = s"${System.getProperty("java.home")}/bin/java"
+      val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+        "-Xmx3g", "-Dspark.ui.enabled=false",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.ServeMain", "0", sfDir)
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("GRAFT_WAREHOUSE", wh)
+      pb.environment().put("GRAFT_FOLLOWER_INSERTS", "1")
+      pb.environment().put("SPARK_GRAFT_CPUS", "2")
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      try {
+        val r = new java.io.BufferedReader(
+          new java.io.InputStreamReader(proc.getInputStream))
+        var port = -1
+        val deadline = System.nanoTime() + 120L * 1000000000L
+        while (port < 0 && System.nanoTime() < deadline) {
+          val line = r.readLine()
+          if (line == null) Thread.sleep(20)
+          else "ready on port (\\d+)".r.findFirstMatchIn(line)
+            .foreach(m => port = m.group(1).toInt)
+        }
+        assert(port > 0, "follower server never reported ready")
+        val sock = new java.net.Socket("127.0.0.1", port)
+        val out = new java.io.DataOutputStream(
+          new java.io.BufferedOutputStream(sock.getOutputStream))
+        val in = new java.io.DataInputStream(
+          new java.io.BufferedInputStream(sock.getInputStream))
+        val params = "user graft database graft  "
+          .getBytes("UTF-8")
+        out.writeInt(8 + params.length); out.writeInt(196608)
+        out.write(params); out.flush()
+        def drain(): Seq[(Char, Array[Byte])] = {
+          val buf = scala.collection.mutable.ArrayBuffer[(Char, Array[Byte])]()
+          var done = false
+          while (!done) {
+            val t = in.read().toChar; val n = in.readInt()
+            val b = new Array[Byte](n - 4); in.readFully(b)
+            buf += ((t, b)); if (t == 'Z') done = true
+          }
+          buf.toSeq
+        }
+        drain()
+        def query(sql: String): Seq[(Char, Array[Byte])] = {
+          val qb = (sql + " ").getBytes("UTF-8")
+          out.writeByte('Q'); out.writeInt(4 + qb.length); out.write(qb)
+          out.flush(); drain()
+        }
+        // the PG client's INSERT commits via inbox adoption by THIS process
+        val tag = query("INSERT INTO fw_t VALUES (2, 'wire')")
+          .find(_._1 == 'C').map(m => new String(m._2, "UTF-8"))
+        assert(tag.exists(_.startsWith("INSERT 0 1")), s"got: $tag")
+        // read-your-writes on the follower server connection
+        val rows = query("SELECT count(*) AS n FROM fw_t WHERE v = 'wire'")
+          .filter(_._1 == 'D')
+        assert(rows.nonEmpty, "follower must see its own adopted insert")
+        sock.close()
+        // and the HOLDER sees it on its own chain
+        assert(holder.read("fw_t").filter(col("v") === "wire").count() == 1)
+        assert(holder.read("fw_t").count() == 2)
+      } finally { proc.destroyForcibly(); () }
+    }
+  }
+
   test("follower ingest runs on the object-store scheme (no posix shortcuts)") {
     import spark.implicits._
     ObjectStoreFs.register(spark)
