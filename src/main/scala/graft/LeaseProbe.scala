@@ -15,12 +15,18 @@ import org.apache.spark.sql.SparkSession
   * would legitimately surrender the lease (dead-pid steal) and let a late
   * prober commit too.
   *
-  * Usage: graft.LeaseProbe <warehouseDir> [holdMs]
+  * With mode `stop-hold` (arg 3) the probe STOPS its SparkContext before
+  * the hold: the JVM stays alive (pid probe says live) but the process
+  * can no longer run a Spark job — the lease heartbeat must notice and
+  * hand the lease off gracefully, which FollowerIngestSpec pins.
+  *
+  * Usage: graft.LeaseProbe <warehouseDir> [holdMs] [stop-hold]
   */
 object LeaseProbe {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val holdMs = if (args.length > 1) args(1).toLong else 0L
+    val stopHold = args.length > 2 && args(2) == "stop-hold"
     val spark = SparkSession.builder()
       .master("local[2]")
       .appName("graft-lease-probe")
@@ -40,7 +46,13 @@ object LeaseProbe {
         println(s"PROBE_REFUSED ${Option(e.getMessage).getOrElse(e.getClass.getName).replace('\n', ' ')}")
     }
     Console.flush()
-    if (holdMs > 0) Thread.sleep(holdMs)
-    spark.stop()
+    if (stopHold) {
+      spark.stop()
+      println("PROBE_STOPPED"); Console.flush()
+      if (holdMs > 0) Thread.sleep(holdMs)
+    } else {
+      if (holdMs > 0) Thread.sleep(holdMs)
+      spark.stop()
+    }
   }
 }

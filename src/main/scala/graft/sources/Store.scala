@@ -661,6 +661,10 @@ class Store(spark: SparkSession, val warehouse: String) {
 
   private def leaseHeartbeat(): Unit =
     try {
+      // a stopped SparkContext means this process is going away: hand the
+      // lease off now (graceful releaseLease is pure fs ops) instead of
+      // heartbeating a writer that can no longer run a Spark job
+      if (spark.sparkContext.isStopped) { releaseLease(); return }
       val p = leasePath(leaseEpoch)
       try fs.setTimes(p, System.currentTimeMillis(), -1)
       catch { case _: UnsupportedOperationException => writeBytes(p, leaseBytes()) }
@@ -1053,6 +1057,10 @@ class Store(spark: SparkSession, val warehouse: String) {
     * overlap). */
   private[graft] def sweepInbox(): Unit = {
     if (leaseEpoch == 0L || leaseLostReason != null) return
+    // a stopping process must not take on new adoptions: its Spark jobs
+    // throw, and turning ITS shutdown into a refusal verdict killed an
+    // innocent follower's statement (found by the chaos soak)
+    if (spark.sparkContext.isStopped) return
     if (!sweepBusy.compareAndSet(false, true)) return
     try {
       val reqs = Option(fs.globStatus(new HadoopPath(inboxRoot, "*.req.json")))
@@ -1062,10 +1070,15 @@ class Store(spark: SparkSession, val warehouse: String) {
         try adoptBatch(t, ms)
         catch {
           case e: Exception =>
-            val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-            ms.foreach(m => ackOne(m.id,
-              Store.InboxDone(t, 0, 0L, ok = false, msg,
-                System.currentTimeMillis())))
+            // shutdown mid-adoption: leave the claim — a successor writer
+            // takes over a dead process's claim and re-adopts; only a
+            // genuine adoption failure becomes the follower's error
+            if (!spark.sparkContext.isStopped) {
+              val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+              ms.foreach(m => ackOne(m.id,
+                Store.InboxDone(t, 0, 0L, ok = false, msg,
+                  System.currentTimeMillis())))
+            }
         }
       }
       gcInbox()
@@ -1124,22 +1137,45 @@ class Store(spark: SparkSession, val warehouse: String) {
       }
       val phys = currentEvo(name).physical
       val want = phys.fields.map(f => (f.name, f.dataType)).toSet
-      val (good, bad) = ms.partition { m =>
+      // precise per-manifest verdicts: a refusal kills the follower's
+      // statement, so it must say exactly WHAT failed, and a transient
+      // read hiccup gets one retry before it becomes a verdict
+      def verdict(m: Store.InboxReq): Option[String] = {
         val src = new HadoopPath(inboxRoot, m.id)
-        m.files.nonEmpty && m.files.forall(nm =>
-          try fs.exists(new HadoopPath(src, nm))
-          catch { case _: Exception => false }) && {
-          try {
-            val got = spark.read.parquet(src.toString).schema
-              .fields.map(f => (f.name, f.dataType)).toSet
-            got == want
-          } catch { case _: Exception => false }
-        }
+        if (m.files.isEmpty) return Some("manifest lists no delta files")
+        val missing = m.files.filter(nm =>
+          try !fs.exists(new HadoopPath(src, nm))
+          catch { case _: Exception => true })
+        if (missing.nonEmpty)
+          return Some(s"delta files missing from the inbox: " +
+            missing.take(3).mkString(", "))
+        def readSchema() = spark.read.parquet(src.toString).schema
+          .fields.map(f => (f.name, f.dataType)).toSet
+        val got =
+          try readSchema()
+          catch { case _: Exception =>
+            Thread.sleep(100L)
+            try readSchema()
+            catch { case e2: Exception =>
+              // OUR shutdown, not the delta's fault: bubble up so the
+              // sweep leaves the claim for a successor instead of acking
+              if (spark.sparkContext.isStopped) throw e2
+              return Some(s"delta unreadable: ${e2.getClass.getSimpleName} " +
+                Option(e2.getMessage).getOrElse("").take(300))
+            }
+          }
+        if (got != want)
+          Some(s"delta schema ${got.toSeq.sortBy(_._1).mkString("[", ",", "]")} " +
+            s"does not match table \"$name\" physical schema " +
+            want.toSeq.sortBy(_._1).mkString("[", ",", "]") +
+            " (the follower's catalog view may be stale)")
+        else None
       }
+      val judged = ms.map(m => (m, verdict(m)))
+      val good = judged.collect { case (m, None) => m }
       val now = System.currentTimeMillis()
-      bad.foreach(m => ackOne(m.id, Store.InboxDone(name, 0, 0L, ok = false,
-        s"""delta schema does not match table "$name" (or delta files """ +
-          "are missing); the follower's catalog view may be stale", now)))
+      judged.foreach { case (m, why) => why.foreach(w =>
+        ackOne(m.id, Store.InboxDone(name, 0, 0L, ok = false, w, now))) }
       if (good.isEmpty) return
       val next = nextVersion(name)
       val cur = versionPath(name, next - 1)

@@ -344,6 +344,55 @@ class LeaseSpec extends SparkSpecBase {
       "re-claim must adopt the handed-off writer's commit")
   }
 
+  test("a writer whose SparkContext stopped hands the lease off while its JVM is still alive") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-leasestop").toString
+    val st = new Store(spark, wh)
+    st.replace("probe_t", Seq((0L, 0L)).toDF("k", "b"))
+    st.releaseLease() // let the probe claim
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx2g", "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.LeaseProbe", wh, "600000", "stop-hold")
+    val pb = new ProcessBuilder(cmd: _*); pb.redirectErrorStream(true)
+    val proc = pb.start()
+    try {
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream))
+      var committed = false; var stopped = false
+      val readDeadline = System.nanoTime() + 300L * 1000000000L
+      while (!stopped && System.nanoTime() < readDeadline) {
+        val line = r.readLine()
+        if (line == null) Thread.sleep(20)
+        else { if (line.startsWith("PROBE_COMMITTED")) committed = true
+               if (line.startsWith("PROBE_STOPPED")) stopped = true }
+      }
+      assert(committed, "probe never claimed the lease")
+      assert(stopped, "probe never stopped its context")
+      // the probe's JVM is ALIVE (pid probe says live, no TTL expiry — its
+      // heartbeats kept the lease fresh until the stop) but it can never
+      // run a Spark job again: its next heartbeat must RELEASE the lease,
+      // letting this live process claim with no SIGKILL and no TTL wait
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      var ok = false
+      while (!ok && System.nanoTime() < deadline) {
+        try {
+          st.appendCompacting("probe_t", Seq((-1L, -1L)).toDF("k", "b"))
+          ok = true
+        } catch {
+          case e: IllegalStateException
+              if Option(e.getMessage)
+                .exists(_.contains("another writer process holds the lease")) =>
+            Thread.sleep(500)
+        }
+      }
+      assert(ok, "stopped-but-alive holder never handed the lease off")
+      assert(proc.isAlive, "the handoff must not depend on the holder dying")
+      assert(st.read("probe_t").count() == 3) // seed + probe row + ours
+    } finally { proc.destroyForcibly(); () }
+  }
+
   test("fencing mid-write-storm: every acked commit survives, later commits refuse, nothing partial") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft-leasestorm").toString
