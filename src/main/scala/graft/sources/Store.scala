@@ -927,23 +927,19 @@ class Store(spark: SparkSession, val warehouse: String) {
     val est =
       if (incomingBytes > BigInt(1L << 40)) targetBytes else incomingBytes.toLong
     val nParts = math.max(1, math.ceil(est.toDouble / targetBytes).toInt)
-    val tmp = new HadoopPath(inboxRoot, s".$id-tmp")
-    df.repartition(nParts).write.mode(SaveMode.Overwrite)
-      .option("compression", "zstd").parquet(tmp.toString)
-    dataFiles(tmp).zipWithIndex.foreach { case (f, i) =>
-      if (!fs.rename(f.getPath, new HadoopPath(dir, s"fwd-$id-$i.parquet")))
-        throw new java.io.IOException(s"inbox spool rename failed: ${f.getPath}")
-    }
-    fs.delete(tmp, true)
-    val files = dataFiles(dir)
+    // writeInto keeps a hive-declared table's delta uniformly hive-shaped
+    // (key=value subdirs) — the invariant the read path's partition
+    // discovery depends on; heap tables write flat, same prefix scheme
+    writeInto(df.repartition(nParts), name, dir, s"fwd-$id")
+    val files = dataFilesRelative(dir)
     if (files.isEmpty) { fs.delete(dir, true); return 0L } // empty insert
-    val rows = footerRows(files.map(_.getPath))
+    val rows = footerRows(files.map { case (_, full) => new HadoopPath(full) })
     val om = jsonOm; val n = om.createObjectNode()
     n.put("table", name); n.put("rows", rows)
     n.put("proc", Store.procNonce); n.put("pid", ProcessHandle.current.pid)
     n.put("host", Store.hostName); n.put("ts", System.currentTimeMillis())
     val fa = n.putArray("files")
-    files.foreach(f => fa.add(f.getPath.getName))
+    files.foreach { case (rel, _) => fa.add(rel) }
     // the manifest goes last: a sweep that sees it sees complete data files
     writeBytes(new HadoopPath(inboxRoot, s"$id.req.json"), om.writeValueAsBytes(n))
     awaitAdoption(name, id, dir)
@@ -1131,26 +1127,50 @@ class Store(spark: SparkSession, val warehouse: String) {
           why, now)))
       }
       if (!versions.contains(name)) { refuse(s"no such store table: $name"); return }
-      if (layouts.get(name).exists(l => l.kind == "partitioned" || l.kind == "bucketed")) {
-        refuse(s"""table "$name" has a clustered layout; follower ingest """ +
-          "supports unclustered tables only"); return
+      if (layouts.get(name).exists(_.kind == "bucketed")) {
+        refuse(s"""table "$name" is bucketed; follower ingest supports """ +
+          "heap and hive-partitioned tables only"); return
       }
+      val hive = layouts.get(name).filter(_.kind == "partitioned")
       val phys = currentEvo(name).physical
-      val want = phys.fields.map(f => (f.name, f.dataType)).toSet
+      // hive data FILES omit the partition key columns (they live in the
+      // key=value dir names), so the file-level schema contract excludes
+      // them; heap tables compare the full physical schema
+      val keySet = hive.map(_.keys.toSet).getOrElse(Set.empty[String])
+      val want = phys.fields.filterNot(f => keySet.contains(f.name))
+        .map(f => (f.name, f.dataType)).toSet
       // precise per-manifest verdicts: a refusal kills the follower's
       // statement, so it must say exactly WHAT failed, and a transient
       // read hiccup gets one retry before it becomes a verdict
       def verdict(m: Store.InboxReq): Option[String] = {
         val src = new HadoopPath(inboxRoot, m.id)
         if (m.files.isEmpty) return Some("manifest lists no delta files")
+        // layout-shape contract BEFORE the data is touched: a flat file
+        // beside hive dirs makes Spark's partition discovery drop paths
+        // silently, so a shape mismatch (stale follower layout view) must
+        // refuse loudly here
+        if (hive.isDefined && m.files.exists(!_.contains("/")))
+          return Some(s"""table "$name" is hive-partitioned but the delta """ +
+            s"has flat files (${m.files.filterNot(_.contains("/")).take(2)
+              .mkString(", ")}); the follower's layout view may be stale")
+        if (hive.isEmpty && m.files.exists(_.contains("/")))
+          return Some(s"""table "$name" is unpartitioned but the delta has """ +
+            "partition subdirs; the follower's layout view may be stale")
         val missing = m.files.filter(nm =>
           try !fs.exists(new HadoopPath(src, nm))
           catch { case _: Exception => true })
         if (missing.nonEmpty)
           return Some(s"delta files missing from the inbox: " +
             missing.take(3).mkString(", "))
-        def readSchema() = spark.read.parquet(src.toString).schema
-          .fields.map(f => (f.name, f.dataType)).toSet
+        // hive: one LEAF file read (no partition inference — dir-borne key
+        // columns are not in the files, by design); heap: whole-dir read
+        def readSchema() = {
+          val target =
+            if (hive.isDefined) new HadoopPath(src, m.files.head).toString
+            else src.toString
+          spark.read.parquet(target).schema
+            .fields.map(f => (f.name, f.dataType)).toSet
+        }
         val got =
           try readSchema()
           catch { case _: Exception =>
@@ -1183,9 +1203,17 @@ class Store(spark: SparkSession, val warehouse: String) {
       dataFiles(cur).foreach(f => carryFileRel(cur, f.getPath, dir))
       good.foreach { m =>
         val src = new HadoopPath(inboxRoot, m.id)
-        m.files.foreach(nm => carryFile(new HadoopPath(src, nm), dir))
+        m.files.foreach { rel =>
+          val dst = new HadoopPath(dir, rel)
+          if (rel.contains("/")) fs.mkdirs(dst.getParent)
+          carryTo(new HadoopPath(src, rel), dst)
+        }
       }
-      publishVersion(name, next, good.flatMap(_.files))
+      // heap deltas register for the gateless staged-insert merge (file
+      // basenames); hive deltas don't — clustered tables keep the gate
+      // path for transactions, and the merge links by basename only
+      publishVersion(name, next,
+        if (hive.isDefined) null else good.flatMap(_.files))
       good.foreach(m => inboxDone(m.id) =
         Store.InboxDone(name, next, m.rows, ok = true, "", now))
       commitWrite(name) // catalog commit: version bump + ledger, atomically
@@ -2103,14 +2131,23 @@ class Store(spark: SparkSession, val warehouse: String) {
     val clustered = layouts.get(name)
       .exists(l => l.kind == "partitioned" || l.kind == "bucketed")
     val insertPath = staging() != null && txnConcurrent && !clustered
+    // follower ingest accepts heap tables AND hive-partitioned tables
+    // whose delta carries the partition source columns (the 100 TB
+    // bulk-ingest norm); bucketed tables stay writer-only (bucket
+    // metadata lives in the session catalog, not the files)
+    def followerWritable: Boolean = layouts.get(name) match {
+      case None => true
+      case Some(l) => l.kind == "partitioned" && hiveWritable(toPhysical(name, df0), l)
+    }
     if (insertPath) appendStagedInsert(name, df0, maxFileBytes)
     // follower ingest (opt-in): an autocommit pure insert from a process
     // that is NOT the warehouse's writer spools its delta to the inbox and
     // waits for the lease holder's adoption instead of refusing — the
     // multi-node bulk-load shape. Everything else (DDL, updates, txn
-    // writes, clustered layouts, table creation) keeps the clean refusal.
-    else if (staging() == null && txnConcurrent && !clustered &&
-        followerInsertsEnabled && exists(name) && !leaseObtainable())
+    // writes, bucketed layouts, table creation) keeps the clean refusal.
+    else if (staging() == null && txnConcurrent &&
+        followerInsertsEnabled && exists(name) && followerWritable &&
+        !leaseObtainable())
       followerAppend(name, df0, maxFileBytes)
     else withWriteLock(name)(appendBody(name, df0, maxFileBytes, insertPath = false))
   }

@@ -187,6 +187,66 @@ class FollowerIngestSpec extends SparkSpecBase {
     }
   }
 
+  test("hive-partitioned tables take follower ingest; the version stays uniform hive") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-fwdhive").toString
+    withConf("spark.graft.followerInserts" -> "true",
+        "spark.graft.inboxSweepMs" -> "600000") {
+      val st = new Store(spark, wh)
+      st.replacePartitioned("fh_t",
+        (0L until 60L).map(i => (i, s"p${i % 3}")).toDF("k", "p"), "p")
+      val v0 = st.currentVersion("fh_t")
+      val n = st.followerAppend("fh_t",
+        Seq((200L, "p1"), (201L, "p9")).toDF("k", "p"))
+      assert(n == 2)
+      assert(st.currentVersion("fh_t") == v0 + 1)
+      val got = st.read("fh_t")
+      assert(got.count() == 62)
+      assert(got.filter(col("p") === "p9").count() == 1)
+      assert(got.filter(col("p").isNull).count() == 0,
+        "partition values must come from the dir names, never null")
+      // adopted delta landed IN key=value dirs — no flat file beside them
+      val vdir = new HadoopPath(s"$wh/fh_t/v${st.currentVersion("fh_t")}")
+      val fs = vdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.listStatus(vdir).exists(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet")),
+        "no flat data file may sit beside hive partition dirs")
+      assert(st.rowCountFast("fh_t") == 62)
+      assert(inboxEntries(wh).isEmpty, inboxEntries(wh).toString)
+      // a transform layout (hidden day-partitioning) works the same way
+      st.replaceTransformPartitioned("fh_d",
+        Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+            (2L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00")))
+          .toDF("k", "ts"), "ts", "day")
+      val n2 = st.followerAppend("fh_d",
+        Seq((3L, java.sql.Timestamp.valueOf("2024-01-03 10:00:00")))
+          .toDF("k", "ts"))
+      assert(n2 == 1)
+      assert(st.read("fh_d").count() == 3)
+    }
+  }
+
+  test("a flat delta against a hive table refuses with a layout-shape error") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-fwdhiverr").toString
+    withConf("spark.graft.followerInserts" -> "true",
+        "spark.graft.inboxSweepMs" -> "600000") {
+      val st = new Store(spark, wh)
+      st.replacePartitioned("fh_e",
+        Seq((1L, "a")).toDF("k", "p"), "p")
+      val v0 = st.currentVersion("fh_e")
+      // a stale follower that didn't know the layout spools a FLAT delta
+      val id = "00000000000h1-iiii-0001"
+      enqueueRaw(wh, id, "fh_e", Seq((2L, "b")).toDF("k", "p"))
+      st.sweepInbox()
+      assert(st.currentVersion("fh_e") == v0, "flat delta must not adopt")
+      val done = java.nio.file.Paths.get(wh, "_inbox", s"$id.done.json")
+      val txt = new String(java.nio.file.Files.readAllBytes(done), "UTF-8")
+      assert(txt.contains(""""ok":false"""), txt)
+      assert(txt.contains("hive-partitioned") && txt.contains("flat"), txt)
+    }
+  }
+
   test("a staged insert transaction merges past a follower adoption that landed mid-txn") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft-fwdmerge").toString
