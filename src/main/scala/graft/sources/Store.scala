@@ -1000,13 +1000,29 @@ class Store(spark: SparkSession, val warehouse: String) {
                   s"insert within $waitMs ms)")
           }
         } else {
-          // an adoption claimed the manifest: bounded wait for its outcome
-          // (a crashed adopter is re-claimed by the next writer's sweep,
-          // which the loop's step-up path may make us)
-          val extra = System.currentTimeMillis() + waitMs
+          // an adoption claimed the manifest: wait for its outcome. The
+          // deadline EXTENDS while the adopter provably lives (its claim
+          // nonce matches a fresh lease head) — a bulk adoption, e.g. an
+          // object-store COW carry of a big table, may legitimately
+          // outlast one wait budget; a crashed adopter stops extending
+          // and is re-claimed by the next writer's sweep, which the
+          // step-up path may make us
+          var extra = System.currentTimeMillis() + waitMs
+          var lastLiveProbe = 0L
           while (outcome.isEmpty && System.currentTimeMillis() < extra) {
             outcome = readDoneFile(done)
             if (outcome.isEmpty) {
+              val now2 = System.currentTimeMillis()
+              if (now2 - lastLiveProbe >= 2000L) {
+                lastLiveProbe = now2
+                val claimProc = claimInfo(claim).collect {
+                  case (proc, _, _, false) => proc }
+                val headAlive = leaseHead().exists { case (_, st) =>
+                  now2 - st.getModificationTime < leaseTtlMs &&
+                    leaseInfo(st.getPath).map(_._1) == claimProc }
+                if (claimProc.nonEmpty && headAlive)
+                  extra = now2 + waitMs
+              }
               if (leaseEpoch == 0L && leaseLostReason == null && holderGone())
                 try ensureLease() catch { case _: IllegalStateException => () }
               if (leaseEpoch > 0L && leaseLostReason == null) sweepInbox()
