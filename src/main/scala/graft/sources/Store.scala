@@ -1402,7 +1402,12 @@ class Store(spark: SparkSession, val warehouse: String) {
     locally {
       val ttl = confLong("spark.graft.inboxDoneTtlMs", 900000L)
       val nowMs = System.currentTimeMillis()
-      inboxDone.filterInPlace((_, d) => nowMs - d.ts <= ttl)
+      // never prune an entry whose request file still exists: the ledger
+      // is what stops a successor's sweep from re-applying a crashed-ack
+      // adoption, however late that sweep runs (e.g. the flag was off)
+      inboxDone.filterInPlace((id, d) => nowMs - d.ts <= ttl ||
+        (try fs.exists(new HadoopPath(inboxRoot, s"$id.req.json"))
+         catch { case _: Exception => true }))
       val ib = rootNode.putObject("inboxDone")
       inboxDone.toSeq.sortBy(_._1).foreach { case (id, d) =>
         val o = ib.putObject(id)
