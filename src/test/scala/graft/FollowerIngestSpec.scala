@@ -302,6 +302,63 @@ class FollowerIngestSpec extends SparkSpecBase {
     }
   }
 
+  test("randomized in-JVM fuzz: concurrent follower appends + updaters keep exact ledgers") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-fwdfuzz").toString
+    withConf("spark.graft.followerInserts" -> "true",
+        "spark.graft.inboxSweepMs" -> "50") {
+      val st = new Store(spark, wh)
+      st.replace("fz_t", Seq((0L, 0L)).toDF("k", "tag"))
+      val okTags = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val rnd = new java.util.Random(20260816L)
+      def rowsFor(tag: Long) =
+        (0 until 20).map(j => (tag * 100 + j, tag)).toDF("k", "tag")
+      val followers = (1 to 4).map { w =>
+        new Thread(() => {
+          (0 until 12).foreach { i =>
+            val tag = w * 1000L + i
+            try {
+              val n = st.followerAppend("fz_t", rowsFor(tag))
+              if (n == 20) okTags.add(tag)
+              else failed.add(s"tag $tag acked $n rows")
+            } catch { case e: Exception =>
+              failed.add(s"tag $tag: ${e.getMessage}")
+            }
+          }
+        })
+      }
+      // concurrent updaters churn unrelated rows through the gate path
+      val updaters = (1 to 2).map { u =>
+        new Thread(() => {
+          (0 until 8).foreach { i =>
+            try st.upsert("fz_t",
+              Seq((-(u * 100L + i), -1L)).toDF("k", "tag"), "k")
+            catch { case e: Exception => failed.add(s"upsert: ${e.getMessage}") }
+            Thread.sleep(rnd.nextInt(60).toLong)
+          }
+        })
+      }
+      (followers ++ updaters).foreach(_.start())
+      (followers ++ updaters).foreach(_.join(300000))
+      assert((followers ++ updaters).forall(!_.isAlive), "fuzz hung")
+      assert(failed.isEmpty, s"unexpected failures: ${
+        import scala.jdk.CollectionConverters._
+        failed.asScala.take(5).mkString(" | ")}")
+      import scala.jdk.CollectionConverters._
+      val tags = okTags.asScala.toSet
+      assert(tags.size == 48, s"all follower batches must ack: ${tags.size}")
+      val byTag = st.read("fz_t").filter(col("tag") > 0)
+        .groupBy("tag").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(byTag.keySet == tags, s"present != acked: ${
+        (byTag.keySet diff tags) ++ (tags diff byTag.keySet)}")
+      assert(byTag.values.forall(_ == 20), "a batch is partial or duplicated")
+      assert(st.read("fz_t").filter(col("tag") === -1L).count() == 16)
+      assert(inboxEntries(wh).isEmpty, inboxEntries(wh).toString)
+    }
+  }
+
   // ---- forked-JVM cases ---------------------------------------------------
 
   private val addOpens = Seq(
