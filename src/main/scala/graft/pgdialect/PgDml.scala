@@ -35,10 +35,10 @@ object PgDml {
   def execute(spark: SparkSession, store: Store, stmt: String): Option[PgResult] = {
     val s = stmt.trim.stripSuffix(";").trim
     firstWord(s).toUpperCase match {
-      case "INSERT" => Some(insert(spark, store, s))
-      case "UPDATE" => Some(update(spark, store, s))
-      case "DELETE" => Some(delete(spark, store, s))
-      case "MERGE" => Some(merge(spark, store, s))
+      case "INSERT" => Some(forwardable(store, s)(insert(spark, store, s)))
+      case "UPDATE" => Some(forwardable(store, s)(update(spark, store, s)))
+      case "DELETE" => Some(forwardable(store, s)(delete(spark, store, s)))
+      case "MERGE" => Some(forwardable(store, s)(merge(spark, store, s)))
       case "TRUNCATE" => Some(truncate(spark, store, s))
       case "VACUUM" => Some(vacuum(spark, store, s))
       case "CREATE" => createTable(spark, store, s)
@@ -46,6 +46,25 @@ object PgDml {
       case _ => None
     }
   }
+
+  /** Statement forwarding (opt-in spark.graft.statementForwarding): when a
+    * plain autocommit DML statement refuses because ANOTHER process holds
+    * the warehouse writer lease, forward the statement text through the
+    * inbox for the lease holder to execute and return ITS command tag.
+    * Autocommit-only (a transaction's statements must all run on one
+    * engine), and never for RETURNING (rows can't ride the inbox ack).
+    * DDL (CREATE/ALTER/TRUNCATE/VACUUM) stays writer-only — schema
+    * changes belong to the chain's author. */
+  private def forwardable(store: Store, sql: String)(body: => PgResult): PgResult =
+    try body
+    catch {
+      case e: IllegalStateException
+          if store.statementForwardingEnabled && !store.stagingActive &&
+            !"(?i)\\bRETURNING\\b".r.findFirstIn(sql).isDefined &&
+            Option(e.getMessage)
+              .exists(_.contains("another writer process holds the lease")) =>
+        Command(store.forwardStatement(sql))
+    }
 
   // ---- ALTER TABLE … COLUMN (metadata-only schema evolution) -------------
 

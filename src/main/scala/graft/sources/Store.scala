@@ -888,6 +888,7 @@ class Store(spark: SparkSession, val warehouse: String) {
     val om = jsonOm; val n = om.createObjectNode()
     n.put("table", d.table); n.put("version", d.version); n.put("rows", d.rows)
     n.put("ok", d.ok); if (d.err.nonEmpty) n.put("err", d.err)
+    if (d.tag.nonEmpty) n.put("tag", d.tag)
     n.put("ts", d.ts)
     om.writeValueAsBytes(n)
   }
@@ -899,7 +900,8 @@ class Store(spark: SparkSession, val warehouse: String) {
         Some(Store.InboxDone(n.get("table").asText, n.get("version").asInt,
           n.get("rows").asLong, n.get("ok").asBoolean,
           Option(n.get("err")).map(_.asText).getOrElse(""),
-          Option(n.get("ts")).map(_.asLong).getOrElse(0L)))
+          Option(n.get("ts")).map(_.asLong).getOrElse(0L),
+          Option(n.get("tag")).map(_.asText).getOrElse("")))
       }
     } catch { case _: Exception => None } // racing write; next poll rereads
 
@@ -956,6 +958,19 @@ class Store(spark: SparkSession, val warehouse: String) {
   private def awaitAdoption(name: String, id: String,
       dir: HadoopPath): Long = {
     val req = new HadoopPath(inboxRoot, s"$id.req.json")
+    val d = awaitInboxOutcome(id, req,
+      cleanupCancel = () => { fs.delete(req, false); fs.delete(dir, true); () },
+      what = s"""follower insert on relation "$name"""")
+    finishAdoption(name, d, new HadoopPath(inboxRoot, s"$id.done.json"))
+  }
+
+  /** Shared follower-side wait: poll the done file, step up if the writer
+    * dies, cancel cleanly on timeout via the claim arbitration, and keep
+    * extending the deadline while a claimed execution's owner provably
+    * lives. Returns the outcome; throws the lock-timeout or
+    * outcome-unknown shapes. */
+  private def awaitInboxOutcome(id: String, req: HadoopPath,
+      cleanupCancel: () => Unit, what: String): Store.InboxDone = {
     val done = new HadoopPath(inboxRoot, s"$id.done.json")
     val waitMs = confLong("spark.graft.followerWaitMs", 60000L)
     val deadline = System.currentTimeMillis() + waitMs
@@ -980,31 +995,30 @@ class Store(spark: SparkSession, val warehouse: String) {
       }
     }
     outcome match {
-      case Some(d) => finishAdoption(name, d, done)
+      case Some(d) => d
       case None =>
-        // timed out: a cancel claim wins iff no adoption claimed first
+        // timed out: a cancel claim wins iff no execution claimed first
         val claim = new HadoopPath(inboxRoot, s"$id.claim.json")
         if (exclusiveCreate(claim, claimBytes(cancel = true))) {
-          // the adoption may have fully completed (its claim cleaned up)
+          // the execution may have fully completed (its claim cleaned up)
           // in the window before our cancel landed
           readDoneFile(done) match {
             case Some(d) =>
               fs.delete(claim, false)
-              finishAdoption(name, d, done)
+              d
             case None =>
-              fs.delete(req, false); fs.delete(dir, true)
+              cleanupCancel()
               fs.delete(claim, false)
               throw new IllegalStateException(
-                "canceling statement due to lock timeout on relation " +
-                  s""""$name" (no writer process adopted this follower """ +
-                  s"insert within $waitMs ms)")
+                "canceling statement due to lock timeout: no writer " +
+                  s"process took on $what within $waitMs ms")
           }
         } else {
-          // an adoption claimed the manifest: wait for its outcome. The
-          // deadline EXTENDS while the adopter provably lives (its claim
+          // an execution claimed the manifest: wait for its outcome. The
+          // deadline EXTENDS while the claimant provably lives (its claim
           // nonce matches a fresh lease head) — a bulk adoption, e.g. an
           // object-store COW carry of a big table, may legitimately
-          // outlast one wait budget; a crashed adopter stops extending
+          // outlast one wait budget; a crashed claimant stops extending
           // and is re-claimed by the next writer's sweep, which the
           // step-up path may make us
           var extra = System.currentTimeMillis() + waitMs
@@ -1029,12 +1043,11 @@ class Store(spark: SparkSession, val warehouse: String) {
               if (outcome.isEmpty) Thread.sleep(50L)
             }
           }
-          outcome.map(finishAdoption(name, _, done)).getOrElse(
+          outcome.getOrElse(
             throw new IllegalStateException(
-              s"""follower insert on "$name" was claimed by a writer but """ +
-                "its outcome is unknown (the writer may have crashed " +
-                "mid-adoption; the next writer's sweep adopts or " +
-                "garbage-collects the delta)"))
+              s"$what was claimed by a writer but its outcome is unknown " +
+                "(the writer may have crashed mid-execution; the next " +
+                "writer's sweep takes it over or garbage-collects it)"))
         }
     }
   }
@@ -1060,6 +1073,88 @@ class Store(spark: SparkSession, val warehouse: String) {
     if (leaseEpoch > 0L) return
     val disk = catalogSnapshots().lastOption.map(_._1).getOrElse(0L)
     if (disk > catalogSeq) loadCatalogSnapshot(clear = true)
+  }
+
+  // ---- statement forwarding: any node accepts autocommit DML -------------
+  // Follower ingest moves DATA (pure inserts); statement forwarding moves
+  // the STATEMENT: a non-holder process spools one autocommit DML text
+  // into `_inbox/<id>.stmt.json`, the lease holder executes it through
+  // the normal PgDml path under ITS session, and the command tag comes
+  // back through the same claim/done/ledger protocol. Exactly-once: the
+  // executing writer marks the id into the SAME catalog snapshot as the
+  // statement's commit (pendingStmtLedger is drained by persistCatalog on
+  // the executing thread), so a crash-successor finishes the ack and
+  // never re-executes. Contract: data-plane DML only — the statement runs
+  // under the writer's session defaults (timezone, GUCs), no RETURNING,
+  // no transaction blocks; PgDml's router enforces the shape.
+  private val pendingStmtLedger = new ThreadLocal[String]()
+  private[graft] def statementForwardingEnabled: Boolean =
+    spark.conf.getOption("spark.graft.statementForwarding")
+      .exists(_.equalsIgnoreCase("true"))
+  /** Is a transaction staging bound on this thread? (Forwarding is
+    * autocommit-only: a txn's statements must all run on one engine.) */
+  private[graft] def stagingActive: Boolean = staging() != null
+
+  /** Spool one autocommit DML statement for execution by the lease holder
+    * and wait for its outcome; returns the command tag. */
+  private[graft] def forwardStatement(sql: String): String = {
+    val id = f"${System.currentTimeMillis()}%013d-${Store.procNonce.take(8)}" +
+      f"-${Store.inboxSeq.incrementAndGet()}%04d"
+    val om = jsonOm; val n = om.createObjectNode()
+    n.put("sql", sql)
+    n.put("proc", Store.procNonce); n.put("pid", ProcessHandle.current.pid)
+    n.put("host", Store.hostName); n.put("ts", System.currentTimeMillis())
+    fs.mkdirs(inboxRoot)
+    val req = new HadoopPath(inboxRoot, s"$id.stmt.json")
+    writeBytes(req, om.writeValueAsBytes(n))
+    val d = awaitInboxOutcome(id, req,
+      cleanupCancel = () => { fs.delete(req, false); () },
+      what = "this forwarded statement")
+    try fs.delete(new HadoopPath(inboxRoot, s"$id.done.json"), false)
+    catch { case _: Exception => () }
+    if (!d.ok)
+      throw new IllegalStateException(
+        s"forwarded statement refused by the writer: ${d.err}")
+    // read-your-writes before returning the tag
+    if (leaseEpoch == 0L) forceReaderSync()
+    if (d.tag.nonEmpty) d.tag
+    else throw new IllegalStateException(
+      "the forwarded statement committed, but its command tag was lost " +
+        "to a writer crash; verify the effect before retrying")
+  }
+
+  /** Holder side: execute one claimed forwarded statement and acknowledge
+    * with its command tag (or the error). */
+  private def executeForwarded(id: String, sql: String): Unit = {
+    val now = System.currentTimeMillis()
+    pendingStmtLedger.set(id)
+    val outcome =
+      try {
+        PgDml.execute(spark, this, sql) match {
+          case Some(PgDialect.Command(tag)) =>
+            Store.InboxDone("", 0, 0L, ok = true, "", now, tag)
+          case Some(_) =>
+            Store.InboxDone("", 0, 0L, ok = false,
+              "forwarded statements cannot return rows " +
+                "(RETURNING and queries are not forwardable)", now)
+          case None =>
+            Store.InboxDone("", 0, 0L, ok = false,
+              "not a forwardable DML statement", now)
+        }
+      } catch {
+        case e: Exception =>
+          // OUR shutdown: leave the claim for a successor, never turn it
+          // into a refusal verdict
+          if (spark.sparkContext.isStopped) throw e
+          Store.InboxDone("", 0, 0L, ok = false,
+            Option(e.getMessage).getOrElse(e.getClass.getName), now)
+      } finally pendingStmtLedger.remove()
+    // the mid-statement persist may have recorded the mark without the
+    // tag; upgrade the in-memory entry so OUR ack carries the real tag.
+    // On failure drop any mark — a failed single-publish statement left
+    // no commit, and the error ack below is the outcome of record.
+    if (outcome.ok) inboxDone(id) = outcome else inboxDone.remove(id)
+    ackOne(id, outcome)
   }
 
   /** One adoption cycle: claim every pending manifest, adopt them grouped
@@ -1093,42 +1188,60 @@ class Store(spark: SparkSession, val warehouse: String) {
             }
         }
       }
+      // forwarded statements execute AFTER delta adoptions, in id (≈ FIFO)
+      // order; each statement is its own claim + ledger entry
+      Option(fs.globStatus(new HadoopPath(inboxRoot, "*.stmt.json")))
+        .getOrElse(Array.empty[FileStatus]).toSeq.sortBy(_.getPath.getName)
+        .foreach { st =>
+          val id = st.getPath.getName.stripSuffix(".stmt.json")
+          if (claimManifest(id)) {
+            val sql =
+              try Some(jsonOm.readTree(readBytes(st.getPath)).get("sql").asText)
+              catch { case _: Exception => None } // racing enqueue
+            sql.foreach(executeForwarded(id, _))
+          }
+        }
       gcInbox()
     } finally sweepBusy.set(false)
   }
 
-  private def claimOne(req: HadoopPath): Option[Store.InboxReq] = {
-    val id = req.getName.stripSuffix(".req.json")
+  /** Claim arbitration for inbox manifest `id`: true when THIS process
+    * now holds the claim. A ledger hit (a predecessor crashed between its
+    * catalog commit and the ack) finishes the acknowledgement instead —
+    * never re-applies; follower cancels and dead claimants are resolved
+    * exactly as before. */
+  private def claimManifest(id: String): Boolean = {
     val claim = new HadoopPath(inboxRoot, s"$id.claim.json")
-    def parse(): Option[Store.InboxReq] =
-      try {
-        val n = jsonOm.readTree(readBytes(req))
-        Some(Store.InboxReq(id, n.get("table").asText, n.get("rows").asLong,
-          n.get("files").asScala.toSeq.map(_.asText)))
-      } catch { case _: Exception => None } // racing enqueue; next sweep
-    // a predecessor crashed between its catalog commit and the ack: the
-    // ledger remembers — finish the acknowledgement, never re-apply
     inboxDone.get(id) match {
-      case Some(d) => ackOne(id, d); return None
+      case Some(d) => ackOne(id, d); return false
       case None =>
     }
-    if (exclusiveCreate(claim, claimBytes(cancel = false))) return parse()
+    if (exclusiveCreate(claim, claimBytes(cancel = false))) return true
     claimInfo(claim) match {
       case Some((proc, pid, host, cancel)) =>
         val dead = host == Store.hostName && !pidAlive(pid)
-        if (proc == Store.procNonce) parse() // our crashed sweep: resume
-        else if (cancel && dead) { cleanupInbox(id); None }
-        else if (cancel) None // the follower is cleaning up its timeout
+        if (proc == Store.procNonce) true // our crashed sweep: resume
+        else if (cancel && dead) { cleanupInbox(id); false }
+        else if (cancel) false // the follower is cleaning up its timeout
         else if (dead) {
           // a dead previous holder's claim: take it over (the ledger check
           // above already ruled out a completed-but-unacked adoption)
           fs.delete(claim, false)
-          if (exclusiveCreate(claim, claimBytes(cancel = false))) parse()
-          else None
-        } else None // a live fenced holder: its publish retracts, or its
-                    // done ledger reaches us via the chain — next sweep
-      case None => None // unreadable mid-write; next sweep
+          exclusiveCreate(claim, claimBytes(cancel = false))
+        } else false // a live fenced holder: its publish retracts, or its
+                     // done ledger reaches us via the chain — next sweep
+      case None => false // unreadable mid-write; next sweep
     }
+  }
+
+  private def claimOne(req: HadoopPath): Option[Store.InboxReq] = {
+    val id = req.getName.stripSuffix(".req.json")
+    if (!claimManifest(id)) return None
+    try {
+      val n = jsonOm.readTree(readBytes(req))
+      Some(Store.InboxReq(id, n.get("table").asText, n.get("rows").asLong,
+        n.get("files").asScala.toSeq.map(_.asText)))
+    } catch { case _: Exception => None } // racing enqueue; next sweep
   }
 
   /** Adopt every claimed manifest of `name` as ONE new pure-insert version:
@@ -1245,6 +1358,7 @@ class Store(spark: SparkSession, val warehouse: String) {
   private def cleanupInbox(id: String, keepDone: Boolean = false): Unit = {
     try {
       fs.delete(new HadoopPath(inboxRoot, s"$id.req.json"), false)
+      fs.delete(new HadoopPath(inboxRoot, s"$id.stmt.json"), false)
       fs.delete(new HadoopPath(inboxRoot, s"$id.claim.json"), false)
       fs.delete(new HadoopPath(inboxRoot, id), true)
       if (!keepDone)
@@ -1284,6 +1398,18 @@ class Store(spark: SparkSession, val warehouse: String) {
       .filter(st => now - st.getModificationTime > ttl)
       .foreach(st => try fs.delete(st.getPath, false)
         catch { case _: Exception => () })
+    // a corrupt statement manifest (follower died mid-write) would loop
+    // the sweep's claim-parse forever: unreadable past the TTL → cleanup
+    Option(fs.globStatus(new HadoopPath(inboxRoot, "*.stmt.json")))
+      .getOrElse(Array.empty[FileStatus])
+      .filter(st => now - st.getModificationTime > ttl)
+      .foreach { st =>
+        val readable =
+          try jsonOm.readTree(readBytes(st.getPath)).get("sql") != null
+          catch { case _: Exception => false }
+        if (!readable)
+          cleanupInbox(st.getPath.getName.stripSuffix(".stmt.json"))
+      }
     // manifest-less delta dirs and abandoned spool tmp dirs (a follower
     // died mid-enqueue); the TTL keeps an in-flight slow spool safe
     Option(fs.globStatus(new HadoopPath(inboxRoot, "*")))
@@ -1408,12 +1534,22 @@ class Store(spark: SparkSession, val warehouse: String) {
       inboxDone.filterInPlace((id, d) => nowMs - d.ts <= ttl ||
         (try fs.exists(new HadoopPath(inboxRoot, s"$id.req.json"))
          catch { case _: Exception => true }))
+      // a forwarded statement in flight ON THIS THREAD marks itself into
+      // the same snapshot as the commit it produces — the crash-successor
+      // reads the mark and never re-executes (tag stays empty: the row
+      // count died with the writer, the effect did not)
+      Option(pendingStmtLedger.get).foreach { id =>
+        if (!inboxDone.contains(id))
+          inboxDone(id) = Store.InboxDone("", 0, 0L, ok = true, "",
+            System.currentTimeMillis())
+      }
       val ib = rootNode.putObject("inboxDone")
       inboxDone.toSeq.sortBy(_._1).foreach { case (id, d) =>
         val o = ib.putObject(id)
         o.put("table", d.table); o.put("version", d.version)
         o.put("rows", d.rows); o.put("ok", d.ok)
         if (d.err.nonEmpty) o.put("err", d.err)
+        if (d.tag.nonEmpty) o.put("tag", d.tag)
         o.put("ts", d.ts)
       }
     }
@@ -1563,7 +1699,8 @@ class Store(spark: SparkSession, val warehouse: String) {
         inboxDone(e.getKey) = Store.InboxDone(o.get("table").asText,
           o.get("version").asInt, o.get("rows").asLong, o.get("ok").asBoolean,
           Option(o.get("err")).map(_.asText).getOrElse(""),
-          o.get("ts").asLong)
+          o.get("ts").asLong,
+          Option(o.get("tag")).map(_.asText).getOrElse(""))
       })
       Option(rootNode.get("dedupIdx")).foreach(_.fields.asScala.foreach { e =>
         val Array(t, fam) = e.getKey.split("/", 2)
@@ -4634,12 +4771,15 @@ object Store {
     })
   private[graft] val inboxSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** Outcome of one adopted (or refused) follower delta; `ok = true`
-    * entries also live in the catalog snapshot's `inboxDone` ledger —
-    * written atomically with the version bump they describe, which is
-    * what makes adoption exactly-once across writer crashes. */
+  /** Outcome of one adopted (or refused) follower delta or forwarded
+    * statement; `ok = true` entries also live in the catalog snapshot's
+    * `inboxDone` ledger — written atomically with the commit they
+    * describe, which is what makes adoption/execution exactly-once
+    * across writer crashes. `tag` carries a forwarded statement's
+    * command tag ("UPDATE 3"); empty for delta adoptions, and empty in
+    * a crash-recovered ledger ack (the count died with the writer). */
   private[graft] final case class InboxDone(table: String, version: Int,
-      rows: Long, ok: Boolean, err: String, ts: Long)
+      rows: Long, ok: Boolean, err: String, ts: Long, tag: String = "")
   /** Parsed follower manifest: the delta files of `_inbox/<id>/`. */
   private[graft] final case class InboxReq(id: String, table: String,
       rows: Long, files: Seq[String])

@@ -38,6 +38,11 @@ object ServeMain {
     // Set it on every participating server process.
     if (sys.env.get("GRAFT_FOLLOWER_INSERTS").exists(v => v == "1" || v == "on"))
       spark.conf.set("spark.graft.followerInserts", "true")
+    // GRAFT_STATEMENT_FORWARDING=1 additionally forwards autocommit
+    // UPDATE/DELETE/MERGE (and INSERTs when follower ingest is off) to the
+    // lease holder for execution — any node accepts data-plane DML
+    if (sys.env.get("GRAFT_STATEMENT_FORWARDING").exists(v => v == "1" || v == "on"))
+      spark.conf.set("spark.graft.statementForwarding", "true")
     // credential config, like the reference's --database/--user flags:
     // database always validated, user only when configured
     val bound = new PgWireServer(spark, store, port,

@@ -173,7 +173,7 @@ class FollowerIngestSpec extends SparkSpecBase {
         st.appendCompacting("t", Seq((2L, 2L)).toDF("k", "n"))
       }
       assert(e.getMessage.contains("lock timeout"), e.getMessage)
-      assert(e.getMessage.contains("no writer process adopted"), e.getMessage)
+      assert(e.getMessage.contains("no writer process took on"), e.getMessage)
       // the cancel cleaned everything; nothing for a later writer to adopt
       assert(inboxEntries(wh).isEmpty, inboxEntries(wh).toString)
       assert(st.read("t").count() == 1)
@@ -356,6 +356,56 @@ class FollowerIngestSpec extends SparkSpecBase {
       assert(byTag.values.forall(_ == 20), "a batch is partial or duplicated")
       assert(st.read("fz_t").filter(col("tag") === -1L).count() == 16)
       assert(inboxEntries(wh).isEmpty, inboxEntries(wh).toString)
+    }
+  }
+
+  test("statement forwarding: UPDATE/DELETE/MERGE execute on the holder with real tags") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-fwdstmt").toString
+    withConf("spark.graft.statementForwarding" -> "true",
+        "spark.graft.inboxSweepMs" -> "600000") {
+      val st = new Store(spark, wh)
+      st.replace("fs_t", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+      // direct protocol drive: this process is its own adopter
+      assert(st.forwardStatement("UPDATE fs_t SET v = 'x' WHERE k <= 2")
+        == "UPDATE 2")
+      assert(st.read("fs_t").filter(col("v") === "x").count() == 2)
+      assert(st.forwardStatement("DELETE FROM fs_t WHERE k = 3") == "DELETE 1")
+      assert(st.read("fs_t").count() == 2)
+      assert(st.forwardStatement(
+        "INSERT INTO fs_t VALUES (9, 'i')").startsWith("INSERT 0 1"))
+      assert(st.read("fs_t").count() == 3)
+      // a failing statement comes back as the writer's error, not a hang
+      val e = intercept[IllegalStateException] {
+        st.forwardStatement("UPDATE no_such_table SET v = 'x'")
+      }
+      assert(e.getMessage.contains("refused by the writer"), e.getMessage)
+      assert(inboxEntries(wh).isEmpty, inboxEntries(wh).toString)
+    }
+  }
+
+  test("statement forwarding is autocommit-only: a transaction's DML keeps the lease refusal") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-fwdstmttxn").toString
+    withConf("spark.graft.statementForwarding" -> "true") {
+      val st = new Store(spark, wh)
+      st.replace("ft_t", Seq((1L, "a")).toDF("k", "v"))
+      st.releaseLease()
+      val lease = java.nio.file.Paths.get(wh, "_lease.e7.json")
+      java.nio.file.Files.write(lease,
+        """{"proc":"foreign-nonce","pid":1,"host":"some-other-host","ts":0}"""
+          .getBytes("UTF-8"))
+      lease.toFile.setLastModified(System.currentTimeMillis() + st.leaseTtlMs / 2)
+      val s = st.newStaging()
+      val e = intercept[IllegalStateException] {
+        st.withStaging(s)(
+          PgDml.execute(spark, st, "UPDATE ft_t SET v = 'x' WHERE k = 1"))
+      }
+      assert(e.getMessage.contains("another writer process holds the lease"),
+        e.getMessage)
+      st.abortStaging(s)
+      assert(inboxEntries(wh).isEmpty, "a txn statement must never spool")
+      java.nio.file.Files.delete(lease)
     }
   }
 
@@ -559,6 +609,7 @@ class FollowerIngestSpec extends SparkSpecBase {
       val pb = new ProcessBuilder(cmd: _*)
       pb.environment().put("GRAFT_WAREHOUSE", wh)
       pb.environment().put("GRAFT_FOLLOWER_INSERTS", "1")
+      pb.environment().put("GRAFT_STATEMENT_FORWARDING", "1")
       pb.environment().put("SPARK_GRAFT_CPUS", "2")
       pb.redirectErrorStream(true)
       val proc = pb.start()
@@ -607,9 +658,15 @@ class FollowerIngestSpec extends SparkSpecBase {
         val rows = query("SELECT count(*) AS n FROM fw_t WHERE v = 'wire'")
           .filter(_._1 == 'D')
         assert(rows.nonEmpty, "follower must see its own adopted insert")
+        // statement forwarding: the client's UPDATE executes on the HOLDER
+        // and the real command tag comes back over the wire
+        val utag = query("UPDATE fw_t SET v = 'upd' WHERE k = 1")
+          .find(_._1 == 'C').map(m => new String(m._2, "UTF-8"))
+        assert(utag.exists(_.startsWith("UPDATE 1")), s"got: $utag")
         sock.close()
-        // and the HOLDER sees it on its own chain
+        // and the HOLDER sees both effects on its own chain
         assert(holder.read("fw_t").filter(col("v") === "wire").count() == 1)
+        assert(holder.read("fw_t").filter(col("v") === "upd").count() == 1)
         assert(holder.read("fw_t").count() == 2)
       } finally { proc.destroyForcibly(); () }
     }
