@@ -650,7 +650,7 @@ class Store(spark: SparkSession, val warehouse: String) {
       val fut = Store.inboxSweeper.scheduleAtFixedRate(
         () => ref.get match {
           case null => Option(holder.get).foreach(_.cancel(false))
-          case s => if (s.followerInsertsEnabled)
+          case s => if (s.followerInsertsEnabled || s.statementForwardingEnabled)
             try s.sweepInbox() catch { case _: Exception => () }
         },
         period, period, java.util.concurrent.TimeUnit.MILLISECONDS)

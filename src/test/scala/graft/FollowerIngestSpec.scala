@@ -384,6 +384,34 @@ class FollowerIngestSpec extends SparkSpecBase {
     }
   }
 
+  test("the periodic sweep serves statement forwarding even with follower ingest OFF") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-fwdstmtonly").toString
+    // ONLY the forwarding flag — the sweep gate must fire for it too (a
+    // holder with follower ingest off once never swept, so forwarded
+    // statements timed out); default sweep period, no direct sweep calls
+    withConf("spark.graft.statementForwarding" -> "true") {
+      val st = new Store(spark, wh)
+      st.replace("sg_t", Seq((1L, "a")).toDF("k", "v")) // claims + schedules
+      val id = "00000000000s1-jjjj-0001"
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(wh, "_inbox"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(wh, "_inbox", s"$id.stmt.json"),
+        """{"sql":"UPDATE sg_t SET v = 'swept' WHERE k = 1"}"""
+          .getBytes("UTF-8"))
+      val done = java.nio.file.Paths.get(wh, "_inbox", s"$id.done.json")
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (!java.nio.file.Files.exists(done) && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(java.nio.file.Files.exists(done),
+        "the periodic sweep never executed the forwarded statement")
+      val txt = new String(java.nio.file.Files.readAllBytes(done), "UTF-8")
+      assert(txt.contains(""""ok":true""") && txt.contains("UPDATE 1"), txt)
+      assert(st.read("sg_t").head.getString(1) == "swept")
+    }
+  }
+
   test("statement forwarding is autocommit-only: a transaction's DML keeps the lease refusal") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft-fwdstmttxn").toString
