@@ -453,7 +453,9 @@ class FollowerIngestSpec extends SparkSpecBase {
       : (Process, java.util.concurrent.atomic.AtomicInteger) = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val flag =
-      if (followerFlag) Seq("-Dspark.graft.followerInserts=true") else Seq.empty
+      if (followerFlag) Seq("-Dspark.graft.followerInserts=true",
+        "-Dspark.graft.statementForwarding=true")
+      else Seq.empty
     val cmd = Seq(javaBin) ++ addOpens ++ flag ++ Seq(
       "-Xmx3g", "-Dspark.ui.enabled=false",
       "-cp", System.getProperty("java.class.path"),
@@ -496,6 +498,14 @@ class FollowerIngestSpec extends SparkSpecBase {
           "follower rows missing after adoption")
         // the snapshot interleaves whole writer batches with our delta
         assert((df.count() - 10) % batch == 0)
+        // statement forwarding against the same LIVE foreign writer: the
+        // DELETE executes over there and the exact tag comes back
+        spark.conf.set("spark.graft.statementForwarding", "true")
+        try {
+          assert(st.forwardStatement("DELETE FROM crash_t WHERE b = -5")
+            == "DELETE 10")
+          assert(st.read("crash_t").filter(col("b") === -5L).count() == 0)
+        } finally spark.conf.unset("spark.graft.statementForwarding")
         // and the follower never took the lease: the chain's author is
         // still the forked writer
         val leases = new java.io.File(wh).listFiles.map(_.getName)
