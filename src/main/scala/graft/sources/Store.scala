@@ -1143,9 +1143,11 @@ class Store(spark: SparkSession, val warehouse: String) {
         }
       } catch {
         case e: Exception =>
-          // OUR shutdown: leave the claim for a successor, never turn it
-          // into a refusal verdict
-          if (spark.sparkContext.isStopped) throw e
+          // OUR shutdown or fencing: leave the claim for a successor —
+          // a fenced process's retracted commit can survive via the
+          // claimant's reload, so an error ack here could contradict an
+          // effect that actually landed
+          if (spark.sparkContext.isStopped || leaseLostReason != null) throw e
           Store.InboxDone("", 0, 0L, ok = false,
             Option(e.getMessage).getOrElse(e.getClass.getName), now)
       } finally pendingStmtLedger.remove()
@@ -1177,10 +1179,13 @@ class Store(spark: SparkSession, val warehouse: String) {
         try adoptBatch(t, ms)
         catch {
           case e: Exception =>
-            // shutdown mid-adoption: leave the claim — a successor writer
-            // takes over a dead process's claim and re-adopts; only a
-            // genuine adoption failure becomes the follower's error
-            if (!spark.sparkContext.isStopped) {
+            // shutdown or fencing mid-adoption: leave the claim — a
+            // fenced process's retracted commit may still SURVIVE via the
+            // claimant's reload (ledger and all), so a refusal here could
+            // contradict a commit that actually happened; the successor's
+            // ledger check or claim takeover resolves it either way. Only
+            // a genuine adoption failure becomes the follower's error.
+            if (!spark.sparkContext.isStopped && leaseLostReason == null) {
               val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
               ms.foreach(m => ackOne(m.id,
                 Store.InboxDone(t, 0, 0L, ok = false, msg,
