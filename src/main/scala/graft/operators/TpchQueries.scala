@@ -180,9 +180,16 @@ object TpchQueries {
       GROUP BY l_orderkey, o_orderdate
       ORDER BY revenue DESC, o_orderdate, l_orderkey
       LIMIT 10""")) { (s, dir) =>
+      // r13: the o_orderdate < X window keeps ~95% of orders — the planner
+      // still broadcast it (140k rows x 3 cols hash-built on the driver per
+      // execution). SHUFFLE_HASH moves the build into the task: zero
+      // exchange under the orderkey-clustered cache/bucketing, and at any
+      // scale this near-unfiltered join is past the broadcast gate anyway
+      // (guide §3.1: shuffled hash over sort-merge, no sort).
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") > ts("1998-03-15"))
-        .join(t(s, dir, "orders").filter(col("o_orderdate") < ts("1998-03-15")),
+        .join(t(s, dir, "orders").filter(col("o_orderdate") < ts("1998-03-15"))
+            .hint("shuffle_hash"),
           col("l_orderkey") === col("o_orderkey"))
         .join(bdim(s, dir, "customer")(_.filter(col("c_mktsegment") === "BUILDING")),
           col("o_custkey") === col("c_custkey"))
@@ -193,7 +200,17 @@ object TpchQueries {
         .limit(10)
     },
 
-    // q4 shape: EXISTS with a correlated extra predicate -> left-semi join
+    // q4 shape: EXISTS with a correlated extra predicate. r13: the literal
+    // left-semi plan broadcast-built the WHOLE lineitem side (600k rows at
+    // sf0.1 — a ~300 ms driver-side HashedRelation build per execution, and
+    // a forced multi-GB broadcast the moment a scale-up crosses the 64m
+    // gate). EXISTS(l_shipdate > o_orderdate) per order is exactly
+    // max(l_shipdate) > o_orderdate (empty/all-null group -> NULL -> false,
+    // same as EXISTS over no rows), so aggregate lineitem per order first —
+    // exchange-free under the orderkey-clustered cache layout, one narrow
+    // two-column shuffle at cluster scale — and join the 3-month order
+    // window against it (guide §3.1: broadcast the side that is small,
+    // never the fact table).
     Q("q04_order_priority", Some("""
       SELECT o_orderpriority, count(*) AS order_count
       FROM orders
@@ -205,9 +222,16 @@ object TpchQueries {
       ORDER BY o_orderpriority""")) { (s, dir) =>
       val o = t(s, dir, "orders")
         .filter(col("o_orderdate") >= ts("1997-01-01") && col("o_orderdate") < ts("1997-04-01"))
-      o.join(t(s, dir, "lineitem"),
-          col("l_orderkey") === col("o_orderkey") && col("l_shipdate") > col("o_orderdate"),
-          "left_semi")
+      // Pre-filter before the aggregate (guide §2.3): any qualifying line
+      // has l_shipdate > o_orderdate >= window start, so lines at or before
+      // the window start can never satisfy the EXISTS — dropping them
+      // changes no order's verdict and cuts the aggregate input ~4x.
+      val latestShip = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > ts("1997-01-01"))
+        .groupBy(col("l_orderkey"))
+        .agg(max(col("l_shipdate")).as("mx_ship"))
+      latestShip.join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("mx_ship") > col("o_orderdate"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("order_count"))
         .orderBy("o_orderpriority")
@@ -269,9 +293,13 @@ object TpchQueries {
         col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
       val n2 = t(s, dir, "nation").select(
         col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      // r13: unfiltered orders side — SHUFFLE_HASH instead of a 150k-row
+      // driver broadcast build per execution (zero exchange under the
+      // orderkey clustering; SHJ-not-SMJ at shuffle scale, guide §3.1)
       t(s, dir, "lineitem")
         .filter(col("l_shipdate").between(ts("1996-01-01"), ts("1997-12-31")))
-        .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "orders").hint("shuffle_hash"),
+          col("o_orderkey") === col("l_orderkey"))
         .join(bdim(s, dir, "supplier")(), col("s_suppkey") === col("l_suppkey"))
         .join(bdim(s, dir, "customer")(), col("c_custkey") === col("o_custkey"))
         .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
@@ -336,6 +364,14 @@ object TpchQueries {
       ORDER BY nation, o_year DESC""")) { (s, dir) =>
       val amount = discProd -
         cents(col("p_retailprice")) * col("l_quantity").cast("long") * lit(100L)
+      // r13: examined and deliberately left on the broadcast plan. The
+      // 12.5%-selective part join runs first (guide §2.3), so by the time
+      // the orders join happens the stream is ~75k rows; a SHUFFLE_HASH
+      // hint here was measured 40% SLOWER control-normalized — with
+      // broadcast joins interposed Spark 4.1 re-shuffles both shuffled-join
+      // sides (ENSURE_REQUIREMENTS over SinglePartition children), and
+      // those two exchanges cost more than the driver-side orders build
+      // they remove. At scale the 64m auto-threshold retires the broadcast.
       t(s, dir, "lineitem")
         .join(bdim(s, dir, "part")(_.filter(col("p_name").like("%widget%"))),
           col("p_partkey") === col("l_partkey"))
@@ -411,7 +447,9 @@ object TpchQueries {
       val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01"))
-        .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        // r13: SHUFFLE_HASH — orders is unfiltered here; see q03 note
+        .join(t(s, dir, "orders").hint("shuffle_hash"),
+          col("o_orderkey") === col("l_orderkey"))
         .groupBy("l_linestatus")
         .agg(
           sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
@@ -427,8 +465,13 @@ object TpchQueries {
             GROUP BY c_custkey) c_orders
       GROUP BY c_count
       ORDER BY custdist DESC, c_count DESC""")) { (s, dir) =>
+      // r13: SHUFFLE_HASH — the preserved-side outer join can only build
+      // right (orders, the fact side); without the hint that is a 150k-row
+      // driver broadcast build per execution, and at scale both sides are
+      // big so the exchange happens regardless (SHJ-not-SMJ, guide §3.1)
       t(s, dir, "customer")
-        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+        .join(t(s, dir, "orders").hint("shuffle_hash"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
         .groupBy("c_custkey")
         .agg(count(col("o_orderkey")).as("c_count"))
         .groupBy("c_count")
@@ -543,10 +586,18 @@ object TpchQueries {
       // single lineitem scan: the HAVING subquery and the outer sum are the
       // same per-order aggregate (the outer GROUP BY keys are unique per
       // order), so aggregate once and join — no second scan, no regroup
-      val perOrder = t(s, dir, "lineitem")
+      // r13: without a hint the planner broadcast the whole ORDERS scan
+      // (BuildLeft, 150k rows x 4 cols built on the driver per execution);
+      // the filtered per-order aggregate is the genuinely small side —
+      // |perOrder| <= |orders| rows and 2 long columns — so hint IT,
+      // size-gated on the orders base table like every sf-growing dim
+      // (above the gate AQE picks the strategy from true runtime sizes).
+      val perOrder0 = t(s, dir, "lineitem")
         .groupBy(col("l_orderkey"))
         .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
         .filter(col("total_qty") > 170)
+      val perOrder = if (Tables.broadcastSized(s, dir, "orders"))
+        broadcast(perOrder0) else perOrder0
       t(s, dir, "orders")
         .join(perOrder, col("o_orderkey") === col("l_orderkey"))
         .join(bdim(s, dir, "customer")(), col("c_custkey") === col("o_custkey"))
@@ -624,7 +675,23 @@ object TpchQueries {
       // distinct-counts as min/max (no Expand, plain map-side-combining
       // aggregates): >1 distinct suppliers <=> min != max; exactly one
       // distinct R-supplier <=> cnt_r >= 1 and min_r = max_r
-      val perOrder = t(s, dir, "lineitem")
+      // r13: the o_orderstatus = 'F' restriction is per-ORDER, so semi-join
+      // lineitem to the F-orderkeys BEFORE the 5-function aggregate — no
+      // surviving order loses any of its lines, and the aggregate's input
+      // drops to the F fraction (~33% here) instead of aggregating all of
+      // lineitem and semi-joining after (guide §2.3: reduce before the
+      // expensive operator). SHUFFLE_HASH puts the F-key hash build in the
+      // task (it was a 50k-key driver broadcast per execution), and the
+      // join sits DIRECTLY over the orderkey-clustered cache so it is
+      // exchange-free; the aggregate reuses the same clustering.
+      val fLines = t(s, dir, "lineitem")
+        .join(
+          t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+            .select("o_orderkey").hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"),
+          "left_semi"
+        )
+      val perOrder = fLines
         .groupBy(col("l_orderkey"))
         .agg(
           min(col("l_suppkey")).as("mn_all"),
@@ -635,11 +702,6 @@ object TpchQueries {
         )
         .filter(col("mn_all") =!= col("mx_all") && col("cnt_r") > 0 && col("r_supp") === col("mx_r"))
       perOrder
-        .join(
-          t(s, dir, "orders").filter(col("o_orderstatus") === "F").select("o_orderkey"),
-          col("o_orderkey") === col("l_orderkey"),
-          "left_semi"
-        )
         .join(bdim(s, dir, "supplier")(), col("s_suppkey") === col("r_supp"))
         .join(
           broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_1")),
@@ -665,11 +727,17 @@ object TpchQueries {
       val cust = t(s, dir, "customer")
       val avgBal = cust.filter(col("c_acctbal") > 0.0)
         .agg((sum(cents(col("c_acctbal"))).cast("double") / 1e2 / count(lit(1))).as("avg_bal"))
+      // r13: anti join FIRST (it commutes with the per-row filters), with
+      // SHUFFLE_HASH — the anti join must build the orders side (150k keys
+      // broadcast-built on the driver per execution before); placing it
+      // directly over the custkey-clustered customer cache keeps that side
+      // exchange-free, and the build runs in the task, not on the driver
       cust
         .filter((col("c_nationkey") % 5).isin(0, 1, 2))
+        .join(t(s, dir, "orders").hint("shuffle_hash"),
+          col("o_custkey") === col("c_custkey"), "left_anti")
         .join(broadcast(avgBal))
         .filter(col("c_acctbal") > col("avg_bal"))
-        .join(t(s, dir, "orders"), col("o_custkey") === col("c_custkey"), "left_anti")
         .select((col("c_nationkey") % 5).cast("int").as("cntrycode"), col("c_acctbal"))
         .groupBy("cntrycode")
         .agg(count(lit(1)).as("numcust"), msum(cents(col("c_acctbal")), 1e2).as("totacctbal"))
