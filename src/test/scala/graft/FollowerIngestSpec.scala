@@ -668,7 +668,7 @@ class FollowerIngestSpec extends SparkSpecBase {
           new java.io.BufferedOutputStream(sock.getOutputStream))
         val in = new java.io.DataInputStream(
           new java.io.BufferedInputStream(sock.getInputStream))
-        val params = "user graft database graft  "
+        val params = "user\u0000graft\u0000database\u0000graft\u0000\u0000"
           .getBytes("UTF-8")
         out.writeInt(8 + params.length); out.writeInt(196608)
         out.write(params); out.flush()
@@ -684,7 +684,7 @@ class FollowerIngestSpec extends SparkSpecBase {
         }
         drain()
         def query(sql: String): Seq[(Char, Array[Byte])] = {
-          val qb = (sql + " ").getBytes("UTF-8")
+          val qb = (sql + "\u0000").getBytes("UTF-8")
           out.writeByte('Q'); out.writeInt(4 + qb.length); out.write(qb)
           out.flush(); drain()
         }
