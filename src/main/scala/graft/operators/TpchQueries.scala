@@ -419,10 +419,14 @@ object TpchQueries {
       FROM pv
       WHERE v4 > (SELECT CAST(sum($DISC_O) AS DOUBLE) * 0.001 FROM lineitem)
       ORDER BY value DESC, l_partkey""")) { (s, dir) =>
-      // single scan: the threshold re-aggregates pv (sum of exact integer
-      // per-part sums == the grand total), so the groupBy subtrees are
-      // identical and Catalyst reuses one shuffle exchange instead of
-      // scanning lineitem twice
+      // The threshold re-aggregates pv (sum of exact integer per-part sums
+      // == the grand total), so the two groupBy subtrees are canonically
+      // identical and AQE's runtime stage reuse computes the shuffle once
+      // wherever the aggregate HAS an exchange (any parts>1 scale). At the
+      // parts=1 bench regime there is no exchange to hook, so the subtree
+      // runs twice over the cached scan (~80 ms, measured r13) — accepted:
+      // the one-pass alternative (global window over pv) funnels every
+      // per-part row through ONE task at 100 TB, a scale-killer.
       val pv = t(s, dir, "lineitem")
         .groupBy("l_partkey")
         .agg(sum(discProd).as("v4i"))
