@@ -14,34 +14,39 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // Partition count auto-sizes from data volume: target ~1M fact rows per
-    // partition (min 1, cap 200). At sf0.1 (600k-row lineitem) that is ONE
-    // partition — each query is a single-task pipeline with zero
+    // Partition count auto-sizes from data volume: BYTE-based and uncapped
+    // (Tables.volumeParts — ~12 MB of on-disk fact input per partition, the
+    // byte equivalent of the former 1M-rows rule; r14 removed the 200-count
+    // cap, which at 100 TB meant multi-GB partitions — partitions are now
+    // bounded by SIZE at every scale). At sf0.1 (10.8 MB lineitem) that is
+    // ONE partition — each query is a single-task pipeline with zero
     // shuffle-scheduling overhead, and the 22-query workload parallelizes
     // ACROSS queries instead (measured: 1 part beats 8 parts ~1.8x here).
-    // The same rule at 100 TB yields thousands of partitions, so intra-query
-    // parallelism returns exactly when the data needs it.
     // MEASURED at the >1-partition regime (tools/gen_scaled.py, SF1-volume
     // 6M-row lineitem -> parts=6, AQE on; BENCH_SCALED.json): workload wall
-    // 5.8-6.1 s vs the reference's 25.6 s SF1 baseline (0.23x), sequential
-    // sum 17.2-17.8 s (0.67-0.70x); 10x the data costs ~2.4x the wall — the
-    // sublinear scaling the rule was designed for, verified not asserted.
+    // at 0.23x of the reference's 25.6 s SF1 baseline; 10x the data costs
+    // ~2.4x the wall — the sublinear scaling the rule was designed for,
+    // verified not asserted.
     val cache = sys.env.getOrElse("SPARK_GRAFT_CACHE", "true").toBoolean
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      // Above the SHJ size gate the forced shuffle_hash hints are dropped
+      // (Tables.shjSized); these two settings are the graceful fallback the
+      // guide (§3.1/§9) prescribes: the planner may still pick shuffled-hash
+      // when its per-partition size conditions hold, AQE may rewrite SMJ to
+      // SHJ when every post-shuffle partition fits the same budget, and
+      // sort-merge — which spills — remains the safety net.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        Tables.ShjGateBytes.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", {
-      // metadata-only count (parquet footers), no full scan; fall back to a
-      // safe middle value if the probe file is absent
-      val rows = scala.util.Try(
-        spark.read.parquet(s"$sfDir/lineitem.parquet").count()).getOrElse(8000000L)
-      math.max(1L, math.min(200L, rows / 1000000L)).toString
-    }).toString
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS",
+      Tables.volumeParts(sfDir).toString).toString
     spark.conf.set("spark.sql.shuffle.partitions", parts)
     // AQE follows the same data-volume rule as the partition count: with a
     // single shuffle partition there is nothing for it to adapt (no skew, no

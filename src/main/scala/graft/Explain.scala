@@ -21,6 +21,9 @@ object Explain {
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        Tables.ShjGateBytes.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

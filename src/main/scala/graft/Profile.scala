@@ -25,15 +25,15 @@ object Profile {
       .master(s"local[$cpus]")
       .appName("graft-profile")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        Tables.ShjGateBytes.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", {
-      val rows = scala.util.Try(
-        spark.read.parquet(s"$sfDir/lineitem.parquet").count()).getOrElse(8000000L)
-      math.max(1L, math.min(200L, rows / 1000000L)).toString
-    }).toString
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS",
+      Tables.volumeParts(sfDir).toString).toString
     spark.conf.set("spark.sql.shuffle.partitions", parts)
     val aqe = (parts.toInt > 1).toString
     spark.conf.set("spark.sql.adaptive.enabled", aqe)

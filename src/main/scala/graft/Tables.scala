@@ -20,9 +20,36 @@ object Tables {
   val broadcastable: Set[String] =
     Set("region", "nation", "supplier", "part", "customer")
 
-  /** Measured on-disk bytes of a testdata table (0 when unknown). */
+  /** Measured on-disk bytes of a testdata table (0 when unknown);
+    * directory-shaped tables sum their files recursively. */
   def inputBytes(dir: String, name: String): Long =
-    scala.util.Try(new java.io.File(s"$dir/$name.parquet").length).getOrElse(0L)
+    onDiskBytes(s"$dir/$name.parquet")
+
+  private def onDiskBytes(path: String): Long = {
+    val f = new java.io.File(path)
+    if (f.isDirectory)
+      Option(f.listFiles).map(_.map(c => onDiskBytes(c.getPath)).sum).getOrElse(0L)
+    else f.length
+  }
+
+  /** Volume-derived shuffle-partition count: BYTE-based and UNCAPPED —
+    * partitions are bounded by size, never by count. floor(fact bytes /
+    * target), min 1, where the target is on-disk zstd-parquet bytes per
+    * partition (x~4 in memory, TableStats.ParquetExpansion). The local
+    * default (12 MB ≈ the measured byte equivalent of the former
+    * 1M-rows-per-partition rule on this testdata) keeps the driver's bench
+    * operating points: sf0.1 -> 1 partition (measured 1.8x faster than 8),
+    * SF1-volume -> 6, SF10-volume -> ~61. A count cap (formerly 200) is
+    * exactly what makes partitions grow multi-GB at scale — at 100 TB the
+    * byte rule instead yields more partitions of the SAME size, and the
+    * per-partition SHJ/broadcast gates stay valid by construction.
+    * Production target: SPARK_GRAFT_PART_BYTES=512m-class values (SCALE.md
+    * has the 100 TB arithmetic); AQE coalescing absorbs the residual. */
+  def volumeParts(dir: String): Int = {
+    val target = sys.env.get("SPARK_GRAFT_PART_BYTES").flatMap(_.toLongOption)
+      .getOrElse(12000000L)
+    math.max(1L, inputBytes(dir, "lineitem") / target).toInt
+  }
 
   /** Plan-output byte estimate with join inflation capped. Catalyst
     * MULTIPLIES cardinality estimates when column stats are absent — a
@@ -86,6 +113,44 @@ object Tables {
     if (broadcastSized(spark, dir, name))
       org.apache.spark.sql.functions.broadcast(d)
     else d
+  }
+
+  /** Default ceiling for the PER-PARTITION in-task hash build a forced
+    * SHUFFLE_HASH hint commits every task to: 256 MiB — a build that size
+    * fits comfortably in a multi-GB executor's execution memory, while a
+    * hint whose build partition overshoots it risks the §3.1 OOM (a forced
+    * SHJ cannot spill its build side the way sort-merge spills). */
+  val ShjGateBytes: Long = 256L << 20
+
+  /** Should an explicit SHUFFLE_HASH hint be placed with testdata table
+    * `name` as the build side? True only when the table's MEASURED size
+    * (analyzed stats, else on-disk bytes x compression expansion) divided
+    * by the session's shuffle-partition count — i.e. the hash build each
+    * task would materialize — fits the gate. Above the gate (or when the
+    * size is unknown) the join is left unhinted: the planner still prefers
+    * SHJ where per-partition sizes provably fit
+    * (spark.sql.join.preferSortMergeJoin=false +
+    * spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold, set by the
+    * bench/server sessions), and sort-merge — which spills gracefully —
+    * remains the fallback. Override with spark.graft.shjGateBytes. */
+  def shjSized(spark: SparkSession, dir: String, name: String): Boolean = {
+    val gate = spark.conf.getOption("spark.graft.shjGateBytes")
+      .flatMap(_.toLongOption).getOrElse(ShjGateBytes)
+    val parts = scala.util.Try(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt).getOrElse(1).max(1)
+    val estimate = TableStats.get(name, ns = dir).map(_.bytesEstimate)
+      .getOrElse(inputBytes(dir, name) * ParquetExpansion)
+    estimate > 0 && estimate / parts <= gate
+  }
+
+  /** Size-gated SHUFFLE_HASH hint: apply `f` (filter/projection) and hint
+    * shuffle_hash ONLY when [[shjSized]] approves the base table's
+    * estimated per-partition build size. Gating on the BASE size is
+    * conservative — `f` only shrinks the build side. */
+  def shj(spark: SparkSession, dir: String, name: String)(
+      f: DataFrame => DataFrame = identity): DataFrame = {
+    val d = f(df(spark, dir, name))
+    if (shjSized(spark, dir, name)) d.hint("shuffle_hash") else d
   }
 
   // Frames are rebuilt per call: a frame is CHEAP to construct (a

@@ -185,11 +185,14 @@ object TpchQueries {
       // execution). SHUFFLE_HASH moves the build into the task: zero
       // exchange under the orderkey-clustered cache/bucketing, and at any
       // scale this near-unfiltered join is past the broadcast gate anyway
-      // (guide §3.1: shuffled hash over sort-merge, no sort).
+      // (guide §3.1: shuffled hash over sort-merge, no sort). r14: the hint
+      // is size-gated on the PER-PARTITION build estimate (Tables.shj) —
+      // §3.1's OOM caveat applies once a forced build partition outgrows
+      // executor memory; above the gate the planner/AQE fall back to SMJ.
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") > ts("1998-03-15"))
-        .join(t(s, dir, "orders").filter(col("o_orderdate") < ts("1998-03-15"))
-            .hint("shuffle_hash"),
+        .join(Tables.shj(s, dir, "orders")(
+            _.filter(col("o_orderdate") < ts("1998-03-15"))),
           col("l_orderkey") === col("o_orderkey"))
         .join(bdim(s, dir, "customer")(_.filter(col("c_mktsegment") === "BUILDING")),
           col("o_custkey") === col("c_custkey"))
@@ -295,10 +298,11 @@ object TpchQueries {
         col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
       // r13: unfiltered orders side — SHUFFLE_HASH instead of a 150k-row
       // driver broadcast build per execution (zero exchange under the
-      // orderkey clustering; SHJ-not-SMJ at shuffle scale, guide §3.1)
+      // orderkey clustering; SHJ-not-SMJ at shuffle scale, guide §3.1).
+      // r14: size-gated per-partition (see q03 note).
       t(s, dir, "lineitem")
         .filter(col("l_shipdate").between(ts("1996-01-01"), ts("1997-12-31")))
-        .join(t(s, dir, "orders").hint("shuffle_hash"),
+        .join(Tables.shj(s, dir, "orders")(),
           col("o_orderkey") === col("l_orderkey"))
         .join(bdim(s, dir, "supplier")(), col("s_suppkey") === col("l_suppkey"))
         .join(bdim(s, dir, "customer")(), col("c_custkey") === col("o_custkey"))
@@ -452,7 +456,8 @@ object TpchQueries {
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01"))
         // r13: SHUFFLE_HASH — orders is unfiltered here; see q03 note
-        .join(t(s, dir, "orders").hint("shuffle_hash"),
+        // (r14: size-gated per-partition)
+        .join(Tables.shj(s, dir, "orders")(),
           col("o_orderkey") === col("l_orderkey"))
         .groupBy("l_linestatus")
         .agg(
@@ -472,9 +477,10 @@ object TpchQueries {
       // r13: SHUFFLE_HASH — the preserved-side outer join can only build
       // right (orders, the fact side); without the hint that is a 150k-row
       // driver broadcast build per execution, and at scale both sides are
-      // big so the exchange happens regardless (SHJ-not-SMJ, guide §3.1)
+      // big so the exchange happens regardless (SHJ-not-SMJ, guide §3.1).
+      // r14: size-gated per-partition (see q03 note).
       t(s, dir, "customer")
-        .join(t(s, dir, "orders").hint("shuffle_hash"),
+        .join(Tables.shj(s, dir, "orders")(),
           col("c_custkey") === col("o_custkey"), "left_outer")
         .groupBy("c_custkey")
         .agg(count(col("o_orderkey")).as("c_count"))
@@ -688,10 +694,11 @@ object TpchQueries {
       // task (it was a 50k-key driver broadcast per execution), and the
       // join sits DIRECTLY over the orderkey-clustered cache so it is
       // exchange-free; the aggregate reuses the same clustering.
+      // (r14: the hint is size-gated per-partition, see q03 note)
       val fLines = t(s, dir, "lineitem")
         .join(
-          t(s, dir, "orders").filter(col("o_orderstatus") === "F")
-            .select("o_orderkey").hint("shuffle_hash"),
+          Tables.shj(s, dir, "orders")(
+            _.filter(col("o_orderstatus") === "F").select("o_orderkey")),
           col("l_orderkey") === col("o_orderkey"),
           "left_semi"
         )
@@ -735,10 +742,13 @@ object TpchQueries {
       // SHUFFLE_HASH — the anti join must build the orders side (150k keys
       // broadcast-built on the driver per execution before); placing it
       // directly over the custkey-clustered customer cache keeps that side
-      // exchange-free, and the build runs in the task, not on the driver
+      // exchange-free, and the build runs in the task, not on the driver.
+      // r14: size-gated per-partition (see q03 note); the VERDICT-flagged
+      // ~15% sequential regression was re-measured this round — see
+      // OPTIMIZATION_r14.md for the paired A/B that decided the hint's fate.
       cust
         .filter((col("c_nationkey") % 5).isin(0, 1, 2))
-        .join(t(s, dir, "orders").hint("shuffle_hash"),
+        .join(Tables.shj(s, dir, "orders")(),
           col("o_custkey") === col("c_custkey"), "left_anti")
         .join(broadcast(avgBal))
         .filter(col("c_acctbal") > col("avg_bal"))

@@ -254,6 +254,37 @@ class PlanSpec extends SparkSpecBase {
     assert(plan("q03_shipping_priority").contains("BroadcastHashJoin"))
   }
 
+  test("shuffle-hash hints are size-gated: oversized builds fall back to sort-merge") {
+    // with the gate forced shut (1-byte ceiling) and auto-broadcast off,
+    // every query carrying a SHUFFLE_HASH hint on the orders side must plan
+    // WITHOUT a shuffled-hash join — proving the hint is genuinely absent
+    // above the gate — and land on sort-merge, the strategy that spills
+    // instead of OOMing when a forced build partition outgrows memory
+    // (guide §3.1's caveat; the per-partition estimate is what the gate
+    // checks, Tables.shjSized)
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.graft.shjGateBytes", "1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (q <- Seq("q03_shipping_priority", "q07_volume_shipping",
+          "q12_priority_by_linestatus", "q13_customer_distribution",
+          "q21_waiting_supplier", "q22_global_sales_opportunity")) {
+        val p = plan(q)
+        assert(!p.contains("ShuffledHashJoin"),
+          s"$q kept a forced shuffled-hash join above the size gate: $p")
+        assert(p.contains("SortMergeJoin"),
+          s"$q must fall back to sort-merge above the gate: $p")
+      }
+    } finally {
+      spark.conf.unset("spark.graft.shjGateBytes")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+    }
+    // gate open again (default ceiling, tiny input): the hinted
+    // shuffled-hash plan returns
+    val p = plan("q13_customer_distribution")
+    assert(p.contains("ShuffledHashJoin"), p)
+  }
+
   test("tpch q18 reads lineitem exactly once") {
     // the HAVING subquery and the outer per-order sum are one aggregate:
     // a second lineitem scan would double the dominant-table IO at scale
