@@ -423,18 +423,25 @@ object TpchQueries {
       FROM pv
       WHERE v4 > (SELECT CAST(sum($DISC_O) AS DOUBLE) * 0.001 FROM lineitem)
       ORDER BY value DESC, l_partkey""")) { (s, dir) =>
-      // The threshold re-aggregates pv (sum of exact integer per-part sums
-      // == the grand total), so the two groupBy subtrees are canonically
-      // identical and AQE's runtime stage reuse computes the shuffle once
-      // wherever the aggregate HAS an exchange (any parts>1 scale). At the
-      // parts=1 bench regime there is no exchange to hook, so the subtree
-      // runs twice over the cached scan (~80 ms, measured r13) — accepted:
-      // the one-pass alternative (global window over pv) funnels every
-      // per-part row through ONE task at 100 TB, a scale-killer.
+      // r14: the threshold is a DIRECT global sum over lineitem — exact
+      // integer sums are associative, so sum(discProd) == sum of pv's
+      // per-part sums bit-for-bit (the DuckDB oracle computes it this way
+      // too). r13 had it re-aggregate pv so the twin subtrees could share
+      // one AQE runtime stage at parts>1; MEASURED this round (Profile at
+      // SF1-volume, parts=6): AQE does NOT reuse the twin stages — the
+      // 200k-key hash aggregate ran twice (2 x 6 tasks x ~2 s task time).
+      // The direct form replaces that second hash pass with a 1-group
+      // partial aggregate (no hash table, no exchange): measured A/B
+      // (paired, interleaved, identical results) sf0.1 seq 0.193->0.149 /
+      // 16-way 0.592->0.507; SF1 seq 0.781->0.574 / 16-way 7.00->4.22.
+      // Still two lineitem scans at any scale, like before — but the
+      // second now aggregates to one row scan-side. The one-pass global
+      // window stays rejected (single-task funnel at 100 TB, r13 record).
       val pv = t(s, dir, "lineitem")
         .groupBy("l_partkey")
         .agg(sum(discProd).as("v4i"))
-      val threshold = pv.agg((sum(col("v4i")).cast("double") * 0.001).as("thr"))
+      val threshold = t(s, dir, "lineitem")
+        .agg((sum(discProd).cast("double") * 0.001).as("thr"))
       pv.join(broadcast(threshold))
         .filter(col("v4i").cast("double") > col("thr"))
         .select(col("l_partkey"), round(col("v4i").cast("double") / 1e4, 2).as("value"))
@@ -496,9 +503,18 @@ object TpchQueries {
       WHERE l_partkey = p_partkey
         AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
         AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""")) { (s, dir) =>
+      // r14: part joined via size-gated in-task SHUFFLE_HASH build instead
+      // of a driver-built broadcast. The broadcast build was a per-execution
+      // driver job (Profile: 17 ms stage + driver rest); the one-month
+      // lineitem filter keeps ~1.25% of the fact side, so the exchange the
+      // hint adds at parts>1 is of the REDUCED stream. Measured A/B
+      // (paired, interleaved, identical results): sf0.1 seq med 0.148->0.141
+      // / 16-way 0.428->0.363; SF1 (parts=6) seq 0.335->0.268 / 16-way flat
+      // (0.972 vs 0.973). Above the shj gate the hint drops and
+      // AQE/auto-broadcast own the choice, as everywhere else.
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= ts("1996-03-01") && col("l_shipdate") < ts("1996-04-01"))
-        .join(bdim(s, dir, "part")(), col("l_partkey") === col("p_partkey"))
+        .join(Tables.shj(s, dir, "part")(), col("l_partkey") === col("p_partkey"))
         .agg(((msum(when(col("p_type") === "PROMO", discProd).otherwise(0L), 1e4) * 100.0)
           / msum(discProd, 1e4)).as("promo_revenue"))
     },
