@@ -81,6 +81,67 @@ object AbDriver {
           .filter(col("l_quantity") < col("qty_thr"))
           .agg((msum(cents(col("l_extendedprice")), 1e2) / 7.0).as("avg_yearly"))
         ("q17_small_quantity_revenue", a, b)
+      case "q04" =>
+        val a = SparkEntry.queries("q04_order_priority")(spark, sfDir)
+        val o = t("orders")
+          .filter(col("o_orderdate") >= ts("1997-01-01") && col("o_orderdate") < ts("1997-04-01"))
+          .hint("shuffle_hash")
+        val latestShip = t("lineitem")
+          .filter(col("l_shipdate") > ts("1997-01-01"))
+          .groupBy(col("l_orderkey"))
+          .agg(max(col("l_shipdate")).as("mx_ship"))
+        val b = latestShip.join(o, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("mx_ship") > col("o_orderdate"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+        ("q04_order_priority", a, b)
+      case "q05" =>
+        val a = SparkEntry.queries("q05_local_supplier_volume")(spark, sfDir)
+        val b = t("lineitem")
+          .join(t("orders")
+              .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1997-01-01"))
+              .hint("shuffle_hash"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(bdim("customer")(identity), col("o_custkey") === col("c_custkey"))
+          .join(bdim("supplier")(identity),
+            col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(t("nation")), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t("region")), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA")
+          .groupBy("n_name")
+          .agg(msum(discProd, 1e4).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+        ("q05_local_supplier_volume", a, b)
+      case "q10" =>
+        val a = SparkEntry.queries("q10_returned_items")(spark, sfDir)
+        val b = t("lineitem").filter(col("l_returnflag") === "R")
+          .join(t("orders")
+              .filter(col("o_orderdate") >= ts("1997-01-01") && col("o_orderdate") < ts("1997-04-01"))
+              .hint("shuffle_hash"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(bdim("customer")(identity), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t("nation")), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+          .agg(msum(discProd, 1e4).as("revenue"))
+          .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+        ("q10_returned_items", a, b)
+      case "q20" =>
+        val a = SparkEntry.queries("q20_potential_promotion")(spark, sfDir)
+        val shippers = t("lineitem").filter(col("l_quantity") > 30)
+          .join(bdim("part")(_.filter(col("p_name").like("%bolt%"))),
+            col("p_partkey") === col("l_partkey"))
+          .select("l_suppkey")
+          .hint("shuffle_hash")
+        val b = t("supplier")
+          .join(broadcast(t("nation").filter(col("n_name") === "NATION_3")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(shippers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select("s_name", "s_acctbal")
+          .orderBy("s_name")
+        ("q20_potential_promotion", a, b)
       case other => sys.error(s"unknown experiment $other")
     }
     def joinNodes(df: DataFrame): String = {

@@ -223,8 +223,16 @@ object TpchQueries {
                     WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority""")) { (s, dir) =>
-      val o = t(s, dir, "orders")
-        .filter(col("o_orderdate") >= ts("1997-01-01") && col("o_orderdate") < ts("1997-04-01"))
+      // r14: the order window joins via size-gated in-task SHUFFLE_HASH
+      // build instead of the auto-broadcast (a per-execution driver build).
+      // Both sides sit on the orderkey clustering, so the SHJ is
+      // exchange-free at every measured partition count (SF1 parts=6 plan
+      // has one FEWER exchange than the broadcast variant). Measured A/B
+      // (paired, interleaved, identical results): sf0.1 seq med
+      // 0.212->0.199 / 16-way 0.791->0.742; SF1 seq 0.480->0.463 / 16-way
+      // med 8.03->6.60. Above the gate the planner/AQE own the choice.
+      val o = Tables.shj(s, dir, "orders")(
+        _.filter(col("o_orderdate") >= ts("1997-01-01") && col("o_orderdate") < ts("1997-04-01")))
       // Pre-filter before the aggregate (guide §2.3): any qualifying line
       // has l_shipdate > o_orderdate >= window start, so lines at or before
       // the window start can never satisfy the EXISTS — dropping them
